@@ -1,0 +1,146 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.
+  *
+  * Parity contract (SURVEY.md §5): identical column aliases, identical
+  * deterministic ORDER BY, and all double aggregation routed through
+  * exact DECIMAL arithmetic on both sides so engine-dependent FP
+  * summation order cannot flip result bits.
+  */
+object Oracles {
+
+  private val dsumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+  private val revenue =
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)"
+
+  val relational: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $dsumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+         |  $revenue AS sum_disc_price,
+         |  $dsumQty / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      s"""SELECT c_mktsegment, $revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q4_broadcast_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q8_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q9_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 20""".stripMargin,
+
+    "q10_distinct_setops" ->
+      """(SELECT DISTINCT c_nationkey AS nk FROM customer)
+        |EXCEPT
+        |(SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |ORDER BY nk""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, $dsumQty AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q12_case_expr" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS qty_r,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS qty_n,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q13_exists_subquery" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q15_quantiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q16_string_funcs" ->
+      """SELECT c_custkey, UPPER(c_name) AS uname, SUBSTRING(c_name, 1, 5) AS prefix5,
+        |  LENGTH(c_name) AS name_len,
+        |  REGEXP_REPLACE(c_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  c_mktsegment || '#' || c_name AS tag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q17_datetime_funcs" ->
+      """SELECT date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY month_start""".stripMargin,
+
+    "q18_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q19_cross_join_small" ->
+      """SELECT r_regionkey, r_name, status
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+        |ORDER BY r_regionkey, status""".stripMargin,
+
+    "q20_union_all" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name FROM supplier) u
+        |ORDER BY src, id""".stripMargin
+  )
+}

@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries` has one entry per implemented operator from SURVEY.md §2;
+  * `oracleSql` has the DuckDB-equivalent SQL for every query whose
+  * semantics are expressible in portable SQL.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2b relational / OLAP core
+    "q1_agg" -> Relational.q1Agg _,
+    "q2_filter_project" -> Relational.q2FilterProject _,
+    "q3_join_agg" -> Relational.q3JoinAgg _,
+    "q4_broadcast_join" -> Relational.q4BroadcastJoin _,
+    "q5_semi_join" -> Relational.q5SemiJoin _,
+    "q6_anti_join" -> Relational.q6AntiJoin _,
+    "q7_window_rank" -> Relational.q7WindowRank _,
+    "q8_window_running" -> Relational.q8WindowRunning _,
+    "q9_topk" -> Relational.q9TopK _,
+    "q10_distinct_setops" -> Relational.q10DistinctSetops _,
+    "q11_rollup" -> Relational.q11Rollup _,
+    "q12_case_expr" -> Relational.q12CaseExpr _,
+    "q13_exists_subquery" -> Relational.q13ExistsSubquery _,
+    "q14_approx_distinct" -> Relational.q14ApproxDistinct _,
+    "q15_quantiles" -> Relational.q15Quantiles _,
+    "q16_string_funcs" -> Relational.q16StringFuncs _,
+    "q17_datetime_funcs" -> Relational.q17DatetimeFuncs _,
+    "q18_having" -> Relational.q18Having _,
+    "q19_cross_join_small" -> Relational.q19CrossJoinSmall _,
+    "q20_union_all" -> Relational.q20UnionAll _
+  )
+
+  def oracleSql: Map[String, String] = Oracles.relational
 }

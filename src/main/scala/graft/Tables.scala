@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parquet table loaders + oracle-parity helpers.
+  *
+  * Parity rules (see SURVEY.md §5): any aggregate over doubles goes
+  * through exact decimal arithmetic in BOTH the Spark query and the
+  * DuckDB oracle SQL, so that floating-point summation order (which
+  * differs across engines and across partitionings) can never change
+  * the result bits.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact sum of a double column: cast to decimal(18,4), sum
+    * exactly, back to double. Deterministic across engines. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Exact revenue-style product sum: both factors to decimal(18,6),
+    * exact decimal multiply + sum. The sum (scale 12) is rescaled to
+    * decimal(28,6) BEFORE the double cast: at scale 6 the unscaled
+    * value stays < 2^53, so the decimal→double conversion is a single
+    * correctly-rounded step in every engine (DuckDB's scale-12 path
+    * double-rounds via hugeint→double → 1-ulp mismatches). */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 6)) * b.cast(DecimalType(18, 6)))
+      .cast(DecimalType(28, 6)).cast("double")
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.{t, dsum, dsumProd}
+
+/** §2b relational / OLAP query suite.
+  *
+  * Declarative DataFrame plans only — Catalyst handles pushdown,
+  * pruning, join selection; small dimension tables are explicitly
+  * broadcast. Every query ends with a deterministic unique-key sort
+  * (oracle parity; the driver hashes the result).
+  */
+object Relational {
+
+  /** q1: grouped aggregation with several aggregates (TPC-H Q1 shape). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q2: predicate + projection pushdown (filters reach the parquet scan). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q3: fact-fact-dim join + aggregation — revenue by market segment. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q4: broadcast star join over small dims. */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q5: EXISTS via left-semi join — customers having a big order. */
+  def q5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_totalprice") > 150000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q6: NOT EXISTS via left-anti join — customers with no orders. */
+  def q6AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q7: window rank — top-3 orders per customer by price. */
+  def q7WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q8: running sum + lag over an ordered per-customer window.
+    * Running sum through decimal for cross-engine determinism. */
+  def q8WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "running_spend", "prev_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q9: global top-k (sort + limit → TakeOrderedAndProject). */
+  def q9TopK(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(20)
+  }
+
+  /** q10: distinct + EXCEPT — nations with customers but no suppliers. */
+  def q10DistinctSetops(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    c.except(s).orderBy("nk")
+  }
+
+  /** q11: rollup aggregation (subtotals + grand total). */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** q12: conditional (CASE WHEN) pivot-style aggregation. */
+  def q12CaseExpr(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def flagQty(f: String) =
+      sum(when(col("l_returnflag") === f, col("l_quantity")).otherwise(lit(0.0))
+        .cast(DecimalType(18, 4))).cast("double")
+    li.groupBy("l_linestatus")
+      .agg(
+        flagQty("R").as("qty_r"),
+        flagQty("A").as("qty_a"),
+        flagQty("N").as("qty_n"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_linestatus")
+  }
+
+  /** q13: correlated EXISTS subquery, decorrelated to a semi join —
+    * orders containing a max-quantity line item. */
+  def q13ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val big = t(spark, dir, "lineitem").filter(col("l_quantity") >= 49)
+    o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** q14: HyperLogLog approximate distinct (sketch not portable →
+    * rows-only check; no DuckDB oracle). */
+  def q14ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q15: exact interpolated quantiles per group (rounded — the
+    * interpolation formula differs in last-bit across engines). */
+  def q15Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q16: string function suite. */
+  def q16StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    c.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 5).as("prefix5"),
+        length(col("c_name")).cast("long").as("name_len"),
+        regexp_replace(col("c_name"), "[aeiou]", "").as("no_vowels"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tag"))
+      .orderBy("c_custkey")
+  }
+
+  /** q17: datetime bucketing + extraction. */
+  def q17DatetimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("month_start")
+  }
+
+  /** q18: aggregate filter (HAVING). */
+  def q18Having(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    c.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .filter(col("n_customers") >= 3)
+      .orderBy("c_nationkey")
+  }
+
+  /** q19: controlled cartesian of tiny dimensions. */
+  def q19CrossJoinSmall(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val st = t(spark, dir, "orders").select(col("o_orderstatus").as("status")).distinct()
+    r.crossJoin(broadcast(st))
+      .select("r_regionkey", "r_name", "status")
+      .orderBy("r_regionkey", "status")
+  }
+
+  /** q20: UNION ALL of heterogeneous projections. */
+  def q20UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(lit("customer").as("src"), col("c_custkey").as("id"), col("c_name").as("name"))
+    val s = t(spark, dir, "supplier")
+      .select(lit("supplier").as("src"), col("s_suppkey").as("id"), col("s_name").as("name"))
+    c.unionAll(s).orderBy("src", "id")
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Runs DuckDB oracle SQL against the same parquet tables and compares
+with the Spark results dumped by graft.Verify. Sorts columns by name,
+sorts rows, compares values (exact, with a small FP report).
+
+Usage: tools/parity.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        # decimal.Decimal etc -> float for comparison
+        if df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_path = f"{out_dir}/{name}"
+        if not glob.glob(f"{spark_path}/*.parquet"):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            oracle = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        got = pd.read_parquet(spark_path)
+        o, g = norm(oracle), norm(got)
+        if list(o.columns) != list(g.columns):
+            print(f"FAIL {name}: cols oracle={list(o.columns)} got={list(g.columns)}")
+            n_fail += 1; continue
+        if len(o) != len(g):
+            print(f"FAIL {name}: rows oracle={len(o)} got={len(g)}"); n_fail += 1; continue
+        bad = []
+        for c in o.columns:
+            ov, gv = o[c].values, g[c].values
+            if pd.api.types.is_float_dtype(o[c]) or pd.api.types.is_float_dtype(g[c]):
+                ovf = ov.astype(float); gvf = gv.astype(float)
+                eq = (ovf == gvf) | (pd.isna(ovf) & pd.isna(gvf))
+                if not eq.all():
+                    i = int(np.flatnonzero(~eq)[0])
+                    bad.append(f"{c}[{i}]: oracle={ovf[i]!r} got={gvf[i]!r} diff={abs(ovf[i]-gvf[i])}")
+            else:
+                oo = pd.Series(ov).astype(str); gg = pd.Series(gv).astype(str)
+                eq = (oo == gg).values
+                if not eq.all():
+                    i = int(np.flatnonzero(~eq)[0])
+                    bad.append(f"{c}[{i}]: oracle={ov[i]!r} got={gv[i]!r}")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad[:3])); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    # queries with no oracle -> rows-only
+    for d in sorted(os.listdir(out_dir)):
+        if os.path.isdir(f"{out_dir}/{d}") and d not in oracles:
+            n = len(pd.read_parquet(f"{out_dir}/{d}"))
+            print(f"ROWS {d}: {n} rows (no oracle)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
