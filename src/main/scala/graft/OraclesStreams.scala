@@ -1,0 +1,91 @@
+package graft
+
+/** DuckDB oracle SQL for the §2a event-streaming queries.
+  * "partition"/"offset" are quoted — both are DuckDB keywords. */
+object OraclesStreams {
+
+  private val part = """user_id % 8"""
+  private val dsumVal = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val streams: Map[String, String] = Map(
+    "broker_api_versions" ->
+      """SELECT * FROM (VALUES
+        |  (0,'Produce',0,9),(1,'Fetch',0,13),(2,'ListOffsets',0,7),
+        |  (3,'Metadata',0,12),(8,'OffsetCommit',0,8),(9,'OffsetFetch',0,8),
+        |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,7),(20,'DeleteTopics',0,6))
+        |  AS t(api_key, api_name, min_version, max_version)
+        |ORDER BY api_key""".stripMargin,
+
+    "topic_metadata" ->
+      s"""SELECT 'events' AS topic, $part AS "partition",
+         |  COUNT(*) AS record_count, COUNT(*) AS log_end_offset
+         |FROM events GROUP BY 2 ORDER BY 2""".stripMargin,
+
+    "produce_offsets" ->
+      s"""SELECT event_id, $part AS "partition",
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY $part ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+         |FROM events ORDER BY "partition", "offset"""".stripMargin,
+
+    "consume_fetch" ->
+      s"""SELECT "partition", "offset", event_id, event_type, value FROM (
+         |  SELECT event_id, event_type, value, $part AS "partition",
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY $part ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+         |  FROM events) t
+         |WHERE "partition" = 3 AND "offset" >= 100 AND "offset" < 200
+         |ORDER BY "offset"""".stripMargin,
+
+    "consumer_group_lag" ->
+      s"""SELECT $part AS "partition",
+         |  COUNT(*) AS log_end_offset,
+         |  COUNT(CASE WHEN ts <= cutoff THEN 1 END) AS committed_offset,
+         |  COUNT(*) - COUNT(CASE WHEN ts <= cutoff THEN 1 END) AS lag
+         |FROM events CROSS JOIN (SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events) c
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "log_compaction" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "retention_expiry" ->
+      s"""SELECT $part AS "partition",
+         |  COUNT(CASE WHEN ts >= cutoff THEN 1 END) AS surviving,
+         |  COUNT(CASE WHEN ts < cutoff THEN 1 END) AS expired
+         |FROM events CROSS JOIN (SELECT MAX(ts) - INTERVAL 7 DAY AS cutoff FROM events) c
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_tumbling_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type,
+         |  COUNT(*) AS n, $dsumVal AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_sliding_agg" ->
+      s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
+         |FROM (
+         |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - g * INTERVAL 30 MINUTE AS ws,
+         |         event_type, value
+         |  FROM events CROSS JOIN (VALUES (0),(1)) AS gg(g)) t
+         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "stream_session_windows" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS is_start
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM lagged)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  COUNT(*) AS n_events, $dsumVal AS sum_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Relational, Streams}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` has one entry per implemented operator from SURVEY.md §2;
@@ -36,8 +36,19 @@ object SparkEntry {
     "q17_datetime_funcs" -> Relational.q17DatetimeFuncs _,
     "q18_having" -> Relational.q18Having _,
     "q19_cross_join_small" -> Relational.q19CrossJoinSmall _,
-    "q20_union_all" -> Relational.q20UnionAll _
+    "q20_union_all" -> Relational.q20UnionAll _,
+    // §2a event-streaming core (Kafka log model, batch-queryable form)
+    "broker_api_versions" -> Streams.brokerApiVersions _,
+    "topic_metadata" -> Streams.topicMetadata _,
+    "produce_offsets" -> Streams.produceOffsets _,
+    "consume_fetch" -> Streams.consumeFetch _,
+    "consumer_group_lag" -> Streams.consumerGroupLag _,
+    "log_compaction" -> Streams.logCompaction _,
+    "retention_expiry" -> Streams.retentionExpiry _,
+    "stream_tumbling_agg" -> Streams.tumblingAgg _,
+    "stream_sliding_agg" -> Streams.slidingAgg _,
+    "stream_session_windows" -> Streams.sessionWindows _
   )
 
-  def oracleSql: Map[String, String] = Oracles.relational
+  def oracleSql: Map[String, String] = Oracles.relational ++ OraclesStreams.streams
 }

@@ -16,6 +16,15 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; read nanos as long and convert to a µs timestamp (the
+    * data is µs-aligned — verified: no sub-µs bits at any SF). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** Exact sum of a double column: cast to decimal(18,4), sum
     * exactly, back to double. Deterministic across engines. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.{t, dsum, events}
+
+/** §2a event-streaming semantics, batch-queryable form.
+  *
+  * The `events` table is viewed as one topic ("events") with 8
+  * partitions keyed by `user_id` and per-partition monotonic offsets —
+  * exactly the Kafka log model the reference implements/roadmaps
+  * (ref: pkg/kafka/kafka_api.go:85 dispatch, README.md roadmap).
+  *
+  * The partitioner used here is the documented modulo partitioner so
+  * the DuckDB oracle can reproduce it in ANSI SQL; the murmur3-based
+  * hash partitioner lives in [[graft.streaming.Partitioners]] (spec
+  * coverage instead of oracle).
+  */
+object Streams {
+
+  val NumPartitions = 8
+
+  /** events + (partition, offset) — the produce-path assignment. */
+  private def eventsAsTopic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("partition").orderBy("event_id")
+    events(spark, dir)
+      .withColumn("partition", pmod(col("user_id"), lit(NumPartitions.toLong)))
+      .withColumn("offset", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** ApiVersions analog (ref: pkg/kafka/kafka_api.go:99,
+    * pkg/kafka/versions.go:19 — the reference ships key 18 only and
+    * roadmaps the rest; graft serves the full core set). */
+  def brokerApiVersions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0, "Produce", 0, 9),
+      (1, "Fetch", 0, 13),
+      (2, "ListOffsets", 0, 7),
+      (3, "Metadata", 0, 12),
+      (8, "OffsetCommit", 0, 8),
+      (9, "OffsetFetch", 0, 8),
+      (18, "ApiVersions", 0, 3),
+      (19, "CreateTopics", 0, 7),
+      (20, "DeleteTopics", 0, 6)
+    ).toDF("api_key", "api_name", "min_version", "max_version")
+      .orderBy("api_key")
+  }
+
+  /** Metadata analog: per-partition record counts + log-end offsets. */
+  def topicMetadata(spark: SparkSession, dir: String): DataFrame =
+    eventsAsTopic(spark, dir)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("record_count"), count(lit(1)).as("log_end_offset"))
+      .select(lit("events").as("topic"), col("partition"), col("record_count"),
+        col("log_end_offset"))
+      .orderBy("partition")
+
+  /** Produce path: partition + offset assignment for every record. */
+  def produceOffsets(spark: SparkSession, dir: String): DataFrame =
+    eventsAsTopic(spark, dir)
+      .select("event_id", "partition", "offset")
+      .orderBy("partition", "offset")
+
+  /** Fetch path: bounded read from (partition 3, offset 100..199). */
+  def consumeFetch(spark: SparkSession, dir: String): DataFrame =
+    eventsAsTopic(spark, dir)
+      .filter(col("partition") === 3 && col("offset") >= 100 && col("offset") < 200)
+      .select("partition", "offset", "event_id", "event_type", "value")
+      .orderBy("offset")
+
+  /** Consumer-group lag: a group that committed everything up to
+    * (max ts − 3 days); lag = records past the committed point. */
+  def consumerGroupLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsAsTopic(spark, dir)
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 3 DAYS")).as("cutoff"))
+    ev.crossJoin(broadcast(cutoff))
+      .groupBy("partition")
+      .agg(
+        count(lit(1)).as("log_end_offset"),
+        count(when(col("ts") <= col("cutoff"), 1)).as("committed_offset"))
+      .withColumn("lag", col("log_end_offset") - col("committed_offset"))
+      .orderBy("partition")
+  }
+
+  /** Log compaction: latest record per key (user_id) survives. */
+  def logCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** Time-based retention: per partition, surviving vs expired counts
+    * for a 7-day retention horizon off the log's max timestamp. */
+  def retentionExpiry(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsAsTopic(spark, dir)
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("cutoff"))
+    ev.crossJoin(broadcast(cutoff))
+      .groupBy("partition")
+      .agg(
+        count(when(col("ts") >= col("cutoff"), 1)).as("surviving"),
+        count(when(col("ts") < col("cutoff"), 1)).as("expired"))
+      .orderBy("partition")
+  }
+
+  /** Tumbling 1-hour windowed aggregation (batch-equivalent of the
+    * streaming windowed agg; see StreamingSpec for the readStream
+    * form with watermark). */
+  def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** Sliding 1-hour / 30-minute windowed aggregation. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** Session windows: 30-minute-gap sessionization per user. Spark's
+    * native session_window (end = last event + gap; a gap of exactly
+    * 30 min starts a new session). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+}
