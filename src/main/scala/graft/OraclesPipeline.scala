@@ -1,0 +1,138 @@
+package graft
+
+/** DuckDB oracle SQL for the §2c/§2d/§2e pipeline queries.
+  *
+  * Determinism notes:
+  *  - integer arithmetic and IEEE double ops in identical order;
+  *  - dot products are sequential left folds on BOTH sides
+  *    (Spark `aggregate`, DuckDB `list_reduce` with a prepended 0.0);
+  *  - hash-based ops (minhash/simhash/LSH/IVF) are rows-only and do
+  *    not appear here.
+  */
+object OraclesPipeline {
+
+  /** whitespace-token count, shared subexpression. */
+  private val ws = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  private val stopHits =
+    "len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in')))"
+
+  private def hits(markers: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  private val enH = hits(Seq("the", "and", "of", "to", "in"))
+  private val esH = hits(Seq("el", "la", "de", "que", "y"))
+  private val deH = hits(Seq("der", "die", "und", "das", "ist"))
+  private val frH = hits(Seq("le", "la", "de", "et", "les"))
+
+  /** left-fold dot product over DOUBLE lists a·b. */
+  private def dot(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  private def cosR(a: String, b: String) =
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+
+  private val embDouble =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  private val grams3 =
+    """SELECT doc_id, lang, n_chars // 10 AS bucket,
+      |  list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(w) >= 3""".stripMargin
+
+  val pipeline: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST($ws AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CAST($ws AS BIGINT) AS n_tokens,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / $ws, 6) AS mean_word_len,
+         |  round(CAST($stopHits AS DOUBLE) / $ws, 6) AS stopword_ratio,
+         |  round((CAST($ws AS DOUBLE) / (CAST($ws AS DOUBLE) + 50.0))
+         |        * (1.0 - CAST($stopHits AS DOUBLE) / $ws), 6) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN $enH >= $esH AND $enH >= $deH AND $enH >= $frH AND $enH > 0 THEN 'en'
+         |       WHEN $esH >= $deH AND $esH >= $frH AND $esH > 0 THEN 'es'
+         |       WHEN $deH >= $frH AND $deH > 0 THEN 'de'
+         |       WHEN $frH > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang,
+         |  CAST($enH AS BIGINT) AS en_hits, CAST($esH AS BIGINT) AS es_hits,
+         |  CAST($deH AS BIGINT) AS de_hits, CAST($frH AS BIGINT) AS fr_hits
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(lower(trim(text)))),
+        |        i -> CAST(ascii(substr(lower(trim(text)), i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_stats" ->
+      """SELECT gram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3) g
+        |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_exact_normalized" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS ($grams3)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS ($embDouble)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+         |  ${cosR("a.v", "b.v")} AS cos_sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosR("a.v", "b.v")} >= 0.3
+         |ORDER BY v1, v2""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH e AS ($embDouble),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |s AS (SELECT qid, vec_id, ${cosR("qv", "v")} AS cos_sim FROM c CROSS JOIN q),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
+    "knn_pairs" ->
+      s"""WITH e AS ($embDouble),
+         |p AS (SELECT vec_id AS qid, label, v AS qv FROM e WHERE vec_id < 50),
+         |s AS (SELECT p.qid, p.label, e.vec_id, ${cosR("p.qv", "e.v")} AS cos_sim
+         |      FROM e JOIN p ON e.label = p.label AND e.vec_id <> p.qid),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM s)
+         |SELECT qid, label, vec_id AS nn_vec_id, cos_sim FROM r WHERE rn = 1
+         |ORDER BY qid""".stripMargin
+  )
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, Streams}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Streams, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` has one entry per implemented operator from SURVEY.md §2;
@@ -47,8 +47,29 @@ object SparkEntry {
     "retention_expiry" -> Streams.retentionExpiry _,
     "stream_tumbling_agg" -> Streams.tumblingAgg _,
     "stream_sliding_agg" -> Streams.slidingAgg _,
-    "stream_session_windows" -> Streams.sessionWindows _
+    "stream_session_windows" -> Streams.sessionWindows _,
+    // §2e text analysis
+    "text_tokens" -> TextAnalysis.textTokens _,
+    "text_quality" -> TextAnalysis.textQuality _,
+    "text_langid" -> TextAnalysis.textLangid _,
+    "text_fingerprint" -> TextAnalysis.textFingerprint _,
+    "text_ngram_stats" -> TextAnalysis.textNgramStats _,
+    // §2c deduplication
+    "dedup_exact" -> Dedup.dedupExact _,
+    "dedup_exact_normalized" -> Dedup.dedupExactNormalized _,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
+    "dedup_simhash" -> Dedup.dedupSimhash _,
+    "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine _,
+    // §2d similarity search
+    "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
+    "ann_lsh_topk" -> Similarity.annLshTopk _,
+    "ann_ivf_topk" -> Similarity.annIvfTopk _,
+    "knn_pairs" -> Similarity.knnPairs _,
+    // §2f multimodal plumbing (decode stubbed)
+    "mm_features" -> Multimodal.mmFeatures _
   )
 
-  def oracleSql: Map[String, String] = Oracles.relational ++ OraclesStreams.streams
+  def oracleSql: Map[String, String] =
+    Oracles.relational ++ OraclesStreams.streams ++ OraclesPipeline.pipeline
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2f multimodal column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct; decode/feature-extraction runs batched per partition (the
+  * Scala analog of a pandas-UDF `mapInPandas` stage: one iterator per
+  * partition, arbitrary native calls inside). The actual image/audio
+  * decode is STUBBED (no media libs in this container) behind
+  * [[Multimodal.decodeStub]] — a deterministic fake — while the
+  * Spark-side plumbing (schema, batching, partitioning, output shape)
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Opaque media record: payload + typed metadata. */
+  case class MediaRecord(
+      doc_id: Long,
+      payload: Array[Byte],
+      media_type: String,
+      width: Int,
+      height: Int)
+
+  /** Extracted features per record. */
+  case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      checksum: Long,
+      hist8: Seq[Long],
+      brightness: Double)
+
+  /** STUB decode: stands in for an image/audio decoder. Deterministic:
+    * byte histogram mod 8 + mean byte value as "brightness". A real
+    * deployment swaps this body for the native decoder call; the
+    * signature and batch shape stay identical. */
+  def decodeStub(payload: Array[Byte]): (Seq[Long], Double) = {
+    val hist = new Array[Long](8)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xFF) % 8) += 1
+      sum += (payload(i) & 0xFF)
+      i += 1
+    }
+    (hist.toSeq, if (payload.length == 0) 0.0 else sum.toDouble / payload.length)
+  }
+
+  /** documents → opaque media records (payload = utf-8 bytes; fake
+    * dimensions derived deterministically from doc metadata). */
+  def asMediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/fake-image").as("media_type"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition feature extraction (mapPartitions — the
+    * iterator is the batch; partitioning carries over from the scan,
+    * so at 100 TB this runs embarrassingly parallel with no shuffle). */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { batch =>
+      batch.map { r =>
+        val (hist, brightness) = decodeStub(r.payload)
+        MediaFeatures(
+          doc_id = r.doc_id,
+          byte_len = r.payload.length.toLong,
+          checksum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L),
+          hist8 = hist,
+          brightness = brightness)
+      }
+    }
+  }
+
+  /** §2f query: features for every document payload. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(asMediaRecords(spark, dir))
+      .toDF()
+      .withColumn("brightness", round(col("brightness"), 6))
+      .orderBy("doc_id")
+}

@@ -87,7 +87,7 @@ object Relational {
     val o = t(spark, dir, "orders")
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.withColumn("rn", row_number().over(w))
+    o.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")

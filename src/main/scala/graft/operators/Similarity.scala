@@ -1,0 +1,126 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.VectorFunctions._
+
+/** §2d similarity search over the embeddings table.
+  *
+  * Scale shape (SURVEY.md §6): the query set is always the broadcast
+  * side; the corpus side streams partition-local (brute force) or is
+  * pruned to buckets/cells (LSH / IVF), so the scan never shuffles
+  * the big side.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+
+  /** Exact brute-force cosine top-k: query vectors broadcast against
+    * the full corpus, per-query top-3. The baseline every ANN variant
+    * is judged against. */
+  def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** k-NN pairs: nearest same-label neighbor for each probe vector. */
+  def knnPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("label"), col("vec_id").as("nn_vec_id"), col("cos_sim"))
+      .orderBy("qid")
+  }
+
+  /** Deterministic ±1 random-hyperplane matrix (seeded; stable across
+    * JVMs — java.util.Random's LCG is spec-fixed). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Random-hyperplane LSH top-k: 8-bit sign buckets; queries
+    * multiprobe their bucket + all 1-bit flips. Scale path: the
+    * corpus is scanned only in probed buckets (bucket is a
+    * partition-prunable column). Rows-only (bucketing is
+    * hash-derived, not SQL-portable). */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 8
+    val hp = hyperplanes(nPlanes, 64)
+    val hpCols = hp.map(p => typedLit(p))
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      (0 until nPlanes).map { j =>
+        when(dot(v, hpCols(j)) >= 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+
+    val e = emb(spark, dir).withColumn("bucket", bucketOf(col("v")))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .withColumn("probe_bucket", explode(array(
+        col("bucket") +: (0 until nPlanes).map(j =>
+          col("bucket").bitwiseXOR(1 << j)): _*)))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(probes.drop("bucket")),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-style ANN: deterministic coarse codebook (every 100th vector
+    * as a centroid), vectors assigned to nearest cell, queries probe
+    * their 2 nearest cells and scan only those. Rows-only. */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    // assign every vector to its nearest centroid
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineR(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("cell"))
+    // queries probe their nprobe=2 nearest cells
+    val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cell").asc)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineR(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select("qid", "qv", "cell")
+    val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cos_sim", "cell")
+      .orderBy("qid", "rank")
+  }
+}

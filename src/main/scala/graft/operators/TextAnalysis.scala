@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** §2e text-analysis queries over the documents table. */
+object TextAnalysis {
+
+  /** Token counting: whitespace, regex-word, and BPE-estimate. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        wsTokens(col("text")).as("ws_tokens"),
+        reTokens(col("text")).as("re_tokens"),
+        bpeTokensEst(col("text")).as("bpe_tokens_est"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, mean word length, stopword ratio, score. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        wsTokens(col("text")).as("n_tokens"),
+        round(meanWordLen(col("text")), 6).as("mean_word_len"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Language ID: marker-word voting per language. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        predictedLang(col("text")).as("pred_lang"),
+        langHits(col("text"), "en").as("en_hits"),
+        langHits(col("text"), "es").as("es_hits"),
+        langHits(col("text"), "de").as("de_hits"),
+        langHits(col("text"), "fr").as("fr_hits"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: exact polynomial rolling hash mod 1e9+7. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Corpus n-gram stats: top-20 word trigrams. */
+  def textNgramStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(wordNgrams(col("text"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(20)
+}
