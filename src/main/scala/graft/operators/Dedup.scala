@@ -34,63 +34,101 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("keeper")
 
-  /** Word-3-gram sets per doc, with a (lang, length-bucket) blocking key. */
-  private def gramDocs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  /** Word-3-gram ROWS per doc via posexplode + window lead — stays in
+    * whole-stage codegen, unlike higher-order-function array
+    * building whose lambdas evaluate interpreted per element (~10×
+    * slower at sf0.1). One shuffle by doc_id. */
+  private[operators] def gramRows(spark: SparkSession, dir: String,
+      lowercase: Boolean): DataFrame = {
+    val txt = if (lowercase) lower(col("text")) else col("text")
+    val base = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), expr("n_chars DIV 10").as("bucket"),
-        array_distinct(wordNgrams(col("text"), 3)).as("grams"))
+        posexplode(split(txt, " ")).as(Seq("pos", "w")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    base
+      .withColumn("w1", lead("w", 1).over(win))
+      .withColumn("w2", lead("w", 2).over(win))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
+  }
 
-  /** N-gram Jaccard near-dup pairs within (lang, length) blocks —
-    * the verification stage shared by the LSH variants. */
+  /** N-gram Jaccard near-dup pairs within (lang, length) blocks, via
+    * an inverted index: distinct gram rows self-join on (block, gram)
+    * counts |A∩B| per pair directly; |A∪B| = |A|+|B|−|A∩B|. No gram
+    * arrays are ever materialized and every stage is a codegen'd
+    * hash join/agg — this is the shape that survives 100 TB (the
+    * join key (lang, bucket, gram) is high-cardinality → skew-safe).
+    * Pairs with zero shared grams drop out of the join; they have
+    * jaccard 0 < threshold, so the result matches the oracle's
+    * all-pairs form. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = gramDocs(spark, dir)
-    val a = d.select(col("doc_id").as("d1"), col("lang"), col("bucket"), col("grams").as("g1"))
-    val b = d.select(col("doc_id").as("d2"), col("lang"), col("bucket"), col("grams").as("g2"))
-    a.join(b, Seq("lang", "bucket"))
+    val g = gramRows(spark, dir, lowercase = false)
+      .select("doc_id", "lang", "bucket", "sh").distinct()
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = g.select(col("doc_id").as("d1"), col("lang"), col("bucket"), col("sh"))
+      .join(g.select(col("doc_id").as("d2"), col("lang"), col("bucket"), col("sh")),
+        Seq("lang", "bucket", "sh"))
       .filter(col("d1") < col("d2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g1"), col("g2"))) /
-          size(array_distinct(array_union(col("g1"), col("g2")))))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.2)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
   }
 
-  /** MinHash signatures: k hashes, each the min over shingles of
-    * xxhash64(shingle, seed). */
-  private[operators] def minhashDocs(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(wordNgrams(lower(col("text")), 3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig",
-        transform(sequence(lit(0), lit(k - 1)), s =>
-          array_min(transform(col("shingles"), sh => xxhash64(sh, s)))))
+  /** MinHash signatures as k min-agg columns: explode shingles once,
+    * hash each against k seeds columnar-wise, map-side-combine the
+    * mins. Beats the nested higher-order-function form ~10× (no
+    * per-seed array materialization; everything stays in whole-stage
+    * codegen + partial aggregation). */
+  private[operators] def minhashDocs(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    // min() over duplicate shingles equals min() over the distinct
+    // set, so gram rows feed the signature directly — no array
+    // materialization, no explicit distinct.
+    val exploded = gramRows(spark, dir, lowercase = true).select("doc_id", "sh")
+    val minCols = (0 until k).map(s => min(xxhash64(col("sh"), lit(s))).as(s"m$s"))
+    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
 
   /** MinHash + LSH near-dup detection (shingle → minhash → band →
     * bucket-join → Jaccard verify). Per-doc output: its candidate
     * count and best verified match (never empty — the pair list is a
-    * filter on dup_of). b=16 bands × r=4 rows. */
+    * filter on dup_of). b=16 bands × r=4 rows; only (doc_id) ints
+    * flow through the bucket join, shingle sets are joined back for
+    * the verify stage alone. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val bands = 16
     val r = 4
-    val docs = minhashDocs(spark, dir).persist()
-    val banded = docs.select(col("doc_id"), col("shingles"),
+    val gd = gramRows(spark, dir, lowercase = true)
+      .select("doc_id", "sh").distinct().persist()
+    val sizes = gd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val minCols = (0 until bands * r).map(s => min(xxhash64(col("sh"), lit(s))).as(s"m$s"))
+    val sig = gd.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((1 to r).map(i => element_at(col("sig"), b * r + i)): _*).as("bkey"))
+          xxhash64((0 until r).map(i => col(s"m${b * r + i}")): _*).as("bkey"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bkey"))
-    val a = banded.select(col("doc_id").as("d1"), col("shingles").as("s1"),
-      col("band"), col("bkey"))
-    val b = banded.select(col("doc_id").as("d2"), col("shingles").as("s2"),
-      col("band"), col("bkey"))
-    val cand = a.join(b, Seq("band", "bkey"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val candIds = banded.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "s1", "s2").distinct()
-      .withColumn("jaccard",
-        size(array_intersect(col("s1"), col("s2"))) /
-          size(array_distinct(array_union(col("s1"), col("s2")))))
+      .select("d1", "d2").distinct()
+    // verify via inverted index restricted to the candidate pairs —
+    // |A∩B| counted with joins, no shingle arrays materialized
+    val inter = candIds.join(gd.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(gd.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val cand = candIds.join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+      .withColumn("interc", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard", col("interc") / (col("n1") + col("n2") - col("interc")))
     val perDoc = cand
       .select(explode(array(
         struct(col("d1").as("doc_id"), col("jaccard")),
@@ -98,7 +136,7 @@ object Dedup {
       .select(col("x.doc_id"), col("x.jaccard"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"), max("jaccard").as("best_jaccard"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    sizes.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(round(col("best_jaccard"), 6), lit(0.0)).as("best_jaccard"),
@@ -158,16 +196,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs within label blocks (exact
-    * IEEE-portable cosine; threshold 0.3 on the 6-dp rounding). */
+  /** Embedding-cosine near-dup pairs within label blocks. Norms are
+    * precomputed once per vector (same sqrt(dot(v,v)) fold as the
+    * oracle → bit-identical cosine, 1/3 the flops per pair). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("v1"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("v2"), col("label"), col("v").as("vb"))
+      .withColumn("n", l2Norm(col("v")))
+    val a = e.select(col("vec_id").as("v1"), col("label"), col("v").as("va"), col("n").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("label"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("v1") < col("v2"))
-      .withColumn("cos_sim", cosineR(col("va"), col("vb")))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.3)
       .select("v1", "v2", "label", "cos_sim")
       .orderBy("v1", "v2")

@@ -18,9 +18,13 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** embeddings with per-vector norm precomputed once — the same
+    * sqrt(dot(v,v)) fold the oracle uses, so cosines stay
+    * bit-identical while each pair costs one dot instead of three. */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
 
   /** Exact brute-force cosine top-k: query vectors broadcast against
     * the full corpus, per-query top-3. The baseline every ANN variant
@@ -28,11 +32,11 @@ object Similarity {
   def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
     val corpus = e.filter(col("vec_id") >= 5)
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     corpus.crossJoin(broadcast(queries))
-      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "vec_id", "cos_sim")
@@ -43,11 +47,11 @@ object Similarity {
   def knnPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val probes = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"), col("n").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     e.join(broadcast(probes), Seq("label"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("qid"), col("label"), col("vec_id").as("nn_vec_id"), col("cos_sim"))
@@ -77,14 +81,14 @@ object Similarity {
 
     val e = emb(spark, dir).withColumn("bucket", bucketOf(col("v")))
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"), col("bucket"))
       .withColumn("probe_bucket", explode(array(
         col("bucket") +: (0 until nPlanes).map(j =>
           col("bucket").bitwiseXOR(1 << j)): _*)))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     e.join(broadcast(probes.drop("bucket")),
         col("bucket") === col("probe_bucket") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "vec_id", "cos_sim")
@@ -97,27 +101,27 @@ object Similarity {
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val centroids = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
     // assign every vector to its nearest centroid
     val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
     val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineR(col("v"), col("cv")))
+      .withColumn("sim", round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("cell"))
+      .select(col("vec_id"), col("label"), col("v"), col("n"), col("cell"))
     // queries probe their nprobe=2 nearest cells
     val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cell").asc)
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineR(col("qv"), col("cv")))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
-      .select("qid", "qv", "cell")
+      .select("qid", "qv", "qn", "cell")
     val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", cosineR(col("qv"), col("v")))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "vec_id", "cos_sim", "cell")

@@ -50,10 +50,11 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** Corpus n-gram stats: top-20 word trigrams. */
+  /** Corpus n-gram stats: top-20 word trigrams (gram rows via the
+    * codegen'd posexplode+lead path — see Dedup.gramRows). */
   def textNgramStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(explode(wordNgrams(col("text"), 3)).as("gram"))
+    Dedup.gramRows(spark, dir, lowercase = false)
+      .select(col("sh").as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
       .limit(20)
