@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot scalar paths — full
+  * whole-stage-codegen implementations (higher-order-function
+  * equivalents evaluate their lambdas interpreted, row by row).
+  */
+object GraftExpressions {
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductExpr(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
+
+  def rollingHash(c: Column): Column =
+    ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c)))
+
+  def murmur2(c: Column): Column =
+    ExpressionUtils.column(Murmur2Expr(ExpressionUtils.expression(c)))
+}
+
+/** Sequential-left-fold dot product over two double arrays.
+  * Exactly the fold the DuckDB oracles use (list_reduce with a
+  * prepended 0.0), so results stay bit-identical with the
+  * zip_with+aggregate formulation it replaces. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), got ($l, $r)")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** O(n) polynomial rolling hash over the string's bytes:
+  * h_i = (h_{i-1} * 31 + byte_i) mod 1e9+7. For ASCII input this is
+  * byte-for-byte the same recurrence as the builtin-composed
+  * TextFunctions.fingerprint (ascii(char) == byte there), without the
+  * O(n²) substring walk or interpreted fold. */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_rolling_hash expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xFF)) % 1000000007L; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31 + ($bytes[$i] & 0xFF)) % 1000000007L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Murmur2 over the string/binary bytes, as specified by the public
+  * Kafka protocol for its DefaultPartitioner (seed 0x9747b28c) — so a
+  * graft topic partitioned with this routes keys to the same
+  * partitions a Kafka producer would (ref: the reference broker
+  * speaks this wire protocol, pkg/kafka/kafka_api.go). */
+case class Murmur2Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_murmur2 expects string or binary, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_murmur2"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    Murmur2Expr.hash(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m2 = Murmur2Expr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val isStr = child.dataType == StringType
+      val bytesExpr = if (isStr) s"$c.getBytes()" else c
+      s"${ev.value} = $m2.hash($bytesExpr);"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Murmur2Expr {
+  /** murmur2, per the public Kafka protocol specification. */
+  def hash(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    val rem = length % 4
+    if (rem >= 3) h ^= (data((length & ~3) + 2) & 0xff) << 16
+    if (rem >= 2) h ^= (data((length & ~3) + 1) & 0xff) << 8
+    if (rem >= 1) { h ^= data(length & ~3) & 0xff; h *= m }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+}

@@ -44,10 +44,14 @@ object TextAnalysis {
         langHits(col("text"), "fr").as("fr_hits"))
       .orderBy("doc_id")
 
-  /** Document fingerprint: exact polynomial rolling hash mod 1e9+7. */
+  /** Document fingerprint: polynomial rolling hash mod 1e9+7, via the
+    * O(n) codegen'd [[graft.functions.RollingHashExpr]] (byte-
+    * identical to the builtin-composed ascii-fold on this ASCII
+    * corpus — and to the DuckDB oracle). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.rollingHash(lower(trim(col("text")))).as("fp"))
       .orderBy("doc_id")
 
   /** Corpus n-gram stats: top-20 word trigrams (gram rows via the

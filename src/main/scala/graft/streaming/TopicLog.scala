@@ -246,4 +246,12 @@ object Partitioners {
     * keyless records; not stable across retries, as in Kafka). */
   def roundRobin(numPartitions: Int): Column =
     pmod(monotonically_increasing_id(), lit(numPartitions.toLong)).cast(IntegerType)
+
+  /** Wire-compatible with Kafka's DefaultPartitioner: murmur2 of the
+    * key bytes, sign-masked, mod partition count — a graft topic
+    * partitioned this way places every key exactly where a stock
+    * Kafka producer would. */
+  def kafkaCompatible(numPartitions: Int): Column =
+    pmod(graft.functions.GraftExpressions.murmur2(col("key"))
+      .bitwiseAND(0x7fffffff), lit(numPartitions)).cast(IntegerType)
 }
