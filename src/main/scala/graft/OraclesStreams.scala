@@ -69,6 +69,32 @@ object OraclesStreams {
          |  FROM events CROSS JOIN (VALUES (0),(1)) AS gg(g)) t
          |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
+    "list_offsets_for_times" ->
+      s"""SELECT $part AS "partition",
+         |  COALESCE(MIN(CASE WHEN ts >= target_ts THEN "offset" END), -1) AS offset_for_time,
+         |  COUNT(*) AS log_end_offset
+         |FROM (
+         |  SELECT user_id, ts,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY $part ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+         |  FROM events) e
+         |CROSS JOIN (SELECT MAX(ts) - INTERVAL 5 DAY AS target_ts FROM events) c
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  prev_view_id, prev_view_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER w AS prev_view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER w AS prev_view_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
     "stream_session_windows" ->
       s"""WITH lagged AS (
          |  SELECT user_id, ts, event_id, value,

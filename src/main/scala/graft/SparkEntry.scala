@@ -48,6 +48,8 @@ object SparkEntry {
     "stream_tumbling_agg" -> Streams.tumblingAgg _,
     "stream_sliding_agg" -> Streams.slidingAgg _,
     "stream_session_windows" -> Streams.sessionWindows _,
+    "list_offsets_for_times" -> Streams.listOffsetsForTimes _,
+    "asof_join" -> Streams.asofJoin _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,

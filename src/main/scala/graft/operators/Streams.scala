@@ -128,6 +128,40 @@ object Streams {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("ws", "event_type")
 
+  /** ListOffsets-by-timestamp analog (Kafka offsetsForTimes): per
+    * partition, the earliest offset whose record timestamp is ≥ the
+    * requested time; -1 when no such record (Kafka's convention). */
+  def listOffsetsForTimes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsAsTopic(spark, dir)
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 5 DAYS")).as("target_ts"))
+    ev.crossJoin(broadcast(cutoff))
+      .groupBy("partition")
+      .agg(
+        coalesce(min(when(col("ts") >= col("target_ts"), col("offset"))), lit(-1L))
+          .as("offset_for_time"),
+        count(lit(1)).as("log_end_offset"))
+      .orderBy("partition")
+  }
+
+  /** Event-time as-of join, composed from one sorted window pass (the
+    * (a)-path from SURVEY §2's custom-operator preference order; no
+    * custom SparkPlan needed): each purchase joins the most recent
+    * strictly-prior view of the same user. One shuffle by user_id —
+    * the same cost profile a dedicated AsOfJoinExec would have. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("prev_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prev_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("prev_view_id"), col("prev_view_ts"))
+      .orderBy("purchase_id")
+  }
+
   /** Session windows: 30-minute-gap sessionization per user. Spark's
     * native session_window (end = last event + gap; a gap of exactly
     * 30 min starts a new session). */

@@ -160,16 +160,37 @@ class TopicLog private (
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dataDir)
 
-  /** Streaming produce into this topic via foreachBatch; offsets are
-    * assigned per micro-batch. Checkpointed → at-least-once. */
+  /** Streaming produce into this topic via foreachBatch. Effectively
+    * exactly-once: the checkpoint replays a failed micro-batch with
+    * the SAME batchId, and the topic records the last applied batchId
+    * (`_last_batch.json`) so replays are skipped instead of appended
+    * twice. (Same idempotent-producer idea as Kafka's sequence
+    * numbers, applied at micro-batch granularity.) */
   def produceStream(records: DataFrame, checkpointDir: String,
       partitioner: Column = null): StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        produce(batch, partitioner); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        produceIdempotent(batch, batchId, partitioner); ()
       }
       .start()
+
+  /** Apply a micro-batch once: skip if this batchId (or a later one)
+    * was already applied. */
+  def produceIdempotent(batch: DataFrame, batchId: Long,
+      partitioner: Column = null): Boolean = {
+    val marker = Paths.get(s"$topicDir/_last_batch.json")
+    val last =
+      if (Files.exists(marker))
+        "(-?\\d+)".r.findFirstIn(Files.readString(marker)).map(_.toLong).getOrElse(-1L)
+      else -1L
+    if (batchId <= last) false
+    else {
+      produce(batch, partitioner)
+      Files.writeString(marker, s"""{"lastBatchId":$batchId}""")
+      true
+    }
+  }
 }
 
 object TopicLog {

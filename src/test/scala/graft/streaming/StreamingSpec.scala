@@ -69,6 +69,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("produceIdempotent skips replayed micro-batches (exactly-once)") {
+    val root = tmpRoot()
+    val log = TopicLog.create(spark, root, "s5", 2)
+    val batch = records(0 until 10)
+    assert(log.produceIdempotent(batch, batchId = 0L))
+    assert(log.read().count() === 10)
+    // replay of the same batch id must be a no-op
+    assert(!log.produceIdempotent(batch, batchId = 0L))
+    assert(log.read().count() === 10)
+    // next batch id applies
+    assert(log.produceIdempotent(records(10 until 15), batchId = 1L))
+    assert(log.read().count() === 15)
+  }
+
   test("watermarked tumbling-window aggregation over the stream emits closed windows") {
     val root = tmpRoot()
     val log = TopicLog.create(spark, root, "s3", 1)
