@@ -141,6 +141,50 @@ object Oracles {
         |  SELECT 'customer' AS src, c_custkey AS id, c_name AS name FROM customer
         |  UNION ALL
         |  SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name FROM supplier) u
-        |ORDER BY src, id""".stripMargin
+        |ORDER BY src, id""".stripMargin,
+
+    // two-phase salted agg merges exact decimal partials → equals the
+    // direct group-by
+    "q21_two_phase_agg" ->
+      s"""SELECT l_returnflag, $dsumQty AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_stat,
+         |  COUNT(*) AS n_rows, $dsumQty AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY g_flag, g_stat, l_returnflag, l_linestatus""".stripMargin,
+
+    "q23_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q24_scalar_subquery" ->
+      s"""WITH seg AS (
+         |  SELECT c_mktsegment, $revenue AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY c_mktsegment),
+         |tot AS (SELECT $revenue AS total_rev FROM lineitem)
+         |SELECT c_mktsegment, revenue, round(revenue / total_rev, 6) AS rev_share
+         |FROM seg CROSS JOIN tot ORDER BY c_mktsegment""".stripMargin,
+
+    "q25_ntile_dense_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, quartile, drank
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)) t
+        |WHERE drank <= 50
+        |ORDER BY l_returnflag, drank, l_orderkey, l_linenumber""".stripMargin
   )
 }

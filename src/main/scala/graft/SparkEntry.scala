@@ -37,6 +37,11 @@ object SparkEntry {
     "q18_having" -> Relational.q18Having _,
     "q19_cross_join_small" -> Relational.q19CrossJoinSmall _,
     "q20_union_all" -> Relational.q20UnionAll _,
+    "q21_two_phase_agg" -> Relational.q21TwoPhaseAgg _,
+    "q22_grouping_sets" -> Relational.q22GroupingSets _,
+    "q23_pivot" -> Relational.q23Pivot _,
+    "q24_scalar_subquery" -> Relational.q24ScalarSubquery _,
+    "q25_ntile_dense_rank" -> Relational.q25NtileDenseRank _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,

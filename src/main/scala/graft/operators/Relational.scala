@@ -228,4 +228,75 @@ object Relational {
       .select(lit("supplier").as("src"), col("s_suppkey").as("id"), col("s_name").as("name"))
     c.unionAll(s).orderBy("src", "id")
   }
+
+  /** q21: salted two-phase aggregation — the skew-safe shape for
+    * heavy-hitter grouping keys at 100 TB: phase 1 aggregates
+    * (key, salt) so no single reducer sees a whole hot key, phase 2
+    * merges the ≤16 partials per key. Decimal partials are exact, so
+    * the result equals the direct group-by the oracle runs. */
+  def q21TwoPhaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val partial = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16L)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("pq"),
+        count(lit(1)).as("pn"))
+    partial.groupBy("l_returnflag")
+      .agg(sum(col("pq")).cast("double").as("sum_qty"), sum(col("pn")).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q22: GROUPING SETS with grouping() markers (SQL surface). */
+  def q22GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_stat,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_stat, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** q23: pivot operator (wide conditional aggregation). */
+  def q23Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double"))
+      .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+        col("R").as("qty_r"))
+      .orderBy("l_linestatus")
+
+  /** q24: scalar subquery — each segment's share of total revenue. */
+  def q24ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val seg = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+    val total = li.agg(
+      dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("total_rev"))
+    seg.crossJoin(broadcast(total))
+      .select(col("c_mktsegment"), col("revenue"),
+        round(col("revenue") / col("total_rev"), 6).as("rev_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q25: ntile + dense_rank windows over a unique total order. */
+  def q25NtileDenseRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    t(spark, dir, "lineitem")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .filter(col("drank") <= 50)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "quartile", "drank")
+      .orderBy("l_returnflag", "drank", "l_orderkey", "l_linenumber")
+  }
 }
