@@ -55,6 +55,7 @@ object SparkEntry {
     "stream_session_windows" -> Streams.sessionWindows _,
     "list_offsets_for_times" -> Streams.listOffsetsForTimes _,
     "asof_join" -> Streams.asofJoin _,
+    "json_props_agg" -> Streams.jsonPropsAgg _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,

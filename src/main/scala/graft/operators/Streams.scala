@@ -162,6 +162,20 @@ object Streams {
       .orderBy("purchase_id")
   }
 
+  /** JSON payload processing: events carry a JSON `props` column —
+    * extract typed fields and aggregate (the record-value decode step
+    * of a Kafka consumer pipeline). */
+  def jsonPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        (sum("k").cast("double") / count(lit(1))).as("avg_k"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy("event_type")
+
   /** Session windows: 30-minute-gap sessionization per user. Spark's
     * native session_window (end = last event + gap; a gap of exactly
     * 30 min starts a new session). */

@@ -42,6 +42,46 @@ class Broker(spark: SparkSession, root: String) {
     Broker.SupportedApis.toDF("api_key", "api_name", "min_version", "max_version")
   }
 
+  /** Export a topic to a text-format sink (Kafka-Connect file-sink
+    * analog). Binary key/value travel base64-encoded so csv/json stay
+    * lossless; `format` ∈ {parquet, json, csv}. */
+  def exportTopic(name: String, path: String, format: String): Unit = {
+    val log = topic(name)
+    val df = log.read()
+    val out = format match {
+      case "parquet" => df
+      case "json" | "csv" => df
+        .withColumn("key", base64(col("key")))
+        .withColumn("value", base64(col("value")))
+        .drop("headers") // csv/json sinks don't model maps of binary
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    out.write.mode("overwrite").format(format)
+      .option("header", "true").save(path)
+  }
+
+  /** Import records exported by [[exportTopic]] back into a (new)
+    * topic — the file-source analog. */
+  def importTopic(name: String, path: String, format: String, numPartitions: Int): TopicLog = {
+    val log = createTopic(name, numPartitions)
+    val raw = format match {
+      case "parquet" => spark.read.parquet(path)
+      case "json" => spark.read.json(path)
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val records = format match {
+      case "parquet" => raw.select("key", "value", "headers", "ts")
+      case _ => raw.select(
+        unbase64(col("key")).as("key"),
+        unbase64(col("value")).as("value"),
+        col("ts").cast("timestamp").as("ts"))
+    }
+    log.produce(records)
+    log
+  }
+
   /** Metadata analog: every topic-partition with its log-end offset. */
   def topicMetadata: DataFrame = {
     import spark.implicits._
