@@ -175,6 +175,15 @@ object Oracles {
          |SELECT c_mktsegment, revenue, round(revenue / total_rev, 6) AS rev_share
          |FROM seg CROSS JOIN tot ORDER BY c_mktsegment""".stripMargin,
 
+    "q26_topk_exec" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+
     "q25_ntile_dense_rank" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, quartile, drank
         |FROM (

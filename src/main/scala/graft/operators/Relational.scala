@@ -287,6 +287,17 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** q26: per-key top-k via the custom bounded-heap operator
+    * (graft.plans.TopKPerKeyExec) — O(n log k) streaming pass instead
+    * of the full per-partition sort the window formulation needs;
+    * result is identical (same keys, ordering, tie-breaks). */
+  def q26TopkExec(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(t(spark, dir, "orders"), 3,
+      groupBy = Seq("o_custkey"),
+      orderBy = Seq(("o_totalprice", true), ("o_orderkey", false)))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey").asc)
+
   /** q25: ntile + dense_rank windows over a unique total order. */
   def q25NtileDenseRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
