@@ -42,7 +42,43 @@ object OraclesPipeline {
       |FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
+  private val fp =
+    """list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(lower(trim(text)))),
+      |        i -> CAST(ascii(substr(lower(trim(text)), i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
   val pipeline: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      s"""WITH keepers AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST($ws AS BIGINT) AS n_tokens,
+         |    round((CAST($ws AS DOUBLE) / (CAST($ws AS DOUBLE) + 50.0))
+         |          * (1.0 - CAST($stopHits AS DOUBLE) / $ws), 6) AS quality
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers))
+         |SELECT doc_id, lang, n_tokens, quality FROM scored
+         |WHERE quality >= 0.3 AND n_tokens BETWEEN 10 AND 2000
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_train_test_split" ->
+      s"""SELECT doc_id, $fp % 10 AS fp_bucket,
+         |  CASE WHEN $fp % 10 < 8 THEN 'train'
+         |       WHEN $fp % 10 < 9 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_seq_packing" ->
+      """SELECT pack_id, COUNT(*) AS n_docs, SUM(toks) AS total_tokens FROM (
+        |  SELECT CAST(FLOOR((SUM(toks) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks) / 4096.0) AS BIGINT)
+        |         AS pack_id, toks
+        |  FROM (SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks
+        |        FROM documents) t) p
+        |GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST($ws AS BIGINT) AS ws_tokens,

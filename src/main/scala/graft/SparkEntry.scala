@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Streams, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, Streams, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` has one entry per implemented operator from SURVEY.md §2;
@@ -76,7 +76,11 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.annIvfTopk _,
     "knn_pairs" -> Similarity.knnPairs _,
     // §2f multimodal plumbing (decode stubbed)
-    "mm_features" -> Multimodal.mmFeatures _
+    "mm_features" -> Multimodal.mmFeatures _,
+    // §2g end-to-end training-data pipeline compositions
+    "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
+    "pipeline_train_test_split" -> Pipeline.trainTestSplit _,
+    "pipeline_seq_packing" -> Pipeline.seqPacking _
   )
 
   def oracleSql: Map[String, String] =
