@@ -63,8 +63,9 @@ object Dedup {
     * jaccard 0 < threshold, so the result matches the oracle's
     * all-pairs form. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // reused by sizes + both sides of the self-join → cache the rows
     val g = gramRows(spark, dir, lowercase = false)
-      .select("doc_id", "lang", "bucket", "sh").distinct()
+      .select("doc_id", "lang", "bucket", "sh").distinct().persist()
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = g.select(col("doc_id").as("d1"), col("lang"), col("bucket"), col("sh"))
       .join(g.select(col("doc_id").as("d2"), col("lang"), col("bucket"), col("sh")),

@@ -112,6 +112,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: clicks join impressions within the time bound") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Long, Int)] // (user, impression id)
+    val clicks = MemoryStream[(Long, Int)] // (user, click id)
+    val impDf = imps.toDF().toDF("user_id", "imp_id")
+      .withColumn("imp_ts", current_timestamp())
+      .withWatermark("imp_ts", "1 minute")
+    val clickDf = clicks.toDF().toDF("user_id", "click_id")
+      .withColumn("click_ts", current_timestamp())
+      .withWatermark("click_ts", "1 minute")
+    val joined = impDf.join(clickDf, Seq("user_id"))
+      .filter(col("click_ts") >= col("imp_ts") - expr("INTERVAL 2 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      imps.addData((1L, 100), (2L, 200))
+      q.processAllAvailable()
+      clicks.addData((1L, 9001))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("user_id", "imp_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(rows.toSet === Set((1L, 100, 9001)), "only user 1 clicked")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-key state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
