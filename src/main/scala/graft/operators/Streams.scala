@@ -43,9 +43,12 @@ object Streams {
       (3, "Metadata", 0, 12),
       (8, "OffsetCommit", 0, 8),
       (9, "OffsetFetch", 0, 8),
+      (15, "DescribeGroups", 0, 5),
+      (16, "ListGroups", 0, 4),
       (18, "ApiVersions", 0, 3),
       (19, "CreateTopics", 0, 7),
-      (20, "DeleteTopics", 0, 6)
+      (20, "DeleteTopics", 0, 6),
+      (21, "DeleteRecords", 0, 2)
     ).toDF("api_key", "api_name", "min_version", "max_version")
       .orderBy("api_key")
   }

@@ -91,6 +91,29 @@ class Broker(spark: SparkSession, root: String) {
       (0 until log.numPartitions).map(p => (t, p, ends.getOrElse(p, 0L)))
     }.toDF("topic", "partition", "log_end_offset")
   }
+
+  /** ListGroups analog: every consumer group across topics. */
+  def listGroups(): Seq[(String, String)] =
+    listTopics().flatMap(t => topic(t).listGroups().map(g => (g, t))).sorted
+
+  /** DescribeGroups analog: a group's committed offsets + lag per
+    * topic-partition. */
+  def describeGroup(group: String): DataFrame = {
+    import spark.implicits._
+    listTopics().flatMap { t =>
+      val log = topic(t)
+      if (!log.listGroups().contains(group)) Seq.empty
+      else {
+        val committed = log.committed(group)
+        val ends = log.logEndOffsets()
+        (0 until log.numPartitions).map { p =>
+          val c = committed.getOrElse(p, 0L)
+          val e = ends.getOrElse(p, 0L)
+          (group, t, p, c, e, e - c)
+        }
+      }
+    }.toDF("group", "topic", "partition", "committed_offset", "log_end_offset", "lag")
+  }
 }
 
 object Broker {
@@ -103,7 +126,10 @@ object Broker {
     (3, "Metadata", 0, 12),
     (8, "OffsetCommit", 0, 8),
     (9, "OffsetFetch", 0, 8),
+    (15, "DescribeGroups", 0, 5),
+    (16, "ListGroups", 0, 4),
     (18, "ApiVersions", 0, 3),
     (19, "CreateTopics", 0, 7),
-    (20, "DeleteTopics", 0, 6))
+    (20, "DeleteTopics", 0, 6),
+    (21, "DeleteRecords", 0, 2))
 }

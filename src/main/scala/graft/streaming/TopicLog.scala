@@ -141,6 +141,34 @@ class TopicLog private (
   def expire(olderThan: java.sql.Timestamp): Unit =
     rewrite(_.filter(col("ts") >= lit(olderThan)))
 
+  /** DeleteRecords analog: truncate a partition's log below the given
+    * offset (records with offset < beforeOffset are removed; offsets
+    * of survivors are untouched, as in Kafka). */
+  def truncateBefore(partition: Int, beforeOffset: Long): Unit =
+    rewrite(df => df.filter(col("partition") =!= partition ||
+      col("offset") >= beforeOffset))
+
+  /** auto.offset.reset=earliest: rewind the group to offset 0. */
+  def seekToBeginning(group: String): Unit =
+    commit(group, (0 until numPartitions).map(_ -> 0L).toMap)
+
+  /** auto.offset.reset=latest: fast-forward the group to the log end. */
+  def seekToEnd(group: String): Unit = {
+    val ends = logEndOffsets()
+    commit(group, (0 until numPartitions).map(p => p -> ends.getOrElse(p, 0L)).toMap)
+  }
+
+  /** Groups that have committed offsets on this topic. */
+  def listGroups(): Seq[String] = {
+    val dir = Paths.get(s"$topicDir/_groups")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString.stripSuffix(".json")).toSeq.sorted
+    }
+  }
+
   private def rewrite(f: DataFrame => DataFrame): Unit = {
     val tmp = s"$topicDir/_data_rewrite"
     f(read())

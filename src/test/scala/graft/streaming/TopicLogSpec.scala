@@ -128,11 +128,49 @@ class TopicLogSpec extends AnyFunSuite {
     assert(md.count(_._1 == "alpha") === 2)
     assert(md.filter(_._1 == "alpha").map(_._3).sum === 10)
     assert(md.count(_._1 == "beta") === 4)
-    assert(b.apiVersions.count() === 9)
+    assert(b.apiVersions.count() === 12)
     assert(b.apiVersions.filter(col("api_key") === 18).count() === 1)
     b.deleteTopic("beta")
     assert(b.listTopics() === Seq("alpha"))
     intercept[Exception] { b.createTopic("alpha", 1) }
+  }
+
+  test("group introspection: listGroups + describeGroup with lag") {
+    val root = tmpRoot()
+    val b = new Broker(spark, root)
+    val log = b.createTopic("g1topic", 2)
+    log.produce(records(0 until 20), Partitioners.byLongKey(2, col("i")))
+    log.commit("readers", Map(0 -> 5L))
+    log.commit("writers", Map(1 -> 10L))
+    assert(b.listGroups() === Seq(("readers", "g1topic"), ("writers", "g1topic")))
+    val d = b.describeGroup("readers").collect()
+      .map(r => r.getInt(2) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(d(0) === ((5L, 5L)))   // committed 5 of 10 → lag 5
+    assert(d(1) === ((0L, 10L)))  // nothing committed → lag 10
+  }
+
+  test("truncateBefore removes only the targeted partition's prefix") {
+    val root = tmpRoot()
+    val log = TopicLog.create(spark, root, "t8", 2)
+    log.produce(records(0 until 40), Partitioners.byLongKey(2, col("i")))
+    log.truncateBefore(partition = 0, beforeOffset = 15)
+    val counts = log.read().groupBy("partition").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) === 5)   // offsets 15..19 survive
+    assert(counts(1) === 20)  // untouched
+    // surviving offsets keep their original values (Kafka semantics)
+    assert(log.consume(0, 0).collect().map(_.getAs[Long]("offset")).min === 15L)
+  }
+
+  test("seekToBeginning / seekToEnd reset group offsets") {
+    val root = tmpRoot()
+    val log = TopicLog.create(spark, root, "t9", 2)
+    log.produce(records(0 until 30), Partitioners.byLongKey(2, col("i")))
+    log.seekToEnd("g")
+    assert(log.lag("g").values.sum === 0L)
+    assert(log.consumeNew("g").count() === 0)
+    log.seekToBeginning("g")
+    assert(log.consumeNew("g").count() === 30)
   }
 
   test("reopening a topic recovers numPartitions and offsets from disk") {
