@@ -88,11 +88,12 @@ object Dedup {
     * codegen + partial aggregation). */
   private[operators] def minhashDocs(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     // min() over duplicate shingles equals min() over the distinct
-    // set, so gram rows feed the signature directly — no array
-    // materialization, no explicit distinct.
+    // set, so gram rows feed the signature directly — one pass via
+    // the native MinHashAgg imperative aggregate (bit-equal to the
+    // k-column min formulation; see MinHashAggSpec).
     val exploded = gramRows(spark, dir, lowercase = true).select("doc_id", "sh")
-    val minCols = (0 until k).map(s => min(xxhash64(col("sh"), lit(s))).as(s"m$s"))
-    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    exploded.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg(col("sh"), k).as("sig"))
   }
 
   /** MinHash + LSH near-dup detection (shingle → minhash → band →
@@ -107,12 +108,13 @@ object Dedup {
     val gd = gramRows(spark, dir, lowercase = true)
       .select("doc_id", "sh").distinct().persist()
     val sizes = gd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val minCols = (0 until bands * r).map(s => min(xxhash64(col("sh"), lit(s))).as(s"m$s"))
-    val sig = gd.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = gd.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg(col("sh"), bands * r).as("sig"))
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((0 until r).map(i => col(s"m${b * r + i}")): _*).as("bkey"))
+          xxhash64((0 until r).map(i =>
+            element_at(col("sig"), b * r + i + 1)): _*).as("bkey"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     val candIds = banded.select(col("doc_id").as("d1"), col("band"), col("bkey"))
