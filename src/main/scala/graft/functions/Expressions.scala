@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
@@ -23,6 +23,9 @@ object GraftExpressions {
 
   def murmur2(c: Column): Column =
     ExpressionUtils.column(Murmur2Expr(ExpressionUtils.expression(c)))
+
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
 }
 
 /** Sequential-left-fold dot product over two double arrays.
@@ -143,6 +146,59 @@ case class Murmur2Expr(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a token array: per token, xxhash64 (seed 42 —
+  * identical to the builtin xxhash64 expression); per bit, a ±1
+  * majority vote across tokens. Runs entirely map-side: no explode,
+  * no 64-way aggregation, no shuffle — at 100 TB the per-doc simhash
+  * becomes a pure scan projection. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash64 expects array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Expr.hash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sh = SimHash64Expr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $sh.hash($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64Expr {
+  def hash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = XxHash64Function.hash(tokens.getUTF8String(i),
+          StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
 }
 
 object Murmur2Expr {

@@ -147,9 +147,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash per doc: majority vote over token-hash bits,
-    * assembled with bitwise ops (no overflow). */
-  private[operators] def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** 64-bit SimHash per doc via the native [[graft.functions.SimHash64Expr]]
+    * — a pure map-side projection: no explode, no 64-way aggregation,
+    * no shuffle (see SimHashEquivalenceSpec for bit-equality with the
+    * explode+majority-vote formulation). */
+  private[operators] def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.simhash64(
+          split(lower(col("text")), " ")).as("simhash"))
+
+  /** The explode + 64-column majority-vote formulation (kept for
+    * cross-checking the native expression in specs). */
+  private[operators] def simhashDocsExploded(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
