@@ -86,4 +86,55 @@ object Multimodal {
       .toDF()
       .withColumn("brightness", round(col("brightness"), 6))
       .orderBy("doc_id")
+
+  /** One sampled frame of a media payload. */
+  case class Frame(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_bytes: Array[Byte],
+      width: Int,
+      height: Int)
+
+  /** STUB frame decoder: treats the payload as fixed-size chunks
+    * ("frames"); a real deployment replaces the chunking with the
+    * container demuxer. Batch shape is the real one: one record in,
+    * 0..n frames out, flatMap'd per partition. */
+  def frameSample(records: Dataset[MediaRecord], everyN: Int,
+      frameSize: Int = 1024): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { batch =>
+      batch.flatMap { r =>
+        r.payload.grouped(frameSize).zipWithIndex.collect {
+          case (bytes, idx) if idx % everyN == 0 =>
+            Frame(r.doc_id, idx, bytes, r.width, r.height)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: deterministic byte subsampling to the target
+    * size — stands in for a pixel-space resampler; signature and
+    * output shape (targetW·targetH bytes, zero-padded) are real. */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val target = targetW * targetH
+    val out = new Array[Byte](target)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < target) {
+        out(i) = payload((i.toLong * payload.length / target).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Batched resize over a frame set. */
+  def resizeFrames(frames: Dataset[Frame], targetW: Int, targetH: Int): Dataset[Frame] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { batch =>
+      batch.map(f => f.copy(
+        frame_bytes = resizeStub(f.frame_bytes, targetW, targetH),
+        width = targetW, height = targetH))
+    }
+  }
 }

@@ -107,6 +107,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub("abc".getBytes) === Multimodal.decodeStub("abc".getBytes))
   }
 
+  test("frame sampling + resize plumbing: shapes and determinism") {
+    val records = Multimodal.asMediaRecords(spark, dir)
+    val frames = Multimodal.frameSample(records, everyN = 2, frameSize = 100)
+    val f = frames.collect()
+    assert(f.nonEmpty)
+    // every kept frame index is a multiple of everyN
+    assert(f.forall(_.frame_idx % 2 == 0))
+    // doc 0 payload is ~756 bytes → chunks 0..7, sampled 0,2,4,6
+    val d0 = f.filter(_.doc_id == 0L).map(_.frame_idx).sorted
+    assert(d0 === d0.distinct)
+    assert(d0.headOption.contains(0))
+    val resized = Multimodal.resizeFrames(frames, targetW = 8, targetH = 4).collect()
+    assert(resized.forall(_.frame_bytes.length === 32))
+    assert(resized.forall(r => r.width == 8 && r.height == 4))
+    // deterministic: same input bytes → same resized bytes
+    val twice = Multimodal.resizeStub(Array[Byte](1, 2, 3, 4, 5), 4, 2)
+    assert(twice.toSeq === Multimodal.resizeStub(Array[Byte](1, 2, 3, 4, 5), 4, 2).toSeq)
+  }
+
   test("text functions: tokens, fingerprint stability, langid markers") {
     import graft.functions.TextFunctions._
     val df = Seq((1L, "the cat and the hat")).toDF("id", "text")
