@@ -184,6 +184,13 @@ object Oracles {
         |WHERE rn <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin,
 
+    "q27_exact_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q25_ntile_dense_rank" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, quartile, drank
         |FROM (

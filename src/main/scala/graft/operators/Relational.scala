@@ -298,6 +298,18 @@ object Relational {
       .select("o_custkey", "o_orderkey", "o_totalprice")
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey").asc)
 
+  /** q27: exact distinct counting (the exact counterpart q14's HLL
+    * approximates; shuffle-heavy by nature — two-level agg). */
+  def q27ExactDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_orderkey").as("n_orders"),
+        countDistinct("l_suppkey").as("n_supps"))
+      .orderBy("l_returnflag")
+  }
+
   /** q25: ntile + dense_rank windows over a unique total order. */
   def q25NtileDenseRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")

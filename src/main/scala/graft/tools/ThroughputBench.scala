@@ -1,0 +1,49 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Partitioners, TopicLog}
+
+/** Measures TopicLog produce/consume throughput (records/sec) at
+  * sf0.1 volume — the broker-comparable number for SURVEY §6. */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      .select(
+        col("user_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("event_id"), col("event_type"), col("value")))
+          .cast("binary").as("value"),
+        col("ts"))
+      .persist()
+    val n = events.count() // materialize the cache before timing
+
+    val root = Files.createTempDirectory("graft-tput").toString
+    val log = TopicLog.create(spark, root, "tput", 32)
+
+    val t0 = System.nanoTime()
+    log.produce(events, Partitioners.byKeyHash(32))
+    val produceSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val consumed = log.read().count()
+    val consumeSec = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val sliced = log.consume(partition = 5, fromOffset = 1000, maxRecords = 1000).count()
+    val fetchSec = (System.nanoTime() - t2) / 1e9
+
+    println(f"produce: $n records in $produceSec%.2f s = ${n / produceSec}%.0f rec/s")
+    println(f"consume-all: $consumed records in $consumeSec%.2f s = ${consumed / consumeSec}%.0f rec/s")
+    println(f"bounded fetch (1k from p5): $sliced records in $fetchSec%.3f s")
+    spark.stop()
+  }
+}

@@ -173,6 +173,23 @@ class TopicLogSpec extends AnyFunSuite {
     assert(log.consumeNew("g").count() === 30)
   }
 
+  test("error paths: bad topic open, out-of-range fetch, bad export format") {
+    val root = tmpRoot()
+    intercept[Exception] { TopicLog.open(spark, root, "nope") }
+    val log = TopicLog.create(spark, root, "err", 2)
+    log.produce(records(0 until 10), Partitioners.byLongKey(2, col("i")))
+    // fetch beyond the log end or from a partition that got nothing: empty, not an error
+    assert(log.consume(partition = 1, fromOffset = 9999).count() === 0)
+    assert(log.consume(partition = 1, fromOffset = 0).count() === 5)
+    val b = new Broker(spark, root)
+    intercept[IllegalArgumentException] { b.exportTopic("err", s"$root/x", "avro") }
+    intercept[Exception] { b.topic("missing").read() }
+    // empty-topic offsets: no data dir yet → empty map, lag is empty
+    val empty = b.createTopic("empty", 4)
+    assert(empty.logEndOffsets() === Map.empty)
+    assert(empty.lag("g").values.forall(_ == 0L))
+  }
+
   test("reopening a topic recovers numPartitions and offsets from disk") {
     val root = tmpRoot()
     TopicLog.create(spark, root, "t7", 3).produce(records(0 until 30))
