@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, Murmur2Expr, RollingHashExpr}
+import graft.functions.{DotProductExpr, MinHashAggExpr, Murmur2Expr, RollingHashExpr, SimHash64Expr}
 
 /** SQL surface for graft's native expressions.
   *
@@ -36,7 +36,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => RollingHashExpr(es.head)),
     ("graft_murmur2",
       new ExpressionInfo(classOf[Murmur2Expr].getName, "graft_murmur2"),
-      (es: Seq[Expression]) => Murmur2Expr(es.head)))
+      (es: Seq[Expression]) => Murmur2Expr(es.head)),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashAggExpr].getName, "graft_minhash"),
+      (es: Seq[Expression]) => {
+        val k = es(1).eval().asInstanceOf[Number].intValue()
+        MinHashAggExpr(es.head, k).toAggregateExpression()
+      }))
 
   /** Idempotent in-session registration. */
   def register(spark: SparkSession): Unit =

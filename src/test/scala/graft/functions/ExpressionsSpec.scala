@@ -58,6 +58,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("m") === -790332482)
   }
 
+  test("SQL surface covers simhash64 and the minhash aggregate") {
+    graft.plans.GraftFunctions.register(spark)
+    val sh = spark.sql("SELECT graft_simhash64(array('spark', 'graft')) AS s").collect()(0).getLong(0)
+    val sh2 = spark.sql("SELECT graft_simhash64(array('spark', 'graft')) AS s").collect()(0).getLong(0)
+    assert(sh === sh2)
+    val sig = spark.sql(
+      """SELECT id, graft_minhash(sh, 8) AS sig FROM VALUES
+        |  (1, 'aa'), (1, 'bb'), (2, 'aa') AS t(id, sh)
+        |GROUP BY id ORDER BY id""".stripMargin).collect()
+    assert(sig.length === 2)
+    assert(sig(0).getSeq[Long](1).length === 8)
+    // doc 2's shingles ⊂ doc 1's → every minimum of doc 2 is ≥ doc 1's
+    val s1 = sig(0).getSeq[Long](1); val s2 = sig(1).getSeq[Long](1)
+    assert(s1.zip(s2).forall { case (a, b) => a <= b })
+  }
+
   test("kafkaCompatible partitioner routes into [0, n)") {
     val df = (0 until 100).map(i => s"key$i").toDF("k")
       .select(col("k").cast("binary").as("key"))
