@@ -97,6 +97,17 @@ object OraclesStreams {
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
 
+    "asof_join_exec" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS prev_view_id,
+        |  (SELECT v.ts FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS prev_view_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
     "json_props_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

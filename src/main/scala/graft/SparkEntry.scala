@@ -57,6 +57,7 @@ object SparkEntry {
     "stream_session_windows" -> Streams.sessionWindows _,
     "list_offsets_for_times" -> Streams.listOffsetsForTimes _,
     "asof_join" -> Streams.asofJoin _,
+    "asof_join_exec" -> Streams.asofJoinExec _,
     "json_props_agg" -> Streams.jsonPropsAgg _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,

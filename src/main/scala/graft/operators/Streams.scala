@@ -165,6 +165,25 @@ object Streams {
       .orderBy("purchase_id")
   }
 
+  /** The as-of join again, through the dedicated sort-merge
+    * AsOfJoinExec (strictly-prior semantics with (ts, event_id)
+    * tie-break — one streaming merge per partition, O(1) state). */
+  def asofJoinExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("prev_view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("prev_view_ts"))
+    graft.plans.AsOfJoin(purchases, views,
+        leftKey = "user_id", rightKey = "v_user_id",
+        leftTime = "purchase_ts", rightTime = "prev_view_ts",
+        rightTieBreak = "prev_view_id")
+      .select("purchase_id", "user_id", "purchase_ts", "prev_view_id", "prev_view_ts")
+      .orderBy("purchase_id")
+  }
+
   /** JSON payload processing: events carry a JSON `props` column —
     * extract typed fields and aggregate (the record-value decode step
     * of a Kafka consumer pipeline). */
