@@ -191,6 +191,13 @@ object Oracles {
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q28_bloom_semi_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows, $dsumQty AS sum_qty
+         |FROM lineitem
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 200000)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q25_ntile_dense_rank" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, quartile, drank
         |FROM (

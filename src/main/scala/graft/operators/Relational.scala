@@ -310,6 +310,37 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q28: bloom-filter runtime pre-filter + exact semi join — the
+    * explicit form of Spark's runtime filtering: the build side's
+    * key set is sketched (one tiny binary), the probe scan drops
+    * non-members BEFORE the shuffle, and the exact join afterwards
+    * removes the sketch's false positives, so the result is exactly
+    * the plain semi join (which is the oracle). At 100 TB this is the
+    * difference between shuffling the full fact table and shuffling
+    * the ~matching fraction. */
+  def q28BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val li = t(spark, dir, "lineitem")
+    val bigOrders = t(spark, dir, "orders").filter(col("o_totalprice") > 200000)
+    // build side → one bloom sketch (collected: it's the sketch, not data)
+    val bloomBytes = bigOrders.agg(ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          XxHash64(Seq(ColumnBridge.expression(col("o_orderkey"))), 42L),
+          Literal(10000L), Literal(8L * 10000L * 8L), 0, 0)
+          .toAggregateExpression()).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val prefiltered = li.filter(ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+        XxHash64(Seq(ColumnBridge.expression(col("l_orderkey"))), 42L))))
+    prefiltered.join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** q25: ntile + dense_rank windows over a unique total order. */
   def q25NtileDenseRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
