@@ -161,6 +161,28 @@ object OraclesPipeline {
          |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin,
 
+    "ann_lsh_topk" ->
+      s"""WITH e AS ($embDouble),
+         |b AS (SELECT vec_id, v,
+         |  CAST(list_sum(list_transform(generate_series(0, 7), j ->
+         |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(generate_series(1, 64), d ->
+         |          v[d] * (CASE WHEN ((j*73 + (d-1)*37) % 97) % 2 = 0
+         |                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+         |        (acc, x) -> acc + x) >= 0
+         |      THEN 1 << j ELSE 0 END)) AS INT) AS bucket
+         |  FROM e),
+         |p AS (SELECT vec_id AS qid, v AS qv,
+         |  unnest(list_concat([bucket],
+         |    list_transform(generate_series(0, 7), j -> xor(bucket, 1 << j)))) AS probe_bucket
+         |  FROM b WHERE vec_id < 5),
+         |s AS (SELECT p.qid, b.vec_id, ${cosR("p.qv", "b.v")} AS cos_sim
+         |      FROM b JOIN p ON b.bucket = p.probe_bucket AND b.vec_id <> p.qid),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
     "knn_pairs" ->
       s"""WITH e AS ($embDouble),
          |p AS (SELECT vec_id AS qid, label, v AS qv FROM e WHERE vec_id < 50),

@@ -65,14 +65,21 @@ object Similarity {
     Seq.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** Arithmetic ±1 hyperplanes — same sign pattern is reproducible in
+    * ANSI SQL (((j·73 + d·37) mod 97) mod 2), which is what lets the
+    * LSH query carry a full DuckDB oracle. */
+  private[operators] def arithmeticHyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nPlanes, dim)((j, d) =>
+      if (((j * 73 + d * 37) % 97) % 2 == 0) 1.0 else -1.0)
+
   /** Random-hyperplane LSH top-k: 8-bit sign buckets; queries
     * multiprobe their bucket + all 1-bit flips. Scale path: the
     * corpus is scanned only in probed buckets (bucket is a
-    * partition-prunable column). Rows-only (bucketing is
-    * hash-derived, not SQL-portable). */
+    * partition-prunable column). Hyperplanes are arithmetic ±1
+    * patterns → the whole pipeline carries a DuckDB oracle. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val nPlanes = 8
-    val hp = hyperplanes(nPlanes, 64)
+    val hp = arithmeticHyperplanes(nPlanes, 64)
     val hpCols = hp.map(p => typedLit(p))
     def bucketOf(v: org.apache.spark.sql.Column) =
       (0 until nPlanes).map { j =>
