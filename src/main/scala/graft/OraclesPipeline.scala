@@ -161,6 +161,39 @@ object OraclesPipeline {
          |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin,
 
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+        |  round(CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS DOUBLE)
+        |    / strlen(text), 6) AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH e AS ($embDouble),
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |a AS (SELECT e.vec_id, e.v, c.cell, ${cosR("e.v", "c.cv")} AS sim
+         |      FROM e CROSS JOIN c),
+         |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |         ORDER BY sim DESC, cell ASC) AS rn FROM a),
+         |assigned AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+         |q AS (SELECT e.vec_id AS qid, e.v AS qv, c.cell, ${cosR("e.v", "c.cv")} AS sim
+         |      FROM e CROSS JOIN c WHERE e.vec_id < 5),
+         |q1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |         ORDER BY sim DESC, cell ASC) AS rn FROM q),
+         |probes AS (SELECT qid, qv, cell FROM q1 WHERE rn <= 2),
+         |s AS (SELECT p.qid, a.vec_id, ${cosR("p.qv", "a.v")} AS cos_sim, a.cell
+         |      FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT qid, rank, vec_id, cos_sim, cell FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
     "ann_lsh_topk" ->
       s"""WITH e AS ($embDouble),
          |b AS (SELECT vec_id, v,

@@ -80,11 +80,15 @@ object Multimodal {
     }
   }
 
-  /** §2f query: features for every document payload. */
+  /** §2f query: features for every document payload. Scalar features
+    * only — they're pure integer/IEEE arithmetic over the payload
+    * bytes, so the query carries a full DuckDB oracle (hist8 stays
+    * spec-covered; array cells don't compare portably). */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(asMediaRecords(spark, dir))
       .toDF()
       .withColumn("brightness", round(col("brightness"), 6))
+      .select("doc_id", "byte_len", "checksum", "brightness")
       .orderBy("doc_id")
 
   /** One sampled frame of a media payload. */

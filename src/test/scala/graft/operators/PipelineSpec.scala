@@ -95,16 +95,19 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("multimodal feature extraction: deterministic stub over real batching") {
-    val f = Multimodal.mmFeatures(spark, dir).collect()
+    val f = Multimodal.extractFeatures(Multimodal.asMediaRecords(spark, dir)).collect()
     assert(f.length === 5)
-    val f0 = f.find(_.getAs[Long]("doc_id") == 0L).get
-    assert(f0.getAs[Long]("byte_len") > 0)
-    assert(f0.getAs[Seq[Long]]("hist8").sum === f0.getAs[Long]("byte_len"))
+    val f0 = f.find(_.doc_id == 0L).get
+    assert(f0.byte_len > 0)
+    assert(f0.hist8.sum === f0.byte_len)
     // identical payloads → identical features
-    val f1 = f.find(_.getAs[Long]("doc_id") == 1L).get
-    assert(f0.getAs[Long]("checksum") === f1.getAs[Long]("checksum"))
+    val f1 = f.find(_.doc_id == 1L).get
+    assert(f0.checksum === f1.checksum)
     // stub is pure
     assert(Multimodal.decodeStub("abc".getBytes) === Multimodal.decodeStub("abc".getBytes))
+    // the query surface carries the scalar features
+    assert(Multimodal.mmFeatures(spark, dir).columns.toSeq ===
+      Seq("doc_id", "byte_len", "checksum", "brightness"))
   }
 
   test("frame sampling + resize plumbing: shapes and determinism") {
