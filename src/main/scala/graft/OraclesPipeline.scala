@@ -71,7 +71,7 @@ object OraclesPipeline {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_seq_packing" ->
-      """SELECT pack_id, COUNT(*) AS n_docs, SUM(toks) AS total_tokens FROM (
+      """SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens FROM (
         |  SELECT CAST(FLOOR((SUM(toks) OVER (ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks) / 4096.0) AS BIGINT)
         |         AS pack_id, toks

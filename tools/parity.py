@@ -57,7 +57,14 @@ def main(sf_dir, out_dir):
         bad = []
         for c in o.columns:
             ov, gv = o[c].values, g[c].values
-            if pd.api.types.is_float_dtype(o[c]) or pd.api.types.is_float_dtype(g[c]):
+            # Driver hashes serialized values: 99111.0 != 99111. A float-vs-int
+            # dtype mismatch WILL fail the driver's hash even if values match.
+            of, gf = pd.api.types.is_float_dtype(o[c]), pd.api.types.is_float_dtype(g[c])
+            oi, gi = pd.api.types.is_integer_dtype(o[c]), pd.api.types.is_integer_dtype(g[c])
+            if (of and gi) or (oi and gf):
+                bad.append(f"{c}: DTYPE oracle={o[c].dtype} got={g[c].dtype} (driver hash would differ)")
+                continue
+            if of or gf:
                 ovf = ov.astype(float); gvf = gv.astype(float)
                 eq = (ovf == gvf) | (pd.isna(ovf) & pd.isna(gvf))
                 if not eq.all():
