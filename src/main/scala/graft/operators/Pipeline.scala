@@ -44,14 +44,38 @@ object Pipeline {
       .orderBy("doc_id")
 
   /** Greedy sequential sequence packing: documents in doc_id order
-    * fill fixed 4096-token packs (floor(prefix-sum/budget) — the
-    * single-window-pass formulation; at 100 TB this packs within
-    * pre-sorted shards, shuffle-free). Output: per-pack fill stats. */
+    * fill fixed 4096-token packs (floor((prefix-sum - toks)/budget)).
+    *
+    * Distributed prefix sum, NOT a global window (a no-partitionBy
+    * window funnels the whole corpus through one task):
+    *  1. shard = floor(doc_id / shardSize) — deterministic, map-side,
+    *     order-preserving (no range-sampler involved);
+    *  2. per-shard token totals: one tiny row per shard, collected to
+    *     the driver (#shards values, never data rows);
+    *  3. cumulative bases scanned on the driver, broadcast back;
+    *  4. running sum inside each shard via a PARTITIONED window +
+    *     the shard's base = the exact global prefix sum.
+    * Every stage is parallel in #shards; identical output to the
+    * global-window formulation. */
   def seqPacking(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    t(spark, dir, "documents")
-      .withColumn("toks", bpeTokensEst(col("text")))
-      .withColumn("pack_id", ((sum("toks").over(w) - col("toks")) / 4096).cast("long"))
+    import spark.implicits._
+    val shardSize = 1024L // docs per shard; at 100 TB scale this up (~1e6)
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), bpeTokensEst(col("text")).as("toks"))
+      .withColumn("shard", floor(col("doc_id") / shardSize))
+    val bases = docs.groupBy("shard").agg(sum("toks").as("shard_toks"))
+      .collect().sortBy(_.getLong(0))
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), r) =>
+        (r.getLong(0), acc + r.getLong(1))
+      }
+      .sliding(2).collect { case Array((_, prev), (shard, _)) => (shard, prev) }
+      .toSeq
+    val baseDf = bases.toDF("shard", "base")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.join(broadcast(baseDf), "shard")
+      .withColumn("pack_id",
+        ((sum("toks").over(w) + col("base") - col("toks")) / 4096).cast("long"))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
       .orderBy("pack_id")

@@ -129,6 +129,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(twice.toSeq === Multimodal.resizeStub(Array[Byte](1, 2, 3, 4, 5), 4, 2).toSeq)
   }
 
+  test("seq packing: distributed prefix sum ≡ global order, no single-partition exchange") {
+    // 3000 docs spanning 3 shards (shardSize=1024) with varying lengths.
+    val d = Files.createTempDirectory("graft-pack").toString
+    val docs = (0L until 3000L).map { i =>
+      val text = "tok " * (1 + (i * 37 % 400).toInt)
+      (i, text, "en", "src", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.parquet(s"$d/documents.parquet")
+
+    val result = Pipeline.seqPacking(spark, d)
+    // no global window: the plan must not funnel through one partition
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"seq packing plan contains a single-partition exchange:\n$plan")
+
+    // reference: sequential greedy packing computed driver-side
+    val toks = docs.sortBy(_._1).map(r => math.ceil(r._2.length / 4.0).toLong)
+    val prefix = toks.scanLeft(0L)(_ + _)
+    val packOf = toks.indices.map(i => prefix(i) / 4096)
+    val expected = packOf.zip(toks).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, xs) => (p, xs.size.toLong, xs.map(_._2).sum) }
+    val got = result.collect().map(r =>
+      (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))).toSeq
+    assert(got === expected)
+  }
+
   test("text functions: tokens, fingerprint stability, langid markers") {
     import graft.functions.TextFunctions._
     val df = Seq((1L, "the cat and the hat")).toDF("id", "text")
