@@ -35,6 +35,18 @@ object OraclesPipeline {
   private val embDouble =
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
+  /** 8-plane arithmetic-hyperplane sign bucket (the same ±1 pattern
+    * Similarity.arithmeticHyperplanes generates; d is 1-based here). */
+  private val signBucket =
+    """SELECT vec_id, v,
+      |  CAST(list_sum(list_transform(generate_series(0, 7), j ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(generate_series(1, 64), d ->
+      |          v[d] * (CASE WHEN ((j*73 + (d-1)*37) % 97) % 2 = 0
+      |                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+      |        (acc, x) -> acc + x) >= 0
+      |      THEN 1 << j ELSE 0 END)) AS INT) AS bucket""".stripMargin
+
   private val grams3 =
     """SELECT doc_id, lang, n_chars // 10 AS bucket,
       |  list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -144,11 +156,15 @@ object OraclesPipeline {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_embedding_cosine" ->
-      s"""WITH e AS ($embDouble)
-         |SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-         |  ${cosR("a.v", "b.v")} AS cos_sim
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosR("a.v", "b.v")} >= 0.3
+      s"""WITH e AS ($embDouble),
+         |b AS ($signBucket FROM e),
+         |p AS (SELECT vec_id, v,
+         |  unnest(list_concat([bucket],
+         |    list_transform(generate_series(0, 7), j -> xor(bucket, 1 << j)))) AS pb
+         |  FROM b),
+         |s AS (SELECT a.vec_id AS v1, p.vec_id AS v2, ${cosR("a.v", "p.v")} AS cos_sim
+         |      FROM b a JOIN p ON a.bucket = p.pb AND a.vec_id < p.vec_id)
+         |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.3
          |ORDER BY v1, v2""".stripMargin,
 
     "ann_bruteforce_topk" ->
@@ -196,15 +212,7 @@ object OraclesPipeline {
 
     "ann_lsh_topk" ->
       s"""WITH e AS ($embDouble),
-         |b AS (SELECT vec_id, v,
-         |  CAST(list_sum(list_transform(generate_series(0, 7), j ->
-         |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(generate_series(1, 64), d ->
-         |          v[d] * (CASE WHEN ((j*73 + (d-1)*37) % 97) % 2 = 0
-         |                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
-         |        (acc, x) -> acc + x) >= 0
-         |      THEN 1 << j ELSE 0 END)) AS INT) AS bucket
-         |  FROM e),
+         |b AS ($signBucket FROM e),
          |p AS (SELECT vec_id AS qid, v AS qv,
          |  unnest(list_concat([bucket],
          |    list_transform(generate_series(0, 7), j -> xor(bucket, 1 << j)))) AS probe_bucket

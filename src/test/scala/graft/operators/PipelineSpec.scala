@@ -68,6 +68,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.exists(_._3 === 1.0))
   }
 
+  test("ngram jaccard: df cap kills stop-gram blowup but keeps true near-dups") {
+    // 200 docs sharing one stop-phrase (df=200 > cap) but otherwise
+    // unique, plus a planted near-dup pair with rare shared grams.
+    // Same length bucket for all → uncapped blocking would join them.
+    val d = Files.createTempDirectory("graft-skew").toString
+    val stop = "the common filler phrase here"
+    val docs = (0L until 200L).map { i =>
+      (i, s"$stop unique$i words$i only$i item$i token$i extra$i more$i", "en", "src", 60L)
+    } ++ Seq(
+      (200L, s"$stop shared rare content alpha beta gamma", "en", "src", 60L),
+      (201L, s"$stop shared rare content alpha beta delta", "en", "src", 60L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.parquet(s"$d/documents.parquet")
+    assert(docs.size > Dedup.ngramDfCap, "fixture must exceed the df cap")
+    val r = Dedup.dedupNgramJaccard(spark, d).collect()
+      .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2")))
+    assert(r.contains((200L, 201L)), "planted near-dup pair (rare grams) must survive")
+    assert(r.length === 1, s"stop-gram-only pairs must not appear, got ${r.toSeq}")
+  }
+
   test("embedding cosine dedup finds the identical vector pair") {
     val r = Dedup.dedupEmbeddingCosine(spark, dir).collect()
       .map(x => (x.getAs[Long]("v1"), x.getAs[Long]("v2"), x.getAs[Double]("cos_sim")))
