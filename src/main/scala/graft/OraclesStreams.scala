@@ -36,6 +36,19 @@ object OraclesStreams {
          |WHERE "partition" = 3 AND "offset" >= 100 AND "offset" < 200
          |ORDER BY "offset"""".stripMargin,
 
+    // the DSv2 fetch: same log coordinates as consume_fetch, payload
+    // decoded from the record model (key=event_id, value=props JSON,
+    // headers['event_type'])
+    "topic_fetch_pushdown" ->
+      s"""SELECT "partition", "offset", event_id, event_type, k FROM (
+         |  SELECT event_id, event_type,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |    CAST($part AS INTEGER) AS "partition",
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY $part ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+         |  FROM events) t
+         |WHERE "partition" = 3 AND "offset" >= 100 AND "offset" < 200
+         |ORDER BY "offset"""".stripMargin,
+
     "consumer_group_lag" ->
       s"""SELECT $part AS "partition",
          |  COUNT(*) AS log_end_offset,

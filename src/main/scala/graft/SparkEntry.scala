@@ -50,6 +50,7 @@ object SparkEntry {
     "topic_metadata" -> Streams.topicMetadata _,
     "produce_offsets" -> Streams.produceOffsets _,
     "consume_fetch" -> Streams.consumeFetch _,
+    "topic_fetch_pushdown" -> Streams.topicFetchPushdown _,
     "consumer_group_lag" -> Streams.consumerGroupLag _,
     "log_compaction" -> Streams.logCompaction _,
     "retention_expiry" -> Streams.retentionExpiry _,

@@ -75,6 +75,51 @@ object Streams {
       .select("partition", "offset", "event_id", "event_type", "value")
       .orderBy("offset")
 
+  /** Fetch through the `graft-topic` DataSource V2 relation: the same
+    * bounded (partition 3, offset 100..199) fetch as [[consumeFetch]],
+    * but against a PHYSICAL topic read via
+    * `spark.read.format("graft-topic")` — partition predicates prune
+    * directories at planning time, offset predicates skip row groups
+    * via parquet stats, and the record payload round-trips the full
+    * Kafka record model (key, JSON value, headers, ts). */
+  def topicFetchPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val topicDir = ensureEventsTopic(spark, dir)
+    spark.read.format("graft-topic").load(topicDir)
+      .filter(col("partition") === 3 && col("offset") >= 100 && col("offset") < 200)
+      .select(col("partition"), col("offset"),
+        col("key").cast("string").cast("long").as("event_id"),
+        col("headers").getItem("event_type").cast("string").as("event_type"),
+        get_json_object(col("value").cast("string"), "$.k").cast("long").as("k"))
+      .orderBy("offset")
+  }
+
+  /** Materialize the events table as a physical topic (once per sf
+    * dir) via the replica path, with DETERMINISTIC offsets — the same
+    * (partition BY user_id % 8, offset = rank by event_id) assignment
+    * the oracle-checked produce/fetch queries use, so a DuckDB oracle
+    * can reproduce the log coordinates. Records carry the full model:
+    * key = event_id, value = the JSON props payload, headers carry
+    * the event_type (header-routing coverage), ts = event time. */
+  private[graft] def ensureEventsTopic(spark: SparkSession, dir: String): String = {
+    import graft.streaming.TopicLog
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-topics-" +
+      Integer.toHexString(dir.hashCode)
+    val topic = "events_fetch_v1"
+    if (!TopicLog.exists(root, topic)) {
+      val log = TopicLog.create(spark, root, topic, NumPartitions)
+      val records = eventsAsTopic(spark, dir)
+        .select(
+          col("event_id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          map(lit("event_type"), col("event_type").cast("binary")).as("headers"),
+          col("ts"),
+          col("partition").cast("int").as("partition"),
+          col("offset"))
+      log.produceAssigned(records)
+    }
+    s"$root/$topic"
+  }
+
   /** Consumer-group lag: a group that committed everything up to
     * (max ts − 3 days); lag = records past the committed point. */
   def consumerGroupLag(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,304 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 relation over a [[graft.streaming.TopicLog]] topic
+  * directory — the consumer-facing fetch path as a first-class Spark
+  * table: `spark.read.format("graft-topic").load(topicDir)`.
+  *
+  * This is the Fetch API of the reference broker (ref:
+  * pkg/kafka/kafka_api.go:85 request dispatch; Fetch is the roadmap's
+  * Consumer API) re-expressed as a pushdown-aware scan:
+  *
+  *  - `partition` predicates prune WHOLE DIRECTORIES at planning time
+  *    (`partition=N/` is a physical dir key) — a fetch of one
+  *    partition plans only that partition's files;
+  *  - `offset` range predicates are compiled to parquet
+  *    FilterPredicates, so row groups whose offset min/max stats fall
+  *    outside the range are skipped without reading (files are
+  *    offset-sorted at produce time exactly for this), and surviving
+  *    rows are filtered record-level in the reader;
+  *  - column pruning reaches the file reader (a key-only consumer
+  *    never decodes values or headers).
+  *
+  * Both pushed filter families are enforced exactly (dir pruning +
+  * record-level filtering), so Spark plans no residual filter for
+  * them. At cluster scale the per-file readers run in executors; one
+  * input partition per parquet file keeps fetch parallelism at file
+  * granularity.
+  */
+class GraftTopicSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-topic"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.streaming.TopicLog.readSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-topic requires a path: spark.read.format(\"graft-topic\").load(<topicDir>)")
+    new GraftTopicTable(path)
+  }
+}
+
+class GraftTopicTable(topicDir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_topic($topicDir)"
+  override def schema(): StructType = graft.streaming.TopicLog.readSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTopicScanBuilder(topicDir)
+}
+
+class GraftTopicScanBuilder(topicDir: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = graft.streaming.TopicLog.readSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  // what the scan can enforce EXACTLY: partition dir pruning handles
+  // comparisons + In; offset handles range comparisons (In on offset
+  // would only bound, not enumerate → left to Spark)
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => c == "partition" || c == "offset"
+    case GreaterThan(c, _) => c == "partition" || c == "offset"
+    case GreaterThanOrEqual(c, _) => c == "partition" || c == "offset"
+    case LessThan(c, _) => c == "partition" || c == "offset"
+    case LessThanOrEqual(c, _) => c == "partition" || c == "offset"
+    case In(c, _) => c == "partition"
+    case IsNotNull(c) => c == "partition" || c == "offset" // non-nullable: vacuous
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    filters.filterNot(supported)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = GraftTopicScan(topicDir, required, pushed)
+}
+
+/** Inclusive offset bounds compiled from the pushed filters — the
+  * serializable form shipped to executors. */
+case class OffsetBounds(lower: Long, upper: Long) {
+  def isTrivial: Boolean = lower == Long.MinValue && upper == Long.MaxValue
+}
+
+case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTopicScan $topicDir PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private def partitionOk(p: Int): Boolean = pushed.forall {
+    case EqualTo("partition", v: Number) => p == v.intValue
+    case GreaterThan("partition", v: Number) => p > v.intValue
+    case GreaterThanOrEqual("partition", v: Number) => p >= v.intValue
+    case LessThan("partition", v: Number) => p < v.intValue
+    case LessThanOrEqual("partition", v: Number) => p <= v.intValue
+    case In("partition", vs) => vs.exists { case n: Number => n.intValue == p; case _ => false }
+    case _ => true
+  }
+
+  private def offsetBounds: OffsetBounds = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    pushed.foreach {
+      case EqualTo("offset", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
+      case GreaterThan("offset", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("offset", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("offset", v: Number) => hi = math.min(hi, v.longValue - 1)
+      case LessThanOrEqual("offset", v: Number) => hi = math.min(hi, v.longValue)
+      case _ =>
+    }
+    OffsetBounds(lo, hi)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dataDir = Paths.get(topicDir, "data")
+    if (!Files.exists(dataDir)) return Array.empty
+    val dirs = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("partition="))
+      .toSeq.sortBy(_.getFileName.toString)
+    dirs.flatMap { d =>
+      val p = d.getFileName.toString.stripPrefix("partition=").toInt
+      if (!partitionOk(p)) Seq.empty
+      else Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+        .map(f => GraftTopicInputPartition(f.toString, p): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftTopicReaderFactory(required, offsetBounds)
+}
+
+case class GraftTopicInputPartition(file: String, partition: Int) extends InputPartition
+
+case class GraftTopicReaderFactory(required: StructType, bounds: OffsetBounds)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftTopicFileReader(p.asInstanceOf[GraftTopicInputPartition], required, bounds)
+}
+
+/** Per-file reader: parquet-mr Group reader with the projection
+  * pushed into the read schema and the offset bounds compiled to a
+  * FilterPredicate (row-group stats skipping + record filtering in
+  * one mechanism). `partition` is synthesized from the directory key,
+  * exactly like a partition column. */
+class GraftTopicFileReader(part: GraftTopicInputPartition, required: StructType,
+    bounds: OffsetBounds) extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val hpath = new HPath(part.file)
+
+  private val fileSchema: MessageType = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hpath, conf))
+    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+  }
+
+  // physical columns to decode: the required output minus the dir-key
+  // column, plus offset when a filter needs it (record-level
+  // filtering requires the filtered column in the read schema)
+  private val physicalNames: Seq[String] = {
+    val out = required.fieldNames.filter(_ != "partition").toSeq
+    if (!bounds.isTrivial && !out.contains("offset")) out :+ "offset" else out
+  }
+
+  private val projection: MessageType = {
+    val fields = fileSchema.getFields.asScala.filter(f => physicalNames.contains(f.getName))
+    new MessageType(fileSchema.getName, fields.asJava)
+  }
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), hpath).withConf(conf)
+    offsetPredicate.foreach(p => b.withFilter(FilterCompat.get(p)))
+    b.build()
+  }
+
+  private def offsetPredicate: Option[FilterPredicate] = {
+    if (bounds.isTrivial) None
+    else {
+      val c = FilterApi.longColumn("offset")
+      val preds = Seq(
+        Option.when(bounds.lower != Long.MinValue)(
+          FilterApi.gtEq(c, java.lang.Long.valueOf(bounds.lower))),
+        Option.when(bounds.upper != Long.MaxValue)(
+          FilterApi.ltEq(c, java.lang.Long.valueOf(bounds.upper)))).flatten
+      preds.reduceOption(FilterApi.and)
+    }
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required(i)
+      row.update(i, if (f.name == "partition") part.partition else decode(g, f))
+      i += 1
+    }
+    row
+  }
+
+  private def decode(g: Group, f: StructField): Any = {
+    val idx = projection.getFieldIndex(f.name)
+    if (g.getFieldRepetitionCount(idx) == 0) return null
+    f.dataType match {
+      case BinaryType => g.getBinary(idx, 0).getBytes
+      case LongType => g.getLong(idx, 0)
+      case IntegerType => g.getInteger(idx, 0)
+      case TimestampType => decodeTimestamp(g, idx)
+      case MapType(StringType, BinaryType, _) => decodeHeaders(g.getGroup(idx, 0))
+      case other => throw new UnsupportedOperationException(s"graft-topic: $other")
+    }
+  }
+
+  /** Spark writes TimestampType as INT96 (legacy default) or INT64
+    * micros/millis depending on outputTimestampType — decode all
+    * three to Catalyst micros. */
+  private def decodeTimestamp(g: Group, idx: Int): Long = {
+    val prim = projection.getType(idx).asPrimitiveType()
+    prim.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT96 =>
+        val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400L * 1000000L + nanosOfDay / 1000L
+      case PrimitiveTypeName.INT64 =>
+        val v = g.getLong(idx, 0)
+        prim.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+          case _ => v // micros
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"graft-topic timestamp as $other")
+    }
+  }
+
+  /** map<string,binary> in parquet MAP shape:
+    * group (MAP) { repeated group key_value { key, value } }. */
+  private def decodeHeaders(mapGroup: Group): ArrayBasedMapData = {
+    val n = mapGroup.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val values = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val kv = mapGroup.getGroup(0, i)
+      keys(i) = UTF8String.fromBytes(kv.getBinary("key", 0).getBytes)
+      values(i) =
+        if (kv.getType.asGroupType().getFieldCount > 1 &&
+            kv.getFieldRepetitionCount(1) > 0) kv.getBinary(1, 0).getBytes
+        else null
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(values))
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -82,6 +82,30 @@ class TopicLog private (
     } finally assigned.unpersist()
   }
 
+  /** Replica/follower append path: records that ALREADY carry
+    * (partition, offset) are appended verbatim — the path a replica
+    * fetching from a leader uses (offsets assigned upstream), and the
+    * way to materialize a topic with externally-deterministic offsets.
+    * Caller owns offset monotonicity; the log-end cache is recomputed
+    * from the data. */
+  def produceAssigned(records: DataFrame): Map[Int, Long] = {
+    val withMissing = Seq(
+      "key" -> lit(null).cast(BinaryType),
+      "headers" -> lit(null).cast(MapType(StringType, BinaryType)),
+      "ts" -> current_timestamp())
+      .foldLeft(records) { case (df, (c, default)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, default)
+      }
+    withMissing
+      .select("key", "value", "headers", "ts", "partition", "offset")
+      .sortWithinPartitions("offset")
+      .write.mode("append").partitionBy("partition").parquet(dataDir)
+    val ends = read().groupBy("partition").agg(max("offset").as("m")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
+    writeOffsetMap(offsetsFile, ends)
+    ends
+  }
+
   /** Fetch: bounded read from (partition, fromOffset). Partition-dir
     * pruned + offset row-group skipped. */
   def consume(partition: Int, fromOffset: Long, maxRecords: Int = Int.MaxValue): DataFrame =
@@ -231,7 +255,9 @@ object TopicLog {
     StructField("headers", MapType(StringType, BinaryType)),
     StructField("ts", TimestampType)))
 
-  private[streaming] val readSchema: StructType =
+  /** Full topic read schema: record model + log coordinates (also the
+    * fixed schema of the `graft-topic` DataSource V2 table). */
+  val readSchema: StructType =
     recordSchema
       .add(StructField("partition", IntegerType, nullable = false))
       .add(StructField("offset", LongType, nullable = false))
