@@ -148,18 +148,31 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dataDir = Paths.get(topicDir, "data")
-    if (!Files.exists(dataDir)) return Array.empty
-    val dirs = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("partition="))
-      .toSeq.sortBy(_.getFileName.toString)
-    dirs.flatMap { d =>
-      val p = d.getFileName.toString.stripPrefix("partition=").toInt
-      if (!partitionOk(p)) Seq.empty
-      else Files.list(d).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
-        .map(f => GraftTopicInputPartition(f.toString, p): InputPartition)
-    }.toArray
+    graft.streaming.TopicLog.manifestFiles(topicDir) match {
+      // manifest-aware: plan exactly the committed snapshot (orphans
+      // from crashed produces are invisible)
+      case Some(files) =>
+        files.sorted.flatMap { rel =>
+          val p = rel.takeWhile(_ != '/').stripPrefix("partition=").toInt
+          if (partitionOk(p))
+            Some(GraftTopicInputPartition(dataDir.resolve(rel).toString, p): InputPartition)
+          else None
+        }.toArray
+      // legacy pre-manifest topic: dir listing
+      case None =>
+        if (!Files.exists(dataDir)) return Array.empty
+        val dirs = Files.list(dataDir).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("partition="))
+          .toSeq.sortBy(_.getFileName.toString)
+        dirs.flatMap { d =>
+          val p = d.getFileName.toString.stripPrefix("partition=").toInt
+          if (!partitionOk(p)) Seq.empty
+          else Files.list(d).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.toString)
+            .map(f => GraftTopicInputPartition(f.toString, p): InputPartition)
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

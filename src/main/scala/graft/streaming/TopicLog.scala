@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * {{{
   *   <root>/<topic>/data/partition=N/  parquet records, offset-sorted
   *   <root>/<topic>/_meta.json                   numPartitions
-  *   <root>/<topic>/_offsets.json                cached log-end offsets
+  *   <root>/<topic>/_manifests/v<N>.json         committed snapshots (CAS)
   *   <root>/<topic>/_groups/<group>.json         committed group offsets
   * }}}
   *
@@ -28,9 +28,18 @@ import org.apache.spark.sql.types._
   * row-group min/max stats skip everything below `fromOffset`; offset
   * assignment is per-partition-local (base + row_number — no global
   * coordination); compaction/retention rewrite per partition with one
-  * shuffle. Single-writer per topic is assumed (as in the reference's
-  * single-broker prototype); a multi-writer manifest swap is the
-  * round-2 path.
+  * shuffle.
+  *
+  * Durability/concurrency: every mutation commits a MANIFEST — the
+  * exact file set, per-partition log-end offsets, and last streaming
+  * batch id — via an atomic compare-and-swap on the version number
+  * (hard-link creation). Readers only see manifest-listed files, so a
+  * produce that crashes mid-way leaves unreferenced files (GC'd by
+  * [[vacuum]]), never drifted offsets or torn reads; concurrent
+  * producers either merge (disjoint partitions) or the loser aborts
+  * cleanly with [[TopicLog.ConcurrentProduceException]]. (The
+  * reference is a single-broker prototype; this is the piece a
+  * multi-writer 100 TB deployment adds.)
   */
 class TopicLog private (
     val spark: SparkSession,
@@ -46,12 +55,38 @@ class TopicLog private (
   private def offsetsFile = Paths.get(s"$topicDir/_offsets.json")
   private def groupFile(group: String) = Paths.get(s"$topicDir/_groups/$group.json")
 
+  /** Test hook: simulate a crash after data files land in the live
+    * tree but before the manifest commit (the window the manifest
+    * protocol exists to make safe). */
+  private[streaming] var failpointBeforeCommit: Boolean = false
+
+  /** Test hook: runs between staging-move and manifest commit —
+    * lets a spec interleave a competing producer deterministically. */
+  private[streaming] var interleaveHook: () => Unit = () => ()
+
   /** Produce: route records to partitions, assign per-partition
-    * monotonic offsets continuing from the log end, append.
-    * `records` needs (value); (key, headers, ts) optional. */
-  def produce(records: DataFrame, partitioner: Column = null): Map[Int, Long] = {
+    * monotonic offsets continuing from the log end, append atomically.
+    * `records` needs (value); (key, headers, ts) optional.
+    *
+    * Commit protocol (multi-writer / crash-safe):
+    *  1. read the current manifest (bases = its log-end offsets);
+    *  2. write the batch to a private `_staging/<uuid>` dir;
+    *  3. move the staged files into `data/partition=N/` under unique
+    *     names — INVISIBLE to readers until a manifest lists them;
+    *  4. CAS-commit manifest version v+1 (atomic hard link — creation
+    *     fails if another writer took the version). A concurrent
+    *     commit that advanced a partition we wrote invalidates our
+    *     baked-in offsets → the orphaned files are removed and
+    *     [[TopicLog.ConcurrentProduceException]] is thrown (caller
+    *     retries the produce); concurrent commits to DISJOINT
+    *     partitions merge and both land.
+    * A crash at any step leaves at worst unreferenced files (cleaned
+    * by [[vacuum]]) — never drifted offsets or torn reads. */
+  def produce(records: DataFrame, partitioner: Column = null,
+      batchId: Option[Long] = None): Map[Int, Long] = {
     val p = Option(partitioner).getOrElse(Partitioners.byKeyHash(numPartitions))
-    val base = logEndOffsets()
+    val m0 = ensureManifest()
+    val base = m0.ends
     val withMissing = Seq(
       "key" -> lit(null).cast(BinaryType),
       "headers" -> lit(null).cast(MapType(StringType, BinaryType)),
@@ -72,23 +107,89 @@ class TopicLog private (
     try {
       val counts = assigned.groupBy("partition").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val staging = Paths.get(s"$topicDir/_staging/${java.util.UUID.randomUUID()}")
       assigned
         .sortWithinPartitions("offset") // offset-sorted files → row-group skipping
-        .write.mode("append").partitionBy("partition").parquet(dataDir)
+        .write.partitionBy("partition").parquet(staging.toString)
+      val moved = moveStagedFiles(staging)
+      if (failpointBeforeCommit)
+        throw new IllegalStateException("failpoint: crash before manifest commit")
+      interleaveHook()
       val newEnds = (0 until numPartitions)
         .map(i => i -> (base.getOrElse(i, 0L) + counts.getOrElse(i, 0L))).toMap
-      writeOffsetMap(offsetsFile, newEnds)
+      commitWithRetry(m0, moved, counts.filter(_._2 > 0), newEnds, batchId)
       newEnds
     } finally assigned.unpersist()
+  }
+
+  /** Move every staged parquet file (per partition=N subdir) into the
+    * live tree under a unique name; returns manifest-relative paths. */
+  private def moveStagedFiles(staging: Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val moved = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("partition="))
+      .flatMap { d =>
+        val pdir = d.getFileName.toString
+        Files.createDirectories(Paths.get(dataDir).resolve(pdir))
+        Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val rel = s"$pdir/${f.getFileName}"
+            Files.move(f, Paths.get(dataDir).resolve(rel),
+              StandardCopyOption.ATOMIC_MOVE)
+            rel
+          }
+      }.toSeq
+    deleteRecursively(staging)
+    moved
+  }
+
+  /** CAS-commit loop: retry on version races; abort (and remove our
+    * files) if a concurrent commit advanced a partition we wrote. */
+  private def commitWithRetry(m0: Manifest, newFiles: Seq[String],
+      written: Map[Int, Long], newEnds: Map[Int, Long],
+      batchId: Option[Long]): Unit = {
+    var cur = currentManifest().getOrElse(m0)
+    while (true) {
+      val conflicted = cur.version != m0.version &&
+        written.keys.exists(p => cur.ends.getOrElse(p, 0L) != m0.ends.getOrElse(p, 0L))
+      if (conflicted) {
+        newFiles.foreach(f => Files.deleteIfExists(Paths.get(dataDir).resolve(f)))
+        throw new TopicLog.ConcurrentProduceException(topic, m0.version, cur.version)
+      }
+      val next = Manifest(cur.version + 1, cur.files ++ newFiles,
+        cur.ends ++ newEnds, batchId.orElse(cur.lastBatchId))
+      try {
+        commitManifest(next)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          cur = currentManifest().getOrElse(cur) // lost the version race; re-check
+      }
+    }
+  }
+
+  /** Remove data files no manifest references (crash leftovers). */
+  def vacuum(): Int = {
+    import scala.jdk.CollectionConverters._
+    val live = currentManifest().map(_.files.toSet).getOrElse(return 0)
+    val dd = Paths.get(dataDir)
+    if (!Files.exists(dd)) return 0
+    val orphans = Files.walk(dd).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet") && !live.contains(dd.relativize(f).toString))
+      .toList
+    orphans.foreach(Files.delete)
+    orphans.size
   }
 
   /** Replica/follower append path: records that ALREADY carry
     * (partition, offset) are appended verbatim — the path a replica
     * fetching from a leader uses (offsets assigned upstream), and the
     * way to materialize a topic with externally-deterministic offsets.
-    * Caller owns offset monotonicity; the log-end cache is recomputed
-    * from the data. */
+    * Caller owns offset monotonicity. Same staged-move + manifest
+    * commit as [[produce]]. */
   def produceAssigned(records: DataFrame): Map[Int, Long] = {
+    val m0 = ensureManifest()
     val withMissing = Seq(
       "key" -> lit(null).cast(BinaryType),
       "headers" -> lit(null).cast(MapType(StringType, BinaryType)),
@@ -96,14 +197,23 @@ class TopicLog private (
       .foldLeft(records) { case (df, (c, default)) =>
         if (df.columns.contains(c)) df else df.withColumn(c, default)
       }
-    withMissing
+    val staging = Paths.get(s"$topicDir/_staging/${java.util.UUID.randomUUID()}")
+    val df = withMissing
       .select("key", "value", "headers", "ts", "partition", "offset")
-      .sortWithinPartitions("offset")
-      .write.mode("append").partitionBy("partition").parquet(dataDir)
-    val ends = read().groupBy("partition").agg(max("offset").as("m")).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
-    writeOffsetMap(offsetsFile, ends)
-    ends
+      .persist()
+    try {
+      val newEndsRows = df.groupBy("partition").agg(max("offset").as("m")).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
+      df.sortWithinPartitions("offset")
+        .write.partitionBy("partition").parquet(staging.toString)
+      val moved = moveStagedFiles(staging)
+      val ends = m0.ends ++ newEndsRows.map { case (p, e) =>
+        p -> math.max(e, m0.ends.getOrElse(p, 0L))
+      }
+      commitWithRetry(m0, moved, newEndsRows.map { case (p, _) => p -> 1L },
+        ends, batchId = None)
+      ends
+    } finally df.unpersist()
   }
 
   /** Fetch: bounded read from (partition, fromOffset). Partition-dir
@@ -114,16 +224,86 @@ class TopicLog private (
       .orderBy("offset")
       .limit(maxRecords)
 
-  /** Read the whole log (all partitions) as a DataFrame. */
-  def read(): DataFrame = spark.read.schema(readSchema).parquet(dataDir)
+  /** Read the whole log (all partitions) as a DataFrame — only files
+    * the current manifest references (uncommitted/orphaned files are
+    * invisible); falls back to a plain dir scan for pre-manifest
+    * topics. */
+  def read(): DataFrame = currentManifest() match {
+    case Some(m) if m.files.isEmpty =>
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), readSchema)
+    case Some(m) =>
+      spark.read.schema(readSchema)
+        .option("basePath", dataDir)
+        .parquet(m.files.map(f => s"$dataDir/$f"): _*)
+    case None =>
+      if (!Files.exists(Paths.get(dataDir)))
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), readSchema)
+      else spark.read.schema(readSchema).parquet(dataDir)
+  }
 
-  /** Next offset to be written, per partition (Kafka log-end offset). */
+  /** Next offset to be written, per partition (Kafka log-end offset).
+    * Manifest ends when present; legacy offsets-file / data-scan
+    * fallback otherwise. */
   def logEndOffsets(): Map[Int, Long] =
-    readOffsetMap(offsetsFile).getOrElse {
+    currentManifest().map(_.ends).orElse(readOffsetMap(offsetsFile)).getOrElse {
       if (!Files.exists(Paths.get(dataDir))) Map.empty
       else read().groupBy("partition").agg(max("offset").as("m")).collect()
         .map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
     }
+
+  // --- manifest protocol ---
+
+  import TopicLog.Manifest
+
+  private def manifestsDir = Paths.get(s"$topicDir/_manifests")
+
+  private[streaming] def currentManifest(): Option[Manifest] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(manifestsDir)) None
+    else {
+      val versions = Files.list(manifestsDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq
+      versions.maxOption.map { v =>
+        TopicLog.parseManifest(Files.readString(manifestsDir.resolve(s"v$v.json")))
+      }
+    }
+  }
+
+  /** Lazily migrate a pre-manifest topic: snapshot the current dir
+    * listing + legacy offsets as manifest v0. */
+  private def ensureManifest(): Manifest = currentManifest().getOrElse {
+    import scala.jdk.CollectionConverters._
+    val dd = Paths.get(dataDir)
+    val files =
+      if (!Files.exists(dd)) Seq.empty[String]
+      else Files.walk(dd).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => dd.relativize(f).toString).toSeq.sorted
+    val lastBatch = {
+      val marker = Paths.get(s"$topicDir/_last_batch.json")
+      if (Files.exists(marker))
+        "(-?\\d+)".r.findFirstIn(Files.readString(marker)).map(_.toLong)
+      else None
+    }
+    val m = Manifest(0L, files, logEndOffsets(), lastBatch)
+    try commitManifest(m)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    currentManifest().get
+  }
+
+  /** CAS-publish one manifest version: write a temp file, then
+    * atomically hard-link it to its version name — creation fails if
+    * that version already exists (another writer won). */
+  private def commitManifest(m: Manifest): Unit = {
+    Files.createDirectories(manifestsDir)
+    val tmp = Files.createTempFile(manifestsDir, ".tmp", ".json")
+    Files.writeString(tmp, TopicLog.renderManifest(m))
+    try Files.createLink(manifestsDir.resolve(s"v${m.version}.json"), tmp)
+    finally Files.deleteIfExists(tmp)
+  }
 
   // --- consumer groups (ref roadmap: Consumer API) ---
 
@@ -194,12 +374,31 @@ class TopicLog private (
   }
 
   private def rewrite(f: DataFrame => DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val m0 = ensureManifest()
     val tmp = s"$topicDir/_data_rewrite"
     f(read())
       .sortWithinPartitions("offset")
       .write.mode("overwrite").partitionBy("partition").parquet(tmp)
     deleteRecursively(Paths.get(dataDir))
     Files.move(Paths.get(tmp), Paths.get(dataDir), StandardCopyOption.ATOMIC_MOVE)
+    // re-point the manifest at the rewritten file set; log-end offsets
+    // are unchanged (compaction/retention never rewind the log end)
+    val dd = Paths.get(dataDir)
+    val files = Files.walk(dd).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(f => dd.relativize(f).toString).toSeq.sorted
+    var cur = currentManifest().getOrElse(m0)
+    var done = false
+    while (!done) {
+      try {
+        commitManifest(Manifest(cur.version + 1, files, cur.ends, cur.lastBatchId))
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          cur = currentManifest().getOrElse(cur)
+      }
+    }
   }
 
   // --- Structured Streaming (ref roadmap: Producer/Consumer API, streaming form) ---
@@ -228,24 +427,74 @@ class TopicLog private (
       .start()
 
   /** Apply a micro-batch once: skip if this batchId (or a later one)
-    * was already applied. */
+    * was already applied. The batchId is committed IN the manifest, in
+    * the same atomic swap as the data files — a crash can never apply
+    * a batch without recording it (or vice versa). */
   def produceIdempotent(batch: DataFrame, batchId: Long,
       partitioner: Column = null): Boolean = {
-    val marker = Paths.get(s"$topicDir/_last_batch.json")
-    val last =
-      if (Files.exists(marker))
-        "(-?\\d+)".r.findFirstIn(Files.readString(marker)).map(_.toLong).getOrElse(-1L)
-      else -1L
+    val last = ensureManifest().lastBatchId.getOrElse(-1L)
     if (batchId <= last) false
     else {
-      produce(batch, partitioner)
-      Files.writeString(marker, s"""{"lastBatchId":$batchId}""")
+      produce(batch, partitioner, batchId = Some(batchId))
       true
     }
   }
 }
 
 object TopicLog {
+
+  /** One committed snapshot of a topic: the exact file set readers may
+    * see, the per-partition log-end offsets, and the last applied
+    * streaming batch id — all swapped atomically per commit. */
+  case class Manifest(version: Long, files: Seq[String], ends: Map[Int, Long],
+      lastBatchId: Option[Long])
+
+  /** Thrown when a concurrent producer advanced a partition this
+    * produce also wrote; the produce's files are already removed —
+    * retry the produce. */
+  class ConcurrentProduceException(topic: String, baseVersion: Long, curVersion: Long)
+    extends RuntimeException(
+      s"topic $topic: concurrent produce (read manifest v$baseVersion, " +
+        s"current is v$curVersion with overlapping partitions); retry")
+
+  private[graft] def renderManifest(m: Manifest): String = {
+    val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val files = m.files.map(f => "\"" + f + "\"").mkString(",")
+    val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
+    s"""{"version":${m.version},"ends":{$ends},"files":[$files]$batch}"""
+  }
+
+  private[graft] def parseManifest(s: String): Manifest = {
+    val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val endsBlock = "\"ends\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val ends = "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(endsBlock)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    val filesBlock = "\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val files = "\"([^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1)).toSeq
+    val lastBatch = "\"lastBatchId\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+    Manifest(version, files, ends, lastBatch)
+  }
+
+  /** Manifest-listed files of a topic, for manifest-aware readers
+    * (the graft-topic DataSource); None for pre-manifest topics. */
+  private[graft] def manifestFiles(topicDir: String): Option[Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(s"$topicDir/_manifests")
+    if (!Files.exists(dir)) None
+    else {
+      val versions = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq
+      versions.maxOption.map(v =>
+        parseManifest(Files.readString(dir.resolve(s"v$v.json"))).files)
+    }
+  }
 
   /** Kafka record model (key, value, headers, timestamp) + log
     * coordinates (partition, offset). */

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The manifest commit protocol: crash-safety (a produce that dies
+  * between the data append and the offset publish leaves NO drift),
+  * multi-writer conflict detection, orphan GC, and atomic streaming
+  * batch ids. */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def records(ids: Range) =
+    ids.toDF("i").select(
+      col("i"),
+      concat(lit("k"), (col("i") % 10).cast("string")).cast("binary").as("key"),
+      concat(lit("v"), col("i").cast("string")).cast("binary").as("value"))
+
+  private def newLog(n: Int = 4): TopicLog =
+    TopicLog.create(spark, Files.createTempDirectory("graft-manifest").toString, "t", n)
+
+  private def part = Partitioners.byLongKey(4, col("i"))
+
+  test("crash between data append and offset publish: no drift, orphans invisible") {
+    val log = newLog()
+    log.produce(records(0 until 100), part)
+    val endsBefore = log.logEndOffsets()
+
+    log.failpointBeforeCommit = true
+    intercept[IllegalStateException] { log.produce(records(100 until 140), part) }
+    log.failpointBeforeCommit = false
+
+    // reopen cold — the crashed produce must be invisible everywhere
+    val reopened = TopicLog.open(spark, log.root, log.topic)
+    assert(reopened.logEndOffsets() === endsBefore, "offsets drifted after crash")
+    assert(reopened.read().count() === 100, "torn read: uncommitted files visible")
+    assert(spark.read.format("graft-topic").load(log.topicDir).count() === 100,
+      "DSv2 scan sees uncommitted files")
+
+    // the orphaned files exist on disk until vacuumed
+    assert(reopened.vacuum() > 0, "crash must have left orphan files")
+    assert(reopened.vacuum() === 0)
+
+    // retrying the produce lands exactly once, offsets contiguous
+    reopened.produce(records(100 until 140), part)
+    assert(reopened.read().count() === 140)
+    val perPart = reopened.read().groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"),
+        countDistinct("offset").as("d")).collect()
+    perPart.foreach { r =>
+      assert(r.getLong(2) === 0L)                 // lo
+      assert(r.getLong(3) === r.getLong(1) - 1)   // hi = n-1
+      assert(r.getLong(4) === r.getLong(1))       // all distinct
+    }
+  }
+
+  test("concurrent producer on overlapping partitions is detected and aborted cleanly") {
+    val log = newLog()
+    log.produce(records(0 until 40), part)
+    val competitor = TopicLog.open(spark, log.root, log.topic)
+
+    log.interleaveHook = () => {
+      log.interleaveHook = () => ()
+      competitor.produce(records(1000 until 1040), part)
+    }
+    intercept[TopicLog.ConcurrentProduceException] {
+      log.produce(records(100 until 140), part)
+    }
+
+    // competitor's batch committed; loser's files were removed
+    assert(log.read().count() === 80)
+    assert(log.vacuum() === 0, "conflict path must clean its own files")
+    // loser retries from the fresh manifest and succeeds
+    log.produce(records(100 until 140), part)
+    assert(log.read().count() === 120)
+    val d = log.read().groupBy("partition")
+      .agg(count(lit(1)).as("n"), countDistinct("offset").as("d")).collect()
+    d.foreach(r => assert(r.getLong(1) === r.getLong(2), "duplicate offsets"))
+  }
+
+  test("streaming batch id commits atomically with the data") {
+    val log = newLog()
+    assert(log.produceIdempotent(records(0 until 40), batchId = 0, part))
+    assert(!log.produceIdempotent(records(0 until 40), batchId = 0, part), "replay applied twice")
+    assert(log.read().count() === 40)
+
+    // crash during batch 1: neither data nor batch id must be visible
+    log.failpointBeforeCommit = true
+    intercept[IllegalStateException] { log.produceIdempotent(records(40 until 60), 1, part) }
+    log.failpointBeforeCommit = false
+    assert(log.read().count() === 40)
+
+    // the checkpoint replays batch 1 — applied exactly once
+    assert(log.produceIdempotent(records(40 until 60), 1, part))
+    assert(!log.produceIdempotent(records(40 until 60), 1, part))
+    assert(log.read().count() === 60)
+  }
+
+  test("compaction and retention keep the manifest coherent") {
+    val log = newLog()
+    log.produce(records(0 until 100), part) // keys i % 10 → 10 distinct keys
+    val ends = log.logEndOffsets()
+    log.compact()
+    // key = i%10, partition = i%4 → i mod lcm(4,10)=20 fixes the pair,
+    // and all 20 residues give distinct (partition, key) combinations
+    assert(log.read().count() === 20, "latest per (partition, key)")
+    assert(log.logEndOffsets() === ends, "compaction must not rewind the log end")
+    // produce after compaction continues from the same ends
+    log.produce(records(100 until 104), part)
+    assert(log.logEndOffsets().values.sum === ends.values.sum + 4)
+    assert(log.vacuum() === 0)
+  }
+}

@@ -196,8 +196,12 @@ class TopicLogSpec extends AnyFunSuite {
     val reopened = TopicLog.open(spark, root, "t7")
     assert(reopened.numPartitions === 3)
     assert(reopened.logEndOffsets().values.sum === 30)
-    // offset cache destroyed → falls back to scanning the log
-    Files.delete(java.nio.file.Paths.get(s"$root/t7/_offsets.json"))
+    // offset metadata destroyed (manifests gone) → falls back to
+    // scanning the log itself
+    val mdir = java.nio.file.Paths.get(s"$root/t7/_manifests")
+    import scala.jdk.CollectionConverters._
+    Files.list(mdir).iterator().asScala.foreach(Files.delete)
+    Files.delete(mdir)
     assert(reopened.logEndOffsets().values.sum === 30)
   }
 }
