@@ -43,8 +43,9 @@ class Broker(spark: SparkSession, root: String) {
   }
 
   /** Export a topic to a text-format sink (Kafka-Connect file-sink
-    * analog). Binary key/value travel base64-encoded so csv/json stay
-    * lossless; `format` ∈ {parquet, json, csv}. */
+    * analog). Binary key/value travel base64-encoded and headers as a
+    * JSON object of base64 values, so csv/json stay LOSSLESS for the
+    * full record model; `format` ∈ {parquet, json, csv}. */
   def exportTopic(name: String, path: String, format: String): Unit = {
     val log = topic(name)
     val df = log.read()
@@ -53,7 +54,8 @@ class Broker(spark: SparkSession, root: String) {
       case "json" | "csv" => df
         .withColumn("key", base64(col("key")))
         .withColumn("value", base64(col("value")))
-        .drop("headers") // csv/json sinks don't model maps of binary
+        .withColumn("headers",
+          to_json(transform_values(col("headers"), (_, v) => base64(v))))
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     out.write.mode("overwrite").format(format)
@@ -61,7 +63,8 @@ class Broker(spark: SparkSession, root: String) {
   }
 
   /** Import records exported by [[exportTopic]] back into a (new)
-    * topic — the file-source analog. */
+    * topic — the file-source analog. Headers decode back to
+    * map<string,binary>, so the round-trip preserves the full model. */
   def importTopic(name: String, path: String, format: String, numPartitions: Int): TopicLog = {
     val log = createTopic(name, numPartitions)
     val raw = format match {
@@ -76,6 +79,12 @@ class Broker(spark: SparkSession, root: String) {
       case _ => raw.select(
         unbase64(col("key")).as("key"),
         unbase64(col("value")).as("value"),
+        transform_values(
+          from_json(col("headers"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)),
+          (_, v) => unbase64(v)).as("headers"),
         col("ts").cast("timestamp").as("ts"))
     }
     log.produce(records)
