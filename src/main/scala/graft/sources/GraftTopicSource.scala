@@ -23,6 +23,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,7 +73,7 @@ class GraftTopicTable(topicDir: String) extends Table with SupportsRead {
   override def name(): String = s"graft_topic($topicDir)"
   override def schema(): StructType = graft.streaming.TopicLog.readSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTopicScanBuilder(topicDir)
 }
@@ -117,6 +118,8 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftTopicMicroBatchStream(topicDir, required)
   override def description(): String =
     s"GraftTopicScan $topicDir PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
@@ -179,12 +182,75 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
     GraftTopicReaderFactory(required, offsetBounds)
 }
 
-case class GraftTopicInputPartition(file: String, partition: Int) extends InputPartition
+case class GraftTopicInputPartition(file: String, partition: Int,
+    boundsOverride: Option[OffsetBounds] = None) extends InputPartition
 
 case class GraftTopicReaderFactory(required: StructType, bounds: OffsetBounds)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftTopicFileReader(p.asInstanceOf[GraftTopicInputPartition], required, bounds)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftTopicInputPartition]
+    new GraftTopicFileReader(part, required, part.boundsOverride.getOrElse(bounds))
+  }
+}
+
+/** Streaming consume of a topic as a DSv2 micro-batch source: stream
+  * offsets ARE the topic's per-partition log-end offsets (read from
+  * the committed manifest, so uncommitted/orphaned files can never
+  * enter a batch). Each micro-batch covers [startEnds, endEnds) per
+  * partition, planned as the partition's files with the offset range
+  * pushed into the per-file readers (row-group stats skip files that
+  * predate the range). Starts from earliest (offset 0), like
+  * auto.offset.reset=earliest. */
+class GraftTopicMicroBatchStream(topicDir: String, required: StructType)
+    extends MicroBatchStream {
+
+  import graft.streaming.TopicLog
+
+  private def ends(): Map[Int, Long] =
+    TopicLog.manifestEnds(topicDir).getOrElse(Map.empty)
+
+  override def initialOffset(): StreamOffset =
+    GraftTopicStreamOffset(ends().map { case (p, _) => p -> 0L })
+
+  override def latestOffset(): StreamOffset = GraftTopicStreamOffset(ends())
+
+  override def deserializeOffset(json: String): StreamOffset =
+    GraftTopicStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: StreamOffset,
+      end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftTopicStreamOffset].ends
+    val e = end.asInstanceOf[GraftTopicStreamOffset].ends
+    val files = TopicLog.manifestFiles(topicDir).getOrElse(Seq.empty)
+    val dataDir = Paths.get(topicDir, "data")
+    files.sorted.flatMap { rel =>
+      val p = rel.takeWhile(_ != '/').stripPrefix("partition=").toInt
+      val lo = s.getOrElse(p, 0L)
+      val hi = e.getOrElse(p, 0L) - 1 // inclusive upper bound
+      if (hi < lo) None
+      else Some(GraftTopicInputPartition(dataDir.resolve(rel).toString, p,
+        Some(OffsetBounds(lo, hi))): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftTopicReaderFactory(required, OffsetBounds(Long.MinValue, Long.MaxValue))
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Per-partition log-end offsets as a stream offset. JSON form is the
+  * flat {"partition":end} map. */
+case class GraftTopicStreamOffset(ends: Map[Int, Long]) extends StreamOffset {
+  override def json(): String =
+    ends.toSeq.sorted.map { case (p, e) => s""""$p":$e""" }.mkString("{", ",", "}")
+}
+
+object GraftTopicStreamOffset {
+  def fromJson(s: String): GraftTopicStreamOffset =
+    GraftTopicStreamOffset("\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
 }
 
 /** Per-file reader: parquet-mr Group reader with the projection

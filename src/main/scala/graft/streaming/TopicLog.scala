@@ -58,11 +58,11 @@ class TopicLog private (
   /** Test hook: simulate a crash after data files land in the live
     * tree but before the manifest commit (the window the manifest
     * protocol exists to make safe). */
-  private[streaming] var failpointBeforeCommit: Boolean = false
+  private[graft] var failpointBeforeCommit: Boolean = false
 
   /** Test hook: runs between staging-move and manifest commit —
     * lets a spec interleave a competing producer deterministically. */
-  private[streaming] var interleaveHook: () => Unit = () => ()
+  private[graft] var interleaveHook: () => Unit = () => ()
 
   /** Produce: route records to partitions, assign per-partition
     * monotonic offsets continuing from the log end, append atomically.
@@ -479,9 +479,10 @@ object TopicLog {
     Manifest(version, files, ends, lastBatch)
   }
 
-  /** Manifest-listed files of a topic, for manifest-aware readers
-    * (the graft-topic DataSource); None for pre-manifest topics. */
-  private[graft] def manifestFiles(topicDir: String): Option[Seq[String]] = {
+  /** Latest committed manifest of a topic by path, for manifest-aware
+    * readers (the graft-topic DataSource); None for pre-manifest
+    * topics. */
+  private[graft] def latestManifest(topicDir: String): Option[Manifest] = {
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(s"$topicDir/_manifests")
     if (!Files.exists(dir)) None
@@ -492,9 +493,15 @@ object TopicLog {
           s.stripPrefix("v").stripSuffix(".json").toLong }
         .toSeq
       versions.maxOption.map(v =>
-        parseManifest(Files.readString(dir.resolve(s"v$v.json"))).files)
+        parseManifest(Files.readString(dir.resolve(s"v$v.json"))))
     }
   }
+
+  private[graft] def manifestFiles(topicDir: String): Option[Seq[String]] =
+    latestManifest(topicDir).map(_.files)
+
+  private[graft] def manifestEnds(topicDir: String): Option[Map[Int, Long]] =
+    latestManifest(topicDir).map(_.ends)
 
   /** Kafka record model (key, value, headers, timestamp) + log
     * coordinates (partition, offset). */
