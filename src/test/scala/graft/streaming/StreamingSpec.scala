@@ -138,6 +138,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state-store dedup suppresses duplicates beyond any watermark horizon") {
+    // dropDuplicatesWithinWatermark forgets keys once the watermark
+    // passes; a per-key state store never does — the idempotent
+    // consumer for ids that can reappear arbitrarily late. State is
+    // one boolean per key, partitioned by the shuffle on the key —
+    // the 100 TB shape is bounded state per key, not a global set.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)] // (event_id, payload)
+    val deduped = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+    val q = deduped.toDF("event_id", "payload")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_dedup_state")
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      // the duplicate arrives MANY batches later — far beyond any
+      // plausible watermark horizon — and is still suppressed
+      (0 until 5).foreach { i => mem.addData((100L + i, s"f$i")); q.processAllAvailable() }
+      mem.addData((1L, "a-dup-much-later"), (2L, "b-dup"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_dedup_state").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._1).distinct.length === rows.length, "duplicate ids delivered")
+      assert(rows.count(_._1 == 1L) === 1)
+      assert(rows.find(_._1 == 1L).get._2 === "a", "first occurrence must win")
+      assert(rows.length === 8) // ids 1,2,3,100..104
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-key state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
