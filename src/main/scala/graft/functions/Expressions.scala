@@ -26,6 +26,71 @@ object GraftExpressions {
 
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
+
+  def argMaxCell(vec: Column, norm: Column, codebook: CellCodebook): Column =
+    ExpressionUtils.column(ArgMaxCellExpr(ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(norm), codebook))
+}
+
+/** A coarse-quantizer codebook in columnar form: cell ids, centroid
+  * vectors, and their precomputed L2 norms (sorted by cell id). */
+case class CellCodebook(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double])
+
+/** Nearest-codebook-cell assignment:
+  * argmax_j round(dot(v, c_j) / (|v|·|c_j|), 6), ties to the smallest
+  * cell id (iteration order is ascending ids + strict improvement).
+  * One tight loop over the broadcast codebook — constant generated-
+  * code size in the number of cells, unlike C inlined dot-product
+  * expressions whose codegen compile time grows with the codebook. */
+case class ArgMaxCellExpr(vec: Expression, norm: Expression,
+    codebook: CellCodebook) extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, norm.dataType) match {
+    case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_argmax_cell expects (array<double>, double), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_argmax_cell"
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    ArgMaxCellExpr.compute(v.asInstanceOf[ArrayData], n.asInstanceOf[Double], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook,
+      classOf[CellCodebook].getName)
+    val am = ArgMaxCellExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (v, n) => s"${ev.value} = $am.compute($v, $n, $cb);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, norm = r)
+}
+
+object ArgMaxCellExpr {
+  /** Same arithmetic as the relational formulation the oracle mirrors:
+    * sequential left-fold dot, sim = round(dot/(n·cn), 6) with
+    * HALF_UP (identical to Spark's round), max sim / min cell. */
+  def compute(v: ArrayData, n: Double, cb: CellCodebook): Long = {
+    var best = -1L
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < cb.ids.length) {
+      val cv = cb.vecs(j)
+      var s = 0.0
+      var d = 0
+      val len = math.min(v.numElements(), cv.length)
+      while (d < len) { s += v.getDouble(d) * cv(d); d += 1 }
+      val sim = new java.math.BigDecimal(s / (n * cb.norms(j)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (sim > bestSim) { bestSim = sim; best = cb.ids(j) }
+      j += 1
+    }
+    best
+  }
 }
 
 /** Sequential-left-fold dot product over two double arrays.

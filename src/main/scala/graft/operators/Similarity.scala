@@ -127,15 +127,12 @@ object Similarity {
     val codebook = centroids.select("cell", "cv", "cn").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
-    val cellStructs = array(codebook.map { case (cell, cv, cn) =>
-      struct(
-        round(dot(col("v"), typedLit(cv)) / (col("n") * lit(cn)), 6).as("sim"),
-        lit(-cell).as("negcell"))
-    }: _*)
+    val cb = graft.functions.CellCodebook(codebook.map(_._1),
+      codebook.map(_._2.toArray), codebook.map(_._3))
     val assigned = e
-      .withColumn("best", array_max(cellStructs))
-      .select(col("vec_id"), col("label"), col("v"), col("n"),
-        (-col("best.negcell")).as("cell"))
+      .withColumn("cell",
+        graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
+      .select("vec_id", "label", "v", "n", "cell")
     // queries probe their nprobe=2 nearest cells
     val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cell").asc)
     val probes = e.filter(col("vec_id") < 5)
