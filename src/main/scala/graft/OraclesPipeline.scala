@@ -224,6 +224,41 @@ object OraclesPipeline {
          |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin,
 
+    "ann_range_search" ->
+      s"""WITH e AS ($embDouble),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |s AS (SELECT qid, vec_id, ${cosR("qv", "v")} AS cos_sim FROM c CROSS JOIN q)
+         |SELECT qid, vec_id, cos_sim FROM s WHERE cos_sim >= 0.3
+         |ORDER BY qid, vec_id""".stripMargin,
+
+    "emb_quantize_int8" ->
+      s"""WITH e AS ($embDouble),
+         |b AS (SELECT vec_id, label, v,
+         |        list_min(v) AS mn, list_max(v) AS mx,
+         |        CASE WHEN list_max(v) = list_min(v) THEN CAST(1.0 AS DOUBLE)
+         |             ELSE (list_max(v) - list_min(v)) / 255.0 END AS scale
+         |      FROM e),
+         |qz AS (SELECT vec_id, label, v, mn, mx, scale,
+         |         list_transform(v, x -> CAST(round((x - mn) / scale, 0) AS INTEGER)) AS q
+         |       FROM b)
+         |SELECT vec_id, label, round(mn, 6) AS mn, round(mx, 6) AS mx,
+         |  round(list_max(list_transform(generate_series(1, len(v)),
+         |    i -> abs(v[i] - (mn + q[i] * scale)))), 6) AS max_abs_err,
+         |  CAST(len(list_filter(q, c -> c = 0 OR c = 255)) AS INTEGER) AS n_sat
+         |FROM qz ORDER BY vec_id""".stripMargin,
+
+    "text_rare_tokens" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+        |perdoc AS (SELECT doc_id, COUNT(*) AS n_distinct_tokens,
+        |             COUNT(CASE WHEN df <= 2 THEN 1 END) AS n_rare
+        |           FROM tok JOIN dfreq USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_distinct_tokens, n_rare,
+        |  round(CAST(n_rare AS DOUBLE) / n_distinct_tokens, 6) AS rare_ratio
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
+
     "knn_pairs" ->
       s"""WITH e AS ($embDouble),
          |p AS (SELECT vec_id AS qid, label, v AS qv FROM e WHERE vec_id < 50),

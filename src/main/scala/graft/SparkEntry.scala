@@ -67,6 +67,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.textLangid _,
     "text_fingerprint" -> TextAnalysis.textFingerprint _,
     "text_ngram_stats" -> TextAnalysis.textNgramStats _,
+    "text_rare_tokens" -> TextAnalysis.textRareTokens _,
     // §2c deduplication
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_exact_normalized" -> Dedup.dedupExactNormalized _,
@@ -78,6 +79,8 @@ object SparkEntry {
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
     "ann_lsh_topk" -> Similarity.annLshTopk _,
     "ann_ivf_topk" -> Similarity.annIvfTopk _,
+    "ann_range_search" -> Similarity.annRangeSearch _,
+    "emb_quantize_int8" -> Similarity.embQuantizeInt8 _,
     "knn_pairs" -> Similarity.knnPairs _,
     // §2f multimodal plumbing (decode stubbed)
     "mm_features" -> Multimodal.mmFeatures _,

@@ -43,6 +43,45 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Cosine range search: every corpus vector within cosine ≥ τ of a
+    * query vector (the "find all near neighbors" form of ANN — dedup
+    * candidate generation and retrieval-recall audits use this rather
+    * than top-k). Same scan shape as the brute-force baseline: queries
+    * broadcast, corpus streams partition-local, no shuffle of the big
+    * side. */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select("qid", "vec_id", "cos_sim")
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Int8 embedding quantization (per-vector affine min/max codec) +
+    * reconstruction-error audit: the storage-reduction step a 100 TB
+    * embedding corpus applies before ANN serving. Map-side only —
+    * every column derives from the row's own vector; the only
+    * per-element lambdas are in this audit query, not a hot path. */
+  def embQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("scale",
+        when(col("mx") === col("mn"), lit(1.0)).otherwise((col("mx") - col("mn")) / 255.0))
+      .withColumn("q", transform(col("v"),
+        x => round((x - col("mn")) / col("scale"), 0).cast("int")))
+      .withColumn("max_abs_err", round(array_max(zip_with(col("v"), col("q"),
+        (x, qi) => abs(x - (col("mn") + qi * col("scale"))))), 6))
+      .withColumn("n_sat", size(filter(col("q"), c => c === 0 || c === 255)))
+      .select(col("vec_id"), col("label"), round(col("mn"), 6).as("mn"),
+        round(col("mx"), 6).as("mx"), col("max_abs_err"), col("n_sat"))
+      .orderBy("vec_id")
+
   /** k-NN pairs: nearest same-label neighbor for each probe vector. */
   def knnPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)

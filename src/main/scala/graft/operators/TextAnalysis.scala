@@ -54,6 +54,27 @@ object TextAnalysis {
         graft.functions.GraftExpressions.rollingHash(lower(trim(col("text")))).as("fp"))
       .orderBy("doc_id")
 
+  /** Rare-token profile per document: distinct tokens whose CORPUS
+    * document frequency is ≤ 2 (misspellings, ids, boilerplate noise —
+    * a common quality / contamination signal). Integer counts + one
+    * final division keep the oracle exact. Scale shape: explode →
+    * distinct → two hash aggs + a high-cardinality token join. */
+  def textRareTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_distinct_tokens"))
+    val rare = toks.join(dfreq.filter(col("df") <= 2), "tok")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    perDoc.join(rare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        round(coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_distinct_tokens"), 6)
+          .as("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus n-gram stats: top-20 word trigrams (gram rows via the
     * codegen'd posexplode+lead path — see Dedup.gramRows). */
   def textNgramStats(spark: SparkSession, dir: String): DataFrame =
