@@ -210,6 +210,27 @@ object OraclesPipeline {
          |SELECT qid, rank, vec_id, cos_sim, cell FROM r WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin,
 
+    // frame pipeline: 256-byte chunks, every 2nd frame, subsample to
+    // 128 bytes via truncating index map (i*len)//128, integer
+    // features over the resized bytes — mirrors Multimodal.frameSample
+    // + resizeStub exactly (ASCII corpus: ascii() == byte)
+    "mm_frame_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, fi AS frame_idx,
+        |    substr(text, CAST(fi * 256 + 1 AS INT), 256) AS chunk
+        |  FROM documents,
+        |    UNNEST(generate_series(0, CAST(ceil(strlen(text) / 256.0) AS BIGINT) - 1)) AS t(fi)
+        |  WHERE fi % 2 = 0),
+        |r AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(generate_series(0, 127), i ->
+        |      CAST(ascii(substr(chunk, CAST((i * strlen(chunk)) // 128 AS INT) + 1, 1)) AS BIGINT)) AS rb
+        |  FROM f)
+        |SELECT doc_id, frame_idx, CAST(list_sum(rb) AS BIGINT) AS byte_sum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), rb),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+        |FROM r ORDER BY doc_id, frame_idx""".stripMargin,
+
     "ann_lsh_topk" ->
       s"""WITH e AS ($embDouble),
          |b AS ($signBucket FROM e),

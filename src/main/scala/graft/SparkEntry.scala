@@ -84,6 +84,7 @@ object SparkEntry {
     "knn_pairs" -> Similarity.knnPairs _,
     // §2f multimodal plumbing (decode stubbed)
     "mm_features" -> Multimodal.mmFeatures _,
+    "mm_frame_pipeline" -> Multimodal.mmFramePipeline _,
     // §2g end-to-end training-data pipeline compositions
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "pipeline_train_test_split" -> Pipeline.trainTestSplit _,

@@ -141,4 +141,28 @@ object Multimodal {
         width = targetW, height = targetH))
     }
   }
+
+  /** §2f query: the full frame pipeline — sample every 2nd 256-byte
+    * frame, resize to 16×8, emit per-frame integer features (byte sum
+    * + rolling checksum over the RESIZED bytes). Every stage is the
+    * real batched plumbing ([[frameSample]] → [[resizeFrames]] → map);
+    * the arithmetic is integer-exact, so the whole pipeline carries a
+    * DuckDB oracle (the chunking and subsampling reproduce in SQL).
+    * No shuffle anywhere — frames inherit the scan partitioning. */
+  def mmFramePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val resized = resizeFrames(
+      frameSample(asMediaRecords(spark, dir), everyN = 2, frameSize = 256),
+      targetW = 16, targetH = 8)
+    import resized.sparkSession.implicits._
+    resized.map { f =>
+      var sum = 0L
+      var h = 0L
+      f.frame_bytes.foreach { b =>
+        sum += (b & 0xFF)
+        h = (h * 31 + (b & 0xFF)) % 1000000007L
+      }
+      (f.doc_id, f.frame_idx.toLong, sum, h)
+    }.toDF("doc_id", "frame_idx", "byte_sum", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -169,8 +169,13 @@ class TopicLog private (
     }
   }
 
-  /** Remove data files no manifest references (crash leftovers). */
-  def vacuum(): Int = {
+  /** Remove data files no manifest references (crash leftovers), and
+    * retire manifest versions older than the newest `keepManifests`.
+    * Each manifest is a SELF-CONTAINED snapshot (full file list +
+    * ends), so old versions exist only for CAS ordering — a writer
+    * holding a retired base version simply conflicts against the
+    * current one, exactly as it would have anyway. */
+  def vacuum(keepManifests: Int = 10): Int = {
     import scala.jdk.CollectionConverters._
     val live = currentManifest().map(_.files.toSet).getOrElse(return 0)
     val dd = Paths.get(dataDir)
@@ -179,6 +184,13 @@ class TopicLog private (
       .filter(f => f.toString.endsWith(".parquet") && !live.contains(dd.relativize(f).toString))
       .toList
     orphans.foreach(Files.delete)
+    val versions = Files.list(manifestsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+    versions.dropRight(math.max(keepManifests, 1))
+      .foreach(v => Files.deleteIfExists(manifestsDir.resolve(s"v$v.json")))
     orphans.size
   }
 

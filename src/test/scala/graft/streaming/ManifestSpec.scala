@@ -101,6 +101,22 @@ class ManifestSpec extends AnyFunSuite {
     assert(log.read().count() === 60)
   }
 
+  test("vacuum retires old manifest versions but never the current one") {
+    val log = newLog()
+    (0 until 15).foreach(i => log.produce(records(i * 4 until i * 4 + 4), part))
+    val before = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"${log.topicDir}/_manifests")).count()
+    assert(before >= 15)
+    log.vacuum(keepManifests = 3)
+    val after = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"${log.topicDir}/_manifests")).count()
+    assert(after === 3)
+    // the topic remains fully readable and appendable
+    assert(log.read().count() === 60)
+    log.produce(records(60 until 64), part)
+    assert(log.read().count() === 64)
+  }
+
   test("compaction and retention keep the manifest coherent") {
     val log = newLog()
     log.produce(records(0 until 100), part) // keys i % 10 → 10 distinct keys
