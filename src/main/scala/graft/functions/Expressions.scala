@@ -30,6 +30,57 @@ object GraftExpressions {
   def argMaxCell(vec: Column, norm: Column, codebook: CellCodebook): Column =
     ExpressionUtils.column(ArgMaxCellExpr(ExpressionUtils.expression(vec),
       ExpressionUtils.expression(norm), codebook))
+
+  def wordNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordNgramsExpr(ExpressionUtils.expression(text), n))
+}
+
+/** All word n-grams of a space-split string, in order, duplicates
+  * kept — one pass, map-side, codegen. Token semantics are identical
+  * to `split(text, " ")` (single-space regex, trailing empties kept)
+  * + `concat_ws(" ", ...)`, which is what the posexplode+lead
+  * formulation it replaces used — but with NO shuffle: gram
+  * generation needed a window (shuffle by doc) only to stitch
+  * neighbors back together after explode. */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_word_ngrams expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramsExpr.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = WordNgramsExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $g.grams($c, $n);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordNgramsExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  def grams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.split(Space, -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var g = toks(i)
+      var k = 1
+      while (k < n) { g = UTF8String.concat(g, Space, toks(i + k)); k += 1 }
+      out(i) = g
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** A coarse-quantizer codebook in columnar form: cell ids, centroid

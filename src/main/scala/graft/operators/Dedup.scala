@@ -35,23 +35,20 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("keeper")
 
-  /** Word-3-gram ROWS per doc via posexplode + window lead — stays in
-    * whole-stage codegen, unlike higher-order-function array
-    * building whose lambdas evaluate interpreted per element (~10×
-    * slower at sf0.1). One shuffle by doc_id. */
+  /** Word-3-gram ROWS per doc via the native codegen
+    * [[graft.functions.WordNgramsExpr]] + explode — a pure MAP-SIDE
+    * projection, zero shuffles. (History: round 1 used posexplode +
+    * window lead, which shuffled every token row by doc_id just to
+    * stitch neighbors back together; the higher-order-function array
+    * form before that evaluated its lambdas interpreted, ~10× slower
+    * at sf0.1. The native expression gets both: codegen AND no
+    * shuffle.) */
   private[operators] def gramRows(spark: SparkSession, dir: String,
       lowercase: Boolean): DataFrame = {
     val txt = if (lowercase) lower(col("text")) else col("text")
-    val base = t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), expr("n_chars DIV 10").as("bucket"),
-        posexplode(split(txt, " ")).as(Seq("pos", "w")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    base
-      .withColumn("w1", lead("w", 1).over(win))
-      .withColumn("w2", lead("w", 2).over(win))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("lang"), col("bucket"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
+        explode(graft.functions.GraftExpressions.wordNgrams(txt, 3)).as("sh"))
   }
 
   /** Max document frequency for a gram to generate candidate pairs.

@@ -82,4 +82,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(parts.forall(p => p >= 0 && p < 12))
     assert(parts.distinct.length > 1)
   }
+
+  test("WordNgramsExpr matches the builtin split+concat_ws formulation exactly") {
+    import graft.functions.TextFunctions
+    val fixtures = Seq(
+      "the quick brown fox jumps",
+      "a b",                       // fewer tokens than n
+      "one two three",             // exactly n
+      "double  space between",     // empty token kept, as split(" ") does
+      "trailing space ",           // trailing empty token kept
+      " leading",                  // leading empty token
+      "x")
+    val df = fixtures.toDF("text")
+    val rows = df.select(
+      GraftExpressions.wordNgrams(col("text"), 3).as("native"),
+      TextFunctions.wordNgrams(col("text"), 3).as("hof")).collect()
+    rows.zip(fixtures).foreach { case (r, fx) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"mismatch on '$fx'")
+    }
+    // duplicates preserved in order
+    val dup = Seq("a b a b a b").toDF("text")
+      .select(GraftExpressions.wordNgrams(col("text"), 3).as("g")).collect()(0).getSeq[String](0)
+    assert(dup === Seq("a b a", "b a b", "a b a", "b a b"))
+  }
 }
