@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 TableCatalog over a topic root directory — the Metadata /
+  * CreateTopics / DeleteTopics API surface as a Spark catalog (ref:
+  * pkg/kafka/kafka_api.go dispatch; Metadata + topic management are
+  * the reference's roadmap APIs):
+  *
+  * {{{
+  *   spark.sql.catalog.graft       = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root  = /data/topics
+  *
+  *   SHOW TABLES IN graft;
+  *   SELECT count(*) FROM graft.clicks WHERE partition = 3;
+  *   CREATE TABLE graft.audit TBLPROPERTIES ('partitions'='16');
+  *   DROP TABLE graft.clicks;
+  * }}}
+  *
+  * Every table is a [[GraftTopicTable]], so SQL reads get the same
+  * partition/offset pushdown as `spark.read.format("graft-topic")`.
+  * Writes go through the `TopicLog.produce` API (offset assignment
+  * and the manifest commit protocol are produce-side concerns, not
+  * blind appends — same reason Kafka has no "INSERT INTO topic").
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.root=<topics dir>")
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Array.empty
+    else Files.list(p).iterator().asScala
+      .filter(d => Files.exists(d.resolve("_meta.json")))
+      .map(d => Identifier.of(namespace, d.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    graft.streaming.TopicLog.exists(root, ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new GraftTopicTable(s"$root/${ident.name}")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(schema.isEmpty || schema == graft.streaming.TopicLog.readSchema,
+      "graft topics have a fixed record schema; omit the column list")
+    val n = Option(properties.get("partitions")).map(_.toInt).getOrElse(8)
+    // no SparkSession needed just to lay out the dirs — mirror
+    // TopicLog.create's on-disk contract
+    val dir = Paths.get(s"$root/${ident.name}")
+    require(!Files.exists(dir.resolve("_meta.json")), s"topic ${ident.name} already exists")
+    Files.createDirectories(dir)
+    Files.createDirectories(dir.resolve("_groups"))
+    Files.writeString(dir.resolve("_meta.json"), s"""{"numPartitions":$n}""")
+    new GraftTopicTable(dir.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft topics are append-only logs; there is nothing to alter")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else { graft.streaming.TopicLog.drop(root, ident.name); true }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(tableExists(oldIdent), s"no topic ${oldIdent.name}")
+    require(!tableExists(newIdent), s"topic ${newIdent.name} already exists")
+    Files.move(Paths.get(s"$root/${oldIdent.name}"), Paths.get(s"$root/${newIdent.name}"))
+  }
+}
