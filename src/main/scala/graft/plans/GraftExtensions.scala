@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, MinHashAggExpr, Murmur2Expr, RollingHashExpr, SimHash64Expr}
+import graft.functions.{DotProductExpr, MinHashAggExpr, Murmur2Expr, RollingHashExpr, SimHash64Expr, WordNgramsExpr}
 
 /** SQL surface for graft's native expressions.
   *
@@ -40,6 +40,10 @@ object GraftFunctions {
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64Expr(es.head)),
+    ("graft_word_ngrams",
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_word_ngrams"),
+      (es: Seq[Expression]) => WordNgramsExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashAggExpr].getName, "graft_minhash"),
       (es: Seq[Expression]) => {

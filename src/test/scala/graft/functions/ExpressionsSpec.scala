@@ -63,6 +63,8 @@ class ExpressionsSpec extends AnyFunSuite {
     val sh = spark.sql("SELECT graft_simhash64(array('spark', 'graft')) AS s").collect()(0).getLong(0)
     val sh2 = spark.sql("SELECT graft_simhash64(array('spark', 'graft')) AS s").collect()(0).getLong(0)
     assert(sh === sh2)
+    val ng = spark.sql("SELECT graft_word_ngrams('a b c d', 3) AS g").collect()(0).getSeq[String](0)
+    assert(ng === Seq("a b c", "b c d"))
     val sig = spark.sql(
       """SELECT id, graft_minhash(sh, 8) AS sig FROM VALUES
         |  (1, 'aa'), (1, 'bb'), (2, 'aa') AS t(id, sh)
