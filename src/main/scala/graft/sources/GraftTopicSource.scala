@@ -23,7 +23,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,14 +75,17 @@ class GraftTopicTable(topicDir: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTopicScanBuilder(topicDir)
+    new GraftTopicScanBuilder(topicDir, options)
 }
 
-class GraftTopicScanBuilder(topicDir: String) extends ScanBuilder
+class GraftTopicScanBuilder(topicDir: String,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = graft.streaming.TopicLog.readSchema
   private var pushed: Array[Filter] = Array.empty
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
 
   // what the scan can enforce EXACTLY: partition dir pruning handles
   // comparisons + In; offset handles range comparisons (In on offset
@@ -104,7 +107,7 @@ class GraftTopicScanBuilder(topicDir: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = GraftTopicScan(topicDir, required, pushed)
+  override def build(): Scan = GraftTopicScan(topicDir, required, pushed, maxPerTrigger)
 }
 
 /** Inclusive offset bounds compiled from the pushed filters — the
@@ -113,13 +116,14 @@ case class OffsetBounds(lower: Long, upper: Long) {
   def isTrivial: Boolean = lower == Long.MinValue && upper == Long.MaxValue
 }
 
-case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[Filter])
+case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[Filter],
+    maxPerTrigger: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTopicMicroBatchStream(topicDir, required)
+    new GraftTopicMicroBatchStream(topicDir, required, maxPerTrigger)
   override def description(): String =
     s"GraftTopicScan $topicDir PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
@@ -201,8 +205,9 @@ case class GraftTopicReaderFactory(required: StructType, bounds: OffsetBounds)
   * pushed into the per-file readers (row-group stats skip files that
   * predate the range). Starts from earliest (offset 0), like
   * auto.offset.reset=earliest. */
-class GraftTopicMicroBatchStream(topicDir: String, required: StructType)
-    extends MicroBatchStream {
+class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
+    maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   import graft.streaming.TopicLog
 
@@ -213,6 +218,30 @@ class GraftTopicMicroBatchStream(topicDir: String, required: StructType)
     GraftTopicStreamOffset(ends().map { case (p, _) => p -> 0L })
 
   override def latestOffset(): StreamOffset = GraftTopicStreamOffset(ends())
+
+  /** Admission control: `maxOffsetsPerTrigger` caps how far a single
+    * micro-batch may advance, summed across partitions (allocated in
+    * partition order) — bounded batches under backlog, like the Kafka
+    * source's option of the same name. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val cur = ends()
+    limit match {
+      case mr: ReadMaxRows =>
+        val s = start.asInstanceOf[GraftTopicStreamOffset].ends
+        var budget = mr.maxRows()
+        val capped = cur.toSeq.sortBy(_._1).map { case (p, end) =>
+          val lo = s.getOrElse(p, 0L)
+          val adv = math.max(0L, math.min(end - lo, budget))
+          budget -= adv
+          p -> (lo + adv)
+        }.toMap
+        GraftTopicStreamOffset(capped)
+      case _ => GraftTopicStreamOffset(cur)
+    }
+  }
 
   override def deserializeOffset(json: String): StreamOffset =
     GraftTopicStreamOffset.fromJson(json)

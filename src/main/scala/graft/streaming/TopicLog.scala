@@ -357,6 +357,15 @@ class TopicLog private (
   def expire(olderThan: java.sql.Timestamp): Unit =
     rewrite(_.filter(col("ts") >= lit(olderThan)))
 
+  /** Small-file compaction: rewrite the log's CONTENT-IDENTICAL data
+    * into one coalesced, offset-sorted file set per partition and
+    * re-point the manifest. Frequent small produces accumulate one
+    * file per produce per partition — the classic small-file problem;
+    * at 100 TB this runs per partition with no shuffle (partitionBy
+    * write preserves the dir layout) on whatever cadence the operator
+    * chooses. Offsets, records, and log-ends are unchanged. */
+  def compactFiles(): Unit = rewrite(identity)
+
   /** DeleteRecords analog: truncate a partition's log below the given
     * offset (records with offset < beforeOffset are removed; offsets
     * of survivors are untouched, as in Kafka). */

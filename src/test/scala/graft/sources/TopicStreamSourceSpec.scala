@@ -71,6 +71,29 @@ class TopicStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxOffsetsPerTrigger bounds every micro-batch under backlog") {
+    val root = Files.createTempDirectory("graft-stream-adm").toString
+    val log = TopicLog.create(spark, root, "adm", 2)
+    log.produce(records(0 until 100), Partitioners.byLongKey(2, col("i")))
+
+    val batchSizes = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", "30")
+      .load(log.topicDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/_cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batchSizes.sum === 100, s"all records delivered, got $batchSizes")
+      assert(batchSizes.forall(_ <= 30), s"a batch exceeded the cap: $batchSizes")
+      assert(batchSizes.count(_ > 0) >= 4, s"backlog must split into batches: $batchSizes")
+    } finally q.stop()
+  }
+
   test("stream offset json round-trips") {
     val o = GraftTopicStreamOffset(Map(0 -> 25L, 3 -> 7L))
     assert(GraftTopicStreamOffset.fromJson(o.json()) === o)

@@ -117,6 +117,30 @@ class ManifestSpec extends AnyFunSuite {
     assert(log.read().count() === 64)
   }
 
+  test("file compaction coalesces small produce files, content-identical") {
+    val log = newLog()
+    (0 until 12).foreach(i => log.produce(records(i * 5 until i * 5 + 5), part))
+    def fileCount: Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(log.dataDir)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    val before = log.read().orderBy("partition", "offset").collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"),
+        new String(r.getAs[Array[Byte]]("value"))))
+    val filesBefore = fileCount
+    assert(filesBefore >= 12, s"expected one file per produce per partition, got $filesBefore")
+    log.compactFiles()
+    assert(fileCount < filesBefore / 2, "compaction must coalesce files")
+    val after = log.read().orderBy("partition", "offset").collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"),
+        new String(r.getAs[Array[Byte]]("value"))))
+    assert(after === before, "compaction changed the data")
+    // still appendable at the same ends
+    log.produce(records(60 until 65), part)
+    assert(log.read().count() === 65)
+  }
+
   test("compaction and retention keep the manifest coherent") {
     val log = newLog()
     log.produce(records(0 until 100), part) // keys i % 10 → 10 distinct keys
