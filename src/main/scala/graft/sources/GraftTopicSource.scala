@@ -69,13 +69,18 @@ class GraftTopicSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class GraftTopicTable(topicDir: String) extends Table with SupportsRead {
+class GraftTopicTable(topicDir: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_topic($topicDir)"
   override def schema(): StructType = graft.streaming.TopicLog.readSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTopicScanBuilder(topicDir, options)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftTopicWriteBuilder(topicDir, info)
 }
 
 class GraftTopicScanBuilder(topicDir: String,

@@ -51,6 +51,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!TopicLog.exists(root, "audit"))
   }
 
+  test("INSERT INTO runs a real produce: routing honored, offsets assigned") {
+    assert(root.nonEmpty)
+    spark.sql("CREATE TABLE graft.ins TBLPROPERTIES ('partitions'='4')")
+    // offset values in the INSERT are placeholders — the log assigns
+    // real coordinates, like a broker ignoring producer offsets
+    spark.sql(
+      """INSERT INTO graft.ins
+        |SELECT cast(cast(id AS string) AS binary) AS key,
+        |       cast(concat('p', id) AS binary) AS value,
+        |       map('h', cast('x' AS binary)) AS headers,
+        |       current_timestamp() AS ts,
+        |       cast(id % 4 AS int) AS partition,
+        |       cast(999 AS bigint) AS offset
+        |FROM range(0, 40)""".stripMargin)
+    val rows = spark.sql(
+      "SELECT partition, offset FROM graft.ins ORDER BY partition, offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.length === 40)
+    // routing: id % 4 → 10 records per partition; offsets contiguous from 0
+    (0 until 4).foreach { p =>
+      assert(rows.filter(_._1 == p).map(_._2).toSeq === (0L until 10L), s"partition $p")
+    }
+    // a second INSERT continues each partition's log end
+    spark.sql(
+      """INSERT INTO graft.ins
+        |SELECT cast('k' AS binary), cast('v' AS binary), map('h', cast('y' AS binary)),
+        |       current_timestamp(), cast(1 AS int), cast(0 AS bigint)
+        |FROM range(0, 3)""".stripMargin)
+    val p1 = spark.sql("SELECT offset FROM graft.ins WHERE partition = 1 ORDER BY offset")
+      .collect().map(_.getLong(0))
+    assert(p1.toSeq === (0L until 13L))
+    // headers survived the staged write
+    val h = spark.sql(
+      "SELECT cast(headers['h'] AS string) FROM graft.ins WHERE partition = 0 LIMIT 1")
+      .collect()(0).getString(0)
+    assert(h === "x")
+    spark.sql("DROP TABLE graft.ins")
+  }
+
   test("reads through SQL see the manifest snapshot, not orphans") {
     assert(root.nonEmpty)
     val log = TopicLog.open(spark, root, "clicks")
