@@ -97,18 +97,30 @@ class TopicLog private (
     val baseDf = spark.createDataFrame(
       (0 until numPartitions).map(i => (i, base.getOrElse(i, 0L)))).toDF("partition", "base")
     val w = Window.partitionBy("partition").orderBy("_seq")
+    // LEFT join: a partitioner routing outside [0, numPartitions) gets
+    // a null base, which the count below turns into an error — an
+    // inner join would silently LOSE those records (Kafka errors such
+    // produce requests too)
     val assigned = withMissing
       .withColumn("partition", p.cast(IntegerType))
       .withColumn("_seq", monotonically_increasing_id())
-      .join(broadcast(baseDf), "partition")
+      .join(broadcast(baseDf), Seq("partition"), "left")
       .withColumn("offset", col("base") + row_number().over(w) - 1)
-      .select("key", "value", "headers", "ts", "partition", "offset")
+      .select("key", "value", "headers", "ts", "partition", "offset", "base")
       .persist()
     try {
-      val counts = assigned.groupBy("partition").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val counts = assigned.groupBy("partition")
+        .agg(count(lit(1)).as("n"), count(col("base")).as("routed"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val bad = counts.collect { case (part, n, routed) if routed < n => part }
+      require(bad.isEmpty,
+        s"produce routed to nonexistent partition(s) ${bad.sorted.mkString(",")} " +
+          s"(topic $topic has $numPartitions)")
+      val countsByPart = counts.map { case (part, n, _) => part -> n }.toMap
       val staging = Paths.get(s"$topicDir/_staging/${java.util.UUID.randomUUID()}")
       assigned
+        .drop("base")
         .sortWithinPartitions("offset") // offset-sorted files → row-group skipping
         .write.partitionBy("partition").parquet(staging.toString)
       val moved = moveStagedFiles(staging)
@@ -116,8 +128,8 @@ class TopicLog private (
         throw new IllegalStateException("failpoint: crash before manifest commit")
       interleaveHook()
       val newEnds = (0 until numPartitions)
-        .map(i => i -> (base.getOrElse(i, 0L) + counts.getOrElse(i, 0L))).toMap
-      commitWithRetry(m0, moved, counts.filter(_._2 > 0), newEnds, batchId)
+        .map(i => i -> (base.getOrElse(i, 0L) + countsByPart.getOrElse(i, 0L))).toMap
+      commitWithRetry(m0, moved, countsByPart.filter(_._2 > 0), newEnds, batchId)
       newEnds
     } finally assigned.unpersist()
   }

@@ -101,6 +101,18 @@ class ManifestSpec extends AnyFunSuite {
     assert(log.read().count() === 60)
   }
 
+  test("produce to a nonexistent partition fails fast, losing nothing") {
+    val log = newLog(n = 4)
+    log.produce(records(0 until 20), part)
+    // partitioner routes id 100 to partition 22 — out of range for 4
+    val err = intercept[IllegalArgumentException] {
+      log.produce(records(100 until 101), pmod(col("i"), lit(26L)).cast("int"))
+    }
+    assert(err.getMessage.contains("nonexistent partition"))
+    assert(log.read().count() === 20, "failed produce must not change the log")
+    assert(log.vacuum() === 0, "failed produce must not leave orphans")
+  }
+
   test("vacuum retires old manifest versions but never the current one") {
     val log = newLog()
     (0 until 15).foreach(i => log.produce(records(i * 4 until i * 4 + 4), part))
