@@ -43,6 +43,89 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Train an IVF codebook with k-means (Lloyd) — the learned
+    * counterpart of [[annIvfTopk]]'s deterministic sampling codebook.
+    * Fully deterministic across runs AND partitionings:
+    *  - init: every `initEvery`-th vector (no RNG);
+    *  - assignment: the broadcast-codebook [[graft.functions.ArgMaxCellExpr]]
+    *    (map-side, rounded cosine, min-cell tie-break);
+    *  - update: per-(cell, dim) sums routed through DECIMAL (exact, so
+    *    shuffle order can't change the mean bits), divided driver-side
+    *    at fixed scale. Empty cells keep their previous centroid.
+    * Each iteration is one map-side assignment + one aggregation of
+    * C×dim tiny partials — the 100 TB shape (vectors never shuffle;
+    * only per-cell sums move). */
+  private[operators] def trainKmeansCodebook(e: DataFrame, iterations: Int,
+      initEvery: Int): graft.functions.CellCodebook = {
+    import org.apache.spark.sql.types.DecimalType
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    var cells: Array[(Long, Array[Double], Double)] = e
+      .filter(col("vec_id") % initEvery === 0)
+      .select(col("vec_id"), col("v"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v, n), i) => (i.toLong, v, n) }
+    for (_ <- 1 to iterations) {
+      val cb = graft.functions.CellCodebook(cells.map(_._1), cells.map(_._2), cells.map(_._3))
+      val sums = e
+        .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast(DecimalType(30, 15))).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
+      val byCell = sums.groupBy(_._1)
+      cells = cells.map { case (cell, oldV, oldN) =>
+        byCell.get(cell) match {
+          case Some(dims) =>
+            val v = new Array[Double](oldV.length)
+            dims.foreach { case (_, dim, s, cnt) =>
+              v(dim) = s.divide(java.math.BigDecimal.valueOf(cnt),
+                15, java.math.RoundingMode.HALF_UP).doubleValue()
+            }
+            (cell, v, norm(v))
+          case None => (cell, oldV, oldN) // empty cell: keep centroid
+        }
+      }
+    }
+    graft.functions.CellCodebook(cells.map(_._1), cells.map(_._2), cells.map(_._3))
+  }
+
+  /** IVF top-k over a LEARNED k-means codebook (3 Lloyd iterations).
+    * Rows-only (iterative double means aren't portably expressible in
+    * the oracle SQL); determinism + clustering quality are spec'd
+    * (KmeansIvfSpec). Query path is identical in shape to
+    * [[annIvfTopk]]: map-side assignment, broadcast probes. */
+  def annIvfKmeansTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cb = trainKmeansCodebook(e, iterations = 3, initEvery = 100)
+    val assigned = e
+      .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
+      .select("vec_id", "label", "v", "n", "cell")
+    val centroids = cb.ids.indices.map(i => (cb.ids(i), cb.vecs(i).toSeq, cb.norms(i)))
+    val centroidDf = spark.createDataFrame(centroids).toDF("cell", "cv", "cn")
+    val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cell").asc)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select("qid", "qv", "qn", "cell")
+    val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cos_sim", "cell")
+      .orderBy("qid", "rank")
+  }
+
   /** Cosine range search: every corpus vector within cosine ≥ τ of a
     * query vector (the "find all near neighbors" form of ANN — dedup
     * candidate generation and retrieval-recall audits use this rather

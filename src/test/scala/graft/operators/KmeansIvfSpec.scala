@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The learned k-means IVF codebook: recovers planted clusters,
+  * produces bit-identical centroids across runs and partitionings
+  * (decimal-routed means), and the top-k query retrieves from the
+  * right cell. */
+class KmeansIvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 120 vectors in 3 well-separated clusters along distinct axes;
+    * deterministic 'noise' from the index. */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-kmeans").toString
+    val vecs = (0L until 120L).map { i =>
+      val cluster = (i % 3).toInt
+      val base = Array.fill(64)(0.0f)
+      base(cluster * 20) = 10.0f
+      base((cluster * 20 + 1) % 64) = 5.0f
+      // small deterministic perturbation, different per vector
+      base((i % 7 + 40).toInt) += (i % 5).toFloat * 0.1f
+      (i, base.toSeq, cluster)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .repartition(8).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def emb = graft.Tables.t(spark, dir, "embeddings")
+    .select(col("vec_id"), col("label"),
+      graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+    .withColumn("n", graft.functions.VectorFunctions.l2Norm(col("v")))
+
+  test("training recovers the planted clusters") {
+    // initEvery=40 → initial centroids at vec_ids 0, 40, 80 (clusters 0, 1, 2)
+    val cb = Similarity.trainKmeansCodebook(emb, iterations = 3, initEvery = 40)
+    assert(cb.ids.length === 3)
+    val assigned = emb
+      .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
+      .select("label", "cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // every label maps to exactly one cell, and the three cells differ
+    val cellsPerLabel = assigned.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct }
+    assert(cellsPerLabel.values.forall(_.length == 1),
+      s"a cluster split across cells: $cellsPerLabel")
+    assert(cellsPerLabel.values.flatten.toSeq.distinct.length === 3,
+      "clusters collapsed into one cell")
+    // learned centroid dominates on its cluster's axis
+    cb.vecs.foreach { v =>
+      val top = v.indices.maxBy(v)
+      assert(Set(0, 20, 40).contains(top), s"unexpected dominant axis $top")
+    }
+  }
+
+  test("training is bit-deterministic across runs and partitionings") {
+    val cb1 = Similarity.trainKmeansCodebook(emb, iterations = 3, initEvery = 40)
+    val cb2 = Similarity.trainKmeansCodebook(emb.repartition(3), iterations = 3, initEvery = 40)
+    assert(cb1.ids.toSeq === cb2.ids.toSeq)
+    (cb1.vecs, cb2.vecs).zipped.foreach((a, b) => assert(a.toSeq === b.toSeq))
+    assert(cb1.norms.toSeq === cb2.norms.toSeq)
+  }
+
+  test("the topk query retrieves same-cluster neighbors") {
+    val r = Similarity.annIvfKmeansTopk(spark, dir).collect()
+    assert(r.nonEmpty)
+    // qids 0..4 are clusters 0,1,2,0,1; rank-1 neighbors share the cluster
+    r.filter(_.getAs[Long]("rank") == 1L).foreach { row =>
+      val qid = row.getAs[Long]("qid")
+      val nn = row.getAs[Long]("vec_id")
+      assert(nn % 3 === qid % 3, s"qid $qid rank-1 neighbor $nn from wrong cluster")
+    }
+  }
+}
