@@ -63,36 +63,39 @@ object Similarity {
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       math.sqrt(s)
     }
-    var cells: Array[(Long, Array[Double], Double)] = e
-      .filter(col("vec_id") % initEvery === 0)
-      .select(col("vec_id"), col("v"), col("n")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1).zipWithIndex
-      .map { case ((_, v, n), i) => (i.toLong, v, n) }
-    for (_ <- 1 to iterations) {
-      val cb = graft.functions.CellCodebook(cells.map(_._1), cells.map(_._2), cells.map(_._3))
-      val sums = e
-        .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(sum(col("x").cast(DecimalType(30, 15))).as("s"), count(lit(1)).as("cnt"))
+    val train = e.select(col("vec_id"), col("v"), col("n")).persist()
+    try {
+      var cells: Array[(Long, Array[Double], Double)] = train
+        .filter(col("vec_id") % initEvery === 0)
         .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
-      val byCell = sums.groupBy(_._1)
-      cells = cells.map { case (cell, oldV, oldN) =>
-        byCell.get(cell) match {
-          case Some(dims) =>
-            val v = new Array[Double](oldV.length)
-            dims.foreach { case (_, dim, s, cnt) =>
-              v(dim) = s.divide(java.math.BigDecimal.valueOf(cnt),
-                15, java.math.RoundingMode.HALF_UP).doubleValue()
-            }
-            (cell, v, norm(v))
-          case None => (cell, oldV, oldN) // empty cell: keep centroid
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, v, n), i) => (i.toLong, v, n) }
+      for (_ <- 1 to iterations) {
+        val cb = graft.functions.CellCodebook(cells.map(_._1), cells.map(_._2), cells.map(_._3))
+        val sums = train
+          .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(sum(col("x").cast(DecimalType(30, 15))).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
+        val byCell = sums.groupBy(_._1)
+        cells = cells.map { case (cell, oldV, oldN) =>
+          byCell.get(cell) match {
+            case Some(dims) =>
+              val v = new Array[Double](oldV.length)
+              dims.foreach { case (_, dim, s, cnt) =>
+                v(dim) = s.divide(java.math.BigDecimal.valueOf(cnt),
+                  15, java.math.RoundingMode.HALF_UP).doubleValue()
+              }
+              (cell, v, norm(v))
+            case None => (cell, oldV, oldN) // empty cell: keep centroid
+          }
         }
       }
-    }
-    graft.functions.CellCodebook(cells.map(_._1), cells.map(_._2), cells.map(_._3))
+      graft.functions.CellCodebook(cells.map(_._1), cells.map(_._2), cells.map(_._3))
+    } finally train.unpersist()
   }
 
   /** IVF top-k over a LEARNED k-means codebook (3 Lloyd iterations).
@@ -102,7 +105,11 @@ object Similarity {
     * [[annIvfTopk]]: map-side assignment, broadcast probes. */
   def annIvfKmeansTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cb = trainKmeansCodebook(e, iterations = 3, initEvery = 100)
+    // train on a deterministic 25% subsample — codebooks are always
+    // trained on samples at scale; the full corpus is still assigned.
+    // (initEvery=100 is divisible by the stride, so init is unchanged.)
+    val cb = trainKmeansCodebook(e.filter(col("vec_id") % 4 === 0),
+      iterations = 3, initEvery = 100)
     val assigned = e
       .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
       .select("vec_id", "label", "v", "n", "cell")
