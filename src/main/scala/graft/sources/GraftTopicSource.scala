@@ -128,7 +128,7 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTopicMicroBatchStream(topicDir, required, maxPerTrigger)
+    new GraftTopicMicroBatchStream(topicDir, required, maxPerTrigger, partitionOk)
   override def description(): String =
     s"GraftTopicScan $topicDir PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
@@ -211,7 +211,8 @@ case class GraftTopicReaderFactory(required: StructType, bounds: OffsetBounds)
   * predate the range). Starts from earliest (offset 0), like
   * auto.offset.reset=earliest. */
 class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
-    maxPerTrigger: Option[Long] = None)
+    maxPerTrigger: Option[Long] = None,
+    partitionOk: Int => Boolean = _ => true)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   import graft.streaming.TopicLog
@@ -261,7 +262,9 @@ class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
       val p = rel.takeWhile(_ != '/').stripPrefix("partition=").toInt
       val lo = s.getOrElse(p, 0L)
       val hi = e.getOrElse(p, 0L) - 1 // inclusive upper bound
-      if (hi < lo) None
+      // pushed partition predicates prune here too (Spark keeps its
+      // own residual filter on streams — this is planning-only)
+      if (hi < lo || !partitionOk(p)) None
       else Some(GraftTopicInputPartition(dataDir.resolve(rel).toString, p,
         Some(OffsetBounds(lo, hi))): InputPartition)
     }.toArray
