@@ -406,6 +406,11 @@ class TopicLog private (
     }
   }
 
+  /** Maintenance rewrites (compaction/retention/truncate/compactFiles)
+    * swap the whole data dir; they assume a single maintenance owner
+    * with no CONCURRENT PRODUCERS during the swap (Kafka's log cleaner
+    * holds the same role). Concurrent producers are safe against each
+    * other (manifest CAS), but not against a simultaneous dir swap. */
   private def rewrite(f: DataFrame => DataFrame): Unit = {
     import scala.jdk.CollectionConverters._
     val m0 = ensureManifest()
