@@ -123,10 +123,31 @@ case class OffsetBounds(lower: Long, upper: Long) {
 
 case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[Filter],
     maxPerTrigger: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Report the on-disk clustering: every input partition holds one
+    * topic-partition's rows (HasPartitionKey), so joins/aggregations
+    * keyed on `partition` skip their shuffle entirely. With Spark's
+    * v2 bucketing (on by default) this also means the TOPIC-PARTITION
+    * is the unit of scan parallelism — files of one partition read in
+    * one task, exactly the Kafka consumer model (and SURVEY §4's
+    * contract: scale parallelism by adding partitions). Only reported
+    * when the scan outputs the column. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val keys = planInputPartitions()
+      .map(_.asInstanceOf[GraftTopicInputPartition].partition).distinct
+    if (required.fieldNames.contains("partition") && keys.nonEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("partition")),
+        keys.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        math.max(keys.length, 1))
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTopicMicroBatchStream(topicDir, required, maxPerTrigger, partitionOk)
   override def description(): String =
@@ -193,6 +214,9 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
 
 case class GraftTopicInputPartition(file: String, partition: Int,
     boundsOverride: Option[OffsetBounds] = None) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(partition)
+}
 
 case class GraftTopicReaderFactory(required: StructType, bounds: OffsetBounds)
     extends PartitionReaderFactory {

@@ -58,18 +58,15 @@ class GraftTopicSourceSpec extends AnyFunSuite {
     assert(viaSource === viaParquet)
   }
 
-  test("partition pushdown prunes to one directory's files") {
+  test("partition pushdown prunes to one directory; partition = unit of parallelism") {
     val filtered = dsv2.filter(col("partition") === 2)
-    // one InputPartition per parquet file; only partition=2's files planned
-    val nFiles = Files.list(java.nio.file.Paths.get(s"$topicDir/data/partition=2"))
-      .iterator()
-    val expected = {
-      var n = 0
-      while (nFiles.hasNext) { if (nFiles.next().toString.endsWith(".parquet")) n += 1 }
-      n
-    }
-    assert(filtered.rdd.getNumPartitions === expected)
+    // the scan reports KeyGroupedPartitioning on `partition`, so Spark
+    // groups that partition's files into ONE task — the Kafka model
+    // (a partition is the unit of consume parallelism); the other
+    // three partitions' files are never planned at all
+    assert(filtered.rdd.getNumPartitions === 1)
     assert(filtered.count() === 75)
+    assert(dsv2.rdd.getNumPartitions === 4, "one task per topic-partition")
   }
 
   test("offset range pushdown is exact and appears in the plan") {
