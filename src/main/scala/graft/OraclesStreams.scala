@@ -49,6 +49,15 @@ object OraclesStreams {
          |WHERE "partition" = 3 AND "offset" >= 100 AND "offset" < 200
          |ORDER BY "offset"""".stripMargin,
 
+    "topic_partition_stats" ->
+      s"""SELECT "partition", COUNT(*) AS n_records,
+         |  MIN("offset") AS first_offset, MAX("offset") AS last_offset
+         |FROM (
+         |  SELECT CAST($part AS INTEGER) AS "partition",
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY $part ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+         |  FROM events) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "consumer_group_lag" ->
       s"""SELECT $part AS "partition",
          |  COUNT(*) AS log_end_offset,

@@ -51,6 +51,7 @@ object SparkEntry {
     "produce_offsets" -> Streams.produceOffsets _,
     "consume_fetch" -> Streams.consumeFetch _,
     "topic_fetch_pushdown" -> Streams.topicFetchPushdown _,
+    "topic_partition_stats" -> Streams.topicPartitionStats _,
     "consumer_group_lag" -> Streams.consumerGroupLag _,
     "log_compaction" -> Streams.logCompaction _,
     "retention_expiry" -> Streams.retentionExpiry _,

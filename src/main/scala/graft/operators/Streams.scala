@@ -93,6 +93,22 @@ object Streams {
       .orderBy("offset")
   }
 
+  /** Per-partition log stats through the `graft-topic` relation — the
+    * DescribeLog / partition-health view every operator dashboard
+    * polls. Because the scan reports its partition clustering, this
+    * aggregation plans NO exchange: partial+final aggregate run
+    * directly over the key-grouped scan (one task per partition, the
+    * Kafka consumer model). */
+  def topicPartitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val topicDir = ensureEventsTopic(spark, dir)
+    spark.read.format("graft-topic").load(topicDir)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_records"),
+        min("offset").as("first_offset"),
+        max("offset").as("last_offset"))
+      .orderBy("partition")
+  }
+
   /** Materialize the events table as a physical topic (once per sf
     * dir) via the replica path, with DETERMINISTIC offsets — the same
     * (partition BY user_id % 8, offset = rank by event_id) assignment
