@@ -66,7 +66,8 @@ class GraftCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(schema.isEmpty || schema == graft.streaming.TopicLog.readSchema,
+    require(schema.isEmpty || schema == graft.streaming.TopicLog.readSchema ||
+      schema == graft.streaming.TopicLog.tableSchema,
       "graft topics have a fixed record schema; omit the column list")
     val n = Option(properties.get("partitions")).map(_.toInt).getOrElse(8)
     // no SparkSession needed just to lay out the dirs — mirror

@@ -72,7 +72,7 @@ class GraftTopicSource extends TableProvider with DataSourceRegister {
 class GraftTopicTable(topicDir: String) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_topic($topicDir)"
-  override def schema(): StructType = graft.streaming.TopicLog.readSchema
+  override def schema(): StructType = graft.streaming.TopicLog.tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE)

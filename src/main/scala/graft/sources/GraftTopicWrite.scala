@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.StructType
   *
   * Semantics mirror the Kafka producer contract:
   *  - a non-null `partition` value is honored as explicit routing
-  *    (like a producer that pins partitions);
+  *    (like a producer that pins partitions); a NULL `partition`
+  *    falls back to key-hash routing, the producer default;
   *  - the `offset` value is IGNORED — log coordinates are assigned by
   *    the commit, exactly like a broker (producers cannot pick
   *    offsets);
@@ -53,7 +54,12 @@ class GraftTopicWrite(topicDir: String, schema: StructType) extends Write with B
     val staged = spark.read.schema(graft.streaming.TopicLog.readSchema)
       .parquet(stagingDir)
     val log = graft.streaming.TopicLog.open(spark, root, topic)
-    log.produce(staged.drop("offset"), partitioner = col("partition"))
+    // explicit partition values are honored; NULL partition falls back
+    // to key-hash routing (the producer default) instead of pinning
+    // every unrouted record to partition 0 and skewing the topic
+    log.produce(staged.drop("offset"), partitioner = org.apache.spark.sql.functions
+      .coalesce(col("partition"),
+        graft.streaming.Partitioners.byKeyHash(log.numPartitions)))
     deleteStaging()
   }
 
@@ -91,7 +97,7 @@ class GraftTopicDataWriter(file: String, schema: StructType)
     .optional(PrimitiveTypeName.INT64)
       .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
       .named("ts")
-    .required(PrimitiveTypeName.INT32).named("partition")
+    .optional(PrimitiveTypeName.INT32).named("partition")
     .required(PrimitiveTypeName.INT64).named("offset")
     .named("spark_schema")
 
@@ -127,8 +133,10 @@ class GraftTopicDataWriter(file: String, schema: StructType)
     }
     idx.get("ts").filterNot(row.isNullAt)
       .foreach(i => g.add("ts", row.getLong(i)))
-    val p = idx.get("partition").filterNot(row.isNullAt).map(row.getInt).getOrElse(0)
-    g.add("partition", p)
+    // null partition stays null — the commit routes it by key hash
+    // (Kafka producer contract: unpinned records get hashed routing)
+    idx.get("partition").filterNot(row.isNullAt)
+      .foreach(i => g.add("partition", row.getInt(i)))
     g.add("offset", 0L) // placeholder — assigned by produce at commit
     writer.write(g)
     rows += 1

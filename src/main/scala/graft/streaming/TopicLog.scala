@@ -127,10 +127,15 @@ class TopicLog private (
       if (failpointBeforeCommit)
         throw new IllegalStateException("failpoint: crash before manifest commit")
       interleaveHook()
-      val newEnds = (0 until numPartitions)
-        .map(i => i -> (base.getOrElse(i, 0L) + countsByPart.getOrElse(i, 0L))).toMap
-      commitWithRetry(m0, moved, countsByPart.filter(_._2 > 0), newEnds, batchId)
-      newEnds
+      // Advance ONLY the partitions this produce wrote: a full-map
+      // rebuild from the (possibly stale) m0 bases would, on a
+      // disjoint-partition merge, overwrite a concurrent producer's
+      // already-committed log-ends with the stale values — rewinding
+      // its log end and re-assigning its offsets on the next produce.
+      val newEnds = countsByPart.collect {
+        case (p, n) if n > 0 => p -> (base.getOrElse(p, 0L) + n)
+      }
+      commitWithRetry(m0, moved, countsByPart.filter(_._2 > 0), newEnds, batchId).ends
     } finally assigned.unpersist()
   }
 
@@ -157,10 +162,14 @@ class TopicLog private (
   }
 
   /** CAS-commit loop: retry on version races; abort (and remove our
-    * files) if a concurrent commit advanced a partition we wrote. */
+    * files) if a concurrent commit advanced a partition we wrote.
+    * `newEnds` must cover ONLY the partitions this commit wrote; the
+    * merge takes the per-partition max so a concurrent commit's
+    * advances on OTHER partitions are never rewound. Returns the
+    * manifest that actually landed. */
   private def commitWithRetry(m0: Manifest, newFiles: Seq[String],
       written: Map[Int, Long], newEnds: Map[Int, Long],
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long]): Manifest = {
     var cur = currentManifest().getOrElse(m0)
     while (true) {
       val conflicted = cur.version != m0.version &&
@@ -169,16 +178,20 @@ class TopicLog private (
         newFiles.foreach(f => Files.deleteIfExists(Paths.get(dataDir).resolve(f)))
         throw new TopicLog.ConcurrentProduceException(topic, m0.version, cur.version)
       }
+      val mergedEnds = cur.ends ++ newEnds.map { case (p, e) =>
+        p -> math.max(e, cur.ends.getOrElse(p, 0L))
+      }
       val next = Manifest(cur.version + 1, cur.files ++ newFiles,
-        cur.ends ++ newEnds, batchId.orElse(cur.lastBatchId))
+        mergedEnds, batchId.orElse(cur.lastBatchId))
       try {
         commitManifest(next)
-        return
+        return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           cur = currentManifest().getOrElse(cur) // lost the version race; re-check
       }
     }
+    throw new IllegalStateException("unreachable: CAS loop exits via return or throw")
   }
 
   /** Remove data files no manifest references (crash leftovers), and
@@ -186,14 +199,26 @@ class TopicLog private (
     * Each manifest is a SELF-CONTAINED snapshot (full file list +
     * ends), so old versions exist only for CAS ordering — a writer
     * holding a retired base version simply conflicts against the
-    * current one, exactly as it would have anyway. */
-  def vacuum(keepManifests: Int = 10): Int = {
+    * current one, exactly as it would have anyway.
+    *
+    * `minAgeMs` (Delta-VACUUM-style): only unreferenced files whose
+    * mtime is at least this old are deleted. An in-flight produce
+    * moves its staged files into the live tree BEFORE the manifest
+    * commit — to a concurrent vacuum those look exactly like crash
+    * orphans, and deleting them would let the producer commit a
+    * manifest pointing at missing files. Fresh files are therefore
+    * presumed in-flight; pass 0 only when no producer can be active
+    * (tests, cold cleanup). */
+  def vacuum(keepManifests: Int = 10,
+      minAgeMs: Long = TopicLog.DefaultVacuumMinAgeMs): Int = {
     import scala.jdk.CollectionConverters._
     val live = currentManifest().map(_.files.toSet).getOrElse(return 0)
     val dd = Paths.get(dataDir)
     if (!Files.exists(dd)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = Files.walk(dd).iterator().asScala
       .filter(f => f.toString.endsWith(".parquet") && !live.contains(dd.relativize(f).toString))
+      .filter(f => Files.getLastModifiedTime(f).toMillis <= cutoff)
       .toList
     orphans.foreach(Files.delete)
     val versions = Files.list(manifestsDir).iterator().asScala
@@ -231,12 +256,13 @@ class TopicLog private (
       df.sortWithinPartitions("offset")
         .write.partitionBy("partition").parquet(staging.toString)
       val moved = moveStagedFiles(staging)
-      val ends = m0.ends ++ newEndsRows.map { case (p, e) =>
+      // only the written partitions' ends — commitWithRetry max-merges
+      // them into whatever manifest is current at commit time
+      val newEnds = newEndsRows.map { case (p, e) =>
         p -> math.max(e, m0.ends.getOrElse(p, 0L))
       }
       commitWithRetry(m0, moved, newEndsRows.map { case (p, _) => p -> 1L },
-        ends, batchId = None)
-      ends
+        newEnds, batchId = None).ends
     } finally df.unpersist()
   }
 
@@ -495,6 +521,11 @@ object TopicLog {
       s"topic $topic: concurrent produce (read manifest v$baseVersion, " +
         s"current is v$curVersion with overlapping partitions); retry")
 
+  /** Default safety window for [[TopicLog.vacuum]]: unreferenced data
+    * files younger than this are presumed to belong to an in-flight
+    * produce (staged-move happens before the manifest commit). */
+  val DefaultVacuumMinAgeMs: Long = 15L * 60 * 1000
+
   private[graft] def renderManifest(m: Manifest): String = {
     val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val files = m.files.map(f => "\"" + f + "\"").mkString(",")
@@ -555,6 +586,15 @@ object TopicLog {
     recordSchema
       .add(StructField("partition", IntegerType, nullable = false))
       .add(StructField("offset", LongType, nullable = false))
+
+  /** The DSv2 TABLE schema: same fields, but `partition` accepts NULL
+    * on write — an INSERT may leave routing to the producer's key
+    * hash. Committed records always carry a concrete partition, so
+    * the relaxation is write-side only. */
+  val tableSchema: StructType = StructType(readSchema.map {
+    case f if f.name == "partition" => f.copy(nullable = true)
+    case f => f
+  })
 
   def create(spark: SparkSession, root: String, topic: String, numPartitions: Int): TopicLog = {
     val dir = Paths.get(s"$root/$topic")

@@ -90,6 +90,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ins")
   }
 
+  test("INSERT with NULL partition routes by key hash, not pinned to partition 0") {
+    assert(root.nonEmpty)
+    spark.sql("CREATE TABLE graft.insnull TBLPROPERTIES ('partitions'='4')")
+    spark.sql(
+      """INSERT INTO graft.insnull
+        |SELECT cast(cast(id AS string) AS binary) AS key,
+        |       cast(concat('p', id) AS binary) AS value,
+        |       cast(null AS map<string, binary>) AS headers,
+        |       current_timestamp() AS ts,
+        |       cast(null AS int) AS partition,
+        |       cast(0 AS bigint) AS offset
+        |FROM range(0, 200)""".stripMargin)
+    val byPart = spark.sql("SELECT partition, count(*) AS n FROM graft.insnull GROUP BY 1")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byPart.values.sum === 200L)
+    // key-hash routing spreads 200 distinct keys across partitions —
+    // the bug pinned ALL unrouted records to partition 0
+    assert(byPart.size > 1, s"all records pinned to one partition: $byPart")
+    assert(byPart.getOrElse(0, 0L) < 200L)
+    // routing matches the library producer's default exactly
+    val expected = spark.range(0, 200)
+      .select(col("id").cast("string").cast("binary").as("key"))
+      .select(graft.streaming.Partitioners.byKeyHash(4).as("p"))
+      .groupBy("p").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byPart === expected)
+    spark.sql("DROP TABLE graft.insnull")
+  }
+
   test("reads through SQL see the manifest snapshot, not orphans") {
     assert(root.nonEmpty)
     val log = TopicLog.open(spark, root, "clicks")

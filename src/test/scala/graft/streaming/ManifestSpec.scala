@@ -43,8 +43,8 @@ class ManifestSpec extends AnyFunSuite {
       "DSv2 scan sees uncommitted files")
 
     // the orphaned files exist on disk until vacuumed
-    assert(reopened.vacuum() > 0, "crash must have left orphan files")
-    assert(reopened.vacuum() === 0)
+    assert(reopened.vacuum(minAgeMs = 0) > 0, "crash must have left orphan files")
+    assert(reopened.vacuum(minAgeMs = 0) === 0)
 
     // retrying the produce lands exactly once, offsets contiguous
     reopened.produce(records(100 until 140), part)
@@ -74,13 +74,72 @@ class ManifestSpec extends AnyFunSuite {
 
     // competitor's batch committed; loser's files were removed
     assert(log.read().count() === 80)
-    assert(log.vacuum() === 0, "conflict path must clean its own files")
+    assert(log.vacuum(minAgeMs = 0) === 0, "conflict path must clean its own files")
     // loser retries from the fresh manifest and succeeds
     log.produce(records(100 until 140), part)
     assert(log.read().count() === 120)
     val d = log.read().groupBy("partition")
       .agg(count(lit(1)).as("n"), countDistinct("offset").as("d")).collect()
     d.foreach(r => assert(r.getLong(1) === r.getLong(2), "duplicate offsets"))
+  }
+
+  test("concurrent producers on DISJOINT partitions both land, neither rewinds the other") {
+    val log = newLog()
+    log.produce(records(0 until 40), part) // 10 per partition
+    val competitor = TopicLog.open(spark, log.root, log.topic)
+
+    // while `log` produces to partitions {0,1}, the competitor commits
+    // to partitions {2,3}: the merge path must preserve the
+    // competitor's advanced ends, not overwrite them with log's stale
+    // base snapshot (the rewind would re-assign duplicate offsets)
+    log.interleaveHook = () => {
+      log.interleaveHook = () => ()
+      competitor.produce(records(1000 until 1020), // even ids → 2*i
+        pmod(col("i"), lit(2L)).cast("int") + lit(2))
+    }
+    log.produce(records(100 until 120), pmod(col("i"), lit(2L)).cast("int"))
+
+    val ends = log.logEndOffsets()
+    assert(ends === Map(0 -> 20L, 1 -> 20L, 2 -> 20L, 3 -> 20L),
+      s"merge rewound a concurrent end: $ends")
+    assert(log.read().count() === 80)
+
+    // next produce to the competitor's partitions must NOT reuse offsets
+    log.produce(records(2000 until 2008), pmod(col("i"), lit(4L)).cast("int"))
+    val d = log.read().groupBy("partition")
+      .agg(count(lit(1)).as("n"), countDistinct("offset").as("d"),
+        max("offset").as("hi")).collect()
+    d.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"duplicate offsets in partition ${r.getInt(0)}")
+      assert(r.getLong(3) === r.getLong(1) - 1, "offset gap or overlap")
+    }
+  }
+
+  test("vacuum leaves fresh unreferenced files for in-flight producers (age guard)") {
+    val log = newLog()
+    log.produce(records(0 until 40), part)
+
+    // a crashed produce leaves fresh orphans — exactly what an
+    // IN-FLIGHT produce's just-moved files look like
+    log.failpointBeforeCommit = true
+    intercept[IllegalStateException] { log.produce(records(40 until 60), part) }
+    log.failpointBeforeCommit = false
+
+    assert(log.vacuum() === 0, "default vacuum must spare fresh files")
+    assert(log.read().count() === 40)
+
+    // backdate the orphans past the retention window → now GC'd
+    import scala.jdk.CollectionConverters._
+    val live = log.currentManifest().get.files.toSet
+    val dd = java.nio.file.Paths.get(log.dataDir)
+    java.nio.file.Files.walk(dd).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet") && !live.contains(dd.relativize(f).toString))
+      .foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - TopicLog.DefaultVacuumMinAgeMs - 1000)))
+    assert(log.vacuum() > 0, "aged orphans must be GC'd")
+    assert(log.vacuum() === 0)
+    assert(log.read().count() === 40)
   }
 
   test("streaming batch id commits atomically with the data") {
@@ -110,7 +169,7 @@ class ManifestSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("nonexistent partition"))
     assert(log.read().count() === 20, "failed produce must not change the log")
-    assert(log.vacuum() === 0, "failed produce must not leave orphans")
+    assert(log.vacuum(minAgeMs = 0) === 0, "failed produce must not leave orphans")
   }
 
   test("vacuum retires old manifest versions but never the current one") {
@@ -165,6 +224,6 @@ class ManifestSpec extends AnyFunSuite {
     // produce after compaction continues from the same ends
     log.produce(records(100 until 104), part)
     assert(log.logEndOffsets().values.sum === ends.values.sum + 4)
-    assert(log.vacuum() === 0)
+    assert(log.vacuum(minAgeMs = 0) === 0)
   }
 }
