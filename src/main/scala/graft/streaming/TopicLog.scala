@@ -184,7 +184,12 @@ class TopicLog private (
       val next = Manifest(cur.version + 1, cur.files ++ newFiles,
         mergedEnds, batchId.orElse(cur.lastBatchId))
       try {
-        commitManifest(next)
+        // Delta commit: O(batch) bytes, not O(topic). Every
+        // CheckpointInterval-th version is a full snapshot so readers
+        // resolve at most that many deltas and vacuum can retire
+        // history behind it.
+        if (next.version % TopicLog.CheckpointInterval == 0) commitManifest(next)
+        else commitDelta(next, newFiles)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -221,12 +226,20 @@ class TopicLog private (
       .filter(f => Files.getLastModifiedTime(f).toMillis <= cutoff)
       .toList
     orphans.foreach(Files.delete)
+    // retire history: checkpoint first so the newest version is a full
+    // snapshot, then delete versions older than the newest
+    // `keepManifests` — but NEVER at or above the anchor snapshot the
+    // current state resolves from (deltas above it would dangle)
+    checkpoint()
     val versions = Files.list(manifestsDir).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
       .toSeq.sorted
+    val anchor = versions.reverse
+      .find(v => TopicLog.isSnapshotVersion(manifestsDir, v)).getOrElse(0L)
     versions.dropRight(math.max(keepManifests, 1))
+      .filter(_ < anchor)
       .foreach(v => Files.deleteIfExists(manifestsDir.resolve(s"v$v.json")))
     orphans.size
   }
@@ -307,20 +320,8 @@ class TopicLog private (
 
   private def manifestsDir = Paths.get(s"$topicDir/_manifests")
 
-  private[streaming] def currentManifest(): Option[Manifest] = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(manifestsDir)) None
-    else {
-      val versions = Files.list(manifestsDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toLong }
-        .toSeq
-      versions.maxOption.map { v =>
-        TopicLog.parseManifest(Files.readString(manifestsDir.resolve(s"v$v.json")))
-      }
-    }
-  }
+  private[streaming] def currentManifest(): Option[Manifest] =
+    TopicLog.resolveManifest(manifestsDir)
 
   /** Lazily migrate a pre-manifest topic: snapshot the current dir
     * listing + legacy offsets as manifest v0. */
@@ -347,12 +348,42 @@ class TopicLog private (
   /** CAS-publish one manifest version: write a temp file, then
     * atomically hard-link it to its version name — creation fails if
     * that version already exists (another writer won). */
-  private def commitManifest(m: Manifest): Unit = {
+  private def commitManifest(m: Manifest): Unit =
+    commitVersion(m.version, TopicLog.renderManifest(m))
+
+  /** CAS-publish a DELTA version: only the added files plus the full
+    * (small: one entry per partition) end-offset map. */
+  private def commitDelta(m: Manifest, adds: Seq[String]): Unit =
+    commitVersion(m.version, TopicLog.renderDelta(m, adds))
+
+  private def commitVersion(version: Long, body: String): Unit = {
     Files.createDirectories(manifestsDir)
     val tmp = Files.createTempFile(manifestsDir, ".tmp", ".json")
-    Files.writeString(tmp, TopicLog.renderManifest(m))
-    try Files.createLink(manifestsDir.resolve(s"v${m.version}.json"), tmp)
+    Files.writeString(tmp, body)
+    try Files.createLink(manifestsDir.resolve(s"v$version.json"), tmp)
     finally Files.deleteIfExists(tmp)
+  }
+
+  /** Materialize the current state as a full-snapshot version (a
+    * CHECKPOINT) if the newest version is a delta: bounds how far back
+    * readers must resolve and lets [[vacuum]] retire the history
+    * behind it. CAS-safe against concurrent producers. */
+  def checkpoint(): Unit = {
+    var done = false
+    while (!done) {
+      currentManifest() match {
+        case None => done = true
+        case Some(cur) if TopicLog.isSnapshotVersion(manifestsDir, cur.version) =>
+          done = true
+        case Some(cur) =>
+          try {
+            commitManifest(Manifest(cur.version + 1, cur.files, cur.ends, cur.lastBatchId))
+            done = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => () // producer won; re-resolve
+          }
+      }
+    }
   }
 
   // --- consumer groups (ref roadmap: Consumer API) ---
@@ -526,6 +557,11 @@ object TopicLog {
     * produce (staged-move happens before the manifest commit). */
   val DefaultVacuumMinAgeMs: Long = 15L * 60 * 1000
 
+  /** Versions between full snapshots. Commit cost for a produce is
+    * O(files in the batch); a reader resolves at most this many delta
+    * files (each a few hundred bytes) on top of one snapshot. */
+  private[graft] val CheckpointInterval: Long = 25L
+
   private[graft] def renderManifest(m: Manifest): String = {
     val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val files = m.files.map(f => "\"" + f + "\"").mkString(",")
@@ -533,38 +569,80 @@ object TopicLog {
     s"""{"version":${m.version},"ends":{$ends},"files":[$files]$batch}"""
   }
 
-  private[graft] def parseManifest(s: String): Manifest = {
+  /** Delta version: the files ADDED by this commit plus the (small)
+    * full end-offset map — never the whole file list. */
+  private[graft] def renderDelta(m: Manifest, adds: Seq[String]): String = {
+    val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val a = adds.map(f => "\"" + f + "\"").mkString(",")
+    val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
+    s"""{"version":${m.version},"ends":{$ends},"adds":[$a]$batch}"""
+  }
+
+  /** One version file on disk: a full snapshot (`files`) or a delta
+    * (`adds` relative to the previous version). */
+  private case class VersionRec(version: Long, files: Option[Seq[String]],
+      adds: Seq[String], ends: Map[Int, Long], lastBatchId: Option[Long])
+
+  private def parseVersion(s: String): VersionRec = {
     val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).getOrElse(0L)
     val endsBlock = "\"ends\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
     val ends = "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(endsBlock)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-    val filesBlock = "\"files\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse("")
-    val files = "\"([^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1)).toSeq
+    def block(key: String): Option[String] =
+      ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s).map(_.group(1))
+    def names(b: String): Seq[String] =
+      "\"([^\"]+)\"".r.findAllMatchIn(b).map(_.group(1)).toSeq
     val lastBatch = "\"lastBatchId\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toLong)
-    Manifest(version, files, ends, lastBatch)
+    VersionRec(version, block("files").map(names),
+      block("adds").map(names).getOrElse(Seq.empty), ends, lastBatch)
+  }
+
+  private[graft] def isSnapshotVersion(dir: Path, v: Long): Boolean = {
+    val f = dir.resolve(s"v$v.json")
+    Files.exists(f) && parseVersion(Files.readString(f)).files.isDefined
+  }
+
+  /** Resolve the current manifest: walk back from the newest version
+    * to its anchor snapshot, replaying deltas forward. Ends and batch
+    * id always come from the newest version (every version carries the
+    * full, small maps). */
+  private[graft] def resolveManifest(dir: Path): Option[Manifest] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) return None
+    val versions = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq
+    versions.maxOption.map { newest =>
+      var v = newest
+      var head: VersionRec = null
+      var deltas = List.empty[Seq[String]]
+      var base = Seq.empty[String]
+      var resolved = false
+      while (!resolved) {
+        val rec = parseVersion(Files.readString(dir.resolve(s"v$v.json")))
+        if (head == null) head = rec
+        rec.files match {
+          case Some(fs) => base = fs; resolved = true
+          case None =>
+            deltas = rec.adds :: deltas
+            if (v == 0) resolved = true // degenerate: delta with no anchor
+            else v -= 1
+        }
+      }
+      Manifest(head.version, base ++ deltas.flatten, head.ends, head.lastBatchId)
+    }
   }
 
   /** Latest committed manifest of a topic by path, for manifest-aware
     * readers (the graft-topic DataSource); None for pre-manifest
     * topics. */
-  private[graft] def latestManifest(topicDir: String): Option[Manifest] = {
-    import scala.jdk.CollectionConverters._
-    val dir = Paths.get(s"$topicDir/_manifests")
-    if (!Files.exists(dir)) None
-    else {
-      val versions = Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toLong }
-        .toSeq
-      versions.maxOption.map(v =>
-        parseManifest(Files.readString(dir.resolve(s"v$v.json"))))
-    }
-  }
+  private[graft] def latestManifest(topicDir: String): Option[Manifest] =
+    resolveManifest(Paths.get(s"$topicDir/_manifests"))
 
   private[graft] def manifestFiles(topicDir: String): Option[Seq[String]] =
     latestManifest(topicDir).map(_.files)

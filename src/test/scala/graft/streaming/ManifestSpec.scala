@@ -188,6 +188,38 @@ class ManifestSpec extends AnyFunSuite {
     assert(log.read().count() === 64)
   }
 
+  test("produce commits are O(batch) deltas; checkpoints anchor resolution") {
+    val log = newLog()
+    (0 until 30).foreach(i => log.produce(records(i * 2 until i * 2 + 2), part))
+    val dir = java.nio.file.Paths.get(s"${log.topicDir}/_manifests")
+
+    // v0 (migration snapshot) and v25 (interval checkpoint) are full;
+    // ordinary produce versions carry only their own adds
+    assert(TopicLog.isSnapshotVersion(dir, 0))
+    assert(TopicLog.isSnapshotVersion(dir, TopicLog.CheckpointInterval))
+    assert(!TopicLog.isSnapshotVersion(dir, 1))
+    assert(!TopicLog.isSnapshotVersion(dir, 30))
+    val v30 = java.nio.file.Files.readString(dir.resolve("v30.json"))
+    assert(v30.contains("\"adds\"") && !v30.contains("\"files\""))
+    // a delta names at most this batch's files (2 records → ≤2 files),
+    // not the whole topic's
+    assert("\\.parquet".r.findAllIn(v30).size <= 2,
+      s"delta lists more than its own adds: $v30")
+
+    // resolution across the checkpoint boundary sees every commit
+    assert(log.read().count() === 60)
+    assert(log.logEndOffsets().values.sum === 60L)
+
+    // explicit checkpoint materializes a snapshot; a fresh reader
+    // resolves identically
+    log.checkpoint()
+    val cur = log.currentManifest().get
+    assert(TopicLog.isSnapshotVersion(dir, cur.version))
+    val reopened = TopicLog.open(spark, log.root, log.topic)
+    assert(reopened.read().count() === 60)
+    assert(reopened.logEndOffsets() === log.logEndOffsets())
+  }
+
   test("file compaction coalesces small produce files, content-identical") {
     val log = newLog()
     (0 until 12).foreach(i => log.produce(records(i * 5 until i * 5 + 5), part))
