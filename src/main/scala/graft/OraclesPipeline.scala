@@ -288,6 +288,74 @@ object OraclesPipeline {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |        ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM s)
          |SELECT qid, label, vec_id AS nn_vec_id, cos_sim FROM r WHERE rn = 1
-         |ORDER BY qid""".stripMargin
+         |ORDER BY qid""".stripMargin,
+
+    "decontaminate_ngram" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 5)
+         |SELECT t.doc_id,
+         |  CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared_grams,
+         |  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+         |FROM g t JOIN g e ON t.g = e.g AND e.doc_id % 97 = 0
+         |WHERE t.doc_id % 97 <> 0
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE d AS ($grams3),
+         |near AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+         |h AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |      FROM documents),
+         |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1, d2 FROM near UNION SELECT d1, d2 FROM exact),
+         |sym AS (SELECT d1, d2 FROM edges UNION SELECT d2 AS d1, d1 AS d2 FROM edges),
+         |nodes AS (SELECT DISTINCT d1 AS id FROM sym),
+         |walk(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.d2, w.comp FROM walk w JOIN sym s ON s.d1 = w.id)
+         |SELECT id AS doc_id, MIN(comp) AS comp FROM walk
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_stratified_sample" ->
+      s"""SELECT doc_id, lang, $fp % 100 AS samp_bucket,
+         |  CAST(CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 35 WHEN 'de' THEN 50
+         |       WHEN 'fr' THEN 65 ELSE 80 END AS BIGINT) AS keep_rate
+         |FROM documents
+         |WHERE $fp % 100 < CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 35
+         |      WHEN 'de' THEN 50 WHEN 'fr' THEN 65 ELSE 80 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "docs_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             len(string_split(text, ' ')) AS nw FROM documents),
+        |c AS (SELECT doc_id, w, nw,
+        |        CAST(1 + GREATEST(0, CEIL((nw - 256) / 192.0)) AS INT) AS n_chunks FROM d),
+        |x AS (SELECT doc_id, w, nw,
+        |        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(w[chunk_idx*192+1 : least(chunk_idx*192+256, nw)]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(w[chunk_idx*192+1 : least(chunk_idx*192+256, nw)], ' '))
+        |    AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) AS BIGINT) AS n_deny_terms,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(customer|supplier|order)\b', '<TERM>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -69,6 +69,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.textFingerprint _,
     "text_ngram_stats" -> TextAnalysis.textNgramStats _,
     "text_rare_tokens" -> TextAnalysis.textRareTokens _,
+    "text_pii_scrub" -> TextAnalysis.textPiiScrub _,
     // §2c deduplication
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_exact_normalized" -> Dedup.dedupExactNormalized _,
@@ -76,6 +77,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine _,
+    "dedup_cluster_cc" -> Dedup.dedupClusterCC _,
+    "decontaminate_ngram" -> Dedup.decontaminateNgram _,
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
     "ann_lsh_topk" -> Similarity.annLshTopk _,
@@ -90,7 +93,9 @@ object SparkEntry {
     // §2g end-to-end training-data pipeline compositions
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "pipeline_train_test_split" -> Pipeline.trainTestSplit _,
-    "pipeline_seq_packing" -> Pipeline.seqPacking _
+    "pipeline_seq_packing" -> Pipeline.seqPacking _,
+    "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
+    "docs_chunking" -> Pipeline.docsChunking _
   )
 
   def oracleSql: Map[String, String] =

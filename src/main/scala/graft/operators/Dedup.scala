@@ -258,4 +258,77 @@ object Dedup {
       .select("v1", "v2", "cos_sim")
       .orderBy("v1", "v2")
   }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-5-gram with the eval set (docs with doc_id % 97 == 0 stand
+    * in for a held-out benchmark). The eval side of the join is
+    * BROADCAST — eval suites are fixed-size (thousands of docs), so
+    * at 100 TB the contamination check stays a map-side hash probe
+    * over the training corpus: no shuffle of the big side, ever.
+    * Gram generation is the same map-side [[gramRows]] machinery
+    * (native WordNgramsExpr, no posexplode+window). */
+  def decontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 5)).as("g"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct("g").as("n_shared_grams"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-cluster assignment: connected components over the
+    * union of exact-normalized duplicate pairs and n-gram-Jaccard
+    * near-dup pairs; every clustered doc gets comp = min doc_id in
+    * its component (the canonical keeper).
+    *
+    * Distributed hash-min label propagation: each round joins the
+    * (small — only docs that appear in some dup pair) label set
+    * against the symmetric edge list and takes the per-node min of
+    * neighbor labels; converges in O(component diameter) rounds —
+    * dup clusters are shallow (near-clique), so a handful of rounds
+    * at any scale. Only label rows shuffle per round; the corpus
+    * itself is never re-read. The driver sees one COUNT per round
+    * (convergence test), never data rows. */
+  def dedupClusterCC(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+          .cast("binary")).as("h"))
+    val exactPairs = hashed.select(col("doc_id").as("d1"), col("h"))
+      .join(hashed.select(col("doc_id").as("d2"), col("h")), "h")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+    val nearPairs = dedupNgramJaccard(spark, dir).select("d1", "d2")
+    val edges = exactPairs.union(nearPairs).distinct()
+    val sym = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist()
+    var labels = sym.select(col("d1").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbor = sym
+        .join(labels.select(col("id").as("d2"), col("comp")), "d2")
+        .groupBy(col("d1").as("id")).agg(min("comp").as("ncomp"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist()
+      changed = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+    sym.unpersist()
+    out
+  }
 }

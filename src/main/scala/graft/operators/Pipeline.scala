@@ -80,4 +80,47 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
       .orderBy("pack_id")
   }
+
+  /** Deterministic stratified sampling: per-language keep rates
+    * (downsample dominant languages, keep the tail) decided by the
+    * same content fingerprint as [[trainTestSplit]] — stable under
+    * re-runs, resharding, and late-arriving data, because membership
+    * depends only on the text. Pure map-side filter: no shuffle, no
+    * sampler state, embarrassingly parallel at any scale. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("samp_bucket", pmod(rollingHash(lower(trim(col("text")))), lit(100L)))
+      .withColumn("keep_rate",
+        when(col("lang") === "en", 20L)
+          .when(col("lang") === "es", 35L)
+          .when(col("lang") === "de", 50L)
+          .when(col("lang") === "fr", 65L)
+          .otherwise(80L))
+      .filter(col("samp_bucket") < col("keep_rate"))
+      .select("doc_id", "lang", "samp_bucket", "keep_rate")
+      .orderBy("doc_id")
+
+  /** Fixed-window document chunking for context-length-bounded
+    * training: 256-token chunks on a 192-token stride (64-token
+    * overlap). Token slicing is a map-side explode of per-doc chunk
+    * indices — each document expands independently, no shuffle; the
+    * chunk count formula (1 + ceil((n-256)/192)) guarantees full
+    * coverage with the last chunk allowed to run short. */
+  def docsChunking(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 256
+    val stride = 192
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("nw", size(col("w")))
+      .withColumn("n_chunks",
+        (lit(1) + greatest(lit(0.0),
+          ceil((col("nw") - lit(chunk)) / lit(stride.toDouble)))).cast("int"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("cw", slice(col("w"), col("chunk_idx") * stride + 1, lit(chunk)))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("cw")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("cw"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

@@ -83,4 +83,29 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
       .limit(20)
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val denyRe = "\\b(customer|supplier|order)\\b"
+
+  /** PII / denylist scrubbing: redact emails, phone numbers, and
+    * configurable denylist terms, reporting per-doc hit counts and
+    * the scrubbed content hash. Pure map-side regexp projection —
+    * codegen'd builtins, no UDF, no shuffle; at 100 TB this is a
+    * scan-rate transform. (The synthetic corpus carries no emails or
+    * phones — those counts verify the patterns run; the denylist
+    * terms hit real tokens.) */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(denyRe)).cast("long").as("n_deny_terms"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          denyRe, "<TERM>").cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics tests for the round-3 LLM-pipeline operators —
+  * decontamination, duplicate-cluster connected components,
+  * stratified sampling, chunking, PII scrubbing — on planted
+  * fixtures (the sf tables can't show e.g. transitive clusters or
+  * a contaminated train doc deterministically). */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, lang: String = "en") =
+    (id, text, lang, "src", text.length.toLong)
+
+  /** eval docs are doc_id % 97 == 0 → ids 0 and 97 here. */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-llmops").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val docs = Seq(
+      // decontamination: 1 shares a 5-gram run with eval doc 0; 2 is clean
+      doc(0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(1L, "unrelated prefix alpha beta gamma delta epsilon something else"),
+      doc(2L, "totally disjoint vocabulary with no overlap whatsoever here"),
+      doc(97L, "iota kappa lambda mu nu xi omicron pi"),
+      // cluster CC: 10=11 exact; 12 near-dup (same length, one word
+      // changed → same n_chars bucket); 20=21 a separate exact pair
+      doc(10L, base + "alpha beta gamma delta epsilon"),
+      doc(11L, base + "alpha beta gamma delta epsilon"),
+      doc(12L, base + "alpha beta gamma delta epsilox"),
+      doc(20L, "some other duplicated content repeated verbatim " * 4),
+      doc(21L, "some other duplicated content repeated verbatim " * 4),
+      // scrubbing: email + phone + denylist terms
+      doc(30L, "contact me at alice@example.com or 555-123-4567 about the customer order"),
+      doc(31L, "no sensitive content in this one at all"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("decontaminate_ngram flags only train docs sharing a 5-gram with the eval set") {
+    val r = Dedup.decontaminateNgram(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_shared_grams"), x.getAs[Long]("n_eval_docs")))).toMap
+    assert(r.contains(1L), "doc 1 shares 'alpha beta gamma delta epsilon' with eval doc 0")
+    assert(r(1L)._1 >= 1L && r(1L)._2 === 1L)
+    assert(!r.contains(2L), "clean doc flagged")
+    assert(!r.contains(0L) && !r.contains(97L), "eval docs are not train docs")
+  }
+
+  test("dedup_cluster_cc propagates labels transitively (exact + near edges)") {
+    val r = Dedup.dedupClusterCC(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("comp")).toMap
+    // {10,11} exact, {11,12} near → one component with canonical 10
+    assert(r(10L) === 10L && r(11L) === 10L && r(12L) === 10L,
+      s"transitive cluster broken: $r")
+    // the separate exact pair stays its own component
+    assert(r(20L) === 20L && r(21L) === 20L)
+    // unclustered docs never appear
+    assert(!r.contains(2L) && !r.contains(30L))
+  }
+
+  test("stratified sample is deterministic and honors per-language rates") {
+    val a = Pipeline.stratifiedSample(spark, dir).collect()
+    val b = Pipeline.stratifiedSample(spark, dir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq, "non-deterministic sample")
+    a.foreach { row =>
+      assert(row.getAs[Long]("samp_bucket") < row.getAs[Long]("keep_rate"),
+        s"row outside its stratum rate: $row")
+    }
+  }
+
+  test("docs_chunking covers every token with 256/192 windows, last chunk short") {
+    val d2 = Files.createTempDirectory("graft-chunk").toString
+    val six = (1 to 600).map(i => s"w$i").mkString(" ")
+    val five = "a b c d e"
+    Seq(doc(0L, six), doc(1L, five))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val r = Pipeline.docsChunking(spark, d2).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx"),
+        x.getAs[Long]("n_chunk_tokens")))
+    // 600 tokens → chunks at 1/193/385 of sizes 256/256/216
+    assert(r.filter(_._1 == 0L).map(t => (t._2, t._3)).toSeq ===
+      Seq((0L, 256L), (1L, 256L), (2L, 216L)))
+    // short doc → single short chunk
+    assert(r.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq === Seq((0L, 5L)))
+  }
+
+  test("text_pii_scrub redacts email, phone, and denylist terms") {
+    val r = TextAnalysis.textPiiScrub(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val hit = r(30L)
+    assert(hit.getAs[Long]("n_emails") === 1L)
+    assert(hit.getAs[Long]("n_phones") === 1L)
+    assert(hit.getAs[Long]("n_deny_terms") === 2L) // customer + order
+    val expected = "contact me at <EMAIL> or <PHONE> about the <TERM> <TERM>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hit.getAs[String]("scrubbed_md5") === md)
+    // untouched doc hashes to its original text
+    val md31 = java.security.MessageDigest.getInstance("MD5")
+      .digest("no sensitive content in this one at all".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(31L).getAs[String]("scrubbed_md5") === md31)
+  }
+}
