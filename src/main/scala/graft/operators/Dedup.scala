@@ -63,35 +63,49 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs within (lang, length) blocks.
     * Two stages, both codegen'd hash joins/aggs, no gram arrays:
-    *  1. candidates — distinct gram rows self-join on (block, gram)
-    *     restricted to RARE grams (df ≤ [[ngramDfCap]]), so per-gram
-    *     join fan-out is bounded by cap² regardless of corpus size;
-    *  2. exact verify — |A∩B| counted over the FULL gram sets (hot
-    *     grams included) but only for candidate pairs, via the same
-    *     candidate-restricted inverted-index join the minhash verify
-    *     uses; |A∪B| = |A|+|B|−|A∩B|.
-    * Join keys stay high-cardinality → skew-safe at 100 TB. */
+    *  1. candidates + rare intersection — ONE shuffle groups each
+    *     (block, gram) into its posting list; RARE grams
+    *     (df ≤ [[ngramDfCap]]) explode their ≤ cap²/2 pairs
+    *     map-side, and a single aggregation yields both the
+    *     candidate pair AND its shared-rare-gram count;
+    *  2. hot completion — |A∩B| = rare∩ + hot∩, where hot∩ joins
+    *     only the HOT gram rows (df > cap: a tiny, bounded set of
+    *     distinct grams) restricted to candidate pairs. The full
+    *     gram relation is never re-joined per pair — at 100 TB the
+    *     verify traffic is candidates × hot-grams-per-doc, a small
+    *     constant, not candidates × grams-per-doc.
+    * |A∪B| = |A|+|B|−|A∩B|. Join keys stay high-cardinality →
+    * skew-safe at 100 TB. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // reused by sizes, candidate gen, and verify → cache the rows
+    // raw gram rows are map-side only; the two aggregations below
+    // dedup internally (countDistinct / collect_set), so the global
+    // distinct exchange of round 1/2 disappears entirely
     val g = gramRows(spark, dir, lowercase = false)
-      .select("doc_id", "lang", "bucket", "sh").distinct().persist()
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val rare = g.groupBy("lang", "bucket", "sh")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ngramDfCap)
-      .select("lang", "bucket", "sh")
-    val gr = g.join(rare, Seq("lang", "bucket", "sh"))
-    val candIds = gr.select(col("doc_id").as("d1"), col("lang"), col("bucket"), col("sh"))
-      .join(gr.select(col("doc_id").as("d2"), col("lang"), col("bucket"), col("sh")),
-        Seq("lang", "bucket", "sh"))
+      .select("doc_id", "lang", "bucket", "sh").persist()
+    val sizes = g.groupBy("doc_id").agg(countDistinct("sh").as("nsh"))
+    // one shuffle groups each (block, gram) to its posting set; the
+    // df filter and the pair generation are then MAP-SIDE explodes —
+    // no inverted-index self-join, no dfreq re-join of the gram
+    // relation. Sets are bounded by the df cap (≤ cap ids), so the
+    // m² pair explode is at most cap²/2 rows per gram.
+    val byGram = g.groupBy("lang", "bucket", "sh")
+      .agg(collect_set("doc_id").as("ds")).persist()
+    val candRare = byGram
+      .filter(size(col("ds")).between(2, ngramDfCap))
+      .select(col("ds"), explode(col("ds")).as("d1"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    // exact |A∩B| on full gram sets, candidates only (candidate pairs
-    // share (lang, bucket), so joining gram text alone is exact)
-    val inter = candIds.join(g.select(col("doc_id").as("d1"), col("sh")), "d1")
-      .join(g.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
+      .groupBy("d1", "d2").agg(count(lit(1)).as("rare_inter"))
+    // hot grams: few distinct strings (bounded by corpus vocabulary,
+    // not corpus size), joined only against candidate pairs
+    val gh = byGram.filter(size(col("ds")) > ngramDfCap)
+      .select(col("sh"), explode(col("ds")).as("doc_id"))
+    val interHot = candRare.select("d1", "d2")
+      .join(gh.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(gh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("hot_inter"))
+    candRare.join(interHot, Seq("d1", "d2"), "left")
+      .withColumn("inter", col("rare_inter") + coalesce(col("hot_inter"), lit(0L)))
       .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
