@@ -282,11 +282,14 @@ object Dedup {
     * Gram generation is the same map-side [[gramRows]] machinery
     * (native WordNgramsExpr, no posexplode+window). */
   def decontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    // train-side gram rows are NOT globally distinct'd — the final
+    // countDistinct agg dedups, and a global distinct would shuffle
+    // the whole training corpus's grams (the one thing this plan
+    // must never do). Only the tiny eval side dedups pre-broadcast.
     val grams = t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 5)).as("g"))
-      .distinct()
-    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).distinct()
       .select(col("doc_id").as("eval_id"), col("g"))
     grams.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(evalGrams), "g")
