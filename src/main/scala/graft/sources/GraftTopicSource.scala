@@ -75,7 +75,7 @@ class GraftTopicTable(topicDir: String) extends Table
   override def schema(): StructType = graft.streaming.TopicLog.tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTopicScanBuilder(topicDir, options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

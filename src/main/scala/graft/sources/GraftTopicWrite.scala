@@ -19,8 +19,9 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
-/** SQL write path for topics: `INSERT INTO graft.<topic> ...` runs a
-  * real PRODUCE, not a blind file append.
+/** Write paths for topics — batch (`INSERT INTO graft.<topic>`) and
+  * streaming (`writeStream.format("graft-topic")`) — both run a real
+  * PRODUCE, not a blind file append.
   *
   * Semantics mirror the Kafka producer contract:
   *  - a non-null `partition` value is honored as explicit routing
@@ -39,34 +40,68 @@ class GraftTopicWriteBuilder(topicDir: String, info: LogicalWriteInfo) extends W
   override def build(): Write = new GraftTopicWrite(topicDir, info.schema())
 }
 
-class GraftTopicWrite(topicDir: String, schema: StructType) extends Write with BatchWrite {
+class GraftTopicWrite(topicDir: String, schema: StructType) extends Write
+    with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val stagingDir = s"$topicDir/_staging/insert-${java.util.UUID.randomUUID()}"
 
   override def toBatch: BatchWrite = this
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+  // both parent traits declare this default; pick one explicitly
+  override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftTopicWriterFactory(stagingDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    produceStaged(stagingDir, batchId = None)
+    deleteStaging(stagingDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging(stagingDir)
+
+  // --- streaming sink: one staged dir per epoch, produce-at-commit
+  // with the epoch as the manifest batch id → a replayed epoch is
+  // SKIPPED (produceIdempotent), giving effectively-exactly-once
+  // end-to-end through the same CAS manifest protocol as batch.
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftTopicStreamingWriterFactory(stagingDir, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val epochDir = s"$stagingDir/epoch-$epochId"
+    if (Files.exists(Paths.get(epochDir))) produceStaged(epochDir, Some(epochId))
+    deleteStaging(epochDir)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging(s"$stagingDir/epoch-$epochId")
+
+  /** Run the staged records through a real produce. Explicit partition
+    * values are honored; NULL partition falls back to key-hash routing
+    * (the producer default) instead of pinning every unrouted record
+    * to partition 0 and skewing the topic. */
+  private def produceStaged(dir: String, batchId: Option[Long]): Unit = {
     val spark = SparkSession.active
     val slash = topicDir.stripSuffix("/").lastIndexOf('/')
     val (root, topic) = (topicDir.substring(0, slash), topicDir.substring(slash + 1))
     val staged = spark.read.schema(graft.streaming.TopicLog.readSchema)
-      .parquet(stagingDir)
+      .parquet(dir)
     val log = graft.streaming.TopicLog.open(spark, root, topic)
-    // explicit partition values are honored; NULL partition falls back
-    // to key-hash routing (the producer default) instead of pinning
-    // every unrouted record to partition 0 and skewing the topic
-    log.produce(staged.drop("offset"), partitioner = org.apache.spark.sql.functions
-      .coalesce(col("partition"),
-        graft.streaming.Partitioners.byKeyHash(log.numPartitions)))
-    deleteStaging()
+    val router = org.apache.spark.sql.functions.coalesce(col("partition"),
+      graft.streaming.Partitioners.byKeyHash(log.numPartitions))
+    batchId match {
+      case Some(epoch) =>
+        log.produceIdempotent(staged.drop("offset"), epoch, partitioner = router)
+      case None =>
+        log.produce(staged.drop("offset"), partitioner = router)
+    }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
-
-  private def deleteStaging(): Unit = {
-    val p = Paths.get(stagingDir)
+  private def deleteStaging(dir: String): Unit = {
+    val p = Paths.get(dir)
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
@@ -77,6 +112,14 @@ case class GraftTopicWriterFactory(stagingDir: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftTopicDataWriter(s"$stagingDir/task-$partitionId-$taskId.parquet", schema)
+}
+
+case class GraftTopicStreamingWriterFactory(stagingDir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftTopicDataWriter(
+      s"$stagingDir/epoch-$epochId/task-$partitionId-$taskId.parquet", schema)
 }
 
 case class GraftTopicCommit(file: String, rows: Long) extends WriterCommitMessage
