@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   *   <root>/<topic>/data/partition=N/  parquet records, offset-sorted
   *   <root>/<topic>/_meta.json                   numPartitions
   *   <root>/<topic>/_manifests/v<N>.json         committed snapshots (CAS)
-  *   <root>/<topic>/_groups/<group>.json         committed group offsets
+  *   <root>/<topic>/_groups/<group>/v<N>.json    committed group offsets (CAS)
   * }}}
   *
   * Scale design (SURVEY.md §6): `partition` is a physical dir key so
@@ -388,14 +388,58 @@ class TopicLog private (
 
   // --- consumer groups (ref roadmap: Consumer API) ---
 
-  /** Commit consumed-up-to offsets for a group. */
+  /** Commit consumed-up-to offsets for a group — CAS-versioned, like
+    * the manifest: a bare read-modify-write of a shared file would
+    * lose updates when two consumers of the same group commit
+    * DISJOINT partitions concurrently (the same hazard the produce
+    * merge fixes). The writer's partitions win outright (Kafka
+    * semantics — a commit may rewind), other partitions are preserved
+    * from whatever version is current at link time. */
   def commit(group: String, offsets: Map[Int, Long]): Unit = {
-    val merged = committed(group) ++ offsets
-    writeOffsetMap(groupFile(group), merged)
+    var done = false
+    while (!done) {
+      val (v, cur) = committedVersioned(group)
+      val merged = cur ++ offsets
+      val dir = groupDir(group)
+      Files.createDirectories(dir)
+      val tmp = Files.createTempFile(dir, ".tmp", ".json")
+      Files.writeString(tmp,
+        merged.toSeq.sorted.map { case (k, o) => s""""$k":$o""" }.mkString("{", ",", "}"))
+      try {
+        Files.createLink(dir.resolve(s"v${v + 1}.json"), tmp)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race; re-merge
+      } finally Files.deleteIfExists(tmp)
+    }
+    // retire old versions best-effort; readers only ever read the max
+    groupVersions(group).sorted.dropRight(10)
+      .foreach(old => Files.deleteIfExists(groupDir(group).resolve(s"v$old.json")))
   }
 
-  def committed(group: String): Map[Int, Long] =
-    readOffsetMap(groupFile(group)).getOrElse(Map.empty)
+  def committed(group: String): Map[Int, Long] = committedVersioned(group)._2
+
+  private def groupDir(group: String) = Paths.get(s"$topicDir/_groups/$group")
+
+  private def groupVersions(group: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(groupDir(group))) Seq.empty
+    else Files.list(groupDir(group)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq
+  }
+
+  /** (current version, offsets); version -1 with the legacy flat-file
+    * (or empty) content for pre-versioned groups. */
+  private def committedVersioned(group: String): (Long, Map[Int, Long]) =
+    groupVersions(group).maxOption match {
+      case Some(v) =>
+        (v, readOffsetMap(groupDir(group).resolve(s"v$v.json")).getOrElse(Map.empty))
+      case None =>
+        (-1L, readOffsetMap(groupFile(group)).getOrElse(Map.empty))
+    }
 
   /** Per-partition lag of a group vs the log end. */
   def lag(group: String): Map[Int, Long] = {
@@ -459,7 +503,8 @@ class TopicLog private (
     else {
       import scala.jdk.CollectionConverters._
       Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString.stripSuffix(".json")).toSeq.sorted
+        .map(_.getFileName.toString.stripSuffix(".json"))
+        .toSeq.distinct.sorted // dir (versioned) and legacy flat file may coexist
     }
   }
 

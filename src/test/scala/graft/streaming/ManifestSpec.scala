@@ -244,6 +244,35 @@ class ManifestSpec extends AnyFunSuite {
     assert(log.read().count() === 65)
   }
 
+  test("concurrent group commits on disjoint partitions never lose updates") {
+    val log = newLog()
+    // two consumers of one group each commit their own partition 20
+    // times, interleaved by the scheduler; the CAS loop must merge
+    // every commit (the old read-modify-write lost whichever write
+    // raced) — and the final state must hold BOTH consumers' last
+    // offsets
+    val t1 = new Thread(() => (1 to 20).foreach(i => log.commit("g", Map(0 -> i.toLong))))
+    val t2 = new Thread(() => (1 to 20).foreach(i => log.commit("g", Map(1 -> i.toLong))))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(log.committed("g") === Map(0 -> 20L, 1 -> 20L))
+    // commits may rewind their OWN partitions (Kafka semantics)
+    log.commit("g", Map(0 -> 3L))
+    assert(log.committed("g") === Map(0 -> 3L, 1 -> 20L))
+    assert(log.listGroups() === Seq("g"))
+  }
+
+  test("legacy flat group files migrate through the versioned commit path") {
+    val log = newLog()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${log.topicDir}/_groups"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${log.topicDir}/_groups/old.json"), """{"0":7,"2":9}""")
+    assert(log.committed("old") === Map(0 -> 7L, 2 -> 9L))
+    log.commit("old", Map(1 -> 4L))
+    assert(log.committed("old") === Map(0 -> 7L, 1 -> 4L, 2 -> 9L))
+    assert(log.listGroups() === Seq("old"))
+  }
+
   test("compaction and retention keep the manifest coherent") {
     val log = newLog()
     log.produce(records(0 until 100), part) // keys i % 10 → 10 distinct keys
