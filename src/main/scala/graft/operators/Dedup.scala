@@ -323,11 +323,17 @@ object Dedup {
       .select("d1", "d2")
     val nearPairs = dedupNgramJaccard(spark, dir).select("d1", "d2")
     val edges = exactPairs.union(nearPairs).distinct()
-    val sym = edges
-      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    // symmetric closure via one map-side explode — a union of the
+    // edge set with its own reversal would run the whole (expensive)
+    // edge-derivation lineage twice before the persist materializes
+    val sym = edges.select(explode(array(
+        struct(col("d1"), col("d2")),
+        struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+      .select(col("e.d1"), col("e.d2"))
       .persist()
-    var labels = sym.select(col("d1").as("id")).distinct()
+    var cached = sym.select(col("d1").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -336,12 +342,13 @@ object Dedup {
         .groupBy(col("d1").as("id")).agg(min("comp").as("ncomp"))
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .persist()
-      changed = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "comp")
       rounds += 1
     }
     val out = labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
