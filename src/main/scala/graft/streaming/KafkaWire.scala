@@ -4,8 +4,9 @@ import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Kafka wire-protocol codec for the ApiVersions exchange — the one
-  * API the reference broker actually implements (ref:
+/** Kafka wire-protocol codecs for the ApiVersions exchange — the one
+  * API the reference broker actually implements — plus Metadata v0,
+  * the next API on its dispatch table (ref:
   * pkg/kafka/kafka_api.go:99 HandleApiVersions, framing in
   * pkg/kafka/kafka_connectian_handler.go). Byte layout follows the
   * PUBLIC Kafka protocol spec (flexible versions, KIP-482):
@@ -192,5 +193,138 @@ object KafkaWire {
     val req = decodeApiVersionsRequestV3(requestBytes)
     encodeApiVersionsResponseV3(req.correlationId,
       catalog.map(t => (t._1, t._3, t._4)))
+  }
+
+  // --- Metadata v0 (api_key 3, pre-flexible encoding) ---
+  // Request header v1 (api_key, api_version, correlation_id,
+  // client_id NULLABLE_STRING), response header v0 (correlation_id).
+  // Body layouts per the public Kafka protocol spec:
+  //   request:  topics ARRAY<STRING> (count -1 = null = all topics)
+  //   response: brokers ARRAY<node_id INT32, host STRING, port INT32>,
+  //             topics ARRAY<error INT16, name STRING,
+  //               partitions ARRAY<error INT16, index INT32,
+  //                 leader INT32, replicas ARRAY<INT32>,
+  //                 isr ARRAY<INT32>>>
+
+  val MetadataApiKey = 3
+
+  case class MetadataRequest(correlationId: Int, clientId: String,
+      topics: Option[Seq[String]])
+
+  case class PartitionMetadata(errorCode: Int, index: Int, leader: Int,
+      replicas: Seq[Int], isr: Seq[Int])
+
+  case class TopicMetadata(errorCode: Int, name: String,
+      partitions: Seq[PartitionMetadata])
+
+  case class MetadataResponse(correlationId: Int,
+      brokers: Seq[(Int, String, Int)], topics: Seq[TopicMetadata])
+
+  private def writeInt32Array(out: ByteArrayOutputStream, xs: Seq[Int]): Unit = {
+    writeInt32(out, xs.length)
+    xs.foreach(writeInt32(out, _))
+  }
+
+  private def readInt32Array(buf: ByteBuffer): Seq[Int] = {
+    val n = buf.getInt
+    (0 until n).map(_ => buf.getInt)
+  }
+
+  /** Client-side encode of a framed Metadata v0 request. */
+  def encodeMetadataRequestV0(correlationId: Int, clientId: String,
+      topics: Option[Seq[String]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, MetadataApiKey) // header v1
+    writeInt16(out, 0)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    topics match {
+      case None => writeInt32(out, -1) // null array = all topics
+      case Some(ts) =>
+        writeInt32(out, ts.length)
+        ts.foreach(writeNullableString(out, _))
+    }
+    frame(out.toByteArray)
+  }
+
+  /** Server-side decode of a framed Metadata v0 request. */
+  def decodeMetadataRequestV0(bytes: Array[Byte]): MetadataRequest = {
+    val buf = unframe(bytes)
+    val apiKey = buf.getShort.toInt
+    require(apiKey == MetadataApiKey, s"api key $apiKey is not Metadata")
+    require(buf.getShort.toInt == 0, "only Metadata v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val n = buf.getInt
+    val topics = if (n < 0) None
+      else Some((0 until n).map(_ => readNullableString(buf)).toSeq)
+    MetadataRequest(correlationId, clientId, topics)
+  }
+
+  /** Server-side encode of the framed Metadata v0 response. */
+  def encodeMetadataResponseV0(correlationId: Int,
+      brokers: Seq[(Int, String, Int)], topics: Seq[TopicMetadata]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId) // response header v0
+    writeInt32(out, brokers.length)
+    brokers.foreach { case (id, host, port) =>
+      writeInt32(out, id); writeNullableString(out, host); writeInt32(out, port)
+    }
+    writeInt32(out, topics.length)
+    topics.foreach { t =>
+      writeInt16(out, t.errorCode)
+      writeNullableString(out, t.name)
+      writeInt32(out, t.partitions.length)
+      t.partitions.foreach { p =>
+        writeInt16(out, p.errorCode)
+        writeInt32(out, p.index)
+        writeInt32(out, p.leader)
+        writeInt32Array(out, p.replicas)
+        writeInt32Array(out, p.isr)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  /** Client-side decode (round-trip check). */
+  def decodeMetadataResponseV0(bytes: Array[Byte]): MetadataResponse = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val brokers = (0 until buf.getInt).map { _ =>
+      (buf.getInt, readNullableString(buf), buf.getInt)
+    }
+    val topics = (0 until buf.getInt).map { _ =>
+      val err = buf.getShort.toInt
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        PartitionMetadata(buf.getShort.toInt, buf.getInt, buf.getInt,
+          readInt32Array(buf), readInt32Array(buf))
+      }
+      TopicMetadata(err, name, parts)
+    }
+    MetadataResponse(correlationId, brokers, topics)
+  }
+
+  /** Full server exchange for Metadata v0: the single-broker answer a
+    * graft deployment gives — this process is broker 0 / leader of
+    * every partition, replicas = isr = [0] (the reference is a
+    * single-broker prototype too). */
+  def handleMetadata(requestBytes: Array[Byte], host: String, port: Int,
+      topicPartitions: Map[String, Int]): Array[Byte] = {
+    val req = decodeMetadataRequestV0(requestBytes)
+    val names = req.topics match {
+      case None => topicPartitions.keys.toSeq.sorted
+      case Some(ts) => ts
+    }
+    val topics = names.map { name =>
+      topicPartitions.get(name) match {
+        case Some(n) =>
+          TopicMetadata(0, name, (0 until n).map(i =>
+            PartitionMetadata(0, i, 0, Seq(0), Seq(0))))
+        case None =>
+          TopicMetadata(3, name, Seq.empty) // UNKNOWN_TOPIC_OR_PARTITION
+      }
+    }
+    encodeMetadataResponseV0(req.correlationId, Seq((0, host, port)), topics)
   }
 }

@@ -89,4 +89,68 @@ class KafkaWireSpec extends AnyFunSuite {
     val resp = decodeApiVersionsResponseV3(encodeApiVersionsResponseV3(7, keys))
     assert(resp.apiKeys === keys)
   }
+
+  // --- Metadata v0 ---
+
+  /** Golden Metadata v0 request: correlationId=7, clientId="cli",
+    * topics=["t"]. Header v1 + ARRAY<STRING> body, laid out by hand. */
+  private val goldenMetadataRequest: Array[Byte] = {
+    val payload =
+      Array[Byte](0, 3, 0, 0, 0, 0, 0, 7) ++ // api_key 3, version 0, correlation 7
+        Array[Byte](0, 3) ++ "cli".getBytes("UTF-8") ++ // client_id
+        Array[Byte](0, 0, 0, 1) ++ // topics array count
+        Array[Byte](0, 1) ++ "t".getBytes("UTF-8") // topic name STRING
+    Array[Byte](0, 0, 0, payload.length.toByte) ++ payload
+  }
+
+  /** Golden Metadata v0 response: broker (0, "h", 9092); topic "t"
+    * with one partition led by broker 0, replicas = isr = [0]. */
+  private val goldenMetadataResponse: Array[Byte] = {
+    val payload =
+      Array[Byte](0, 0, 0, 7) ++ // correlation_id (response header v0)
+        Array[Byte](0, 0, 0, 1) ++ // brokers count
+        Array[Byte](0, 0, 0, 0) ++ // broker node_id
+        Array[Byte](0, 1) ++ "h".getBytes("UTF-8") ++ // broker host STRING
+        Array[Byte](0, 0, 0x23, 0x84.toByte) ++ // broker port 9092
+        Array[Byte](0, 0, 0, 1) ++ // topics count
+        Array[Byte](0, 0) ++ // topic error_code
+        Array[Byte](0, 1) ++ "t".getBytes("UTF-8") ++
+        Array[Byte](0, 0, 0, 1) ++ // partitions count
+        Array[Byte](0, 0) ++ // partition error_code
+        Array[Byte](0, 0, 0, 0) ++ // partition index
+        Array[Byte](0, 0, 0, 0) ++ // leader
+        Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) ++ // replicas [0]
+        Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) // isr [0]
+    Array[Byte](0, 0, 0, payload.length.toByte) ++ payload
+  }
+
+  test("metadata request encode/decode match the golden frame") {
+    assert(encodeMetadataRequestV0(7, "cli", Some(Seq("t")))
+      .sameElements(goldenMetadataRequest))
+    val req = decodeMetadataRequestV0(goldenMetadataRequest)
+    assert(req === MetadataRequest(7, "cli", Some(Seq("t"))))
+  }
+
+  test("metadata response encode emits exactly the golden bytes") {
+    val resp = encodeMetadataResponseV0(7, Seq((0, "h", 9092)),
+      Seq(TopicMetadata(0, "t", Seq(PartitionMetadata(0, 0, 0, Seq(0), Seq(0))))))
+    assert(resp.sameElements(goldenMetadataResponse),
+      s"\n got: ${resp.map("%02x".format(_)).mkString(" ")}" +
+        s"\nwant: ${goldenMetadataResponse.map("%02x".format(_)).mkString(" ")}")
+  }
+
+  test("metadata full exchange: known topic described, unknown topic errors, null = all") {
+    val catalog = Map("alpha" -> 2, "beta" -> 1)
+    val known = decodeMetadataResponseV0(handleMetadata(
+      encodeMetadataRequestV0(1, "c", Some(Seq("alpha", "ghost"))), "h", 9092, catalog))
+    assert(known.brokers === Seq((0, "h", 9092)))
+    assert(known.topics.map(t => (t.name, t.errorCode, t.partitions.length)) ===
+      Seq(("alpha", 0, 2), ("ghost", 3, 0))) // 3 = UNKNOWN_TOPIC_OR_PARTITION
+    known.topics.head.partitions.zipWithIndex.foreach { case (p, i) =>
+      assert(p === PartitionMetadata(0, i, 0, Seq(0), Seq(0)))
+    }
+    val all = decodeMetadataResponseV0(handleMetadata(
+      encodeMetadataRequestV0(2, "c", None), "h", 9092, catalog))
+    assert(all.topics.map(_.name) === Seq("alpha", "beta"))
+  }
 }
