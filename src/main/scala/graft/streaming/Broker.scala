@@ -123,6 +123,87 @@ class Broker(spark: SparkSession, root: String) {
       }
     }.toDF("group", "topic", "partition", "committed_offset", "log_end_offset", "lag")
   }
+
+  // --- wire-level Produce/Fetch v0: framed Kafka bytes in, framed
+  // bytes out, with the Spark-native TopicLog as the storage engine —
+  // the full producer/consumer path a v0 client would drive.
+
+  /** Produce v0 exchange: records land through the real manifest
+    * produce (explicit partition routing, per-partition contiguous
+    * offsets); the response carries each partition's base offset,
+    * exactly as a broker acks. Unknown topics / out-of-range
+    * partitions answer error 3 (UNKNOWN_TOPIC_OR_PARTITION) without
+    * losing the rest of the request. */
+  def handleProduce(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeProduceRequestV0(requestBytes)
+    val results = req.topics.map { case (name, parts) =>
+      if (!topicExists(name)) (name, parts.map { case (p, _) => (p, 3, -1L) })
+      else {
+        val log = topic(name)
+        val before = log.logEndOffsets()
+        val valid = parts.filter { case (p, _) => p >= 0 && p < log.numPartitions }
+        val rows = valid.flatMap { case (p, rs) => rs.map(r => (r.key, r.value, p)) }
+        if (rows.nonEmpty) {
+          import spark.implicits._
+          log.produce(rows.toDF("key", "value", "partition"),
+            partitioner = col("partition"))
+        }
+        (name, parts.map { case (p, _) =>
+          if (p < 0 || p >= log.numPartitions) (p, 3, -1L)
+          else (p, 0, before.getOrElse(p, 0L))
+        })
+      }
+    }
+    encodeProduceResponseV0(req.correlationId, results)
+  }
+
+  /** Fetch v0 exchange: bounded reads from (partition, offset) with
+    * max_bytes honored (always at least one message, so a large
+    * record can't stall the consumer), high watermark = log end,
+    * error 1 (OFFSET_OUT_OF_RANGE) past the end, error 3 for unknown
+    * topics/partitions. */
+  def handleFetch(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeFetchRequestV0(requestBytes)
+    val topicsOut = req.topics.map { case (name, parts) =>
+      if (!topicExists(name))
+        (name, parts.map { case (p, _, _) =>
+          (p, 3, -1L, Seq.empty[(Long, WireRecord)]) })
+      else {
+        val log = topic(name)
+        val ends = log.logEndOffsets()
+        (name, parts.map { case (p, off, maxBytes) =>
+          val end = ends.getOrElse(p, 0L)
+          if (p < 0 || p >= log.numPartitions)
+            (p, 3, -1L, Seq.empty[(Long, WireRecord)])
+          else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecord)])
+          else {
+            // bound the collect: v0 message overhead is 26 bytes +
+            // key + value, so maxBytes/26 over-covers the record count
+            val rows = log.consume(p, off, maxRecords = maxBytes / 26 + 1)
+              .select("offset", "key", "value").collect()
+            var used = 0
+            val picked = Seq.newBuilder[(Long, WireRecord)]
+            var taken = 0
+            rows.foreach { r =>
+              val k = r.getAs[Array[Byte]]("key")
+              val v = r.getAs[Array[Byte]]("value")
+              val sz = 26 + (if (k == null) 0 else k.length) +
+                (if (v == null) 0 else v.length)
+              if (taken == 0 || used + sz <= maxBytes) {
+                picked += ((r.getAs[Long]("offset"), WireRecord(k, v)))
+                used += sz
+                taken += 1
+              }
+            }
+            (p, 0, end, picked.result())
+          }
+        })
+      }
+    }
+    encodeFetchResponseV0(req.correlationId, topicsOut)
+  }
 }
 
 object Broker {

@@ -327,4 +327,255 @@ object KafkaWire {
     }
     encodeMetadataResponseV0(req.correlationId, Seq((0, host, port)), topics)
   }
+
+  // --- Produce v0 / Fetch v0 (api_keys 0/1, message format v0) ---
+  // MessageSet v0 (no element count — a byte-bounded concatenation):
+  //   [offset INT64, message_size INT32, message]*
+  // Message v0: crc INT32 (CRC32 over magic..value), magic INT8 = 0,
+  //   attributes INT8 = 0, key BYTES, value BYTES
+  //   (BYTES = INT32 length, -1 = null).
+  // ProduceRequest v0:  acks INT16, timeout INT32, topics ARRAY<
+  //   name STRING, partitions ARRAY<partition INT32,
+  //   message_set_size INT32, message_set>>
+  // ProduceResponse v0: topics ARRAY<name STRING, partitions ARRAY<
+  //   partition INT32, error INT16, base_offset INT64>>
+  // FetchRequest v0:    replica_id INT32, max_wait_ms INT32,
+  //   min_bytes INT32, topics ARRAY<name STRING, partitions ARRAY<
+  //   partition INT32, fetch_offset INT64, max_bytes INT32>>
+  // FetchResponse v0:   topics ARRAY<name STRING, partitions ARRAY<
+  //   partition INT32, error INT16, high_watermark INT64,
+  //   message_set_size INT32, message_set>>
+
+  val ProduceApiKey = 0
+  val FetchApiKey = 1
+
+  case class WireRecord(key: Array[Byte], value: Array[Byte])
+
+  case class ProduceRequestV0(correlationId: Int, clientId: String,
+      acks: Int, timeoutMs: Int,
+      topics: Seq[(String, Seq[(Int, Seq[WireRecord])])])
+
+  case class FetchRequestV0(correlationId: Int, clientId: String,
+      maxWaitMs: Int, minBytes: Int,
+      topics: Seq[(String, Seq[(Int, Long, Int)])])
+
+  private def writeInt64(out: ByteArrayOutputStream, v: Long): Unit = {
+    var i = 56
+    while (i >= 0) { out.write(((v >>> i) & 0xff).toInt); i -= 8 }
+  }
+
+  private def writeBytesField(out: ByteArrayOutputStream, b: Array[Byte]): Unit =
+    if (b == null) writeInt32(out, -1)
+    else { writeInt32(out, b.length); out.write(b, 0, b.length) }
+
+  private def readBytesField(buf: ByteBuffer): Array[Byte] = {
+    val n = buf.getInt
+    if (n < 0) null
+    else { val b = new Array[Byte](n); buf.get(b); b }
+  }
+
+  /** One v0 message: CRC32 covers magic..value, per the spec. */
+  private def encodeMessageV0(r: WireRecord): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    body.write(0) // magic
+    body.write(0) // attributes
+    writeBytesField(body, r.key)
+    writeBytesField(body, r.value)
+    val bodyBytes = body.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(bodyBytes)
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, crc.getValue.toInt)
+    out.write(bodyBytes, 0, bodyBytes.length)
+    out.toByteArray
+  }
+
+  /** MessageSet v0: offset + size + message, concatenated. */
+  private[streaming] def encodeMessageSetV0(
+      records: Seq[(Long, WireRecord)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { case (offset, r) =>
+      val m = encodeMessageV0(r)
+      writeInt64(out, offset)
+      writeInt32(out, m.length)
+      out.write(m, 0, m.length)
+    }
+    out.toByteArray
+  }
+
+  /** Decode a size-bounded MessageSet v0, verifying each CRC. */
+  private[streaming] def decodeMessageSetV0(
+      bytes: Array[Byte]): Seq[(Long, WireRecord)] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val out = Seq.newBuilder[(Long, WireRecord)]
+    while (buf.remaining() >= 12) {
+      val offset = buf.getLong
+      val size = buf.getInt
+      val m = new Array[Byte](size); buf.get(m)
+      val mb = ByteBuffer.wrap(m)
+      val crc = mb.getInt
+      val check = new java.util.zip.CRC32()
+      check.update(m, 4, m.length - 4)
+      require(crc == check.getValue.toInt, s"message CRC mismatch at offset $offset")
+      require(mb.get() == 0, "only message format v0 (magic 0) supported")
+      mb.get() // attributes (no compression supported)
+      val key = readBytesField(mb)
+      val value = readBytesField(mb)
+      out += ((offset, WireRecord(key, value)))
+    }
+    out.result()
+  }
+
+  def encodeProduceRequestV0(correlationId: Int, clientId: String, acks: Int,
+      timeoutMs: Int,
+      topics: Seq[(String, Seq[(Int, Seq[WireRecord])])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, ProduceApiKey) // header v1
+    writeInt16(out, 0)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    writeInt16(out, acks)
+    writeInt32(out, timeoutMs)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, records) =>
+        writeInt32(out, p)
+        // producers stamp offset 0 — the broker assigns real offsets
+        val ms = encodeMessageSetV0(records.map(r => (0L, r)))
+        writeInt32(out, ms.length)
+        out.write(ms, 0, ms.length)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeProduceRequestV0(bytes: Array[Byte]): ProduceRequestV0 = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ProduceApiKey, "not a Produce request")
+    require(buf.getShort.toInt == 0, "only Produce v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val acks = buf.getShort.toInt
+    val timeout = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val size = buf.getInt
+        val ms = new Array[Byte](size); buf.get(ms)
+        (p, decodeMessageSetV0(ms).map(_._2))
+      }
+      (name, parts.toSeq)
+    }
+    ProduceRequestV0(correlationId, clientId, acks, timeout, topics.toSeq)
+  }
+
+  def encodeProduceResponseV0(correlationId: Int,
+      results: Seq[(String, Seq[(Int, Int, Long)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, results.length)
+    results.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, err, base) =>
+        writeInt32(out, p); writeInt16(out, err); writeInt64(out, base)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeProduceResponseV0(
+      bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Int, Long)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getShort.toInt, buf.getLong)
+      }
+      (name, parts.toSeq)
+    }
+    (correlationId, topics.toSeq)
+  }
+
+  def encodeFetchRequestV0(correlationId: Int, clientId: String,
+      maxWaitMs: Int, minBytes: Int,
+      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, FetchApiKey) // header v1
+    writeInt16(out, 0)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    writeInt32(out, -1) // replica_id: -1 = consumer
+    writeInt32(out, maxWaitMs)
+    writeInt32(out, minBytes)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, off, maxBytes) =>
+        writeInt32(out, p); writeInt64(out, off); writeInt32(out, maxBytes)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeFetchRequestV0(bytes: Array[Byte]): FetchRequestV0 = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == FetchApiKey, "not a Fetch request")
+    require(buf.getShort.toInt == 0, "only Fetch v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    buf.getInt // replica_id
+    val maxWait = buf.getInt
+    val minBytes = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getLong, buf.getInt)
+      }
+      (name, parts.toSeq)
+    }
+    FetchRequestV0(correlationId, clientId, maxWait, minBytes, topics.toSeq)
+  }
+
+  def encodeFetchResponseV0(correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecord)])])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, err, hw, records) =>
+        writeInt32(out, p); writeInt16(out, err); writeInt64(out, hw)
+        val ms = encodeMessageSetV0(records)
+        writeInt32(out, ms.length)
+        out.write(ms, 0, ms.length)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeFetchResponseV0(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecord)])])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort.toInt
+        val hw = buf.getLong
+        val size = buf.getInt
+        val ms = new Array[Byte](size); buf.get(ms)
+        (p, err, hw, decodeMessageSetV0(ms))
+      }
+      (name, parts.toSeq)
+    }
+    (correlationId, topics.toSeq)
+  }
 }

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Byte-level Produce v0 / Fetch v0 against the real TopicLog: a v0
+  * Kafka client's producer/consumer path, framed bytes in and out,
+  * with the Spark-native log as the storage engine. Message-set
+  * layout is pinned against an independently hand-laid golden frame
+  * (CRC from the JDK's CRC32 over the hand-laid body). */
+class ProduceFetchWireSpec extends AnyFunSuite {
+  import KafkaWire._
+  lazy val spark = TestSpark.spark
+
+  private def newBroker(): (Broker, String) = {
+    val root = Files.createTempDirectory("graft-wire").toString
+    (new Broker(spark, root), root)
+  }
+
+  test("message set v0 encode matches the hand-laid golden bytes") {
+    // one message at offset 5: key null, value "v"
+    val body = Array[Byte](0, 0) ++ // magic, attributes
+      Array[Byte](-1, -1, -1, -1) ++ // key = null (INT32 -1)
+      Array[Byte](0, 0, 0, 1) ++ "v".getBytes("UTF-8") // value BYTES
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    val c = crc.getValue.toInt
+    val golden =
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 5) ++ // offset INT64
+        Array[Byte](0, 0, 0, (4 + body.length).toByte) ++ // message_size
+        Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+          (c >>> 8).toByte, c.toByte) ++ body
+    val enc = encodeMessageSetV0(Seq((5L, WireRecord(null, "v".getBytes("UTF-8")))))
+    assert(enc.sameElements(golden),
+      s"\n got: ${enc.map("%02x".format(_)).mkString(" ")}" +
+        s"\nwant: ${golden.map("%02x".format(_)).mkString(" ")}")
+    val dec = decodeMessageSetV0(golden)
+    assert(dec.map(_._1) === Seq(5L))
+    assert(dec.head._2.key === null)
+    assert(new String(dec.head._2.value, "UTF-8") === "v")
+  }
+
+  test("corrupted message CRC is rejected") {
+    val ms = encodeMessageSetV0(Seq((0L, WireRecord(null, "x".getBytes("UTF-8")))))
+    ms(ms.length - 1) = (ms(ms.length - 1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] { decodeMessageSetV0(ms) }
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("wire produce lands real offsets; wire fetch round-trips the records") {
+    val (broker, _) = newBroker()
+    broker.createTopic("wire", 2)
+
+    def rec(s: String) = WireRecord(s"k$s".getBytes("UTF-8"), s"v$s".getBytes("UTF-8"))
+    val produce1 = broker.handleProduce(encodeProduceRequestV0(10, "cli", 1, 1000,
+      Seq(("wire", Seq(
+        (0, Seq(rec("a"), rec("b"))),
+        (1, Seq(rec("c"))))))))
+    val (corr1, res1) = decodeProduceResponseV0(produce1)
+    assert(corr1 === 10)
+    assert(res1 === Seq(("wire", Seq((0, 0, 0L), (1, 0, 0L)))))
+
+    // second produce continues each partition's log end
+    val produce2 = broker.handleProduce(encodeProduceRequestV0(11, "cli", 1, 1000,
+      Seq(("wire", Seq((0, Seq(rec("d"))))))))
+    assert(decodeProduceResponseV0(produce2)._2 === Seq(("wire", Seq((0, 0, 2L)))))
+
+    // fetch everything from partition 0
+    val fetch = broker.handleFetch(encodeFetchRequestV0(12, "cli", 100, 1,
+      Seq(("wire", Seq((0, 0L, 1 << 20))))))
+    val (corrF, topicsF) = decodeFetchResponseV0(fetch)
+    assert(corrF === 12)
+    val (p0, err0, hw0, msgs0) = topicsF.head._2.head
+    assert((p0, err0, hw0) === (0, 0, 3L))
+    assert(msgs0.map(_._1) === Seq(0L, 1L, 2L), "offsets must be the log's")
+    assert(msgs0.map(m => new String(m._2.value, "UTF-8")) === Seq("va", "vb", "vd"))
+    assert(msgs0.map(m => new String(m._2.key, "UTF-8")) === Seq("ka", "kb", "kd"))
+
+    // bounded fetch: max_bytes fits only the first message (~30 bytes)
+    val bounded = broker.handleFetch(encodeFetchRequestV0(13, "cli", 100, 1,
+      Seq(("wire", Seq((0, 0L, 40))))))
+    val msgsB = decodeFetchResponseV0(bounded)._2.head._2.head._4
+    assert(msgsB.map(_._1) === Seq(0L), "max_bytes must bound the set")
+
+    // offset past the end → error 1 (OFFSET_OUT_OF_RANGE)
+    val past = broker.handleFetch(encodeFetchRequestV0(14, "cli", 100, 1,
+      Seq(("wire", Seq((1, 99L, 1 << 20))))))
+    val (_, e1, hw1, m1) = decodeFetchResponseV0(past)._2.head._2.head
+    assert((e1, hw1, m1.isEmpty) === (1, 1L, true))
+
+    // unknown topic / partition → error 3, rest of the request served
+    val mixed = broker.handleProduce(encodeProduceRequestV0(15, "cli", 1, 1000,
+      Seq(("ghost", Seq((0, Seq(rec("x"))))),
+        ("wire", Seq((9, Seq(rec("y"))), (1, Seq(rec("z"))))))))
+    val (_, resM) = decodeProduceResponseV0(mixed)
+    assert(resM === Seq(
+      ("ghost", Seq((0, 3, -1L))),
+      ("wire", Seq((9, 3, -1L), (1, 0, 1L)))))
+  }
+}
