@@ -204,6 +204,53 @@ class Broker(spark: SparkSession, root: String) {
     }
     encodeFetchResponseV0(req.correlationId, topicsOut)
   }
+
+  /** OffsetCommit v0 exchange: group offsets land through the
+    * CAS-versioned group commit (concurrent members on disjoint
+    * partitions both land). Unknown topics / out-of-range partitions
+    * answer error 3 without failing the rest. */
+  def handleOffsetCommit(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeOffsetCommitRequestV0(requestBytes)
+    val results = req.topics.map { case (name, parts) =>
+      if (!topicExists(name)) (name, parts.map { case (p, _, _) => (p, 3) })
+      else {
+        val log = topic(name)
+        val valid = parts.collect {
+          case (p, off, _) if p >= 0 && p < log.numPartitions => p -> off
+        }.toMap
+        if (valid.nonEmpty) log.commit(req.group, valid)
+        (name, parts.map { case (p, _, _) =>
+          (p, if (valid.contains(p)) 0 else 3)
+        })
+      }
+    }
+    encodeOffsetCommitResponseV0(req.correlationId, results)
+  }
+
+  /** OffsetFetch v0 exchange: committed offsets for the requested
+    * topic-partitions; -1 with no metadata where the group has never
+    * committed (Kafka's "no offset" answer), error 3 for unknown
+    * topics/partitions. */
+  def handleOffsetFetch(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeOffsetFetchRequestV0(requestBytes)
+    val results = req.topics.map { case (name, parts) =>
+      if (!topicExists(name)) (name, parts.map(p => (p, -1L, null: String, 3)))
+      else {
+        val log = topic(name)
+        val committed = log.committed(req.group)
+        (name, parts.map { p =>
+          if (p < 0 || p >= log.numPartitions) (p, -1L, null: String, 3)
+          else committed.get(p) match {
+            case Some(off) => (p, off, "", 0)
+            case None => (p, -1L, null: String, 0)
+          }
+        })
+      }
+    }
+    encodeOffsetFetchResponseV0(req.correlationId, results)
+  }
 }
 
 object Broker {

@@ -578,4 +578,143 @@ object KafkaWire {
     }
     (correlationId, topics.toSeq)
   }
+
+  // --- OffsetCommit v0 / OffsetFetch v0 (api_keys 8/9) ---
+  // OffsetCommit v0 request: group STRING, topics ARRAY<name STRING,
+  //   partitions ARRAY<partition INT32, offset INT64,
+  //   metadata NULLABLE_STRING>>; response: topics ARRAY<name,
+  //   partitions ARRAY<partition INT32, error INT16>>.
+  // OffsetFetch v0 request: group STRING, topics ARRAY<name,
+  //   partitions ARRAY<INT32>>; response: topics ARRAY<name,
+  //   partitions ARRAY<partition INT32, offset INT64,
+  //   metadata NULLABLE_STRING, error INT16>> (offset -1 = none).
+
+  val OffsetCommitApiKey = 8
+  val OffsetFetchApiKey = 9
+
+  case class OffsetCommitRequestV0(correlationId: Int, clientId: String,
+      group: String, topics: Seq[(String, Seq[(Int, Long, String)])])
+
+  case class OffsetFetchRequestV0(correlationId: Int, clientId: String,
+      group: String, topics: Seq[(String, Seq[Int])])
+
+  def encodeOffsetCommitRequestV0(correlationId: Int, clientId: String,
+      group: String, topics: Seq[(String, Seq[(Int, Long, String)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, OffsetCommitApiKey) // header v1
+    writeInt16(out, 0)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    writeNullableString(out, group)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, off, meta) =>
+        writeInt32(out, p); writeInt64(out, off); writeNullableString(out, meta)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetCommitRequestV0(bytes: Array[Byte]): OffsetCommitRequestV0 = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == OffsetCommitApiKey, "not an OffsetCommit request")
+    require(buf.getShort.toInt == 0, "only OffsetCommit v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val group = readNullableString(buf)
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getLong, readNullableString(buf))
+      }
+      (name, parts.toSeq)
+    }
+    OffsetCommitRequestV0(correlationId, clientId, group, topics.toSeq)
+  }
+
+  def encodeOffsetCommitResponseV0(correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, err) => writeInt32(out, p); writeInt16(out, err) }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetCommitResponseV0(
+      bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Int)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map(_ => (buf.getInt, buf.getShort.toInt))
+      (name, parts.toSeq)
+    }
+    (correlationId, topics.toSeq)
+  }
+
+  def encodeOffsetFetchRequestV0(correlationId: Int, clientId: String,
+      group: String, topics: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, OffsetFetchApiKey) // header v1
+    writeInt16(out, 0)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    writeNullableString(out, group)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32Array(out, parts)
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetFetchRequestV0(bytes: Array[Byte]): OffsetFetchRequestV0 = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == OffsetFetchApiKey, "not an OffsetFetch request")
+    require(buf.getShort.toInt == 0, "only OffsetFetch v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val group = readNullableString(buf)
+    val topics = (0 until buf.getInt).map { _ =>
+      (readNullableString(buf), readInt32Array(buf).toSeq)
+    }
+    OffsetFetchRequestV0(correlationId, clientId, group, topics.toSeq)
+  }
+
+  def encodeOffsetFetchResponseV0(correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Long, String, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, off, meta, err) =>
+        writeInt32(out, p); writeInt64(out, off)
+        writeNullableString(out, meta); writeInt16(out, err)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetFetchResponseV0(
+      bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Long, String, Int)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getLong, readNullableString(buf), buf.getShort.toInt)
+      }
+      (name, parts.toSeq)
+    }
+    (correlationId, topics.toSeq)
+  }
 }

@@ -100,4 +100,38 @@ class ProduceFetchWireSpec extends AnyFunSuite {
       ("ghost", Seq((0, 3, -1L))),
       ("wire", Seq((9, 3, -1L), (1, 0, 1L)))))
   }
+
+  test("wire offset commit/fetch drives the CAS group store") {
+    val (broker, _) = newBroker()
+    broker.createTopic("grp", 4)
+
+    // commit offsets for two partitions; one out-of-range, one ghost topic
+    val commit = broker.handleOffsetCommit(encodeOffsetCommitRequestV0(
+      20, "cli", "g1", Seq(
+        ("grp", Seq((0, 10L, "m"), (2, 30L, null), (9, 5L, null))),
+        ("ghost", Seq((0, 1L, null))))))
+    val (corrC, resC) = decodeOffsetCommitResponseV0(commit)
+    assert(corrC === 20)
+    assert(resC === Seq(
+      ("grp", Seq((0, 0), (2, 0), (9, 3))),
+      ("ghost", Seq((0, 3)))))
+    // the commit landed in the same store the library API reads
+    assert(broker.topic("grp").committed("g1") === Map(0 -> 10L, 2 -> 30L))
+
+    // fetch: committed offsets back; -1 where never committed
+    val fetch = broker.handleOffsetFetch(encodeOffsetFetchRequestV0(
+      21, "cli", "g1", Seq(("grp", Seq(0, 1, 2, 9)), ("ghost", Seq(0)))))
+    val (corrF, resF) = decodeOffsetFetchResponseV0(fetch)
+    assert(corrF === 21)
+    assert(resF === Seq(
+      ("grp", Seq((0, 10L, "", 0), (1, -1L, null, 0), (2, 30L, "", 0),
+        (9, -1L, null, 3))),
+      ("ghost", Seq((0, -1L, null, 3)))))
+
+    // a second member committing a DISJOINT partition merges (CAS)
+    broker.handleOffsetCommit(encodeOffsetCommitRequestV0(
+      22, "cli2", "g1", Seq(("grp", Seq((1, 99L, null))))))
+    assert(broker.topic("grp").committed("g1") ===
+      Map(0 -> 10L, 1 -> 99L, 2 -> 30L))
+  }
 }
