@@ -87,6 +87,36 @@ object WordNgramsExpr {
   * vectors, and their precomputed L2 norms (sorted by cell id). */
 case class CellCodebook(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double])
 
+/** Codebook persistence: train once, assign forever. Doubles are
+  * stored as raw IEEE-754 bits (hex longs), so a loaded codebook is
+  * BIT-IDENTICAL to the trained one — assignments cannot drift across
+  * save/load, JVMs, or locales (a decimal round-trip could). */
+object CellCodebook {
+  def save(cb: CellCodebook, path: String): Unit = {
+    def bits(d: Double) = java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
+    val cells = cb.ids.indices.map { i =>
+      s"""{"id":${cb.ids(i)},"norm":"${bits(cb.norms(i))}",""" +
+        s""""vec":[${cb.vecs(i).map(d => "\"" + bits(d) + "\"").mkString(",")}]}"""
+    }
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, cells.mkString("[", ",\n", "]"))
+  }
+
+  def load(path: String): CellCodebook = {
+    def un(h: String) = java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val cell = ("\\{\"id\":(\\d+),\"norm\":\"([0-9a-f]+)\"," +
+      "\"vec\":\\[([^\\]]*)\\]\\}").r
+    val parsed = cell.findAllMatchIn(s).map { m =>
+      val vec = "\"([0-9a-f]+)\"".r.findAllMatchIn(m.group(3))
+        .map(v => un(v.group(1))).toArray
+      (m.group(1).toLong, vec, un(m.group(2)))
+    }.toArray
+    CellCodebook(parsed.map(_._1), parsed.map(_._2), parsed.map(_._3))
+  }
+}
+
 /** Nearest-codebook-cell assignment:
   * argmax_j round(dot(v, c_j) / (|v|·|c_j|), 6), ties to the smallest
   * cell id (iteration order is ascending ids + strict improvement).

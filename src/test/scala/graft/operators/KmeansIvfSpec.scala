@@ -67,6 +67,39 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(cb1.norms.toSeq === cb2.norms.toSeq)
   }
 
+  test("codebook save/load round-trips bit-identically and assigns identically") {
+    import graft.functions.CellCodebook
+    val cb = Similarity.trainKmeansCodebook(emb, iterations = 3, initEvery = 40)
+    val path = s"$dir/_codebook.json"
+    CellCodebook.save(cb, path)
+    val loaded = CellCodebook.load(path)
+    assert(loaded.ids.toSeq === cb.ids.toSeq)
+    (loaded.vecs, cb.vecs).zipped.foreach { (a, b) =>
+      assert(a.length === b.length)
+      a.indices.foreach(i =>
+        assert(java.lang.Double.doubleToLongBits(a(i)) ===
+          java.lang.Double.doubleToLongBits(b(i)), s"vec bits differ at $i"))
+    }
+    assert(loaded.norms.map(java.lang.Double.doubleToLongBits).toSeq ===
+      cb.norms.map(java.lang.Double.doubleToLongBits).toSeq)
+    // assignment through the loaded codebook is indistinguishable
+    val a1 = emb.withColumn("cell",
+      graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a2 = emb.withColumn("cell",
+      graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), loaded))
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a1 === a2)
+    // negative norms/subnormals can't sneak through the hex codec
+    val tricky = CellCodebook(Array(0L), Array(Array(-0.0, Double.MinPositiveValue,
+      -1.7976931348623157e308, 3.141592653589793)), Array(-0.0))
+    CellCodebook.save(tricky, path)
+    val back = CellCodebook.load(path)
+    back.vecs(0).indices.foreach(i =>
+      assert(java.lang.Double.doubleToLongBits(back.vecs(0)(i)) ===
+        java.lang.Double.doubleToLongBits(tricky.vecs(0)(i))))
+  }
+
   test("the topk query retrieves same-cluster neighbors") {
     val r = Similarity.annIvfKmeansTopk(spark, dir).collect()
     assert(r.nonEmpty)
