@@ -341,7 +341,15 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** q25: ntile + dense_rank windows over a unique total order. */
+  /** q25: ntile + dense_rank windows over a unique total order.
+    * Scale note: the window key (`l_returnflag`, 3 values) is
+    * LOW-cardinality by the query's own semantics — exact per-flag
+    * quartiles require a total order per flag, so 3 reducers see the
+    * whole table. At 100 TB the right formulation is two-pass:
+    * `approx_percentile(l_extendedprice, [.25,.5,.75])` per flag
+    * (map-side-combining agg), then a broadcast range lookup per row
+    * — exact ntile only when the per-key volume is bounded, as here
+    * with the dense_rank ≤ 50 consumer. */
   def q25NtileDenseRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)

@@ -91,6 +91,32 @@ class Broker(spark: SparkSession, root: String) {
     log
   }
 
+  /** Export every consumer group's committed offsets for a topic —
+    * the companion to [[exportTopic]]: data + headers + GROUP
+    * PROGRESS together migrate a topic losslessly. */
+  def exportGroups(name: String, path: String): Unit = {
+    import spark.implicits._
+    val log = topic(name)
+    log.listGroups()
+      .flatMap(g => log.committed(g).toSeq.map { case (p, o) => (g, p, o) })
+      .toDF("group", "partition", "offset")
+      .coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  /** Import group offsets exported by [[exportGroups]] — lands through
+    * the CAS group commit, so it merges with (rather than clobbers)
+    * any progress committed since the export. */
+  def importGroups(name: String, path: String): Unit = {
+    val log = topic(name)
+    spark.read.json(path)
+      .select(col("group"), col("partition").cast("int"), col("offset").cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (g, rows) =>
+        log.commit(g, rows.map(r => r.getInt(1) -> r.getLong(2)).toMap)
+      }
+  }
+
   /** Metadata analog: every topic-partition with its log-end offset. */
   def topicMetadata: DataFrame = {
     import spark.implicits._

@@ -76,6 +76,29 @@ class PipelineE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("group offsets export/import migrates consumer progress with the data") {
+    val root = tmpRoot()
+    val b = new Broker(spark, root)
+    val t0 = b.createTopic("mig", 2)
+    t0.produce(records(0 until 20))
+    t0.commit("readers", Map(0 -> 5L, 1 -> 9L))
+    t0.commit("audit", Map(1 -> 2L))
+
+    b.exportTopic("mig", s"$root/mig_data", "parquet")
+    b.exportGroups("mig", s"$root/mig_groups")
+
+    val b2root = tmpRoot()
+    val b2 = new Broker(spark, b2root)
+    b2.importTopic("mig", s"$root/mig_data", "parquet", 2)
+    // destination already has some progress — import must MERGE, not clobber
+    b2.topic("mig").commit("audit", Map(0 -> 4L))
+    b2.importGroups("mig", s"$root/mig_groups")
+
+    assert(b2.topic("mig").committed("readers") === Map(0 -> 5L, 1 -> 9L))
+    assert(b2.topic("mig").committed("audit") === Map(0 -> 4L, 1 -> 2L))
+    assert(b2.topic("mig").listGroups().sorted === Seq("audit", "readers"))
+  }
+
   test("header routing: consumers filter and fan out on header values") {
     val root = tmpRoot()
     val b = new Broker(spark, root)
