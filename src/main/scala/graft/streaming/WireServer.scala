@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.io.{DataInputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.Executors
+
+/** A TCP accept loop serving the Kafka-wire handlers — the
+  * Spark-native analog of the reference's connection handler (ref:
+  * pkg/kafka/kafka_connectian_handler.go framing loop,
+  * pkg/server/server.go accept loop): INT32-framed requests in,
+  * framed responses out, dispatched on the header's api_key. The
+  * storage engine behind every handler is the manifest-committed
+  * [[TopicLog]], so bytes from a v0 client land as real produces and
+  * bounded fetches.
+  *
+  * Serving model: thread-per-connection off a cached pool — request
+  * handling runs Spark jobs (driver-side), so connection concurrency
+  * is bounded by the driver, exactly like the single-broker
+  * reference. Scale path is partition-parallel inside each request,
+  * not connection count. */
+class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int = 0) {
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+  private val pool = Executors.newCachedThreadPool()
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): this.type = {
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        while (running)
+          try {
+            val sock = server.accept()
+            pool.submit(new Runnable { override def run(): Unit = serve(sock) })
+          } catch {
+            case _: SocketException => () // closed during accept → exit loop
+          }
+    })
+    this
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = sock.getOutputStream
+    try {
+      while (running) {
+        val size = in.readInt()
+        require(size > 0 && size <= 64 * 1024 * 1024, s"bad frame size $size")
+        val payload = new Array[Byte](size)
+        in.readFully(payload)
+        val framed = new Array[Byte](size + 4)
+        framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
+        framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
+        System.arraycopy(payload, 0, framed, 4, size)
+        val apiKey = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+        out.write(dispatch(apiKey, framed))
+        out.flush()
+      }
+    } catch {
+      case _: EOFException => () // client closed between frames
+      case _: SocketException => ()
+    } finally sock.close()
+  }
+
+  /** Route one framed request by api_key — the reference's dispatch
+    * table (ref: pkg/kafka/kafka_api.go:85). */
+  private def dispatch(apiKey: Int, framed: Array[Byte]): Array[Byte] =
+    apiKey match {
+      case KafkaWire.ApiVersionsApiKey =>
+        KafkaWire.handleApiVersions(framed, Broker.SupportedApis)
+      case KafkaWire.MetadataApiKey =>
+        val topics = broker.listTopics()
+          .map(t => t -> broker.topic(t).numPartitions).toMap
+        KafkaWire.handleMetadata(framed, advertisedHost, boundPort, topics)
+      case KafkaWire.ProduceApiKey => broker.handleProduce(framed)
+      case KafkaWire.FetchApiKey => broker.handleFetch(framed)
+      case KafkaWire.OffsetCommitApiKey => broker.handleOffsetCommit(framed)
+      case KafkaWire.OffsetFetchApiKey => broker.handleOffsetFetch(framed)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported api_key $other")
+    }
+
+  def close(): Unit = {
+    running = false
+    server.close()
+    pool.shutdownNow()
+    ()
+  }
+}
