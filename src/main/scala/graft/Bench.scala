@@ -35,8 +35,12 @@ object Bench {
     // would still blow the budget, drop the fastest queries first
     // (keeping the ones a judge actually looks at) with an explicit
     // omitted-count so truncation is never silent.
-    def fmt(v: Double): String =
-      if (v >= 10) f"$v%.1f" else if (v >= 1) f"$v%.2f" else f"$v%.3f"
+    def fmt(v: Double): String = {
+      // Locale.ROOT: the f-interpolator honors the JVM default locale,
+      // and a comma-decimal locale would print 12,34 — invalid JSON
+      val p = if (v >= 10) "%.1f" else if (v >= 1) "%.2f" else "%.3f"
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }

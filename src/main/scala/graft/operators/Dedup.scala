@@ -83,27 +83,37 @@ object Dedup {
     val g = gramRows(spark, dir, lowercase = false)
       .select("doc_id", "lang", "bucket", "sh").persist()
     val sizes = g.groupBy("doc_id").agg(countDistinct("sh").as("nsh"))
-    // one shuffle groups each (block, gram) to its posting set; the
-    // df filter and the pair generation are then MAP-SIDE explodes —
-    // no inverted-index self-join, no dfreq re-join of the gram
-    // relation. Sets are bounded by the df cap (≤ cap ids), so the
-    // m² pair explode is at most cap²/2 rows per gram.
-    val byGram = g.groupBy("lang", "bucket", "sh")
-      .agg(collect_set("doc_id").as("ds")).persist()
+    // HOT grams (df > cap) are identified by a COUNT-ONLY aggregate
+    // first — never a posting list, so a stop-gram shared by 10^8
+    // docs costs one counter, not one 10^8-element array in a single
+    // aggregation buffer. The set of hot gram STRINGS is bounded by
+    // vocabulary, not corpus size → broadcast.
+    val hot = g.groupBy("lang", "bucket", "sh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > ngramDfCap)
+      .select("lang", "bucket", "sh")
+    // one shuffle groups each RARE (block, gram) to its posting set —
+    // genuinely bounded at ≤ cap ids because hot grams were excluded
+    // BEFORE the collect — then the pair generation is a MAP-SIDE
+    // explode of at most cap²/2 rows per gram. No inverted-index
+    // self-join, no global distinct.
+    val byGram = g.join(broadcast(hot), Seq("lang", "bucket", "sh"), "left_anti")
+      .groupBy("lang", "bucket", "sh")
+      .agg(collect_set("doc_id").as("ds"))
     val candRare = byGram
       .filter(size(col("ds")).between(2, ngramDfCap))
       .select(col("ds"), explode(col("ds")).as("d1"))
       .select(col("d1"), explode(col("ds")).as("d2"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("rare_inter"))
-    // hot grams: few distinct strings (bounded by corpus vocabulary,
-    // not corpus size), joined only against candidate pairs
-    val gh = byGram.filter(size(col("ds")) > ngramDfCap)
-      .select(col("sh"), explode(col("ds")).as("doc_id"))
+    // hot-gram rows joined only against candidate pairs; occurrence
+    // duplicates are absorbed by the countDistinct below
+    val gh = g.join(broadcast(hot), Seq("lang", "bucket", "sh"))
+      .select(col("sh"), col("doc_id"))
     val interHot = candRare.select("d1", "d2")
       .join(gh.select(col("doc_id").as("d1"), col("sh")), "d1")
       .join(gh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("hot_inter"))
+      .groupBy("d1", "d2").agg(countDistinct("sh").as("hot_inter"))
     candRare.join(interHot, Seq("d1", "d2"), "left")
       .withColumn("inter", col("rare_inter") + coalesce(col("hot_inter"), lit(0L)))
       .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
@@ -351,7 +361,14 @@ object Dedup {
       labels = next.select("id", "comp")
       rounds += 1
     }
-    val out = labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+    // localCheckpoint (eager) materializes the converged labels and
+    // cuts the loop's lineage, so BOTH loop caches can be released
+    // here instead of leaking one cached label set per invocation;
+    // the checkpoint blocks themselves are reclaimed by Spark's
+    // ContextCleaner once the returned frame is unreachable.
+    val out = labels.localCheckpoint(true)
+      .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+    cached.unpersist()
     sym.unpersist()
     out
   }

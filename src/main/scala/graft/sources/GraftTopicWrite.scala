@@ -37,10 +37,12 @@ import org.apache.spark.sql.types.StructType
   *    leaves nothing visible.
   */
 class GraftTopicWriteBuilder(topicDir: String, info: LogicalWriteInfo) extends WriteBuilder {
-  override def build(): Write = new GraftTopicWrite(topicDir, info.schema())
+  override def build(): Write =
+    new GraftTopicWrite(topicDir, info.schema(), info.queryId())
 }
 
-class GraftTopicWrite(topicDir: String, schema: StructType) extends Write
+class GraftTopicWrite(topicDir: String, schema: StructType, queryId: String)
+    extends Write
     with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val stagingDir = s"$topicDir/_staging/insert-${java.util.UUID.randomUUID()}"
@@ -63,9 +65,11 @@ class GraftTopicWrite(topicDir: String, schema: StructType) extends Write
     deleteStaging(stagingDir)
 
   // --- streaming sink: one staged dir per epoch, produce-at-commit
-  // with the epoch as the manifest batch id → a replayed epoch is
-  // SKIPPED (produceIdempotent), giving effectively-exactly-once
-  // end-to-end through the same CAS manifest protocol as batch.
+  // with the (queryId, epoch) pair as the manifest writer epoch → a
+  // replayed epoch of THIS query is skipped, while a different query
+  // writing to the same topic (its own checkpoint, epochs restarting
+  // at 0) is a different writer and lands normally — exactly-once per
+  // writer through the same CAS manifest protocol as batch.
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     GraftTopicStreamingWriterFactory(stagingDir, schema)
@@ -94,7 +98,8 @@ class GraftTopicWrite(topicDir: String, schema: StructType) extends Write
       graft.streaming.Partitioners.byKeyHash(log.numPartitions))
     batchId match {
       case Some(epoch) =>
-        log.produceIdempotent(staged.drop("offset"), epoch, partitioner = router)
+        log.produceIdempotentFor(queryId, staged.drop("offset"), epoch,
+          partitioner = router)
       case None =>
         log.produce(staged.drop("offset"), partitioner = router)
     }

@@ -108,8 +108,9 @@ class Broker(spark: SparkSession, root: String) {
     * any progress committed since the export. */
   def importGroups(name: String, path: String): Unit = {
     val log = topic(name)
-    spark.read.json(path)
-      .select(col("group"), col("partition").cast("int"), col("offset").cast("long"))
+    val df = spark.read.json(path)
+    if (!df.columns.contains("group")) return // export of a group-less topic
+    df.select(col("group"), col("partition").cast("int"), col("offset").cast("long"))
       .collect()
       .groupBy(_.getString(0))
       .foreach { case (g, rows) =>
@@ -167,17 +168,33 @@ class Broker(spark: SparkSession, root: String) {
       if (!topicExists(name)) (name, parts.map { case (p, _) => (p, 3, -1L) })
       else {
         val log = topic(name)
-        val before = log.logEndOffsets()
         val valid = parts.filter { case (p, _) => p >= 0 && p < log.numPartitions }
         val rows = valid.flatMap { case (p, rs) => rs.map(r => (r.key, r.value, p)) }
-        if (rows.nonEmpty) {
-          import spark.implicits._
-          log.produce(rows.toDF("key", "value", "partition"),
-            partitioner = col("partition"))
+        val after: Map[Int, Long] =
+          if (rows.isEmpty) log.logEndOffsets()
+          else {
+            import spark.implicits._
+            log.produce(rows.toDF("key", "value", "partition"),
+              partitioner = col("partition"))
+          }
+        // Base offsets derive from the COMMITTED ends the produce
+        // returned, not a pre-produce snapshot: a snapshot is stale
+        // under concurrent producers and wrong when one request lists
+        // a partition twice. Entries are scanned in request order,
+        // each claiming its records' range below the next.
+        val written = scala.collection.mutable.Map.empty[Int, Long]
+        valid.foreach { case (p, rs) =>
+          written(p) = written.getOrElse(p, 0L) + rs.length
         }
-        (name, parts.map { case (p, _) =>
+        val consumedSoFar = scala.collection.mutable.Map.empty[Int, Long]
+        (name, parts.map { case (p, rs) =>
           if (p < 0 || p >= log.numPartitions) (p, 3, -1L)
-          else (p, 0, before.getOrElse(p, 0L))
+          else {
+            val firstBase = after.getOrElse(p, 0L) - written.getOrElse(p, 0L)
+            val base = firstBase + consumedSoFar.getOrElse(p, 0L)
+            consumedSoFar(p) = consumedSoFar.getOrElse(p, 0L) + rs.length
+            (p, 0, base)
+          }
         })
       }
     }
@@ -212,7 +229,12 @@ class Broker(spark: SparkSession, root: String) {
             var used = 0
             val picked = Seq.newBuilder[(Long, WireRecord)]
             var taken = 0
-            rows.foreach { r =>
+            var full = false
+            // STOP at the first record that doesn't fit — including a
+            // later smaller one would leave an offset GAP the consumer
+            // silently skips past (permanent message loss). The first
+            // record always ships so one large record can't stall.
+            rows.iterator.takeWhile(_ => !full).foreach { r =>
               val k = r.getAs[Array[Byte]]("key")
               val v = r.getAs[Array[Byte]]("value")
               val sz = 26 + (if (k == null) 0 else k.length) +
@@ -221,7 +243,7 @@ class Broker(spark: SparkSession, root: String) {
                 picked += ((r.getAs[Long]("offset"), WireRecord(k, v)))
                 used += sz
                 taken += 1
-              }
+              } else full = true
             }
             (p, 0, end, picked.result())
           }
@@ -295,4 +317,18 @@ object Broker {
     (19, "CreateTopics", 0, 7),
     (20, "DeleteTopics", 0, 6),
     (21, "DeleteRecords", 0, 2))
+
+  /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
+    * keys, at ONLY their implemented versions. A conformant client
+    * picks the highest mutually supported version from this response
+    * — advertising the broader [[SupportedApis]] (library-analog
+    * surface, versions we never decode) would steer every client
+    * straight into a version we reject. */
+  val WireApis: Seq[(Int, String, Int, Int)] = Seq(
+    (0, "Produce", 0, 0),
+    (1, "Fetch", 0, 0),
+    (3, "Metadata", 0, 0),
+    (8, "OffsetCommit", 0, 0),
+    (9, "OffsetFetch", 0, 0),
+    (18, "ApiVersions", 3, 3))
 }

@@ -403,7 +403,10 @@ object KafkaWire {
     out.toByteArray
   }
 
-  /** Decode a size-bounded MessageSet v0, verifying each CRC. */
+  /** Decode a size-bounded MessageSet v0, verifying each CRC. A
+    * partial trailing message is DISCARDED, not an error — v0 sets
+    * are byte-bounded, so a broker honoring max_bytes legitimately
+    * truncates the last message mid-bytes and clients skip the tail. */
   private[streaming] def decodeMessageSetV0(
       bytes: Array[Byte]): Seq[(Long, WireRecord)] = {
     val buf = ByteBuffer.wrap(bytes)
@@ -411,6 +414,8 @@ object KafkaWire {
     while (buf.remaining() >= 12) {
       val offset = buf.getLong
       val size = buf.getInt
+      if (size < 14 || size > buf.remaining())
+        return out.result() // truncated or corrupt tail: stop cleanly
       val m = new Array[Byte](size); buf.get(m)
       val mb = ByteBuffer.wrap(m)
       val crc = mb.getInt

@@ -83,7 +83,8 @@ class TopicLog private (
     * A crash at any step leaves at worst unreferenced files (cleaned
     * by [[vacuum]]) — never drifted offsets or torn reads. */
   def produce(records: DataFrame, partitioner: Column = null,
-      batchId: Option[Long] = None): Map[Int, Long] = {
+      batchId: Option[Long] = None,
+      writerEpoch: Option[(String, Long)] = None): Map[Int, Long] = {
     val p = Option(partitioner).getOrElse(Partitioners.byKeyHash(numPartitions))
     val m0 = ensureManifest()
     val base = m0.ends
@@ -135,7 +136,8 @@ class TopicLog private (
       val newEnds = countsByPart.collect {
         case (p, n) if n > 0 => p -> (base.getOrElse(p, 0L) + n)
       }
-      commitWithRetry(m0, moved, countsByPart.filter(_._2 > 0), newEnds, batchId).ends
+      commitWithRetry(m0, moved, countsByPart.filter(_._2 > 0), newEnds,
+        batchId, writerEpoch).ends
     } finally assigned.unpersist()
   }
 
@@ -169,7 +171,7 @@ class TopicLog private (
     * manifest that actually landed. */
   private def commitWithRetry(m0: Manifest, newFiles: Seq[String],
       written: Map[Int, Long], newEnds: Map[Int, Long],
-      batchId: Option[Long]): Manifest = {
+      batchId: Option[Long], writerEpoch: Option[(String, Long)] = None): Manifest = {
     var cur = currentManifest().getOrElse(m0)
     while (true) {
       val conflicted = cur.version != m0.version &&
@@ -182,7 +184,8 @@ class TopicLog private (
         p -> math.max(e, cur.ends.getOrElse(p, 0L))
       }
       val next = Manifest(cur.version + 1, cur.files ++ newFiles,
-        mergedEnds, batchId.orElse(cur.lastBatchId))
+        mergedEnds, batchId.orElse(cur.lastBatchId),
+        cur.writerEpochs ++ writerEpoch)
       try {
         // Delta commit: O(batch) bytes, not O(topic). Every
         // CheckpointInterval-th version is a full snapshot so readers
@@ -377,7 +380,8 @@ class TopicLog private (
           done = true
         case Some(cur) =>
           try {
-            commitManifest(Manifest(cur.version + 1, cur.files, cur.ends, cur.lastBatchId))
+            commitManifest(Manifest(cur.version + 1, cur.files, cur.ends,
+              cur.lastBatchId, cur.writerEpochs))
             done = true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => () // producer won; re-resolve
@@ -532,7 +536,8 @@ class TopicLog private (
     var done = false
     while (!done) {
       try {
-        commitManifest(Manifest(cur.version + 1, files, cur.ends, cur.lastBatchId))
+        commitManifest(Manifest(cur.version + 1, files, cur.ends,
+          cur.lastBatchId, cur.writerEpochs))
         done = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -579,6 +584,23 @@ class TopicLog private (
       true
     }
   }
+
+  /** Writer-scoped idempotent produce: the replay guard keys on
+    * (writerId, epoch), not the topic-global batch slot — so a SECOND
+    * streaming query (fresh checkpoint, epochs restarting at 0)
+    * writing to the same topic is NOT mistaken for a replay of the
+    * first one and silently dropped. Writer ids are the streaming
+    * query's id (stable across restarts from the same checkpoint,
+    * which is exactly the replay domain). */
+  def produceIdempotentFor(writerId: String, batch: DataFrame, epoch: Long,
+      partitioner: Column = null): Boolean = {
+    val last = ensureManifest().writerEpochs.get(writerId).getOrElse(-1L)
+    if (epoch <= last) false
+    else {
+      produce(batch, partitioner, writerEpoch = Some(writerId -> epoch))
+      true
+    }
+  }
 }
 
 object TopicLog {
@@ -587,7 +609,7 @@ object TopicLog {
     * see, the per-partition log-end offsets, and the last applied
     * streaming batch id — all swapped atomically per commit. */
   case class Manifest(version: Long, files: Seq[String], ends: Map[Int, Long],
-      lastBatchId: Option[Long])
+      lastBatchId: Option[Long], writerEpochs: Map[String, Long] = Map.empty)
 
   /** Thrown when a concurrent producer advanced a partition this
     * produce also wrote; the produce's files are already removed —
@@ -607,11 +629,19 @@ object TopicLog {
     * files (each a few hundred bytes) on top of one snapshot. */
   private[graft] val CheckpointInterval: Long = 25L
 
+  /** Per-writer streaming epochs (writer ids are Spark query UUIDs —
+    * no JSON escaping needed). */
+  private def renderWriters(m: Manifest): String =
+    if (m.writerEpochs.isEmpty) ""
+    else m.writerEpochs.toSeq.sorted
+      .map { case (w, e) => s""""$w":$e""" }
+      .mkString(""","writers":{""", ",", "}")
+
   private[graft] def renderManifest(m: Manifest): String = {
     val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val files = m.files.map(f => "\"" + f + "\"").mkString(",")
     val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
-    s"""{"version":${m.version},"ends":{$ends},"files":[$files]$batch}"""
+    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)},"files":[$files]$batch}"""
   }
 
   /** Delta version: the files ADDED by this commit plus the (small)
@@ -620,13 +650,14 @@ object TopicLog {
     val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val a = adds.map(f => "\"" + f + "\"").mkString(",")
     val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
-    s"""{"version":${m.version},"ends":{$ends},"adds":[$a]$batch}"""
+    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)},"adds":[$a]$batch}"""
   }
 
   /** One version file on disk: a full snapshot (`files`) or a delta
     * (`adds` relative to the previous version). */
   private case class VersionRec(version: Long, files: Option[Seq[String]],
-      adds: Seq[String], ends: Map[Int, Long], lastBatchId: Option[Long])
+      adds: Seq[String], ends: Map[Int, Long], lastBatchId: Option[Long],
+      writerEpochs: Map[String, Long])
 
   private def parseVersion(s: String): VersionRec = {
     val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
@@ -641,8 +672,12 @@ object TopicLog {
       "\"([^\"]+)\"".r.findAllMatchIn(b).map(_.group(1)).toSeq
     val lastBatch = "\"lastBatchId\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s)
       .map(_.group(1).toLong)
+    val writersBlock = "\"writers\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val writers = "\"([^\"]+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(writersBlock)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
     VersionRec(version, block("files").map(names),
-      block("adds").map(names).getOrElse(Seq.empty), ends, lastBatch)
+      block("adds").map(names).getOrElse(Seq.empty), ends, lastBatch, writers)
   }
 
   private[graft] def isSnapshotVersion(dir: Path, v: Long): Boolean = {
@@ -679,7 +714,8 @@ object TopicLog {
             else v -= 1
         }
       }
-      Manifest(head.version, base ++ deltas.flatten, head.ends, head.lastBatchId)
+      Manifest(head.version, base ++ deltas.flatten, head.ends,
+        head.lastBatchId, head.writerEpochs)
     }
   }
 

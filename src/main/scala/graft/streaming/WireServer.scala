@@ -33,7 +33,11 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
             val sock = server.accept()
             pool.submit(new Runnable { override def run(): Unit = serve(sock) })
           } catch {
-            case _: SocketException => () // closed during accept → exit loop
+            case _: SocketException => () // closed during accept → loop exits via `running`
+            case e: Throwable if running =>
+              // a transient accept failure must not silently kill the
+              // acceptor — the server would look alive and serve nothing
+              System.err.println(s"graft WireServer accept error: $e")
           }
     })
     this
@@ -43,7 +47,8 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
     val in = new DataInputStream(sock.getInputStream)
     val out = sock.getOutputStream
     try {
-      while (running) {
+      var open = true
+      while (running && open) {
         val size = in.readInt()
         require(size > 0 && size <= 64 * 1024 * 1024, s"bad frame size $size")
         val payload = new Array[Byte](size)
@@ -53,12 +58,26 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
         framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
         System.arraycopy(payload, 0, framed, 4, size)
         val apiKey = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-        out.write(dispatch(apiKey, framed))
-        out.flush()
+        // A handler failure (undecodable request, unsupported key, a
+        // ConcurrentProduceException the caller should retry) fails
+        // only THIS connection, loudly: v0 has no error frame for a
+        // request that can't be decoded, so closing the socket is the
+        // protocol-visible signal — but the server and every other
+        // connection keep serving.
+        try {
+          out.write(dispatch(apiKey, framed))
+          out.flush()
+        } catch {
+          case e: Exception =>
+            System.err.println(s"graft WireServer request error (api_key $apiKey): $e")
+            open = false
+        }
       }
     } catch {
       case _: EOFException => () // client closed between frames
       case _: SocketException => ()
+      case e: Exception =>
+        System.err.println(s"graft WireServer connection error: $e")
     } finally sock.close()
   }
 
@@ -67,7 +86,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
   private def dispatch(apiKey: Int, framed: Array[Byte]): Array[Byte] =
     apiKey match {
       case KafkaWire.ApiVersionsApiKey =>
-        KafkaWire.handleApiVersions(framed, Broker.SupportedApis)
+        KafkaWire.handleApiVersions(framed, Broker.WireApis)
       case KafkaWire.MetadataApiKey =>
         val topics = broker.listTopics()
           .map(t => t -> broker.topic(t).numPartitions).toMap

@@ -74,4 +74,36 @@ class GraftTopicSinkSpec extends AnyFunSuite {
     // the epoch ids landed as manifest batch ids (exactly-once handle)
     assert(log.logEndOffsets().values.sum === 50L)
   }
+
+  test("a second streaming query's restarted epochs are not mistaken for replays") {
+    val root = Files.createTempDirectory("graft-sink2").toString
+    val log = TopicLog.create(spark, root, "two", 2)
+    implicit val sc = spark.sqlContext
+
+    // query A writes epochs 0..N
+    val memA = MemoryStream[(Int, String)]
+    val qA = sinkDf(memA).writeStream.format("graft-topic")
+      .option("path", log.topicDir)
+      .option("checkpointLocation", s"$root/_cpA").start()
+    try {
+      memA.addData((0 until 10).map(i => (i, s"a$i")): _*)
+      qA.processAllAvailable()
+    } finally qA.stop()
+    assert(log.read().count() === 10)
+
+    // query B: fresh checkpoint, epochs restart at 0 — with a
+    // topic-global batch slot every batch would be silently dropped
+    val memB = MemoryStream[(Int, String)]
+    val qB = sinkDf(memB).writeStream.format("graft-topic")
+      .option("path", log.topicDir)
+      .option("checkpointLocation", s"$root/_cpB").start()
+    try {
+      memB.addData((100 until 105).map(i => (i, s"b$i")): _*)
+      qB.processAllAvailable()
+    } finally qB.stop()
+    assert(log.read().count() === 15, "second query's epochs were dropped as replays")
+    val vals = log.read().select(col("value").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert((100 until 105).forall(i => vals.contains(s"b$i")))
+  }
 }

@@ -97,6 +97,14 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(b2.topic("mig").committed("readers") === Map(0 -> 5L, 1 -> 9L))
     assert(b2.topic("mig").committed("audit") === Map(0 -> 4L, 1 -> 2L))
     assert(b2.topic("mig").listGroups().sorted === Seq("audit", "readers"))
+
+    // a topic with NO groups exports an empty dataset; import must
+    // no-op, not crash on the column-less frame
+    b.createTopic("mig0", 1)
+    b.exportGroups("mig0", s"$root/mig0_groups")
+    b2.createTopic("mig0", 1)
+    b2.importGroups("mig0", s"$root/mig0_groups")
+    assert(b2.topic("mig0").listGroups().isEmpty)
   }
 
   test("header routing: consumers filter and fan out on header values") {

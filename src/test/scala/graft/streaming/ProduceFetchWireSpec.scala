@@ -101,6 +101,51 @@ class ProduceFetchWireSpec extends AnyFunSuite {
       ("wire", Seq((9, 3, -1L), (1, 0, 1L)))))
   }
 
+  test("fetch never leaves offset gaps: stops at the first record that overflows max_bytes") {
+    val (broker, _) = newBroker()
+    broker.createTopic("gap", 1)
+    // sizes ~ 26+1, 26+60, 26+1: with max_bytes=80 the middle record
+    // overflows — a gap-leaving implementation would skip it but still
+    // include offset 2, and the consumer would lose offset 1 forever
+    broker.handleProduce(encodeProduceRequestV0(30, "cli", 1, 1000,
+      Seq(("gap", Seq((0, Seq(
+        WireRecord(null, "a".getBytes("UTF-8")),
+        WireRecord(null, ("b" * 60).getBytes("UTF-8")),
+        WireRecord(null, "c".getBytes("UTF-8")))))))))
+    val resp = decodeFetchResponseV0(broker.handleFetch(encodeFetchRequestV0(
+      31, "cli", 100, 1, Seq(("gap", Seq((0, 0L, 80)))))))
+    val msgs = resp._2.head._2.head._4
+    assert(msgs.map(_._1) === Seq(0L), s"offset gap risk: got ${msgs.map(_._1)}")
+  }
+
+  test("produce response bases are correct for duplicate partition entries") {
+    val (broker, _) = newBroker()
+    broker.createTopic("dup", 2)
+    def rec(s: String) = WireRecord(null, s.getBytes("UTF-8"))
+    // one request, partition 0 listed twice: 3 records then 2 records
+    val resp = decodeProduceResponseV0(broker.handleProduce(
+      encodeProduceRequestV0(40, "cli", 1, 1000, Seq(("dup", Seq(
+        (0, Seq(rec("a"), rec("b"), rec("c"))),
+        (0, Seq(rec("d"), rec("e")))))))))
+    assert(resp._2 === Seq(("dup", Seq((0, 0, 0L), (0, 0, 3L)))),
+      "second entry must ack base 3, not repeat base 0")
+    assert(broker.topic("dup").logEndOffsets()(0) === 5L)
+  }
+
+  test("a truncated trailing message is discarded, not an error") {
+    val full = encodeMessageSetV0(Seq(
+      (0L, WireRecord(null, "aaaa".getBytes("UTF-8"))),
+      (1L, WireRecord(null, "bbbb".getBytes("UTF-8")))))
+    // cut the second message mid-bytes, as a max_bytes-honoring
+    // broker legitimately does
+    val truncated = full.take(full.length - 5)
+    assert(decodeMessageSetV0(truncated).map(_._1) === Seq(0L))
+    // and a corrupt negative size also stops cleanly
+    val corrupt = full.clone()
+    corrupt(full.length / 2) = -1 // somewhere inside the 2nd header
+    decodeMessageSetV0(corrupt.take(full.length / 2 + 12)) // must not throw
+  }
+
   test("wire offset commit/fetch drives the CAS group store") {
     val (broker, _) = newBroker()
     broker.createTopic("grp", 4)
