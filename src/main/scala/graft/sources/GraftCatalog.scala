@@ -48,7 +48,7 @@ class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = Paths.get(root)
     if (!Files.exists(p)) Array.empty
-    else Files.list(p).iterator().asScala
+    else graft.streaming.TopicLog.listDir(p).iterator
       .filter(d => Files.exists(d.resolve("_meta.json")))
       .map(d => Identifier.of(namespace, d.getFileName.toString))
       .toArray

@@ -91,6 +91,15 @@ class GraftTopicScanBuilder(topicDir: String,
   private var pushed: Array[Filter] = Array.empty
   private val maxPerTrigger: Option[Long] =
     Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
+  // Spark's STREAMING planner never routes filters through
+  // pushFilters (V2ScanRelationPushDown matches batch relations
+  // only), so partition pruning on a stream needs an explicit read
+  // OPTION: .option("partitions", "0,3"). Results are identical
+  // either way — Spark keeps its own filter — this prunes which
+  // files each micro-batch PLANS.
+  private val optionPartitions: Option[Set[Int]] =
+    Option(options.get("partitions"))
+      .map(_.split(",").map(_.trim.toInt).toSet)
 
   // what the scan can enforce EXACTLY: partition dir pruning handles
   // comparisons + In; offset handles range comparisons (In on offset
@@ -112,7 +121,8 @@ class GraftTopicScanBuilder(topicDir: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = GraftTopicScan(topicDir, required, pushed, maxPerTrigger)
+  override def build(): Scan =
+    GraftTopicScan(topicDir, required, pushed, maxPerTrigger, optionPartitions)
 }
 
 /** Inclusive offset bounds compiled from the pushed filters — the
@@ -122,7 +132,8 @@ case class OffsetBounds(lower: Long, upper: Long) {
 }
 
 case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[Filter],
-    maxPerTrigger: Option[Long] = None)
+    maxPerTrigger: Option[Long] = None,
+    optionPartitions: Option[Set[Int]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -137,8 +148,15 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
     * one task, exactly the Kafka consumer model (and SURVEY §4's
     * contract: scale parallelism by adding partitions). Only reported
     * when the scan outputs the column. */
+  /** One manifest resolution + file listing per scan: Spark calls
+    * outputPartitioning (planner) and planInputPartitions (executor
+    * prep) separately — re-listing would pay the I/O twice AND could
+    * see a different snapshot if a produce commits in between,
+    * reporting a key count inconsistent with the planned partitions. */
+  private lazy val plannedPartitions: Array[InputPartition] = doPlanInputPartitions()
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    val keys = planInputPartitions()
+    val keys = plannedPartitions
       .map(_.asInstanceOf[GraftTopicInputPartition].partition).distinct
     if (required.fieldNames.contains("partition") && keys.nonEmpty)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -149,7 +167,8 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
         math.max(keys.length, 1))
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTopicMicroBatchStream(topicDir, required, maxPerTrigger, partitionOk)
+    new GraftTopicMicroBatchStream(topicDir, required, maxPerTrigger,
+      p => partitionOk(p) && optionPartitions.forall(_.contains(p)))
   override def description(): String =
     s"GraftTopicScan $topicDir PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
@@ -167,40 +186,56 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
   private def offsetBounds: OffsetBounds = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    // saturating +-1: `offset > Long.MaxValue` must yield an EMPTY
+    // range (lo > hi), not wrap to Long.MinValue and silently drop
+    // the claimed-exactly-enforced bound
+    def incSat(v: Long) = if (v == Long.MaxValue) { hi = math.min(hi, v - 1); v } else v + 1
+    def decSat(v: Long) = if (v == Long.MinValue) { lo = math.max(lo, v + 1); v } else v - 1
     pushed.foreach {
       case EqualTo("offset", v: Number) =>
         lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
-      case GreaterThan("offset", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThan("offset", v: Number) => lo = math.max(lo, incSat(v.longValue))
       case GreaterThanOrEqual("offset", v: Number) => lo = math.max(lo, v.longValue)
-      case LessThan("offset", v: Number) => hi = math.min(hi, v.longValue - 1)
+      case LessThan("offset", v: Number) => hi = math.min(hi, decSat(v.longValue))
       case LessThanOrEqual("offset", v: Number) => hi = math.min(hi, v.longValue)
       case _ =>
     }
     OffsetBounds(lo, hi)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  private def doPlanInputPartitions(): Array[InputPartition] = {
     val dataDir = Paths.get(topicDir, "data")
     graft.streaming.TopicLog.manifestFiles(topicDir) match {
       // manifest-aware: plan exactly the committed snapshot (orphans
       // from crashed produces are invisible)
       case Some(files) =>
+        // per-file offset ranges recorded at produce time: a file
+        // wholly outside the pushed offset bounds is pruned HERE, at
+        // planning — no task, no footer open (files without a range
+        // fall back to reader-side row-group skipping)
+        val ranges = graft.streaming.TopicLog.manifestRanges(topicDir)
+        val ob = offsetBounds
         files.sorted.flatMap { rel =>
           val p = rel.takeWhile(_ != '/').stripPrefix("partition=").toInt
-          if (partitionOk(p))
+          val inRange = ranges.get(rel).forall { case (lo, hi) =>
+            hi >= ob.lower && lo <= ob.upper
+          }
+          if (partitionOk(p) && optionPartitions.forall(_.contains(p)) && inRange)
             Some(GraftTopicInputPartition(dataDir.resolve(rel).toString, p): InputPartition)
           else None
         }.toArray
       // legacy pre-manifest topic: dir listing
       case None =>
         if (!Files.exists(dataDir)) return Array.empty
-        val dirs = Files.list(dataDir).iterator().asScala
+        val dirs = graft.streaming.TopicLog.listDir(dataDir)
           .filter(_.getFileName.toString.startsWith("partition="))
-          .toSeq.sortBy(_.getFileName.toString)
+          .sortBy(_.getFileName.toString)
         dirs.flatMap { d =>
           val p = d.getFileName.toString.stripPrefix("partition=").toInt
-          if (!partitionOk(p)) Seq.empty
-          else Files.list(d).iterator().asScala
+          if (!partitionOk(p) || !optionPartitions.forall(_.contains(p))) Seq.empty
+          else graft.streaming.TopicLog.listDir(d).iterator
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .toSeq.sortBy(_.toString)
             .map(f => GraftTopicInputPartition(f.toString, p): InputPartition)
@@ -281,14 +316,25 @@ class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
     val s = start.asInstanceOf[GraftTopicStreamOffset].ends
     val e = end.asInstanceOf[GraftTopicStreamOffset].ends
     val files = TopicLog.manifestFiles(topicDir).getOrElse(Seq.empty)
+    // per-file offset ranges from the manifest: a tailing stream
+    // plans only the files OVERLAPPING this batch's offset window —
+    // per-trigger cost tracks the batch, not the topic's whole
+    // history (without ranges, every historical file got a task
+    // whose reader then skipped itself via footer stats)
+    val ranges = TopicLog.manifestRanges(topicDir)
     val dataDir = Paths.get(topicDir, "data")
     files.sorted.flatMap { rel =>
       val p = rel.takeWhile(_ != '/').stripPrefix("partition=").toInt
       val lo = s.getOrElse(p, 0L)
       val hi = e.getOrElse(p, 0L) - 1 // inclusive upper bound
-      // pushed partition predicates prune here too (Spark keeps its
-      // own residual filter on streams — this is planning-only)
-      if (hi < lo || !partitionOk(p)) None
+      val overlaps = ranges.get(rel).forall { case (flo, fhi) =>
+        fhi >= lo && flo <= hi
+      }
+      // partitionOk carries the `partitions` read OPTION (Spark's
+      // streaming planner never calls pushFilters, so an option is
+      // the only way a stream prunes partitions at planning; Spark
+      // keeps its own filter, so results are identical either way)
+      if (hi < lo || !partitionOk(p) || !overlaps) None
       else Some(GraftTopicInputPartition(dataDir.resolve(rel).toString, p,
         Some(OffsetBounds(lo, hi))): InputPartition)
     }.toArray

@@ -108,8 +108,8 @@ class GraftTopicWrite(topicDir: String, schema: StructType, queryId: String)
   private def deleteStaging(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
+      graft.streaming.TopicLog.walkPaths(p)
+        .sortWith(_.compareTo(_) > 0).foreach(f => Files.delete(f))
   }
 }
 

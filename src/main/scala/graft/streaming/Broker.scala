@@ -30,9 +30,9 @@ class Broker(spark: SparkSession, root: String) {
   def listTopics(): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator().asScala
+    else TopicLog.listDir(p)
       .filter(d => Files.exists(d.resolve("_meta.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
   }
 
   /** ApiVersions analog (ref: pkg/kafka/kafka_api.go:99 — the

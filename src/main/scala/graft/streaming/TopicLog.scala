@@ -110,10 +110,15 @@ class TopicLog private (
       .select("key", "value", "headers", "ts", "partition", "offset", "base")
       .persist()
     try {
-      val counts = assigned.groupBy("partition")
+      val countRows = assigned.groupBy("partition")
         .agg(count(lit(1)).as("n"), count(col("base")).as("routed"))
         .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // a partitioner can yield NULL (e.g. hashing a null key column)
+      // — diagnose it like any other bad route, not as an opaque NPE
+      require(!countRows.exists(_.isNullAt(0)),
+        s"produce partitioner produced NULL partition values (topic $topic); " +
+          "route null keys explicitly or filter them out")
+      val counts = countRows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       val bad = counts.collect { case (part, n, routed) if routed < n => part }
       require(bad.isEmpty,
         s"produce routed to nonexistent partition(s) ${bad.sorted.mkString(",")} " +
@@ -136,27 +141,31 @@ class TopicLog private (
       val newEnds = countsByPart.collect {
         case (p, n) if n > 0 => p -> (base.getOrElse(p, 0L) + n)
       }
-      commitWithRetry(m0, moved, countsByPart.filter(_._2 > 0), newEnds,
-        batchId, writerEpoch).ends
+      commitWithRetry(m0, moved.map(_._1),
+        moved.map { case (rel, lo, hi) => rel -> (lo, hi) }.toMap,
+        countsByPart.filter(_._2 > 0), newEnds, batchId, writerEpoch).ends
     } finally assigned.unpersist()
   }
 
   /** Move every staged parquet file (per partition=N subdir) into the
-    * live tree under a unique name; returns manifest-relative paths. */
-  private def moveStagedFiles(staging: Path): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val moved = Files.list(staging).iterator().asScala
+    * live tree under a unique name; returns manifest-relative paths
+    * with each file's [min,max] offset range (read once from its
+    * footer here, at produce time, so every future PLANNING pass can
+    * prune by offset without opening any file). */
+  private def moveStagedFiles(staging: Path): Seq[(String, Long, Long)] = {
+    val moved = TopicLog.listDir(staging).iterator
       .filter(_.getFileName.toString.startsWith("partition="))
       .flatMap { d =>
         val pdir = d.getFileName.toString
         Files.createDirectories(Paths.get(dataDir).resolve(pdir))
-        Files.list(d).iterator().asScala
+        TopicLog.listDir(d).iterator
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map { f =>
             val rel = s"$pdir/${f.getFileName}"
-            Files.move(f, Paths.get(dataDir).resolve(rel),
-              StandardCopyOption.ATOMIC_MOVE)
-            rel
+            val dest = Paths.get(dataDir).resolve(rel)
+            Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
+            val (lo, hi) = TopicLog.offsetRangeOf(dest)
+            (rel, lo, hi)
           }
       }.toSeq
     deleteRecursively(staging)
@@ -170,6 +179,7 @@ class TopicLog private (
     * advances on OTHER partitions are never rewound. Returns the
     * manifest that actually landed. */
   private def commitWithRetry(m0: Manifest, newFiles: Seq[String],
+      newRanges: Map[String, (Long, Long)],
       written: Map[Int, Long], newEnds: Map[Int, Long],
       batchId: Option[Long], writerEpoch: Option[(String, Long)] = None): Manifest = {
     var cur = currentManifest().getOrElse(m0)
@@ -183,16 +193,21 @@ class TopicLog private (
       val mergedEnds = cur.ends ++ newEnds.map { case (p, e) =>
         p -> math.max(e, cur.ends.getOrElse(p, 0L))
       }
+      val writers = (cur.writerEpochs ++ writerEpoch.map { case (id, e) =>
+        id -> WriterState(e, cur.version + 1)
+      }).filter { case (_, ws) =>
+        ws.lastVersion > cur.version + 1 - TopicLog.WriterRetirementVersions
+      }
       val next = Manifest(cur.version + 1, cur.files ++ newFiles,
-        mergedEnds, batchId.orElse(cur.lastBatchId),
-        cur.writerEpochs ++ writerEpoch)
+        mergedEnds, batchId.orElse(cur.lastBatchId), writers,
+        cur.fileRanges ++ newRanges)
       try {
         // Delta commit: O(batch) bytes, not O(topic). Every
         // CheckpointInterval-th version is a full snapshot so readers
         // resolve at most that many deltas and vacuum can retire
         // history behind it.
         if (next.version % TopicLog.CheckpointInterval == 0) commitManifest(next)
-        else commitDelta(next, newFiles)
+        else commitDelta(next, newFiles, newRanges)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -224,7 +239,7 @@ class TopicLog private (
     val dd = Paths.get(dataDir)
     if (!Files.exists(dd)) return 0
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val orphans = Files.walk(dd).iterator().asScala
+    val orphans = TopicLog.walkPaths(dd)
       .filter(f => f.toString.endsWith(".parquet") && !live.contains(dd.relativize(f).toString))
       .filter(f => Files.getLastModifiedTime(f).toMillis <= cutoff)
       .toList
@@ -234,7 +249,7 @@ class TopicLog private (
     // `keepManifests` — but NEVER at or above the anchor snapshot the
     // current state resolves from (deltas above it would dangle)
     checkpoint()
-    val versions = Files.list(manifestsDir).iterator().asScala
+    val versions = TopicLog.listDir(manifestsDir).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
@@ -277,7 +292,9 @@ class TopicLog private (
       val newEnds = newEndsRows.map { case (p, e) =>
         p -> math.max(e, m0.ends.getOrElse(p, 0L))
       }
-      commitWithRetry(m0, moved, newEndsRows.map { case (p, _) => p -> 1L },
+      commitWithRetry(m0, moved.map(_._1),
+        moved.map { case (rel, lo, hi) => rel -> (lo, hi) }.toMap,
+        newEndsRows.map { case (p, _) => p -> 1L },
         newEnds, batchId = None).ends
     } finally df.unpersist()
   }
@@ -333,9 +350,9 @@ class TopicLog private (
     val dd = Paths.get(dataDir)
     val files =
       if (!Files.exists(dd)) Seq.empty[String]
-      else Files.walk(dd).iterator().asScala
+      else TopicLog.walkPaths(dd)
         .filter(_.toString.endsWith(".parquet"))
-        .map(f => dd.relativize(f).toString).toSeq.sorted
+        .map(f => dd.relativize(f).toString).sorted
     val lastBatch = {
       val marker = Paths.get(s"$topicDir/_last_batch.json")
       if (Files.exists(marker))
@@ -354,10 +371,12 @@ class TopicLog private (
   private def commitManifest(m: Manifest): Unit =
     commitVersion(m.version, TopicLog.renderManifest(m))
 
-  /** CAS-publish a DELTA version: only the added files plus the full
-    * (small: one entry per partition) end-offset map. */
-  private def commitDelta(m: Manifest, adds: Seq[String]): Unit =
-    commitVersion(m.version, TopicLog.renderDelta(m, adds))
+  /** CAS-publish a DELTA version: only the added files (with their
+    * offset ranges) plus the full (small: one entry per partition)
+    * end-offset map. */
+  private def commitDelta(m: Manifest, adds: Seq[String],
+      addRanges: Map[String, (Long, Long)]): Unit =
+    commitVersion(m.version, TopicLog.renderDelta(m, adds, addRanges))
 
   private def commitVersion(version: Long, body: String): Unit = {
     Files.createDirectories(manifestsDir)
@@ -381,7 +400,7 @@ class TopicLog private (
         case Some(cur) =>
           try {
             commitManifest(Manifest(cur.version + 1, cur.files, cur.ends,
-              cur.lastBatchId, cur.writerEpochs))
+              cur.lastBatchId, cur.writerEpochs, cur.fileRanges))
             done = true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => () // producer won; re-resolve
@@ -428,7 +447,7 @@ class TopicLog private (
   private def groupVersions(group: String): Seq[Long] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(groupDir(group))) Seq.empty
-    else Files.list(groupDir(group)).iterator().asScala
+    else TopicLog.listDir(groupDir(group)).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
@@ -506,7 +525,7 @@ class TopicLog private (
     if (!Files.exists(dir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      TopicLog.listDir(dir).iterator
         .map(_.getFileName.toString.stripSuffix(".json"))
         .toSeq.distinct.sorted // dir (versioned) and legacy flat file may coexist
     }
@@ -529,15 +548,16 @@ class TopicLog private (
     // re-point the manifest at the rewritten file set; log-end offsets
     // are unchanged (compaction/retention never rewind the log end)
     val dd = Paths.get(dataDir)
-    val files = Files.walk(dd).iterator().asScala
+    val files = TopicLog.walkPaths(dd)
       .filter(_.toString.endsWith(".parquet"))
-      .map(f => dd.relativize(f).toString).toSeq.sorted
+      .map(f => dd.relativize(f).toString).sorted
+    val ranges = files.map(rel => rel -> TopicLog.offsetRangeOf(dd.resolve(rel))).toMap
     var cur = currentManifest().getOrElse(m0)
     var done = false
     while (!done) {
       try {
         commitManifest(Manifest(cur.version + 1, files, cur.ends,
-          cur.lastBatchId, cur.writerEpochs))
+          cur.lastBatchId, cur.writerEpochs, ranges))
         done = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -548,13 +568,19 @@ class TopicLog private (
 
   // --- Structured Streaming (ref roadmap: Producer/Consumer API, streaming form) ---
 
-  /** Incremental streaming read of the topic (file-source tailing —
-    * new produced files become micro-batches). */
-  def readStream(maxFilesPerTrigger: Int = 1000): DataFrame =
+  /** Incremental streaming read of the topic through the
+    * manifest-aware DSv2 source: stream offsets ARE committed
+    * manifest log-ends, so a batch can never contain uncommitted
+    * files. (Round-2's raw parquet file tailing could read a file
+    * that a losing producer was about to delete, or emit records a
+    * retried produce later reassigns — phantom data at duplicate
+    * coordinates.) `maxRecordsPerTrigger` bounds batch size under
+    * backlog. */
+  def readStream(maxRecordsPerTrigger: Long = 1000000L): DataFrame =
     spark.readStream
-      .schema(readSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dataDir)
+      .format("graft-topic")
+      .option("maxOffsetsPerTrigger", maxRecordsPerTrigger)
+      .load(topicDir)
 
   /** Streaming produce into this topic via foreachBatch. Effectively
     * exactly-once: the checkpoint replays a failed micro-batch with
@@ -563,13 +589,21 @@ class TopicLog private (
     * twice. (Same idempotent-producer idea as Kafka's sequence
     * numbers, applied at micro-batch granularity.) */
   def produceStream(records: DataFrame, checkpointDir: String,
-      partitioner: Column = null): StreamingQuery =
+      partitioner: Column = null): StreamingQuery = {
+    // The replay guard is scoped to THIS query's checkpoint, not the
+    // topic-global batch slot: the checkpoint directory IS the replay
+    // domain (a restart from it re-delivers the same batchIds), so a
+    // different query writing to the same topic — whose batchIds
+    // restart at 0 — is a different writer and must not be dropped
+    // as a replay of this one.
+    val writerId = s"cp:$checkpointDir"
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        produceIdempotent(batch, batchId, partitioner); ()
+        produceIdempotentFor(writerId, batch, batchId, partitioner); ()
       }
       .start()
+  }
 
   /** Apply a micro-batch once: skip if this batchId (or a later one)
     * was already applied. The batchId is committed IN the manifest, in
@@ -594,7 +628,7 @@ class TopicLog private (
     * which is exactly the replay domain). */
   def produceIdempotentFor(writerId: String, batch: DataFrame, epoch: Long,
       partitioner: Column = null): Boolean = {
-    val last = ensureManifest().writerEpochs.get(writerId).getOrElse(-1L)
+    val last = ensureManifest().writerEpochs.get(writerId).map(_.epoch).getOrElse(-1L)
     if (epoch <= last) false
     else {
       produce(batch, partitioner, writerEpoch = Some(writerId -> epoch))
@@ -608,8 +642,22 @@ object TopicLog {
   /** One committed snapshot of a topic: the exact file set readers may
     * see, the per-partition log-end offsets, and the last applied
     * streaming batch id — all swapped atomically per commit. */
+  /** A streaming writer's replay guard: its last applied epoch and
+    * the manifest version that applied it (the version doubles as a
+    * logical clock for retiring long-gone writers). */
+  case class WriterState(epoch: Long, lastVersion: Long)
+
+  /** Writers whose last commit is older than this many versions are
+    * retired from the manifest — without retirement every streaming
+    * query id that EVER wrote would be re-rendered into every commit
+    * forever (Kafka expires producer ids for the same reason). A
+    * retired writer restarting treats its next epoch as new; replay
+    * windows are bounded by checkpoint recovery, far below this. */
+  private[graft] var WriterRetirementVersions: Long = 1000L // var: spec shrinks the horizon
+
   case class Manifest(version: Long, files: Seq[String], ends: Map[Int, Long],
-      lastBatchId: Option[Long], writerEpochs: Map[String, Long] = Map.empty)
+      lastBatchId: Option[Long], writerEpochs: Map[String, WriterState] = Map.empty,
+      fileRanges: Map[String, (Long, Long)] = Map.empty)
 
   /** Thrown when a concurrent producer advanced a partition this
     * produce also wrote; the produce's files are already removed —
@@ -629,35 +677,65 @@ object TopicLog {
     * files (each a few hundred bytes) on top of one snapshot. */
   private[graft] val CheckpointInterval: Long = 25L
 
-  /** Per-writer streaming epochs (writer ids are Spark query UUIDs —
-    * no JSON escaping needed). */
+  /** Materialize a directory listing, CLOSING the underlying stream —
+    * a bare Files.list(...).iterator() leaks one directory fd per
+    * call until GC, and a long-lived broker resolves the manifest on
+    * every operation. */
+  private[graft] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+    finally s.close()
+  }
+
+  /** Materialize a recursive walk, closing the stream (see listDir). */
+  private[graft] def walkPaths(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+    finally s.close()
+  }
+
+  /** Per-writer streaming epochs as "epoch@lastVersion" (writer ids
+    * are Spark query UUIDs / checkpoint paths — no JSON escaping
+    * needed for either). */
   private def renderWriters(m: Manifest): String =
     if (m.writerEpochs.isEmpty) ""
-    else m.writerEpochs.toSeq.sorted
-      .map { case (w, e) => s""""$w":$e""" }
+    else m.writerEpochs.toSeq.sortBy(_._1)
+      .map { case (w, ws) => s""""$w":"${ws.epoch}@${ws.lastVersion}"""" }
       .mkString(""","writers":{""", ",", "}")
+
+  private def renderRanges(ranges: Map[String, (Long, Long)]): String =
+    if (ranges.isEmpty) ""
+    else ranges.toSeq.sortBy(_._1)
+      .map { case (f, (lo, hi)) => s""""$f":"$lo,$hi"""" }
+      .mkString(""","ranges":{""", ",", "}")
 
   private[graft] def renderManifest(m: Manifest): String = {
     val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val files = m.files.map(f => "\"" + f + "\"").mkString(",")
     val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
-    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)},"files":[$files]$batch}"""
+    val live = m.files.toSet
+    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)}""" +
+      renderRanges(m.fileRanges.filter(kv => live(kv._1))) +
+      s""","files":[$files]$batch}"""
   }
 
   /** Delta version: the files ADDED by this commit plus the (small)
     * full end-offset map — never the whole file list. */
-  private[graft] def renderDelta(m: Manifest, adds: Seq[String]): String = {
+  private[graft] def renderDelta(m: Manifest, adds: Seq[String],
+      addRanges: Map[String, (Long, Long)]): String = {
     val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val a = adds.map(f => "\"" + f + "\"").mkString(",")
     val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
-    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)},"adds":[$a]$batch}"""
+    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)}""" +
+      renderRanges(addRanges) + s""","adds":[$a]$batch}"""
   }
 
   /** One version file on disk: a full snapshot (`files`) or a delta
     * (`adds` relative to the previous version). */
   private case class VersionRec(version: Long, files: Option[Seq[String]],
       adds: Seq[String], ends: Map[Int, Long], lastBatchId: Option[Long],
-      writerEpochs: Map[String, Long])
+      writerEpochs: Map[String, WriterState],
+      fileRanges: Map[String, (Long, Long)])
 
   private def parseVersion(s: String): VersionRec = {
     val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
@@ -674,10 +752,16 @@ object TopicLog {
       .map(_.group(1).toLong)
     val writersBlock = "\"writers\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
-    val writers = "\"([^\"]+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(writersBlock)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val writers = "\"([^\"]+)\"\\s*:\\s*\"(-?\\d+)@(\\d+)\"".r
+      .findAllMatchIn(writersBlock)
+      .map(m => m.group(1) -> WriterState(m.group(2).toLong, m.group(3).toLong)).toMap
+    val rangesBlock = "\"ranges\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val ranges = "\"([^\"]+)\"\\s*:\\s*\"(-?\\d+),(-?\\d+)\"".r
+      .findAllMatchIn(rangesBlock)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
     VersionRec(version, block("files").map(names),
-      block("adds").map(names).getOrElse(Seq.empty), ends, lastBatch, writers)
+      block("adds").map(names).getOrElse(Seq.empty), ends, lastBatch, writers, ranges)
   }
 
   private[graft] def isSnapshotVersion(dir: Path, v: Long): Boolean = {
@@ -690,9 +774,21 @@ object TopicLog {
     * id always come from the newest version (every version carries the
     * full, small maps). */
   private[graft] def resolveManifest(dir: Path): Option[Manifest] = {
+    // a concurrent vacuum may retire a delta file between our listing
+    // and the walk — re-resolve from a fresh listing (the new anchor
+    // snapshot is guaranteed to cover everything retired)
+    var attempts = 0
+    while (attempts < 5) {
+      try return resolveManifestOnce(dir)
+      catch { case _: java.nio.file.NoSuchFileException => attempts += 1 }
+    }
+    resolveManifestOnce(dir)
+  }
+
+  private def resolveManifestOnce(dir: Path): Option[Manifest] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(dir)) return None
-    val versions = Files.list(dir).iterator().asScala
+    val versions = listDir(dir).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
@@ -702,10 +798,12 @@ object TopicLog {
       var head: VersionRec = null
       var deltas = List.empty[Seq[String]]
       var base = Seq.empty[String]
+      var ranges = Map.empty[String, (Long, Long)]
       var resolved = false
       while (!resolved) {
         val rec = parseVersion(Files.readString(dir.resolve(s"v$v.json")))
         if (head == null) head = rec
+        ranges = rec.fileRanges ++ ranges // newer versions win
         rec.files match {
           case Some(fs) => base = fs; resolved = true
           case None =>
@@ -715,7 +813,7 @@ object TopicLog {
         }
       }
       Manifest(head.version, base ++ deltas.flatten, head.ends,
-        head.lastBatchId, head.writerEpochs)
+        head.lastBatchId, head.writerEpochs, ranges)
     }
   }
 
@@ -727,6 +825,40 @@ object TopicLog {
 
   private[graft] def manifestFiles(topicDir: String): Option[Seq[String]] =
     latestManifest(topicDir).map(_.files)
+
+  /** Per-file [min,max] offset ranges from the manifest — recorded
+    * once at produce time so planners prune files by offset with NO
+    * file I/O. Files without an entry (pre-range manifests) are
+    * simply unprunable. */
+  private[graft] def manifestRanges(topicDir: String): Map[String, (Long, Long)] =
+    latestManifest(topicDir).map(_.fileRanges).getOrElse(Map.empty)
+
+  /** Read a parquet file's offset column min/max from its footer
+    * (row-group statistics) — one footer read at produce time buys
+    * planning-time pruning forever after. */
+  private[graft] def offsetRangeOf(file: Path): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == "offset")
+          .foreach { c =>
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              lo = math.min(lo, st.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+              hi = math.max(hi, st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            }
+          }
+      }
+      if (lo > hi) (Long.MinValue, Long.MaxValue) else (lo, hi) // no stats → unprunable
+    } finally r.close()
+  }
 
   private[graft] def manifestEnds(topicDir: String): Option[Map[Int, Long]] =
     latestManifest(topicDir).map(_.ends)
@@ -795,7 +927,7 @@ object TopicLog {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      walkPaths(p).sortWith(_.compareTo(_) > 0).foreach(f => Files.delete(f))
     }
 }
 

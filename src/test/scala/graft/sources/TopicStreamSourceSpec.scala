@@ -94,6 +94,72 @@ class TopicStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the partitions read option prunes streaming batch planning") {
+    val root = Files.createTempDirectory("graft-stream-prune").toString
+    val log = TopicLog.create(spark, root, "pr", 4)
+    log.produce(records(0 until 40), Partitioners.byLongKey(4, col("i")))
+
+    // plan directly through the stream: only partition 2's files
+    val sb = new GraftTopicScanBuilder(log.topicDir,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("partitions", "2")))
+    val stream = sb.build().toMicroBatchStream(s"$root/_cp0")
+    val parts = stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
+      .map(_.asInstanceOf[GraftTopicInputPartition].partition)
+    assert(parts.nonEmpty && parts.forall(_ == 2),
+      s"planned partitions ${parts.toSeq} — option did not prune")
+
+    // end-to-end: the pruned stream delivers exactly partition 2
+    val seen = mutable.ArrayBuffer.empty[(Int, String)]
+    val q = spark.readStream.format("graft-topic")
+      .option("partitions", "2")
+      .load(log.topicDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/_cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= batch.select(col("partition"), col("value").cast("string"))
+            .collect().map(r => (r.getInt(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.nonEmpty && seen.forall(_._1 == 2), s"leaked partitions: ${seen.take(5)}")
+      assert(seen.size === 10)
+    } finally q.stop()
+  }
+
+  test("manifest offset ranges prune batch planning to the trigger's window") {
+    val root = Files.createTempDirectory("graft-range-prune").toString
+    val log = TopicLog.create(spark, root, "rg", 1)
+    // 5 produces → 5 files in partition 0 covering offsets [0,10),[10,20)...
+    (0 until 5).foreach(i =>
+      log.produce(records(i * 10 until i * 10 + 10), Partitioners.byLongKey(1, col("i"))))
+
+    // a tailing micro-batch for offsets [40, 50) must plan ONLY the
+    // file(s) overlapping that window — not all 5 historical files
+    val sb = new GraftTopicScanBuilder(log.topicDir)
+    val stream = sb.build().toMicroBatchStream(s"$root/_cp")
+    val parts = stream.planInputPartitions(
+      GraftTopicStreamOffset(Map(0 -> 40L)), GraftTopicStreamOffset(Map(0 -> 50L)))
+    assert(parts.length === 1,
+      s"planned ${parts.length} files for a 1-file window (no range pruning?)")
+
+    // batch offset predicates prune at PLANNING too: offset >= 45
+    // overlaps only the last file
+    val bsb = new GraftTopicScanBuilder(log.topicDir)
+    bsb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("offset", 45L)))
+    val bparts = bsb.build().toBatch.planInputPartitions()
+    assert(bparts.length === 1,
+      s"batch planned ${bparts.length} files for a 1-file offset range")
+    // and the data still reads correctly through the pruned plan
+    val n = spark.read.format("graft-topic").load(log.topicDir)
+      .filter(col("offset") >= 45).count()
+    assert(n === 5)
+  }
+
   test("stream offset json round-trips") {
     val o = GraftTopicStreamOffset(Map(0 -> 25L, 3 -> 7L))
     assert(GraftTopicStreamOffset.fromJson(o.json()) === o)

@@ -142,6 +142,31 @@ class ManifestSpec extends AnyFunSuite {
     assert(log.read().count() === 40)
   }
 
+  test("writer epochs survive reopen, guard replays per writer, and retire when stale") {
+    val log = newLog()
+    assert(log.produceIdempotentFor("qA", records(0 until 8), epoch = 0, part))
+    assert(log.produceIdempotentFor("qB", records(100 until 104), epoch = 0, part),
+      "a different writer's epoch 0 is NOT a replay of qA's")
+    assert(!log.produceIdempotentFor("qA", records(0 until 8), epoch = 0, part),
+      "qA's replay of its own epoch must be skipped")
+    assert(log.read().count() === 12)
+
+    // epoch state round-trips the manifest serialization (epoch@version)
+    val reopened = TopicLog.open(spark, log.root, log.topic)
+    assert(!reopened.produceIdempotentFor("qA", records(0 until 8), epoch = 0, part))
+    assert(reopened.produceIdempotentFor("qA", records(8 until 12), epoch = 1, part))
+
+    // a writer idle past the retirement horizon is dropped from the manifest
+    val saved = TopicLog.WriterRetirementVersions
+    TopicLog.WriterRetirementVersions = 4
+    try {
+      (0 until 5).foreach(i => log.produce(records(200 + i * 2 until 202 + i * 2), part))
+      val writers = log.currentManifest().get.writerEpochs
+      assert(!writers.contains("qA") && !writers.contains("qB"),
+        s"stale writers not retired: ${writers.keys}")
+    } finally TopicLog.WriterRetirementVersions = saved
+  }
+
   test("streaming batch id commits atomically with the data") {
     val log = newLog()
     assert(log.produceIdempotent(records(0 until 40), batchId = 0, part))
@@ -201,10 +226,14 @@ class ManifestSpec extends AnyFunSuite {
     assert(!TopicLog.isSnapshotVersion(dir, 30))
     val v30 = java.nio.file.Files.readString(dir.resolve("v30.json"))
     assert(v30.contains("\"adds\"") && !v30.contains("\"files\""))
-    // a delta names at most this batch's files (2 records → ≤2 files),
-    // not the whole topic's
-    assert("\\.parquet".r.findAllIn(v30).size <= 2,
+    // a delta names at most this batch's files (2 records → ≤2 files,
+    // each appearing once in `adds` and once in `ranges`), never the
+    // whole topic's
+    val named = "partition=\\d+/[^\"]+\\.parquet".r.findAllIn(v30).toSeq
+    assert(named.distinct.size <= 2 && named.size <= 4,
       s"delta lists more than its own adds: $v30")
+    // every add carries its offset range for planning-time pruning
+    assert(v30.contains("\"ranges\""))
 
     // resolution across the checkpoint boundary sees every commit
     assert(log.read().count() === 60)
