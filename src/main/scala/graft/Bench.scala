@@ -38,7 +38,7 @@ object Bench {
     def fmt(v: Double): String = {
       // Locale.ROOT: the f-interpolator honors the JVM default locale,
       // and a comma-decimal locale would print 12,34 — invalid JSON
-      val p = if (v >= 10) "%.1f" else if (v >= 1) "%.2f" else "%.3f"
+      val p = if (v >= 10) "%.1f" else "%.2f" // 10 ms resolution suffices
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -46,7 +46,9 @@ object Bench {
       val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      // basename only: the full path costs 17 chars of the 2000-char
+      // tail budget and the driver records the SF dir itself
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"${sfDir.split('/').last}"}"""
     }
     var kept = results
     var line = render(kept, results.size - kept.size)

@@ -61,6 +61,37 @@ object OraclesPipeline {
       |        i -> CAST(ascii(substr(lower(trim(text)), i, 1)) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
+
+  private val annBruteforceSql: String =
+    s"""WITH e AS ($embDouble),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |s AS (SELECT qid, vec_id, ${cosR("qv", "v")} AS cos_sim FROM c CROSS JOIN q),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
+  private val annIvfSql: String =
+          s"""WITH e AS ($embDouble),
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |a AS (SELECT e.vec_id, e.v, c.cell, ${cosR("e.v", "c.cv")} AS sim
+         |      FROM e CROSS JOIN c),
+         |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |         ORDER BY sim DESC, cell ASC) AS rn FROM a),
+         |assigned AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+         |q AS (SELECT e.vec_id AS qid, e.v AS qv, c.cell, ${cosR("e.v", "c.cv")} AS sim
+         |      FROM e CROSS JOIN c WHERE e.vec_id < 5),
+         |q1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |         ORDER BY sim DESC, cell ASC) AS rn FROM q),
+         |probes AS (SELECT qid, qv, cell FROM q1 WHERE rn <= 2),
+         |s AS (SELECT p.qid, a.vec_id, ${cosR("p.qv", "a.v")} AS cos_sim, a.cell
+         |      FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT qid, rank, vec_id, cos_sim, cell FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+
   val pipeline: Map[String, String] = Map(
     "pipeline_clean_corpus" ->
       s"""WITH keepers AS (
@@ -167,15 +198,7 @@ object OraclesPipeline {
          |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.3
          |ORDER BY v1, v2""".stripMargin,
 
-    "ann_bruteforce_topk" ->
-      s"""WITH e AS ($embDouble),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
-         |s AS (SELECT qid, vec_id, ${cosR("qv", "v")} AS cos_sim FROM c CROSS JOIN q),
-         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
-         |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
-         |ORDER BY qid, rank""".stripMargin,
+    "ann_bruteforce_topk" -> annBruteforceSql,
 
     "mm_features" ->
       """SELECT doc_id,
@@ -190,25 +213,7 @@ object OraclesPipeline {
         |    / strlen(text), 6) AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "ann_ivf_topk" ->
-      s"""WITH e AS ($embDouble),
-         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 0),
-         |a AS (SELECT e.vec_id, e.v, c.cell, ${cosR("e.v", "c.cv")} AS sim
-         |      FROM e CROSS JOIN c),
-         |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |         ORDER BY sim DESC, cell ASC) AS rn FROM a),
-         |assigned AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
-         |q AS (SELECT e.vec_id AS qid, e.v AS qv, c.cell, ${cosR("e.v", "c.cv")} AS sim
-         |      FROM e CROSS JOIN c WHERE e.vec_id < 5),
-         |q1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |         ORDER BY sim DESC, cell ASC) AS rn FROM q),
-         |probes AS (SELECT qid, qv, cell FROM q1 WHERE rn <= 2),
-         |s AS (SELECT p.qid, a.vec_id, ${cosR("p.qv", "a.v")} AS cos_sim, a.cell
-         |      FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
-         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
-         |SELECT qid, rank, vec_id, cos_sim, cell FROM r WHERE rank <= 3
-         |ORDER BY qid, rank""".stripMargin,
+    "ann_ivf_topk" -> annIvfSql,
 
     // frame pipeline: 256-byte chunks, every 2nd frame, subsample to
     // 128 bytes via truncating index map (i*len)//128, integer
@@ -346,6 +351,31 @@ object OraclesPipeline {
         |  md5(array_to_string(w[chunk_idx*192+1 : least(chunk_idx*192+256, nw)], ' '))
         |    AS chunk_md5
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "mm_phash_dedup" ->
+      """WITH r AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 31), i ->
+        |    CAST(ascii(substr(text,
+        |      CAST(floor(i * strlen(text) / 32.0) AS INT) + 1, 1)) AS BIGINT)) AS px
+        |  FROM documents),
+        |h AS (SELECT doc_id, px, CAST(list_sum(px) AS DOUBLE) / 32.0 AS mean FROM r),
+        |p AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), i ->
+        |    CASE WHEN CAST(px[i+1] AS DOUBLE) >= mean THEN power(2, i)
+        |         ELSE 0.0 END)) AS BIGINT) AS phash
+        |  FROM h)
+        |SELECT phash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+        |FROM p GROUP BY phash ORDER BY keeper""".stripMargin,
+
+    "ann_recall_audit" ->
+      s"""WITH exact AS (SELECT * FROM ($annBruteforceSql)),
+         |approx AS (SELECT * FROM ($annIvfSql)),
+         |hits AS (SELECT e.qid, COUNT(*) AS n_hits
+         |         FROM exact e JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |         GROUP BY e.qid)
+         |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         |  round(COALESCE(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+         |FROM (SELECT DISTINCT qid FROM exact) q
+         |LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin,
 
     "text_pii_scrub" ->
       """SELECT doc_id,

@@ -87,8 +87,10 @@ object SparkEntry {
     "ann_range_search" -> Similarity.annRangeSearch _,
     "emb_quantize_int8" -> Similarity.embQuantizeInt8 _,
     "knn_pairs" -> Similarity.knnPairs _,
+    "ann_recall_audit" -> Similarity.annRecallAudit _,
     // §2f multimodal plumbing (decode stubbed)
     "mm_features" -> Multimodal.mmFeatures _,
+    "mm_phash_dedup" -> Multimodal.mmPhashDedup _,
     "mm_frame_pipeline" -> Multimodal.mmFramePipeline _,
     // §2g end-to-end training-data pipeline compositions
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,

@@ -165,4 +165,36 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "byte_sum", "checksum")
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Perceptual-hash dedup over media payloads: downsample each
+    * payload to 32 "pixels" (the same truncating index map the
+    * resize stub uses), threshold each pixel against the payload
+    * mean → a 32-bit pHash; payloads hashing identically form a
+    * duplicate cluster under a canonical keeper. The mean divisor is
+    * a power of two, so the threshold compare is EXACT IEEE
+    * arithmetic → full DuckDB oracle. Pure map-side projection + one
+    * hash aggregation — the image-dedup shape (resize → hash →
+    * group) at scan rate; a real deployment swaps the stub
+    * downsample for a decoded thumbnail, nothing else moves. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // pixel index map (i*len)/32 divides by a power of two → exact in
+    // doubles; bit weights via pow(2, i) — exact for i ≤ 52 — keep
+    // the whole computation reproducible in the oracle bit-for-bit
+    val px = transform(sequence(lit(0), lit(31)),
+      i => ascii(substring(col("text"),
+        floor(i.cast("double") * length(col("text")) / 32.0).cast("int") + 1, lit(1)))
+        .cast("long"))
+    graft.Tables.t(spark, dir, "documents")
+      .withColumn("px", px)
+      .withColumn("mean",
+        aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double") / 32.0)
+      .withColumn("phash",
+        aggregate(transform(sequence(lit(0), lit(31)),
+            i => when(element_at(col("px"), i + 1).cast("double") >= col("mean"),
+              pow(lit(2.0), i)).otherwise(lit(0.0))),
+          lit(0.0), (a, x) => a + x).cast("long"))
+      .groupBy("phash")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+      .orderBy("keeper")
+  }
 }

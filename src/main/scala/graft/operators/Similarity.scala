@@ -280,4 +280,25 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos_sim", "cell")
       .orderBy("qid", "rank")
   }
+
+  /** ANN quality audit: per-query recall of the IVF index against the
+    * exact brute-force top-k — the evaluation loop every production
+    * ANN deployment runs before trusting an index. Composes the two
+    * existing operators (both deterministic), so the audit itself is
+    * oracle-checkable; the exact side is the expensive one and runs
+    * broadcast-query / partition-local exactly like the baseline. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforceTopk(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = annIvfTopk(spark, dir)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val hits = exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 3.0, 6).as("recall_at_3"))
+      .orderBy("qid")
+  }
 }

@@ -253,6 +253,44 @@ class Broker(spark: SparkSession, root: String) {
     encodeFetchResponseV0(req.correlationId, topicsOut)
   }
 
+  /** ListOffsets v0 exchange: timestamp -1 → [log end], -2 → [0]
+    * (earliest); a concrete timestamp answers the FIRST offset whose
+    * record timestamp is ≥ it (the lookup modern ListOffsets versions
+    * standardized on — graft's log has no segment files to report
+    * bases of), or empty if no record is that recent. */
+  def handleListOffsets(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeListOffsetsRequestV0(requestBytes)
+    val results = req.topics.map { case (name, parts) =>
+      if (!topicExists(name))
+        (name, parts.map { case (p, _, _) => (p, 3, Seq.empty[Long]) })
+      else {
+        val log = topic(name)
+        val ends = log.logEndOffsets()
+        (name, parts.map { case (p, ts, maxN) =>
+          if (p < 0 || p >= log.numPartitions) (p, 3, Seq.empty[Long])
+          else if (maxN <= 0) (p, 0, Seq.empty[Long])
+          else ts match {
+            case -1L => (p, 0, Seq(ends.getOrElse(p, 0L)))
+            case -2L => (p, 0, Seq(0L))
+            case t if t > Long.MaxValue / 1000 =>
+              // beyond Spark's microsecond timestamp range: nothing
+              // can be that recent (and the conversion would overflow)
+              (p, 0, Seq.empty[Long])
+            case t =>
+              val hit = log.read()
+                .filter(col("partition") === p &&
+                  col("ts") >= new java.sql.Timestamp(t))
+                .agg(min("offset")).collect()(0)
+              if (hit.isNullAt(0)) (p, 0, Seq.empty[Long])
+              else (p, 0, Seq(hit.getLong(0)))
+          }
+        })
+      }
+    }
+    encodeListOffsetsResponseV0(req.correlationId, results)
+  }
+
   /** OffsetCommit v0 exchange: group offsets land through the
     * CAS-versioned group commit (concurrent members on disjoint
     * partitions both land). Unknown topics / out-of-range partitions
@@ -327,6 +365,7 @@ object Broker {
   val WireApis: Seq[(Int, String, Int, Int)] = Seq(
     (0, "Produce", 0, 0),
     (1, "Fetch", 0, 0),
+    (2, "ListOffsets", 0, 0),
     (3, "Metadata", 0, 0),
     (8, "OffsetCommit", 0, 0),
     (9, "OffsetFetch", 0, 0),

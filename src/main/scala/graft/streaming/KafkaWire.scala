@@ -722,4 +722,86 @@ object KafkaWire {
     }
     (correlationId, topics.toSeq)
   }
+
+  // --- ListOffsets v0 (api_key 2) ---
+  // Request (header v1): replica_id INT32, topics ARRAY<name STRING,
+  //   partitions ARRAY<partition INT32, timestamp INT64,
+  //   max_num_offsets INT32>>; timestamp -1 = LATEST, -2 = EARLIEST.
+  // Response: topics ARRAY<name, partitions ARRAY<partition INT32,
+  //   error INT16, offsets ARRAY<INT64>>>.
+
+  val ListOffsetsApiKey = 2
+
+  case class ListOffsetsRequestV0(correlationId: Int, clientId: String,
+      topics: Seq[(String, Seq[(Int, Long, Int)])])
+
+  def encodeListOffsetsRequestV0(correlationId: Int, clientId: String,
+      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, ListOffsetsApiKey) // header v1
+    writeInt16(out, 0)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    writeInt32(out, -1) // replica_id: consumer
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, ts, maxN) =>
+        writeInt32(out, p); writeInt64(out, ts); writeInt32(out, maxN)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeListOffsetsRequestV0(bytes: Array[Byte]): ListOffsetsRequestV0 = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ListOffsetsApiKey, "not a ListOffsets request")
+    require(buf.getShort.toInt == 0, "only ListOffsets v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    buf.getInt // replica_id
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getLong, buf.getInt)
+      }
+      (name, parts.toSeq)
+    }
+    ListOffsetsRequestV0(correlationId, clientId, topics.toSeq)
+  }
+
+  def encodeListOffsetsResponseV0(correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int, Seq[Long])])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, err, offs) =>
+        writeInt32(out, p); writeInt16(out, err)
+        writeInt32(out, offs.length)
+        offs.foreach(writeInt64(out, _))
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeListOffsetsResponseV0(
+      bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Int, Seq[Long])])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort.toInt
+        val offs = (0 until buf.getInt).map(_ => buf.getLong)
+        (p, err, offs.toSeq)
+      }
+      (name, parts.toSeq)
+    }
+    (correlationId, topics.toSeq)
+  }
 }

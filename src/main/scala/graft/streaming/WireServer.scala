@@ -92,6 +92,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
           .map(t => t -> broker.topic(t).numPartitions).toMap
         KafkaWire.handleMetadata(framed, advertisedHost, boundPort, topics)
       case KafkaWire.ProduceApiKey => broker.handleProduce(framed)
+      case KafkaWire.ListOffsetsApiKey => broker.handleListOffsets(framed)
       case KafkaWire.FetchApiKey => broker.handleFetch(framed)
       case KafkaWire.OffsetCommitApiKey => broker.handleOffsetCommit(framed)
       case KafkaWire.OffsetFetchApiKey => broker.handleOffsetFetch(framed)

@@ -92,6 +92,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq === Seq((0L, 5L)))
   }
 
+  test("mm_phash_dedup clusters identical payloads under one keeper") {
+    val r = Multimodal.mmPhashDedup(spark, dir).collect()
+      .map(x => (x.getAs[Long]("phash"), x.getAs[Long]("keeper"), x.getAs[Long]("n_docs")))
+    // docs 10/11 and 20/21 are byte-identical → identical pHash
+    val c10 = r.find(_._2 == 10L).get
+    assert(c10._3 >= 2L, "identical payloads split across pHashes")
+    val c20 = r.find(_._2 == 20L).get
+    assert(c20._3 === 2L)
+    // distinct content doesn't all collapse into one bucket
+    assert(r.length > 3, s"suspiciously few pHash clusters: ${r.length}")
+    r.foreach(x => assert(x._1 >= 0L && x._1 < (1L << 32), s"pHash out of 32-bit range: $x"))
+  }
+
   test("text_pii_scrub redacts email, phone, and denylist terms") {
     val r = TextAnalysis.textPiiScrub(spark, dir).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap

@@ -65,6 +65,22 @@ class WireServerSpec extends AnyFunSuite {
       assert(hw === 2L)
       assert(msgs.map(m => new String(m._2.value, "UTF-8")) === Seq("a", "b"))
 
+      // ListOffsets: latest (-1), earliest (-2), and by timestamp
+      val lo = decodeListOffsetsResponseV0(exchange(sock,
+        encodeListOffsetsRequestV0(9, "cli", Seq(("tcp", Seq(
+          (0, -1L, 1), (0, -2L, 1), (1, -1L, 1), (9, -1L, 1)))))))
+      assert(lo._2 === Seq(("tcp", Seq(
+        (0, 0, Seq(2L)), (0, 0, Seq(0L)), (1, 0, Seq(1L)), (9, 3, Seq())))))
+      // a timestamp in the far past answers the first offset; in the
+      // far future, no offsets
+      val past = decodeListOffsetsResponseV0(exchange(sock,
+        encodeListOffsetsRequestV0(10, "cli", Seq(("tcp", Seq((0, 1L, 1)))))))
+      assert(past._2.head._2.head === ((0, 0, Seq(0L))))
+      val future = decodeListOffsetsResponseV0(exchange(sock,
+        encodeListOffsetsRequestV0(11, "cli",
+          Seq(("tcp", Seq((0, Long.MaxValue / 2, 1)))))))
+      assert(future._2.head._2.head === ((0, 0, Seq())))
+
       // Commit + fetch offsets for a group
       exchange(sock, encodeOffsetCommitRequestV0(5, "cli", "g",
         Seq(("tcp", Seq((0, 2L, null))))))
