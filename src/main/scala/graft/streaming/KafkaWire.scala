@@ -804,4 +804,149 @@ object KafkaWire {
     }
     (correlationId, topics.toSeq)
   }
+
+  // --- RecordBatch v2 (magic 2) — the modern record format ---
+  // Layout per the public spec: baseOffset INT64, batchLength INT32
+  // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,
+  // crc INT32 (CRC32C over attributes..end), attributes INT16,
+  // lastOffsetDelta INT32, baseTimestamp INT64, maxTimestamp INT64,
+  // producerId INT64, producerEpoch INT16, baseSequence INT32,
+  // recordCount INT32, then records. Record fields are ZIGZAG
+  // VARINTs: length, attributes INT8, timestampDelta, offsetDelta,
+  // keyLen(-1=null)+key, valueLen+value, headerCount, then headers
+  // (keyLen+utf8 key, valueLen(-1=null)+bytes). Unlike message v0,
+  // v2 records CARRY HEADERS — the full graft record model fits.
+
+  case class WireRecordV2(timestampMs: Long, key: Array[Byte],
+      value: Array[Byte], headers: Seq[(String, Array[Byte])] = Seq.empty)
+
+  case class RecordBatchV2(baseOffset: Long, baseTimestampMs: Long,
+      records: Seq[WireRecordV2])
+
+  private def writeZigZagVarLong(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = (value << 1) ^ (value >> 63)
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private def readZigZagVarLong(buf: ByteBuffer): Long = {
+    var value = 0L
+    var shift = 0
+    var b = 0
+    do {
+      b = buf.get() & 0xff
+      value |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    (value >>> 1) ^ -(value & 1)
+  }
+
+  private def writeVarBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit =
+    if (b == null) writeZigZagVarLong(out, -1)
+    else {
+      writeZigZagVarLong(out, b.length)
+      out.write(b, 0, b.length)
+    }
+
+  private def readVarBytes(buf: ByteBuffer): Array[Byte] = {
+    val n = readZigZagVarLong(buf).toInt
+    if (n < 0) null
+    else { val b = new Array[Byte](n); buf.get(b); b }
+  }
+
+  private def encodeRecordV2(offsetDelta: Int, tsDelta: Long,
+      r: WireRecordV2): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    body.write(0) // record attributes
+    writeZigZagVarLong(body, tsDelta)
+    writeZigZagVarLong(body, offsetDelta)
+    writeVarBytes(body, r.key)
+    writeVarBytes(body, r.value)
+    writeZigZagVarLong(body, r.headers.length)
+    r.headers.foreach { case (k, v) =>
+      writeVarBytes(body, k.getBytes(UTF_8))
+      writeVarBytes(body, v)
+    }
+    val bytes = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    writeZigZagVarLong(out, bytes.length)
+    out.write(bytes, 0, bytes.length)
+    out.toByteArray
+  }
+
+  /** Encode one record batch (uncompressed, non-transactional
+    * producer: producerId/epoch/sequence = -1). */
+  def encodeRecordBatchV2(batch: RecordBatchV2): Array[Byte] = {
+    val recs = new ByteArrayOutputStream()
+    var maxTs = batch.baseTimestampMs
+    batch.records.zipWithIndex.foreach { case (r, i) =>
+      maxTs = math.max(maxTs, r.timestampMs)
+      val enc = encodeRecordV2(i, r.timestampMs - batch.baseTimestampMs, r)
+      recs.write(enc, 0, enc.size)
+    }
+    val afterCrc = new ByteArrayOutputStream()
+    writeInt16(afterCrc, 0) // attributes: no compression, create time
+    writeInt32(afterCrc, batch.records.length - 1) // lastOffsetDelta
+    writeInt64(afterCrc, batch.baseTimestampMs)
+    writeInt64(afterCrc, maxTs)
+    writeInt64(afterCrc, -1L) // producerId
+    writeInt16(afterCrc, -1) // producerEpoch
+    writeInt32(afterCrc, -1) // baseSequence
+    writeInt32(afterCrc, batch.records.length)
+    val recBytes = recs.toByteArray
+    afterCrc.write(recBytes, 0, recBytes.length)
+    val protectedBytes = afterCrc.toByteArray
+    val crc = new java.util.zip.CRC32C()
+    crc.update(protectedBytes)
+    val out = new ByteArrayOutputStream()
+    writeInt64(out, batch.baseOffset)
+    writeInt32(out, 4 + 1 + 4 + protectedBytes.length) // batchLength: epoch+magic+crc+rest
+    writeInt32(out, -1) // partitionLeaderEpoch
+    out.write(2) // magic
+    writeInt32(out, crc.getValue.toInt)
+    out.write(protectedBytes, 0, protectedBytes.length)
+    out.toByteArray
+  }
+
+  /** Decode + CRC32C-verify one record batch. */
+  def decodeRecordBatchV2(bytes: Array[Byte]): RecordBatchV2 = {
+    val buf = ByteBuffer.wrap(bytes)
+    val baseOffset = buf.getLong
+    val batchLength = buf.getInt
+    require(batchLength == buf.remaining(),
+      s"batch length $batchLength vs ${buf.remaining()} remaining")
+    buf.getInt // partitionLeaderEpoch
+    require(buf.get() == 2, "not a magic-2 record batch")
+    val crc = buf.getInt
+    val check = new java.util.zip.CRC32C()
+    check.update(bytes, bytes.length - buf.remaining(), buf.remaining())
+    require(crc == check.getValue.toInt, "record batch CRC32C mismatch")
+    buf.getShort // attributes
+    buf.getInt // lastOffsetDelta
+    val baseTs = buf.getLong
+    buf.getLong // maxTimestamp
+    buf.getLong // producerId
+    buf.getShort // producerEpoch
+    buf.getInt // baseSequence
+    val n = buf.getInt
+    val records = (0 until n).map { _ =>
+      val len = readZigZagVarLong(buf).toInt
+      val end = buf.position() + len
+      buf.get() // record attributes
+      val tsDelta = readZigZagVarLong(buf)
+      readZigZagVarLong(buf) // offsetDelta
+      val key = readVarBytes(buf)
+      val value = readVarBytes(buf)
+      val nh = readZigZagVarLong(buf).toInt
+      val headers = (0 until nh).map { _ =>
+        (new String(readVarBytes(buf), UTF_8), readVarBytes(buf))
+      }
+      require(buf.position() == end, "record length mismatch")
+      WireRecordV2(baseTs + tsDelta, key, value, headers.toSeq)
+    }
+    RecordBatchV2(baseOffset, baseTs, records.toSeq)
+  }
 }
