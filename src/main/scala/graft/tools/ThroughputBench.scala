@@ -44,6 +44,39 @@ object ThroughputBench {
     println(f"produce: $n records in $produceSec%.2f s = ${n / produceSec}%.0f rec/s")
     println(f"consume-all: $consumed records in $consumeSec%.2f s = ${consumed / consumeSec}%.0f rec/s")
     println(f"bounded fetch (1k from p5): $sliced records in $fetchSec%.3f s")
+
+    // --- wire path: v0 Kafka frames over a real TCP socket ---
+    import graft.streaming.{Broker, KafkaWire, WireServer}
+    import KafkaWire._
+    val broker = new Broker(spark, root)
+    broker.createTopic("wire", 8)
+    val server = new WireServer(broker).start()
+    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+    val in = new java.io.DataInputStream(sock.getInputStream)
+    def exchange(req: Array[Byte]): Unit = {
+      sock.getOutputStream.write(req); sock.getOutputStream.flush()
+      val size = in.readInt()
+      in.readFully(new Array[Byte](size))
+    }
+    val wireBatches = 20
+    val perBatch = 1000
+    val recs = (0 until perBatch).map(i =>
+      WireRecord(s"k$i".getBytes, ("v" * 64 + i).getBytes))
+    val t3 = System.nanoTime()
+    (0 until wireBatches).foreach { b =>
+      exchange(encodeProduceRequestV0(b, "bench", 1, 1000,
+        Seq(("wire", (0 until 8).map(p => (p, recs))))))
+    }
+    val wireProduceSec = (System.nanoTime() - t3) / 1e9
+    val wireN = wireBatches * perBatch * 8
+    val t4 = System.nanoTime()
+    exchange(encodeFetchRequestV0(99, "bench", 100, 1,
+      Seq(("wire", Seq((3, 0L, 1 << 26))))))
+    val wireFetchSec = (System.nanoTime() - t4) / 1e9
+    sock.close(); server.close()
+    println(f"wire produce (TCP, $wireBatches batches x ${perBatch * 8}): " +
+      f"$wireN records in $wireProduceSec%.2f s = ${wireN / wireProduceSec}%.0f rec/s")
+    println(f"wire fetch (one partition, ${wireN / 8} records): $wireFetchSec%.2f s")
     spark.stop()
   }
 }
