@@ -356,7 +356,7 @@ object OraclesPipeline {
       """WITH r AS (SELECT doc_id,
         |  list_transform(generate_series(0, 31), i ->
         |    CAST(ascii(substr(text,
-        |      CAST(floor(i * strlen(text) / 32.0) AS INT) + 1, 1)) AS BIGINT)) AS px
+        |      CAST(floor(i * length(text) / 32.0) AS INT) + 1, 1)) AS BIGINT)) AS px
         |  FROM documents),
         |h AS (SELECT doc_id, px, CAST(list_sum(px) AS DOUBLE) / 32.0 AS mean FROM r),
         |p AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), i ->

@@ -267,23 +267,38 @@ class Broker(spark: SparkSession, root: String) {
       else {
         val log = topic(name)
         val ends = log.logEndOffsets()
+        val starts = log.logStartOffsets()
+        // concrete timestamps: ONE grouped Spark job per distinct
+        // timestamp answers every partition asking for it (a per-
+        // partition query would re-plan the whole scan O(partitions)
+        // times). Clamped at BOTH Long extremes: Spark timestamps are
+        // microsecond longs, and either overflow direction previously
+        // killed the connection instead of answering.
+        val maxMs = Long.MaxValue / 1000
+        val concreteTs = parts.collect {
+          case (p, t, maxN) if maxN > 0 && t >= 0 && t <= maxMs &&
+            p >= 0 && p < log.numPartitions => t
+        }.distinct
+        val byTs: Map[Long, Map[Int, Long]] = concreteTs.map { t =>
+          t -> log.read()
+            .filter(col("ts") >= new java.sql.Timestamp(t))
+            .groupBy("partition").agg(min("offset").as("o")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }.toMap
         (name, parts.map { case (p, ts, maxN) =>
           if (p < 0 || p >= log.numPartitions) (p, 3, Seq.empty[Long])
           else if (maxN <= 0) (p, 0, Seq.empty[Long])
           else ts match {
             case -1L => (p, 0, Seq(ends.getOrElse(p, 0L)))
-            case -2L => (p, 0, Seq(0L))
-            case t if t > Long.MaxValue / 1000 =>
-              // beyond Spark's microsecond timestamp range: nothing
-              // can be that recent (and the conversion would overflow)
-              (p, 0, Seq.empty[Long])
-            case t =>
-              val hit = log.read()
-                .filter(col("partition") === p &&
-                  col("ts") >= new java.sql.Timestamp(t))
-                .agg(min("offset")).collect()(0)
-              if (hit.isNullAt(0)) (p, 0, Seq.empty[Long])
-              else (p, 0, Seq(hit.getLong(0)))
+            // EARLIEST = first offset that still EXISTS (retention may
+            // have truncated the front — 0 would name a removed record)
+            case t if t == -2L || t < 0L =>
+              (p, 0, Seq(starts.getOrElse(p, 0L)))
+            case t if t > maxMs => (p, 0, Seq.empty[Long]) // beyond any record
+            case t => byTs(t).get(p) match {
+              case Some(off) => (p, 0, Seq(off))
+              case None => (p, 0, Seq.empty[Long])
+            }
           }
         })
       }

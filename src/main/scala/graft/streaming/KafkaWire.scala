@@ -881,7 +881,10 @@ object KafkaWire {
     * producer: producerId/epoch/sequence = -1). */
   def encodeRecordBatchV2(batch: RecordBatchV2): Array[Byte] = {
     val recs = new ByteArrayOutputStream()
-    var maxTs = batch.baseTimestampMs
+    // spec: maxTimestamp is the max RECORD timestamp (-1 if none) —
+    // seeding from the base would name a timestamp no record carries
+    // whenever every record predates the base
+    var maxTs = -1L
     batch.records.zipWithIndex.foreach { case (r, i) =>
       maxTs = math.max(maxTs, r.timestampMs)
       val enc = encodeRecordV2(i, r.timestampMs - batch.baseTimestampMs, r)

@@ -332,6 +332,21 @@ class TopicLog private (
       else spark.read.schema(readSchema).parquet(dataDir)
   }
 
+  /** Earliest EXISTING offset per partition (Kafka log-start offset):
+    * the minimum of the manifest's per-file offset ranges — after
+    * time-based retention removed leading records this is NOT 0.
+    * Partitions with no ranged files (legacy manifests) answer 0. */
+  def logStartOffsets(): Map[Int, Long] = currentManifest() match {
+    case None => Map.empty
+    case Some(m) =>
+      val byPart = m.fileRanges.toSeq.groupBy { case (rel, _) =>
+        rel.takeWhile(_ != '/').stripPrefix("partition=").toInt
+      }
+      (0 until numPartitions).map { p =>
+        p -> byPart.get(p).map(_.map(_._2._1).min).getOrElse(0L)
+      }.toMap
+  }
+
   /** Next offset to be written, per partition (Kafka log-end offset).
     * Manifest ends when present; legacy offsets-file / data-scan
     * fallback otherwise. */

@@ -53,30 +53,43 @@ object ThroughputBench {
     val server = new WireServer(broker).start()
     val sock = new java.net.Socket("127.0.0.1", server.boundPort)
     val in = new java.io.DataInputStream(sock.getInputStream)
-    def exchange(req: Array[Byte]): Unit = {
+    def exchange(req: Array[Byte]): Array[Byte] = {
       sock.getOutputStream.write(req); sock.getOutputStream.flush()
       val size = in.readInt()
-      in.readFully(new Array[Byte](size))
+      val payload = new Array[Byte](size)
+      in.readFully(payload)
+      val framed = new Array[Byte](size + 4)
+      framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
+      framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
+      System.arraycopy(payload, 0, framed, 4, size)
+      framed
     }
     val wireBatches = 20
     val perBatch = 1000
     val recs = (0 until perBatch).map(i =>
       WireRecord(s"k$i".getBytes, ("v" * 64 + i).getBytes))
     val t3 = System.nanoTime()
+    // every ack is decoded and checked — a silent per-partition error
+    // would otherwise publish a false rec/s number
     (0 until wireBatches).foreach { b =>
-      exchange(encodeProduceRequestV0(b, "bench", 1, 1000,
-        Seq(("wire", (0 until 8).map(p => (p, recs))))))
+      val (_, acks) = decodeProduceResponseV0(
+        exchange(encodeProduceRequestV0(b, "bench", 1, 1000,
+          Seq(("wire", (0 until 8).map(p => (p, recs)))))))
+      require(acks.head._2.forall(_._2 == 0), s"produce error in batch $b: $acks")
     }
     val wireProduceSec = (System.nanoTime() - t3) / 1e9
     val wireN = wireBatches * perBatch * 8
     val t4 = System.nanoTime()
-    exchange(encodeFetchRequestV0(99, "bench", 100, 1,
-      Seq(("wire", Seq((3, 0L, 1 << 26))))))
+    val fetched = decodeFetchResponseV0(
+      exchange(encodeFetchRequestV0(99, "bench", 100, 1,
+        Seq(("wire", Seq((3, 0L, 1 << 26)))))))
     val wireFetchSec = (System.nanoTime() - t4) / 1e9
+    val fetchedN = fetched._2.head._2.head._4.size
+    require(fetchedN == wireN / 8, s"fetch returned $fetchedN of ${wireN / 8}")
     sock.close(); server.close()
-    println(f"wire produce (TCP, $wireBatches batches x ${perBatch * 8}): " +
+    println(f"wire produce (TCP, $wireBatches batches x ${perBatch * 8}, all acked): " +
       f"$wireN records in $wireProduceSec%.2f s = ${wireN / wireProduceSec}%.0f rec/s")
-    println(f"wire fetch (one partition, ${wireN / 8} records): $wireFetchSec%.2f s")
+    println(f"wire fetch (one partition, $fetchedN records decoded): $wireFetchSec%.2f s")
     spark.stop()
   }
 }

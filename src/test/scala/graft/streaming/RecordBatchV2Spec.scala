@@ -78,6 +78,18 @@ class RecordBatchV2Spec extends AnyFunSuite {
     assert(dec.records.head.timestampMs === 999000L)
   }
 
+  test("maxTimestamp is the max RECORD timestamp, not floored at the base") {
+    // all records predate the base timestamp: the header must carry
+    // the records' max (999000), never the base (1000000)
+    val enc = encodeRecordBatchV2(RecordBatchV2(0L, 1000000L,
+      Seq(WireRecordV2(999000L, null, "x".getBytes("UTF-8")))))
+    // maxTimestamp lives at bytes 35..42: baseOffset(8) + length(4) +
+    // epoch(4) + magic(1) + crc(4) + attributes(2) + lastOffsetDelta(4)
+    // + baseTimestamp(8)
+    val maxTs = java.nio.ByteBuffer.wrap(enc, 35, 8).getLong
+    assert(maxTs === 999000L, s"header maxTimestamp $maxTs")
+  }
+
   test("a flipped bit fails the CRC32C check") {
     val enc = encodeRecordBatchV2(RecordBatchV2(0L, 1L,
       Seq(WireRecordV2(1L, null, "x".getBytes("UTF-8")))))

@@ -81,6 +81,16 @@ class WireServerSpec extends AnyFunSuite {
           Seq(("tcp", Seq((0, Long.MaxValue / 2, 1)))))))
       assert(future._2.head._2.head === ((0, 0, Seq())))
 
+      // retention-aware EARLIEST: truncate partition 0's front, then
+      // -2 must answer the first EXISTING offset, not 0 — and a
+      // far-past negative timestamp must answer (not kill the
+      // connection on micros overflow)
+      broker.topic("tcp").truncateBefore(0, 1L)
+      val afterTrunc = decodeListOffsetsResponseV0(exchange(sock,
+        encodeListOffsetsRequestV0(12, "cli", Seq(("tcp", Seq(
+          (0, -2L, 1), (0, Long.MinValue, 1)))))))
+      assert(afterTrunc._2.head._2 === Seq((0, 0, Seq(1L)), (0, 0, Seq(1L))))
+
       // Commit + fetch offsets for a group
       exchange(sock, encodeOffsetCommitRequestV0(5, "cli", "g",
         Seq(("tcp", Seq((0, 2L, null))))))
