@@ -352,6 +352,46 @@ object OraclesPipeline {
         |    AS chunk_md5
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "pipeline_e2e_corpus" ->
+      s"""WITH keepers AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |gated AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN keepers k USING (doc_id)
+         |  WHERE round((CAST($ws AS DOUBLE) / (CAST($ws AS DOUBLE) + 50.0))
+         |        * (1.0 - CAST($stopHits AS DOUBLE) / $ws), 6) >= 0.3
+         |    AND $ws BETWEEN 10 AND 2000),
+         |eg AS (
+         |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 4),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+         |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+         |  WHERE len(w) >= 5),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM gated)
+         |    WHERE len(w) >= 5) t JOIN eg USING (g)),
+         |sampled AS (
+         |  SELECT doc_id, lang, text FROM gated
+         |  WHERE doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND $fp % 100 < CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 35
+         |        WHEN 'de' THEN 50 WHEN 'fr' THEN 65 ELSE 80 END),
+         |chunks AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(w[chunk_idx*192+1 : least(chunk_idx*192+256, nw)]) AS BIGINT)
+         |      AS n_chunk_tokens
+         |  FROM (
+         |    SELECT doc_id, lang, w, nw,
+         |      unnest(generate_series(0,
+         |        CAST(1 + GREATEST(0, CEIL((nw - 256) / 192.0)) AS INT) - 1)) AS chunk_idx
+         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w,
+         |            len(string_split(text, ' ')) AS nw FROM sampled) d) x)
+         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+         |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
+         |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
+
     "mm_phash_dedup" ->
       """WITH r AS (SELECT doc_id,
         |  list_transform(generate_series(0, 31), i ->

@@ -97,7 +97,8 @@ object SparkEntry {
     "pipeline_train_test_split" -> Pipeline.trainTestSplit _,
     "pipeline_seq_packing" -> Pipeline.seqPacking _,
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
-    "docs_chunking" -> Pipeline.docsChunking _
+    "docs_chunking" -> Pipeline.docsChunking _,
+    "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _
   )
 
   def oracleSql: Map[String, String] =

@@ -100,6 +100,61 @@ object Pipeline {
       .select("doc_id", "lang", "samp_bucket", "keep_rate")
       .orderBy("doc_id")
 
+  /** The WHOLE pre-training corpus pipeline as ONE declarative plan:
+    * exact dedup → quality/length gate → benchmark decontamination
+    * (broadcast eval set) → per-language stratified sampling →
+    * 256/192 chunking → per-language corpus accounting. Every stage
+    * is the same formulation as its standalone operator (same
+    * hashes, same gates, same rates), so the composition carries a
+    * full oracle. One Catalyst plan end-to-end: Spark pipelines the
+    * map-side stages (gates, fingerprints, gram generation, chunk
+    * explode) into the scans around the two genuine shuffles (dedup
+    * keeper agg, final per-language agg) — the point of declaring
+    * the pipeline instead of materializing between steps. */
+  def pipelineE2ECorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val gated = docs.join(keepers, "doc_id")
+      .withColumn("n_tokens", wsTokens(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= 0.3 && col("n_tokens").between(10, 2000))
+    val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 5)).as("g"))
+      .distinct()
+    val contaminated = gated
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 5)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select("doc_id").distinct()
+    val sampled = gated
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("samp_bucket", pmod(rollingHash(lower(trim(col("text")))), lit(100L)))
+      .filter(col("samp_bucket") <
+        when(col("lang") === "en", 20L).when(col("lang") === "es", 35L)
+          .when(col("lang") === "de", 50L).when(col("lang") === "fr", 65L)
+          .otherwise(80L))
+    val chunk = 256
+    val stride = 192
+    sampled
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .withColumn("nw", size(col("w")))
+      .withColumn("n_chunks",
+        (lit(1) + greatest(lit(0.0),
+          ceil((col("nw") - lit(chunk)) / lit(stride.toDouble)))).cast("int"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("n_chunk_tokens",
+        size(slice(col("w"), col("chunk_idx") * stride + 1, lit(chunk))).cast("long"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_chunk_tokens").as("total_chunk_tokens"))
+      .orderBy("lang")
+  }
+
   /** Fixed-window document chunking for context-length-bounded
     * training: 256-token chunks on a 192-token stride (64-token
     * overlap). Token slicing is a map-side explode of per-doc chunk
