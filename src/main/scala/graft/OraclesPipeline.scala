@@ -35,17 +35,22 @@ object OraclesPipeline {
   private val embDouble =
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
-  /** 8-plane arithmetic-hyperplane sign bucket (the same ±1 pattern
-    * Similarity.arithmeticHyperplanes generates; d is 1-based here). */
-  private val signBucket =
-    """SELECT vec_id, v,
-      |  CAST(list_sum(list_transform(generate_series(0, 7), j ->
+  /** Arithmetic-hyperplane sign bucket over `np` planes (the same ±1
+    * pattern Similarity.arithmeticHyperplanes generates; d is 1-based
+    * here). `np` is a SQL expression so callers can parameterize the
+    * plane count from the data (dedup) or pin it (LSH top-k). */
+  private def signBucketNp(np: String) =
+    s"""SELECT vec_id, v,
+      |  CAST(list_sum(list_transform(generate_series(0, ($np) - 1), j ->
       |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |        list_transform(generate_series(1, 64), d ->
       |          v[d] * (CASE WHEN ((j*73 + (d-1)*37) % 97) % 2 = 0
       |                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
       |        (acc, x) -> acc + x) >= 0
       |      THEN 1 << j ELSE 0 END)) AS INT) AS bucket""".stripMargin
+
+  /** 8-plane variant shared by the fixed-plane LSH queries. */
+  private val signBucket = signBucketNp("8")
 
   private val grams3 =
     """SELECT doc_id, lang, n_chars // 10 AS bucket,
@@ -72,9 +77,14 @@ object OraclesPipeline {
        |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  /** Same fixed-cell sampling stride as Similarity.ivfStride:
+    * ceil((max_id+1)/16.0) — integer inputs through one exact double
+    * division, so both engines compute the identical stride. */
   private val annIvfSql: String =
           s"""WITH e AS ($embDouble),
-         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |st AS (SELECT CAST(ceil((max(vec_id) + 1) / 16.0) AS BIGINT) AS stride FROM e),
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e
+         |      WHERE vec_id % (SELECT stride FROM st) = 0),
          |a AS (SELECT e.vec_id, e.v, c.cell, ${cosR("e.v", "c.cv")} AS sim
          |      FROM e CROSS JOIN c),
          |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -186,12 +196,19 @@ object OraclesPipeline {
          |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
          |ORDER BY d1, d2""".stripMargin,
 
+    // np mirrors Dedup.cosinePlanesFor: integer bit-length of the
+    // corpus count (length(bin(n)) — no float log2 whose boundary
+    // rounding could differ across engines), floored at 8, capped at
+    // 24. The probe side keeps the all-flips + vec_id< convention —
+    // same candidate set as the engine's up-flip formulation.
     "dedup_embedding_cosine" ->
       s"""WITH e AS ($embDouble),
-         |b AS ($signBucket FROM e),
+         |np AS (SELECT GREATEST(8, LEAST(24, length(bin(count(*))) - 4)) AS n FROM e),
+         |b AS (${signBucketNp("SELECT n FROM np")} FROM e),
          |p AS (SELECT vec_id, v,
          |  unnest(list_concat([bucket],
-         |    list_transform(generate_series(0, 7), j -> xor(bucket, 1 << j)))) AS pb
+         |    list_transform(generate_series(0, (SELECT n FROM np) - 1),
+         |      j -> xor(bucket, 1 << j)))) AS pb
          |  FROM b),
          |s AS (SELECT a.vec_id AS v1, p.vec_id AS v2, ${cosR("a.v", "p.v")} AS cos_sim
          |      FROM b a JOIN p ON a.bucket = p.pb AND a.vec_id < p.vec_id)

@@ -62,66 +62,93 @@ object Dedup {
   private[operators] val ngramDfCap = 32
 
   /** N-gram Jaccard near-dup pairs within (lang, length) blocks.
-    * Two stages, both codegen'd hash joins/aggs, no gram arrays:
-    *  1. candidates + rare intersection — ONE shuffle groups each
-    *     (block, gram) into its posting list; RARE grams
-    *     (df ≤ [[ngramDfCap]]) explode their ≤ cap²/2 pairs
-    *     map-side, and a single aggregation yields both the
-    *     candidate pair AND its shared-rare-gram count;
-    *  2. hot completion — |A∩B| = rare∩ + hot∩, where hot∩ joins
-    *     only the HOT gram rows (df > cap: a tiny, bounded set of
-    *     distinct grams) restricted to candidate pairs. The full
-    *     gram relation is never re-joined per pair — at 100 TB the
-    *     verify traffic is candidates × hot-grams-per-doc, a small
-    *     constant, not candidates × grams-per-doc.
-    * |A∪B| = |A|+|B|−|A∩B|. Join keys stay high-cardinality →
-    * skew-safe at 100 TB. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // raw gram rows are map-side only; the two aggregations below
-    // dedup internally (countDistinct / collect_set), so the global
-    // distinct exchange of round 1/2 disappears entirely
-    val g = gramRows(spark, dir, lowercase = false)
-      .select("doc_id", "lang", "bucket", "sh").persist()
-    val sizes = g.groupBy("doc_id").agg(countDistinct("sh").as("nsh"))
-    // HOT grams (df > cap) are identified by a COUNT-ONLY aggregate
-    // first — never a posting list, so a stop-gram shared by 10^8
-    // docs costs one counter, not one 10^8-element array in a single
-    // aggregation buffer. The set of hot gram STRINGS is bounded by
-    // vocabulary, not corpus size → broadcast.
-    val hot = g.groupBy("lang", "bucket", "sh")
-      .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") > ngramDfCap)
-      .select("lang", "bucket", "sh")
-    // one shuffle groups each RARE (block, gram) to its posting set —
-    // genuinely bounded at ≤ cap ids because hot grams were excluded
-    // BEFORE the collect — then the pair generation is a MAP-SIDE
-    // explode of at most cap²/2 rows per gram. No inverted-index
-    // self-join, no global distinct.
-    val byGram = g.join(broadcast(hot), Seq("lang", "bucket", "sh"), "left_anti")
-      .groupBy("lang", "bucket", "sh")
-      .agg(collect_set("doc_id").as("ds"))
-    val candRare = byGram
-      .filter(size(col("ds")).between(2, ngramDfCap))
-      .select(col("ds"), explode(col("ds")).as("d1"))
-      .select(col("d1"), explode(col("ds")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("rare_inter"))
-    // hot-gram rows joined only against candidate pairs; occurrence
-    // duplicates are absorbed by the countDistinct below
-    val gh = g.join(broadcast(hot), Seq("lang", "bucket", "sh"))
-      .select(col("sh"), col("doc_id"))
-    val interHot = candRare.select("d1", "d2")
-      .join(gh.select(col("doc_id").as("d1"), col("sh")), "d1")
-      .join(gh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy("d1", "d2").agg(countDistinct("sh").as("hot_inter"))
-    candRare.join(interHot, Seq("d1", "d2"), "left")
-      .withColumn("inter", col("rare_inter") + coalesce(col("hot_inter"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+    * ONE shuffle of the gram relation does all the heavy lifting:
+    * gram rows carry the doc's distinct-gram count `nsh` (computed
+    * MAP-SIDE from the doc's own gram array — no per-doc shuffle),
+    * and a single [[graft.functions.CappedSetAggExpr]] pass groups
+    * each (block, gram) into its capped posting set, detecting HOT
+    * grams (df > [[ngramDfCap]]) by buffer overflow in the same
+    * aggregation — the count-first pass, the anti-join, and the
+    * per-doc size aggregation of the round-3 design all collapse
+    * into it. Rare grams explode their ≤ cap²/2 pairs map-side with
+    * (n1, n2) already attached, so candidate scoring needs NO joins
+    * back to a sizes relation. Hot completion is unchanged: |A∩B| =
+    * rare∩ + hot∩, where hot∩ joins only the hot gram rows (a
+    * vocabulary-bounded set → broadcast) restricted to candidate
+    * pairs — at 100 TB the verify traffic is candidates ×
+    * hot-grams-per-doc, a small constant, not candidates ×
+    * grams-per-doc. |A∪B| = |A|+|B|−|A∩B|. Join keys stay
+    * high-cardinality → skew-safe at 100 TB. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir).orderBy("d1", "d2")
+
+  /** The jaccard pair engine without the presentation sort —
+    * [[dedupClusterCC]] consumes the pairs as edges, where ordering
+    * (and duplicate-edge hygiene) is irrelevant. */
+  private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // ObjectHashAggregate (the physical home of every imperative agg,
+    // CappedSetAgg included) falls back to SORT-based aggregation at
+    // 128 distinct keys per task by default — a posting build has
+    // millions of gram keys per task and each buffer is ≤ cap tiny
+    // entries, so the hash map is the right regime by a huge margin.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+    // raw gram rows are map-side only (native WordNgramsExpr; nsh
+    // rides every row from the same scan) and deliberately NOT
+    // persisted: caching 50× the doc bytes costs more than the one
+    // recompute the (rare) hot path would need. Each (block, gram)
+    // is keyed by its 64-bit xxhash64 — an 8-byte shuffle/groupBy
+    // key instead of the gram string, which is what actually moves
+    // through the one big exchange. (A 64-bit collision would merge
+    // two posting lists; the probability is n²/2^65 — vanishing at
+    // test SF, and at 100 TB a handful of merged lists perturbs
+    // candidate GENERATION only, within the df-cap recall contract
+    // the operator already declares.) The capped posting agg dedups
+    // internally, so no global distinct exchange exists.
+    val g = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr("n_chars DIV 10").as("bucket"),
+        graft.functions.GraftExpressions.wordNgrams(col("text"), 3).as("arr"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        size(array_distinct(col("arr"))).cast("long").as("nsh"),
+        explode(col("arr")).as("sh"))
+      .select(col("doc_id"), col("nsh"),
+        xxhash64(col("lang"), col("bucket"), col("sh")).as("gk"))
+    val posts = g.groupBy("gk")
+      .agg(graft.functions.CappedSetAgg(col("doc_id"), col("nsh"), ngramDfCap).as("p"))
+      .persist()
+    val candRare = posts
+      .filter(!col("p.hot") && size(col("p.ds")) >= 2)
+      .select(col("p.ds").as("ds"), explode(col("p.ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.nsh").as("n1"), col("b.nsh").as("n2"))
+      .agg(count(lit(1)).as("rare_inter"))
+    // hot gram KEYS are bounded by vocabulary, not corpus size →
+    // broadcast; their members were dropped by the capped buffer and
+    // are re-derived from g, exactly like the count-first form did.
+    // The whole hot-completion subtree is skipped when the corpus has
+    // no hot gram at all (one cheap scan of the cached posts decides
+    // — the common case for natural-text corpora, where near-dup
+    // pairs share rare grams long before they share stop-grams).
+    val hasHot = posts.filter(col("p.hot")).limit(1).count() > 0
+    val scored = if (!hasHot) {
+      candRare.withColumn("inter", col("rare_inter"))
+    } else {
+      val hot = posts.filter(col("p.hot")).select("gk")
+      // hot-gram rows joined only against candidate pairs; occurrence
+      // duplicates are absorbed by the countDistinct below
+      val gh = g.join(broadcast(hot), Seq("gk")).select(col("gk"), col("doc_id"))
+      val interHot = candRare.select("d1", "d2")
+        .join(gh.select(col("doc_id").as("d1"), col("gk")), "d1")
+        .join(gh.select(col("doc_id").as("d2"), col("gk")), Seq("d2", "gk"))
+        .groupBy("d1", "d2").agg(countDistinct("gk").as("hot_inter"))
+      candRare.join(interHot, Seq("d1", "d2"), "left")
+        .withColumn("inter", col("rare_inter") + coalesce(col("hot_inter"), lit(0L)))
+    }
+    scored
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.2)
       .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
   }
 
   /** MinHash signatures as k min-agg columns: explode shingles once,
@@ -252,34 +279,59 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** nPlanes for the embedding-dedup sign buckets, derived from the
+    * corpus size with INTEGER arithmetic (bit-length, not a float
+    * log2 whose boundary rounding could differ across engines):
+    * bucket count ≈ n/16 tracks the corpus, so expected per-bucket
+    * occupancy — and therefore candidate-pair volume per bucket —
+    * stays constant as n grows instead of going n²/2^k at a fixed k.
+    * Floor 8 keeps small corpora at the round-3 behavior; cap 24
+    * bounds the probe fan-out (and keeps bucket ids comfortably in
+    * an int). The same formula is expressed in the oracle SQL as
+    * GREATEST(8, LEAST(24, length(bin(count(*))) - 4)). */
+  private[operators] def cosinePlanesFor(nVectors: Long): Int =
+    math.max(8, math.min(24, java.lang.Long.toBinaryString(math.max(1L, nVectors)).length - 4))
+
   /** Embedding-cosine near-dup pairs, blocked on arithmetic-
     * hyperplane LSH sign buckets (the [[Similarity.signBucket]]
-    * machinery): candidates are pairs whose 8-bit buckets differ by
-    * ≤1 bit (multiprobe), verified with the exact left-fold cosine.
-    * Blocking on a hash of the vector itself keeps the join key
-    * high-cardinality and data-independent — label blocks are few
-    * and skewed (n²/k pairs per label). nPlanes scales ~log2(n) at
-    * 100 TB so bucket count tracks corpus size. Norms are
-    * precomputed once per vector (same sqrt(dot(v,v)) fold as the
-    * oracle → bit-identical cosine). */
+    * machinery): candidates are pairs whose sign buckets differ by
+    * ≤1 bit, verified with the exact left-fold cosine. Blocking on a
+    * hash of the vector itself keeps the join key high-cardinality
+    * and data-independent — label blocks are few and skewed (n²/k
+    * pairs per label). nPlanes is [[cosinePlanesFor]] of the corpus
+    * count (one scalar to the driver), so bucket count tracks corpus
+    * size. Each unordered pair is generated ONCE: a vector probes
+    * its own bucket (equal-bucket pairs, deduped by vec_id order)
+    * plus only the UP-flips of its zero bits — a hamming-1 pair is
+    * found solely from its lower-bucket side, so the explode is
+    * 1 + zeros(bucket) ≈ nPlanes/2 rows per vector instead of
+    * nPlanes + 1, with no duplicate candidates to re-filter. Norms
+    * are precomputed once per vector (same sqrt(dot(v,v)) fold as
+    * the oracle → bit-identical cosine). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    val nPlanes = 8
-    val e = t(spark, dir, "embeddings")
+    val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val nPlanes = cosinePlanesFor(base.count())
+    val e = base
       .withColumn("n", l2Norm(col("v")))
       .withColumn("bucket", Similarity.signBucket(col("v"), nPlanes))
-    val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+    val a = e.select(col("vec_id").as("ida"), col("v").as("va"),
       col("n").as("na"), col("bucket"))
-    // each right-side vector probes its bucket + all 1-bit flips, so
-    // a hamming-≤1 bucket pair matches exactly one probe (no dups)
-    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("n").as("nb"),
-      explode(array(
-        col("bucket") +: (0 until nPlanes).map(j =>
-          col("bucket").bitwiseXOR(1 << j)): _*)).as("pb"))
-    a.join(b, col("bucket") === col("pb") && col("v1") < col("v2"))
+    val flips = array((0 until nPlanes).map(j =>
+      col("b2").bitwiseXOR(1 << j)): _*)
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("n").as("nb"),
+        col("bucket").as("b2"))
+      .withColumn("pb", explode(concat(array(col("b2")),
+        filter(flips, f => f > col("b2")))))
+    // self-probe (pb == b2) pairs dedup on vec_id order; an up-flip
+    // probe always lands in a strictly greater bucket, so each
+    // hamming-1 pair matches exactly once with no id constraint
+    a.join(b, col("bucket") === col("pb") &&
+        (col("b2") =!= col("bucket") || col("ida") < col("idb")))
       .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.3)
-      .select("v1", "v2", "cos_sim")
+      .select(least(col("ida"), col("idb")).as("v1"),
+        greatest(col("ida"), col("idb")).as("v2"), col("cos_sim"))
       .orderBy("v1", "v2")
   }
 
@@ -314,25 +366,51 @@ object Dedup {
     * near-dup pairs; every clustered doc gets comp = min doc_id in
     * its component (the canonical keeper).
     *
-    * Distributed hash-min label propagation: each round joins the
-    * (small — only docs that appear in some dup pair) label set
-    * against the symmetric edge list and takes the per-node min of
-    * neighbor labels; converges in O(component diameter) rounds —
-    * dup clusters are shallow (near-clique), so a handful of rounds
-    * at any scale. Only label rows shuffle per round; the corpus
-    * itself is never re-read. The driver sees one COUNT per round
-    * (convergence test), never data rows. */
+    * Distributed hash-min label propagation, tuned so the loop costs
+    * one job and ONE exchange per round:
+    *  - the label/edge frames hold only docs that appear in some dup
+    *    pair, so their shuffles are sized to the EDGE count (learned
+    *    from the one scalar the driver already needs), not the
+    *    session default — at test SF each round is a couple of
+    *    tasks, on a cluster it scales back up with the edge volume;
+    *  - sym is pre-partitioned by join key and labels come out of
+    *    each round partitioned compatibly, so the per-round join
+    *    re-shuffles nothing and the single repartition before the
+    *    min-agg is the round's only exchange;
+    *  - convergence is read off the SAME action that materializes
+    *    the round (labels are min-propagated, so their exact decimal
+    *    sum is strictly decreasing until the fixpoint) — no separate
+    *    changed-count job, no extra pass over the labels.
+    * Converges in O(component diameter) rounds — dup clusters are
+    * near-cliques, so a handful of rounds at any scale. The corpus
+    * itself is never re-read; the driver sees one scalar per round. */
   def dedupClusterCC(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = t(spark, dir, "documents")
+    import org.apache.spark.sql.types.DecimalType
+    // exact-dup edges in STAR topology (group keeper → member):
+    // connectivity — and therefore the component labeling the oracle
+    // checks — is identical to the all-pairs form, but a size-m dup
+    // group contributes m−1 edges instead of m(m−1)/2, the expensive
+    // regex+md5 normalization runs ONCE per doc (the self-join form
+    // re-evaluated it per join side), and stars keep component
+    // diameter at 2 so the label loop converges in fewer rounds.
+    val w = Window.partitionBy("h")
+    val exactPairs = t(spark, dir, "documents")
       .select(col("doc_id"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
           .cast("binary")).as("h"))
-    val exactPairs = hashed.select(col("doc_id").as("d1"), col("h"))
-      .join(hashed.select(col("doc_id").as("d2"), col("h")), "h")
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2")
-    val nearPairs = dedupNgramJaccard(spark, dir).select("d1", "d2")
-    val edges = exactPairs.union(nearPairs).distinct()
+      .withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("d1"), col("doc_id").as("d2"))
+    // duplicate edges are harmless to min-label propagation (the
+    // min-agg absorbs them), so no distinct exchange and no ordering
+    val nearPairs = jaccardPairs(spark, dir).select("d1", "d2")
+    val edges = exactPairs.union(nearPairs).persist()
+    val nEdges = edges.count() // one scalar; also materializes the cache
+    // size the loop's shuffles to the dup-pair volume (~200k edge
+    // rows per partition), capped by the session's parallelism
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (nEdges / 200000L + 1).toInt))
     // symmetric closure via one map-side explode — a union of the
     // edge set with its own reversal would run the whole (expensive)
     // edge-derivation lineage twice before the persist materializes
@@ -340,36 +418,46 @@ object Dedup {
         struct(col("d1"), col("d2")),
         struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
       .select(col("e.d1"), col("e.d2"))
+      .repartition(nParts, col("d2"))
       .persist()
-    var cached = sym.select(col("d1").as("id")).distinct()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var labels = sym.select(col("d1").as("id"))
+      .repartition(nParts, col("id")).distinct()
       .withColumn("comp", col("id")).persist()
-    var labels = cached
-    var changed = 1L
+    var prevSum = labelSum(labels) // materializes the initial labels
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val viaNeighbor = sym
-        .join(labels.select(col("id").as("d2"), col("comp")), "d2")
-        .groupBy(col("d1").as("id")).agg(min("comp").as("ncomp"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
+    while (!converged && rounds < 50) {
+      // comp_{t+1}(v) = min(comp_t(v), min over neighbors comp_t(u)):
+      // the self term rides the union, so no left-join-back stage.
+      // labels arrive hash-partitioned by id from the previous round,
+      // matching sym's (d2, nParts) layout after the rename — the
+      // join exchanges nothing; the repartition below is the round's
+      // one exchange and pre-satisfies the agg's distribution.
+      val next = sym.join(labels.select(col("id").as("d2"), col("comp")), "d2")
+        .select(col("d1").as("id"), col("comp"))
+        .union(labels)
+        .repartition(nParts, col("id"))
+        .groupBy("id").agg(min("comp").as("comp"))
         .persist()
-      changed = next.filter(col("comp") =!= col("prev")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select("id", "comp")
+      val s = labelSum(next) // one action: materializes + tests convergence
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
       rounds += 1
     }
     // localCheckpoint (eager) materializes the converged labels and
-    // cuts the loop's lineage, so BOTH loop caches can be released
+    // cuts the loop's lineage, so the loop caches can be released
     // here instead of leaking one cached label set per invocation;
     // the checkpoint blocks themselves are reclaimed by Spark's
     // ContextCleaner once the returned frame is unreachable.
     val out = labels.localCheckpoint(true)
       .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
-    cached.unpersist()
+    labels.unpersist()
     sym.unpersist()
+    edges.unpersist()
     out
   }
 }

@@ -43,20 +43,38 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Number of IVF cells. FIXED, independent of corpus size — the
+    * IVF contract is that a codebook is small by construction, and
+    * this constant is what enforces it: the init collect is ≤ this
+    * many vectors, the broadcast codebook is ≤ this many centroids,
+    * and the k-means update matrix is ≤ this × dim rows, at every
+    * corpus size. (A production index would set this to 256–4096;
+    * 16 keeps the test corpora at a few dozen vectors per cell.) */
+  private[operators] val ivfCells = 16
+
+  /** Deterministic sampling stride that yields ≤ [[ivfCells]]
+    * centroids from ids in [0, maxId]: ceil((maxId+1)/C). The same
+    * arithmetic is expressible in the oracle SQL (integer inputs,
+    * one exact double division by a small constant), so the sampled
+    * codebook stays hash-checkable. */
+  private[operators] def ivfStride(maxId: Long): Long =
+    math.max(1L, math.ceil((maxId + 1).toDouble / ivfCells).toLong)
+
   /** Train an IVF codebook with k-means (Lloyd) — the learned
     * counterpart of [[annIvfTopk]]'s deterministic sampling codebook.
     * Fully deterministic across runs AND partitionings:
-    *  - init: every `initEvery`-th vector (no RNG);
+    *  - init: every [[ivfStride]]-th vector (no RNG) — ≤ [[ivfCells]]
+    *    vectors reach the driver no matter how large the corpus;
     *  - assignment: the broadcast-codebook [[graft.functions.ArgMaxCellExpr]]
     *    (map-side, rounded cosine, min-cell tie-break);
     *  - update: per-(cell, dim) sums routed through DECIMAL (exact, so
     *    shuffle order can't change the mean bits), divided driver-side
     *    at fixed scale. Empty cells keep their previous centroid.
     * Each iteration is one map-side assignment + one aggregation of
-    * C×dim tiny partials — the 100 TB shape (vectors never shuffle;
-    * only per-cell sums move). */
+    * C×dim tiny partials, C fixed — the 100 TB shape (vectors never
+    * shuffle; only a constant-size update matrix moves). */
   private[operators] def trainKmeansCodebook(e: DataFrame, iterations: Int,
-      initEvery: Int): graft.functions.CellCodebook = {
+      nCells: Int = ivfCells): graft.functions.CellCodebook = {
     import org.apache.spark.sql.types.DecimalType
     def norm(v: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -65,8 +83,10 @@ object Similarity {
     }
     val train = e.select(col("vec_id"), col("v"), col("n")).persist()
     try {
+      val maxId = train.agg(max("vec_id")).head.getLong(0)
+      val stride = math.max(1L, math.ceil((maxId + 1).toDouble / nCells).toLong)
       var cells: Array[(Long, Array[Double], Double)] = train
-        .filter(col("vec_id") % initEvery === 0)
+        .filter(col("vec_id") % stride === 0)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1).zipWithIndex
@@ -107,9 +127,7 @@ object Similarity {
     val e = emb(spark, dir)
     // train on a deterministic 25% subsample — codebooks are always
     // trained on samples at scale; the full corpus is still assigned.
-    // (initEvery=100 is divisible by the stride, so init is unchanged.)
-    val cb = trainKmeansCodebook(e.filter(col("vec_id") % 4 === 0),
-      iterations = 3, initEvery = 100)
+    val cb = trainKmeansCodebook(e.filter(col("vec_id") % 4 === 0), iterations = 3)
     val assigned = e
       .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
       .select("vec_id", "label", "v", "n", "cell")
@@ -236,23 +254,26 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** IVF-style ANN: deterministic coarse codebook (every 100th vector
-    * as a centroid), vectors assigned to nearest cell, queries probe
-    * their 2 nearest cells and scan only those.
+  /** IVF-style ANN: deterministic coarse codebook (every
+    * [[ivfStride]]-th vector as a centroid — a FIXED ≤ [[ivfCells]]
+    * centroids at any corpus size), vectors assigned to nearest
+    * cell, queries probe their 2 nearest cells and scan only those.
     *
     * Corpus cell assignment is a MAP-SIDE argmax: the codebook is
-    * collected to the driver (a codebook is small by construction —
-    * that's the IVF contract; only centroid vectors move, never data)
-    * and embedded as literals, so each row picks its cell inside
-    * whole-stage codegen with zero shuffles — no crossJoin + window,
-    * which would shuffle n×C rows to take an argmax. Tie-break
-    * matches the oracle: max sim, then min cell (struct max over
-    * (sim, −cell)). */
+    * collected to the driver (≤ [[ivfCells]] vectors by construction
+    * — the stride grows with the corpus, so the collect, the
+    * broadcast, and the probe fan-out never do; only centroid
+    * vectors move, never data) and embedded as literals, so each row
+    * picks its cell inside whole-stage codegen with zero shuffles —
+    * no crossJoin + window, which would shuffle n×C rows to take an
+    * argmax. Tie-break matches the oracle: max sim, then min cell
+    * (struct max over (sim, −cell)). */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") % 100 === 0)
+    val stride = ivfStride(e.agg(max("vec_id")).head.getLong(0))
+    val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
-    // tiny codebook → driver (cell, vector, precomputed norm)
+    // bounded codebook → driver (cell, vector, precomputed norm)
     val codebook = centroids.select("cell", "cv", "cn").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)

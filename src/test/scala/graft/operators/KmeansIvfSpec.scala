@@ -39,8 +39,8 @@ class KmeansIvfSpec extends AnyFunSuite {
     .withColumn("n", graft.functions.VectorFunctions.l2Norm(col("v")))
 
   test("training recovers the planted clusters") {
-    // initEvery=40 → initial centroids at vec_ids 0, 40, 80 (clusters 0, 1, 2)
-    val cb = Similarity.trainKmeansCodebook(emb, iterations = 3, initEvery = 40)
+    // nCells=3 → stride ceil(120/3)=40 → initial centroids at vec_ids 0, 40, 80
+    val cb = Similarity.trainKmeansCodebook(emb, iterations = 3, nCells = 3)
     assert(cb.ids.length === 3)
     val assigned = emb
       .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
@@ -60,8 +60,8 @@ class KmeansIvfSpec extends AnyFunSuite {
   }
 
   test("training is bit-deterministic across runs and partitionings") {
-    val cb1 = Similarity.trainKmeansCodebook(emb, iterations = 3, initEvery = 40)
-    val cb2 = Similarity.trainKmeansCodebook(emb.repartition(3), iterations = 3, initEvery = 40)
+    val cb1 = Similarity.trainKmeansCodebook(emb, iterations = 3, nCells = 3)
+    val cb2 = Similarity.trainKmeansCodebook(emb.repartition(3), iterations = 3, nCells = 3)
     assert(cb1.ids.toSeq === cb2.ids.toSeq)
     (cb1.vecs, cb2.vecs).zipped.foreach((a, b) => assert(a.toSeq === b.toSeq))
     assert(cb1.norms.toSeq === cb2.norms.toSeq)
@@ -69,7 +69,7 @@ class KmeansIvfSpec extends AnyFunSuite {
 
   test("codebook save/load round-trips bit-identically and assigns identically") {
     import graft.functions.CellCodebook
-    val cb = Similarity.trainKmeansCodebook(emb, iterations = 3, initEvery = 40)
+    val cb = Similarity.trainKmeansCodebook(emb, iterations = 3, nCells = 3)
     val path = s"$dir/_codebook.json"
     CellCodebook.save(cb, path)
     val loaded = CellCodebook.load(path)
@@ -98,6 +98,31 @@ class KmeansIvfSpec extends AnyFunSuite {
     back.vecs(0).indices.foreach(i =>
       assert(java.lang.Double.doubleToLongBits(back.vecs(0)(i)) ===
         java.lang.Double.doubleToLongBits(tricky.vecs(0)(i))))
+  }
+
+  test("codebook size stays constant as the corpus grows") {
+    // the IVF contract: the driver-side collect, the broadcast
+    // codebook, and the k-means update matrix are bounded by nCells
+    // at EVERY corpus size — the sampling stride grows instead.
+    def corpus(n: Long) = {
+      val rows = (0L until n).map { i =>
+        val v = Array.tabulate(64)(d => ((i * 31 + d * 7) % 13).toDouble - 6.0)
+        (i, v.toSeq)
+      }
+      rows.toDF("vec_id", "v")
+        .withColumn("n", graft.functions.VectorFunctions.l2Norm(col("v")))
+    }
+    val sizes = Seq(100L, 1000L, 4000L).map { n =>
+      n -> Similarity.trainKmeansCodebook(corpus(n), iterations = 1).ids.length
+    }
+    assert(sizes.forall(_._2 <= Similarity.ivfCells),
+      s"codebook exceeded the fixed cell budget: $sizes")
+    // 40× more vectors, same codebook (stride rounding may shave a
+    // cell at tiny n, but size is flat once n >> C — never linear)
+    assert(sizes.toMap.apply(4000L) === sizes.toMap.apply(1000L))
+    // the default-cell sampler in annIvfTopk obeys the same bound
+    assert(Similarity.ivfStride(99L) === math.ceil(100.0 / Similarity.ivfCells).toLong)
+    assert((0L until 4000L).count(_ % Similarity.ivfStride(3999L) == 0) <= Similarity.ivfCells)
   }
 
   test("the topk query retrieves same-cluster neighbors") {
