@@ -208,6 +208,27 @@ object Oracles {
         |  WINDOW w AS (PARTITION BY l_returnflag
         |               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)) t
         |WHERE drank <= 50
-        |ORDER BY l_returnflag, drank, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_returnflag, drank, l_orderkey, l_linenumber""".stripMargin,
+
+    // quantile_disc picks an element OF the data (SQL-standard
+    // percentile_disc semantics, same as Spark's) — boundary values
+    // match bit-for-bit with no interpolation arithmetic
+    "q29_quantile_bucket" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_disc(l_extendedprice, 0.25) AS q1,
+        |    quantile_disc(l_extendedprice, 0.5)  AS q2,
+        |    quantile_disc(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  CAST(CASE WHEN l_extendedprice <= q1 THEN 1
+        |            WHEN l_extendedprice <= q2 THEN 2
+        |            WHEN l_extendedprice <= q3 THEN 3
+        |            ELSE 4 END AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -45,6 +45,7 @@ object SparkEntry {
     "q26_topk_exec" -> Relational.q26TopkExec _,
     "q27_exact_distinct" -> Relational.q27ExactDistinct _,
     "q28_bloom_semi_join" -> Relational.q28BloomSemiJoin _,
+    "q29_quantile_bucket" -> Relational.q29QuantileBucket _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,

@@ -343,13 +343,14 @@ object Relational {
 
   /** q25: ntile + dense_rank windows over a unique total order.
     * Scale note: the window key (`l_returnflag`, 3 values) is
-    * LOW-cardinality by the query's own semantics — exact per-flag
-    * quartiles require a total order per flag, so 3 reducers see the
-    * whole table. At 100 TB the right formulation is two-pass:
-    * `approx_percentile(l_extendedprice, [.25,.5,.75])` per flag
-    * (map-side-combining agg), then a broadcast range lookup per row
-    * — exact ntile only when the per-key volume is bounded, as here
-    * with the dense_rank ≤ 50 consumer. */
+    * LOW-cardinality by the query's own semantics — NTILE splits
+    * ties by ROW POSITION, so an exact answer requires a total order
+    * per flag and 3 reducers see the whole table. This exact form is
+    * appropriate only where the per-key volume is bounded, as here
+    * with the dense_rank ≤ 50 consumer; the 100-TB formulation of
+    * per-flag quartiles is [[q29QuantileBucket]] (two-pass
+    * percentile boundaries + broadcast range lookup — no per-flag
+    * total sort anywhere). */
   def q25NtileDenseRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
@@ -360,5 +361,38 @@ object Relational {
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
         "quartile", "drank")
       .orderBy("l_returnflag", "drank", "l_orderkey", "l_linenumber")
+  }
+
+  /** q29: per-flag quartile bucketing, the 100-TB formulation of
+    * [[q25NtileDenseRank]]'s quartiles. Two passes, neither sorting
+    * the table:
+    *  1. per-flag boundary values via `percentile_disc` — a
+    *     partial-aggregating (map-side-combining) agg whose result
+    *     is 3 rows × 3 doubles. DISCRETE percentiles on purpose:
+    *     the boundary is an element OF the data (first value whose
+    *     cume_dist ≥ p — the SQL-standard definition DuckDB's
+    *     quantile_disc shares), so no interpolation arithmetic
+    *     exists to drift by an ulp between engines;
+    *  2. a BROADCAST range lookup bucketing every row map-side,
+    *     then an ordinary two-phase count/sum per (flag, bucket).
+    * Value-based buckets (not NTILE's positional tie-splitting), so
+    * the per-row pass is embarrassingly parallel at any scale. */
+  def q29QuantileBucket(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def pd(p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)")
+    val bounds = li.groupBy("l_returnflag")
+      .agg(pd(0.25).as("q1"), pd(0.5).as("q2"), pd(0.75).as("q3"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("bucket",
+        when(col("l_extendedprice") <= col("q1"), 1L)
+          .when(col("l_extendedprice") <= col("q2"), 2L)
+          .when(col("l_extendedprice") <= col("q3"), 3L)
+          .otherwise(4L))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag", "bucket")
   }
 }
