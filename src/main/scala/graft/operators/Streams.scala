@@ -36,20 +36,10 @@ object Streams {
     * roadmaps the rest; graft serves the full core set). */
   def brokerApiVersions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Seq(
-      (0, "Produce", 0, 9),
-      (1, "Fetch", 0, 13),
-      (2, "ListOffsets", 0, 7),
-      (3, "Metadata", 0, 12),
-      (8, "OffsetCommit", 0, 8),
-      (9, "OffsetFetch", 0, 8),
-      (15, "DescribeGroups", 0, 5),
-      (16, "ListGroups", 0, 4),
-      (18, "ApiVersions", 0, 3),
-      (19, "CreateTopics", 0, 7),
-      (20, "DeleteTopics", 0, 6),
-      (21, "DeleteRecords", 0, 2)
-    ).toDF("api_key", "api_name", "min_version", "max_version")
+    // single source of truth with the Broker facade (its wire-honest
+    // sibling is Broker.WireApis) — the oracle mirrors this catalog
+    graft.streaming.Broker.SupportedApis
+      .toDF("api_key", "api_name", "min_version", "max_version")
       .orderBy("api_key")
   }
 

@@ -16,6 +16,10 @@ import scala.jdk.CollectionConverters._
   */
 class Broker(spark: SparkSession, root: String) {
 
+  /** Membership coordination for wire consumers (JoinGroup/SyncGroup/
+    * Heartbeat/LeaveGroup) — pure metadata, one per broker. */
+  val coordinator = new GroupCoordinator()
+
   /** CreateTopics analog. */
   def createTopic(name: String, numPartitions: Int): TopicLog =
     TopicLog.create(spark, root, name, numPartitions)
@@ -151,30 +155,43 @@ class Broker(spark: SparkSession, root: String) {
     }.toDF("group", "topic", "partition", "committed_offset", "log_end_offset", "lag")
   }
 
-  // --- wire-level Produce/Fetch v0: framed Kafka bytes in, framed
-  // bytes out, with the Spark-native TopicLog as the storage engine —
-  // the full producer/consumer path a v0 client would drive.
+  // --- wire-level Produce/Fetch: framed Kafka bytes in, framed bytes
+  // out, with the Spark-native TopicLog as the storage engine — the
+  // full producer/consumer path a client would drive. Produce speaks
+  // v0–v3 and Fetch v0–v4: the v3/v4 bodies carry RecordBatch v2
+  // (magic 2), so HEADERS and client timestamps survive the socket —
+  // the graft record model round-trips losslessly at those versions.
 
-  /** Produce v0 exchange: records land through the real manifest
+  /** Produce exchange (v0–v3): records land through the real manifest
     * produce (explicit partition routing, per-partition contiguous
     * offsets); the response carries each partition's base offset,
-    * exactly as a broker acks. Unknown topics / out-of-range
-    * partitions answer error 3 (UNKNOWN_TOPIC_OR_PARTITION) without
-    * losing the rest of the request. */
+    * exactly as a broker acks. v3 records keep their headers and
+    * create-time timestamps (records without one get append time).
+    * Unknown topics / out-of-range partitions answer error 3
+    * (UNKNOWN_TOPIC_OR_PARTITION) without losing the rest of the
+    * request. */
   def handleProduce(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeProduceRequestV0(requestBytes)
+    val req = decodeProduceRequest(requestBytes)
+    val appendTime = new java.sql.Timestamp(System.currentTimeMillis())
     val results = req.topics.map { case (name, parts) =>
       if (!topicExists(name)) (name, parts.map { case (p, _) => (p, 3, -1L) })
       else {
         val log = topic(name)
         val valid = parts.filter { case (p, _) => p >= 0 && p < log.numPartitions }
-        val rows = valid.flatMap { case (p, rs) => rs.map(r => (r.key, r.value, p)) }
+        val rows = valid.flatMap { case (p, rs) =>
+          rs.map { r =>
+            val hdrs = if (r.headers.isEmpty) null else r.headers.toMap
+            val ts = if (r.timestampMs >= 0) new java.sql.Timestamp(r.timestampMs)
+              else appendTime
+            (r.key, r.value, hdrs, ts, p)
+          }
+        }
         val after: Map[Int, Long] =
           if (rows.isEmpty) log.logEndOffsets()
           else {
             import spark.implicits._
-            log.produce(rows.toDF("key", "value", "partition"),
+            log.produce(rows.toDF("key", "value", "headers", "ts", "partition"),
               partitioner = col("partition"))
           }
         // Base offsets derive from the COMMITTED ends the produce
@@ -198,36 +215,38 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
-    encodeProduceResponseV0(req.correlationId, results)
+    encodeProduceResponse(req.version, req.correlationId, results)
   }
 
-  /** Fetch v0 exchange: bounded reads from (partition, offset) with
-    * max_bytes honored (always at least one message, so a large
+  /** Fetch exchange (v0–v4): bounded reads from (partition, offset)
+    * with max_bytes honored (always at least one message, so a large
     * record can't stall the consumer), high watermark = log end,
     * error 1 (OFFSET_OUT_OF_RANGE) past the end, error 3 for unknown
-    * topics/partitions. */
+    * topics/partitions. v4 responses carry magic-2 batches, so stored
+    * headers and timestamps reach the consumer; v0–v3 fall back to
+    * the headerless message-set format those versions define. */
   def handleFetch(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeFetchRequestV0(requestBytes)
+    val req = decodeFetchRequest(requestBytes)
     val topicsOut = req.topics.map { case (name, parts) =>
       if (!topicExists(name))
         (name, parts.map { case (p, _, _) =>
-          (p, 3, -1L, Seq.empty[(Long, WireRecord)]) })
+          (p, 3, -1L, Seq.empty[(Long, WireRecordV2)]) })
       else {
         val log = topic(name)
         val ends = log.logEndOffsets()
         (name, parts.map { case (p, off, maxBytes) =>
           val end = ends.getOrElse(p, 0L)
           if (p < 0 || p >= log.numPartitions)
-            (p, 3, -1L, Seq.empty[(Long, WireRecord)])
-          else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecord)])
+            (p, 3, -1L, Seq.empty[(Long, WireRecordV2)])
+          else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecordV2)])
           else {
-            // bound the collect: v0 message overhead is 26 bytes +
-            // key + value, so maxBytes/26 over-covers the record count
+            // bound the collect: per-record wire overhead is ≥ 26
+            // bytes + key + value, so maxBytes/26 over-covers the count
             val rows = log.consume(p, off, maxRecords = maxBytes / 26 + 1)
-              .select("offset", "key", "value").collect()
+              .select("offset", "key", "value", "headers", "ts").collect()
             var used = 0
-            val picked = Seq.newBuilder[(Long, WireRecord)]
+            val picked = Seq.newBuilder[(Long, WireRecordV2)]
             var taken = 0
             var full = false
             // STOP at the first record that doesn't fit — including a
@@ -237,10 +256,17 @@ class Broker(spark: SparkSession, root: String) {
             rows.iterator.takeWhile(_ => !full).foreach { r =>
               val k = r.getAs[Array[Byte]]("key")
               val v = r.getAs[Array[Byte]]("value")
+              val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
+                .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+              val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
+                .map(_.getTime).getOrElse(-1L)
               val sz = 26 + (if (k == null) 0 else k.length) +
-                (if (v == null) 0 else v.length)
+                (if (v == null) 0 else v.length) +
+                hdrs.map { case (hk, hv) =>
+                  hk.length + (if (hv == null) 0 else hv.length) + 2
+                }.sum
               if (taken == 0 || used + sz <= maxBytes) {
-                picked += ((r.getAs[Long]("offset"), WireRecord(k, v)))
+                picked += ((r.getAs[Long]("offset"), WireRecordV2(ts, k, v, hdrs)))
                 used += sz
                 taken += 1
               } else full = true
@@ -250,7 +276,128 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
-    encodeFetchResponseV0(req.correlationId, topicsOut)
+    encodeFetchResponse(req.version, req.correlationId, topicsOut)
+  }
+
+  // --- wire-level group membership (JoinGroup/SyncGroup/Heartbeat/
+  // LeaveGroup v0) over the metadata-only [[GroupCoordinator]]: the
+  // broker brokers opaque subscription/assignment bytes; the leader
+  // MEMBER computes assignments (graft's Assignors), per the protocol.
+
+  def handleJoinGroup(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeJoinGroupRequestV0(requestBytes)
+    val r = coordinator.join(req.group, Option(req.memberId).getOrElse(""),
+      Option(req.clientId).getOrElse("client"), "", req.sessionTimeoutMs,
+      req.protocolType, req.protocols)
+    encodeJoinGroupResponseV0(JoinGroupResponseV0(req.correlationId, r.errorCode,
+      r.generationId, r.protocol, r.leaderId, r.memberId, r.members))
+  }
+
+  def handleSyncGroup(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeSyncGroupRequestV0(requestBytes)
+    val (err, assignment) =
+      coordinator.sync(req.group, req.generationId, req.memberId, req.assignments)
+    encodeSyncGroupResponseV0(req.correlationId, err,
+      if (assignment.isEmpty) null else assignment)
+  }
+
+  def handleHeartbeat(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, group, gen, member) = decodeHeartbeatRequestV0(requestBytes)
+    encodeErrorResponse(correlationId, coordinator.heartbeat(group, gen, member))
+  }
+
+  def handleLeaveGroup(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, group, member) = decodeLeaveGroupRequestV0(requestBytes)
+    encodeErrorResponse(correlationId, coordinator.leave(group, member))
+  }
+
+  // --- wire-level admin (CreateTopics/DeleteTopics/DeleteRecords/
+  // ListGroups/DescribeGroups v0) over the engine primitives that
+  // already served the library surface.
+
+  /** CreateTopics v0: 36 TOPIC_ALREADY_EXISTS, 37 INVALID_PARTITIONS. */
+  def handleCreateTopics(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, topics) = decodeCreateTopicsRequestV0(requestBytes)
+    val results = topics.map { case (name, numPartitions, _) =>
+      if (topicExists(name)) (name, 36)
+      else if (numPartitions <= 0) (name, 37)
+      else { createTopic(name, numPartitions); (name, 0) }
+    }
+    encodeTopicErrorsResponseV0(correlationId, results)
+  }
+
+  /** DeleteTopics v0: 3 UNKNOWN_TOPIC_OR_PARTITION for absent names. */
+  def handleDeleteTopics(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, topics) = decodeDeleteTopicsRequestV0(requestBytes)
+    val results = topics.map { name =>
+      if (!topicExists(name)) (name, 3)
+      else { deleteTopic(name); (name, 0) }
+    }
+    encodeTopicErrorsResponseV0(correlationId, results)
+  }
+
+  /** DeleteRecords v0 over [[TopicLog.truncateBefore]]: offset −1
+    * means "to the log end" per the protocol; the response reports
+    * each partition's new low watermark. */
+  def handleDeleteRecords(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, topics) = decodeDeleteRecordsRequestV0(requestBytes)
+    val results = topics.map { case (name, parts) =>
+      if (!topicExists(name)) (name, parts.map { case (p, _) => (p, -1L, 3) })
+      else {
+        val log = topic(name)
+        (name, parts.map { case (p, off) =>
+          if (p < 0 || p >= log.numPartitions) (p, -1L, 3)
+          else {
+            val end = log.logEndOffsets().getOrElse(p, 0L)
+            val target = if (off == -1L) end else off
+            if (target > end) (p, -1L, 1) // OFFSET_OUT_OF_RANGE
+            else {
+              log.truncateBefore(p, target)
+              (p, log.logStartOffsets().getOrElse(p, 0L), 0)
+            }
+          }
+        })
+      }
+    }
+    encodeDeleteRecordsResponseV0(correlationId, results)
+  }
+
+  /** ListGroups v0: active coordinator groups plus groups that exist
+    * only as committed offsets (protocol_type "" — Kafka's shape for
+    * offsets-only groups). */
+  def handleListGroups(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val correlationId = decodeListGroupsRequestV0(requestBytes)
+    val active = coordinator.listGroups()
+    val offsetsOnly = listGroups().map(_._1).distinct
+      .filterNot(g => active.exists(_._1 == g)).map(g => (g, ""))
+    encodeListGroupsResponseV0(correlationId, 0, (active ++ offsetsOnly).sortBy(_._1))
+  }
+
+  /** DescribeGroups v0: live membership from the coordinator; a group
+    * known only by committed offsets describes as Empty; an unknown
+    * group as Dead (Kafka's convention — not an error code). */
+  def handleDescribeGroups(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, groupIds) = decodeDescribeGroupsRequestV0(requestBytes)
+    val described = groupIds.map { g =>
+      coordinator.describe(g) match {
+        case Some((state, pt, proto, members)) =>
+          DescribedGroup(0, g, state, pt, proto, members)
+        case None if listGroups().exists(_._1 == g) =>
+          DescribedGroup(0, g, "Empty", "", "", Seq.empty)
+        case None =>
+          DescribedGroup(0, g, "Dead", "", "", Seq.empty)
+      }
+    }
+    encodeDescribeGroupsResponseV0(correlationId, described)
   }
 
   /** ListOffsets v0 exchange: timestamp -1 → [log end], -2 → [0]
@@ -364,6 +511,10 @@ object Broker {
     (3, "Metadata", 0, 12),
     (8, "OffsetCommit", 0, 8),
     (9, "OffsetFetch", 0, 8),
+    (11, "JoinGroup", 0, 9),
+    (12, "Heartbeat", 0, 4),
+    (13, "LeaveGroup", 0, 5),
+    (14, "SyncGroup", 0, 5),
     (15, "DescribeGroups", 0, 5),
     (16, "ListGroups", 0, 4),
     (18, "ApiVersions", 0, 3),
@@ -376,13 +527,24 @@ object Broker {
     * picks the highest mutually supported version from this response
     * — advertising the broader [[SupportedApis]] (library-analog
     * surface, versions we never decode) would steer every client
-    * straight into a version we reject. */
+    * straight into a version we reject. Produce tops out at v3 and
+    * Fetch at v4 — the first versions whose record format (magic-2
+    * batches) carries the FULL graft record model, headers included. */
   val WireApis: Seq[(Int, String, Int, Int)] = Seq(
-    (0, "Produce", 0, 0),
-    (1, "Fetch", 0, 0),
+    (0, "Produce", 0, 3),
+    (1, "Fetch", 0, 4),
     (2, "ListOffsets", 0, 0),
     (3, "Metadata", 0, 0),
     (8, "OffsetCommit", 0, 0),
     (9, "OffsetFetch", 0, 0),
-    (18, "ApiVersions", 3, 3))
+    (11, "JoinGroup", 0, 0),
+    (12, "Heartbeat", 0, 0),
+    (13, "LeaveGroup", 0, 0),
+    (14, "SyncGroup", 0, 0),
+    (15, "DescribeGroups", 0, 0),
+    (16, "ListGroups", 0, 0),
+    (18, "ApiVersions", 3, 3),
+    (19, "CreateTopics", 0, 0),
+    (20, "DeleteTopics", 0, 0),
+    (21, "DeleteRecords", 0, 0))
 }

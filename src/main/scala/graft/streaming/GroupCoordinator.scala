@@ -1,0 +1,203 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Classic consumer-group membership coordination (the broker side of
+  * JoinGroup/SyncGroup/Heartbeat/LeaveGroup), single-coordinator form
+  * — the piece a wire consumer needs on top of [[Assignors]] (which
+  * run inside the LEADER member, per the protocol: the broker only
+  * brokers opaque metadata and assignment bytes, it never computes an
+  * assignment itself).
+  *
+  * Pure metadata, no Spark: group state is a handful of members per
+  * group, coordinated under one lock. Simplifications relative to a
+  * full Kafka coordinator, chosen to keep every exchange NON-BLOCKING
+  * (the reference prototype's server is synchronous request/response;
+  * so is graft's [[WireServer]]):
+  *  - a join never parks the connection waiting for the rest of the
+  *    group: it immediately opens a new generation containing every
+  *    currently-known member. Members still in the old generation
+  *    discover the rebalance through their next heartbeat/sync error
+  *    (REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION) and rejoin —
+  *    which, per the protocol, real clients do anyway;
+  *  - a REJOIN while the group is already rebalancing re-enters the
+  *    open generation instead of opening another, so a member churn
+  *    converges instead of livelocking generation bumps;
+  *  - session timeouts are honored lazily: an expired member is
+  *    evicted when the group is next touched, not by a timer thread.
+  *
+  * Error codes per the public protocol: 22 ILLEGAL_GENERATION,
+  * 25 UNKNOWN_MEMBER_ID, 27 REBALANCE_IN_PROGRESS. */
+class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
+
+  import GroupCoordinator._
+
+  private val groups = mutable.Map.empty[String, GroupState]
+  private val lock = new Object
+
+  /** Join (or rejoin) `group`. Empty memberId → a new member id is
+    * assigned. Returns the view the member needs: generation, elected
+    * protocol, leader, own id, and (for the leader only) the full
+    * member→metadata roster to feed its assignor. */
+  def join(group: String, memberId: String, clientId: String, clientHost: String,
+      sessionTimeoutMs: Int, protocolType: String,
+      protocols: Seq[(String, Array[Byte])]): JoinResult = lock.synchronized {
+    val g = groups.getOrElseUpdate(group, new GroupState(protocolType))
+    evictExpired(g)
+    if (g.members.nonEmpty && g.protocolType != protocolType)
+      return JoinResult(InconsistentGroupProtocol, -1, "", "", memberId, Seq.empty)
+    if (memberId.nonEmpty && !g.members.contains(memberId))
+      return JoinResult(UnknownMemberId, -1, "", "", memberId, Seq.empty)
+    val id =
+      if (memberId.nonEmpty) memberId
+      else { g.memberSeq += 1; s"$clientId-${g.memberSeq}" }
+    val isNew = !g.members.contains(id)
+    val m = Member(id, clientId, clientHost, sessionTimeoutMs, protocols, clock())
+    g.members.put(id, m)
+    g.protocolType = protocolType
+    // membership or subscription change (or a stable group being
+    // re-joined) opens a NEW generation; a rejoin while one is already
+    // open re-enters it so the whole group converges on one number
+    if (isNew || g.state != CompletingRebalance) {
+      g.generation += 1
+      g.state = CompletingRebalance
+      g.assignments.clear()
+      // elect the protocol every member supports, by the first
+      // joiner's preference order (Kafka's rule)
+      g.protocol = g.members.values.head.protocols.map(_._1)
+        .find(p => g.members.values.forall(_.protocols.exists(_._1 == p)))
+        .getOrElse("")
+    }
+    val leader = g.members.keys.head // join order — the stable choice
+    val roster =
+      if (id == leader)
+        g.members.values.map(m =>
+          m.id -> m.protocols.find(_._1 == g.protocol).map(_._2)
+            .getOrElse(Array.empty[Byte])).toSeq
+      else Seq.empty
+    JoinResult(0, g.generation, g.protocol, leader, id, roster)
+  }
+
+  /** SyncGroup: the leader ships every member's assignment; everyone
+    * reads their own back. Followers syncing before the leader get
+    * REBALANCE_IN_PROGRESS and retry — nothing blocks. */
+  def sync(group: String, generation: Int, memberId: String,
+      assignments: Seq[(String, Array[Byte])]): (Int, Array[Byte]) = lock.synchronized {
+    groups.get(group) match {
+      case None => (UnknownMemberId, Array.empty)
+      case Some(g) =>
+        evictExpired(g)
+        if (!g.members.contains(memberId)) (UnknownMemberId, Array.empty)
+        else if (generation != g.generation) (IllegalGeneration, Array.empty)
+        else {
+          g.members(memberId).lastSeenMs = clock()
+          val leader = g.members.keys.head
+          if (memberId == leader) {
+            g.assignments.clear()
+            assignments.foreach { case (id, a) => g.assignments.put(id, a) }
+            g.state = Stable
+            (0, g.assignments.getOrElse(memberId, Array.empty))
+          } else if (g.state == Stable)
+            (0, g.assignments.getOrElse(memberId, Array.empty))
+          else (RebalanceInProgress, Array.empty)
+        }
+    }
+  }
+
+  /** Heartbeat: 0 while stable in the current generation; the error
+    * code otherwise is the signal to rejoin. */
+  def heartbeat(group: String, generation: Int, memberId: String): Int =
+    lock.synchronized {
+      groups.get(group) match {
+        case None => UnknownMemberId
+        case Some(g) =>
+          evictExpired(g)
+          if (!g.members.contains(memberId)) UnknownMemberId
+          else if (g.state == CompletingRebalance) RebalanceInProgress
+          else if (generation != g.generation) IllegalGeneration
+          else { g.members(memberId).lastSeenMs = clock(); 0 }
+      }
+    }
+
+  /** LeaveGroup: removes the member and opens a rebalance for the
+    * survivors (Kafka semantics — a clean leave triggers reassignment
+    * without waiting out the session timeout). */
+  def leave(group: String, memberId: String): Int = lock.synchronized {
+    groups.get(group) match {
+      case None => UnknownMemberId
+      case Some(g) if !g.members.contains(memberId) => UnknownMemberId
+      case Some(g) =>
+        g.members.remove(memberId)
+        g.assignments.remove(memberId)
+        if (g.members.isEmpty) { g.state = Empty; g.assignments.clear() }
+        else g.state = CompletingRebalance
+        0
+    }
+  }
+
+  /** DescribeGroups view: (state, protocolType, protocol, members
+    * with their metadata and current assignment). */
+  def describe(group: String): Option[(String, String, String,
+      Seq[(String, String, String, Array[Byte], Array[Byte])])] = lock.synchronized {
+    groups.get(group).map { g =>
+      evictExpired(g)
+      val members = g.members.values.map { m =>
+        (m.id, m.clientId, m.clientHost,
+          m.protocols.find(_._1 == g.protocol).map(_._2).getOrElse(Array.empty[Byte]),
+          g.assignments.getOrElse(m.id, Array.empty[Byte]))
+      }.toSeq
+      (stateName(g), g.protocolType, g.protocol, members)
+    }
+  }
+
+  def listGroups(): Seq[(String, String)] = lock.synchronized {
+    groups.iterator.map { case (name, g) => (name, g.protocolType) }.toSeq.sorted
+  }
+
+  private def stateName(g: GroupState): String = g.state match {
+    case _ if g.members.isEmpty => "Empty"
+    case Stable => "Stable"
+    case CompletingRebalance => "CompletingRebalance"
+    case Empty => "Empty"
+  }
+
+  private def evictExpired(g: GroupState): Unit = {
+    val now = clock()
+    val dead = g.members.values
+      .filter(m => now - m.lastSeenMs > m.sessionTimeoutMs).map(_.id).toSeq
+    if (dead.nonEmpty) {
+      dead.foreach { id => g.members.remove(id); g.assignments.remove(id) }
+      if (g.members.isEmpty) { g.state = Empty; g.assignments.clear() }
+      else g.state = CompletingRebalance
+    }
+  }
+}
+
+object GroupCoordinator {
+  val IllegalGeneration = 22
+  val UnknownMemberId = 25
+  val RebalanceInProgress = 27
+  val InconsistentGroupProtocol = 23
+
+  private[streaming] sealed trait State
+  private[streaming] case object Empty extends State
+  private[streaming] case object CompletingRebalance extends State
+  private[streaming] case object Stable extends State
+
+  private[streaming] final case class Member(id: String, clientId: String,
+      clientHost: String, sessionTimeoutMs: Int,
+      protocols: Seq[(String, Array[Byte])], var lastSeenMs: Long)
+
+  /** Insertion-ordered member map keeps leader election stable. */
+  private[streaming] final class GroupState(var protocolType: String) {
+    var state: State = Empty
+    var generation: Int = 0
+    var protocol: String = ""
+    var memberSeq: Int = 0
+    val members: mutable.LinkedHashMap[String, Member] = mutable.LinkedHashMap.empty
+    val assignments: mutable.Map[String, Array[Byte]] = mutable.Map.empty
+  }
+
+  case class JoinResult(errorCode: Int, generationId: Int, protocol: String,
+      leaderId: String, memberId: String, members: Seq[(String, Array[Byte])])
+}

@@ -422,8 +422,13 @@ object KafkaWire {
       val check = new java.util.zip.CRC32()
       check.update(m, 4, m.length - 4)
       require(crc == check.getValue.toInt, s"message CRC mismatch at offset $offset")
-      require(mb.get() == 0, "only message format v0 (magic 0) supported")
+      val magic = mb.get()
+      require(magic == 0 || magic == 1,
+        "only message formats v0/v1 (magic 0/1) supported in message sets")
       mb.get() // attributes (no compression supported)
+      // magic 1 (Produce v2 clients) adds a timestamp; the broker
+      // stamps append time anyway, so it is read and dropped here
+      if (magic == 1) mb.getLong
       val key = readBytesField(mb)
       val value = readBytesField(mb)
       out += ((offset, WireRecord(key, value)))
@@ -805,6 +810,693 @@ object KafkaWire {
     (correlationId, topics.toSeq)
   }
 
+  // --- Produce v1–v3 / Fetch v1–v4 (versioned bodies) ---
+  // The version deltas per the public spec:
+  //   Produce request:  v3 prepends transactional_id NULLABLE_STRING;
+  //     the partition payload is a MessageSet (v0–v2, magic 0/1) or a
+  //     RECORDS block of magic-2 batches (v3+) — v3 is where HEADERS
+  //     first fit on the wire.
+  //   Produce response: v1+ appends throttle_time_ms INT32 (after the
+  //     responses array); v2+ adds log_append_time INT64 per
+  //     partition (−1 = create-time).
+  //   Fetch request:    v3 adds top-level max_bytes INT32; v4 adds
+  //     isolation_level INT8.
+  //   Fetch response:   v1+ prepends throttle_time_ms INT32; v4 adds
+  //     last_stable_offset INT64 + aborted_transactions ARRAY per
+  //     partition and carries RECORDS (magic-2) instead of a
+  //     MessageSet.
+
+  /** All-version produce request: records normalize to [[WireRecordV2]]
+    * (v0–v2 message-set records surface with timestampMs = −1 and no
+    * headers — exactly what those formats can carry). */
+  case class ProduceRequest(version: Int, correlationId: Int, clientId: String,
+      transactionalId: String, acks: Int, timeoutMs: Int,
+      topics: Seq[(String, Seq[(Int, Seq[WireRecordV2])])])
+
+  case class FetchRequest(version: Int, correlationId: Int, clientId: String,
+      maxWaitMs: Int, minBytes: Int, maxBytes: Int,
+      topics: Seq[(String, Seq[(Int, Long, Int)])])
+
+  /** Client-side encode of a produce request at any supported version.
+    * For v0–v2 the records' headers are NOT encodable and must be
+    * empty; timestamps ride only on v2 (magic-1) and v3. */
+  def encodeProduceRequest(version: Int, correlationId: Int, clientId: String,
+      transactionalId: String, acks: Int, timeoutMs: Int,
+      topics: Seq[(String, Seq[(Int, Seq[WireRecordV2])])]): Array[Byte] = {
+    require(version >= 0 && version <= 3, s"unsupported Produce version $version")
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, ProduceApiKey) // header v1
+    writeInt16(out, version)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    if (version >= 3) writeNullableString(out, transactionalId)
+    writeInt16(out, acks)
+    writeInt32(out, timeoutMs)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, records) =>
+        writeInt32(out, p)
+        val payload =
+          if (version >= 3) {
+            if (records.isEmpty) Array.empty[Byte]
+            else encodeRecordBatchV2(RecordBatchV2(0L,
+              records.headOption.map(_.timestampMs).getOrElse(-1L), records))
+          } else {
+            require(records.forall(_.headers.isEmpty),
+              s"message-set produce (v$version) cannot carry headers — use v3")
+            encodeMessageSetV0(records.map(r => (0L, WireRecord(r.key, r.value))))
+          }
+        writeInt32(out, payload.length)
+        out.write(payload, 0, payload.length)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  /** Server-side decode of a framed produce request, any version 0–3. */
+  def decodeProduceRequest(bytes: Array[Byte]): ProduceRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ProduceApiKey, "not a Produce request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= 3, s"unsupported Produce version $version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val txnId = if (version >= 3) readNullableString(buf) else null
+    val acks = buf.getShort.toInt
+    val timeout = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val size = buf.getInt
+        val payload = new Array[Byte](size); buf.get(payload)
+        val records =
+          if (version >= 3) decodeRecordsBlock(payload).map(_._2)
+          else decodeMessageSetV0(payload)
+            .map { case (_, r) => WireRecordV2(-1L, r.key, r.value) }
+        (p, records)
+      }
+      (name, parts.toSeq)
+    }
+    ProduceRequest(version, correlationId, clientId, txnId, acks, timeout, topics.toSeq)
+  }
+
+  /** Encode a produce response at any version 0–3;
+    * results = (topic, (partition, error, baseOffset)*)*. */
+  def encodeProduceResponse(version: Int, correlationId: Int,
+      results: Seq[(String, Seq[(Int, Int, Long)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, results.length)
+    results.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, err, base) =>
+        writeInt32(out, p); writeInt16(out, err); writeInt64(out, base)
+        if (version >= 2) writeInt64(out, -1L) // log_append_time: create-time
+      }
+    }
+    if (version >= 1) writeInt32(out, 0) // throttle_time_ms
+    frame(out.toByteArray)
+  }
+
+  def decodeProduceResponse(version: Int,
+      bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Int, Long)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        val t = (buf.getInt, buf.getShort.toInt, buf.getLong)
+        if (version >= 2) buf.getLong // log_append_time
+        t
+      }
+      (name, parts.toSeq)
+    }
+    if (version >= 1) buf.getInt // throttle_time_ms
+    (correlationId, topics.toSeq)
+  }
+
+  def encodeFetchRequest(version: Int, correlationId: Int, clientId: String,
+      maxWaitMs: Int, minBytes: Int, maxBytes: Int,
+      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+    require(version >= 0 && version <= 4, s"unsupported Fetch version $version")
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, FetchApiKey) // header v1
+    writeInt16(out, version)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    writeInt32(out, -1) // replica_id: -1 = consumer
+    writeInt32(out, maxWaitMs)
+    writeInt32(out, minBytes)
+    if (version >= 3) writeInt32(out, maxBytes)
+    if (version >= 4) out.write(0) // isolation_level: read_uncommitted
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, off, partMaxBytes) =>
+        writeInt32(out, p); writeInt64(out, off); writeInt32(out, partMaxBytes)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeFetchRequest(bytes: Array[Byte]): FetchRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == FetchApiKey, "not a Fetch request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= 4, s"unsupported Fetch version $version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    buf.getInt // replica_id
+    val maxWait = buf.getInt
+    val minBytes = buf.getInt
+    val maxBytes = if (version >= 3) buf.getInt else Int.MaxValue
+    if (version >= 4) buf.get() // isolation_level
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getLong, buf.getInt)
+      }
+      (name, parts.toSeq)
+    }
+    FetchRequest(version, correlationId, clientId, maxWait, minBytes, maxBytes,
+      topics.toSeq)
+  }
+
+  /** Encode a fetch response at any version 0–4; records are
+    * (absoluteOffset, record) pairs. v4 ships them as ONE magic-2
+    * batch per partition (headers survive); v0–v3 fall back to a
+    * MessageSet v0, which by construction drops headers and
+    * timestamps — the fidelity loss is the FORMAT's, so v4 is what a
+    * header-carrying client should negotiate. */
+  def encodeFetchResponse(version: Int, correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]): Array[Byte] = {
+    require(version >= 0 && version <= 4, s"unsupported Fetch version $version")
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    if (version >= 1) writeInt32(out, 0) // throttle_time_ms
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, err, hw, records) =>
+        writeInt32(out, p); writeInt16(out, err); writeInt64(out, hw)
+        if (version >= 4) {
+          writeInt64(out, hw) // last_stable_offset (no transactions)
+          writeInt32(out, 0) // aborted_transactions: none
+        }
+        val payload =
+          if (records.isEmpty) Array.empty[Byte]
+          else if (version >= 4)
+            encodeRecordBatchV2WithOffsets(records.head._2.timestampMs, records)
+          else encodeMessageSetV0(
+            records.map { case (off, r) => (off, WireRecord(r.key, r.value)) })
+        writeInt32(out, payload.length)
+        out.write(payload, 0, payload.length)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeFetchResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (version >= 1) buf.getInt // throttle_time_ms
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort.toInt
+        val hw = buf.getLong
+        if (version >= 4) {
+          buf.getLong // last_stable_offset
+          (0 until buf.getInt).foreach { _ => buf.getLong; buf.getLong } // aborted txns
+        }
+        val size = buf.getInt
+        val payload = new Array[Byte](size); buf.get(payload)
+        val records =
+          if (version >= 4) decodeRecordsBlock(payload)
+          else decodeMessageSetV0(payload)
+            .map { case (off, r) => (off, WireRecordV2(-1L, r.key, r.value)) }
+        (p, err, hw, records)
+      }
+      (name, parts.toSeq)
+    }
+    (correlationId, topics.toSeq)
+  }
+
+  // --- Group membership v0 (JoinGroup 11, Heartbeat 12, LeaveGroup
+  // 13, SyncGroup 14) — the classic consumer-group protocol. The
+  // BROKER only brokers metadata: members ship opaque protocol
+  // metadata at join, the elected LEADER member computes assignments
+  // (graft's Assignors) and ships them back via SyncGroup, everyone
+  // else receives theirs — per the public spec.
+
+  val JoinGroupApiKey = 11
+  val HeartbeatApiKey = 12
+  val LeaveGroupApiKey = 13
+  val SyncGroupApiKey = 14
+
+  case class JoinGroupRequestV0(correlationId: Int, clientId: String,
+      group: String, sessionTimeoutMs: Int, memberId: String,
+      protocolType: String, protocols: Seq[(String, Array[Byte])])
+
+  case class JoinGroupResponseV0(correlationId: Int, errorCode: Int,
+      generationId: Int, protocol: String, leaderId: String,
+      memberId: String, members: Seq[(String, Array[Byte])])
+
+  def encodeJoinGroupRequestV0(correlationId: Int, clientId: String,
+      group: String, sessionTimeoutMs: Int, memberId: String,
+      protocolType: String, protocols: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, JoinGroupApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeNullableString(out, group)
+    writeInt32(out, sessionTimeoutMs)
+    writeNullableString(out, memberId)
+    writeNullableString(out, protocolType)
+    writeInt32(out, protocols.length)
+    protocols.foreach { case (n, m) =>
+      writeNullableString(out, n); writeBytesField(out, m)
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeJoinGroupRequestV0(bytes: Array[Byte]): JoinGroupRequestV0 = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == JoinGroupApiKey, "not a JoinGroup request")
+    require(buf.getShort.toInt == 0, "only JoinGroup v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val group = readNullableString(buf)
+    val sessionTimeout = buf.getInt
+    val memberId = readNullableString(buf)
+    val protocolType = readNullableString(buf)
+    val protocols = (0 until buf.getInt).map { _ =>
+      (readNullableString(buf), readBytesField(buf))
+    }
+    JoinGroupRequestV0(correlationId, clientId, group, sessionTimeout, memberId,
+      protocolType, protocols.toSeq)
+  }
+
+  def encodeJoinGroupResponseV0(r: JoinGroupResponseV0): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, r.correlationId)
+    writeInt16(out, r.errorCode)
+    writeInt32(out, r.generationId)
+    writeNullableString(out, r.protocol)
+    writeNullableString(out, r.leaderId)
+    writeNullableString(out, r.memberId)
+    writeInt32(out, r.members.length)
+    r.members.foreach { case (id, meta) =>
+      writeNullableString(out, id); writeBytesField(out, meta)
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeJoinGroupResponseV0(bytes: Array[Byte]): JoinGroupResponseV0 = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val err = buf.getShort.toInt
+    val gen = buf.getInt
+    val protocol = readNullableString(buf)
+    val leader = readNullableString(buf)
+    val member = readNullableString(buf)
+    val members = (0 until buf.getInt).map { _ =>
+      (readNullableString(buf), readBytesField(buf))
+    }
+    JoinGroupResponseV0(correlationId, err, gen, protocol, leader, member,
+      members.toSeq)
+  }
+
+  case class SyncGroupRequestV0(correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String,
+      assignments: Seq[(String, Array[Byte])])
+
+  def encodeSyncGroupRequestV0(correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String,
+      assignments: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, SyncGroupApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeNullableString(out, group)
+    writeInt32(out, generationId)
+    writeNullableString(out, memberId)
+    writeInt32(out, assignments.length)
+    assignments.foreach { case (id, a) =>
+      writeNullableString(out, id); writeBytesField(out, a)
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeSyncGroupRequestV0(bytes: Array[Byte]): SyncGroupRequestV0 = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == SyncGroupApiKey, "not a SyncGroup request")
+    require(buf.getShort.toInt == 0, "only SyncGroup v0 supported")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val group = readNullableString(buf)
+    val gen = buf.getInt
+    val member = readNullableString(buf)
+    val assignments = (0 until buf.getInt).map { _ =>
+      (readNullableString(buf), readBytesField(buf))
+    }
+    SyncGroupRequestV0(correlationId, clientId, group, gen, member,
+      assignments.toSeq)
+  }
+
+  def encodeSyncGroupResponseV0(correlationId: Int, errorCode: Int,
+      assignment: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt16(out, errorCode)
+    writeBytesField(out, assignment)
+    frame(out.toByteArray)
+  }
+
+  def decodeSyncGroupResponseV0(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val buf = unframe(bytes)
+    (buf.getInt, buf.getShort.toInt, readBytesField(buf))
+  }
+
+  /** Heartbeat v0 and LeaveGroup v0 requests share a tiny shape; the
+    * response to both is correlation_id + error_code. */
+  def encodeHeartbeatRequestV0(correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, HeartbeatApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeNullableString(out, group)
+    writeInt32(out, generationId)
+    writeNullableString(out, memberId)
+    frame(out.toByteArray)
+  }
+
+  def decodeHeartbeatRequestV0(bytes: Array[Byte]): (Int, String, Int, String) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == HeartbeatApiKey, "not a Heartbeat request")
+    require(buf.getShort.toInt == 0, "only Heartbeat v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    val group = readNullableString(buf)
+    val gen = buf.getInt
+    val member = readNullableString(buf)
+    (correlationId, group, gen, member)
+  }
+
+  def encodeLeaveGroupRequestV0(correlationId: Int, clientId: String,
+      group: String, memberId: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, LeaveGroupApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeNullableString(out, group)
+    writeNullableString(out, memberId)
+    frame(out.toByteArray)
+  }
+
+  def decodeLeaveGroupRequestV0(bytes: Array[Byte]): (Int, String, String) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == LeaveGroupApiKey, "not a LeaveGroup request")
+    require(buf.getShort.toInt == 0, "only LeaveGroup v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    (correlationId, readNullableString(buf), readNullableString(buf))
+  }
+
+  def encodeErrorResponse(correlationId: Int, errorCode: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt16(out, errorCode)
+    frame(out.toByteArray)
+  }
+
+  def decodeErrorResponse(bytes: Array[Byte]): (Int, Int) = {
+    val buf = unframe(bytes)
+    (buf.getInt, buf.getShort.toInt)
+  }
+
+  // --- Group/topic admin v0 (DescribeGroups 15, ListGroups 16,
+  // CreateTopics 19, DeleteTopics 20, DeleteRecords 21) ---
+
+  val DescribeGroupsApiKey = 15
+  val ListGroupsApiKey = 16
+  val CreateTopicsApiKey = 19
+  val DeleteTopicsApiKey = 20
+  val DeleteRecordsApiKey = 21
+
+  def encodeListGroupsRequestV0(correlationId: Int, clientId: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, ListGroupsApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    frame(out.toByteArray)
+  }
+
+  def decodeListGroupsRequestV0(bytes: Array[Byte]): Int = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ListGroupsApiKey, "not a ListGroups request")
+    require(buf.getShort.toInt == 0, "only ListGroups v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    correlationId
+  }
+
+  def encodeListGroupsResponseV0(correlationId: Int, errorCode: Int,
+      groups: Seq[(String, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt16(out, errorCode)
+    writeInt32(out, groups.length)
+    groups.foreach { case (g, pt) =>
+      writeNullableString(out, g); writeNullableString(out, pt)
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeListGroupsResponseV0(bytes: Array[Byte]): (Int, Int, Seq[(String, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val err = buf.getShort.toInt
+    val groups = (0 until buf.getInt).map { _ =>
+      (readNullableString(buf), readNullableString(buf))
+    }
+    (correlationId, err, groups.toSeq)
+  }
+
+  case class DescribedGroup(errorCode: Int, group: String, state: String,
+      protocolType: String, protocol: String,
+      members: Seq[(String, String, String, Array[Byte], Array[Byte])])
+
+  def encodeDescribeGroupsRequestV0(correlationId: Int, clientId: String,
+      groups: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, DescribeGroupsApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeInt32(out, groups.length)
+    groups.foreach(writeNullableString(out, _))
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeGroupsRequestV0(bytes: Array[Byte]): (Int, Seq[String]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeGroupsApiKey, "not a DescribeGroups request")
+    require(buf.getShort.toInt == 0, "only DescribeGroups v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    val groups = (0 until buf.getInt).map(_ => readNullableString(buf))
+    (correlationId, groups.toSeq)
+  }
+
+  def encodeDescribeGroupsResponseV0(correlationId: Int,
+      groups: Seq[DescribedGroup]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, groups.length)
+    groups.foreach { g =>
+      writeInt16(out, g.errorCode)
+      writeNullableString(out, g.group)
+      writeNullableString(out, g.state)
+      writeNullableString(out, g.protocolType)
+      writeNullableString(out, g.protocol)
+      writeInt32(out, g.members.length)
+      g.members.foreach { case (id, clientId, host, meta, assignment) =>
+        writeNullableString(out, id)
+        writeNullableString(out, clientId)
+        writeNullableString(out, host)
+        writeBytesField(out, meta)
+        writeBytesField(out, assignment)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeGroupsResponseV0(bytes: Array[Byte]): (Int, Seq[DescribedGroup]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val groups = (0 until buf.getInt).map { _ =>
+      val err = buf.getShort.toInt
+      val g = readNullableString(buf)
+      val state = readNullableString(buf)
+      val pt = readNullableString(buf)
+      val proto = readNullableString(buf)
+      val members = (0 until buf.getInt).map { _ =>
+        (readNullableString(buf), readNullableString(buf), readNullableString(buf),
+          readBytesField(buf), readBytesField(buf))
+      }
+      DescribedGroup(err, g, state, pt, proto, members.toSeq)
+    }
+    (correlationId, groups.toSeq)
+  }
+
+  def encodeCreateTopicsRequestV0(correlationId: Int, clientId: String,
+      topics: Seq[(String, Int, Int)], timeoutMs: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, CreateTopicsApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, numPartitions, replication) =>
+      writeNullableString(out, name)
+      writeInt32(out, numPartitions)
+      writeInt16(out, replication)
+      writeInt32(out, 0) // replica_assignment: none (auto)
+      writeInt32(out, 0) // config_entries: none
+    }
+    writeInt32(out, timeoutMs)
+    frame(out.toByteArray)
+  }
+
+  def decodeCreateTopicsRequestV0(bytes: Array[Byte]): (Int, Seq[(String, Int, Int)]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == CreateTopicsApiKey, "not a CreateTopics request")
+    require(buf.getShort.toInt == 0, "only CreateTopics v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = buf.getInt
+      val repl = buf.getShort.toInt
+      (0 until buf.getInt).foreach { _ => // replica_assignment
+        buf.getInt; (0 until buf.getInt).foreach(_ => buf.getInt)
+      }
+      (0 until buf.getInt).foreach { _ => // config_entries
+        readNullableString(buf); readNullableString(buf)
+      }
+      (name, parts, repl)
+    }
+    buf.getInt // timeout
+    (correlationId, topics.toSeq)
+  }
+
+  /** CreateTopics / DeleteTopics v0 responses share one shape:
+    * ARRAY<(topic, error_code)>. */
+  def encodeTopicErrorsResponseV0(correlationId: Int,
+      topics: Seq[(String, Int)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, err) =>
+      writeNullableString(out, name); writeInt16(out, err)
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeTopicErrorsResponseV0(bytes: Array[Byte]): (Int, Seq[(String, Int)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val topics = (0 until buf.getInt).map { _ =>
+      (readNullableString(buf), buf.getShort.toInt)
+    }
+    (correlationId, topics.toSeq)
+  }
+
+  def encodeDeleteTopicsRequestV0(correlationId: Int, clientId: String,
+      topics: Seq[String], timeoutMs: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, DeleteTopicsApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeInt32(out, topics.length)
+    topics.foreach(writeNullableString(out, _))
+    writeInt32(out, timeoutMs)
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteTopicsRequestV0(bytes: Array[Byte]): (Int, Seq[String]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DeleteTopicsApiKey, "not a DeleteTopics request")
+    require(buf.getShort.toInt == 0, "only DeleteTopics v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    val topics = (0 until buf.getInt).map(_ => readNullableString(buf))
+    buf.getInt // timeout
+    (correlationId, topics.toSeq)
+  }
+
+  def encodeDeleteRecordsRequestV0(correlationId: Int, clientId: String,
+      topics: Seq[(String, Seq[(Int, Long)])], timeoutMs: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, DeleteRecordsApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, off) => writeInt32(out, p); writeInt64(out, off) }
+    }
+    writeInt32(out, timeoutMs)
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteRecordsRequestV0(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Long)])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DeleteRecordsApiKey, "not a DeleteRecords request")
+    require(buf.getShort.toInt == 0, "only DeleteRecords v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map(_ => (buf.getInt, buf.getLong))
+      (name, parts.toSeq)
+    }
+    buf.getInt // timeout
+    (correlationId, topics.toSeq)
+  }
+
+  def encodeDeleteRecordsResponseV0(correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt32(out, 0) // throttle_time_ms
+    writeInt32(out, topics.length)
+    topics.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, lowWatermark, err) =>
+        writeInt32(out, p); writeInt64(out, lowWatermark); writeInt16(out, err)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteRecordsResponseV0(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Long, Int)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    buf.getInt // throttle_time_ms
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getLong, buf.getShort.toInt)
+      }
+      (name, parts.toSeq)
+    }
+    (correlationId, topics.toSeq)
+  }
+
   // --- RecordBatch v2 (magic 2) — the modern record format ---
   // Layout per the public spec: baseOffset INT64, batchLength INT32
   // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,
@@ -877,35 +1569,37 @@ object KafkaWire {
     out.toByteArray
   }
 
-  /** Encode one record batch (uncompressed, non-transactional
-    * producer: producerId/epoch/sequence = -1). */
-  def encodeRecordBatchV2(batch: RecordBatchV2): Array[Byte] = {
-    val recs = new ByteArrayOutputStream()
+  /** Batch encoder core over EXPLICIT offset deltas — a fetch of a
+    * compacted log legitimately carries gaps, so deltas are data, not
+    * indexes. */
+  private def encodeBatchV2Core(baseOffset: Long, baseTimestampMs: Long,
+      recs: Seq[(Int, WireRecordV2)]): Array[Byte] = {
+    val recsOut = new ByteArrayOutputStream()
     // spec: maxTimestamp is the max RECORD timestamp (-1 if none) —
     // seeding from the base would name a timestamp no record carries
     // whenever every record predates the base
     var maxTs = -1L
-    batch.records.zipWithIndex.foreach { case (r, i) =>
+    recs.foreach { case (delta, r) =>
       maxTs = math.max(maxTs, r.timestampMs)
-      val enc = encodeRecordV2(i, r.timestampMs - batch.baseTimestampMs, r)
-      recs.write(enc, 0, enc.size)
+      val enc = encodeRecordV2(delta, r.timestampMs - baseTimestampMs, r)
+      recsOut.write(enc, 0, enc.size)
     }
     val afterCrc = new ByteArrayOutputStream()
     writeInt16(afterCrc, 0) // attributes: no compression, create time
-    writeInt32(afterCrc, batch.records.length - 1) // lastOffsetDelta
-    writeInt64(afterCrc, batch.baseTimestampMs)
+    writeInt32(afterCrc, recs.lastOption.map(_._1).getOrElse(-1)) // lastOffsetDelta
+    writeInt64(afterCrc, baseTimestampMs)
     writeInt64(afterCrc, maxTs)
     writeInt64(afterCrc, -1L) // producerId
     writeInt16(afterCrc, -1) // producerEpoch
     writeInt32(afterCrc, -1) // baseSequence
-    writeInt32(afterCrc, batch.records.length)
-    val recBytes = recs.toByteArray
+    writeInt32(afterCrc, recs.length)
+    val recBytes = recsOut.toByteArray
     afterCrc.write(recBytes, 0, recBytes.length)
     val protectedBytes = afterCrc.toByteArray
     val crc = new java.util.zip.CRC32C()
     crc.update(protectedBytes)
     val out = new ByteArrayOutputStream()
-    writeInt64(out, batch.baseOffset)
+    writeInt64(out, baseOffset)
     writeInt32(out, 4 + 1 + 4 + protectedBytes.length) // batchLength: epoch+magic+crc+rest
     writeInt32(out, -1) // partitionLeaderEpoch
     out.write(2) // magic
@@ -914,8 +1608,26 @@ object KafkaWire {
     out.toByteArray
   }
 
-  /** Decode + CRC32C-verify one record batch. */
-  def decodeRecordBatchV2(bytes: Array[Byte]): RecordBatchV2 = {
+  /** Encode one record batch (uncompressed, non-transactional
+    * producer: producerId/epoch/sequence = -1; offsets contiguous
+    * from baseOffset). */
+  def encodeRecordBatchV2(batch: RecordBatchV2): Array[Byte] =
+    encodeBatchV2Core(batch.baseOffset, batch.baseTimestampMs,
+      batch.records.zipWithIndex.map { case (r, i) => (i, r) })
+
+  /** Encode one batch of (absoluteOffset, record) pairs — the
+    * broker-side fetch form, where compaction gaps survive as
+    * non-contiguous offset deltas. Offsets must be ascending. */
+  def encodeRecordBatchV2WithOffsets(baseTimestampMs: Long,
+      records: Seq[(Long, WireRecordV2)]): Array[Byte] = {
+    require(records.nonEmpty, "empty batch has no base offset")
+    val base = records.head._1
+    encodeBatchV2Core(base, baseTimestampMs,
+      records.map { case (off, r) => ((off - base).toInt, r) })
+  }
+
+  private def decodeBatchV2Core(bytes: Array[Byte])
+      : (Long, Long, Seq[(Int, WireRecordV2)]) = {
     val buf = ByteBuffer.wrap(bytes)
     val baseOffset = buf.getLong
     val batchLength = buf.getInt
@@ -940,7 +1652,7 @@ object KafkaWire {
       val end = buf.position() + len
       buf.get() // record attributes
       val tsDelta = readZigZagVarLong(buf)
-      readZigZagVarLong(buf) // offsetDelta
+      val offsetDelta = readZigZagVarLong(buf).toInt
       val key = readVarBytes(buf)
       val value = readVarBytes(buf)
       val nh = readZigZagVarLong(buf).toInt
@@ -948,8 +1660,41 @@ object KafkaWire {
         (new String(readVarBytes(buf), UTF_8), readVarBytes(buf))
       }
       require(buf.position() == end, "record length mismatch")
-      WireRecordV2(baseTs + tsDelta, key, value, headers.toSeq)
+      (offsetDelta, WireRecordV2(baseTs + tsDelta, key, value, headers.toSeq))
     }
-    RecordBatchV2(baseOffset, baseTs, records.toSeq)
+    (baseOffset, baseTs, records.toSeq)
+  }
+
+  /** Decode + CRC32C-verify one record batch. */
+  def decodeRecordBatchV2(bytes: Array[Byte]): RecordBatchV2 = {
+    val (baseOffset, baseTs, recs) = decodeBatchV2Core(bytes)
+    RecordBatchV2(baseOffset, baseTs, recs.map(_._2))
+  }
+
+  /** Decode one batch to (absoluteOffset, record) pairs. */
+  def decodeRecordBatchV2WithOffsets(
+      bytes: Array[Byte]): Seq[(Long, WireRecordV2)] = {
+    val (baseOffset, _, recs) = decodeBatchV2Core(bytes)
+    recs.map { case (d, r) => (baseOffset + d, r) }
+  }
+
+  /** Decode a RECORDS block: zero or more CONCATENATED record batches
+    * (what a v3+ produce partition or a v4+ fetch partition carries).
+    * A partial trailing batch is discarded, mirroring the v0
+    * message-set rule — byte-bounded responses truncate mid-batch. */
+  def decodeRecordsBlock(bytes: Array[Byte]): Seq[(Long, WireRecordV2)] = {
+    val out = Seq.newBuilder[(Long, WireRecordV2)]
+    var pos = 0
+    while (bytes.length - pos >= 12) {
+      val len = ((bytes(pos + 8) & 0xff) << 24) | ((bytes(pos + 9) & 0xff) << 16) |
+        ((bytes(pos + 10) & 0xff) << 8) | (bytes(pos + 11) & 0xff)
+      if (len < 0 || pos + 12 + len > bytes.length) pos = bytes.length // truncated tail
+      else {
+        out ++= decodeRecordBatchV2WithOffsets(
+          java.util.Arrays.copyOfRange(bytes, pos, pos + 12 + len))
+        pos += 12 + len
+      }
+    }
+    out.result()
   }
 }

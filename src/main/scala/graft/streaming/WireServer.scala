@@ -96,6 +96,15 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
       case KafkaWire.FetchApiKey => broker.handleFetch(framed)
       case KafkaWire.OffsetCommitApiKey => broker.handleOffsetCommit(framed)
       case KafkaWire.OffsetFetchApiKey => broker.handleOffsetFetch(framed)
+      case KafkaWire.JoinGroupApiKey => broker.handleJoinGroup(framed)
+      case KafkaWire.HeartbeatApiKey => broker.handleHeartbeat(framed)
+      case KafkaWire.LeaveGroupApiKey => broker.handleLeaveGroup(framed)
+      case KafkaWire.SyncGroupApiKey => broker.handleSyncGroup(framed)
+      case KafkaWire.DescribeGroupsApiKey => broker.handleDescribeGroups(framed)
+      case KafkaWire.ListGroupsApiKey => broker.handleListGroups(framed)
+      case KafkaWire.CreateTopicsApiKey => broker.handleCreateTopics(framed)
+      case KafkaWire.DeleteTopicsApiKey => broker.handleDeleteTopics(framed)
+      case KafkaWire.DeleteRecordsApiKey => broker.handleDeleteRecords(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }

@@ -43,6 +43,77 @@ class ProduceFetchWireSpec extends AnyFunSuite {
     assert(new String(dec.head._2.value, "UTF-8") === "v")
   }
 
+  private def i16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def i32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+    (v >>> 8).toByte, v.toByte)
+  private def i64(v: Long) = (56 to 0 by -8).map(s => (v >>> s).toByte).toArray
+
+  test("produce v3 request framing matches the hand-laid golden bytes") {
+    // the RECORDS payload is a magic-2 batch, whose byte layout is
+    // pinned by RecordBatchV2Spec's own golden frame — here the hand
+    // lay covers the v3 REQUEST framing around it
+    val rec = WireRecordV2(1000L, null, "v".getBytes("UTF-8"))
+    val batch = encodeRecordBatchV2(RecordBatchV2(0L, 1000L, Seq(rec)))
+    val body =
+      i16(0) ++ i16(3) ++ // api_key Produce, api_version 3
+        i32(42) ++ // correlation_id
+        i16(3) ++ "cli".getBytes("UTF-8") ++ // client_id
+        i16(-1) ++ // transactional_id: null
+        i16(1) ++ // acks
+        i32(1000) ++ // timeout_ms
+        i32(1) ++ i16(3) ++ "hdr".getBytes("UTF-8") ++ // 1 topic
+        i32(1) ++ i32(0) ++ // 1 partition, partition 0
+        i32(batch.length) ++ batch
+    val golden = i32(body.length) ++ body
+    val enc = encodeProduceRequest(3, 42, "cli", null, 1, 1000,
+      Seq(("hdr", Seq((0, Seq(rec))))))
+    assert(enc.sameElements(golden),
+      s"\n got: ${enc.map("%02x".format(_)).mkString(" ")}" +
+        s"\nwant: ${golden.map("%02x".format(_)).mkString(" ")}")
+    val dec = decodeProduceRequest(golden)
+    assert(dec.version === 3 && dec.correlationId === 42 && dec.acks === 1)
+    assert(dec.transactionalId === null)
+    assert(new String(dec.topics.head._2.head._2.head.value, "UTF-8") === "v")
+  }
+
+  test("fetch v4 response framing matches the hand-laid golden bytes") {
+    val rec = WireRecordV2(1000L, null, "v".getBytes("UTF-8"))
+    val batch = encodeRecordBatchV2WithOffsets(1000L, Seq((5L, rec)))
+    val body =
+      i32(7) ++ // correlation_id (response header v0)
+        i32(0) ++ // throttle_time_ms (v1+)
+        i32(1) ++ i16(1) ++ "t".getBytes("UTF-8") ++ // 1 topic
+        i32(1) ++ // 1 partition
+        i32(0) ++ i16(0) ++ i64(6L) ++ // partition, error, high_watermark
+        i64(6L) ++ i32(0) ++ // last_stable_offset, aborted_transactions (v4)
+        i32(batch.length) ++ batch
+    val golden = i32(body.length) ++ body
+    val enc = encodeFetchResponse(4, 7, Seq(("t", Seq((0, 0, 6L, Seq((5L, rec)))))))
+    assert(enc.sameElements(golden),
+      s"\n got: ${enc.map("%02x".format(_)).mkString(" ")}" +
+        s"\nwant: ${golden.map("%02x".format(_)).mkString(" ")}")
+    val dec = decodeFetchResponse(4, golden)
+    assert(dec._1 === 7)
+    val (p, err, hw, recs) = dec._2.head._2.head
+    assert(p === 0 && err === 0 && hw === 6L)
+    assert(recs.map(_._1) === Seq(5L)) // absolute offset survives the batch
+    assert(recs.head._2.timestampMs === 1000L)
+  }
+
+  test("magic-1 messages (a Produce v2 client's format) decode in a message set") {
+    // hand-laid v1 message at offset 7: magic 1, attributes 0,
+    // timestamp INT64, key null, value "w"
+    val mbody = Array[Byte](1, 0) ++ i64(123456789L) ++
+      i32(-1) ++ i32(1) ++ "w".getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32()
+    crc.update(mbody)
+    val ms = i64(7L) ++ i32(4 + mbody.length) ++ i32(crc.getValue.toInt) ++ mbody
+    val dec = decodeMessageSetV0(ms)
+    assert(dec.map(_._1) === Seq(7L))
+    assert(dec.head._2.key === null)
+    assert(new String(dec.head._2.value, "UTF-8") === "w")
+  }
+
   test("corrupted message CRC is rejected") {
     val ms = encodeMessageSetV0(Seq((0L, WireRecord(null, "x".getBytes("UTF-8")))))
     ms(ms.length - 1) = (ms(ms.length - 1) ^ 0x01).toByte

@@ -112,4 +112,191 @@ class WireServerSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("headers and timestamps survive the socket via Produce v3 + Fetch v4") {
+    val root = Files.createTempDirectory("graft-wirev2").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("hdr", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      def b(s: String) = s.getBytes("UTF-8")
+      val records = Seq(
+        WireRecordV2(1700000000123L, b("k1"), b("v1"),
+          Seq(("trace", b("abc")), ("route", b("eu")))),
+        WireRecordV2(1700000000456L, null, b("v2"), Seq(("trace", b("def")))),
+        WireRecordV2(1700000000789L, b("k3"), b("v3")))
+      val prod = decodeProduceResponse(3, exchange(sock,
+        encodeProduceRequest(3, 30, "cli", null, 1, 1000,
+          Seq(("hdr", Seq((0, records)))))))
+      assert(prod._2 === Seq(("hdr", Seq((0, 0, 0L)))))
+
+      // the log itself holds the headers (not just the wire echo)
+      val stored = broker.topic("hdr").read()
+        .orderBy("offset").collect()
+      assert(stored.length === 3)
+      val h0 = stored(0).getAs[Map[String, Array[Byte]]]("headers")
+      assert(h0.keySet === Set("trace", "route"))
+      assert(new String(h0("route"), "UTF-8") === "eu")
+
+      // Fetch v4 returns magic-2 batches: headers + create-time stamps
+      val fetched = decodeFetchResponse(4, exchange(sock,
+        encodeFetchRequest(4, 31, "cli", 100, 1, 1 << 20,
+          Seq(("hdr", Seq((0, 0L, 1 << 20)))))))
+      val (_, err, hw, recs) = fetched._2.head._2.head
+      assert(err === 0 && hw === 3L)
+      assert(recs.map(_._1) === Seq(0L, 1L, 2L))
+      assert(recs.head._2.headers.toMap.keySet === Set("trace", "route"))
+      assert(new String(recs.head._2.headers.toMap.apply("trace"), "UTF-8") === "abc")
+      assert(recs.map(_._2.timestampMs) ===
+        Seq(1700000000123L, 1700000000456L, 1700000000789L))
+      assert(recs(1)._2.key === null)
+      assert(new String(recs(2)._2.value, "UTF-8") === "v3")
+
+      // a v0 fetch of the same data still works (headers legitimately
+      // absent — that format cannot carry them)
+      val v0 = decodeFetchResponseV0(exchange(sock,
+        encodeFetchRequestV0(32, "cli", 100, 1, Seq(("hdr", Seq((0, 0L, 1 << 20)))))))
+      assert(v0._2.head._2.head._4.map(m => new String(m._2.value, "UTF-8")) ===
+        Seq("v1", "v2", "v3"))
+
+      // intermediate versions: v1 produce (throttle in response),
+      // v2 fetch (throttle + message set)
+      val p1 = decodeProduceResponse(1, exchange(sock,
+        encodeProduceRequest(1, 33, "cli", null, 1, 1000,
+          Seq(("hdr", Seq((0, Seq(WireRecordV2(-1L, null, b("v4"))))))))))
+      assert(p1._2.head._2.head === ((0, 0, 3L)))
+      val f2 = decodeFetchResponse(2, exchange(sock,
+        encodeFetchRequest(2, 34, "cli", 100, 1, 1 << 20,
+          Seq(("hdr", Seq((0, 3L, 1 << 20)))))))
+      assert(f2._2.head._2.head._4.map(r => new String(r._2.value, "UTF-8")) === Seq("v4"))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
+  test("a wire consumer joins, syncs an assignment, heartbeats, and survives churn") {
+    val root = Files.createTempDirectory("graft-wiregrp").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("gt", 4)
+    val server = new WireServer(broker).start()
+    val sockA = new Socket("127.0.0.1", server.boundPort)
+    val sockB = new Socket("127.0.0.1", server.boundPort)
+    try {
+      def b(s: String) = s.getBytes("UTF-8")
+      // A joins with an empty member id and becomes leader
+      val ja = decodeJoinGroupResponseV0(exchange(sockA,
+        encodeJoinGroupRequestV0(40, "a", "wg", 30000, "", "consumer",
+          Seq(("range", b("gt"))))))
+      assert(ja.errorCode === 0 && ja.generationId === 1)
+      assert(ja.leaderId === ja.memberId)
+      assert(ja.members.map(_._1) === Seq(ja.memberId))
+      // leader computes the assignment (library Assignors) and syncs it
+      val full = Assignors.range(4, Seq(ja.memberId))
+      val asgA = full(ja.memberId).map(p => s"gt:$p").mkString(",")
+      val sa = decodeSyncGroupResponseV0(exchange(sockA,
+        encodeSyncGroupRequestV0(41, "a", "wg", 1, ja.memberId,
+          Seq((ja.memberId, b(asgA))))))
+      assert(sa._2 === 0)
+      assert(new String(sa._3, "UTF-8") === "gt:0,gt:1,gt:2,gt:3")
+      assert(decodeErrorResponse(exchange(sockA,
+        encodeHeartbeatRequestV0(42, "a", "wg", 1, ja.memberId)))._2 === 0)
+
+      // B joins → rebalance; A's heartbeat reports it; A rejoins
+      val jb = decodeJoinGroupResponseV0(exchange(sockB,
+        encodeJoinGroupRequestV0(43, "b", "wg", 30000, "", "consumer",
+          Seq(("range", b("gt"))))))
+      assert(jb.errorCode === 0 && jb.generationId === 2)
+      assert(decodeErrorResponse(exchange(sockA,
+        encodeHeartbeatRequestV0(44, "a", "wg", 1, ja.memberId)))._2 === 27)
+      val ja2 = decodeJoinGroupResponseV0(exchange(sockA,
+        encodeJoinGroupRequestV0(45, "a", "wg", 30000, ja.memberId, "consumer",
+          Seq(("range", b("gt"))))))
+      assert(ja2.generationId === 2 && ja2.leaderId === ja.memberId)
+      assert(ja2.members.map(_._1).toSet === Set(ja.memberId, jb.memberId))
+      // leader distributes; follower receives its share
+      val split = Assignors.range(4, ja2.members.map(_._1))
+      val sync2 = ja2.members.map(_._1).map(id =>
+        (id, b(split(id).map(p => s"gt:$p").mkString(","))))
+      decodeSyncGroupResponseV0(exchange(sockA,
+        encodeSyncGroupRequestV0(46, "a", "wg", 2, ja.memberId, sync2)))
+      val sb = decodeSyncGroupResponseV0(exchange(sockB,
+        encodeSyncGroupRequestV0(47, "b", "wg", 2, jb.memberId, Seq.empty)))
+      assert(sb._2 === 0)
+      val bShare = new String(sb._3, "UTF-8")
+      assert(bShare.nonEmpty && bShare.startsWith("gt:"))
+      assert(decodeErrorResponse(exchange(sockB,
+        encodeHeartbeatRequestV0(48, "b", "wg", 2, jb.memberId)))._2 === 0)
+
+      // DescribeGroups shows the live membership and assignments
+      val (_, described) = decodeDescribeGroupsResponseV0(exchange(sockA,
+        encodeDescribeGroupsRequestV0(49, "a", Seq("wg", "nope"))))
+      assert(described.head.state === "Stable")
+      assert(described.head.protocolType === "consumer")
+      assert(described.head.members.map(_._1).toSet === Set(ja.memberId, jb.memberId))
+      assert(described(1).state === "Dead")
+
+      // A leaves; B rejoins as sole leader
+      assert(decodeErrorResponse(exchange(sockA,
+        encodeLeaveGroupRequestV0(50, "a", "wg", ja.memberId)))._2 === 0)
+      val jb2 = decodeJoinGroupResponseV0(exchange(sockB,
+        encodeJoinGroupRequestV0(51, "b", "wg", 30000, jb.memberId, "consumer",
+          Seq(("range", b("gt"))))))
+      assert(jb2.leaderId === jb.memberId)
+      assert(jb2.members.map(_._1) === Seq(jb.memberId))
+    } finally {
+      sockA.close()
+      sockB.close()
+      server.close()
+    }
+  }
+
+  test("admin APIs over the socket: create/delete topics, delete records, list groups") {
+    val root = Files.createTempDirectory("graft-wireadmin").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      def rec(s: String) = WireRecordV2(-1L, null, s.getBytes("UTF-8"))
+      // CreateTopics: new topic lands; duplicate and bad partitions error
+      val created = decodeTopicErrorsResponseV0(exchange(sock,
+        encodeCreateTopicsRequestV0(60, "adm",
+          Seq(("adm-t", 2, 1), ("adm-t", 2, 1), ("bad", 0, 1)), 1000)))
+      assert(created._2.map(_._2) === Seq(0, 36, 37))
+      assert(broker.topicExists("adm-t") && !broker.topicExists("bad"))
+      // the created topic takes real produces
+      decodeProduceResponse(3, exchange(sock,
+        encodeProduceRequest(3, 61, "adm", null, 1, 1000,
+          Seq(("adm-t", Seq((0, Seq(rec("a"), rec("b"), rec("c")))))))))
+      assert(broker.topic("adm-t").read().count() === 3)
+
+      // DeleteRecords truncates the front; -1 truncates to the end
+      val dr = decodeDeleteRecordsResponseV0(exchange(sock,
+        encodeDeleteRecordsRequestV0(62, "adm",
+          Seq(("adm-t", Seq((0, 2L))), ("missing", Seq((0, 1L)))), 1000)))
+      assert(dr._2 === Seq(("adm-t", Seq((0, 2L, 0))), ("missing", Seq((0, -1L, 3)))))
+      assert(broker.topic("adm-t").logStartOffsets()(0) === 2L)
+
+      // commit an offset so ListGroups sees an offsets-only group next
+      // to nothing else; protocol_type is empty for it
+      broker.topic("adm-t").commit("offline-g", Map(0 -> 2L))
+      val lg = decodeListGroupsResponseV0(exchange(sock,
+        encodeListGroupsRequestV0(63, "adm")))
+      assert(lg._2 === 0)
+      assert(lg._3.contains(("offline-g", "")))
+      val (_, desc) = decodeDescribeGroupsResponseV0(exchange(sock,
+        encodeDescribeGroupsRequestV0(64, "adm", Seq("offline-g"))))
+      assert(desc.head.state === "Empty")
+
+      // DeleteTopics removes it; a fetch then reports unknown topic
+      val del = decodeTopicErrorsResponseV0(exchange(sock,
+        encodeDeleteTopicsRequestV0(65, "adm", Seq("adm-t", "ghost"), 1000)))
+      assert(del._2 === Seq(("adm-t", 0), ("ghost", 3)))
+      assert(!broker.topicExists("adm-t"))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }
