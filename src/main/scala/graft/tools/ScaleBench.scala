@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.{Dedup, Pipeline, Similarity}
+
+/** One-order-of-magnitude scale evidence for the iterative / jaccard
+  * / ANN family: synthesizes a 10× corpus from the sf0.1 documents +
+  * embeddings tables and times the headline queries on it.
+  *
+  * Scaling construction (deterministic, workload-preserving):
+  *  - documents: 10 replicas; replica k > 0 prefixes every word with
+  *    "zk<k>", so replicas share NO word-3-grams with each other —
+  *    the dup/near-dup structure of the base corpus is replicated 10×
+  *    (the realistic shape) instead of every doc becoming a 10-copy
+  *    dup group (a pathological one). doc_id/n_chars remapped.
+  *  - embeddings: 10 replicas, vec_id offset per replica, each
+  *    element deterministically perturbed per replica; only replica
+  *    0 holds the vec_id < 5 query vectors, so ANN probes scan a 10×
+  *    corpus for the same query set.
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run.sh
+  * graft.tools.ScaleBench [outDir=/tmp/graft_sf1x] */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("/tmp/graft_sf1x")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $label"); r
+    }
+
+    val rep = spark.range(replicas).select(col("id").cast("int").as("k"))
+    // id spaces stay DENSE (offset by the base cardinality, not a
+    // round constant): the IVF sampling stride derives cell count
+    // from max(vec_id), which presumes ids ~ dense — as in the
+    // driver-generated tables this corpus stands in for
+    val nDocs = t(spark, baseDir, "documents").count()
+    val nVecs = t(spark, baseDir, "embeddings").count()
+    val docs = t(spark, baseDir, "documents").crossJoin(rep)
+      .withColumn("text", when(col("k") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(^| )"),
+          concat(lit("$1z"), col("k"), lit("q")))))
+      .withColumn("doc_id", col("doc_id") + col("k").cast("long") * nDocs)
+      .withColumn("n_chars", length(col("text")).cast("int"))
+      .drop("k")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = t(spark, baseDir, "embeddings").crossJoin(rep)
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x + col("k").cast("float") * 0.013f).cast("float")))
+      .withColumn("vec_id", col("vec_id") + col("k").cast("long") * nVecs)
+      .drop("k")
+    emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"scaled corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors at $out")
+
+    time("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, out).count())
+    time("dedup_cluster_cc")(Dedup.dedupClusterCC(spark, out).count())
+    time("dedup_minhash_lsh")(Dedup.dedupMinhashLsh(spark, out).count())
+    time("dedup_embedding_cosine")(Dedup.dedupEmbeddingCosine(spark, out).count())
+    time("decontaminate_ngram")(Dedup.decontaminateNgram(spark, out).count())
+    time("ann_bruteforce_topk")(Similarity.annBruteforceTopk(spark, out).count())
+    time("ann_ivf_topk")(Similarity.annIvfTopk(spark, out).count())
+    time("pipeline_e2e_corpus")(Pipeline.pipelineE2ECorpus(spark, out).count())
+    spark.stop()
+  }
+}
