@@ -527,12 +527,14 @@ object Broker {
     * picks the highest mutually supported version from this response
     * — advertising the broader [[SupportedApis]] (library-analog
     * surface, versions we never decode) would steer every client
-    * straight into a version we reject. Produce tops out at v3 and
-    * Fetch at v4 — the first versions whose record format (magic-2
-    * batches) carries the FULL graft record model, headers included. */
+    * straight into a version we reject. Produce spans 0–9 and Fetch
+    * 0–12 — contiguous through the flexible (KIP-482) encodings, so
+    * a modern client negotiates its preferred version and gets
+    * magic-2 batches (headers included) end-to-end; every fetch is
+    * served as a full sessionless fetch (session_id 0). */
   val WireApis: Seq[(Int, String, Int, Int)] = Seq(
-    (0, "Produce", 0, 3),
-    (1, "Fetch", 0, 4),
+    (0, "Produce", 0, KafkaWire.ProduceMaxVersion),
+    (1, "Fetch", 0, KafkaWire.FetchMaxVersion),
     (2, "ListOffsets", 0, 0),
     (3, "Metadata", 0, 0),
     (8, "OffsetCommit", 0, 0),

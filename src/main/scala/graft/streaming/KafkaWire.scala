@@ -810,21 +810,75 @@ object KafkaWire {
     (correlationId, topics.toSeq)
   }
 
-  // --- Produce v1–v3 / Fetch v1–v4 (versioned bodies) ---
-  // The version deltas per the public spec:
-  //   Produce request:  v3 prepends transactional_id NULLABLE_STRING;
-  //     the partition payload is a MessageSet (v0–v2, magic 0/1) or a
-  //     RECORDS block of magic-2 batches (v3+) — v3 is where HEADERS
-  //     first fit on the wire.
-  //   Produce response: v1+ appends throttle_time_ms INT32 (after the
-  //     responses array); v2+ adds log_append_time INT64 per
-  //     partition (−1 = create-time).
-  //   Fetch request:    v3 adds top-level max_bytes INT32; v4 adds
-  //     isolation_level INT8.
-  //   Fetch response:   v1+ prepends throttle_time_ms INT32; v4 adds
-  //     last_stable_offset INT64 + aborted_transactions ARRAY per
-  //     partition and carries RECORDS (magic-2) instead of a
-  //     MessageSet.
+  // --- Produce v1–v9 / Fetch v1–v12 (versioned bodies, flexible
+  // encodings at v9/v12 per KIP-482) ---
+  // Version deltas per the public spec:
+  //   Produce request:  v3 prepends transactional_id; the partition
+  //     payload is a MessageSet (v0–v2, magic 0/1) or a RECORDS block
+  //     of magic-2 batches (v3+) — v3 is where HEADERS first fit on
+  //     the wire; v3–v8 bodies are byte-identical; v9 re-encodes the
+  //     same fields with compact strings/arrays/bytes + tag buffers.
+  //   Produce response: v1+ appends throttle_time_ms; v2+ adds
+  //     log_append_time; v5+ log_start_offset; v8+ record_errors +
+  //     error_message; v9 flexible.
+  //   Fetch request:    v3 max_bytes; v4 isolation_level; v5 per-
+  //     partition log_start_offset; v7 session_id/epoch + forgotten
+  //     topics; v9 current_leader_epoch; v11 rack_id; v12 flexible +
+  //     per-partition last_fetched_epoch. Graft serves every fetch
+  //     as a full (sessionless) fetch: session_id 0, epoch −1.
+  //   Fetch response:   v1+ throttle; v4 last_stable_offset + aborted
+  //     transactions + RECORDS (magic-2) instead of a MessageSet;
+  //     v5 log_start_offset; v7 error_code + session_id; v11
+  //     preferred_read_replica; v12 flexible.
+
+  val ProduceMaxVersion = 9
+  val FetchMaxVersion = 12
+
+  private def writeCompactNullableString(out: ByteArrayOutputStream, s: String): Unit =
+    if (s == null) writeUVarInt(out, 0) else writeCompactString(out, s)
+
+  private def readCompactNullableString(buf: ByteBuffer): String = {
+    val n = readUVarInt(buf) - 1
+    if (n < 0) null
+    else { val b = new Array[Byte](n); buf.get(b); new String(b, UTF_8) }
+  }
+
+  private def writeCompactBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit =
+    if (b == null) writeUVarInt(out, 0)
+    else { writeUVarInt(out, b.length + 1); out.write(b, 0, b.length) }
+
+  private def readCompactBytes(buf: ByteBuffer): Array[Byte] = {
+    val n = readUVarInt(buf) - 1
+    if (n < 0) null
+    else { val b = new Array[Byte](n); buf.get(b); b }
+  }
+
+  /** Field codec pair abstracting legacy vs flexible (compact)
+    * encodings, so one body walk serves every version of an API. */
+  private final class WR(val out: ByteArrayOutputStream, flexible: Boolean) {
+    def i16(v: Int): Unit = writeInt16(out, v)
+    def i32(v: Int): Unit = writeInt32(out, v)
+    def i64(v: Long): Unit = writeInt64(out, v)
+    def str(s: String): Unit =
+      if (flexible) writeCompactNullableString(out, s) else writeNullableString(out, s)
+    def count(n: Int): Unit =
+      if (flexible) writeUVarInt(out, n + 1) else writeInt32(out, n)
+    def bytes(b: Array[Byte]): Unit =
+      if (flexible) writeCompactBytes(out, b) else writeBytesField(out, b)
+    def tags(): Unit = if (flexible) writeUVarInt(out, 0)
+  }
+
+  private final class RD(val buf: ByteBuffer, flexible: Boolean) {
+    def i16(): Int = buf.getShort.toInt
+    def i32(): Int = buf.getInt
+    def i64(): Long = buf.getLong
+    def str(): String =
+      if (flexible) readCompactNullableString(buf) else readNullableString(buf)
+    def count(): Int = if (flexible) readUVarInt(buf) - 1 else buf.getInt
+    def bytes(): Array[Byte] =
+      if (flexible) readCompactBytes(buf) else readBytesField(buf)
+    def tags(): Unit = if (flexible) readTags(buf)
+  }
 
   /** All-version produce request: records normalize to [[WireRecordV2]]
     * (v0–v2 message-set records surface with timestampMs = −1 and no
@@ -837,130 +891,178 @@ object KafkaWire {
       maxWaitMs: Int, minBytes: Int, maxBytes: Int,
       topics: Seq[(String, Seq[(Int, Long, Int)])])
 
-  /** Client-side encode of a produce request at any supported version.
-    * For v0–v2 the records' headers are NOT encodable and must be
-    * empty; timestamps ride only on v2 (magic-1) and v3. */
+  private def produceRecordsPayload(version: Int,
+      records: Seq[WireRecordV2]): Array[Byte] =
+    if (version >= 3) {
+      if (records.isEmpty) Array.empty[Byte]
+      else encodeRecordBatchV2(RecordBatchV2(0L,
+        records.headOption.map(_.timestampMs).getOrElse(-1L), records))
+    } else {
+      require(records.forall(_.headers.isEmpty),
+        s"message-set produce (v$version) cannot carry headers — use v3+")
+      encodeMessageSetV0(records.map(r => (0L, WireRecord(r.key, r.value))))
+    }
+
+  /** Client-side encode of a produce request at any supported version
+    * (0–9). For v0–v2 the records' headers are NOT encodable and must
+    * be empty. */
   def encodeProduceRequest(version: Int, correlationId: Int, clientId: String,
       transactionalId: String, acks: Int, timeoutMs: Int,
       topics: Seq[(String, Seq[(Int, Seq[WireRecordV2])])]): Array[Byte] = {
-    require(version >= 0 && version <= 3, s"unsupported Produce version $version")
+    require(version >= 0 && version <= ProduceMaxVersion,
+      s"unsupported Produce version $version")
+    val flexible = version >= 9
     val out = new ByteArrayOutputStream()
-    writeInt16(out, ProduceApiKey) // header v1
+    writeInt16(out, ProduceApiKey)
     writeInt16(out, version)
     writeInt32(out, correlationId)
-    writeNullableString(out, clientId)
-    if (version >= 3) writeNullableString(out, transactionalId)
-    writeInt16(out, acks)
-    writeInt32(out, timeoutMs)
-    writeInt32(out, topics.length)
+    writeNullableString(out, clientId) // header v1/v2: legacy string
+    if (flexible) writeUVarInt(out, 0) // header v2 tag buffer
+    val w = new WR(out, flexible)
+    if (version >= 3) w.str(transactionalId)
+    w.i16(acks)
+    w.i32(timeoutMs)
+    w.count(topics.length)
     topics.foreach { case (name, parts) =>
-      writeNullableString(out, name)
-      writeInt32(out, parts.length)
+      w.str(name)
+      w.count(parts.length)
       parts.foreach { case (p, records) =>
-        writeInt32(out, p)
-        val payload =
-          if (version >= 3) {
-            if (records.isEmpty) Array.empty[Byte]
-            else encodeRecordBatchV2(RecordBatchV2(0L,
-              records.headOption.map(_.timestampMs).getOrElse(-1L), records))
-          } else {
-            require(records.forall(_.headers.isEmpty),
-              s"message-set produce (v$version) cannot carry headers — use v3")
-            encodeMessageSetV0(records.map(r => (0L, WireRecord(r.key, r.value))))
-          }
-        writeInt32(out, payload.length)
-        out.write(payload, 0, payload.length)
+        w.i32(p)
+        w.bytes(produceRecordsPayload(version, records))
+        w.tags()
       }
+      w.tags()
     }
+    w.tags()
     frame(out.toByteArray)
   }
 
-  /** Server-side decode of a framed produce request, any version 0–3. */
+  /** Server-side decode of a framed produce request, any version 0–9. */
   def decodeProduceRequest(bytes: Array[Byte]): ProduceRequest = {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == ProduceApiKey, "not a Produce request")
     val version = buf.getShort.toInt
-    require(version >= 0 && version <= 3, s"unsupported Produce version $version")
+    require(version >= 0 && version <= ProduceMaxVersion,
+      s"unsupported Produce version $version")
+    val flexible = version >= 9
     val correlationId = buf.getInt
     val clientId = readNullableString(buf)
-    val txnId = if (version >= 3) readNullableString(buf) else null
-    val acks = buf.getShort.toInt
-    val timeout = buf.getInt
-    val topics = (0 until buf.getInt).map { _ =>
-      val name = readNullableString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        val p = buf.getInt
-        val size = buf.getInt
-        val payload = new Array[Byte](size); buf.get(payload)
+    if (flexible) readTags(buf) // header v2 tag buffer
+    val r = new RD(buf, flexible)
+    val txnId = if (version >= 3) r.str() else null
+    val acks = r.i16()
+    val timeout = r.i32()
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val payload = Option(r.bytes()).getOrElse(Array.empty[Byte])
         val records =
           if (version >= 3) decodeRecordsBlock(payload).map(_._2)
           else decodeMessageSetV0(payload)
-            .map { case (_, r) => WireRecordV2(-1L, r.key, r.value) }
+            .map { case (_, rec) => WireRecordV2(-1L, rec.key, rec.value) }
+        r.tags()
         (p, records)
       }
+      r.tags()
       (name, parts.toSeq)
     }
+    r.tags()
     ProduceRequest(version, correlationId, clientId, txnId, acks, timeout, topics.toSeq)
   }
 
-  /** Encode a produce response at any version 0–3;
+  /** Encode a produce response at any version 0–9;
     * results = (topic, (partition, error, baseOffset)*)*. */
   def encodeProduceResponse(version: Int, correlationId: Int,
       results: Seq[(String, Seq[(Int, Int, Long)])]): Array[Byte] = {
+    val flexible = version >= 9
     val out = new ByteArrayOutputStream()
     writeInt32(out, correlationId)
-    writeInt32(out, results.length)
+    if (flexible) writeUVarInt(out, 0) // response header v1 tag buffer
+    val w = new WR(out, flexible)
+    w.count(results.length)
     results.foreach { case (name, parts) =>
-      writeNullableString(out, name)
-      writeInt32(out, parts.length)
+      w.str(name)
+      w.count(parts.length)
       parts.foreach { case (p, err, base) =>
-        writeInt32(out, p); writeInt16(out, err); writeInt64(out, base)
-        if (version >= 2) writeInt64(out, -1L) // log_append_time: create-time
+        w.i32(p); w.i16(err); w.i64(base)
+        if (version >= 2) w.i64(-1L) // log_append_time: create-time
+        if (version >= 5) w.i64(-1L) // log_start_offset: not reported
+        if (version >= 8) { w.count(0); w.str(null) } // record_errors, error_message
+        w.tags()
       }
+      w.tags()
     }
-    if (version >= 1) writeInt32(out, 0) // throttle_time_ms
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    w.tags()
     frame(out.toByteArray)
   }
 
   def decodeProduceResponse(version: Int,
       bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Int, Long)])]) = {
+    val flexible = version >= 9
     val buf = unframe(bytes)
     val correlationId = buf.getInt
-    val topics = (0 until buf.getInt).map { _ =>
-      val name = readNullableString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        val t = (buf.getInt, buf.getShort.toInt, buf.getLong)
-        if (version >= 2) buf.getLong // log_append_time
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val t = (r.i32(), r.i16(), r.i64())
+        if (version >= 2) r.i64() // log_append_time
+        if (version >= 5) r.i64() // log_start_offset
+        if (version >= 8) {
+          (0 until r.count()).foreach { _ => r.i32(); r.str(); r.tags() }
+          r.str() // error_message
+        }
+        r.tags()
         t
       }
+      r.tags()
       (name, parts.toSeq)
     }
-    if (version >= 1) buf.getInt // throttle_time_ms
+    if (version >= 1) r.i32() // throttle_time_ms
+    r.tags()
     (correlationId, topics.toSeq)
   }
 
   def encodeFetchRequest(version: Int, correlationId: Int, clientId: String,
       maxWaitMs: Int, minBytes: Int, maxBytes: Int,
       topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
-    require(version >= 0 && version <= 4, s"unsupported Fetch version $version")
+    require(version >= 0 && version <= FetchMaxVersion,
+      s"unsupported Fetch version $version")
+    val flexible = version >= 12
     val out = new ByteArrayOutputStream()
-    writeInt16(out, FetchApiKey) // header v1
+    writeInt16(out, FetchApiKey)
     writeInt16(out, version)
     writeInt32(out, correlationId)
     writeNullableString(out, clientId)
-    writeInt32(out, -1) // replica_id: -1 = consumer
-    writeInt32(out, maxWaitMs)
-    writeInt32(out, minBytes)
-    if (version >= 3) writeInt32(out, maxBytes)
+    if (flexible) writeUVarInt(out, 0) // header v2 tag buffer
+    val w = new WR(out, flexible)
+    w.i32(-1) // replica_id: -1 = consumer
+    w.i32(maxWaitMs)
+    w.i32(minBytes)
+    if (version >= 3) w.i32(maxBytes)
     if (version >= 4) out.write(0) // isolation_level: read_uncommitted
-    writeInt32(out, topics.length)
+    if (version >= 7) { w.i32(0); w.i32(-1) } // session_id, epoch: sessionless
+    w.count(topics.length)
     topics.foreach { case (name, parts) =>
-      writeNullableString(out, name)
-      writeInt32(out, parts.length)
+      w.str(name)
+      w.count(parts.length)
       parts.foreach { case (p, off, partMaxBytes) =>
-        writeInt32(out, p); writeInt64(out, off); writeInt32(out, partMaxBytes)
+        w.i32(p)
+        if (version >= 9) w.i32(-1) // current_leader_epoch: unknown
+        w.i64(off)
+        if (version >= 12) w.i32(-1) // last_fetched_epoch
+        if (version >= 5) w.i64(-1L) // log_start_offset (follower-only)
+        w.i32(partMaxBytes)
+        w.tags()
       }
+      w.tags()
     }
+    if (version >= 7) w.count(0) // forgotten_topics_data
+    if (version >= 11) w.str("") // rack_id
+    w.tags()
     frame(out.toByteArray)
   }
 
@@ -968,85 +1070,120 @@ object KafkaWire {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == FetchApiKey, "not a Fetch request")
     val version = buf.getShort.toInt
-    require(version >= 0 && version <= 4, s"unsupported Fetch version $version")
+    require(version >= 0 && version <= FetchMaxVersion,
+      s"unsupported Fetch version $version")
+    val flexible = version >= 12
     val correlationId = buf.getInt
     val clientId = readNullableString(buf)
-    buf.getInt // replica_id
-    val maxWait = buf.getInt
-    val minBytes = buf.getInt
-    val maxBytes = if (version >= 3) buf.getInt else Int.MaxValue
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // replica_id
+    val maxWait = r.i32()
+    val minBytes = r.i32()
+    val maxBytes = if (version >= 3) r.i32() else Int.MaxValue
     if (version >= 4) buf.get() // isolation_level
-    val topics = (0 until buf.getInt).map { _ =>
-      val name = readNullableString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        (buf.getInt, buf.getLong, buf.getInt)
+    if (version >= 7) { r.i32(); r.i32() } // session_id, session_epoch
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        if (version >= 9) r.i32() // current_leader_epoch
+        val off = r.i64()
+        if (version >= 12) r.i32() // last_fetched_epoch
+        if (version >= 5) r.i64() // log_start_offset
+        val pmb = r.i32()
+        r.tags()
+        (p, off, pmb)
       }
+      r.tags()
       (name, parts.toSeq)
     }
+    if (version >= 7) (0 until r.count()).foreach { _ =>
+      r.str(); (0 until r.count()).foreach(_ => r.i32()); r.tags()
+    }
+    if (version >= 11) r.str() // rack_id
+    r.tags()
     FetchRequest(version, correlationId, clientId, maxWait, minBytes, maxBytes,
       topics.toSeq)
   }
 
-  /** Encode a fetch response at any version 0–4; records are
-    * (absoluteOffset, record) pairs. v4 ships them as ONE magic-2
+  /** Encode a fetch response at any version 0–12; records are
+    * (absoluteOffset, record) pairs. v4+ ships them as ONE magic-2
     * batch per partition (headers survive); v0–v3 fall back to a
     * MessageSet v0, which by construction drops headers and
-    * timestamps — the fidelity loss is the FORMAT's, so v4 is what a
-    * header-carrying client should negotiate. */
+    * timestamps — the fidelity loss is the FORMAT's, so v4+ is what
+    * a header-carrying client negotiates. */
   def encodeFetchResponse(version: Int, correlationId: Int,
       topics: Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]): Array[Byte] = {
-    require(version >= 0 && version <= 4, s"unsupported Fetch version $version")
+    require(version >= 0 && version <= FetchMaxVersion,
+      s"unsupported Fetch version $version")
+    val flexible = version >= 12
     val out = new ByteArrayOutputStream()
     writeInt32(out, correlationId)
-    if (version >= 1) writeInt32(out, 0) // throttle_time_ms
-    writeInt32(out, topics.length)
+    if (flexible) writeUVarInt(out, 0) // response header v1 tag buffer
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    if (version >= 7) { w.i16(0); w.i32(0) } // error_code, session_id
+    w.count(topics.length)
     topics.foreach { case (name, parts) =>
-      writeNullableString(out, name)
-      writeInt32(out, parts.length)
+      w.str(name)
+      w.count(parts.length)
       parts.foreach { case (p, err, hw, records) =>
-        writeInt32(out, p); writeInt16(out, err); writeInt64(out, hw)
+        w.i32(p); w.i16(err); w.i64(hw)
         if (version >= 4) {
-          writeInt64(out, hw) // last_stable_offset (no transactions)
-          writeInt32(out, 0) // aborted_transactions: none
+          w.i64(hw) // last_stable_offset (no transactions)
+          if (version >= 5) w.i64(0L) // log_start_offset
+          w.count(0) // aborted_transactions: none
+          if (version >= 11) w.i32(-1) // preferred_read_replica
         }
         val payload =
           if (records.isEmpty) Array.empty[Byte]
           else if (version >= 4)
             encodeRecordBatchV2WithOffsets(records.head._2.timestampMs, records)
           else encodeMessageSetV0(
-            records.map { case (off, r) => (off, WireRecord(r.key, r.value)) })
-        writeInt32(out, payload.length)
-        out.write(payload, 0, payload.length)
+            records.map { case (off, rec) => (off, WireRecord(rec.key, rec.value)) })
+        w.bytes(payload)
+        w.tags()
       }
+      w.tags()
     }
+    w.tags()
     frame(out.toByteArray)
   }
 
   def decodeFetchResponse(version: Int, bytes: Array[Byte])
       : (Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]) = {
+    val flexible = version >= 12
     val buf = unframe(bytes)
     val correlationId = buf.getInt
-    if (version >= 1) buf.getInt // throttle_time_ms
-    val topics = (0 until buf.getInt).map { _ =>
-      val name = readNullableString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        val p = buf.getInt
-        val err = buf.getShort.toInt
-        val hw = buf.getLong
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    if (version >= 7) { r.i16(); r.i32() } // error_code, session_id
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val err = r.i16()
+        val hw = r.i64()
         if (version >= 4) {
-          buf.getLong // last_stable_offset
-          (0 until buf.getInt).foreach { _ => buf.getLong; buf.getLong } // aborted txns
+          r.i64() // last_stable_offset
+          if (version >= 5) r.i64() // log_start_offset
+          (0 until r.count()).foreach { _ => r.i64(); r.i64(); r.tags() }
+          if (version >= 11) r.i32() // preferred_read_replica
         }
-        val size = buf.getInt
-        val payload = new Array[Byte](size); buf.get(payload)
+        val payload = Option(r.bytes()).getOrElse(Array.empty[Byte])
         val records =
           if (version >= 4) decodeRecordsBlock(payload)
           else decodeMessageSetV0(payload)
-            .map { case (off, r) => (off, WireRecordV2(-1L, r.key, r.value)) }
+            .map { case (off, rec) => (off, WireRecordV2(-1L, rec.key, rec.value)) }
+        r.tags()
         (p, err, hw, records)
       }
+      r.tags()
       (name, parts.toSeq)
     }
+    r.tags()
     (correlationId, topics.toSeq)
   }
 

@@ -100,6 +100,39 @@ class ProduceFetchWireSpec extends AnyFunSuite {
     assert(recs.head._2.timestampMs === 1000L)
   }
 
+  test("produce v9 flexible framing matches the hand-laid golden bytes") {
+    // compact strings (uvarint len+1), compact arrays, compact bytes,
+    // and tag buffers — the KIP-482 encoding a modern client emits
+    val rec = WireRecordV2(1000L, null, "v".getBytes("UTF-8"))
+    val batch = encodeRecordBatchV2(RecordBatchV2(0L, 1000L, Seq(rec)))
+    require(batch.length + 1 < 0x80, "golden assumes 1-byte uvarint")
+    val body =
+      i16(0) ++ i16(9) ++ // api_key Produce, api_version 9
+        i32(42) ++ // correlation_id
+        i16(3) ++ "cli".getBytes("UTF-8") ++ // header v2 client_id: LEGACY string
+        Array[Byte](0) ++ // header tag buffer
+        Array[Byte](0) ++ // transactional_id: compact null
+        i16(1) ++ // acks
+        i32(1000) ++ // timeout_ms
+        Array[Byte](2) ++ // topics: compact count 1+1
+        Array[Byte](4) ++ "hdr".getBytes("UTF-8") ++ // compact string, len 3+1
+        Array[Byte](2) ++ // partitions: compact count 1+1
+        i32(0) ++ // partition index
+        Array[Byte]((batch.length + 1).toByte) ++ batch ++ // compact RECORDS
+        Array[Byte](0) ++ // partition tag buffer
+        Array[Byte](0) ++ // topic tag buffer
+        Array[Byte](0) // body tag buffer
+    val golden = i32(body.length) ++ body
+    val enc = encodeProduceRequest(9, 42, "cli", null, 1, 1000,
+      Seq(("hdr", Seq((0, Seq(rec))))))
+    assert(enc.sameElements(golden),
+      s"\n got: ${enc.map("%02x".format(_)).mkString(" ")}" +
+        s"\nwant: ${golden.map("%02x".format(_)).mkString(" ")}")
+    val dec = decodeProduceRequest(golden)
+    assert(dec.version === 9 && dec.correlationId === 42)
+    assert(new String(dec.topics.head._2.head._2.head.value, "UTF-8") === "v")
+  }
+
   test("magic-1 messages (a Produce v2 client's format) decode in a message set") {
     // hand-laid v1 message at offset 7: magic 1, attributes 0,
     // timestamp INT64, key null, value "w"

@@ -170,6 +170,31 @@ class WireServerSpec extends AnyFunSuite {
         encodeFetchRequest(2, 34, "cli", 100, 1, 1 << 20,
           Seq(("hdr", Seq((0, 3L, 1 << 20)))))))
       assert(f2._2.head._2.head._4.map(r => new String(r._2.value, "UTF-8")) === Seq("v4"))
+
+      // FLEXIBLE versions a modern client negotiates: Produce v9
+      // (compact encodings + tag buffers) and Fetch v12 (sessionless
+      // full fetch) — headers still intact through the magic-2 batches
+      val p9 = decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 35, "cli", null, 1, 1000,
+          Seq(("hdr", Seq((0, Seq(WireRecordV2(1700000001000L, b("k9"), b("v9"),
+            Seq(("flex", b("yes"))))))))))))
+      assert(p9._2.head._2.head === ((0, 0, 4L)))
+      val f12 = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 36, "cli", 100, 1, 1 << 20,
+          Seq(("hdr", Seq((0, 4L, 1 << 20)))))))
+      val r12 = f12._2.head._2.head._4
+      assert(r12.map(_._1) === Seq(4L))
+      assert(new String(r12.head._2.headers.toMap.apply("flex"), "UTF-8") === "yes")
+      assert(r12.head._2.timestampMs === 1700000001000L)
+      // the mid-range versions share the v3/v4 wire bodies
+      val f7 = decodeFetchResponse(7, exchange(sock,
+        encodeFetchRequest(7, 37, "cli", 100, 1, 1 << 20,
+          Seq(("hdr", Seq((0, 4L, 1 << 20)))))))
+      assert(f7._2.head._2.head._4.map(_._1) === Seq(4L))
+      val p5 = decodeProduceResponse(5, exchange(sock,
+        encodeProduceRequest(5, 38, "cli", null, 1, 1000,
+          Seq(("hdr", Seq((0, Seq(WireRecordV2(-1L, null, b("v5h"), Seq(("m", b("1"))))))))))))
+      assert(p5._2.head._2.head === ((0, 0, 5L)))
     } finally {
       sock.close()
       server.close()
