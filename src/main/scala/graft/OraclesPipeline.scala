@@ -52,6 +52,21 @@ object OraclesPipeline {
   /** 8-plane variant shared by the fixed-plane LSH queries. */
   private val signBucket = signBucketNp("8")
 
+  /** The embedding-cosine near-dup candidate CTE chain (adaptive
+    * plane count, hamming-≤1 multiprobe, exact left-fold cosine) —
+    * shared by the pair query and its connected-components closure. */
+  private lazy val embCosinePairsCtes: String =
+    s"""e AS ($embDouble),
+       |np AS (SELECT GREATEST(8, LEAST(24, length(bin(count(*))) - 4)) AS n FROM e),
+       |b AS (${signBucketNp("SELECT n FROM np")} FROM e),
+       |p AS (SELECT vec_id, v,
+       |  unnest(list_concat([bucket],
+       |    list_transform(generate_series(0, (SELECT n FROM np) - 1),
+       |      j -> xor(bucket, 1 << j)))) AS pb
+       |  FROM b),
+       |s AS (SELECT a.vec_id AS v1, p.vec_id AS v2, ${cosR("a.v", "p.v")} AS cos_sim
+       |      FROM b a JOIN p ON a.bucket = p.pb AND a.vec_id < p.vec_id)""".stripMargin
+
   private val grams3 =
     """SELECT doc_id, lang, n_chars // 10 AS bucket,
       |  list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -202,18 +217,24 @@ object OraclesPipeline {
     // 24. The probe side keeps the all-flips + vec_id< convention —
     // same candidate set as the engine's up-flip formulation.
     "dedup_embedding_cosine" ->
-      s"""WITH e AS ($embDouble),
-         |np AS (SELECT GREATEST(8, LEAST(24, length(bin(count(*))) - 4)) AS n FROM e),
-         |b AS (${signBucketNp("SELECT n FROM np")} FROM e),
-         |p AS (SELECT vec_id, v,
-         |  unnest(list_concat([bucket],
-         |    list_transform(generate_series(0, (SELECT n FROM np) - 1),
-         |      j -> xor(bucket, 1 << j)))) AS pb
-         |  FROM b),
-         |s AS (SELECT a.vec_id AS v1, p.vec_id AS v2, ${cosR("a.v", "p.v")} AS cos_sim
-         |      FROM b a JOIN p ON a.bucket = p.pb AND a.vec_id < p.vec_id)
+      s"""WITH $embCosinePairsCtes
          |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.3
          |ORDER BY v1, v2""".stripMargin,
+
+    // connected components over the same cosine pairs — the DuckDB
+    // side walks the closure with a recursive CTE (min-label ≡ the
+    // engine's hash-min propagation fixpoint)
+    "dedup_embedding_cc" ->
+      s"""WITH RECURSIVE $embCosinePairsCtes,
+         |pairs AS (SELECT v1 AS d1, v2 AS d2 FROM s WHERE cos_sim >= 0.3),
+         |sym AS (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
+         |nodes AS (SELECT DISTINCT d1 AS id FROM sym),
+         |walk(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s2.d2, w.comp FROM walk w JOIN sym s2 ON s2.d1 = w.id)
+         |SELECT id AS vec_id, MIN(comp) AS comp FROM walk
+         |GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ann_bruteforce_topk" -> annBruteforceSql,
 
@@ -354,6 +375,41 @@ object OraclesPipeline {
          |WHERE $fp % 100 < CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 35
          |      WHEN 'de' THEN 50 WHEN 'fr' THEN 65 ELSE 80 END
          |ORDER BY doc_id""".stripMargin,
+
+    // quality quantized to integer centiles of the SAME rounded
+    // double both engines compute; the cumulative window runs over
+    // ≤101 bucket rows per language, never the corpus
+    "pipeline_token_budget" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(round((CAST($ws AS DOUBLE) / (CAST($ws AS DOUBLE) + 50.0))
+         |        * (1.0 - CAST($stopHits AS DOUBLE) / $ws), 6) * 100) AS INT) AS qb,
+         |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks,
+         |    CAST(CASE WHEN lang = 'en' THEN 8000 ELSE 2500 END AS BIGINT) AS token_budget
+         |  FROM documents),
+         |bk AS (SELECT lang, token_budget, qb, SUM(toks) AS btoks
+         |       FROM scored GROUP BY 1, 2, 3),
+         |cum AS (SELECT lang, token_budget, qb,
+         |          SUM(btoks) OVER (PARTITION BY lang ORDER BY qb DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - btoks AS start_toks
+         |        FROM bk),
+         |cut AS (SELECT lang, MIN(qb) AS cutoff_qb FROM cum
+         |        WHERE start_toks < token_budget GROUP BY lang)
+         |SELECT s.lang, s.token_budget, c.cutoff_qb,
+         |  COUNT(*) AS n_docs, CAST(SUM(s.toks) AS BIGINT) AS kept_tokens
+         |FROM scored s JOIN cut c ON s.lang = c.lang
+         |WHERE s.qb >= c.cutoff_qb
+         |GROUP BY 1, 2, 3 ORDER BY s.lang""".stripMargin,
+
+    "pipeline_dataset_card" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM($ws) AS BIGINT) AS total_tokens,
+         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+         |  round(CAST(SUM(CAST(round((CAST($ws AS DOUBLE) / (CAST($ws AS DOUBLE) + 50.0))
+         |      * (1.0 - CAST($stopHits AS DOUBLE) / $ws), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_quality,
+         |  quantile_disc(CAST(ceil(length(text) / 4.0) AS BIGINT), 0.5) AS p50_bpe_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "docs_chunking" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,

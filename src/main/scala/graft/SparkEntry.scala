@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_embedding_cosine" -> Dedup.dedupEmbeddingCosine _,
     "dedup_cluster_cc" -> Dedup.dedupClusterCC _,
+    "dedup_embedding_cc" -> Dedup.dedupEmbeddingCC _,
     "decontaminate_ngram" -> Dedup.decontaminateNgram _,
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
@@ -98,6 +99,8 @@ object SparkEntry {
     "pipeline_train_test_split" -> Pipeline.trainTestSplit _,
     "pipeline_seq_packing" -> Pipeline.seqPacking _,
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
+    "pipeline_token_budget" -> Pipeline.tokenBudget _,
+    "pipeline_dataset_card" -> Pipeline.datasetCard _,
     "docs_chunking" -> Pipeline.docsChunking _,
     "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _
   )

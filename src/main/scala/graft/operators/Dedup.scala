@@ -384,8 +384,85 @@ object Dedup {
     * Converges in O(component diameter) rounds — dup clusters are
     * near-cliques, so a handful of rounds at any scale. The corpus
     * itself is never re-read; the driver sees one scalar per round. */
-  def dedupClusterCC(spark: SparkSession, dir: String): DataFrame = {
+  /** Hash-min label propagation over an undirected edge list
+    * (columns d1, d2): returns (id, comp) where comp = min node id in
+    * the component. The loop machinery shared by [[dedupClusterCC]]
+    * and [[dedupEmbeddingCC]] — one job and ONE exchange per round,
+    * shuffles sized to the edge volume, convergence read off the
+    * exact decimal label sum of the same action that materializes the
+    * round (labels only ever decrease, so an unchanged sum IS the
+    * fixpoint). Duplicate edges are harmless (min absorbs them). */
+  private[operators] def hashMinComponents(spark: SparkSession,
+      edgesIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // EAGER localCheckpoint, not persist: the edge derivation can be
+    // an arbitrarily large plan (the cosine pipeline inlines nPlanes
+    // 64-wide hyperplane literals), and every loop round would embed
+    // another copy of that lineage into its own plan — checkpointing
+    // truncates it to an RDD scan so round plans stay O(1)
+    val edges = edgesIn.localCheckpoint(true)
+    val nEdges = edges.count() // one scalar over the checkpointed blocks
+    if (nEdges == 0) // no dup pairs at all → no clustered nodes
+      return spark.range(0).select(col("id"), col("id").as("comp"))
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (nEdges / 200000L + 1).toInt))
+    val sym = edges.select(explode(array(
+        struct(col("d1"), col("d2")),
+        struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+      .select(col("e.d1"), col("e.d2"))
+      .repartition(nParts, col("d2"))
+      .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var labels = sym.select(col("d1").as("id"))
+      .repartition(nParts, col("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // neighbor-min propagation (self term rides the union) ...
+      val m = sym.join(labels.select(col("id").as("d2"), col("comp")), "d2")
+        .select(col("d1").as("id"), col("comp"))
+        .union(labels)
+        .repartition(nParts, col("id"))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist()
+      // ... then POINTER JUMPING: follow my label's own label. Labels
+      // only ever decrease toward the component min, so the shortcut
+      // is always valid — and it turns O(component diameter) rounds
+      // into O(log diameter), which is what saves long-chain graphs
+      // (near-threshold similarity edges form chains, not cliques).
+      // Each round ends in an EAGER localCheckpoint, not a persist:
+      // the jump join references m twice, so an un-truncated round
+      // plan would DOUBLE per iteration — exponential treeStrings by
+      // round ~30 even though the runtime DAG is shared.
+      val next = m
+        .join(m.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .repartition(nParts, col("id"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      m.unpersist()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    // localCheckpoint (eager) materializes the converged labels and
+    // cuts the loop's lineage so the loop caches can be released here
+    // instead of leaking one cached label set per invocation
+    val out = labels.localCheckpoint(true).select("id", "comp")
+    labels.unpersist()
+    sym.unpersist()
+    edges.unpersist() // checkpoint blocks also retire via ContextCleaner
+    out
+  }
+
+  def dedupClusterCC(spark: SparkSession, dir: String): DataFrame = {
     // exact-dup edges in STAR topology (group keeper → member):
     // connectivity — and therefore the component labeling the oracle
     // checks — is identical to the all-pairs form, but a size-m dup
@@ -404,60 +481,21 @@ object Dedup {
     // duplicate edges are harmless to min-label propagation (the
     // min-agg absorbs them), so no distinct exchange and no ordering
     val nearPairs = jaccardPairs(spark, dir).select("d1", "d2")
-    val edges = exactPairs.union(nearPairs).persist()
-    val nEdges = edges.count() // one scalar; also materializes the cache
-    // size the loop's shuffles to the dup-pair volume (~200k edge
-    // rows per partition), capped by the session's parallelism
-    val nParts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (nEdges / 200000L + 1).toInt))
-    // symmetric closure via one map-side explode — a union of the
-    // edge set with its own reversal would run the whole (expensive)
-    // edge-derivation lineage twice before the persist materializes
-    val sym = edges.select(explode(array(
-        struct(col("d1"), col("d2")),
-        struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
-      .select(col("e.d1"), col("e.d2"))
-      .repartition(nParts, col("d2"))
-      .persist()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
-    var labels = sym.select(col("d1").as("id"))
-      .repartition(nParts, col("id")).distinct()
-      .withColumn("comp", col("id")).persist()
-    var prevSum = labelSum(labels) // materializes the initial labels
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      // comp_{t+1}(v) = min(comp_t(v), min over neighbors comp_t(u)):
-      // the self term rides the union, so no left-join-back stage.
-      // labels arrive hash-partitioned by id from the previous round,
-      // matching sym's (d2, nParts) layout after the rename — the
-      // join exchanges nothing; the repartition below is the round's
-      // one exchange and pre-satisfies the agg's distribution.
-      val next = sym.join(labels.select(col("id").as("d2"), col("comp")), "d2")
-        .select(col("d1").as("id"), col("comp"))
-        .union(labels)
-        .repartition(nParts, col("id"))
-        .groupBy("id").agg(min("comp").as("comp"))
-        .persist()
-      val s = labelSum(next) // one action: materializes + tests convergence
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    // localCheckpoint (eager) materializes the converged labels and
-    // cuts the loop's lineage, so the loop caches can be released
-    // here instead of leaking one cached label set per invocation;
-    // the checkpoint blocks themselves are reclaimed by Spark's
-    // ContextCleaner once the returned frame is unreachable.
-    val out = labels.localCheckpoint(true)
+    hashMinComponents(spark, exactPairs.union(nearPairs))
       .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
-    labels.unpersist()
-    sym.unpersist()
-    edges.unpersist()
-    out
   }
+
+  /** SEMANTIC duplicate clusters: connected components over the
+    * embedding-cosine near-dup pairs (τ = 0.3, the
+    * [[dedupEmbeddingCosine]] candidate machinery) — the
+    * embedding-space counterpart of [[dedupClusterCC]]'s lexical
+    * clusters, and the grouping step of semantic dedup: every
+    * clustered vector gets comp = min vec_id (the canonical
+    * representative to keep). Same [[hashMinComponents]] loop, so
+    * the scale story is inherited: only label rows iterate; the
+    * LSH-blocked pair generation is the one pass over the corpus. */
+  def dedupEmbeddingCC(spark: SparkSession, dir: String): DataFrame =
+    hashMinComponents(spark,
+      dedupEmbeddingCosine(spark, dir).select(col("v1").as("d1"), col("v2").as("d2")))
+      .select(col("id").as("vec_id"), col("comp")).orderBy("vec_id")
 }

@@ -155,6 +155,69 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Per-language token-budget curation: keep the highest-quality
+    * documents until each language's token budget fills — the
+    * data-mixing step that decides how much of each source a
+    * training run ingests.
+    *
+    * Two passes, neither sorting the corpus (the q29 pattern —
+    * quality-ORDER selection without a per-language total order):
+    *  1. quality quantized to integer centile buckets; per
+    *     (lang, bucket) token totals — a bounded agg (≤ 101 rows per
+    *     language BY CONSTRUCTION, so the cumulative window scans a
+    *     few hundred rows, not the corpus). The cutoff bucket is the
+    *     lowest whose running total STARTS under budget (greedy fill;
+    *     overshoot bounded by one bucket's tokens).
+    *  2. a BROADCAST cutoff lookup filters documents map-side.
+    * Both the quantization (floor(q·100) of the same rounded double)
+    * and the fill rule are engine-portable integer decisions. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = when(col("lang") === "en", 8000L).otherwise(2500L)
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        floor(qualityScore(col("text")) * 100).cast("int").as("qb"),
+        bpeTokensEst(col("text")).as("toks"))
+    val w = Window.partitionBy("lang").orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cut = scored.groupBy("lang", "qb").agg(sum("toks").as("btoks"))
+      .withColumn("start_toks", sum("btoks").over(w) - col("btoks"))
+      .filter(col("start_toks") < budget)
+      .groupBy("lang").agg(min("qb").as("cutoff_qb"))
+    scored.join(broadcast(cut), "lang")
+      .filter(col("qb") >= col("cutoff_qb"))
+      .groupBy("lang", "cutoff_qb")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("kept_tokens"))
+      .withColumn("token_budget", budget)
+      .select("lang", "token_budget", "cutoff_qb", "n_docs", "kept_tokens")
+      .orderBy("lang")
+  }
+
+  /** Dataset card: the per-language corpus accounting a training run
+    * publishes next to its data — volume, exact-dup rate, quality,
+    * and a median length. One bounded aggregation (5 rows out):
+    * count/sum/countDistinct partial-aggregate map-side, the quality
+    * mean routes through exact decimal so engines agree bitwise, and
+    * the median is percentile_disc (an element OF the data — no
+    * interpolation arithmetic to drift). */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), col("text"),
+        wsTokens(col("text")).as("toks"),
+        bpeTokensEst(col("text")).as("bpe"),
+        qualityScore(col("text")).as("q"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text").cast("binary"))))
+          .as("n_exact_dups"),
+        round(sum(col("q").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("mean_quality"),
+        // Spark's percentile_disc yields DOUBLE even over longs; the
+        // value is an element OF the data, so the cast back is exact
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY bpe)")
+          .cast("long").as("p50_bpe_tokens"))
+      .orderBy("lang")
+
   /** Fixed-window document chunking for context-length-bounded
     * training: 256-token chunks on a 192-token stride (64-token
     * overlap). Token slicing is a map-side explode of per-doc chunk

@@ -65,6 +65,82 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!r.contains(2L) && !r.contains(30L))
   }
 
+  test("dedup_embedding_cc merges cosine-connected vectors under the min label") {
+    val d2 = Files.createTempDirectory("graft-embcc").toString
+    val n = 10
+    // near-parallel family (unit spike + tiny orthogonal drift) →
+    // one semantic cluster with canonical representative 0; one
+    // orthogonal outlier that must stay unclustered
+    val vecs = (0 until n).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(0) = 10.0f; v(1) = i * 0.05f
+      (i.toLong, v.toSeq, 0)
+    } :+ ((50L, Array.fill(64)(0.0f).updated(60, 9.0f).toSeq, 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d2/embeddings.parquet")
+    val r = Dedup.dedupEmbeddingCC(spark, d2).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("comp")).toMap
+    (0 until n).foreach(i => assert(r(i.toLong) === 0L,
+      s"vec $i not labeled to the cluster min: $r"))
+    assert(!r.contains(50L), "isolated vector must not appear in any cluster")
+
+    // an all-orthogonal corpus yields NO edges and an empty result
+    val d3 = Files.createTempDirectory("graft-embcc0").toString
+    (0 until 4).map { i =>
+      (i.toLong, Array.fill(64)(0.0f).updated(i * 16, 9.0f).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d3/embeddings.parquet")
+    assert(Dedup.dedupEmbeddingCC(spark, d3).count() === 0L)
+  }
+
+  test("pipeline_token_budget fills each language greedily to bucket granularity") {
+    val rows = Pipeline.tokenBudget(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val lang = x.getAs[String]("lang")
+      val cutoff = x.getAs[Int]("cutoff_qb")
+      assert(x.getAs[Long]("n_docs") > 0, s"$lang kept nothing")
+      assert(cutoff >= 0 && cutoff <= 100, s"$lang cutoff outside centile range")
+      // greedy fill contract: dropping the cutoff bucket itself must
+      // land UNDER budget (the overshoot is bounded by one bucket)
+      val aboveOnly = graft.Tables.t(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("lang") === lang)
+        .select(
+          org.apache.spark.sql.functions.floor(
+            graft.functions.TextFunctions.qualityScore(
+              org.apache.spark.sql.functions.col("text")) * 100).cast("int").as("qb"),
+          graft.functions.TextFunctions.bpeTokensEst(
+            org.apache.spark.sql.functions.col("text")).as("toks"))
+        .filter(org.apache.spark.sql.functions.col("qb") > cutoff)
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("toks"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .head.getLong(0)
+      assert(aboveOnly < x.getAs[Long]("token_budget"),
+        s"$lang: strictly-above-cutoff tokens $aboveOnly already exceed the budget")
+    }
+    // a second run is bit-identical (pure function of the corpus)
+    val a = Pipeline.tokenBudget(spark, dir).collect().map(_.toString).toSeq
+    val b = Pipeline.tokenBudget(spark, dir).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("pipeline_dataset_card accounts docs, dups, and medians per language") {
+    val r = Pipeline.datasetCard(spark, dir).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    assert(r.contains("en"))
+    val en = r("en")
+    assert(en.getAs[Long]("n_docs") === 11L) // the fixture's en docs
+    // two exact-dup pairs planted (10=11, 20=21) → 2 surplus docs
+    assert(en.getAs[Long]("n_exact_dups") === 2L)
+    assert(en.getAs[Long]("total_tokens") > 0L)
+    val q = en.getAs[Double]("mean_quality")
+    assert(q > 0.0 && q < 1.0)
+    // the median is an element of the data (discrete percentile)
+    val p50 = en.getAs[Long]("p50_bpe_tokens")
+    assert(p50 > 0L)
+  }
+
   test("stratified sample is deterministic and honors per-language rates") {
     val a = Pipeline.stratifiedSample(spark, dir).collect()
     val b = Pipeline.stratifiedSample(spark, dir).collect()
