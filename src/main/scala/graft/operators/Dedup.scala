@@ -91,7 +91,13 @@ object Dedup {
     // 128 distinct keys per task by default — a posting build has
     // millions of gram keys per task and each buffer is ≤ cap tiny
     // entries, so the hash map is the right regime by a huge margin.
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+    // Scoped to THIS build: the posts cache materializes inside this
+    // method (the hasHot action below), so the raised threshold is
+    // restored before control returns — other queries' unbounded
+    // collect_set-style aggs keep the protective default.
+    val thresholdKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val priorThreshold = spark.conf.getOption(thresholdKey)
+    spark.conf.set(thresholdKey, "1048576")
     // raw gram rows are map-side only (native WordNgramsExpr; nsh
     // rides every row from the same scan) and deliberately NOT
     // persisted: caching 50× the doc bytes costs more than the one
@@ -130,7 +136,12 @@ object Dedup {
     // no hot gram at all (one cheap scan of the cached posts decides
     // — the common case for natural-text corpora, where near-dup
     // pairs share rare grams long before they share stop-grams).
-    val hasHot = posts.filter(col("p.hot")).limit(1).count() > 0
+    val hasHot =
+      try posts.filter(col("p.hot")).limit(1).count() > 0 // materializes posts
+      finally priorThreshold match {
+        case Some(v) => spark.conf.set(thresholdKey, v)
+        case None => spark.conf.unset(thresholdKey)
+      }
     val scored = if (!hasHot) {
       candRare.withColumn("inter", col("rare_inter"))
     } else {

@@ -74,7 +74,7 @@ object Similarity {
     * C×dim tiny partials, C fixed — the 100 TB shape (vectors never
     * shuffle; only a constant-size update matrix moves). */
   private[operators] def trainKmeansCodebook(e: DataFrame, iterations: Int,
-      nCells: Int = ivfCells): graft.functions.CellCodebook = {
+      nCells: Int = ivfCells, idModulus: Long = 1L): graft.functions.CellCodebook = {
     import org.apache.spark.sql.types.DecimalType
     def norm(v: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -83,8 +83,14 @@ object Similarity {
     }
     val train = e.select(col("vec_id"), col("v"), col("n")).persist()
     try {
-      val maxId = train.agg(max("vec_id")).head.getLong(0)
-      val stride = math.max(1L, math.ceil((maxId + 1).toDouble / nCells).toLong)
+      val maxId = Option(train.agg(max("vec_id")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L) // empty corpus → no centroids
+      // when the caller trained on an id-strided subsample (ids ≡ 0
+      // mod idModulus), the init stride must be a MULTIPLE of that
+      // modulus or vec_id % stride == 0 selects only lcm-aligned ids
+      // and the codebook silently shrinks below nCells
+      val stride = idModulus * math.max(1L,
+        math.ceil((maxId + 1).toDouble / (idModulus * nCells)).toLong)
       var cells: Array[(Long, Array[Double], Double)] = train
         .filter(col("vec_id") % stride === 0)
         .collect()
@@ -127,7 +133,10 @@ object Similarity {
     val e = emb(spark, dir)
     // train on a deterministic 25% subsample — codebooks are always
     // trained on samples at scale; the full corpus is still assigned.
-    val cb = trainKmeansCodebook(e.filter(col("vec_id") % 4 === 0), iterations = 3)
+    // (idModulus = 4 keeps the init stride inside the subsample's id
+    // space, so the codebook stays at the full cell budget.)
+    val cb = trainKmeansCodebook(e.filter(col("vec_id") % 4 === 0),
+      iterations = 3, idModulus = 4L)
     val assigned = e
       .withColumn("cell", graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
       .select("vec_id", "label", "v", "n", "cell")
@@ -270,7 +279,8 @@ object Similarity {
     * (struct max over (sim, −cell)). */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val stride = ivfStride(e.agg(max("vec_id")).head.getLong(0))
+    val stride = ivfStride(Option(e.agg(max("vec_id")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)) // empty corpus → stride 1, no rows
     val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
     // bounded codebook → driver (cell, vector, precomputed norm)

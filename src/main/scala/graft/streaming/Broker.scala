@@ -162,12 +162,19 @@ class Broker(spark: SparkSession, root: String) {
   // (magic 2), so HEADERS and client timestamps survive the socket —
   // the graft record model round-trips losslessly at those versions.
 
-  /** Produce exchange (v0–v3): records land through the real manifest
+  /** Produce exchange (v0–v9): records land through the real manifest
     * produce (explicit partition routing, per-partition contiguous
     * offsets); the response carries each partition's base offset,
-    * exactly as a broker acks. v3 records keep their headers and
-    * create-time timestamps (records without one get append time).
-    * Unknown topics / out-of-range partitions answer error 3
+    * exactly as a broker acks. v2+ records keep their CreateTime
+    * timestamps and v3+ their headers (records without a timestamp
+    * get append time). Headers are stored in the engine's
+    * map<string,binary> record model: unique keys (duplicates: last
+    * wins, as in a compacted header view) in canonical key order —
+    * Kafka's ordered multi-map is wider than the model on purpose
+    * (SURVEY §4). acks=0 answers NOTHING per the protocol — writing
+    * a response a fire-and-forget producer never reads would desync
+    * the connection's correlation stream. Unknown topics /
+    * out-of-range partitions answer error 3
     * (UNKNOWN_TOPIC_OR_PARTITION) without losing the rest of the
     * request. */
   def handleProduce(requestBytes: Array[Byte]): Array[Byte] = {
@@ -215,7 +222,8 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
-    encodeProduceResponse(req.version, req.correlationId, results)
+    if (req.acks == 0) Array.empty
+    else encodeProduceResponse(req.version, req.correlationId, results)
   }
 
   /** Fetch exchange (v0–v4): bounded reads from (partition, offset)
@@ -241,11 +249,19 @@ class Broker(spark: SparkSession, root: String) {
             (p, 3, -1L, Seq.empty[(Long, WireRecordV2)])
           else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecordV2)])
           else {
-            // bound the collect: per-record wire overhead is ≥ 26
-            // bytes + key + value, so maxBytes/26 over-covers the count
-            val rows = log.consume(p, off, maxRecords = maxBytes / 26 + 1)
+            // bound the collect: per-record wire overhead is ≥ 12
+            // bytes + key + value, so maxBytes/12 over-covers the count
+            val rows = log.consume(p, off, maxRecords = maxBytes / 12 + 1)
               .select("offset", "key", "value", "headers", "ts").collect()
-            var used = 0
+            // size model per the SHIPPED format: v0–v3 message sets
+            // cost 26 B/record + payload; v4+ magic-2 batches cost a
+            // 61 B batch header ONCE plus ~10 B of varints per record
+            // + payload + ~2 B per header entry — so the encoded
+            // response respects max_bytes beyond the first record
+            // (only the first may exceed it, per the Kafka contract)
+            val batchOverhead = if (req.version >= 4) 61 else 0
+            val perRecordOverhead = if (req.version >= 4) 10 else 26
+            var used = batchOverhead
             val picked = Seq.newBuilder[(Long, WireRecordV2)]
             var taken = 0
             var full = false
@@ -260,7 +276,7 @@ class Broker(spark: SparkSession, root: String) {
                 .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
               val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
                 .map(_.getTime).getOrElse(-1L)
-              val sz = 26 + (if (k == null) 0 else k.length) +
+              val sz = perRecordOverhead + (if (k == null) 0 else k.length) +
                 (if (v == null) 0 else v.length) +
                 hdrs.map { case (hk, hv) =>
                   hk.length + (if (hv == null) 0 else hv.length) + 2
@@ -352,14 +368,17 @@ class Broker(spark: SparkSession, root: String) {
       if (!topicExists(name)) (name, parts.map { case (p, _) => (p, -1L, 3) })
       else {
         val log = topic(name)
+        val ends = log.logEndOffsets() // one manifest read per topic
         (name, parts.map { case (p, off) =>
           if (p < 0 || p >= log.numPartitions) (p, -1L, 3)
           else {
-            val end = log.logEndOffsets().getOrElse(p, 0L)
+            val end = ends.getOrElse(p, 0L)
             val target = if (off == -1L) end else off
             if (target > end) (p, -1L, 1) // OFFSET_OUT_OF_RANGE
             else {
               log.truncateBefore(p, target)
+              // re-read: the truncate just advanced this partition's
+              // start, and earlier iterations may have advanced others
               (p, log.logStartOffsets().getOrElse(p, 0L), 0)
             }
           }
@@ -511,6 +530,7 @@ object Broker {
     (3, "Metadata", 0, 12),
     (8, "OffsetCommit", 0, 8),
     (9, "OffsetFetch", 0, 8),
+    (10, "FindCoordinator", 0, 4),
     (11, "JoinGroup", 0, 9),
     (12, "Heartbeat", 0, 4),
     (13, "LeaveGroup", 0, 5),
@@ -539,6 +559,7 @@ object Broker {
     (3, "Metadata", 0, 0),
     (8, "OffsetCommit", 0, 0),
     (9, "OffsetFetch", 0, 0),
+    (10, "FindCoordinator", 0, 0),
     (11, "JoinGroup", 0, 0),
     (12, "Heartbeat", 0, 0),
     (13, "LeaveGroup", 0, 0),

@@ -52,13 +52,24 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
       if (memberId.nonEmpty) memberId
       else { g.memberSeq += 1; s"$clientId-${g.memberSeq}" }
     val isNew = !g.members.contains(id)
+    // a rejoin that CHANGES its subscription (protocol list or
+    // metadata bytes) must reopen the generation even mid-rebalance —
+    // otherwise the leader assigns from a roster that no longer
+    // reflects what this member subscribed to
+    val changed = !isNew && {
+      val old = g.members(id).protocols
+      old.map(_._1) != protocols.map(_._1) ||
+        !old.zip(protocols).forall { case ((_, a), (_, b)) =>
+          java.util.Arrays.equals(a, b)
+        }
+    }
     val m = Member(id, clientId, clientHost, sessionTimeoutMs, protocols, clock())
     g.members.put(id, m)
     g.protocolType = protocolType
     // membership or subscription change (or a stable group being
-    // re-joined) opens a NEW generation; a rejoin while one is already
-    // open re-enters it so the whole group converges on one number
-    if (isNew || g.state != CompletingRebalance) {
+    // re-joined) opens a NEW generation; an unchanged rejoin while one
+    // is already open re-enters it so the group converges on one number
+    if (isNew || changed || g.state != CompletingRebalance) {
       g.generation += 1
       g.state = CompletingRebalance
       g.assignments.clear()

@@ -408,9 +408,18 @@ object KafkaWire {
     * are byte-bounded, so a broker honoring max_bytes legitimately
     * truncates the last message mid-bytes and clients skip the tail. */
   private[streaming] def decodeMessageSetV0(
-      bytes: Array[Byte]): Seq[(Long, WireRecord)] = {
+      bytes: Array[Byte]): Seq[(Long, WireRecord)] =
+    decodeMessageSetV0Ts(bytes).map { case (off, _, r) => (off, r) }
+
+  /** As [[decodeMessageSetV0]] but keeps each message's timestamp:
+    * −1 for magic 0 (the format has none); the CreateTime INT64 for
+    * magic 1 (a Produce v2 client's stamps must survive, matching
+    * Kafka's log.message.timestamp.type=CreateTime default and the
+    * v3+ RecordBatch path). */
+  private[streaming] def decodeMessageSetV0Ts(
+      bytes: Array[Byte]): Seq[(Long, Long, WireRecord)] = {
     val buf = ByteBuffer.wrap(bytes)
-    val out = Seq.newBuilder[(Long, WireRecord)]
+    val out = Seq.newBuilder[(Long, Long, WireRecord)]
     while (buf.remaining() >= 12) {
       val offset = buf.getLong
       val size = buf.getInt
@@ -426,12 +435,10 @@ object KafkaWire {
       require(magic == 0 || magic == 1,
         "only message formats v0/v1 (magic 0/1) supported in message sets")
       mb.get() // attributes (no compression supported)
-      // magic 1 (Produce v2 clients) adds a timestamp; the broker
-      // stamps append time anyway, so it is read and dropped here
-      if (magic == 1) mb.getLong
+      val ts = if (magic == 1) mb.getLong else -1L
       val key = readBytesField(mb)
       val value = readBytesField(mb)
-      out += ((offset, WireRecord(key, value)))
+      out += ((offset, ts, WireRecord(key, value)))
     }
     out.result()
   }
@@ -959,8 +966,8 @@ object KafkaWire {
         val payload = Option(r.bytes()).getOrElse(Array.empty[Byte])
         val records =
           if (version >= 3) decodeRecordsBlock(payload).map(_._2)
-          else decodeMessageSetV0(payload)
-            .map { case (_, rec) => WireRecordV2(-1L, rec.key, rec.value) }
+          else decodeMessageSetV0Ts(payload)
+            .map { case (_, ts, rec) => WireRecordV2(ts, rec.key, rec.value) }
         r.tags()
         (p, records)
       }
@@ -1375,6 +1382,47 @@ object KafkaWire {
   def decodeErrorResponse(bytes: Array[Byte]): (Int, Int) = {
     val buf = unframe(bytes)
     (buf.getInt, buf.getShort.toInt)
+  }
+
+  // --- FindCoordinator v0 (api_key 10) — the lookup every real
+  // client performs before ANY group RPC (offsets or membership);
+  // a single-broker graft always answers itself. ---
+
+  val FindCoordinatorApiKey = 10
+
+  def encodeFindCoordinatorRequestV0(correlationId: Int, clientId: String,
+      group: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, FindCoordinatorApiKey); writeInt16(out, 0)
+    writeInt32(out, correlationId); writeNullableString(out, clientId)
+    writeNullableString(out, group)
+    frame(out.toByteArray)
+  }
+
+  def decodeFindCoordinatorRequestV0(bytes: Array[Byte]): (Int, String) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == FindCoordinatorApiKey, "not a FindCoordinator request")
+    require(buf.getShort.toInt == 0, "only FindCoordinator v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client_id
+    (correlationId, readNullableString(buf))
+  }
+
+  def encodeFindCoordinatorResponseV0(correlationId: Int, errorCode: Int,
+      nodeId: Int, host: String, port: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt16(out, errorCode)
+    writeInt32(out, nodeId)
+    writeNullableString(out, host)
+    writeInt32(out, port)
+    frame(out.toByteArray)
+  }
+
+  def decodeFindCoordinatorResponseV0(
+      bytes: Array[Byte]): (Int, Int, Int, String, Int) = {
+    val buf = unframe(bytes)
+    (buf.getInt, buf.getShort.toInt, buf.getInt, readNullableString(buf), buf.getInt)
   }
 
   // --- Group/topic admin v0 (DescribeGroups 15, ListGroups 16,

@@ -90,6 +90,26 @@ class GroupCoordinatorSpec extends AnyFunSuite {
       .errorCode === UnknownMemberId)
   }
 
+  test("a rejoin that changes its subscription reopens the generation") {
+    val c = new GroupCoordinator()
+    val a = c.join("g", "", "a", "", 30000, "consumer", protocols)
+    val b = c.join("g", "", "b", "", 30000, "consumer", protocols)
+    // open rebalance (gen 2); B rejoins with NEW metadata → the
+    // generation must bump so the leader re-reads the roster
+    val b2 = c.join("g", b.memberId, "b", "", 30000, "consumer",
+      Seq(("range", meta("different-subscription"))))
+    assert(b2.generationId === b.generationId + 1)
+    // the leader's rejoin roster carries B's new metadata
+    val a2 = c.join("g", a.memberId, "a", "", 30000, "consumer", protocols)
+    assert(a2.generationId === b2.generationId)
+    val roster = a2.members.toMap
+    assert(new String(roster(b.memberId), java.nio.charset.StandardCharsets.UTF_8)
+      === "different-subscription")
+    // an UNCHANGED rejoin mid-rebalance still re-enters (no livelock)
+    val a3 = c.join("g", a.memberId, "a", "", 30000, "consumer", protocols)
+    assert(a3.generationId === a2.generationId)
+  }
+
   test("mismatched protocol type is rejected") {
     val c = new GroupCoordinator()
     c.join("g", "", "a", "", 30000, "consumer", protocols)

@@ -195,6 +195,67 @@ class WireServerSpec extends AnyFunSuite {
         encodeProduceRequest(5, 38, "cli", null, 1, 1000,
           Seq(("hdr", Seq((0, Seq(WireRecordV2(-1L, null, b("v5h"), Seq(("m", b("1"))))))))))))
       assert(p5._2.head._2.head === ((0, 0, 5L)))
+
+      // acks=0 answers NOTHING — the connection stays in sync and the
+      // next request's response matches ITS correlation id
+      sock.getOutputStream.write(encodeProduceRequest(3, 39, "cli", null, 0, 1000,
+        Seq(("hdr", Seq((0, Seq(WireRecordV2(-1L, null, b("fire")))))))))
+      sock.getOutputStream.flush()
+      val afterAcks0 = decodeProduceResponse(3, exchange(sock,
+        encodeProduceRequest(3, 40, "cli", null, 1, 1000,
+          Seq(("hdr", Seq((0, Seq(WireRecordV2(-1L, null, b("acked"))))))))))
+      assert(afterAcks0._1 === 40, "acks=0 must not emit a response frame")
+      // both records landed: the fire-and-forget one and the acked one
+      assert(broker.topic("hdr").read().count() === 8)
+
+      // a v2 (magic-1) produce keeps its CreateTime timestamp
+      val msgTs = 1690000000555L
+      // encode a magic-1 set by hand: decodeProduceRequest can't emit
+      // one via encodeProduceRequest (it writes magic 0 for v0-v2)
+      val m1body = {
+        val bo = new java.io.ByteArrayOutputStream()
+        bo.write(1); bo.write(0) // magic 1, attributes
+        (56 to 0 by -8).foreach(s => bo.write(((msgTs >>> s) & 0xff).toInt))
+        bo.write(Array[Byte](-1, -1, -1, -1)) // key null
+        bo.write(Array[Byte](0, 0, 0, 2)); bo.write(b("m1")) // value
+        bo.toByteArray
+      }
+      val crc1 = new java.util.zip.CRC32(); crc1.update(m1body)
+      val m1set = {
+        val bo = new java.io.ByteArrayOutputStream()
+        (56 to 0 by -8).foreach(_ => bo.write(0)) // offset 0
+        val sz = 4 + m1body.length
+        bo.write(Array[Byte]((sz >>> 24).toByte, (sz >>> 16).toByte, (sz >>> 8).toByte, sz.toByte))
+        val c = crc1.getValue.toInt
+        bo.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+        bo.write(m1body)
+        bo.toByteArray
+      }
+      val v2req = {
+        val bo = new java.io.ByteArrayOutputStream()
+        def i16(v: Int) = { bo.write((v >>> 8) & 0xff); bo.write(v & 0xff) }
+        def i32(v: Int) = { bo.write((v >>> 24) & 0xff); bo.write((v >>> 16) & 0xff)
+          bo.write((v >>> 8) & 0xff); bo.write(v & 0xff) }
+        i16(0); i16(2); i32(41) // Produce v2
+        i16(3); bo.write(b("cli"))
+        i16(1); i32(1000) // acks, timeout
+        i32(1); i16(3); bo.write(b("hdr")) // 1 topic
+        i32(1); i32(0) // 1 partition, index 0
+        i32(m1set.length); bo.write(m1set)
+        val payload = bo.toByteArray
+        val framed = new java.io.ByteArrayOutputStream()
+        framed.write(Array[Byte]((payload.length >>> 24).toByte, (payload.length >>> 16).toByte,
+          (payload.length >>> 8).toByte, payload.length.toByte))
+        framed.write(payload)
+        framed.toByteArray
+      }
+      val p2 = decodeProduceResponse(2, exchange(sock, v2req))
+      assert(p2._1 === 41 && p2._2.head._2.head._2 === 0)
+      val lastTs = decodeFetchResponse(4, exchange(sock,
+        encodeFetchRequest(4, 42, "cli", 100, 1, 1 << 20,
+          Seq(("hdr", Seq((0, 8L, 1 << 20)))))))
+        ._2.head._2.head._4.head._2.timestampMs
+      assert(lastTs === msgTs, "magic-1 CreateTime must survive into the log")
     } finally {
       sock.close()
       server.close()
@@ -210,6 +271,13 @@ class WireServerSpec extends AnyFunSuite {
     val sockB = new Socket("127.0.0.1", server.boundPort)
     try {
       def b(s: String) = s.getBytes("UTF-8")
+      // FindCoordinator first, as a real client would: a single-broker
+      // graft always answers itself
+      val (fcCorr, fcErr, fcNode, fcHost, fcPort) =
+        decodeFindCoordinatorResponseV0(exchange(sockA,
+          encodeFindCoordinatorRequestV0(39, "a", "wg")))
+      assert(fcCorr === 39 && fcErr === 0 && fcNode === 0)
+      assert(fcHost === "127.0.0.1" && fcPort === server.boundPort)
       // A joins with an empty member id and becomes leader
       val ja = decodeJoinGroupResponseV0(exchange(sockA,
         encodeJoinGroupRequestV0(40, "a", "wg", 30000, "", "consumer",
