@@ -556,7 +556,7 @@ object Broker {
     (0, "Produce", 0, KafkaWire.ProduceMaxVersion),
     (1, "Fetch", 0, KafkaWire.FetchMaxVersion),
     (2, "ListOffsets", 0, 0),
-    (3, "Metadata", 0, 0),
+    (3, "Metadata", 0, KafkaWire.MetadataMaxVersion),
     (8, "OffsetCommit", 0, 0),
     (9, "OffsetFetch", 0, 0),
     (10, "FindCoordinator", 0, 0),

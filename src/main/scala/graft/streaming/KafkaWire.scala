@@ -305,13 +305,117 @@ object KafkaWire {
     MetadataResponse(correlationId, brokers, topics)
   }
 
-  /** Full server exchange for Metadata v0: the single-broker answer a
-    * graft deployment gives — this process is broker 0 / leader of
-    * every partition, replicas = isr = [0] (the reference is a
-    * single-broker prototype too). */
+  // --- Metadata v1–v4 (still pre-flexible) ---
+  // Version deltas per the public spec:
+  //   request:  v0 treats an EMPTY topics array as "all topics"; v1+
+  //     moves "all" to the NULL array (-1) and empty means "none";
+  //     v4 adds allow_auto_topic_creation BOOLEAN.
+  //   response: v3+ prepends throttle_time_ms; brokers gain rack
+  //     (v1+, nullable); cluster_id (v2+, nullable) then
+  //     controller_id (v1+) precede the topics; topics gain
+  //     is_internal BOOLEAN (v1+).
+
+  val MetadataMaxVersion = 4
+
+  def encodeMetadataRequest(version: Int, correlationId: Int, clientId: String,
+      topics: Option[Seq[String]]): Array[Byte] = {
+    require(version >= 0 && version <= MetadataMaxVersion,
+      s"unsupported Metadata version $version")
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, MetadataApiKey) // header v1
+    writeInt16(out, version)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    topics match {
+      case None => writeInt32(out, -1) // null array = all topics
+      case Some(ts) =>
+        writeInt32(out, ts.length)
+        ts.foreach(writeNullableString(out, _))
+    }
+    if (version >= 4) out.write(0) // allow_auto_topic_creation: false
+    frame(out.toByteArray)
+  }
+
+  def decodeMetadataRequest(bytes: Array[Byte]): (Int, MetadataRequest) = {
+    val buf = unframe(bytes)
+    val apiKey = buf.getShort.toInt
+    require(apiKey == MetadataApiKey, s"api key $apiKey is not Metadata")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= MetadataMaxVersion,
+      s"unsupported Metadata version $version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val n = buf.getInt
+    // v0 has no null array: empty means ALL. v1+ makes null=all so
+    // empty can mean "no topics, brokers/controller only".
+    val topics =
+      if (n < 0 || (version == 0 && n == 0)) None
+      else Some((0 until n).map(_ => readNullableString(buf)).toSeq)
+    if (version >= 4) buf.get() // allow_auto_topic_creation
+    (version, MetadataRequest(correlationId, clientId, topics))
+  }
+
+  def encodeMetadataResponse(version: Int, correlationId: Int,
+      brokers: Seq[(Int, String, Int)], clusterId: String,
+      topics: Seq[TopicMetadata]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId) // response header v0
+    if (version >= 3) writeInt32(out, 0) // throttle_time_ms
+    writeInt32(out, brokers.length)
+    brokers.foreach { case (id, host, port) =>
+      writeInt32(out, id); writeNullableString(out, host); writeInt32(out, port)
+      if (version >= 1) writeNullableString(out, null) // rack
+    }
+    if (version >= 2) writeNullableString(out, clusterId)
+    if (version >= 1) writeInt32(out, brokers.headOption.map(_._1).getOrElse(-1)) // controller
+    writeInt32(out, topics.length)
+    topics.foreach { t =>
+      writeInt16(out, t.errorCode)
+      writeNullableString(out, t.name)
+      if (version >= 1) out.write(0) // is_internal: false
+      writeInt32(out, t.partitions.length)
+      t.partitions.foreach { p =>
+        writeInt16(out, p.errorCode)
+        writeInt32(out, p.index)
+        writeInt32(out, p.leader)
+        writeInt32Array(out, p.replicas)
+        writeInt32Array(out, p.isr)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeMetadataResponse(version: Int, bytes: Array[Byte]): MetadataResponse = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (version >= 3) buf.getInt // throttle_time_ms
+    val brokers = (0 until buf.getInt).map { _ =>
+      val b = (buf.getInt, readNullableString(buf), buf.getInt)
+      if (version >= 1) readNullableString(buf) // rack
+      b
+    }
+    if (version >= 2) readNullableString(buf) // cluster_id
+    if (version >= 1) buf.getInt // controller_id
+    val topics = (0 until buf.getInt).map { _ =>
+      val err = buf.getShort.toInt
+      val name = readNullableString(buf)
+      if (version >= 1) buf.get() // is_internal
+      val parts = (0 until buf.getInt).map { _ =>
+        PartitionMetadata(buf.getShort.toInt, buf.getInt, buf.getInt,
+          readInt32Array(buf), readInt32Array(buf))
+      }
+      TopicMetadata(err, name, parts)
+    }
+    MetadataResponse(correlationId, brokers, topics)
+  }
+
+  /** Full server exchange for Metadata v0–v4: the single-broker
+    * answer a graft deployment gives — this process is broker 0 /
+    * controller / leader of every partition, replicas = isr = [0]
+    * (the reference is a single-broker prototype too). */
   def handleMetadata(requestBytes: Array[Byte], host: String, port: Int,
       topicPartitions: Map[String, Int]): Array[Byte] = {
-    val req = decodeMetadataRequestV0(requestBytes)
+    val (version, req) = decodeMetadataRequest(requestBytes)
     val names = req.topics match {
       case None => topicPartitions.keys.toSeq.sorted
       case Some(ts) => ts
@@ -325,7 +429,8 @@ object KafkaWire {
           TopicMetadata(3, name, Seq.empty) // UNKNOWN_TOPIC_OR_PARTITION
       }
     }
-    encodeMetadataResponseV0(req.correlationId, Seq((0, host, port)), topics)
+    encodeMetadataResponse(version, req.correlationId,
+      Seq((0, host, port)), "graft", topics)
   }
 
   // --- Produce v0 / Fetch v0 (api_keys 0/1, message format v0) ---

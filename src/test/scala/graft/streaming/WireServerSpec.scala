@@ -49,6 +49,12 @@ class WireServerSpec extends AnyFunSuite {
         encodeMetadataRequestV0(2, "cli", None)))
       assert(meta.brokers === Seq((0, "127.0.0.1", server.boundPort)))
       assert(meta.topics.map(t => (t.name, t.partitions.length)) === Seq(("tcp", 2)))
+      // ... and at v4 (rack/cluster_id/controller/is_internal fields),
+      // the bootstrap version a modern client negotiates
+      val meta4 = decodeMetadataResponse(4, exchange(sock,
+        encodeMetadataRequest(4, 13, "cli", None)))
+      assert(meta4.brokers === Seq((0, "127.0.0.1", server.boundPort)))
+      assert(meta4.topics.map(t => (t.name, t.partitions.length)) === Seq(("tcp", 2)))
 
       // Produce over the socket → real offsets in the manifest log
       def rec(s: String) = WireRecord(null, s.getBytes("UTF-8"))
