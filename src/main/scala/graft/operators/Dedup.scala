@@ -136,8 +136,13 @@ object Dedup {
     // no hot gram at all (one cheap scan of the cached posts decides
     // — the common case for natural-text corpora, where near-dup
     // pairs share rare grams long before they share stop-grams).
+    // posts.count() first: a limit(1) action can early-terminate with
+    // only SOME partitions cached — the rest would then build later
+    // under the restored (low) threshold and silently fall back to
+    // sort-based aggregation. count() forces every partition into the
+    // cache while the raised threshold is still in effect.
     val hasHot =
-      try posts.filter(col("p.hot")).limit(1).count() > 0 // materializes posts
+      try { posts.count(); posts.filter(col("p.hot")).limit(1).count() > 0 }
       finally priorThreshold match {
         case Some(v) => spark.conf.set(thresholdKey, v)
         case None => spark.conf.unset(thresholdKey)
@@ -156,10 +161,18 @@ object Dedup {
       candRare.join(interHot, Seq("d1", "d2"), "left")
         .withColumn("inter", col("rare_inter") + coalesce(col("hot_inter"), lit(0L)))
     }
-    scored
+    // Materialize the (small) scored pair set eagerly off the cached
+    // posts, then release the cache: a long-lived session (WireServer
+    // + periodic analytics) must not accumulate one pinned posting
+    // relation per invocation. The checkpoint also hands callers
+    // ([[dedupClusterCC]]'s CC loop) a lineage-free edge frame.
+    val out = scored
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.2)
       .select("d1", "d2", "jaccard")
+      .localCheckpoint()
+    posts.unpersist()
+    out
   }
 
   /** MinHash signatures as k min-agg columns: explode shingles once,
@@ -220,12 +233,17 @@ object Dedup {
       .select(col("x.doc_id"), col("x.jaccard"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"), max("jaccard").as("best_jaccard"))
-    sizes.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    // Eager checkpoint so gd can be released before returning — see
+    // the cache-hygiene note in [[jaccardPairs]].
+    val out = sizes.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(round(col("best_jaccard"), 6), lit(0.0)).as("best_jaccard"),
         (coalesce(col("best_jaccard"), lit(0.0)) >= 0.2).as("is_near_dup"))
       .orderBy("doc_id")
+      .localCheckpoint()
+    gd.unpersist()
+    out
   }
 
   /** 64-bit SimHash per doc via the native [[graft.functions.SimHash64Expr]]
@@ -281,13 +299,18 @@ object Dedup {
       .select(col("x.doc_id"), col("x.hamming"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"), min("hamming").as("min_hamming"))
-    docs.select("doc_id", "simhash")
+    // Eager checkpoint so docs can be released before returning — see
+    // the cache-hygiene note in [[jaccardPairs]].
+    val out = docs.select("doc_id", "simhash")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("min_hamming"), lit(64L)).as("min_hamming"),
         (coalesce(col("min_hamming"), lit(64L)) <= 3).as("is_near_dup"))
       .orderBy("doc_id")
+      .localCheckpoint()
+    docs.unpersist()
+    out
   }
 
   /** nPlanes for the embedding-dedup sign buckets, derived from the

@@ -341,23 +341,54 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** q25: ntile + dense_rank windows over a unique total order.
-    * Scale note: the window key (`l_returnflag`, 3 values) is
-    * LOW-cardinality by the query's own semantics — NTILE splits
-    * ties by ROW POSITION, so an exact answer requires a total order
-    * per flag and 3 reducers see the whole table. This exact form is
-    * appropriate only where the per-key volume is bounded, as here
-    * with the dense_rank ≤ 50 consumer; the 100-TB formulation of
-    * per-flag quartiles is [[q29QuantileBucket]] (two-pass
-    * percentile boundaries + broadcast range lookup — no per-flag
-    * total sort anywhere). */
+  /** q25: ntile + dense_rank over a unique total order, WITHOUT the
+    * full-table per-flag sort the direct window form needs. The
+    * consumer keeps only `dense_rank ≤ 50`, and that set is a PREFIX
+    * of the per-flag descending order (dense_rank is monotone in it)
+    * — so the plan pre-filters to the prefix and windows only the
+    * survivors:
+    *  1. cutoff = the 50th-highest DISTINCT price per flag, found by
+    *     a bounded-heap top-k ([[graft.plans.TopKPerKey]]) over the
+    *     distinct (flag, price) pairs — no sort anywhere;
+    *  2. n = full per-flag row count (map-side-combining agg) — the
+    *     ONLY fact NTILE needs from the rows the filter drops;
+    *  3. rows ≥ cutoff get the window. Because survivors are a
+    *     prefix, row_number here equals row_number in the full table,
+    *     and NTILE(4) over the FULL partition is pure arithmetic on
+    *     (position i, count n): the first n%4 buckets hold
+    *     ceil(n/4) rows, the rest floor(n/4).
+    * Result is bit-identical to the direct form (the oracle is
+    * unchanged; Q25PrefilterSpec asserts equivalence against the
+    * plain-window formulation). The value-bucketed companion for
+    * unbounded per-key volume remains [[q29QuantileBucket]]. */
   def q25NtileDenseRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val cutoffs = graft.plans.TopKPerKey(
+        li.select("l_returnflag", "l_extendedprice").distinct(), 50,
+        groupBy = Seq("l_returnflag"),
+        orderBy = Seq(("l_extendedprice", true)))
+      .groupBy("l_returnflag").agg(min("l_extendedprice").as("cutoff"))
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-    t(spark, dir, "lineitem")
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    li.join(broadcast(cutoffs), "l_returnflag")
+      .filter(col("l_extendedprice") >= col("cutoff"))
+      .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("drank", dense_rank().over(w).cast("long"))
       .filter(col("drank") <= 50)
+      .join(broadcast(counts), "l_returnflag")
+      .withColumn("fsz", expr("n DIV 4"))
+      .withColumn("rem", col("n") % 4)
+      // ceil(a/b) as (a + b - 1) DIV b; the otherwise-branch divisor
+      // is guarded with greatest(fsz, 1) — when fsz = 0 every row
+      // falls in the when-branch, the guard only keeps ANSI division
+      // total
+      .withColumn("quartile",
+        when(col("i") <= (col("fsz") + 1) * col("rem"),
+          expr("(i + fsz) DIV (fsz + 1)"))
+        .otherwise(col("rem") +
+          expr("(i - (fsz + 1) * rem + greatest(fsz, 1) - 1) DIV greatest(fsz, 1)")))
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
         "quartile", "drank")
       .orderBy("l_returnflag", "drank", "l_orderkey", "l_linenumber")

@@ -226,16 +226,27 @@ class Broker(spark: SparkSession, root: String) {
     else encodeProduceResponse(req.version, req.correlationId, results)
   }
 
-  /** Fetch exchange (v0–v4): bounded reads from (partition, offset)
-    * with max_bytes honored (always at least one message, so a large
-    * record can't stall the consumer), high watermark = log end,
-    * error 1 (OFFSET_OUT_OF_RANGE) past the end, error 3 for unknown
-    * topics/partitions. v4 responses carry magic-2 batches, so stored
-    * headers and timestamps reach the consumer; v0–v3 fall back to
-    * the headerless message-set format those versions define. */
+  /** Fetch exchange (v0–v12; flexible at v12): bounded reads from
+    * (partition, offset) with BOTH byte limits honored — the
+    * per-partition max_bytes and, at v3+, the request-level max_bytes
+    * as one running budget across every partition of the response
+    * (first record of the response exempt, per the contract, so a
+    * large record can't stall the consumer). High watermark = log
+    * end, error 1 (OFFSET_OUT_OF_RANGE) past the end, error 3 for
+    * unknown topics/partitions. v4+ responses carry magic-2 batches,
+    * so stored headers and timestamps reach the consumer; v0–v3 fall
+    * back to the headerless message-set format those versions define. */
   def handleFetch(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeFetchRequest(requestBytes)
+    // request-level byte budget (Fetch v3+): without it a
+    // many-partition fetch returns up to nPartitions × partition
+    // max_bytes, far past the client's stated response ceiling
+    val respBudget: Long =
+      if (req.version >= 3 && req.maxBytes > 0) req.maxBytes.toLong
+      else Long.MaxValue
+    var respUsed = 0L
+    var respTaken = 0
     val topicsOut = req.topics.map { case (name, parts) =>
       if (!topicExists(name))
         (name, parts.map { case (p, _, _) =>
@@ -250,8 +261,11 @@ class Broker(spark: SparkSession, root: String) {
           else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecordV2)])
           else {
             // bound the collect: per-record wire overhead is ≥ 12
-            // bytes + key + value, so maxBytes/12 over-covers the count
-            val rows = log.consume(p, off, maxRecords = maxBytes / 12 + 1)
+            // bytes + key + value, so limit/12 over-covers the count;
+            // the remaining request budget tightens the bound further
+            val collectCap =
+              math.min(maxBytes.toLong, math.max(respBudget - respUsed, 1L))
+            val rows = log.consume(p, off, maxRecords = (collectCap / 12 + 1).toInt)
               .select("offset", "key", "value", "headers", "ts").collect()
             // size model per the SHIPPED format: v0–v3 message sets
             // cost 26 B/record + payload; v4+ magic-2 batches cost a
@@ -281,10 +295,17 @@ class Broker(spark: SparkSession, root: String) {
                 hdrs.map { case (hk, hv) =>
                   hk.length + (if (hv == null) 0 else hv.length) + 2
                 }.sum
-              if (taken == 0 || used + sz <= maxBytes) {
+              val fitsPartition = taken == 0 || used + sz <= maxBytes
+              // first record of the whole RESPONSE is exempt from the
+              // request budget, per the contract
+              val fitsRequest = respTaken == 0 || respUsed + sz <= respBudget
+              if (fitsPartition && fitsRequest) {
                 picked += ((r.getAs[Long]("offset"), WireRecordV2(ts, k, v, hdrs)))
                 used += sz
                 taken += 1
+                if (taken == 1) respUsed += batchOverhead
+                respUsed += sz
+                respTaken += 1
               } else full = true
             }
             (p, 0, end, picked.result())

@@ -42,8 +42,19 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
   def join(group: String, memberId: String, clientId: String, clientHost: String,
       sessionTimeoutMs: Int, protocolType: String,
       protocols: Seq[(String, Array[Byte])]): JoinResult = lock.synchronized {
-    val g = groups.getOrElseUpdate(group, new GroupState(protocolType))
-    evictExpired(g)
+    val g = groups.get(group) match {
+      case Some(g0) => evictExpired(g0); g0
+      case None =>
+        // validate BEFORE materializing: a join carrying a stale or
+        // unknown member id must not create a phantom empty group
+        // that then shows up in listGroups()/describe() with the
+        // requester's protocolType
+        if (memberId.nonEmpty)
+          return JoinResult(UnknownMemberId, -1, "", "", memberId, Seq.empty)
+        val g0 = new GroupState(protocolType)
+        groups.put(group, g0)
+        g0
+    }
     if (g.members.nonEmpty && g.protocolType != protocolType)
       return JoinResult(InconsistentGroupProtocol, -1, "", "", memberId, Seq.empty)
     if (memberId.nonEmpty && !g.members.contains(memberId))
