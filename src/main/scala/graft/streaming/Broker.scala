@@ -321,35 +321,73 @@ class Broker(spark: SparkSession, root: String) {
   // broker brokers opaque subscription/assignment bytes; the leader
   // MEMBER computes assignments (graft's Assignors), per the protocol.
 
+  /** JoinGroup v0–v9. At v4+ an EMPTY member id triggers the
+    * protocol's two-step: the coordinator reserves an id and answers
+    * MEMBER_ID_REQUIRED (79); the client's rejoin with that id is
+    * then admitted from the pending set. Static membership
+    * (group_instance_id) is decoded but not tracked — every member
+    * is dynamic, so the response echoes null instance ids. */
   def handleJoinGroup(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeJoinGroupRequestV0(requestBytes)
-    val r = coordinator.join(req.group, Option(req.memberId).getOrElse(""),
-      Option(req.clientId).getOrElse("client"), "", req.sessionTimeoutMs,
-      req.protocolType, req.protocols)
-    encodeJoinGroupResponseV0(JoinGroupResponseV0(req.correlationId, r.errorCode,
-      r.generationId, r.protocol, r.leaderId, r.memberId, r.members))
+    val req = decodeJoinGroupRequest(requestBytes)
+    val clientId = Option(req.clientId).getOrElse("client")
+    val memberId = Option(req.memberId).getOrElse("")
+    if (req.version >= 4 && memberId.isEmpty) {
+      val id = coordinator.reserveMemberId(req.group, clientId, req.sessionTimeoutMs)
+      encodeJoinGroupResponse(req.version, req.correlationId,
+        GroupCoordinator.MemberIdRequired, -1, req.protocolType, "", "", id,
+        Seq.empty)
+    } else {
+      val r = coordinator.join(req.group, memberId, clientId, "",
+        req.sessionTimeoutMs, req.protocolType, req.protocols)
+      encodeJoinGroupResponse(req.version, req.correlationId, r.errorCode,
+        r.generationId, if (r.errorCode == 0) req.protocolType else null,
+        r.protocol, r.leaderId, r.memberId,
+        r.members.map { case (id, meta) => (id, null: String, meta) })
+    }
   }
 
   def handleSyncGroup(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeSyncGroupRequestV0(requestBytes)
+    val req = decodeSyncGroupRequest(requestBytes)
     val (err, assignment) =
       coordinator.sync(req.group, req.generationId, req.memberId, req.assignments)
-    encodeSyncGroupResponseV0(req.correlationId, err,
+    encodeSyncGroupResponse(req.version, req.correlationId, err,
+      req.protocolType, req.protocolName,
       if (assignment.isEmpty) null else assignment)
   }
 
   def handleHeartbeat(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, group, gen, member) = decodeHeartbeatRequestV0(requestBytes)
-    encodeErrorResponse(correlationId, coordinator.heartbeat(group, gen, member))
+    val req = decodeHeartbeatRequest(requestBytes)
+    encodeHeartbeatResponse(req.version, req.correlationId,
+      coordinator.heartbeat(req.group, req.generationId, req.memberId))
   }
 
+  /** LeaveGroup v0–v5; v3+ leaves a batch of members with per-member
+    * error codes (top-level error 0 — per-member results carry the
+    * detail, matching the protocol's shape). */
   def handleLeaveGroup(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, group, member) = decodeLeaveGroupRequestV0(requestBytes)
-    encodeErrorResponse(correlationId, coordinator.leave(group, member))
+    val req = decodeLeaveGroupRequest(requestBytes)
+    val results = req.members.map { case (id, gii, _) =>
+      (id, gii, coordinator.leave(req.group, id))
+    }
+    if (req.version <= 2)
+      encodeLeaveGroupResponse(req.version, req.correlationId,
+        results.head._3, Seq.empty)
+    else
+      encodeLeaveGroupResponse(req.version, req.correlationId, 0, results)
+  }
+
+  /** FindCoordinator v0–v4: a single-broker graft is every key's
+    * coordinator (group or transaction alike). */
+  def handleFindCoordinator(requestBytes: Array[Byte], host: String,
+      port: Int): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeFindCoordinatorRequest(requestBytes)
+    encodeFindCoordinatorResponse(req.version, req.correlationId,
+      req.keys.map(k => (k, 0, 0, host, port)))
   }
 
   // --- wire-level admin (CreateTopics/DeleteTopics/DeleteRecords/
@@ -440,17 +478,20 @@ class Broker(spark: SparkSession, root: String) {
     encodeDescribeGroupsResponseV0(correlationId, described)
   }
 
-  /** ListOffsets v0 exchange: timestamp -1 → [log end], -2 → [0]
-    * (earliest); a concrete timestamp answers the FIRST offset whose
-    * record timestamp is ≥ it (the lookup modern ListOffsets versions
-    * standardized on — graft's log has no segment files to report
-    * bases of), or empty if no record is that recent. */
+  /** ListOffsets v0–v7 exchange: timestamp -1 → log end, -2 →
+    * earliest-existing; a concrete timestamp answers the FIRST offset
+    * whose record timestamp is ≥ it (the lookup modern ListOffsets
+    * versions standardized on — graft's log has no segment files to
+    * report bases of), or none if no record is that recent. v0 ships
+    * the offsets array, v1+ the (timestamp, offset) pair. */
   def handleListOffsets(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeListOffsetsRequestV0(requestBytes)
+    val req = decodeListOffsetsRequest(requestBytes)
+    val none = (-1L, -1L) // v1+ "no such offset": timestamp −1, offset −1
     val results = req.topics.map { case (name, parts) =>
       if (!topicExists(name))
-        (name, parts.map { case (p, _, _) => (p, 3, Seq.empty[Long]) })
+        (name, parts.map { case (p, _, _) =>
+          (p, 3, -1L, -1L, Seq.empty[Long]) })
       else {
         val log = topic(name)
         val ends = log.logEndOffsets()
@@ -460,84 +501,116 @@ class Broker(spark: SparkSession, root: String) {
         // partition query would re-plan the whole scan O(partitions)
         // times). Clamped at BOTH Long extremes: Spark timestamps are
         // microsecond longs, and either overflow direction previously
-        // killed the connection instead of answering.
+        // killed the connection instead of answering. min_by rides
+        // along so v1+ can report the located record's timestamp.
         val maxMs = Long.MaxValue / 1000
         val concreteTs = parts.collect {
           case (p, t, maxN) if maxN > 0 && t >= 0 && t <= maxMs &&
             p >= 0 && p < log.numPartitions => t
         }.distinct
-        val byTs: Map[Long, Map[Int, Long]] = concreteTs.map { t =>
+        val byTs: Map[Long, Map[Int, (Long, Long)]] = concreteTs.map { t =>
           t -> log.read()
             .filter(col("ts") >= new java.sql.Timestamp(t))
-            .groupBy("partition").agg(min("offset").as("o")).collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            .groupBy("partition")
+            .agg(min("offset").as("o"), expr("min_by(ts, offset)").as("t"))
+            .collect()
+            .map(r => r.getInt(0) ->
+              (r.getLong(1), r.getTimestamp(2).getTime)).toMap
         }.toMap
         (name, parts.map { case (p, ts, maxN) =>
-          if (p < 0 || p >= log.numPartitions) (p, 3, Seq.empty[Long])
-          else if (maxN <= 0) (p, 0, Seq.empty[Long])
+          def v1(tsOff: (Long, Long), v0: Seq[Long]) =
+            (p, 0, tsOff._1, tsOff._2, v0)
+          if (p < 0 || p >= log.numPartitions) (p, 3, -1L, -1L, Seq.empty[Long])
+          else if (maxN <= 0) (p, 0, -1L, -1L, Seq.empty[Long])
           else ts match {
-            case -1L => (p, 0, Seq(ends.getOrElse(p, 0L)))
+            case -1L =>
+              val off = ends.getOrElse(p, 0L)
+              (p, 0, -1L, off, Seq(off))
             // EARLIEST = first offset that still EXISTS (retention may
             // have truncated the front — 0 would name a removed record)
             case t if t == -2L || t < 0L =>
-              (p, 0, Seq(starts.getOrElse(p, 0L)))
-            case t if t > maxMs => (p, 0, Seq.empty[Long]) // beyond any record
+              val off = starts.getOrElse(p, 0L)
+              (p, 0, -1L, off, Seq(off))
+            case t if t > maxMs => v1(none, Seq.empty[Long]) // beyond any record
             case t => byTs(t).get(p) match {
-              case Some(off) => (p, 0, Seq(off))
-              case None => (p, 0, Seq.empty[Long])
+              case Some((off, recTs)) => (p, 0, recTs, off, Seq(off))
+              case None => v1(none, Seq.empty[Long])
             }
           }
         })
       }
     }
-    encodeListOffsetsResponseV0(req.correlationId, results)
+    encodeListOffsetsResponse(req.version, req.correlationId, results)
   }
 
-  /** OffsetCommit v0 exchange: group offsets land through the
+  /** OffsetCommit v0–v8 exchange: group offsets land through the
     * CAS-versioned group commit (concurrent members on disjoint
     * partitions both land). Unknown topics / out-of-range partitions
-    * answer error 3 without failing the rest. */
+    * answer error 3 without failing the rest. v1+ commits carrying a
+    * generation are fenced against the live group (22/25 per
+    * partition when the member or generation is stale). */
   def handleOffsetCommit(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeOffsetCommitRequestV0(requestBytes)
-    val results = req.topics.map { case (name, parts) =>
-      if (!topicExists(name)) (name, parts.map { case (p, _, _) => (p, 3) })
-      else {
-        val log = topic(name)
-        val valid = parts.collect {
-          case (p, off, _) if p >= 0 && p < log.numPartitions => p -> off
-        }.toMap
-        if (valid.nonEmpty) log.commit(req.group, valid)
-        (name, parts.map { case (p, _, _) =>
-          (p, if (valid.contains(p)) 0 else 3)
-        })
+    val req = decodeOffsetCommitRequest(requestBytes)
+    val fence = coordinator.validateCommit(req.group, req.generationId, req.memberId)
+    val results =
+      if (fence != 0)
+        req.topics.map { case (name, parts) =>
+          (name, parts.map { case (p, _, _) => (p, fence) })
+        }
+      else req.topics.map { case (name, parts) =>
+        if (!topicExists(name)) (name, parts.map { case (p, _, _) => (p, 3) })
+        else {
+          val log = topic(name)
+          val valid = parts.collect {
+            case (p, off, _) if p >= 0 && p < log.numPartitions => p -> off
+          }.toMap
+          if (valid.nonEmpty) log.commit(req.group, valid)
+          (name, parts.map { case (p, _, _) =>
+            (p, if (valid.contains(p)) 0 else 3)
+          })
+        }
       }
-    }
-    encodeOffsetCommitResponseV0(req.correlationId, results)
+    encodeOffsetCommitResponse(req.version, req.correlationId, results)
   }
 
-  /** OffsetFetch v0 exchange: committed offsets for the requested
+  /** OffsetFetch v0–v8 exchange: committed offsets for the requested
     * topic-partitions; -1 with no metadata where the group has never
     * committed (Kafka's "no offset" answer), error 3 for unknown
-    * topics/partitions. */
+    * topics/partitions. A null topics array (v2+) answers every
+    * partition the group ever committed; v8 serves a BATCH of groups
+    * in one request. */
   def handleOffsetFetch(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeOffsetFetchRequestV0(requestBytes)
-    val results = req.topics.map { case (name, parts) =>
-      if (!topicExists(name)) (name, parts.map(p => (p, -1L, null: String, 3)))
-      else {
-        val log = topic(name)
-        val committed = log.committed(req.group)
-        (name, parts.map { p =>
-          if (p < 0 || p >= log.numPartitions) (p, -1L, null: String, 3)
-          else committed.get(p) match {
-            case Some(off) => (p, off, "", 0)
-            case None => (p, -1L, null: String, 0)
+    val req = decodeOffsetFetchRequest(requestBytes)
+    val groupsOut = req.groups.map { case (group, topicsOpt) =>
+      val wanted: Seq[(String, Seq[Int])] = topicsOpt match {
+        case Some(ts) => ts
+        case None =>
+          // all committed partitions for this group, grouped by topic
+          listTopics().flatMap { t =>
+            val committed = topic(t).committed(group)
+            if (committed.isEmpty) None
+            else Some(t -> committed.keys.toSeq.sorted)
           }
-        })
       }
+      val results = wanted.map { case (name, parts) =>
+        if (!topicExists(name)) (name, parts.map(p => (p, -1L, null: String, 3)))
+        else {
+          val log = topic(name)
+          val committed = log.committed(group)
+          (name, parts.map { p =>
+            if (p < 0 || p >= log.numPartitions) (p, -1L, null: String, 3)
+            else committed.get(p) match {
+              case Some(off) => (p, off, "", 0)
+              case None => (p, -1L, null: String, 0)
+            }
+          })
+        }
+      }
+      (group, 0, results)
     }
-    encodeOffsetFetchResponseV0(req.correlationId, results)
+    encodeOffsetFetchResponse(req.version, req.correlationId, groupsOut)
   }
 }
 
@@ -576,15 +649,15 @@ object Broker {
   val WireApis: Seq[(Int, String, Int, Int)] = Seq(
     (0, "Produce", 0, KafkaWire.ProduceMaxVersion),
     (1, "Fetch", 0, KafkaWire.FetchMaxVersion),
-    (2, "ListOffsets", 0, 0),
+    (2, "ListOffsets", 0, KafkaWire.ListOffsetsMaxVersion),
     (3, "Metadata", 0, KafkaWire.MetadataMaxVersion),
-    (8, "OffsetCommit", 0, 0),
-    (9, "OffsetFetch", 0, 0),
-    (10, "FindCoordinator", 0, 0),
-    (11, "JoinGroup", 0, 0),
-    (12, "Heartbeat", 0, 0),
-    (13, "LeaveGroup", 0, 0),
-    (14, "SyncGroup", 0, 0),
+    (8, "OffsetCommit", 0, KafkaWire.OffsetCommitMaxVersion),
+    (9, "OffsetFetch", 0, KafkaWire.OffsetFetchMaxVersion),
+    (10, "FindCoordinator", 0, KafkaWire.FindCoordinatorMaxVersion),
+    (11, "JoinGroup", 0, KafkaWire.JoinGroupMaxVersion),
+    (12, "Heartbeat", 0, KafkaWire.HeartbeatMaxVersion),
+    (13, "LeaveGroup", 0, KafkaWire.LeaveGroupMaxVersion),
+    (14, "SyncGroup", 0, KafkaWire.SyncGroupMaxVersion),
     (15, "DescribeGroups", 0, 0),
     (16, "ListGroups", 0, 0),
     (18, "ApiVersions", 3, 3),

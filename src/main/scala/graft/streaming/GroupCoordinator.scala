@@ -57,11 +57,13 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
     }
     if (g.members.nonEmpty && g.protocolType != protocolType)
       return JoinResult(InconsistentGroupProtocol, -1, "", "", memberId, Seq.empty)
-    if (memberId.nonEmpty && !g.members.contains(memberId))
+    if (memberId.nonEmpty && !g.members.contains(memberId) &&
+        !g.pending.contains(memberId))
       return JoinResult(UnknownMemberId, -1, "", "", memberId, Seq.empty)
     val id =
       if (memberId.nonEmpty) memberId
       else { g.memberSeq += 1; s"$clientId-${g.memberSeq}" }
+    g.pending.remove(id)
     val isNew = !g.members.contains(id)
     // a rejoin that CHANGES its subscription (protocol list or
     // metadata bytes) must reopen the generation even mid-rebalance —
@@ -99,6 +101,37 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
       else Seq.empty
     JoinResult(0, g.generation, g.protocol, leader, id, roster)
   }
+
+  /** JoinGroup v4+'s two-step for an EMPTY member id: the coordinator
+    * assigns an id, answers MEMBER_ID_REQUIRED (79), and the client
+    * rejoins WITH the id — which [[join]] then accepts from the
+    * pending set. The reservation expires with the requested session
+    * timeout, so an abandoned two-step can't grow the group. */
+  def reserveMemberId(group: String, clientId: String,
+      sessionTimeoutMs: Int): String = lock.synchronized {
+    val g = groups.getOrElseUpdate(group, new GroupState(""))
+    g.memberSeq += 1
+    val id = s"$clientId-${g.memberSeq}"
+    g.pending.put(id, clock() + sessionTimeoutMs)
+    id
+  }
+
+  /** OffsetCommit v1+ fencing: a commit carrying a generation must
+    * come from a live member of that generation. Generation −1 with
+    * an empty member id is the simple-consumer path and is always
+    * admitted (matching v0 semantics, where the fields don't exist). */
+  def validateCommit(group: String, generationId: Int, memberId: String): Int =
+    lock.synchronized {
+      if (generationId < 0 && (memberId == null || memberId.isEmpty)) 0
+      else groups.get(group) match {
+        case None => IllegalGeneration
+        case Some(g) =>
+          evictExpired(g)
+          if (!g.members.contains(memberId)) UnknownMemberId
+          else if (generationId != g.generation) IllegalGeneration
+          else { g.members(memberId).lastSeenMs = clock(); 0 }
+      }
+    }
 
   /** SyncGroup: the leader ships every member's assignment; everyone
     * reads their own back. Followers syncing before the leader get
@@ -185,6 +218,7 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
 
   private def evictExpired(g: GroupState): Unit = {
     val now = clock()
+    g.pending.filterInPlace { case (_, deadline) => now <= deadline }
     val dead = g.members.values
       .filter(m => now - m.lastSeenMs > m.sessionTimeoutMs).map(_.id).toSeq
     if (dead.nonEmpty) {
@@ -200,6 +234,7 @@ object GroupCoordinator {
   val UnknownMemberId = 25
   val RebalanceInProgress = 27
   val InconsistentGroupProtocol = 23
+  val MemberIdRequired = 79
 
   private[streaming] sealed trait State
   private[streaming] case object Empty extends State
@@ -218,6 +253,9 @@ object GroupCoordinator {
     var memberSeq: Int = 0
     val members: mutable.LinkedHashMap[String, Member] = mutable.LinkedHashMap.empty
     val assignments: mutable.Map[String, Array[Byte]] = mutable.Map.empty
+    /** member ids handed out by the v4+ MEMBER_ID_REQUIRED two-step,
+      * awaiting their rejoin: id → reservation deadline (ms). */
+    val pending: mutable.Map[String, Long] = mutable.Map.empty
   }
 
   case class JoinResult(errorCode: Int, generationId: Int, protocol: String,

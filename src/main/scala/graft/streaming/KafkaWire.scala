@@ -305,34 +305,59 @@ object KafkaWire {
     MetadataResponse(correlationId, brokers, topics)
   }
 
-  // --- Metadata v1–v4 (still pre-flexible) ---
+  // --- Metadata v1–v12 (flexible/KIP-482 at v9+) ---
   // Version deltas per the public spec:
   //   request:  v0 treats an EMPTY topics array as "all topics"; v1+
   //     moves "all" to the NULL array (-1) and empty means "none";
-  //     v4 adds allow_auto_topic_creation BOOLEAN.
+  //     v4 adds allow_auto_topic_creation BOOLEAN; v8 adds
+  //     include_cluster_/include_topic_authorized_operations (the
+  //     cluster flag retired at v11); v9 re-encodes compact; v10 keys
+  //     each topic entry as (topic_id UUID, nullable name).
   //   response: v3+ prepends throttle_time_ms; brokers gain rack
   //     (v1+, nullable); cluster_id (v2+, nullable) then
   //     controller_id (v1+) precede the topics; topics gain
-  //     is_internal BOOLEAN (v1+).
+  //     is_internal (v1+), topic_id (v10+), authorized_operations
+  //     (v8+, INT32_MIN = not requested) and a nullable name (v12+);
+  //     partitions gain leader_epoch (v7+) and offline_replicas
+  //     (v5+); cluster_authorized_operations rides v8–v10 only.
 
-  val MetadataMaxVersion = 4
+  val MetadataMaxVersion = 12
+
+  /** Deterministic per-topic UUID (the v10+ topic_id): graft topics
+    * are name-addressed, so the id is a stable digest of the name —
+    * never the zero UUID, which the protocol reserves for "unknown". */
+  def topicUuid(name: String): Array[Byte] = {
+    val u = java.util.UUID.nameUUIDFromBytes(("graft-topic:" + name).getBytes(UTF_8))
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits); bb.putLong(u.getLeastSignificantBits)
+    bb.array()
+  }
 
   def encodeMetadataRequest(version: Int, correlationId: Int, clientId: String,
       topics: Option[Seq[String]]): Array[Byte] = {
     require(version >= 0 && version <= MetadataMaxVersion,
       s"unsupported Metadata version $version")
+    val flexible = version >= 9
     val out = new ByteArrayOutputStream()
-    writeInt16(out, MetadataApiKey) // header v1
+    writeInt16(out, MetadataApiKey) // header v1/v2
     writeInt16(out, version)
     writeInt32(out, correlationId)
     writeNullableString(out, clientId)
+    if (flexible) writeUVarInt(out, 0) // header v2 tag buffer
+    val w = new WR(out, flexible)
     topics match {
-      case None => writeInt32(out, -1) // null array = all topics
+      case None => w.count(if (version == 0) 0 else -1) // v0: empty = all; v1+: null = all
       case Some(ts) =>
-        writeInt32(out, ts.length)
-        ts.foreach(writeNullableString(out, _))
+        w.count(ts.length)
+        ts.foreach { t =>
+          if (version >= 10) { w.uuid(new Array[Byte](16)); w.str(t); w.tags() }
+          else w.str(t)
+        }
     }
-    if (version >= 4) out.write(0) // allow_auto_topic_creation: false
+    if (version >= 4) w.bool(false) // allow_auto_topic_creation
+    if (version >= 8 && version <= 10) w.bool(false) // include_cluster_authorized_operations
+    if (version >= 8) w.bool(false) // include_topic_authorized_operations
+    w.tags()
     frame(out.toByteArray)
   }
 
@@ -343,76 +368,120 @@ object KafkaWire {
     val version = buf.getShort.toInt
     require(version >= 0 && version <= MetadataMaxVersion,
       s"unsupported Metadata version $version")
+    val flexible = version >= 9
     val correlationId = buf.getInt
     val clientId = readNullableString(buf)
-    val n = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val n = r.count()
     // v0 has no null array: empty means ALL. v1+ makes null=all so
-    // empty can mean "no topics, brokers/controller only".
+    // empty can mean "no topics, brokers/controller only". A v10+
+    // id-only entry (null name) surfaces as null — the handler
+    // answers it UNKNOWN_TOPIC_ID.
     val topics =
       if (n < 0 || (version == 0 && n == 0)) None
-      else Some((0 until n).map(_ => readNullableString(buf)).toSeq)
-    if (version >= 4) buf.get() // allow_auto_topic_creation
+      else Some((0 until n).map { _ =>
+        if (version >= 10) { r.uuid(); val nm = r.str(); r.tags(); nm }
+        else r.str()
+      }.toSeq)
+    if (version >= 4) r.bool() // allow_auto_topic_creation
+    if (version >= 8 && version <= 10) r.bool() // include_cluster_authorized_operations
+    if (version >= 8) r.bool() // include_topic_authorized_operations
+    r.tags()
     (version, MetadataRequest(correlationId, clientId, topics))
   }
 
   def encodeMetadataResponse(version: Int, correlationId: Int,
       brokers: Seq[(Int, String, Int)], clusterId: String,
       topics: Seq[TopicMetadata]): Array[Byte] = {
+    require(version >= 0 && version <= MetadataMaxVersion,
+      s"unsupported Metadata version $version")
+    val flexible = version >= 9
     val out = new ByteArrayOutputStream()
-    writeInt32(out, correlationId) // response header v0
-    if (version >= 3) writeInt32(out, 0) // throttle_time_ms
-    writeInt32(out, brokers.length)
+    writeInt32(out, correlationId) // response header v0/v1
+    if (flexible) writeUVarInt(out, 0)
+    val w = new WR(out, flexible)
+    if (version >= 3) w.i32(0) // throttle_time_ms
+    w.count(brokers.length)
     brokers.foreach { case (id, host, port) =>
-      writeInt32(out, id); writeNullableString(out, host); writeInt32(out, port)
-      if (version >= 1) writeNullableString(out, null) // rack
+      w.i32(id); w.str(host); w.i32(port)
+      if (version >= 1) w.str(null) // rack
+      w.tags()
     }
-    if (version >= 2) writeNullableString(out, clusterId)
-    if (version >= 1) writeInt32(out, brokers.headOption.map(_._1).getOrElse(-1)) // controller
-    writeInt32(out, topics.length)
+    if (version >= 2) w.str(clusterId)
+    if (version >= 1) w.i32(brokers.headOption.map(_._1).getOrElse(-1)) // controller
+    w.count(topics.length)
     topics.foreach { t =>
-      writeInt16(out, t.errorCode)
-      writeNullableString(out, t.name)
-      if (version >= 1) out.write(0) // is_internal: false
-      writeInt32(out, t.partitions.length)
+      w.i16(t.errorCode)
+      w.str(t.name)
+      if (version >= 10)
+        w.uuid(if (t.name == null) new Array[Byte](16) else topicUuid(t.name))
+      if (version >= 1) w.bool(false) // is_internal
+      w.count(t.partitions.length)
       t.partitions.foreach { p =>
-        writeInt16(out, p.errorCode)
-        writeInt32(out, p.index)
-        writeInt32(out, p.leader)
-        writeInt32Array(out, p.replicas)
-        writeInt32Array(out, p.isr)
+        w.i16(p.errorCode)
+        w.i32(p.index)
+        w.i32(p.leader)
+        if (version >= 7) w.i32(0) // leader_epoch
+        w.count(p.replicas.length); p.replicas.foreach(w.i32)
+        w.count(p.isr.length); p.isr.foreach(w.i32)
+        if (version >= 5) w.count(0) // offline_replicas
+        w.tags()
       }
+      if (version >= 8) w.i32(Int.MinValue) // topic_authorized_operations: not requested
+      w.tags()
     }
+    if (version >= 8 && version <= 10) w.i32(Int.MinValue) // cluster_authorized_operations
+    w.tags()
     frame(out.toByteArray)
   }
 
   def decodeMetadataResponse(version: Int, bytes: Array[Byte]): MetadataResponse = {
+    val flexible = version >= 9
     val buf = unframe(bytes)
     val correlationId = buf.getInt
-    if (version >= 3) buf.getInt // throttle_time_ms
-    val brokers = (0 until buf.getInt).map { _ =>
-      val b = (buf.getInt, readNullableString(buf), buf.getInt)
-      if (version >= 1) readNullableString(buf) // rack
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 3) r.i32() // throttle_time_ms
+    val brokers = (0 until r.count()).map { _ =>
+      val b = (r.i32(), r.str(), r.i32())
+      if (version >= 1) r.str() // rack
+      r.tags()
       b
     }
-    if (version >= 2) readNullableString(buf) // cluster_id
-    if (version >= 1) buf.getInt // controller_id
-    val topics = (0 until buf.getInt).map { _ =>
-      val err = buf.getShort.toInt
-      val name = readNullableString(buf)
-      if (version >= 1) buf.get() // is_internal
-      val parts = (0 until buf.getInt).map { _ =>
-        PartitionMetadata(buf.getShort.toInt, buf.getInt, buf.getInt,
-          readInt32Array(buf), readInt32Array(buf))
+    if (version >= 2) r.str() // cluster_id
+    if (version >= 1) r.i32() // controller_id
+    val topics = (0 until r.count()).map { _ =>
+      val err = r.i16()
+      val name = r.str()
+      if (version >= 10) r.uuid() // topic_id
+      if (version >= 1) r.bool() // is_internal
+      val parts = (0 until r.count()).map { _ =>
+        val perr = r.i16()
+        val idx = r.i32()
+        val leader = r.i32()
+        if (version >= 7) r.i32() // leader_epoch
+        val replicas = (0 until r.count()).map(_ => r.i32())
+        val isr = (0 until r.count()).map(_ => r.i32())
+        if (version >= 5) (0 until r.count()).foreach(_ => r.i32()) // offline_replicas
+        r.tags()
+        PartitionMetadata(perr, idx, leader, replicas.toSeq, isr.toSeq)
       }
+      if (version >= 8) r.i32() // topic_authorized_operations
+      r.tags()
       TopicMetadata(err, name, parts)
     }
+    if (version >= 8 && version <= 10) r.i32() // cluster_authorized_operations
+    r.tags()
     MetadataResponse(correlationId, brokers, topics)
   }
 
-  /** Full server exchange for Metadata v0–v4: the single-broker
+  /** Full server exchange for Metadata v0–v12: the single-broker
     * answer a graft deployment gives — this process is broker 0 /
     * controller / leader of every partition, replicas = isr = [0]
-    * (the reference is a single-broker prototype too). */
+    * (the reference is a single-broker prototype too). An id-only
+    * v10+ topic entry answers 100 UNKNOWN_TOPIC_ID (graft topics are
+    * name-addressed). */
   def handleMetadata(requestBytes: Array[Byte], host: String, port: Int,
       topicPartitions: Map[String, Int]): Array[Byte] = {
     val (version, req) = decodeMetadataRequest(requestBytes)
@@ -420,8 +489,9 @@ object KafkaWire {
       case None => topicPartitions.keys.toSeq.sorted
       case Some(ts) => ts
     }
-    val topics = names.map { name =>
-      topicPartitions.get(name) match {
+    val topics = names.map {
+      case null => TopicMetadata(100, null, Seq.empty) // UNKNOWN_TOPIC_ID
+      case name => topicPartitions.get(name) match {
         case Some(n) =>
           TopicMetadata(0, name, (0 until n).map(i =>
             PartitionMetadata(0, i, 0, Seq(0), Seq(0))))
@@ -968,11 +1038,15 @@ object KafkaWire {
   /** Field codec pair abstracting legacy vs flexible (compact)
     * encodings, so one body walk serves every version of an API. */
   private final class WR(val out: ByteArrayOutputStream, flexible: Boolean) {
+    def i8(v: Int): Unit = out.write(v & 0xff)
+    def bool(v: Boolean): Unit = out.write(if (v) 1 else 0)
     def i16(v: Int): Unit = writeInt16(out, v)
     def i32(v: Int): Unit = writeInt32(out, v)
     def i64(v: Long): Unit = writeInt64(out, v)
+    def uuid(b: Array[Byte]): Unit = out.write(b, 0, 16) // raw, never prefixed
     def str(s: String): Unit =
       if (flexible) writeCompactNullableString(out, s) else writeNullableString(out, s)
+    // count(-1) is the NULL array in both regimes (legacy -1 / compact 0)
     def count(n: Int): Unit =
       if (flexible) writeUVarInt(out, n + 1) else writeInt32(out, n)
     def bytes(b: Array[Byte]): Unit =
@@ -981,9 +1055,12 @@ object KafkaWire {
   }
 
   private final class RD(val buf: ByteBuffer, flexible: Boolean) {
+    def i8(): Int = buf.get().toInt
+    def bool(): Boolean = buf.get() != 0
     def i16(): Int = buf.getShort.toInt
     def i32(): Int = buf.getInt
     def i64(): Long = buf.getLong
+    def uuid(): Array[Byte] = { val b = new Array[Byte](16); buf.get(b); b }
     def str(): String =
       if (flexible) readCompactNullableString(buf) else readNullableString(buf)
     def count(): Int = if (flexible) readUVarInt(buf) - 1 else buf.getInt
@@ -1528,6 +1605,936 @@ object KafkaWire {
       bytes: Array[Byte]): (Int, Int, Int, String, Int) = {
     val buf = unframe(bytes)
     (buf.getInt, buf.getShort.toInt, buf.getInt, readNullableString(buf), buf.getInt)
+  }
+
+  // --- Modern versions of the coordinator / group / offset APIs ---
+  // The version families a current off-the-shelf client (Java
+  // kafka-clients 3.x, sarama) actually negotiates once the broker
+  // advertises them. Field deltas per the public protocol spec;
+  // flexible (KIP-482) floors: ListOffsets v6, OffsetCommit v8,
+  // OffsetFetch v6, FindCoordinator v3, JoinGroup v6, Heartbeat v4,
+  // LeaveGroup v4, SyncGroup v4.
+
+  val ListOffsetsMaxVersion = 7
+  val OffsetCommitMaxVersion = 8
+  val OffsetFetchMaxVersion = 8
+  val FindCoordinatorMaxVersion = 4
+  val JoinGroupMaxVersion = 9
+  val HeartbeatMaxVersion = 4
+  val LeaveGroupMaxVersion = 5
+  val SyncGroupMaxVersion = 5
+
+  private def requestHeader(out: ByteArrayOutputStream, apiKey: Int, version: Int,
+      correlationId: Int, clientId: String, flexible: Boolean): Unit = {
+    writeInt16(out, apiKey)
+    writeInt16(out, version)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId) // header v1/v2: legacy string either way
+    if (flexible) writeUVarInt(out, 0) // header v2 tag buffer
+  }
+
+  private def responseHeader(out: ByteArrayOutputStream, correlationId: Int,
+      flexible: Boolean): Unit = {
+    writeInt32(out, correlationId)
+    if (flexible) writeUVarInt(out, 0) // response header v1 tag buffer
+  }
+
+  // -- ListOffsets (key 2) v0–v7: v1 drops max_num_offsets and moves
+  // the response to ONE (timestamp, offset) pair; v2 isolation_level
+  // + response throttle; v4 leader epochs; v6 flexible; v7 admits
+  // timestamp -3 (MAX_TIMESTAMP) with unchanged wire shape. --
+
+  case class ListOffsetsRequest(version: Int, correlationId: Int, clientId: String,
+      isolationLevel: Int, topics: Seq[(String, Seq[(Int, Long, Int)])])
+
+  /** maxNumOffsets in each (partition, timestamp, maxNumOffsets) is
+    * meaningful at v0 only; v1+ ignores it on encode and decodes it
+    * as 1. */
+  def encodeListOffsetsRequest(version: Int, correlationId: Int, clientId: String,
+      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+    require(version >= 0 && version <= ListOffsetsMaxVersion,
+      s"unsupported ListOffsets version $version")
+    val flexible = version >= 6
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ListOffsetsApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(-1) // replica_id: consumer
+    if (version >= 2) w.i8(0) // isolation_level: read_uncommitted
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, ts, maxN) =>
+        w.i32(p)
+        if (version >= 4) w.i32(-1) // current_leader_epoch
+        w.i64(ts)
+        if (version == 0) w.i32(maxN)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeListOffsetsRequest(bytes: Array[Byte]): ListOffsetsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ListOffsetsApiKey, "not a ListOffsets request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= ListOffsetsMaxVersion,
+      s"unsupported ListOffsets version $version")
+    val flexible = version >= 6
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // replica_id
+    val isolation = if (version >= 2) r.i8() else 0
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        if (version >= 4) r.i32() // current_leader_epoch
+        val ts = r.i64()
+        val maxN = if (version == 0) r.i32() else 1
+        r.tags()
+        (p, ts, maxN)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    ListOffsetsRequest(version, correlationId, clientId, isolation, topics.toSeq)
+  }
+
+  /** Per partition: (partition, error, timestamp, offset, v0Offsets).
+    * v0 encodes the offsets ARRAY; v1+ the single (timestamp, offset)
+    * pair — offset −1 / timestamp −1 mean "no such offset". */
+  def encodeListOffsetsResponse(version: Int, correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int, Long, Long, Seq[Long])])]): Array[Byte] = {
+    require(version >= 0 && version <= ListOffsetsMaxVersion,
+      s"unsupported ListOffsets version $version")
+    val flexible = version >= 6
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 2) w.i32(0) // throttle_time_ms
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err, ts, off, v0Offs) =>
+        w.i32(p)
+        w.i16(err)
+        if (version == 0) { w.count(v0Offs.length); v0Offs.foreach(w.i64) }
+        else {
+          w.i64(ts)
+          w.i64(off)
+          if (version >= 4) w.i32(-1) // leader_epoch
+        }
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeListOffsetsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, Long, Long, Seq[Long])])]) = {
+    val flexible = version >= 6
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 2) r.i32() // throttle_time_ms
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val err = r.i16()
+        val (ts, off, v0Offs) =
+          if (version == 0) (-1L, -1L, (0 until r.count()).map(_ => r.i64()).toSeq)
+          else {
+            val t = r.i64(); val o = r.i64()
+            if (version >= 4) r.i32() // leader_epoch
+            (t, o, Seq.empty[Long])
+          }
+        r.tags()
+        (p, err, ts, off, v0Offs)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, topics.toSeq)
+  }
+
+  // -- OffsetCommit (key 8) v0–v8: v1 adds generation/member (+ a
+  // per-partition commit_timestamp it alone carries); v2–v4 carry
+  // retention_time_ms; v6 leader epochs; v7 group_instance_id; v8
+  // flexible. --
+
+  case class OffsetCommitRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String, groupInstanceId: String,
+      topics: Seq[(String, Seq[(Int, Long, String)])])
+
+  def encodeOffsetCommitRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String, groupInstanceId: String,
+      topics: Seq[(String, Seq[(Int, Long, String)])]): Array[Byte] = {
+    require(version >= 0 && version <= OffsetCommitMaxVersion,
+      s"unsupported OffsetCommit version $version")
+    val flexible = version >= 8
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, OffsetCommitApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(group)
+    if (version >= 1) { w.i32(generationId); w.str(memberId) }
+    if (version >= 7) w.str(groupInstanceId)
+    if (version >= 2 && version <= 4) w.i64(-1L) // retention_time_ms: broker default
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, off, meta) =>
+        w.i32(p)
+        w.i64(off)
+        if (version >= 6) w.i32(-1) // committed_leader_epoch
+        if (version == 1) w.i64(-1L) // commit_timestamp
+        w.str(meta)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetCommitRequest(bytes: Array[Byte]): OffsetCommitRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == OffsetCommitApiKey, "not an OffsetCommit request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= OffsetCommitMaxVersion,
+      s"unsupported OffsetCommit version $version")
+    val flexible = version >= 8
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val group = r.str()
+    val (gen, member) = if (version >= 1) (r.i32(), r.str()) else (-1, "")
+    val gii = if (version >= 7) r.str() else null
+    if (version >= 2 && version <= 4) r.i64() // retention_time_ms
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val off = r.i64()
+        if (version >= 6) r.i32() // committed_leader_epoch
+        if (version == 1) r.i64() // commit_timestamp
+        val meta = r.str()
+        r.tags()
+        (p, off, meta)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    OffsetCommitRequest(version, correlationId, clientId, group, gen, member,
+      gii, topics.toSeq)
+  }
+
+  def encodeOffsetCommitResponse(version: Int, correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int)])]): Array[Byte] = {
+    require(version >= 0 && version <= OffsetCommitMaxVersion,
+      s"unsupported OffsetCommit version $version")
+    val flexible = version >= 8
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 3) w.i32(0) // throttle_time_ms
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err) => w.i32(p); w.i16(err); w.tags() }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetCommitResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int)])]) = {
+    val flexible = version >= 8
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 3) r.i32() // throttle_time_ms
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val t = (r.i32(), r.i16()); r.tags(); t
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, topics.toSeq)
+  }
+
+  // -- OffsetFetch (key 9) v0–v8: v2 admits the NULL topics array
+  // ("every partition the group committed") + a group-level error;
+  // v3 throttle; v5 leader epochs; v6 flexible; v7 require_stable;
+  // v8 batches multiple GROUPS per request. --
+
+  /** Groups: (group_id, topics) with topics None = all committed. */
+  case class OffsetFetchRequest(version: Int, correlationId: Int, clientId: String,
+      groups: Seq[(String, Option[Seq[(String, Seq[Int])]])], requireStable: Boolean)
+
+  def encodeOffsetFetchRequest(version: Int, correlationId: Int, clientId: String,
+      groups: Seq[(String, Option[Seq[(String, Seq[Int])]])],
+      requireStable: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= OffsetFetchMaxVersion,
+      s"unsupported OffsetFetch version $version")
+    require(version >= 8 || groups.length == 1,
+      s"OffsetFetch v$version carries exactly one group")
+    val flexible = version >= 6
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, OffsetFetchApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    def writeTopics(topics: Option[Seq[(String, Seq[Int])]]): Unit = topics match {
+      case None =>
+        require(version >= 2, s"OffsetFetch v$version has no null topics array")
+        w.count(-1)
+      case Some(ts) =>
+        w.count(ts.length)
+        ts.foreach { case (name, parts) =>
+          w.str(name)
+          w.count(parts.length); parts.foreach(w.i32)
+          w.tags()
+        }
+    }
+    if (version <= 7) {
+      val (group, topics) = groups.head
+      w.str(group)
+      writeTopics(topics)
+      if (version == 7) w.bool(requireStable)
+    } else {
+      w.count(groups.length)
+      groups.foreach { case (group, topics) =>
+        w.str(group)
+        writeTopics(topics)
+        w.tags()
+      }
+      w.bool(requireStable)
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetFetchRequest(bytes: Array[Byte]): OffsetFetchRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == OffsetFetchApiKey, "not an OffsetFetch request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= OffsetFetchMaxVersion,
+      s"unsupported OffsetFetch version $version")
+    val flexible = version >= 6
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    def readTopics(): Option[Seq[(String, Seq[Int])]] = {
+      val n = r.count()
+      if (n < 0) None
+      else Some((0 until n).map { _ =>
+        val name = r.str()
+        val parts = (0 until r.count()).map(_ => r.i32())
+        r.tags()
+        (name, parts.toSeq)
+      }.toSeq)
+    }
+    val (groups, requireStable) =
+      if (version <= 7) {
+        val group = r.str()
+        val topics = readTopics()
+        val rs = if (version == 7) r.bool() else false
+        (Seq((group, topics)), rs)
+      } else {
+        val gs = (0 until r.count()).map { _ =>
+          val group = r.str()
+          val topics = readTopics()
+          r.tags()
+          (group, topics)
+        }
+        (gs.toSeq, r.bool())
+      }
+    r.tags()
+    OffsetFetchRequest(version, correlationId, clientId, groups, requireStable)
+  }
+
+  /** Per group: (group_id, group_error, topics(name, partitions
+    * (partition, offset, metadata, error))). */
+  def encodeOffsetFetchResponse(version: Int, correlationId: Int,
+      groups: Seq[(String, Int, Seq[(String, Seq[(Int, Long, String, Int)])])]): Array[Byte] = {
+    require(version >= 0 && version <= OffsetFetchMaxVersion,
+      s"unsupported OffsetFetch version $version")
+    val flexible = version >= 6
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 3) w.i32(0) // throttle_time_ms
+    def writeTopics(topics: Seq[(String, Seq[(Int, Long, String, Int)])]): Unit = {
+      w.count(topics.length)
+      topics.foreach { case (name, parts) =>
+        w.str(name)
+        w.count(parts.length)
+        parts.foreach { case (p, off, meta, err) =>
+          w.i32(p)
+          w.i64(off)
+          if (version >= 5) w.i32(-1) // committed_leader_epoch
+          w.str(meta)
+          w.i16(err)
+          w.tags()
+        }
+        w.tags()
+      }
+    }
+    if (version <= 7) {
+      val (_, gerr, topics) = groups.head
+      writeTopics(topics)
+      if (version >= 2) w.i16(gerr)
+    } else {
+      w.count(groups.length)
+      groups.foreach { case (gid, gerr, topics) =>
+        w.str(gid)
+        writeTopics(topics)
+        w.i16(gerr)
+        w.tags()
+      }
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetFetchResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Int, Seq[(String, Seq[(Int, Long, String, Int)])])]) = {
+    val flexible = version >= 6
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 3) r.i32() // throttle_time_ms
+    def readTopics(): Seq[(String, Seq[(Int, Long, String, Int)])] =
+      (0 until r.count()).map { _ =>
+        val name = r.str()
+        val parts = (0 until r.count()).map { _ =>
+          val p = r.i32()
+          val off = r.i64()
+          if (version >= 5) r.i32() // committed_leader_epoch
+          val meta = r.str()
+          val err = r.i16()
+          r.tags()
+          (p, off, meta, err)
+        }
+        r.tags()
+        (name, parts.toSeq)
+      }.toSeq
+    val groups =
+      if (version <= 7) {
+        val topics = readTopics()
+        val gerr = if (version >= 2) r.i16() else 0
+        Seq(("", gerr, topics))
+      } else
+        (0 until r.count()).map { _ =>
+          val gid = r.str()
+          val topics = readTopics()
+          val gerr = r.i16()
+          r.tags()
+          (gid, gerr, topics)
+        }.toSeq
+    r.tags()
+    (correlationId, groups)
+  }
+
+  // -- FindCoordinator (key 10) v0–v4: v1 key_type + error_message;
+  // v3 flexible; v4 batches coordinator_keys and moves the node
+  // fields into a per-key coordinators array. --
+
+  case class FindCoordinatorRequest(version: Int, correlationId: Int,
+      clientId: String, keyType: Int, keys: Seq[String])
+
+  def encodeFindCoordinatorRequest(version: Int, correlationId: Int,
+      clientId: String, keyType: Int, keys: Seq[String]): Array[Byte] = {
+    require(version >= 0 && version <= FindCoordinatorMaxVersion,
+      s"unsupported FindCoordinator version $version")
+    require(version >= 4 || keys.length == 1,
+      s"FindCoordinator v$version carries exactly one key")
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, FindCoordinatorApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    if (version <= 3) {
+      w.str(keys.head)
+      if (version >= 1) w.i8(keyType)
+    } else {
+      w.i8(keyType)
+      w.count(keys.length)
+      keys.foreach(w.str)
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeFindCoordinatorRequest(bytes: Array[Byte]): FindCoordinatorRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == FindCoordinatorApiKey,
+      "not a FindCoordinator request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= FindCoordinatorMaxVersion,
+      s"unsupported FindCoordinator version $version")
+    val flexible = version >= 3
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val (keyType, keys) =
+      if (version <= 3) {
+        val key = r.str()
+        val kt = if (version >= 1) r.i8() else 0
+        (kt, Seq(key))
+      } else {
+        val kt = r.i8()
+        (kt, (0 until r.count()).map(_ => r.str()).toSeq)
+      }
+    r.tags()
+    FindCoordinatorRequest(version, correlationId, clientId, keyType, keys)
+  }
+
+  /** Coordinators: (key, error, node_id, host, port). */
+  def encodeFindCoordinatorResponse(version: Int, correlationId: Int,
+      coordinators: Seq[(String, Int, Int, String, Int)]): Array[Byte] = {
+    require(version >= 0 && version <= FindCoordinatorMaxVersion,
+      s"unsupported FindCoordinator version $version")
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    if (version <= 3) {
+      val (_, err, node, host, port) = coordinators.head
+      w.i16(err)
+      if (version >= 1) w.str(null) // error_message
+      w.i32(node); w.str(host); w.i32(port)
+    } else {
+      w.count(coordinators.length)
+      coordinators.foreach { case (key, err, node, host, port) =>
+        w.str(key)
+        w.i32(node); w.str(host); w.i32(port)
+        w.i16(err)
+        w.str(null) // error_message
+        w.tags()
+      }
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeFindCoordinatorResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Int, Int, String, Int)]) = {
+    val flexible = version >= 3
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    val coordinators =
+      if (version <= 3) {
+        val err = r.i16()
+        if (version >= 1) r.str() // error_message
+        Seq(("", err, r.i32(), r.str(), r.i32()))
+      } else
+        (0 until r.count()).map { _ =>
+          val key = r.str()
+          val node = r.i32(); val host = r.str(); val port = r.i32()
+          val err = r.i16()
+          r.str() // error_message
+          r.tags()
+          (key, err, node, host, port)
+        }.toSeq
+    r.tags()
+    (correlationId, coordinators)
+  }
+
+  // -- JoinGroup (key 11) v0–v9: v1 rebalance_timeout; v4 opens the
+  // MEMBER_ID_REQUIRED (79) two-step for empty member ids; v5
+  // group_instance_id; v6 flexible; v7 nullable protocol names +
+  // response protocol_type; v8 reason; v9 response skip_assignment. --
+
+  case class JoinGroupRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, sessionTimeoutMs: Int, rebalanceTimeoutMs: Int,
+      memberId: String, groupInstanceId: String, protocolType: String,
+      protocols: Seq[(String, Array[Byte])], reason: String)
+
+  case class JoinGroupResponse(correlationId: Int, errorCode: Int,
+      generationId: Int, protocolType: String, protocol: String, leaderId: String,
+      memberId: String, members: Seq[(String, String, Array[Byte])],
+      skipAssignment: Boolean)
+
+  def encodeJoinGroupRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, sessionTimeoutMs: Int, rebalanceTimeoutMs: Int,
+      memberId: String, groupInstanceId: String, protocolType: String,
+      protocols: Seq[(String, Array[Byte])], reason: String = null): Array[Byte] = {
+    require(version >= 0 && version <= JoinGroupMaxVersion,
+      s"unsupported JoinGroup version $version")
+    val flexible = version >= 6
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, JoinGroupApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(group)
+    w.i32(sessionTimeoutMs)
+    if (version >= 1) w.i32(rebalanceTimeoutMs)
+    w.str(memberId)
+    if (version >= 5) w.str(groupInstanceId)
+    w.str(protocolType)
+    w.count(protocols.length)
+    protocols.foreach { case (n, m) => w.str(n); w.bytes(m); w.tags() }
+    if (version >= 8) w.str(reason)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeJoinGroupRequest(bytes: Array[Byte]): JoinGroupRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == JoinGroupApiKey, "not a JoinGroup request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= JoinGroupMaxVersion,
+      s"unsupported JoinGroup version $version")
+    val flexible = version >= 6
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val group = r.str()
+    val sessionTimeout = r.i32()
+    val rebalanceTimeout = if (version >= 1) r.i32() else sessionTimeout
+    val memberId = r.str()
+    val gii = if (version >= 5) r.str() else null
+    val protocolType = r.str()
+    val protocols = (0 until r.count()).map { _ =>
+      val t = (r.str(), r.bytes()); r.tags(); t
+    }
+    val reason = if (version >= 8) r.str() else null
+    r.tags()
+    JoinGroupRequest(version, correlationId, clientId, group, sessionTimeout,
+      rebalanceTimeout, memberId, gii, protocolType, protocols.toSeq, reason)
+  }
+
+  /** Members: (member_id, group_instance_id, metadata). */
+  def encodeJoinGroupResponse(version: Int, correlationId: Int, errorCode: Int,
+      generationId: Int, protocolType: String, protocol: String, leaderId: String,
+      memberId: String, members: Seq[(String, String, Array[Byte])],
+      skipAssignment: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= JoinGroupMaxVersion,
+      s"unsupported JoinGroup version $version")
+    val flexible = version >= 6
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 2) w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.i32(generationId)
+    if (version >= 7) w.str(protocolType)
+    w.str(protocol)
+    w.str(leaderId)
+    if (version >= 9) w.bool(skipAssignment)
+    w.str(memberId)
+    w.count(members.length)
+    members.foreach { case (id, gii, meta) =>
+      w.str(id)
+      if (version >= 5) w.str(gii)
+      w.bytes(meta)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeJoinGroupResponse(version: Int, bytes: Array[Byte]): JoinGroupResponse = {
+    val flexible = version >= 6
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 2) r.i32() // throttle_time_ms
+    val err = r.i16()
+    val gen = r.i32()
+    val protocolType = if (version >= 7) r.str() else null
+    val protocol = r.str()
+    val leader = r.str()
+    val skip = if (version >= 9) r.bool() else false
+    val member = r.str()
+    val members = (0 until r.count()).map { _ =>
+      val id = r.str()
+      val gii = if (version >= 5) r.str() else null
+      val meta = r.bytes()
+      r.tags()
+      (id, gii, meta)
+    }
+    r.tags()
+    JoinGroupResponse(correlationId, err, gen, protocolType, protocol, leader,
+      member, members.toSeq, skip)
+  }
+
+  // -- SyncGroup (key 14) v0–v5: v3 group_instance_id; v4 flexible;
+  // v5 protocol_type/protocol_name echoed in request and response. --
+
+  case class SyncGroupRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String, groupInstanceId: String,
+      protocolType: String, protocolName: String,
+      assignments: Seq[(String, Array[Byte])])
+
+  def encodeSyncGroupRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String, groupInstanceId: String,
+      protocolType: String, protocolName: String,
+      assignments: Seq[(String, Array[Byte])]): Array[Byte] = {
+    require(version >= 0 && version <= SyncGroupMaxVersion,
+      s"unsupported SyncGroup version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, SyncGroupApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(group)
+    w.i32(generationId)
+    w.str(memberId)
+    if (version >= 3) w.str(groupInstanceId)
+    if (version >= 5) { w.str(protocolType); w.str(protocolName) }
+    w.count(assignments.length)
+    assignments.foreach { case (id, a) => w.str(id); w.bytes(a); w.tags() }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeSyncGroupRequest(bytes: Array[Byte]): SyncGroupRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == SyncGroupApiKey, "not a SyncGroup request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= SyncGroupMaxVersion,
+      s"unsupported SyncGroup version $version")
+    val flexible = version >= 4
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val group = r.str()
+    val gen = r.i32()
+    val member = r.str()
+    val gii = if (version >= 3) r.str() else null
+    val (pt, pn) = if (version >= 5) (r.str(), r.str()) else (null, null)
+    val assignments = (0 until r.count()).map { _ =>
+      val t = (r.str(), r.bytes()); r.tags(); t
+    }
+    r.tags()
+    SyncGroupRequest(version, correlationId, clientId, group, gen, member, gii,
+      pt, pn, assignments.toSeq)
+  }
+
+  def encodeSyncGroupResponse(version: Int, correlationId: Int, errorCode: Int,
+      protocolType: String, protocolName: String,
+      assignment: Array[Byte]): Array[Byte] = {
+    require(version >= 0 && version <= SyncGroupMaxVersion,
+      s"unsupported SyncGroup version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    if (version >= 5) { w.str(protocolType); w.str(protocolName) }
+    w.bytes(assignment)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeSyncGroupResponse(version: Int, bytes: Array[Byte])
+      : (Int, Int, String, String, Array[Byte]) = {
+    val flexible = version >= 4
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    val err = r.i16()
+    val (pt, pn) = if (version >= 5) (r.str(), r.str()) else (null, null)
+    val assignment = r.bytes()
+    r.tags()
+    (correlationId, err, pt, pn, assignment)
+  }
+
+  // -- Heartbeat (key 12) v0–v4: v3 group_instance_id; v4 flexible. --
+
+  case class HeartbeatRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String, groupInstanceId: String)
+
+  def encodeHeartbeatRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, generationId: Int, memberId: String,
+      groupInstanceId: String = null): Array[Byte] = {
+    require(version >= 0 && version <= HeartbeatMaxVersion,
+      s"unsupported Heartbeat version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, HeartbeatApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(group)
+    w.i32(generationId)
+    w.str(memberId)
+    if (version >= 3) w.str(groupInstanceId)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeHeartbeatRequest(bytes: Array[Byte]): HeartbeatRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == HeartbeatApiKey, "not a Heartbeat request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= HeartbeatMaxVersion,
+      s"unsupported Heartbeat version $version")
+    val flexible = version >= 4
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val group = r.str()
+    val gen = r.i32()
+    val member = r.str()
+    val gii = if (version >= 3) r.str() else null
+    r.tags()
+    HeartbeatRequest(version, correlationId, clientId, group, gen, member, gii)
+  }
+
+  /** Heartbeat response at any version (v1+ throttle, v4 flexible). */
+  def encodeHeartbeatResponse(version: Int, correlationId: Int,
+      errorCode: Int): Array[Byte] = {
+    require(version >= 0 && version <= HeartbeatMaxVersion,
+      s"unsupported Heartbeat version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeHeartbeatResponse(version: Int, bytes: Array[Byte]): (Int, Int) = {
+    val flexible = version >= 4
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    val err = r.i16()
+    r.tags()
+    (correlationId, err)
+  }
+
+  // -- LeaveGroup (key 13) v0–v5: v3 moves to a MEMBERS array (batch
+  // leave, per-member response errors); v4 flexible; v5 per-member
+  // reason. --
+
+  /** Members: (member_id, group_instance_id, reason). */
+  case class LeaveGroupRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, members: Seq[(String, String, String)])
+
+  def encodeLeaveGroupRequest(version: Int, correlationId: Int, clientId: String,
+      group: String, members: Seq[(String, String, String)]): Array[Byte] = {
+    require(version >= 0 && version <= LeaveGroupMaxVersion,
+      s"unsupported LeaveGroup version $version")
+    require(version >= 3 || members.length == 1,
+      s"LeaveGroup v$version carries exactly one member")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, LeaveGroupApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(group)
+    if (version <= 2) w.str(members.head._1)
+    else {
+      w.count(members.length)
+      members.foreach { case (id, gii, reason) =>
+        w.str(id)
+        w.str(gii)
+        if (version >= 5) w.str(reason)
+        w.tags()
+      }
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeLeaveGroupRequest(bytes: Array[Byte]): LeaveGroupRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == LeaveGroupApiKey, "not a LeaveGroup request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= LeaveGroupMaxVersion,
+      s"unsupported LeaveGroup version $version")
+    val flexible = version >= 4
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val group = r.str()
+    val members =
+      if (version <= 2) Seq((r.str(), null: String, null: String))
+      else (0 until r.count()).map { _ =>
+        val id = r.str()
+        val gii = r.str()
+        val reason = if (version >= 5) r.str() else null
+        r.tags()
+        (id, gii, reason)
+      }.toSeq
+    r.tags()
+    LeaveGroupRequest(version, correlationId, clientId, group, members)
+  }
+
+  /** Members: (member_id, group_instance_id, error). */
+  def encodeLeaveGroupResponse(version: Int, correlationId: Int, errorCode: Int,
+      members: Seq[(String, String, Int)]): Array[Byte] = {
+    require(version >= 0 && version <= LeaveGroupMaxVersion,
+      s"unsupported LeaveGroup version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    if (version >= 3) {
+      w.count(members.length)
+      members.foreach { case (id, gii, err) =>
+        w.str(id); w.str(gii); w.i16(err); w.tags()
+      }
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeLeaveGroupResponse(version: Int, bytes: Array[Byte])
+      : (Int, Int, Seq[(String, String, Int)]) = {
+    val flexible = version >= 4
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    val err = r.i16()
+    val members =
+      if (version >= 3) (0 until r.count()).map { _ =>
+        val t = (r.str(), r.str(), r.i16()); r.tags(); t
+      }.toSeq
+      else Seq.empty
+    r.tags()
+    (correlationId, err, members)
   }
 
   // --- Group/topic admin v0 (DescribeGroups 15, ListGroups 16,

@@ -97,9 +97,8 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
       case KafkaWire.OffsetCommitApiKey => broker.handleOffsetCommit(framed)
       case KafkaWire.OffsetFetchApiKey => broker.handleOffsetFetch(framed)
       case KafkaWire.FindCoordinatorApiKey =>
-        // single-broker: every group's coordinator is this server
-        val (corr, _) = KafkaWire.decodeFindCoordinatorRequestV0(framed)
-        KafkaWire.encodeFindCoordinatorResponseV0(corr, 0, 0, advertisedHost, boundPort)
+        // single-broker: every key's coordinator is this server
+        broker.handleFindCoordinator(framed, advertisedHost, boundPort)
       case KafkaWire.JoinGroupApiKey => broker.handleJoinGroup(framed)
       case KafkaWire.HeartbeatApiKey => broker.handleHeartbeat(framed)
       case KafkaWire.LeaveGroupApiKey => broker.handleLeaveGroup(framed)

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.io.DataInputStream
+import java.net.Socket
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The hand-derived conformance trace of an off-the-shelf modern
+  * client (Java kafka-clients 3.x classic-protocol consumer +
+  * producer) against graft's WireServer, replayed byte-for-byte over
+  * a real TCP socket.
+  *
+  * No Kafka client library exists in this build environment (zero
+  * dependency egress; /opt/spark/jars carries no kafka-clients), so
+  * this spec encodes the NEGOTIATION a 3.x client performs instead:
+  * the client sends ApiVersions v3, intersects each API's advertised
+  * [min,max] with its own supported range, and uses
+  * min(clientMax, brokerMax). The clientMax column below is the
+  * public protocol surface of kafka-clients 3.7 (classic consumer
+  * group protocol; KIP-848's v9+ group RPCs arrive with 3.8+/4.x):
+  *
+  *   API              clientMax   broker advertises   negotiated
+  *   Metadata            12             0–12              12
+  *   Produce             10             0–9                9
+  *   FindCoordinator      4             0–4                4
+  *   JoinGroup            9             0–9                9
+  *   SyncGroup            5             0–5                5
+  *   OffsetFetch          8             0–8                8
+  *   ListOffsets          8             0–7                7
+  *   Fetch               16             0–12              12
+  *   OffsetCommit         8             0–8                8
+  *   Heartbeat            4             0–4                4
+  *   LeaveGroup           5             0–5                5
+  *
+  * The trace then drives the full client lifecycle AT those
+  * versions: bootstrap → produce (magic-2, headers) → coordinator
+  * lookup → the JoinGroup v4+ MEMBER_ID_REQUIRED two-step → sync →
+  * offset restore → list offsets → fetch → commit (generation-fenced)
+  * → heartbeat → leave. */
+class ModernClientTraceSpec extends AnyFunSuite {
+  import KafkaWire._
+  lazy val spark = TestSpark.spark
+
+  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] = {
+    sock.getOutputStream.write(request)
+    sock.getOutputStream.flush()
+    val in = new DataInputStream(sock.getInputStream)
+    val size = in.readInt()
+    val payload = new Array[Byte](size)
+    in.readFully(payload)
+    val framed = new Array[Byte](size + 4)
+    framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
+    framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
+    System.arraycopy(payload, 0, framed, 4, size)
+    framed
+  }
+
+  /** kafka-clients 3.7 classic-protocol maxima (public spec). */
+  private val clientMax = Map(
+    "Metadata" -> 12, "Produce" -> 10, "FindCoordinator" -> 4,
+    "JoinGroup" -> 9, "SyncGroup" -> 5, "OffsetFetch" -> 8,
+    "ListOffsets" -> 8, "Fetch" -> 16, "OffsetCommit" -> 8,
+    "Heartbeat" -> 4, "LeaveGroup" -> 5)
+
+  test("a 3.x client's negotiated session: produce, join, sync, fetch, commit, leave") {
+    val root = Files.createTempDirectory("graft-trace").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("trace", 2)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // 1. ApiVersions v3 — the negotiation source of truth
+      val apis = decodeApiVersionsResponseV3(exchange(sock,
+        encodeApiVersionsRequestV3(1, "trace-cli", "apache-kafka-java", "3.7.0")))
+      val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
+      val names = Broker.WireApis.map(a => a._2 -> a._1).toMap
+      def negotiated(api: String): Int = {
+        val (min, max) = advertised(names(api))
+        val v = math.min(clientMax(api), max)
+        assert(v >= min, s"$api: negotiated v$v below broker floor $min")
+        v
+      }
+      // the published negotiation table IS what the catalog yields
+      assert(negotiated("Metadata") === 12)
+      assert(negotiated("Produce") === 9)
+      assert(negotiated("FindCoordinator") === 4)
+      assert(negotiated("JoinGroup") === 9)
+      assert(negotiated("SyncGroup") === 5)
+      assert(negotiated("OffsetFetch") === 8)
+      assert(negotiated("ListOffsets") === 7)
+      assert(negotiated("Fetch") === 12)
+      assert(negotiated("OffsetCommit") === 8)
+      assert(negotiated("Heartbeat") === 4)
+      assert(negotiated("LeaveGroup") === 5)
+
+      // 2. Metadata v12: bootstrap view
+      val meta = decodeMetadataResponse(12, exchange(sock,
+        encodeMetadataRequest(12, 2, "trace-cli", None)))
+      assert(meta.brokers === Seq((0, "127.0.0.1", server.boundPort)))
+      assert(meta.topics.map(t => (t.name, t.partitions.length)) === Seq(("trace", 2)))
+
+      // 3. Produce v9: flexible, magic-2, headers on the wire
+      def rec(k: String, v: String, hdr: (String, String)*) =
+        WireRecordV2(1700000000000L, k.getBytes("UTF-8"), v.getBytes("UTF-8"),
+          hdr.map { case (hk, hv) => hk -> hv.getBytes("UTF-8") })
+      val produced = decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 3, "trace-cli", null, 1, 30000, Seq(("trace", Seq(
+          (0, Seq(rec("k0", "v0", "h" -> "x"), rec("k1", "v1"))),
+          (1, Seq(rec("k2", "v2")))))))))
+      assert(produced._2 === Seq(("trace", Seq((0, 0, 0L), (1, 0, 0L)))))
+
+      // 4. FindCoordinator v4 (batched keys)
+      val coords = decodeFindCoordinatorResponse(4, exchange(sock,
+        encodeFindCoordinatorRequest(4, 4, "trace-cli", 0, Seq("trace-group"))))
+      assert(coords._2 === Seq(("trace-group", 0, 0, "127.0.0.1", server.boundPort)))
+
+      // 5. JoinGroup v9, empty member id → the MEMBER_ID_REQUIRED
+      // two-step every modern client performs
+      val sub: Array[Byte] = Array(0, 1, 0, 0) // opaque subscription bytes
+      val first = decodeJoinGroupResponse(9, exchange(sock,
+        encodeJoinGroupRequest(9, 5, "trace-cli", "trace-group", 10000, 30000,
+          "", null, "consumer", Seq(("range", sub)))))
+      assert(first.errorCode === GroupCoordinator.MemberIdRequired)
+      assert(first.memberId.nonEmpty)
+      val joined = decodeJoinGroupResponse(9, exchange(sock,
+        encodeJoinGroupRequest(9, 6, "trace-cli", "trace-group", 10000, 30000,
+          first.memberId, null, "consumer", Seq(("range", sub)))))
+      assert(joined.errorCode === 0)
+      assert(joined.memberId === first.memberId)
+      assert(joined.leaderId === joined.memberId, "sole member leads")
+      assert(joined.protocolType === "consumer")
+      assert(joined.protocol === "range")
+      assert(joined.members.map(_._1) === Seq(joined.memberId),
+        "the leader sees the full roster")
+
+      // 6. SyncGroup v5: the leader ships assignments; reads its own back
+      val assignment: Array[Byte] = Array(0, 1, 0, 0, 0, 0, 0, 1, 0, 5)
+      val (_, syncErr, _, _, got) = decodeSyncGroupResponse(5, exchange(sock,
+        encodeSyncGroupRequest(5, 7, "trace-cli", "trace-group",
+          joined.generationId, joined.memberId, null, "consumer", "range",
+          Seq((joined.memberId, assignment)))))
+      assert(syncErr === 0)
+      assert(got.toSeq === assignment.toSeq)
+
+      // 7. OffsetFetch v8 (batched groups): nothing committed yet → -1
+      val before = decodeOffsetFetchResponse(8, exchange(sock,
+        encodeOffsetFetchRequest(8, 8, "trace-cli",
+          Seq(("trace-group", Some(Seq(("trace", Seq(0, 1)))))))))
+      assert(before._2.head._3 ===
+        Seq(("trace", Seq((0, -1L, null, 0), (1, -1L, null, 0)))))
+
+      // 8. ListOffsets v7: earliest on both partitions
+      val lo = decodeListOffsetsResponse(7, exchange(sock,
+        encodeListOffsetsRequest(7, 9, "trace-cli",
+          Seq(("trace", Seq((0, -2L, 1), (1, -2L, 1)))))))
+      assert(lo._2.head._2.map(p => (p._1, p._2, p._4)) ===
+        Seq((0, 0, 0L), (1, 0, 0L)))
+
+      // 9. Fetch v12: records return as magic-2 batches — keys,
+      // values, AND headers survive the socket
+      val fetched = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 10, "trace-cli", 500, 1, 1 << 20,
+          Seq(("trace", Seq((0, 0L, 1 << 20), (1, 0L, 1 << 20)))))))
+      val p0 = fetched._2.head._2.find(_._1 == 0).get
+      assert(p0._4.map(r => (new String(r._2.key, "UTF-8"),
+        new String(r._2.value, "UTF-8"))) === Seq(("k0", "v0"), ("k1", "v1")))
+      assert(p0._4.head._2.headers.map { case (k, v) =>
+        (k, new String(v, "UTF-8")) } === Seq(("h", "x")))
+      val p1 = fetched._2.head._2.find(_._1 == 1).get
+      assert(p1._4.map(r => new String(r._2.value, "UTF-8")) === Seq("v2"))
+
+      // 10. OffsetCommit v8, fenced by (generation, member)
+      val committed = decodeOffsetCommitResponse(8, exchange(sock,
+        encodeOffsetCommitRequest(8, 11, "trace-cli", "trace-group",
+          joined.generationId, joined.memberId, null,
+          Seq(("trace", Seq((0, 2L, ""), (1, 1L, "")))))))
+      assert(committed._2 === Seq(("trace", Seq((0, 0), (1, 0)))))
+      // a STALE generation is fenced per partition
+      val fenced = decodeOffsetCommitResponse(8, exchange(sock,
+        encodeOffsetCommitRequest(8, 12, "trace-cli", "trace-group",
+          joined.generationId + 7, joined.memberId, null,
+          Seq(("trace", Seq((0, 2L, "")))))))
+      assert(fenced._2 === Seq(("trace",
+        Seq((0, GroupCoordinator.IllegalGeneration)))))
+
+      // 11. OffsetFetch v8 again: the commit is visible
+      val after = decodeOffsetFetchResponse(8, exchange(sock,
+        encodeOffsetFetchRequest(8, 13, "trace-cli",
+          Seq(("trace-group", None))))) // null topics = all committed
+      assert(after._2.head._3 ===
+        Seq(("trace", Seq((0, 2L, "", 0), (1, 1L, "", 0)))))
+
+      // 12. Heartbeat v4 keeps the session; LeaveGroup v5 ends it
+      assert(decodeHeartbeatResponse(4, exchange(sock,
+        encodeHeartbeatRequest(4, 14, "trace-cli", "trace-group",
+          joined.generationId, joined.memberId)))._2 === 0)
+      val (_, leaveErr, leftMembers) = decodeLeaveGroupResponse(5, exchange(sock,
+        encodeLeaveGroupRequest(5, 15, "trace-cli", "trace-group",
+          Seq((joined.memberId, null, "shutdown")))))
+      assert(leaveErr === 0)
+      assert(leftMembers === Seq((joined.memberId, null, 0)))
+
+      // a stale join after leaving is rejected AND creates no phantom
+      val stale = decodeJoinGroupResponse(9, exchange(sock,
+        encodeJoinGroupRequest(9, 16, "trace-cli", "ghost-group", 10000, 30000,
+          "never-seen", null, "consumer", Seq(("range", sub)))))
+      assert(stale.errorCode === GroupCoordinator.UnknownMemberId)
+      assert(!broker.coordinator.listGroups().exists(_._1 == "ghost-group"))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+}
