@@ -226,6 +226,67 @@ class Broker(spark: SparkSession, root: String) {
     else encodeProduceResponse(req.version, req.correlationId, results)
   }
 
+  // --- KIP-227 incremental fetch sessions (Fetch v7+): a
+  // many-partition consumer registers its fetch state once (epoch 0
+  // full fetch) and then sends only CHANGED partitions; the broker
+  // serves the whole remembered set and omits partitions with
+  // nothing new. Sessions are pure per-connection metadata (offsets
+  // + byte caps + last-reported watermarks), capped at
+  // MaxFetchSessions with least-recently-used eviction — an evicted
+  // client sees FETCH_SESSION_ID_NOT_FOUND and re-sends a full
+  // fetch, exactly the protocol's recovery path. ---
+
+  private val fetchSessions =
+    scala.collection.mutable.Map.empty[Int, Broker.FetchSession]
+  private var nextFetchSessionId = 0
+
+  /** Resolve the request through the session layer: returns
+    * (sessionId, errorCode, effectiveTopics, session). errorCode 70 =
+    * FETCH_SESSION_ID_NOT_FOUND, 71 = INVALID_FETCH_SESSION_EPOCH. */
+  private def resolveFetchSession(req: KafkaWire.FetchRequest)
+      : (Int, Int, Seq[(String, Seq[(Int, Long, Int)])], Option[Broker.FetchSession]) =
+    fetchSessions.synchronized {
+      if (req.version < 7 || (req.sessionId == 0 && req.sessionEpoch < 0))
+        (0, 0, req.topics, None) // sessionless full fetch
+      else if (req.sessionEpoch < 0) {
+        // FINAL_EPOCH: close the session, serve this one as full
+        fetchSessions.remove(req.sessionId)
+        (0, 0, req.topics, None)
+      } else if (req.sessionEpoch == 0) {
+        // full fetch opening a NEW session seeded with its partitions
+        if (fetchSessions.size >= Broker.MaxFetchSessions)
+          fetchSessions.remove(fetchSessions.minBy(_._2.lastUsedMs)._1)
+        nextFetchSessionId += 1
+        val s = new Broker.FetchSession
+        req.topics.foreach { case (t, ps) =>
+          ps.foreach { case (p, off, mb) => s.partitions.put((t, p), (off, mb)) }
+        }
+        fetchSessions.put(nextFetchSessionId, s)
+        (nextFetchSessionId, 0, req.topics, Some(s))
+      } else fetchSessions.get(req.sessionId) match {
+        case None => (0, 70, Seq.empty, None)
+        case Some(s) if req.sessionEpoch != s.epoch + 1 =>
+          (req.sessionId, 71, Seq.empty, None)
+        case Some(s) =>
+          s.epoch = req.sessionEpoch
+          s.lastUsedMs = System.currentTimeMillis()
+          // request entries add/update; forgotten entries remove
+          req.topics.foreach { case (t, ps) =>
+            ps.foreach { case (p, off, mb) => s.partitions.put((t, p), (off, mb)) }
+          }
+          req.forgotten.foreach { case (t, ps) =>
+            ps.foreach { p => s.partitions.remove((t, p)); s.lastHw.remove((t, p)) }
+          }
+          // the broker serves the session's WHOLE set, in topic groups
+          val effective = s.partitions.toSeq
+            .groupBy(_._1._1).toSeq.sortBy(_._1)
+            .map { case (t, entries) =>
+              (t, entries.map { case ((_, p), (off, mb)) => (p, off, mb) })
+            }
+          (req.sessionId, 0, effective, Some(s))
+      }
+    }
+
   /** Fetch exchange (v0–v12; flexible at v12): bounded reads from
     * (partition, offset) with BOTH byte limits honored — the
     * per-partition max_bytes and, at v3+, the request-level max_bytes
@@ -235,10 +296,19 @@ class Broker(spark: SparkSession, root: String) {
     * end, error 1 (OFFSET_OUT_OF_RANGE) past the end, error 3 for
     * unknown topics/partitions. v4+ responses carry magic-2 batches,
     * so stored headers and timestamps reach the consumer; v0–v3 fall
-    * back to the headerless message-set format those versions define. */
+    * back to the headerless message-set format those versions define.
+    * v7+ requests route through the KIP-227 session layer; an
+    * INCREMENTAL response omits partitions with no records, no error,
+    * and an unchanged high watermark since last reported. */
   def handleFetch(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req = decodeFetchRequest(requestBytes)
+    val req0 = decodeFetchRequest(requestBytes)
+    val (sessionId, sessionError, effectiveTopics, session) =
+      resolveFetchSession(req0)
+    if (sessionError != 0)
+      return encodeFetchResponse(req0.version, req0.correlationId, Seq.empty,
+        sessionError, sessionId)
+    val req = req0.copy(topics = effectiveTopics)
     // request-level byte budget (Fetch v3+): without it a
     // many-partition fetch returns up to nPartitions × partition
     // max_bytes, far past the client's stated response ceiling
@@ -313,7 +383,26 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
-    encodeFetchResponse(req.version, req.correlationId, topicsOut)
+    // session bookkeeping + the KIP-227 response-side omission: an
+    // incremental response carries only partitions with something new
+    val incremental = session.isDefined && req0.sessionEpoch > 0
+    val out = session match {
+      case None => topicsOut
+      case Some(s) => fetchSessions.synchronized {
+        val filtered = topicsOut.map { case (name, parts) =>
+          val kept = parts.filter { case (p, err, hw, records) =>
+            val key = (name, p)
+            val changed = err != 0 || records.nonEmpty ||
+              !s.lastHw.get(key).contains(hw)
+            s.lastHw.put(key, hw)
+            !incremental || changed
+          }
+          (name, kept)
+        }.filter { case (_, parts) => parts.nonEmpty || !incremental }
+        filtered
+      }
+    }
+    encodeFetchResponse(req.version, req.correlationId, out, 0, sessionId)
   }
 
   // --- wire-level group membership (JoinGroup/SyncGroup/Heartbeat/
@@ -615,6 +704,23 @@ class Broker(spark: SparkSession, root: String) {
 }
 
 object Broker {
+  /** Cap on concurrently remembered fetch sessions; beyond it the
+    * least-recently-used session is evicted (the evicted client
+    * recovers via FETCH_SESSION_ID_NOT_FOUND → full fetch). */
+  val MaxFetchSessions = 64
+
+  /** KIP-227 fetch-session state: the remembered partition set (its
+    * fetch offsets and byte caps, in insertion order) plus the last
+    * high watermark reported per partition — the omission signal. */
+  private[streaming] final class FetchSession {
+    var epoch: Int = 0
+    var lastUsedMs: Long = System.currentTimeMillis()
+    val partitions: scala.collection.mutable.LinkedHashMap[(String, Int), (Long, Int)] =
+      scala.collection.mutable.LinkedHashMap.empty
+    val lastHw: scala.collection.mutable.Map[(String, Int), Long] =
+      scala.collection.mutable.Map.empty
+  }
+
   /** (api_key, name, min_version, max_version) — mirrors the Kafka
     * protocol key space for the core APIs graft implements. */
   val SupportedApis: Seq[(Int, String, Int, Int)] = Seq(
@@ -644,8 +750,8 @@ object Broker {
     * straight into a version we reject. Produce spans 0–9 and Fetch
     * 0–12 — contiguous through the flexible (KIP-482) encodings, so
     * a modern client negotiates its preferred version and gets
-    * magic-2 batches (headers included) end-to-end; every fetch is
-    * served as a full sessionless fetch (session_id 0). */
+    * magic-2 batches (headers included) end-to-end, with KIP-227
+    * incremental fetch sessions served at v7+. */
   val WireApis: Seq[(Int, String, Int, Int)] = Seq(
     (0, "Produce", 0, KafkaWire.ProduceMaxVersion),
     (1, "Fetch", 0, KafkaWire.FetchMaxVersion),

@@ -1005,9 +1005,9 @@ object KafkaWire {
   //     error_message; v9 flexible.
   //   Fetch request:    v3 max_bytes; v4 isolation_level; v5 per-
   //     partition log_start_offset; v7 session_id/epoch + forgotten
-  //     topics; v9 current_leader_epoch; v11 rack_id; v12 flexible +
-  //     per-partition last_fetched_epoch. Graft serves every fetch
-  //     as a full (sessionless) fetch: session_id 0, epoch −1.
+  //     topics (KIP-227 — served by Broker's fetch-session layer);
+  //     v9 current_leader_epoch; v11 rack_id; v12 flexible +
+  //     per-partition last_fetched_epoch.
   //   Fetch response:   v1+ throttle; v4 last_stable_offset + aborted
   //     transactions + RECORDS (magic-2) instead of a MessageSet;
   //     v5 log_start_offset; v7 error_code + session_id; v11
@@ -1076,9 +1076,15 @@ object KafkaWire {
       transactionalId: String, acks: Int, timeoutMs: Int,
       topics: Seq[(String, Seq[(Int, Seq[WireRecordV2])])])
 
+  /** sessionId/sessionEpoch are the KIP-227 fetch-session fields
+    * (v7+; epoch −1 = sessionless, 0 = open a new session, >0 =
+    * incremental); forgotten lists the partitions an incremental
+    * fetch removes from its session. */
   case class FetchRequest(version: Int, correlationId: Int, clientId: String,
       maxWaitMs: Int, minBytes: Int, maxBytes: Int,
-      topics: Seq[(String, Seq[(Int, Long, Int)])])
+      sessionId: Int, sessionEpoch: Int,
+      topics: Seq[(String, Seq[(Int, Long, Int)])],
+      forgotten: Seq[(String, Seq[Int])])
 
   private def produceRecordsPayload(version: Int,
       records: Seq[WireRecordV2]): Array[Byte] =
@@ -1217,7 +1223,9 @@ object KafkaWire {
 
   def encodeFetchRequest(version: Int, correlationId: Int, clientId: String,
       maxWaitMs: Int, minBytes: Int, maxBytes: Int,
-      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+      topics: Seq[(String, Seq[(Int, Long, Int)])],
+      sessionId: Int = 0, sessionEpoch: Int = -1,
+      forgotten: Seq[(String, Seq[Int])] = Seq.empty): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
@@ -1233,7 +1241,7 @@ object KafkaWire {
     w.i32(minBytes)
     if (version >= 3) w.i32(maxBytes)
     if (version >= 4) out.write(0) // isolation_level: read_uncommitted
-    if (version >= 7) { w.i32(0); w.i32(-1) } // session_id, epoch: sessionless
+    if (version >= 7) { w.i32(sessionId); w.i32(sessionEpoch) }
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
       w.str(name)
@@ -1249,7 +1257,14 @@ object KafkaWire {
       }
       w.tags()
     }
-    if (version >= 7) w.count(0) // forgotten_topics_data
+    if (version >= 7) {
+      w.count(forgotten.length)
+      forgotten.foreach { case (name, parts) =>
+        w.str(name)
+        w.count(parts.length); parts.foreach(w.i32)
+        w.tags()
+      }
+    }
     if (version >= 11) w.str("") // rack_id
     w.tags()
     frame(out.toByteArray)
@@ -1271,7 +1286,8 @@ object KafkaWire {
     val minBytes = r.i32()
     val maxBytes = if (version >= 3) r.i32() else Int.MaxValue
     if (version >= 4) buf.get() // isolation_level
-    if (version >= 7) { r.i32(); r.i32() } // session_id, session_epoch
+    val (sessionId, sessionEpoch) =
+      if (version >= 7) (r.i32(), r.i32()) else (0, -1)
     val topics = (0 until r.count()).map { _ =>
       val name = r.str()
       val parts = (0 until r.count()).map { _ =>
@@ -1287,13 +1303,18 @@ object KafkaWire {
       r.tags()
       (name, parts.toSeq)
     }
-    if (version >= 7) (0 until r.count()).foreach { _ =>
-      r.str(); (0 until r.count()).foreach(_ => r.i32()); r.tags()
-    }
+    val forgotten =
+      if (version >= 7) (0 until r.count()).map { _ =>
+        val name = r.str()
+        val parts = (0 until r.count()).map(_ => r.i32())
+        r.tags()
+        (name, parts.toSeq)
+      }.toSeq
+      else Seq.empty[(String, Seq[Int])]
     if (version >= 11) r.str() // rack_id
     r.tags()
     FetchRequest(version, correlationId, clientId, maxWait, minBytes, maxBytes,
-      topics.toSeq)
+      sessionId, sessionEpoch, topics.toSeq, forgotten)
   }
 
   /** Encode a fetch response at any version 0–12; records are
@@ -1303,7 +1324,8 @@ object KafkaWire {
     * timestamps — the fidelity loss is the FORMAT's, so v4+ is what
     * a header-carrying client negotiates. */
   def encodeFetchResponse(version: Int, correlationId: Int,
-      topics: Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]): Array[Byte] = {
+      topics: Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])],
+      errorCode: Int = 0, sessionId: Int = 0): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
@@ -1312,7 +1334,7 @@ object KafkaWire {
     if (flexible) writeUVarInt(out, 0) // response header v1 tag buffer
     val w = new WR(out, flexible)
     if (version >= 1) w.i32(0) // throttle_time_ms
-    if (version >= 7) { w.i16(0); w.i32(0) } // error_code, session_id
+    if (version >= 7) { w.i16(errorCode); w.i32(sessionId) }
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
       w.str(name)
@@ -1342,13 +1364,22 @@ object KafkaWire {
 
   def decodeFetchResponse(version: Int, bytes: Array[Byte])
       : (Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]) = {
+    val full = decodeFetchResponseFull(version, bytes)
+    (full._1, full._4)
+  }
+
+  /** Like [[decodeFetchResponse]] but surfacing the v7+ session
+    * fields: (correlationId, errorCode, sessionId, topics). */
+  def decodeFetchResponseFull(version: Int, bytes: Array[Byte])
+      : (Int, Int, Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]) = {
     val flexible = version >= 12
     val buf = unframe(bytes)
     val correlationId = buf.getInt
     if (flexible) readTags(buf)
     val r = new RD(buf, flexible)
     if (version >= 1) r.i32() // throttle_time_ms
-    if (version >= 7) { r.i16(); r.i32() } // error_code, session_id
+    val (errorCode, sessionId) =
+      if (version >= 7) (r.i16(), r.i32()) else (0, 0)
     val topics = (0 until r.count()).map { _ =>
       val name = r.str()
       val parts = (0 until r.count()).map { _ =>
@@ -1373,7 +1404,7 @@ object KafkaWire {
       (name, parts.toSeq)
     }
     r.tags()
-    (correlationId, topics.toSeq)
+    (correlationId, errorCode, sessionId, topics.toSeq)
   }
 
   // --- Group membership v0 (JoinGroup 11, Heartbeat 12, LeaveGroup
