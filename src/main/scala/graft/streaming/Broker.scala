@@ -185,9 +185,20 @@ class Broker(spark: SparkSession, root: String) {
       if (!topicExists(name)) (name, parts.map { case (p, _) => (p, 3, -1L) })
       else {
         val log = topic(name)
-        val valid = parts.filter { case (p, _) => p >= 0 && p < log.numPartitions }
-        val rows = valid.flatMap { case (p, rs) =>
-          rs.map { r =>
+        // Phase 1 — the idempotence gate: pure in-memory metadata, so
+        // every partition entry resolves to Append / Duplicate /
+        // Reject BEFORE any row lands. A rejected or duplicate entry
+        // writes nothing; the rest of the request proceeds.
+        val decisions: Seq[Broker.ProduceDecision] = parts.map {
+          case (p, batches) =>
+            if (p < 0 || p >= log.numPartitions) Broker.Reject(3)
+            else validateProducerBatches(name, p, batches)
+        }
+        val appending = parts.zip(decisions).collect {
+          case ((p, batches), Broker.Append) => (p, batches)
+        }
+        val rows = appending.flatMap { case (p, batches) =>
+          batches.flatMap(_.records).map { r =>
             val hdrs = if (r.headers.isEmpty) null else r.headers.toMap
             val ts = if (r.timestampMs >= 0) new java.sql.Timestamp(r.timestampMs)
               else appendTime
@@ -204,26 +215,148 @@ class Broker(spark: SparkSession, root: String) {
         // Base offsets derive from the COMMITTED ends the produce
         // returned, not a pre-produce snapshot: a snapshot is stale
         // under concurrent producers and wrong when one request lists
-        // a partition twice. Entries are scanned in request order,
-        // each claiming its records' range below the next.
+        // a partition twice. Appended entries are scanned in request
+        // order, each claiming its records' range below the next.
         val written = scala.collection.mutable.Map.empty[Int, Long]
-        valid.foreach { case (p, rs) =>
-          written(p) = written.getOrElse(p, 0L) + rs.length
+        appending.foreach { case (p, batches) =>
+          written(p) = written.getOrElse(p, 0L) +
+            batches.iterator.map(_.records.length.toLong).sum
         }
         val consumedSoFar = scala.collection.mutable.Map.empty[Int, Long]
-        (name, parts.map { case (p, rs) =>
-          if (p < 0 || p >= log.numPartitions) (p, 3, -1L)
-          else {
+        (name, parts.zip(decisions).map {
+          case ((p, _), Broker.Reject(err)) => (p, err, -1L)
+          case ((p, _), Broker.Duplicate(base)) => (p, 0, base)
+          case ((p, batches), Broker.Append) =>
+            val nRecs = batches.iterator.map(_.records.length.toLong).sum
             val firstBase = after.getOrElse(p, 0L) - written.getOrElse(p, 0L)
             val base = firstBase + consumedSoFar.getOrElse(p, 0L)
-            consumedSoFar(p) = consumedSoFar.getOrElse(p, 0L) + rs.length
+            consumedSoFar(p) = consumedSoFar.getOrElse(p, 0L) + nRecs
+            // Phase 2 — the append committed; remember each batch's
+            // sequence span + base offset for duplicate detection.
+            recordProducerBatches(name, p, batches, base)
             (p, 0, base)
-          }
         })
       }
     }
     if (req.acks == 0) Array.empty
     else encodeProduceResponse(req.version, req.correlationId, results)
+  }
+
+  // --- idempotent producer (InitProducerId, key 22): the broker
+  // remembers, per (producer_id, topic, partition), the producer's
+  // epoch, last appended sequence, and the last
+  // MaxRecentBatchesPerProducer appended batches. A retried batch
+  // (same epoch + baseSequence + count as a remembered append) acks
+  // the ORIGINAL base offset without writing — the exactly-once
+  // produce guarantee; a sequence gap answers
+  // OUT_OF_ORDER_SEQUENCE_NUMBER (45) and a stale epoch
+  // INVALID_PRODUCER_EPOCH (47), both protocol-visible retry/fail
+  // signals. State is metadata-only and bounded: MaxProducerStates
+  // entries, oldest-first eviction (an evicted producer's retry is
+  // indistinguishable from a fresh non-zero start → 45 → the client
+  // re-initializes, the protocol's own recovery path). Validation and
+  // bookkeeping both run under one in-memory lock; a single producer
+  // drives one connection (the serve loop is request-response), so
+  // same-pid requests never interleave between the two phases. ---
+
+  private val nextProducerId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val producerStates = scala.collection.mutable.LinkedHashMap
+    .empty[(Long, String, Int), Broker.ProducerPartitionState]
+
+  /** Sequence arithmetic wraps at Int.MaxValue per the protocol
+    * (sequences live in [0, Int.MaxValue]). */
+  private def seqAdd(seq: Int, n: Int): Int =
+    ((seq.toLong + n) % 0x80000000L).toInt
+
+  /** Resolve one partition payload against producer state. Multiple
+    * batches per payload validate as a chain (each extending the
+    * last); the Duplicate fast-path applies to the single-batch form
+    * — the only shape a real producer sends — and a multi-batch
+    * payload containing a replay answers DUPLICATE_SEQUENCE_NUMBER
+    * (46) since its mixed append would be ambiguous. */
+  private def validateProducerBatches(topicName: String, p: Int,
+      batches: Seq[KafkaWire.ProducedBatch]): Broker.ProduceDecision = {
+    if (!batches.exists(_.producerId >= 0)) return Broker.Append
+    producerStates.synchronized {
+      // pid → sequence position after the prior batches of THIS payload
+      val provisional = scala.collection.mutable.Map.empty[Long, Int]
+      batches.foreach { b =>
+        if (b.producerId >= 0 && b.records.nonEmpty) {
+          // read-only lookup: a rejected request must NOT materialize
+          // state (a phantom entry would let bad pids evict real ones
+          // from the bounded map) — only the record phase inserts
+          val st = producerStates.get((b.producerId, topicName, p))
+          if (b.producerEpoch < st.map(_.epoch).getOrElse(-1))
+            return Broker.Reject(47)
+          st.filter(_.epoch == b.producerEpoch).foreach { s =>
+            s.recent.find { case (seq, n, _) =>
+              seq == b.baseSequence && n == b.records.length
+            }.foreach { case (_, _, base) =>
+              return if (batches.length == 1) Broker.Duplicate(base)
+                else Broker.Reject(46)
+            }
+          }
+          // a new epoch (or an unknown producer) must start at 0
+          val last = provisional.get(b.producerId).orElse(
+            st.filter(s => s.epoch == b.producerEpoch && s.lastSeq >= 0)
+              .map(_.lastSeq))
+          val expected = last.map(seqAdd(_, 1)).getOrElse(0)
+          if (b.baseSequence != expected) return Broker.Reject(45)
+          provisional(b.producerId) = seqAdd(b.baseSequence, b.records.length - 1)
+        }
+      }
+      Broker.Append
+    }
+  }
+
+  /** After a committed append: advance each idempotent batch's
+    * sequence state and remember its (baseSequence, count,
+    * baseOffset) for duplicate detection. */
+  private def recordProducerBatches(topicName: String, p: Int,
+      batches: Seq[KafkaWire.ProducedBatch], baseOffset: Long): Unit = {
+    var off = baseOffset
+    producerStates.synchronized {
+      batches.foreach { b =>
+        if (b.producerId >= 0 && b.records.nonEmpty) {
+          val key = (b.producerId, topicName, p)
+          // remove + reinsert so insertion order IS recency order —
+          // eviction below then drops the least-recently-active state
+          val st = producerStates.remove(key)
+            .getOrElse(new Broker.ProducerPartitionState)
+          producerStates.put(key, st)
+          if (b.producerEpoch > st.epoch) {
+            st.epoch = b.producerEpoch
+            st.recent.clear()
+          }
+          st.lastSeq = seqAdd(b.baseSequence, b.records.length - 1)
+          st.recent.append((b.baseSequence, b.records.length, off))
+          while (st.recent.length > Broker.MaxRecentBatchesPerProducer)
+            st.recent.removeHead()
+        }
+        off += b.records.length
+      }
+      while (producerStates.size > Broker.MaxProducerStates)
+        producerStates.remove(producerStates.head._1)
+    }
+  }
+
+  /** InitProducerId exchange (v0–v4). The idempotent path (null
+    * transactional_id — what a default-config kafka-clients 3.x
+    * producer sends) allocates a fresh (producer_id, epoch 0).
+    * Transactions are OUT OF SCOPE (delegated like replication/auth,
+    * SURVEY §4): a non-null transactional_id answers the terminal
+    * TRANSACTIONAL_ID_AUTHORIZATION_FAILED (53) so a transactional
+    * client fails FAST here instead of silently degrading at the
+    * AddPartitionsToTxn it would send next. */
+  def handleInitProducerId(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeInitProducerIdRequest(requestBytes)
+    if (req.transactionalId != null)
+      encodeInitProducerIdResponse(req.version, req.correlationId, 53, -1L, -1)
+    else
+      encodeInitProducerIdResponse(req.version, req.correlationId, 0,
+        nextProducerId.getAndIncrement(), 0)
   }
 
   // --- KIP-227 incremental fetch sessions (Fetch v7+): a
@@ -709,6 +842,37 @@ object Broker {
     * recovers via FETCH_SESSION_ID_NOT_FOUND → full fetch). */
   val MaxFetchSessions = 64
 
+  /** Cap on remembered (producer_id, topic, partition) sequence
+    * states — oldest-first eviction; an evicted producer's next send
+    * looks like a non-zero fresh start → OUT_OF_ORDER (45) → the
+    * client re-initializes. */
+  val MaxProducerStates = 4096
+
+  /** Appended batches remembered per producer-partition for duplicate
+    * detection — mirrors the protocol's 5-deep in-flight window
+    * (max.in.flight.requests.per.connection ≤ 5 is what keeps
+    * idempotent ordering). */
+  val MaxRecentBatchesPerProducer = 5
+
+  /** Outcome of the produce idempotence gate for one partition entry. */
+  private[streaming] sealed trait ProduceDecision
+  private[streaming] case object Append extends ProduceDecision
+  /** A retried batch the broker already appended: ack the original
+    * base offset, write nothing. */
+  private[streaming] final case class Duplicate(baseOffset: Long)
+    extends ProduceDecision
+  private[streaming] final case class Reject(errorCode: Int)
+    extends ProduceDecision
+
+  /** Per (producer_id, topic, partition) idempotence state: the
+    * producer's epoch, last appended sequence, and the recent appended
+    * batches as (baseSequence, recordCount, baseOffset). */
+  private[streaming] final class ProducerPartitionState {
+    var epoch: Int = -1
+    var lastSeq: Int = -1
+    val recent = scala.collection.mutable.ArrayDeque.empty[(Int, Int, Long)]
+  }
+
   /** KIP-227 fetch-session state: the remembered partition set (its
     * fetch offsets and byte caps, in insertion order) plus the last
     * high watermark reported per partition — the omission signal. */
@@ -740,7 +904,8 @@ object Broker {
     (18, "ApiVersions", 0, 3),
     (19, "CreateTopics", 0, 7),
     (20, "DeleteTopics", 0, 6),
-    (21, "DeleteRecords", 0, 2))
+    (21, "DeleteRecords", 0, 2),
+    (22, "InitProducerId", 0, 4))
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
     * keys, at ONLY their implemented versions. A conformant client
@@ -769,5 +934,6 @@ object Broker {
     (18, "ApiVersions", 3, 3),
     (19, "CreateTopics", 0, 0),
     (20, "DeleteTopics", 0, 0),
-    (21, "DeleteRecords", 0, 0))
+    (21, "DeleteRecords", 0, 0),
+    (22, "InitProducerId", 0, KafkaWire.InitProducerIdMaxVersion))
 }

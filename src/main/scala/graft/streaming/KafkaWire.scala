@@ -1069,12 +1069,16 @@ object KafkaWire {
     def tags(): Unit = if (flexible) readTags(buf)
   }
 
-  /** All-version produce request: records normalize to [[WireRecordV2]]
-    * (v0–v2 message-set records surface with timestampMs = −1 and no
-    * headers — exactly what those formats can carry). */
+  /** All-version produce request: each partition payload decodes to
+    * its constituent [[ProducedBatch]]es — the batch is the
+    * idempotence unit, so its producerId/epoch/baseSequence must
+    * survive decode for the broker's sequence bookkeeping. v0–v2
+    * message-set payloads surface as ONE non-idempotent batch
+    * (coordinates −1/−1/−1, timestampMs −1, no headers — exactly what
+    * those formats can carry). */
   case class ProduceRequest(version: Int, correlationId: Int, clientId: String,
       transactionalId: String, acks: Int, timeoutMs: Int,
-      topics: Seq[(String, Seq[(Int, Seq[WireRecordV2])])])
+      topics: Seq[(String, Seq[(Int, Seq[ProducedBatch])])])
 
   /** sessionId/sessionEpoch are the KIP-227 fetch-session fields
     * (v7+; epoch −1 = sessionless, 0 = open a new session, >0 =
@@ -1087,23 +1091,40 @@ object KafkaWire {
       forgotten: Seq[(String, Seq[Int])])
 
   private def produceRecordsPayload(version: Int,
-      records: Seq[WireRecordV2]): Array[Byte] =
+      batch: ProducedBatch): Array[Byte] =
     if (version >= 3) {
-      if (records.isEmpty) Array.empty[Byte]
+      if (batch.records.isEmpty) Array.empty[Byte]
       else encodeRecordBatchV2(RecordBatchV2(0L,
-        records.headOption.map(_.timestampMs).getOrElse(-1L), records))
+        batch.records.headOption.map(_.timestampMs).getOrElse(-1L),
+        batch.records, batch.producerId, batch.producerEpoch,
+        batch.baseSequence))
     } else {
-      require(records.forall(_.headers.isEmpty),
+      require(batch.producerId < 0,
+        s"message-set produce (v$version) cannot carry a producer id — use v3+")
+      require(batch.records.forall(_.headers.isEmpty),
         s"message-set produce (v$version) cannot carry headers — use v3+")
-      encodeMessageSetV0(records.map(r => (0L, WireRecord(r.key, r.value))))
+      encodeMessageSetV0(batch.records.map(r => (0L, WireRecord(r.key, r.value))))
     }
 
   /** Client-side encode of a produce request at any supported version
-    * (0–9). For v0–v2 the records' headers are NOT encodable and must
-    * be empty. */
+    * (0–9), non-idempotent form (producer coordinates −1/−1/−1). For
+    * v0–v2 the records' headers are NOT encodable and must be empty. */
   def encodeProduceRequest(version: Int, correlationId: Int, clientId: String,
       transactionalId: String, acks: Int, timeoutMs: Int,
-      topics: Seq[(String, Seq[(Int, Seq[WireRecordV2])])]): Array[Byte] = {
+      topics: Seq[(String, Seq[(Int, Seq[WireRecordV2])])]): Array[Byte] =
+    encodeProduceRequestBatches(version, correlationId, clientId,
+      transactionalId, acks, timeoutMs,
+      topics.map { case (t, parts) =>
+        (t, parts.map { case (p, rs) => (p, ProducedBatch(-1L, -1, -1, rs)) })
+      })
+
+  /** Client-side encode with explicit per-partition batch coordinates
+    * — what an idempotent producer sends (one batch per partition,
+    * each carrying its own producerId/epoch/baseSequence). v3+ only
+    * for idempotent batches. */
+  def encodeProduceRequestBatches(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, acks: Int, timeoutMs: Int,
+      topics: Seq[(String, Seq[(Int, ProducedBatch)])]): Array[Byte] = {
     require(version >= 0 && version <= ProduceMaxVersion,
       s"unsupported Produce version $version")
     val flexible = version >= 9
@@ -1121,9 +1142,9 @@ object KafkaWire {
     topics.foreach { case (name, parts) =>
       w.str(name)
       w.count(parts.length)
-      parts.foreach { case (p, records) =>
+      parts.foreach { case (p, batch) =>
         w.i32(p)
-        w.bytes(produceRecordsPayload(version, records))
+        w.bytes(produceRecordsPayload(version, batch))
         w.tags()
       }
       w.tags()
@@ -1152,12 +1173,16 @@ object KafkaWire {
       val parts = (0 until r.count()).map { _ =>
         val p = r.i32()
         val payload = Option(r.bytes()).getOrElse(Array.empty[Byte])
-        val records =
-          if (version >= 3) decodeRecordsBlock(payload).map(_._2)
-          else decodeMessageSetV0Ts(payload)
-            .map { case (_, ts, rec) => WireRecordV2(ts, rec.key, rec.value) }
+        val batches =
+          if (version >= 3) decodeProduceBatches(payload)
+          else {
+            val recs = decodeMessageSetV0Ts(payload)
+              .map { case (_, ts, rec) => WireRecordV2(ts, rec.key, rec.value) }
+            if (recs.isEmpty) Seq.empty
+            else Seq(ProducedBatch(-1L, -1, -1, recs))
+          }
         r.tags()
-        (p, records)
+        (p, batches)
       }
       r.tags()
       (name, parts.toSeq)
@@ -2825,6 +2850,90 @@ object KafkaWire {
     (correlationId, topics.toSeq)
   }
 
+  // --- InitProducerId (api_key 22) v0–v4 — the FIRST request a
+  // default-config kafka-clients 3.x producer sends (idempotence is
+  // on by default since Kafka 3.0): it trades its (optional)
+  // transactional id for a (producer_id, producer_epoch) pair that
+  // every subsequent record batch carries, giving the broker the
+  // coordinates for duplicate detection. Field deltas per the public
+  // protocol spec: flexible (KIP-482) at v2+; v3+ adds the KIP-360
+  // current (producer_id, producer_epoch) the client holds, for epoch
+  // bumps after an unclean shutdown. ---
+
+  val InitProducerIdApiKey = 22
+  val InitProducerIdMaxVersion = 4
+
+  case class InitProducerIdRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, transactionTimeoutMs: Int,
+      currentProducerId: Long, currentProducerEpoch: Int)
+
+  def encodeInitProducerIdRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, transactionTimeoutMs: Int,
+      currentProducerId: Long = -1L, currentProducerEpoch: Int = -1)
+      : Array[Byte] = {
+    require(version >= 0 && version <= InitProducerIdMaxVersion,
+      s"unsupported InitProducerId version $version")
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, InitProducerIdApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.str(transactionalId)
+    w.i32(transactionTimeoutMs)
+    if (version >= 3) { w.i64(currentProducerId); w.i16(currentProducerEpoch) }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeInitProducerIdRequest(bytes: Array[Byte]): InitProducerIdRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == InitProducerIdApiKey,
+      "not an InitProducerId request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= InitProducerIdMaxVersion,
+      s"unsupported InitProducerId version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val txnId = r.str()
+    val timeoutMs = r.i32()
+    val (pid, epoch) =
+      if (version >= 3) (r.i64(), r.i16()) else (-1L, -1)
+    r.tags()
+    InitProducerIdRequest(version, correlationId, clientId, txnId, timeoutMs,
+      pid, epoch)
+  }
+
+  def encodeInitProducerIdResponse(version: Int, correlationId: Int,
+      errorCode: Int, producerId: Long, producerEpoch: Int): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.i64(producerId)
+    w.i16(producerEpoch)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, producerId, producerEpoch) */
+  def decodeInitProducerIdResponse(version: Int,
+      bytes: Array[Byte]): (Int, Int, Long, Int) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle_time_ms
+    val t = (correlationId, r.i16(), r.i64(), r.i16())
+    r.tags()
+    t
+  }
+
   // --- RecordBatch v2 (magic 2) — the modern record format ---
   // Layout per the public spec: baseOffset INT64, batchLength INT32
   // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,
@@ -2841,7 +2950,14 @@ object KafkaWire {
       value: Array[Byte], headers: Seq[(String, Array[Byte])] = Seq.empty)
 
   case class RecordBatchV2(baseOffset: Long, baseTimestampMs: Long,
-      records: Seq[WireRecordV2])
+      records: Seq[WireRecordV2], producerId: Long = -1L,
+      producerEpoch: Int = -1, baseSequence: Int = -1)
+
+  /** One decoded produce batch with its idempotence coordinates —
+    * what the broker's sequence bookkeeping consumes. A non-idempotent
+    * batch carries (-1, -1, -1). */
+  case class ProducedBatch(producerId: Long, producerEpoch: Int,
+      baseSequence: Int, records: Seq[WireRecordV2])
 
   private def writeZigZagVarLong(out: ByteArrayOutputStream, value: Long): Unit = {
     var v = (value << 1) ^ (value >> 63)
@@ -2901,7 +3017,8 @@ object KafkaWire {
     * compacted log legitimately carries gaps, so deltas are data, not
     * indexes. */
   private def encodeBatchV2Core(baseOffset: Long, baseTimestampMs: Long,
-      recs: Seq[(Int, WireRecordV2)]): Array[Byte] = {
+      recs: Seq[(Int, WireRecordV2)], producerId: Long = -1L,
+      producerEpoch: Int = -1, baseSequence: Int = -1): Array[Byte] = {
     val recsOut = new ByteArrayOutputStream()
     // spec: maxTimestamp is the max RECORD timestamp (-1 if none) —
     // seeding from the base would name a timestamp no record carries
@@ -2917,9 +3034,9 @@ object KafkaWire {
     writeInt32(afterCrc, recs.lastOption.map(_._1).getOrElse(-1)) // lastOffsetDelta
     writeInt64(afterCrc, baseTimestampMs)
     writeInt64(afterCrc, maxTs)
-    writeInt64(afterCrc, -1L) // producerId
-    writeInt16(afterCrc, -1) // producerEpoch
-    writeInt32(afterCrc, -1) // baseSequence
+    writeInt64(afterCrc, producerId)
+    writeInt16(afterCrc, producerEpoch)
+    writeInt32(afterCrc, baseSequence)
     writeInt32(afterCrc, recs.length)
     val recBytes = recsOut.toByteArray
     afterCrc.write(recBytes, 0, recBytes.length)
@@ -2936,12 +3053,14 @@ object KafkaWire {
     out.toByteArray
   }
 
-  /** Encode one record batch (uncompressed, non-transactional
-    * producer: producerId/epoch/sequence = -1; offsets contiguous
-    * from baseOffset). */
+  /** Encode one record batch (uncompressed; offsets contiguous from
+    * baseOffset). An idempotent producer's batch carries its
+    * producerId/epoch/baseSequence; the default (-1,-1,-1) is the
+    * non-idempotent form. */
   def encodeRecordBatchV2(batch: RecordBatchV2): Array[Byte] =
     encodeBatchV2Core(batch.baseOffset, batch.baseTimestampMs,
-      batch.records.zipWithIndex.map { case (r, i) => (i, r) })
+      batch.records.zipWithIndex.map { case (r, i) => (i, r) },
+      batch.producerId, batch.producerEpoch, batch.baseSequence)
 
   /** Encode one batch of (absoluteOffset, record) pairs — the
     * broker-side fetch form, where compaction gaps survive as
@@ -2955,7 +3074,7 @@ object KafkaWire {
   }
 
   private def decodeBatchV2Core(bytes: Array[Byte])
-      : (Long, Long, Seq[(Int, WireRecordV2)]) = {
+      : (Long, Long, Seq[(Int, WireRecordV2)], Long, Int, Int) = {
     val buf = ByteBuffer.wrap(bytes)
     val baseOffset = buf.getLong
     val batchLength = buf.getInt
@@ -2971,9 +3090,9 @@ object KafkaWire {
     buf.getInt // lastOffsetDelta
     val baseTs = buf.getLong
     buf.getLong // maxTimestamp
-    buf.getLong // producerId
-    buf.getShort // producerEpoch
-    buf.getInt // baseSequence
+    val producerId = buf.getLong
+    val producerEpoch = buf.getShort.toInt
+    val baseSequence = buf.getInt
     val n = buf.getInt
     val records = (0 until n).map { _ =>
       val len = readZigZagVarLong(buf).toInt
@@ -2990,19 +3109,19 @@ object KafkaWire {
       require(buf.position() == end, "record length mismatch")
       (offsetDelta, WireRecordV2(baseTs + tsDelta, key, value, headers.toSeq))
     }
-    (baseOffset, baseTs, records.toSeq)
+    (baseOffset, baseTs, records.toSeq, producerId, producerEpoch, baseSequence)
   }
 
   /** Decode + CRC32C-verify one record batch. */
   def decodeRecordBatchV2(bytes: Array[Byte]): RecordBatchV2 = {
-    val (baseOffset, baseTs, recs) = decodeBatchV2Core(bytes)
-    RecordBatchV2(baseOffset, baseTs, recs.map(_._2))
+    val (baseOffset, baseTs, recs, pid, pEpoch, baseSeq) = decodeBatchV2Core(bytes)
+    RecordBatchV2(baseOffset, baseTs, recs.map(_._2), pid, pEpoch, baseSeq)
   }
 
   /** Decode one batch to (absoluteOffset, record) pairs. */
   def decodeRecordBatchV2WithOffsets(
       bytes: Array[Byte]): Seq[(Long, WireRecordV2)] = {
-    val (baseOffset, _, recs) = decodeBatchV2Core(bytes)
+    val (baseOffset, _, recs, _, _, _) = decodeBatchV2Core(bytes)
     recs.map { case (d, r) => (baseOffset + d, r) }
   }
 
@@ -3020,6 +3139,27 @@ object KafkaWire {
       else {
         out ++= decodeRecordBatchV2WithOffsets(
           java.util.Arrays.copyOfRange(bytes, pos, pos + 12 + len))
+        pos += 12 + len
+      }
+    }
+    out.result()
+  }
+
+  /** Decode a produce RECORDS block into its constituent batches,
+    * keeping each batch's producer coordinates — the idempotence unit
+    * is the BATCH, so the broker's sequence bookkeeping needs the
+    * grouping [[decodeRecordsBlock]] flattens away. */
+  def decodeProduceBatches(bytes: Array[Byte]): Seq[ProducedBatch] = {
+    val out = Seq.newBuilder[ProducedBatch]
+    var pos = 0
+    while (bytes.length - pos >= 12) {
+      val len = ((bytes(pos + 8) & 0xff) << 24) | ((bytes(pos + 9) & 0xff) << 16) |
+        ((bytes(pos + 10) & 0xff) << 8) | (bytes(pos + 11) & 0xff)
+      if (len < 0 || pos + 12 + len > bytes.length) pos = bytes.length // truncated tail
+      else {
+        val b = decodeRecordBatchV2(
+          java.util.Arrays.copyOfRange(bytes, pos, pos + 12 + len))
+        out += ProducedBatch(b.producerId, b.producerEpoch, b.baseSequence, b.records)
         pos += 12 + len
       }
     }

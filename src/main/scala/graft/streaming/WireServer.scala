@@ -108,6 +108,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
       case KafkaWire.CreateTopicsApiKey => broker.handleCreateTopics(framed)
       case KafkaWire.DeleteTopicsApiKey => broker.handleDeleteTopics(framed)
       case KafkaWire.DeleteRecordsApiKey => broker.handleDeleteRecords(framed)
+      case KafkaWire.InitProducerIdApiKey => broker.handleInitProducerId(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }

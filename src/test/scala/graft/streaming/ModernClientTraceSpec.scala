@@ -25,6 +25,7 @@ import graft.TestSpark
   *   API              clientMax   broker advertises   negotiated
   *   Metadata            12             0–12              12
   *   Produce             10             0–9                9
+  *   InitProducerId       5             0–4                4
   *   FindCoordinator      4             0–4                4
   *   JoinGroup            9             0–9                9
   *   SyncGroup            5             0–5                5
@@ -36,10 +37,12 @@ import graft.TestSpark
   *   LeaveGroup           5             0–5                5
   *
   * The trace then drives the full client lifecycle AT those
-  * versions: bootstrap → produce (magic-2, headers) → coordinator
-  * lookup → the JoinGroup v4+ MEMBER_ID_REQUIRED two-step → sync →
-  * offset restore → list offsets → fetch → commit (generation-fenced)
-  * → heartbeat → leave. */
+  * versions: bootstrap → InitProducerId (idempotence is the 3.x
+  * producer DEFAULT, so this precedes the first produce) → idempotent
+  * produce (magic-2, headers, pid/epoch/sequence) → the retry dedup →
+  * coordinator lookup → the JoinGroup v4+ MEMBER_ID_REQUIRED two-step
+  * → sync → offset restore → list offsets → fetch →
+  * commit (generation-fenced) → heartbeat → leave. */
 class ModernClientTraceSpec extends AnyFunSuite {
   import KafkaWire._
   lazy val spark = TestSpark.spark
@@ -60,7 +63,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
 
   /** kafka-clients 3.7 classic-protocol maxima (public spec). */
   private val clientMax = Map(
-    "Metadata" -> 12, "Produce" -> 10, "FindCoordinator" -> 4,
+    "Metadata" -> 12, "Produce" -> 10, "InitProducerId" -> 5,
+    "FindCoordinator" -> 4,
     "JoinGroup" -> 9, "SyncGroup" -> 5, "OffsetFetch" -> 8,
     "ListOffsets" -> 8, "Fetch" -> 16, "OffsetCommit" -> 8,
     "Heartbeat" -> 4, "LeaveGroup" -> 5)
@@ -86,6 +90,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
       // the published negotiation table IS what the catalog yields
       assert(negotiated("Metadata") === 12)
       assert(negotiated("Produce") === 9)
+      assert(negotiated("InitProducerId") === 4)
       assert(negotiated("FindCoordinator") === 4)
       assert(negotiated("JoinGroup") === 9)
       assert(negotiated("SyncGroup") === 5)
@@ -102,15 +107,32 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(meta.brokers === Seq((0, "127.0.0.1", server.boundPort)))
       assert(meta.topics.map(t => (t.name, t.partitions.length)) === Seq(("trace", 2)))
 
-      // 3. Produce v9: flexible, magic-2, headers on the wire
+      // 3. InitProducerId v4: the default 3.x producer is IDEMPOTENT
+      // (enable.idempotence=true since Kafka 3.0), so this is its
+      // first request after bootstrap — a fresh (pid, epoch 0)
+      val (_, initErr, pid, pEpoch) = decodeInitProducerIdResponse(4,
+        exchange(sock,
+          encodeInitProducerIdRequest(4, 17, "trace-cli", null, 60000)))
+      assert(initErr === 0 && pid >= 0L && pEpoch === 0)
+
+      // 4. Produce v9: flexible, magic-2, headers on the wire, each
+      // partition's batch stamped (pid, epoch, sequence 0)
       def rec(k: String, v: String, hdr: (String, String)*) =
         WireRecordV2(1700000000000L, k.getBytes("UTF-8"), v.getBytes("UTF-8"),
           hdr.map { case (hk, hv) => hk -> hv.getBytes("UTF-8") })
-      val produced = decodeProduceResponse(9, exchange(sock,
-        encodeProduceRequest(9, 3, "trace-cli", null, 1, 30000, Seq(("trace", Seq(
-          (0, Seq(rec("k0", "v0", "h" -> "x"), rec("k1", "v1"))),
-          (1, Seq(rec("k2", "v2")))))))))
+      val idemReq = encodeProduceRequestBatches(9, 3, "trace-cli", null, 1,
+        30000, Seq(("trace", Seq(
+          (0, ProducedBatch(pid, pEpoch, 0,
+            Seq(rec("k0", "v0", "h" -> "x"), rec("k1", "v1")))),
+          (1, ProducedBatch(pid, pEpoch, 0, Seq(rec("k2", "v2"))))))))
+      val produced = decodeProduceResponse(9, exchange(sock, idemReq))
       assert(produced._2 === Seq(("trace", Seq((0, 0, 0L), (1, 0, 0L)))))
+      // ... a network-level RETRY of the same request (what the
+      // client does on a lost ack) re-acks the ORIGINAL offsets and
+      // appends nothing — the idempotence contract
+      val retried = decodeProduceResponse(9, exchange(sock, idemReq))
+      assert(retried._2 === Seq(("trace", Seq((0, 0, 0L), (1, 0, 0L)))))
+      assert(broker.topic("trace").read().count() === 3)
 
       // 4. FindCoordinator v4 (batched keys)
       val coords = decodeFindCoordinatorResponse(4, exchange(sock,

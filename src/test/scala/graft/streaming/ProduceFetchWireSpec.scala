@@ -73,7 +73,7 @@ class ProduceFetchWireSpec extends AnyFunSuite {
     val dec = decodeProduceRequest(golden)
     assert(dec.version === 3 && dec.correlationId === 42 && dec.acks === 1)
     assert(dec.transactionalId === null)
-    assert(new String(dec.topics.head._2.head._2.head.value, "UTF-8") === "v")
+    assert(new String(dec.topics.head._2.head._2.head.records.head.value, "UTF-8") === "v")
   }
 
   test("fetch v4 response framing matches the hand-laid golden bytes") {
@@ -130,7 +130,7 @@ class ProduceFetchWireSpec extends AnyFunSuite {
         s"\nwant: ${golden.map("%02x".format(_)).mkString(" ")}")
     val dec = decodeProduceRequest(golden)
     assert(dec.version === 9 && dec.correlationId === 42)
-    assert(new String(dec.topics.head._2.head._2.head.value, "UTF-8") === "v")
+    assert(new String(dec.topics.head._2.head._2.head.records.head.value, "UTF-8") === "v")
   }
 
   test("magic-1 messages (a Produce v2 client's format) decode in a message set") {
