@@ -57,6 +57,7 @@ object Bench {
       line = render(kept, results.size - kept.size)
     }
     println(line)
+    operators.GraftCaches.releaseAll() // nothing stays pinned after a run
     spark.stop()
   }
 }

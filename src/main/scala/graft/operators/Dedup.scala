@@ -86,18 +86,6 @@ object Dedup {
     * [[dedupClusterCC]] consumes the pairs as edges, where ordering
     * (and duplicate-edge hygiene) is irrelevant. */
   private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // ObjectHashAggregate (the physical home of every imperative agg,
-    // CappedSetAgg included) falls back to SORT-based aggregation at
-    // 128 distinct keys per task by default — a posting build has
-    // millions of gram keys per task and each buffer is ≤ cap tiny
-    // entries, so the hash map is the right regime by a huge margin.
-    // Scoped to THIS build: the posts cache materializes inside this
-    // method (the hasHot action below), so the raised threshold is
-    // restored before control returns — other queries' unbounded
-    // collect_set-style aggs keep the protective default.
-    val thresholdKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val priorThreshold = spark.conf.getOption(thresholdKey)
-    spark.conf.set(thresholdKey, "1048576")
     // raw gram rows are map-side only (native WordNgramsExpr; nsh
     // rides every row from the same scan) and deliberately NOT
     // persisted: caching 50× the doc bytes costs more than the one
@@ -118,9 +106,34 @@ object Dedup {
         explode(col("arr")).as("sh"))
       .select(col("doc_id"), col("nsh"),
         xxhash64(col("lang"), col("bucket"), col("sh")).as("gk"))
-    val posts = g.groupBy("gk")
-      .agg(graft.functions.CappedSetAgg(col("doc_id"), col("nsh"), ngramDfCap).as("p"))
-      .persist()
+    // The posting relation is registered in [[GraftCaches]]: built +
+    // fully materialized ONCE per (dir) and shared intentionally with
+    // [[dedupClusterCC]] in the same session; releaseAll() unpersists
+    // it deterministically.
+    val posts = GraftCaches.getOrBuild(spark, s"dedup:jaccard-posts:$dir") {
+      // ObjectHashAggregate (the physical home of every imperative
+      // agg, CappedSetAgg included) falls back to SORT-based
+      // aggregation at 128 distinct keys per task by default — a
+      // posting build has millions of gram keys per task and each
+      // buffer is ≤ cap tiny entries, so the hash map is the right
+      // regime by a huge margin. Scoped to THIS build: count() below
+      // forces EVERY partition into the cache while the raised
+      // threshold is in effect (a limit(1) action could early-
+      // terminate with only some partitions cached, leaving the rest
+      // to build later under the restored low threshold).
+      val thresholdKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      val priorThreshold = spark.conf.getOption(thresholdKey)
+      spark.conf.set(thresholdKey, "1048576")
+      val p = g.groupBy("gk")
+        .agg(graft.functions.CappedSetAgg(col("doc_id"), col("nsh"), ngramDfCap).as("p"))
+        .persist()
+      try p.count()
+      finally priorThreshold match {
+        case Some(v) => spark.conf.set(thresholdKey, v)
+        case None => spark.conf.unset(thresholdKey)
+      }
+      p
+    }
     val candRare = posts
       .filter(!col("p.hot") && size(col("p.ds")) >= 2)
       .select(col("p.ds").as("ds"), explode(col("p.ds")).as("a"))
@@ -136,17 +149,7 @@ object Dedup {
     // no hot gram at all (one cheap scan of the cached posts decides
     // — the common case for natural-text corpora, where near-dup
     // pairs share rare grams long before they share stop-grams).
-    // posts.count() first: a limit(1) action can early-terminate with
-    // only SOME partitions cached — the rest would then build later
-    // under the restored (low) threshold and silently fall back to
-    // sort-based aggregation. count() forces every partition into the
-    // cache while the raised threshold is still in effect.
-    val hasHot =
-      try { posts.count(); posts.filter(col("p.hot")).limit(1).count() > 0 }
-      finally priorThreshold match {
-        case Some(v) => spark.conf.set(thresholdKey, v)
-        case None => spark.conf.unset(thresholdKey)
-      }
+    val hasHot = posts.filter(col("p.hot")).limit(1).count() > 0
     val scored = if (!hasHot) {
       candRare.withColumn("inter", col("rare_inter"))
     } else {
@@ -161,18 +164,16 @@ object Dedup {
       candRare.join(interHot, Seq("d1", "d2"), "left")
         .withColumn("inter", col("rare_inter") + coalesce(col("hot_inter"), lit(0L)))
     }
-    // Materialize the (small) scored pair set eagerly off the cached
-    // posts, then release the cache: a long-lived session (WireServer
-    // + periodic analytics) must not accumulate one pinned posting
-    // relation per invocation. The checkpoint also hands callers
-    // ([[dedupClusterCC]]'s CC loop) a lineage-free edge frame.
-    val out = scored
+    // Returned LAZILY on purpose: the scored plan composes into the
+    // caller's query fully inside AQE (runtime broadcast conversion +
+    // partition coalescing on the candidate joins — an eager
+    // localCheckpoint here executed the subtree WITHOUT AQE and cost
+    // 1.8× at sf0.1, 7× on a 10× corpus). The posting cache releases
+    // via GraftCaches.releaseAll(), not at operator exit.
+    scored
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.2)
       .select("d1", "d2", "jaccard")
-      .localCheckpoint()
-    posts.unpersist()
-    out
   }
 
   /** MinHash signatures as k min-agg columns: explode shingles once,
@@ -199,8 +200,12 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val bands = 16
     val r = 4
-    val gd = gramRows(spark, dir, lowercase = true)
-      .select("doc_id", "sh").distinct().persist()
+    val gd = GraftCaches.getOrBuild(spark, s"dedup:minhash-grams:$dir") {
+      val d = gramRows(spark, dir, lowercase = true)
+        .select("doc_id", "sh").distinct().persist()
+      d.count()
+      d
+    }
     val sizes = gd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val sig = gd.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg(col("sh"), bands * r).as("sig"))
@@ -233,17 +238,14 @@ object Dedup {
       .select(col("x.doc_id"), col("x.jaccard"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"), max("jaccard").as("best_jaccard"))
-    // Eager checkpoint so gd can be released before returning — see
-    // the cache-hygiene note in [[jaccardPairs]].
-    val out = sizes.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    // Lazy on purpose — see the AQE note in [[jaccardPairs]]; gd
+    // releases via GraftCaches.releaseAll().
+    sizes.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(round(col("best_jaccard"), 6), lit(0.0)).as("best_jaccard"),
         (coalesce(col("best_jaccard"), lit(0.0)) >= 0.2).as("is_near_dup"))
       .orderBy("doc_id")
-      .localCheckpoint()
-    gd.unpersist()
-    out
   }
 
   /** 64-bit SimHash per doc via the native [[graft.functions.SimHash64Expr]]
@@ -276,7 +278,11 @@ object Dedup {
     * hamming ≤ 3 on ≥1 equal chunk), verify with bit_count(xor).
     * Per-doc output: simhash + nearest-candidate hamming. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = simhashDocs(spark, dir).persist()
+    val docs = GraftCaches.getOrBuild(spark, s"dedup:simhash-docs:$dir") {
+      val d = simhashDocs(spark, dir).persist()
+      d.count()
+      d
+    }
     val chunked = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -299,18 +305,15 @@ object Dedup {
       .select(col("x.doc_id"), col("x.hamming"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"), min("hamming").as("min_hamming"))
-    // Eager checkpoint so docs can be released before returning — see
-    // the cache-hygiene note in [[jaccardPairs]].
-    val out = docs.select("doc_id", "simhash")
+    // Lazy on purpose — see the AQE note in [[jaccardPairs]]; docs
+    // releases via GraftCaches.releaseAll().
+    docs.select("doc_id", "simhash")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("min_hamming"), lit(64L)).as("min_hamming"),
         (coalesce(col("min_hamming"), lit(64L)) <= 3).as("is_near_dup"))
       .orderBy("doc_id")
-      .localCheckpoint()
-    docs.unpersist()
-    out
   }
 
   /** nPlanes for the embedding-dedup sign buckets, derived from the

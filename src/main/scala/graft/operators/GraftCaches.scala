@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry for the persisted intermediates the dedup
+  * family shares (jaccard posting lists, minhash gram rows, simhash
+  * projections). Two jobs it does:
+  *
+  *  1. INTENTIONAL cross-query reuse — `dedup_cluster_cc` and
+  *     `dedup_ngram_jaccard` both consume the same posting relation;
+  *     the registry gives them one build per (operator, dir) instead
+  *     of the accidental CacheManager-level sharing (and "already
+  *     cached" warnings) of relying on plan-fragment matching.
+  *  2. DETERMINISTIC release — a long-lived session (WireServer +
+  *     periodic analytics) calls [[releaseAll]] and every registered
+  *     cache unpersists; nothing is pinned for the session's
+  *     lifetime. Bench/Verify release at run end (spec:
+  *     CacheHygieneSpec asserts the CacheManager is empty after).
+  *
+  * Deliberately NOT an eager-checkpoint design: materializing
+  * operator OUTPUTS via localCheckpoint executes their plans outside
+  * adaptive query execution, which costs the runtime broadcast-join
+  * conversions and partition coalescing the candidate-join pipelines
+  * depend on (measured 1.8× at sf0.1 and up to 20× on a 10× corpus).
+  * Caches here hold INPUT-side relations only and queries compose
+  * lazily on top, fully inside AQE.
+  *
+  * Entries are keyed by (operator, dir); a cached frame from a
+  * stopped/different session is rebuilt, not returned. Callers that
+  * mutate the underlying files must releaseAll() first — the same
+  * contract Spark's own table cache has. */
+object GraftCaches {
+  private val entries =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** Memoize a persisted relation under `key`. `build` must return an
+    * already-persisted (and ideally materialized) frame. */
+  def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      entries.get(key).filter(_.sparkSession eq spark).getOrElse {
+        val df = build
+        entries(key) = df
+        df
+      }
+    }
+
+  /** Unpersist and forget every registered cache; returns how many
+    * were released. Safe to call with entries from stopped sessions. */
+  def releaseAll(): Int = synchronized {
+    val n = entries.size
+    entries.values.foreach { df =>
+      try df.unpersist()
+      catch { case _: Exception => () } // a stopped session's frame
+    }
+    entries.clear()
+    n
+  }
+}
