@@ -158,9 +158,10 @@ class Broker(spark: SparkSession, root: String) {
   // --- wire-level Produce/Fetch: framed Kafka bytes in, framed bytes
   // out, with the Spark-native TopicLog as the storage engine — the
   // full producer/consumer path a client would drive. Produce speaks
-  // v0–v3 and Fetch v0–v4: the v3/v4 bodies carry RecordBatch v2
-  // (magic 2), so HEADERS and client timestamps survive the socket —
-  // the graft record model round-trips losslessly at those versions.
+  // v0–v9 and Fetch v0–v12: v3+/v4+ bodies carry RecordBatch v2
+  // (magic 2), so HEADERS, client timestamps, and producer
+  // idempotence coordinates survive the socket — the graft record
+  // model round-trips losslessly at those versions.
 
   /** Produce exchange (v0–v9): records land through the real manifest
     * produce (explicit partition routing, per-partition contiguous
@@ -266,7 +267,7 @@ class Broker(spark: SparkSession, root: String) {
 
   /** Sequence arithmetic wraps at Int.MaxValue per the protocol
     * (sequences live in [0, Int.MaxValue]). */
-  private def seqAdd(seq: Int, n: Int): Int =
+  private[streaming] def seqAdd(seq: Int, n: Int): Int =
     ((seq.toLong + n) % 0x80000000L).toInt
 
   /** Resolve one partition payload against producer state. Multiple
@@ -275,7 +276,7 @@ class Broker(spark: SparkSession, root: String) {
     * — the only shape a real producer sends — and a multi-batch
     * payload containing a replay answers DUPLICATE_SEQUENCE_NUMBER
     * (46) since its mixed append would be ambiguous. */
-  private def validateProducerBatches(topicName: String, p: Int,
+  private[streaming] def validateProducerBatches(topicName: String, p: Int,
       batches: Seq[KafkaWire.ProducedBatch]): Broker.ProduceDecision = {
     if (!batches.exists(_.producerId >= 0)) return Broker.Append
     producerStates.synchronized {
@@ -313,7 +314,7 @@ class Broker(spark: SparkSession, root: String) {
   /** After a committed append: advance each idempotent batch's
     * sequence state and remember its (baseSequence, count,
     * baseOffset) for duplicate detection. */
-  private def recordProducerBatches(topicName: String, p: Int,
+  private[streaming] def recordProducerBatches(topicName: String, p: Int,
       batches: Seq[KafkaWire.ProducedBatch], baseOffset: Long): Unit = {
     var off = baseOffset
     producerStates.synchronized {

@@ -162,6 +162,49 @@ class IdempotentProducerSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence arithmetic wraps at Int.MaxValue per the protocol") {
+    val root = Files.createTempDirectory("graft-idem-seq").toString
+    val broker = new Broker(spark, root)
+    assert(broker.seqAdd(0, 1) === 1)
+    assert(broker.seqAdd(Int.MaxValue - 1, 1) === Int.MaxValue)
+    // [0, Int.MaxValue] is the sequence domain: MaxValue + 1 wraps to 0
+    assert(broker.seqAdd(Int.MaxValue, 1) === 0)
+    assert(broker.seqAdd(Int.MaxValue, 5) === 4)
+    assert(broker.seqAdd(Int.MaxValue - 2, 10) === 7)
+  }
+
+  test("multi-batch payloads validate as a sequence chain") {
+    val root = Files.createTempDirectory("graft-idem-chain").toString
+    val broker = new Broker(spark, root)
+    def b(seq: Int, n: Int) = ProducedBatch(7L, 0, seq,
+      (0 until n).map(i => WireRecordV2(1L, null, Array[Byte](i.toByte))))
+
+    // a chained payload (seq 0 ×2 recs, then seq 2 ×3) appends as one
+    assert(broker.validateProducerBatches("t", 0, Seq(b(0, 2), b(2, 3)))
+      === Broker.Append)
+    broker.recordProducerBatches("t", 0, Seq(b(0, 2), b(2, 3)), 0L)
+    // ... state now expects seq 5
+    assert(broker.validateProducerBatches("t", 0, Seq(b(5, 1)))
+      === Broker.Append)
+    // a BROKEN chain (gap between the payload's own batches) rejects 45
+    assert(broker.validateProducerBatches("t", 0, Seq(b(5, 1), b(9, 1)))
+      === Broker.Reject(45))
+    // a single-batch replay of a remembered batch is a Duplicate with
+    // the original base offset ...
+    assert(broker.validateProducerBatches("t", 0, Seq(b(0, 2)))
+      === Broker.Duplicate(0L))
+    assert(broker.validateProducerBatches("t", 0, Seq(b(2, 3)))
+      === Broker.Duplicate(2L))
+    // ... but a replay buried in a MULTI-batch payload is ambiguous
+    // (part already appended, part new) → DUPLICATE_SEQUENCE_NUMBER
+    assert(broker.validateProducerBatches("t", 0, Seq(b(2, 3), b(5, 1)))
+      === Broker.Reject(46))
+    // same baseSequence with a DIFFERENT record count is not the
+    // remembered batch → out-of-order, not duplicate
+    assert(broker.validateProducerBatches("t", 0, Seq(b(2, 1)))
+      === Broker.Reject(45))
+  }
+
   test("a v9 produce from a non-idempotent client is untouched by the gate") {
     val root = Files.createTempDirectory("graft-idem-plain").toString
     val broker = new Broker(spark, root)
