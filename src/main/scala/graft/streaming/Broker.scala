@@ -189,12 +189,13 @@ class Broker(spark: SparkSession, root: String) {
         // Phase 1 — the idempotence gate: pure in-memory metadata, so
         // every partition entry resolves to Append / Duplicate /
         // Reject BEFORE any row lands. A rejected or duplicate entry
-        // writes nothing; the rest of the request proceeds.
-        val decisions: Seq[Broker.ProduceDecision] = parts.map {
-          case (p, batches) =>
-            if (p < 0 || p >= log.numPartitions) Broker.Reject(3)
-            else validateProducerBatches(name, p, batches)
-        }
+        // writes nothing; the rest of the request proceeds. Entries
+        // validate in ONE pass sharing provisional sequence state, so
+        // a request listing a partition twice with chained sequences
+        // (entry B continuing where entry A ends) is accepted — the
+        // same contract the base-offset accounting below supports.
+        val decisions: Seq[Broker.ProduceDecision] =
+          validateProducerEntries(name, log.numPartitions, parts)
         val appending = parts.zip(decisions).collect {
           case ((p, batches), Broker.Append) => (p, batches)
         }
@@ -270,46 +271,73 @@ class Broker(spark: SparkSession, root: String) {
   private[streaming] def seqAdd(seq: Int, n: Int): Int =
     ((seq.toLong + n) % 0x80000000L).toInt
 
-  /** Resolve one partition payload against producer state. Multiple
-    * batches per payload validate as a chain (each extending the
-    * last); the Duplicate fast-path applies to the single-batch form
-    * — the only shape a real producer sends — and a multi-batch
-    * payload containing a replay answers DUPLICATE_SEQUENCE_NUMBER
-    * (46) since its mixed append would be ambiguous. */
-  private[streaming] def validateProducerBatches(topicName: String, p: Int,
-      batches: Seq[KafkaWire.ProducedBatch]): Broker.ProduceDecision = {
-    if (!batches.exists(_.producerId >= 0)) return Broker.Append
-    producerStates.synchronized {
-      // pid → sequence position after the prior batches of THIS payload
-      val provisional = scala.collection.mutable.Map.empty[Long, Int]
-      batches.foreach { b =>
-        if (b.producerId >= 0 && b.records.nonEmpty) {
-          // read-only lookup: a rejected request must NOT materialize
-          // state (a phantom entry would let bad pids evict real ones
-          // from the bounded map) — only the record phase inserts
-          val st = producerStates.get((b.producerId, topicName, p))
-          if (b.producerEpoch < st.map(_.epoch).getOrElse(-1))
-            return Broker.Reject(47)
-          st.filter(_.epoch == b.producerEpoch).foreach { s =>
-            s.recent.find { case (seq, n, _) =>
-              seq == b.baseSequence && n == b.records.length
-            }.foreach { case (_, _, base) =>
-              return if (batches.length == 1) Broker.Duplicate(base)
+  /** Resolve a topic's partition entries against producer state, in
+    * request order under ONE lock hold, sharing provisional sequence
+    * positions across entries keyed (partition, pid) — so a request
+    * that lists a partition twice with chained sequences validates
+    * like the equivalent multi-batch payload. Within one entry,
+    * batches chain too; an entry is all-or-nothing (a mid-entry
+    * reject leaves no provisional trace). The Duplicate fast-path
+    * applies to a single-batch entry — the only shape a real producer
+    * sends — and a replay buried in a multi-batch payload answers
+    * DUPLICATE_SEQUENCE_NUMBER (46) since its mixed append would be
+    * ambiguous. */
+  private[streaming] def validateProducerEntries(topicName: String,
+      numPartitions: Int, entries: Seq[(Int, Seq[KafkaWire.ProducedBatch])])
+      : Seq[Broker.ProduceDecision] = producerStates.synchronized {
+    // (partition, pid) → sequence position after prior APPENDING
+    // entries/batches of THIS request
+    val provisional = scala.collection.mutable.Map.empty[(Int, Long), Int]
+    entries.map { case (p, batches) =>
+      if (p < 0 || p >= numPartitions) Broker.Reject(3)
+      else {
+        val entryUpdates = scala.collection.mutable.Map.empty[(Int, Long), Int]
+        var verdict: Broker.ProduceDecision = Broker.Append
+        val it = batches.iterator
+        while (verdict == Broker.Append && it.hasNext) {
+          val b = it.next()
+          if (b.producerId >= 0 && b.records.nonEmpty) {
+            // read-only lookup: a rejected request must NOT
+            // materialize state (a phantom entry would let bad pids
+            // evict real ones from the bounded map) — only the record
+            // phase inserts
+            val st = producerStates.get((b.producerId, topicName, p))
+            val dup = st.filter(_.epoch == b.producerEpoch)
+              .flatMap(_.recent.find { case (seq, n, _) =>
+                seq == b.baseSequence && n == b.records.length
+              })
+            if (b.producerEpoch < st.map(_.epoch).getOrElse(-1))
+              verdict = Broker.Reject(47)
+            else if (dup.isDefined)
+              verdict =
+                if (batches.length == 1) Broker.Duplicate(dup.get._3)
                 else Broker.Reject(46)
+            else {
+              // a new epoch (or an unknown producer) must start at 0
+              val key = (p, b.producerId)
+              val last = entryUpdates.get(key)
+                .orElse(provisional.get(key))
+                .orElse(st.filter(s =>
+                  s.epoch == b.producerEpoch && s.lastSeq >= 0).map(_.lastSeq))
+              val expected = last.map(seqAdd(_, 1)).getOrElse(0)
+              if (b.baseSequence != expected) verdict = Broker.Reject(45)
+              else entryUpdates(key) =
+                seqAdd(b.baseSequence, b.records.length - 1)
             }
           }
-          // a new epoch (or an unknown producer) must start at 0
-          val last = provisional.get(b.producerId).orElse(
-            st.filter(s => s.epoch == b.producerEpoch && s.lastSeq >= 0)
-              .map(_.lastSeq))
-          val expected = last.map(seqAdd(_, 1)).getOrElse(0)
-          if (b.baseSequence != expected) return Broker.Reject(45)
-          provisional(b.producerId) = seqAdd(b.baseSequence, b.records.length - 1)
         }
+        // only an APPENDING entry advances the shared positions — a
+        // rejected or duplicate entry writes nothing
+        if (verdict == Broker.Append) provisional ++= entryUpdates
+        verdict
       }
-      Broker.Append
     }
   }
+
+  /** Single-entry form of [[validateProducerEntries]]. */
+  private[streaming] def validateProducerBatches(topicName: String, p: Int,
+      batches: Seq[KafkaWire.ProducedBatch]): Broker.ProduceDecision =
+    validateProducerEntries(topicName, p + 1, Seq((p, batches))).head
 
   /** After a committed append: advance each idempotent batch's
     * sequence state and remember its (baseSequence, count,
@@ -395,6 +423,10 @@ class Broker(spark: SparkSession, root: String) {
         req.topics.foreach { case (t, ps) =>
           ps.foreach { case (p, off, mb) => s.partitions.put((t, p), (off, mb)) }
         }
+        // the opening full fetch serves from position 0, so the first
+        // incremental starts one step in — every fetch advances the
+        // rotation (see the incremental branch)
+        s.servePos = 1
         fetchSessions.put(nextFetchSessionId, s)
         (nextFetchSessionId, 0, req.topics, Some(s))
       } else fetchSessions.get(req.sessionId) match {
@@ -411,12 +443,27 @@ class Broker(spark: SparkSession, root: String) {
           req.forgotten.foreach { case (t, ps) =>
             ps.foreach { p => s.partitions.remove((t, p)); s.lastHw.remove((t, p)) }
           }
-          // the broker serves the session's WHOLE set, in topic groups
-          val effective = s.partitions.toSeq
-            .groupBy(_._1._1).toSeq.sortBy(_._1)
-            .map { case (t, entries) =>
-              (t, entries.map { case ((_, p), (off, mb)) => (p, off, mb) })
+          // the broker serves the session's WHOLE set, ROTATED by a
+          // per-session cursor: under a request-level byte budget a
+          // fixed order would let early partitions starve late ones
+          // indefinitely (the budget exhausts on the same prefix every
+          // fetch). Rotating one step per fetch bounds the wait — any
+          // partition reaches the front within |session| fetches. A
+          // topic may appear as two groups when the rotation splits
+          // its run; the response array has no uniqueness constraint
+          // and clients merge by (topic, partition).
+          val flat = s.partitions.toSeq
+          val start = if (flat.isEmpty) 0 else s.servePos % flat.length
+          s.servePos = start + 1
+          val rotated = flat.drop(start) ++ flat.take(start)
+          val effective = rotated
+            .foldLeft(Vector.empty[(String, Vector[(Int, Long, Int)])]) {
+              case (acc, ((t, p), (off, mb))) =>
+                if (acc.nonEmpty && acc.last._1 == t)
+                  acc.init :+ ((t, acc.last._2 :+ ((p, off, mb))))
+                else acc :+ ((t, Vector((p, off, mb))))
             }
+            .map { case (t, ps) => (t, ps: Seq[(Int, Long, Int)]) }
           (req.sessionId, 0, effective, Some(s))
       }
     }
@@ -740,6 +787,21 @@ class Broker(spark: SparkSession, root: String) {
             .map(r => r.getInt(0) ->
               (r.getLong(1), r.getTimestamp(2).getTime)).toMap
         }.toMap
+        // MAX_TIMESTAMP (-3, the v7 addition): the offset OF the
+        // record with the largest timestamp — ties break to the
+        // earliest such offset, per the protocol. One bounded agg for
+        // the whole topic, computed only when some partition asks.
+        lazy val byMaxTs: Map[Int, (Long, Long)] =
+          if (!parts.exists { case (p, t, maxN) =>
+            t == -3L && maxN > 0 && p >= 0 && p < log.numPartitions })
+            Map.empty
+          else log.read()
+            .groupBy("partition")
+            .agg(expr("min_by(offset, struct(unix_micros(ts) * -1, offset))").as("o"),
+              max("ts").as("t"))
+            .collect()
+            .map(r => r.getInt(0) ->
+              (r.getLong(1), r.getTimestamp(2).getTime)).toMap
         (name, parts.map { case (p, ts, maxN) =>
           def v1(tsOff: (Long, Long), v0: Seq[Long]) =
             (p, 0, tsOff._1, tsOff._2, v0)
@@ -749,6 +811,10 @@ class Broker(spark: SparkSession, root: String) {
             case -1L =>
               val off = ends.getOrElse(p, 0L)
               (p, 0, -1L, off, Seq(off))
+            case -3L => byMaxTs.get(p) match {
+              case Some((off, recTs)) => (p, 0, recTs, off, Seq(off))
+              case None => v1(none, Seq.empty[Long]) // empty partition
+            }
             // EARLIEST = first offset that still EXISTS (retention may
             // have truncated the front — 0 would name a removed record)
             case t if t == -2L || t < 0L =>
@@ -807,21 +873,23 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeOffsetFetchRequest(requestBytes)
     val groupsOut = req.groups.map { case (group, topicsOpt) =>
-      val wanted: Seq[(String, Seq[Int])] = topicsOpt match {
-        case Some(ts) => ts
+      // the all-committed (null topics) path carries each topic's
+      // offsets map through from the enumeration pass — one committed
+      // store read per topic, not two
+      val wanted: Seq[(String, Seq[Int], Option[Map[Int, Long]])] = topicsOpt match {
+        case Some(ts) => ts.map { case (name, parts) => (name, parts, None) }
         case None =>
-          // all committed partitions for this group, grouped by topic
           listTopics().flatMap { t =>
             val committed = topic(t).committed(group)
             if (committed.isEmpty) None
-            else Some(t -> committed.keys.toSeq.sorted)
+            else Some((t, committed.keys.toSeq.sorted, Some(committed)))
           }
       }
-      val results = wanted.map { case (name, parts) =>
+      val results = wanted.map { case (name, parts, preRead) =>
         if (!topicExists(name)) (name, parts.map(p => (p, -1L, null: String, 3)))
         else {
           val log = topic(name)
-          val committed = log.committed(group)
+          val committed = preRead.getOrElse(log.committed(group))
           (name, parts.map { p =>
             if (p < 0 || p >= log.numPartitions) (p, -1L, null: String, 3)
             else committed.get(p) match {
@@ -880,6 +948,8 @@ object Broker {
   private[streaming] final class FetchSession {
     var epoch: Int = 0
     var lastUsedMs: Long = System.currentTimeMillis()
+    /** rotation cursor for the serve order — see resolveFetchSession */
+    var servePos: Int = 0
     val partitions: scala.collection.mutable.LinkedHashMap[(String, Int), (Long, Int)] =
       scala.collection.mutable.LinkedHashMap.empty
     val lastHw: scala.collection.mutable.Map[(String, Int), Long] =

@@ -109,11 +109,27 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
     * timeout, so an abandoned two-step can't grow the group. */
   def reserveMemberId(group: String, clientId: String,
       sessionTimeoutMs: Int): String = lock.synchronized {
+    gcReservationPhantoms()
     val g = groups.getOrElseUpdate(group, new GroupState(""))
     g.memberSeq += 1
     val id = s"$clientId-${g.memberSeq}"
     g.pending.put(id, clock() + sessionTimeoutMs)
     id
+  }
+
+  /** Drop group entries that exist ONLY because of an expired
+    * MEMBER_ID_REQUIRED reservation (never had a generation, no
+    * member, no live pending id): an abandoned two-step — or a probe
+    * across many group names — must not leave phantom groups in
+    * listGroups()/describe() or grow the map without bound. Groups
+    * that ever completed a join stay listed as Empty, the Kafka
+    * behavior. */
+  private def gcReservationPhantoms(): Unit = {
+    val now = clock()
+    groups.filterInPlace { case (_, g) =>
+      g.members.nonEmpty || g.generation > 0 ||
+        g.pending.exists { case (_, deadline) => now <= deadline }
+    }
   }
 
   /** OffsetCommit v1+ fencing: a commit carrying a generation must
@@ -194,7 +210,9 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
     * with their metadata and current assignment). */
   def describe(group: String): Option[(String, String, String,
       Seq[(String, String, String, Array[Byte], Array[Byte])])] = lock.synchronized {
-    groups.get(group).map { g =>
+    // a reservation-only entry (MEMBER_ID_REQUIRED two-step in
+    // flight, no generation yet) is not a describable group
+    groups.get(group).filter(g => g.members.nonEmpty || g.generation > 0).map { g =>
       evictExpired(g)
       val members = g.members.values.map { m =>
         (m.id, m.clientId, m.clientHost,
@@ -206,7 +224,10 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
   }
 
   def listGroups(): Seq[(String, String)] = lock.synchronized {
-    groups.iterator.map { case (name, g) => (name, g.protocolType) }.toSeq.sorted
+    gcReservationPhantoms()
+    groups.iterator
+      .filter { case (_, g) => g.members.nonEmpty || g.generation > 0 }
+      .map { case (name, g) => (name, g.protocolType) }.toSeq.sorted
   }
 
   private def stateName(g: GroupState): String = g.state match {

@@ -350,8 +350,9 @@ object KafkaWire {
       case Some(ts) =>
         w.count(ts.length)
         ts.foreach { t =>
-          if (version >= 10) { w.uuid(new Array[Byte](16)); w.str(t); w.tags() }
-          else w.str(t)
+          if (version >= 10) w.uuid(new Array[Byte](16))
+          w.str(t)
+          w.tags() // per-entry tagged fields at EVERY flexible version (v9+)
         }
     }
     if (version >= 4) w.bool(false) // allow_auto_topic_creation
@@ -381,8 +382,10 @@ object KafkaWire {
     val topics =
       if (n < 0 || (version == 0 && n == 0)) None
       else Some((0 until n).map { _ =>
-        if (version >= 10) { r.uuid(); val nm = r.str(); r.tags(); nm }
-        else r.str()
+        if (version >= 10) r.uuid()
+        val nm = r.str()
+        r.tags() // per-entry tagged fields at EVERY flexible version (v9+)
+        nm
       }.toSeq)
     if (version >= 4) r.bool() // allow_auto_topic_creation
     if (version >= 8 && version <= 10) r.bool() // include_cluster_authorized_operations
@@ -413,7 +416,10 @@ object KafkaWire {
     w.count(topics.length)
     topics.foreach { t =>
       w.i16(t.errorCode)
-      w.str(t.name)
+      // Name is nullable only at v12+ per the protocol; the v10/v11
+      // UNKNOWN_TOPIC_ID answer carries an EMPTY name (the zero UUID
+      // already signals "unknown") so a conformant decoder can read it
+      w.str(if (t.name == null && version < 12) "" else t.name)
       if (version >= 10)
         w.uuid(if (t.name == null) new Array[Byte](16) else topicUuid(t.name))
       if (version >= 1) w.bool(false) // is_internal
@@ -784,12 +790,6 @@ object KafkaWire {
   val OffsetCommitApiKey = 8
   val OffsetFetchApiKey = 9
 
-  case class OffsetCommitRequestV0(correlationId: Int, clientId: String,
-      group: String, topics: Seq[(String, Seq[(Int, Long, String)])])
-
-  case class OffsetFetchRequestV0(correlationId: Int, clientId: String,
-      group: String, topics: Seq[(String, Seq[Int])])
-
   def encodeOffsetCommitRequestV0(correlationId: Int, clientId: String,
       group: String, topics: Seq[(String, Seq[(Int, Long, String)])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -805,36 +805,6 @@ object KafkaWire {
       parts.foreach { case (p, off, meta) =>
         writeInt32(out, p); writeInt64(out, off); writeNullableString(out, meta)
       }
-    }
-    frame(out.toByteArray)
-  }
-
-  def decodeOffsetCommitRequestV0(bytes: Array[Byte]): OffsetCommitRequestV0 = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == OffsetCommitApiKey, "not an OffsetCommit request")
-    require(buf.getShort.toInt == 0, "only OffsetCommit v0 supported")
-    val correlationId = buf.getInt
-    val clientId = readNullableString(buf)
-    val group = readNullableString(buf)
-    val topics = (0 until buf.getInt).map { _ =>
-      val name = readNullableString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        (buf.getInt, buf.getLong, readNullableString(buf))
-      }
-      (name, parts.toSeq)
-    }
-    OffsetCommitRequestV0(correlationId, clientId, group, topics.toSeq)
-  }
-
-  def encodeOffsetCommitResponseV0(correlationId: Int,
-      topics: Seq[(String, Seq[(Int, Int)])]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    writeInt32(out, correlationId)
-    writeInt32(out, topics.length)
-    topics.foreach { case (name, parts) =>
-      writeNullableString(out, name)
-      writeInt32(out, parts.length)
-      parts.foreach { case (p, err) => writeInt32(out, p); writeInt16(out, err) }
     }
     frame(out.toByteArray)
   }
@@ -867,35 +837,6 @@ object KafkaWire {
     frame(out.toByteArray)
   }
 
-  def decodeOffsetFetchRequestV0(bytes: Array[Byte]): OffsetFetchRequestV0 = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == OffsetFetchApiKey, "not an OffsetFetch request")
-    require(buf.getShort.toInt == 0, "only OffsetFetch v0 supported")
-    val correlationId = buf.getInt
-    val clientId = readNullableString(buf)
-    val group = readNullableString(buf)
-    val topics = (0 until buf.getInt).map { _ =>
-      (readNullableString(buf), readInt32Array(buf).toSeq)
-    }
-    OffsetFetchRequestV0(correlationId, clientId, group, topics.toSeq)
-  }
-
-  def encodeOffsetFetchResponseV0(correlationId: Int,
-      topics: Seq[(String, Seq[(Int, Long, String, Int)])]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    writeInt32(out, correlationId)
-    writeInt32(out, topics.length)
-    topics.foreach { case (name, parts) =>
-      writeNullableString(out, name)
-      writeInt32(out, parts.length)
-      parts.foreach { case (p, off, meta, err) =>
-        writeInt32(out, p); writeInt64(out, off)
-        writeNullableString(out, meta); writeInt16(out, err)
-      }
-    }
-    frame(out.toByteArray)
-  }
-
   def decodeOffsetFetchResponseV0(
       bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Long, String, Int)])]) = {
     val buf = unframe(bytes)
@@ -919,9 +860,6 @@ object KafkaWire {
 
   val ListOffsetsApiKey = 2
 
-  case class ListOffsetsRequestV0(correlationId: Int, clientId: String,
-      topics: Seq[(String, Seq[(Int, Long, Int)])])
-
   def encodeListOffsetsRequestV0(correlationId: Int, clientId: String,
       topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -936,40 +874,6 @@ object KafkaWire {
       writeInt32(out, parts.length)
       parts.foreach { case (p, ts, maxN) =>
         writeInt32(out, p); writeInt64(out, ts); writeInt32(out, maxN)
-      }
-    }
-    frame(out.toByteArray)
-  }
-
-  def decodeListOffsetsRequestV0(bytes: Array[Byte]): ListOffsetsRequestV0 = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == ListOffsetsApiKey, "not a ListOffsets request")
-    require(buf.getShort.toInt == 0, "only ListOffsets v0 supported")
-    val correlationId = buf.getInt
-    val clientId = readNullableString(buf)
-    buf.getInt // replica_id
-    val topics = (0 until buf.getInt).map { _ =>
-      val name = readNullableString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        (buf.getInt, buf.getLong, buf.getInt)
-      }
-      (name, parts.toSeq)
-    }
-    ListOffsetsRequestV0(correlationId, clientId, topics.toSeq)
-  }
-
-  def encodeListOffsetsResponseV0(correlationId: Int,
-      topics: Seq[(String, Seq[(Int, Int, Seq[Long])])]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    writeInt32(out, correlationId)
-    writeInt32(out, topics.length)
-    topics.foreach { case (name, parts) =>
-      writeNullableString(out, name)
-      writeInt32(out, parts.length)
-      parts.foreach { case (p, err, offs) =>
-        writeInt32(out, p); writeInt16(out, err)
-        writeInt32(out, offs.length)
-        offs.foreach(writeInt64(out, _))
       }
     }
     frame(out.toByteArray)
@@ -1444,10 +1348,6 @@ object KafkaWire {
   val LeaveGroupApiKey = 13
   val SyncGroupApiKey = 14
 
-  case class JoinGroupRequestV0(correlationId: Int, clientId: String,
-      group: String, sessionTimeoutMs: Int, memberId: String,
-      protocolType: String, protocols: Seq[(String, Array[Byte])])
-
   case class JoinGroupResponseV0(correlationId: Int, errorCode: Int,
       generationId: Int, protocol: String, leaderId: String,
       memberId: String, members: Seq[(String, Array[Byte])])
@@ -1469,38 +1369,6 @@ object KafkaWire {
     frame(out.toByteArray)
   }
 
-  def decodeJoinGroupRequestV0(bytes: Array[Byte]): JoinGroupRequestV0 = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == JoinGroupApiKey, "not a JoinGroup request")
-    require(buf.getShort.toInt == 0, "only JoinGroup v0 supported")
-    val correlationId = buf.getInt
-    val clientId = readNullableString(buf)
-    val group = readNullableString(buf)
-    val sessionTimeout = buf.getInt
-    val memberId = readNullableString(buf)
-    val protocolType = readNullableString(buf)
-    val protocols = (0 until buf.getInt).map { _ =>
-      (readNullableString(buf), readBytesField(buf))
-    }
-    JoinGroupRequestV0(correlationId, clientId, group, sessionTimeout, memberId,
-      protocolType, protocols.toSeq)
-  }
-
-  def encodeJoinGroupResponseV0(r: JoinGroupResponseV0): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    writeInt32(out, r.correlationId)
-    writeInt16(out, r.errorCode)
-    writeInt32(out, r.generationId)
-    writeNullableString(out, r.protocol)
-    writeNullableString(out, r.leaderId)
-    writeNullableString(out, r.memberId)
-    writeInt32(out, r.members.length)
-    r.members.foreach { case (id, meta) =>
-      writeNullableString(out, id); writeBytesField(out, meta)
-    }
-    frame(out.toByteArray)
-  }
-
   def decodeJoinGroupResponseV0(bytes: Array[Byte]): JoinGroupResponseV0 = {
     val buf = unframe(bytes)
     val correlationId = buf.getInt
@@ -1516,10 +1384,6 @@ object KafkaWire {
       members.toSeq)
   }
 
-  case class SyncGroupRequestV0(correlationId: Int, clientId: String,
-      group: String, generationId: Int, memberId: String,
-      assignments: Seq[(String, Array[Byte])])
-
   def encodeSyncGroupRequestV0(correlationId: Int, clientId: String,
       group: String, generationId: Int, memberId: String,
       assignments: Seq[(String, Array[Byte])]): Array[Byte] = {
@@ -1533,31 +1397,6 @@ object KafkaWire {
     assignments.foreach { case (id, a) =>
       writeNullableString(out, id); writeBytesField(out, a)
     }
-    frame(out.toByteArray)
-  }
-
-  def decodeSyncGroupRequestV0(bytes: Array[Byte]): SyncGroupRequestV0 = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == SyncGroupApiKey, "not a SyncGroup request")
-    require(buf.getShort.toInt == 0, "only SyncGroup v0 supported")
-    val correlationId = buf.getInt
-    val clientId = readNullableString(buf)
-    val group = readNullableString(buf)
-    val gen = buf.getInt
-    val member = readNullableString(buf)
-    val assignments = (0 until buf.getInt).map { _ =>
-      (readNullableString(buf), readBytesField(buf))
-    }
-    SyncGroupRequestV0(correlationId, clientId, group, gen, member,
-      assignments.toSeq)
-  }
-
-  def encodeSyncGroupResponseV0(correlationId: Int, errorCode: Int,
-      assignment: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    writeInt32(out, correlationId)
-    writeInt16(out, errorCode)
-    writeBytesField(out, assignment)
     frame(out.toByteArray)
   }
 
@@ -1579,18 +1418,6 @@ object KafkaWire {
     frame(out.toByteArray)
   }
 
-  def decodeHeartbeatRequestV0(bytes: Array[Byte]): (Int, String, Int, String) = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == HeartbeatApiKey, "not a Heartbeat request")
-    require(buf.getShort.toInt == 0, "only Heartbeat v0 supported")
-    val correlationId = buf.getInt
-    readNullableString(buf) // client_id
-    val group = readNullableString(buf)
-    val gen = buf.getInt
-    val member = readNullableString(buf)
-    (correlationId, group, gen, member)
-  }
-
   def encodeLeaveGroupRequestV0(correlationId: Int, clientId: String,
       group: String, memberId: String): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -1598,22 +1425,6 @@ object KafkaWire {
     writeInt32(out, correlationId); writeNullableString(out, clientId)
     writeNullableString(out, group)
     writeNullableString(out, memberId)
-    frame(out.toByteArray)
-  }
-
-  def decodeLeaveGroupRequestV0(bytes: Array[Byte]): (Int, String, String) = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == LeaveGroupApiKey, "not a LeaveGroup request")
-    require(buf.getShort.toInt == 0, "only LeaveGroup v0 supported")
-    val correlationId = buf.getInt
-    readNullableString(buf) // client_id
-    (correlationId, readNullableString(buf), readNullableString(buf))
-  }
-
-  def encodeErrorResponse(correlationId: Int, errorCode: Int): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    writeInt32(out, correlationId)
-    writeInt16(out, errorCode)
     frame(out.toByteArray)
   }
 
@@ -1634,26 +1445,6 @@ object KafkaWire {
     writeInt16(out, FindCoordinatorApiKey); writeInt16(out, 0)
     writeInt32(out, correlationId); writeNullableString(out, clientId)
     writeNullableString(out, group)
-    frame(out.toByteArray)
-  }
-
-  def decodeFindCoordinatorRequestV0(bytes: Array[Byte]): (Int, String) = {
-    val buf = unframe(bytes)
-    require(buf.getShort.toInt == FindCoordinatorApiKey, "not a FindCoordinator request")
-    require(buf.getShort.toInt == 0, "only FindCoordinator v0 supported")
-    val correlationId = buf.getInt
-    readNullableString(buf) // client_id
-    (correlationId, readNullableString(buf))
-  }
-
-  def encodeFindCoordinatorResponseV0(correlationId: Int, errorCode: Int,
-      nodeId: Int, host: String, port: Int): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    writeInt32(out, correlationId)
-    writeInt16(out, errorCode)
-    writeInt32(out, nodeId)
-    writeNullableString(out, host)
-    writeInt32(out, port)
     frame(out.toByteArray)
   }
 

@@ -130,6 +130,43 @@ class FetchSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("a byte-starved session rotates its serve order so no partition starves") {
+    val root = Files.createTempDirectory("graft-fsess-rot").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("rot", 2)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // both partitions hold a backlog
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 1, "cli", null, 1, 30000, Seq(("rot", Seq(
+          (0, Seq(rec("a0"), rec("a1"))), (1, Seq(rec("b0"), rec("b1")))))))))
+      // open the session with a request-level max_bytes so small only
+      // ONE partition's records fit per response (first record exempt)
+      val r1 = decodeFetchResponseFull(12, exchange(sock,
+        encodeFetchRequest(12, 2, "cli", 500, 1, 1,
+          Seq(("rot", Seq((0, 0L, 1 << 20), (1, 0L, 1 << 20)))),
+          sessionId = 0, sessionEpoch = 0)))
+      val sid = r1._3
+      def servedPartitions(r: (Int, Int, Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])])) =
+        r._4.flatMap(_._2).collect { case (p, _, _, recs) if recs.nonEmpty => p }
+      val first = servedPartitions(r1)
+      assert(first.length === 1, s"the 1-byte budget serves one partition, got $first")
+      // the next incremental (nothing changed client-side) must serve
+      // the OTHER partition — a fixed order would starve it forever
+      val r2 = decodeFetchResponseFull(12, exchange(sock,
+        encodeFetchRequest(12, 3, "cli", 500, 1, 1, Seq.empty,
+          sessionId = sid, sessionEpoch = 1)))
+      val second = servedPartitions(r2)
+      assert(second.length === 1)
+      assert(second.head !== first.head,
+        "the rotation cursor must bring the starved partition to the front")
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
   test("sessionless fetches (epoch -1) keep working and never register state") {
     val root = Files.createTempDirectory("graft-fsess2").toString
     val broker = new Broker(spark, root)

@@ -90,6 +90,24 @@ class GroupCoordinatorSpec extends AnyFunSuite {
       .errorCode === UnknownMemberId)
   }
 
+  test("abandoned member-id reservations leave no phantom group") {
+    var now = 1000L
+    val c = new GroupCoordinator(() => now)
+    val id = c.reserveMemberId("ghost", "cli", 5000)
+    // a reservation in flight is NOT a group: not listed, not describable
+    assert(c.listGroups().isEmpty)
+    assert(c.describe("ghost").isEmpty)
+    now += 6000 // the reservation expires unredeemed
+    c.reserveMemberId("other", "cli", 5000) // any reserve sweeps phantoms
+    assert(c.join("ghost", id, "cli", "", 5000, "consumer", protocols)
+      .errorCode === UnknownMemberId) // the stale id is gone with it
+    // the completed two-step still works end-to-end
+    val id2 = c.reserveMemberId("real", "cli", 5000)
+    val j = c.join("real", id2, "cli", "", 5000, "consumer", protocols)
+    assert(j.errorCode === 0)
+    assert(c.listGroups().map(_._1) === Seq("real"))
+  }
+
   test("a rejoin that changes its subscription reopens the generation") {
     val c = new GroupCoordinator()
     val a = c.join("g", "", "a", "", 30000, "consumer", protocols)

@@ -205,6 +205,31 @@ class IdempotentProducerSpec extends AnyFunSuite {
       === Broker.Reject(45))
   }
 
+  test("one request listing a partition twice with chained sequences appends both") {
+    val root = Files.createTempDirectory("graft-idem-dup").toString
+    val broker = new Broker(spark, root)
+    def b(seq: Int, n: Int) = ProducedBatch(3L, 0, seq,
+      (0 until n).map(i => WireRecordV2(1L, null, Array[Byte](i.toByte))))
+    // entry B chains off entry A's provisional position — the same
+    // contract the base-offset accounting supports for dup partitions
+    assert(broker.validateProducerEntries("t", 1,
+      Seq((0, Seq(b(0, 2))), (0, Seq(b(2, 3)))))
+      === Seq(Broker.Append, Broker.Append))
+    // a NON-chained second entry rejects alone; the first still appends
+    assert(broker.validateProducerEntries("t", 1,
+      Seq((0, Seq(b(0, 2))), (0, Seq(b(7, 1)))))
+      === Seq(Broker.Append, Broker.Reject(45)))
+    // a rejected FIRST entry leaves no provisional trace: the second
+    // entry starting at 0 is still the valid fresh start
+    assert(broker.validateProducerEntries("t", 1,
+      Seq((0, Seq(b(5, 2))), (0, Seq(b(0, 2)))))
+      === Seq(Broker.Reject(45), Broker.Append))
+    // different partitions keep independent sequence spaces
+    assert(broker.validateProducerEntries("t", 2,
+      Seq((0, Seq(b(0, 2))), (1, Seq(b(0, 2)))))
+      === Seq(Broker.Append, Broker.Append))
+  }
+
   test("a v9 produce from a non-idempotent client is untouched by the gate") {
     val root = Files.createTempDirectory("graft-idem-plain").toString
     val broker = new Broker(spark, root)

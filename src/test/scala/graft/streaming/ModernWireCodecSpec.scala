@@ -179,6 +179,45 @@ class ModernWireCodecSpec extends AnyFunSuite {
     assert(req.reason === null)
   }
 
+  test("Metadata v9 request carries per-topic-entry tag buffers (golden frame)") {
+    // v9 is the first FLEXIBLE Metadata version but predates topic
+    // ids (v10): each topic entry is name + its own tagged-field
+    // buffer. Omitting the entry tags would misalign every field
+    // after the first name — a kafka-clients 2.4–2.7 consumer's
+    // bootstrap request would kill the connection.
+    val golden = frame(
+      b(0, 3, 0, 9, 0, 0, 0, 7) ++
+        b(0, 1) ++ "c".getBytes ++ b(0) ++ // client_id + header tags
+        b(3) ++ // topics: compact count 2+1
+        b(2) ++ "a".getBytes ++ b(0) ++ // name "a" + ENTRY tags
+        b(2) ++ "b".getBytes ++ b(0) ++ // name "b" + ENTRY tags
+        b(0) ++ // allow_auto_topic_creation false
+        b(0) ++ // include_cluster_authorized_operations false (v8–v10)
+        b(0) ++ // include_topic_authorized_operations false
+        b(0)) // body tags
+    assert(encodeMetadataRequest(9, 7, "c", Some(Seq("a", "b"))).toSeq
+      === golden.toSeq)
+    val (version, req) = decodeMetadataRequest(golden)
+    assert(version === 9)
+    assert(req === MetadataRequest(7, "c", Some(Seq("a", "b"))))
+  }
+
+  test("Metadata v10/v11 unknown-id answers carry an EMPTY name, not null") {
+    // Name is nullable only at v12+ per the protocol; below that the
+    // UNKNOWN_TOPIC_ID (100) answer must stay decodable: empty name +
+    // zero UUID
+    for (v <- Seq(10, 11)) {
+      val resp = encodeMetadataResponse(v, 5, Seq((0, "h", 9)), "cl",
+        Seq(TopicMetadata(100, null, Seq.empty)))
+      val dec = decodeMetadataResponse(v, resp)
+      assert(dec.topics.map(t => (t.errorCode, t.name)) === Seq((100, "")))
+    }
+    // ... and at v12 the null survives as null
+    val resp12 = encodeMetadataResponse(12, 5, Seq((0, "h", 9)), "cl",
+      Seq(TopicMetadata(100, null, Seq.empty)))
+    assert(decodeMetadataResponse(12, resp12).topics.map(_.name) === Seq(null))
+  }
+
   test("Metadata v12 request matches the golden flexible frame") {
     val golden = frame(
       b(0, 3, 0, 12, 0, 0, 0, 9) ++

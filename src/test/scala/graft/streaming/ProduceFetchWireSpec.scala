@@ -250,6 +250,26 @@ class ProduceFetchWireSpec extends AnyFunSuite {
     decodeMessageSetV0(corrupt.take(full.length / 2 + 12)) // must not throw
   }
 
+  test("ListOffsets -3 (MAX_TIMESTAMP, v7) answers the offset of the max-ts record") {
+    val (broker, _) = newBroker()
+    broker.createTopic("maxts", 1)
+    // timestamps deliberately NOT monotone with offsets, with a tie on
+    // the max: offsets 0..3 carry ts 100, 300, 200, 300
+    def r(ts: Long, v: String) = WireRecordV2(ts, null, v.getBytes("UTF-8"))
+    broker.handleProduce(encodeProduceRequest(3, 1, "cli", null, 1, 1000,
+      Seq(("maxts", Seq((0, Seq(r(100, "a"), r(300, "b"), r(200, "c"), r(300, "d"))))))))
+    val resp = decodeListOffsetsResponse(7, broker.handleListOffsets(
+      encodeListOffsetsRequest(7, 2, "cli", Seq(("maxts", Seq((0, -3L, 1)))))))
+    // ties break to the EARLIEST such offset: offset 1, ts 300
+    assert(resp._2 === Seq(("maxts", Seq((0, 0, 300L, 1L, Seq())))))
+    // an empty partition answers no offset, no error
+    broker.createTopic("empty", 1)
+    val none = decodeListOffsetsResponse(7, broker.handleListOffsets(
+      encodeListOffsetsRequest(7, 3, "cli", Seq(("empty", Seq((0, -3L, 1)))))))
+    assert(none._2.head._2.head._2 === 0) // error NONE
+    assert(none._2.head._2.head._4 === -1L) // no offset
+  }
+
   test("wire offset commit/fetch drives the CAS group store") {
     val (broker, _) = newBroker()
     broker.createTopic("grp", 4)
