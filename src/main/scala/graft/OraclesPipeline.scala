@@ -253,6 +253,45 @@ object OraclesPipeline {
 
     "ann_ivf_topk" -> annIvfSql,
 
+    // product quantization (4 subspaces x 16 dims, 16 codes): codes =
+    // argmin squared-L2 per subspace against the stride-sampled
+    // codebook slices; ADC = exact decimal sum of the 4 table lookups.
+    // sqL2 spelled (dot(a,a)+dot(b,b)) - (2*dot(a,b)) with the shared
+    // left-fold dot - the same parenthesization the Spark side uses.
+    "ann_pq_topk" ->
+      s"""WITH e AS ($embDouble),
+         |st AS (SELECT CAST(ceil((max(vec_id) + 1) / 16.0) AS BIGINT) AS stride FROM e),
+         |cb AS (SELECT m, vec_id AS code,
+         |         list_slice(v, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS cv
+         |       FROM e, UNNEST([0,1,2,3]) AS t(m)
+         |       WHERE vec_id % (SELECT stride FROM st) = 0),
+         |vsub AS (SELECT vec_id, m,
+         |           list_slice(v, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS vs
+         |         FROM e, UNNEST([0,1,2,3]) AS t(m) WHERE vec_id >= 5),
+         |cd AS (SELECT vsub.vec_id, vsub.m, cb.code,
+         |         round((${dot("vs", "vs")} + ${dot("cv", "cv")})
+         |               - (2 * ${dot("vs", "cv")}), 6) AS sqd
+         |       FROM vsub JOIN cb ON vsub.m = cb.m),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |              ORDER BY sqd ASC, code ASC) AS rn FROM cd)
+         |          WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS qid, m,
+         |           list_slice(v, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS qs
+         |         FROM e, UNNEST([0,1,2,3]) AS t(m) WHERE vec_id < 5),
+         |qt AS (SELECT qid, qsub.m, cb.code,
+         |         round((${dot("qs", "qs")} + ${dot("cv", "cv")})
+         |               - (2 * ${dot("qs", "cv")}), 6) AS t
+         |       FROM qsub JOIN cb ON qsub.m = cb.m),
+         |adc AS (SELECT qt.qid, codes.vec_id,
+         |          round(CAST(SUM(CAST(qt.t AS DECIMAL(30,12))) AS DOUBLE), 6) AS adc_dist
+         |        FROM codes JOIN qt ON codes.m = qt.m AND codes.code = qt.code
+         |        GROUP BY qt.qid, codes.vec_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank FROM adc)
+         |SELECT qid, rank, vec_id, adc_dist FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
     // frame pipeline: 256-byte chunks, every 2nd frame, subsample to
     // 128 bytes via truncating index map (i*len)//128, integer
     // features over the resized bytes — mirrors Multimodal.frameSample

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,82 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "vec_id", "cos_sim", "cell")
+      .orderBy("qid", "rank")
+  }
+
+  /** PQ geometry over the 64-dim embeddings: 4 subspaces × 16 dims,
+    * 16 codes per subspace (the same stride-sampled deterministic
+    * codebook as [[annIvfTopk]], sliced per subspace). A production
+    * index uses 8–96 subspaces × 256 codes; the shape is identical. */
+  private[operators] val pqSubspaces = 4
+  private[operators] val pqSubDim = 16
+
+  /** Product-quantization top-k (asymmetric distance computation) —
+    * the ANN scale path BEYOND IVF: each corpus vector compresses to
+    * [[pqSubspaces]] one-code-per-subspace bytes at index-build time,
+    * and a query scores the whole corpus from an M×K distance-table
+    * lookup instead of touching any raw vector.
+    *
+    * Deterministic end-to-end, so the full pipeline carries a DuckDB
+    * oracle: sub-codebooks are the [[ivfStride]]-sampled vectors
+    * (bounded by construction) sliced per subspace; code assignment
+    * is argmin squared-L2 with a min-code tie-break (row_number on
+    * both engines); squared L2 evaluates as
+    * (dot(a,a) + dot(b,b)) − 2·dot(a,b) with the shared left-fold dot
+    * so both engines produce identical bits; the ADC sum over the M
+    * per-subspace table entries routes through exact DECIMAL so
+    * aggregation order can never change the result.
+    *
+    * Scale shape: the codebook is broadcast (M×K rows, constant);
+    * encode is one shuffle of (vector, subspace) rows bounded by
+    * M × corpus — index-build cost, paid once; the query path joins
+    * the M·K-row broadcast distance tables against the codes relation
+    * and never reads a raw corpus vector — the point of PQ at 100 TB,
+    * where raw vectors don't fit but M bytes per vector do. */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb(spark, dir)
+    val stride = ivfStride(Option(e.agg(max("vec_id")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L))
+    val sub = spark.range(pqSubspaces).select(col("id").cast("int").as("m"))
+    def sliceAt(v: Column) = slice(v, col("m") * pqSubDim + 1, lit(pqSubDim))
+    // squared L2 via three shared-fold dots — parenthesized exactly
+    // as the oracle SQL spells it, so the float ops match bitwise
+    def sqd(a: Column, b: Column) =
+      round((dot(a, a) + dot(b, b)) - (lit(2.0) * dot(a, b)), 6)
+    // sub-codebooks: (m, code, centroid slice), constant-size → broadcast
+    val cb = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("code"), col("v"))
+      .crossJoin(sub)
+      .select(col("m"), col("code"), sliceAt(col("v")).as("cv"))
+    // ENCODE: each corpus vector → its argmin code per subspace
+    val wCode = Window.partitionBy("vec_id", "m")
+      .orderBy(col("sqd").asc, col("code").asc)
+    val codes = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("v")).crossJoin(sub)
+      .select(col("vec_id"), col("m"), sliceAt(col("v")).as("vs"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("sqd", sqd(col("vs"), col("cv")))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "code")
+    // QUERY: per-query M×K distance tables (broadcast)
+    val qt = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv")).crossJoin(sub)
+      .select(col("qid"), col("m"), sliceAt(col("qv")).as("qs"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("m"), col("code"),
+        sqd(col("qs"), col("cv")).as("t"))
+    // ADC: approximate distance = exact decimal sum of the M lookups
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    codes.join(broadcast(qt), Seq("m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum(col("t").cast(DecimalType(30, 12))).cast("double"), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "adc_dist")
       .orderBy("qid", "rank")
   }
 
