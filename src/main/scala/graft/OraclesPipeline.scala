@@ -253,6 +253,62 @@ object OraclesPipeline {
 
     "ann_ivf_topk" -> annIvfSql,
 
+    // IVF-PQ with residual encoding: coarse cells + probes are the
+    // annIvfSql machinery verbatim; residual r = v - centroid
+    // elementwise; the PQ codebook samples the residuals of the
+    // stride-1 id class; encode/ADC are the ann_pq_topk machinery
+    // keyed additionally by cell.
+    "ann_ivfpq_topk" ->
+      s"""WITH e AS ($embDouble),
+         |st AS (SELECT CAST(ceil((max(vec_id) + 1) / 16.0) AS BIGINT) AS stride FROM e),
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e
+         |      WHERE vec_id % (SELECT stride FROM st) = 0),
+         |a AS (SELECT e.vec_id, e.v, c.cell, c.cv, ${cosR("e.v", "c.cv")} AS sim
+         |      FROM e CROSS JOIN c),
+         |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |         ORDER BY sim DESC, cell ASC) AS rn FROM a),
+         |res AS (SELECT vec_id, cell,
+         |          list_transform(generate_series(1, len(v)), i -> v[i] - cv[i]) AS r
+         |        FROM a1 WHERE rn = 1),
+         |pqcb AS (SELECT m, vec_id AS code,
+         |           list_slice(r, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS pv
+         |         FROM res, UNNEST([0,1,2,3]) AS t(m)
+         |         WHERE vec_id % (SELECT stride FROM st) = (SELECT stride - 1 FROM st)),
+         |rsub AS (SELECT vec_id, cell, m,
+         |           list_slice(r, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS rs
+         |         FROM res, UNNEST([0,1,2,3]) AS t(m) WHERE vec_id >= 5),
+         |cd AS (SELECT rsub.vec_id, rsub.cell, rsub.m, pqcb.code,
+         |         round((${dot("rs", "rs")} + ${dot("pv", "pv")})
+         |               - (2 * ${dot("rs", "pv")}), 6) AS sqd
+         |       FROM rsub JOIN pqcb ON rsub.m = pqcb.m),
+         |codes AS (SELECT vec_id, cell, m, code FROM (
+         |            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |              ORDER BY sqd ASC, code ASC) AS rn FROM cd)
+         |          WHERE rn = 1),
+         |q AS (SELECT e.vec_id AS qid, c.cell, ${cosR("e.v", "c.cv")} AS sim,
+         |        list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS qr
+         |      FROM e CROSS JOIN c WHERE e.vec_id < 5),
+         |probes AS (SELECT qid, cell, qr FROM (
+         |             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY sim DESC, cell ASC) AS rn FROM q)
+         |           WHERE rn <= 2),
+         |qsub AS (SELECT qid, cell, m,
+         |           list_slice(qr, CAST(m*16+1 AS INT), CAST(m*16+16 AS INT)) AS qs
+         |         FROM probes, UNNEST([0,1,2,3]) AS t(m)),
+         |qt AS (SELECT qid, cell, qsub.m, pqcb.code,
+         |         round((${dot("qs", "qs")} + ${dot("pv", "pv")})
+         |               - (2 * ${dot("qs", "pv")}), 6) AS t
+         |       FROM qsub JOIN pqcb ON qsub.m = pqcb.m),
+         |adc AS (SELECT qt.qid, codes.vec_id, codes.cell,
+         |          round(CAST(SUM(CAST(qt.t AS DECIMAL(30,12))) AS DOUBLE), 6) AS adc_dist
+         |        FROM codes JOIN qt ON codes.cell = qt.cell
+         |          AND codes.m = qt.m AND codes.code = qt.code
+         |        GROUP BY qt.qid, codes.vec_id, codes.cell),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank FROM adc)
+         |SELECT qid, rank, vec_id, adc_dist, cell FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
     // product quantization (4 subspaces x 16 dims, 16 codes): codes =
     // argmin squared-L2 per subspace against the stride-sampled
     // codebook slices; ADC = exact decimal sum of the 4 table lookups.

@@ -86,6 +86,7 @@ object SparkEntry {
     "ann_lsh_topk" -> Similarity.annLshTopk _,
     "ann_ivf_topk" -> Similarity.annIvfTopk _,
     "ann_pq_topk" -> Similarity.annPqTopk _,
+    "ann_ivfpq_topk" -> Similarity.annIvfPqTopk _,
     "ann_ivf_kmeans_topk" -> Similarity.annIvfKmeansTopk _,
     "ann_range_search" -> Similarity.annRangeSearch _,
     "emb_quantize_int8" -> Similarity.embQuantizeInt8 _,

@@ -388,6 +388,95 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ with residual encoding — the composition production ANN
+    * indexes actually ship (FAISS's IVFPQ): coarse-quantize each
+    * vector to its IVF cell, PQ-encode the RESIDUAL (v − centroid),
+    * and at query time probe nprobe cells scoring candidates from
+    * per-(query, cell) distance tables over the residual codebook.
+    * Residuals concentrate near the origin, so the same code budget
+    * quantizes them with far less distortion than raw vectors — and
+    * the probe prunes the candidate set before any scoring happens.
+    *
+    * Determinism (→ full DuckDB oracle): coarse cells + probes are
+    * [[annIvfTopk]]'s proven machinery; the PQ codebook samples the
+    * residuals of ids ≡ stride−1 (mod stride) — disjoint from the
+    * centroid class, collapsing to "all" only when the corpus is
+    * smaller than one stride, so it stays ≤ [[ivfCells]] entries by
+    * construction; encode/ADC reuse [[annPqTopk]]'s shared-fold
+    * squared-L2 and decimal-exact sums.
+    *
+    * Scale shape: candidates = vectors in the probed cells only
+    * (IVF pruning) × table lookups only (PQ compression); the coarse
+    * and PQ codebooks are both constant-size broadcasts; the encode
+    * shuffle is M × corpus at index-build. */
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb(spark, dir)
+    val stride = ivfStride(Option(e.agg(max("vec_id")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L))
+    val sub = spark.range(pqSubspaces).select(col("id").cast("int").as("m"))
+    def sliceAt(v: Column) = slice(v, col("m") * pqSubDim + 1, lit(pqSubDim))
+    def sqd(a: Column, b: Column) =
+      round((dot(a, a) + dot(b, b)) - (lit(2.0) * dot(a, b)), 6)
+    // coarse cells: the annIvfTopk codebook + map-side assignment
+    val centroids = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    val codebook = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val cb = graft.functions.CellCodebook(codebook.map(_._1),
+      codebook.map(_._2.toArray), codebook.map(_._3))
+    val withRes = e
+      .withColumn("cell",
+        graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
+      .join(broadcast(centroids.select("cell", "cv")), Seq("cell"))
+      .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
+      .select("vec_id", "cell", "v", "n", "r")
+    // PQ codebook over RESIDUALS of the stride−1 id class (≤ ivfCells)
+    val pqcb = withRes.filter(col("vec_id") % stride === stride - 1)
+      .select(col("vec_id").as("code"), col("r"))
+      .crossJoin(sub)
+      .select(col("m"), col("code"), sliceAt(col("r")).as("pv"))
+    // ENCODE: argmin residual code per (vector, subspace)
+    val wCode = Window.partitionBy("vec_id", "m")
+      .orderBy(col("sqd").asc, col("code").asc)
+    val codes = withRes.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("cell"), col("r")).crossJoin(sub)
+      .select(col("vec_id"), col("cell"), col("m"), sliceAt(col("r")).as("rs"))
+      .join(broadcast(pqcb), Seq("m"))
+      .withColumn("sqd", sqd(col("rs"), col("pv")))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "m", "code")
+    // PROBE: each query's 2 nearest cells (rounded cosine, cell tie)
+    val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cell").asc)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+    // per-(query, probed cell) distance tables over the residual book
+    val qt = probes.crossJoin(sub)
+      .select(col("qid"), col("cell"), col("m"), sliceAt(col("qr")).as("qs"))
+      .join(broadcast(pqcb), Seq("m"))
+      .select(col("qid"), col("cell"), col("m"), col("code"),
+        sqd(col("qs"), col("pv")).as("t"))
+    // ADC over the probed cells' candidates only
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    codes.join(broadcast(qt), Seq("cell", "m", "code"))
+      .groupBy("qid", "vec_id", "cell")
+      .agg(round(sum(col("t").cast(DecimalType(30, 12))).cast("double"), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "adc_dist", "cell")
+      .orderBy("qid", "rank")
+  }
+
   /** ANN quality audit: per-query recall of the IVF index against the
     * exact brute-force top-k — the evaluation loop every production
     * ANN deployment runs before trusting an index. Composes the two

@@ -53,6 +53,33 @@ class PqSpec extends AnyFunSuite {
       s"PQ picks (mean true cos $pqPairs) must beat the corpus mean ($allPairs)")
   }
 
+  test("IVF-PQ is deterministic, probes prune, and residual ranking tracks proximity") {
+    import graft.functions.VectorFunctions._
+    val a = Similarity.annIvfPqTopk(spark, dir).collect()
+    val b = Similarity.annIvfPqTopk(spark, dir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.length === 15, "5 queries x top-3")
+    // every candidate came from a probed cell: at nprobe=2 and 16
+    // cells, each query's results span at most 2 distinct cells
+    a.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(4)).distinct.length <= 2)
+    }
+    // residual ranking beats the corpus-mean true cosine, like PQ
+    val e = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val allPairs = e.filter(col("vec_id") >= 5).crossJoin(q)
+      .select(cosine(col("qv"), col("v")).as("cos"))
+      .agg(avg("cos")).head.getDouble(0)
+    val picks = Similarity.annIvfPqTopk(spark, dir)
+      .join(e, "vec_id").join(q, "qid")
+      .select(cosine(col("qv"), col("v")).as("cos"))
+      .agg(avg("cos")).head.getDouble(0)
+    assert(picks > allPairs + 0.1,
+      s"IVF-PQ picks (mean true cos $picks) must beat the corpus mean ($allPairs)")
+  }
+
   test("the code relation is M codes per vector from a bounded codebook") {
     // every encoded vector gets exactly pqSubspaces codes, and the
     // distinct code values per subspace stay within the stride-sampled
