@@ -86,10 +86,34 @@ object ThroughputBench {
     val wireFetchSec = (System.nanoTime() - t4) / 1e9
     val fetchedN = fetched._2.head._2.head._4.size
     require(fetchedN == wireN / 8, s"fetch returned $fetchedN of ${wireN / 8}")
-    sock.close(); server.close()
     println(f"wire produce (TCP, $wireBatches batches x ${perBatch * 8}, all acked): " +
       f"$wireN records in $wireProduceSec%.2f s = ${wireN / wireProduceSec}%.0f rec/s")
     println(f"wire fetch (one partition, $fetchedN records decoded): $wireFetchSec%.2f s")
+
+    // --- idempotent wire produce (v9 + pid/epoch/sequence): the same
+    // volume through the sequence-bookkeeping gate, quantifying what
+    // exactly-once produce costs on the wire path ---
+    broker.createTopic("idem", 8)
+    val (_, initErr, pid, epoch) = decodeInitProducerIdResponse(4,
+      exchange(encodeInitProducerIdRequest(4, 200, "bench", null, 60000)))
+    require(initErr == 0, s"InitProducerId failed: $initErr")
+    val recs2 = (0 until perBatch).map(i =>
+      WireRecordV2(-1L, s"k$i".getBytes, ("v" * 64 + i).getBytes))
+    val seqs = Array.fill(8)(0)
+    val t5 = System.nanoTime()
+    (0 until wireBatches).foreach { b =>
+      val (_, acks) = decodeProduceResponse(9,
+        exchange(encodeProduceRequestBatches(9, 300 + b, "bench", null, 1, 1000,
+          Seq(("idem", (0 until 8).map { p =>
+            val s = seqs(p); seqs(p) += perBatch
+            (p, ProducedBatch(pid, epoch, s, recs2))
+          })))))
+      require(acks.head._2.forall(_._2 == 0), s"idempotent produce error in $b: $acks")
+    }
+    val idemSec = (System.nanoTime() - t5) / 1e9
+    sock.close(); server.close()
+    println(f"idempotent wire produce (v9, pid/seq tracked, all acked): " +
+      f"$wireN records in $idemSec%.2f s = ${wireN / idemSec}%.0f rec/s")
     spark.stop()
   }
 }
