@@ -18,14 +18,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Execute the FULL query through the noop sink: every row is
+    // produced and consumed, nothing lands on disk. (count() let
+    // Catalyst prune anything cardinality-preserving — q8's window,
+    // every terminal projection — so the old harness silently
+    // under-measured map-side work; numbers from rounds 1–4 are NOT
+    // comparable to this harness.)
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     // warmup: exercise codegen, shuffle, broadcast machinery once
     spark.range(1000).selectExpr("sum(id)").collect()
-    try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+    try run("q1_agg")
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver keeps only the last ~2000 chars of output; a JSON
