@@ -201,8 +201,14 @@ object Dedup {
     val bands = 16
     val r = 4
     val gd = GraftCaches.getOrBuild(spark, s"dedup:minhash-grams:$dir") {
+      // grams hash to 8-byte keys BEFORE the distinct: the signature
+      // aggregate, the distinct, and the verify joins all shuffle
+      // longs instead of gram strings (~5× fewer shuffle bytes — the
+      // verify stage dominated the 10× corpus run). A 64-bit
+      // collision merges two grams; probability ~g²/2^65 per doc —
+      // the same accepted contract as [[jaccardPairs]]' hashed keys.
       val d = gramRows(spark, dir, lowercase = true)
-        .select("doc_id", "sh").distinct().persist()
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct().persist()
       d.count()
       d
     }
