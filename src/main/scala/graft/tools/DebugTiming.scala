@@ -20,11 +20,11 @@ object DebugTiming {
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $label"); r
     }
 
-    time("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, dir).count())
-    time("dedup_cluster_cc")(Dedup.dedupClusterCC(spark, dir).count())
-    time("dedup_embedding_cosine")(Dedup.dedupEmbeddingCosine(spark, dir).count())
-    time("ann_ivf_topk")(Similarity.annIvfTopk(spark, dir).count())
-    time("ann_ivf_kmeans_topk")(Similarity.annIvfKmeansTopk(spark, dir).count())
+    time("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, dir).write.format("noop").mode("overwrite").save())
+    time("dedup_cluster_cc")(Dedup.dedupClusterCC(spark, dir).write.format("noop").mode("overwrite").save())
+    time("dedup_embedding_cosine")(Dedup.dedupEmbeddingCosine(spark, dir).write.format("noop").mode("overwrite").save())
+    time("ann_ivf_topk")(Similarity.annIvfTopk(spark, dir).write.format("noop").mode("overwrite").save())
+    time("ann_ivf_kmeans_topk")(Similarity.annIvfKmeansTopk(spark, dir).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

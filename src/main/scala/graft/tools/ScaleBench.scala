@@ -63,14 +63,14 @@ object ScaleBench {
     println(s"scaled corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
       s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors at $out")
 
-    time("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, out).count())
-    time("dedup_cluster_cc")(Dedup.dedupClusterCC(spark, out).count())
-    time("dedup_minhash_lsh")(Dedup.dedupMinhashLsh(spark, out).count())
-    time("dedup_embedding_cosine")(Dedup.dedupEmbeddingCosine(spark, out).count())
-    time("decontaminate_ngram")(Dedup.decontaminateNgram(spark, out).count())
-    time("ann_bruteforce_topk")(Similarity.annBruteforceTopk(spark, out).count())
-    time("ann_ivf_topk")(Similarity.annIvfTopk(spark, out).count())
-    time("pipeline_e2e_corpus")(Pipeline.pipelineE2ECorpus(spark, out).count())
+    time("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, out).write.format("noop").mode("overwrite").save())
+    time("dedup_cluster_cc")(Dedup.dedupClusterCC(spark, out).write.format("noop").mode("overwrite").save())
+    time("dedup_minhash_lsh")(Dedup.dedupMinhashLsh(spark, out).write.format("noop").mode("overwrite").save())
+    time("dedup_embedding_cosine")(Dedup.dedupEmbeddingCosine(spark, out).write.format("noop").mode("overwrite").save())
+    time("decontaminate_ngram")(Dedup.decontaminateNgram(spark, out).write.format("noop").mode("overwrite").save())
+    time("ann_bruteforce_topk")(Similarity.annBruteforceTopk(spark, out).write.format("noop").mode("overwrite").save())
+    time("ann_ivf_topk")(Similarity.annIvfTopk(spark, out).write.format("noop").mode("overwrite").save())
+    time("pipeline_e2e_corpus")(Pipeline.pipelineE2ECorpus(spark, out).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
