@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * machinery (map-side combine before the shuffle).
   *
   * Hash recurrence is exactly `xxhash64(shingle, seed)`:
-  * hash(seedLong, hash(utf8, 42)) — so signatures are bit-equal to
-  * the columnar formulation used by dedup_minhash_lsh.
+  * hash(seedInt, hash(input, 42)) over the input's own type — so
+  * signatures are bit-equal to a k-column min() formulation over the
+  * SAME input (spec: MinHashAggSpec). dedup_minhash_lsh feeds it
+  * xxhash64-hashed gram LONGS (8-byte shuffle keys), not the gram
+  * strings.
   */
 case class MinHashAggExpr(
     child: Expression,

@@ -279,16 +279,9 @@ object Similarity {
     * (struct max over (sim, −cell)). */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val stride = ivfStride(Option(e.agg(max("vec_id")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)) // empty corpus → stride 1, no rows
-    val centroids = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
-    // bounded codebook → driver (cell, vector, precomputed norm)
-    val codebook = centroids.select("cell", "cv", "cn").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
-    val cb = graft.functions.CellCodebook(codebook.map(_._1),
-      codebook.map(_._2.toArray), codebook.map(_._3))
+    // bounded codebook → driver (cell, vector, precomputed norm);
+    // empty corpus → stride 1, no rows
+    val (_, centroids, cb) = coarseCellCodebook(e)
     val assigned = e
       .withColumn("cell",
         graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
@@ -315,9 +308,68 @@ object Similarity {
   /** PQ geometry over the 64-dim embeddings: 4 subspaces × 16 dims,
     * 16 codes per subspace (the same stride-sampled deterministic
     * codebook as [[annIvfTopk]], sliced per subspace). A production
-    * index uses 8–96 subspaces × 256 codes; the shape is identical. */
+    * index uses 8–96 subspaces × 256 codes; the shape is identical.
+    *
+    * Like every stride-sampled codebook here, the PQ sample classes
+    * assume ~dense vec_ids (as in the driver-generated tables — the
+    * contract [[ivfStride]] documents): sparse ids shrink a sample
+    * class, and an id set that never hits the class would empty it.
+    * A production build samples by row position, not id. */
   private[operators] val pqSubspaces = 4
   private[operators] val pqSubDim = 16
+
+  /** Max vec_id → the shared sampling stride. */
+  private def corpusStride(e: DataFrame): Long =
+    ivfStride(Option(e.agg(max("vec_id")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L))
+
+  /** The [[pqSubspaces]]-row subspace-index frame (column `m`). */
+  private def subspaceIdx(spark: SparkSession): DataFrame =
+    spark.range(pqSubspaces).select(col("id").cast("int").as("m"))
+
+  /** Subspace `m`'s slice of a vector column. */
+  private def pqSlice(v: Column): Column =
+    slice(v, col("m") * pqSubDim + 1, lit(pqSubDim))
+
+  /** Squared L2 via three shared-fold dots — parenthesized exactly as
+    * the oracle SQL spells it, so the float ops match bitwise. */
+  private def pqSqd(a: Column, b: Column): Column =
+    round((dot(a, a) + dot(b, b)) - (lit(2.0) * dot(a, b)), 6)
+
+  /** Per-subspace sub-codebook rows (m, code, cv) from a sampled
+    * (code, vector) frame — constant-size, meant for broadcast. */
+  private[operators] def pqSubCodebook(sub: DataFrame,
+      sample: DataFrame): DataFrame =
+    sample.crossJoin(sub)
+      .select(col("m"), col("code"), pqSlice(col("v")).as("cv"))
+
+  /** Argmin-code assignment: src carries (m, vs) plus `keep` columns;
+    * one code per (vec_id, m), min-sqd with min-code tie-break. */
+  private[operators] def pqEncodeCodes(src: DataFrame, cb: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val wCode = Window.partitionBy("vec_id", "m")
+      .orderBy(col("sqd").asc, col("code").asc)
+    src.join(broadcast(cb), Seq("m"))
+      .withColumn("sqd", pqSqd(col("vs"), col("cv")))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select((keep ++ Seq("m", "code")).map(col): _*)
+  }
+
+  /** Stride-sampled coarse centroids, as both the relation
+    * (cell, cv, cn) and the collected bounded [[graft.functions.CellCodebook]]
+    * for map-side assignment. */
+  private def coarseCellCodebook(e: DataFrame)
+      : (Long, DataFrame, graft.functions.CellCodebook) = {
+    val stride = corpusStride(e)
+    val centroids = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    val codebook = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    (stride, centroids, graft.functions.CellCodebook(codebook.map(_._1),
+      codebook.map(_._2.toArray), codebook.map(_._3)))
+  }
 
   /** Product-quantization top-k (asymmetric distance computation) —
     * the ANN scale path BEYOND IVF: each corpus vector compresses to
@@ -344,37 +396,25 @@ object Similarity {
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = emb(spark, dir)
-    val stride = ivfStride(Option(e.agg(max("vec_id")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L))
-    val sub = spark.range(pqSubspaces).select(col("id").cast("int").as("m"))
-    def sliceAt(v: Column) = slice(v, col("m") * pqSubDim + 1, lit(pqSubDim))
-    // squared L2 via three shared-fold dots — parenthesized exactly
-    // as the oracle SQL spells it, so the float ops match bitwise
-    def sqd(a: Column, b: Column) =
-      round((dot(a, a) + dot(b, b)) - (lit(2.0) * dot(a, b)), 6)
+    val stride = corpusStride(e)
+    val sub = subspaceIdx(spark)
     // sub-codebooks: (m, code, centroid slice), constant-size → broadcast
-    val cb = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("code"), col("v"))
-      .crossJoin(sub)
-      .select(col("m"), col("code"), sliceAt(col("v")).as("cv"))
+    val cb = pqSubCodebook(sub,
+      e.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("code"), col("v")))
     // ENCODE: each corpus vector → its argmin code per subspace
-    val wCode = Window.partitionBy("vec_id", "m")
-      .orderBy(col("sqd").asc, col("code").asc)
-    val codes = e.filter(col("vec_id") >= 5)
-      .select(col("vec_id"), col("v")).crossJoin(sub)
-      .select(col("vec_id"), col("m"), sliceAt(col("v")).as("vs"))
-      .join(broadcast(cb), Seq("m"))
-      .withColumn("sqd", sqd(col("vs"), col("cv")))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select("vec_id", "m", "code")
+    val codes = pqEncodeCodes(
+      e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("v")).crossJoin(sub)
+        .select(col("vec_id"), col("m"), pqSlice(col("v")).as("vs")),
+      cb, keep = Seq("vec_id"))
     // QUERY: per-query M×K distance tables (broadcast)
     val qt = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv")).crossJoin(sub)
-      .select(col("qid"), col("m"), sliceAt(col("qv")).as("qs"))
+      .select(col("qid"), col("m"), pqSlice(col("qv")).as("qs"))
       .join(broadcast(cb), Seq("m"))
       .select(col("qid"), col("m"), col("code"),
-        sqd(col("qs"), col("cv")).as("t"))
+        pqSqd(col("qs"), col("cv")).as("t"))
     // ADC: approximate distance = exact decimal sum of the M lookups
     val wTop = Window.partitionBy("qid")
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
@@ -401,9 +441,12 @@ object Similarity {
     * [[annIvfTopk]]'s proven machinery; the PQ codebook samples the
     * residuals of ids ≡ stride−1 (mod stride) — disjoint from the
     * centroid class, collapsing to "all" only when the corpus is
-    * smaller than one stride, so it stays ≤ [[ivfCells]] entries by
-    * construction; encode/ADC reuse [[annPqTopk]]'s shared-fold
-    * squared-L2 and decimal-exact sums.
+    * smaller than one stride, so it stays ≤ [[ivfCells]] entries —
+    * under the DENSE-ID contract every stride-sampled codebook here
+    * carries (see [[pqSubspaces]]: a sparse id set could empty a
+    * sample class; production builds sample by row position);
+    * encode/ADC reuse [[annPqTopk]]'s shared-fold squared-L2 and
+    * decimal-exact sums.
     *
     * Scale shape: candidates = vectors in the probed cells only
     * (IVF pruning) × table lookups only (PQ compression); the coarse
@@ -412,42 +455,27 @@ object Similarity {
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = emb(spark, dir)
-    val stride = ivfStride(Option(e.agg(max("vec_id")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L))
-    val sub = spark.range(pqSubspaces).select(col("id").cast("int").as("m"))
-    def sliceAt(v: Column) = slice(v, col("m") * pqSubDim + 1, lit(pqSubDim))
-    def sqd(a: Column, b: Column) =
-      round((dot(a, a) + dot(b, b)) - (lit(2.0) * dot(a, b)), 6)
+    val sub = subspaceIdx(spark)
     // coarse cells: the annIvfTopk codebook + map-side assignment
-    val centroids = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
-    val codebook = centroids.collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
-    val cb = graft.functions.CellCodebook(codebook.map(_._1),
-      codebook.map(_._2.toArray), codebook.map(_._3))
+    val (stride, centroids, cb) = coarseCellCodebook(e)
     val withRes = e
       .withColumn("cell",
         graft.functions.GraftExpressions.argMaxCell(col("v"), col("n"), cb))
       .join(broadcast(centroids.select("cell", "cv")), Seq("cell"))
       .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
       .select("vec_id", "cell", "v", "n", "r")
-    // PQ codebook over RESIDUALS of the stride−1 id class (≤ ivfCells)
-    val pqcb = withRes.filter(col("vec_id") % stride === stride - 1)
-      .select(col("vec_id").as("code"), col("r"))
-      .crossJoin(sub)
-      .select(col("m"), col("code"), sliceAt(col("r")).as("pv"))
+    // PQ codebook over RESIDUALS of the stride−1 id class (≤ ivfCells;
+    // the cv of pqSubCodebook is named pv here via the select below)
+    val pqcb = pqSubCodebook(sub,
+      withRes.filter(col("vec_id") % stride === stride - 1)
+        .select(col("vec_id").as("code"), col("r").as("v")))
+      .withColumnRenamed("cv", "pv")
     // ENCODE: argmin residual code per (vector, subspace)
-    val wCode = Window.partitionBy("vec_id", "m")
-      .orderBy(col("sqd").asc, col("code").asc)
-    val codes = withRes.filter(col("vec_id") >= 5)
-      .select(col("vec_id"), col("cell"), col("r")).crossJoin(sub)
-      .select(col("vec_id"), col("cell"), col("m"), sliceAt(col("r")).as("rs"))
-      .join(broadcast(pqcb), Seq("m"))
-      .withColumn("sqd", sqd(col("rs"), col("pv")))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell", "m", "code")
+    val codes = pqEncodeCodes(
+      withRes.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("cell"), col("r")).crossJoin(sub)
+        .select(col("vec_id"), col("cell"), col("m"), pqSlice(col("r")).as("vs")),
+      pqcb.withColumnRenamed("pv", "cv"), keep = Seq("vec_id", "cell"))
     // PROBE: each query's 2 nearest cells (rounded cosine, cell tie)
     val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cell").asc)
     val probes = e.filter(col("vec_id") < 5)
@@ -460,10 +488,10 @@ object Similarity {
         zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
     // per-(query, probed cell) distance tables over the residual book
     val qt = probes.crossJoin(sub)
-      .select(col("qid"), col("cell"), col("m"), sliceAt(col("qr")).as("qs"))
+      .select(col("qid"), col("cell"), col("m"), pqSlice(col("qr")).as("qs"))
       .join(broadcast(pqcb), Seq("m"))
       .select(col("qid"), col("cell"), col("m"), col("code"),
-        sqd(col("qs"), col("pv")).as("t"))
+        pqSqd(col("qs"), col("pv")).as("t"))
     // ADC over the probed cells' candidates only
     val wTop = Window.partitionBy("qid")
       .orderBy(col("adc_dist").asc, col("vec_id").asc)

@@ -19,12 +19,15 @@ object DebugTiming {
       val t0 = System.nanoTime(); val r = f
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $label"); r
     }
+    // full-plan execution, nothing written (see Bench on why not count())
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    time("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, dir).write.format("noop").mode("overwrite").save())
-    time("dedup_cluster_cc")(Dedup.dedupClusterCC(spark, dir).write.format("noop").mode("overwrite").save())
-    time("dedup_embedding_cosine")(Dedup.dedupEmbeddingCosine(spark, dir).write.format("noop").mode("overwrite").save())
-    time("ann_ivf_topk")(Similarity.annIvfTopk(spark, dir).write.format("noop").mode("overwrite").save())
-    time("ann_ivf_kmeans_topk")(Similarity.annIvfKmeansTopk(spark, dir).write.format("noop").mode("overwrite").save())
+    time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, dir)))
+    time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, dir)))
+    time("dedup_embedding_cosine")(noop(Dedup.dedupEmbeddingCosine(spark, dir)))
+    time("ann_ivf_topk")(noop(Similarity.annIvfTopk(spark, dir)))
+    time("ann_ivf_kmeans_topk")(noop(Similarity.annIvfKmeansTopk(spark, dir)))
     spark.stop()
   }
 }

@@ -38,6 +38,9 @@ object ScaleBench {
       val t0 = System.nanoTime(); val r = f
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $label"); r
     }
+    // full-plan execution, nothing written (see Bench on why not count())
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
     val rep = spark.range(replicas).select(col("id").cast("int").as("k"))
     // id spaces stay DENSE (offset by the base cardinality, not a
@@ -63,14 +66,14 @@ object ScaleBench {
     println(s"scaled corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
       s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors at $out")
 
-    time("dedup_ngram_jaccard")(Dedup.dedupNgramJaccard(spark, out).write.format("noop").mode("overwrite").save())
-    time("dedup_cluster_cc")(Dedup.dedupClusterCC(spark, out).write.format("noop").mode("overwrite").save())
-    time("dedup_minhash_lsh")(Dedup.dedupMinhashLsh(spark, out).write.format("noop").mode("overwrite").save())
-    time("dedup_embedding_cosine")(Dedup.dedupEmbeddingCosine(spark, out).write.format("noop").mode("overwrite").save())
-    time("decontaminate_ngram")(Dedup.decontaminateNgram(spark, out).write.format("noop").mode("overwrite").save())
-    time("ann_bruteforce_topk")(Similarity.annBruteforceTopk(spark, out).write.format("noop").mode("overwrite").save())
-    time("ann_ivf_topk")(Similarity.annIvfTopk(spark, out).write.format("noop").mode("overwrite").save())
-    time("pipeline_e2e_corpus")(Pipeline.pipelineE2ECorpus(spark, out).write.format("noop").mode("overwrite").save())
+    time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
+    time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))
+    time("dedup_minhash_lsh")(noop(Dedup.dedupMinhashLsh(spark, out)))
+    time("dedup_embedding_cosine")(noop(Dedup.dedupEmbeddingCosine(spark, out)))
+    time("decontaminate_ngram")(noop(Dedup.decontaminateNgram(spark, out)))
+    time("ann_bruteforce_topk")(noop(Similarity.annBruteforceTopk(spark, out)))
+    time("ann_ivf_topk")(noop(Similarity.annIvfTopk(spark, out)))
+    time("pipeline_e2e_corpus")(noop(Pipeline.pipelineE2ECorpus(spark, out)))
     spark.stop()
   }
 }

@@ -81,14 +81,35 @@ class PqSpec extends AnyFunSuite {
   }
 
   test("the code relation is M codes per vector from a bounded codebook") {
-    // every encoded vector gets exactly pqSubspaces codes, and the
-    // distinct code values per subspace stay within the stride-sampled
-    // codebook budget (16) no matter the corpus
-    val e = graft.Tables.t(spark, dir, "embeddings").count()
-    val pq = Similarity.annPqTopk(spark, dir)
-    pq.count() // exercises the encode path end-to-end
+    import graft.functions.VectorFunctions._
     assert(Similarity.pqSubspaces * Similarity.pqSubDim === 64,
       "subspace geometry must tile the 64-dim embeddings exactly")
-    assert(e > Similarity.pqSubspaces, "sanity: corpus larger than M")
+    // build the encode path's actual relations and assert the
+    // contract directly: exactly one code per (vector, subspace),
+    // every code drawn from the ≤16-entry stride-sampled codebook
+    val e = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val maxId = e.agg(max("vec_id")).head.getLong(0)
+    val stride = Similarity.ivfStride(maxId)
+    val sub = spark.range(Similarity.pqSubspaces)
+      .select(col("id").cast("int").as("m"))
+    val cb = Similarity.pqSubCodebook(sub,
+      e.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("code"), col("v")))
+    assert(cb.count() <= Similarity.ivfCells * Similarity.pqSubspaces,
+      "sub-codebook stays within the cell budget x subspaces")
+    val corpus = e.filter(col("vec_id") >= 5)
+    val codes = Similarity.pqEncodeCodes(
+      corpus.crossJoin(sub).select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * Similarity.pqSubDim + 1,
+          lit(Similarity.pqSubDim)).as("vs")),
+      cb, keep = Seq("vec_id"))
+    val nCorpus = corpus.count()
+    assert(codes.count() === nCorpus * Similarity.pqSubspaces,
+      "exactly M codes per encoded vector")
+    assert(codes.groupBy("vec_id", "m").count()
+      .filter(col("count") > 1).count() === 0, "one code per (vector, m)")
+    assert(codes.select("code").distinct().count() <= Similarity.ivfCells,
+      "codes drawn from the bounded codebook")
   }
 }
