@@ -23,8 +23,30 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-run heap is PINNED to the measured GC-stable size: 24 GiB.
+// A 96 GiB heap wandered 6–20 s GC pauses into whichever bench query
+// happened to be running, and the default 8 GiB churned collections at
+// sf0.1 volumes — both inflate query timings with measurement noise
+// (SURVEY §12.1). SPARK_DRIVER_MEM may only LOWER the heap (small
+// boxes); anything at or above 24 GiB clamps to the known-good size.
+val forkedHeap: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+  "^([0-9]+)[gG]$".r.findFirstMatchIn(req.trim) match {
+    case Some(m) if m.group(1).toLong >= 24L => "24g"
+    case _                                   => req
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$forkedHeap",
 )
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` output
+// as the bench JSON; sbt's "[success] Total time: …" trailer displaced
+// it in all five prior rounds (CORRECTNESS artifacts record
+// `parsed: null` for the bench line every round). Suppress it so the
+// JSON line is the final stdout line.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another
+// setting — the unused-key lint can't see that.
+Global / excludeLintKeys += showSuccess
