@@ -280,30 +280,122 @@ object Dedup {
     sums.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** SimHash near-dup: 4×16-bit chunk bucketing (pigeonhole for
-    * hamming ≤ 3 on ≥1 equal chunk), verify with bit_count(xor).
-    * Per-doc output: simhash + nearest-candidate hamming. */
+  /** Manku-style multi-table blocking for the hamming-≤3 simhash
+    * candidate join (Manku, Jain & Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007 — the public
+    * permuted-prefix design, expressed as block-combination join
+    * keys): the 64 bits split into `nBlocks` near-equal contiguous
+    * blocks; one TABLE per (nBlocks−3)-subset of blocks, keyed on
+    * those blocks' bits concatenated. A pair within hamming ≤ 3
+    * dirties at most 3 blocks, so at least one subset is entirely
+    * clean and the pair shares that table's key EXACTLY — recall is
+    * structural (pigeonhole), not probabilistic, at every nBlocks.
+    * More blocks ⇒ wider keys ⇒ exponentially fewer random
+    * collisions, paid for with C(nBlocks,3) explode rows per doc.
+    * nBlocks=4 reproduces the original fixed 4×16-bit chunk layout
+    * bit-for-bit (each table is a single block). */
+  private[operators] final case class SimhashBlocking(nBlocks: Int) {
+    require(nBlocks >= 4 && nBlocks <= 8, s"nBlocks=$nBlocks out of [4,8]")
+    /** Near-equal contiguous block widths summing to 64 (the first
+      * 64 % nBlocks blocks take the extra bit). */
+    val sizes: Vector[Int] = {
+      val base = 64 / nBlocks; val rem = 64 % nBlocks
+      Vector.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
+    }
+    /** Bit offset of each block inside the simhash (block 0 at the
+      * LOW bits, matching the legacy chunk layout). */
+    val offsets: Vector[Int] = sizes.scanLeft(0)(_ + _).init
+    /** One table per (nBlocks−3)-subset of block indices, in
+      * lexicographic order; the subset's blocks form the join key. */
+    val tables: Vector[Vector[Int]] =
+      (0 until nBlocks).combinations(nBlocks - 3).map(_.toVector).toVector
+    /** Narrowest table key, in bits — the collision bound: expected
+      * random-collision candidates ≈ tables.size · n² / 2^minKeyBits. */
+    val minKeyBits: Int = sizes.sorted.take(nBlocks - 3).sum
+    /** The table key as integer Column arithmetic (deterministic). */
+    def keyCol(simhash: Column, table: Vector[Int]): Column =
+      table.foldLeft(lit(0L): Column) { (acc, b) =>
+        shiftleft(acc, sizes(b)).bitwiseOR(
+          shiftright(simhash, offsets(b)).bitwiseAND(lit((1L << sizes(b)) - 1)))
+      }
+    /** The same key on a plain Long (spec cross-check, no Spark). */
+    def keyOf(simhash: Long, table: Vector[Int]): Long =
+      table.foldLeft(0L) { (acc, b) =>
+        (acc << sizes(b)) | ((simhash >>> offsets(b)) & ((1L << sizes(b)) - 1))
+      }
+  }
+
+  private[operators] object SimhashBlocking {
+    /** Smallest block count whose narrowest key width w keeps
+      * expected random-collision candidate pairs ≈ T·n²/2^w at or
+      * under n — LINEAR in the corpus, the [[cosinePlanesFor]]
+      * contract (2^w ≥ T·n, integer bit-length arithmetic only, no
+      * float log2 rounding). 4 blocks (16-bit keys, the legacy
+      * layout) serve to ~8k docs, 5 (25-bit) to ~2M, 6 (31-bit) to
+      * ~64M, 7 (36-bit) to ~10^9, 8 (40-bit) beyond 2^34. */
+    def forCorpus(nDocs: Long): SimhashBlocking = {
+      def bitLen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x))
+      (4 to 8).map(SimhashBlocking(_))
+        .find(b => b.minKeyBits >= bitLen(nDocs) + bitLen(b.tables.size))
+        .getOrElse(SimhashBlocking(8))
+    }
+  }
+
+  /** Candidate pairs (d1 < d2, with hamming) from the blocked
+    * self-join at a given [[SimhashBlocking]]. */
+  private[operators] def simhashCandidatePairs(docs: DataFrame,
+      blocking: SimhashBlocking): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("simhash"),
+      explode(array(blocking.tables.zipWithIndex.map { case (tbl, tid) =>
+        struct(lit(tid).as("tbl"), blocking.keyCol(col("simhash"), tbl).as("bkey"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.tbl"), col("cc.bkey"))
+    val a = keyed.select(col("doc_id").as("d1"), col("simhash").as("h1"),
+      col("tbl"), col("bkey"))
+    val b = keyed.select(col("doc_id").as("d2"), col("simhash").as("h2"),
+      col("tbl"), col("bkey"))
+    a.join(b, Seq("tbl", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** SimHash near-dup via the adaptive [[SimhashBlocking]] tables:
+    * hamming ≤ 3 pairs are guaranteed to share a table key at every
+    * block count, and the key width tracks corpus size so candidate
+    * volume stays linear in n (the round-5 fixed 4×16-bit layout
+    * capped each table at 2^16 buckets — quadratic at 10^9 docs).
+    * Verify is bit_count(xor). Per-doc output: simhash +
+    * nearest-candidate hamming. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = GraftCaches.getOrBuild(spark, s"dedup:simhash-docs:$dir") {
       val d = simhashDocs(spark, dir).persist()
       d.count()
       d
     }
-    val chunked = docs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
-      }: _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
-    val a = chunked.select(col("doc_id").as("d1"), col("simhash").as("h1"),
-      col("chunk"), col("ckey"))
-    val b = chunked.select(col("doc_id").as("d2"), col("simhash").as("h2"),
-      col("chunk"), col("ckey"))
-    val cand = a.join(b, Seq("chunk", "ckey"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
-      .distinct()
+    dedupSimhashAt(docs, SimhashBlocking.forCorpus(docs.count()))
+  }
+
+  /** (nDocs, nBlocks chosen, candidate-pair count) — the scale
+    * evidence probe: candidate volume should track n, not n², as the
+    * corpus grows and the blocking adapts (ScaleBench prints this at
+    * 1× and 10×). */
+  private[graft] def simhashCandidateStats(spark: SparkSession,
+      dir: String): (Long, Int, Long) = {
+    val docs = GraftCaches.getOrBuild(spark, s"dedup:simhash-docs:$dir") {
+      val d = simhashDocs(spark, dir).persist()
+      d.count()
+      d
+    }
+    val n = docs.count()
+    val blocking = SimhashBlocking.forCorpus(n)
+    (n, blocking.nBlocks, simhashCandidatePairs(docs, blocking).count())
+  }
+
+  private[operators] def dedupSimhashAt(docs: DataFrame,
+      blocking: SimhashBlocking): DataFrame = {
+    val cand = simhashCandidatePairs(docs, blocking)
     val perDoc = cand
       .select(explode(array(
         struct(col("d1").as("doc_id"), col("hamming")),

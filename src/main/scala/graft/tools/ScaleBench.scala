@@ -66,6 +66,15 @@ object ScaleBench {
     println(s"scaled corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
       s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors at $out")
 
+    // Candidate-volume evidence for the adaptive simhash blocking:
+    // as n grows 10× the chosen block count rises and candidate pairs
+    // should track ~n (true near-dups replicate 10×; random
+    // collisions stay bounded by the widened keys), not n².
+    for (d <- Seq(baseDir, out)) {
+      val (n, blocks, cands) = Dedup.simhashCandidateStats(spark, d)
+      println(f"simhash blocking at $d: $n%d docs -> $blocks%d blocks, $cands%d candidate pairs")
+    }
+    time("dedup_simhash")(noop(Dedup.dedupSimhash(spark, out)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))
     time("dedup_minhash_lsh")(noop(Dedup.dedupMinhashLsh(spark, out)))
