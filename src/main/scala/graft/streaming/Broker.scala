@@ -226,6 +226,12 @@ class Broker(spark: SparkSession, root: String) {
         }
         val consumedSoFar = scala.collection.mutable.Map.empty[Int, Long]
         (name, parts.zip(decisions).map {
+          // a payload that failed decode (76 = unsupported codec, 2 =
+          // corrupt) answers its error and appended nothing — its
+          // entry carries no batches, so the offset accounting above
+          // never saw it
+          case ((p, _), _) if req.decodeErrors.contains((name, p)) =>
+            (p, req.decodeErrors((name, p)), -1L)
           case ((p, _), Broker.Reject(err)) => (p, err, -1L)
           case ((p, _), Broker.Duplicate(base)) => (p, 0, base)
           case ((p, batches), Broker.Append) =>
@@ -583,8 +589,17 @@ class Broker(spark: SparkSession, root: String) {
         filtered
       }
     }
-    encodeFetchResponse(req.version, req.correlationId, out, 0, sessionId)
+    encodeFetchResponse(req.version, req.correlationId, out, 0, sessionId,
+      if (req.version >= 4) fetchCompression else KafkaWire.CompressionNone)
   }
+
+  /** Codec for v4+ fetch-response batches (none by default; gzip is
+    * the implemented alternative — java.util.zip, no new deps). A
+    * real broker returns batches as stored; graft re-encodes at fetch
+    * time from the columnar log, so the wire codec is a serving
+    * choice. Byte accounting above sizes the UNCOMPRESSED form, which
+    * gzip only shrinks — max_bytes stays respected. */
+  @volatile var fetchCompression: Int = KafkaWire.CompressionNone
 
   // --- wire-level group membership (JoinGroup/SyncGroup/Heartbeat/
   // LeaveGroup v0) over the metadata-only [[GroupCoordinator]]: the

@@ -615,7 +615,14 @@ object KafkaWire {
       val magic = mb.get()
       require(magic == 0 || magic == 1,
         "only message formats v0/v1 (magic 0/1) supported in message sets")
-      mb.get() // attributes (no compression supported)
+      // Legacy-format compression nests a whole message set inside a
+      // wrapper message's value — a shape only pre-0.11 clients
+      // produce. Served as a clean per-partition error 76, not a
+      // garbage parse (modern gzip producers use RecordBatch v2,
+      // where the codec IS implemented).
+      val att = mb.get() // attributes
+      if ((att & CompressionCodecMask) != 0)
+        throw UnsupportedCompressionException(att & CompressionCodecMask)
       val ts = if (magic == 1) mb.getLong else -1L
       val key = readBytesField(mb)
       val value = readBytesField(mb)
@@ -982,7 +989,14 @@ object KafkaWire {
     * those formats can carry). */
   case class ProduceRequest(version: Int, correlationId: Int, clientId: String,
       transactionalId: String, acks: Int, timeoutMs: Int,
-      topics: Seq[(String, Seq[(Int, Seq[ProducedBatch])])])
+      topics: Seq[(String, Seq[(Int, Seq[ProducedBatch])])],
+      /** Per-partition payloads that failed to decode — 76 for an
+        * unsupported codec, 2 (CORRUPT_MESSAGE) for anything else.
+        * The partition still appears in `topics` (with no batches) so
+        * response ordering survives; the broker answers the error and
+        * appends nothing. One bad partition no longer kills the whole
+        * connection mid-request. */
+      decodeErrors: Map[(String, Int), Int] = Map.empty)
 
   /** sessionId/sessionEpoch are the KIP-227 fetch-session fields
     * (v7+; epoch −1 = sessionless, 0 = open a new session, >0 =
@@ -995,13 +1009,13 @@ object KafkaWire {
       forgotten: Seq[(String, Seq[Int])])
 
   private def produceRecordsPayload(version: Int,
-      batch: ProducedBatch): Array[Byte] =
+      batch: ProducedBatch, compression: Int = CompressionNone): Array[Byte] =
     if (version >= 3) {
       if (batch.records.isEmpty) Array.empty[Byte]
       else encodeRecordBatchV2(RecordBatchV2(0L,
         batch.records.headOption.map(_.timestampMs).getOrElse(-1L),
         batch.records, batch.producerId, batch.producerEpoch,
-        batch.baseSequence))
+        batch.baseSequence), compression)
     } else {
       require(batch.producerId < 0,
         s"message-set produce (v$version) cannot carry a producer id — use v3+")
@@ -1028,7 +1042,10 @@ object KafkaWire {
     * for idempotent batches. */
   def encodeProduceRequestBatches(version: Int, correlationId: Int,
       clientId: String, transactionalId: String, acks: Int, timeoutMs: Int,
-      topics: Seq[(String, Seq[(Int, ProducedBatch)])]): Array[Byte] = {
+      topics: Seq[(String, Seq[(Int, ProducedBatch)])],
+      compression: Int = CompressionNone): Array[Byte] = {
+    require(compression == CompressionNone || version >= 3,
+      "compressed produce needs the RecordBatch v2 payload (v3+)")
     require(version >= 0 && version <= ProduceMaxVersion,
       s"unsupported Produce version $version")
     val flexible = version >= 9
@@ -1048,7 +1065,7 @@ object KafkaWire {
       w.count(parts.length)
       parts.foreach { case (p, batch) =>
         w.i32(p)
-        w.bytes(produceRecordsPayload(version, batch))
+        w.bytes(produceRecordsPayload(version, batch, compression))
         w.tags()
       }
       w.tags()
@@ -1072,18 +1089,30 @@ object KafkaWire {
     val txnId = if (version >= 3) r.str() else null
     val acks = r.i16()
     val timeout = r.i32()
+    val decodeErrors = Map.newBuilder[(String, Int), Int]
     val topics = (0 until r.count()).map { _ =>
       val name = r.str()
       val parts = (0 until r.count()).map { _ =>
         val p = r.i32()
+        // the payload is a length-prefixed BYTES field, so it is fully
+        // consumed here regardless of what its decode does — a bad
+        // payload surfaces as a per-partition error, never as a
+        // desynced outer buffer
         val payload = Option(r.bytes()).getOrElse(Array.empty[Byte])
         val batches =
-          if (version >= 3) decodeProduceBatches(payload)
-          else {
-            val recs = decodeMessageSetV0Ts(payload)
-              .map { case (_, ts, rec) => WireRecordV2(ts, rec.key, rec.value) }
-            if (recs.isEmpty) Seq.empty
-            else Seq(ProducedBatch(-1L, -1, -1, recs))
+          try {
+            if (version >= 3) decodeProduceBatches(payload)
+            else {
+              val recs = decodeMessageSetV0Ts(payload)
+                .map { case (_, ts, rec) => WireRecordV2(ts, rec.key, rec.value) }
+              if (recs.isEmpty) Seq.empty
+              else Seq(ProducedBatch(-1L, -1, -1, recs))
+            }
+          } catch {
+            case UnsupportedCompressionException(codec) =>
+              decodeErrors += ((name, p) -> 76); Seq.empty
+            case scala.util.control.NonFatal(_) =>
+              decodeErrors += ((name, p) -> 2); Seq.empty // CORRUPT_MESSAGE
           }
         r.tags()
         (p, batches)
@@ -1092,7 +1121,8 @@ object KafkaWire {
       (name, parts.toSeq)
     }
     r.tags()
-    ProduceRequest(version, correlationId, clientId, txnId, acks, timeout, topics.toSeq)
+    ProduceRequest(version, correlationId, clientId, txnId, acks, timeout,
+      topics.toSeq, decodeErrors.result())
   }
 
   /** Encode a produce response at any version 0–9;
@@ -1254,7 +1284,8 @@ object KafkaWire {
     * a header-carrying client negotiates. */
   def encodeFetchResponse(version: Int, correlationId: Int,
       topics: Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])],
-      errorCode: Int = 0, sessionId: Int = 0): Array[Byte] = {
+      errorCode: Int = 0, sessionId: Int = 0,
+      compression: Int = CompressionNone): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
@@ -1279,7 +1310,11 @@ object KafkaWire {
         val payload =
           if (records.isEmpty) Array.empty[Byte]
           else if (version >= 4)
-            encodeRecordBatchV2WithOffsets(records.head._2.timestampMs, records)
+            // compression applies only to the magic-2 path — legacy
+            // message sets would need the nested-wrapper form no
+            // modern client expects back
+            encodeRecordBatchV2WithOffsets(records.head._2.timestampMs,
+              records, compression)
           else encodeMessageSetV0(
             records.map { case (off, rec) => (off, WireRecord(rec.key, rec.value)) })
         w.bytes(payload)
@@ -2737,6 +2772,41 @@ object KafkaWire {
   // (keyLen+utf8 key, valueLen(-1=null)+bytes). Unlike message v0,
   // v2 records CARRY HEADERS — the full graft record model fits.
 
+  // Compression: attributes bits 0–2 name the batch codec — 0 none,
+  // 1 gzip, 2 snappy, 3 lz4, 4 zstd (public protocol). The records
+  // section AFTER the 61-byte batch header compresses as one block;
+  // the header (and the CRC, which covers the compressed form) stay
+  // plain. gzip round-trips via java.util.zip (zero new deps); the
+  // codecs whose libraries this build doesn't carry answer
+  // UNSUPPORTED_COMPRESSION_TYPE (76) cleanly instead of
+  // garbage-parsing the payload and killing the connection.
+  val CompressionNone = 0
+  val CompressionGzip = 1
+  private val CompressionCodecMask = 0x07
+
+  /** A batch names a codec this broker can't decode (snappy/lz4/zstd
+    * — anything but none/gzip). Maps to error 76 per partition. */
+  final case class UnsupportedCompressionException(codec: Int)
+    extends RuntimeException(s"unsupported compression codec $codec")
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+
+  private def gunzip(buf: ByteBuffer): Array[Byte] = {
+    val in = new Array[Byte](buf.remaining()); buf.get(in)
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(in))
+    val out = new ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var n = gz.read(chunk)
+    while (n >= 0) { out.write(chunk, 0, n); n = gz.read(chunk) }
+    out.toByteArray
+  }
+
   case class WireRecordV2(timestampMs: Long, key: Array[Byte],
       value: Array[Byte], headers: Seq[(String, Array[Byte])] = Seq.empty)
 
@@ -2809,7 +2879,10 @@ object KafkaWire {
     * indexes. */
   private def encodeBatchV2Core(baseOffset: Long, baseTimestampMs: Long,
       recs: Seq[(Int, WireRecordV2)], producerId: Long = -1L,
-      producerEpoch: Int = -1, baseSequence: Int = -1): Array[Byte] = {
+      producerEpoch: Int = -1, baseSequence: Int = -1,
+      compression: Int = CompressionNone): Array[Byte] = {
+    require(compression == CompressionNone || compression == CompressionGzip,
+      s"encoder supports codecs none/gzip, not $compression")
     val recsOut = new ByteArrayOutputStream()
     // spec: maxTimestamp is the max RECORD timestamp (-1 if none) —
     // seeding from the base would name a timestamp no record carries
@@ -2821,7 +2894,7 @@ object KafkaWire {
       recsOut.write(enc, 0, enc.size)
     }
     val afterCrc = new ByteArrayOutputStream()
-    writeInt16(afterCrc, 0) // attributes: no compression, create time
+    writeInt16(afterCrc, compression) // attributes: codec bits 0–2, create time
     writeInt32(afterCrc, recs.lastOption.map(_._1).getOrElse(-1)) // lastOffsetDelta
     writeInt64(afterCrc, baseTimestampMs)
     writeInt64(afterCrc, maxTs)
@@ -2829,7 +2902,9 @@ object KafkaWire {
     writeInt16(afterCrc, producerEpoch)
     writeInt32(afterCrc, baseSequence)
     writeInt32(afterCrc, recs.length)
-    val recBytes = recsOut.toByteArray
+    val recBytes =
+      if (compression == CompressionGzip) gzip(recsOut.toByteArray)
+      else recsOut.toByteArray
     afterCrc.write(recBytes, 0, recBytes.length)
     val protectedBytes = afterCrc.toByteArray
     val crc = new java.util.zip.CRC32C()
@@ -2844,24 +2919,27 @@ object KafkaWire {
     out.toByteArray
   }
 
-  /** Encode one record batch (uncompressed; offsets contiguous from
-    * baseOffset). An idempotent producer's batch carries its
+  /** Encode one record batch (offsets contiguous from baseOffset;
+    * codec none or gzip). An idempotent producer's batch carries its
     * producerId/epoch/baseSequence; the default (-1,-1,-1) is the
     * non-idempotent form. */
-  def encodeRecordBatchV2(batch: RecordBatchV2): Array[Byte] =
+  def encodeRecordBatchV2(batch: RecordBatchV2,
+      compression: Int = CompressionNone): Array[Byte] =
     encodeBatchV2Core(batch.baseOffset, batch.baseTimestampMs,
       batch.records.zipWithIndex.map { case (r, i) => (i, r) },
-      batch.producerId, batch.producerEpoch, batch.baseSequence)
+      batch.producerId, batch.producerEpoch, batch.baseSequence, compression)
 
   /** Encode one batch of (absoluteOffset, record) pairs — the
     * broker-side fetch form, where compaction gaps survive as
     * non-contiguous offset deltas. Offsets must be ascending. */
   def encodeRecordBatchV2WithOffsets(baseTimestampMs: Long,
-      records: Seq[(Long, WireRecordV2)]): Array[Byte] = {
+      records: Seq[(Long, WireRecordV2)],
+      compression: Int = CompressionNone): Array[Byte] = {
     require(records.nonEmpty, "empty batch has no base offset")
     val base = records.head._1
     encodeBatchV2Core(base, baseTimestampMs,
-      records.map { case (off, r) => ((off - base).toInt, r) })
+      records.map { case (off, r) => ((off - base).toInt, r) },
+      compression = compression)
   }
 
   private def decodeBatchV2Core(bytes: Array[Byte])
@@ -2877,7 +2955,7 @@ object KafkaWire {
     val check = new java.util.zip.CRC32C()
     check.update(bytes, bytes.length - buf.remaining(), buf.remaining())
     require(crc == check.getValue.toInt, "record batch CRC32C mismatch")
-    buf.getShort // attributes
+    val attributes = buf.getShort
     buf.getInt // lastOffsetDelta
     val baseTs = buf.getLong
     buf.getLong // maxTimestamp
@@ -2885,19 +2963,26 @@ object KafkaWire {
     val producerEpoch = buf.getShort.toInt
     val baseSequence = buf.getInt
     val n = buf.getInt
+    // codec bits: the records section after the header compresses as
+    // one block (the CRC above already verified the stored form)
+    val rb = (attributes & CompressionCodecMask) match {
+      case CompressionNone => buf
+      case CompressionGzip => ByteBuffer.wrap(gunzip(buf))
+      case other           => throw UnsupportedCompressionException(other)
+    }
     val records = (0 until n).map { _ =>
-      val len = readZigZagVarLong(buf).toInt
-      val end = buf.position() + len
-      buf.get() // record attributes
-      val tsDelta = readZigZagVarLong(buf)
-      val offsetDelta = readZigZagVarLong(buf).toInt
-      val key = readVarBytes(buf)
-      val value = readVarBytes(buf)
-      val nh = readZigZagVarLong(buf).toInt
+      val len = readZigZagVarLong(rb).toInt
+      val end = rb.position() + len
+      rb.get() // record attributes
+      val tsDelta = readZigZagVarLong(rb)
+      val offsetDelta = readZigZagVarLong(rb).toInt
+      val key = readVarBytes(rb)
+      val value = readVarBytes(rb)
+      val nh = readZigZagVarLong(rb).toInt
       val headers = (0 until nh).map { _ =>
-        (new String(readVarBytes(buf), UTF_8), readVarBytes(buf))
+        (new String(readVarBytes(rb), UTF_8), readVarBytes(rb))
       }
-      require(buf.position() == end, "record length mismatch")
+      require(rb.position() == end, "record length mismatch")
       (offsetDelta, WireRecordV2(baseTs + tsDelta, key, value, headers.toSeq))
     }
     (baseOffset, baseTs, records.toSeq, producerId, producerEpoch, baseSequence)

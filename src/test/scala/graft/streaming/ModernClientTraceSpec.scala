@@ -133,6 +133,16 @@ class ModernClientTraceSpec extends AnyFunSuite {
       val retried = decodeProduceResponse(9, exchange(sock, idemReq))
       assert(retried._2 === Seq(("trace", Seq((0, 0, 0L), (1, 0, 0L)))))
       assert(broker.topic("trace").read().count() === 3)
+      // ... and a COMPRESSED leg: compression.type=gzip is a common
+      // production producer config — the batch's records section
+      // arrives gzipped (codec bits 1) and decodes into the same log
+      val gzReq = encodeProduceRequestBatches(9, 30, "trace-cli", null, 1,
+        30000, Seq(("trace", Seq(
+          (0, ProducedBatch(pid, pEpoch, 2, Seq(rec("k3", "v3-gz", "hz" -> "y"))))))),
+        CompressionGzip)
+      val gzAck = decodeProduceResponse(9, exchange(sock, gzReq))
+      assert(gzAck._2 === Seq(("trace", Seq((0, 0, 2L)))))
+      assert(broker.topic("trace").read().count() === 4)
 
       // 4. FindCoordinator v4 (batched keys)
       val coords = decodeFindCoordinatorResponse(4, exchange(sock,
@@ -188,9 +198,13 @@ class ModernClientTraceSpec extends AnyFunSuite {
           Seq(("trace", Seq((0, 0L, 1 << 20), (1, 0L, 1 << 20)))))))
       val p0 = fetched._2.head._2.find(_._1 == 0).get
       assert(p0._4.map(r => (new String(r._2.key, "UTF-8"),
-        new String(r._2.value, "UTF-8"))) === Seq(("k0", "v0"), ("k1", "v1")))
+        new String(r._2.value, "UTF-8"))) ===
+        Seq(("k0", "v0"), ("k1", "v1"), ("k3", "v3-gz")))
       assert(p0._4.head._2.headers.map { case (k, v) =>
         (k, new String(v, "UTF-8")) } === Seq(("h", "x")))
+      // the gzip-produced record reads back like any other, header intact
+      assert(p0._4.last._2.headers.map { case (k, v) =>
+        (k, new String(v, "UTF-8")) } === Seq(("hz", "y")))
       val p1 = fetched._2.head._2.find(_._1 == 1).get
       assert(p1._4.map(r => new String(r._2.value, "UTF-8")) === Seq("v2"))
 
