@@ -16,7 +16,8 @@ object OraclesStreams {
         |  (11,'JoinGroup',0,9),(12,'Heartbeat',0,4),(13,'LeaveGroup',0,5),
         |  (14,'SyncGroup',0,5),(15,'DescribeGroups',0,5),(16,'ListGroups',0,4),
         |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,7),(20,'DeleteTopics',0,6),
-        |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4))
+        |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
+        |  (32,'DescribeConfigs',0,4))
         |  AS t(api_key, api_name, min_version, max_version)
         |ORDER BY api_key""".stripMargin,
 

@@ -732,6 +732,51 @@ class Broker(spark: SparkSession, root: String) {
     encodeDeleteRecordsResponseV0(correlationId, results)
   }
 
+  /** DescribeConfigs v0–v4: a static read-only config echo — the
+    * first RPC admin tooling sends after Metadata. A topic resource
+    * answers the operational contract graft actually provides
+    * (delete+compact cleanup via expire()/compact(), producer-chosen
+    * compression, unlimited retention until expire() is invoked);
+    * the broker resource echoes its identity and serving knobs.
+    * Unknown topics answer 3 per resource; resource types graft has
+    * no configs for answer INVALID_REQUEST (42). An optional
+    * configuration_keys filter projects the echo. */
+  def handleDescribeConfigs(requestBytes: Array[Byte],
+      advertisedHost: String, port: Int): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeDescribeConfigsRequest(requestBytes)
+    val results = req.resources.map { case (rType, rName, keys) =>
+      def project(configs: Seq[(String, String)]) = keys match {
+        case None => configs
+        case Some(ks) => configs.filter { case (n, _) => ks.contains(n) }
+      }
+      rType match {
+        case ConfigResourceBroker =>
+          (0, null: String, rType, rName, project(Seq(
+            "broker.id" -> "0",
+            "advertised.listeners" -> s"PLAINTEXT://$advertisedHost:$port",
+            "log.dirs" -> root,
+            "compression.type" -> "producer",
+            "message.max.bytes" -> (64 * 1024 * 1024).toString,
+            "auto.create.topics.enable" -> "false")))
+        case ConfigResourceTopic if topicExists(rName) =>
+          (0, null: String, rType, rName, project(Seq(
+            "cleanup.policy" -> "delete",
+            "retention.ms" -> "-1",
+            "compression.type" -> "producer",
+            "max.message.bytes" -> (64 * 1024 * 1024).toString,
+            "min.insync.replicas" -> "1")))
+        case ConfigResourceTopic =>
+          (3, s"topic '$rName' not found", rType, rName,
+            Seq.empty[(String, String)])
+        case other =>
+          (42, s"unsupported resource type $other", rType, rName,
+            Seq.empty[(String, String)])
+      }
+    }
+    encodeDescribeConfigsResponse(req.version, req.correlationId, results)
+  }
+
   /** ListGroups v0: active coordinator groups plus groups that exist
     * only as committed offsets (protocol_type "" — Kafka's shape for
     * offsets-only groups). */
@@ -991,7 +1036,8 @@ object Broker {
     (19, "CreateTopics", 0, 7),
     (20, "DeleteTopics", 0, 6),
     (21, "DeleteRecords", 0, 2),
-    (22, "InitProducerId", 0, 4))
+    (22, "InitProducerId", 0, 4),
+    (32, "DescribeConfigs", 0, 4))
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
     * keys, at ONLY their implemented versions. A conformant client
@@ -1021,5 +1067,6 @@ object Broker {
     (19, "CreateTopics", 0, 0),
     (20, "DeleteTopics", 0, 0),
     (21, "DeleteRecords", 0, 0),
-    (22, "InitProducerId", 0, KafkaWire.InitProducerIdMaxVersion))
+    (22, "InitProducerId", 0, KafkaWire.InitProducerIdMaxVersion),
+    (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion))
 }

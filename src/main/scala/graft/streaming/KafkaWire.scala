@@ -2760,6 +2760,161 @@ object KafkaWire {
     t
   }
 
+  // --- DescribeConfigs (key 32, v0–v4; flexible v4+) — the first
+  // RPC most admin tooling (kafka-topics.sh --describe, UIs) sends
+  // right after Metadata. Request: resources ARRAY<[resource_type
+  // INT8, resource_name STRING, configuration_keys NULLABLE
+  // ARRAY<STRING>]>, include_synonyms BOOL (v1+),
+  // include_documentation BOOL (v3+). Response: throttle, results
+  // ARRAY<[error INT16, error_message NSTRING, type INT8, name
+  // STRING, configs ARRAY<[name, value NSTRING, read_only BOOL,
+  // v0: is_default BOOL / v1+: config_source INT8, is_sensitive
+  // BOOL, v1+: synonyms ARRAY (always empty here), v3+: config_type
+  // INT8 + documentation NSTRING]>]>. Graft serves a static config
+  // echo (everything DEFAULT_CONFIG/read-only): the broker's knobs
+  // live in code, not a mutable config store, and tooling just needs
+  // an honest answer instead of a dropped connection. ---
+
+  val DescribeConfigsApiKey = 32
+  val DescribeConfigsMaxVersion = 4
+  /** Resource types from the public spec. */
+  val ConfigResourceTopic = 2
+  val ConfigResourceBroker = 4
+
+  case class DescribeConfigsRequest(version: Int, correlationId: Int,
+      clientId: String,
+      /** (resource_type, resource_name, requested keys — None = all) */
+      resources: Seq[(Int, String, Option[Seq[String]])],
+      includeSynonyms: Boolean, includeDocumentation: Boolean)
+
+  def encodeDescribeConfigsRequest(version: Int, correlationId: Int,
+      clientId: String, resources: Seq[(Int, String, Option[Seq[String]])],
+      includeSynonyms: Boolean = false,
+      includeDocumentation: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= DescribeConfigsMaxVersion,
+      s"unsupported DescribeConfigs version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeConfigsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.count(resources.length)
+    resources.foreach { case (rType, rName, keys) =>
+      w.i8(rType)
+      w.str(rName)
+      keys match {
+        case None => w.count(-1)
+        case Some(ks) => w.count(ks.length); ks.foreach(w.str)
+      }
+      w.tags()
+    }
+    if (version >= 1) w.bool(includeSynonyms)
+    if (version >= 3) w.bool(includeDocumentation)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeConfigsRequest(bytes: Array[Byte]): DescribeConfigsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeConfigsApiKey,
+      "not a DescribeConfigs request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DescribeConfigsMaxVersion,
+      s"unsupported DescribeConfigs version $version")
+    val flexible = version >= 4
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val resources = (0 until r.count()).map { _ =>
+      val rType = r.i8()
+      val rName = r.str()
+      val nKeys = r.count()
+      val keys =
+        if (nKeys < 0) None
+        else Some((0 until nKeys).map(_ => r.str()).toSeq)
+      r.tags()
+      (rType, rName, keys)
+    }
+    val includeSynonyms = if (version >= 1) r.bool() else false
+    val includeDocumentation = if (version >= 3) r.bool() else false
+    r.tags()
+    DescribeConfigsRequest(version, correlationId, clientId, resources.toSeq,
+      includeSynonyms, includeDocumentation)
+  }
+
+  /** One result per requested resource:
+    * (errorCode, errorMessage, resourceType, resourceName,
+    * configs as (name, value)). All configs serve as read-only
+    * DEFAULT_CONFIG (source 5), never sensitive, no synonyms. */
+  def encodeDescribeConfigsResponse(version: Int, correlationId: Int,
+      results: Seq[(Int, String, Int, String, Seq[(String, String)])])
+      : Array[Byte] = {
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.count(results.length)
+    results.foreach { case (err, errMsg, rType, rName, configs) =>
+      w.i16(err)
+      w.str(errMsg)
+      w.i8(rType)
+      w.str(rName)
+      w.count(configs.length)
+      configs.foreach { case (name, value) =>
+        w.str(name)
+        w.str(value)
+        w.bool(true) // read_only
+        if (version == 0) w.bool(true) // is_default
+        else w.i8(5) // config_source: DEFAULT_CONFIG
+        w.bool(false) // is_sensitive
+        if (version >= 1) w.count(0) // synonyms: none
+        if (version >= 3) {
+          w.i8(0) // config_type: UNKNOWN (static echo)
+          w.str(null) // documentation
+        }
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, results as in [[encodeDescribeConfigsResponse]]). */
+  def decodeDescribeConfigsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(Int, String, Int, String, Seq[(String, String)])]) = {
+    val flexible = version >= 4
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle_time_ms
+    val results = (0 until r.count()).map { _ =>
+      val err = r.i16()
+      val errMsg = r.str()
+      val rType = r.i8()
+      val rName = r.str()
+      val configs = (0 until r.count()).map { _ =>
+        val name = r.str()
+        val value = r.str()
+        r.bool() // read_only
+        if (version == 0) r.bool() else r.i8() // is_default / config_source
+        r.bool() // is_sensitive
+        if (version >= 1)
+          (0 until r.count()).foreach { _ => r.str(); r.str(); r.i8(); r.tags() }
+        if (version >= 3) { r.i8(); r.str() }
+        r.tags()
+        (name, value)
+      }
+      r.tags()
+      (err, errMsg, rType, rName, configs.toSeq)
+    }
+    r.tags()
+    (correlationId, results.toSeq)
+  }
+
   // --- RecordBatch v2 (magic 2) — the modern record format ---
   // Layout per the public spec: baseOffset INT64, batchLength INT32
   // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,

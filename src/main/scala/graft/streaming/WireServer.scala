@@ -109,6 +109,8 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
       case KafkaWire.DeleteTopicsApiKey => broker.handleDeleteTopics(framed)
       case KafkaWire.DeleteRecordsApiKey => broker.handleDeleteRecords(framed)
       case KafkaWire.InitProducerIdApiKey => broker.handleInitProducerId(framed)
+      case KafkaWire.DescribeConfigsApiKey =>
+        broker.handleDescribeConfigs(framed, advertisedHost, boundPort)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }

@@ -388,6 +388,25 @@ class WireServerSpec extends AnyFunSuite {
         encodeDescribeGroupsRequestV0(64, "adm", Seq("offline-g"))))
       assert(desc.head.state === "Empty")
 
+      // DescribeConfigs — the RPC kafka-topics.sh --describe sends
+      // right after Metadata: topic + broker resources in one request,
+      // static read-only echo back, unknown topic error 3 per
+      // resource, key filter projects. v0 (legacy) and v4 (flexible).
+      for (v <- Seq(0, 4)) {
+        val (_, conf) = decodeDescribeConfigsResponse(v, exchange(sock,
+          encodeDescribeConfigsRequest(v, 66, "adm", Seq(
+            (ConfigResourceTopic, "adm-t", None),
+            (ConfigResourceBroker, "0", Some(Seq("broker.id", "log.dirs"))),
+            (ConfigResourceTopic, "ghost2", None)))))
+        val byName = conf.map(r => (r._4, r)).toMap
+        assert(byName("adm-t")._1 === 0)
+        assert(byName("adm-t")._5.toMap.get("cleanup.policy") === Some("delete"))
+        assert(byName("0")._1 === 0)
+        assert(byName("0")._5.map(_._1).sorted === Seq("broker.id", "log.dirs"))
+        assert(byName("0")._5.toMap.apply("log.dirs") === root)
+        assert(byName("ghost2")._1 === 3)
+      }
+
       // DeleteTopics removes it; a fetch then reports unknown topic
       val del = decodeTopicErrorsResponseV0(exchange(sock,
         encodeDeleteTopicsRequestV0(65, "adm", Seq("adm-t", "ghost"), 1000)))
