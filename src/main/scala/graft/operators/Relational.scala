@@ -168,14 +168,78 @@ object Relational {
   }
 
   /** q15: exact interpolated quantiles per group (rounded — the
-    * interpolation formula differs in last-bit across engines). */
+    * interpolation formula differs in last-bit across engines),
+    * WITHOUT the unbounded per-group value buffer of the single-pass
+    * `percentile` aggregate (whose ObjectHashAggregate buffers every
+    * distinct value per group — an OOM at 100 TB on an unbounded
+    * numeric column). Two passes over the fact table instead:
+    *
+    *  1. a (group × value-bucket) COUNT histogram — bounded at
+    *     #groups × ~1k rows whatever the corpus size — plus a
+    *     bounded cumulative window over it locates, for each target
+    *     rank k = the two order statistics bracketing position
+    *     (n−1)·q, WHICH bucket holds the k-th value and its offset j
+    *     within that bucket;
+    *  2. only rows of the located buckets (a broadcast semi-filter,
+    *     ≈ n/1024 of the table per target) get a per-(group, q, side)
+    *     row_number — partitions are bucket-occupancy-sized, never
+    *     group-sized — and the j-th row is the order statistic.
+    *
+    * Interpolation then follows the same (n−1)·q position formula
+    * `percentile`/quantile_cont define, so the DuckDB oracle is
+    * unchanged, and Q15TwoPassSpec asserts bit-equality against the
+    * plain aggregate form. Degenerate shapes: frac 0 makes hi == lo
+    * (kHigh capped at n); a massive tie concentrates ONE bucket —
+    * offset-j selection still answers from it, and a second
+    * refinement level would compose the same way if occupancy ever
+    * needed rebounding. The global min/max is one 1-row collect (the
+    * adjudicated bounded-scalar pattern). */
   def q15Quantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    li.groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .where(col("v").isNotNull) // percentile ignores nulls
+    val stats = li.agg(min("v"), max("v")).head()
+    val lo = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val hi = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    val width = math.max((hi - lo) / 1024.0, 1e-9)
+    val withB = li.withColumn("b",
+      floor((col("v") - lit(lo)) / lit(width)).cast("long"))
+    val hist = withB.groupBy("l_returnflag", "b").agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy("l_returnflag").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(wB), lit(0L)))
+    val targets = hist.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+      .select(col("l_returnflag"), col("n"),
+        explode(array(Seq(0.25, 0.5, 0.75).map(lit): _*)).as("q"))
+      .withColumn("pos", (col("n") - 1) * col("q"))
+      .withColumn("k_lo", floor(col("pos")).cast("long") + 1)
+      .withColumn("k_hi", least(floor(col("pos")).cast("long") + 2, col("n")))
+      .withColumn("frac", col("pos") - floor(col("pos")))
+    val ranks = targets.select(col("l_returnflag"), col("q"), col("frac"),
+        explode(array(
+          struct(lit("lo").as("side"), col("k_lo").as("k")),
+          struct(lit("hi").as("side"), col("k_hi").as("k")))).as("t"))
+      .select(col("l_returnflag"), col("q"), col("frac"),
+        col("t.side"), col("t.k"))
+    val located = ranks.join(cum, Seq("l_returnflag"))
+      .where(col("cum_before") < col("k") &&
+        col("k") <= col("cum_before") + col("cnt"))
+      .select(col("l_returnflag"), col("q"), col("frac"), col("side"),
+        col("b"), (col("k") - col("cum_before")).as("j"))
+    val cand = withB.join(broadcast(located), Seq("l_returnflag", "b"))
+    val wC = Window.partitionBy("l_returnflag", "q", "side").orderBy("v")
+    val picked = cand.withColumn("rn", row_number().over(wC))
+      .where(col("rn") === col("j"))
+    picked.groupBy("l_returnflag", "q", "frac").agg(
+        max(when(col("side") === "lo", col("v"))).as("v_lo"),
+        max(when(col("side") === "hi", col("v"))).as("v_hi"))
+      .withColumn("qv", round(
+        col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"), 4))
+      .groupBy("l_returnflag").agg(
+        max(when(col("q") === 0.25, col("qv"))).as("p25"),
+        max(when(col("q") === 0.5, col("qv"))).as("p50"),
+        max(when(col("q") === 0.75, col("qv"))).as("p75"))
       .orderBy("l_returnflag")
   }
 
