@@ -207,13 +207,41 @@ class Broker(spark: SparkSession, root: String) {
             (r.key, r.value, hdrs, ts, p)
           }
         }
-        val after: Map[Int, Long] =
-          if (rows.isEmpty) log.logEndOffsets()
-          else {
-            import spark.implicits._
-            log.produce(rows.toDF("key", "value", "headers", "ts", "partition"),
-              partitioner = col("partition"))
-          }
+        // The manifest CAS can lose to a concurrent producer on an
+        // overlapping partition; produce()'s contract is that the
+        // CALLER retries (offsets re-derive from the fresh manifest).
+        // A Kafka broker serializes appends internally — a wire client
+        // never sees the storage-layer race — so the broker IS that
+        // caller: retry with capped backoff until the request's own
+        // timeout, then answer REQUEST_TIMED_OUT (7) per partition
+        // instead of failing the connection.
+        def produceWithRetry(): Option[Map[Int, Long]] = {
+          val deadline = System.nanoTime() +
+            math.max(req.timeoutMs, 1000).toLong * 1000000L
+          var attempt = 0
+          var result: Option[Map[Int, Long]] = None
+          var retrying = true
+          while (retrying)
+            try {
+              import spark.implicits._
+              result = Some(log.produce(
+                rows.toDF("key", "value", "headers", "ts", "partition"),
+                partitioner = col("partition")))
+              retrying = false
+            } catch {
+              case _: TopicLog.ConcurrentProduceException =>
+                if (System.nanoTime() > deadline) retrying = false
+                else {
+                  Thread.sleep(math.min(200L, 2L << math.min(attempt, 6)))
+                  attempt += 1
+                }
+            }
+          result
+        }
+        val afterOpt: Option[Map[Int, Long]] =
+          if (rows.isEmpty) Some(log.logEndOffsets())
+          else produceWithRetry()
+        val after: Map[Int, Long] = afterOpt.getOrElse(Map.empty)
         // Base offsets derive from the COMMITTED ends the produce
         // returned, not a pre-produce snapshot: a snapshot is stale
         // under concurrent producers and wrong when one request lists
@@ -234,6 +262,10 @@ class Broker(spark: SparkSession, root: String) {
             (p, req.decodeErrors((name, p)), -1L)
           case ((p, _), Broker.Reject(err)) => (p, err, -1L)
           case ((p, _), Broker.Duplicate(base)) => (p, 0, base)
+          // the CAS never won within the request timeout: nothing
+          // appended, no sequence state advanced — the client's retry
+          // (same sequences) is exactly a fresh attempt
+          case ((p, _), Broker.Append) if afterOpt.isEmpty => (p, 7, -1L)
           case ((p, batches), Broker.Append) =>
             val nRecs = batches.iterator.map(_.records.length.toLong).sum
             val firstBase = after.getOrElse(p, 0L) - written.getOrElse(p, 0L)
