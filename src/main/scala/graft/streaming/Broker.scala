@@ -186,6 +186,21 @@ class Broker(spark: SparkSession, root: String) {
       if (!topicExists(name)) (name, parts.map { case (p, _) => (p, 3, -1L) })
       else {
         val log = topic(name)
+        // Phase 0 — the transaction gate: a TRANSACTIONAL batch must
+        // come from a known transactional pid at the current epoch
+        // with its partition registered via AddPartitionsToTxn. A
+        // failing entry is emptied here (it must not advance the
+        // idempotence gate's provisional sequences) and answers its
+        // error below — same pattern as payload decode errors.
+        val txnErrs: Seq[Option[Int]] = parts.map { case (p, batches) =>
+          batches.iterator.filter(_.transactional)
+            .map(b => txnProduceError(name, p, b))
+            .collectFirst { case Some(err) => err }
+        }
+        val gated = parts.zip(txnErrs).map { case ((p, batches), err) =>
+          if (err.isDefined) (p, Seq.empty[KafkaWire.ProducedBatch])
+          else (p, batches)
+        }
         // Phase 1 — the idempotence gate: pure in-memory metadata, so
         // every partition entry resolves to Append / Duplicate /
         // Reject BEFORE any row lands. A rejected or duplicate entry
@@ -195,8 +210,8 @@ class Broker(spark: SparkSession, root: String) {
         // (entry B continuing where entry A ends) is accepted — the
         // same contract the base-offset accounting below supports.
         val decisions: Seq[Broker.ProduceDecision] =
-          validateProducerEntries(name, log.numPartitions, parts)
-        val appending = parts.zip(decisions).collect {
+          validateProducerEntries(name, log.numPartitions, gated)
+        val appending = gated.zip(decisions).collect {
           case ((p, batches), Broker.Append) => (p, batches)
         }
         val rows = appending.flatMap { case (p, batches) =>
@@ -253,27 +268,32 @@ class Broker(spark: SparkSession, root: String) {
             batches.iterator.map(_.records.length.toLong).sum
         }
         val consumedSoFar = scala.collection.mutable.Map.empty[Int, Long]
-        (name, parts.zip(decisions).map {
+        (name, gated.zip(decisions).zip(txnErrs).map {
+          // a transaction-gate failure (49/47/48) answers first — the
+          // entry was emptied above, so nothing downstream saw it
+          case (((p, _), _), Some(err)) => (p, err, -1L)
           // a payload that failed decode (76 = unsupported codec, 2 =
           // corrupt) answers its error and appended nothing — its
           // entry carries no batches, so the offset accounting above
           // never saw it
-          case ((p, _), _) if req.decodeErrors.contains((name, p)) =>
+          case (((p, _), _), _) if req.decodeErrors.contains((name, p)) =>
             (p, req.decodeErrors((name, p)), -1L)
-          case ((p, _), Broker.Reject(err)) => (p, err, -1L)
-          case ((p, _), Broker.Duplicate(base)) => (p, 0, base)
+          case (((p, _), Broker.Reject(err)), _) => (p, err, -1L)
+          case (((p, _), Broker.Duplicate(base)), _) => (p, 0, base)
           // the CAS never won within the request timeout: nothing
           // appended, no sequence state advanced — the client's retry
           // (same sequences) is exactly a fresh attempt
-          case ((p, _), Broker.Append) if afterOpt.isEmpty => (p, 7, -1L)
-          case ((p, batches), Broker.Append) =>
+          case (((p, _), Broker.Append), _) if afterOpt.isEmpty => (p, 7, -1L)
+          case (((p, batches), Broker.Append), _) =>
             val nRecs = batches.iterator.map(_.records.length.toLong).sum
             val firstBase = after.getOrElse(p, 0L) - written.getOrElse(p, 0L)
             val base = firstBase + consumedSoFar.getOrElse(p, 0L)
             consumedSoFar(p) = consumedSoFar.getOrElse(p, 0L) + nRecs
             // Phase 2 — the append committed; remember each batch's
-            // sequence span + base offset for duplicate detection.
+            // sequence span + base offset for duplicate detection,
+            // and a transactional batch's range under its open txn.
             recordProducerBatches(name, p, batches, base)
+            recordTxnAppend(name, p, batches, base)
             (p, 0, base)
         })
       }
@@ -408,22 +428,244 @@ class Broker(spark: SparkSession, root: String) {
     }
   }
 
+  // --- transactions (classic EOS; keys 24/26/28 + transactional
+  // batches + read_committed fetch). The coordinator is metadata-only,
+  // like the group coordinator and the idempotence gate: per
+  // transactional id it tracks (pid, epoch, open partitions, first/
+  // last produced offsets, offsets pending a commit); per partition
+  // it tracks the first offsets of OPEN transactions (whose min is
+  // the LSO) and the offset ranges of ABORTED transactions. Design
+  // decision (documented in SURVEY §4): no control records land in
+  // the log — read_committed filtering is BROKER-side, aborted
+  // records are simply omitted from responses as offset gaps (the
+  // same shape compaction produces, legal since v4+ batches carry
+  // explicit offset deltas), and the aborted_transactions response
+  // field stays empty because clients then have nothing to filter.
+  // State is in-memory and bounded (MaxTxnStates transactions,
+  // MaxAbortedRangesPerPartition remembered ranges — ranges wholly
+  // below the log start are pruned first; beyond that, oldest-first
+  // eviction is the documented horizon, the moral equivalent of a
+  // .txnindex file retention limit). ---
+
+  private val txnLock = new Object
+  private val txns = scala.collection.mutable.LinkedHashMap
+    .empty[String, Broker.TxnState]
+  private val txnIdByPid = scala.collection.mutable.Map.empty[Long, String]
+  /** (topic, partition) → pid → first offset of that pid's OPEN txn */
+  private val openTxnFirsts = scala.collection.mutable.Map
+    .empty[(String, Int), scala.collection.mutable.Map[Long, Long]]
+  /** (topic, partition) → aborted (first, last) offset ranges */
+  private val abortedRanges = scala.collection.mutable.Map
+    .empty[(String, Int), scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+
+  /** Last stable offset: the first offset of any open transaction on
+    * the partition (nothing at or past it is decided), else the log
+    * end. */
+  private[streaming] def lastStableOffset(topicName: String, p: Int,
+      logEnd: Long): Long = txnLock.synchronized {
+    openTxnFirsts.get((topicName, p)).filter(_.nonEmpty)
+      .map(_.values.min).map(math.min(_, logEnd)).getOrElse(logEnd)
+  }
+
+  private[streaming] def isAborted(topicName: String, p: Int,
+      offset: Long): Boolean = txnLock.synchronized {
+    abortedRanges.get((topicName, p))
+      .exists(_.exists { case (lo, hi) => offset >= lo && offset <= hi })
+  }
+
+  /** Produce-time gate for a TRANSACTIONAL batch: the pid must map to
+    * this broker's transaction for an epoch that matches, and the
+    * partition must have been added via AddPartitionsToTxn. 49 =
+    * INVALID_PRODUCER_ID_MAPPING, 47 = INVALID_PRODUCER_EPOCH, 48 =
+    * INVALID_TXN_STATE. */
+  private def txnProduceError(topicName: String, p: Int,
+      b: KafkaWire.ProducedBatch): Option[Int] = txnLock.synchronized {
+    txnIdByPid.get(b.producerId).flatMap(txns.get) match {
+      case None => Some(49)
+      case Some(st) if b.producerEpoch != st.epoch => Some(47)
+      case Some(st) if !st.open || !st.partitions((topicName, p)) => Some(48)
+      case _ => None
+    }
+  }
+
+  /** After a committed transactional append: remember the produced
+    * range under the open transaction (first offset feeds the LSO;
+    * the range becomes an aborted range if the txn aborts). */
+  private def recordTxnAppend(topicName: String, p: Int,
+      batches: Seq[KafkaWire.ProducedBatch], baseOffset: Long): Unit = {
+    var off = baseOffset
+    txnLock.synchronized {
+      batches.foreach { b =>
+        if (b.transactional && b.records.nonEmpty)
+          txnIdByPid.get(b.producerId).flatMap(txns.get).foreach { st =>
+            val key = (topicName, p)
+            if (!st.firstOffsets.contains(key)) {
+              st.firstOffsets(key) = off
+              openTxnFirsts.getOrElseUpdate(key,
+                scala.collection.mutable.Map.empty)(b.producerId) = off
+            }
+            st.lastOffsets(key) = off + b.records.length - 1
+          }
+        off += b.records.length
+      }
+    }
+  }
+
+  /** Close a transaction under the lock: clear its open ranges (an
+    * abort remembers them as aborted), apply or drop its pending
+    * group offsets. Returns the actions to run OUTSIDE the lock
+    * (group commits run Spark jobs). */
+  private def endTxnLocked(st: Broker.TxnState,
+      commit: Boolean): Seq[() => Unit] = {
+    st.firstOffsets.keys.foreach { key =>
+      openTxnFirsts.get(key).foreach { m =>
+        m.remove(st.pid)
+        if (m.isEmpty) openTxnFirsts.remove(key)
+      }
+    }
+    if (!commit)
+      st.firstOffsets.foreach { case (key, first) =>
+        val buf = abortedRanges.getOrElseUpdate(key,
+          scala.collection.mutable.ArrayBuffer.empty)
+        buf.append((first, st.lastOffsets(key)))
+        if (buf.length > Broker.MaxAbortedRangesPerPartition) {
+          // prune ranges already truncated out of the log before
+          // falling back to the documented oldest-first horizon
+          val start = try topic(key._1).logStartOffsets().getOrElse(key._2, 0L)
+            catch { case _: Exception => 0L }
+          val kept = buf.filter(_._2 >= start)
+          buf.clear(); buf ++= kept
+          if (buf.length > Broker.MaxAbortedRangesPerPartition)
+            buf.remove(0, buf.length - Broker.MaxAbortedRangesPerPartition)
+        }
+      }
+    val actions: Seq[() => Unit] =
+      if (commit)
+        st.pendingOffsets.toSeq.map { case (group, offs) =>
+          val byTopic = offs.groupBy(_._1._1)
+          () => byTopic.foreach { case (t, m) =>
+            if (topicExists(t))
+              topic(t).commit(group,
+                m.map { case ((_, p), (off, _)) => p -> off }.toMap)
+          }
+        }
+      else Seq.empty
+    st.firstOffsets.clear()
+    st.lastOffsets.clear()
+    st.pendingOffsets.clear()
+    st.partitions.clear()
+    st.open = false
+    actions
+  }
+
   /** InitProducerId exchange (v0–v4). The idempotent path (null
     * transactional_id — what a default-config kafka-clients 3.x
-    * producer sends) allocates a fresh (producer_id, epoch 0).
-    * Transactions are OUT OF SCOPE (delegated like replication/auth,
-    * SURVEY §4): a non-null transactional_id answers the terminal
-    * TRANSACTIONAL_ID_AUTHORIZATION_FAILED (53) so a transactional
-    * client fails FAST here instead of silently degrading at the
-    * AddPartitionsToTxn it would send next. */
+    * producer sends) allocates a fresh (producer_id, epoch 0). A
+    * transactional id binds a stable pid whose EPOCH BUMPS on every
+    * re-init — the previous incarnation is fenced (its produces
+    * answer 47) and any transaction it left open is aborted, per the
+    * protocol's producer-recovery contract. */
   def handleInitProducerId(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeInitProducerIdRequest(requestBytes)
-    if (req.transactionalId != null)
-      encodeInitProducerIdResponse(req.version, req.correlationId, 53, -1L, -1)
-    else
-      encodeInitProducerIdResponse(req.version, req.correlationId, 0,
+    if (req.transactionalId == null)
+      return encodeInitProducerIdResponse(req.version, req.correlationId, 0,
         nextProducerId.getAndIncrement(), 0)
+    val (pid, epoch, actions) = txnLock.synchronized {
+      val st = txns.remove(req.transactionalId)
+        .getOrElse(new Broker.TxnState(nextProducerId.getAndIncrement()))
+      txns.put(req.transactionalId, st) // re-insert: LRU recency order
+      val acts = if (st.open) endTxnLocked(st, commit = false) else Seq.empty
+      st.epoch += 1
+      txnIdByPid(st.pid) = req.transactionalId
+      while (txns.size > Broker.MaxTxnStates) {
+        val (oldId, old) = txns.head
+        if (old.open) endTxnLocked(old, commit = false)
+        txnIdByPid.remove(old.pid)
+        txns.remove(oldId)
+      }
+      (st.pid, st.epoch, acts)
+    }
+    actions.foreach(_.apply())
+    encodeInitProducerIdResponse(req.version, req.correlationId, 0, pid, epoch)
+  }
+
+  /** AddPartitionsToTxn (key 24, v0–v3): registers the partitions the
+    * next produces will touch and opens the transaction. */
+  def handleAddPartitionsToTxn(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeAddPartitionsToTxnRequest(requestBytes)
+    val results = txnLock.synchronized {
+      req.topics.map { case (name, parts) =>
+        (name, parts.map { p =>
+          txns.get(req.transactionalId) match {
+            case None => (p, 49)
+            case Some(st) if st.pid != req.producerId => (p, 49)
+            case Some(st) if st.epoch != req.producerEpoch => (p, 47)
+            case Some(st) =>
+              if (!topicExists(name)) (p, 3)
+              else if (p < 0 || p >= topic(name).numPartitions) (p, 3)
+              else {
+                st.open = true
+                st.partitions.add((name, p))
+                (p, 0)
+              }
+          }
+        })
+      }
+    }
+    encodeAddPartitionsToTxnResponse(req.version, req.correlationId, results)
+  }
+
+  /** EndTxn (key 26, v0–v3): commit makes the transaction's records
+    * visible to read_committed consumers (the LSO advances past them)
+    * and applies its pending group offsets; abort remembers their
+    * ranges so read_committed fetches skip them forever. */
+  def handleEndTxn(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeEndTxnRequest(requestBytes)
+    val (err, actions) = txnLock.synchronized {
+      txns.get(req.transactionalId) match {
+        case None => (49, Seq.empty[() => Unit])
+        case Some(st) if st.pid != req.producerId => (49, Seq.empty[() => Unit])
+        case Some(st) if st.epoch != req.producerEpoch =>
+          (47, Seq.empty[() => Unit])
+        case Some(st) if !st.open => (48, Seq.empty[() => Unit])
+        case Some(st) => (0, endTxnLocked(st, req.committed))
+      }
+    }
+    actions.foreach(_.apply())
+    encodeEndTxnResponse(req.version, req.correlationId, err)
+  }
+
+  /** TxnOffsetCommit (key 28, v0–v3): group offsets produced WITHIN a
+    * transaction — buffered here, applied only if the transaction
+    * commits (the consume-transform-produce exactly-once loop). */
+  def handleTxnOffsetCommit(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeTxnOffsetCommitRequest(requestBytes)
+    val results = txnLock.synchronized {
+      req.topics.map { case (name, parts) =>
+        (name, parts.map { case (p, off, meta) =>
+          txns.get(req.transactionalId) match {
+            case None => (p, 49)
+            case Some(st) if st.pid != req.producerId => (p, 49)
+            case Some(st) if st.epoch != req.producerEpoch => (p, 47)
+            case Some(st) if !st.open => (p, 48)
+            case Some(st) =>
+              if (!topicExists(name) || p < 0 || p >= topic(name).numPartitions)
+                (p, 3)
+              else {
+                st.pendingOffsets(req.groupId) =
+                  st.pendingOffsets.getOrElse(req.groupId, Map.empty) +
+                    (((name, p)) -> ((off, Option(meta).getOrElse(""))))
+                (p, 0)
+              }
+          }
+        })
+      }
+    }
+    encodeTxnOffsetCommitResponse(req.version, req.correlationId, results)
   }
 
   // --- KIP-227 incremental fetch sessions (Fetch v7+): a
@@ -545,6 +787,12 @@ class Broker(spark: SparkSession, root: String) {
         val ends = log.logEndOffsets()
         (name, parts.map { case (p, off, maxBytes) =>
           val end = ends.getOrElse(p, 0L)
+          // read_committed (isolation 1, v4+): nothing at or past the
+          // LSO is decided yet, and aborted records are filtered out
+          // of the response below (offset gaps, the compaction shape —
+          // SURVEY §4 documents the no-control-records design)
+          val readCommitted = req.version >= 4 && req.isolationLevel == 1
+          val lsoCap = if (readCommitted) lastStableOffset(name, p, end) else end
           if (p < 0 || p >= log.numPartitions)
             (p, 3, -1L, Seq.empty[(Long, WireRecordV2)])
           else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecordV2)])
@@ -573,29 +821,35 @@ class Broker(spark: SparkSession, root: String) {
             // silently skips past (permanent message loss). The first
             // record always ships so one large record can't stall.
             rows.iterator.takeWhile(_ => !full).foreach { r =>
-              val k = r.getAs[Array[Byte]]("key")
-              val v = r.getAs[Array[Byte]]("value")
-              val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
-                .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
-              val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
-                .map(_.getTime).getOrElse(-1L)
-              val sz = perRecordOverhead + (if (k == null) 0 else k.length) +
-                (if (v == null) 0 else v.length) +
-                hdrs.map { case (hk, hv) =>
-                  hk.length + (if (hv == null) 0 else hv.length) + 2
-                }.sum
-              val fitsPartition = taken == 0 || used + sz <= maxBytes
-              // first record of the whole RESPONSE is exempt from the
-              // request budget, per the contract
-              val fitsRequest = respTaken == 0 || respUsed + sz <= respBudget
-              if (fitsPartition && fitsRequest) {
-                picked += ((r.getAs[Long]("offset"), WireRecordV2(ts, k, v, hdrs)))
-                used += sz
-                taken += 1
-                if (taken == 1) respUsed += batchOverhead
-                respUsed += sz
-                respTaken += 1
-              } else full = true
+              val recOffset = r.getAs[Long]("offset")
+              if (recOffset >= lsoCap) full = true // undecided region
+              else if (readCommitted && isAborted(name, p, recOffset)) {
+                () // aborted record: omitted, an offset gap
+              } else {
+                val k = r.getAs[Array[Byte]]("key")
+                val v = r.getAs[Array[Byte]]("value")
+                val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
+                  .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+                val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
+                  .map(_.getTime).getOrElse(-1L)
+                val sz = perRecordOverhead + (if (k == null) 0 else k.length) +
+                  (if (v == null) 0 else v.length) +
+                  hdrs.map { case (hk, hv) =>
+                    hk.length + (if (hv == null) 0 else hv.length) + 2
+                  }.sum
+                val fitsPartition = taken == 0 || used + sz <= maxBytes
+                // first record of the whole RESPONSE is exempt from the
+                // request budget, per the contract
+                val fitsRequest = respTaken == 0 || respUsed + sz <= respBudget
+                if (fitsPartition && fitsRequest) {
+                  picked += ((recOffset, WireRecordV2(ts, k, v, hdrs)))
+                  used += sz
+                  taken += 1
+                  if (taken == 1) respUsed += batchOverhead
+                  respUsed += sz
+                  respTaken += 1
+                } else full = true
+              }
             }
             (p, 0, end, picked.result())
           }
@@ -621,8 +875,19 @@ class Broker(spark: SparkSession, root: String) {
         filtered
       }
     }
+    // v4+ reports the true last_stable_offset (trails the high
+    // watermark while transactions are open) — informational at
+    // read_uncommitted, the consumer's ceiling at read_committed
+    val lsoMap: Map[(String, Int), Long] =
+      if (req.version < 4) Map.empty
+      else out.flatMap { case (name, parts) =>
+        parts.collect { case (p, 0, hw, _) =>
+          ((name, p), lastStableOffset(name, p, hw))
+        }
+      }.toMap
     encodeFetchResponse(req.version, req.correlationId, out, 0, sessionId,
-      if (req.version >= 4) fetchCompression else KafkaWire.CompressionNone)
+      if (req.version >= 4) fetchCompression else KafkaWire.CompressionNone,
+      lsoMap)
   }
 
   /** Codec for v4+ fetch-response batches (none by default; gzip is
@@ -900,8 +1165,15 @@ class Broker(spark: SparkSession, root: String) {
           if (p < 0 || p >= log.numPartitions) (p, 3, -1L, -1L, Seq.empty[Long])
           else if (maxN <= 0) (p, 0, -1L, -1L, Seq.empty[Long])
           else ts match {
+            // LATEST under read_committed (isolation 1, v2+) answers
+            // the LSO — a transactional consumer seeking to "the end"
+            // must not land inside an open transaction
             case -1L =>
-              val off = ends.getOrElse(p, 0L)
+              val end = ends.getOrElse(p, 0L)
+              val off =
+                if (req.version >= 2 && req.isolationLevel == 1)
+                  lastStableOffset(name, p, end)
+                else end
               (p, 0, -1L, off, Seq(off))
             case -3L => byMaxTs.get(p) match {
               case Some((off, recTs)) => (p, 0, recTs, off, Seq(off))
@@ -1048,6 +1320,27 @@ object Broker {
       scala.collection.mutable.Map.empty
   }
 
+  /** Per-transactional-id coordinator state: a stable pid, the
+    * current (fencing) epoch, and — while a transaction is open — the
+    * partitions it registered, the offset ranges it produced, and the
+    * group offsets awaiting its commit. */
+  private[streaming] final class TxnState(val pid: Long) {
+    var epoch: Int = -1 // first InitProducerId bumps to 0
+    var open: Boolean = false
+    val partitions: scala.collection.mutable.Set[(String, Int)] =
+      scala.collection.mutable.Set.empty
+    val firstOffsets: scala.collection.mutable.Map[(String, Int), Long] =
+      scala.collection.mutable.Map.empty
+    val lastOffsets: scala.collection.mutable.Map[(String, Int), Long] =
+      scala.collection.mutable.Map.empty
+    /** group id → (topic, partition) → (offset, metadata) */
+    val pendingOffsets: scala.collection.mutable.Map[String,
+      Map[(String, Int), (Long, String)]] = scala.collection.mutable.Map.empty
+  }
+
+  val MaxTxnStates = 1024
+  val MaxAbortedRangesPerPartition = 1024
+
   /** (api_key, name, min_version, max_version) — mirrors the Kafka
     * protocol key space for the core APIs graft implements. */
   val SupportedApis: Seq[(Int, String, Int, Int)] = Seq(
@@ -1069,6 +1362,9 @@ object Broker {
     (20, "DeleteTopics", 0, 6),
     (21, "DeleteRecords", 0, 2),
     (22, "InitProducerId", 0, 4),
+    (24, "AddPartitionsToTxn", 0, 3),
+    (26, "EndTxn", 0, 3),
+    (28, "TxnOffsetCommit", 0, 3),
     (32, "DescribeConfigs", 0, 4))
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
@@ -1100,5 +1396,8 @@ object Broker {
     (20, "DeleteTopics", 0, 0),
     (21, "DeleteRecords", 0, 0),
     (22, "InitProducerId", 0, KafkaWire.InitProducerIdMaxVersion),
+    (24, "AddPartitionsToTxn", 0, KafkaWire.AddPartitionsToTxnMaxVersion),
+    (26, "EndTxn", 0, KafkaWire.EndTxnMaxVersion),
+    (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),
     (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion))
 }

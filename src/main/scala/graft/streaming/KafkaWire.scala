@@ -1006,7 +1006,10 @@ object KafkaWire {
       maxWaitMs: Int, minBytes: Int, maxBytes: Int,
       sessionId: Int, sessionEpoch: Int,
       topics: Seq[(String, Seq[(Int, Long, Int)])],
-      forgotten: Seq[(String, Seq[Int])])
+      forgotten: Seq[(String, Seq[Int])],
+      /** 0 = read_uncommitted; 1 = read_committed (v4+) — the broker
+        * then caps at the LSO and filters aborted records out. */
+      isolationLevel: Int = 0)
 
   private def produceRecordsPayload(version: Int,
       batch: ProducedBatch, compression: Int = CompressionNone): Array[Byte] =
@@ -1015,7 +1018,7 @@ object KafkaWire {
       else encodeRecordBatchV2(RecordBatchV2(0L,
         batch.records.headOption.map(_.timestampMs).getOrElse(-1L),
         batch.records, batch.producerId, batch.producerEpoch,
-        batch.baseSequence), compression)
+        batch.baseSequence, batch.transactional), compression)
     } else {
       require(batch.producerId < 0,
         s"message-set produce (v$version) cannot carry a producer id — use v3+")
@@ -1184,7 +1187,8 @@ object KafkaWire {
       maxWaitMs: Int, minBytes: Int, maxBytes: Int,
       topics: Seq[(String, Seq[(Int, Long, Int)])],
       sessionId: Int = 0, sessionEpoch: Int = -1,
-      forgotten: Seq[(String, Seq[Int])] = Seq.empty): Array[Byte] = {
+      forgotten: Seq[(String, Seq[Int])] = Seq.empty,
+      isolationLevel: Int = 0): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
@@ -1199,7 +1203,7 @@ object KafkaWire {
     w.i32(maxWaitMs)
     w.i32(minBytes)
     if (version >= 3) w.i32(maxBytes)
-    if (version >= 4) out.write(0) // isolation_level: read_uncommitted
+    if (version >= 4) out.write(isolationLevel)
     if (version >= 7) { w.i32(sessionId); w.i32(sessionEpoch) }
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
@@ -1244,7 +1248,7 @@ object KafkaWire {
     val maxWait = r.i32()
     val minBytes = r.i32()
     val maxBytes = if (version >= 3) r.i32() else Int.MaxValue
-    if (version >= 4) buf.get() // isolation_level
+    val isolationLevel = if (version >= 4) buf.get().toInt else 0
     val (sessionId, sessionEpoch) =
       if (version >= 7) (r.i32(), r.i32()) else (0, -1)
     val topics = (0 until r.count()).map { _ =>
@@ -1273,7 +1277,7 @@ object KafkaWire {
     if (version >= 11) r.str() // rack_id
     r.tags()
     FetchRequest(version, correlationId, clientId, maxWait, minBytes, maxBytes,
-      sessionId, sessionEpoch, topics.toSeq, forgotten)
+      sessionId, sessionEpoch, topics.toSeq, forgotten, isolationLevel)
   }
 
   /** Encode a fetch response at any version 0–12; records are
@@ -1285,7 +1289,10 @@ object KafkaWire {
   def encodeFetchResponse(version: Int, correlationId: Int,
       topics: Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])],
       errorCode: Int = 0, sessionId: Int = 0,
-      compression: Int = CompressionNone): Array[Byte] = {
+      compression: Int = CompressionNone,
+      /** Per-partition last stable offset where it trails the high
+        * watermark (open transactions); defaults to hw. */
+      lso: Map[(String, Int), Long] = Map.empty): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
@@ -1302,9 +1309,14 @@ object KafkaWire {
       parts.foreach { case (p, err, hw, records) =>
         w.i32(p); w.i16(err); w.i64(hw)
         if (version >= 4) {
-          w.i64(hw) // last_stable_offset (no transactions)
+          w.i64(lso.getOrElse((name, p), hw)) // last_stable_offset
           if (version >= 5) w.i64(0L) // log_start_offset
-          w.count(0) // aborted_transactions: none
+          // aborted_transactions stays empty BY DESIGN: graft's
+          // read_committed filtering is broker-side (aborted records
+          // are omitted from the response as offset gaps, the same
+          // shape compaction produces), so clients have nothing to
+          // filter and no control batches exist to delimit
+          w.count(0)
           if (version >= 11) w.i32(-1) // preferred_read_replica
         }
         val payload =
@@ -1533,7 +1545,8 @@ object KafkaWire {
     * meaningful at v0 only; v1+ ignores it on encode and decodes it
     * as 1. */
   def encodeListOffsetsRequest(version: Int, correlationId: Int, clientId: String,
-      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+      topics: Seq[(String, Seq[(Int, Long, Int)])],
+      isolationLevel: Int = 0): Array[Byte] = {
     require(version >= 0 && version <= ListOffsetsMaxVersion,
       s"unsupported ListOffsets version $version")
     val flexible = version >= 6
@@ -1541,7 +1554,7 @@ object KafkaWire {
     requestHeader(out, ListOffsetsApiKey, version, correlationId, clientId, flexible)
     val w = new WR(out, flexible)
     w.i32(-1) // replica_id: consumer
-    if (version >= 2) w.i8(0) // isolation_level: read_uncommitted
+    if (version >= 2) w.i8(isolationLevel)
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
       w.str(name)
@@ -2915,6 +2928,271 @@ object KafkaWire {
     (correlationId, results.toSeq)
   }
 
+  // --- Transactions (AddPartitionsToTxn 24, EndTxn 26,
+  // TxnOffsetCommit 28) — the classic (pre-KIP-890) shapes every
+  // transactional client through Kafka 3.x speaks. Flexible at v3+
+  // for all three. AddPartitionsToTxn is capped at v3: v4 rewrote the
+  // schema around batched broker-to-broker calls a single-broker
+  // engine never receives. ---
+
+  val AddPartitionsToTxnApiKey = 24
+  val AddPartitionsToTxnMaxVersion = 3
+  val EndTxnApiKey = 26
+  val EndTxnMaxVersion = 3
+  val TxnOffsetCommitApiKey = 28
+  val TxnOffsetCommitMaxVersion = 3
+
+  case class AddPartitionsToTxnRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, producerId: Long,
+      producerEpoch: Int, topics: Seq[(String, Seq[Int])])
+
+  def encodeAddPartitionsToTxnRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, producerId: Long,
+      producerEpoch: Int, topics: Seq[(String, Seq[Int])]): Array[Byte] = {
+    require(version >= 0 && version <= AddPartitionsToTxnMaxVersion,
+      s"unsupported AddPartitionsToTxn version $version")
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, AddPartitionsToTxnApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(transactionalId)
+    w.i64(producerId)
+    w.i16(producerEpoch)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length); parts.foreach(w.i32)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAddPartitionsToTxnRequest(
+      bytes: Array[Byte]): AddPartitionsToTxnRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == AddPartitionsToTxnApiKey,
+      "not an AddPartitionsToTxn request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= AddPartitionsToTxnMaxVersion,
+      s"unsupported AddPartitionsToTxn version $version")
+    val flexible = version >= 3
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val txnId = r.str()
+    val pid = r.i64()
+    val epoch = r.i16()
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map(_ => r.i32())
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    AddPartitionsToTxnRequest(version, correlationId, clientId, txnId, pid,
+      epoch, topics.toSeq)
+  }
+
+  /** results = (topic, (partition, errorCode)*)*. */
+  def encodeAddPartitionsToTxnResponse(version: Int, correlationId: Int,
+      results: Seq[(String, Seq[(Int, Int)])]): Array[Byte] = {
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.count(results.length)
+    results.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err) => w.i32(p); w.i16(err); w.tags() }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAddPartitionsToTxnResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int)])]) = {
+    val flexible = version >= 3
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle_time_ms
+    val results = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val t = (r.i32(), r.i16()); r.tags(); t
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, results.toSeq)
+  }
+
+  case class EndTxnRequest(version: Int, correlationId: Int, clientId: String,
+      transactionalId: String, producerId: Long, producerEpoch: Int,
+      committed: Boolean)
+
+  def encodeEndTxnRequest(version: Int, correlationId: Int, clientId: String,
+      transactionalId: String, producerId: Long, producerEpoch: Int,
+      committed: Boolean): Array[Byte] = {
+    require(version >= 0 && version <= EndTxnMaxVersion,
+      s"unsupported EndTxn version $version")
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, EndTxnApiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(transactionalId)
+    w.i64(producerId)
+    w.i16(producerEpoch)
+    w.bool(committed)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeEndTxnRequest(bytes: Array[Byte]): EndTxnRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == EndTxnApiKey, "not an EndTxn request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= EndTxnMaxVersion,
+      s"unsupported EndTxn version $version")
+    val flexible = version >= 3
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val req = EndTxnRequest(version, correlationId, clientId,
+      r.str(), r.i64(), r.i16(), r.bool())
+    r.tags()
+    req
+  }
+
+  def encodeEndTxnResponse(version: Int, correlationId: Int,
+      errorCode: Int): Array[Byte] = {
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode). */
+  def decodeEndTxnResponse(version: Int, bytes: Array[Byte]): (Int, Int) = {
+    val flexible = version >= 3
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle_time_ms
+    val t = (correlationId, r.i16())
+    r.tags()
+    t
+  }
+
+  case class TxnOffsetCommitRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, groupId: String,
+      producerId: Long, producerEpoch: Int,
+      topics: Seq[(String, Seq[(Int, Long, String)])])
+
+  def encodeTxnOffsetCommitRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, groupId: String,
+      producerId: Long, producerEpoch: Int,
+      topics: Seq[(String, Seq[(Int, Long, String)])]): Array[Byte] = {
+    require(version >= 0 && version <= TxnOffsetCommitMaxVersion,
+      s"unsupported TxnOffsetCommit version $version")
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, TxnOffsetCommitApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.str(transactionalId)
+    w.str(groupId)
+    w.i64(producerId)
+    w.i16(producerEpoch)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, off, meta) =>
+        w.i32(p)
+        w.i64(off)
+        if (version >= 2) w.i32(-1) // committed_leader_epoch
+        w.str(meta)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeTxnOffsetCommitRequest(
+      bytes: Array[Byte]): TxnOffsetCommitRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == TxnOffsetCommitApiKey,
+      "not a TxnOffsetCommit request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= TxnOffsetCommitMaxVersion,
+      s"unsupported TxnOffsetCommit version $version")
+    val flexible = version >= 3
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val txnId = r.str()
+    val groupId = r.str()
+    val pid = r.i64()
+    val epoch = r.i16()
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val off = r.i64()
+        if (version >= 2) r.i32() // committed_leader_epoch
+        val meta = r.str()
+        r.tags()
+        (p, off, meta)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    TxnOffsetCommitRequest(version, correlationId, clientId, txnId, groupId,
+      pid, epoch, topics.toSeq)
+  }
+
+  /** results = (topic, (partition, errorCode)*)*. */
+  def encodeTxnOffsetCommitResponse(version: Int, correlationId: Int,
+      results: Seq[(String, Seq[(Int, Int)])]): Array[Byte] = {
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.count(results.length)
+    results.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err) => w.i32(p); w.i16(err); w.tags() }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeTxnOffsetCommitResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int)])]) =
+    decodeAddPartitionsToTxnResponse(version, bytes) // identical layout
+
   // --- RecordBatch v2 (magic 2) — the modern record format ---
   // Layout per the public spec: baseOffset INT64, batchLength INT32
   // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,
@@ -2967,13 +3245,16 @@ object KafkaWire {
 
   case class RecordBatchV2(baseOffset: Long, baseTimestampMs: Long,
       records: Seq[WireRecordV2], producerId: Long = -1L,
-      producerEpoch: Int = -1, baseSequence: Int = -1)
+      producerEpoch: Int = -1, baseSequence: Int = -1,
+      /** attributes bit 4: this batch is part of an open transaction */
+      transactional: Boolean = false)
 
   /** One decoded produce batch with its idempotence coordinates —
     * what the broker's sequence bookkeeping consumes. A non-idempotent
     * batch carries (-1, -1, -1). */
   case class ProducedBatch(producerId: Long, producerEpoch: Int,
-      baseSequence: Int, records: Seq[WireRecordV2])
+      baseSequence: Int, records: Seq[WireRecordV2],
+      transactional: Boolean = false)
 
   private def writeZigZagVarLong(out: ByteArrayOutputStream, value: Long): Unit = {
     var v = (value << 1) ^ (value >> 63)
@@ -3035,7 +3316,8 @@ object KafkaWire {
   private def encodeBatchV2Core(baseOffset: Long, baseTimestampMs: Long,
       recs: Seq[(Int, WireRecordV2)], producerId: Long = -1L,
       producerEpoch: Int = -1, baseSequence: Int = -1,
-      compression: Int = CompressionNone): Array[Byte] = {
+      compression: Int = CompressionNone,
+      transactional: Boolean = false): Array[Byte] = {
     require(compression == CompressionNone || compression == CompressionGzip,
       s"encoder supports codecs none/gzip, not $compression")
     val recsOut = new ByteArrayOutputStream()
@@ -3049,7 +3331,8 @@ object KafkaWire {
       recsOut.write(enc, 0, enc.size)
     }
     val afterCrc = new ByteArrayOutputStream()
-    writeInt16(afterCrc, compression) // attributes: codec bits 0–2, create time
+    // attributes: codec bits 0–2, create time, bit 4 = transactional
+    writeInt16(afterCrc, compression | (if (transactional) 0x10 else 0))
     writeInt32(afterCrc, recs.lastOption.map(_._1).getOrElse(-1)) // lastOffsetDelta
     writeInt64(afterCrc, baseTimestampMs)
     writeInt64(afterCrc, maxTs)
@@ -3082,7 +3365,8 @@ object KafkaWire {
       compression: Int = CompressionNone): Array[Byte] =
     encodeBatchV2Core(batch.baseOffset, batch.baseTimestampMs,
       batch.records.zipWithIndex.map { case (r, i) => (i, r) },
-      batch.producerId, batch.producerEpoch, batch.baseSequence, compression)
+      batch.producerId, batch.producerEpoch, batch.baseSequence, compression,
+      batch.transactional)
 
   /** Encode one batch of (absoluteOffset, record) pairs — the
     * broker-side fetch form, where compaction gaps survive as
@@ -3098,7 +3382,7 @@ object KafkaWire {
   }
 
   private def decodeBatchV2Core(bytes: Array[Byte])
-      : (Long, Long, Seq[(Int, WireRecordV2)], Long, Int, Int) = {
+      : (Long, Long, Seq[(Int, WireRecordV2)], Long, Int, Int, Boolean) = {
     val buf = ByteBuffer.wrap(bytes)
     val baseOffset = buf.getLong
     val batchLength = buf.getInt
@@ -3140,19 +3424,21 @@ object KafkaWire {
       require(rb.position() == end, "record length mismatch")
       (offsetDelta, WireRecordV2(baseTs + tsDelta, key, value, headers.toSeq))
     }
-    (baseOffset, baseTs, records.toSeq, producerId, producerEpoch, baseSequence)
+    (baseOffset, baseTs, records.toSeq, producerId, producerEpoch, baseSequence,
+      (attributes & 0x10) != 0)
   }
 
   /** Decode + CRC32C-verify one record batch. */
   def decodeRecordBatchV2(bytes: Array[Byte]): RecordBatchV2 = {
-    val (baseOffset, baseTs, recs, pid, pEpoch, baseSeq) = decodeBatchV2Core(bytes)
-    RecordBatchV2(baseOffset, baseTs, recs.map(_._2), pid, pEpoch, baseSeq)
+    val (baseOffset, baseTs, recs, pid, pEpoch, baseSeq, txn) =
+      decodeBatchV2Core(bytes)
+    RecordBatchV2(baseOffset, baseTs, recs.map(_._2), pid, pEpoch, baseSeq, txn)
   }
 
   /** Decode one batch to (absoluteOffset, record) pairs. */
   def decodeRecordBatchV2WithOffsets(
       bytes: Array[Byte]): Seq[(Long, WireRecordV2)] = {
-    val (baseOffset, _, recs, _, _, _) = decodeBatchV2Core(bytes)
+    val (baseOffset, _, recs, _, _, _, _) = decodeBatchV2Core(bytes)
     recs.map { case (d, r) => (baseOffset + d, r) }
   }
 
@@ -3190,7 +3476,8 @@ object KafkaWire {
       else {
         val b = decodeRecordBatchV2(
           java.util.Arrays.copyOfRange(bytes, pos, pos + 12 + len))
-        out += ProducedBatch(b.producerId, b.producerEpoch, b.baseSequence, b.records)
+        out += ProducedBatch(b.producerId, b.producerEpoch, b.baseSequence,
+          b.records, b.transactional)
         pos += 12 + len
       }
     }

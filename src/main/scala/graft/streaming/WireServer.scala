@@ -111,6 +111,10 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
       case KafkaWire.InitProducerIdApiKey => broker.handleInitProducerId(framed)
       case KafkaWire.DescribeConfigsApiKey =>
         broker.handleDescribeConfigs(framed, advertisedHost, boundPort)
+      case KafkaWire.AddPartitionsToTxnApiKey =>
+        broker.handleAddPartitionsToTxn(framed)
+      case KafkaWire.EndTxnApiKey => broker.handleEndTxn(framed)
+      case KafkaWire.TxnOffsetCommitApiKey => broker.handleTxnOffsetCommit(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }

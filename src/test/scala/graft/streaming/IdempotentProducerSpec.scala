@@ -151,11 +151,18 @@ class IdempotentProducerSpec extends AnyFunSuite {
         .map { case (_, r) => new String(r.value, "UTF-8") }
       assert(vals === Seq("a", "b", "c", "d"))
 
-      // transactions are out of scope: a transactional init fails
-      // FAST with the terminal authorization error (53)
-      val (_, errTxn, _, _) = decodeInitProducerIdResponse(4,
+      // a transactional init (round 6: transactions ARE served) binds
+      // a stable pid; re-init bumps the epoch, fencing the previous
+      // incarnation — TransactionsSpec drives the full EOS lifecycle
+      val (_, txErr1, txPid1, txEp1) = decodeInitProducerIdResponse(4,
         exchange(sock, encodeInitProducerIdRequest(4, 11, "cli", "txn-1", 60000)))
-      assert(errTxn === 53)
+      assert(txErr1 === 0)
+      assert(txEp1 === 0)
+      val (_, txErr2, txPid2, txEp2) = decodeInitProducerIdResponse(4,
+        exchange(sock, encodeInitProducerIdRequest(4, 12, "cli", "txn-1", 60000)))
+      assert(txErr2 === 0)
+      assert(txPid2 === txPid1, "the transactional id keeps its pid")
+      assert(txEp2 === txEp1 + 1, "re-init fences by bumping the epoch")
     } finally {
       sock.close()
       server.close()
