@@ -67,7 +67,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
     "FindCoordinator" -> 4,
     "JoinGroup" -> 9, "SyncGroup" -> 5, "OffsetFetch" -> 8,
     "ListOffsets" -> 8, "Fetch" -> 16, "OffsetCommit" -> 8,
-    "Heartbeat" -> 4, "LeaveGroup" -> 5)
+    "Heartbeat" -> 4, "LeaveGroup" -> 5,
+    "AddPartitionsToTxn" -> 4, "EndTxn" -> 3, "TxnOffsetCommit" -> 3)
 
   test("a 3.x client's negotiated session: produce, join, sync, fetch, commit, leave") {
     val root = Files.createTempDirectory("graft-trace").toString
@@ -100,6 +101,10 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(negotiated("OffsetCommit") === 8)
       assert(negotiated("Heartbeat") === 4)
       assert(negotiated("LeaveGroup") === 5)
+      // a transactional 3.7 producer's three extra APIs negotiate too
+      assert(negotiated("AddPartitionsToTxn") === 3)
+      assert(negotiated("EndTxn") === 3)
+      assert(negotiated("TxnOffsetCommit") === 3)
 
       // 2. Metadata v12: bootstrap view
       val meta = decodeMetadataResponse(12, exchange(sock,
@@ -245,6 +250,44 @@ class ModernClientTraceSpec extends AnyFunSuite {
           "never-seen", null, "consumer", Seq(("range", sub)))))
       assert(stale.errorCode === GroupCoordinator.UnknownMemberId)
       assert(!broker.coordinator.listGroups().exists(_._1 == "ghost-group"))
+
+      // 13. The TRANSACTIONAL producer trace at the negotiated
+      // versions (transactional.id set → the 3.x client sends these
+      // after bootstrap): InitProducerId v4 with the id → epoch-fenced
+      // pid, AddPartitionsToTxn v3, produce v9 with transactional
+      // magic-2 batches, TxnOffsetCommit v3 inside the transaction,
+      // EndTxn v3 commit, and a read_committed Fetch v12 that sees the
+      // committed records
+      val (_, txInitErr, txPid, txEpoch) = decodeInitProducerIdResponse(4,
+        exchange(sock, encodeInitProducerIdRequest(4, 20, "trace-cli",
+          "trace-txn", 60000)))
+      assert(txInitErr === 0 && txEpoch === 0)
+      val (_, txAdded) = decodeAddPartitionsToTxnResponse(3, exchange(sock,
+        encodeAddPartitionsToTxnRequest(3, 21, "trace-cli", "trace-txn",
+          txPid, txEpoch, Seq(("trace", Seq(0))))))
+      assert(txAdded === Seq(("trace", Seq((0, 0)))))
+      val (_, txProd) = decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 22, "trace-cli", "trace-txn", 1, 30000,
+          Seq(("trace", Seq((0, ProducedBatch(txPid, txEpoch, 0,
+            Seq(rec("kt", "vt", "htx" -> "1")), transactional = true))))))))
+      assert(txProd.head._2.head._2 === 0)
+      val txBase = txProd.head._2.head._3
+      val (_, txoc) = decodeTxnOffsetCommitResponse(3, exchange(sock,
+        encodeTxnOffsetCommitRequest(3, 23, "trace-cli", "trace-txn",
+          "trace-group", txPid, txEpoch,
+          Seq(("trace", Seq((0, txBase + 1, "")))))))
+      assert(txoc === Seq(("trace", Seq((0, 0)))))
+      val (_, txEnd) = decodeEndTxnResponse(3, exchange(sock,
+        encodeEndTxnRequest(3, 24, "trace-cli", "trace-txn", txPid, txEpoch,
+          committed = true)))
+      assert(txEnd === 0)
+      val (_, rcTopics) = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 25, "trace-cli", 500, 1, 1 << 20,
+          Seq(("trace", Seq((0, txBase, 1 << 20)))), 0, -1, Seq.empty, 1)))
+      val rcRecs = rcTopics.head._2.head._4
+      assert(rcRecs.map(r => new String(r._2.value, "UTF-8")) === Seq("vt"))
+      assert(broker.topic("trace").committed("trace-group")
+        .get(0).contains(txBase + 1))
     } finally {
       sock.close()
       server.close()
