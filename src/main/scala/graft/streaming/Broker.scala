@@ -468,9 +468,15 @@ class Broker(spark: SparkSession, root: String) {
   }
 
   private[streaming] def isAborted(topicName: String, p: Int,
-      offset: Long): Boolean = txnLock.synchronized {
-    abortedRanges.get((topicName, p))
-      .exists(_.exists { case (lo, hi) => offset >= lo && offset <= hi })
+      offset: Long): Boolean =
+    abortedSnapshot(topicName, p)
+      .exists { case (lo, hi) => offset >= lo && offset <= hi }
+
+  /** One lock hold per partition per fetch — the row loop then probes
+    * an immutable snapshot instead of re-locking per record. */
+  private[streaming] def abortedSnapshot(topicName: String,
+      p: Int): Seq[(Long, Long)] = txnLock.synchronized {
+    abortedRanges.get((topicName, p)).map(_.toSeq).getOrElse(Seq.empty)
   }
 
   /** Produce-time gate for a TRANSACTIONAL batch: the pid must map to
@@ -793,6 +799,8 @@ class Broker(spark: SparkSession, root: String) {
           // SURVEY §4 documents the no-control-records design)
           val readCommitted = req.version >= 4 && req.isolationLevel == 1
           val lsoCap = if (readCommitted) lastStableOffset(name, p, end) else end
+          val aborted: Seq[(Long, Long)] =
+            if (readCommitted) abortedSnapshot(name, p) else Seq.empty
           if (p < 0 || p >= log.numPartitions)
             (p, 3, -1L, Seq.empty[(Long, WireRecordV2)])
           else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecordV2)])
@@ -823,7 +831,8 @@ class Broker(spark: SparkSession, root: String) {
             rows.iterator.takeWhile(_ => !full).foreach { r =>
               val recOffset = r.getAs[Long]("offset")
               if (recOffset >= lsoCap) full = true // undecided region
-              else if (readCommitted && isAborted(name, p, recOffset)) {
+              else if (aborted.exists { case (lo, hi) =>
+                recOffset >= lo && recOffset <= hi }) {
                 () // aborted record: omitted, an offset gap
               } else {
                 val k = r.getAs[Array[Byte]]("key")
