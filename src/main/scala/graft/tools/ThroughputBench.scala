@@ -111,9 +111,58 @@ object ThroughputBench {
       require(acks.head._2.forall(_._2 == 0), s"idempotent produce error in $b: $acks")
     }
     val idemSec = (System.nanoTime() - t5) / 1e9
-    sock.close(); server.close()
     println(f"idempotent wire produce (v9, pid/seq tracked, all acked): " +
       f"$wireN records in $idemSec%.2f s = ${wireN / idemSec}%.0f rec/s")
+
+    // --- gzip wire produce: the same volume with each batch's records
+    // section gzipped client-side and inflated by the broker —
+    // quantifying the codec cost against the idempotent plain run ---
+    broker.createTopic("gz", 8)
+    val t6 = System.nanoTime()
+    var gzBytes = 0L
+    (0 until wireBatches).foreach { b =>
+      val req = encodeProduceRequestBatches(9, 500 + b, "bench", null, 1, 1000,
+        Seq(("gz", (0 until 8).map(p =>
+          (p, ProducedBatch(-1L, -1, -1, recs2))))),
+        CompressionGzip)
+      gzBytes += req.length
+      val (_, acks) = decodeProduceResponse(9, exchange(req))
+      require(acks.head._2.forall(_._2 == 0), s"gzip produce error in $b: $acks")
+    }
+    val gzSec = (System.nanoTime() - t6) / 1e9
+    println(f"gzip wire produce (v9, inflated broker-side, all acked): " +
+      f"$wireN records in $gzSec%.2f s = ${wireN / gzSec}%.0f rec/s " +
+      f"(${gzBytes / wireBatches} B/request vs uncompressed ~${8 * perBatch * 80} B payload)")
+
+    // --- transactional produce + commit: the EOS loop at wire speed —
+    // AddPartitionsToTxn + gated produce + EndTxn per batch ---
+    broker.createTopic("txn", 8)
+    val (_, txErr, txPid, txEpoch) = decodeInitProducerIdResponse(4,
+      exchange(encodeInitProducerIdRequest(4, 600, "bench", "bench-txn", 60000)))
+    require(txErr == 0, s"transactional init failed: $txErr")
+    val txSeqs = Array.fill(8)(0)
+    val t7 = System.nanoTime()
+    (0 until wireBatches).foreach { b =>
+      val (_, added) = decodeAddPartitionsToTxnResponse(3,
+        exchange(encodeAddPartitionsToTxnRequest(3, 610 + b, "bench",
+          "bench-txn", txPid, txEpoch, Seq(("txn", (0 until 8))))))
+      require(added.head._2.forall(_._2 == 0), s"add-partitions error in $b")
+      val (_, acks) = decodeProduceResponse(9,
+        exchange(encodeProduceRequestBatches(9, 700 + b, "bench", "bench-txn",
+          1, 1000, Seq(("txn", (0 until 8).map { p =>
+            val s = txSeqs(p); txSeqs(p) += perBatch
+            (p, ProducedBatch(txPid, txEpoch, s, recs2, transactional = true))
+          })))))
+      require(acks.head._2.forall(_._2 == 0), s"txn produce error in $b: $acks")
+      val (_, ended) = decodeEndTxnResponse(3,
+        exchange(encodeEndTxnRequest(3, 800 + b, "bench", "bench-txn",
+          txPid, txEpoch, committed = true)))
+      require(ended == 0, s"EndTxn error in $b: $ended")
+    }
+    val txnSec = (System.nanoTime() - t7) / 1e9
+    sock.close(); server.close()
+    println(f"transactional wire produce (one txn per batch: add+produce+commit): " +
+      f"$wireN records in $txnSec%.2f s = ${wireN / txnSec}%.0f rec/s")
     spark.stop()
   }
 }
