@@ -34,13 +34,34 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):  # Spark-written table: a directory of parts
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
-        elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if os.path.isdir(p) or os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+            # events.ts is TIMESTAMP(NANOS) in the driver-written file
+            # but raw int64 nanos in Spark-written copies (ScaleTables
+            # keeps it so Tables.events reads both identically) —
+            # normalize to the µs TIMESTAMP the oracles expect, the
+            # same DIV-1000 truncation Tables.events applies
+            if t == "events":
+                (_, ts_type) = [r[:2] for r in con.sql("DESCRIBE events")
+                                .fetchall() if r[0] == "ts"][0]
+                if ts_type == "BIGINT":
+                    con.execute(
+                        f"CREATE OR REPLACE VIEW {t} AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # --skip a,b,c: exclude named queries (e.g. the full-corpus cosine
+    # CTEs, whose interpreted DuckDB lambdas are ~1000x slower than the
+    # codegen'd Spark side and become impractical at 10x scale)
+    skip, only = set(), None
+    if len(sys.argv) > 3 and sys.argv[3].startswith("--skip"):
+        skip = set(sys.argv[3].split("=", 1)[1].split(","))
+    if len(sys.argv) > 3 and sys.argv[3].startswith("--only"):
+        only = set(sys.argv[3].split("=", 1)[1].split(","))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if name in skip or (only is not None and name not in only):
+            continue
         sql = oracles[name]
         spark_path = f"{out_dir}/{name}"
         if not glob.glob(f"{spark_path}/*.parquet"):
