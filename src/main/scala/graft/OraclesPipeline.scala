@@ -233,12 +233,22 @@ object OraclesPipeline {
     "dedup_embedding_cc" ->
       s"""WITH RECURSIVE $embCosinePairsCtes,
          |pairs AS (SELECT v1 AS d1, v2 AS d2 FROM s WHERE cos_sim >= 0.3),
-         |sym AS (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
+         |sym AS MATERIALIZED (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
          |nodes AS (SELECT DISTINCT d1 AS id FROM sym),
+         |-- min-label closure seeded from LOCAL MINIMA only (a node
+         |-- smaller than all its neighbors; the true component min is
+         |-- one), propagating a label only while it is smaller than
+         |-- the receiving node — comp(v) ≤ v always, so larger labels
+         |-- can never be the final MIN. Identical fixpoint to the
+         |-- all-nodes walk, but the closure stays near-linear where
+         |-- giant components made the naive walk Σ|C|² rows.
+         |seeds AS (SELECT id FROM nodes WHERE NOT EXISTS (
+         |  SELECT 1 FROM sym WHERE sym.d1 = nodes.id AND sym.d2 < nodes.id)),
          |walk(id, comp) AS (
-         |  SELECT id, id FROM nodes
+         |  SELECT id, id FROM seeds
          |  UNION
-         |  SELECT s2.d2, w.comp FROM walk w JOIN sym s2 ON s2.d1 = w.id)
+         |  SELECT s2.d2, w.comp FROM walk w JOIN sym s2
+         |  ON s2.d1 = w.id AND w.comp < s2.d2)
          |SELECT id AS vec_id, MIN(comp) AS comp FROM walk
          |GROUP BY id ORDER BY vec_id""".stripMargin,
 
@@ -459,12 +469,17 @@ object OraclesPipeline {
          |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
          |          FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id),
          |edges AS (SELECT d1, d2 FROM near UNION SELECT d1, d2 FROM exact),
-         |sym AS (SELECT d1, d2 FROM edges UNION SELECT d2 AS d1, d1 AS d2 FROM edges),
+         |sym AS MATERIALIZED (SELECT d1, d2 FROM edges UNION SELECT d2 AS d1, d1 AS d2 FROM edges),
          |nodes AS (SELECT DISTINCT d1 AS id FROM sym),
+         |-- local-minima-seeded min-label closure (see the
+         |-- dedup_embedding_cc oracle for the argument)
+         |seeds AS (SELECT id FROM nodes WHERE NOT EXISTS (
+         |  SELECT 1 FROM sym WHERE sym.d1 = nodes.id AND sym.d2 < nodes.id)),
          |walk(id, comp) AS (
-         |  SELECT id, id FROM nodes
+         |  SELECT id, id FROM seeds
          |  UNION
-         |  SELECT s.d2, w.comp FROM walk w JOIN sym s ON s.d1 = w.id)
+         |  SELECT s.d2, w.comp FROM walk w JOIN sym s
+         |  ON s.d1 = w.id AND w.comp < s.d2)
          |SELECT id AS doc_id, MIN(comp) AS comp FROM walk
          |GROUP BY id ORDER BY doc_id""".stripMargin,
 
