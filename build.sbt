@@ -31,9 +31,19 @@ val jdk17AddOpens = Seq(
 // boxes); anything at or above 24 GiB clamps to the known-good size.
 val forkedHeap: String = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-  "^([0-9]+)[gG]$".r.findFirstMatchIn(req.trim) match {
-    case Some(m) if m.group(1).toLong >= 24L => "24g"
-    case _                                   => req
+  // parse <n>[gG]/<n>[mM]/<n>[kK] to MiB so 98304m clamps like 96g
+  val asMiB = "^([0-9]+)([gGmMkK])$".r.findFirstMatchIn(req.trim).map { m =>
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "g" => n * 1024
+      case "m" => n
+      case _   => n / 1024
+    }
+  }
+  asMiB match {
+    case Some(mib) if mib >= 24L * 1024 => "24g"
+    case Some(_)                        => req // smaller box: honor it
+    case None                           => "24g" // unparseable: known-good
   }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

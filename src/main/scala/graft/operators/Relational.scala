@@ -195,9 +195,9 @@ object Relational {
     * needed rebounding. The global min/max is one 1-row collect (the
     * adjudicated bounded-scalar pattern). */
   def q15Quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    val all = t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .where(col("v").isNotNull) // percentile ignores nulls
+    val li = all.where(col("v").isNotNull) // percentile ignores nulls
     val stats = li.agg(min("v"), max("v")).head()
     val lo = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
     val hi = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
@@ -231,7 +231,7 @@ object Relational {
     val wC = Window.partitionBy("l_returnflag", "q", "side").orderBy("v")
     val picked = cand.withColumn("rn", row_number().over(wC))
       .where(col("rn") === col("j"))
-    picked.groupBy("l_returnflag", "q", "frac").agg(
+    val quantiles = picked.groupBy("l_returnflag", "q", "frac").agg(
         max(when(col("side") === "lo", col("v"))).as("v_lo"),
         max(when(col("side") === "hi", col("v"))).as("v_hi"))
       .withColumn("qv", round(
@@ -240,6 +240,11 @@ object Relational {
         max(when(col("q") === 0.25, col("qv"))).as("p25"),
         max(when(col("q") === 0.5, col("qv"))).as("p50"),
         max(when(col("q") === 0.75, col("qv"))).as("p75"))
+    // groups whose values are ALL NULL never reach the histogram but
+    // must still answer (with NULL quantiles) — the same shape the
+    // plain percentile aggregate returns
+    all.select("l_returnflag").distinct()
+      .join(quantiles, Seq("l_returnflag"), "left")
       .orderBy("l_returnflag")
   }
 

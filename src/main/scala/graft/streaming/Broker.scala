@@ -222,6 +222,25 @@ class Broker(spark: SparkSession, root: String) {
             (r.key, r.value, hdrs, ts, p)
           }
         }
+        // Phase 1.5 — reserve the LSO floor BEFORE any row lands: the
+        // append is a Spark job, and a concurrent read_committed
+        // fetch landing between its commit and the exact range
+        // registration below must not see this transaction's records.
+        // The floor (the pre-produce log end) is ≤ the eventual base
+        // offset, so the reservation is conservative; recordTxnAppend
+        // replaces it with the exact first offset, and reservations
+        // that never materialize (timeout, fence) release at the end
+        // of the request.
+        val txnPids: Seq[(Int, Long)] = appending.flatMap { case (p, batches) =>
+          batches.filter(b => b.transactional && b.records.nonEmpty)
+            .map(b => (p, b.producerId))
+        }.distinct
+        if (txnPids.nonEmpty) {
+          val floors = log.logEndOffsets()
+          txnPids.foreach { case (p, pid) =>
+            txnReserve(name, p, pid, floors.getOrElse(p, 0L))
+          }
+        }
         // The manifest CAS can lose to a concurrent producer on an
         // overlapping partition; produce()'s contract is that the
         // CALLER retries (offsets re-derive from the fresh manifest).
@@ -268,34 +287,43 @@ class Broker(spark: SparkSession, root: String) {
             batches.iterator.map(_.records.length.toLong).sum
         }
         val consumedSoFar = scala.collection.mutable.Map.empty[Int, Long]
-        (name, gated.zip(decisions).zip(txnErrs).map {
-          // a transaction-gate failure (49/47/48) answers first — the
-          // entry was emptied above, so nothing downstream saw it
-          case (((p, _), _), Some(err)) => (p, err, -1L)
-          // a payload that failed decode (76 = unsupported codec, 2 =
-          // corrupt) answers its error and appended nothing — its
-          // entry carries no batches, so the offset accounting above
-          // never saw it
-          case (((p, _), _), _) if req.decodeErrors.contains((name, p)) =>
-            (p, req.decodeErrors((name, p)), -1L)
-          case (((p, _), Broker.Reject(err)), _) => (p, err, -1L)
-          case (((p, _), Broker.Duplicate(base)), _) => (p, 0, base)
-          // the CAS never won within the request timeout: nothing
-          // appended, no sequence state advanced — the client's retry
-          // (same sequences) is exactly a fresh attempt
-          case (((p, _), Broker.Append), _) if afterOpt.isEmpty => (p, 7, -1L)
-          case (((p, batches), Broker.Append), _) =>
-            val nRecs = batches.iterator.map(_.records.length.toLong).sum
-            val firstBase = after.getOrElse(p, 0L) - written.getOrElse(p, 0L)
-            val base = firstBase + consumedSoFar.getOrElse(p, 0L)
-            consumedSoFar(p) = consumedSoFar.getOrElse(p, 0L) + nRecs
-            // Phase 2 — the append committed; remember each batch's
-            // sequence span + base offset for duplicate detection,
-            // and a transactional batch's range under its open txn.
-            recordProducerBatches(name, p, batches, base)
-            recordTxnAppend(name, p, batches, base)
-            (p, 0, base)
-        })
+        val answers =
+          (name, gated.zip(decisions).zip(txnErrs).zipWithIndex.map {
+            // a transaction-gate failure (49/47/48) answers first —
+            // the entry was emptied above, so nothing downstream saw it
+            case ((((p, _), _), Some(err)), _) => (p, err, -1L)
+            // a payload that failed decode (76 = unsupported codec,
+            // 2 = corrupt) answers its error and appended nothing —
+            // the key is the ENTRY index, so a valid entry for the
+            // same partition id in the same request still acks
+            case ((((p, _), _), _), idx)
+                if req.decodeErrors.contains((name, idx)) =>
+              (p, req.decodeErrors((name, idx)), -1L)
+            case ((((p, _), Broker.Reject(err)), _), _) => (p, err, -1L)
+            case ((((p, _), Broker.Duplicate(base)), _), _) => (p, 0, base)
+            // the CAS never won within the request timeout: nothing
+            // appended, no sequence state advanced — the client's
+            // retry (same sequences) is exactly a fresh attempt
+            case ((((p, _), Broker.Append), _), _) if afterOpt.isEmpty =>
+              (p, 7, -1L)
+            case ((((p, batches), Broker.Append), _), _) =>
+              val nRecs = batches.iterator.map(_.records.length.toLong).sum
+              val firstBase = after.getOrElse(p, 0L) - written.getOrElse(p, 0L)
+              val base = firstBase + consumedSoFar.getOrElse(p, 0L)
+              consumedSoFar(p) = consumedSoFar.getOrElse(p, 0L) + nRecs
+              // Phase 2 — the append committed; remember each batch's
+              // sequence span + base offset for duplicate detection,
+              // and a transactional batch's range under its open txn.
+              recordProducerBatches(name, p, batches, base)
+              recordTxnAppend(name, p, batches, base)
+              (p, 0, base)
+          })
+        // release LSO reservations the append never turned into exact
+        // ranges (timed out, or the txn was fenced mid-request)
+        txnPids.foreach { case (p, pid) =>
+          txnReleaseUnmaterialized(name, p, pid)
+        }
+        answers
       }
     }
     if (req.acks == 0) Array.empty
@@ -467,16 +495,49 @@ class Broker(spark: SparkSession, root: String) {
       .map(_.values.min).map(math.min(_, logEnd)).getOrElse(logEnd)
   }
 
-  private[streaming] def isAborted(topicName: String, p: Int,
-      offset: Long): Boolean =
-    abortedSnapshot(topicName, p)
-      .exists { case (lo, hi) => offset >= lo && offset <= hi }
-
   /** One lock hold per partition per fetch — the row loop then probes
     * an immutable snapshot instead of re-locking per record. */
   private[streaming] def abortedSnapshot(topicName: String,
       p: Int): Seq[(Long, Long)] = txnLock.synchronized {
     abortedRanges.get((topicName, p)).map(_.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Pre-append LSO reservation: caps the partition's LSO at the
+    * pre-produce log end (≤ the eventual base offset) so the append's
+    * records can never be served to read_committed before
+    * [[recordTxnAppend]] registers the exact range. No-op if the txn
+    * already holds an exact range here or isn't open. */
+  private def txnReserve(topicName: String, p: Int, pid: Long,
+      floor: Long): Unit = txnLock.synchronized {
+    txnIdByPid.get(pid).flatMap(txns.get).foreach { st =>
+      if (st.open && !st.firstOffsets.contains((topicName, p))) {
+        val m = openTxnFirsts.getOrElseUpdate((topicName, p),
+          scala.collection.mutable.Map.empty)
+        m(pid) = math.min(m.getOrElse(pid, Long.MaxValue), floor)
+      }
+    }
+  }
+
+  /** Test hook: drives [[recordTxnAppend]] directly to exercise the
+    * fenced-mid-append race deterministically (the real interleaving
+    * needs a fence landing inside the produce Spark job). */
+  private[streaming] def recordTxnAppendForTest(topicName: String, p: Int,
+      batches: Seq[KafkaWire.ProducedBatch], baseOffset: Long): Unit =
+    recordTxnAppend(topicName, p, batches, baseOffset)
+
+  /** Drop a reservation that never became an exact range (the append
+    * timed out, appended nothing, or the txn was fenced mid-request) —
+    * otherwise the LSO would stay pinned at the floor forever. */
+  private def txnReleaseUnmaterialized(topicName: String, p: Int,
+      pid: Long): Unit = txnLock.synchronized {
+    val key = (topicName, p)
+    val exact = txnIdByPid.get(pid).flatMap(txns.get)
+      .exists(_.firstOffsets.contains(key))
+    if (!exact)
+      openTxnFirsts.get(key).foreach { m =>
+        m.remove(pid)
+        if (m.isEmpty) openTxnFirsts.remove(key)
+      }
   }
 
   /** Produce-time gate for a TRANSACTIONAL batch: the pid must map to
@@ -495,57 +556,70 @@ class Broker(spark: SparkSession, root: String) {
   }
 
   /** After a committed transactional append: remember the produced
-    * range under the open transaction (first offset feeds the LSO;
-    * the range becomes an aborted range if the txn aborts). */
+    * range under the open transaction (first offset feeds the LSO —
+    * replacing the conservative [[txnReserve]] floor with the exact
+    * base; the range becomes an aborted range if the txn aborts). A
+    * batch whose transaction was FENCED OR CLOSED while the append
+    * was in flight registers its range as aborted immediately: those
+    * records belong to a transaction that can never commit, and
+    * without the guard they would pin a stale LSO entry on a closed
+    * TxnState forever and eventually surface as committed data. */
   private def recordTxnAppend(topicName: String, p: Int,
       batches: Seq[KafkaWire.ProducedBatch], baseOffset: Long): Unit = {
     var off = baseOffset
     txnLock.synchronized {
       batches.foreach { b =>
-        if (b.transactional && b.records.nonEmpty)
-          txnIdByPid.get(b.producerId).flatMap(txns.get).foreach { st =>
-            val key = (topicName, p)
-            if (!st.firstOffsets.contains(key)) {
-              st.firstOffsets(key) = off
-              openTxnFirsts.getOrElseUpdate(key,
-                scala.collection.mutable.Map.empty)(b.producerId) = off
-            }
-            st.lastOffsets(key) = off + b.records.length - 1
+        if (b.transactional && b.records.nonEmpty) {
+          val key = (topicName, p)
+          val last = off + b.records.length - 1
+          txnIdByPid.get(b.producerId).flatMap(txns.get) match {
+            case Some(st) if st.open && st.epoch == b.producerEpoch =>
+              if (!st.firstOffsets.contains(key)) {
+                st.firstOffsets(key) = off
+                // exact base replaces the reservation floor (floor ≤
+                // base by construction; offsets in between belong to
+                // OTHER producers and must not stay hidden)
+                openTxnFirsts.getOrElseUpdate(key,
+                  scala.collection.mutable.Map.empty)(b.producerId) = off
+              }
+              st.lastOffsets(key) = last
+            case _ =>
+              abortedRanges.getOrElseUpdate(key,
+                scala.collection.mutable.ArrayBuffer.empty).append((off, last))
           }
+        }
         off += b.records.length
       }
     }
   }
 
-  /** Close a transaction under the lock: clear its open ranges (an
-    * abort remembers them as aborted), apply or drop its pending
-    * group offsets. Returns the actions to run OUTSIDE the lock
-    * (group commits run Spark jobs). */
+  /** Close a transaction under the lock: clear its open ranges AND
+    * any [[txnReserve]] floors (an abort remembers produced ranges as
+    * aborted), apply or drop its pending group offsets. Returns the
+    * actions to run OUTSIDE the lock — group commits run Spark jobs,
+    * and overflow pruning reads log-start offsets — because txnLock
+    * sits on the produce-gate and fetch hot paths. */
   private def endTxnLocked(st: Broker.TxnState,
       commit: Boolean): Seq[() => Unit] = {
-    st.firstOffsets.keys.foreach { key =>
+    // scan ALL partitions for this pid's entries — st.firstOffsets
+    // only knows exact ranges, while an in-flight produce may hold a
+    // reservation floor on a partition with no exact range yet
+    openTxnFirsts.keys.toSeq.foreach { key =>
       openTxnFirsts.get(key).foreach { m =>
         m.remove(st.pid)
         if (m.isEmpty) openTxnFirsts.remove(key)
       }
     }
+    val overflowed = Seq.newBuilder[(String, Int)]
     if (!commit)
       st.firstOffsets.foreach { case (key, first) =>
         val buf = abortedRanges.getOrElseUpdate(key,
           scala.collection.mutable.ArrayBuffer.empty)
         buf.append((first, st.lastOffsets(key)))
-        if (buf.length > Broker.MaxAbortedRangesPerPartition) {
-          // prune ranges already truncated out of the log before
-          // falling back to the documented oldest-first horizon
-          val start = try topic(key._1).logStartOffsets().getOrElse(key._2, 0L)
-            catch { case _: Exception => 0L }
-          val kept = buf.filter(_._2 >= start)
-          buf.clear(); buf ++= kept
-          if (buf.length > Broker.MaxAbortedRangesPerPartition)
-            buf.remove(0, buf.length - Broker.MaxAbortedRangesPerPartition)
-        }
+        if (buf.length > Broker.MaxAbortedRangesPerPartition)
+          overflowed += key
       }
-    val actions: Seq[() => Unit] =
+    val commits: Seq[() => Unit] =
       if (commit)
         st.pendingOffsets.toSeq.map { case (group, offs) =>
           val byTopic = offs.groupBy(_._1._1)
@@ -556,12 +630,30 @@ class Broker(spark: SparkSession, root: String) {
           }
         }
       else Seq.empty
+    val prunes: Seq[() => Unit] =
+      overflowed.result().map(key => () => pruneAbortedRanges(key))
     st.firstOffsets.clear()
     st.lastOffsets.clear()
     st.pendingOffsets.clear()
     st.partitions.clear()
     st.open = false
-    actions
+    commits ++ prunes
+  }
+
+  /** Bound a partition's remembered aborted ranges: drop ranges the
+    * log has already truncated away (one manifest read, taken OUTSIDE
+    * txnLock), then fall back to the documented oldest-first horizon. */
+  private def pruneAbortedRanges(key: (String, Int)): Unit = {
+    val start = try topic(key._1).logStartOffsets().getOrElse(key._2, 0L)
+      catch { case _: Exception => 0L }
+    txnLock.synchronized {
+      abortedRanges.get(key).foreach { buf =>
+        val kept = buf.filter(_._2 >= start)
+        buf.clear(); buf ++= kept
+        if (buf.length > Broker.MaxAbortedRangesPerPartition)
+          buf.remove(0, buf.length - Broker.MaxAbortedRangesPerPartition)
+      }
+    }
   }
 
   /** InitProducerId exchange (v0–v4). The idempotent path (null
@@ -601,21 +693,26 @@ class Broker(spark: SparkSession, root: String) {
   def handleAddPartitionsToTxn(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeAddPartitionsToTxnRequest(requestBytes)
-    val results = txnLock.synchronized {
+    // topic existence / partition counts resolve OUTSIDE txnLock —
+    // manifest reads must not stall the produce gate, LSO lookups,
+    // and read_committed fetches that share the lock
+    val validated: Seq[(String, Seq[(Int, Boolean)])] =
       req.topics.map { case (name, parts) =>
-        (name, parts.map { p =>
+        val n = if (topicExists(name)) topic(name).numPartitions else 0
+        (name, parts.map(p => (p, p >= 0 && p < n)))
+      }
+    val results = txnLock.synchronized {
+      validated.map { case (name, parts) =>
+        (name, parts.map { case (p, partitionOk) =>
           txns.get(req.transactionalId) match {
             case None => (p, 49)
             case Some(st) if st.pid != req.producerId => (p, 49)
             case Some(st) if st.epoch != req.producerEpoch => (p, 47)
+            case Some(_) if !partitionOk => (p, 3)
             case Some(st) =>
-              if (!topicExists(name)) (p, 3)
-              else if (p < 0 || p >= topic(name).numPartitions) (p, 3)
-              else {
-                st.open = true
-                st.partitions.add((name, p))
-                (p, 0)
-              }
+              st.open = true
+              st.partitions.add((name, p))
+              (p, 0)
           }
         })
       }
@@ -650,23 +747,28 @@ class Broker(spark: SparkSession, root: String) {
   def handleTxnOffsetCommit(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeTxnOffsetCommitRequest(requestBytes)
-    val results = txnLock.synchronized {
+    // topic checks outside txnLock, as in handleAddPartitionsToTxn
+    val validated: Seq[(String, Seq[(Int, Long, String, Boolean)])] =
       req.topics.map { case (name, parts) =>
+        val n = if (topicExists(name)) topic(name).numPartitions else 0
         (name, parts.map { case (p, off, meta) =>
+          (p, off, meta, p >= 0 && p < n)
+        })
+      }
+    val results = txnLock.synchronized {
+      validated.map { case (name, parts) =>
+        (name, parts.map { case (p, off, meta, partitionOk) =>
           txns.get(req.transactionalId) match {
             case None => (p, 49)
             case Some(st) if st.pid != req.producerId => (p, 49)
             case Some(st) if st.epoch != req.producerEpoch => (p, 47)
             case Some(st) if !st.open => (p, 48)
+            case Some(_) if !partitionOk => (p, 3)
             case Some(st) =>
-              if (!topicExists(name) || p < 0 || p >= topic(name).numPartitions)
-                (p, 3)
-              else {
-                st.pendingOffsets(req.groupId) =
-                  st.pendingOffsets.getOrElse(req.groupId, Map.empty) +
-                    (((name, p)) -> ((off, Option(meta).getOrElse(""))))
-                (p, 0)
-              }
+              st.pendingOffsets(req.groupId) =
+                st.pendingOffsets.getOrElse(req.groupId, Map.empty) +
+                  (((name, p)) -> ((off, Option(meta).getOrElse(""))))
+              (p, 0)
           }
         })
       }
@@ -810,8 +912,6 @@ class Broker(spark: SparkSession, root: String) {
             // the remaining request budget tightens the bound further
             val collectCap =
               math.min(maxBytes.toLong, math.max(respBudget - respUsed, 1L))
-            val rows = log.consume(p, off, maxRecords = (collectCap / 12 + 1).toInt)
-              .select("offset", "key", "value", "headers", "ts").collect()
             // size model per the SHIPPED format: v0–v3 message sets
             // cost 26 B/record + payload; v4+ magic-2 batches cost a
             // 61 B batch header ONCE plus ~10 B of varints per record
@@ -824,6 +924,22 @@ class Broker(spark: SparkSession, root: String) {
             val picked = Seq.newBuilder[(Long, WireRecordV2)]
             var taken = 0
             var full = false
+            // The collect WINDOW advances while everything in it was
+            // filtered (an aborted range wider than one window would
+            // otherwise return an empty response at an unmoved
+            // position — a permanent read_committed stall, unlike
+            // compaction, which physically removes rows). Each pass
+            // strictly advances fromOff, so the loop terminates at
+            // the first kept record, the LSO, or the log end.
+            var fromOff = off
+            var morePasses = true
+            while (!full && taken == 0 && morePasses) {
+            val rows = log.consume(p, fromOff,
+              maxRecords = (collectCap / 12 + 1).toInt)
+              .select("offset", "key", "value", "headers", "ts").collect()
+            morePasses = rows.nonEmpty
+            if (rows.nonEmpty)
+              fromOff = rows.last.getAs[Long]("offset") + 1
             // STOP at the first record that doesn't fit — including a
             // later smaller one would leave an offset GAP the consumer
             // silently skips past (permanent message loss). The first
@@ -860,6 +976,7 @@ class Broker(spark: SparkSession, root: String) {
                 } else full = true
               }
             }
+            } // advancing-window loop
             (p, 0, end, picked.result())
           }
         })

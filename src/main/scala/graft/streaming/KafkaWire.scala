@@ -990,12 +990,15 @@ object KafkaWire {
   case class ProduceRequest(version: Int, correlationId: Int, clientId: String,
       transactionalId: String, acks: Int, timeoutMs: Int,
       topics: Seq[(String, Seq[(Int, Seq[ProducedBatch])])],
-      /** Per-partition payloads that failed to decode — 76 for an
+      /** Partition ENTRIES whose payload failed to decode, keyed
+        * (topic, entry index within that topic's array) — 76 for an
         * unsupported codec, 2 (CORRUPT_MESSAGE) for anything else.
-        * The partition still appears in `topics` (with no batches) so
-        * response ordering survives; the broker answers the error and
-        * appends nothing. One bad partition no longer kills the whole
-        * connection mid-request. */
+        * Keyed by position, not by partition id: a request may list
+        * the same partition twice (one valid entry, one corrupt), and
+        * the valid entry's append must still ack. The errored entry
+        * still appears in `topics` (with no batches) so response
+        * ordering survives; the broker answers the error and appends
+        * nothing. One bad entry no longer kills the connection. */
       decodeErrors: Map[(String, Int), Int] = Map.empty)
 
   /** sessionId/sessionEpoch are the KIP-227 fetch-session fields
@@ -1095,12 +1098,12 @@ object KafkaWire {
     val decodeErrors = Map.newBuilder[(String, Int), Int]
     val topics = (0 until r.count()).map { _ =>
       val name = r.str()
-      val parts = (0 until r.count()).map { _ =>
+      val parts = (0 until r.count()).map { idx =>
         val p = r.i32()
         // the payload is a length-prefixed BYTES field, so it is fully
         // consumed here regardless of what its decode does — a bad
-        // payload surfaces as a per-partition error, never as a
-        // desynced outer buffer
+        // payload surfaces as a per-entry error, never as a desynced
+        // outer buffer
         val payload = Option(r.bytes()).getOrElse(Array.empty[Byte])
         val batches =
           try {
@@ -1113,9 +1116,9 @@ object KafkaWire {
             }
           } catch {
             case UnsupportedCompressionException(codec) =>
-              decodeErrors += ((name, p) -> 76); Seq.empty
+              decodeErrors += ((name, idx) -> 76); Seq.empty
             case scala.util.control.NonFatal(_) =>
-              decodeErrors += ((name, p) -> 2); Seq.empty // CORRUPT_MESSAGE
+              decodeErrors += ((name, idx) -> 2); Seq.empty // CORRUPT_MESSAGE
           }
         r.tags()
         (p, batches)

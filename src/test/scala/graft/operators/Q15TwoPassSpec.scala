@@ -30,20 +30,25 @@ class Q15TwoPassSpec extends AnyFunSuite {
     }
   }
 
-  test("degenerate groups: single value, all-equal tie, two values") {
+  test("degenerate groups: single value, all-equal tie, two values, all-NULL group") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q15deg").toString
     Seq(
-      ("A", 5.0), // single value: every quantile = it
-      ("B", 7.0), ("B", 7.0), ("B", 7.0), ("B", 7.0), // total tie
-      ("C", 1.0), ("C", 2.0) // frac interpolation between two values
+      ("A", Some(5.0)), // single value: every quantile = it
+      ("B", Some(7.0)), ("B", Some(7.0)), ("B", Some(7.0)), ("B", Some(7.0)),
+      ("C", Some(1.0)), ("C", Some(2.0)), // frac interpolation
+      ("D", None), ("D", None) // all-NULL group: present, NULL quantiles
     ).toDF("l_returnflag", "l_extendedprice")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val got = Relational.q15Quantiles(spark, dir).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
     assert(got === Array(
       ("A", 5.0, 5.0, 5.0),
       ("B", 7.0, 7.0, 7.0),
-      ("C", 1.25, 1.5, 1.75)))
+      ("C", 1.25, 1.5, 1.75),
+      ("D", null, null, null)))
   }
 }

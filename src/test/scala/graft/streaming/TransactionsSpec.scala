@@ -241,6 +241,88 @@ class TransactionsSpec extends AnyFunSuite {
     } finally { sock.close(); server.close() }
   }
 
+  test("read_committed does not stall at an aborted range wider than one collect window") {
+    val root = Files.createTempDirectory("graft-txn-wide").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("wide", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val (_, _, pid, epoch) = decodeInitProducerIdResponse(4,
+        exchange(sock, encodeInitProducerIdRequest(4, 1, "cli", "app-w", 60000)))
+      exchange(sock, encodeAddPartitionsToTxnRequest(3, 2, "cli", "app-w",
+        pid, epoch, Seq(("wide", Seq(0)))))
+      // a transactional burst much larger than a small fetch's collect
+      // window (max_bytes 600 → window ≈ 51 records), then ABORT it,
+      // then one live record behind it
+      val burst = (0 until 400).map(i => rec(s"burst$i"))
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 3, "cli", "app-w", 1, 30000,
+          Seq(("wide", Seq((0, ProducedBatch(pid, epoch, 0, burst,
+            transactional = true))))))))
+      decodeEndTxnResponse(3, exchange(sock,
+        encodeEndTxnRequest(3, 4, "cli", "app-w", pid, epoch,
+          committed = false)))
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 5, "cli", null, 1, 30000,
+          Seq(("wide", Seq((0, Seq(rec("alive")))))))))
+      // a read_committed fetch at offset 0 with a tiny byte budget
+      // must SKIP the whole 400-record aborted range and return the
+      // live record — not an empty response at an unmoved position
+      val (_, topics) = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 6, "cli", 100, 1, 600,
+          Seq(("wide", Seq((0, 0L, 600)))), 0, -1, Seq.empty, 1)))
+      val recs = topics.head._2.head._4
+      assert(recs.map { case (off, r) =>
+        (off, new String(r.value, "UTF-8")) } === Seq((400L, "alive")))
+    } finally { sock.close(); server.close() }
+  }
+
+  test("an append landing after its transaction was fenced is recorded as aborted") {
+    val root = Files.createTempDirectory("graft-txn-late").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("late", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val (_, _, pid, epoch) = decodeInitProducerIdResponse(4,
+        exchange(sock, encodeInitProducerIdRequest(4, 1, "cli", "app-l", 60000)))
+      exchange(sock, encodeAddPartitionsToTxnRequest(3, 2, "cli", "app-l",
+        pid, epoch, Seq(("late", Seq(0)))))
+      // simulate the in-flight race deterministically: the rows land
+      // (produceAssigned path via a direct produce), the txn is fenced
+      // BEFORE recordTxnAppend runs, then recordTxnAppend fires — the
+      // guard must file the range as aborted, not resurrect the txn
+      import spark.implicits._
+      val rows = Seq(("k".getBytes, "fencedrow".getBytes,
+        null: Map[String, Array[Byte]], new java.sql.Timestamp(1000L), 0))
+      broker.topic("late").produce(
+        rows.toDF("key", "value", "headers", "ts", "partition"),
+        partitioner = org.apache.spark.sql.functions.col("partition"))
+      // fence: second incarnation aborts the open txn + bumps epoch
+      decodeInitProducerIdResponse(4,
+        exchange(sock, encodeInitProducerIdRequest(4, 3, "cli", "app-l", 60000)))
+      // the stale append's bookkeeping arrives late
+      broker.recordTxnAppendForTest("late", 0,
+        Seq(ProducedBatch(pid, epoch, 0,
+          Seq(rec("fencedrow")), transactional = true)), 0L)
+      // read_committed never sees the fenced record; LSO is NOT pinned
+      val (_, topics) = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 4, "cli", 100, 1, 1 << 20,
+          Seq(("late", Seq((0, 0L, 1 << 20)))), 0, -1, Seq.empty, 1)))
+      assert(topics.head._2.head._4 === Seq.empty)
+      // ... and a fresh plain record behind it IS visible (no pin)
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 5, "cli", null, 1, 30000,
+          Seq(("late", Seq((0, Seq(rec("fresh")))))))))
+      val (_, topics2) = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 6, "cli", 100, 1, 1 << 20,
+          Seq(("late", Seq((0, 0L, 1 << 20)))), 0, -1, Seq.empty, 1)))
+      assert(topics2.head._2.head._4.map(r =>
+        new String(r._2.value, "UTF-8")) === Seq("fresh"))
+    } finally { sock.close(); server.close() }
+  }
+
   test("two producers interleave on one partition: LSO is the min open first offset") {
     val root = Files.createTempDirectory("graft-txn-two").toString
     val broker = new Broker(spark, root)

@@ -54,10 +54,13 @@ def main(sf_dir, out_dir):
     # CTEs, whose interpreted DuckDB lambdas are ~1000x slower than the
     # codegen'd Spark side and become impractical at 10x scale)
     skip, only = set(), None
-    if len(sys.argv) > 3 and sys.argv[3].startswith("--skip"):
-        skip = set(sys.argv[3].split("=", 1)[1].split(","))
-    if len(sys.argv) > 3 and sys.argv[3].startswith("--only"):
-        only = set(sys.argv[3].split("=", 1)[1].split(","))
+    for arg in sys.argv[3:]:
+        if arg.startswith("--skip="):
+            skip |= set(arg.split("=", 1)[1].split(","))
+        elif arg.startswith("--only="):
+            only = (only or set()) | set(arg.split("=", 1)[1].split(","))
+        else:
+            sys.exit(f"unknown argument {arg!r} (use --skip=a,b / --only=a,b)")
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if name in skip or (only is not None and name not in only):
