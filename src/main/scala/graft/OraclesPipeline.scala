@@ -483,6 +483,23 @@ object OraclesPipeline {
          |SELECT id AS doc_id, MIN(comp) AS comp FROM walk
          |GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // temperature mixing: √-sum routes through DECIMAL(28,12) (double
+    // sum order is partition-dependent); everything after the single
+    // double cast is the identical IEEE expression on both engines
+    "pipeline_data_mixture" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT CAST(SUM(CAST(sqrt(n) AS DECIMAL(28,12))) AS DOUBLE) AS ws FROM c),
+         |t AS (SELECT lang, n,
+         |  LEAST(n, CAST(FLOOR(1000.0 * sqrt(n) / (SELECT ws FROM w)) AS BIGINT)) AS target_n
+         |  FROM c),
+         |s AS (SELECT d.lang, COUNT(*) AS sampled_n
+         |      FROM (SELECT lang, $fp AS fpv FROM documents) d
+         |      JOIN t ON d.lang = t.lang
+         |      WHERE d.fpv % t.n < t.target_n GROUP BY d.lang)
+         |SELECT t.lang, t.n AS n_docs, t.target_n,
+         |  COALESCE(s.sampled_n, 0) AS sampled_n
+         |FROM t LEFT JOIN s ON t.lang = s.lang ORDER BY t.lang""".stripMargin,
+
     "pipeline_stratified_sample" ->
       s"""SELECT doc_id, lang, $fp % 100 AS samp_bucket,
          |  CAST(CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 35 WHEN 'de' THEN 50

@@ -103,6 +103,7 @@ object SparkEntry {
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
     "pipeline_token_budget" -> Pipeline.tokenBudget _,
     "pipeline_dataset_card" -> Pipeline.datasetCard _,
+    "pipeline_data_mixture" -> Pipeline.dataMixture _,
     "docs_chunking" -> Pipeline.docsChunking _,
     "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _
   )

@@ -100,6 +100,43 @@ object Pipeline {
       .select("doc_id", "lang", "samp_bucket", "keep_rate")
       .orderBy("doc_id")
 
+  /** Temperature-smoothed data-mixture composition — the step that
+    * decides how much of each SOURCE a training run samples. Raw
+    * proportional sampling lets a dominant source drown rare ones;
+    * the standard remedy (multilingual-pretraining practice) reweights
+    * source s to n_s^τ with τ = 0.5: rare sources sample UP toward
+    * parity, large ones down. Per source: target_n = floor(1000 ·
+    * √n_s / Σ√n_t) capped at n_s, then the selection is the
+    * content-fingerprint gate (fp mod n_s < target_n) — deterministic
+    * under resharding and re-runs like every sampling op here, no RNG.
+    * Determinism across engines: √n over integer counts is one
+    * correctly-rounded IEEE op, the √-sum routes through
+    * DECIMAL(28,12) (double sum order is partition-dependent — §5
+    * rule), and the division/floor are identical double expressions
+    * on both sides. Output: per-source accounting (n_docs, target_n,
+    * sampled_n). Scale shape: two bounded aggs over #sources rows, a
+    * broadcast of the target table, and one map-side filtered count —
+    * nothing corpus-sized shuffles. */
+  def dataMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val wsum = counts.agg(
+      sum(sqrt(col("n")).cast("decimal(28,12)")).cast("double").as("ws"))
+    val targets = counts.crossJoin(broadcast(wsum))
+      .withColumn("target_n", least(col("n"),
+        floor(lit(1000.0) * sqrt(col("n")) / col("ws")).cast("long")))
+      .select("lang", "n", "target_n")
+    val sampled = docs
+      .withColumn("fp", rollingHash(lower(trim(col("text")))))
+      .join(broadcast(targets), Seq("lang"))
+      .filter(pmod(col("fp"), col("n")) < col("target_n"))
+      .groupBy("lang").agg(count(lit(1)).as("sampled_n"))
+    targets.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n").as("n_docs"), col("target_n"),
+        coalesce(col("sampled_n"), lit(0L)).as("sampled_n"))
+      .orderBy("lang")
+  }
+
   /** The WHOLE pre-training corpus pipeline as ONE declarative plan:
     * exact dedup → quality/length gate → benchmark decontamination
     * (broadcast eval set) → per-language stratified sampling →

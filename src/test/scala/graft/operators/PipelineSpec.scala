@@ -176,6 +176,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("data mixture: temperature smoothing up-weights rare sources, targets respect the budget") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Pipeline.dataMixture(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("target_n"), r.getAs[Long]("sampled_n")))
+    assert(rows.map(_._3).sum <= 1000L, "floor targets never exceed the budget")
+    rows.foreach { case (lang, n, target, sampled) =>
+      assert(target <= n, s"$lang target capped at the source size")
+      // the fingerprint gate approximates the target rate
+      assert(math.abs(sampled - target) <= math.max(5L, target / 5),
+        s"$lang sampled $sampled for target $target")
+    }
+    // τ=0.5 monotonicity needs real skew — synthesize a corpus with a
+    // dominant and a rare source (the test tables are near-uniform)
+    import spark.implicits._
+    val skewDir = java.nio.file.Files.createTempDirectory("mixskew").toString
+    val docs = (0 until 900).map(i => (i.toLong, "big", s"alpha beta doc $i")) ++
+      (0 until 40).map(i => (1000L + i, "rare", s"gamma delta doc $i"))
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    val skew = Pipeline.dataMixture(spark, skewDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("target_n")))).toMap
+    val (nBig, tBig) = skew("big")
+    val (nRare, tRare) = skew("rare")
+    val tSum = (tBig + tRare).toDouble
+    val nSum = (nBig + nRare).toDouble
+    assert(tRare / tSum > nRare / nSum, "rare source up-weights")
+    assert(tBig / tSum < nBig / nSum, "dominant source down-weights")
+  }
+
   test("text functions: tokens, fingerprint stability, langid markers") {
     import graft.functions.TextFunctions._
     val df = Seq((1L, "the cat and the hat")).toDF("id", "text")
