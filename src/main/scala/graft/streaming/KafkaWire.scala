@@ -618,8 +618,8 @@ object KafkaWire {
       // Legacy-format compression nests a whole message set inside a
       // wrapper message's value — a shape only pre-0.11 clients
       // produce. Served as a clean per-partition error 76, not a
-      // garbage parse (modern gzip producers use RecordBatch v2,
-      // where the codec IS implemented).
+      // garbage parse (modern compressing producers use RecordBatch
+      // v2, where all four public codecs ARE implemented).
       val att = mb.get() // attributes
       if ((att & CompressionCodecMask) != 0)
         throw UnsupportedCompressionException(att & CompressionCodecMask)
@@ -3212,34 +3212,53 @@ object KafkaWire {
   // 1 gzip, 2 snappy, 3 lz4, 4 zstd (public protocol). The records
   // section AFTER the 61-byte batch header compresses as one block;
   // the header (and the CRC, which covers the compressed form) stay
-  // plain. gzip round-trips via java.util.zip (zero new deps); the
-  // codecs whose libraries this build doesn't carry answer
-  // UNSUPPORTED_COMPRESSION_TYPE (76) cleanly instead of
-  // garbage-parsing the payload and killing the connection.
+  // plain. All four public codecs round-trip via the SAME libraries
+  // the Kafka broker itself links (java.util.zip gzip, xerial
+  // snappy-java's framed stream, lz4-java's standard LZ4 frame,
+  // zstd-jni — every one already on the Spark classpath); the
+  // reserved codec ids (5–7) answer UNSUPPORTED_COMPRESSION_TYPE
+  // (76) cleanly instead of garbage-parsing the payload and killing
+  // the connection.
   val CompressionNone = 0
   val CompressionGzip = 1
+  val CompressionSnappy = 2
+  val CompressionLz4 = 3
+  val CompressionZstd = 4
   private val CompressionCodecMask = 0x07
 
-  /** A batch names a codec this broker can't decode (snappy/lz4/zstd
-    * — anything but none/gzip). Maps to error 76 per partition. */
+  /** A batch names a codec this broker can't decode (the reserved
+    * attribute values 5–7). Maps to error 76 per partition. */
   final case class UnsupportedCompressionException(codec: Int)
     extends RuntimeException(s"unsupported compression codec $codec")
 
-  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+  private def compress(codec: Int, bytes: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(out)
-    gz.write(bytes); gz.close()
+    val cs: java.io.OutputStream = codec match {
+      case CompressionGzip   => new java.util.zip.GZIPOutputStream(out)
+      case CompressionSnappy => new org.xerial.snappy.SnappyOutputStream(out)
+      case CompressionLz4    => new net.jpountz.lz4.LZ4FrameOutputStream(out)
+      case CompressionZstd   => new com.github.luben.zstd.ZstdOutputStream(out)
+      case other             => throw UnsupportedCompressionException(other)
+    }
+    cs.write(bytes); cs.close()
     out.toByteArray
   }
 
-  private def gunzip(buf: ByteBuffer): Array[Byte] = {
+  private def decompress(codec: Int, buf: ByteBuffer): Array[Byte] = {
     val in = new Array[Byte](buf.remaining()); buf.get(in)
-    val gz = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(in))
+    val bis = new java.io.ByteArrayInputStream(in)
+    val ds: java.io.InputStream = codec match {
+      case CompressionGzip   => new java.util.zip.GZIPInputStream(bis)
+      case CompressionSnappy => new org.xerial.snappy.SnappyInputStream(bis)
+      case CompressionLz4    => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case CompressionZstd   => new com.github.luben.zstd.ZstdInputStream(bis)
+      case other             => throw UnsupportedCompressionException(other)
+    }
     val out = new ByteArrayOutputStream()
     val chunk = new Array[Byte](8192)
-    var n = gz.read(chunk)
-    while (n >= 0) { out.write(chunk, 0, n); n = gz.read(chunk) }
+    var n = ds.read(chunk)
+    while (n >= 0) { out.write(chunk, 0, n); n = ds.read(chunk) }
+    ds.close()
     out.toByteArray
   }
 
@@ -3321,8 +3340,8 @@ object KafkaWire {
       producerEpoch: Int = -1, baseSequence: Int = -1,
       compression: Int = CompressionNone,
       transactional: Boolean = false): Array[Byte] = {
-    require(compression == CompressionNone || compression == CompressionGzip,
-      s"encoder supports codecs none/gzip, not $compression")
+    require(compression >= CompressionNone && compression <= CompressionZstd,
+      s"encoder supports codecs none/gzip/snappy/lz4/zstd, not $compression")
     val recsOut = new ByteArrayOutputStream()
     // spec: maxTimestamp is the max RECORD timestamp (-1 if none) —
     // seeding from the base would name a timestamp no record carries
@@ -3344,8 +3363,8 @@ object KafkaWire {
     writeInt32(afterCrc, baseSequence)
     writeInt32(afterCrc, recs.length)
     val recBytes =
-      if (compression == CompressionGzip) gzip(recsOut.toByteArray)
-      else recsOut.toByteArray
+      if (compression == CompressionNone) recsOut.toByteArray
+      else compress(compression, recsOut.toByteArray)
     afterCrc.write(recBytes, 0, recBytes.length)
     val protectedBytes = afterCrc.toByteArray
     val crc = new java.util.zip.CRC32C()
@@ -3361,9 +3380,9 @@ object KafkaWire {
   }
 
   /** Encode one record batch (offsets contiguous from baseOffset;
-    * codec none or gzip). An idempotent producer's batch carries its
-    * producerId/epoch/baseSequence; the default (-1,-1,-1) is the
-    * non-idempotent form. */
+    * any of the four public codecs, or none). An idempotent
+    * producer's batch carries its producerId/epoch/baseSequence; the
+    * default (-1,-1,-1) is the non-idempotent form. */
   def encodeRecordBatchV2(batch: RecordBatchV2,
       compression: Int = CompressionNone): Array[Byte] =
     encodeBatchV2Core(batch.baseOffset, batch.baseTimestampMs,
@@ -3409,8 +3428,8 @@ object KafkaWire {
     // one block (the CRC above already verified the stored form)
     val rb = (attributes & CompressionCodecMask) match {
       case CompressionNone => buf
-      case CompressionGzip => ByteBuffer.wrap(gunzip(buf))
-      case other           => throw UnsupportedCompressionException(other)
+      case c if c <= CompressionZstd => ByteBuffer.wrap(decompress(c, buf))
+      case other => throw UnsupportedCompressionException(other)
     }
     val records = (0 until n).map { _ =>
       val len = readZigZagVarLong(rb).toInt

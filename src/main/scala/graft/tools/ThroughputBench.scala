@@ -114,25 +114,30 @@ object ThroughputBench {
     println(f"idempotent wire produce (v9, pid/seq tracked, all acked): " +
       f"$wireN records in $idemSec%.2f s = ${wireN / idemSec}%.0f rec/s")
 
-    // --- gzip wire produce: the same volume with each batch's records
-    // section gzipped client-side and inflated by the broker —
-    // quantifying the codec cost against the idempotent plain run ---
-    broker.createTopic("gz", 8)
-    val t6 = System.nanoTime()
-    var gzBytes = 0L
-    (0 until wireBatches).foreach { b =>
-      val req = encodeProduceRequestBatches(9, 500 + b, "bench", null, 1, 1000,
-        Seq(("gz", (0 until 8).map(p =>
-          (p, ProducedBatch(-1L, -1, -1, recs2))))),
-        CompressionGzip)
-      gzBytes += req.length
-      val (_, acks) = decodeProduceResponse(9, exchange(req))
-      require(acks.head._2.forall(_._2 == 0), s"gzip produce error in $b: $acks")
+    // --- compressed wire produce, one leg per codec: the same volume
+    // with each batch's records section compressed client-side and
+    // inflated by the broker — quantifying each codec's cost against
+    // the idempotent plain run ---
+    for ((codec, cname) <- Seq(CompressionGzip -> "gzip",
+        CompressionSnappy -> "snappy", CompressionLz4 -> "lz4",
+        CompressionZstd -> "zstd")) {
+      broker.createTopic(cname, 8)
+      val t6 = System.nanoTime()
+      var reqBytes = 0L
+      (0 until wireBatches).foreach { b =>
+        val req = encodeProduceRequestBatches(9, 500 + b, "bench", null, 1, 1000,
+          Seq((cname, (0 until 8).map(p =>
+            (p, ProducedBatch(-1L, -1, -1, recs2))))),
+          codec)
+        reqBytes += req.length
+        val (_, acks) = decodeProduceResponse(9, exchange(req))
+        require(acks.head._2.forall(_._2 == 0), s"$cname produce error in $b: $acks")
+      }
+      val cSec = (System.nanoTime() - t6) / 1e9
+      println(f"$cname%s wire produce (v9, inflated broker-side, all acked): " +
+        f"$wireN records in $cSec%.2f s = ${wireN / cSec}%.0f rec/s " +
+        f"(${reqBytes / wireBatches} B/request vs uncompressed ~${8 * perBatch * 80} B payload)")
     }
-    val gzSec = (System.nanoTime() - t6) / 1e9
-    println(f"gzip wire produce (v9, inflated broker-side, all acked): " +
-      f"$wireN records in $gzSec%.2f s = ${wireN / gzSec}%.0f rec/s " +
-      f"(${gzBytes / wireBatches} B/request vs uncompressed ~${8 * perBatch * 80} B payload)")
 
     // --- transactional produce + commit: the EOS loop at wire speed —
     // AddPartitionsToTxn + gated produce + EndTxn per batch ---

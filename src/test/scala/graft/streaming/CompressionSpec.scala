@@ -9,15 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Compressed record batches: gzip round-trips end-to-end (produce
-  * decode + fetch encode, per the public RecordBatch v2 layout —
-  * attributes bits 0–2 name the codec, the records section after the
-  * 61-byte header compresses as one block, the CRC covers the stored
-  * compressed form); the codecs this build has no library for
-  * (snappy/lz4/zstd) answer UNSUPPORTED_COMPRESSION_TYPE (76) as a
-  * clean per-partition error, and corrupt payloads CORRUPT_MESSAGE
-  * (2) — neither kills the connection (ref roadmap Producer API,
-  * README.md:47). */
+/** Compressed record batches: all four public codecs (gzip, snappy,
+  * lz4, zstd — via the same libraries the Kafka broker links, all on
+  * the Spark classpath) round-trip end-to-end (produce decode + fetch
+  * encode, per the public RecordBatch v2 layout — attributes bits 0–2
+  * name the codec, the records section after the 61-byte header
+  * compresses as one block, the CRC covers the stored compressed
+  * form); the reserved codec ids (5–7) answer
+  * UNSUPPORTED_COMPRESSION_TYPE (76) as a clean per-partition error,
+  * and corrupt payloads CORRUPT_MESSAGE (2) — neither kills the
+  * connection (ref roadmap Producer API, README.md:47). */
 class CompressionSpec extends AnyFunSuite {
   import KafkaWire._
   lazy val spark = TestSpark.spark
@@ -26,22 +27,25 @@ class CompressionSpec extends AnyFunSuite {
     WireRecordV2(1700000000000L, s"k-$s".getBytes("UTF-8"), s.getBytes("UTF-8"),
       hdrs.map { case (k, v) => (k, v.getBytes("UTF-8")) })
 
-  test("gzip batch round-trips through the codec and flags codec bits 1") {
+  test("all four codecs round-trip through the batch codec and flag their codec bits") {
     val batch = RecordBatchV2(42L, 1700000000000L,
       Seq(rec("alpha", "h1" -> "v1"), rec("beta"), rec("gamma")))
     val plain = encodeRecordBatchV2(batch)
-    val gz = encodeRecordBatchV2(batch, CompressionGzip)
     // attributes INT16 sits after baseOffset(8)+length(4)+epoch(4)+
     // magic(1)+crc(4) = offset 21; codec bits 0–2
     assert((plain(22) & 0x07) === 0)
-    assert((gz(22) & 0x07) === CompressionGzip)
-    assert(!java.util.Arrays.equals(plain, gz))
-    val decoded = decodeRecordBatchV2(gz)
-    assert(decoded.baseOffset === 42L)
-    assert(decoded.records.map(r => new String(r.value, "UTF-8"))
-      === Seq("alpha", "beta", "gamma"))
-    assert(decoded.records.head.headers.map { case (k, v) =>
-      (k, new String(v, "UTF-8")) } === Seq("h1" -> "v1"))
+    for (codec <- Seq(CompressionGzip, CompressionSnappy, CompressionLz4,
+        CompressionZstd)) {
+      val packed = encodeRecordBatchV2(batch, codec)
+      assert((packed(22) & 0x07) === codec)
+      assert(!java.util.Arrays.equals(plain, packed))
+      val decoded = decodeRecordBatchV2(packed)
+      assert(decoded.baseOffset === 42L)
+      assert(decoded.records.map(r => new String(r.value, "UTF-8"))
+        === Seq("alpha", "beta", "gamma"))
+      assert(decoded.records.head.headers.map { case (k, v) =>
+        (k, new String(v, "UTF-8")) } === Seq("h1" -> "v1"))
+    }
   }
 
   test("golden hand-laid gzip frame decodes (layout pinned independently of the encoder)") {
@@ -110,14 +114,21 @@ class CompressionSpec extends AnyFunSuite {
     out
   }
 
-  test("snappy/lz4/zstd batches surface as per-partition error 76, not a dead decode") {
+  test("reserved codec ids surface as per-partition error 76, not a dead decode") {
     val plain = encodeRecordBatchV2(RecordBatchV2(0L, 1000L, Seq(rec("x"))))
-    for (codec <- Seq(2, 3, 4)) {
+    for (codec <- Seq(5, 6, 7)) {
       val ex = intercept[UnsupportedCompressionException] {
         decodeRecordBatchV2(withCodec(plain, codec))
       }
       assert(ex.codec === codec)
     }
+    // codec bits naming a REAL codec over a payload that isn't that
+    // codec's framing fails as corruption (produce maps it to 2),
+    // never as a wedged parse
+    val ex = intercept[Exception] {
+      decodeRecordBatchV2(withCodec(plain, CompressionZstd))
+    }
+    assert(!ex.isInstanceOf[UnsupportedCompressionException])
     // an untouched encode still decodes with no flagged partitions
     val okReq = decodeProduceRequest(encodeProduceRequestBatches(
       9, 5, "cli", null, 1, 1000,
@@ -145,7 +156,7 @@ class CompressionSpec extends AnyFunSuite {
     assert(ex.codec === 1)
   }
 
-  test("gzip produce and gzip fetch survive a real socket; bad codecs answer 76 in-band") {
+  test("all four codecs produce and fetch over a real socket; reserved ids answer 76 in-band") {
     val root = Files.createTempDirectory("graft-gzip").toString
     val broker = new Broker(spark, root)
     broker.createTopic("gz", 2)
@@ -161,41 +172,54 @@ class CompressionSpec extends AnyFunSuite {
       framed.array()
     }
     try {
-      // gzip produce at v9 → real offsets
+      // one produce per codec at v9 → contiguous real offsets on p0
       val produce = encodeProduceRequestBatches(9, 1, "cli", null, 1, 1000,
         Seq(("gz", Seq((0, ProducedBatch(-1L, -1, -1,
           Seq(rec("one", "h" -> "w"), rec("two"))))))),
         CompressionGzip)
       val (_, res) = decodeProduceResponse(9, exchange(produce))
       assert(res === Seq(("gz", Seq((0, 0, 0L)))))
+      for ((codec, name, base) <- Seq(
+          (CompressionSnappy, "snapped", 2L),
+          (CompressionLz4, "framed", 3L),
+          (CompressionZstd, "dictless", 4L))) {
+        val (_, r) = decodeProduceResponse(9, exchange(
+          encodeProduceRequestBatches(9, 1, "cli", null, 1, 1000,
+            Seq(("gz", Seq((0, ProducedBatch(-1L, -1, -1, Seq(rec(name))))))),
+            codec)))
+        assert(r === Seq(("gz", Seq((0, 0, base)))))
+      }
+      val allValues = Seq("one", "two", "snapped", "framed", "dictless")
 
-      // fetch plain → records decode
+      // fetch plain → every codec's records decoded into one log
       val fetch12 = encodeFetchRequest(12, 2, "cli", 100, 1, 1 << 20,
         Seq(("gz", Seq((0, 0L, 1 << 20)))))
       val (_, plainTopics) = decodeFetchResponse(12, exchange(fetch12))
       assert(plainTopics.head._2.head._4.map(r =>
-        new String(r._2.value, "UTF-8")) === Seq("one", "two"))
+        new String(r._2.value, "UTF-8")) === allValues)
 
-      // fetch with the broker serving gzip: same records, and the raw
-      // payload's batch really carries codec bits 1
-      broker.fetchCompression = CompressionGzip
-      val raw = exchange(encodeFetchRequest(12, 3, "cli", 100, 1, 1 << 20,
-        Seq(("gz", Seq((0, 0L, 1 << 20))))))
-      val (_, gzTopics) = decodeFetchResponse(12, raw)
-      assert(gzTopics.head._2.head._4.map(r =>
-        new String(r._2.value, "UTF-8")) === Seq("one", "two"))
-      assert(gzTopics.head._2.head._4.head._2.headers.map { case (k, v) =>
-        (k, new String(v, "UTF-8")) } === Seq("h" -> "w"))
+      // fetch with the broker re-serving each codec: same records, and
+      // the raw payload's batch really carries the codec bits
+      for (codec <- Seq(CompressionGzip, CompressionZstd)) {
+        broker.fetchCompression = codec
+        val raw = exchange(encodeFetchRequest(12, 3, "cli", 100, 1, 1 << 20,
+          Seq(("gz", Seq((0, 0L, 1 << 20))))))
+        val (_, codecTopics) = decodeFetchResponse(12, raw)
+        assert(codecTopics.head._2.head._4.map(r =>
+          new String(r._2.value, "UTF-8")) === allValues)
+        assert(codecTopics.head._2.head._4.head._2.headers.map { case (k, v) =>
+          (k, new String(v, "UTF-8")) } === Seq("h" -> "w"))
+      }
       broker.fetchCompression = CompressionNone
 
-      // an lz4-flagged produce answers 76 for that partition IN-BAND;
-      // the connection then serves the next request normally
+      // a produce flagging a RESERVED codec id (5) answers 76 for that
+      // partition IN-BAND; the connection then serves the next request
       val plainBatch = encodeRecordBatchV2(
         RecordBatchV2(0L, 1000L, Seq(rec("nope"))))
-      val lz4 = withCodec(plainBatch, 3)
+      val reserved = withCodec(plainBatch, 5)
       val reqOut = new ByteArrayOutputStream()
       // v3 produce (header v1, non-flexible): hand-lay the request so
-      // the raw lz4 payload ships as-is
+      // the raw flagged payload ships as-is
       def i16(v: Int) = { reqOut.write(v >>> 8); reqOut.write(v & 0xff) }
       def i32(v: Int) = { (3 to 0 by -1).foreach(i => reqOut.write((v >>> (8 * i)) & 0xff)) }
       i16(0); i16(3); i32(4) // api key, version, correlation id
@@ -204,7 +228,7 @@ class CompressionSpec extends AnyFunSuite {
       i16(1); i32(1000) // acks, timeout
       i32(1); i16(2); reqOut.write("gz".getBytes("UTF-8")) // one topic
       i32(2) // two partitions
-      i32(0); i32(lz4.length); reqOut.write(lz4, 0, lz4.length) // p0: lz4
+      i32(0); i32(reserved.length); reqOut.write(reserved, 0, reserved.length) // p0
       i32(1); i32(plainBatch.length); reqOut.write(plainBatch, 0, plainBatch.length)
       val framed = new ByteArrayOutputStream()
       val reqBytes = reqOut.toByteArray
@@ -218,7 +242,7 @@ class CompressionSpec extends AnyFunSuite {
       val meta = decodeMetadataResponseV0(exchange(
         encodeMetadataRequestV0(9, "cli", None)))
       assert(meta.topics.map(_.name) === Seq("gz"))
-      // p1 really landed; p0's lz4 payload appended NOTHING
+      // p1 really landed; p0's flagged payload appended NOTHING
       assert(broker.topic("gz").read().where("partition = 1").count() === 1)
     } finally {
       sock.close(); server.close()

@@ -138,16 +138,23 @@ class ModernClientTraceSpec extends AnyFunSuite {
       val retried = decodeProduceResponse(9, exchange(sock, idemReq))
       assert(retried._2 === Seq(("trace", Seq((0, 0, 0L), (1, 0, 0L)))))
       assert(broker.topic("trace").read().count() === 3)
-      // ... and a COMPRESSED leg: compression.type=gzip is a common
-      // production producer config — the batch's records section
-      // arrives gzipped (codec bits 1) and decodes into the same log
+      // ... and COMPRESSED legs: compression.type=gzip/lz4 are the
+      // common production producer configs — each batch's records
+      // section arrives compressed (codec bits 1/3) and decodes into
+      // the same log
       val gzReq = encodeProduceRequestBatches(9, 30, "trace-cli", null, 1,
         30000, Seq(("trace", Seq(
           (0, ProducedBatch(pid, pEpoch, 2, Seq(rec("k3", "v3-gz", "hz" -> "y"))))))),
         CompressionGzip)
       val gzAck = decodeProduceResponse(9, exchange(sock, gzReq))
       assert(gzAck._2 === Seq(("trace", Seq((0, 0, 2L)))))
-      assert(broker.topic("trace").read().count() === 4)
+      val lz4Req = encodeProduceRequestBatches(9, 31, "trace-cli", null, 1,
+        30000, Seq(("trace", Seq(
+          (1, ProducedBatch(pid, pEpoch, 1, Seq(rec("k4", "v4-lz4"))))))),
+        CompressionLz4)
+      val lz4Ack = decodeProduceResponse(9, exchange(sock, lz4Req))
+      assert(lz4Ack._2 === Seq(("trace", Seq((1, 0, 1L)))))
+      assert(broker.topic("trace").read().count() === 5)
 
       // 4. FindCoordinator v4 (batched keys)
       val coords = decodeFindCoordinatorResponse(4, exchange(sock,
@@ -211,7 +218,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(p0._4.last._2.headers.map { case (k, v) =>
         (k, new String(v, "UTF-8")) } === Seq(("hz", "y")))
       val p1 = fetched._2.head._2.find(_._1 == 1).get
-      assert(p1._4.map(r => new String(r._2.value, "UTF-8")) === Seq("v2"))
+      assert(p1._4.map(r => new String(r._2.value, "UTF-8"))
+        === Seq("v2", "v4-lz4"))
 
       // 10. OffsetCommit v8, fenced by (generation, member)
       val committed = decodeOffsetCommitResponse(8, exchange(sock,
