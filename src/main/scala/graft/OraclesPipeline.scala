@@ -423,6 +423,55 @@ object OraclesPipeline {
          |  CAST(len(list_filter(q, c -> c = 0 OR c = 255)) AS INTEGER) AS n_sat
          |FROM qz ORDER BY vec_id""".stripMargin,
 
+    // independent derivation: the engine finds the top word as the
+    // longest run in the sorted token array (map-side HOF); the
+    // oracle re-derives it by unnest + GROUP BY. keep compares the
+    // ROUNDED fractions on both sides so threshold boundaries are
+    // engine-independent.
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+        |topw AS (SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS n
+        |         FROM tc GROUP BY doc_id),
+        |gr AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1]) AS bg,
+        |    list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+        |  FROM w)
+        |SELECT topw.doc_id, topw.n AS n_tokens,
+        |  round(CAST(topw.maxc AS DOUBLE) / topw.n, 6) AS top_word_frac,
+        |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        |    AS dup_bigram_frac,
+        |  round(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        |    AS dup_trigram_frac,
+        |  CAST(round(CAST(topw.maxc AS DOUBLE) / topw.n, 6) <= 0.15
+        |    AND round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        |      <= 0.10 AS INTEGER) AS keep
+        |FROM topw JOIN gr USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // df counts DISTINCT docs per span string (the engine's hashed
+    // distinct+count over 8-byte keys — identical absent xxhash64
+    // collisions, vanishing at test scale); the engine's per-doc
+    // counts keep multiplicity, mirrored here by joining the raw
+    // span stream back to the df table.
+    "dedup_span_exact" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS s
+        |  FROM w WHERE len(w) >= 8),
+        |dfq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY s),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS BIGINT) AS n_hot_spans
+        |  FROM sp JOIN dfq USING (s) GROUP BY doc_id)
+        |SELECT doc_id, n_spans, n_hot_spans,
+        |  round(CAST(n_hot_spans AS DOUBLE) / n_spans, 6) AS hot_span_frac,
+        |  CAST(round(CAST(n_hot_spans AS DOUBLE) / n_spans, 6) <= 0.5 AS INTEGER)
+        |    AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
+
     "text_rare_tokens" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),

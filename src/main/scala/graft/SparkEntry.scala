@@ -71,6 +71,7 @@ object SparkEntry {
     "text_ngram_stats" -> TextAnalysis.textNgramStats _,
     "text_rare_tokens" -> TextAnalysis.textRareTokens _,
     "text_pii_scrub" -> TextAnalysis.textPiiScrub _,
+    "text_repetition" -> TextAnalysis.textRepetition _,
     // §2c deduplication
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_exact_normalized" -> Dedup.dedupExactNormalized _,
@@ -81,6 +82,7 @@ object SparkEntry {
     "dedup_cluster_cc" -> Dedup.dedupClusterCC _,
     "dedup_embedding_cc" -> Dedup.dedupEmbeddingCC _,
     "decontaminate_ngram" -> Dedup.decontaminateNgram _,
+    "dedup_span_exact" -> Dedup.dedupSpanExact _,
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
     "ann_lsh_topk" -> Similarity.annLshTopk _,

@@ -496,6 +496,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Frequent-span detection — the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" substring-dedup
+    * signal re-expressed Spark-first: the suffix-array pass over the
+    * concatenated corpus becomes overlapping word-8-gram spans. A
+    * span is HOT when ≥ 2 DISTINCT docs contain it; each doc reports
+    * its span volume, hot-span volume (multiplicity kept — a doc
+    * repeating a shared span counts each occurrence), the hot
+    * fraction, and the keep verdict (≤ half the doc duplicated
+    * elsewhere).
+    *
+    * Scale shape: spans cross every shuffle as 8-byte xxhash64 keys,
+    * never strings (the minhash lesson — ~10× fewer shuffle bytes);
+    * document frequency is a distinct + count agg with map-side
+    * combine; the hot-key set joins back to the span stream by
+    * shuffle, NOT broadcast (at 100 TB the hot set is corpus-sized);
+    * one final doc agg. Work is linear in span volume — no pairwise
+    * stage exists to go quadratic. */
+  def dedupSpanExact(spark: SparkSession, dir: String): DataFrame = {
+    val spans = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8)).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("sk"))
+    val hot = spans.distinct()
+      .groupBy("sk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val frac = col("n_hot_spans").cast("double") / col("n_spans")
+    spans.join(hot, Seq("sk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("df")).as("n_hot_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_hot_spans"),
+        round(frac, 6).as("hot_span_frac"),
+        (round(frac, 6) <= 0.5).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster assignment: connected components over the
     * union of exact-normalized duplicate pairs and n-gram-Jaccard
     * near-dup pairs; every clustered doc gets comp = min doc_id in

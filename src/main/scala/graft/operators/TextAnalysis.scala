@@ -84,6 +84,46 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram").asc)
       .limit(20)
 
+  /** Intra-document repetition signals (the Gopher/MassiveText
+    * repetition filters re-expressed over this corpus): fraction of
+    * tokens taken by the single most frequent word plus duplicate
+    * bigram/trigram fractions, and the keep verdict at the
+    * calibrated thresholds (top word ≤ 0.15 of tokens, duplicate
+    * bigrams ≤ 0.10). Entirely map-side: the top-word count is the
+    * longest run in the doc's SORTED token array (one O(n log n)
+    * aggregate HOF per doc — no token explode, no shuffle even for
+    * arbitrarily long docs), and the n-gram arrays come from the
+    * codegen'd [[graft.functions.WordNgramsExpr]]. At 100 TB this is
+    * a scan-rate projection; the oracle re-derives the top word by
+    * unnest + GROUP BY, an independent formulation. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        .otherwise(lit(0.0))
+    // longest run in the sorted token array == max token multiplicity;
+    // the NULL seed can never equal a real token, so the first element
+    // always opens a run of 1
+    val topCount = expr(
+      """aggregate(array_sort(split(text, ' ')),
+        |  struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),
+        |  (s, x) -> struct(x AS prev,
+        |    IF(x = s.prev, s.run + 1, 1) AS run,
+        |    GREATEST(s.best, IF(x = s.prev, s.run + 1, 1)) AS best),
+        |  s -> s.best)""".stripMargin)
+    val topFrac = round(topCount.cast("double") / size(split(col("text"), " ")), 6)
+    val duBi = dupFrac(graft.functions.GraftExpressions.wordNgrams(col("text"), 2))
+    val duTri = dupFrac(graft.functions.GraftExpressions.wordNgrams(col("text"), 3))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        topFrac.as("top_word_frac"),
+        duBi.as("dup_bigram_frac"),
+        duTri.as("dup_trigram_frac"),
+        (topFrac <= 0.15 && duBi <= 0.10).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   private val denyRe = "\\b(customer|supplier|order)\\b"

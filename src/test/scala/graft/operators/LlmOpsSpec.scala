@@ -198,4 +198,40 @@ class LlmOpsSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(r(31L).getAs[String]("scrubbed_md5") === md31)
   }
+
+  test("text_repetition flags phrase-repeating docs and keeps diverse ones") {
+    val r = TextAnalysis.textRepetition(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // 20 is one 7-word phrase repeated 4× → most bigrams are dups
+    val rep = r(20L)
+    assert(rep.getAs[Double]("dup_bigram_frac") > 0.5)
+    assert(rep.getAs[Double]("dup_trigram_frac") > 0.5)
+    assert(rep.getAs[Int]("keep") === 0)
+    // 31 has 8 distinct words: top word 1/8, zero duplicate n-grams
+    val clean = r(31L)
+    assert(clean.getAs[Long]("n_tokens") === 8L)
+    assert(clean.getAs[Double]("top_word_frac") === 0.125)
+    assert(clean.getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(clean.getAs[Int]("keep") === 1)
+  }
+
+  test("dedup_span_exact marks cross-doc spans hot, multiplicity kept") {
+    val r = Dedup.dedupSpanExact(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // 10 and 11 are byte-identical long docs → every span is hot
+    assert(r(10L).getAs[Double]("hot_span_frac") === 1.0)
+    assert(r(11L).getAs[Double]("hot_span_frac") === 1.0)
+    assert(r(10L).getAs[Int]("keep") === 0)
+    // 12 differs from them only in its final token → only the one
+    // span containing that token is cold
+    val near = r(12L)
+    assert(near.getAs[Long]("n_hot_spans") === near.getAs[Long]("n_spans") - 1)
+    assert(near.getAs[Int]("keep") === 0)
+    // 20=21: internally-repeated shared phrase — every occurrence of
+    // a hot span counts (multiplicity), so hot == total
+    assert(r(20L).getAs[Long]("n_hot_spans") === r(20L).getAs[Long]("n_spans"))
+    // an isolated doc shares nothing and keeps
+    assert(r(2L).getAs[Long]("n_hot_spans") === 0L)
+    assert(r(2L).getAs[Int]("keep") === 1)
+  }
 }
