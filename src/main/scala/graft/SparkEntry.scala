@@ -72,6 +72,7 @@ object SparkEntry {
     "text_rare_tokens" -> TextAnalysis.textRareTokens _,
     "text_pii_scrub" -> TextAnalysis.textPiiScrub _,
     "text_repetition" -> TextAnalysis.textRepetition _,
+    "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     // §2c deduplication
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_exact_normalized" -> Dedup.dedupExactNormalized _,

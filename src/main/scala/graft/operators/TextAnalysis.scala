@@ -124,6 +124,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model scoring (the CCNet-style perplexity
+    * quality filter, with the corpus itself as the LM): per-doc
+    * cross-entropy and perplexity under the corpus unigram
+    * distribution, with a top-K vocabulary cap (out-of-vocabulary
+    * tokens score a 0.5/N floor) and keep verdict at the calibrated
+    * threshold.
+    *
+    * Scale shape: one corpus token shuffle builds the frequency
+    * table (map-side combining absorbs the zipf skew); the vocab is
+    * top-K BY CONSTRUCTION, so the per-token probability lookup is a
+    * broadcast hash join at any corpus size — the token stream never
+    * shuffles again — and the per-doc agg combines map-side.
+    *
+    * Cross-engine determinism around the transcendentals: ln outputs
+    * round to 6 decimals BEFORE a decimal-routed sum (the distinct
+    * ln inputs are the distinct count values — zipf-few — so the
+    * 1-ulp engine disagreement can essentially never straddle a
+    * 1e-6 rounding boundary), and exp sees the already-rounded
+    * cross-entropy, its output rounded to 2. */
+  def textPerplexity(spark: SparkSession, dir: String, vocabK: Int = 50000): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // total token count straight off the token stream (partial
+    // counts per partition, one 1-row exchange) — NOT freq.agg(sum),
+    // which would rebuild the frequency shuffle a second time
+    val totals = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val vocab = freq.orderBy(col("cnt").desc, col("tok").asc).limit(vocabK)
+    val lp = round(
+      when(col("cnt").isNotNull, log(col("cnt").cast("double") / col("n_total")))
+        .otherwise(log(lit(0.5) / col("n_total"))), 6)
+    val ce = round(-(col("sum_lp").cast("double")) / col("n_tokens"), 6)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("cnt").isNull, 1)).as("n_oov"),
+        sum(lp.cast("decimal(28,6)")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        ce.as("cross_entropy"),
+        round(exp(ce), 2).as("perplexity"),
+        (round(exp(ce), 2) <= 31.0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   private val denyRe = "\\b(customer|supplier|order)\\b"

@@ -215,6 +215,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clean.getAs[Int]("keep") === 1)
   }
 
+  test("text_perplexity scores common-token docs lower; OOV floors below vocab") {
+    // vocabK=3 keeps only the 3 most frequent corpus tokens in-vocab
+    // ("the" et al. from the repeated base docs) — everything else
+    // takes the 0.5/N OOV floor, which is rarer than ANY real token,
+    // so perplexity orders: base-heavy docs < distinct-word docs
+    val r = TextAnalysis.textPerplexity(spark, dir, vocabK = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    r.values.foreach { x =>
+      assert(x.getAs[Double]("perplexity") > 1.0)
+      assert(x.getAs[Long]("n_oov") <= x.getAs[Long]("n_tokens"))
+    }
+    // doc 2 is all-distinct singleton vocabulary → every token OOV
+    assert(r(2L).getAs[Long]("n_oov") === r(2L).getAs[Long]("n_tokens"))
+    // the repeated-base docs carry the corpus's most common tokens →
+    // strictly lower cross-entropy than the all-OOV doc
+    assert(r(10L).getAs[Double]("cross_entropy") < r(2L).getAs[Double]("cross_entropy"))
+    // full-vocab run: nothing is OOV
+    val full = TextAnalysis.textPerplexity(spark, dir).collect()
+    assert(full.forall(_.getAs[Long]("n_oov") === 0L))
+  }
+
   test("dedup_span_exact marks cross-doc spans hot, multiplicity kept") {
     val r = Dedup.dedupSpanExact(spark, dir).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap
