@@ -451,11 +451,12 @@ object OraclesPipeline {
         |      <= 0.10 AS INTEGER) AS keep
         |FROM topw JOIN gr USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    // ln rounds to 6 decimals before a decimal-routed sum and exp
-    // sees the already-rounded cross-entropy (see textPerplexity's
-    // Scaladoc for why the 1-ulp transcendental risk is negligible);
-    // the probability divisions are the same IEEE double ops on both
-    // engines.
+    // ln quantizes to 1e-4 before a decimal-routed sum; the
+    // cross-entropy is deliberately UNROUNDED (identical IEEE
+    // division of identical inputs — rounding it would create exact
+    // decimal halfway points where the engines' rounding rules
+    // disagree); exp's output rounds to 2 (see textPerplexity's
+    // Scaladoc for the boundary-risk arithmetic).
     "text_perplexity" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
@@ -466,17 +467,17 @@ object OraclesPipeline {
         |scored AS (SELECT t.doc_id,
         |    round(ln(CASE WHEN v.cnt IS NOT NULL
         |                  THEN CAST(v.cnt AS DOUBLE) / (SELECT n FROM tot)
-        |                  ELSE 0.5 / (SELECT n FROM tot) END), 6) AS lp,
+        |                  ELSE 0.5 / (SELECT n FROM tot) END), 4) AS lp,
         |    CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
         |  FROM tok t LEFT JOIN vocab v USING (tok)),
         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |    CAST(SUM(oov) AS BIGINT) AS n_oov,
-        |    CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) AS slp
+        |    CAST(SUM(CAST(lp AS DECIMAL(28,4))) AS DOUBLE) AS slp
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
-        |  round(-slp / n_tokens, 6) AS cross_entropy,
-        |  round(exp(round(-slp / n_tokens, 6)), 2) AS perplexity,
-        |  CAST(round(exp(round(-slp / n_tokens, 6)), 2) <= 31.0 AS INTEGER) AS keep
+        |  -slp / n_tokens AS cross_entropy,
+        |  round(exp(-slp / n_tokens), 2) AS perplexity,
+        |  CAST(round(exp(-slp / n_tokens), 2) <= 31.0 AS INTEGER) AS keep
         |FROM per ORDER BY doc_id""".stripMargin,
 
     // df counts DISTINCT docs per span string (the engine's hashed

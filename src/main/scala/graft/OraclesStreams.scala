@@ -18,7 +18,9 @@ object OraclesStreams {
         |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,7),(20,'DeleteTopics',0,6),
         |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(26,'EndTxn',0,3),
-        |  (28,'TxnOffsetCommit',0,3),(32,'DescribeConfigs',0,4))
+        |  (28,'TxnOffsetCommit',0,3),(32,'DescribeConfigs',0,4),
+        |  (37,'CreatePartitions',0,3),(47,'OffsetDelete',0,0),
+        |  (60,'DescribeCluster',0,0))
         |  AS t(api_key, api_name, min_version, max_version)
         |ORDER BY api_key""".stripMargin,
 

@@ -138,11 +138,20 @@ object TextAnalysis {
     * shuffles again — and the per-doc agg combines map-side.
     *
     * Cross-engine determinism around the transcendentals: ln outputs
-    * round to 6 decimals BEFORE a decimal-routed sum (the distinct
-    * ln inputs are the distinct count values — zipf-few — so the
-    * 1-ulp engine disagreement can essentially never straddle a
-    * 1e-6 rounding boundary), and exp sees the already-rounded
-    * cross-entropy, its output rounded to 2. */
+    * quantize to 1e-4 BEFORE a decimal-routed sum — the distinct ln
+    * inputs are the distinct count values, so the 1-ulp engine
+    * disagreement would have to land within ~1e-15 of a 5e-5
+    * boundary to diverge (a 1e-6 quantum DID lose that bet once on
+    * the 10× corpus — 1e-4 puts the odds at ~1e-11 per distinct
+    * count). The cross-entropy itself is NOT rounded: it is a
+    * division of bit-identical inputs (a decimal sum over an integer
+    * count), so the raw doubles agree exactly — whereas ROUNDING it
+    * is the hazard, because a 1e-4-quantized sum over a small group
+    * lands on exact decimal halfway points where Spark's BigDecimal
+    * HALF_UP and DuckDB's double rounding disagree (observed at 10×:
+    * slp/24 = 5.70215 exactly). exp's output rounds to 2 — a
+    * transcendental essentially never sits within an ulp of a .005
+    * boundary. */
   def textPerplexity(spark: SparkSession, dir: String, vocabK: Int = 50000): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -154,14 +163,14 @@ object TextAnalysis {
     val vocab = freq.orderBy(col("cnt").desc, col("tok").asc).limit(vocabK)
     val lp = round(
       when(col("cnt").isNotNull, log(col("cnt").cast("double") / col("n_total")))
-        .otherwise(log(lit(0.5) / col("n_total"))), 6)
-    val ce = round(-(col("sum_lp").cast("double")) / col("n_tokens"), 6)
+        .otherwise(log(lit(0.5) / col("n_total"))), 4)
+    val ce = -(col("sum_lp").cast("double")) / col("n_tokens")
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("cnt").isNull, 1)).as("n_oov"),
-        sum(lp.cast("decimal(28,6)")).as("sum_lp"))
+        sum(lp.cast("decimal(28,4)")).as("sum_lp"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         ce.as("cross_entropy"),
         round(exp(ce), 2).as("perplexity"),

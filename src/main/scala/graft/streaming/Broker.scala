@@ -1200,6 +1200,72 @@ class Broker(spark: SparkSession, root: String) {
     encodeDescribeConfigsResponse(req.version, req.correlationId, results)
   }
 
+  /** CreatePartitions v0–v3: grow a topic's partition count — what
+    * kafka-topics.sh --alter --partitions N sends. Kafka semantics
+    * preserved: count only increases (≤ current answers
+    * INVALID_PARTITIONS 37 with the current count named), unknown
+    * topics answer 3, manual broker assignments answer
+    * INVALID_REQUEST 42 (meaningless on a single broker),
+    * validate_only checks without applying. Expansion is an atomic
+    * _meta.json rewrite; new partitions start empty at offset 0. */
+  def handleCreatePartitions(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeCreatePartitionsRequest(requestBytes)
+    val results = req.topics.map { case (name, count, manualAssign) =>
+      if (!topicExists(name))
+        (name, 3, s"topic '$name' not found")
+      else if (manualAssign)
+        (name, 42, "manual assignments are not supported on a single broker")
+      else {
+        val cur = topic(name).numPartitions
+        if (count <= cur)
+          (name, 37, s"topic '$name' already has $cur partitions")
+        else {
+          if (!req.validateOnly) TopicLog.expandPartitions(root, name, count)
+          (name, 0, null: String)
+        }
+      }
+    }
+    encodeCreatePartitionsResponse(req.version, req.correlationId, results)
+  }
+
+  /** OffsetDelete v0: drop a group's committed offsets for named
+    * partitions — kafka-consumer-groups.sh --delete-offsets. A group
+    * with LIVE members answers GROUP_SUBSCRIBED_TO_TOPIC (86) per
+    * partition (single-broker simplification: membership is not
+    * parsed for per-topic subscriptions, so any live group protects
+    * all its offsets); a group with no committed offsets anywhere
+    * and no coordinator state answers GROUP_ID_NOT_FOUND (69);
+    * otherwise offsets delete via the same CAS-versioned files that
+    * committed them, unknown topics answering 3 per partition. */
+  def handleOffsetDelete(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeOffsetDeleteRequest(requestBytes)
+    val live = coordinator.describe(req.group).exists(_._4.nonEmpty)
+    val known = live || listGroups().exists(_._1 == req.group)
+    if (!known)
+      return encodeOffsetDeleteResponse(req.correlationId, 69,
+        req.topics.map { case (t, ps) => (t, ps.map(p => (p, 69))) })
+    val topicsOut = req.topics.map { case (tName, parts) =>
+      if (!topicExists(tName)) (tName, parts.map(p => (p, 3)))
+      else if (live) (tName, parts.map(p => (p, 86)))
+      else {
+        topic(tName).deleteOffsets(req.group, parts)
+        (tName, parts.map(p => (p, 0)))
+      }
+    }
+    encodeOffsetDeleteResponse(req.correlationId, 0, topicsOut)
+  }
+
+  /** DescribeCluster v0: this broker, which is also the controller. */
+  def handleDescribeCluster(requestBytes: Array[Byte],
+      advertisedHost: String, port: Int): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, _) = decodeDescribeClusterRequest(requestBytes)
+    encodeDescribeClusterResponse(correlationId, clusterId = "graft",
+      controllerId = 0, brokers = Seq((0, advertisedHost, port, null)))
+  }
+
   /** ListGroups v0: active coordinator groups plus groups that exist
     * only as committed offsets (protocol_type "" — Kafka's shape for
     * offsets-only groups). */
@@ -1491,7 +1557,10 @@ object Broker {
     (24, "AddPartitionsToTxn", 0, 3),
     (26, "EndTxn", 0, 3),
     (28, "TxnOffsetCommit", 0, 3),
-    (32, "DescribeConfigs", 0, 4))
+    (32, "DescribeConfigs", 0, 4),
+    (37, "CreatePartitions", 0, 3),
+    (47, "OffsetDelete", 0, 0),
+    (60, "DescribeCluster", 0, 0))
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
     * keys, at ONLY their implemented versions. A conformant client
@@ -1525,5 +1594,8 @@ object Broker {
     (24, "AddPartitionsToTxn", 0, KafkaWire.AddPartitionsToTxnMaxVersion),
     (26, "EndTxn", 0, KafkaWire.EndTxnMaxVersion),
     (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),
-    (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion))
+    (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion),
+    (37, "CreatePartitions", 0, KafkaWire.CreatePartitionsMaxVersion),
+    (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
+    (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion))
 }

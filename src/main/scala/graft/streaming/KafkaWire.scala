@@ -2931,6 +2931,262 @@ object KafkaWire {
     (correlationId, results.toSeq)
   }
 
+  // --- CreatePartitions (key 37, v0–v3; flexible v2+) — what
+  // kafka-topics.sh --alter --partitions N sends. Request: topics
+  // ARRAY<[name STRING, count INT32 (the NEW total), assignments
+  // NULLABLE ARRAY<[broker_ids ARRAY<INT32>]>]>, timeout_ms INT32,
+  // validate_only BOOL. Response: throttle, results ARRAY<[name,
+  // error INT16, error_message NSTRING]>. Manual assignments are
+  // meaningless on a single broker and answer INVALID_REQUEST. ---
+
+  val CreatePartitionsApiKey = 37
+  val CreatePartitionsMaxVersion = 3
+
+  case class CreatePartitionsRequest(version: Int, correlationId: Int,
+      clientId: String,
+      /** (topic, new total count, manual assignments present?) */
+      topics: Seq[(String, Int, Boolean)],
+      timeoutMs: Int, validateOnly: Boolean)
+
+  def encodeCreatePartitionsRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[(String, Int)], timeoutMs: Int = 30000,
+      validateOnly: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= CreatePartitionsMaxVersion,
+      s"unsupported CreatePartitions version $version")
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, CreatePartitionsApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    w.count(topics.length)
+    topics.foreach { case (name, count) =>
+      w.str(name)
+      w.i32(count)
+      w.count(-1) // assignments: null (broker-chosen)
+      w.tags()
+    }
+    w.i32(timeoutMs)
+    w.bool(validateOnly)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeCreatePartitionsRequest(bytes: Array[Byte]): CreatePartitionsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == CreatePartitionsApiKey,
+      "not a CreatePartitions request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= CreatePartitionsMaxVersion,
+      s"unsupported CreatePartitions version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val count = r.i32()
+      val nAssign = r.count()
+      if (nAssign > 0) (0 until nAssign).foreach { _ =>
+        (0 until r.count()).foreach(_ => r.i32())
+        r.tags()
+      }
+      r.tags()
+      (name, count, nAssign > 0)
+    }
+    val timeoutMs = r.i32()
+    val validateOnly = r.bool()
+    r.tags()
+    CreatePartitionsRequest(version, correlationId, clientId, topics.toSeq,
+      timeoutMs, validateOnly)
+  }
+
+  /** results: (topic, errorCode, errorMessage). */
+  def encodeCreatePartitionsResponse(version: Int, correlationId: Int,
+      results: Seq[(String, Int, String)]): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.count(results.length)
+    results.foreach { case (name, err, msg) =>
+      w.str(name); w.i16(err); w.str(msg); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, (topic, errorCode, errorMessage)*). */
+  def decodeCreatePartitionsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Int, String)]) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle
+    val results = (0 until r.count()).map { _ =>
+      val t = (r.str(), r.i16(), r.str()); r.tags(); t
+    }
+    r.tags()
+    (correlationId, results.toSeq)
+  }
+
+  // --- OffsetDelete (key 47, v0 only — the key is non-flexible by
+  // spec) — kafka-consumer-groups.sh --delete-offsets. Request:
+  // group_id STRING, topics ARRAY<[name, partitions
+  // ARRAY<[partition_index INT32]>]>. Response: error INT16
+  // (group-level), throttle, topics ARRAY<[name, partitions
+  // ARRAY<[partition INT32, error INT16]>]>. ---
+
+  val OffsetDeleteApiKey = 47
+  val OffsetDeleteMaxVersion = 0
+
+  case class OffsetDeleteRequest(correlationId: Int, clientId: String,
+      group: String, topics: Seq[(String, Seq[Int])])
+
+  def encodeOffsetDeleteRequest(correlationId: Int, clientId: String,
+      group: String, topics: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, OffsetDeleteApiKey, 0, correlationId, clientId,
+      flexible = false)
+    val w = new WR(out, flexible = false)
+    w.str(group)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach(w.i32)
+    }
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetDeleteRequest(bytes: Array[Byte]): OffsetDeleteRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == OffsetDeleteApiKey,
+      "not an OffsetDelete request")
+    require(buf.getShort.toInt == 0, "unsupported OffsetDelete version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    val r = new RD(buf, flexible = false)
+    val group = r.str()
+    val topics = (0 until r.count()).map { _ =>
+      (r.str(), (0 until r.count()).map(_ => r.i32()).toSeq)
+    }
+    OffsetDeleteRequest(correlationId, clientId, group, topics.toSeq)
+  }
+
+  /** topics: (name, (partition, errorCode)*). */
+  def encodeOffsetDeleteResponse(correlationId: Int, groupError: Int,
+      topics: Seq[(String, Seq[(Int, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = false)
+    val w = new WR(out, flexible = false)
+    w.i16(groupError)
+    w.i32(0) // throttle_time_ms
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err) => w.i32(p); w.i16(err) }
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, groupError, topics as encoded). */
+  def decodeOffsetDeleteResponse(bytes: Array[Byte])
+      : (Int, Int, Seq[(String, Seq[(Int, Int)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val r = new RD(buf, flexible = false)
+    val groupError = r.i16()
+    r.i32() // throttle
+    val topics = (0 until r.count()).map { _ =>
+      (r.str(), (0 until r.count()).map(_ => (r.i32(), r.i16())).toSeq)
+    }
+    (correlationId, groupError, topics.toSeq)
+  }
+
+  // --- DescribeCluster (key 60, v0; flexible from v0) — what
+  // AdminClient.describeCluster and kafka-cluster.sh send. Request:
+  // include_cluster_authorized_operations BOOL. Response: throttle,
+  // error INT16, error_message NSTRING, cluster_id STRING,
+  // controller_id INT32, brokers ARRAY<[broker_id INT32, host
+  // STRING, port INT32, rack NSTRING]>,
+  // cluster_authorized_operations INT32 (-2147483648 = not
+  // requested). ---
+
+  val DescribeClusterApiKey = 60
+  val DescribeClusterMaxVersion = 0
+
+  def encodeDescribeClusterRequest(correlationId: Int, clientId: String,
+      includeAuthorizedOps: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeClusterApiKey, 0, correlationId, clientId,
+      flexible = true)
+    val w = new WR(out, flexible = true)
+    w.bool(includeAuthorizedOps)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, includeAuthorizedOps). */
+  def decodeDescribeClusterRequest(bytes: Array[Byte]): (Int, Boolean) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeClusterApiKey,
+      "not a DescribeCluster request")
+    require(buf.getShort.toInt == 0, "unsupported DescribeCluster version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val includeOps = r.bool()
+    r.tags()
+    (correlationId, includeOps)
+  }
+
+  def encodeDescribeClusterResponse(correlationId: Int, clusterId: String,
+      controllerId: Int, brokers: Seq[(Int, String, Int, String)])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(0) // error_code
+    w.str(null) // error_message
+    w.str(clusterId)
+    w.i32(controllerId)
+    w.count(brokers.length)
+    brokers.foreach { case (id, host, port, rack) =>
+      w.i32(id); w.str(host); w.i32(port); w.str(rack); w.tags()
+    }
+    w.i32(Int.MinValue) // cluster_authorized_operations: not requested
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, clusterId, controllerId, brokers). */
+  def decodeDescribeClusterResponse(bytes: Array[Byte])
+      : (Int, String, Int, Seq[(Int, String, Int, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    require(err == 0, s"DescribeCluster error $err")
+    r.str() // error_message
+    val clusterId = r.str()
+    val controllerId = r.i32()
+    val brokers = (0 until r.count()).map { _ =>
+      val b = (r.i32(), r.str(), r.i32(), r.str()); r.tags(); b
+    }
+    r.i32() // cluster_authorized_operations
+    r.tags()
+    (correlationId, clusterId, controllerId, brokers.toSeq)
+  }
+
   // --- Transactions (AddPartitionsToTxn 24, EndTxn 26,
   // TxnOffsetCommit 28) — the classic (pre-KIP-890) shapes every
   // transactional client through Kafka 3.x speaks. Flexible at v3+

@@ -465,6 +465,32 @@ class TopicLog private (
 
   def committed(group: String): Map[Int, Long] = committedVersioned(group)._2
 
+  /** Delete a group's committed offsets for the given partitions —
+    * the OffsetDelete (key 47) primitive. Same CAS loop as
+    * [[commit]] (one versioned file per state change, link-or-retry
+    * under races), writing the map MINUS the named partitions. */
+  def deleteOffsets(group: String, partitions: Seq[Int]): Unit = {
+    var done = false
+    while (!done) {
+      val (v, cur) = committedVersioned(group)
+      val remaining = cur -- partitions
+      if (remaining == cur) done = true // nothing committed for these
+      else {
+        val dir = groupDir(group)
+        Files.createDirectories(dir)
+        val tmp = Files.createTempFile(dir, ".tmp", ".json")
+        Files.writeString(tmp,
+          remaining.toSeq.sorted.map { case (k, o) => s""""$k":$o""" }.mkString("{", ",", "}"))
+        try {
+          Files.createLink(dir.resolve(s"v${v + 1}.json"), tmp)
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // lost the race
+        } finally Files.deleteIfExists(tmp)
+      }
+    }
+  }
+
   private def groupDir(group: String) = Paths.get(s"$topicDir/_groups/$group")
 
   private def groupVersions(group: String): Seq[Long] = {
@@ -933,6 +959,30 @@ object TopicLog {
 
   def exists(root: String, topic: String): Boolean =
     Files.exists(Paths.get(s"$root/$topic/_meta.json"))
+
+  /** Grow a topic to `newCount` partitions (Kafka semantics: count
+    * only ever increases). The meta rewrite is atomic (temp +
+    * ATOMIC_MOVE), so concurrent open()s see either count, never a
+    * torn file; new partitions start empty at offset 0 — the offset
+    * base map and every consumer-side view default absent partitions
+    * to 0, so no other state needs touching. Handles that were
+    * opened before the expansion keep routing over the old count
+    * (exactly a Kafka producer's stale-metadata window) until they
+    * re-open. */
+  def expandPartitions(root: String, topic: String, newCount: Int): Unit = {
+    val dir = Paths.get(s"$root/$topic")
+    val meta = Files.readString(dir.resolve("_meta.json"))
+    val cur = "\"numPartitions\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"bad _meta.json for $topic"))
+    require(newCount > cur,
+      s"topic $topic has $cur partitions; new count must exceed it, got $newCount")
+    val tmp = Files.createTempFile(dir, ".meta", ".json")
+    Files.writeString(tmp, s"""{"numPartitions":$newCount}""")
+    Files.move(tmp, dir.resolve("_meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   def drop(root: String, topic: String): Unit =
     deleteRecursively(Paths.get(s"$root/$topic"))

@@ -111,6 +111,11 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
       case KafkaWire.InitProducerIdApiKey => broker.handleInitProducerId(framed)
       case KafkaWire.DescribeConfigsApiKey =>
         broker.handleDescribeConfigs(framed, advertisedHost, boundPort)
+      case KafkaWire.CreatePartitionsApiKey =>
+        broker.handleCreatePartitions(framed)
+      case KafkaWire.OffsetDeleteApiKey => broker.handleOffsetDelete(framed)
+      case KafkaWire.DescribeClusterApiKey =>
+        broker.handleDescribeCluster(framed, advertisedHost, boundPort)
       case KafkaWire.AddPartitionsToTxnApiKey =>
         broker.handleAddPartitionsToTxn(framed)
       case KafkaWire.EndTxnApiKey => broker.handleEndTxn(framed)

@@ -417,4 +417,76 @@ class WireServerSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("partition growth, offset deletion, and cluster description over the socket") {
+    val root = Files.createTempDirectory("graft-wireadmin2").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      def rec(s: String) = WireRecordV2(-1L, null, s.getBytes("UTF-8"))
+      broker.createTopic("grow", 2)
+
+      // DescribeCluster: one broker, which is also the controller
+      val (_, clusterId, controllerId, brokers) = decodeDescribeClusterResponse(
+        exchange(sock, encodeDescribeClusterRequest(70, "adm")))
+      assert(clusterId === "graft")
+      assert(controllerId === 0)
+      assert(brokers.map(b => (b._1, b._3)) === Seq((0, server.boundPort)))
+
+      // CreatePartitions validate_only: approves without applying
+      val (_, vres) = decodeCreatePartitionsResponse(1, exchange(sock,
+        encodeCreatePartitionsRequest(1, 71, "adm", Seq(("grow", 4)),
+          validateOnly = true)))
+      assert(vres === Seq(("grow", 0, null)))
+      assert(broker.topic("grow").numPartitions === 2)
+      // real growth at flexible v3, with shrink + unknown topic errors
+      val (_, gres) = decodeCreatePartitionsResponse(3, exchange(sock,
+        encodeCreatePartitionsRequest(3, 72, "adm",
+          Seq(("grow", 4), ("ghost", 8)))))
+      assert(gres.map(r => (r._1, r._2)) === Seq(("grow", 0), ("ghost", 3)))
+      assert(broker.topic("grow").numPartitions === 4)
+      val (_, sres) = decodeCreatePartitionsResponse(3, exchange(sock,
+        encodeCreatePartitionsRequest(3, 73, "adm", Seq(("grow", 3)))))
+      assert(sres.head._2 === 37) // shrink refused, count stays
+      assert(broker.topic("grow").numPartitions === 4)
+      // the new partition takes real produces and serves fetches
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 74, "adm", null, 1, 1000,
+          Seq(("grow", Seq((3, ProducedBatch(-1L, -1, -1, Seq(rec("p3"))))))))))
+      val (_, f) = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 75, "adm", 100, 1, 1 << 20,
+          Seq(("grow", Seq((3, 0L, 1 << 20)))))))
+      assert(f.head._2.head._4.map(r => new String(r._2.value, "UTF-8")) === Seq("p3"))
+
+      // OffsetDelete: unknown group answers 69 at the group level
+      val (_, ge, _) = decodeOffsetDeleteResponse(exchange(sock,
+        encodeOffsetDeleteRequest(76, "adm", "nobody", Seq(("grow", Seq(0))))))
+      assert(ge === 69)
+      // committed offsets delete per partition; the rest survive
+      broker.topic("grow").commit("od-g", Map(0 -> 1L, 1 -> 5L))
+      val (_, ok, dels) = decodeOffsetDeleteResponse(exchange(sock,
+        encodeOffsetDeleteRequest(77, "adm", "od-g",
+          Seq(("grow", Seq(0)), ("ghost", Seq(2))))))
+      assert(ok === 0)
+      assert(dels === Seq(("grow", Seq((0, 0))), ("ghost", Seq((2, 3)))))
+      assert(broker.topic("grow").committed("od-g") === Map(1 -> 5L))
+      // a group with live members protects its offsets (86)
+      val jr = broker.coordinator.join("live-g", "", "cli", "127.0.0.1", 30000,
+        "consumer", Seq(("range", Array.empty[Byte])))
+      val mid = jr.memberId
+      val jr2 = broker.coordinator.join("live-g", mid, "cli", "127.0.0.1", 30000,
+        "consumer", Seq(("range", Array.empty[Byte])))
+      assert(jr2.errorCode === 0)
+      broker.topic("grow").commit("live-g", Map(1 -> 2L))
+      val (_, le, lres) = decodeOffsetDeleteResponse(exchange(sock,
+        encodeOffsetDeleteRequest(78, "adm", "live-g", Seq(("grow", Seq(1))))))
+      assert(le === 0)
+      assert(lres === Seq(("grow", Seq((1, 86)))))
+      assert(broker.topic("grow").committed("live-g") === Map(1 -> 2L))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }
