@@ -535,6 +535,38 @@ object OraclesPipeline {
          |WHERE t.doc_id % 97 <> 0
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // same eval convention (vec_id % 97), same rounded-cosine
+    // arithmetic as the other embedding oracles; the engine's struct
+    // max tie-break (max sim, then min eval_id) is the window's
+    // (cos DESC, eval_id ASC) first row
+    "decontaminate_embedding" ->
+      s"""WITH e AS ($embDouble),
+         |ev AS (SELECT vec_id AS eval_id, v AS ev FROM e WHERE vec_id % 97 = 0),
+         |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
+         |s AS (SELECT tr.vec_id, eval_id, ${cosR("tr.v", "ev")} AS cos_sim
+         |      FROM tr CROSS JOIN ev),
+         |r AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                     ORDER BY cos_sim DESC, eval_id ASC) AS rn,
+         |  SUM(CASE WHEN cos_sim >= 0.2 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY vec_id) AS n_close
+         |  FROM s)
+         |SELECT vec_id, cos_sim AS max_eval_sim, eval_id AS closest_eval_id,
+         |  CAST(n_close AS BIGINT) AS n_close,
+         |  CAST(cos_sim >= 0.3 AS INTEGER) AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // pure 64-bit integer arithmetic → bit-identical keys; the
+    // per-shard ROW_NUMBER mirrors the engine's per-shard window
+    "pipeline_global_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  (doc_id * 48271 + 12345) % 1000000007 AS sort_key FROM documents)
+        |SELECT doc_id, sort_key,
+        |  CAST(sort_key % 16 AS INTEGER) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY sort_key % 16
+        |    ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+
     "dedup_cluster_cc" ->
       s"""WITH RECURSIVE d AS ($grams3),
          |near AS (

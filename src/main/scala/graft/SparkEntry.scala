@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_cluster_cc" -> Dedup.dedupClusterCC _,
     "dedup_embedding_cc" -> Dedup.dedupEmbeddingCC _,
     "decontaminate_ngram" -> Dedup.decontaminateNgram _,
+    "decontaminate_embedding" -> Dedup.decontaminateEmbedding _,
     "dedup_span_exact" -> Dedup.dedupSpanExact _,
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
@@ -107,6 +108,7 @@ object SparkEntry {
     "pipeline_token_budget" -> Pipeline.tokenBudget _,
     "pipeline_dataset_card" -> Pipeline.datasetCard _,
     "pipeline_data_mixture" -> Pipeline.dataMixture _,
+    "pipeline_global_shuffle" -> ((s: SparkSession, d: String) => Pipeline.globalShuffle(s, d)),
     "docs_chunking" -> Pipeline.docsChunking _,
     "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _
   )

@@ -496,6 +496,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination in EMBEDDING space — the semantic
+    * companion to [[decontaminateNgram]]: a training vector is
+    * contaminated when it sits too close (cosine ≥ 0.3) to any
+    * held-out eval vector (vec_id % 97 == 0 stands in for the eval
+    * suite, the ngram op's convention). The n-gram screen catches
+    * verbatim leakage; this catches paraphrase-level leakage the
+    * lexical check can't see — the pairing published eval-hygiene
+    * audits run.
+    *
+    * Scale shape: the WHOLE eval set rides as one broadcast array
+    * row (eval suites are fixed-size — thousands of vectors, a few
+    * MB), so scoring is entirely MAP-SIDE: each train row scores the
+    * array with native collection functions (`transform` computes
+    * the |eval| cosines, `array_max` takes the (sim, -eval_id)
+    * struct max — ties on the max resolve to the SMALLEST eval id
+    * lexicographically — `filter`+`size` counts the close band),
+    * and no aggregation, window, or join-explosion exists anywhere:
+    * the one exchange in the plan is the terminal presentation sort.
+    * At eval sets too big to broadcast, the [[Similarity]] IVF/PQ
+    * index is the intended prefilter; this operator is the exact
+    * audit path. Cosine rounds to 6 before every comparison (the
+    * engines' fold-vs-list_dot_product products are bit-identical —
+    * §13.2). */
+  def decontaminateEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+    val evalArr = e.filter(col("vec_id") % 97 === 0)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("eval_id"), col("v").as("ev"), col("n").as("en"))))
+        .as("evals"))
+    val scored = transform(col("evals"), ev =>
+      struct(round(dot(col("v"), ev("ev")) / (col("n") * ev("en")), 6).as("sim"),
+        (-ev("eval_id")).as("neg_id")))
+    // scored binds ONCE per row: a twice-referenced non-cheap alias
+    // is exactly what CollapseProject declines to inline, so the
+    // |eval| cosines are computed once, not once per consumer
+    e.filter(col("vec_id") % 97 =!= 0)
+      .crossJoin(broadcast(evalArr))
+      .withColumn("scored", scored)
+      .withColumn("m", array_max(col("scored")))
+      .withColumn("n_close",
+        size(filter(col("scored"), x => x("sim") >= 0.2)).cast("long"))
+      .select(col("vec_id"),
+        col("m.sim").as("max_eval_sim"),
+        (-col("m.neg_id")).as("closest_eval_id"),
+        col("n_close"),
+        (col("m.sim") >= 0.3).cast("int").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Frequent-span detection — the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" substring-dedup
     * signal re-expressed Spark-first: the suffix-array pass over the

@@ -255,6 +255,38 @@ object Pipeline {
           .cast("long").as("p50_bpe_tokens"))
       .orderBy("lang")
 
+  /** Deterministic global shuffle — the training-order
+    * randomization pass every epoch pipeline runs between curation
+    * and tokenization. The permutation is an LCG over a prime
+    * modulus (sort_key = (48271·doc_id + 12345) mod 1e9+7 — Lehmer's
+    * MINSTD multiplier), a bijection on [0, m) so ordering by it IS
+    * a pseudorandom permutation; pure 64-bit integer arithmetic, so
+    * both engines compute bit-identical keys (no float hash, no
+    * engine-specific xxhash), and ids past m tie-break on doc_id.
+    * Docs land in a shard (sort_key mod 16) and take a position
+    * within it via a per-shard row_number.
+    *
+    * Scale shape: the sort key is computed map-side; the per-shard
+    * window is the ONE genuine shuffle a global shuffle requires —
+    * repartition on shard, sort within — and shards sort
+    * independently, so there is no global total order anywhere (at
+    * 100 TB nShards tracks the output file count and each shard is
+    * one writer's worth of data; the terminal ORDER BY is the §5
+    * presentation convention, not the plan). Re-running with the
+    * same corpus reproduces the same order exactly — shuffling is
+    * deterministic, resumable, and auditable, which is why training
+    * pipelines use keyed permutation instead of rand(). */
+  def globalShuffle(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val key = (col("doc_id") * 48271L + 12345L) % 1000000007L
+    t(spark, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("sort_key", key)
+      .withColumn("shard", (col("sort_key") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("sort_key", "doc_id")).cast("long"))
+      .orderBy("shard", "pos")
+  }
+
   /** Fixed-window document chunking for context-length-bounded
     * training: 256-token chunks on a 192-token stride (64-token
     * overlap). Token slicing is a map-side explode of per-doc chunk

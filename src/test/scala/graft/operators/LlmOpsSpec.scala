@@ -255,4 +255,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(2L).getAs[Long]("n_hot_spans") === 0L)
     assert(r(2L).getAs[Int]("keep") === 1)
   }
+
+  test("decontaminate_embedding: identical leaks flag, orthogonal stays, ties take the smaller eval id") {
+    val d = Files.createTempDirectory("graft-embdecon").toString
+    def v(xs: Float*) = xs.toSeq
+    // eval set = vec_id % 97 == 0 → ids 0 and 97
+    Seq(
+      (0L, v(1f, 0f, 0f, 0f), 1),   // eval axis-x
+      (97L, v(0f, 1f, 0f, 0f), 1),  // eval axis-y
+      (1L, v(1f, 0f, 0f, 0f), 1),   // identical to eval 0 → contaminated
+      (2L, v(0f, 0f, 1f, 0f), 1),   // orthogonal to both → clean
+      (3L, v(1f, 1f, 0f, 0f), 1))   // cos 1/√2 to BOTH evals — a tie
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val r = Dedup.decontaminateEmbedding(spark, d).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r.keySet === Set(1L, 2L, 3L), "eval vectors are not train vectors")
+    assert(r(1L).getAs[Double]("max_eval_sim") === 1.0)
+    assert(r(1L).getAs[Long]("closest_eval_id") === 0L)
+    assert(r(1L).getAs[Int]("contaminated") === 1)
+    assert(r(2L).getAs[Double]("max_eval_sim") === 0.0)
+    assert(r(2L).getAs[Int]("contaminated") === 0)
+    assert(r(2L).getAs[Long]("n_close") === 0L)
+    // the tie resolves to the SMALLEST eval id (struct-max on
+    // (sim, -eval_id)); both evals are within the n_close band
+    assert(r(3L).getAs[Double]("max_eval_sim") === 0.707107)
+    assert(r(3L).getAs[Long]("closest_eval_id") === 0L)
+    assert(r(3L).getAs[Long]("n_close") === 2L)
+    assert(r(3L).getAs[Int]("contaminated") === 1)
+  }
 }

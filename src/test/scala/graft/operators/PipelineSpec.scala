@@ -220,4 +220,24 @@ class PipelineSpec extends AnyFunSuite {
     val expected = "the cat and the hat".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
     assert(row.getAs[Long]("fp") === expected)
   }
+
+  test("global shuffle: a bijective LCG permutation, dense per-shard positions, rerun-identical") {
+    val r = Pipeline.globalShuffle(spark, dir, nShards = 2).collect()
+    assert(r.length === 5)
+    // the LCG key is the hand calc, and distinct ids keep distinct keys
+    val keys = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("sort_key")).toMap
+    keys.foreach { case (id, k) =>
+      assert(k === (id * 48271L + 12345L) % 1000000007L) }
+    assert(keys.values.toSet.size === 5)
+    // positions are dense 1..count within each shard, ordered by key
+    r.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq === (1L to rows.length).toSeq)
+      assert(sorted.map(_.getAs[Long]("sort_key")).toSeq ===
+        sorted.map(_.getAs[Long]("sort_key")).sorted.toSeq)
+    }
+    // deterministic: a second run reproduces the identical order
+    val again = Pipeline.globalShuffle(spark, dir, nShards = 2).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
