@@ -17,6 +17,7 @@ object OraclesStreams {
         |  (14,'SyncGroup',0,5),(15,'DescribeGroups',0,5),(16,'ListGroups',0,4),
         |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,7),(20,'DeleteTopics',0,6),
         |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
+        |  (23,'OffsetForLeaderEpoch',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(26,'EndTxn',0,3),
         |  (28,'TxnOffsetCommit',0,3),(32,'DescribeConfigs',0,4),
         |  (37,'CreatePartitions',0,3),(47,'OffsetDelete',0,0),

@@ -1257,6 +1257,36 @@ class Broker(spark: SparkSession, root: String) {
     encodeOffsetDeleteResponse(req.correlationId, 0, topicsOut)
   }
 
+  /** OffsetForLeaderEpoch v0–v4: the truncation-detection probe
+    * (KIP-101/279). On a single broker every partition's whole
+    * history is leader epoch 0, so: requested epoch 0 answers
+    * (epoch 0, log end offset) — "nothing you hold is truncated";
+    * any other requested epoch answers Kafka's undefined shape
+    * (error 0, epoch -1, offset -1); a current_leader_epoch ahead
+    * of ours (v2+, > 0) answers UNKNOWN_LEADER_EPOCH (75) — a
+    * FENCED (74) case cannot arise at a permanent epoch 0. Unknown
+    * topics/partitions answer 3 per partition. */
+  def handleOffsetForLeaderEpoch(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeOffsetForLeaderEpochRequest(requestBytes)
+    val topicsOut = req.topics.map { case (name, parts) =>
+      if (!topicExists(name))
+        (name, parts.map { case (p, _, _) => (3, p, -1, -1L) })
+      else {
+        val log = topic(name)
+        val ends = log.logEndOffsets()
+        (name, parts.map { case (p, curEpoch, epoch) =>
+          if (p < 0 || p >= log.numPartitions) (3, p, -1, -1L)
+          else if (curEpoch > 0) (75, p, -1, -1L)
+          else if (epoch == 0) (0, p, 0, ends.getOrElse(p, 0L))
+          else (0, p, -1, -1L)
+        })
+      }
+    }
+    encodeOffsetForLeaderEpochResponse(req.version, req.correlationId,
+      topicsOut)
+  }
+
   /** DescribeCluster v0: this broker, which is also the controller. */
   def handleDescribeCluster(requestBytes: Array[Byte],
       advertisedHost: String, port: Int): Array[Byte] = {
@@ -1554,6 +1584,7 @@ object Broker {
     (20, "DeleteTopics", 0, 6),
     (21, "DeleteRecords", 0, 2),
     (22, "InitProducerId", 0, 4),
+    (23, "OffsetForLeaderEpoch", 0, 4),
     (24, "AddPartitionsToTxn", 0, 3),
     (26, "EndTxn", 0, 3),
     (28, "TxnOffsetCommit", 0, 3),
@@ -1591,6 +1622,7 @@ object Broker {
     (20, "DeleteTopics", 0, 0),
     (21, "DeleteRecords", 0, 0),
     (22, "InitProducerId", 0, KafkaWire.InitProducerIdMaxVersion),
+    (23, "OffsetForLeaderEpoch", 0, KafkaWire.OffsetForLeaderEpochMaxVersion),
     (24, "AddPartitionsToTxn", 0, KafkaWire.AddPartitionsToTxnMaxVersion),
     (26, "EndTxn", 0, KafkaWire.EndTxnMaxVersion),
     (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),

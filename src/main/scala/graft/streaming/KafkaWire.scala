@@ -3187,6 +3187,133 @@ object KafkaWire {
     (correlationId, clusterId, controllerId, brokers.toSeq)
   }
 
+  // --- OffsetForLeaderEpoch (key 23, v0–v4; flexible v4) — the
+  // truncation-detection RPC a modern consumer/follower sends when
+  // metadata carries leader epochs (KIP-101/279): "what is the end
+  // offset of epoch E?". Request: replica_id INT32 (v3+; -2 =
+  // consumer), topics ARRAY<[name, partitions ARRAY<[partition
+  // INT32, current_leader_epoch INT32 (v2+; -1 = none),
+  // leader_epoch INT32]>]>. Response: throttle (v2+), topics
+  // ARRAY<[name, partitions ARRAY<[error INT16, partition INT32,
+  // leader_epoch INT32 (v1+), end_offset INT64]>]>. ---
+
+  val OffsetForLeaderEpochApiKey = 23
+  val OffsetForLeaderEpochMaxVersion = 4
+
+  case class OffsetForLeaderEpochRequest(version: Int, correlationId: Int,
+      clientId: String, replicaId: Int,
+      /** (topic, (partition, currentLeaderEpoch, leaderEpoch)*) */
+      topics: Seq[(String, Seq[(Int, Int, Int)])])
+
+  def encodeOffsetForLeaderEpochRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[(String, Seq[(Int, Int, Int)])],
+      replicaId: Int = -2): Array[Byte] = {
+    require(version >= 0 && version <= OffsetForLeaderEpochMaxVersion,
+      s"unsupported OffsetForLeaderEpoch version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, OffsetForLeaderEpochApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 3) w.i32(replicaId)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, curEpoch, epoch) =>
+        w.i32(p)
+        if (version >= 2) w.i32(curEpoch)
+        w.i32(epoch)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeOffsetForLeaderEpochRequest(bytes: Array[Byte])
+      : OffsetForLeaderEpochRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == OffsetForLeaderEpochApiKey,
+      "not an OffsetForLeaderEpoch request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= OffsetForLeaderEpochMaxVersion,
+      s"unsupported OffsetForLeaderEpoch version $version")
+    val flexible = version >= 4
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val replicaId = if (version >= 3) r.i32() else -2
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val cur = if (version >= 2) r.i32() else -1
+        val epoch = r.i32()
+        r.tags()
+        (p, cur, epoch)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    OffsetForLeaderEpochRequest(version, correlationId, clientId, replicaId,
+      topics.toSeq)
+  }
+
+  /** topics: (name, (error, partition, leaderEpoch, endOffset)*). */
+  def encodeOffsetForLeaderEpochResponse(version: Int, correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int, Int, Long)])]): Array[Byte] = {
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 2) w.i32(0) // throttle_time_ms
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (err, p, epoch, end) =>
+        w.i16(err)
+        w.i32(p)
+        if (version >= 1) w.i32(epoch)
+        w.i64(end)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, topics as encoded). */
+  def decodeOffsetForLeaderEpochResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, Int, Long)])]) = {
+    val flexible = version >= 4
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 2) r.i32() // throttle
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val err = r.i16()
+        val p = r.i32()
+        val epoch = if (version >= 1) r.i32() else -1
+        val end = r.i64()
+        r.tags()
+        (err, p, epoch, end)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, topics.toSeq)
+  }
+
   // --- Transactions (AddPartitionsToTxn 24, EndTxn 26,
   // TxnOffsetCommit 28) — the classic (pre-KIP-890) shapes every
   // transactional client through Kafka 3.x speaks. Flexible at v3+

@@ -111,6 +111,8 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
       case KafkaWire.InitProducerIdApiKey => broker.handleInitProducerId(framed)
       case KafkaWire.DescribeConfigsApiKey =>
         broker.handleDescribeConfigs(framed, advertisedHost, boundPort)
+      case KafkaWire.OffsetForLeaderEpochApiKey =>
+        broker.handleOffsetForLeaderEpoch(framed)
       case KafkaWire.CreatePartitionsApiKey =>
         broker.handleCreatePartitions(framed)
       case KafkaWire.OffsetDeleteApiKey => broker.handleOffsetDelete(framed)

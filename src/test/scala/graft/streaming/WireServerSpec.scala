@@ -418,6 +418,43 @@ class WireServerSpec extends AnyFunSuite {
     }
   }
 
+  test("OffsetForLeaderEpoch answers the permanent epoch-0 contract at v0, v2, and v4") {
+    val root = Files.createTempDirectory("graft-wireofle").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      def rec(s: String) = WireRecordV2(-1L, null, s.getBytes("UTF-8"))
+      broker.createTopic("ofle", 1)
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 90, "c", null, 1, 1000,
+          Seq(("ofle", Seq((0, ProducedBatch(-1L, -1, -1,
+            Seq(rec("a"), rec("b"), rec("c"))))))))))
+      // v4 (flexible): epoch 0 answers (epoch 0, LEO); a future epoch
+      // answers the undefined shape; an unknown topic answers 3
+      val (_, t4) = decodeOffsetForLeaderEpochResponse(4, exchange(sock,
+        encodeOffsetForLeaderEpochRequest(4, 91, "c",
+          Seq(("ofle", Seq((0, -1, 0), (0, -1, 5))), ("ghost", Seq((0, -1, 0)))))))
+      assert(t4 === Seq(
+        ("ofle", Seq((0, 0, 0, 3L), (0, 0, -1, -1L))),
+        ("ghost", Seq((3, 0, -1, -1L)))))
+      // v2: a current_leader_epoch ahead of ours answers 75
+      val (_, t2) = decodeOffsetForLeaderEpochResponse(2, exchange(sock,
+        encodeOffsetForLeaderEpochRequest(2, 92, "c",
+          Seq(("ofle", Seq((0, 1, 0)))))))
+      assert(t2 === Seq(("ofle", Seq((75, 0, -1, -1L)))))
+      // v0: no epoch field in the response body (decoder yields -1),
+      // out-of-range partitions answer 3
+      val (_, t0) = decodeOffsetForLeaderEpochResponse(0, exchange(sock,
+        encodeOffsetForLeaderEpochRequest(0, 93, "c",
+          Seq(("ofle", Seq((0, -1, 0), (7, -1, 0)))))))
+      assert(t0 === Seq(("ofle", Seq((0, 0, -1, 3L), (3, 7, -1, -1L)))))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
   test("partition growth, offset deletion, and cluster description over the socket") {
     val root = Files.createTempDirectory("graft-wireadmin2").toString
     val broker = new Broker(spark, root)
