@@ -31,6 +31,7 @@ import graft.TestSpark
   *   SyncGroup            5             0–5                5
   *   OffsetFetch          8             0–8                8
   *   ListOffsets          8             0–7                7
+  *   OffsetForLeaderEpoch 4             0–4                4
   *   Fetch               16             0–12              12
   *   OffsetCommit         8             0–8                8
   *   Heartbeat            4             0–4                4
@@ -66,7 +67,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
     "Metadata" -> 12, "Produce" -> 10, "InitProducerId" -> 5,
     "FindCoordinator" -> 4,
     "JoinGroup" -> 9, "SyncGroup" -> 5, "OffsetFetch" -> 8,
-    "ListOffsets" -> 8, "Fetch" -> 16, "OffsetCommit" -> 8,
+    "ListOffsets" -> 8, "OffsetForLeaderEpoch" -> 4,
+    "Fetch" -> 16, "OffsetCommit" -> 8,
     "Heartbeat" -> 4, "LeaveGroup" -> 5,
     "AddPartitionsToTxn" -> 4, "EndTxn" -> 3, "TxnOffsetCommit" -> 3)
 
@@ -97,6 +99,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(negotiated("SyncGroup") === 5)
       assert(negotiated("OffsetFetch") === 8)
       assert(negotiated("ListOffsets") === 7)
+      assert(negotiated("OffsetForLeaderEpoch") === 4)
       assert(negotiated("Fetch") === 12)
       assert(negotiated("OffsetCommit") === 8)
       assert(negotiated("Heartbeat") === 4)
@@ -202,6 +205,17 @@ class ModernClientTraceSpec extends AnyFunSuite {
           Seq(("trace", Seq((0, -2L, 1), (1, -2L, 1)))))))
       assert(lo._2.head._2.map(p => (p._1, p._2, p._4)) ===
         Seq((0, 0, 0L), (1, 0, 0L)))
+
+      // 8b. OffsetForLeaderEpoch v4: before its first fetch, a
+      // consumer holding positions with leader epochs VALIDATES them
+      // (KIP-279 offset-validation) — Metadata v12 reported epoch 0,
+      // so validation answers (epoch 0, LEO): no truncation, fetch
+      // may proceed from the restored position
+      val ofle = decodeOffsetForLeaderEpochResponse(4, exchange(sock,
+        encodeOffsetForLeaderEpochRequest(4, 90, "trace-cli",
+          Seq(("trace", Seq((0, 0, 0), (1, 0, 0)))))))
+      assert(ofle._2 === Seq(("trace",
+        Seq((0, 0, 0, 3L), (0, 1, 0, 2L)))))
 
       // 9. Fetch v12: records return as magic-2 batches — keys,
       // values, AND headers survive the socket
