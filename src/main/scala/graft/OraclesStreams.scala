@@ -20,7 +20,8 @@ object OraclesStreams {
         |  (23,'OffsetForLeaderEpoch',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(26,'EndTxn',0,3),
         |  (28,'TxnOffsetCommit',0,3),(32,'DescribeConfigs',0,4),
-        |  (37,'CreatePartitions',0,3),(47,'OffsetDelete',0,0),
+        |  (33,'AlterConfigs',0,2),(37,'CreatePartitions',0,3),
+        |  (44,'IncrementalAlterConfigs',0,1),(47,'OffsetDelete',0,0),
         |  (60,'DescribeCluster',0,0))
         |  AS t(api_key, api_name, min_version, max_version)
         |ORDER BY api_key""".stripMargin,

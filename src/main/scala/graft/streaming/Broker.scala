@@ -1169,9 +1169,9 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeDescribeConfigsRequest(requestBytes)
     val results = req.resources.map { case (rType, rName, keys) =>
-      def project(configs: Seq[(String, String)]) = keys match {
+      def project(configs: Seq[(String, String, Boolean)]) = keys match {
         case None => configs
-        case Some(ks) => configs.filter { case (n, _) => ks.contains(n) }
+        case Some(ks) => configs.filter { case (n, _, _) => ks.contains(n) }
       }
       rType match {
         case ConfigResourceBroker =>
@@ -1181,24 +1181,116 @@ class Broker(spark: SparkSession, root: String) {
             "log.dirs" -> root,
             "compression.type" -> "producer",
             "message.max.bytes" -> (64 * 1024 * 1024).toString,
-            "auto.create.topics.enable" -> "false")))
+            "auto.create.topics.enable" -> "false")
+            .map { case (n, v) => (n, v, false) }))
         case ConfigResourceTopic if topicExists(rName) =>
-          (0, null: String, rType, rName, project(Seq(
-            "cleanup.policy" -> "delete",
-            "retention.ms" -> "-1",
-            "compression.type" -> "producer",
-            "max.message.bytes" -> (64 * 1024 * 1024).toString,
-            "min.insync.replicas" -> "1")))
+          val overrides = TopicLog.configOverrides(root, rName)
+          (0, null: String, rType, rName, project(
+            Broker.TopicConfigDefaults.map { case (n, dflt) =>
+              overrides.get(n) match {
+                case Some(v) => (n, v, true)
+                case None => (n, dflt, false)
+              }
+            }))
         case ConfigResourceTopic =>
           (3, s"topic '$rName' not found", rType, rName,
-            Seq.empty[(String, String)])
+            Seq.empty[(String, String, Boolean)])
         case other =>
           (42, s"unsupported resource type $other", rType, rName,
-            Seq.empty[(String, String)])
+            Seq.empty[(String, String, Boolean)])
       }
     }
     encodeDescribeConfigsResponse(req.version, req.correlationId, results)
   }
+
+  /** Validates one override set against [[Broker.TopicConfigDefaults]]:
+    * unknown keys answer INVALID_CONFIG (40); values carrying
+    * quotes/backslashes/control chars answer 42 (keeps the flat
+    * `_config.json` read regex exact). Returns null when valid. */
+  private def topicConfigError(configs: Seq[(String, String)]): String = {
+    val allowed = Broker.TopicConfigDefaults.map(_._1).toSet
+    configs.collectFirst {
+      case (n, _) if !allowed.contains(n) => s"unknown topic config '$n'"
+      case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>
+        s"unsupported characters in value of '$n'"
+    }.orNull
+  }
+
+  /** AlterConfigs v0–v2: the pre-KIP-339 API — the request's config
+    * set REPLACES the topic's whole override set (the legacy
+    * semantics kafka-configs.sh had before --alter went incremental;
+    * served faithfully, footgun included). Unknown topics answer 3,
+    * unknown config keys 40, broker resources 42 (static on a single
+    * broker), validate_only checks without applying. */
+  def handleAlterConfigs(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeAlterConfigsRequest(requestBytes)
+    val responses = req.resources.map { case (rType, rName, configs) =>
+      if (rType != ConfigResourceTopic)
+        (42, "only topic configs are alterable on a single broker", rType, rName)
+      else if (!topicExists(rName))
+        (3, s"topic '$rName' not found", rType, rName)
+      else topicConfigError(configs) match {
+        case null =>
+          if (!req.validateOnly)
+            TopicLog.writeConfigOverrides(root, rName,
+              configs.filter(_._2 != null).toMap)
+          (0, null: String, rType, rName)
+        case msg if msg.startsWith("unknown") => (40, msg, rType, rName)
+        case msg => (42, msg, rType, rName)
+      }
+    }
+    encodeAlterConfigsResponse(req.version, req.correlationId, responses)
+  }
+
+  /** IncrementalAlterConfigs v0–v1: the KIP-339 API current admin
+    * tooling sends — per-key SET/DELETE against the stored override
+    * set (APPEND/SUBTRACT answer 42: no list-typed config exists in
+    * the allowed set). Validation as [[handleAlterConfigs]]; the
+    * merged set replaces `_config.json` atomically. */
+  def handleIncrementalAlterConfigs(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeIncrementalAlterConfigsRequest(requestBytes)
+    val responses = req.resources.map { case (rType, rName, configs) =>
+      if (rType != ConfigResourceTopic)
+        (42, "only topic configs are alterable on a single broker", rType, rName)
+      else if (!topicExists(rName))
+        (3, s"topic '$rName' not found", rType, rName)
+      else if (configs.exists(c => c._2 != 0 && c._2 != 1))
+        (42, "APPEND/SUBTRACT need a list-typed config; none exists here",
+          rType, rName)
+      else topicConfigError(configs.collect { case (n, 0, v) => (n, v) }) match {
+        case null =>
+          if (!req.validateOnly) {
+            val cur = TopicLog.configOverrides(root, rName)
+            val sets = configs.collect { case (n, 0, v) if v != null => n -> v }
+            val dels = configs.collect { case (n, 1, _) => n }
+            TopicLog.writeConfigOverrides(root, rName, cur ++ sets -- dels)
+          }
+          (0, null: String, rType, rName)
+        case msg if msg.startsWith("unknown") => (40, msg, rType, rName)
+        case msg => (42, msg, rType, rName)
+      }
+    }
+    encodeIncrementalAlterConfigsResponse(req.version, req.correlationId,
+      responses)
+  }
+
+  /** Applies each topic's stored `retention.ms` override (when set
+    * and positive) by expiring records older than now − retention —
+    * the enforcement half of the dynamic-config loop, explicit by
+    * design: the engine has no background threads (SURVEY §4), so a
+    * caller (or an operator's maintenance job) invokes this the way
+    * compaction is invoked. Returns (topic, retentionMs) applied. */
+  def applyRetention(nowMs: Long = System.currentTimeMillis()): Seq[(String, Long)] =
+    listTopics().flatMap { name =>
+      TopicLog.configOverrides(root, name).get("retention.ms")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
+        .map { ret =>
+          topic(name).expire(new java.sql.Timestamp(nowMs - ret))
+          (name, ret)
+        }
+    }
 
   /** CreatePartitions v0–v3: grow a topic's partition count — what
     * kafka-topics.sh --alter --partitions N sends. Kafka semantics
@@ -1589,9 +1681,22 @@ object Broker {
     (26, "EndTxn", 0, 3),
     (28, "TxnOffsetCommit", 0, 3),
     (32, "DescribeConfigs", 0, 4),
+    (33, "AlterConfigs", 0, 2),
     (37, "CreatePartitions", 0, 3),
+    (44, "IncrementalAlterConfigs", 0, 1),
     (47, "OffsetDelete", 0, 0),
     (60, "DescribeCluster", 0, 0))
+
+  /** The topic config surface DescribeConfigs serves and the alter
+    * APIs accept: (name, default). Overrides live in `_config.json`;
+    * `retention.ms` is the one with an enforcement hook
+    * ([[Broker.applyRetention]]). */
+  val TopicConfigDefaults: Seq[(String, String)] = Seq(
+    "cleanup.policy" -> "delete",
+    "retention.ms" -> "-1",
+    "compression.type" -> "producer",
+    "max.message.bytes" -> (64 * 1024 * 1024).toString,
+    "min.insync.replicas" -> "1")
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
     * keys, at ONLY their implemented versions. A conformant client
@@ -1627,7 +1732,10 @@ object Broker {
     (26, "EndTxn", 0, KafkaWire.EndTxnMaxVersion),
     (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),
     (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion),
+    (33, "AlterConfigs", 0, KafkaWire.AlterConfigsMaxVersion),
     (37, "CreatePartitions", 0, KafkaWire.CreatePartitionsMaxVersion),
+    (44, "IncrementalAlterConfigs", 0,
+      KafkaWire.IncrementalAlterConfigsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
     (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion))
 }

@@ -2863,8 +2863,11 @@ object KafkaWire {
     * (errorCode, errorMessage, resourceType, resourceName,
     * configs as (name, value)). All configs serve as read-only
     * DEFAULT_CONFIG (source 5), never sensitive, no synonyms. */
+  /** configs per resource: (name, value, dynamic) — a dynamic entry
+    * is a stored override (read_only=false, source
+    * DYNAMIC_TOPIC_CONFIG); everything else is a default echo. */
   def encodeDescribeConfigsResponse(version: Int, correlationId: Int,
-      results: Seq[(Int, String, Int, String, Seq[(String, String)])])
+      results: Seq[(Int, String, Int, String, Seq[(String, String, Boolean)])])
       : Array[Byte] = {
     val flexible = version >= 4
     val out = new ByteArrayOutputStream()
@@ -2878,12 +2881,12 @@ object KafkaWire {
       w.i8(rType)
       w.str(rName)
       w.count(configs.length)
-      configs.foreach { case (name, value) =>
+      configs.foreach { case (name, value, dynamic) =>
         w.str(name)
         w.str(value)
-        w.bool(true) // read_only
-        if (version == 0) w.bool(true) // is_default
-        else w.i8(5) // config_source: DEFAULT_CONFIG
+        w.bool(!dynamic) // read_only
+        if (version == 0) w.bool(!dynamic) // is_default
+        else w.i8(if (dynamic) 1 else 5) // DYNAMIC_TOPIC_CONFIG / DEFAULT
         w.bool(false) // is_sensitive
         if (version >= 1) w.count(0) // synonyms: none
         if (version >= 3) {
@@ -2900,7 +2903,7 @@ object KafkaWire {
 
   /** (correlationId, results as in [[encodeDescribeConfigsResponse]]). */
   def decodeDescribeConfigsResponse(version: Int, bytes: Array[Byte])
-      : (Int, Seq[(Int, String, Int, String, Seq[(String, String)])]) = {
+      : (Int, Seq[(Int, String, Int, String, Seq[(String, String, Boolean)])]) = {
     val flexible = version >= 4
     val buf = unframe(bytes)
     val correlationId = buf.getInt
@@ -2916,13 +2919,15 @@ object KafkaWire {
         val name = r.str()
         val value = r.str()
         r.bool() // read_only
-        if (version == 0) r.bool() else r.i8() // is_default / config_source
+        val dynamic =
+          if (version == 0) !r.bool() // is_default
+          else r.i8() == 1 // config_source DYNAMIC_TOPIC_CONFIG
         r.bool() // is_sensitive
         if (version >= 1)
           (0 until r.count()).foreach { _ => r.str(); r.str(); r.i8(); r.tags() }
         if (version >= 3) { r.i8(); r.str() }
         r.tags()
-        (name, value)
+        (name, value, dynamic)
       }
       r.tags()
       (err, errMsg, rType, rName, configs.toSeq)
@@ -3186,6 +3191,189 @@ object KafkaWire {
     r.tags()
     (correlationId, clusterId, controllerId, brokers.toSeq)
   }
+
+  // --- AlterConfigs (key 33, v0–v2; flexible v2) — what
+  // kafka-configs.sh --alter sent before KIP-339: the request's
+  // config set REPLACES the resource's whole dynamic-override set
+  // (the legacy footgun that motivated the incremental API).
+  // Request: resources ARRAY<[resource_type INT8, resource_name
+  // STRING, configs ARRAY<[name STRING, value NSTRING]>]>,
+  // validate_only BOOL. Response: throttle, responses ARRAY<[error
+  // INT16, error_message NSTRING, resource_type INT8, resource_name
+  // STRING]>. ---
+
+  val AlterConfigsApiKey = 33
+  val AlterConfigsMaxVersion = 2
+
+  case class AlterConfigsRequest(version: Int, correlationId: Int,
+      clientId: String,
+      /** (resourceType, resourceName, (configName, value)*) */
+      resources: Seq[(Int, String, Seq[(String, String)])],
+      validateOnly: Boolean)
+
+  def encodeAlterConfigsRequest(version: Int, correlationId: Int,
+      clientId: String, resources: Seq[(Int, String, Seq[(String, String)])],
+      validateOnly: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= AlterConfigsMaxVersion,
+      s"unsupported AlterConfigs version $version")
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, AlterConfigsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.count(resources.length)
+    resources.foreach { case (rType, rName, configs) =>
+      w.i8(rType)
+      w.str(rName)
+      w.count(configs.length)
+      configs.foreach { case (n, v) => w.str(n); w.str(v); w.tags() }
+      w.tags()
+    }
+    w.bool(validateOnly)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAlterConfigsRequest(bytes: Array[Byte]): AlterConfigsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == AlterConfigsApiKey,
+      "not an AlterConfigs request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= AlterConfigsMaxVersion,
+      s"unsupported AlterConfigs version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val resources = (0 until r.count()).map { _ =>
+      val rType = r.i8()
+      val rName = r.str()
+      val configs = (0 until r.count()).map { _ =>
+        val c = (r.str(), r.str()); r.tags(); c
+      }
+      r.tags()
+      (rType, rName, configs.toSeq)
+    }
+    val validateOnly = r.bool()
+    r.tags()
+    AlterConfigsRequest(version, correlationId, clientId, resources.toSeq,
+      validateOnly)
+  }
+
+  /** responses: (error, errorMessage, resourceType, resourceName)*. */
+  def encodeAlterConfigsResponse(version: Int, correlationId: Int,
+      responses: Seq[(Int, String, Int, String)],
+      flexibleFrom: Int = 2): Array[Byte] = {
+    val flexible = version >= flexibleFrom
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.count(responses.length)
+    responses.foreach { case (err, msg, rType, rName) =>
+      w.i16(err); w.str(msg); w.i8(rType); w.str(rName); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, responses as encoded). */
+  def decodeAlterConfigsResponse(version: Int, bytes: Array[Byte],
+      flexibleFrom: Int = 2): (Int, Seq[(Int, String, Int, String)]) = {
+    val flexible = version >= flexibleFrom
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle
+    val responses = (0 until r.count()).map { _ =>
+      val t = (r.i16(), r.str(), r.i8(), r.str()); r.tags(); t
+    }
+    r.tags()
+    (correlationId, responses.toSeq)
+  }
+
+  // --- IncrementalAlterConfigs (key 44, v0–v1; flexible v1) — the
+  // KIP-339 replacement kafka-configs.sh sends today: per-key
+  // SET(0)/DELETE(1)/APPEND(2)/SUBTRACT(3) operations against the
+  // override set instead of wholesale replacement. Request:
+  // resources ARRAY<[resource_type INT8, resource_name STRING,
+  // configs ARRAY<[name STRING, config_operation INT8, value
+  // NSTRING]>]>, validate_only BOOL. Response: same shape as
+  // AlterConfigs. ---
+
+  val IncrementalAlterConfigsApiKey = 44
+  val IncrementalAlterConfigsMaxVersion = 1
+
+  case class IncrementalAlterConfigsRequest(version: Int, correlationId: Int,
+      clientId: String,
+      /** (resourceType, resourceName, (configName, op, value)*) */
+      resources: Seq[(Int, String, Seq[(String, Int, String)])],
+      validateOnly: Boolean)
+
+  def encodeIncrementalAlterConfigsRequest(version: Int, correlationId: Int,
+      clientId: String,
+      resources: Seq[(Int, String, Seq[(String, Int, String)])],
+      validateOnly: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= IncrementalAlterConfigsMaxVersion,
+      s"unsupported IncrementalAlterConfigs version $version")
+    val flexible = version >= 1
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, IncrementalAlterConfigsApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    w.count(resources.length)
+    resources.foreach { case (rType, rName, configs) =>
+      w.i8(rType)
+      w.str(rName)
+      w.count(configs.length)
+      configs.foreach { case (n, op, v) =>
+        w.str(n); w.i8(op); w.str(v); w.tags()
+      }
+      w.tags()
+    }
+    w.bool(validateOnly)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeIncrementalAlterConfigsRequest(bytes: Array[Byte])
+      : IncrementalAlterConfigsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == IncrementalAlterConfigsApiKey,
+      "not an IncrementalAlterConfigs request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= IncrementalAlterConfigsMaxVersion,
+      s"unsupported IncrementalAlterConfigs version $version")
+    val flexible = version >= 1
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val resources = (0 until r.count()).map { _ =>
+      val rType = r.i8()
+      val rName = r.str()
+      val configs = (0 until r.count()).map { _ =>
+        val c = (r.str(), r.i8(), r.str()); r.tags(); c
+      }
+      r.tags()
+      (rType, rName, configs.toSeq)
+    }
+    val validateOnly = r.bool()
+    r.tags()
+    IncrementalAlterConfigsRequest(version, correlationId, clientId,
+      resources.toSeq, validateOnly)
+  }
+
+  def encodeIncrementalAlterConfigsResponse(version: Int, correlationId: Int,
+      responses: Seq[(Int, String, Int, String)]): Array[Byte] =
+    encodeAlterConfigsResponse(version, correlationId, responses,
+      flexibleFrom = 1)
+
+  def decodeIncrementalAlterConfigsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(Int, String, Int, String)]) =
+    decodeAlterConfigsResponse(version, bytes, flexibleFrom = 1)
 
   // --- OffsetForLeaderEpoch (key 23, v0–v4; flexible v4) — the
   // truncation-detection RPC a modern consumer/follower sends when

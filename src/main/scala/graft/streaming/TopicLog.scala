@@ -984,6 +984,35 @@ object TopicLog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Dynamic per-topic config overrides (`_config.json`, flat
+    * string map). Values are restricted by the wire handlers to
+    * quote/backslash/control-free strings, so the flat read regex is
+    * exact. Absent file = no overrides. */
+  def configOverrides(root: String, topic: String): Map[String, String] = {
+    val p = Paths.get(s"$root/$topic/_config.json")
+    if (!Files.exists(p)) Map.empty
+    else "\"([^\"\\\\]*)\"\\s*:\\s*\"([^\"\\\\]*)\"".r
+      .findAllMatchIn(Files.readString(p))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Atomic override-set replacement (temp + ATOMIC_MOVE — readers
+    * see either set, never a torn file); an empty map deletes the
+    * file. */
+  def writeConfigOverrides(root: String, topic: String,
+      overrides: Map[String, String]): Unit = {
+    val dir = Paths.get(s"$root/$topic")
+    val p = dir.resolve("_config.json")
+    if (overrides.isEmpty) { Files.deleteIfExists(p); () }
+    else {
+      val tmp = Files.createTempFile(dir, ".config", ".json")
+      Files.writeString(tmp, overrides.toSeq.sorted
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def drop(root: String, topic: String): Unit =
     deleteRecursively(Paths.get(s"$root/$topic"))
 

@@ -113,6 +113,9 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
         broker.handleDescribeConfigs(framed, advertisedHost, boundPort)
       case KafkaWire.OffsetForLeaderEpochApiKey =>
         broker.handleOffsetForLeaderEpoch(framed)
+      case KafkaWire.AlterConfigsApiKey => broker.handleAlterConfigs(framed)
+      case KafkaWire.IncrementalAlterConfigsApiKey =>
+        broker.handleIncrementalAlterConfigs(framed)
       case KafkaWire.CreatePartitionsApiKey =>
         broker.handleCreatePartitions(framed)
       case KafkaWire.OffsetDeleteApiKey => broker.handleOffsetDelete(framed)

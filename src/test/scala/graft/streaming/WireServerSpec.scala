@@ -400,10 +400,13 @@ class WireServerSpec extends AnyFunSuite {
             (ConfigResourceTopic, "ghost2", None)))))
         val byName = conf.map(r => (r._4, r)).toMap
         assert(byName("adm-t")._1 === 0)
-        assert(byName("adm-t")._5.toMap.get("cleanup.policy") === Some("delete"))
+        assert(byName("adm-t")._5.map(c => (c._1, c._2)).toMap
+          .get("cleanup.policy") === Some("delete"))
+        assert(byName("adm-t")._5.forall(!_._3), "defaults are not dynamic")
         assert(byName("0")._1 === 0)
         assert(byName("0")._5.map(_._1).sorted === Seq("broker.id", "log.dirs"))
-        assert(byName("0")._5.toMap.apply("log.dirs") === root)
+        assert(byName("0")._5.map(c => (c._1, c._2)).toMap
+          .apply("log.dirs") === root)
         assert(byName("ghost2")._1 === 3)
       }
 
@@ -412,6 +415,80 @@ class WireServerSpec extends AnyFunSuite {
         encodeDeleteTopicsRequestV0(65, "adm", Seq("adm-t", "ghost"), 1000)))
       assert(del._2 === Seq(("adm-t", 0), ("ghost", 3)))
       assert(!broker.topicExists("adm-t"))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
+  test("dynamic topic config: alter, incremental alter, describe round-trip, retention enforcement") {
+    val root = Files.createTempDirectory("graft-wirecfg").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      broker.createTopic("cfg", 1)
+      def describe() = decodeDescribeConfigsResponse(4, exchange(sock,
+        encodeDescribeConfigsRequest(4, 100, "adm",
+          Seq((ConfigResourceTopic, "cfg", None)))))
+        ._2.head._5.map(c => c._1 -> ((c._2, c._3))).toMap
+
+      // AlterConfigs v2 (flexible): validate_only approves without
+      // applying; the real call REPLACES the whole override set
+      val (_, vres) = decodeAlterConfigsResponse(2, exchange(sock,
+        encodeAlterConfigsRequest(2, 101, "adm",
+          Seq((ConfigResourceTopic, "cfg",
+            Seq("retention.ms" -> "60000"))), validateOnly = true)))
+      assert(vres === Seq((0, null, ConfigResourceTopic, "cfg")))
+      assert(describe()("retention.ms") === (("-1", false)))
+      val (_, ares) = decodeAlterConfigsResponse(2, exchange(sock,
+        encodeAlterConfigsRequest(2, 102, "adm",
+          Seq((ConfigResourceTopic, "cfg", Seq(
+            "retention.ms" -> "60000", "compression.type" -> "gzip"))))))
+      assert(ares.head._1 === 0)
+      assert(describe()("retention.ms") === (("60000", true)))
+      assert(describe()("compression.type") === (("gzip", true)))
+      // unknown config key answers INVALID_CONFIG 40; unknown topic 3;
+      // broker resource 42; nothing stored changes
+      val (_, eres) = decodeAlterConfigsResponse(0, exchange(sock,
+        encodeAlterConfigsRequest(0, 103, "adm", Seq(
+          (ConfigResourceTopic, "cfg", Seq("flush.messages" -> "1")),
+          (ConfigResourceTopic, "ghost", Seq("retention.ms" -> "1")),
+          (ConfigResourceBroker, "0", Seq("log.dirs" -> "/x"))))))
+      assert(eres.map(_._1) === Seq(40, 3, 42))
+      assert(describe()("retention.ms") === (("60000", true)))
+
+      // IncrementalAlterConfigs v1: SET one key, DELETE another —
+      // the rest of the override set SURVIVES (the KIP-339 contract
+      // the legacy API can't express); APPEND answers 42
+      val (_, ires) = decodeIncrementalAlterConfigsResponse(1, exchange(sock,
+        encodeIncrementalAlterConfigsRequest(1, 104, "adm",
+          Seq((ConfigResourceTopic, "cfg", Seq(
+            ("cleanup.policy", 0, "compact"),
+            ("compression.type", 1, null)))))))
+      assert(ires === Seq((0, null, ConfigResourceTopic, "cfg")))
+      assert(describe()("cleanup.policy") === (("compact", true)))
+      assert(describe()("compression.type") === (("producer", false)))
+      assert(describe()("retention.ms") === (("60000", true)), "untouched override survives")
+      val (_, apres) = decodeIncrementalAlterConfigsResponse(0, exchange(sock,
+        encodeIncrementalAlterConfigsRequest(0, 105, "adm",
+          Seq((ConfigResourceTopic, "cfg",
+            Seq(("cleanup.policy", 2, "x")))))))
+      assert(apres.head._1 === 42)
+
+      // retention.ms has an enforcement hook: records older than the
+      // configured horizon expire on applyRetention
+      val now = System.currentTimeMillis()
+      def rec(ts: Long, s: String) = WireRecordV2(ts, null, s.getBytes("UTF-8"))
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 106, "adm", null, 1, 1000,
+          Seq(("cfg", Seq((0, ProducedBatch(-1L, -1, -1, Seq(
+            rec(now - 600000L, "ancient"), rec(now, "fresh"))))))))))
+      assert(broker.topic("cfg").read().count() === 2)
+      assert(broker.applyRetention(now) === Seq(("cfg", 60000L)))
+      val vals = broker.topic("cfg").read().collect()
+        .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSeq
+      assert(vals === Seq("fresh"))
     } finally {
       sock.close()
       server.close()
