@@ -1259,6 +1259,10 @@ class Broker(spark: SparkSession, root: String) {
       else if (configs.exists(c => c._2 != 0 && c._2 != 1))
         (42, "APPEND/SUBTRACT need a list-typed config; none exists here",
           rType, rName)
+      else if (configs.map(_._1).distinct.size != configs.size)
+        // Kafka rejects duplicate keys in one incremental request —
+        // op order would otherwise decide SET-then-DELETE races
+        (42, "duplicate config key in one request", rType, rName)
       else topicConfigError(configs.collect { case (n, 0, v) => (n, v) }) match {
         case null =>
           if (!req.validateOnly) {

@@ -475,6 +475,13 @@ class WireServerSpec extends AnyFunSuite {
           Seq((ConfigResourceTopic, "cfg",
             Seq(("cleanup.policy", 2, "x")))))))
       assert(apres.head._1 === 42)
+      // duplicate keys in one request are rejected, not op-order-raced
+      val (_, dres) = decodeIncrementalAlterConfigsResponse(1, exchange(sock,
+        encodeIncrementalAlterConfigsRequest(1, 107, "adm",
+          Seq((ConfigResourceTopic, "cfg", Seq(
+            ("retention.ms", 0, "1"), ("retention.ms", 1, null)))))))
+      assert(dres.head._1 === 42)
+      assert(describe()("retention.ms") === (("60000", true)))
 
       // retention.ms has an enforcement hook: records older than the
       // configured horizon expire on applyRetention
