@@ -186,18 +186,34 @@ class Broker(spark: SparkSession, root: String) {
       if (!topicExists(name)) (name, parts.map { case (p, _) => (p, 3, -1L) })
       else {
         val log = topic(name)
+        // Phase −1 — the size gate: `max.message.bytes` (dynamic
+        // topic config) bounds each partition entry's ON-WIRE payload
+        // — the same quantity Kafka's broker checks, measured before
+        // decompression. An oversized entry is emptied (nothing must
+        // reach the idempotence gate) and answers MESSAGE_TOO_LARGE
+        // (10) below.
+        val maxMsgBytes = TopicLog.configOverrides(root, name)
+          .get("max.message.bytes")
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+          .getOrElse(Broker.DefaultMaxMessageBytes.toLong)
+        def oversized(idx: Int): Boolean =
+          req.payloadSizes.getOrElse((name, idx), 0) > maxMsgBytes
+        val sized = parts.zipWithIndex.map { case ((p, batches), idx) =>
+          if (oversized(idx)) (p, Seq.empty[KafkaWire.ProducedBatch])
+          else (p, batches)
+        }
         // Phase 0 — the transaction gate: a TRANSACTIONAL batch must
         // come from a known transactional pid at the current epoch
         // with its partition registered via AddPartitionsToTxn. A
         // failing entry is emptied here (it must not advance the
         // idempotence gate's provisional sequences) and answers its
         // error below — same pattern as payload decode errors.
-        val txnErrs: Seq[Option[Int]] = parts.map { case (p, batches) =>
+        val txnErrs: Seq[Option[Int]] = sized.map { case (p, batches) =>
           batches.iterator.filter(_.transactional)
             .map(b => txnProduceError(name, p, b))
             .collectFirst { case Some(err) => err }
         }
-        val gated = parts.zip(txnErrs).map { case ((p, batches), err) =>
+        val gated = sized.zip(txnErrs).map { case ((p, batches), err) =>
           if (err.isDefined) (p, Seq.empty[KafkaWire.ProducedBatch])
           else (p, batches)
         }
@@ -289,7 +305,10 @@ class Broker(spark: SparkSession, root: String) {
         val consumedSoFar = scala.collection.mutable.Map.empty[Int, Long]
         val answers =
           (name, gated.zip(decisions).zip(txnErrs).zipWithIndex.map {
-            // a transaction-gate failure (49/47/48) answers first —
+            // an oversized payload answers first: the entry was
+            // emptied before any gate saw it, and nothing appended
+            case ((((p, _), _), _), idx) if oversized(idx) => (p, 10, -1L)
+            // a transaction-gate failure (49/47/48) answers next —
             // the entry was emptied above, so nothing downstream saw it
             case ((((p, _), _), Some(err)), _) => (p, err, -1L)
             // a payload that failed decode (76 = unsupported codec,
@@ -1204,13 +1223,19 @@ class Broker(spark: SparkSession, root: String) {
   }
 
   /** Validates one override set against [[Broker.TopicConfigDefaults]]:
-    * unknown keys answer INVALID_CONFIG (40); values carrying
-    * quotes/backslashes/control chars answer 42 (keeps the flat
-    * `_config.json` read regex exact). Returns null when valid. */
+    * unknown keys and non-numeric values for numeric configs answer
+    * INVALID_CONFIG (40) — the enforcement hooks (retention, size
+    * gate) must never meet an unparseable stored value; values
+    * carrying quotes/backslashes/control chars answer 42 (keeps the
+    * flat `_config.json` read regex exact). Returns null when valid. */
   private def topicConfigError(configs: Seq[(String, String)]): String = {
     val allowed = Broker.TopicConfigDefaults.map(_._1).toSet
+    val numeric = Set("retention.ms", "max.message.bytes", "min.insync.replicas")
     configs.collectFirst {
       case (n, _) if !allowed.contains(n) => s"unknown topic config '$n'"
+      case (n, v) if numeric.contains(n) && v != null &&
+          scala.util.Try(v.trim.toLong).isFailure =>
+        s"invalid value '$v' for numeric config '$n'"
       case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>
         s"unsupported characters in value of '$n'"
     }.orNull
@@ -1236,7 +1261,8 @@ class Broker(spark: SparkSession, root: String) {
             TopicLog.writeConfigOverrides(root, rName,
               configs.filter(_._2 != null).toMap)
           (0, null: String, rType, rName)
-        case msg if msg.startsWith("unknown") => (40, msg, rType, rName)
+        case msg if msg.startsWith("unknown") ||
+            msg.startsWith("invalid value") => (40, msg, rType, rName)
         case msg => (42, msg, rType, rName)
       }
     }
@@ -1272,7 +1298,8 @@ class Broker(spark: SparkSession, root: String) {
             TopicLog.writeConfigOverrides(root, rName, cur ++ sets -- dels)
           }
           (0, null: String, rType, rName)
-        case msg if msg.startsWith("unknown") => (40, msg, rType, rName)
+        case msg if msg.startsWith("unknown") ||
+            msg.startsWith("invalid value") => (40, msg, rType, rName)
         case msg => (42, msg, rType, rName)
       }
     }
@@ -1351,6 +1378,30 @@ class Broker(spark: SparkSession, root: String) {
       }
     }
     encodeOffsetDeleteResponse(req.correlationId, 0, topicsOut)
+  }
+
+  /** DeleteGroups v0–v2: drop a consumer group entirely —
+    * coordinator state AND committed offsets on every topic
+    * (kafka-consumer-groups.sh --delete). A group with live members
+    * answers NON_EMPTY_GROUP (68); one known to neither the
+    * coordinator nor any topic's offset store answers
+    * GROUP_ID_NOT_FOUND (69). Unlike OffsetDelete this removes the
+    * group's identity, not named partitions — re-joining later
+    * starts from a blank slate. */
+  def handleDeleteGroups(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, correlationId, groupIds) =
+      decodeDeleteGroupsRequest(requestBytes)
+    val results = groupIds.map { g =>
+      val offsetTopics = listTopics().filter(t => topic(t).listGroups().contains(g))
+      if (offsetTopics.isEmpty && coordinator.describe(g).isEmpty) (g, 69)
+      else if (!coordinator.removeGroup(g)) (g, 68)
+      else {
+        offsetTopics.foreach(t => topic(t).deleteGroup(g))
+        (g, 0)
+      }
+    }
+    encodeDeleteGroupsResponse(version, correlationId, results)
   }
 
   /** OffsetForLeaderEpoch v0–v4: the truncation-detection probe
@@ -1691,15 +1742,18 @@ object Broker {
     (47, "OffsetDelete", 0, 0),
     (60, "DescribeCluster", 0, 0))
 
+  val DefaultMaxMessageBytes: Int = 64 * 1024 * 1024
+
   /** The topic config surface DescribeConfigs serves and the alter
     * APIs accept: (name, default). Overrides live in `_config.json`;
-    * `retention.ms` is the one with an enforcement hook
-    * ([[Broker.applyRetention]]). */
+    * `retention.ms` (expiry horizon, [[Broker.applyRetention]]) and
+    * `max.message.bytes` (produce size gate, MESSAGE_TOO_LARGE) have
+    * enforcement hooks. */
   val TopicConfigDefaults: Seq[(String, String)] = Seq(
     "cleanup.policy" -> "delete",
     "retention.ms" -> "-1",
     "compression.type" -> "producer",
-    "max.message.bytes" -> (64 * 1024 * 1024).toString,
+    "max.message.bytes" -> DefaultMaxMessageBytes.toString,
     "min.insync.replicas" -> "1")
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
@@ -1738,6 +1792,7 @@ object Broker {
     (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion),
     (33, "AlterConfigs", 0, KafkaWire.AlterConfigsMaxVersion),
     (37, "CreatePartitions", 0, KafkaWire.CreatePartitionsMaxVersion),
+    (42, "DeleteGroups", 0, KafkaWire.DeleteGroupsMaxVersion),
     (44, "IncrementalAlterConfigs", 0,
       KafkaWire.IncrementalAlterConfigsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),

@@ -223,6 +223,21 @@ class GroupCoordinator(clock: () => Long = () => System.currentTimeMillis()) {
     }
   }
 
+  /** DeleteGroups primitive: drop coordinator state for a group with
+    * no live members (Kafka deletes only Empty/Dead groups). Answers
+    * false — NON_EMPTY_GROUP upstream — when members survive
+    * eviction; removing an unknown group succeeds vacuously so the
+    * caller's offsets-only path composes. */
+  def removeGroup(group: String): Boolean = lock.synchronized {
+    groups.get(group) match {
+      case None => true
+      case Some(g) =>
+        evictExpired(g)
+        if (g.members.nonEmpty || g.pending.nonEmpty) false
+        else { groups.remove(group); true }
+    }
+  }
+
   def listGroups(): Seq[(String, String)] = lock.synchronized {
     gcReservationPhantoms()
     groups.iterator

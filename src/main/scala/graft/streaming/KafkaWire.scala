@@ -999,7 +999,12 @@ object KafkaWire {
         * still appears in `topics` (with no batches) so response
         * ordering survives; the broker answers the error and appends
         * nothing. One bad entry no longer kills the connection. */
-      decodeErrors: Map[(String, Int), Int] = Map.empty)
+      decodeErrors: Map[(String, Int), Int] = Map.empty,
+      /** Each partition entry's wire payload size in bytes, keyed
+        * like [[decodeErrors]] — the quantity `max.message.bytes`
+        * bounds (the broker cannot recover it from decoded records:
+        * batch framing and compression change the on-wire size). */
+      payloadSizes: Map[(String, Int), Int] = Map.empty)
 
   /** sessionId/sessionEpoch are the KIP-227 fetch-session fields
     * (v7+; epoch −1 = sessionless, 0 = open a new session, >0 =
@@ -1096,6 +1101,7 @@ object KafkaWire {
     val acks = r.i16()
     val timeout = r.i32()
     val decodeErrors = Map.newBuilder[(String, Int), Int]
+    val payloadSizes = Map.newBuilder[(String, Int), Int]
     val topics = (0 until r.count()).map { _ =>
       val name = r.str()
       val parts = (0 until r.count()).map { idx =>
@@ -1105,6 +1111,7 @@ object KafkaWire {
         // payload surfaces as a per-entry error, never as a desynced
         // outer buffer
         val payload = Option(r.bytes()).getOrElse(Array.empty[Byte])
+        payloadSizes += ((name, idx) -> payload.length)
         val batches =
           try {
             if (version >= 3) decodeProduceBatches(payload)
@@ -1128,7 +1135,7 @@ object KafkaWire {
     }
     r.tags()
     ProduceRequest(version, correlationId, clientId, txnId, acks, timeout,
-      topics.toSeq, decodeErrors.result())
+      topics.toSeq, decodeErrors.result(), payloadSizes.result())
   }
 
   /** Encode a produce response at any version 0–9;
@@ -3111,6 +3118,77 @@ object KafkaWire {
       (r.str(), (0 until r.count()).map(_ => (r.i32(), r.i16())).toSeq)
     }
     (correlationId, groupError, topics.toSeq)
+  }
+
+  // --- DeleteGroups (key 42, v0–v2; flexible v2+) — what
+  // kafka-consumer-groups.sh --delete and AdminClient.deleteGroups
+  // send. Request: groups_names ARRAY<STRING>. Response: throttle,
+  // results ARRAY<[group_id STRING, error_code INT16]>. ---
+
+  val DeleteGroupsApiKey = 42
+  val DeleteGroupsMaxVersion = 2
+
+  def encodeDeleteGroupsRequest(version: Int, correlationId: Int,
+      clientId: String, groups: Seq[String]): Array[Byte] = {
+    require(version >= 0 && version <= DeleteGroupsMaxVersion,
+      s"unsupported DeleteGroups version $version")
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DeleteGroupsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.count(groups.length)
+    groups.foreach(w.str)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (version, correlationId, groupIds). */
+  def decodeDeleteGroupsRequest(bytes: Array[Byte]): (Int, Int, Seq[String]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DeleteGroupsApiKey,
+      "not a DeleteGroups request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DeleteGroupsMaxVersion,
+      s"unsupported DeleteGroups version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val groups = (0 until r.count()).map(_ => r.str())
+    r.tags()
+    (version, correlationId, groups.toSeq)
+  }
+
+  /** results: (groupId, errorCode)*. */
+  def encodeDeleteGroupsResponse(version: Int, correlationId: Int,
+      results: Seq[(String, Int)]): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.count(results.length)
+    results.foreach { case (g, err) => w.str(g); w.i16(err); w.tags() }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, results as (groupId, errorCode)). */
+  def decodeDeleteGroupsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Int)]) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle_time_ms
+    val results = (0 until r.count()).map { _ =>
+      val g = r.str(); val e = r.i16(); r.tags(); (g, e)
+    }
+    r.tags()
+    (correlationId, results.toSeq)
   }
 
   // --- DescribeCluster (key 60, v0; flexible from v0) — what

@@ -491,6 +491,21 @@ class TopicLog private (
     }
   }
 
+  /** Delete a group's ENTIRE offset state on this topic — the
+    * DeleteGroups (key 42) primitive. The admin contract (the broker
+    * rejects deletion of a group with live members first) makes a
+    * racing committer misuse, so plain file deletion suffices where
+    * [[deleteOffsets]] needs the CAS loop; a commit racing anyway
+    * simply recreates the group, which is also Kafka's outcome. */
+  def deleteGroup(group: String): Unit = {
+    val dir = groupDir(group)
+    if (Files.exists(dir)) {
+      TopicLog.listDir(dir).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(dir)
+    }
+    Files.deleteIfExists(groupFile(group))
+  }
+
   private def groupDir(group: String) = Paths.get(s"$topicDir/_groups/$group")
 
   private def groupVersions(group: String): Seq[Long] = {

@@ -118,6 +118,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
         broker.handleIncrementalAlterConfigs(framed)
       case KafkaWire.CreatePartitionsApiKey =>
         broker.handleCreatePartitions(framed)
+      case KafkaWire.DeleteGroupsApiKey => broker.handleDeleteGroups(framed)
       case KafkaWire.OffsetDeleteApiKey => broker.handleOffsetDelete(framed)
       case KafkaWire.DescribeClusterApiKey =>
         broker.handleDescribeCluster(framed, advertisedHost, boundPort)

@@ -496,6 +496,36 @@ class WireServerSpec extends AnyFunSuite {
       val vals = broker.topic("cfg").read().collect()
         .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSeq
       assert(vals === Seq("fresh"))
+
+      // max.message.bytes has the produce size gate: an oversized
+      // wire payload answers MESSAGE_TOO_LARGE (10), appends nothing,
+      // and a small produce on the same connection still acks
+      val (_, mres) = decodeIncrementalAlterConfigsResponse(1, exchange(sock,
+        encodeIncrementalAlterConfigsRequest(1, 108, "adm",
+          Seq((ConfigResourceTopic, "cfg",
+            Seq(("max.message.bytes", 0, "128")))))))
+      assert(mres.head._1 === 0)
+      val (_, big) = decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 109, "adm", null, 1, 1000,
+          Seq(("cfg", Seq((0, ProducedBatch(-1L, -1, -1,
+            Seq(rec(now, "y" * 500))))))))))
+      assert(big === Seq(("cfg", Seq((0, 10, -1L)))))
+      assert(broker.topic("cfg").read().count() === 1)
+      val (_, small) = decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 110, "adm", null, 1, 1000,
+          Seq(("cfg", Seq((0, ProducedBatch(-1L, -1, -1,
+            Seq(rec(now, "z"))))))))))
+      assert(small.head._2.head._2 === 0)
+      assert(broker.topic("cfg").read().count() === 2)
+
+      // a non-numeric value for a numeric config answers 40 before
+      // any enforcement hook can meet it
+      val (_, nres) = decodeAlterConfigsResponse(2, exchange(sock,
+        encodeAlterConfigsRequest(2, 111, "adm",
+          Seq((ConfigResourceTopic, "cfg",
+            Seq("retention.ms" -> "sixty-seconds"))))))
+      assert(nres.head._1 === 40)
+      assert(describe()("retention.ms") === (("60000", true)))
     } finally {
       sock.close()
       server.close()
@@ -605,6 +635,63 @@ class WireServerSpec extends AnyFunSuite {
       assert(le === 0)
       assert(lres === Seq(("grow", Seq((1, 86)))))
       assert(broker.topic("grow").committed("live-g") === Map(1 -> 2L))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
+  test("DeleteGroups removes offsets-only groups, refuses live ones") {
+    val root = Files.createTempDirectory("graft-wiredelgrp").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      broker.createTopic("dg-a", 2)
+      broker.createTopic("dg-b", 1)
+
+      // unknown group answers 69; the batch shape answers per group
+      val (_, unk) = decodeDeleteGroupsResponse(0, exchange(sock,
+        encodeDeleteGroupsRequest(0, 80, "adm", Seq("nobody"))))
+      assert(unk === Seq(("nobody", 69)))
+
+      // an offsets-only group deletes across EVERY topic it touched
+      broker.topic("dg-a").commit("done-g", Map(0 -> 3L, 1 -> 7L))
+      broker.topic("dg-b").commit("done-g", Map(0 -> 2L))
+      val (_, del) = decodeDeleteGroupsResponse(0, exchange(sock,
+        encodeDeleteGroupsRequest(0, 81, "adm", Seq("done-g", "ghost-g"))))
+      assert(del === Seq(("done-g", 0), ("ghost-g", 69)))
+      assert(broker.topic("dg-a").committed("done-g") === Map.empty)
+      assert(broker.topic("dg-b").committed("done-g") === Map.empty)
+      val (_, _, listed) = decodeListGroupsResponseV0(exchange(sock,
+        encodeListGroupsRequestV0(82, "adm")))
+      assert(!listed.exists(_._1 == "done-g"))
+      // deleting again: the identity is gone, not just emptied
+      val (_, again) = decodeDeleteGroupsResponse(0, exchange(sock,
+        encodeDeleteGroupsRequest(0, 83, "adm", Seq("done-g"))))
+      assert(again === Seq(("done-g", 69)))
+
+      // a group with a live member refuses with NON_EMPTY_GROUP and
+      // keeps both its offsets and its coordinator state
+      val jr = broker.coordinator.join("live-dg", "", "cli", "127.0.0.1",
+        30000, "consumer", Seq(("range", Array.empty[Byte])))
+      val mid = jr.memberId
+      assert(broker.coordinator.join("live-dg", mid, "cli", "127.0.0.1",
+        30000, "consumer", Seq(("range", Array.empty[Byte]))).errorCode === 0)
+      broker.topic("dg-a").commit("live-dg", Map(0 -> 9L))
+      val (_, live) = decodeDeleteGroupsResponse(2, exchange(sock,
+        encodeDeleteGroupsRequest(2, 84, "adm", Seq("live-dg"))))
+      assert(live === Seq(("live-dg", 68)))
+      assert(broker.topic("dg-a").committed("live-dg") === Map(0 -> 9L))
+      assert(broker.coordinator.describe("live-dg").isDefined)
+
+      // once the member leaves, flexible v2 deletes state + offsets
+      assert(broker.coordinator.leave("live-dg", mid) === 0)
+      val (_, gone) = decodeDeleteGroupsResponse(2, exchange(sock,
+        encodeDeleteGroupsRequest(2, 85, "adm", Seq("live-dg"))))
+      assert(gone === Seq(("live-dg", 0)))
+      assert(broker.topic("dg-a").committed("live-dg") === Map.empty)
+      assert(broker.coordinator.describe("live-dg").isEmpty)
     } finally {
       sock.close()
       server.close()
