@@ -1780,7 +1780,7 @@ object Broker {
     (14, "SyncGroup", 0, KafkaWire.SyncGroupMaxVersion),
     (15, "DescribeGroups", 0, 0),
     (16, "ListGroups", 0, 0),
-    (18, "ApiVersions", 3, 3),
+    (18, "ApiVersions", 0, KafkaWire.ApiVersionsMaxVersion),
     (19, "CreateTopics", 0, 0),
     (20, "DeleteTopics", 0, 0),
     (21, "DeleteRecords", 0, 0),

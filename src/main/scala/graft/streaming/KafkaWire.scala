@@ -120,7 +120,28 @@ object KafkaWire {
     buf
   }
 
-  // --- ApiVersions v3 ---
+  // --- ApiVersions v0–v3 ---
+
+  val ApiVersionsMaxVersion = 3
+
+  /** Client-side encode at any v0–v3: v0–v2 carry header v1 and an
+    * EMPTY body (the pre-KIP-511 probe every older client opens
+    * with); v3 is flexible and adds client_software_name/version. */
+  def encodeApiVersionsRequest(version: Int, correlationId: Int,
+      clientId: String, softwareName: String = "graft",
+      softwareVersion: String = "0"): Array[Byte] = {
+    require(version >= 0 && version <= ApiVersionsMaxVersion,
+      s"unsupported ApiVersions version $version")
+    if (version == 3)
+      return encodeApiVersionsRequestV3(correlationId, clientId,
+        softwareName, softwareVersion)
+    val out = new ByteArrayOutputStream()
+    writeInt16(out, ApiVersionsApiKey) // header v1
+    writeInt16(out, version)
+    writeInt32(out, correlationId)
+    writeNullableString(out, clientId)
+    frame(out.toByteArray) // v0–v2 body is empty
+  }
 
   /** Client-side encode (what a Kafka client puts on the wire). */
   def encodeApiVersionsRequestV3(correlationId: Int, clientId: String,
@@ -137,19 +158,72 @@ object KafkaWire {
     frame(out.toByteArray)
   }
 
-  /** Server-side decode of a framed ApiVersions v3 request. */
-  def decodeApiVersionsRequestV3(bytes: Array[Byte]): ApiVersionsRequest = {
+  /** Server-side decode at ANY client version. api_key, api_version,
+    * and correlation_id lead every request header version, so an
+    * UNRECOGNIZED version still yields the coordinates the KIP-511
+    * error answer needs — the one request a broker must never answer
+    * by dropping the connection, because version probing starts here. */
+  def decodeApiVersionsRequest(bytes: Array[Byte]): ApiVersionsRequest = {
     val buf = unframe(bytes)
     val apiKey = buf.getShort.toInt
     require(apiKey == ApiVersionsApiKey, s"api key $apiKey is not ApiVersions")
     val apiVersion = buf.getShort.toInt
     val correlationId = buf.getInt
-    val clientId = readNullableString(buf)
-    readTags(buf)
-    val name = readCompactString(buf)
-    val version = readCompactString(buf)
-    readTags(buf)
-    ApiVersionsRequest(apiVersion, correlationId, clientId, name, version)
+    if (apiVersion >= 0 && apiVersion < 3) {
+      val clientId = readNullableString(buf)
+      ApiVersionsRequest(apiVersion, correlationId, clientId, null, null)
+    } else if (apiVersion == 3) {
+      val clientId = readNullableString(buf)
+      readTags(buf)
+      val name = readCompactString(buf)
+      val version = readCompactString(buf)
+      readTags(buf)
+      ApiVersionsRequest(apiVersion, correlationId, clientId, name, version)
+    } else // future version: body shape unknown, coordinates suffice
+      ApiVersionsRequest(apiVersion, correlationId, null, null, null)
+  }
+
+  /** Server-side decode of a framed ApiVersions v3 request. */
+  def decodeApiVersionsRequestV3(bytes: Array[Byte]): ApiVersionsRequest = {
+    val req = decodeApiVersionsRequest(bytes)
+    require(req.apiVersion == 3,
+      s"unsupported ApiVersions version ${req.apiVersion}")
+    req
+  }
+
+  /** Server-side encode at any v0–v3. The response header is ALWAYS
+    * v0 (correlation only — the protocol special-cases ApiVersions so
+    * a client can parse ANY broker's answer). v0: error + array of
+    * (key, min, max) INT16 triplets; v1–v2 add trailing throttle;
+    * v3 goes compact with tag buffers. */
+  def encodeApiVersionsResponse(version: Int, correlationId: Int,
+      apiKeys: Seq[(Int, Int, Int)], errorCode: Int = 0): Array[Byte] = {
+    require(version >= 0 && version <= ApiVersionsMaxVersion,
+      s"unsupported ApiVersions version $version")
+    if (version == 3)
+      return encodeApiVersionsResponseV3(correlationId, apiKeys, errorCode)
+    val out = new ByteArrayOutputStream()
+    writeInt32(out, correlationId)
+    writeInt16(out, errorCode)
+    writeInt32(out, apiKeys.length)
+    apiKeys.foreach { case (key, min, max) =>
+      writeInt16(out, key); writeInt16(out, min); writeInt16(out, max)
+    }
+    if (version >= 1) writeInt32(out, 0) // throttle_time_ms
+    frame(out.toByteArray)
+  }
+
+  /** Client-side decode of a v0–v2 (non-flexible) response. */
+  def decodeApiVersionsResponsePreV3(version: Int,
+      bytes: Array[Byte]): ApiVersionsResponse = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val errorCode = buf.getShort.toInt
+    val keys = (0 until buf.getInt).map { _ =>
+      (buf.getShort.toInt, buf.getShort.toInt, buf.getShort.toInt)
+    }
+    val throttle = if (version >= 1) buf.getInt else 0
+    ApiVersionsResponse(correlationId, errorCode, keys, throttle)
   }
 
   /** Server-side encode of the framed ApiVersions v3 response. */
@@ -187,12 +261,23 @@ object KafkaWire {
 
   /** The full server exchange: framed request bytes in, framed
     * response bytes (for the given catalog) out — the Spark-native
-    * analog of the reference's connection handler dispatch. */
+    * analog of the reference's connection handler dispatch. A
+    * request at a version this broker doesn't know answers the
+    * KIP-511 fallback: a v0-SHAPED response with UNSUPPORTED_VERSION
+    * (35) carrying ApiVersions' own supported range, so the client
+    * re-probes at a version both sides speak instead of reading a
+    * dead socket. */
   def handleApiVersions(requestBytes: Array[Byte],
       catalog: Seq[(Int, String, Int, Int)]): Array[Byte] = {
-    val req = decodeApiVersionsRequestV3(requestBytes)
-    encodeApiVersionsResponseV3(req.correlationId,
-      catalog.map(t => (t._1, t._3, t._4)))
+    val req = decodeApiVersionsRequest(requestBytes)
+    if (req.apiVersion >= 0 && req.apiVersion <= ApiVersionsMaxVersion)
+      encodeApiVersionsResponse(req.apiVersion, req.correlationId,
+        catalog.map(t => (t._1, t._3, t._4)))
+    else
+      encodeApiVersionsResponse(0, req.correlationId,
+        catalog.collect { case (ApiVersionsApiKey, _, min, max) =>
+          (ApiVersionsApiKey, min, max) },
+        errorCode = 35)
   }
 
   // --- Metadata v0 (api_key 3, pre-flexible encoding) ---

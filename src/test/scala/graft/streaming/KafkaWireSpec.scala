@@ -90,6 +90,29 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(resp.apiKeys === keys)
   }
 
+  test("ApiVersions v0-v2: the pre-KIP-511 empty-body probe round-trips") {
+    for (v <- 0 to 2) {
+      val resp = decodeApiVersionsResponsePreV3(v, handleApiVersions(
+        encodeApiVersionsRequest(v, 11 + v, "old-cli"), Broker.WireApis))
+      assert(resp.correlationId === 11 + v)
+      assert(resp.errorCode === 0)
+      assert(resp.apiKeys === Broker.WireApis.map(t => (t._1, t._3, t._4)))
+    }
+  }
+
+  test("an unknown future version answers the KIP-511 v0-shaped error 35") {
+    // hand-built v9 request: only the leading (key, version,
+    // correlation) coordinates matter — the body shape is unknowable
+    val payload = Array[Byte](0, 18, 0, 9, 0, 0, 0, 99, -1, -1, 7, 7)
+    val frame = Array[Byte](0, 0, 0, payload.length.toByte) ++ payload
+    val resp =
+      decodeApiVersionsResponsePreV3(0, handleApiVersions(frame, Broker.WireApis))
+    assert(resp.correlationId === 99)
+    assert(resp.errorCode === 35)
+    // the answer carries ApiVersions' own supported range for re-probe
+    assert(resp.apiKeys === Seq((18, 0, 3)))
+  }
+
   // --- Metadata v0 ---
 
   /** Golden Metadata v0 request: correlationId=7, clientId="cli",

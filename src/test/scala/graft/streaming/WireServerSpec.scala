@@ -641,6 +641,38 @@ class WireServerSpec extends AnyFunSuite {
     }
   }
 
+  test("ApiVersions version probing: v0 probe, future-version 35, re-probe") {
+    val root = Files.createTempDirectory("graft-wireprobe").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // an old client opens with a v0 empty-body probe and gets the
+      // full dispatch catalog in the non-flexible shape
+      val r0 = decodeApiVersionsResponsePreV3(0, exchange(sock,
+        encodeApiVersionsRequest(0, 1, "old-cli")))
+      assert(r0.errorCode === 0)
+      assert(r0.apiKeys === Broker.WireApis.map(t => (t._1, t._3, t._4)))
+
+      // a FUTURE client probes at v9: the broker answers the KIP-511
+      // v0-shaped 35 naming its range instead of dropping the socket
+      val payload = Array[Byte](0, 18, 0, 9, 0, 0, 0, 2, -1, -1, 7, 7)
+      val r9 = decodeApiVersionsResponsePreV3(0, exchange(sock,
+        Array[Byte](0, 0, 0, payload.length.toByte) ++ payload))
+      assert(r9.errorCode === 35)
+      val (_, _, maxSupported) = r9.apiKeys.head
+      // ...and re-probes at the top of the advertised range — the
+      // SAME connection, which therefore had to survive the miss
+      val r3 = decodeApiVersionsResponseV3(exchange(sock,
+        encodeApiVersionsRequest(maxSupported, 3, "new-cli")))
+      assert(r3.errorCode === 0)
+      assert(r3.apiKeys.exists(_._1 === 18))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
   test("DeleteGroups removes offsets-only groups, refuses live ones") {
     val root = Files.createTempDirectory("graft-wiredelgrp").toString
     val broker = new Broker(spark, root)
