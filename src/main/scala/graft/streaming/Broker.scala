@@ -1030,9 +1030,20 @@ class Broker(spark: SparkSession, root: String) {
           ((name, p), lastStableOffset(name, p, hw))
         }
       }.toMap
+    // a topic's `compression.type` override picks its serving codec
+    // (v4+ magic-2 only); "producer" — the default — falls through to
+    // the broker-level knob ("as produced" has no meaning here: graft
+    // re-encodes from the columnar log at fetch time)
+    val codecByTopic: Map[String, Int] =
+      if (req.version < 4) Map.empty
+      else out.flatMap { case (name, _) =>
+        TopicLog.configOverrides(root, name).get("compression.type")
+          .flatMap(Broker.CompressionTypes.get).filter(_ >= 0)
+          .map(name -> _)
+      }.toMap
     encodeFetchResponse(req.version, req.correlationId, out, 0, sessionId,
       if (req.version >= 4) fetchCompression else KafkaWire.CompressionNone,
-      lsoMap)
+      lsoMap, codecByTopic)
   }
 
   /** Codec for v4+ fetch-response batches (none by default; gzip is
@@ -1236,6 +1247,12 @@ class Broker(spark: SparkSession, root: String) {
       case (n, v) if numeric.contains(n) && v != null &&
           scala.util.Try(v.trim.toLong).isFailure =>
         s"invalid value '$v' for numeric config '$n'"
+      case ("compression.type", v)
+          if v != null && !Broker.CompressionTypes.contains(v.trim) =>
+        s"invalid value '$v' for config 'compression.type'"
+      case ("cleanup.policy", v) if v != null &&
+          v.split(",", -1).map(_.trim).exists(p => p != "delete" && p != "compact") =>
+        s"invalid value '$v' for config 'cleanup.policy'"
       case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>
         s"unsupported characters in value of '$n'"
     }.orNull
@@ -1322,6 +1339,17 @@ class Broker(spark: SparkSession, root: String) {
           (name, ret)
         }
     }
+
+  /** Enforce `cleanup.policy`: compact every topic whose policy names
+    * "compact" — the log-cleaner behavior, explicit-invocation by
+    * design like [[applyRetention]] (no background threads, and
+    * TopicLog.compact's no-concurrent-producer maintenance contract
+    * is the caller's to schedule). Returns the compacted topics. */
+  def applyCompaction(): Seq[String] =
+    listTopics().filter { name =>
+      TopicLog.configOverrides(root, name).get("cleanup.policy")
+        .exists(_.split(",").map(_.trim).contains("compact"))
+    }.map { name => topic(name).compact(); name }
 
   /** CreatePartitions v0–v3: grow a topic's partition count — what
     * kafka-topics.sh --alter --partitions N sends. Kafka semantics
@@ -1743,6 +1771,16 @@ object Broker {
     (60, "DescribeCluster", 0, 0))
 
   val DefaultMaxMessageBytes: Int = 64 * 1024 * 1024
+
+  /** The `compression.type` value set, mapped to wire codec ids;
+    * "producer" (−1) defers to the broker-level serving knob. */
+  val CompressionTypes: Map[String, Int] = Map(
+    "producer" -> -1,
+    "uncompressed" -> KafkaWire.CompressionNone,
+    "gzip" -> KafkaWire.CompressionGzip,
+    "snappy" -> KafkaWire.CompressionSnappy,
+    "lz4" -> KafkaWire.CompressionLz4,
+    "zstd" -> KafkaWire.CompressionZstd)
 
   /** The topic config surface DescribeConfigs serves and the alter
     * APIs accept: (name, default). Overrides live in `_config.json`;

@@ -1387,7 +1387,10 @@ object KafkaWire {
       compression: Int = CompressionNone,
       /** Per-partition last stable offset where it trails the high
         * watermark (open transactions); defaults to hw. */
-      lso: Map[(String, Int), Long] = Map.empty): Array[Byte] = {
+      lso: Map[(String, Int), Long] = Map.empty,
+      /** Per-topic codec override (a topic's `compression.type`
+        * config); topics absent here serve at `compression`. */
+      compressionByTopic: Map[String, Int] = Map.empty): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
@@ -1421,7 +1424,7 @@ object KafkaWire {
             // message sets would need the nested-wrapper form no
             // modern client expects back
             encodeRecordBatchV2WithOffsets(records.head._2.timestampMs,
-              records, compression)
+              records, compressionByTopic.getOrElse(name, compression))
           else encodeMessageSetV0(
             records.map { case (off, rec) => (off, WireRecord(rec.key, rec.value)) })
         w.bytes(payload)

@@ -519,13 +519,61 @@ class WireServerSpec extends AnyFunSuite {
       assert(broker.topic("cfg").read().count() === 2)
 
       // a non-numeric value for a numeric config answers 40 before
-      // any enforcement hook can meet it
+      // any enforcement hook can meet it — as do enum values outside
+      // the compression.type / cleanup.policy sets
       val (_, nres) = decodeAlterConfigsResponse(2, exchange(sock,
         encodeAlterConfigsRequest(2, 111, "adm",
           Seq((ConfigResourceTopic, "cfg",
             Seq("retention.ms" -> "sixty-seconds"))))))
       assert(nres.head._1 === 40)
       assert(describe()("retention.ms") === (("60000", true)))
+      val (_, bres) = decodeAlterConfigsResponse(2, exchange(sock,
+        encodeAlterConfigsRequest(2, 112, "adm", Seq(
+          (ConfigResourceTopic, "cfg", Seq("compression.type" -> "brotli"))))))
+      assert(bres.head._1 === 40)
+      val (_, b2res) = decodeAlterConfigsResponse(2, exchange(sock,
+        encodeAlterConfigsRequest(2, 113, "adm", Seq(
+          (ConfigResourceTopic, "cfg", Seq("cleanup.policy" -> "compact,forever"))))))
+      assert(b2res.head._1 === 40)
+
+      // compression.type picks the topic's SERVING codec: after the
+      // override, the raw fetch payload really carries a gzip batch
+      // (deflate magic in the record path) and decodes to the same
+      // records
+      val (_, cset) = decodeIncrementalAlterConfigsResponse(1, exchange(sock,
+        encodeIncrementalAlterConfigsRequest(1, 114, "adm",
+          Seq((ConfigResourceTopic, "cfg",
+            Seq(("compression.type", 0, "gzip")))))))
+      assert(cset.head._1 === 0)
+      val rawFetch = exchange(sock, encodeFetchRequest(12, 115, "adm",
+        100, 1, 1 << 20, Seq(("cfg", Seq((0, 0L, 1 << 20))))))
+      assert(rawFetch.sliding(2).exists(w =>
+        w(0) == 0x1f.toByte && w(1) == 0x8b.toByte), "gzip magic present")
+      val (_, gzTopics) = decodeFetchResponse(12, rawFetch)
+      assert(gzTopics.head._2.head._4.map(r =>
+        new String(r._2.value, "UTF-8")) === Seq("fresh", "z"))
+
+      // cleanup.policy=compact gains the enforcement hook: duplicate
+      // keys compact away on applyCompaction
+      broker.createTopic("cmp", 1)
+      def krec(k: String, v: String) =
+        WireRecordV2(-1L, k.getBytes("UTF-8"), v.getBytes("UTF-8"))
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 116, "adm", null, 1, 1000,
+          Seq(("cmp", Seq((0, ProducedBatch(-1L, -1, -1,
+            Seq(krec("k", "old"), krec("k2", "keep"), krec("k", "new"))))))))))
+      // (also DELETE cfg's earlier compact policy so the hook names
+      // exactly the one topic asking for compaction)
+      val (_, pset) = decodeIncrementalAlterConfigsResponse(1, exchange(sock,
+        encodeIncrementalAlterConfigsRequest(1, 117, "adm", Seq(
+          (ConfigResourceTopic, "cmp", Seq(("cleanup.policy", 0, "compact"))),
+          (ConfigResourceTopic, "cfg", Seq(("cleanup.policy", 1, null)))))))
+      assert(pset.map(_._1) === Seq(0, 0))
+      assert(broker.applyCompaction() === Seq("cmp"))
+      val kept = broker.topic("cmp").read().collect()
+        .map(r => (new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toMap
+      assert(kept === Map("k" -> "new", "k2" -> "keep"))
     } finally {
       sock.close()
       server.close()
