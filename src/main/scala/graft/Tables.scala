@@ -16,13 +16,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read nanos as long and convert to a µs timestamp (the
-    * data is µs-aligned — verified: no sub-µs bits at any SF). */
+  /** events.parquet's `ts` arrives in two physical vintages:
+    * TIMESTAMP(NANOS) (which Spark 4 rejects unless read as long —
+    * older driver testdata and ScaleTables output) and plain
+    * timestamp[us]. Normalize BOTH to µs TimestampType — the type
+    * every query and oracle has always seen (the nanos data is
+    * µs-aligned — verified: no sub-µs bits at any SF; the ntz→ltz
+    * cast is the identity on the stored micros under the UTC session
+    * timezone every entry point pins). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact sum of a double column: cast to decimal(18,4), sum
