@@ -22,7 +22,8 @@ object OraclesStreams {
         |  (28,'TxnOffsetCommit',0,3),(32,'DescribeConfigs',0,4),
         |  (33,'AlterConfigs',0,2),(37,'CreatePartitions',0,3),
         |  (44,'IncrementalAlterConfigs',0,1),(47,'OffsetDelete',0,0),
-        |  (60,'DescribeCluster',0,0))
+        |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
+        |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0))
         |  AS t(api_key, api_name, min_version, max_version)
         |ORDER BY api_key""".stripMargin,
 

@@ -795,6 +795,113 @@ class Broker(spark: SparkSession, root: String) {
     encodeTxnOffsetCommitResponse(req.version, req.correlationId, results)
   }
 
+  /** DescribeProducers (key 61, v0): the idempotence gate's
+    * bookkeeping made protocol-visible — per requested partition, the
+    * (pid, epoch, last sequence) states the broker remembers, plus
+    * the pid's open-transaction start offset when one exists (what
+    * `kafka-transactions.sh describe-producers` prints when hunting
+    * hanging transactions). Timestamps answer −1: the sequence store
+    * deliberately keeps no clock (SURVEY §4 — recency is structural
+    * in the LRU order, not a tracked quantity). */
+  def handleDescribeProducers(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, topics) = decodeDescribeProducersRequest(requestBytes)
+    val results = topics.map { case (name, parts) =>
+      val n = if (topicExists(name)) topic(name).numPartitions else -1
+      (name, parts.map { p =>
+        if (n < 0 || p < 0 || p >= n) (p, 3, Seq.empty[ActiveProducer])
+        else {
+          // sequence states first, then txn starts — the two locks
+          // never nest anywhere, keep it that way
+          val seqs = producerStates.synchronized {
+            producerStates.collect {
+              case ((pid, t, part), st) if t == name && part == p =>
+                (pid, st.epoch, st.lastSeq)
+            }.toSeq
+          }
+          val producers = txnLock.synchronized {
+            val opens = openTxnFirsts.getOrElse((name, p),
+              scala.collection.mutable.Map.empty[Long, Long])
+            val seqPids = seqs.map(_._1).toSet
+            // a transactional pid mid-produce may hold an open range
+            // before its first sequence state lands — surface it too
+            val txnOnly = opens.keys.filterNot(seqPids).map { pid =>
+              val epoch = txnIdByPid.get(pid).flatMap(txns.get)
+                .map(_.epoch).getOrElse(-1)
+              (pid, epoch, -1)
+            }.toSeq
+            (seqs ++ txnOnly).map { case (pid, epoch, lastSeq) =>
+              val coordBound = txnIdByPid.contains(pid)
+              ActiveProducer(pid, epoch, lastSeq, lastTimestamp = -1L,
+                coordinatorEpoch = if (coordBound) 0 else -1,
+                currentTxnStartOffset = opens.getOrElse(pid, -1L))
+            }
+          }
+          (p, 0, producers.sortBy(_.producerId))
+        }
+      })
+    }
+    encodeDescribeProducersResponse(correlationId, results)
+  }
+
+  /** The coordinator states this broker distinguishes, in Kafka's
+    * vocabulary: an initialized id with no open transaction is Empty,
+    * an open one Ongoing. The prepare/complete phases are atomic
+    * under txnLock here (no markers to write), so they are never
+    * observable — exactly like a coordinator between state flushes. */
+  private def txnStateName(st: Broker.TxnState): String =
+    if (st.open) "Ongoing" else "Empty"
+
+  /** DescribeTransactions (key 65, v0): named transactional ids →
+    * (state, pid, epoch, registered partitions). Unknown ids answer
+    * TRANSACTIONAL_ID_NOT_FOUND (105) per entry. The timeout echoes
+    * the protocol default — the coordinator accepts but does not
+    * enforce client timeouts (no background threads by design, §4);
+    * start time answers −1 (untracked, same clocklessness as above). */
+  def handleDescribeTransactions(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, ids) = decodeDescribeTransactionsRequest(requestBytes)
+    val states = txnLock.synchronized {
+      ids.map { id =>
+        txns.get(id) match {
+          case Some(st) =>
+            val topics = st.partitions.toSeq.groupBy(_._1).toSeq
+              .map { case (t, ps) => (t, ps.map(_._2).sorted) }
+              .sortBy(_._1)
+            DescribedTxn(0, id, txnStateName(st), timeoutMs = 60000,
+              startTimeMs = -1L, producerId = st.pid,
+              producerEpoch = st.epoch, topics = topics)
+          case None =>
+            DescribedTxn(105, id, "", 0, -1L, -1L, -1, Seq.empty)
+        }
+      }
+    }
+    encodeDescribeTransactionsResponse(correlationId, states)
+  }
+
+  /** ListTransactions (key 66, v0): enumerate the coordinator,
+    * optionally filtered by state name and producer id. Filter names
+    * outside Kafka's state vocabulary are echoed back in
+    * unknown_state_filters (matching nothing), per the protocol. */
+  def handleListTransactions(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, stateFilters, pidFilters) =
+      decodeListTransactionsRequest(requestBytes)
+    val known = Set("Empty", "Ongoing", "PrepareCommit", "PrepareAbort",
+      "CompleteCommit", "CompleteAbort", "Dead", "PrepareEpochFence")
+    val unknown = stateFilters.filterNot(known)
+    val wanted = stateFilters.filter(known).toSet
+    val all = txnLock.synchronized {
+      txns.toSeq.map { case (id, st) => (id, st.pid, txnStateName(st)) }
+    }
+    val filtered = all
+      .filter { case (_, _, s) => wanted.isEmpty || wanted(s) }
+      .filter { case (_, pid, _) =>
+        pidFilters.isEmpty || pidFilters.contains(pid) }
+      .sortBy(_._1)
+    encodeListTransactionsResponse(correlationId, unknown, filtered)
+  }
+
   // --- KIP-227 incremental fetch sessions (Fetch v7+): a
   // many-partition consumer registers its fetch state once (epoch 0
   // full fetch) and then sends only CHANGED partitions; the broker
@@ -1768,7 +1875,10 @@ object Broker {
     (37, "CreatePartitions", 0, 3),
     (44, "IncrementalAlterConfigs", 0, 1),
     (47, "OffsetDelete", 0, 0),
-    (60, "DescribeCluster", 0, 0))
+    (60, "DescribeCluster", 0, 0),
+    (61, "DescribeProducers", 0, 0),
+    (65, "DescribeTransactions", 0, 0),
+    (66, "ListTransactions", 0, 0))
 
   val DefaultMaxMessageBytes: Int = 64 * 1024 * 1024
 
@@ -1834,5 +1944,9 @@ object Broker {
     (44, "IncrementalAlterConfigs", 0,
       KafkaWire.IncrementalAlterConfigsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
-    (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion))
+    (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion),
+    (61, "DescribeProducers", 0, KafkaWire.DescribeProducersMaxVersion),
+    (65, "DescribeTransactions", 0,
+      KafkaWire.DescribeTransactionsMaxVersion),
+    (66, "ListTransactions", 0, KafkaWire.ListTransactionsMaxVersion))
 }

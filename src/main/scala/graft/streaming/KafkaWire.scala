@@ -3933,6 +3933,278 @@ object KafkaWire {
       : (Int, Seq[(String, Seq[(Int, Int)])]) =
     decodeAddPartitionsToTxnResponse(version, bytes) // identical layout
 
+  // --- Transaction/producer admin (DescribeProducers 61,
+  // DescribeTransactions 65, ListTransactions 66; all flexible from
+  // v0) — what `kafka-transactions.sh` and AdminClient's
+  // describeProducers/describeTransactions/listTransactions send to
+  // inspect idempotent-producer and transaction-coordinator state.
+  // DescribeProducers asks per (topic, partition) for the active
+  // producer states the partition remembers (the broker's sequence
+  // bookkeeping made visible); DescribeTransactions asks the
+  // coordinator for named transactional ids; ListTransactions
+  // enumerates the coordinator with optional state/pid filters. ---
+
+  val DescribeProducersApiKey = 61
+  val DescribeProducersMaxVersion = 0
+  val DescribeTransactionsApiKey = 65
+  val DescribeTransactionsMaxVersion = 0
+  val ListTransactionsApiKey = 66
+  val ListTransactionsMaxVersion = 0
+
+  def encodeDescribeProducersRequest(correlationId: Int, clientId: String,
+      topics: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeProducersApiKey, 0, correlationId, clientId,
+      flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach(w.i32)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, (topic, partitions)*). */
+  def decodeDescribeProducersRequest(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[Int])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeProducersApiKey,
+      "not a DescribeProducers request")
+    require(buf.getShort.toInt == 0, "unsupported DescribeProducers version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map(_ => r.i32())
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, topics.toSeq)
+  }
+
+  /** One remembered producer on one partition: (producerId, epoch,
+    * lastSequence, lastTimestamp, coordinatorEpoch,
+    * currentTxnStartOffset) — −1 for the quantities a field's source
+    * doesn't track, per the protocol's unknown sentinel. */
+  case class ActiveProducer(producerId: Long, epoch: Int, lastSequence: Int,
+    lastTimestamp: Long, coordinatorEpoch: Int, currentTxnStartOffset: Long)
+
+  /** topics = (name, (partition, errorCode, producers)*)*. */
+  def encodeDescribeProducersResponse(correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Int, Seq[ActiveProducer])])])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err, producers) =>
+        w.i32(p); w.i16(err); w.str(null) // error_message
+        w.count(producers.length)
+        producers.foreach { a =>
+          w.i64(a.producerId); w.i32(a.epoch); w.i32(a.lastSequence)
+          w.i64(a.lastTimestamp); w.i32(a.coordinatorEpoch)
+          w.i64(a.currentTxnStartOffset); w.tags()
+        }
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, (topic, (partition, errorCode, producers)*)*). */
+  def decodeDescribeProducersResponse(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, Seq[ActiveProducer])])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32(); val err = r.i16(); r.str() // error_message
+        val producers = (0 until r.count()).map { _ =>
+          val a = ActiveProducer(r.i64(), r.i32(), r.i32(), r.i64(), r.i32(),
+            r.i64())
+          r.tags(); a
+        }
+        r.tags()
+        (p, err, producers.toSeq)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, topics.toSeq)
+  }
+
+  def encodeDescribeTransactionsRequest(correlationId: Int, clientId: String,
+      transactionalIds: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeTransactionsApiKey, 0, correlationId, clientId,
+      flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(transactionalIds.length)
+    transactionalIds.foreach(w.str)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, transactionalIds). */
+  def decodeDescribeTransactionsRequest(bytes: Array[Byte])
+      : (Int, Seq[String]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeTransactionsApiKey,
+      "not a DescribeTransactions request")
+    require(buf.getShort.toInt == 0,
+      "unsupported DescribeTransactions version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val ids = (0 until r.count()).map(_ => r.str())
+    r.tags()
+    (correlationId, ids.toSeq)
+  }
+
+  /** One coordinator answer: (errorCode, transactionalId, state,
+    * timeoutMs, startTimeMs, producerId, producerEpoch,
+    * (topic, partitions)*). */
+  case class DescribedTxn(errorCode: Int, transactionalId: String,
+    state: String, timeoutMs: Int, startTimeMs: Long, producerId: Long,
+    producerEpoch: Int, topics: Seq[(String, Seq[Int])])
+
+  def encodeDescribeTransactionsResponse(correlationId: Int,
+      states: Seq[DescribedTxn]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.count(states.length)
+    states.foreach { s =>
+      w.i16(s.errorCode); w.str(s.transactionalId); w.str(s.state)
+      w.i32(s.timeoutMs); w.i64(s.startTimeMs); w.i64(s.producerId)
+      w.i16(s.producerEpoch)
+      w.count(s.topics.length)
+      s.topics.foreach { case (name, parts) =>
+        w.str(name)
+        w.count(parts.length)
+        parts.foreach(w.i32)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, states). */
+  def decodeDescribeTransactionsResponse(bytes: Array[Byte])
+      : (Int, Seq[DescribedTxn]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val states = (0 until r.count()).map { _ =>
+      val err = r.i16(); val id = r.str(); val state = r.str()
+      val timeout = r.i32(); val start = r.i64(); val pid = r.i64()
+      val epoch = r.i16()
+      val topics = (0 until r.count()).map { _ =>
+        val name = r.str()
+        val parts = (0 until r.count()).map(_ => r.i32())
+        r.tags()
+        (name, parts.toSeq)
+      }
+      r.tags()
+      DescribedTxn(err, id, state, timeout, start, pid, epoch, topics.toSeq)
+    }
+    r.tags()
+    (correlationId, states.toSeq)
+  }
+
+  def encodeListTransactionsRequest(correlationId: Int, clientId: String,
+      stateFilters: Seq[String] = Seq.empty,
+      producerIdFilters: Seq[Long] = Seq.empty): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ListTransactionsApiKey, 0, correlationId, clientId,
+      flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(stateFilters.length)
+    stateFilters.foreach(w.str)
+    w.count(producerIdFilters.length)
+    producerIdFilters.foreach(w.i64)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, stateFilters, producerIdFilters). */
+  def decodeListTransactionsRequest(bytes: Array[Byte])
+      : (Int, Seq[String], Seq[Long]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ListTransactionsApiKey,
+      "not a ListTransactions request")
+    require(buf.getShort.toInt == 0, "unsupported ListTransactions version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val stateFilters = (0 until r.count()).map(_ => r.str())
+    val pidFilters = (0 until r.count()).map(_ => r.i64())
+    r.tags()
+    (correlationId, stateFilters.toSeq, pidFilters.toSeq)
+  }
+
+  /** states = (transactionalId, producerId, state)*. */
+  def encodeListTransactionsResponse(correlationId: Int,
+      unknownStateFilters: Seq[String],
+      states: Seq[(String, Long, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(0) // error_code
+    w.count(unknownStateFilters.length)
+    unknownStateFilters.foreach(w.str)
+    w.count(states.length)
+    states.foreach { case (id, pid, state) =>
+      w.str(id); w.i64(pid); w.str(state); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, unknownStateFilters, states). */
+  def decodeListTransactionsResponse(bytes: Array[Byte])
+      : (Int, Seq[String], Seq[(String, Long, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    require(err == 0, s"ListTransactions error $err")
+    val unknown = (0 until r.count()).map(_ => r.str())
+    val states = (0 until r.count()).map { _ =>
+      val s = (r.str(), r.i64(), r.str()); r.tags(); s
+    }
+    r.tags()
+    (correlationId, unknown.toSeq, states.toSeq)
+  }
+
   // --- RecordBatch v2 (magic 2) — the modern record format ---
   // Layout per the public spec: baseOffset INT64, batchLength INT32
   // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,

@@ -126,6 +126,12 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
         broker.handleAddPartitionsToTxn(framed)
       case KafkaWire.EndTxnApiKey => broker.handleEndTxn(framed)
       case KafkaWire.TxnOffsetCommitApiKey => broker.handleTxnOffsetCommit(framed)
+      case KafkaWire.DescribeProducersApiKey =>
+        broker.handleDescribeProducers(framed)
+      case KafkaWire.DescribeTransactionsApiKey =>
+        broker.handleDescribeTransactions(framed)
+      case KafkaWire.ListTransactionsApiKey =>
+        broker.handleListTransactions(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }
