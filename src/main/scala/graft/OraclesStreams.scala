@@ -15,12 +15,14 @@ object OraclesStreams {
         |  (10,'FindCoordinator',0,4),
         |  (11,'JoinGroup',0,9),(12,'Heartbeat',0,4),(13,'LeaveGroup',0,5),
         |  (14,'SyncGroup',0,5),(15,'DescribeGroups',0,5),(16,'ListGroups',0,4),
+        |  (17,'SaslHandshake',0,1),
         |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,7),(20,'DeleteTopics',0,6),
         |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
         |  (23,'OffsetForLeaderEpoch',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(26,'EndTxn',0,3),
         |  (28,'TxnOffsetCommit',0,3),(32,'DescribeConfigs',0,4),
-        |  (33,'AlterConfigs',0,2),(37,'CreatePartitions',0,3),
+        |  (33,'AlterConfigs',0,2),(35,'DescribeLogDirs',0,0),
+        |  (36,'SaslAuthenticate',0,2),(37,'CreatePartitions',0,3),
         |  (44,'IncrementalAlterConfigs',0,1),(47,'OffsetDelete',0,0),
         |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
         |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0))

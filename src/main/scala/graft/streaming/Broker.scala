@@ -879,6 +879,28 @@ class Broker(spark: SparkSession, root: String) {
     encodeDescribeTransactionsResponse(correlationId, states)
   }
 
+  /** DescribeLogDirs (key 35, v0): per-partition on-disk bytes by log
+    * directory — `kafka-log-dirs.sh`'s RPC. One log dir (the broker
+    * root); sizes are manifest-listed bytes (what readers can reach);
+    * offset_lag 0 (a leader-only broker has no replica lag) and
+    * is_future false (no reassignment machinery). A null topics array
+    * describes every hosted partition; named unknown topics are
+    * omitted, matching the broker's hosted-partitions-only answer. */
+  def handleDescribeLogDirs(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, asked) = decodeDescribeLogDirsRequest(requestBytes)
+    val wanted: Seq[(String, Seq[Int])] =
+      if (asked == null) listTopics().sorted.map(t => (t, null))
+      else asked.filter { case (t, _) => topicExists(t) }
+    val topics = wanted.map { case (name, parts) =>
+      val sizes = topic(name).partitionSizes()
+      val ps = if (parts == null) sizes.keys.toSeq.sorted
+        else parts.filter(p => p >= 0 && p < topic(name).numPartitions)
+      (name, ps.map(p => (p, sizes.getOrElse(p, 0L), 0L, false)))
+    }
+    encodeDescribeLogDirsResponse(correlationId, Seq((0, root, topics)))
+  }
+
   /** ListTransactions (key 66, v0): enumerate the coordinator,
     * optionally filtered by state name and producer id. Filter names
     * outside Kafka's state vocabulary are echoed back in
@@ -1861,6 +1883,7 @@ object Broker {
     (14, "SyncGroup", 0, 5),
     (15, "DescribeGroups", 0, 5),
     (16, "ListGroups", 0, 4),
+    (17, "SaslHandshake", 0, 1),
     (18, "ApiVersions", 0, 3),
     (19, "CreateTopics", 0, 7),
     (20, "DeleteTopics", 0, 6),
@@ -1872,6 +1895,8 @@ object Broker {
     (28, "TxnOffsetCommit", 0, 3),
     (32, "DescribeConfigs", 0, 4),
     (33, "AlterConfigs", 0, 2),
+    (35, "DescribeLogDirs", 0, 0),
+    (36, "SaslAuthenticate", 0, 2),
     (37, "CreatePartitions", 0, 3),
     (44, "IncrementalAlterConfigs", 0, 1),
     (47, "OffsetDelete", 0, 0),
@@ -1928,6 +1953,7 @@ object Broker {
     (14, "SyncGroup", 0, KafkaWire.SyncGroupMaxVersion),
     (15, "DescribeGroups", 0, 0),
     (16, "ListGroups", 0, 0),
+    (17, "SaslHandshake", 0, KafkaWire.SaslHandshakeMaxVersion),
     (18, "ApiVersions", 0, KafkaWire.ApiVersionsMaxVersion),
     (19, "CreateTopics", 0, 0),
     (20, "DeleteTopics", 0, 0),
@@ -1939,6 +1965,8 @@ object Broker {
     (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),
     (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion),
     (33, "AlterConfigs", 0, KafkaWire.AlterConfigsMaxVersion),
+    (35, "DescribeLogDirs", 0, KafkaWire.DescribeLogDirsMaxVersion),
+    (36, "SaslAuthenticate", 0, KafkaWire.SaslAuthenticateMaxVersion),
     (37, "CreatePartitions", 0, KafkaWire.CreatePartitionsMaxVersion),
     (42, "DeleteGroups", 0, KafkaWire.DeleteGroupsMaxVersion),
     (44, "IncrementalAlterConfigs", 0,

@@ -4205,6 +4205,229 @@ object KafkaWire {
     (correlationId, unknown.toSeq, states.toSeq)
   }
 
+  // --- SASL authentication (SaslHandshake 17 v0–v1, SaslAuthenticate
+  // 36 v0–v2; handshake is non-flexible at every version, authenticate
+  // flexible at v2) — the first exchange on a SASL_PLAINTEXT listener.
+  // v0 handshake switches the connection to RAW length-framed SASL
+  // tokens (no Kafka headers — pre-KIP-152 clients); v1 carries
+  // tokens inside SaslAuthenticate requests, which is what every
+  // kafka-clients ≥ 1.0 sends. graft serves the PLAIN mechanism
+  // (RFC 4616: [authzid] NUL authcid NUL passwd) against a static
+  // credential map. ---
+
+  val SaslHandshakeApiKey = 17
+  val SaslHandshakeMaxVersion = 1
+  val SaslAuthenticateApiKey = 36
+  val SaslAuthenticateMaxVersion = 2
+
+  def encodeSaslHandshakeRequest(version: Int, correlationId: Int,
+      clientId: String, mechanism: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, SaslHandshakeApiKey, version, correlationId, clientId,
+      flexible = false)
+    writeNullableString(out, mechanism)
+    frame(out.toByteArray)
+  }
+
+  /** (version, correlationId, mechanism). */
+  def decodeSaslHandshakeRequest(bytes: Array[Byte]): (Int, Int, String) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == SaslHandshakeApiKey,
+      "not a SaslHandshake request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= SaslHandshakeMaxVersion,
+      s"unsupported SaslHandshake version $version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    (version, correlationId, readNullableString(buf))
+  }
+
+  def encodeSaslHandshakeResponse(correlationId: Int, errorCode: Int,
+      mechanisms: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = false)
+    writeInt16(out, errorCode)
+    writeInt32(out, mechanisms.length)
+    mechanisms.foreach(writeNullableString(out, _))
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, mechanisms). */
+  def decodeSaslHandshakeResponse(bytes: Array[Byte])
+      : (Int, Int, Seq[String]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    val err = buf.getShort.toInt
+    val mechanisms = (0 until buf.getInt).map(_ => readNullableString(buf))
+    (correlationId, err, mechanisms.toSeq)
+  }
+
+  def encodeSaslAuthenticateRequest(version: Int, correlationId: Int,
+      clientId: String, authBytes: Array[Byte]): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, SaslAuthenticateApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    w.bytes(authBytes)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (version, correlationId, authBytes). */
+  def decodeSaslAuthenticateRequest(bytes: Array[Byte])
+      : (Int, Int, Array[Byte]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == SaslAuthenticateApiKey,
+      "not a SaslAuthenticate request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= SaslAuthenticateMaxVersion,
+      s"unsupported SaslAuthenticate version $version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    val flexible = version >= 2
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val auth = r.bytes()
+    r.tags()
+    (version, correlationId, auth)
+  }
+
+  def encodeSaslAuthenticateResponse(version: Int, correlationId: Int,
+      errorCode: Int, errorMessage: String, authBytes: Array[Byte],
+      sessionLifetimeMs: Long = 0L): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.bytes(authBytes)
+    if (version >= 1) w.i64(sessionLifetimeMs)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, errorMessage, sessionLifetimeMs). */
+  def decodeSaslAuthenticateResponse(version: Int, bytes: Array[Byte])
+      : (Int, Int, String, Long) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val err = r.i16()
+    val msg = r.str()
+    r.bytes()
+    val lifetime = if (version >= 1) r.i64() else 0L
+    r.tags()
+    (correlationId, err, msg, lifetime)
+  }
+
+  /** Parse an RFC 4616 PLAIN token: [authzid] NUL authcid NUL passwd →
+    * Some((authcid, passwd)), or None for a malformed token. */
+  def parsePlainToken(token: Array[Byte]): Option[(String, String)] = {
+    val s = new String(token, "UTF-8")
+    s.split("\u0000", -1) match {
+      case Array(_, user, pass) if user.nonEmpty => Some((user, pass))
+      case _ => None
+    }
+  }
+
+  // --- DescribeLogDirs (key 35, v0) — what `kafka-log-dirs.sh`
+  // sends: per-partition on-disk byte sizes by log directory.
+  // Request: topics NULLABLE_ARRAY<[topic STRING, partitions
+  // ARRAY<INT32>]> (null = every hosted partition). Response:
+  // throttle, results ARRAY<[error INT16, log_dir STRING, topics
+  // ARRAY<[name STRING, partitions ARRAY<[partition INT32,
+  // size INT64, offset_lag INT64, is_future BOOL]>]>]>. ---
+
+  val DescribeLogDirsApiKey = 35
+  val DescribeLogDirsMaxVersion = 0
+
+  def encodeDescribeLogDirsRequest(correlationId: Int, clientId: String,
+      topics: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeLogDirsApiKey, 0, correlationId, clientId,
+      flexible = false)
+    if (topics == null) writeInt32(out, -1)
+    else {
+      writeInt32(out, topics.length)
+      topics.foreach { case (name, parts) =>
+        writeNullableString(out, name)
+        writeInt32(out, parts.length)
+        parts.foreach(writeInt32(out, _))
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, topics) — topics null = all. */
+  def decodeDescribeLogDirsRequest(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[Int])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeLogDirsApiKey,
+      "not a DescribeLogDirs request")
+    require(buf.getShort.toInt == 0, "unsupported DescribeLogDirs version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    val n = buf.getInt
+    val topics =
+      if (n < 0) null
+      else (0 until n).map { _ =>
+        val name = readNullableString(buf)
+        val parts = (0 until buf.getInt).map(_ => buf.getInt)
+        (name, parts.toSeq)
+      }.toSeq
+    (correlationId, topics)
+  }
+
+  /** dirs = (errorCode, logDir, (topic, (partition, size, offsetLag,
+    * isFuture)*)*)*. */
+  def encodeDescribeLogDirsResponse(correlationId: Int,
+      dirs: Seq[(Int, String, Seq[(String, Seq[(Int, Long, Long, Boolean)])])])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = false)
+    writeInt32(out, 0) // throttle_time_ms
+    writeInt32(out, dirs.length)
+    dirs.foreach { case (err, logDir, topics) =>
+      writeInt16(out, err)
+      writeNullableString(out, logDir)
+      writeInt32(out, topics.length)
+      topics.foreach { case (name, parts) =>
+        writeNullableString(out, name)
+        writeInt32(out, parts.length)
+        parts.foreach { case (p, size, lag, future) =>
+          writeInt32(out, p); writeInt64(out, size); writeInt64(out, lag)
+          out.write(if (future) 1 else 0)
+        }
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, dirs). */
+  def decodeDescribeLogDirsResponse(bytes: Array[Byte])
+      : (Int, Seq[(Int, String, Seq[(String, Seq[(Int, Long, Long, Boolean)])])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    buf.getInt // throttle
+    val dirs = (0 until buf.getInt).map { _ =>
+      val err = buf.getShort.toInt
+      val logDir = readNullableString(buf)
+      val topics = (0 until buf.getInt).map { _ =>
+        val name = readNullableString(buf)
+        val parts = (0 until buf.getInt).map { _ =>
+          (buf.getInt, buf.getLong, buf.getLong, buf.get() != 0)
+        }
+        (name, parts.toSeq)
+      }
+      (err, logDir, topics.toSeq)
+    }
+    (correlationId, dirs.toSeq)
+  }
+
   // --- RecordBatch v2 (magic 2) — the modern record format ---
   // Layout per the public spec: baseOffset INT64, batchLength INT32
   // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,

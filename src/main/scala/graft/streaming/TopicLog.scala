@@ -347,6 +347,24 @@ class TopicLog private (
       }.toMap
   }
 
+  /** On-disk bytes per partition (what DescribeLogDirs reports):
+    * manifest-listed files only, so the size readers can actually
+    * reach — uncommitted staging and orphans don't count, exactly as
+    * Kafka's log size excludes un-indexed segments. A file racing a
+    * concurrent vacuum reads as 0 rather than failing the listing. */
+  def partitionSizes(): Map[Int, Long] = {
+    val sized = currentManifest().map(_.files).getOrElse(Seq.empty)
+      .groupBy(_.takeWhile(_ != '/').stripPrefix("partition=").toInt)
+      .map { case (p, files) =>
+        p -> files.map { f =>
+          try Files.size(Paths.get(s"$dataDir/$f")) catch {
+            case _: java.io.IOException => 0L
+          }
+        }.sum
+      }
+    (0 until numPartitions).map(p => p -> sized.getOrElse(p, 0L)).toMap
+  }
+
   /** Next offset to be written, per partition (Kafka log-end offset).
     * Manifest ends when present; legacy offsets-file / data-scan
     * fallback otherwise. */

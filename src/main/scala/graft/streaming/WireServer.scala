@@ -18,7 +18,13 @@ import java.util.concurrent.Executors
   * is bounded by the driver, exactly like the single-broker
   * reference. Scale path is partition-parallel inside each request,
   * not connection count. */
-class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int = 0) {
+class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
+    port: Int = 0,
+    /** user → password; non-empty makes this a SASL_PLAINTEXT-style
+      * listener: every connection must complete a PLAIN handshake
+      * before any non-SASL key other than ApiVersions (the probe
+      * Kafka allows pre-auth so clients can negotiate versions). */
+    credentials: Map[String, String] = Map.empty) {
   private val server = new ServerSocket(port)
   @volatile private var running = true
   private val pool = Executors.newCachedThreadPool()
@@ -46,31 +52,97 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = sock.getOutputStream
+    // per-connection SASL state: an unsecured listener starts
+    // authenticated; a secured one walks handshake → token → open
+    var authenticated = credentials.isEmpty
+    var handshaken = false
+    // a v0 handshake switches the NEXT frame to a raw length-framed
+    // SASL token (pre-KIP-152 framing — no Kafka header on it)
+    var rawTokenNext = false
     try {
       var open = true
       while (running && open) {
         val size = in.readInt()
-        require(size > 0 && size <= 64 * 1024 * 1024, s"bad frame size $size")
+        require(size >= 0 && size <= 64 * 1024 * 1024, s"bad frame size $size")
         val payload = new Array[Byte](size)
         in.readFully(payload)
-        val framed = new Array[Byte](size + 4)
-        framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
-        framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
-        System.arraycopy(payload, 0, framed, 4, size)
-        val apiKey = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-        // A handler failure (undecodable request, unsupported key, a
-        // ConcurrentProduceException the caller should retry) fails
-        // only THIS connection, loudly: v0 has no error frame for a
-        // request that can't be decoded, so closing the socket is the
-        // protocol-visible signal — but the server and every other
-        // connection keep serving.
-        try {
-          out.write(dispatch(apiKey, framed))
-          out.flush()
-        } catch {
-          case e: Exception =>
-            System.err.println(s"graft WireServer request error (api_key $apiKey): $e")
-            open = false
+        if (rawTokenNext) {
+          // v0 token exchange has no error channel: success answers an
+          // empty server token, failure closes the connection — the
+          // signal pre-KIP-152 clients expect
+          if (evaluatePlain(payload)) {
+            authenticated = true
+            rawTokenNext = false
+            out.write(Array[Byte](0, 0, 0, 0))
+            out.flush()
+          } else open = false
+        } else {
+          require(size >= 2, s"bad frame size $size")
+          val framed = new Array[Byte](size + 4)
+          framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
+          framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
+          System.arraycopy(payload, 0, framed, 4, size)
+          val apiKey = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+          // A handler failure (undecodable request, unsupported key, a
+          // pre-auth request on a secured listener) fails only THIS
+          // connection, loudly: there is no error frame for a request
+          // that can't be decoded or routed, so closing the socket is
+          // the protocol-visible signal — but the server and every
+          // other connection keep serving.
+          try {
+            apiKey match {
+              case KafkaWire.SaslHandshakeApiKey =>
+                val (version, corr, mechanism) =
+                  KafkaWire.decodeSaslHandshakeRequest(framed)
+                val resp =
+                  if (authenticated) // unsecured listener or re-handshake
+                    KafkaWire.encodeSaslHandshakeResponse(corr, 34, Seq.empty)
+                  else if (mechanism != "PLAIN")
+                    KafkaWire.encodeSaslHandshakeResponse(corr, 33, Seq("PLAIN"))
+                  else {
+                    handshaken = true
+                    rawTokenNext = version == 0
+                    KafkaWire.encodeSaslHandshakeResponse(corr, 0, Seq("PLAIN"))
+                  }
+                out.write(resp); out.flush()
+              case KafkaWire.SaslAuthenticateApiKey =>
+                val (version, corr, token) =
+                  KafkaWire.decodeSaslAuthenticateRequest(framed)
+                if (authenticated || !handshaken) {
+                  // ILLEGAL_SASL_STATE: no handshake yet, or already done
+                  out.write(KafkaWire.encodeSaslAuthenticateResponse(version,
+                    corr, 34, "SaslAuthenticate out of order",
+                    Array.emptyByteArray))
+                  out.flush()
+                } else if (evaluatePlain(token)) {
+                  authenticated = true
+                  out.write(KafkaWire.encodeSaslAuthenticateResponse(version,
+                    corr, 0, null, Array.emptyByteArray))
+                  out.flush()
+                } else {
+                  // failed auth answers in-band, THEN closes — the
+                  // client sees why before the disconnect
+                  out.write(KafkaWire.encodeSaslAuthenticateResponse(version,
+                    corr, 58, "Authentication failed: invalid credentials",
+                    Array.emptyByteArray))
+                  out.flush()
+                  open = false
+                }
+              case KafkaWire.ApiVersionsApiKey =>
+                // allowed pre-auth: clients negotiate versions first
+                out.write(dispatch(apiKey, framed)); out.flush()
+              case _ if !authenticated =>
+                // Kafka kills pre-auth connections sending normal keys
+                throw new IllegalStateException(
+                  s"api_key $apiKey before SASL authentication")
+              case _ =>
+                out.write(dispatch(apiKey, framed)); out.flush()
+            }
+          } catch {
+            case e: Exception =>
+              System.err.println(s"graft WireServer request error (api_key $apiKey): $e")
+              open = false
+          }
         }
       }
     } catch {
@@ -80,6 +152,12 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
         System.err.println(s"graft WireServer connection error: $e")
     } finally sock.close()
   }
+
+  /** Check one RFC 4616 PLAIN token against the credential map. */
+  private def evaluatePlain(token: Array[Byte]): Boolean =
+    KafkaWire.parsePlainToken(token).exists { case (user, pass) =>
+      credentials.get(user).contains(pass)
+    }
 
   /** Route one framed request by api_key — the reference's dispatch
     * table (ref: pkg/kafka/kafka_api.go:85). */
@@ -132,6 +210,8 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1", port: Int
         broker.handleDescribeTransactions(framed)
       case KafkaWire.ListTransactionsApiKey =>
         broker.handleListTransactions(framed)
+      case KafkaWire.DescribeLogDirsApiKey =>
+        broker.handleDescribeLogDirs(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }
