@@ -229,6 +229,21 @@ object Oracles {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  MAX(l_extendedprice) AS max_price
         |FROM lineitem l JOIN b USING (l_returnflag)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the pure inequality join (DuckDB plans it as an IEJoin) — the
+    // engine's bucketed equi-join + residual must produce the SAME
+    // set, since bucketing is exact integer arithmetic
+    "q30_range_join" ->
+      """WITH ev AS (SELECT event_type, user_id, value, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |iv AS (SELECT event_type AS itype, user_id % 50 AS ub,
+        |         MIN(ts_us) AS lo, MIN(ts_us) + 600000000 AS hi
+        |       FROM ev GROUP BY 1, 2)
+        |SELECT itype, ub, lo, hi, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM iv JOIN ev e ON e.ts_us >= iv.lo AND e.ts_us < iv.hi
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY itype, ub""".stripMargin
   )
 }

@@ -480,6 +480,47 @@ object OraclesPipeline {
         |  CAST(round(exp(-slp / n_tokens), 2) <= 31.0 AS INTEGER) AS keep
         |FROM per ORDER BY doc_id""".stripMargin,
 
+    // BM25: the idf is ln-quantized at 1e-4 (the text_perplexity
+    // recipe); every other step is IEEE double arithmetic from
+    // integers in the same written association as the engine, so the
+    // scores agree bit-for-bit before the display rounding. Float
+    // constants that are inexact in binary (1.2, 2.2) only ever
+    // multiply DOUBLE operands — DuckDB's decimal literal then
+    // converts to the same nearest double Spark's literal is.
+    "text_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        |    CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(SUM(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_2,
+        |    CAST(SUM(CASE WHEN list_contains(toks, 'fast') THEN 1 ELSE 0 END) AS DOUBLE) AS df_3
+        |  FROM dl),
+        |tf AS (SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_1,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_2,
+        |    CAST(len(list_filter(toks, x -> x = 'fast')) AS DOUBLE) AS tf_3
+        |  FROM dl)
+        |SELECT doc_id, dl,
+        |  CAST(tf_0 AS BIGINT) AS tf_0, CAST(tf_1 AS BIGINT) AS tf_1,
+        |  CAST(tf_2 AS BIGINT) AS tf_2, CAST(tf_3 AS BIGINT) AS tf_3,
+        |  round(
+        |    round(ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0), 4)
+        |      * (tf_0 * 2.2) / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + round(ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0), 4)
+        |      * (tf_1 * 2.2) / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + round(ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0), 4)
+        |      * (tf_2 * 2.2) / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + round(ln((n_docs - df_3 + 0.5) / (df_3 + 0.5) + 1.0), 4)
+        |      * (tf_3 * 2.2) / (tf_3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+        |  4) AS score
+        |FROM tf, st
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
     // df counts DISTINCT docs per span string (the engine's hashed
     // distinct+count over 8-byte keys — identical absent xxhash64
     // collisions, vanishing at test scale); the engine's per-doc

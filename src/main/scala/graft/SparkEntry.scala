@@ -46,6 +46,7 @@ object SparkEntry {
     "q27_exact_distinct" -> Relational.q27ExactDistinct _,
     "q28_bloom_semi_join" -> Relational.q28BloomSemiJoin _,
     "q29_quantile_bucket" -> Relational.q29QuantileBucket _,
+    "q30_range_join" -> Relational.q30RangeJoin _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -73,6 +74,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextAnalysis.textPiiScrub _,
     "text_repetition" -> TextAnalysis.textRepetition _,
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
+    "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
     // §2c deduplication
     "dedup_exact" -> Dedup.dedupExact _,
     "dedup_exact_normalized" -> Dedup.dedupExactNormalized _,

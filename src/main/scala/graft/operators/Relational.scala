@@ -495,4 +495,42 @@ object Relational {
         max("l_extendedprice").as("max_price"))
       .orderBy("l_returnflag", "bucket")
   }
+
+  /** q30: interval (range) join — the band-join operator Spark's
+    * equi-join machinery doesn't cover natively (a bare
+    * `ts BETWEEN lo AND hi` condition plans as BroadcastNestedLoop,
+    * which dies when neither side broadcasts). The 100-TB shape is
+    * BUCKETED: pick a bucket width W on the order of the interval
+    * length, key events by `floor(ts/W)`, explode each interval into
+    * the ≤ ⌈len/W⌉+1 buckets it touches, equi-join on the bucket key,
+    * and keep the residual range predicate. Both sides shuffle
+    * hash-partitioned on bucket — no broadcast requirement, no
+    * nested loop; candidate volume is Σ_b |events_b|·|intervals_b|,
+    * linear in the true overlap when intervals are bounded per
+    * bucket. An event owns exactly ONE bucket, so no post-join dedup.
+    *
+    * The query: per (event_type, user-bucket) "first 10 minutes of
+    * observed activity" windows, joined against the FULL event
+    * stream — which events of any type landed inside each window. */
+  def q30RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 10L * 60 * 1000 * 1000 // bucket width = interval length, µs
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val intervals = ev
+      .groupBy(col("event_type").as("itype"),
+        pmod(col("user_id"), lit(50L)).as("ub"))
+      .agg(min(col("ts_us")).as("lo"))
+      .withColumn("hi", col("lo") + W)
+    // integer DIV, not floor(double /): µs values near 2^53/W bucket
+    // boundaries must never round across them
+    val left = ev.withColumn("bucket", expr(s"ts_us DIV ${W}L"))
+    val right = intervals.withColumn("bucket",
+      explode(sequence(expr(s"lo DIV ${W}L"), expr(s"(hi - 1) DIV ${W}L"))))
+    left.join(right, Seq("bucket"))
+      .where(col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+      .groupBy("itype", "ub", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("itype", "ub")
+  }
 }

@@ -178,6 +178,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 top-k relevance search (Robertson/Spärck Jones; the lexical
+    * ranking function behind Lucene/Elasticsearch defaults): score
+    * every document against a fixed term query, keep the k best.
+    *
+    * 100-TB shape: ONE bounded aggregate computes the corpus stats
+    * (N, total tokens, per-term document frequencies — a single row,
+    * broadcast back), then scoring is pure map-side arithmetic over
+    * each doc's token array (tf via `filter`+`size` on the already-
+    * split array — codegen'd, no explode, no token shuffle), and the
+    * top-k lands via TakeOrderedAndProject, never a global sort.
+    *
+    * Cross-engine determinism: the only transcendental is each
+    * term's idf — ln quantized at 1e-4 (the [[textPerplexity]]
+    * recipe); everything downstream is IEEE-exact double arithmetic
+    * from integers in a FIXED written order (the per-term sum is
+    * unrolled, not aggregated), so Spark and the oracle agree
+    * bit-for-bit before the final display rounding. */
+  def textBm25TopK(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("spark", "join", "window", "fast"),
+      k: Int = 20): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl")) ++
+      query.zipWithIndex.map { case (term, i) =>
+        count(when(array_contains(col("toks"), term), 1))
+          .cast("double").as(s"df_$i")
+      }
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+    val withTf = query.zipWithIndex.foldLeft(scored) { case (df, (term, i)) =>
+      df.withColumn(s"tf_$i",
+        size(filter(col("toks"), x => x === lit(term))).cast("double"))
+    }
+    // (1 − b) + b·dl/avgdl — written in the exact association the
+    // oracle SQL spells, so constant folding lands on the same bits
+    val norm = lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")
+    val termScores = query.indices.map { i =>
+      val idf = round(
+        log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5)) + lit(1.0)), 4)
+      idf * (col(s"tf_$i") * lit(k1 + 1.0)) /
+        (col(s"tf_$i") + lit(k1) * norm)
+    }
+    // fixed left-to-right association — the oracle spells the same order
+    val score = termScores.reduceLeft(_ + _)
+    withTf
+      .select(col("doc_id") +: col("dl") +:
+        query.indices.map(i => col(s"tf_$i").cast("long").as(s"tf_$i")) :+
+        round(score, 4).as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   private val denyRe = "\\b(customer|supplier|order)\\b"
