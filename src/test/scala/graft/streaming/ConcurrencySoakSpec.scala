@@ -85,14 +85,28 @@ class ConcurrencySoakSpec extends AnyFunSuite {
               30000, Seq(("soak", Seq((p, ProducedBatch(pid, epoch,
                 b * recsPerBatch, recs))))))
             corr += 1
-            val (_, first) = decodeProduceResponse(9, exchange(sock, req))
+            // REQUEST_TIMED_OUT (7) is the broker's honest answer when
+            // CAS contention outlasts the request timeout (a loaded
+            // box); a real client retries the same bytes — and the
+            // idempotence gate must make that retry safe, which is the
+            // very property under test
+            def produceUntilAcked(): Seq[(String, Seq[(Int, Int, Long)])] = {
+              var res = decodeProduceResponse(9, exchange(sock, req))._2
+              var attempts = 1
+              while (res.head._2.head._2 == 7 && attempts < 5) {
+                res = decodeProduceResponse(9, exchange(sock, req))._2
+                attempts += 1
+              }
+              res
+            }
+            val first = produceUntilAcked()
             val (fp, fe, foff) = first.head._2.head
             assert(fp === p); assert(fe === 0, s"thread $i batch $b errored $fe")
             assert(foff > lastAck, "acked offsets advance per pid")
             lastAck = foff
             // network-level retry of the SAME bytes — possibly long
             // after other pids appended behind it
-            val (_, second) = decodeProduceResponse(9, exchange(sock, req))
+            val second = produceUntilAcked()
             val (_, se, soff) = second.head._2.head
             assert(se === 0, s"thread $i batch $b retry errored $se")
             assert(soff === foff,
