@@ -57,6 +57,20 @@ class SaslLogDirsSpec extends AnyFunSuite {
     assert(parsePlainToken(Array.emptyByteArray) === None)
   }
 
+  test("SaslHandshake v1 request matches the hand-laid golden frame") {
+    // header v1 (non-flexible): api_key 17, version 1, corr 3,
+    // client "c"; body: string "PLAIN"
+    val golden = Array[Int](
+      0x00, 0x00, 0x00, 0x12, // frame size 18
+      0x00, 0x11, // api_key 17
+      0x00, 0x01, // version 1
+      0x00, 0x00, 0x00, 0x03, // correlation id 3
+      0x00, 0x01, 0x63, // client id "c"
+      0x00, 0x05, 0x50, 0x4c, 0x41, 0x49, 0x4e // "PLAIN"
+    ).map(_.toByte)
+    assert(encodeSaslHandshakeRequest(1, 3, "c", "PLAIN") === golden)
+  }
+
   test("codec round-trips: handshake v0/v1, authenticate v0/v2") {
     for (v <- Seq(0, 1)) {
       val (hv, hc, mech) = decodeSaslHandshakeRequest(

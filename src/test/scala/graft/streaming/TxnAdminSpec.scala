@@ -35,6 +35,25 @@ class TxnAdminSpec extends AnyFunSuite {
   private def rec(s: String) =
     WireRecordV2(1700000000000L, s"k-$s".getBytes("UTF-8"), s.getBytes("UTF-8"))
 
+  test("DescribeTransactions request matches the hand-laid golden frame") {
+    // header v2 (flexible): api_key 65, version 0, corr 7, client "c",
+    // empty tags; body: compact array [1 entry] of compact string
+    // "app-1", empty tags
+    val golden = Array[Int](
+      0x00, 0x00, 0x00, 0x14, // frame size 20
+      0x00, 0x41, // api_key 65
+      0x00, 0x00, // version 0
+      0x00, 0x00, 0x00, 0x07, // correlation id 7
+      0x00, 0x01, 0x63, // client id "c" (legacy nullable string)
+      0x00, // header tags
+      0x02, // compact array length 1 (+1)
+      0x06, 0x61, 0x70, 0x70, 0x2d, 0x31, // compact string "app-1"
+      0x00 // body tags
+    ).map(_.toByte)
+    assert(encodeDescribeTransactionsRequest(7, "c", Seq("app-1"))
+      === golden)
+  }
+
   test("codec round-trips for all three admin keys") {
     val (dpc, dpt) = decodeDescribeProducersRequest(
       encodeDescribeProducersRequest(7, "cli", Seq(("a", Seq(0, 2)), ("b", Seq(1)))))
