@@ -20,10 +20,15 @@ object OraclesStreams {
         |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
         |  (23,'OffsetForLeaderEpoch',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(26,'EndTxn',0,3),
-        |  (28,'TxnOffsetCommit',0,3),(32,'DescribeConfigs',0,4),
+        |  (28,'TxnOffsetCommit',0,3),(29,'DescribeAcls',0,0),
+        |  (30,'CreateAcls',0,0),(31,'DeleteAcls',0,0),
+        |  (32,'DescribeConfigs',0,4),
         |  (33,'AlterConfigs',0,2),(35,'DescribeLogDirs',0,0),
         |  (36,'SaslAuthenticate',0,2),(37,'CreatePartitions',0,3),
-        |  (44,'IncrementalAlterConfigs',0,1),(47,'OffsetDelete',0,0),
+        |  (42,'DeleteGroups',0,2),(43,'ElectLeaders',0,0),
+        |  (44,'IncrementalAlterConfigs',0,1),
+        |  (45,'AlterPartitionReassignments',0,0),
+        |  (46,'ListPartitionReassignments',0,0),(47,'OffsetDelete',0,0),
         |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
         |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0))
         |  AS t(api_key, api_name, min_version, max_version)

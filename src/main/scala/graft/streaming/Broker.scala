@@ -924,6 +924,85 @@ class Broker(spark: SparkSession, root: String) {
     encodeListTransactionsResponse(correlationId, unknown, filtered)
   }
 
+  /** ACL surface (keys 29/30/31, v0): graft authenticates (SASL) but
+    * has no authorizer — §4 delegates authorization — so every ACL
+    * request answers SECURITY_DISABLED (54) with the message a
+    * vanilla no-authorizer Kafka broker gives. `kafka-acls.sh` gets a
+    * clean protocol answer where a dropped connection used to be. */
+  def handleDescribeAcls(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    encodeDescribeAclsResponse(decodeDescribeAclsRequest(requestBytes),
+      54, NoAuthorizerMessage)
+  }
+
+  def handleCreateAcls(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, n) = decodeCreateAclsRequest(requestBytes)
+    encodeCreateAclsResponse(correlationId,
+      Seq.fill(n)((54, NoAuthorizerMessage)))
+  }
+
+  def handleDeleteAcls(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, n) = decodeDeleteAclsRequest(requestBytes)
+    encodeDeleteAclsResponse(correlationId,
+      Seq.fill(n)((54, NoAuthorizerMessage)))
+  }
+
+  /** ElectLeaders (key 43, v0): on a single-broker cluster every
+    * partition's leader is already this broker — named partitions
+    * answer ELECTION_NOT_NEEDED (84), unknown ones 3, and the null
+    * "wherever needed" form answers the empty set (nothing needs an
+    * election, Kafka's own shape for a no-op run). */
+  def handleElectLeaders(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, topics) = decodeElectLeadersRequest(requestBytes)
+    val results =
+      if (topics == null) Seq.empty
+      else topics.map { case (name, parts) =>
+        val n = if (topicExists(name)) topic(name).numPartitions else -1
+        (name, parts.map { p =>
+          if (n < 0 || p < 0 || p >= n)
+            (p, 3, "unknown topic or partition")
+          else (p, 84, "Leader election not needed")
+        })
+      }
+    encodeElectLeadersResponse(correlationId, results)
+  }
+
+  /** AlterPartitionReassignments (key 45, v0): a reassignment to
+    * exactly [0] is vacuously complete (0 — the replica already
+    * lives here), any other target names brokers that don't exist
+    * (INVALID_REPLICA_ASSIGNMENT 39), and cancellations find nothing
+    * in progress (85). Unknown topics/partitions answer 3. */
+  def handleAlterPartitionReassignments(requestBytes: Array[Byte])
+      : Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, topics) =
+      decodeAlterPartitionReassignmentsRequest(requestBytes)
+    val results = topics.map { case (name, parts) =>
+      val n = if (topicExists(name)) topic(name).numPartitions else -1
+      (name, parts.map { case (p, replicas) =>
+        if (n < 0 || p < 0 || p >= n)
+          (p, 3, "unknown topic or partition")
+        else if (replicas == null)
+          (p, 85, "No reassignment is in progress")
+        else if (replicas == Seq(0)) (p, 0, null: String)
+        else (p, 39, s"unknown brokers: ${replicas.filter(_ != 0).mkString(",")}")
+      })
+    }
+    encodeAlterPartitionReassignmentsResponse(correlationId, results)
+  }
+
+  /** ListPartitionReassignments (key 46, v0): always empty — nothing
+    * is ever in flight on a broker with nowhere to move replicas. */
+  def handleListPartitionReassignments(requestBytes: Array[Byte])
+      : Array[Byte] = {
+    import KafkaWire._
+    encodeListPartitionReassignmentsResponse(
+      decodeListPartitionReassignmentsRequest(requestBytes))
+  }
+
   // --- KIP-227 incremental fetch sessions (Fetch v7+): a
   // many-partition consumer registers its fetch state once (epoch 0
   // full fetch) and then sends only CHANGED partitions; the broker
@@ -1893,12 +1972,19 @@ object Broker {
     (24, "AddPartitionsToTxn", 0, 3),
     (26, "EndTxn", 0, 3),
     (28, "TxnOffsetCommit", 0, 3),
+    (29, "DescribeAcls", 0, 0),
+    (30, "CreateAcls", 0, 0),
+    (31, "DeleteAcls", 0, 0),
     (32, "DescribeConfigs", 0, 4),
     (33, "AlterConfigs", 0, 2),
     (35, "DescribeLogDirs", 0, 0),
     (36, "SaslAuthenticate", 0, 2),
     (37, "CreatePartitions", 0, 3),
+    (42, "DeleteGroups", 0, 2),
+    (43, "ElectLeaders", 0, 0),
     (44, "IncrementalAlterConfigs", 0, 1),
+    (45, "AlterPartitionReassignments", 0, 0),
+    (46, "ListPartitionReassignments", 0, 0),
     (47, "OffsetDelete", 0, 0),
     (60, "DescribeCluster", 0, 0),
     (61, "DescribeProducers", 0, 0),
@@ -1963,14 +2049,22 @@ object Broker {
     (24, "AddPartitionsToTxn", 0, KafkaWire.AddPartitionsToTxnMaxVersion),
     (26, "EndTxn", 0, KafkaWire.EndTxnMaxVersion),
     (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),
+    (29, "DescribeAcls", 0, 0),
+    (30, "CreateAcls", 0, 0),
+    (31, "DeleteAcls", 0, 0),
     (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion),
     (33, "AlterConfigs", 0, KafkaWire.AlterConfigsMaxVersion),
     (35, "DescribeLogDirs", 0, KafkaWire.DescribeLogDirsMaxVersion),
     (36, "SaslAuthenticate", 0, KafkaWire.SaslAuthenticateMaxVersion),
     (37, "CreatePartitions", 0, KafkaWire.CreatePartitionsMaxVersion),
     (42, "DeleteGroups", 0, KafkaWire.DeleteGroupsMaxVersion),
+    (43, "ElectLeaders", 0, KafkaWire.ElectLeadersMaxVersion),
     (44, "IncrementalAlterConfigs", 0,
       KafkaWire.IncrementalAlterConfigsMaxVersion),
+    (45, "AlterPartitionReassignments", 0,
+      KafkaWire.AlterPartitionReassignmentsMaxVersion),
+    (46, "ListPartitionReassignments", 0,
+      KafkaWire.ListPartitionReassignmentsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
     (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion),
     (61, "DescribeProducers", 0, KafkaWire.DescribeProducersMaxVersion),

@@ -4428,6 +4428,452 @@ object KafkaWire {
     (correlationId, dirs.toSeq)
   }
 
+  // --- ACL surface (DescribeAcls 29, CreateAcls 30, DeleteAcls 31;
+  // v0, non-flexible) — what kafka-acls.sh sends. graft has no
+  // authorizer (SASL authenticates, §4 delegates authorization), so
+  // every ACL request answers SECURITY_DISABLED (54) with the same
+  // message a vanilla no-authorizer Kafka broker gives — a clean
+  // protocol answer where a dropped connection used to be. ---
+
+  val DescribeAclsApiKey = 29
+  val CreateAclsApiKey = 30
+  val DeleteAclsApiKey = 31
+  val NoAuthorizerMessage = "No Authorizer is configured on the broker"
+
+  /** DescribeAcls v0 request: the filter fields (resource_type INT8,
+    * resource_name NSTRING, principal NSTRING, host NSTRING,
+    * operation INT8, permission INT8) — decoded for framing
+    * correctness, unused (the answer is 54 regardless). */
+  def encodeDescribeAclsRequest(correlationId: Int, clientId: String)
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeAclsApiKey, 0, correlationId, clientId,
+      flexible = false)
+    out.write(1) // resource_type ANY
+    writeNullableString(out, null)
+    writeNullableString(out, null)
+    writeNullableString(out, null)
+    out.write(1) // operation ANY
+    out.write(1) // permission ANY
+    frame(out.toByteArray)
+  }
+
+  /** correlationId. */
+  def decodeDescribeAclsRequest(bytes: Array[Byte]): Int = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeAclsApiKey,
+      "not a DescribeAcls request")
+    require(buf.getShort.toInt == 0, "unsupported DescribeAcls version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    buf.get() // resource_type
+    readNullableString(buf); readNullableString(buf); readNullableString(buf)
+    buf.get(); buf.get() // operation, permission
+    correlationId
+  }
+
+  /** v0: throttle, error, error_message, resources (empty). */
+  def encodeDescribeAclsResponse(correlationId: Int, errorCode: Int,
+      errorMessage: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = false)
+    writeInt32(out, 0) // throttle_time_ms
+    writeInt16(out, errorCode)
+    writeNullableString(out, errorMessage)
+    writeInt32(out, 0) // resources
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, errorMessage). */
+  def decodeDescribeAclsResponse(bytes: Array[Byte]): (Int, Int, String) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    buf.getInt // throttle
+    val err = buf.getShort.toInt
+    val msg = readNullableString(buf)
+    (correlationId, err, msg)
+  }
+
+  def encodeCreateAclsRequest(correlationId: Int, clientId: String,
+      nCreations: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, CreateAclsApiKey, 0, correlationId, clientId,
+      flexible = false)
+    writeInt32(out, nCreations)
+    (0 until nCreations).foreach { _ =>
+      out.write(2) // resource_type TOPIC
+      writeNullableString(out, "t")
+      writeNullableString(out, "User:alice")
+      writeNullableString(out, "*")
+      out.write(3); out.write(3) // operation READ, permission ALLOW
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, creation count). */
+  def decodeCreateAclsRequest(bytes: Array[Byte]): (Int, Int) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == CreateAclsApiKey, "not a CreateAcls request")
+    require(buf.getShort.toInt == 0, "unsupported CreateAcls version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    val n = buf.getInt
+    (0 until n).foreach { _ =>
+      buf.get()
+      readNullableString(buf); readNullableString(buf); readNullableString(buf)
+      buf.get(); buf.get()
+    }
+    (correlationId, n)
+  }
+
+  /** v0: throttle, results (error, error_message) per creation. */
+  def encodeCreateAclsResponse(correlationId: Int,
+      results: Seq[(Int, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = false)
+    writeInt32(out, 0)
+    writeInt32(out, results.length)
+    results.foreach { case (err, msg) =>
+      writeInt16(out, err); writeNullableString(out, msg)
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, (error, message)*). */
+  def decodeCreateAclsResponse(bytes: Array[Byte])
+      : (Int, Seq[(Int, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    buf.getInt // throttle
+    val results = (0 until buf.getInt).map { _ =>
+      (buf.getShort.toInt, readNullableString(buf))
+    }
+    (correlationId, results.toSeq)
+  }
+
+  def encodeDeleteAclsRequest(correlationId: Int, clientId: String,
+      nFilters: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DeleteAclsApiKey, 0, correlationId, clientId,
+      flexible = false)
+    writeInt32(out, nFilters)
+    (0 until nFilters).foreach { _ =>
+      out.write(1)
+      writeNullableString(out, null); writeNullableString(out, null)
+      writeNullableString(out, null)
+      out.write(1); out.write(1)
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, filter count). */
+  def decodeDeleteAclsRequest(bytes: Array[Byte]): (Int, Int) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DeleteAclsApiKey, "not a DeleteAcls request")
+    require(buf.getShort.toInt == 0, "unsupported DeleteAcls version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    val n = buf.getInt
+    (0 until n).foreach { _ =>
+      buf.get()
+      readNullableString(buf); readNullableString(buf); readNullableString(buf)
+      buf.get(); buf.get()
+    }
+    (correlationId, n)
+  }
+
+  /** v0: throttle, filter_results (error, error_message,
+    * matching_acls empty) per filter. */
+  def encodeDeleteAclsResponse(correlationId: Int,
+      results: Seq[(Int, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = false)
+    writeInt32(out, 0)
+    writeInt32(out, results.length)
+    results.foreach { case (err, msg) =>
+      writeInt16(out, err); writeNullableString(out, msg)
+      writeInt32(out, 0) // matching_acls
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, (error, message)*). */
+  def decodeDeleteAclsResponse(bytes: Array[Byte])
+      : (Int, Seq[(Int, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    buf.getInt // throttle
+    val results = (0 until buf.getInt).map { _ =>
+      val r = (buf.getShort.toInt, readNullableString(buf))
+      buf.getInt // matching_acls (empty)
+      r
+    }
+    (correlationId, results.toSeq)
+  }
+
+  // --- Leadership / reassignment admin (ElectLeaders 43 v0;
+  // AlterPartitionReassignments 45 v0, ListPartitionReassignments 46
+  // v0 — the latter two flexible from v0) — what
+  // kafka-leader-election.sh and kafka-reassign-partitions.sh send.
+  // On a single-broker cluster every partition's leader is already
+  // broker 0 and there is nowhere to move a replica: elections answer
+  // ELECTION_NOT_NEEDED (84), reassignments to [0] are vacuously
+  // complete (0), any other target answers
+  // INVALID_REPLICA_ASSIGNMENT (39), cancellations
+  // NO_REASSIGNMENT_IN_PROGRESS (85), and the in-progress list is
+  // always empty. ---
+
+  val ElectLeadersApiKey = 43
+  val ElectLeadersMaxVersion = 0
+  val AlterPartitionReassignmentsApiKey = 45
+  val AlterPartitionReassignmentsMaxVersion = 0
+  val ListPartitionReassignmentsApiKey = 46
+  val ListPartitionReassignmentsMaxVersion = 0
+
+  /** v0: topic_partitions NULLABLE_ARRAY<[topic, partitions]>,
+    * timeout_ms. null = elect wherever needed (nowhere, here). */
+  def encodeElectLeadersRequest(correlationId: Int, clientId: String,
+      topics: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ElectLeadersApiKey, 0, correlationId, clientId,
+      flexible = false)
+    if (topics == null) writeInt32(out, -1)
+    else {
+      writeInt32(out, topics.length)
+      topics.foreach { case (name, parts) =>
+        writeNullableString(out, name)
+        writeInt32(out, parts.length)
+        parts.foreach(writeInt32(out, _))
+      }
+    }
+    writeInt32(out, 30000) // timeout_ms
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, topics) — topics null = all needing election. */
+  def decodeElectLeadersRequest(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[Int])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ElectLeadersApiKey,
+      "not an ElectLeaders request")
+    require(buf.getShort.toInt == 0, "unsupported ElectLeaders version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    val n = buf.getInt
+    val topics =
+      if (n < 0) null
+      else (0 until n).map { _ =>
+        val name = readNullableString(buf)
+        val parts = (0 until buf.getInt).map(_ => buf.getInt)
+        (name, parts.toSeq)
+      }.toSeq
+    buf.getInt // timeout_ms
+    (correlationId, topics)
+  }
+
+  /** v0: throttle, results ARRAY<[topic, partition_results
+    * ARRAY<[partition, error, error_message]>]>. */
+  def encodeElectLeadersResponse(correlationId: Int,
+      results: Seq[(String, Seq[(Int, Int, String)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = false)
+    writeInt32(out, 0)
+    writeInt32(out, results.length)
+    results.foreach { case (name, parts) =>
+      writeNullableString(out, name)
+      writeInt32(out, parts.length)
+      parts.foreach { case (p, err, msg) =>
+        writeInt32(out, p); writeInt16(out, err); writeNullableString(out, msg)
+      }
+    }
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, results). */
+  def decodeElectLeadersResponse(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, String)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    buf.getInt // throttle
+    val results = (0 until buf.getInt).map { _ =>
+      val name = readNullableString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        (buf.getInt, buf.getShort.toInt, readNullableString(buf))
+      }
+      (name, parts.toSeq)
+    }
+    (correlationId, results.toSeq)
+  }
+
+  /** v0 (flexible): timeout_ms, topics ARRAY<[name, partitions
+    * ARRAY<[partition_index, replicas NULLABLE_ARRAY<INT32>]>]> —
+    * null replicas = cancel that partition's reassignment. */
+  def encodeAlterPartitionReassignmentsRequest(correlationId: Int,
+      clientId: String, topics: Seq[(String, Seq[(Int, Seq[Int])])])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, AlterPartitionReassignmentsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(30000) // timeout_ms
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, replicas) =>
+        w.i32(p)
+        if (replicas == null) w.count(-1)
+        else { w.count(replicas.length); replicas.foreach(w.i32) }
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, (topic, (partition, replicas-or-null)*)*). */
+  def decodeAlterPartitionReassignmentsRequest(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Seq[Int])])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == AlterPartitionReassignmentsApiKey,
+      "not an AlterPartitionReassignments request")
+    require(buf.getShort.toInt == 0,
+      "unsupported AlterPartitionReassignments version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // timeout_ms
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val nr = r.count()
+        val replicas =
+          if (nr < 0) null else (0 until nr).map(_ => r.i32()).toSeq
+        r.tags()
+        (p, replicas)
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, topics.toSeq)
+  }
+
+  /** v0: throttle, error, error_message, responses ARRAY<[topic,
+    * partitions ARRAY<[partition, error, error_message]>]>. */
+  def encodeAlterPartitionReassignmentsResponse(correlationId: Int,
+      results: Seq[(String, Seq[(Int, Int, String)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(0) // top-level error
+    w.str(null)
+    w.count(results.length)
+    results.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err, msg) =>
+        w.i32(p); w.i16(err); w.str(msg); w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, results). */
+  def decodeAlterPartitionReassignmentsResponse(bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, String)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    require(err == 0, s"AlterPartitionReassignments error $err")
+    r.str()
+    val results = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val t = (r.i32(), r.i16(), r.str()); r.tags(); t
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, results.toSeq)
+  }
+
+  /** v0 (flexible): timeout_ms, topics NULLABLE_ARRAY<[name,
+    * partition_indexes ARRAY<INT32>]> — null = list everything. */
+  def encodeListPartitionReassignmentsRequest(correlationId: Int,
+      clientId: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ListPartitionReassignmentsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(30000)
+    w.count(-1) // all
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** correlationId (the filter is irrelevant — the list is empty). */
+  def decodeListPartitionReassignmentsRequest(bytes: Array[Byte]): Int = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ListPartitionReassignmentsApiKey,
+      "not a ListPartitionReassignments request")
+    require(buf.getShort.toInt == 0,
+      "unsupported ListPartitionReassignments version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // timeout_ms
+    val n = r.count()
+    (0 until math.max(n, 0)).foreach { _ =>
+      r.str()
+      (0 until r.count()).foreach(_ => r.i32())
+      r.tags()
+    }
+    r.tags()
+    correlationId
+  }
+
+  /** v0: throttle, error, error_message, topics (always empty here). */
+  def encodeListPartitionReassignmentsResponse(correlationId: Int)
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0)
+    w.i16(0)
+    w.str(null)
+    w.count(0)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, topic count — 0 on this broker). */
+  def decodeListPartitionReassignmentsResponse(bytes: Array[Byte])
+      : (Int, Int) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32()
+    val err = r.i16()
+    require(err == 0, s"ListPartitionReassignments error $err")
+    r.str()
+    val n = r.count()
+    r.tags()
+    (correlationId, n)
+  }
+
   // --- RecordBatch v2 (magic 2) — the modern record format ---
   // Layout per the public spec: baseOffset INT64, batchLength INT32
   // (bytes after itself), partitionLeaderEpoch INT32, magic INT8=2,

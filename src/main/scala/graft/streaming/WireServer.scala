@@ -212,6 +212,14 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleListTransactions(framed)
       case KafkaWire.DescribeLogDirsApiKey =>
         broker.handleDescribeLogDirs(framed)
+      case KafkaWire.DescribeAclsApiKey => broker.handleDescribeAcls(framed)
+      case KafkaWire.CreateAclsApiKey => broker.handleCreateAcls(framed)
+      case KafkaWire.DeleteAclsApiKey => broker.handleDeleteAcls(framed)
+      case KafkaWire.ElectLeadersApiKey => broker.handleElectLeaders(framed)
+      case KafkaWire.AlterPartitionReassignmentsApiKey =>
+        broker.handleAlterPartitionReassignments(framed)
+      case KafkaWire.ListPartitionReassignmentsApiKey =>
+        broker.handleListPartitionReassignments(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }
