@@ -315,4 +315,59 @@ class ModernClientTraceSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("a secured 3.x client's first contact: negotiate, authenticate, then the data path") {
+    // the sasl.jaas.config=PLAIN client sequence on a SASL_PLAINTEXT
+    // listener: ApiVersions (allowed pre-auth) → SaslHandshake v1 →
+    // SaslAuthenticate (at the negotiated version) → normal traffic
+    val root = Files.createTempDirectory("graft-trace-sasl").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("sec-trace", 1)
+    val server = new WireServer(broker,
+      credentials = Map("svc-producer" -> "s3cr3t")).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val apis = decodeApiVersionsResponseV3(exchange(sock,
+        encodeApiVersionsRequestV3(1, "sec-cli", "apache-kafka-java", "3.7.0")))
+      val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
+      // the broker advertises the SASL pair pre-auth — the client
+      // needs them to know how to proceed
+      assert(advertised(KafkaWire.SaslHandshakeApiKey) === ((0, 1)))
+      assert(advertised(KafkaWire.SaslAuthenticateApiKey) === ((0, 2)))
+
+      val (_, hErr, mechs) = decodeSaslHandshakeResponse(exchange(sock,
+        encodeSaslHandshakeRequest(1, 2, "sec-cli", "PLAIN")))
+      assert(hErr === 0 && mechs === Seq("PLAIN"))
+      // kafka-clients sends SaslAuthenticate at the max advertised
+      // version — v2, flexible
+      val token = Array[Byte](0) ++ "svc-producer".getBytes("UTF-8") ++
+        Array[Byte](0) ++ "s3cr3t".getBytes("UTF-8")
+      val (_, aErr, _, _) = decodeSaslAuthenticateResponse(2, exchange(sock,
+        encodeSaslAuthenticateRequest(2, 3, "sec-cli", token)))
+      assert(aErr === 0)
+
+      // authenticated: the full negotiated data path works on the
+      // same connection — metadata, idempotent produce, fetch
+      val meta = decodeMetadataResponse(12, exchange(sock,
+        encodeMetadataRequest(12, 4, "sec-cli", None)))
+      assert(meta.topics.map(_.name) === Seq("sec-trace"))
+      val (_, _, pid, pEpoch) = decodeInitProducerIdResponse(4,
+        exchange(sock,
+          encodeInitProducerIdRequest(4, 5, "sec-cli", null, 60000)))
+      val r = WireRecordV2(1700000000000L, "k".getBytes("UTF-8"),
+        "guarded".getBytes("UTF-8"))
+      val (_, prodRes) = decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 6, "sec-cli", null, 1, 30000,
+          Seq(("sec-trace", Seq((0, ProducedBatch(pid, pEpoch, 0, Seq(r)))))))))
+      assert(prodRes.head._2.head === ((0, 0, 0L)))
+      val (_, fetched) = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 7, "sec-cli", 100, 1, 1 << 20,
+          Seq(("sec-trace", Seq((0, 0L, 1 << 20)))), 0, -1, Seq.empty, 0)))
+      assert(fetched.head._2.head._4
+        .map(rr => new String(rr._2.value, "UTF-8")) === Seq("guarded"))
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }
