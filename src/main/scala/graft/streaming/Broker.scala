@@ -893,10 +893,13 @@ class Broker(spark: SparkSession, root: String) {
       if (asked == null) listTopics().sorted.map(t => (t, null))
       else asked.filter { case (t, _) => topicExists(t) }
     val topics = wanted.map { case (name, parts) =>
-      val sizes = topic(name).partitionSizes()
-      val ps = if (parts == null) sizes.keys.toSeq.sorted
-        else parts.filter(p => p >= 0 && p < topic(name).numPartitions)
-      (name, ps.map(p => (p, sizes.getOrElse(p, 0L), 0L, false)))
+      val tl = topic(name)
+      val asked =
+        if (parts == null) None
+        else Some(parts.filter(p => p >= 0 && p < tl.numPartitions).toSet)
+      val sizes = tl.partitionSizes(asked)
+      (name, sizes.keys.toSeq.sorted
+        .map(p => (p, sizes.getOrElse(p, 0L), 0L, false)))
     }
     encodeDescribeLogDirsResponse(correlationId, Seq((0, root, topics)))
   }
@@ -916,8 +919,11 @@ class Broker(spark: SparkSession, root: String) {
     val all = txnLock.synchronized {
       txns.toSeq.map { case (id, st) => (id, st.pid, txnStateName(st)) }
     }
+    // a PROVIDED filter restricts even when every name is unknown —
+    // all-unknown filters match NOTHING (the unknown names are echoed
+    // back), they do not fall through to "no filter"
     val filtered = all
-      .filter { case (_, _, s) => wanted.isEmpty || wanted(s) }
+      .filter { case (_, _, s) => stateFilters.isEmpty || wanted(s) }
       .filter { case (_, pid, _) =>
         pidFilters.isEmpty || pidFilters.contains(pid) }
       .sortBy(_._1)
@@ -988,7 +994,16 @@ class Broker(spark: SparkSession, root: String) {
         else if (replicas == null)
           (p, 85, "No reassignment is in progress")
         else if (replicas == Seq(0)) (p, 0, null: String)
-        else (p, 39, s"unknown brokers: ${replicas.filter(_ != 0).mkString(",")}")
+        else {
+          // name the actual defect: unknown brokers when any are
+          // named, else an empty/duplicated list of the real one
+          val strangers = replicas.filter(_ != 0).distinct
+          val msg =
+            if (strangers.nonEmpty) s"unknown brokers: ${strangers.mkString(",")}"
+            else if (replicas.isEmpty) "empty replica list"
+            else "duplicate replicas"
+          (p, 39, msg)
+        }
       })
     }
     encodeAlterPartitionReassignmentsResponse(correlationId, results)

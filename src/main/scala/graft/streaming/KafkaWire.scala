@@ -4325,11 +4325,17 @@ object KafkaWire {
   }
 
   /** Parse an RFC 4616 PLAIN token: [authzid] NUL authcid NUL passwd →
-    * Some((authcid, passwd)), or None for a malformed token. */
+    * Some((authcid, passwd)), or None for a malformed token. A
+    * non-empty authzid DIFFERENT from the authcid is rejected, as
+    * Kafka's PlainSaslServer rejects it — silently binding a
+    * requested authorization identity the server never checked would
+    * hand a future authorization layer the wrong principal. */
   def parsePlainToken(token: Array[Byte]): Option[(String, String)] = {
     val s = new String(token, "UTF-8")
     s.split("\u0000", -1) match {
-      case Array(_, user, pass) if user.nonEmpty => Some((user, pass))
+      case Array(authzid, user, pass)
+          if user.nonEmpty && (authzid.isEmpty || authzid == user) =>
+        Some((user, pass))
       case _ => None
     }
   }

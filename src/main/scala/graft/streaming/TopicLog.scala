@@ -352,17 +352,20 @@ class TopicLog private (
     * reach — uncommitted staging and orphans don't count, exactly as
     * Kafka's log size excludes un-indexed segments. A file racing a
     * concurrent vacuum reads as 0 rather than failing the listing. */
-  def partitionSizes(): Map[Int, Long] = {
+  def partitionSizes(only: Option[Set[Int]] = None): Map[Int, Long] = {
     val sized = currentManifest().map(_.files).getOrElse(Seq.empty)
       .groupBy(_.takeWhile(_ != '/').stripPrefix("partition=").toInt)
-      .map { case (p, files) =>
+      .collect { case (p, files) if only.forall(_(p)) =>
+        // restricting to the asked partitions keeps a 1-partition
+        // admin probe from stat-ing the whole topic's file set
         p -> files.map { f =>
           try Files.size(Paths.get(s"$dataDir/$f")) catch {
             case _: java.io.IOException => 0L
           }
         }.sum
       }
-    (0 until numPartitions).map(p => p -> sized.getOrElse(p, 0L)).toMap
+    (0 until numPartitions).filter(p => only.forall(_(p)))
+      .map(p => p -> sized.getOrElse(p, 0L)).toMap
   }
 
   /** Next offset to be written, per partition (Kafka log-end offset).

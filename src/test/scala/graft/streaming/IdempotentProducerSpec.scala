@@ -25,15 +25,8 @@ class IdempotentProducerSpec extends AnyFunSuite {
     Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
   private def i64(v: Long) = i32((v >> 32).toInt) ++ i32(v.toInt)
 
-  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] = {
-    sock.getOutputStream.write(request)
-    sock.getOutputStream.flush()
-    val in = new DataInputStream(sock.getInputStream)
-    val size = in.readInt()
-    val payload = new Array[Byte](size)
-    in.readFully(payload)
-    i32(size) ++ payload
-  }
+  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] =
+    WireTestClient.exchange(sock, request)
 
   test("InitProducerId v0 framing matches the hand-laid golden bytes") {
     val reqBody =

@@ -18,23 +18,11 @@ class SaslLogDirsSpec extends AnyFunSuite {
   import KafkaWire._
   lazy val spark = TestSpark.spark
 
-  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] = {
-    sock.getOutputStream.write(request)
-    sock.getOutputStream.flush()
-    readFrame(sock)
-  }
+  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] =
+    WireTestClient.exchange(sock, request)
 
-  private def readFrame(sock: Socket): Array[Byte] = {
-    val in = new DataInputStream(sock.getInputStream)
-    val size = in.readInt()
-    val payload = new Array[Byte](size)
-    in.readFully(payload)
-    val framed = new Array[Byte](size + 4)
-    framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
-    framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
-    System.arraycopy(payload, 0, framed, 4, size)
-    framed
-  }
+  private def readFrame(sock: Socket): Array[Byte] =
+    WireTestClient.readFrame(sock)
 
   private val NUL = Array[Byte](0)
 
@@ -47,9 +35,13 @@ class SaslLogDirsSpec extends AnyFunSuite {
   test("PLAIN token parser handles the RFC 4616 shapes") {
     assert(parsePlainToken(plainToken("alice", "secret"))
       === Some(("alice", "secret")))
-    // explicit authzid is legal and ignored
-    assert(parsePlainToken("admin".getBytes("UTF-8") ++ NUL ++ "alice".getBytes("UTF-8") ++ NUL ++ "pw".getBytes("UTF-8"))
+    // a matching explicit authzid is legal; a DIFFERENT one is
+    // rejected (Kafka's PlainSaslServer behavior — the server never
+    // checks authorization ids, so it must not silently bind one)
+    assert(parsePlainToken("alice".getBytes("UTF-8") ++ NUL ++ "alice".getBytes("UTF-8") ++ NUL ++ "pw".getBytes("UTF-8"))
       === Some(("alice", "pw")))
+    assert(parsePlainToken("admin".getBytes("UTF-8") ++ NUL ++ "alice".getBytes("UTF-8") ++ NUL ++ "pw".getBytes("UTF-8"))
+      === None)
     // empty password is a credential question, not a parse failure
     assert(parsePlainToken(plainToken("alice", "")) === Some(("alice", "")))
     assert(parsePlainToken("no-nuls".getBytes("UTF-8")) === None)

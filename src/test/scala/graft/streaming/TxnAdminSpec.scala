@@ -18,19 +18,8 @@ class TxnAdminSpec extends AnyFunSuite {
   import KafkaWire._
   lazy val spark = TestSpark.spark
 
-  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] = {
-    sock.getOutputStream.write(request)
-    sock.getOutputStream.flush()
-    val in = new DataInputStream(sock.getInputStream)
-    val size = in.readInt()
-    val payload = new Array[Byte](size)
-    in.readFully(payload)
-    val framed = new Array[Byte](size + 4)
-    framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
-    framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
-    System.arraycopy(payload, 0, framed, 4, size)
-    framed
-  }
+  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] =
+    WireTestClient.exchange(sock, request)
 
   private def rec(s: String) =
     WireRecordV2(1700000000000L, s"k-$s".getBytes("UTF-8"), s.getBytes("UTF-8"))
@@ -148,6 +137,13 @@ class TxnAdminSpec extends AnyFunSuite {
           encodeListTransactionsRequest(11, "cli", Seq("Empty", "Bogus"))))
       assert(unk === Seq("Bogus"))
       assert(none === Seq.empty)
+      // ALL-unknown filters match NOTHING (a provided filter
+      // restricts; it never falls through to "no filter")
+      val (_, unk2, none2) = decodeListTransactionsResponse(
+        exchange(sock,
+          encodeListTransactionsRequest(17, "cli", Seq("Bogus"))))
+      assert(unk2 === Seq("Bogus"))
+      assert(none2 === Seq.empty)
       val (_, _, byPid) = decodeListTransactionsResponse(
         exchange(sock, encodeListTransactionsRequest(12, "cli",
           producerIdFilters = Seq(pid, 999L))))

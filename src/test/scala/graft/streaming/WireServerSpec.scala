@@ -16,19 +16,8 @@ class WireServerSpec extends AnyFunSuite {
   import KafkaWire._
   lazy val spark = TestSpark.spark
 
-  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] = {
-    sock.getOutputStream.write(request)
-    sock.getOutputStream.flush()
-    val in = new DataInputStream(sock.getInputStream)
-    val size = in.readInt()
-    val payload = new Array[Byte](size)
-    in.readFully(payload)
-    val framed = new Array[Byte](size + 4)
-    framed(0) = (size >>> 24).toByte; framed(1) = (size >>> 16).toByte
-    framed(2) = (size >>> 8).toByte; framed(3) = size.toByte
-    System.arraycopy(payload, 0, framed, 4, size)
-    framed
-  }
+  private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] =
+    WireTestClient.exchange(sock, request)
 
   test("a raw socket client discovers, produces, fetches, and commits") {
     val root = Files.createTempDirectory("graft-wiresrv").toString
