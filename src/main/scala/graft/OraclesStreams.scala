@@ -8,16 +8,19 @@ object OraclesStreams {
   private val dsumVal = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 
   val streams: Map[String, String] = Map(
+    // This table is Broker.WireApis — the catalog claims exactly what
+    // the wire decodes, no more (the engine derives SupportedApis from
+    // WireApis; this literal is the independent restatement).
     "broker_api_versions" ->
       """SELECT * FROM (VALUES
-        |  (0,'Produce',0,9),(1,'Fetch',0,13),(2,'ListOffsets',0,7),
+        |  (0,'Produce',0,9),(1,'Fetch',0,12),(2,'ListOffsets',0,7),
         |  (3,'Metadata',0,12),(8,'OffsetCommit',0,8),(9,'OffsetFetch',0,8),
         |  (10,'FindCoordinator',0,4),
         |  (11,'JoinGroup',0,9),(12,'Heartbeat',0,4),(13,'LeaveGroup',0,5),
-        |  (14,'SyncGroup',0,5),(15,'DescribeGroups',0,5),(16,'ListGroups',0,4),
+        |  (14,'SyncGroup',0,5),(15,'DescribeGroups',0,0),(16,'ListGroups',0,0),
         |  (17,'SaslHandshake',0,1),
-        |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,7),(20,'DeleteTopics',0,6),
-        |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
+        |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,0),(20,'DeleteTopics',0,0),
+        |  (21,'DeleteRecords',0,0),(22,'InitProducerId',0,4),
         |  (23,'OffsetForLeaderEpoch',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(26,'EndTxn',0,3),
         |  (28,'TxnOffsetCommit',0,3),(29,'DescribeAcls',0,0),

@@ -517,9 +517,11 @@ object Relational {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
+    // % (not pmod): DuckDB's % takes the dividend's sign, and so does
+    // Spark's — pmod would silently diverge on negative user_ids
     val intervals = ev
       .groupBy(col("event_type").as("itype"),
-        pmod(col("user_id"), lit(50L)).as("ub"))
+        (col("user_id") % lit(50L)).as("ub"))
       .agg(min(col("ts_us")).as("lo"))
       .withColumn("hi", col("lo") + W)
     // integer DIV, not floor(double /): µs values near 2^53/W bucket

@@ -31,6 +31,20 @@ class Broker(spark: SparkSession, root: String) {
 
   def topicExists(name: String): Boolean = TopicLog.exists(root, name)
 
+  /** The TopicLog if the topic exists AND opens. Admin handlers use
+    * this instead of a topicExists-then-topic two-step: a concurrent
+    * deleteTopic between the check and the open must degrade to the
+    * per-partition error-3 answer, not an exception that kills the
+    * whole connection. */
+  def topicOpt(name: String): Option[TopicLog] =
+    try { if (topicExists(name)) Some(topic(name)) else None }
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition count, or `orElse` when the topic is unknown — including
+    * when a racing delete wins between existence check and open. */
+  def partitionCountOr(name: String, orElse: Int): Int =
+    topicOpt(name).map(_.numPartitions).getOrElse(orElse)
+
   def listTopics(): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.exists(p)) Seq.empty
@@ -717,7 +731,7 @@ class Broker(spark: SparkSession, root: String) {
     // and read_committed fetches that share the lock
     val validated: Seq[(String, Seq[(Int, Boolean)])] =
       req.topics.map { case (name, parts) =>
-        val n = if (topicExists(name)) topic(name).numPartitions else 0
+        val n = partitionCountOr(name, 0)
         (name, parts.map(p => (p, p >= 0 && p < n)))
       }
     val results = txnLock.synchronized {
@@ -769,7 +783,7 @@ class Broker(spark: SparkSession, root: String) {
     // topic checks outside txnLock, as in handleAddPartitionsToTxn
     val validated: Seq[(String, Seq[(Int, Long, String, Boolean)])] =
       req.topics.map { case (name, parts) =>
-        val n = if (topicExists(name)) topic(name).numPartitions else 0
+        val n = partitionCountOr(name, 0)
         (name, parts.map { case (p, off, meta) =>
           (p, off, meta, p >= 0 && p < n)
         })
@@ -807,7 +821,7 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val (correlationId, topics) = decodeDescribeProducersRequest(requestBytes)
     val results = topics.map { case (name, parts) =>
-      val n = if (topicExists(name)) topic(name).numPartitions else -1
+      val n = partitionCountOr(name, -1)
       (name, parts.map { p =>
         if (n < 0 || p < 0 || p >= n) (p, 3, Seq.empty[ActiveProducer])
         else {
@@ -891,9 +905,12 @@ class Broker(spark: SparkSession, root: String) {
     val (correlationId, asked) = decodeDescribeLogDirsRequest(requestBytes)
     val wanted: Seq[(String, Seq[Int])] =
       if (asked == null) listTopics().sorted.map(t => (t, null))
-      else asked.filter { case (t, _) => topicExists(t) }
-    val topics = wanted.map { case (name, parts) =>
-      val tl = topic(name)
+      else asked
+    // topicOpt (not exists-then-open): a racing delete omits the topic,
+    // matching the hosted-partitions-only answer, instead of throwing
+    val topics = wanted.flatMap { case (name, parts) =>
+      topicOpt(name).map(tl => (name, parts, tl))
+    }.map { case (name, parts, tl) =>
       val asked =
         if (parts == null) None
         else Some(parts.filter(p => p >= 0 && p < tl.numPartitions).toSet)
@@ -966,7 +983,7 @@ class Broker(spark: SparkSession, root: String) {
     val results =
       if (topics == null) Seq.empty
       else topics.map { case (name, parts) =>
-        val n = if (topicExists(name)) topic(name).numPartitions else -1
+        val n = partitionCountOr(name, -1)
         (name, parts.map { p =>
           if (n < 0 || p < 0 || p >= n)
             (p, 3, "unknown topic or partition")
@@ -987,7 +1004,7 @@ class Broker(spark: SparkSession, root: String) {
     val (correlationId, topics) =
       decodeAlterPartitionReassignmentsRequest(requestBytes)
     val results = topics.map { case (name, parts) =>
-      val n = if (topicExists(name)) topic(name).numPartitions else -1
+      val n = partitionCountOr(name, -1)
       (name, parts.map { case (p, replicas) =>
         if (n < 0 || p < 0 || p >= n)
           (p, 3, "unknown topic or partition")
@@ -1961,50 +1978,9 @@ object Broker {
   val MaxTxnStates = 1024
   val MaxAbortedRangesPerPartition = 1024
 
-  /** (api_key, name, min_version, max_version) — mirrors the Kafka
-    * protocol key space for the core APIs graft implements. */
-  val SupportedApis: Seq[(Int, String, Int, Int)] = Seq(
-    (0, "Produce", 0, 9),
-    (1, "Fetch", 0, 13),
-    (2, "ListOffsets", 0, 7),
-    (3, "Metadata", 0, 12),
-    (8, "OffsetCommit", 0, 8),
-    (9, "OffsetFetch", 0, 8),
-    (10, "FindCoordinator", 0, 4),
-    (11, "JoinGroup", 0, 9),
-    (12, "Heartbeat", 0, 4),
-    (13, "LeaveGroup", 0, 5),
-    (14, "SyncGroup", 0, 5),
-    (15, "DescribeGroups", 0, 5),
-    (16, "ListGroups", 0, 4),
-    (17, "SaslHandshake", 0, 1),
-    (18, "ApiVersions", 0, 3),
-    (19, "CreateTopics", 0, 7),
-    (20, "DeleteTopics", 0, 6),
-    (21, "DeleteRecords", 0, 2),
-    (22, "InitProducerId", 0, 4),
-    (23, "OffsetForLeaderEpoch", 0, 4),
-    (24, "AddPartitionsToTxn", 0, 3),
-    (26, "EndTxn", 0, 3),
-    (28, "TxnOffsetCommit", 0, 3),
-    (29, "DescribeAcls", 0, 0),
-    (30, "CreateAcls", 0, 0),
-    (31, "DeleteAcls", 0, 0),
-    (32, "DescribeConfigs", 0, 4),
-    (33, "AlterConfigs", 0, 2),
-    (35, "DescribeLogDirs", 0, 0),
-    (36, "SaslAuthenticate", 0, 2),
-    (37, "CreatePartitions", 0, 3),
-    (42, "DeleteGroups", 0, 2),
-    (43, "ElectLeaders", 0, 0),
-    (44, "IncrementalAlterConfigs", 0, 1),
-    (45, "AlterPartitionReassignments", 0, 0),
-    (46, "ListPartitionReassignments", 0, 0),
-    (47, "OffsetDelete", 0, 0),
-    (60, "DescribeCluster", 0, 0),
-    (61, "DescribeProducers", 0, 0),
-    (65, "DescribeTransactions", 0, 0),
-    (66, "ListTransactions", 0, 0))
+  // SupportedApis (the catalog the oracle-checked broker_api_versions
+  // query serves) is defined BELOW WireApis, which it derives from —
+  // object vals initialize in declaration order.
 
   val DefaultMaxMessageBytes: Int = 64 * 1024 * 1024
 
@@ -2086,4 +2062,13 @@ object Broker {
     (65, "DescribeTransactions", 0,
       KafkaWire.DescribeTransactionsMaxVersion),
     (66, "ListTransactions", 0, KafkaWire.ListTransactionsMaxVersion))
+
+  /** The ApiVersions-analog catalog the oracle-checked
+    * `broker_api_versions` query serves. IDENTICAL to [[WireApis]] by
+    * construction: the catalog must never claim a version no code path
+    * decodes (it used to advertise Fetch ≤ 13 while the wire decoder
+    * required ≤ 12 — a reader planning against the catalog would pick
+    * versions the engine rejects). Every graft API is wire-served, so
+    * there is no library-only remainder to union in. */
+  val SupportedApis: Seq[(Int, String, Int, Int)] = WireApis
 }

@@ -339,9 +339,9 @@ class TopicLog private (
   def logStartOffsets(): Map[Int, Long] = currentManifest() match {
     case None => Map.empty
     case Some(m) =>
-      val byPart = m.fileRanges.toSeq.groupBy { case (rel, _) =>
-        rel.takeWhile(_ != '/').stripPrefix("partition=").toInt
-      }
+      val byPart = m.fileRanges.toSeq
+        .flatMap { case e @ (rel, _) => TopicLog.partitionOf(rel).map(_ -> e) }
+        .groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
       (0 until numPartitions).map { p =>
         p -> byPart.get(p).map(_.map(_._2._1).min).getOrElse(0L)
       }.toMap
@@ -353,9 +353,12 @@ class TopicLog private (
     * Kafka's log size excludes un-indexed segments. A file racing a
     * concurrent vacuum reads as 0 rather than failing the listing. */
   def partitionSizes(only: Option[Set[Int]] = None): Map[Int, Long] = {
+    // partitionOf guards the prefix parse: a manifest entry not shaped
+    // partition=N/... is skipped, matching the defensive Files.size stat
+    // below (a malformed name must not fail the whole listing)
     val sized = currentManifest().map(_.files).getOrElse(Seq.empty)
-      .groupBy(_.takeWhile(_ != '/').stripPrefix("partition=").toInt)
-      .collect { case (p, files) if only.forall(_(p)) =>
+      .groupBy(f => TopicLog.partitionOf(f))
+      .collect { case (Some(p), files) if only.forall(_(p)) =>
         // restricting to the asked partitions keeps a 1-partition
         // admin probe from stat-ing the whole topic's file set
         p -> files.map { f =>
@@ -723,6 +726,15 @@ class TopicLog private (
 }
 
 object TopicLog {
+
+  /** Partition index of a manifest-relative file path, None unless the
+    * path is shaped `partition=N/...` — callers iterate manifest file
+    * lists and must skip (not throw on) anything else. */
+  private[graft] def partitionOf(rel: String): Option[Int] = {
+    val seg = rel.takeWhile(_ != '/')
+    if (seg.startsWith("partition=")) seg.stripPrefix("partition=").toIntOption
+    else None
+  }
 
   /** One committed snapshot of a topic: the exact file set readers may
     * see, the per-partition log-end offsets, and the last applied

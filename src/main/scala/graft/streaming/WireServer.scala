@@ -75,7 +75,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
             rawTokenNext = false
             out.write(Array[Byte](0, 0, 0, 0))
             out.flush()
-          } else open = false
+          } else { authFailureDelay(); open = false }
         } else {
           require(size >= 2, s"bad frame size $size")
           val framed = new Array[Byte](size + 4)
@@ -126,6 +126,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                     corr, 58, "Authentication failed: invalid credentials",
                     Array.emptyByteArray))
                   out.flush()
+                  authFailureDelay()
                   open = false
                 }
               case KafkaWire.ApiVersionsApiKey =>
@@ -158,6 +159,13 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     KafkaWire.parsePlainToken(token).exists { case (user, pass) =>
       credentials.get(user).contains(pass)
     }
+
+  /** Kafka's connection.failed.authentication.delay.ms analog: hold a
+    * failing connection briefly before the close so the static
+    * credential map can't be brute-forced at reconnect rate. */
+  private def authFailureDelay(): Unit =
+    try Thread.sleep(WireServer.AuthFailureDelayMs)
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
 
   /** Route one framed request by api_key — the reference's dispatch
     * table (ref: pkg/kafka/kafka_api.go:85). */
@@ -230,4 +238,12 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     pool.shutdownNow()
     ()
   }
+}
+
+object WireServer {
+  /** Delay before closing a connection that failed SASL authentication
+    * (Kafka's connection.failed.authentication.delay.ms default is
+    * 100 ms). Overridable down for tests would be over-engineering:
+    * failure legs pay 100 ms each, a few per suite. */
+  val AuthFailureDelayMs = 100L
 }

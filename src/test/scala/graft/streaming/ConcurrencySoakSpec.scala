@@ -86,6 +86,16 @@ class ConcurrencySoakSpec extends AnyFunSuite {
                 res = decodeProduceResponse(9, exchange(sock, req))._2
                 attempts += 1
               }
+              // retries must stay VISIBLE: exhausting them is its own
+              // failure (not a generic errored-7 assert downstream),
+              // and any retry at all is logged so a systematic broker
+              // slowdown shows up in the suite output instead of being
+              // silently absorbed by the retry loop
+              assert(res.head._2.head._2 != 7,
+                s"thread $i batch $b: still timed out after $attempts attempts")
+              if (attempts > 1)
+                println(s"[ConcurrencySoakSpec] thread $i batch $b acked " +
+                  s"after $attempts attempts (CAS contention)")
               res
             }
             val first = produceUntilAcked()
