@@ -24,8 +24,28 @@ class Broker(spark: SparkSession, root: String) {
   def createTopic(name: String, numPartitions: Int): TopicLog =
     TopicLog.create(spark, root, name, numPartitions)
 
-  /** DeleteTopics analog. */
-  def deleteTopic(name: String): Unit = TopicLog.drop(root, name)
+  /** DeleteTopics analog. Also forgets the topic's transactional
+    * metadata — a recreated topic must not inherit a dead namesake's
+    * aborted ranges or LSO floors (a hazard that became durable once
+    * the coordinator store started persisting them). */
+  def deleteTopic(name: String): Unit = {
+    TopicLog.drop(root, name)
+    val changed = txnLock.synchronized {
+      val keys = (abortedRanges.keys ++ openTxnFirsts.keys)
+        .filter(_._1 == name).toSet
+      keys.foreach { k => abortedRanges.remove(k); openTxnFirsts.remove(k) }
+      var any = keys.nonEmpty
+      txns.values.foreach { st =>
+        val mine = st.firstOffsets.keys.filter(_._1 == name).toSeq
+        mine.foreach { k => st.firstOffsets.remove(k); st.lastOffsets.remove(k) }
+        val parts = st.partitions.filter(_._1 == name).toSeq
+        parts.foreach(st.partitions.remove)
+        any ||= mine.nonEmpty || parts.nonEmpty
+      }
+      any
+    }
+    if (changed) persistTxnState()
+  }
 
   def topic(name: String): TopicLog = TopicLog.open(spark, root, name)
 
@@ -519,6 +539,94 @@ class Broker(spark: SparkSession, root: String) {
   private val abortedRanges = scala.collection.mutable.Map
     .empty[(String, Int), scala.collection.mutable.ArrayBuffer[(Long, Long)]]
 
+  // --- coordinator durability (TxnStore): every mutation below
+  // write-throughs a full-state snapshot via the manifest-style
+  // hard-link CAS, and a restarted broker reloads it — aborted ranges
+  // keep filtering, open-txn first offsets keep capping the LSO,
+  // epochs keep fencing, pids are never re-issued. The in-memory maps
+  // stay the only read side (the produce-gate / fetch hot paths never
+  // touch disk). NOT persisted: [[txnReserve]] floors — they guard an
+  // in-process append-visibility race and die with the process; the
+  // residual window this leaves is a hard kill BETWEEN a transactional
+  // produce's manifest link and [[recordTxnAppend]]'s store link
+  // (microseconds, disclosed in SURVEY §4 — Kafka closes the same
+  // window by rebuilding producer state from pid-stamped log segments,
+  // which a parquet log does not carry). ---
+
+  private val txnStoreDir = Paths.get(root, "_txn")
+  /** Guarded by txnLock; assigned at render time so version order is
+    * render order even though links land outside the lock. */
+  private var txnStoreVersion = 0L
+
+  loadTxnStore()
+
+  private def loadTxnStore(): Unit = txnLock.synchronized {
+    TxnStore.load(txnStoreDir).foreach { case (v, st) =>
+      txnStoreVersion = v
+      // never re-issue a pid from before the restart
+      var cur = nextProducerId.get()
+      while (cur < st.nextPid && !nextProducerId.compareAndSet(cur, st.nextPid))
+        cur = nextProducerId.get()
+      st.txns.foreach { pt =>
+        val t = new Broker.TxnState(pt.pid)
+        t.epoch = pt.epoch
+        t.open = pt.open
+        t.partitions ++= pt.partitions
+        t.firstOffsets ++= pt.firstOffsets
+        t.lastOffsets ++= pt.lastOffsets
+        pt.pendingOffsets.foreach { case (g, m) => t.pendingOffsets(g) = m }
+        txns.put(pt.id, t)
+        txnIdByPid(t.pid) = pt.id
+        if (pt.open)
+          pt.firstOffsets.foreach { case (key, first) =>
+            openTxnFirsts.getOrElseUpdate(key,
+              scala.collection.mutable.Map.empty)(pt.pid) = first
+          }
+      }
+      st.aborted.foreach { case (key, ranges) =>
+        if (ranges.nonEmpty)
+          abortedRanges(key) =
+            scala.collection.mutable.ArrayBuffer(ranges: _*)
+      }
+    }
+  }
+
+  /** Consistent snapshot, caller holds txnLock. */
+  private def txnSnapshotLocked(): TxnStore.State =
+    TxnStore.State(nextProducerId.get(),
+      txns.toSeq.map { case (id, t) =>
+        TxnStore.PersistedTxn(id, t.pid, t.epoch, t.open,
+          t.partitions.toSeq.sorted, t.firstOffsets.toMap,
+          t.lastOffsets.toMap,
+          t.pendingOffsets.toMap)
+      },
+      abortedRanges.toMap.map { case (k, v) => k -> v.toSeq })
+
+  /** Render under txnLock (ordered versions, consistent state), link
+    * outside it (no file I/O on the produce-gate/fetch lock). A link
+    * collision means another broker process shares this root — legal
+    * only transiently; re-read, re-render, latest state wins. */
+  private def persistTxnState(): Unit = {
+    var done = false
+    while (!done) {
+      val (v, body) = txnLock.synchronized {
+        txnStoreVersion += 1
+        (txnStoreVersion, TxnStore.render(txnStoreVersion, txnSnapshotLocked()))
+      }
+      try {
+        TxnStore.commit(txnStoreDir, v, body)
+        TxnStore.prune(txnStoreDir, v - 8)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          txnLock.synchronized {
+            txnStoreVersion = math.max(txnStoreVersion,
+              TxnStore.maxVersion(txnStoreDir).getOrElse(0L))
+          }
+      }
+    }
+  }
+
   /** Last stable offset: the first offset of any open transaction on
     * the partition (nothing at or past it is decided), else the log
     * end. */
@@ -600,11 +708,13 @@ class Broker(spark: SparkSession, root: String) {
   private def recordTxnAppend(topicName: String, p: Int,
       batches: Seq[KafkaWire.ProducedBatch], baseOffset: Long): Unit = {
     var off = baseOffset
+    var changed = false
     txnLock.synchronized {
       batches.foreach { b =>
         if (b.transactional && b.records.nonEmpty) {
           val key = (topicName, p)
           val last = off + b.records.length - 1
+          changed = true
           txnIdByPid.get(b.producerId).flatMap(txns.get) match {
             case Some(st) if st.open && st.epoch == b.producerEpoch =>
               if (!st.firstOffsets.contains(key)) {
@@ -624,6 +734,9 @@ class Broker(spark: SparkSession, root: String) {
         off += b.records.length
       }
     }
+    // durable before the produce acks: once the client may EndTxn, the
+    // range this append registered must survive a restart
+    if (changed) persistTxnState()
   }
 
   /** Close a transaction under the lock: clear its open ranges AND
@@ -687,6 +800,7 @@ class Broker(spark: SparkSession, root: String) {
           buf.remove(0, buf.length - Broker.MaxAbortedRangesPerPartition)
       }
     }
+    persistTxnState()
   }
 
   /** InitProducerId exchange (v0–v4). The idempotent path (null
@@ -699,9 +813,12 @@ class Broker(spark: SparkSession, root: String) {
   def handleInitProducerId(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeInitProducerIdRequest(requestBytes)
-    if (req.transactionalId == null)
+    if (req.transactionalId == null) {
+      val pid = nextProducerId.getAndIncrement()
+      persistTxnState() // the pid high-water mark must survive restart
       return encodeInitProducerIdResponse(req.version, req.correlationId, 0,
-        nextProducerId.getAndIncrement(), 0)
+        pid, 0)
+    }
     val (pid, epoch, actions) = txnLock.synchronized {
       val st = txns.remove(req.transactionalId)
         .getOrElse(new Broker.TxnState(nextProducerId.getAndIncrement()))
@@ -717,6 +834,7 @@ class Broker(spark: SparkSession, root: String) {
       }
       (st.pid, st.epoch, acts)
     }
+    persistTxnState() // epoch bump + any auto-abort are durable before the ack
     actions.foreach(_.apply())
     encodeInitProducerIdResponse(req.version, req.correlationId, 0, pid, epoch)
   }
@@ -750,6 +868,8 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
+    if (results.exists(_._2.exists(_._2 == 0)))
+      persistTxnState() // newly registered partitions / txn now open
     encodeAddPartitionsToTxnResponse(req.version, req.correlationId, results)
   }
 
@@ -770,6 +890,12 @@ class Broker(spark: SparkSession, root: String) {
         case Some(st) => (0, endTxnLocked(st, req.committed))
       }
     }
+    // persist BEFORE the commit actions run: a crash in between leaves
+    // the decision durable (a committed txn's data stays visible; only
+    // the idempotent group-offset application may need the consumer to
+    // replay) — the reverse order could re-abort data whose commit was
+    // already acked
+    if (err == 0) persistTxnState()
     actions.foreach(_.apply())
     encodeEndTxnResponse(req.version, req.correlationId, err)
   }
@@ -806,6 +932,8 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
+    if (results.exists(_._2.exists(_._2 == 0)))
+      persistTxnState() // buffered offsets ride the snapshot
     encodeTxnOffsetCommitResponse(req.version, req.correlationId, results)
   }
 
