@@ -1258,7 +1258,10 @@ class Broker(spark: SparkSession, root: String) {
     * and an unchanged high watermark since last reported. */
   def handleFetch(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val req0 = decodeFetchRequest(requestBytes)
+    // v13 (topic-id keying): ids resolve against the hosted topic set;
+    // the resolver is lazy, so pre-v13 requests never list the root
+    val req0 = decodeFetchRequest(requestBytes,
+      topicIdResolverFor(listTopics()))
     val (sessionId, sessionError, effectiveTopics, session) =
       resolveFetchSession(req0)
     if (sessionError != 0)
@@ -1274,7 +1277,11 @@ class Broker(spark: SparkSession, root: String) {
     var respUsed = 0L
     var respTaken = 0
     val topicsOut = req.topics.map { case (name, parts) =>
-      if (!topicExists(name))
+      if (isUnknownIdName(name))
+        // v13 sent a topic_id no hosted topic hashes to
+        (name, parts.map { case (p, _, _) =>
+          (p, 100, -1L, Seq.empty[(Long, WireRecordV2)]) })
+      else if (!topicExists(name))
         (name, parts.map { case (p, _, _) =>
           (p, 3, -1L, Seq.empty[(Long, WireRecordV2)]) })
       else {

@@ -1003,14 +1003,41 @@ object KafkaWire {
   //     partition log_start_offset; v7 session_id/epoch + forgotten
   //     topics (KIP-227 — served by Broker's fetch-session layer);
   //     v9 current_leader_epoch; v11 rack_id; v12 flexible +
-  //     per-partition last_fetched_epoch.
+  //     per-partition last_fetched_epoch; v13 topic_id keying
+  //     (KIP-516 — names replaced by UUIDs both directions).
   //   Fetch response:   v1+ throttle; v4 last_stable_offset + aborted
   //     transactions + RECORDS (magic-2) instead of a MessageSet;
   //     v5 log_start_offset; v7 error_code + session_id; v11
   //     preferred_read_replica; v12 flexible.
 
   val ProduceMaxVersion = 9
-  val FetchMaxVersion = 12
+  /** v13 = KIP-516 topic-id keying: request/response address topics by
+    * the 16-byte topic_id (graft's deterministic [[topicUuid]]) instead
+    * of name; unknown ids answer UNKNOWN_TOPIC_ID (100) per partition. */
+  val FetchMaxVersion = 13
+
+  /** An id the v13 decoder could not resolve becomes this reserved
+    * name (illegal in Kafka's topic charset, so it can never collide):
+    * the hex suffix lets the response encoder echo the ORIGINAL id
+    * back, per the protocol, without a parallel field anywhere. */
+  private[streaming] val UnknownTopicIdMarker = "!unknown-id:"
+  private[streaming] def unknownIdName(id: Array[Byte]): String =
+    UnknownTopicIdMarker + id.map("%02x".format(_)).mkString
+  private[streaming] def isUnknownIdName(name: String): Boolean =
+    name.startsWith(UnknownTopicIdMarker)
+  private def idOfName(name: String): Array[Byte] =
+    if (isUnknownIdName(name))
+      name.stripPrefix(UnknownTopicIdMarker).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    else topicUuid(name)
+
+  /** Resolver over a known topic set, for v13 decode (broker side:
+    * the hosted topics; tests: the names they expect back). */
+  def topicIdResolverFor(names: => Seq[String]): Array[Byte] => Option[String] = {
+    lazy val byId: Map[Seq[Byte], String] =
+      names.map(n => topicUuid(n).toSeq -> n).toMap
+    id => byId.get(id.toSeq)
+  }
 
   private def writeCompactNullableString(out: ByteArrayOutputStream, s: String): Unit =
     if (s == null) writeUVarInt(out, 0) else writeCompactString(out, s)
@@ -1283,10 +1310,14 @@ object KafkaWire {
       topics: Seq[(String, Seq[(Int, Long, Int)])],
       sessionId: Int = 0, sessionEpoch: Int = -1,
       forgotten: Seq[(String, Seq[Int])] = Seq.empty,
-      isolationLevel: Int = 0): Array[Byte] = {
+      isolationLevel: Int = 0,
+      /** v13: per-name topic_id override (for unknown-id test legs);
+        * absent names use the deterministic [[topicUuid]]. */
+      idOverrides: Map[String, Array[Byte]] = Map.empty): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
+    val byId = version >= 13
     val out = new ByteArrayOutputStream()
     writeInt16(out, FetchApiKey)
     writeInt16(out, version)
@@ -1302,7 +1333,8 @@ object KafkaWire {
     if (version >= 7) { w.i32(sessionId); w.i32(sessionEpoch) }
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
-      w.str(name)
+      if (byId) w.uuid(idOverrides.getOrElse(name, idOfName(name)))
+      else w.str(name)
       w.count(parts.length)
       parts.foreach { case (p, off, partMaxBytes) =>
         w.i32(p)
@@ -1318,7 +1350,8 @@ object KafkaWire {
     if (version >= 7) {
       w.count(forgotten.length)
       forgotten.foreach { case (name, parts) =>
-        w.str(name)
+        if (byId) w.uuid(idOverrides.getOrElse(name, idOfName(name)))
+        else w.str(name)
         w.count(parts.length); parts.foreach(w.i32)
         w.tags()
       }
@@ -1328,13 +1361,19 @@ object KafkaWire {
     frame(out.toByteArray)
   }
 
-  def decodeFetchRequest(bytes: Array[Byte]): FetchRequest = {
+  def decodeFetchRequest(bytes: Array[Byte],
+      /** v13: resolves a topic_id to its name; None (or the default)
+        * maps the entry to the unknown-id marker name, which the
+        * broker answers with UNKNOWN_TOPIC_ID (100). */
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : FetchRequest = {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == FetchApiKey, "not a Fetch request")
     val version = buf.getShort.toInt
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
+    val byId = version >= 13
     val correlationId = buf.getInt
     val clientId = readNullableString(buf)
     if (flexible) readTags(buf)
@@ -1346,8 +1385,13 @@ object KafkaWire {
     val isolationLevel = if (version >= 4) buf.get().toInt else 0
     val (sessionId, sessionEpoch) =
       if (version >= 7) (r.i32(), r.i32()) else (0, -1)
+    def readTopicKey(): String =
+      if (byId) {
+        val id = r.uuid()
+        topicIdResolver(id).getOrElse(unknownIdName(id))
+      } else r.str()
     val topics = (0 until r.count()).map { _ =>
-      val name = r.str()
+      val name = readTopicKey()
       val parts = (0 until r.count()).map { _ =>
         val p = r.i32()
         if (version >= 9) r.i32() // current_leader_epoch
@@ -1363,7 +1407,7 @@ object KafkaWire {
     }
     val forgotten =
       if (version >= 7) (0 until r.count()).map { _ =>
-        val name = r.str()
+        val name = readTopicKey()
         val parts = (0 until r.count()).map(_ => r.i32())
         r.tags()
         (name, parts.toSeq)
@@ -1394,6 +1438,7 @@ object KafkaWire {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
+    val byId = version >= 13
     val out = new ByteArrayOutputStream()
     writeInt32(out, correlationId)
     if (flexible) writeUVarInt(out, 0) // response header v1 tag buffer
@@ -1402,7 +1447,9 @@ object KafkaWire {
     if (version >= 7) { w.i16(errorCode); w.i32(sessionId) }
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
-      w.str(name)
+      // v13: the id — for an unresolved marker name this recovers and
+      // echoes the REQUEST's original topic_id, per the protocol
+      if (byId) w.uuid(idOfName(name)) else w.str(name)
       w.count(parts.length)
       parts.foreach { case (p, err, hw, records) =>
         w.i32(p); w.i16(err); w.i64(hw)
@@ -1436,17 +1483,22 @@ object KafkaWire {
     frame(out.toByteArray)
   }
 
-  def decodeFetchResponse(version: Int, bytes: Array[Byte])
+  def decodeFetchResponse(version: Int, bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
       : (Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]) = {
-    val full = decodeFetchResponseFull(version, bytes)
+    val full = decodeFetchResponseFull(version, bytes, topicIdResolver)
     (full._1, full._4)
   }
 
   /** Like [[decodeFetchResponse]] but surfacing the v7+ session
-    * fields: (correlationId, errorCode, sessionId, topics). */
-  def decodeFetchResponseFull(version: Int, bytes: Array[Byte])
+    * fields: (correlationId, errorCode, sessionId, topics). At v13
+    * the resolver maps response topic_ids back to names (unresolved
+    * ids surface as the unknown-id marker name). */
+  def decodeFetchResponseFull(version: Int, bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
       : (Int, Int, Int, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, WireRecordV2)])])]) = {
     val flexible = version >= 12
+    val byId = version >= 13
     val buf = unframe(bytes)
     val correlationId = buf.getInt
     if (flexible) readTags(buf)
@@ -1455,7 +1507,11 @@ object KafkaWire {
     val (errorCode, sessionId) =
       if (version >= 7) (r.i16(), r.i32()) else (0, 0)
     val topics = (0 until r.count()).map { _ =>
-      val name = r.str()
+      val name =
+        if (byId) {
+          val id = r.uuid()
+          topicIdResolver(id).getOrElse(unknownIdName(id))
+        } else r.str()
       val parts = (0 until r.count()).map { _ =>
         val p = r.i32()
         val err = r.i16()

@@ -32,7 +32,7 @@ import graft.TestSpark
   *   OffsetFetch          8             0–8                8
   *   ListOffsets          8             0–7                7
   *   OffsetForLeaderEpoch 4             0–4                4
-  *   Fetch               16             0–12              12
+  *   Fetch               16             0–13              13
   *   OffsetCommit         8             0–8                8
   *   Heartbeat            4             0–4                4
   *   LeaveGroup           5             0–5                5
@@ -89,7 +89,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(negotiated("OffsetFetch") === 8)
       assert(negotiated("ListOffsets") === 7)
       assert(negotiated("OffsetForLeaderEpoch") === 4)
-      assert(negotiated("Fetch") === 12)
+      assert(negotiated("Fetch") === 13)
       assert(negotiated("OffsetCommit") === 8)
       assert(negotiated("Heartbeat") === 4)
       assert(negotiated("LeaveGroup") === 5)
@@ -206,11 +206,14 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(ofle._2 === Seq(("trace",
         Seq((0, 0, 0, 3L), (0, 1, 0, 2L)))))
 
-      // 9. Fetch v12: records return as magic-2 batches — keys,
-      // values, AND headers survive the socket
-      val fetched = decodeFetchResponse(12, exchange(sock,
-        encodeFetchRequest(12, 10, "trace-cli", 500, 1, 1 << 20,
-          Seq(("trace", Seq((0, 0L, 1 << 20), (1, 0L, 1 << 20)))))))
+      // 9. Fetch v13 (KIP-516): the request addresses the topic by
+      // its topic_id — the one Metadata v12 reported — and records
+      // return as magic-2 batches: keys, values, AND headers survive
+      val traceResolver = topicIdResolverFor(Seq("trace"))
+      val fetched = decodeFetchResponse(13, exchange(sock,
+        encodeFetchRequest(13, 10, "trace-cli", 500, 1, 1 << 20,
+          Seq(("trace", Seq((0, 0L, 1 << 20), (1, 0L, 1 << 20)))))),
+        traceResolver)
       val p0 = fetched._2.head._2.find(_._1 == 0).get
       assert(p0._4.map(r => (new String(r._2.key, "UTF-8"),
         new String(r._2.value, "UTF-8"))) ===
@@ -267,7 +270,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
       // after bootstrap): InitProducerId v4 with the id → epoch-fenced
       // pid, AddPartitionsToTxn v3, produce v9 with transactional
       // magic-2 batches, TxnOffsetCommit v3 inside the transaction,
-      // EndTxn v3 commit, and a read_committed Fetch v12 that sees the
+      // EndTxn v3 commit, and a read_committed Fetch v13 that sees the
       // committed records
       val (_, txInitErr, txPid, txEpoch) = decodeInitProducerIdResponse(4,
         exchange(sock, encodeInitProducerIdRequest(4, 20, "trace-cli",
@@ -292,9 +295,10 @@ class ModernClientTraceSpec extends AnyFunSuite {
         encodeEndTxnRequest(3, 24, "trace-cli", "trace-txn", txPid, txEpoch,
           committed = true)))
       assert(txEnd === 0)
-      val (_, rcTopics) = decodeFetchResponse(12, exchange(sock,
-        encodeFetchRequest(12, 25, "trace-cli", 500, 1, 1 << 20,
-          Seq(("trace", Seq((0, txBase, 1 << 20)))), 0, -1, Seq.empty, 1)))
+      val (_, rcTopics) = decodeFetchResponse(13, exchange(sock,
+        encodeFetchRequest(13, 25, "trace-cli", 500, 1, 1 << 20,
+          Seq(("trace", Seq((0, txBase, 1 << 20)))), 0, -1, Seq.empty, 1)),
+        traceResolver)
       val rcRecs = rcTopics.head._2.head._4
       assert(rcRecs.map(r => new String(r._2.value, "UTF-8")) === Seq("vt"))
       assert(broker.topic("trace").committed("trace-group")
