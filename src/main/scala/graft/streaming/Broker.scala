@@ -19,6 +19,11 @@ class Broker(spark: SparkSession, root: String) {
   /** Membership coordination for wire consumers (JoinGroup/SyncGroup/
     * Heartbeat/LeaveGroup) — pure metadata, one per broker. */
   val coordinator = new GroupCoordinator()
+  /** KIP-848 coordinator (keys 68/69) — the kafka-clients 4.x default
+    * group path; the classic JoinGroup/SyncGroup path stays served
+    * beside it for 2.x/3.x clients. */
+  val coordinator848 = new Group848Coordinator(
+    name => topicOpt(name).map(_.numPartitions))
 
   /** CreateTopics analog. */
   def createTopic(name: String, numPartitions: Int): TopicLog =
@@ -1852,10 +1857,51 @@ class Broker(spark: SparkSession, root: String) {
   def handleListGroups(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val correlationId = decodeListGroupsRequestV0(requestBytes)
-    val active = coordinator.listGroups()
+    val active = coordinator.listGroups() ++
+      coordinator848.listGroups(System.currentTimeMillis())
+        .map { case (g, _) => (g, "consumer") }
     val offsetsOnly = listGroups().map(_._1).distinct
       .filterNot(g => active.exists(_._1 == g)).map(g => (g, ""))
     encodeListGroupsResponseV0(correlationId, 0, (active ++ offsetsOnly).sortBy(_._1))
+  }
+
+  /** ConsumerGroupHeartbeat (key 68, v0) — the KIP-848 membership
+    * RPC: join/rejoin at epoch 0, leave at −1, everything else is a
+    * reconciliation step (see [[Group848Coordinator]]). Owned
+    * partitions arrive topic-id-keyed and resolve like Fetch v13. */
+  def handleConsumerGroupHeartbeat(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeConsumerGroupHeartbeatRequest(requestBytes,
+      topicIdResolverFor(listTopics()))
+    // an owned partition whose id resolves to no hosted topic cannot
+    // be granted or tracked — it would poison set comparisons with a
+    // marker name; drop it (the member's next target won't carry it)
+    val owned =
+      if (req.topicPartitions == null) null
+      else req.topicPartitions.filterNot(tp => isUnknownIdName(tp._1))
+    val res = coordinator848.heartbeat(req.groupId, req.memberId,
+      req.memberEpoch, req.instanceId, req.rackId, req.rebalanceTimeoutMs,
+      req.subscribedTopicNames, req.serverAssignor, owned, req.clientId,
+      System.currentTimeMillis())
+    encodeConsumerGroupHeartbeatResponse(req.correlationId, res.error,
+      res.errorMessage, res.memberId, res.memberEpoch,
+      coordinator848.heartbeatIntervalMs, res.assignment)
+  }
+
+  /** ConsumerGroupDescribe (key 69, v0): the 848 groups only — a
+    * classic group queried here answers GROUP_ID_NOT_FOUND (69), as
+    * in Kafka (admin tooling then falls back to DescribeGroups). */
+  def handleConsumerGroupDescribe(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, groupIds, _) =
+      decodeConsumerGroupDescribeRequest(requestBytes)
+    val now = System.currentTimeMillis()
+    val described = groupIds.map { g =>
+      coordinator848.describe(g, now).getOrElse(
+        CGDescribedGroup(69, s"group $g not found", g, "Dead", 0, 0, "",
+          Seq.empty))
+    }
+    encodeConsumerGroupDescribeResponse(correlationId, described)
   }
 
   /** DescribeGroups v0: live membership from the coordinator; a group
@@ -2196,7 +2242,11 @@ object Broker {
     (61, "DescribeProducers", 0, KafkaWire.DescribeProducersMaxVersion),
     (65, "DescribeTransactions", 0,
       KafkaWire.DescribeTransactionsMaxVersion),
-    (66, "ListTransactions", 0, KafkaWire.ListTransactionsMaxVersion))
+    (66, "ListTransactions", 0, KafkaWire.ListTransactionsMaxVersion),
+    (68, "ConsumerGroupHeartbeat", 0,
+      KafkaWire.ConsumerGroupHeartbeatMaxVersion),
+    (69, "ConsumerGroupDescribe", 0,
+      KafkaWire.ConsumerGroupDescribeMaxVersion))
 
   /** The ApiVersions-analog catalog the oracle-checked
     * `broker_api_versions` query serves. IDENTICAL to [[WireApis]] by

@@ -5245,4 +5245,301 @@ object KafkaWire {
     }
     out.result()
   }
+
+  // --- KIP-848 next-generation consumer protocol (the DEFAULT group
+  // membership path of kafka-clients 4.x): ConsumerGroupHeartbeat
+  // (key 68) replaces the classic JoinGroup/SyncGroup two-step with
+  // ONE heartbeat-driven reconciliation RPC — the coordinator owns
+  // the assignor, epochs replace generations, and partition ownership
+  // moves incrementally (a partition is granted only after its
+  // previous owner reports it revoked). ConsumerGroupDescribe (key
+  // 69) is its admin/introspection companion. Both v0, flexible.
+  // Topic addressing is by topic_id (KIP-516 UUIDs), resolved the
+  // same way Fetch v13 resolves them. ---
+
+  val ConsumerGroupHeartbeatApiKey = 68
+  val ConsumerGroupHeartbeatMaxVersion = 0
+  val ConsumerGroupDescribeApiKey = 69
+  val ConsumerGroupDescribeMaxVersion = 0
+
+  case class CGHeartbeatRequest(correlationId: Int, clientId: String,
+      groupId: String, memberId: String, memberEpoch: Int,
+      instanceId: String, rackId: String, rebalanceTimeoutMs: Int,
+      /** null = unchanged since the last heartbeat */
+      subscribedTopicNames: Seq[String],
+      serverAssignor: String,
+      /** currently OWNED partitions; null = unchanged */
+      topicPartitions: Seq[(String, Seq[Int])])
+
+  def encodeConsumerGroupHeartbeatRequest(correlationId: Int,
+      clientId: String, groupId: String, memberId: String, memberEpoch: Int,
+      subscribedTopicNames: Seq[String] = null,
+      topicPartitions: Seq[(String, Seq[Int])] = null,
+      serverAssignor: String = null, instanceId: String = null,
+      rackId: String = null, rebalanceTimeoutMs: Int = -1): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ConsumerGroupHeartbeatApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.str(groupId)
+    w.str(memberId)
+    w.i32(memberEpoch)
+    w.str(instanceId)
+    w.str(rackId)
+    w.i32(rebalanceTimeoutMs)
+    if (subscribedTopicNames == null) w.count(-1)
+    else { w.count(subscribedTopicNames.length); subscribedTopicNames.foreach(w.str) }
+    w.str(serverAssignor)
+    if (topicPartitions == null) w.count(-1)
+    else {
+      w.count(topicPartitions.length)
+      topicPartitions.foreach { case (name, parts) =>
+        w.uuid(topicUuid(name))
+        w.count(parts.length); parts.foreach(w.i32)
+        w.tags()
+      }
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeConsumerGroupHeartbeatRequest(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : CGHeartbeatRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ConsumerGroupHeartbeatApiKey,
+      "not a ConsumerGroupHeartbeat request")
+    require(buf.getShort.toInt == 0,
+      "unsupported ConsumerGroupHeartbeat version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val groupId = r.str()
+    val memberId = r.str()
+    val memberEpoch = r.i32()
+    val instanceId = r.str()
+    val rackId = r.str()
+    val rebalanceTimeoutMs = r.i32()
+    val nSubs = r.count()
+    val subs = if (nSubs < 0) null else (0 until nSubs).map(_ => r.str()).toSeq
+    val assignor = r.str()
+    val nTp = r.count()
+    val tps = if (nTp < 0) null else (0 until nTp).map { _ =>
+      val id = r.uuid()
+      val parts = (0 until r.count()).map(_ => r.i32()).toSeq
+      r.tags()
+      (topicIdResolver(id).getOrElse(unknownIdName(id)), parts)
+    }.toSeq
+    r.tags()
+    CGHeartbeatRequest(correlationId, clientId, groupId, memberId,
+      memberEpoch, instanceId, rackId, rebalanceTimeoutMs, subs, assignor,
+      tps)
+  }
+
+  /** Assignment None = null (unchanged on the wire); Some(tps) writes
+    * the nullable struct with topic_id-keyed partition sets. */
+  def encodeConsumerGroupHeartbeatResponse(correlationId: Int,
+      errorCode: Int, errorMessage: String, memberId: String,
+      memberEpoch: Int, heartbeatIntervalMs: Int,
+      assignment: Option[Seq[(String, Seq[Int])]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.str(memberId)
+    w.i32(memberEpoch)
+    w.i32(heartbeatIntervalMs)
+    assignment match {
+      case None => w.i8(-1) // nullable struct: absent
+      case Some(tps) =>
+        w.i8(1)
+        w.count(tps.length)
+        tps.foreach { case (name, parts) =>
+          w.uuid(idOfName(name))
+          w.count(parts.length); parts.foreach(w.i32)
+          w.tags()
+        }
+        w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, errorMessage, memberId, memberEpoch,
+    * heartbeatIntervalMs, assignment). */
+  def decodeConsumerGroupHeartbeatResponse(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : (Int, Int, String, String, Int, Int,
+         Option[Seq[(String, Seq[Int])]]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle_time_ms
+    val err = r.i16()
+    val errMsg = r.str()
+    val memberId = r.str()
+    val memberEpoch = r.i32()
+    val interval = r.i32()
+    val assignment = r.i8() match {
+      case -1 => None
+      case _ =>
+        val tps = (0 until r.count()).map { _ =>
+          val id = r.uuid()
+          val parts = (0 until r.count()).map(_ => r.i32()).toSeq
+          r.tags()
+          (topicIdResolver(id).getOrElse(unknownIdName(id)), parts)
+        }.toSeq
+        r.tags()
+        Some(tps)
+    }
+    r.tags()
+    (correlationId, err, errMsg, memberId, memberEpoch, interval, assignment)
+  }
+
+  /** One member's view in a ConsumerGroupDescribe response. */
+  case class CGDescribedMember(memberId: String, instanceId: String,
+      rackId: String, memberEpoch: Int, clientId: String, clientHost: String,
+      subscribedTopicNames: Seq[String], subscribedTopicRegex: String,
+      assignment: Seq[(String, Seq[Int])],
+      targetAssignment: Seq[(String, Seq[Int])])
+
+  case class CGDescribedGroup(errorCode: Int, errorMessage: String,
+      groupId: String, groupState: String, groupEpoch: Int,
+      assignmentEpoch: Int, assignorName: String,
+      members: Seq[CGDescribedMember])
+
+  def encodeConsumerGroupDescribeRequest(correlationId: Int,
+      clientId: String, groupIds: Seq[String],
+      includeAuthorizedOps: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ConsumerGroupDescribeApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(groupIds.length); groupIds.foreach(w.str)
+    w.bool(includeAuthorizedOps)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, groupIds, includeAuthorizedOps). */
+  def decodeConsumerGroupDescribeRequest(bytes: Array[Byte])
+      : (Int, Seq[String], Boolean) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ConsumerGroupDescribeApiKey,
+      "not a ConsumerGroupDescribe request")
+    require(buf.getShort.toInt == 0,
+      "unsupported ConsumerGroupDescribe version")
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val ids = (0 until r.count()).map(_ => r.str()).toSeq
+    val includeOps = r.bool()
+    r.tags()
+    (correlationId, ids, includeOps)
+  }
+
+  def encodeConsumerGroupDescribeResponse(correlationId: Int,
+      groups: Seq[CGDescribedGroup]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.count(groups.length)
+    groups.foreach { g =>
+      w.i16(g.errorCode)
+      w.str(g.errorMessage)
+      w.str(g.groupId)
+      w.str(g.groupState)
+      w.i32(g.groupEpoch)
+      w.i32(g.assignmentEpoch)
+      w.str(g.assignorName)
+      w.count(g.members.length)
+      g.members.foreach { m =>
+        w.str(m.memberId)
+        w.str(m.instanceId)
+        w.str(m.rackId)
+        w.i32(m.memberEpoch)
+        w.str(m.clientId)
+        w.str(m.clientHost)
+        w.count(m.subscribedTopicNames.length)
+        m.subscribedTopicNames.foreach(w.str)
+        w.str(m.subscribedTopicRegex)
+        // assignment structs are NOT nullable here; describe entries
+        // carry BOTH topic_id and topic_name, unlike the heartbeat
+        def assignment(tps: Seq[(String, Seq[Int])]): Unit = {
+          w.count(tps.length)
+          tps.foreach { case (name, parts) =>
+            w.uuid(idOfName(name))
+            w.str(name)
+            w.count(parts.length); parts.foreach(w.i32)
+            w.tags()
+          }
+          w.tags()
+        }
+        assignment(m.assignment)
+        assignment(m.targetAssignment)
+        w.tags()
+      }
+      w.i32(Int.MinValue) // authorized_operations: not computed
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, groups). */
+  def decodeConsumerGroupDescribeResponse(bytes: Array[Byte])
+      : (Int, Seq[CGDescribedGroup]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle_time_ms
+    val groups = (0 until r.count()).map { _ =>
+      val err = r.i16()
+      val errMsg = r.str()
+      val groupId = r.str()
+      val state = r.str()
+      val gEpoch = r.i32()
+      val aEpoch = r.i32()
+      val assignor = r.str()
+      val members = (0 until r.count()).map { _ =>
+        val memberId = r.str()
+        val instanceId = r.str()
+        val rackId = r.str()
+        val mEpoch = r.i32()
+        val cid = r.str()
+        val chost = r.str()
+        val subs = (0 until r.count()).map(_ => r.str()).toSeq
+        val regex = r.str()
+        def assignment(): Seq[(String, Seq[Int])] = {
+          val tps = (0 until r.count()).map { _ =>
+            r.uuid()
+            val name = r.str()
+            val parts = (0 until r.count()).map(_ => r.i32()).toSeq
+            r.tags()
+            (name, parts)
+          }.toSeq
+          r.tags()
+          tps
+        }
+        val cur = assignment()
+        val tgt = assignment()
+        r.tags()
+        CGDescribedMember(memberId, instanceId, rackId, mEpoch, cid, chost,
+          subs, regex, cur, tgt)
+      }.toSeq
+      r.i32() // authorized_operations
+      r.tags()
+      CGDescribedGroup(err, errMsg, groupId, state, gEpoch, aEpoch,
+        assignor, members)
+    }.toSeq
+    r.tags()
+    (correlationId, groups)
+  }
 }

@@ -228,6 +228,10 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleAlterPartitionReassignments(framed)
       case KafkaWire.ListPartitionReassignmentsApiKey =>
         broker.handleListPartitionReassignments(framed)
+      case KafkaWire.ConsumerGroupHeartbeatApiKey =>
+        broker.handleConsumerGroupHeartbeat(framed)
+      case KafkaWire.ConsumerGroupDescribeApiKey =>
+        broker.handleConsumerGroupDescribe(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }

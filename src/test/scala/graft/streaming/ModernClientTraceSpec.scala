@@ -363,4 +363,67 @@ class ModernClientTraceSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("a 4.x client's group path: ConsumerGroupHeartbeat negotiated and driven") {
+    // kafka-clients 4.x defaults to group.protocol=consumer (KIP-848):
+    // after ApiVersions it checks the broker serves key 68 and then
+    // drives membership through heartbeats alone — no JoinGroup/
+    // SyncGroup barrier. This leg replays that negotiation and the
+    // minimal lifecycle a 4.x consumer performs, with the offset
+    // APIs it still shares with the classic path.
+    val root = Files.createTempDirectory("graft-trace-848").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("t848", 2)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val apis = decodeApiVersionsResponseV3(exchange(sock,
+        encodeApiVersionsRequestV3(1, "trace-4x", "apache-kafka-java", "4.0.0")))
+      val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
+      // the 4.x decision point: key 68 present → new protocol usable
+      assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 0)))
+      assert(advertised(KafkaWire.ConsumerGroupDescribeApiKey) === ((0, 0)))
+
+      def rec(k: String, v: String) =
+        WireRecordV2(1700000000000L, k.getBytes("UTF-8"), v.getBytes("UTF-8"))
+      val resolver = topicIdResolverFor(Seq("t848"))
+      // join: epoch 0, coordinator-generated member id, full grant
+      val join = decodeConsumerGroupHeartbeatResponse(exchange(sock,
+        encodeConsumerGroupHeartbeatRequest(2, "trace-4x", "g4x", "", 0,
+          Seq("t848"))), resolver)
+      assert(join._2 === 0)
+      val memberId = join._4
+      assert(join._5 === 1)
+      assert(join._7.map(_.flatMap(_._2).toSet) === Some(Set(0, 1)))
+      // steady state: acknowledge ownership, then an idle heartbeat
+      val ack = decodeConsumerGroupHeartbeatResponse(exchange(sock,
+        encodeConsumerGroupHeartbeatRequest(3, "trace-4x", "g4x", memberId,
+          1, null, Seq(("t848", Seq(0, 1))))), resolver)
+      assert(ack._2 === 0 && ack._7 === None)
+
+      // the 4.x consumer commits through the same OffsetCommit v8 path
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 4, "trace-4x", null, 1, 30000,
+          Seq(("t848", Seq((0, Seq(rec("a", "va")))))))))
+      val (_, committed) = decodeOffsetCommitResponse(8, exchange(sock,
+        encodeOffsetCommitRequest(8, 5, "trace-4x", "g4x", -1, null, null,
+          Seq(("t848", Seq((0, 1L, "")))))))
+      assert(committed === Seq(("t848", Seq((0, 0)))))
+
+      // ConsumerGroupDescribe: the admin view of the 848 group
+      val (_, described) = decodeConsumerGroupDescribeResponse(exchange(sock,
+        encodeConsumerGroupDescribeRequest(6, "trace-4x", Seq("g4x"))))
+      assert(described.head.groupState === "Stable")
+      assert(described.head.members.map(_.memberId) === Seq(memberId))
+
+      // clean shutdown: leave at epoch -1
+      val left = decodeConsumerGroupHeartbeatResponse(exchange(sock,
+        encodeConsumerGroupHeartbeatRequest(7, "trace-4x", "g4x", memberId,
+          -1)), resolver)
+      assert(left._2 === 0 && left._5 === -1)
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }
