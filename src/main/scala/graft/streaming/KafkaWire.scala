@@ -4365,8 +4365,11 @@ object KafkaWire {
   }
 
   /** (correlationId, errorCode, errorMessage, sessionLifetimeMs). */
+  /** (correlationId, errorCode, errorMessage, auth_bytes) — the auth
+    * bytes carry the server's SASL token (SCRAM server-first /
+    * server-final; empty for PLAIN). */
   def decodeSaslAuthenticateResponse(version: Int, bytes: Array[Byte])
-      : (Int, Int, String, Long) = {
+      : (Int, Int, String, Array[Byte]) = {
     val flexible = version >= 2
     val buf = unframe(bytes)
     val correlationId = buf.getInt
@@ -4374,10 +4377,10 @@ object KafkaWire {
     val r = new RD(buf, flexible)
     val err = r.i16()
     val msg = r.str()
-    r.bytes()
-    val lifetime = if (version >= 1) r.i64() else 0L
+    val authBytes = r.bytes()
+    if (version >= 1) r.i64() // session_lifetime_ms
     r.tags()
-    (correlationId, err, msg, lifetime)
+    (correlationId, err, msg, authBytes)
   }
 
   /** Parse an RFC 4616 PLAIN token: [authzid] NUL authcid NUL passwd →

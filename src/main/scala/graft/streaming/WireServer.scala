@@ -29,6 +29,19 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
   @volatile private var running = true
   private val pool = Executors.newCachedThreadPool()
 
+  /** SCRAM stored credentials, derived once per server from the
+    * credential map with a per-server random salt — the server keeps
+    * (salt, iterations, StoredKey, ServerKey), never the password,
+    * exactly Kafka's SCRAM credential record. */
+  private lazy val scramCreds: Map[String, Scram.StoredCreds] = {
+    val rnd = new java.security.SecureRandom()
+    credentials.map { case (user, password) =>
+      val salt = new Array[Byte](16)
+      rnd.nextBytes(salt)
+      user -> Scram.store(password, salt)
+    }
+  }
+
   def boundPort: Int = server.getLocalPort
 
   def start(): this.type = {
@@ -53,12 +66,23 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     val in = new DataInputStream(sock.getInputStream)
     val out = sock.getOutputStream
     // per-connection SASL state: an unsecured listener starts
-    // authenticated; a secured one walks handshake → token → open
+    // authenticated; a secured one walks handshake → token(s) → open.
+    // PLAIN is one token; SCRAM-SHA-256 is a two-round challenge.
     var authenticated = credentials.isEmpty
     var handshaken = false
-    // a v0 handshake switches the NEXT frame to a raw length-framed
-    // SASL token (pre-KIP-152 framing — no Kafka header on it)
-    var rawTokenNext = false
+    var mechanism: String = null
+    var scram: Scram.ServerSession = null
+    // a v0 handshake switches subsequent frames to raw length-framed
+    // SASL tokens (pre-KIP-152 framing — no Kafka header on them)
+    // until the exchange concludes
+    var rawSasl = false
+    def frameRaw(token: Array[Byte]): Unit = {
+      out.write(Array[Byte]((token.length >>> 24).toByte,
+        (token.length >>> 16).toByte, (token.length >>> 8).toByte,
+        token.length.toByte))
+      out.write(token)
+      out.flush()
+    }
     try {
       var open = true
       while (running && open) {
@@ -66,13 +90,21 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         require(size >= 0 && size <= 64 * 1024 * 1024, s"bad frame size $size")
         val payload = new Array[Byte](size)
         in.readFully(payload)
-        if (rawTokenNext) {
-          // v0 token exchange has no error channel: success answers an
-          // empty server token, failure closes the connection — the
-          // signal pre-KIP-152 clients expect
-          if (evaluatePlain(payload)) {
+        if (rawSasl) {
+          // raw exchange has no in-band error channel: progress frames
+          // carry the next SASL token, failure closes the connection —
+          // the signal pre-KIP-152 clients expect
+          if (mechanism == Scram.Mechanism)
+            scram.step(payload) match {
+              case Scram.Continue(reply) => frameRaw(reply)
+              case Scram.Success(reply, _) =>
+                authenticated = true; rawSasl = false; frameRaw(reply)
+              case Scram.Fail(reply, _) =>
+                frameRaw(reply); authFailureDelay(); open = false
+            }
+          else if (evaluatePlain(payload)) {
             authenticated = true
-            rawTokenNext = false
+            rawSasl = false
             out.write(Array[Byte](0, 0, 0, 0))
             out.flush()
           } else { authFailureDelay(); open = false }
@@ -92,40 +124,57 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
           try {
             apiKey match {
               case KafkaWire.SaslHandshakeApiKey =>
-                val (version, corr, mechanism) =
+                val (version, corr, wanted) =
                   KafkaWire.decodeSaslHandshakeRequest(framed)
                 val resp =
                   if (authenticated) // unsecured listener or re-handshake
                     KafkaWire.encodeSaslHandshakeResponse(corr, 34, Seq.empty)
-                  else if (mechanism != "PLAIN")
-                    KafkaWire.encodeSaslHandshakeResponse(corr, 33, Seq("PLAIN"))
+                  else if (!WireServer.Mechanisms.contains(wanted))
+                    KafkaWire.encodeSaslHandshakeResponse(corr, 33,
+                      WireServer.Mechanisms)
                   else {
                     handshaken = true
-                    rawTokenNext = version == 0
-                    KafkaWire.encodeSaslHandshakeResponse(corr, 0, Seq("PLAIN"))
+                    mechanism = wanted
+                    if (wanted == Scram.Mechanism)
+                      scram = new Scram.ServerSession(scramCreds.get)
+                    rawSasl = version == 0
+                    KafkaWire.encodeSaslHandshakeResponse(corr, 0,
+                      WireServer.Mechanisms)
                   }
                 out.write(resp); out.flush()
               case KafkaWire.SaslAuthenticateApiKey =>
                 val (version, corr, token) =
                   KafkaWire.decodeSaslAuthenticateRequest(framed)
+                def answer(err: Int, msg: String, reply: Array[Byte]): Unit = {
+                  out.write(KafkaWire.encodeSaslAuthenticateResponse(version,
+                    corr, err, msg, reply))
+                  out.flush()
+                }
                 if (authenticated || !handshaken) {
                   // ILLEGAL_SASL_STATE: no handshake yet, or already done
-                  out.write(KafkaWire.encodeSaslAuthenticateResponse(version,
-                    corr, 34, "SaslAuthenticate out of order",
-                    Array.emptyByteArray))
-                  out.flush()
+                  answer(34, "SaslAuthenticate out of order",
+                    Array.emptyByteArray)
+                } else if (mechanism == Scram.Mechanism) {
+                  scram.step(token) match {
+                    case Scram.Continue(reply) => answer(0, null, reply)
+                    case Scram.Success(reply, _) =>
+                      authenticated = true
+                      answer(0, null, reply)
+                    case Scram.Fail(reply, why) =>
+                      // failed auth answers in-band (the RFC e= token
+                      // rides auth_bytes), THEN closes
+                      answer(58, s"Authentication failed: $why", reply)
+                      authFailureDelay()
+                      open = false
+                  }
                 } else if (evaluatePlain(token)) {
                   authenticated = true
-                  out.write(KafkaWire.encodeSaslAuthenticateResponse(version,
-                    corr, 0, null, Array.emptyByteArray))
-                  out.flush()
+                  answer(0, null, Array.emptyByteArray)
                 } else {
                   // failed auth answers in-band, THEN closes — the
                   // client sees why before the disconnect
-                  out.write(KafkaWire.encodeSaslAuthenticateResponse(version,
-                    corr, 58, "Authentication failed: invalid credentials",
-                    Array.emptyByteArray))
-                  out.flush()
+                  answer(58, "Authentication failed: invalid credentials",
+                    Array.emptyByteArray)
                   authFailureDelay()
                   open = false
                 }
@@ -250,4 +299,8 @@ object WireServer {
     * 100 ms). Overridable down for tests would be over-engineering:
     * failure legs pay 100 ms each, a few per suite. */
   val AuthFailureDelayMs = 100L
+
+  /** SASL mechanisms a secured listener serves. PLAIN stays for
+    * compat; SCRAM-SHA-256 keeps the password off the wire. */
+  val Mechanisms: Seq[String] = Seq("PLAIN", Scram.Mechanism)
 }

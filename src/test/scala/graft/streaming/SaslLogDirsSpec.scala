@@ -77,11 +77,11 @@ class SaslLogDirsSpec extends AnyFunSuite {
         encodeSaslAuthenticateRequest(v, 7, "cli", plainToken("u", "p")))
       assert((av, ac) === ((v, 7)))
       assert(tok === plainToken("u", "p"))
-      val (rc, rerr, _, life) = decodeSaslAuthenticateResponse(v,
+      val (rc, rerr, _, authBytes) = decodeSaslAuthenticateResponse(v,
         encodeSaslAuthenticateResponse(v, 8, 0, null, Array.emptyByteArray,
           sessionLifetimeMs = 0L))
       assert((rc, rerr) === ((8, 0)))
-      assert(life === 0L)
+      assert(authBytes.isEmpty)
     }
   }
 
@@ -114,12 +114,12 @@ class SaslLogDirsSpec extends AnyFunSuite {
       assert(err === 34)
     } finally s2.close()
 
-    // unknown mechanism → 33 naming PLAIN
+    // unknown mechanism → 33 naming the served set
     val s3 = new Socket("127.0.0.1", server.boundPort)
     try {
       val (_, err, mechs) = decodeSaslHandshakeResponse(exchange(s3,
         encodeSaslHandshakeRequest(1, 1, "cli", "SCRAM-SHA-512")))
-      assert((err, mechs) === ((33, Seq("PLAIN"))))
+      assert((err, mechs) === ((33, Seq("PLAIN", "SCRAM-SHA-256"))))
       // the connection survives an unknown-mechanism probe — retry PLAIN
       val (_, ok, _) = decodeSaslHandshakeResponse(exchange(s3,
         encodeSaslHandshakeRequest(1, 2, "cli", "PLAIN")))
