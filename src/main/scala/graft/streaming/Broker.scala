@@ -217,7 +217,24 @@ class Broker(spark: SparkSession, root: String) {
     * out-of-range partitions answer error 3
     * (UNKNOWN_TOPIC_OR_PARTITION) without losing the rest of the
     * request. */
+  /** Serializes log REWRITES (retention expiry, compaction, record
+    * deletion — which replace a topic's whole data dir) against wire
+    * produces: produces hold the read side, rewrites the write side.
+    * Without it a produce staging files while a rewrite swaps the dir
+    * loses the staged data — the reason retention/compaction carried
+    * an explicit-invocation-only contract before the WireServer grew
+    * its maintenance tick. Non-wire writers (the DSv2 sink, INSERT)
+    * stay under the documented operator contract: schedule rewrites
+    * when no Spark writer runs. */
+  val maintenanceLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   def handleProduce(requestBytes: Array[Byte]): Array[Byte] = {
+    val rl = maintenanceLock.readLock()
+    rl.lock()
+    try handleProduceLocked(requestBytes) finally rl.unlock()
+  }
+
+  private def handleProduceLocked(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeProduceRequest(requestBytes)
     val appendTime = new java.sql.Timestamp(System.currentTimeMillis())
@@ -1262,6 +1279,16 @@ class Broker(spark: SparkSession, root: String) {
     * INCREMENTAL response omits partitions with no records, no error,
     * and an unchanged high watermark since last reported. */
   def handleFetch(requestBytes: Array[Byte]): Array[Byte] = {
+    // fetches SCAN data files — a concurrent rewrite (retention tick,
+    // compaction, DeleteRecords) swapping the data dir mid-scan would
+    // kill the connection with FILE_NOT_EXIST; readers share the read
+    // side with produces
+    val rl = maintenanceLock.readLock()
+    rl.lock()
+    try handleFetchLocked(requestBytes) finally rl.unlock()
+  }
+
+  private def handleFetchLocked(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     // v13 (topic-id keying): ids resolve against the hosted topic set;
     // the resolver is lazy, so pre-v13 requests never list the root
@@ -1539,6 +1566,14 @@ class Broker(spark: SparkSession, root: String) {
     * means "to the log end" per the protocol; the response reports
     * each partition's new low watermark. */
   def handleDeleteRecords(requestBytes: Array[Byte]): Array[Byte] = {
+    // truncateBefore is a data-dir rewrite — same exclusion against
+    // in-flight wire produces as retention/compaction
+    val wl = maintenanceLock.writeLock()
+    wl.lock()
+    try handleDeleteRecordsLocked(requestBytes) finally wl.unlock()
+  }
+
+  private def handleDeleteRecordsLocked(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val (correlationId, topics) = decodeDeleteRecordsRequestV0(requestBytes)
     val results = topics.map { case (name, parts) =>
@@ -1710,26 +1745,33 @@ class Broker(spark: SparkSession, root: String) {
     * design: the engine has no background threads (SURVEY §4), so a
     * caller (or an operator's maintenance job) invokes this the way
     * compaction is invoked. Returns (topic, retentionMs) applied. */
-  def applyRetention(nowMs: Long = System.currentTimeMillis()): Seq[(String, Long)] =
-    listTopics().flatMap { name =>
+  def applyRetention(nowMs: Long = System.currentTimeMillis()): Seq[(String, Long)] = {
+    val wl = maintenanceLock.writeLock()
+    wl.lock()
+    try listTopics().flatMap { name =>
       TopicLog.configOverrides(root, name).get("retention.ms")
         .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
         .map { ret =>
           topic(name).expire(new java.sql.Timestamp(nowMs - ret))
           (name, ret)
         }
-    }
+    } finally wl.unlock()
+  }
 
   /** Enforce `cleanup.policy`: compact every topic whose policy names
     * "compact" — the log-cleaner behavior, explicit-invocation by
     * design like [[applyRetention]] (no background threads, and
     * TopicLog.compact's no-concurrent-producer maintenance contract
     * is the caller's to schedule). Returns the compacted topics. */
-  def applyCompaction(): Seq[String] =
-    listTopics().filter { name =>
+  def applyCompaction(): Seq[String] = {
+    val wl = maintenanceLock.writeLock()
+    wl.lock()
+    try listTopics().filter { name =>
       TopicLog.configOverrides(root, name).get("cleanup.policy")
         .exists(_.split(",").map(_.trim).contains("compact"))
     }.map { name => topic(name).compact(); name }
+    finally wl.unlock()
+  }
 
   /** CreatePartitions v0–v3: grow a topic's partition count — what
     * kafka-topics.sh --alter --partitions N sends. Kafka semantics
@@ -1930,6 +1972,14 @@ class Broker(spark: SparkSession, root: String) {
     * report bases of), or none if no record is that recent. v0 ships
     * the offsets array, v1+ the (timestamp, offset) pair. */
   def handleListOffsets(requestBytes: Array[Byte]): Array[Byte] = {
+    // timestamp lookups scan data files — same reader exclusion
+    // against rewrites as handleFetch
+    val rl = maintenanceLock.readLock()
+    rl.lock()
+    try handleListOffsetsLocked(requestBytes) finally rl.unlock()
+  }
+
+  private def handleListOffsetsLocked(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeListOffsetsRequest(requestBytes)
     val none = (-1L, -1L) // v1+ "no such offset": timestamp −1, offset −1

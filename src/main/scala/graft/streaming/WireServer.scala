@@ -24,7 +24,18 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
       * listener: every connection must complete a PLAIN handshake
       * before any non-SASL key other than ApiVersions (the probe
       * Kafka allows pre-auth so clients can negotiate versions). */
-    credentials: Map[String, String] = Map.empty) {
+    credentials: Map[String, String] = Map.empty,
+    /** > 0 enables the maintenance tick: at most every this many ms,
+      * the accept loop schedules `broker.applyRetention` on the pool —
+      * so a long-lived listener ENFORCES each topic's `retention.ms`
+      * instead of accepting the config and never applying it. The
+      * default 0 keeps the engine's no-background-work contract for
+      * embedded/test use; rewrites are serialized against wire
+      * produces by [[Broker.maintenanceLock]], so the tick is safe
+      * under full produce concurrency. Compaction stays
+      * operator-scheduled: `compact()` rewrites the whole topic (no
+      * dirty-ratio accounting), a cost profile the operator owns. */
+    retentionTickMs: Long = 0L) {
   private val server = new ServerSocket(port)
   @volatile private var running = true
   private val pool = Executors.newCachedThreadPool()
@@ -44,14 +55,44 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
 
   def boundPort: Int = server.getLocalPort
 
+  /** Tick state: next due time + in-flight guard so a slow retention
+    * pass (it runs Spark jobs) never stacks behind itself. */
+  private val tickRunning = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var nextTickAtMs =
+    if (retentionTickMs > 0) System.currentTimeMillis() + retentionTickMs
+    else Long.MaxValue
+
+  private def maybeTick(): Unit = {
+    val now = System.currentTimeMillis()
+    if (now >= nextTickAtMs && tickRunning.compareAndSet(false, true)) {
+      nextTickAtMs = now + retentionTickMs
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try broker.applyRetention(System.currentTimeMillis())
+          catch {
+            case e: Exception if running =>
+              System.err.println(s"graft WireServer retention tick error: $e")
+          } finally tickRunning.set(false)
+      })
+    }
+  }
+
   def start(): this.type = {
+    // the tick rides the accept loop (the judge of "is this broker
+    // long-lived" is the loop itself): a bounded SO_TIMEOUT turns a
+    // quiet listener's blocking accept into a periodic wakeup, and
+    // busy listeners check on every accepted connection too
+    if (retentionTickMs > 0)
+      server.setSoTimeout(math.min(retentionTickMs, 1000L).toInt)
     pool.submit(new Runnable {
       override def run(): Unit =
         while (running)
           try {
             val sock = server.accept()
+            maybeTick()
             pool.submit(new Runnable { override def run(): Unit = serve(sock) })
           } catch {
+            case _: java.net.SocketTimeoutException => maybeTick()
             case _: SocketException => () // closed during accept → loop exits via `running`
             case e: Throwable if running =>
               // a transient accept failure must not silently kill the
@@ -288,6 +329,12 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
   def close(): Unit = {
     running = false
     server.close()
+    // let an in-flight retention tick finish before tearing the pool
+    // down: interrupting its Spark rewrite between the data-dir delete
+    // and the atomic move could strand the topic mid-swap
+    val deadline = System.currentTimeMillis() + 30000
+    while (tickRunning.get() && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
     pool.shutdownNow()
     ()
   }
