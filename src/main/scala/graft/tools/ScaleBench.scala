@@ -74,6 +74,34 @@ object ScaleBench {
       val (n, blocks, cands) = Dedup.simhashCandidateStats(spark, d)
       println(f"simhash blocking at $d: $n%d docs -> $blocks%d blocks, $cands%d candidate pairs")
     }
+    // Shuffle-volume evidence for the two heaviest round-6 text
+    // shapes (round-7 directive): dedup_span_exact's spans ARE its
+    // shuffle (every word-8-gram crosses as an 8-byte key into the df
+    // agg; hot spans come back through one join), and
+    // text_perplexity's ONE token shuffle is absorbed map-side by
+    // partial counts, so its reduce side is the DISTINCT vocab, not
+    // the token stream. Both must track n, never n².
+    for (d <- Seq(baseDir, out)) {
+      val docs = t(spark, d, "documents")
+      val spans = docs.select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8))
+          .as("span"))
+        .select(col("doc_id"), xxhash64(col("span")).as("sk"))
+      val spanRows = spans.count()
+      val hotSpans = spans.distinct().groupBy("sk")
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 2).count()
+      val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      val tokRows = toks.count()
+      val vocab = toks.distinct().count()
+      println(f"span/perplexity volumes at $d: spans=$spanRows%d " +
+        f"hot_spans=$hotSpans%d tokens=$tokRows%d distinct_vocab=$vocab%d")
+    }
+    time("dedup_span_exact 1x")(noop(Dedup.dedupSpanExact(spark, baseDir)))
+    time("dedup_span_exact 10x")(noop(Dedup.dedupSpanExact(spark, out)))
+    time("text_perplexity 1x")(noop(
+      graft.operators.TextAnalysis.textPerplexity(spark, baseDir)))
+    time("text_perplexity 10x")(noop(
+      graft.operators.TextAnalysis.textPerplexity(spark, out)))
     time("dedup_simhash")(noop(Dedup.dedupSimhash(spark, out)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))
