@@ -895,6 +895,36 @@ class Broker(spark: SparkSession, root: String) {
     encodeAddPartitionsToTxnResponse(req.version, req.correlationId, results)
   }
 
+  /** AddOffsetsToTxn (key 25, v0–v3): the first half of
+    * `sendOffsetsToTransaction` — registers that this transaction
+    * will commit offsets for a consumer group (in Kafka: adds the
+    * group's __consumer_offsets partition to the transaction), so
+    * the TxnOffsetCommit that follows rides the same commit/abort
+    * decision. Opens the transaction like AddPartitionsToTxn; the
+    * group's registration lands as an (initially empty) pending-
+    * offsets entry that the following TxnOffsetCommit fills. An
+    * empty registration is deliberately NOT persisted on its own
+    * (a restart loses only the marker; the client's TxnOffsetCommit
+    * re-registers, and EndTxn never needs it). */
+  def handleAddOffsetsToTxn(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeAddOffsetsToTxnRequest(requestBytes)
+    val err = txnLock.synchronized {
+      txns.get(req.transactionalId) match {
+        case None => 49
+        case Some(st) if st.pid != req.producerId => 49
+        case Some(st) if st.epoch != req.producerEpoch => 47
+        case Some(st) =>
+          st.open = true
+          if (!st.pendingOffsets.contains(req.groupId))
+            st.pendingOffsets(req.groupId) = Map.empty
+          0
+      }
+    }
+    if (err == 0) persistTxnState() // the txn is now durably open
+    encodeAddOffsetsToTxnResponse(req.version, req.correlationId, err)
+  }
+
   /** EndTxn (key 26, v0–v3): commit makes the transaction's records
     * visible to read_committed consumers (the LSO advances past them)
     * and applies its pending group offsets; abort remembers their
@@ -1896,15 +1926,29 @@ class Broker(spark: SparkSession, root: String) {
   /** ListGroups v0: active coordinator groups plus groups that exist
     * only as committed offsets (protocol_type "" — Kafka's shape for
     * offsets-only groups). */
+  /** ListGroups v0–v5: classic coordinator groups, 848 groups, and
+    * offsets-only groups (known solely by committed offsets, listed
+    * as Empty with no protocol type — Kafka's convention). v4+
+    * filters by state, v5+ by group type; both case-insensitively,
+    * matching Kafka's enum parses. Empty filters mean "all". */
   def handleListGroups(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val correlationId = decodeListGroupsRequestV0(requestBytes)
-    val active = coordinator.listGroups() ++
-      coordinator848.listGroups(System.currentTimeMillis())
-        .map { case (g, _) => (g, "consumer") }
+    val req = decodeListGroupsRequest(requestBytes)
+    val classic = coordinator.listGroups().map { case (g, pt) =>
+      (g, pt, coordinator.describe(g).map(_._1).getOrElse("Empty"), "classic")
+    }
+    val modern = coordinator848.listGroups(System.currentTimeMillis())
+      .map { case (g, state) => (g, "consumer", state, "consumer") }
+    val active = classic ++ modern
     val offsetsOnly = listGroups().map(_._1).distinct
-      .filterNot(g => active.exists(_._1 == g)).map(g => (g, ""))
-    encodeListGroupsResponseV0(correlationId, 0, (active ++ offsetsOnly).sortBy(_._1))
+      .filterNot(g => active.exists(_._1 == g))
+      .map(g => (g, "", "Empty", "classic"))
+    val states = req.statesFilter.map(_.toLowerCase).toSet
+    val types = req.typesFilter.map(_.toLowerCase).toSet
+    val rows = (active ++ offsetsOnly).sortBy(_._1)
+      .filter(r => states.isEmpty || states(r._3.toLowerCase))
+      .filter(r => types.isEmpty || types(r._4.toLowerCase))
+    encodeListGroupsResponse(req.version, req.correlationId, 0, rows)
   }
 
   /** ConsumerGroupHeartbeat (key 68, v0) — the KIP-848 membership
@@ -1946,14 +1990,21 @@ class Broker(spark: SparkSession, root: String) {
     encodeConsumerGroupDescribeResponse(correlationId, described)
   }
 
-  /** DescribeGroups v0: live membership from the coordinator; a group
-    * known only by committed offsets describes as Empty; an unknown
-    * group as Dead (Kafka's convention — not an error code). */
+  /** DescribeGroups v0–v5: live membership from the coordinator; a
+    * group known only by committed offsets describes as Empty; an
+    * unknown group as Dead (Kafka's convention — not an error code).
+    * v4+ member instance ids answer null (the classic coordinator
+    * does not track static membership); v3+ authorized_operations
+    * answers the full group operation set when requested — the
+    * no-authorizer broker's truth (ACL APIs answer SECURITY_DISABLED)
+    * — and Kafka's Int.MinValue "omitted" sentinel when not. */
   def handleDescribeGroups(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, groupIds) = decodeDescribeGroupsRequestV0(requestBytes)
-    val described = groupIds.map { g =>
-      coordinator.describe(g) match {
+    val req = decodeDescribeGroupsRequest(requestBytes)
+    val ops = if (req.includeAuthorizedOperations)
+      Broker.GroupAuthorizedOperations else Int.MinValue
+    val described = req.groups.map { g =>
+      val base = coordinator.describe(g) match {
         case Some((state, pt, proto, members)) =>
           DescribedGroup(0, g, state, pt, proto, members)
         case None if listGroups().exists(_._1 == g) =>
@@ -1961,8 +2012,9 @@ class Broker(spark: SparkSession, root: String) {
         case None =>
           DescribedGroup(0, g, "Dead", "", "", Seq.empty)
       }
+      DescribedGroupModern(base, base.members.map(_ => null), ops)
     }
-    encodeDescribeGroupsResponseV0(correlationId, described)
+    encodeDescribeGroupsResponse(req.version, req.correlationId, described)
   }
 
   /** ListOffsets v0–v7 exchange: timestamp -1 → log end, -2 →
@@ -2209,6 +2261,12 @@ object Broker {
   val MaxTxnStates = 1024
   val MaxAbortedRangesPerPartition = 1024
 
+  /** DescribeGroups v3+ authorized_operations: the bitfield of ACL
+    * operation codes a consumer group supports — READ (3), DELETE (6),
+    * DESCRIBE (8), each contributing `1 << code`. With no authorizer
+    * every supported operation is authorized. */
+  val GroupAuthorizedOperations: Int = (1 << 3) | (1 << 6) | (1 << 8)
+
   // SupportedApis (the catalog the oracle-checked broker_api_versions
   // query serves) is defined BELOW WireApis, which it derives from —
   // object vals initialize in declaration order.
@@ -2259,8 +2317,8 @@ object Broker {
     (12, "Heartbeat", 0, KafkaWire.HeartbeatMaxVersion),
     (13, "LeaveGroup", 0, KafkaWire.LeaveGroupMaxVersion),
     (14, "SyncGroup", 0, KafkaWire.SyncGroupMaxVersion),
-    (15, "DescribeGroups", 0, 0),
-    (16, "ListGroups", 0, 0),
+    (15, "DescribeGroups", 0, KafkaWire.DescribeGroupsMaxVersion),
+    (16, "ListGroups", 0, KafkaWire.ListGroupsMaxVersion),
     (17, "SaslHandshake", 0, KafkaWire.SaslHandshakeMaxVersion),
     (18, "ApiVersions", 0, KafkaWire.ApiVersionsMaxVersion),
     (19, "CreateTopics", 0, 0),
@@ -2269,6 +2327,7 @@ object Broker {
     (22, "InitProducerId", 0, KafkaWire.InitProducerIdMaxVersion),
     (23, "OffsetForLeaderEpoch", 0, KafkaWire.OffsetForLeaderEpochMaxVersion),
     (24, "AddPartitionsToTxn", 0, KafkaWire.AddPartitionsToTxnMaxVersion),
+    (25, "AddOffsetsToTxn", 0, KafkaWire.AddOffsetsToTxnMaxVersion),
     (26, "EndTxn", 0, KafkaWire.EndTxnMaxVersion),
     (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),
     (29, "DescribeAcls", 0, 0),

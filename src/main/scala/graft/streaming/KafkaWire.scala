@@ -2698,6 +2698,205 @@ object KafkaWire {
     (correlationId, groups.toSeq)
   }
 
+  // --- ListGroups v0–v5 (KIP-518 states filter at v4, KIP-848 group
+  // types at v5; flexible v3+) and DescribeGroups v0–v5 (throttle v1+,
+  // authorized_operations v3+, group_instance_id v4+, flexible v5) —
+  // the versions kafka-clients 3.x/4.x AdminClient actually sends.
+  // The *V0 codecs above remain for the golden-frame specs. ---
+
+  val ListGroupsMaxVersion = 5
+  val DescribeGroupsMaxVersion = 5
+
+  case class ListGroupsRequest(version: Int, correlationId: Int,
+      clientId: String, statesFilter: Seq[String], typesFilter: Seq[String])
+
+  def encodeListGroupsRequest(version: Int, correlationId: Int,
+      clientId: String, statesFilter: Seq[String] = Seq.empty,
+      typesFilter: Seq[String] = Seq.empty): Array[Byte] = {
+    require(version >= 0 && version <= ListGroupsMaxVersion,
+      s"unsupported ListGroups version $version")
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ListGroupsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    if (version >= 4) {
+      w.count(statesFilter.length); statesFilter.foreach(w.str)
+    }
+    if (version >= 5) {
+      w.count(typesFilter.length); typesFilter.foreach(w.str)
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeListGroupsRequest(bytes: Array[Byte]): ListGroupsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ListGroupsApiKey, "not a ListGroups request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= ListGroupsMaxVersion,
+      s"unsupported ListGroups version $version")
+    val flexible = version >= 3
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val states =
+      if (version >= 4) (0 until r.count()).map(_ => r.str()).toSeq
+      else Seq.empty
+    val types =
+      if (version >= 5) (0 until r.count()).map(_ => r.str()).toSeq
+      else Seq.empty
+    r.tags()
+    ListGroupsRequest(version, correlationId, clientId, states, types)
+  }
+
+  /** groups = (group_id, protocol_type, group_state, group_type)*;
+    * state ships at v4+, type at v5+ — lower versions drop them. */
+  def encodeListGroupsResponse(version: Int, correlationId: Int,
+      errorCode: Int,
+      groups: Seq[(String, String, String, String)]): Array[Byte] = {
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.count(groups.length)
+    groups.foreach { case (g, pt, state, gtype) =>
+      w.str(g); w.str(pt)
+      if (version >= 4) w.str(state)
+      if (version >= 5) w.str(gtype)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, (group, protocolType, state, type)*) —
+    * fields a version doesn't carry come back "". */
+  def decodeListGroupsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Int, Seq[(String, String, String, String)]) = {
+    val flexible = version >= 3
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    val err = r.i16()
+    val groups = (0 until r.count()).map { _ =>
+      val g = r.str(); val pt = r.str()
+      val state = if (version >= 4) r.str() else ""
+      val gtype = if (version >= 5) r.str() else ""
+      r.tags()
+      (g, pt, state, gtype)
+    }
+    r.tags()
+    (correlationId, err, groups.toSeq)
+  }
+
+  case class DescribeGroupsRequest(version: Int, correlationId: Int,
+      clientId: String, groups: Seq[String],
+      includeAuthorizedOperations: Boolean)
+
+  def encodeDescribeGroupsRequest(version: Int, correlationId: Int,
+      clientId: String, groups: Seq[String],
+      includeAuthorizedOperations: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= DescribeGroupsMaxVersion,
+      s"unsupported DescribeGroups version $version")
+    val flexible = version >= 5
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeGroupsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.count(groups.length); groups.foreach(w.str)
+    if (version >= 3) w.bool(includeAuthorizedOperations)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeGroupsRequest(bytes: Array[Byte]): DescribeGroupsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeGroupsApiKey,
+      "not a DescribeGroups request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DescribeGroupsMaxVersion,
+      s"unsupported DescribeGroups version $version")
+    val flexible = version >= 5
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val groups = (0 until r.count()).map(_ => r.str()).toSeq
+    val iao = if (version >= 3) r.bool() else false
+    r.tags()
+    DescribeGroupsRequest(version, correlationId, clientId, groups, iao)
+  }
+
+  /** [[DescribedGroup]] plus the v4+ member instance ids (parallel to
+    * `members`, null = none) and the v3+ authorized_operations word
+    * (Int.MinValue = omitted, Kafka's sentinel). */
+  case class DescribedGroupModern(group: DescribedGroup,
+      instanceIds: Seq[String], authorizedOperations: Int)
+
+  def encodeDescribeGroupsResponse(version: Int, correlationId: Int,
+      groups: Seq[DescribedGroupModern]): Array[Byte] = {
+    val flexible = version >= 5
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    w.count(groups.length)
+    groups.foreach { gm =>
+      val g = gm.group
+      w.i16(g.errorCode)
+      w.str(g.group); w.str(g.state); w.str(g.protocolType); w.str(g.protocol)
+      w.count(g.members.length)
+      g.members.zipWithIndex.foreach {
+        case ((id, clientId, host, meta, assignment), i) =>
+          w.str(id)
+          if (version >= 4) w.str(gm.instanceIds.lift(i).orNull)
+          w.str(clientId); w.str(host)
+          w.bytes(meta); w.bytes(assignment)
+          w.tags()
+      }
+      if (version >= 3) w.i32(gm.authorizedOperations)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeGroupsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[DescribedGroupModern]) = {
+    val flexible = version >= 5
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    val groups = (0 until r.count()).map { _ =>
+      val err = r.i16()
+      val g = r.str(); val state = r.str(); val pt = r.str()
+      val proto = r.str()
+      val members = (0 until r.count()).map { _ =>
+        val id = r.str()
+        val inst = if (version >= 4) r.str() else null
+        val cid = r.str(); val host = r.str()
+        val meta = r.bytes(); val assignment = r.bytes()
+        r.tags()
+        ((id, cid, host, meta, assignment), inst)
+      }
+      val ops = if (version >= 3) r.i32() else Int.MinValue
+      r.tags()
+      DescribedGroupModern(
+        DescribedGroup(err, g, state, pt, proto, members.map(_._1).toSeq),
+        members.map(_._2).toSeq, ops)
+    }
+    r.tags()
+    (correlationId, groups.toSeq)
+  }
+
   def encodeCreateTopicsRequestV0(correlationId: Int, clientId: String,
       topics: Seq[(String, Int, Int)], timeoutMs: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -3724,15 +3923,17 @@ object KafkaWire {
     (correlationId, topics.toSeq)
   }
 
-  // --- Transactions (AddPartitionsToTxn 24, EndTxn 26,
-  // TxnOffsetCommit 28) — the classic (pre-KIP-890) shapes every
-  // transactional client through Kafka 3.x speaks. Flexible at v3+
-  // for all three. AddPartitionsToTxn is capped at v3: v4 rewrote the
-  // schema around batched broker-to-broker calls a single-broker
+  // --- Transactions (AddPartitionsToTxn 24, AddOffsetsToTxn 25,
+  // EndTxn 26, TxnOffsetCommit 28) — the classic (pre-KIP-890) shapes
+  // every transactional client through Kafka 3.x speaks. Flexible at
+  // v3+ for all four. AddPartitionsToTxn is capped at v3: v4 rewrote
+  // the schema around batched broker-to-broker calls a single-broker
   // engine never receives. ---
 
   val AddPartitionsToTxnApiKey = 24
   val AddPartitionsToTxnMaxVersion = 3
+  val AddOffsetsToTxnApiKey = 25
+  val AddOffsetsToTxnMaxVersion = 3
   val EndTxnApiKey = 26
   val EndTxnMaxVersion = 3
   val TxnOffsetCommitApiKey = 28
@@ -3829,6 +4030,73 @@ object KafkaWire {
     }
     r.tags()
     (correlationId, results.toSeq)
+  }
+
+  case class AddOffsetsToTxnRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, producerId: Long,
+      producerEpoch: Int, groupId: String)
+
+  def encodeAddOffsetsToTxnRequest(version: Int, correlationId: Int,
+      clientId: String, transactionalId: String, producerId: Long,
+      producerEpoch: Int, groupId: String): Array[Byte] = {
+    require(version >= 0 && version <= AddOffsetsToTxnMaxVersion,
+      s"unsupported AddOffsetsToTxn version $version")
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, AddOffsetsToTxnApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    w.str(transactionalId)
+    w.i64(producerId)
+    w.i16(producerEpoch)
+    w.str(groupId)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAddOffsetsToTxnRequest(
+      bytes: Array[Byte]): AddOffsetsToTxnRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == AddOffsetsToTxnApiKey,
+      "not an AddOffsetsToTxn request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= AddOffsetsToTxnMaxVersion,
+      s"unsupported AddOffsetsToTxn version $version")
+    val flexible = version >= 3
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val req = AddOffsetsToTxnRequest(version, correlationId, clientId,
+      r.str(), r.i64(), r.i16(), r.str())
+    r.tags()
+    req
+  }
+
+  def encodeAddOffsetsToTxnResponse(version: Int, correlationId: Int,
+      errorCode: Int): Array[Byte] = {
+    val flexible = version >= 3
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode). */
+  def decodeAddOffsetsToTxnResponse(version: Int,
+      bytes: Array[Byte]): (Int, Int) = {
+    val flexible = version >= 3
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle_time_ms
+    val t = (correlationId, r.i16())
+    r.tags()
+    t
   }
 
   case class EndTxnRequest(version: Int, correlationId: Int, clientId: String,

@@ -300,6 +300,8 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleDescribeCluster(framed, advertisedHost, boundPort)
       case KafkaWire.AddPartitionsToTxnApiKey =>
         broker.handleAddPartitionsToTxn(framed)
+      case KafkaWire.AddOffsetsToTxnApiKey =>
+        broker.handleAddOffsetsToTxn(framed)
       case KafkaWire.EndTxnApiKey => broker.handleEndTxn(framed)
       case KafkaWire.TxnOffsetCommitApiKey => broker.handleTxnOffsetCommit(framed)
       case KafkaWire.DescribeProducersApiKey =>

@@ -374,4 +374,50 @@ class ModernWireCodecSpec extends AnyFunSuite {
     assert(topicUuid("t").toSeq !== topicUuid("u").toSeq)
     assert(topicUuid("t").exists(_ != 0), "topic_id must never be the zero UUID")
   }
+
+  test("ListGroups round-trips at every version, filters from v4/v5") {
+    for (v <- 0 to ListGroupsMaxVersion) {
+      val req = decodeListGroupsRequest(encodeListGroupsRequest(v, 21, "cli",
+        statesFilter = Seq("Stable", "Empty"), typesFilter = Seq("consumer")))
+      assert(req.version === v && req.correlationId === 21)
+      assert(req.statesFilter ===
+        (if (v >= 4) Seq("Stable", "Empty") else Seq.empty), s"v$v")
+      assert(req.typesFilter ===
+        (if (v >= 5) Seq("consumer") else Seq.empty), s"v$v")
+      val groups = Seq(("g1", "consumer", "Stable", "classic"),
+        ("g2", "", "Empty", "consumer"))
+      val (c, err, back) = decodeListGroupsResponse(v,
+        encodeListGroupsResponse(v, 22, 0, groups))
+      assert(c === 22 && err === 0)
+      val expect = groups.map { case (g, pt, st, ty) =>
+        (g, pt, if (v >= 4) st else "", if (v >= 5) ty else "") }
+      assert(back === expect, s"v$v")
+    }
+  }
+
+  test("DescribeGroups round-trips at every version, instance ids and ops from v3/v4") {
+    for (v <- 0 to DescribeGroupsMaxVersion) {
+      val req = decodeDescribeGroupsRequest(encodeDescribeGroupsRequest(v, 31,
+        "cli", Seq("g1", "g2"), includeAuthorizedOperations = true))
+      assert(req.version === v && req.groups === Seq("g1", "g2"))
+      assert(req.includeAuthorizedOperations === (v >= 3), s"v$v")
+      val g = DescribedGroupModern(
+        DescribedGroup(0, "g1", "Stable", "consumer", "range",
+          Seq(("m1", "cli-1", "/10.0.0.1",
+            Array[Byte](1, 2), Array[Byte](3, 4)))),
+        Seq("inst-1"), 328)
+      val (c, back) = decodeDescribeGroupsResponse(v,
+        encodeDescribeGroupsResponse(v, 32, Seq(g)))
+      assert(c === 32)
+      val bg = back.head
+      assert(bg.group.group === "g1" && bg.group.state === "Stable")
+      assert(bg.group.members.head._1 === "m1")
+      assert(bg.group.members.head._4.toSeq === Seq[Byte](1, 2))
+      assert(bg.group.members.head._5.toSeq === Seq[Byte](3, 4))
+      assert(bg.instanceIds ===
+        (if (v >= 4) Seq("inst-1") else Seq(null)), s"v$v")
+      assert(bg.authorizedOperations ===
+        (if (v >= 3) 328 else Int.MinValue), s"v$v")
+    }
+  }
 }

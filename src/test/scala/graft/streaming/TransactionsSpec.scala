@@ -42,6 +42,11 @@ class TransactionsSpec extends AnyFunSuite {
       assert(etr === EndTxnRequest(v, 9, "cli", "t1", 55L, 2, true))
       assert(decodeEndTxnResponse(v, encodeEndTxnResponse(v, 10, 48))
         === ((10, 48)))
+      val aor = decodeAddOffsetsToTxnRequest(
+        encodeAddOffsetsToTxnRequest(v, 13, "cli", "t1", 55L, 2, "g1"))
+      assert(aor === AddOffsetsToTxnRequest(v, 13, "cli", "t1", 55L, 2, "g1"))
+      assert(decodeAddOffsetsToTxnResponse(v,
+        encodeAddOffsetsToTxnResponse(v, 14, 47)) === ((14, 47)))
       val tocr = decodeTxnOffsetCommitRequest(
         encodeTxnOffsetCommitRequest(v, 11, "cli", "t1", "g1", 55L, 2,
           Seq(("a", Seq((0, 42L, "m"))))))
@@ -355,6 +360,64 @@ class TransactionsSpec extends AnyFunSuite {
       // committing A releases everything
       assert(endTxn(9, "two-a", pidA, epA, commit = true) === 0)
       assert(committedView(10) === Seq((0L, "a0"), (1L, "b0"), (2L, "a1")))
+    } finally { sock.close(); server.close() }
+  }
+
+  test("sendOffsetsToTransaction: AddOffsetsToTxn (25) opens the txn and rides EndTxn") {
+    val root = Files.createTempDirectory("graft-txn").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("src", 1)
+    broker.createTopic("dst", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val (_, e0, pid, epoch) = decodeInitProducerIdResponse(4,
+        exchange(sock, encodeInitProducerIdRequest(4, 1, "cli", "ctp-1", 60000)))
+      assert(e0 === 0)
+
+      // error legs first: unknown transactional id → 49, wrong epoch → 47
+      def addOffsets(corr: Int, txnId: String, p: Long, ep: Int, g: String) =
+        decodeAddOffsetsToTxnResponse(3, exchange(sock,
+          encodeAddOffsetsToTxnRequest(3, corr, "cli", txnId, p, ep, g)))._2
+      assert(addOffsets(2, "nope", pid, epoch, "g") === 49)
+      assert(addOffsets(3, "ctp-1", pid + 999, epoch, "g") === 49)
+      assert(addOffsets(4, "ctp-1", pid, epoch + 1, "g") === 47)
+
+      // the happy path opens the transaction (a client may send key 25
+      // before key 24 — consume-side registration first) but does NOT
+      // register data partitions: a produce is still INVALID_TXN_STATE
+      assert(addOffsets(5, "ctp-1", pid, epoch, "cg") === 0)
+      def txProduce(corr: Int, seq: Int, names: String*) =
+        decodeProduceResponse(9, exchange(sock,
+          encodeProduceRequestBatches(9, corr, "cli", "ctp-1", 1, 30000,
+            Seq(("dst", Seq((0, ProducedBatch(pid, epoch, seq,
+              names.map(rec), transactional = true))))))))._2.head._2.head
+      assert(txProduce(6, 0, "early")._2 === 48)
+
+      val (_, added) = decodeAddPartitionsToTxnResponse(3, exchange(sock,
+        encodeAddPartitionsToTxnRequest(3, 7, "cli", "ctp-1", pid, epoch,
+          Seq(("dst", Seq(0))))))
+      assert(added === Seq(("dst", Seq((0, 0)))))
+      assert(txProduce(8, 0, "out-a", "out-b") === ((0, 0, 0L)))
+
+      // the consumed position rides the SAME transaction
+      val (_, tocRes) = decodeTxnOffsetCommitResponse(3, exchange(sock,
+        encodeTxnOffsetCommitRequest(3, 9, "cli", "ctp-1", "cg",
+          pid, epoch, Seq(("src", Seq((0, 17L, "")))))))
+      assert(tocRes === Seq(("src", Seq((0, 0)))))
+      assert(broker.topic("src").committed("cg").isEmpty)
+
+      val (_, endErr) = decodeEndTxnResponse(3, exchange(sock,
+        encodeEndTxnRequest(3, 10, "cli", "ctp-1", pid, epoch,
+          committed = true)))
+      assert(endErr === 0)
+      // one decision, both effects: offsets landed AND records visible
+      assert(broker.topic("src").committed("cg") === Map(0 -> 17L))
+      val (_, topics) = decodeFetchResponse(12, exchange(sock,
+        encodeFetchRequest(12, 11, "cli", 100, 1, 1 << 20,
+          Seq(("dst", Seq((0, 0L, 1 << 20)))), 0, -1, Seq.empty, 1)))
+      assert(topics.head._2.head._4.map(r =>
+        new String(r._2.value, "UTF-8")) === Seq("out-a", "out-b"))
     } finally { sock.close(); server.close() }
   }
 }

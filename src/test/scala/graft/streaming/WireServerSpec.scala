@@ -766,4 +766,78 @@ class WireServerSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("ListGroups v4/v5 filters and DescribeGroups v3-v5 fields over the socket") {
+    val root = Files.createTempDirectory("graft-wiremg").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("mgt", 2)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      def b(s: String) = s.getBytes("UTF-8")
+      // one live classic group (join + sync → Stable)
+      val j = decodeJoinGroupResponseV0(exchange(sock,
+        encodeJoinGroupRequestV0(1, "cli", "mg-classic", 30000, "",
+          "consumer", Seq(("range", b("mgt"))))))
+      assert(j.errorCode === 0)
+      assert(decodeSyncGroupResponseV0(exchange(sock,
+        encodeSyncGroupRequestV0(2, "cli", "mg-classic", 1, j.memberId,
+          Seq((j.memberId, b("mgt:0,mgt:1"))))))._2 === 0)
+      // one 848 group and one offsets-only group
+      assert(broker.coordinator848.heartbeat("mg-848", "", 0, null, null,
+        30000, Seq("mgt"), null, null, "cli", System.currentTimeMillis())
+        .error === 0)
+      broker.topic("mgt").commit("mg-offsets", Map(0 -> 1L))
+
+      // v1 adds throttle; every group lists with its protocol type
+      val (_, e1, g1) = decodeListGroupsResponse(1, exchange(sock,
+        encodeListGroupsRequest(1, 3, "adm")))
+      assert(e1 === 0)
+      assert(g1.map(r => (r._1, r._2)).toSet === Set(
+        ("mg-classic", "consumer"), ("mg-848", "consumer"),
+        ("mg-offsets", "")))
+      // v4: states ship, and the filter restricts (case-insensitive)
+      val (_, _, g4) = decodeListGroupsResponse(4, exchange(sock,
+        encodeListGroupsRequest(4, 4, "adm", statesFilter = Seq("empty"))))
+      assert(g4.map(_._1).toSet === Set("mg-offsets"))
+      val (_, _, g4all) = decodeListGroupsResponse(4, exchange(sock,
+        encodeListGroupsRequest(4, 5, "adm")))
+      assert(g4all.map(r => (r._1, r._3)).toSet === Set(
+        ("mg-classic", "Stable"), ("mg-848", "Stable"),
+        ("mg-offsets", "Empty")))
+      // v5: group types ship and filter — the 848 group is "consumer"
+      val (_, _, g5) = decodeListGroupsResponse(5, exchange(sock,
+        encodeListGroupsRequest(5, 6, "adm", typesFilter = Seq("consumer"))))
+      assert(g5.map(r => (r._1, r._4)) === Seq(("mg-848", "consumer")))
+      val (_, _, g5c) = decodeListGroupsResponse(5, exchange(sock,
+        encodeListGroupsRequest(5, 7, "adm", typesFilter = Seq("Classic"))))
+      assert(g5c.map(_._1).toSet === Set("mg-classic", "mg-offsets"))
+
+      // DescribeGroups v4: members carry a null instance id; v3+ the
+      // authorized_operations word — MinValue unless requested, the
+      // full group set (READ|DELETE|DESCRIBE) when it is
+      for (v <- Seq(3, 4, 5)) {
+        val (_, dNo) = decodeDescribeGroupsResponse(v, exchange(sock,
+          encodeDescribeGroupsRequest(v, 10 + v, "adm", Seq("mg-classic"))))
+        assert(dNo.head.group.state === "Stable")
+        assert(dNo.head.group.members.map(_._1) === Seq(j.memberId))
+        assert(dNo.head.authorizedOperations === Int.MinValue)
+        if (v >= 4) assert(dNo.head.instanceIds === Seq(null))
+        val (_, dYes) = decodeDescribeGroupsResponse(v, exchange(sock,
+          encodeDescribeGroupsRequest(v, 20 + v, "adm", Seq("mg-classic"),
+            includeAuthorizedOperations = true)))
+        assert(dYes.head.authorizedOperations ===
+          Broker.GroupAuthorizedOperations)
+      }
+      // v1 round-trips the assignment bytes the sync installed
+      val (_, d1) = decodeDescribeGroupsResponse(1, exchange(sock,
+        encodeDescribeGroupsRequest(1, 30, "adm", Seq("mg-classic", "nope"))))
+      assert(new String(d1.head.group.members.head._5, "UTF-8")
+        === "mgt:0,mgt:1")
+      assert(d1(1).group.state === "Dead")
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }
