@@ -19,8 +19,8 @@ object OraclesStreams {
         |  (11,'JoinGroup',0,9),(12,'Heartbeat',0,4),(13,'LeaveGroup',0,5),
         |  (14,'SyncGroup',0,5),(15,'DescribeGroups',0,5),(16,'ListGroups',0,5),
         |  (17,'SaslHandshake',0,1),
-        |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,0),(20,'DeleteTopics',0,0),
-        |  (21,'DeleteRecords',0,0),(22,'InitProducerId',0,4),
+        |  (18,'ApiVersions',0,3),(19,'CreateTopics',0,7),(20,'DeleteTopics',0,6),
+        |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
         |  (23,'OffsetForLeaderEpoch',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(25,'AddOffsetsToTxn',0,3),(26,'EndTxn',0,3),
         |  (28,'TxnOffsetCommit',0,3),(29,'DescribeAcls',0,0),

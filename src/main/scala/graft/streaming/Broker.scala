@@ -1570,29 +1570,95 @@ class Broker(spark: SparkSession, root: String) {
   // already served the library surface.
 
   /** CreateTopics v0: 36 TOPIC_ALREADY_EXISTS, 37 INVALID_PARTITIONS. */
+  /** CreateTopics v0–v7. −1 partitions / replication take the broker
+    * defaults (1 each — what `NewTopic(name)` with empty optionals
+    * sends); explicit replication beyond this broker answers 38;
+    * manual assignments are honored when they describe exactly this
+    * broker (contiguous partitions, every replica list [0]) and 39
+    * otherwise; request configs validate like AlterConfigs (40/42)
+    * and land in `_config.json` with the create. validate_only (v1+)
+    * runs every check and creates nothing. v5+ responses echo the
+    * created topic's partition count and effective config set
+    * (source 1 = the override the request itself set, 5 = default);
+    * v7 adds the topic_id. */
   def handleCreateTopics(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, topics) = decodeCreateTopicsRequestV0(requestBytes)
-    val results = topics.map { case (name, numPartitions, _) =>
-      if (topicExists(name)) (name, 36)
-      else if (numPartitions <= 0) (name, 37)
-      else { createTopic(name, numPartitions); (name, 0) }
+    val req = decodeCreateTopicsRequest(requestBytes)
+    val results = req.topics.map { t =>
+      val assignedParts =
+        if (t.assignments.isEmpty) -1 else t.assignments.length
+      val numPartitions =
+        if (assignedParts > 0) assignedParts
+        else if (t.numPartitions == -1) 1
+        else t.numPartitions
+      val err: (Int, String) =
+        if (topicExists(t.name)) (36, s"topic '${t.name}' already exists")
+        else if (t.assignments.nonEmpty && t.numPartitions > 0)
+          (42, "num_partitions and replica assignments are exclusive")
+        else if (t.assignments.nonEmpty &&
+            (t.assignments.map(_._1).sorted != (0 until assignedParts) ||
+             t.assignments.exists(_._2 != Seq(0))))
+          (39, "assignments must cover partitions 0..n-1 on broker 0")
+        else if (numPartitions <= 0) (37, s"invalid partitions $numPartitions")
+        else if (t.replicationFactor != -1 && t.replicationFactor != 1)
+          (38, "single-broker cluster: replication factor must be 1")
+        else Option(topicConfigError(t.configs)) match {
+          case Some(msg) if msg.startsWith("unknown") ||
+              msg.startsWith("invalid value") => (40, msg)
+          case Some(msg) => (42, msg)
+          case None => (0, null)
+        }
+      if (err._1 == 0 && !req.validateOnly) {
+        createTopic(t.name, numPartitions)
+        val overrides = t.configs.filter(_._2 != null).toMap
+        if (overrides.nonEmpty)
+          TopicLog.writeConfigOverrides(root, t.name, overrides)
+      }
+      val configs =
+        if (err._1 != 0) null
+        else {
+          val overrides = t.configs.filter(_._2 != null).toMap
+          Broker.TopicConfigDefaults.map { case (n, d) =>
+            overrides.get(n) match {
+              case Some(v) => (n, v, 1) // dynamic topic config
+              case None => (n, d, 5) // default
+            }
+          }
+        }
+      CreatedTopic(t.name, err._1, err._2,
+        if (err._1 == 0) numPartitions else -1,
+        if (err._1 == 0) 1 else -1, configs)
     }
-    encodeTopicErrorsResponseV0(correlationId, results)
+    encodeCreateTopicsResponse(req.version, req.correlationId, results)
   }
 
-  /** DeleteTopics v0: 3 UNKNOWN_TOPIC_OR_PARTITION for absent names. */
+  /** DeleteTopics v0–v6: 3 UNKNOWN_TOPIC_OR_PARTITION for absent
+    * names; v6 requests may address topics by id — an unresolvable
+    * id answers UNKNOWN_TOPIC_ID (100) with the id echoed and a null
+    * name, per KIP-516. */
   def handleDeleteTopics(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, topics) = decodeDeleteTopicsRequestV0(requestBytes)
-    val results = topics.map { name =>
-      if (!topicExists(name)) (name, 3)
-      else { deleteTopic(name); (name, 0) }
+    val req = decodeDeleteTopicsRequest(requestBytes)
+    val resolve = topicIdResolverFor(listTopics())
+    val zero = Seq.fill(16)(0: Byte)
+    val results = req.topics.map { case (nameIn, id) =>
+      val name =
+        if (nameIn != null || id == null || id.toSeq == zero) nameIn
+        else resolve(id).orNull
+      if (name == null && nameIn == null)
+        (null: String, id, 100, "unknown topic id")
+      else if (name == null || !topicExists(name))
+        (name, id, 3, s"topic '$name' not found")
+      else {
+        deleteTopic(name)
+        (name, if (id != null && id.toSeq != zero) id else topicUuid(name),
+          0, null: String)
+      }
     }
-    encodeTopicErrorsResponseV0(correlationId, results)
+    encodeDeleteTopicsResponse(req.version, req.correlationId, results)
   }
 
-  /** DeleteRecords v0 over [[TopicLog.truncateBefore]]: offset −1
+  /** DeleteRecords v0–v2 over [[TopicLog.truncateBefore]]: offset −1
     * means "to the log end" per the protocol; the response reports
     * each partition's new low watermark. */
   def handleDeleteRecords(requestBytes: Array[Byte]): Array[Byte] = {
@@ -1605,8 +1671,8 @@ class Broker(spark: SparkSession, root: String) {
 
   private def handleDeleteRecordsLocked(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, topics) = decodeDeleteRecordsRequestV0(requestBytes)
-    val results = topics.map { case (name, parts) =>
+    val req = decodeDeleteRecordsRequest(requestBytes)
+    val results = req.topics.map { case (name, parts) =>
       if (!topicExists(name)) (name, parts.map { case (p, _) => (p, -1L, 3) })
       else {
         val log = topic(name)
@@ -1627,7 +1693,7 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
-    encodeDeleteRecordsResponseV0(correlationId, results)
+    encodeDeleteRecordsResponse(req.version, req.correlationId, results)
   }
 
   /** DescribeConfigs v0–v4: a static read-only config echo — the
@@ -2321,9 +2387,9 @@ object Broker {
     (16, "ListGroups", 0, KafkaWire.ListGroupsMaxVersion),
     (17, "SaslHandshake", 0, KafkaWire.SaslHandshakeMaxVersion),
     (18, "ApiVersions", 0, KafkaWire.ApiVersionsMaxVersion),
-    (19, "CreateTopics", 0, 0),
-    (20, "DeleteTopics", 0, 0),
-    (21, "DeleteRecords", 0, 0),
+    (19, "CreateTopics", 0, KafkaWire.CreateTopicsMaxVersion),
+    (20, "DeleteTopics", 0, KafkaWire.DeleteTopicsMaxVersion),
+    (21, "DeleteRecords", 0, KafkaWire.DeleteRecordsMaxVersion),
     (22, "InitProducerId", 0, KafkaWire.InitProducerIdMaxVersion),
     (23, "OffsetForLeaderEpoch", 0, KafkaWire.OffsetForLeaderEpochMaxVersion),
     (24, "AddPartitionsToTxn", 0, KafkaWire.AddPartitionsToTxnMaxVersion),

@@ -2897,6 +2897,344 @@ object KafkaWire {
     (correlationId, groups.toSeq)
   }
 
+  // --- CreateTopics v0–v7 / DeleteTopics v0–v6 / DeleteRecords v0–v2
+  // — the versions AdminClient and kafka-topics.sh actually send
+  // (CreateTopics flexible v5+ with response configs, topic_id v7;
+  // DeleteTopics flexible v4+, topic-id keying v6; DeleteRecords
+  // flexible v2). The *V0 codecs above stay for the golden specs. ---
+
+  val CreateTopicsMaxVersion = 7
+  val DeleteTopicsMaxVersion = 6
+  val DeleteRecordsMaxVersion = 2
+
+  case class CreatableTopic(name: String, numPartitions: Int,
+      replicationFactor: Int, assignments: Seq[(Int, Seq[Int])],
+      configs: Seq[(String, String)])
+
+  case class CreateTopicsRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[CreatableTopic], timeoutMs: Int,
+      validateOnly: Boolean)
+
+  def encodeCreateTopicsRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[CreatableTopic], timeoutMs: Int,
+      validateOnly: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= CreateTopicsMaxVersion,
+      s"unsupported CreateTopics version $version")
+    val flexible = version >= 5
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, CreateTopicsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.count(topics.length)
+    topics.foreach { t =>
+      w.str(t.name)
+      w.i32(t.numPartitions)
+      w.i16(t.replicationFactor)
+      w.count(t.assignments.length)
+      t.assignments.foreach { case (p, brokers) =>
+        w.i32(p); w.count(brokers.length); brokers.foreach(w.i32); w.tags()
+      }
+      w.count(t.configs.length)
+      t.configs.foreach { case (n, v) => w.str(n); w.str(v); w.tags() }
+      w.tags()
+    }
+    w.i32(timeoutMs)
+    if (version >= 1) w.bool(validateOnly)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeCreateTopicsRequest(bytes: Array[Byte]): CreateTopicsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == CreateTopicsApiKey,
+      "not a CreateTopics request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= CreateTopicsMaxVersion,
+      s"unsupported CreateTopics version $version")
+    val flexible = version >= 5
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = r.i32()
+      val repl = r.i16()
+      val assignments = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val brokers = (0 until r.count()).map(_ => r.i32()).toSeq
+        r.tags()
+        (p, brokers)
+      }.toSeq
+      val configs = (0 until r.count()).map { _ =>
+        val t = (r.str(), r.str()); r.tags(); t
+      }.toSeq
+      r.tags()
+      CreatableTopic(name, parts, repl, assignments, configs)
+    }.toSeq
+    val timeoutMs = r.i32()
+    val validateOnly = if (version >= 1) r.bool() else false
+    r.tags()
+    CreateTopicsRequest(version, correlationId, clientId, topics, timeoutMs,
+      validateOnly)
+  }
+
+  /** One CreateTopics response entry. `configs` = (name, value,
+    * config_source) with Kafka's source codes (1 = dynamic topic
+    * config, 5 = default); ships at v5+ only. num_partitions /
+    * replication_factor ship at v5+ (−1 below). topic_id (v7) is
+    * derived in the encoder: [[topicUuid]] on success, zeros on
+    * error — a failed create has no topic to identify. */
+  case class CreatedTopic(name: String, errorCode: Int, errorMessage: String,
+      numPartitions: Int, replicationFactor: Int,
+      configs: Seq[(String, String, Int)], topicId: Array[Byte] = null)
+
+  def encodeCreateTopicsResponse(version: Int, correlationId: Int,
+      topics: Seq[CreatedTopic]): Array[Byte] = {
+    val flexible = version >= 5
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 2) w.i32(0) // throttle_time_ms
+    w.count(topics.length)
+    topics.foreach { t =>
+      w.str(t.name)
+      if (version >= 7)
+        w.uuid(if (t.errorCode == 0) topicUuid(t.name) else new Array[Byte](16))
+      w.i16(t.errorCode)
+      if (version >= 1) w.str(t.errorMessage)
+      if (version >= 5) {
+        w.i32(t.numPartitions)
+        w.i16(t.replicationFactor)
+        w.count(if (t.configs == null) -1 else t.configs.length)
+        if (t.configs != null) t.configs.foreach { case (n, v, src) =>
+          w.str(n); w.str(v)
+          w.bool(false) // read_only
+          w.i8(src)
+          w.bool(false) // is_sensitive
+          w.tags()
+        }
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeCreateTopicsResponse(version: Int,
+      bytes: Array[Byte]): (Int, Seq[CreatedTopic]) = {
+    val flexible = version >= 5
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 2) r.i32() // throttle_time_ms
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val id = if (version >= 7) r.uuid() else null
+      val err = r.i16()
+      val msg = if (version >= 1) r.str() else null
+      val (parts, repl, configs) =
+        if (version >= 5) {
+          val p = r.i32(); val rf = r.i16()
+          val n = r.count()
+          val cs = if (n < 0) null else (0 until n).map { _ =>
+            val cn = r.str(); val cv = r.str()
+            r.bool(); val src = r.i8(); r.bool(); r.tags()
+            (cn, cv, src)
+          }.toSeq
+          (p, rf, cs)
+        } else (-1, -1, null)
+      r.tags()
+      CreatedTopic(name, err, msg, parts, repl, configs, id)
+    }.toSeq
+    r.tags()
+    (correlationId, topics)
+  }
+
+  /** topics = (name, topic_id) — name null means id-keyed (v6);
+    * a zero/null id with a name is the pre-v6 shape. */
+  case class DeleteTopicsRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[(String, Array[Byte])], timeoutMs: Int)
+
+  def encodeDeleteTopicsRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[(String, Array[Byte])],
+      timeoutMs: Int): Array[Byte] = {
+    require(version >= 0 && version <= DeleteTopicsMaxVersion,
+      s"unsupported DeleteTopics version $version")
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DeleteTopicsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.count(topics.length)
+    topics.foreach { case (name, id) =>
+      if (version >= 6) {
+        w.str(name)
+        w.uuid(if (id == null) new Array[Byte](16) else id)
+        w.tags()
+      } else w.str(name)
+    }
+    w.i32(timeoutMs)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteTopicsRequest(bytes: Array[Byte]): DeleteTopicsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DeleteTopicsApiKey,
+      "not a DeleteTopics request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DeleteTopicsMaxVersion,
+      s"unsupported DeleteTopics version $version")
+    val flexible = version >= 4
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val topics = (0 until r.count()).map { _ =>
+      if (version >= 6) {
+        val name = r.str(); val id = r.uuid(); r.tags()
+        (name, id)
+      } else (r.str(), null: Array[Byte])
+    }.toSeq
+    val timeoutMs = r.i32()
+    r.tags()
+    DeleteTopicsRequest(version, correlationId, clientId, topics, timeoutMs)
+  }
+
+  /** responses = (name, topic_id, error_code, error_message);
+    * topic_id ships at v6, error_message at v5+. */
+  def encodeDeleteTopicsResponse(version: Int, correlationId: Int,
+      responses: Seq[(String, Array[Byte], Int, String)]): Array[Byte] = {
+    val flexible = version >= 4
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 1) w.i32(0) // throttle_time_ms
+    w.count(responses.length)
+    responses.foreach { case (name, id, err, msg) =>
+      w.str(name)
+      if (version >= 6) w.uuid(if (id == null) new Array[Byte](16) else id)
+      w.i16(err)
+      if (version >= 5) w.str(msg)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteTopicsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Array[Byte], Int, String)]) = {
+    val flexible = version >= 4
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    if (version >= 1) r.i32() // throttle_time_ms
+    val responses = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val id = if (version >= 6) r.uuid() else null
+      val err = r.i16()
+      val msg = if (version >= 5) r.str() else null
+      r.tags()
+      (name, id, err, msg)
+    }.toSeq
+    r.tags()
+    (correlationId, responses)
+  }
+
+  case class DeleteRecordsRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[(String, Seq[(Int, Long)])],
+      timeoutMs: Int)
+
+  def encodeDeleteRecordsRequest(version: Int, correlationId: Int,
+      clientId: String, topics: Seq[(String, Seq[(Int, Long)])],
+      timeoutMs: Int): Array[Byte] = {
+    require(version >= 0 && version <= DeleteRecordsMaxVersion,
+      s"unsupported DeleteRecords version $version")
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DeleteRecordsApiKey, version, correlationId, clientId,
+      flexible)
+    val w = new WR(out, flexible)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, off) => w.i32(p); w.i64(off); w.tags() }
+      w.tags()
+    }
+    w.i32(timeoutMs)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteRecordsRequest(bytes: Array[Byte]): DeleteRecordsRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DeleteRecordsApiKey,
+      "not a DeleteRecords request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DeleteRecordsMaxVersion,
+      s"unsupported DeleteRecords version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val t = (r.i32(), r.i64()); r.tags(); t
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }.toSeq
+    val timeoutMs = r.i32()
+    r.tags()
+    DeleteRecordsRequest(version, correlationId, clientId, topics, timeoutMs)
+  }
+
+  def encodeDeleteRecordsResponse(version: Int, correlationId: Int,
+      topics: Seq[(String, Seq[(Int, Long, Int)])]): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms (v0+ — DeleteRecords shipped with it)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, lowWatermark, err) =>
+        w.i32(p); w.i64(lowWatermark); w.i16(err); w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteRecordsResponse(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Long, Int)])]) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32() // throttle_time_ms
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val t = (r.i32(), r.i64(), r.i16()); r.tags(); t
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }.toSeq
+    r.tags()
+    (correlationId, topics)
+  }
+
   def encodeCreateTopicsRequestV0(correlationId: Int, clientId: String,
       topics: Seq[(String, Int, Int)], timeoutMs: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()

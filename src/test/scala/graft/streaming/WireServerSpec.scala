@@ -840,4 +840,82 @@ class WireServerSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("modern topic admin: CreateTopics v5/v7, DeleteTopics v6 by id, DeleteRecords v2") {
+    val root = Files.createTempDirectory("graft-wireta").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // v5 flexible create with a config override and broker defaults
+      // (-1 partitions / -1 replication, the NewTopic(name) shape)
+      val (_, c5) = decodeCreateTopicsResponse(5, exchange(sock,
+        encodeCreateTopicsRequest(5, 1, "adm", Seq(
+          CreatableTopic("ta-a", -1, -1, Seq.empty,
+            Seq(("retention.ms", "60000"))),
+          CreatableTopic("ta-bad", 2, 3, Seq.empty, Seq.empty),
+          CreatableTopic("ta-conf", 1, 1, Seq.empty,
+            Seq(("nope.config", "x")))), 5000)))
+      assert(c5.map(t => (t.name, t.errorCode)) ===
+        Seq(("ta-a", 0), ("ta-bad", 38), ("ta-conf", 40)))
+      assert(c5.head.numPartitions === 1)
+      assert(c5.head.configs.collect {
+        case ("retention.ms", v, src) => (v, src) } === Seq(("60000", 1)))
+      assert(c5.head.configs.collect {
+        case ("cleanup.policy", v, src) => (v, src) } === Seq(("delete", 5)))
+      assert(broker.topicExists("ta-a") && !broker.topicExists("ta-bad"))
+      assert(TopicLog.configOverrides(root, "ta-a")
+        === Map("retention.ms" -> "60000"))
+
+      // validate_only checks without creating; manual assignments
+      // create when they describe this broker, 39 when they don't
+      val (_, cv) = decodeCreateTopicsResponse(7, exchange(sock,
+        encodeCreateTopicsRequest(7, 2, "adm",
+          Seq(CreatableTopic("ta-v", 2, 1, Seq.empty, Seq.empty)), 5000,
+          validateOnly = true)))
+      assert(cv.head.errorCode === 0 && !broker.topicExists("ta-v"))
+      val (_, c7) = decodeCreateTopicsResponse(7, exchange(sock,
+        encodeCreateTopicsRequest(7, 3, "adm", Seq(
+          CreatableTopic("ta-asg", -1, -1, Seq((0, Seq(0)), (1, Seq(0))),
+            Seq.empty),
+          CreatableTopic("ta-asg2", -1, -1, Seq((0, Seq(0, 1))),
+            Seq.empty)), 5000)))
+      assert(c7.map(t => (t.name, t.errorCode)) ===
+        Seq(("ta-asg", 0), ("ta-asg2", 39)))
+      assert(c7.head.numPartitions === 2)
+      assert(c7.head.topicId.toSeq === topicUuid("ta-asg").toSeq)
+      assert(c7(1).topicId.toSeq === Seq.fill(16)(0: Byte))
+      assert(broker.topic("ta-asg").numPartitions === 2)
+
+      // DeleteRecords v2 flexible truncates and reports watermarks
+      def rec(s: String) = WireRecord(null, s.getBytes("UTF-8"))
+      decodeProduceResponseV0(exchange(sock,
+        encodeProduceRequestV0(4, "adm", 1, 1000,
+          Seq(("ta-a", Seq((0, Seq(rec("a"), rec("b"), rec("c")))))))))
+      val (_, dr2) = decodeDeleteRecordsResponse(2, exchange(sock,
+        encodeDeleteRecordsRequest(2, 5, "adm",
+          Seq(("ta-a", Seq((0, 2L)))), 1000)))
+      assert(dr2 === Seq(("ta-a", Seq((0, 2L, 0)))))
+      assert(broker.topic("ta-a").logStartOffsets()(0) === 2L)
+
+      // DeleteTopics v6: id-keyed delete resolves; an unknown id
+      // answers 100 with the id echoed and a null name
+      val ghost = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+      val (_, d6) = decodeDeleteTopicsResponse(6, exchange(sock,
+        encodeDeleteTopicsRequest(6, 6, "adm", Seq(
+          (null, topicUuid("ta-asg")), (null, ghost),
+          ("ta-a", null)), 5000)))
+      assert(d6.map(r => (r._1, r._3)) ===
+        Seq(("ta-asg", 0), (null, 100), ("ta-a", 0)))
+      assert(d6(1)._2.toSeq === ghost.toSeq)
+      assert(!broker.topicExists("ta-asg") && !broker.topicExists("ta-a"))
+      // v5 name-keyed: absent answers 3 with a message
+      val (_, d5) = decodeDeleteTopicsResponse(5, exchange(sock,
+        encodeDeleteTopicsRequest(5, 7, "adm", Seq(("ta-a", null)), 5000)))
+      assert(d5.head._3 === 3 && d5.head._4 != null)
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }
