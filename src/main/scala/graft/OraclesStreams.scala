@@ -32,6 +32,8 @@ object OraclesStreams {
         |  (44,'IncrementalAlterConfigs',0,1),
         |  (45,'AlterPartitionReassignments',0,0),
         |  (46,'ListPartitionReassignments',0,0),(47,'OffsetDelete',0,0),
+        |  (50,'DescribeUserScramCredentials',0,0),
+        |  (51,'AlterUserScramCredentials',0,0),
         |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
         |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0),
         |  (68,'ConsumerGroupHeartbeat',0,0),(69,'ConsumerGroupDescribe',0,0))

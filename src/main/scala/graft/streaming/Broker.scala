@@ -2413,6 +2413,10 @@ object Broker {
     (46, "ListPartitionReassignments", 0,
       KafkaWire.ListPartitionReassignmentsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
+    (50, "DescribeUserScramCredentials", 0,
+      KafkaWire.DescribeUserScramCredentialsMaxVersion),
+    (51, "AlterUserScramCredentials", 0,
+      KafkaWire.AlterUserScramCredentialsMaxVersion),
     (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion),
     (61, "DescribeProducers", 0, KafkaWire.DescribeProducersMaxVersion),
     (65, "DescribeTransactions", 0,

@@ -4989,6 +4989,164 @@ object KafkaWire {
     (correlationId, err, msg, authBytes)
   }
 
+  // --- User SCRAM credential admin (KIP-554): Describe 50 / Alter 51,
+  // both v0 and born flexible — what kafka-configs.sh --alter
+  // --add-config 'SCRAM-SHA-256=[...]' sends since Kafka 2.7. The
+  // upsertion carries (salt, salted_password): the server derives and
+  // stores the StoredKey/ServerKey quartet, never the password. ---
+
+  val DescribeUserScramCredentialsApiKey = 50
+  val DescribeUserScramCredentialsMaxVersion = 0
+  val AlterUserScramCredentialsApiKey = 51
+  val AlterUserScramCredentialsMaxVersion = 0
+
+  /** users == null means "all users" (the null array in the request). */
+  def encodeDescribeUserScramCredentialsRequest(correlationId: Int,
+      clientId: String, users: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeUserScramCredentialsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(if (users == null) -1 else users.length)
+    if (users != null) users.foreach { u => w.str(u); w.tags() }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, users-or-null). */
+  def decodeDescribeUserScramCredentialsRequest(
+      bytes: Array[Byte]): (Int, Seq[String]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeUserScramCredentialsApiKey,
+      "not a DescribeUserScramCredentials request")
+    require(buf.getShort.toInt == 0,
+      "only DescribeUserScramCredentials v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val n = r.count()
+    val users =
+      if (n < 0) null
+      else (0 until n).map { _ => val u = r.str(); r.tags(); u }.toSeq
+    r.tags()
+    (correlationId, users)
+  }
+
+  /** results = (user, error_code, error_message,
+    * (mechanism_code, iterations)*)*. */
+  def encodeDescribeUserScramCredentialsResponse(correlationId: Int,
+      errorCode: Int, errorMessage: String,
+      results: Seq[(String, Int, String, Seq[(Int, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.count(results.length)
+    results.foreach { case (user, err, msg, infos) =>
+      w.str(user); w.i16(err); w.str(msg)
+      w.count(infos.length)
+      infos.foreach { case (mech, iters) => w.i8(mech); w.i32(iters); w.tags() }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeUserScramCredentialsResponse(bytes: Array[Byte])
+      : (Int, Int, String, Seq[(String, Int, String, Seq[(Int, Int)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle_time_ms
+    val err = r.i16()
+    val msg = r.str()
+    val results = (0 until r.count()).map { _ =>
+      val user = r.str(); val ue = r.i16(); val um = r.str()
+      val infos = (0 until r.count()).map { _ =>
+        val t = (r.i8(), r.i32()); r.tags(); t
+      }.toSeq
+      r.tags()
+      (user, ue, um, infos)
+    }.toSeq
+    r.tags()
+    (correlationId, err, msg, results)
+  }
+
+  /** deletions = (user, mechanism_code)*; upsertions = (user,
+    * mechanism_code, iterations, salt, salted_password)*. */
+  def encodeAlterUserScramCredentialsRequest(correlationId: Int,
+      clientId: String, deletions: Seq[(String, Int)],
+      upsertions: Seq[(String, Int, Int, Array[Byte], Array[Byte])])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, AlterUserScramCredentialsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(deletions.length)
+    deletions.foreach { case (u, m) => w.str(u); w.i8(m); w.tags() }
+    w.count(upsertions.length)
+    upsertions.foreach { case (u, m, iters, salt, sp) =>
+      w.str(u); w.i8(m); w.i32(iters); w.bytes(salt); w.bytes(sp); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAlterUserScramCredentialsRequest(bytes: Array[Byte])
+      : (Int, Seq[(String, Int)],
+         Seq[(String, Int, Int, Array[Byte], Array[Byte])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == AlterUserScramCredentialsApiKey,
+      "not an AlterUserScramCredentials request")
+    require(buf.getShort.toInt == 0,
+      "only AlterUserScramCredentials v0 supported")
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val deletions = (0 until r.count()).map { _ =>
+      val t = (r.str(), r.i8()); r.tags(); t
+    }.toSeq
+    val upsertions = (0 until r.count()).map { _ =>
+      val t = (r.str(), r.i8(), r.i32(), r.bytes(), r.bytes()); r.tags(); t
+    }.toSeq
+    r.tags()
+    (correlationId, deletions, upsertions)
+  }
+
+  /** results = (user, error_code, error_message)*. */
+  def encodeAlterUserScramCredentialsResponse(correlationId: Int,
+      results: Seq[(String, Int, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.count(results.length)
+    results.foreach { case (u, err, msg) =>
+      w.str(u); w.i16(err); w.str(msg); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAlterUserScramCredentialsResponse(
+      bytes: Array[Byte]): (Int, Seq[(String, Int, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle_time_ms
+    val results = (0 until r.count()).map { _ =>
+      val t = (r.str(), r.i16(), r.str()); r.tags(); t
+    }.toSeq
+    r.tags()
+    (correlationId, results)
+  }
+
   /** Parse an RFC 4616 PLAIN token: [authzid] NUL authcid NUL passwd →
     * Some((authcid, passwd)), or None for a malformed token. A
     * non-empty authzid DIFFERENT from the authcid is rejected, as

@@ -8,15 +8,17 @@ import javax.crypto.Mac
 import javax.crypto.SecretKeyFactory
 import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
-/** SCRAM-SHA-256 (RFC 5802 / RFC 7677) from JDK crypto alone — the
-  * common non-TLS-terminated Kafka auth config, where PLAIN would
-  * send the password en clair. Kafka serves it as SASL mechanism
-  * "SCRAM-SHA-256" over the same SaslHandshake/SaslAuthenticate pair
+/** SCRAM-SHA-256 and SCRAM-SHA-512 (RFC 5802 / RFC 7677) from JDK
+  * crypto alone — the common non-TLS-terminated Kafka auth configs,
+  * where PLAIN would send the password en clair. Kafka serves them as
+  * SASL mechanisms over the same SaslHandshake/SaslAuthenticate pair
   * as PLAIN; the password never crosses the socket — the client
   * proves knowledge via ClientProof = ClientKey XOR
   * HMAC(StoredKey, AuthMessage), and the server proves ITS knowledge
   * back via the server signature (mutual authentication, which PLAIN
-  * cannot give).
+  * cannot give). Every hash-touching step is parametric in the
+  * [[Algo]]; the two served instances differ only in digest family
+  * and key width.
   *
   * Message flow (client-first / server-first / client-final /
   * server-final):
@@ -28,22 +30,47 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   * }}} */
 object Scram {
 
+  /** One SCRAM hash family: the SASL mechanism name, the JDK
+    * algorithm ids, the derived-key width, and the RFC-recommended
+    * minimum iteration count Kafka also uses as its default. */
+  final case class Algo(mechanism: String, macAlg: String, digestAlg: String,
+      pbkdf2Alg: String, keyBits: Int, iterations: Int)
+
+  val Sha256: Algo = Algo("SCRAM-SHA-256", "HmacSHA256", "SHA-256",
+    "PBKDF2WithHmacSHA256", 256, 4096)
+  val Sha512: Algo = Algo("SCRAM-SHA-512", "HmacSHA512", "SHA-512",
+    "PBKDF2WithHmacSHA512", 512, 4096)
+  val Algos: Seq[Algo] = Seq(Sha256, Sha512)
+
+  /** Kafka's ScramMechanism int8 codes (keys 50/51): 1 = SHA-256,
+    * 2 = SHA-512. */
+  def algoForCode(code: Int): Option[Algo] = code match {
+    case 1 => Some(Sha256)
+    case 2 => Some(Sha512)
+    case _ => None
+  }
+  def codeForAlgo(a: Algo): Int = if (a == Sha512) 2 else 1
+
   val Mechanism = "SCRAM-SHA-256"
   val Iterations = 4096 // RFC 7677 minimum for SHA-256
 
-  def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val mac = Mac.getInstance("HmacSHA256")
-    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+  def hmac(key: Array[Byte], data: Array[Byte],
+      algo: Algo = Sha256): Array[Byte] = {
+    val mac = Mac.getInstance(algo.macAlg)
+    mac.init(new SecretKeySpec(key, algo.macAlg))
     mac.doFinal(data)
   }
 
-  def sha256(data: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("SHA-256").digest(data)
+  def digest(data: Array[Byte], algo: Algo): Array[Byte] =
+    MessageDigest.getInstance(algo.digestAlg).digest(data)
+
+  def sha256(data: Array[Byte]): Array[Byte] = digest(data, Sha256)
 
   def saltedPassword(password: String, salt: Array[Byte],
-      iterations: Int): Array[Byte] = {
-    val spec = new PBEKeySpec(password.toCharArray, salt, iterations, 256)
-    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      iterations: Int, algo: Algo = Sha256): Array[Byte] = {
+    val spec =
+      new PBEKeySpec(password.toCharArray, salt, iterations, algo.keyBits)
+    SecretKeyFactory.getInstance(algo.pbkdf2Alg)
       .generateSecret(spec).getEncoded
   }
 
@@ -56,27 +83,35 @@ object Scram {
       storedKey: Array[Byte], serverKey: Array[Byte])
 
   def store(password: String, salt: Array[Byte],
-      iterations: Int = Iterations): StoredCreds = {
-    val sp = saltedPassword(password, salt, iterations)
-    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8))
-    StoredCreds(salt, iterations, sha256(clientKey),
-      hmac(sp, "Server Key".getBytes(UTF_8)))
+      iterations: Int = Iterations, algo: Algo = Sha256): StoredCreds =
+    storeFromSaltedPassword(
+      saltedPassword(password, salt, iterations, algo), salt, iterations, algo)
+
+  /** Derive the stored quartet from an already-salted password — what
+    * AlterUserScramCredentials upsertions carry on the wire (the
+    * client salts; the server never sees the password itself). */
+  def storeFromSaltedPassword(sp: Array[Byte], salt: Array[Byte],
+      iterations: Int, algo: Algo): StoredCreds = {
+    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8), algo)
+    StoredCreds(salt, iterations, digest(clientKey, algo),
+      hmac(sp, "Server Key".getBytes(UTF_8), algo))
   }
 
   // --- client-side derivations (the test client IS the client) ---
 
   def clientProof(password: String, salt: Array[Byte], iterations: Int,
-      authMessage: String): Array[Byte] = {
-    val sp = saltedPassword(password, salt, iterations)
-    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8))
-    val storedKey = sha256(clientKey)
-    xor(clientKey, hmac(storedKey, authMessage.getBytes(UTF_8)))
+      authMessage: String, algo: Algo = Sha256): Array[Byte] = {
+    val sp = saltedPassword(password, salt, iterations, algo)
+    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8), algo)
+    val storedKey = digest(clientKey, algo)
+    xor(clientKey, hmac(storedKey, authMessage.getBytes(UTF_8), algo))
   }
 
   def serverSignature(password: String, salt: Array[Byte], iterations: Int,
-      authMessage: String): Array[Byte] = {
-    val sp = saltedPassword(password, salt, iterations)
-    hmac(hmac(sp, "Server Key".getBytes(UTF_8)), authMessage.getBytes(UTF_8))
+      authMessage: String, algo: Algo = Sha256): Array[Byte] = {
+    val sp = saltedPassword(password, salt, iterations, algo)
+    hmac(hmac(sp, "Server Key".getBytes(UTF_8), algo),
+      authMessage.getBytes(UTF_8), algo)
   }
 
   private[streaming] def b64(b: Array[Byte]): String =
@@ -105,6 +140,7 @@ object Scram {
     * exchange still runs to the proof step and fails there, so user
     * enumeration costs an attacker the same as a wrong password). */
   final class ServerSession(lookup: String => Option[StoredCreds],
+      algo: Algo = Sha256,
       nonceSource: () => String = () =>
         java.util.UUID.randomUUID().toString.replace("-", "")) {
     private var state = 0 // 0 = expect client-first, 1 = expect client-final
@@ -128,7 +164,9 @@ object Scram {
               creds = lookup(u)
               // unknown users get a deterministic fake salt so the
               // first leg is indistinguishable from a real user's
-              val c = creds.getOrElse(store("-", sha256(u.getBytes(UTF_8)).take(16)))
+              val c = creds.getOrElse(
+                store("-", digest(u.getBytes(UTF_8), algo).take(16),
+                  algo.iterations, algo))
               serverFirst =
                 s"r=$cnonce${nonceSource()},s=${b64(c.salt)},i=${c.iterations}"
               state = 1
@@ -155,10 +193,13 @@ object Scram {
                     try unb64(proofB64)
                     catch { case _: IllegalArgumentException =>
                       return fail("malformed proof") }
-                  val sig = hmac(c.storedKey, authMessage.getBytes(UTF_8))
+                  val sig =
+                    hmac(c.storedKey, authMessage.getBytes(UTF_8), algo)
                   val clientKey = xor(proof, sig)
-                  if (MessageDigest.isEqual(sha256(clientKey), c.storedKey)) {
-                    val v = b64(hmac(c.serverKey, authMessage.getBytes(UTF_8)))
+                  if (MessageDigest.isEqual(digest(clientKey, algo),
+                      c.storedKey)) {
+                    val v = b64(
+                      hmac(c.serverKey, authMessage.getBytes(UTF_8), algo))
                     Success(s"v=$v".getBytes(UTF_8), user)
                   } else fail("authentication failed")
               }

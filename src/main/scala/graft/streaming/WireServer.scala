@@ -40,17 +40,30 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
   @volatile private var running = true
   private val pool = Executors.newCachedThreadPool()
 
-  /** SCRAM stored credentials, derived once per server from the
-    * credential map with a per-server random salt — the server keeps
-    * (salt, iterations, StoredKey, ServerKey), never the password,
-    * exactly Kafka's SCRAM credential record. */
-  private lazy val scramCreds: Map[String, Scram.StoredCreds] = {
+  /** SCRAM stored credentials, keyed (user, mechanism code) — the
+    * server keeps (salt, iterations, StoredKey, ServerKey), never the
+    * password, exactly Kafka's SCRAM credential record. Seeded once
+    * from the static credential map (per-server random salts, both
+    * hash families) and LIVE thereafter: AlterUserScramCredentials
+    * (key 51) upserts and deletes entries, exactly as kafka-configs
+    * manages SCRAM users on a running cluster. */
+  private val scramStore =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Scram.StoredCreds]
+  private lazy val scramSeeded: Unit = {
     val rnd = new java.security.SecureRandom()
-    credentials.map { case (user, password) =>
-      val salt = new Array[Byte](16)
-      rnd.nextBytes(salt)
-      user -> Scram.store(password, salt)
+    credentials.foreach { case (user, password) =>
+      Scram.Algos.foreach { algo =>
+        val salt = new Array[Byte](16)
+        rnd.nextBytes(salt)
+        scramStore.put((user, Scram.codeForAlgo(algo)),
+          Scram.store(password, salt, algo.iterations, algo))
+      }
     }
+  }
+  private def scramLookup(algo: Scram.Algo)(
+      user: String): Option[Scram.StoredCreds] = {
+    scramSeeded
+    scramStore.get((user, Scram.codeForAlgo(algo)))
   }
 
   def boundPort: Int = server.getLocalPort
@@ -135,7 +148,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
           // raw exchange has no in-band error channel: progress frames
           // carry the next SASL token, failure closes the connection —
           // the signal pre-KIP-152 clients expect
-          if (mechanism == Scram.Mechanism)
+          if (scram != null)
             scram.step(payload) match {
               case Scram.Continue(reply) => frameRaw(reply)
               case Scram.Success(reply, _) =>
@@ -176,8 +189,9 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                   else {
                     handshaken = true
                     mechanism = wanted
-                    if (wanted == Scram.Mechanism)
-                      scram = new Scram.ServerSession(scramCreds.get)
+                    Scram.Algos.find(_.mechanism == wanted).foreach { algo =>
+                      scram = new Scram.ServerSession(scramLookup(algo), algo)
+                    }
                     rawSasl = version == 0
                     KafkaWire.encodeSaslHandshakeResponse(corr, 0,
                       WireServer.Mechanisms)
@@ -195,7 +209,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                   // ILLEGAL_SASL_STATE: no handshake yet, or already done
                   answer(34, "SaslAuthenticate out of order",
                     Array.emptyByteArray)
-                } else if (mechanism == Scram.Mechanism) {
+                } else if (scram != null) {
                   scram.step(token) match {
                     case Scram.Continue(reply) => answer(0, null, reply)
                     case Scram.Success(reply, _) =>
@@ -324,9 +338,99 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleConsumerGroupHeartbeat(framed)
       case KafkaWire.ConsumerGroupDescribeApiKey =>
         broker.handleConsumerGroupDescribe(framed)
+      case KafkaWire.DescribeUserScramCredentialsApiKey =>
+        handleDescribeUserScram(framed)
+      case KafkaWire.AlterUserScramCredentialsApiKey =>
+        handleAlterUserScram(framed)
       case other =>
         throw new IllegalArgumentException(s"unsupported api_key $other")
     }
+
+  /** DescribeUserScramCredentials (key 50, v0) against the live
+    * credential store (these two handlers live on the server, not the
+    * broker: SCRAM state is per-listener, like the SASL exchange
+    * itself). A null/empty users array describes everyone; unknown
+    * users answer RESOURCE_NOT_FOUND (91) and duplicates
+    * DUPLICATE_RESOURCE (92), per KIP-554. Iterations are served;
+    * salts and keys never leave the server. */
+  private def handleDescribeUserScram(framed: Array[Byte]): Array[Byte] = {
+    scramSeeded
+    val (corr, users) =
+      KafkaWire.decodeDescribeUserScramCredentialsRequest(framed)
+    val known = scramStore.keys.toSeq
+    val results =
+      if (users == null || users.isEmpty)
+        known.map(_._1).distinct.sorted.map { u =>
+          (u, 0, null: String, known.filter(_._1 == u).map(_._2).sorted
+            .map(code => (code, scramStore((u, code)).iterations)))
+        }
+      else {
+        val dups = users.groupBy(identity).collect {
+          case (u, occ) if occ.size > 1 => u
+        }.toSet
+        users.distinct.map { u =>
+          val infos = known.filter(_._1 == u).map(_._2).sorted
+            .map(code => (code, scramStore((u, code)).iterations))
+          if (dups(u)) (u, 92, "duplicate user in one request",
+            Seq.empty[(Int, Int)])
+          else if (infos.isEmpty)
+            (u, 91, s"no SCRAM credentials for user '$u'",
+              Seq.empty[(Int, Int)])
+          else (u, 0, null: String, infos)
+        }
+      }
+    KafkaWire.encodeDescribeUserScramCredentialsResponse(corr, 0, null,
+      results)
+  }
+
+  /** AlterUserScramCredentials (key 51, v0): upsertions carry the
+    * client-salted password — the server derives and stores the
+    * StoredKey/ServerKey quartet (the password itself never arrives,
+    * KIP-554's design). Deleting an absent credential answers 91;
+    * unknown mechanism codes 33 (UNSUPPORTED_SASL_MECHANISM), bad
+    * iterations or an empty name 93 (UNACCEPTABLE_CREDENTIAL). One
+    * response row per distinct user; any failed op for a user fails
+    * that user's whole alteration (nothing partial is applied). */
+  private def handleAlterUserScram(framed: Array[Byte]): Array[Byte] = {
+    scramSeeded
+    val (corr, deletions, upsertions) =
+      KafkaWire.decodeAlterUserScramCredentialsRequest(framed)
+    val byUser = (deletions.map(_._1) ++ upsertions.map(_._1)).distinct
+    val results = byUser.map { u =>
+      val dels = deletions.filter(_._1 == u)
+      val ups = upsertions.filter(_._1 == u)
+      val err: (Int, String) =
+        if (u == null || u.isEmpty) (93, "empty user name")
+        else (dels.map(_._2) ++ ups.map(_._2))
+          .find(Scram.algoForCode(_).isEmpty)
+          .map(c => (33, s"unknown SCRAM mechanism code $c"))
+          .orElse(ups.collectFirst {
+            case (_, _, iters, _, _) if iters < 4096 || iters > 16384 =>
+              (93, s"iterations must be in [4096, 16384]")
+          })
+          .orElse(ups.collectFirst {
+            case (_, _, _, salt, sp)
+              if salt == null || salt.isEmpty || sp == null || sp.isEmpty =>
+              (93, "salt and salted_password must be non-empty")
+          })
+          .orElse(dels.collectFirst {
+            case (_, code) if !scramStore.contains((u, code)) =>
+              (91, s"no ${Scram.algoForCode(code).get.mechanism} " +
+                s"credential for user '$u'")
+          })
+          .getOrElse((0, null))
+      if (err._1 == 0) {
+        dels.foreach { case (_, code) => scramStore.remove((u, code)) }
+        ups.foreach { case (_, code, iters, salt, sp) =>
+          val algo = Scram.algoForCode(code).get
+          scramStore.put((u, code),
+            Scram.storeFromSaltedPassword(sp, salt, iters, algo))
+        }
+      }
+      (u, err._1, err._2)
+    }
+    KafkaWire.encodeAlterUserScramCredentialsResponse(corr, results)
+  }
 
   def close(): Unit = {
     running = false
@@ -350,6 +454,7 @@ object WireServer {
   val AuthFailureDelayMs = 100L
 
   /** SASL mechanisms a secured listener serves. PLAIN stays for
-    * compat; SCRAM-SHA-256 keeps the password off the wire. */
-  val Mechanisms: Seq[String] = Seq("PLAIN", Scram.Mechanism)
+    * compat; the SCRAM pair keeps the password off the wire. */
+  val Mechanisms: Seq[String] =
+    Seq("PLAIN", Scram.Sha256.mechanism, Scram.Sha512.mechanism)
 }

@@ -330,7 +330,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
 
       val (_, hErr, mechs) = decodeSaslHandshakeResponse(exchange(sock,
         encodeSaslHandshakeRequest(1, 2, "sec-cli", "PLAIN")))
-      assert(hErr === 0 && mechs === Seq("PLAIN", "SCRAM-SHA-256"))
+      assert(hErr === 0 && mechs === WireServer.Mechanisms)
       // kafka-clients sends SaslAuthenticate at the max advertised
       // version — v2, flexible
       val token = Array[Byte](0) ++ "svc-producer".getBytes("UTF-8") ++

@@ -118,8 +118,8 @@ class SaslLogDirsSpec extends AnyFunSuite {
     val s3 = new Socket("127.0.0.1", server.boundPort)
     try {
       val (_, err, mechs) = decodeSaslHandshakeResponse(exchange(s3,
-        encodeSaslHandshakeRequest(1, 1, "cli", "SCRAM-SHA-512")))
-      assert((err, mechs) === ((33, Seq("PLAIN", "SCRAM-SHA-256"))))
+        encodeSaslHandshakeRequest(1, 1, "cli", "GSSAPI")))
+      assert((err, mechs) === ((33, WireServer.Mechanisms)))
       // the connection survives an unknown-mechanism probe — retry PLAIN
       val (_, ok, _) = decodeSaslHandshakeResponse(exchange(s3,
         encodeSaslHandshakeRequest(1, 2, "cli", "PLAIN")))

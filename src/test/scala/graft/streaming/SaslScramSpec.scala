@@ -48,8 +48,8 @@ class SaslScramSpec extends AnyFunSuite {
 
   /** Drives the full client side of the exchange over SaslAuthenticate
     * (v2 framing); returns the verified-or-not server signature. */
-  private def scramLogin(sock: Socket, user: String, password: String)
-      : (Int, Boolean) = {
+  private def scramLogin(sock: Socket, user: String, password: String,
+      algo: Scram.Algo = Scram.Sha256): (Int, Boolean) = {
     val cnonce = "clientnonce123"
     val clientFirstBare = s"n=$user,r=$cnonce"
     val (_, e1, _, serverFirstTok) = decodeSaslAuthenticateResponse(2,
@@ -64,7 +64,7 @@ class SaslScramSpec extends AnyFunSuite {
     val withoutProof = s"c=biws,r=${a("r")}"
     val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
     val proof = Scram.b64(
-      Scram.clientProof(password, salt, iters, authMessage))
+      Scram.clientProof(password, salt, iters, authMessage, algo))
     val (_, e2, _, serverFinalTok) = decodeSaslAuthenticateResponse(2,
       exchange(sock, encodeSaslAuthenticateRequest(2, 11, "cli",
         s"$withoutProof,p=$proof".getBytes(UTF_8))))
@@ -72,7 +72,7 @@ class SaslScramSpec extends AnyFunSuite {
       val v = attrs(new String(serverFinalTok, UTF_8))("v")
       // MUTUAL auth: the client checks the server knew ServerKey
       Scram.unb64(v).sameElements(
-        Scram.serverSignature(password, salt, iters, authMessage))
+        Scram.serverSignature(password, salt, iters, authMessage, algo))
     }
     (e2, verified)
   }
@@ -88,7 +88,7 @@ class SaslScramSpec extends AnyFunSuite {
       val (_, herr, mechs) = decodeSaslHandshakeResponse(exchange(sock,
         encodeSaslHandshakeRequest(1, 1, "cli", "SCRAM-SHA-256")))
       assert(herr === 0)
-      assert(mechs === Seq("PLAIN", "SCRAM-SHA-256"))
+      assert(mechs === WireServer.Mechanisms)
       val (err, mutual) = scramLogin(sock, "alice", "wonderland")
       assert(err === 0)
       assert(mutual, "server signature verifies — mutual authentication")
@@ -170,5 +170,109 @@ class SaslScramSpec extends AnyFunSuite {
         encodeMetadataRequest(12, 5, "cli", None)))
       assert(md.topics.map(_.name) === Seq("rawsec"))
     } finally { sock.close(); server.close() }
+  }
+
+  test("SCRAM-SHA-512 serves beside SHA-256 with independent credentials") {
+    val root = Files.createTempDirectory("graft-scram512").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("sec512", 1)
+    val server = new WireServer(broker,
+      credentials = Map("alice" -> "wonderland")).start()
+    // SHA-512 login succeeds with mutual auth
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val (_, herr, _) = decodeSaslHandshakeResponse(exchange(sock,
+        encodeSaslHandshakeRequest(1, 1, "cli", "SCRAM-SHA-512")))
+      assert(herr === 0)
+      val (err, mutual) = scramLogin(sock, "alice", "wonderland",
+        Scram.Sha512)
+      assert(err === 0)
+      assert(mutual, "SHA-512 server signature verifies")
+      val md = decodeMetadataResponse(12, exchange(sock,
+        encodeMetadataRequest(12, 12, "cli", None)))
+      assert(md.topics.map(_.name) === Seq("sec512"))
+    } finally sock.close()
+    // a SHA-256 proof offered on a SHA-512 handshake fails: the two
+    // families' stored keys are unrelated
+    val sock2 = new Socket("127.0.0.1", server.boundPort)
+    try {
+      exchange(sock2, encodeSaslHandshakeRequest(1, 1, "cli",
+        "SCRAM-SHA-512"))
+      val (err, _) = scramLogin(sock2, "alice", "wonderland", Scram.Sha256)
+      assert(err === 58)
+    } finally { sock2.close(); server.close() }
+  }
+
+  test("user SCRAM credential admin (keys 50/51): describe, upsert, delete") {
+    val root = Files.createTempDirectory("graft-scram-adm").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker,
+      credentials = Map("alice" -> "wonderland")).start()
+    val admin = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // authenticate the admin connection (secured listener)
+      exchange(admin, encodeSaslHandshakeRequest(1, 1, "cli",
+        "SCRAM-SHA-256"))
+      assert(scramLogin(admin, "alice", "wonderland")._1 === 0)
+
+      // describe-all: the seeded user carries both mechanisms
+      val (_, e0, _, all) = decodeDescribeUserScramCredentialsResponse(
+        exchange(admin,
+          encodeDescribeUserScramCredentialsRequest(2, "adm", null)))
+      assert(e0 === 0)
+      assert(all === Seq(("alice", 0, null, Seq((1, 4096), (2, 4096)))))
+
+      // upsert a NEW user for SHA-256 from a client-salted password —
+      // the password itself never crosses; 8192 iterations
+      val salt = "dave-salt-16byte".getBytes(UTF_8)
+      val sp = Scram.saltedPassword("davepass", salt, 8192, Scram.Sha256)
+      val (_, alter1) = decodeAlterUserScramCredentialsResponse(
+        exchange(admin, encodeAlterUserScramCredentialsRequest(3, "adm",
+          Seq.empty, Seq(("dave", 1, 8192, salt, sp)))))
+      assert(alter1 === Seq(("dave", 0, null)))
+
+      // ... and dave can now log in over SCRAM on a fresh connection
+      val dave = new Socket("127.0.0.1", server.boundPort)
+      try {
+        exchange(dave, encodeSaslHandshakeRequest(1, 1, "cli",
+          "SCRAM-SHA-256"))
+        val (derr, dmutual) = scramLogin(dave, "dave", "davepass")
+        assert(derr === 0 && dmutual)
+      } finally dave.close()
+
+      // describe reflects the new credential; duplicate users in one
+      // request answer 92, unknown users 91
+      val (_, _, _, some) = decodeDescribeUserScramCredentialsResponse(
+        exchange(admin, encodeDescribeUserScramCredentialsRequest(4, "adm",
+          Seq("dave", "ghost", "dave"))))
+      assert(some.map(r => (r._1, r._2)).toSet ===
+        Set(("dave", 92), ("ghost", 91)))
+      val (_, _, _, justDave) = decodeDescribeUserScramCredentialsResponse(
+        exchange(admin, encodeDescribeUserScramCredentialsRequest(5, "adm",
+          Seq("dave"))))
+      assert(justDave === Seq(("dave", 0, null, Seq((1, 8192)))))
+
+      // invalid alterations: unknown mechanism 33, bad iterations 93,
+      // deleting an absent credential 91 — nothing partial applies
+      val (_, bad) = decodeAlterUserScramCredentialsResponse(
+        exchange(admin, encodeAlterUserScramCredentialsRequest(6, "adm",
+          Seq(("dave", 2)), Seq(
+            ("erin", 7, 4096, salt, sp),
+            ("frank", 1, 100, salt, sp)))))
+      assert(bad.map(r => (r._1, r._2)).toSet ===
+        Set(("dave", 91), ("erin", 33), ("frank", 93)))
+
+      // delete dave's SHA-256 credential; SCRAM then refuses him
+      val (_, del) = decodeAlterUserScramCredentialsResponse(
+        exchange(admin, encodeAlterUserScramCredentialsRequest(7, "adm",
+          Seq(("dave", 1)), Seq.empty)))
+      assert(del === Seq(("dave", 0, null)))
+      val dave2 = new Socket("127.0.0.1", server.boundPort)
+      try {
+        exchange(dave2, encodeSaslHandshakeRequest(1, 1, "cli",
+          "SCRAM-SHA-256"))
+        assert(scramLogin(dave2, "dave", "davepass")._1 === 58)
+      } finally dave2.close()
+    } finally { admin.close(); server.close() }
   }
 }
