@@ -1507,18 +1507,24 @@ class Broker(spark: SparkSession, root: String) {
     val req = decodeJoinGroupRequest(requestBytes)
     val clientId = Option(req.clientId).getOrElse("client")
     val memberId = Option(req.memberId).getOrElse("")
-    if (req.version >= 4 && memberId.isEmpty) {
+    val static = req.groupInstanceId != null && req.groupInstanceId.nonEmpty
+    // static members skip the MEMBER_ID_REQUIRED two-step: their
+    // instance id already identifies them across restarts (KIP-345)
+    if (req.version >= 4 && memberId.isEmpty && !static) {
       val id = coordinator.reserveMemberId(req.group, clientId, req.sessionTimeoutMs)
       encodeJoinGroupResponse(req.version, req.correlationId,
         GroupCoordinator.MemberIdRequired, -1, req.protocolType, "", "", id,
         Seq.empty)
     } else {
       val r = coordinator.join(req.group, memberId, clientId, "",
-        req.sessionTimeoutMs, req.protocolType, req.protocols)
+        req.sessionTimeoutMs, req.protocolType, req.protocols,
+        req.groupInstanceId)
       encodeJoinGroupResponse(req.version, req.correlationId, r.errorCode,
         r.generationId, if (r.errorCode == 0) req.protocolType else null,
         r.protocol, r.leaderId, r.memberId,
-        r.members.map { case (id, meta) => (id, null: String, meta) })
+        r.members.map { case (id, meta) =>
+          (id, coordinator.memberInstanceIds(req.group).get(id).orNull, meta)
+        }, r.skipAssignment)
     }
   }
 
@@ -1526,7 +1532,8 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeSyncGroupRequest(requestBytes)
     val (err, assignment) =
-      coordinator.sync(req.group, req.generationId, req.memberId, req.assignments)
+      coordinator.sync(req.group, req.generationId, req.memberId,
+        req.assignments, req.groupInstanceId)
     encodeSyncGroupResponse(req.version, req.correlationId, err,
       req.protocolType, req.protocolName,
       if (assignment.isEmpty) null else assignment)
@@ -1536,7 +1543,8 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeHeartbeatRequest(requestBytes)
     encodeHeartbeatResponse(req.version, req.correlationId,
-      coordinator.heartbeat(req.group, req.generationId, req.memberId))
+      coordinator.heartbeat(req.group, req.generationId, req.memberId,
+        req.groupInstanceId))
   }
 
   /** LeaveGroup v0–v5; v3+ leaves a batch of members with per-member
@@ -1546,7 +1554,7 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeLeaveGroupRequest(requestBytes)
     val results = req.members.map { case (id, gii, _) =>
-      (id, gii, coordinator.leave(req.group, id))
+      (id, gii, coordinator.leave(req.group, id, gii))
     }
     if (req.version <= 2)
       encodeLeaveGroupResponse(req.version, req.correlationId,
@@ -2059,11 +2067,11 @@ class Broker(spark: SparkSession, root: String) {
   /** DescribeGroups v0–v5: live membership from the coordinator; a
     * group known only by committed offsets describes as Empty; an
     * unknown group as Dead (Kafka's convention — not an error code).
-    * v4+ member instance ids answer null (the classic coordinator
-    * does not track static membership); v3+ authorized_operations
-    * answers the full group operation set when requested — the
-    * no-authorizer broker's truth (ACL APIs answer SECURITY_DISABLED)
-    * — and Kafka's Int.MinValue "omitted" sentinel when not. */
+    * v4+ members carry their group.instance.id (null for dynamic
+    * members); v3+ authorized_operations answers the full group
+    * operation set when requested — the no-authorizer broker's truth
+    * (ACL APIs answer SECURITY_DISABLED) — and Kafka's Int.MinValue
+    * "omitted" sentinel when not. */
   def handleDescribeGroups(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeDescribeGroupsRequest(requestBytes)
@@ -2078,7 +2086,9 @@ class Broker(spark: SparkSession, root: String) {
         case None =>
           DescribedGroup(0, g, "Dead", "", "", Seq.empty)
       }
-      DescribedGroupModern(base, base.members.map(_ => null), ops)
+      val instances = coordinator.memberInstanceIds(g)
+      DescribedGroupModern(base,
+        base.members.map(m => instances.get(m._1).orNull), ops)
     }
     encodeDescribeGroupsResponse(req.version, req.correlationId, described)
   }
@@ -2191,7 +2201,8 @@ class Broker(spark: SparkSession, root: String) {
   def handleOffsetCommit(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeOffsetCommitRequest(requestBytes)
-    val fence = coordinator.validateCommit(req.group, req.generationId, req.memberId)
+    val fence = coordinator.validateCommit(req.group, req.generationId,
+      req.memberId, req.groupInstanceId)
     val results =
       if (fence != 0)
         req.topics.map { case (name, parts) =>
