@@ -244,6 +244,18 @@ object Oracles {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM iv JOIN ev e ON e.ts_us >= iv.lo AND e.ts_us < iv.hi
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY itype, ub""".stripMargin
+        |ORDER BY itype, ub""".stripMargin,
+
+    // genuinely correlated formulation — DuckDB decorrelates it into
+    // the same join the engine writes out; price·n > sum keeps the
+    // comparison divisionless (exact decimal × integer)
+    "q31_correlated_agg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |        (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |      > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+        |         FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+/** DuckDB oracle SQL for the §2h event-analytics suite — independent
+  * reformulations (window/CTE SQL) of the Spark plans, sharing only
+  * the integer-µs time arithmetic the parity rules require.
+  */
+object OraclesEvents {
+
+  val events: Map[String, String] = Map(
+    "events_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 86400000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM ev
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM f)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+        |       FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+        |       MIN(t1) AS first_entry_us, MAX(t1) AS last_entry_us FROM s1
+        |UNION ALL
+        |SELECT '2_click', COUNT(*), MIN(t2), MAX(t2) FROM s2
+        |UNION ALL
+        |SELECT '3_purchase', COUNT(*), MIN(t3), MAX(t3) FROM s3
+        |ORDER BY stage""".stripMargin,
+
+    "events_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+        |first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, week FROM ev)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM active JOIN first USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "events_rolling_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS dval
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |  CAST(dval AS DOUBLE) AS day_value,
+        |  CAST(SUM(n_events) OVER w AS BIGINT) AS roll7_events,
+        |  CAST(SUM(dval) OVER w AS DOUBLE) AS roll7_value
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin
+  )
+}

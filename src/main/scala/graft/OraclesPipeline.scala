@@ -783,6 +783,16 @@ object OraclesPipeline {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
         |    '\b(customer|supplier|order)\b', '<TERM>', 'g')) AS scrubbed_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_quality_report" ->
+      s"""SELECT lang, source,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT md5(text)) AS n_distinct,
+         |  CAST(SUM($ws) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+         |FROM documents GROUP BY 1, 2
+         |ORDER BY lang, source""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, Streams, TextAnalysis}
+import graft.operators.{Dedup, EventAnalytics, Multimodal, Pipeline, Relational, Similarity, Streams, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` has one entry per implemented operator from SURVEY.md §2;
@@ -47,6 +47,7 @@ object SparkEntry {
     "q28_bloom_semi_join" -> Relational.q28BloomSemiJoin _,
     "q29_quantile_bucket" -> Relational.q29QuantileBucket _,
     "q30_range_join" -> Relational.q30RangeJoin _,
+    "q31_correlated_agg" -> Relational.q31CorrelatedAgg _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -64,6 +65,11 @@ object SparkEntry {
     "asof_join" -> Streams.asofJoin _,
     "asof_join_exec" -> Streams.asofJoinExec _,
     "json_props_agg" -> Streams.jsonPropsAgg _,
+    // §2h event-stream analytics
+    "events_sessionize" -> EventAnalytics.sessionize _,
+    "events_funnel" -> EventAnalytics.funnel _,
+    "events_cohort_retention" -> EventAnalytics.cohortRetention _,
+    "events_rolling_daily" -> EventAnalytics.rollingDaily _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -112,9 +118,11 @@ object SparkEntry {
     "pipeline_data_mixture" -> Pipeline.dataMixture _,
     "pipeline_global_shuffle" -> ((s: SparkSession, d: String) => Pipeline.globalShuffle(s, d)),
     "docs_chunking" -> Pipeline.docsChunking _,
-    "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _
+    "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _,
+    "pipeline_quality_report" -> Pipeline.qualityReport _
   )
 
   def oracleSql: Map[String, String] =
-    Oracles.relational ++ OraclesStreams.streams ++ OraclesPipeline.pipeline
+    Oracles.relational ++ OraclesStreams.streams ++ OraclesPipeline.pipeline ++
+      OraclesEvents.events
 }

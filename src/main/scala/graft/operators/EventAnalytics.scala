@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.{dsum, events}
+
+/** §2h event-stream analytics — the queries a user of an
+  * event-streaming engine (ref: kcore README roadmap's consumer-side
+  * processing) runs over the topic's history: sessionization, funnel
+  * conversion, cohort retention, rolling activity.
+  *
+  * Scale discipline (SURVEY §6):
+  *   - every window is PARTITIONED by a high-cardinality key
+  *     (user_id) or runs over an already-aggregated bounded frame
+  *     (event_type × day) — no global sort, no single-partition
+  *     window anywhere;
+  *   - time buckets are pure integer arithmetic on epoch µs (`DIV`,
+  *     never floor(double /)) so bucket edges are bit-identical in
+  *     any engine;
+  *   - double aggregates go through the decimal parity helpers.
+  */
+object EventAnalytics {
+
+  private val DayUs = 86400000000L // µs per day
+  // inactivity gap that closes a session — 24 h at the synthetic
+  // corpus's density (~5 events/user/day, so a 30-min web-style gap
+  // would make nearly every event its own session); gap choice is a
+  // parameter of the semantics, not of the plan shape
+  private val SessionGapUs = 24L * 3600 * 1000 * 1000
+
+  /** Gap-based sessionization: a new session starts when a user is
+    * idle > the gap. One window partitioned by user (lag + running
+    * flag-sum), then a per-session aggregate — the classic log→
+    * session rollup, parallel in #users at any scale.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum("new_s").over(run))
+      .groupBy("user_id", "session_no")
+      .agg(
+        min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** Staged funnel view → click → purchase: each stage's entry time
+    * is the user's first qualifying event STRICTLY AFTER the prior
+    * stage (min-aggregate per user, then a keyed join — the corpus
+    * is scanned per stage with the event_type filter pushed to the
+    * parquet scan; only per-user stage times shuffle).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    def stage(etype: String, prev: Option[DataFrame], prevCol: String): DataFrame = {
+      val base = ev.filter(col("event_type") === etype)
+      val gated = prev match {
+        case Some(p) => base.join(p, "user_id").where(col("ts_us") > col(prevCol))
+        case None    => base
+      }
+      gated.groupBy("user_id").agg(min("ts_us").as(s"t_$etype"))
+    }
+    val s1 = stage("view", None, "")
+    val s2 = stage("click", Some(s1), "t_view")
+    val s3 = stage("purchase", Some(s2), "t_click")
+    def row(name: String, df: DataFrame, tcol: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+          min(col(tcol)).as("first_entry_us"), max(col(tcol)).as("last_entry_us"))
+        .select(lit(name).as("stage"), col("n_users"),
+          col("first_entry_us"), col("last_entry_us"))
+    row("1_view", s1, "t_view")
+      .unionAll(row("2_click", s2, "t_click"))
+      .unionAll(row("3_purchase", s3, "t_purchase"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week,
+    * activity counted per (cohort week, week offset). Weeks are
+    * integer epoch-week indices (µs DIV day DIV 7) — no calendar
+    * WEEK() semantics to disagree across engines. The (user, week)
+    * activity set is made distinct BEFORE the join, so each user
+    * contributes exactly one row per active week and the final
+    * count(*) IS the distinct-user count — no second distinct
+    * aggregate over the joined stream.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV $DayUs DIV 7").as("week"))
+    val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = ev.distinct()
+    active.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Per-type daily activity with a trailing 7-day rolling window.
+    * The RANGE window runs over the (event_type × day) AGGREGATE —
+    * a frame bounded by the calendar, not the corpus — and the
+    * rolling sum accumulates the exact decimal partials (order-free),
+    * casting to double only at the edge.
+    */
+  def rollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("dval"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    daily.select(
+        col("event_type"), col("day"), col("n_events"),
+        col("dval").cast("double").as("day_value"),
+        sum("n_events").over(w).as("roll7_events"),
+        sum("dval").over(w).cast("double").as("roll7_value"))
+      .orderBy("event_type", "day")
+  }
+}

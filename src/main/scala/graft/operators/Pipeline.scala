@@ -310,4 +310,22 @@ object Pipeline {
         md5(array_join(col("cw"), " ").cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Corpus quality report: the per-(lang, source) summary a dataset
+    * curator reads before mixing — doc/duplicate/short counts and
+    * token/char volume. One partial/final aggregate pair over the
+    * corpus; the duplicate count shuffles 16-byte content digests
+    * (the dedup_exact key), never text, and every output is an exact
+    * integer so the report is bit-stable across engines.
+    */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct"),
+        sum(wsTokens(col("text"))).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
+      .orderBy("lang", "source")
 }

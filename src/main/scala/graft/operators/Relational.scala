@@ -535,4 +535,22 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy("itype", "ub")
   }
+
+  /** q31: correlated aggregate subquery — orders priced above their
+    * customer's average. Decorrelated to one per-customer aggregate
+    * + a keyed join back (the SQL-engine rewrite, written out); the
+    * `price > avg` test is restated as `price·n > sum` so no
+    * division ever happens — the comparison is exact decimal×integer
+    * arithmetic, bit-identical in any engine.
+    */
+  def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val per = o.groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("tot"),
+        count(lit(1)).as("cnt"))
+    o.join(per, col("o_custkey") === col("k"))
+      .where(col("o_totalprice").cast(DecimalType(18, 4)) * col("cnt") > col("tot"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
 }
