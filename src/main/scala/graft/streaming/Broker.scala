@@ -16,6 +16,10 @@ import scala.jdk.CollectionConverters._
   */
 class Broker(spark: SparkSession, root: String) {
 
+  /** The log root — durable per-broker state (topics, _txn, _scram)
+    * lives under it. */
+  private[streaming] def logRoot: String = root
+
   /** Membership coordination for wire consumers (JoinGroup/SyncGroup/
     * Heartbeat/LeaveGroup) — pure metadata, one per broker. */
   val coordinator = new GroupCoordinator()

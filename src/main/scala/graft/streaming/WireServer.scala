@@ -46,17 +46,53 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     * from the static credential map (per-server random salts, both
     * hash families) and LIVE thereafter: AlterUserScramCredentials
     * (key 51) upserts and deletes entries, exactly as kafka-configs
-    * manages SCRAM users on a running cluster. */
+    * manages SCRAM users on a running cluster — and every alteration
+    * write-throughs a [[ScramStore]] snapshot under the broker's log
+    * root, so administered credentials survive a listener restart
+    * (KIP-554 persists them in cluster metadata for the same reason).
+    * The snapshot is authoritative for every user it names; configured
+    * users absent from it re-seed (bootstrap semantics — the PLAIN
+    * path accepts the static map directly regardless). */
   private val scramStore =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Scram.StoredCreds]
+  private val scramStoreDir = java.nio.file.Paths.get(broker.logRoot, "_scram")
+  @volatile private var scramStoreVersion = 0L
   private lazy val scramSeeded: Unit = {
+    ScramStore.load(scramStoreDir).foreach { case (v, persisted) =>
+      scramStoreVersion = v
+      persisted.foreach { case (k, c) => scramStore.put(k, c) }
+    }
+    val persistedUsers = scramStore.keysIterator.map(_._1).toSet
     val rnd = new java.security.SecureRandom()
     credentials.foreach { case (user, password) =>
-      Scram.Algos.foreach { algo =>
-        val salt = new Array[Byte](16)
-        rnd.nextBytes(salt)
-        scramStore.put((user, Scram.codeForAlgo(algo)),
-          Scram.store(password, salt, algo.iterations, algo))
+      if (!persistedUsers.contains(user))
+        Scram.Algos.foreach { algo =>
+          val salt = new Array[Byte](16)
+          rnd.nextBytes(salt)
+          scramStore.put((user, Scram.codeForAlgo(algo)),
+            Scram.store(password, salt, algo.iterations, algo))
+        }
+    }
+  }
+
+  /** Publish the full credential store as the next snapshot version
+    * (TxnStore's single-writer CAS: a version collision means another
+    * process raced this root — skip past its version and republish,
+    * latest state wins). Called only on successful key-51 mutations,
+    * so a listener that never administers credentials writes nothing. */
+  private def persistScram(): Unit = synchronized {
+    var done = false
+    while (!done) {
+      val v = scramStoreVersion + 1
+      try {
+        ScramStore.commit(scramStoreDir, v, ScramStore.render(v, scramStore.toSeq))
+        scramStoreVersion = v
+        ScramStore.prune(scramStoreDir, v - 2)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          scramStoreVersion =
+            math.max(scramStoreVersion + 1, ScramStore.maxVersion(scramStoreDir).getOrElse(0L))
       }
     }
   }
@@ -429,6 +465,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
       }
       (u, err._1, err._2)
     }
+    if (results.exists(_._2 == 0)) persistScram()
     KafkaWire.encodeAlterUserScramCredentialsResponse(corr, results)
   }
 
