@@ -55,6 +55,18 @@ object OraclesEvents {
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
+    "events_transition_matrix" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type AS next_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id) AS prev_type
+        |      FROM ev)
+        |SELECT prev_type, next_type, COUNT(*) AS n_transitions
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY prev_type, next_type""".stripMargin,
+
     "events_rolling_daily" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -69,6 +69,7 @@ object SparkEntry {
     "events_sessionize" -> EventAnalytics.sessionize _,
     "events_funnel" -> EventAnalytics.funnel _,
     "events_cohort_retention" -> EventAnalytics.cohortRetention _,
+    "events_transition_matrix" -> EventAnalytics.transitionMatrix _,
     "events_rolling_daily" -> EventAnalytics.rollingDaily _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,

@@ -109,6 +109,24 @@ object EventAnalytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** First-order transition matrix over each user's event sequence
+    * (the Markov-chain view of behavior): one lag window partitioned
+    * by user, then a bounded (|types|²) count aggregate — the window
+    * shuffle is the corpus's one crossing, the aggregate output is
+    * type-cardinality-sized at any scale.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev.withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Per-type daily activity with a trailing 7-day rolling window.
     * The RANGE window runs over the (event_type × day) AGGREGATE —
     * a frame bounded by the calendar, not the corpus — and the
