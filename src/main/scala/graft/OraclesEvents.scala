@@ -67,6 +67,43 @@ object OraclesEvents {
         |GROUP BY 1, 2
         |ORDER BY prev_type, next_type""".stripMargin,
 
+    "events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |              epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT *,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |             IGNORE NULLS) OVER w AS touch_type,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END
+        |             IGNORE NULLS) OVER w AS touch_us
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT COALESCE(touch_type, '(direct)') AS touch_type,
+        |  COUNT(*) AS n_conversions,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(ts_us - touch_us) AS BIGINT) AS sum_latency_us
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
+    "events_spike_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |  COUNT(*) OVER win AS base_days,
+        |  COALESCE(SUM(n_events) OVER win, 0) AS base_events
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events,
+        |  CAST(base_days AS BIGINT) AS base_days,
+        |  CAST(base_events AS BIGINT) AS base_events,
+        |  CASE WHEN base_days = 0 THEN 0
+        |       WHEN n_events * base_days * 3 > base_events * 4 THEN 1
+        |       ELSE 0 END AS is_spike
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
     "events_rolling_daily" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -452,6 +452,31 @@ object OraclesPipeline {
         |FROM topw JOIN gr USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // ln quantizes to 1e-4 before a decimal-routed sum; the
+    // token entropy: multiplicities re-derived by unnest + GROUP BY
+    // (the Spark side walks the sorted token array — independent
+    // formulations); ln quantized at 1e-4 into BIGINT per run, the
+    // closing division left unrounded (identical IEEE division of
+    // identical integer inputs)
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |      FROM c GROUP BY 1),
+        |e AS (SELECT c.doc_id,
+        |        CAST(SUM(c.c * CAST(round(
+        |          ln(CAST(c.c AS DOUBLE) / n.n_tokens) * 10000) AS BIGINT))
+        |          AS BIGINT) AS acc
+        |      FROM c JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens, n.n_distinct,
+        |  CAST(n.n_distinct AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS ttr,
+        |  CAST(-e.acc AS DOUBLE) / CAST(n.n_tokens * 10000 AS DOUBLE)
+        |    AS token_entropy,
+        |  CAST(CAST(-e.acc AS DOUBLE) / CAST(n.n_tokens * 10000 AS DOUBLE)
+        |       >= 2.5 AS INTEGER) AS keep
+        |FROM n JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // cross-entropy is deliberately UNROUNDED (identical IEEE
     // division of identical inputs — rounding it would create exact
     // decimal halfway points where the engines' rounding rules

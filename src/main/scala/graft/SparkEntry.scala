@@ -71,6 +71,8 @@ object SparkEntry {
     "events_cohort_retention" -> EventAnalytics.cohortRetention _,
     "events_transition_matrix" -> EventAnalytics.transitionMatrix _,
     "events_rolling_daily" -> EventAnalytics.rollingDaily _,
+    "events_attribution" -> EventAnalytics.attribution _,
+    "events_spike_days" -> EventAnalytics.spikeDays _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -80,6 +82,7 @@ object SparkEntry {
     "text_rare_tokens" -> TextAnalysis.textRareTokens _,
     "text_pii_scrub" -> TextAnalysis.textPiiScrub _,
     "text_repetition" -> TextAnalysis.textRepetition _,
+    "text_entropy" -> TextAnalysis.textEntropy _,
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
     // §2c deduplication

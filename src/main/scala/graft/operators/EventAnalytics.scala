@@ -127,6 +127,57 @@ object EventAnalytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Last-touch conversion attribution: each purchase is credited to
+    * the user's most recent STRICTLY PRECEDING non-purchase event
+    * (the "touch"); purchases with no prior activity are `(direct)`.
+    * One window partitioned by user carries the running last-touch
+    * (an ignore-nulls `last` over the rows-preceding frame — no
+    * self-join, no per-purchase probe), then a |types|-bounded
+    * aggregate. The corpus crosses the shuffle exactly once.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = (c: org.apache.spark.sql.Column) =>
+      last(when(col("event_type") =!= "purchase", c), ignoreNulls = true).over(w)
+    ev.withColumn("touch_type", touch(col("event_type")))
+      .withColumn("touch_us", touch(col("ts_us")))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch_type"), lit("(direct)")).as("touch_type"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        dsum(col("value")).as("sum_value"),
+        sum(col("ts_us") - col("touch_us")).as("sum_latency_us"))
+      .orderBy("touch_type")
+  }
+
+  /** Daily spike detection, all-integer: a (type, day) is a spike
+    * when its count exceeds 4/3 of the trailing 7-day baseline mean
+    * — compared as `n·days·3 > events·4`, so no division and no
+    * float threshold crosses an engine boundary. The RANGE window
+    * (6 PRECEDING .. 1 PRECEDING — the baseline excludes the day
+    * under test) runs over the (type × day) aggregate, a calendar-
+    * bounded frame at any corpus size.
+    */
+  def spikeDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, -1)
+    daily.select(
+        col("event_type"), col("day"), col("n_events"),
+        count(lit(1)).over(w).as("base_days"),
+        coalesce(sum("n_events").over(w), lit(0L)).as("base_events"))
+      .withColumn("is_spike",
+        when(col("base_days") === 0, 0)
+          .when(col("n_events") * col("base_days") * 3 > col("base_events") * 4, 1)
+          .otherwise(0).cast("int"))
+      .orderBy("event_type", "day")
+  }
+
   /** Per-type daily activity with a trailing 7-day rolling window.
     * The RANGE window runs over the (event_type × day) AGGREGATE —
     * a frame bounded by the calendar, not the corpus — and the

@@ -124,6 +124,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document token-distribution Shannon entropy + type-token
+    * ratio — the lexical-diversity quality signal (low entropy =
+    * repetitive/templated text). Entirely map-side: each doc's token
+    * multiplicities are the run lengths of its SORTED token array
+    * (the [[textRepetition]] aggregate-HOF trick — no explode, no
+    * shuffle, scan-rate at 100 TB), and each run contributes
+    * `run · lnq(run/n)` to an integer accumulator.
+    *
+    * Cross-engine determinism (the [[textPerplexity]] recipe): ln is
+    * quantized at 1e-4 into a BIGINT per run, the per-doc sum is
+    * integer-exact, and the single closing division
+    * `-acc / (n·10⁴)` maps bit-identical integers through one IEEE
+    * division — nothing downstream is rounded. The oracle re-derives
+    * multiplicities by unnest + GROUP BY, an independent formulation.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // run * round(ln(run/n)*1e4) as BIGINT; ln of a count ratio is a
+    // transcendental that never sits on a .5 rounding boundary
+    def q(run: String) =
+      s"$run * CAST(round(ln(CAST($run AS DOUBLE) / n_tokens) * 10000) AS BIGINT)"
+    val entQ = expr(
+      s"""aggregate(array_sort(toks),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', 0L),
+         |  (s, x) -> IF(x = s.prev,
+         |    named_struct('prev', x, 'run', s.run + 1L, 'acc', s.acc),
+         |    named_struct('prev', x, 'run', 1L,
+         |      'acc', s.acc + IF(s.prev IS NULL, 0L, ${q("s.run")}))),
+         |  s -> s.acc + ${q("s.run")})""".stripMargin)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        ((-entQ).cast("double") /
+          (col("n_tokens") * lit(10000L)).cast("double")).as("token_entropy"))
+      .withColumn("keep", (col("token_entropy") >= 2.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model scoring (the CCNet-style perplexity
     * quality filter, with the corpus itself as the LM): per-doc
     * cross-entropy and perplexity under the corpus unigram

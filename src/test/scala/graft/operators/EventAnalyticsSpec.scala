@@ -72,6 +72,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution partitions the purchases; latency is non-negative") {
+    val rows = EventAnalytics.attribution(spark, dir).collect()
+    val purchases = graft.Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum === purchases)
+    val types = Set("view", "click", "signup", "error", "(direct)")
+    rows.foreach { r =>
+      // a purchase can never be its own touch
+      assert(types.contains(r.getAs[String]("touch_type")))
+      // the touch strictly precedes the purchase, so summed latency
+      // is positive wherever a touch exists
+      if (r.getAs[String]("touch_type") != "(direct)")
+        assert(r.getAs[Long]("sum_latency_us") > 0L)
+      else assert(r.isNullAt(r.fieldIndex("sum_latency_us")))
+    }
+  }
+
+  test("spike days: baseline re-derives from the daily counts") {
+    val rows = EventAnalytics.spikeDays(spark, dir).collect()
+    val daily = rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("day")) -> r.getAs[Long]("n_events")).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type"); val d = r.getAs[Long]("day")
+      val win = (d - 6 until d).flatMap(x => daily.get((et, x)))
+      assert(r.getAs[Long]("base_days") === win.length.toLong)
+      assert(r.getAs[Long]("base_events") === win.sum)
+      val expect =
+        if (win.isEmpty) 0
+        else if (r.getAs[Long]("n_events") * win.length * 3 > win.sum * 4) 1
+        else 0
+      assert(r.getAs[Int]("is_spike") === expect)
+    }
+  }
+
   test("rolling daily 7-day sums equal the naive window") {
     val rows = EventAnalytics.rollingDaily(spark, dir).collect()
     val daily = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->

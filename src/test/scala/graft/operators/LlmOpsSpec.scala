@@ -215,6 +215,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clean.getAs[Int]("keep") === 1)
   }
 
+  test("text_entropy: uniform docs hit ln(k), repeats lower it, recompute agrees") {
+    val r = TextAnalysis.textEntropy(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0: 8 distinct tokens once each → H = ln 8, ttr = 1
+    assert(math.abs(r(0L).getAs[Double]("token_entropy") - math.log(8)) < 1e-4)
+    assert(r(0L).getAs[Double]("ttr") === 1.0)
+    // doc 20: a 6-word phrase ×4 (plus the trailing-space empty
+    // token) — heavy repetition shows as low ttr and entropy well
+    // under the doc-0 uniform ceiling over a LARGER vocabulary
+    assert(r(20L).getAs[Double]("ttr") < 0.3)
+    assert(r(20L).getAs[Double]("token_entropy") < 2.0)
+    // repetition strictly lowers entropy below the uniform ceiling
+    assert(r(20L).getAs[Double]("token_entropy") <
+      r(0L).getAs[Double]("token_entropy"))
+    // independent recompute (hashmap counts vs the sorted-run walk):
+    // identical quantization must give the identical double
+    val texts = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val acc = toks.groupBy(identity).values.map(_.length.toLong)
+        .map(c => c * math.round(math.log(c.toDouble / n) * 10000)).sum
+      assert(r(id).getAs[Double]("token_entropy") === -acc.toDouble / (n * 10000.0))
+      assert(r(id).getAs[Long]("n_tokens") === n)
+      // entropy never exceeds the uniform bound over the doc's types
+      assert(r(id).getAs[Double]("token_entropy") <=
+        math.log(r(id).getAs[Long]("n_distinct").toDouble) + 1e-4)
+    }
+  }
+
   test("text_perplexity scores common-token docs lower; OOV floors below vocab") {
     // vocabK=3 keeps only the 3 most frequent corpus tokens in-vocab
     // ("the" et al. from the repeated base docs) — everything else
