@@ -2001,6 +2001,123 @@ class Broker(spark: SparkSession, root: String) {
       controllerId = 0, brokers = Seq((0, advertisedHost, port, null)))
   }
 
+  // --- KIP-714 client telemetry (keys 71/72/74). The broker serves
+  // the full subscription handshake with an EMPTY metric subscription
+  // (no metrics backend — the honest single-broker answer, and what a
+  // Kafka broker with no client-metrics resources configured serves):
+  // a 3.7+ client's default-on telemetry path completes cleanly and
+  // then pushes nothing. The subscription id is a pure function of
+  // the client instance id (CRC32 — Kafka derives its id from the
+  // subscription-set hash the same way), so push validation is
+  // stateless and survives restart for free.
+
+  private val telemetryInstanceCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  val TelemetryPushIntervalMs = 300000
+  val TelemetryMaxBytes = 1048576
+
+  def telemetrySubscriptionId(instanceId: Array[Byte]): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(instanceId)
+    crc.getValue.toInt
+  }
+
+  def handleGetTelemetrySubscriptions(requestBytes: Array[Byte])
+      : Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, instanceId) =
+      decodeGetTelemetrySubscriptionsRequest(requestBytes)
+    // all-zero uuid = "assign me one" (a client's first contact)
+    val assigned =
+      if (instanceId.forall(_ == 0))
+        topicUuid(s"graft-telemetry-${telemetryInstanceCounter.incrementAndGet()}")
+      else instanceId
+    encodeGetTelemetrySubscriptionsResponse(correlationId, errorCode = 0,
+      clientInstanceId = assigned,
+      subscriptionId = telemetrySubscriptionId(assigned),
+      // empty = clients push uncompressed (we discard the payload
+      // anyway; advertising codecs we'd never inflate would be noise)
+      acceptedCompression = Seq.empty,
+      pushIntervalMs = TelemetryPushIntervalMs,
+      telemetryMaxBytes = TelemetryMaxBytes,
+      deltaTemporality = true,
+      requestedMetrics = Seq.empty)
+  }
+
+  def handlePushTelemetry(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, instanceId, subId, _, _, metrics) =
+      decodePushTelemetryRequest(requestBytes)
+    val err =
+      if (subId != telemetrySubscriptionId(instanceId)) 117 // UNKNOWN_SUBSCRIPTION_ID
+      else if (metrics != null && metrics.length > TelemetryMaxBytes) 118 // TELEMETRY_TOO_LARGE
+      else 0
+    encodePushTelemetryResponse(correlationId, err)
+  }
+
+  def handleListClientMetricsResources(requestBytes: Array[Byte])
+      : Array[Byte] = {
+    import KafkaWire._
+    val correlationId =
+      decodeListClientMetricsResourcesRequest(requestBytes)
+    // no client-metrics config resources exist (nothing to subscribe)
+    encodeListClientMetricsResourcesResponse(correlationId, 0, Seq.empty)
+  }
+
+  /** DescribeTopicPartitions (key 75, v0) — cursor-paginated topic
+    * describe. Topics are served in name order; the partition budget
+    * (`response_partition_limit`, Kafka's default 2000) counts data
+    * partitions only, and when it runs out mid-walk the next_cursor
+    * names the first (topic, partition) NOT served — resuming from it
+    * walks the remainder, each partition exactly once. Explicitly
+    * requested unknown names answer UNKNOWN_TOPIC_OR_PARTITION (3)
+    * with a zero topic_id and don't consume budget; a describe-all
+    * (empty topics array) only ever sees hosted topics. */
+  def handleDescribeTopicPartitions(requestBytes: Array[Byte])
+      : Array[Byte] = {
+    import KafkaWire._
+    val (correlationId, reqTopics, limit, cursor) =
+      decodeDescribeTopicPartitionsRequest(requestBytes)
+    val names =
+      (if (reqTopics.isEmpty) listTopics() else reqTopics.distinct).sorted
+    val budget0 = if (limit <= 0) 2000 else limit
+    var budget = budget0
+    var next: Option[DtpCursor] = None
+    val served = Seq.newBuilder[DtpTopic]
+    def partition(i: Int) = DtpPartition(errorCode = 0, index = i,
+      leaderId = 0, leaderEpoch = 0, replicas = Seq(0), isr = Seq(0),
+      eligibleLeaderReplicas = None, lastKnownElr = None,
+      offline = Seq.empty)
+    for (name <- names if next.isEmpty) {
+      val startPart = cursor match {
+        case Some(c) if name < c.topicName => -1 // already served in full
+        case Some(c) if name == c.topicName => c.partitionIndex
+        case _ => 0
+      }
+      if (startPart >= 0) topicOpt(name) match {
+        case None =>
+          if (reqTopics.nonEmpty)
+            served += DtpTopic(3, name, new Array[Byte](16),
+              isInternal = false, Seq.empty, Int.MinValue)
+        case Some(log) =>
+          val nParts = log.numPartitions
+          if (startPart >= nParts) () // cursor already past this topic
+          else if (budget == 0)
+            next = Some(DtpCursor(name, startPart))
+          else {
+            val end = math.min(nParts, startPart + budget)
+            served += DtpTopic(0, name, topicUuid(name),
+              isInternal = false,
+              (startPart until end).map(partition), Int.MinValue)
+            budget -= end - startPart
+            if (end < nParts) next = Some(DtpCursor(name, end))
+          }
+      }
+    }
+    encodeDescribeTopicPartitionsResponse(correlationId, served.result(),
+      next)
+  }
+
   /** ListGroups v0: active coordinator groups plus groups that exist
     * only as committed offsets (protocol_type "" — Kafka's shape for
     * offsets-only groups). */
@@ -2440,7 +2557,14 @@ object Broker {
     (68, "ConsumerGroupHeartbeat", 0,
       KafkaWire.ConsumerGroupHeartbeatMaxVersion),
     (69, "ConsumerGroupDescribe", 0,
-      KafkaWire.ConsumerGroupDescribeMaxVersion))
+      KafkaWire.ConsumerGroupDescribeMaxVersion),
+    (71, "GetTelemetrySubscriptions", 0,
+      KafkaWire.GetTelemetrySubscriptionsMaxVersion),
+    (72, "PushTelemetry", 0, KafkaWire.PushTelemetryMaxVersion),
+    (74, "ListClientMetricsResources", 0,
+      KafkaWire.ListClientMetricsResourcesMaxVersion),
+    (75, "DescribeTopicPartitions", 0,
+      KafkaWire.DescribeTopicPartitionsMaxVersion))
 
   /** The ApiVersions-analog catalog the oracle-checked
     * `broker_api_versions` query serves. IDENTICAL to [[WireApis]] by

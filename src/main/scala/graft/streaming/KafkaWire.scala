@@ -6309,4 +6309,381 @@ object KafkaWire {
     r.tags()
     (correlationId, groups)
   }
+
+  // --- KIP-714 client telemetry (GetTelemetrySubscriptions key 71,
+  // PushTelemetry key 72; AK 3.7+, flexible-only v0). The java
+  // client DEFAULTS to enable.metrics.push=true since 3.7, so key 71
+  // is part of a modern client's first contact — a broker that kills
+  // the connection on it breaks the client, not just the metrics.
+  // GetTelemetrySubscriptions request: client_instance_id UUID
+  // (all-zero = "assign me one"). Response: throttle INT32, error
+  // INT16, client_instance_id UUID, subscription_id INT32,
+  // accepted_compression_types ARRAY<INT8>, push_interval_ms INT32,
+  // telemetry_max_bytes INT32, delta_temporality BOOL,
+  // requested_metrics ARRAY<COMPACT_STRING> (EMPTY = nothing
+  // subscribed — the client then pushes nothing; NULL would mean
+  // "all metrics"). ---
+
+  val GetTelemetrySubscriptionsApiKey = 71
+  val GetTelemetrySubscriptionsMaxVersion = 0
+
+  def encodeGetTelemetrySubscriptionsRequest(correlationId: Int,
+      clientId: String, clientInstanceId: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, GetTelemetrySubscriptionsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.uuid(clientInstanceId)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, clientInstanceId). */
+  def decodeGetTelemetrySubscriptionsRequest(bytes: Array[Byte])
+      : (Int, Array[Byte]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == GetTelemetrySubscriptionsApiKey,
+      "not a GetTelemetrySubscriptions request")
+    require(buf.getShort.toInt == 0,
+      "unsupported GetTelemetrySubscriptions version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val instanceId = r.uuid()
+    r.tags()
+    (correlationId, instanceId)
+  }
+
+  def encodeGetTelemetrySubscriptionsResponse(correlationId: Int,
+      errorCode: Int, clientInstanceId: Array[Byte], subscriptionId: Int,
+      acceptedCompression: Seq[Int], pushIntervalMs: Int,
+      telemetryMaxBytes: Int, deltaTemporality: Boolean,
+      requestedMetrics: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.uuid(clientInstanceId)
+    w.i32(subscriptionId)
+    w.count(acceptedCompression.length)
+    acceptedCompression.foreach(w.i8)
+    w.i32(pushIntervalMs)
+    w.i32(telemetryMaxBytes)
+    w.bool(deltaTemporality)
+    w.count(requestedMetrics.length)
+    requestedMetrics.foreach(w.str)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, clientInstanceId, subscriptionId,
+    * acceptedCompression, pushIntervalMs, telemetryMaxBytes,
+    * deltaTemporality, requestedMetrics). */
+  def decodeGetTelemetrySubscriptionsResponse(bytes: Array[Byte])
+      : (Int, Int, Array[Byte], Int, Seq[Int], Int, Int, Boolean,
+         Seq[String]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    val instanceId = r.uuid()
+    val subId = r.i32()
+    val comp = (0 until r.count()).map(_ => r.i8()).toSeq
+    val interval = r.i32()
+    val maxBytes = r.i32()
+    val delta = r.bool()
+    val metrics = (0 until r.count()).map(_ => r.str()).toSeq
+    r.tags()
+    (correlationId, err, instanceId, subId, comp, interval, maxBytes,
+      delta, metrics)
+  }
+
+  // PushTelemetry request: client_instance_id UUID, subscription_id
+  // INT32, terminating BOOL, compression_type INT8, metrics
+  // COMPACT_BYTES. Response: throttle INT32, error INT16.
+  // UNKNOWN_SUBSCRIPTION_ID = 117, TELEMETRY_TOO_LARGE = 118.
+
+  val PushTelemetryApiKey = 72
+  val PushTelemetryMaxVersion = 0
+
+  def encodePushTelemetryRequest(correlationId: Int, clientId: String,
+      clientInstanceId: Array[Byte], subscriptionId: Int,
+      terminating: Boolean, compressionType: Int,
+      metrics: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, PushTelemetryApiKey, 0, correlationId, clientId,
+      flexible = true)
+    val w = new WR(out, flexible = true)
+    w.uuid(clientInstanceId)
+    w.i32(subscriptionId)
+    w.bool(terminating)
+    w.i8(compressionType)
+    w.bytes(metrics)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, clientInstanceId, subscriptionId, terminating,
+    * compressionType, metrics). */
+  def decodePushTelemetryRequest(bytes: Array[Byte])
+      : (Int, Array[Byte], Int, Boolean, Int, Array[Byte]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == PushTelemetryApiKey,
+      "not a PushTelemetry request")
+    require(buf.getShort.toInt == 0, "unsupported PushTelemetry version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val instanceId = r.uuid()
+    val subId = r.i32()
+    val terminating = r.bool()
+    val compression = r.i8()
+    val metrics = r.bytes()
+    r.tags()
+    (correlationId, instanceId, subId, terminating, compression, metrics)
+  }
+
+  def encodePushTelemetryResponse(correlationId: Int,
+      errorCode: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode). */
+  def decodePushTelemetryResponse(bytes: Array[Byte]): (Int, Int) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    r.tags()
+    (correlationId, err)
+  }
+
+  // ListClientMetricsResources (key 74, v0 flexible; what
+  // kafka-client-metrics.sh --list sends): request has no fields;
+  // response: throttle INT32, error INT16, client_metrics_resources
+  // ARRAY<[name COMPACT_STRING]>.
+
+  val ListClientMetricsResourcesApiKey = 74
+  val ListClientMetricsResourcesMaxVersion = 0
+
+  def encodeListClientMetricsResourcesRequest(correlationId: Int,
+      clientId: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ListClientMetricsResourcesApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** correlationId. */
+  def decodeListClientMetricsResourcesRequest(bytes: Array[Byte]): Int = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ListClientMetricsResourcesApiKey,
+      "not a ListClientMetricsResources request")
+    require(buf.getShort.toInt == 0,
+      "unsupported ListClientMetricsResources version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.tags()
+    correlationId
+  }
+
+  def encodeListClientMetricsResourcesResponse(correlationId: Int,
+      errorCode: Int, names: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.count(names.length)
+    names.foreach { n => w.str(n); w.tags() }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, names). */
+  def decodeListClientMetricsResourcesResponse(bytes: Array[Byte])
+      : (Int, Int, Seq[String]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    val names = (0 until r.count()).map { _ =>
+      val n = r.str(); r.tags(); n
+    }.toSeq
+    r.tags()
+    (correlationId, err, names)
+  }
+
+  // --- DescribeTopicPartitions (key 75, v0 flexible; AK 3.8+) — the
+  // cursor-paginated topic-describe path modern AdminClients use
+  // instead of Metadata for `describeTopics`. Request: topics
+  // ARRAY<[name COMPACT_STRING]>, response_partition_limit INT32,
+  // cursor NULLABLE_STRUCT<[topic_name COMPACT_STRING,
+  // partition_index INT32]> (nullable structs serialize as one INT8:
+  // -1 = null, 1 = present followed by the fields — the encoding
+  // this API introduced). Response: throttle INT32, topics
+  // ARRAY<[error INT16, name COMPACT_NSTRING, topic_id UUID,
+  // is_internal BOOL, partitions ARRAY<[error INT16, index INT32,
+  // leader_id INT32, leader_epoch INT32, replicas ARRAY<INT32>, isr
+  // ARRAY<INT32>, eligible_leader_replicas NULLABLE_ARRAY<INT32>,
+  // last_known_elr NULLABLE_ARRAY<INT32>, offline ARRAY<INT32>]>,
+  // topic_authorized_operations INT32]>, next_cursor NULLABLE_STRUCT.
+
+  val DescribeTopicPartitionsApiKey = 75
+  val DescribeTopicPartitionsMaxVersion = 0
+
+  /** Pagination cursor: the first (topic, partition) NOT yet served. */
+  final case class DtpCursor(topicName: String, partitionIndex: Int)
+
+  final case class DtpPartition(errorCode: Int, index: Int, leaderId: Int,
+      leaderEpoch: Int, replicas: Seq[Int], isr: Seq[Int],
+      eligibleLeaderReplicas: Option[Seq[Int]],
+      lastKnownElr: Option[Seq[Int]], offline: Seq[Int])
+
+  final case class DtpTopic(errorCode: Int, name: String,
+      topicId: Array[Byte], isInternal: Boolean,
+      partitions: Seq[DtpPartition], authorizedOperations: Int)
+
+  private def writeDtpCursor(w: WR, cursor: Option[DtpCursor]): Unit =
+    cursor match {
+      case None => w.i8(-1)
+      case Some(c) =>
+        w.i8(1); w.str(c.topicName); w.i32(c.partitionIndex); w.tags()
+    }
+
+  private def readDtpCursor(r: RD): Option[DtpCursor] =
+    r.i8() match {
+      case -1 => None
+      case _ =>
+        val name = r.str(); val idx = r.i32(); r.tags()
+        Some(DtpCursor(name, idx))
+    }
+
+  def encodeDescribeTopicPartitionsRequest(correlationId: Int,
+      clientId: String, topics: Seq[String], responsePartitionLimit: Int,
+      cursor: Option[DtpCursor]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeTopicPartitionsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(topics.length)
+    topics.foreach { t => w.str(t); w.tags() }
+    w.i32(responsePartitionLimit)
+    writeDtpCursor(w, cursor)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, topics, responsePartitionLimit, cursor). */
+  def decodeDescribeTopicPartitionsRequest(bytes: Array[Byte])
+      : (Int, Seq[String], Int, Option[DtpCursor]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeTopicPartitionsApiKey,
+      "not a DescribeTopicPartitions request")
+    require(buf.getShort.toInt == 0,
+      "unsupported DescribeTopicPartitions version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val topics = (0 until r.count()).map { _ =>
+      val n = r.str(); r.tags(); n
+    }.toSeq
+    val limit = r.i32()
+    val cursor = readDtpCursor(r)
+    r.tags()
+    (correlationId, topics, limit, cursor)
+  }
+
+  def encodeDescribeTopicPartitionsResponse(correlationId: Int,
+      topics: Seq[DtpTopic], nextCursor: Option[DtpCursor]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.count(topics.length)
+    topics.foreach { t =>
+      w.i16(t.errorCode)
+      w.str(t.name)
+      w.uuid(t.topicId)
+      w.bool(t.isInternal)
+      w.count(t.partitions.length)
+      t.partitions.foreach { p =>
+        w.i16(p.errorCode)
+        w.i32(p.index)
+        w.i32(p.leaderId)
+        w.i32(p.leaderEpoch)
+        w.count(p.replicas.length); p.replicas.foreach(w.i32)
+        w.count(p.isr.length); p.isr.foreach(w.i32)
+        p.eligibleLeaderReplicas match {
+          case None => w.count(-1)
+          case Some(xs) => w.count(xs.length); xs.foreach(w.i32)
+        }
+        p.lastKnownElr match {
+          case None => w.count(-1)
+          case Some(xs) => w.count(xs.length); xs.foreach(w.i32)
+        }
+        w.count(p.offline.length); p.offline.foreach(w.i32)
+        w.tags()
+      }
+      w.i32(t.authorizedOperations)
+      w.tags()
+    }
+    writeDtpCursor(w, nextCursor)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, topics, nextCursor). */
+  def decodeDescribeTopicPartitionsResponse(bytes: Array[Byte])
+      : (Int, Seq[DtpTopic], Option[DtpCursor]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    def intArray(): Seq[Int] = (0 until r.count()).map(_ => r.i32()).toSeq
+    def nullableIntArray(): Option[Seq[Int]] = {
+      val n = r.count()
+      if (n < 0) None else Some((0 until n).map(_ => r.i32()).toSeq)
+    }
+    val topics = (0 until r.count()).map { _ =>
+      val err = r.i16()
+      val name = r.str()
+      val id = r.uuid()
+      val internal = r.bool()
+      val parts = (0 until r.count()).map { _ =>
+        val p = DtpPartition(r.i16(), r.i32(), r.i32(), r.i32(),
+          intArray(), intArray(), nullableIntArray(), nullableIntArray(),
+          intArray())
+        r.tags()
+        p
+      }.toSeq
+      val ops = r.i32()
+      r.tags()
+      DtpTopic(err, name, id, internal, parts, ops)
+    }.toSeq
+    val next = readDtpCursor(r)
+    r.tags()
+    (correlationId, topics, next)
+  }
 }

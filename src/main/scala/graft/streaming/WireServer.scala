@@ -374,6 +374,14 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleConsumerGroupHeartbeat(framed)
       case KafkaWire.ConsumerGroupDescribeApiKey =>
         broker.handleConsumerGroupDescribe(framed)
+      case KafkaWire.GetTelemetrySubscriptionsApiKey =>
+        broker.handleGetTelemetrySubscriptions(framed)
+      case KafkaWire.PushTelemetryApiKey =>
+        broker.handlePushTelemetry(framed)
+      case KafkaWire.ListClientMetricsResourcesApiKey =>
+        broker.handleListClientMetricsResources(framed)
+      case KafkaWire.DescribeTopicPartitionsApiKey =>
+        broker.handleDescribeTopicPartitions(framed)
       case KafkaWire.DescribeUserScramCredentialsApiKey =>
         handleDescribeUserScram(framed)
       case KafkaWire.AlterUserScramCredentialsApiKey =>

@@ -384,6 +384,25 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 0)))
       assert(advertised(KafkaWire.ConsumerGroupDescribeApiKey) === ((0, 0)))
 
+      // enable.metrics.push defaults to true since 3.7: the client's
+      // next move after ApiVersions is the telemetry subscription
+      // handshake — an empty subscription ends it cleanly (no pushes)
+      assert(advertised(KafkaWire.GetTelemetrySubscriptionsApiKey) === ((0, 0)))
+      val (_, tErr, tIid, _, _, tIvl, _, _, tMetrics) =
+        decodeGetTelemetrySubscriptionsResponse(exchange(sock,
+          encodeGetTelemetrySubscriptionsRequest(90, "trace-4x",
+            new Array[Byte](16))))
+      assert(tErr === 0 && !tIid.forall(_ == 0))
+      assert(tMetrics === Seq.empty && tIvl > 0)
+
+      // AdminClient 3.8+/4.x describeTopics goes through key 75
+      val (_, dtp, dtpNext) = decodeDescribeTopicPartitionsResponse(
+        exchange(sock, encodeDescribeTopicPartitionsRequest(91, "trace-4x",
+          Seq("t848"), 2000, None)))
+      assert(dtpNext === None)
+      assert(dtp.head.name === "t848" && dtp.head.partitions.length === 2)
+      assert(dtp.head.topicId === topicUuid("t848"))
+
       def rec(k: String, v: String) =
         WireRecordV2(1700000000000L, k.getBytes("UTF-8"), v.getBytes("UTF-8"))
       val resolver = topicIdResolverFor(Seq("t848"))
