@@ -36,7 +36,7 @@ object OraclesStreams {
         |  (51,'AlterUserScramCredentials',0,0),
         |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
         |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0),
-        |  (68,'ConsumerGroupHeartbeat',0,0),(69,'ConsumerGroupDescribe',0,0),
+        |  (68,'ConsumerGroupHeartbeat',0,1),(69,'ConsumerGroupDescribe',0,0),
         |  (71,'GetTelemetrySubscriptions',0,0),(72,'PushTelemetry',0,0),
         |  (74,'ListClientMetricsResources',0,0),
         |  (75,'DescribeTopicPartitions',0,0))

@@ -27,7 +27,8 @@ class Broker(spark: SparkSession, root: String) {
     * group path; the classic JoinGroup/SyncGroup path stays served
     * beside it for 2.x/3.x clients. */
   val coordinator848 = new Group848Coordinator(
-    name => topicOpt(name).map(_.numPartitions))
+    name => topicOpt(name).map(_.numPartitions),
+    () => listTopics())
 
   /** CreateTopics analog. */
   def createTopic(name: String, numPartitions: Int): TopicLog =
@@ -2162,7 +2163,8 @@ class Broker(spark: SparkSession, root: String) {
       else req.topicPartitions.filterNot(tp => isUnknownIdName(tp._1))
     val res = coordinator848.heartbeat(req.groupId, req.memberId,
       req.memberEpoch, req.instanceId, req.rackId, req.rebalanceTimeoutMs,
-      req.subscribedTopicNames, req.serverAssignor, owned, req.clientId,
+      req.subscribedTopicNames, req.subscribedTopicRegex,
+      req.serverAssignor, owned, req.clientId,
       System.currentTimeMillis())
     encodeConsumerGroupHeartbeatResponse(req.correlationId, res.error,
       res.errorMessage, res.memberId, res.memberEpoch,

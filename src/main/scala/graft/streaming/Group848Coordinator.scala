@@ -34,6 +34,7 @@ import scala.collection.mutable
   * State is metadata-only and in-memory, matching the classic
   * coordinator's documented model. */
 final class Group848Coordinator(partitionsOf: String => Option[Int],
+    allTopics: () => Seq[String] = () => Seq.empty,
     val sessionTimeoutMs: Long = 45000L,
     val heartbeatIntervalMs: Int = 3000) {
 
@@ -45,6 +46,16 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     var rebalanceTimeoutMs: Int = -1
     var clientId: String = ""
     var subscribed: Seq[String] = Seq.empty
+    /** v1 regex subscription (KIP-848's broker-side pattern): the
+      * pattern as sent, plus its current resolution against hosted
+      * topics — re-evaluated lazily on every group access, so a topic
+      * created after the subscription joins the target at the next
+      * heartbeat (an epoch bump, exactly like a subscription change) */
+    var subscribedRegex: String = null
+    var resolvedRegexTopics: Set[String] = Set.empty
+    /** names ∪ resolved-regex — what the assignor sees */
+    def effectiveSubscription: Set[String] =
+      subscribed.toSet ++ resolvedRegexTopics
     /** last REPORTED ownership (the client's truth) */
     var owned: Set[(String, Int)] = Set.empty
     /** last assignment we SENT (granted but possibly unreported yet —
@@ -78,17 +89,60 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     s.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (t, ps) => (t, ps.map(_._2).toSeq.sorted) }
 
+  /** Compile + resolve a regex subscription against hosted topics.
+    * java.util.regex, full-name match — the same contract the classic
+    * consumer's subscribe(Pattern) applies client-side (Kafka 4.x
+    * evaluates RE2; the syntax a subscription actually uses is the
+    * common subset, and an invalid pattern is rejected in-band either
+    * way). */
+  private def resolveRegex(pattern: String): Either[String, Set[String]] =
+    try {
+      val p = java.util.regex.Pattern.compile(pattern)
+      Right(allTopics().filter(t => p.matcher(t).matches()).toSet)
+    } catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        Left(e.getMessage.linesIterator.next())
+    }
+
+  /** Lazy regex re-resolution: any group access re-checks every
+    * member's pattern against the CURRENT topic set; a changed
+    * resolution is a subscription change (epoch bump). */
+  private def refreshRegexes(g: Group): Unit = {
+    var changed = false
+    g.members.values.foreach { m =>
+      if (m.subscribedRegex != null) resolveRegex(m.subscribedRegex)
+        .foreach { res =>
+          if (res != m.resolvedRegexTopics) {
+            m.resolvedRegexTopics = res; changed = true
+          }
+        }
+    }
+    if (changed) bump(g)
+  }
+
   def heartbeat(groupId: String, memberIdIn: String, memberEpoch: Int,
       instanceId: String, rackId: String, rebalanceTimeoutMs: Int,
-      subscribed: Seq[String], serverAssignor: String,
+      subscribed: Seq[String], subscribedRegex: String,
+      serverAssignor: String,
       owned: Seq[(String, Seq[Int])], clientId: String,
       now: Long): HeartbeatResult = synchronized {
     if (serverAssignor != null && !ServedAssignors(serverAssignor))
       return HeartbeatResult(112,
         s"assignor '$serverAssignor' not served (uniform, range)",
         memberIdIn, memberEpoch, None)
+    // validate the pattern BEFORE any group mutation, like the
+    // assignor check ("" = clear, per the v1 field contract)
+    val regexTopics: Option[Set[String]] =
+      if (subscribedRegex == null || subscribedRegex.isEmpty) None
+      else resolveRegex(subscribedRegex) match {
+        case Left(msg) =>
+          return HeartbeatResult(42, s"invalid topic regex: $msg",
+            memberIdIn, memberEpoch, None)
+        case Right(s) => Some(s)
+      }
     val g = groups.getOrElseUpdate(groupId, new Group(groupId))
     expireMembers(g, now)
+    refreshRegexes(g)
 
     if (memberEpoch == -1) { // leave
       if (!g.members.contains(memberIdIn))
@@ -101,7 +155,8 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     var joinedNow = false
     val m: Member =
       if (memberEpoch == 0) { // (re)join
-        if (subscribed == null && !g.members.contains(memberIdIn))
+        if (subscribed == null && regexTopics.isEmpty &&
+            !g.members.contains(memberIdIn))
           return HeartbeatResult(42,
             "a joining member must subscribe", memberIdIn, 0, None)
         val id =
@@ -136,9 +191,24 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     val subChanged = subscribed != null &&
       subscribed.toSet != m.subscribed.toSet
     if (subChanged) m.subscribed = subscribed
+    // regex: null = unchanged, "" = clear, else set + resolve now
+    val regexChanged =
+      if (subscribedRegex == null) false
+      else if (subscribedRegex.isEmpty) {
+        val had = m.subscribedRegex != null
+        m.subscribedRegex = null
+        m.resolvedRegexTopics = Set.empty
+        had
+      } else {
+        val ch = subscribedRegex != m.subscribedRegex ||
+          regexTopics.get != m.resolvedRegexTopics
+        m.subscribedRegex = subscribedRegex
+        m.resolvedRegexTopics = regexTopics.get
+        ch
+      }
     // ONE bump per heartbeat, whatever changed — a join with a fresh
     // subscription is one membership event, not two epochs
-    if (joinedNow || subChanged) bump(g)
+    if (joinedNow || subChanged || regexChanged) bump(g)
     if (owned != null) {
       m.owned = owned.flatMap { case (t, ps) => ps.map(t -> _) }.toSet
       // a reported revocation releases the grant too
@@ -171,10 +241,10 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     g.assignmentEpoch = g.epoch
     val members = g.members.values.toSeq.sortBy(_.memberId)
     members.foreach(_.target = Set.empty)
-    val topics = members.flatMap(_.subscribed).distinct.sorted
+    val topics = members.flatMap(_.effectiveSubscription).distinct.sorted
     topics.foreach { t =>
       val n = partitionsOf(t).getOrElse(0)
-      val subs = members.filter(_.subscribed.contains(t))
+      val subs = members.filter(_.effectiveSubscription.contains(t))
       if (subs.nonEmpty && n > 0) g.assignorName match {
         case "range" =>
           val base = n / subs.length
@@ -206,6 +276,7 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     synchronized {
       groups.get(groupId).map { g =>
         expireMembers(g, now)
+        refreshRegexes(g)
         val state =
           if (g.members.isEmpty) "Empty"
           else if (g.members.values.forall(m =>
@@ -215,8 +286,8 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
           g.assignmentEpoch, g.assignorName,
           g.members.values.toSeq.map { m =>
             KafkaWire.CGDescribedMember(m.memberId, m.instanceId, m.rackId,
-              m.memberEpoch, m.clientId, "", m.subscribed.sorted, null,
-              toWire(m.owned), toWire(m.target))
+              m.memberEpoch, m.clientId, "", m.subscribed.sorted,
+              m.subscribedRegex, toWire(m.owned), toWire(m.target))
           })
       }
     }

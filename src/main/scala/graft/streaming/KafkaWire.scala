@@ -6025,7 +6025,9 @@ object KafkaWire {
   // same way Fetch v13 resolves them. ---
 
   val ConsumerGroupHeartbeatApiKey = 68
-  val ConsumerGroupHeartbeatMaxVersion = 0
+  /** v1 (AK 4.0): SubscribedTopicRegex — the broker-side regex
+    * subscription KIP-848 completes the consumer API with. */
+  val ConsumerGroupHeartbeatMaxVersion = 1
   val ConsumerGroupDescribeApiKey = 69
   val ConsumerGroupDescribeMaxVersion = 0
 
@@ -6034,6 +6036,9 @@ object KafkaWire {
       instanceId: String, rackId: String, rebalanceTimeoutMs: Int,
       /** null = unchanged since the last heartbeat */
       subscribedTopicNames: Seq[String],
+      /** v1+: null = unchanged, "" = clear, else a pattern the broker
+        * resolves against hosted topics (KIP-848 regex subscription) */
+      subscribedTopicRegex: String,
       serverAssignor: String,
       /** currently OWNED partitions; null = unchanged */
       topicPartitions: Seq[(String, Seq[Int])])
@@ -6043,9 +6048,11 @@ object KafkaWire {
       subscribedTopicNames: Seq[String] = null,
       topicPartitions: Seq[(String, Seq[Int])] = null,
       serverAssignor: String = null, instanceId: String = null,
-      rackId: String = null, rebalanceTimeoutMs: Int = -1): Array[Byte] = {
+      rackId: String = null, rebalanceTimeoutMs: Int = -1,
+      subscribedTopicRegex: String = null, version: Int = 0): Array[Byte] = {
+    require(version >= 0 && version <= ConsumerGroupHeartbeatMaxVersion)
     val out = new ByteArrayOutputStream()
-    requestHeader(out, ConsumerGroupHeartbeatApiKey, 0, correlationId,
+    requestHeader(out, ConsumerGroupHeartbeatApiKey, version, correlationId,
       clientId, flexible = true)
     val w = new WR(out, flexible = true)
     w.str(groupId)
@@ -6056,6 +6063,7 @@ object KafkaWire {
     w.i32(rebalanceTimeoutMs)
     if (subscribedTopicNames == null) w.count(-1)
     else { w.count(subscribedTopicNames.length); subscribedTopicNames.foreach(w.str) }
+    if (version >= 1) w.str(subscribedTopicRegex)
     w.str(serverAssignor)
     if (topicPartitions == null) w.count(-1)
     else {
@@ -6076,7 +6084,8 @@ object KafkaWire {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == ConsumerGroupHeartbeatApiKey,
       "not a ConsumerGroupHeartbeat request")
-    require(buf.getShort.toInt == 0,
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= ConsumerGroupHeartbeatMaxVersion,
       "unsupported ConsumerGroupHeartbeat version")
     val correlationId = buf.getInt
     val clientId = readNullableString(buf)
@@ -6090,6 +6099,7 @@ object KafkaWire {
     val rebalanceTimeoutMs = r.i32()
     val nSubs = r.count()
     val subs = if (nSubs < 0) null else (0 until nSubs).map(_ => r.str()).toSeq
+    val regex = if (version >= 1) r.str() else null
     val assignor = r.str()
     val nTp = r.count()
     val tps = if (nTp < 0) null else (0 until nTp).map { _ =>
@@ -6100,8 +6110,8 @@ object KafkaWire {
     }.toSeq
     r.tags()
     CGHeartbeatRequest(correlationId, clientId, groupId, memberId,
-      memberEpoch, instanceId, rackId, rebalanceTimeoutMs, subs, assignor,
-      tps)
+      memberEpoch, instanceId, rackId, rebalanceTimeoutMs, subs, regex,
+      assignor, tps)
   }
 
   /** Assignment None = null (unchanged on the wire); Some(tps) writes

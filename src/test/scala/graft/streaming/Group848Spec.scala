@@ -29,12 +29,20 @@ class Group848Spec extends AnyFunSuite {
         Seq("t1", "t2"), Seq(("t1", Seq(0, 2))), "uniform", "inst", "rack",
         30000), resolver)
     assert(full === CGHeartbeatRequest(7, "cli", "g", "m1", 3, "inst",
-      "rack", 30000, Seq("t1", "t2"), "uniform", Seq(("t1", Seq(0, 2)))))
+      "rack", 30000, Seq("t1", "t2"), null, "uniform",
+      Seq(("t1", Seq(0, 2)))))
     val sparse = decodeConsumerGroupHeartbeatRequest(
       encodeConsumerGroupHeartbeatRequest(8, "cli", "g", "m1", 4), resolver)
     assert(sparse.subscribedTopicNames === null)
     assert(sparse.topicPartitions === null)
     assert(sparse.serverAssignor === null)
+    assert(sparse.subscribedTopicRegex === null)
+    // v1 carries the regex; a v0 frame never does
+    val v1 = decodeConsumerGroupHeartbeatRequest(
+      encodeConsumerGroupHeartbeatRequest(12, "cli", "g", "m1", 0,
+        subscribedTopicRegex = "t.*", version = 1), resolver)
+    assert(v1.subscribedTopicRegex === "t.*")
+    assert(v1.subscribedTopicNames === null)
 
     val some = decodeConsumerGroupHeartbeatResponse(
       encodeConsumerGroupHeartbeatResponse(9, 0, null, "m1", 5, 3000,
@@ -136,6 +144,70 @@ class Group848Spec extends AnyFunSuite {
       val allB = hb(10, "member-b", 2)
       assert(allB._5 === 3)
       assert(parts(allB._7) === Set(0, 1, 2, 3))
+    } finally { sock.close(); server.close() }
+  }
+
+  test("v1 regex subscription: resolves, tracks topic creation, rejects bad patterns") {
+    val root = Files.createTempDirectory("graft-848-regex").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("logs-a", 2)
+    broker.createTopic("logs-b", 1)
+    broker.createTopic("other", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    val resolver = topicIdResolverFor(Seq("logs-a", "logs-b", "logs-c", "other"))
+    def hb(corr: Int, memberId: String, epoch: Int, regex: String = null,
+        owned: Seq[(String, Seq[Int])] = null) =
+      decodeConsumerGroupHeartbeatResponse(exchange(sock,
+        encodeConsumerGroupHeartbeatRequest(corr, "cli", "rx", memberId,
+          epoch, null, owned, null, null, null, -1, regex, 1)), resolver)
+    def grantedTopics(r: (Int, Int, String, String, Int, Int,
+        Option[Seq[(String, Seq[Int])]])) =
+      r._7.map(_.map(_._1).toSet)
+    try {
+      // join by regex alone (no names): matches logs-*, not other
+      val join = hb(1, "", 0, regex = "logs-.*")
+      assert(join._2 === 0)
+      val id = join._4
+      assert(join._5 === 1)
+      assert(grantedTopics(join) === Some(Set("logs-a", "logs-b")))
+      assert(join._7.map(_.flatMap(_._2).size) === Some(3))
+
+      // steady state at the granted set: no new assignment
+      val ack = hb(2, id, 1,
+        owned = Seq(("logs-a", Seq(0, 1)), ("logs-b", Seq(0))))
+      assert(ack._2 === 0 && ack._7 === None)
+
+      // a topic created AFTER the subscription joins the target at
+      // the next heartbeat — the epoch bumps like any sub change
+      broker.createTopic("logs-c", 1)
+      val grown = hb(3, id, 1)
+      assert(grown._2 === 0)
+      assert(grown._5 === 2, "regex re-resolution must bump the epoch")
+      assert(grantedTopics(grown) === Some(Set("logs-a", "logs-b", "logs-c")))
+
+      // describe reports the pattern itself
+      val (_, described) = decodeConsumerGroupDescribeResponse(exchange(sock,
+        encodeConsumerGroupDescribeRequest(4, "cli", Seq("rx"))))
+      assert(described.head.members.head.subscribedTopicRegex === "logs-.*")
+
+      // an invalid pattern answers 42 in-band, group untouched
+      val bad = hb(5, "", 0, regex = "[unclosed")
+      assert(bad._2 === 42)
+      val still = hb(6, id, 2)
+      assert(still._2 === 0 && still._5 === 2)
+
+      // clearing the regex ("" per the field contract) empties the
+      // subscription: the member is told to revoke everything with
+      // its epoch HELD, and advances only after reporting the
+      // revocation — the standard revoke-then-grant handshake
+      val cleared = hb(7, id, 2, regex = "")
+      assert(cleared._2 === 0)
+      assert(cleared._5 === 2, "epoch held until the revocation is reported")
+      assert(cleared._7 === Some(Seq.empty))
+      val empty = hb(8, id, 2, owned = Seq.empty)
+      assert(empty._2 === 0)
+      assert(empty._5 === 3)
     } finally { sock.close(); server.close() }
   }
 

@@ -381,7 +381,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
         encodeApiVersionsRequestV3(1, "trace-4x", "apache-kafka-java", "4.0.0")))
       val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
       // the 4.x decision point: key 68 present → new protocol usable
-      assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 0)))
+      assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 1)))
       assert(advertised(KafkaWire.ConsumerGroupDescribeApiKey) === ((0, 0)))
 
       // enable.metrics.push defaults to true since 3.7: the client's

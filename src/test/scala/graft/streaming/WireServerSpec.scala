@@ -785,8 +785,8 @@ class WireServerSpec extends AnyFunSuite {
           Seq((j.memberId, b("mgt:0,mgt:1"))))))._2 === 0)
       // one 848 group and one offsets-only group
       assert(broker.coordinator848.heartbeat("mg-848", "", 0, null, null,
-        30000, Seq("mgt"), null, null, "cli", System.currentTimeMillis())
-        .error === 0)
+        30000, Seq("mgt"), null, null, null, "cli",
+        System.currentTimeMillis()).error === 0)
       broker.topic("mgt").commit("mg-offsets", Map(0 -> 1L))
 
       // v1 adds throttle; every group lists with its protocol type
