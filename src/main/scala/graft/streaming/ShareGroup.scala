@@ -1,0 +1,271 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** KIP-932 share-group (queue) semantics over a [[TopicLog]] — the
+  * Kafka 4.x "Queues for Kafka" consumption model the reference's
+  * roadmap category implies (ref README.md:47–50): unlike a classic
+  * consumer group (partition-exclusive ownership, one consumer per
+  * partition), a share group hands out RECORDS under short acquisition
+  * locks, so any number of consumers drain one partition
+  * cooperatively, with per-record acknowledgement, redelivery, and a
+  * bounded delivery-attempt budget.
+  *
+  * The per-record state machine is KIP-932's:
+  *
+  *   Available --acquire--> Acquired --accept--> Acked (terminal)
+  *                            |  \----reject--> Archived (terminal)
+  *                            \---release / lock-expiry--> Available
+  *
+  *  - `acquire` hands out the earliest Available records, bumps each
+  *    record's delivery count, and locks them until `now +
+  *    acquisitionLockMs`; a record whose delivery count has exhausted
+  *    `maxDeliveryAttempts` is ARCHIVED instead of redelivered (the
+  *    poison-message guard).
+  *  - Lock expiry is lazy, on any group access (the engine's
+  *    no-background-threads contract, SURVEY §4): an expired lock
+  *    returns the record to Available with its count kept.
+  *  - The share-partition start offset (SPSO) advances past records
+  *    in a terminal state, exactly like Kafka's; the in-flight window
+  *    is capped at `maxInFlightRecords` past the SPSO, which BOUNDS
+  *    every state map (the delivery window is metadata a real broker
+  *    also holds in memory — same class as fetch-session state).
+  *  - Every mutation write-throughs a full-state snapshot
+  *    (`<topicDir>/_share/<group>/v{N}.json`, the TxnStore/manifest
+  *    hard-link CAS), so acquisition locks, delivery counts, and the
+  *    SPSO survive a restart: a reopened group redelivers exactly the
+  *    un-acked records, never the acked ones.
+  *
+  * Time is an explicit `now` parameter throughout (the coordinator
+  * idiom): deterministic, testable, and replayable.
+  */
+final class ShareGroup(log: TopicLog, val groupId: String,
+    val maxDeliveryAttempts: Int = 5,
+    val acquisitionLockMs: Long = 30000L,
+    val maxInFlightRecords: Int = 200) {
+
+  import ShareGroup._
+
+  /** offset → (lockExpiryMs, deliveryCount) */
+  private val acquired =
+    Array.fill(log.numPartitions)(mutable.Map.empty[Long, (Long, Int)])
+  /** offsets returned to Available with a nonzero delivery count */
+  private val available =
+    Array.fill(log.numPartitions)(mutable.Map.empty[Long, Int])
+  /** terminal states not yet passed by the SPSO: 'a' acked, 'x' archived */
+  private val terminal =
+    Array.fill(log.numPartitions)(mutable.Map.empty[Long, Char])
+  private val spso = Array.fill(log.numPartitions)(0L)
+  private var version = 0L
+
+  private val stateDir: Path = Paths.get(log.topicDir, "_share",
+    Base64.getUrlEncoder.withoutPadding.encodeToString(
+      groupId.getBytes("UTF-8")))
+
+  // reload the newest snapshot — a reopened group continues exactly
+  ShareStore.load(stateDir).foreach { case (v, st) =>
+    version = v
+    st.foreach { p =>
+      if (p.partition >= 0 && p.partition < log.numPartitions) {
+        spso(p.partition) = p.spso
+        acquired(p.partition) ++= p.acquired
+        available(p.partition) ++= p.available
+        terminal(p.partition) ++= p.terminal
+      }
+    }
+  }
+
+  private def persist(): Unit = {
+    version += 1
+    val body = ShareStore.render(version, log.numPartitions, i =>
+      ShareStore.PState(i, spso(i), acquired(i).toSeq.sortBy(_._1),
+        available(i).toSeq.sortBy(_._1), terminal(i).toSeq.sortBy(_._1)))
+    ShareStore.commit(stateDir, version, body)
+  }
+
+  /** Lazy lock expiry: an expired acquisition returns to Available
+    * (count kept); exhausted counts archive right away. */
+  private def expireLocks(p: Int, now: Long): Boolean = {
+    val dead = acquired(p).collect {
+      case (off, (exp, _)) if exp <= now => off
+    }.toSeq
+    dead.foreach { off =>
+      val dc = acquired(p)(off)._2
+      acquired(p).remove(off)
+      if (dc >= maxDeliveryAttempts) terminal(p)(off) = 'x'
+      else available(p)(off) = dc
+    }
+    advanceSpso(p)
+    dead.nonEmpty
+  }
+
+  private def advanceSpso(p: Int): Unit = {
+    while (terminal(p).contains(spso(p))) {
+      terminal(p).remove(spso(p))
+      spso(p) += 1
+    }
+  }
+
+  /** Acquire up to `maxRecords` of the earliest Available records in
+    * the partition: locked until `now + acquisitionLockMs`, delivery
+    * counts bumped; records that have exhausted their attempts are
+    * archived in passing (and never returned). The scan is bounded by
+    * the in-flight window, so state stays O(maxInFlightRecords). */
+  def acquire(partition: Int, maxRecords: Int, now: Long): Seq[AcquiredRecord] = synchronized {
+    val p = partition
+    expireLocks(p, now)
+    val end = log.logEndOffsets().getOrElse(p, 0L)
+    val windowEnd = math.min(end, spso(p) + maxInFlightRecords)
+    val out = Seq.newBuilder[AcquiredRecord]
+    var got = 0
+    var off = spso(p)
+    while (off < windowEnd && got < maxRecords) {
+      if (!acquired(p).contains(off) && !terminal(p).contains(off)) {
+        val dc = available(p).getOrElse(off, 0)
+        if (dc >= maxDeliveryAttempts) { // poison: archive, skip
+          available(p).remove(off)
+          terminal(p)(off) = 'x'
+        } else {
+          available(p).remove(off)
+          acquired(p)(off) = (now + acquisitionLockMs, dc + 1)
+          out += AcquiredRecord(off, dc + 1, now + acquisitionLockMs)
+          got += 1
+        }
+      }
+      off += 1
+    }
+    advanceSpso(p)
+    persist()
+    out.result()
+  }
+
+  /** Per-record acknowledgement of ACQUIRED records: `Accept` → acked
+    * (terminal), `Release` → available for redelivery, `Reject` →
+    * archived (terminal). Returns per-offset success; acknowledging a
+    * record that is not currently acquired (never acquired, lock
+    * expired, already terminal) fails that offset alone — KIP-932's
+    * INVALID_RECORD_STATE, in-band per record. */
+  def acknowledge(partition: Int, acks: Seq[(Long, AckType)],
+      now: Long): Seq[(Long, Boolean)] = synchronized {
+    val p = partition
+    expireLocks(p, now)
+    val results = acks.map { case (off, ack) =>
+      acquired(p).get(off) match {
+        case None => off -> false
+        case Some((_, dc)) =>
+          acquired(p).remove(off)
+          ack match {
+            case Accept => terminal(p)(off) = 'a'
+            case Reject => terminal(p)(off) = 'x'
+            case Release =>
+              if (dc >= maxDeliveryAttempts) terminal(p)(off) = 'x'
+              else available(p)(off) = dc
+          }
+          off -> true
+      }
+    }
+    advanceSpso(p)
+    persist()
+    results
+  }
+
+  /** The data for a set of acquired offsets — partition-pruned,
+    * offset-filtered read of the backing log. */
+  def records(partition: Int, offsets: Seq[Long]): DataFrame =
+    log.consume(partition, offsets.minOption.getOrElse(0L))
+      .filter(col("offset").isInCollection(offsets))
+
+  /** Share-partition start offset: everything below is terminal. */
+  def startOffset(partition: Int): Long = synchronized { spso(partition) }
+
+  /** (spso, in-flight acquired, redeliverable, terminal-not-yet-passed). */
+  def stats(partition: Int, now: Long): (Long, Int, Int, Int) = synchronized {
+    expireLocks(partition, now)
+    (spso(partition), acquired(partition).size, available(partition).size,
+      terminal(partition).size)
+  }
+}
+
+object ShareGroup {
+  /** One acquisition: the record's offset, its delivery count AFTER
+    * this acquisition, and when the lock lapses. */
+  case class AcquiredRecord(offset: Long, deliveryCount: Int,
+      lockExpiresAt: Long)
+
+  sealed trait AckType
+  /** Processed successfully — terminal. */
+  case object Accept extends AckType
+  /** Not processed; make it available for redelivery. */
+  case object Release extends AckType
+  /** Poison/unprocessable — archive without redelivery. */
+  case object Reject extends AckType
+}
+
+/** Versioned full-state snapshots for [[ShareGroup]] — the
+  * TxnStore/ScramStore hard-link CAS idiom. All-numeric payload
+  * (offsets, expiries, counts, 'a'/'x' flags), rendered per
+  * partition as compact colon/semicolon strings. */
+private[streaming] object ShareStore {
+
+  case class PState(partition: Int, spso: Long,
+      acquired: Seq[(Long, (Long, Int))],
+      available: Seq[(Long, Int)],
+      terminal: Seq[(Long, Char)])
+
+  private[streaming] def render(version: Long, nPartitions: Int,
+      state: Int => PState): String = {
+    val parts = (0 until nPartitions).map { i =>
+      val p = state(i)
+      val acq = p.acquired.map { case (o, (e, d)) => s"$o:$e:$d" }.mkString(";")
+      val av = p.available.map { case (o, d) => s"$o:$d" }.mkString(";")
+      val tm = p.terminal.map { case (o, c) => s"$o:$c" }.mkString(";")
+      s"""{"p":${p.partition},"spso":${p.spso},"acq":"$acq","avail":"$av","term":"$tm"}"""
+    }.mkString(",")
+    s"""{"version":$version,"partitions":[$parts]}"""
+  }
+
+  private val PartRe =
+    ("""\{"p":(\d+),"spso":(\d+),"acq":"([^"]*)","avail":"([^"]*)",""" +
+      """"term":"([^"]*)"\}""").r
+
+  private[streaming] def parse(s: String): Seq[PState] =
+    PartRe.findAllMatchIn(s).map { m =>
+      val acq = m.group(3).split(';').toSeq.filter(_.nonEmpty).map { t =>
+        val Array(o, e, d) = t.split(':')
+        o.toLong -> ((e.toLong, d.toInt))
+      }
+      val av = m.group(4).split(';').toSeq.filter(_.nonEmpty).map { t =>
+        val Array(o, d) = t.split(':')
+        o.toLong -> d.toInt
+      }
+      val tm = m.group(5).split(';').toSeq.filter(_.nonEmpty).map { t =>
+        val Array(o, c) = t.split(':')
+        o.toLong -> c.head
+      }
+      PState(m.group(1).toInt, m.group(2).toLong, acq, av, tm)
+    }.toSeq
+
+  private[streaming] def commit(dir: Path, version: Long, body: String): Unit = {
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".tmp", ".json")
+    Files.writeString(tmp, body)
+    try Files.createLink(dir.resolve(s"v$version.json"), tmp)
+    finally Files.deleteIfExists(tmp)
+  }
+
+  private[streaming] def load(dir: Path): Option[(Long, Seq[PState])] = {
+    if (!Files.exists(dir)) return None
+    val v = TopicLog.listDir(dir).iterator.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .maxOption
+    v.map(ver =>
+      (ver, parse(Files.readString(dir.resolve(s"v$ver.json")))))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.ShareGroup._
+
+/** KIP-932 share-group (queue) semantics: cooperative record-level
+  * consumption with acquisition locks, per-record acks, redelivery,
+  * the poison-message delivery budget, SPSO advancement, the bounded
+  * in-flight window, and restart durability of the whole state
+  * machine. Time is explicit everywhere — every transition is
+  * deterministic. */
+class ShareGroupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T0 = 1700000000000L
+
+  private def mkLog(n: Int): TopicLog = {
+    val root = Files.createTempDirectory("graft-share").toString
+    val log = TopicLog.create(spark, root, "q", 1)
+    log.produce((0 until n).toDF("i").select(
+      col("i"),
+      concat(lit("k"), col("i").cast("string")).cast("binary").as("key"),
+      concat(lit("v"), col("i").cast("string")).cast("binary").as("value")),
+      Partitioners.byLongKey(1, lit(0L)))
+    log
+  }
+
+  test("two consumers drain one partition cooperatively, acks advance the SPSO") {
+    val log = mkLog(10)
+    val sg = new ShareGroup(log, "workers")
+    // consumer A and consumer B each acquire a disjoint batch
+    val a = sg.acquire(0, 4, T0)
+    val b = sg.acquire(0, 4, T0)
+    assert(a.map(_.offset) === Seq(0L, 1L, 2L, 3L))
+    assert(b.map(_.offset) === Seq(4L, 5L, 6L, 7L))
+    assert(a.forall(_.deliveryCount === 1))
+    assert(a.forall(_.lockExpiresAt === T0 + sg.acquisitionLockMs))
+
+    // the records carry the data
+    val vals = sg.records(0, a.map(_.offset))
+      .select(col("value").cast("string")).as[String].collect().sorted
+    assert(vals === Array("v0", "v1", "v2", "v3"))
+
+    // A accepts everything: SPSO advances past the contiguous run
+    assert(sg.acknowledge(0, a.map(_.offset -> (Accept: AckType)), T0 + 10)
+      .forall(_._2))
+    assert(sg.startOffset(0) === 4L)
+    // B accepts 5,6 but not 4: SPSO pinned by the still-acquired 4
+    sg.acknowledge(0, Seq(5L -> Accept, 6L -> Accept), T0 + 20)
+    assert(sg.startOffset(0) === 4L)
+    sg.acknowledge(0, Seq(4L -> Accept), T0 + 30)
+    assert(sg.startOffset(0) === 7L)
+  }
+
+  test("release redelivers with a bumped count; reject and exhaustion archive") {
+    val log = mkLog(3)
+    val sg = new ShareGroup(log, "g", maxDeliveryAttempts = 3)
+    // release 0 twice: each reacquisition bumps the delivery count
+    assert(sg.acquire(0, 1, T0).head === AcquiredRecord(0L, 1, T0 + 30000))
+    sg.acknowledge(0, Seq(0L -> Release), T0 + 10)
+    assert(sg.acquire(0, 1, T0 + 20).head.deliveryCount === 2)
+    sg.acknowledge(0, Seq(0L -> Release), T0 + 30)
+    val third = sg.acquire(0, 1, T0 + 40).head
+    assert(third === AcquiredRecord(0L, 3, T0 + 40 + 30000))
+    // third release exhausts the budget: archived, never redelivered —
+    // the next acquire serves offset 1 and the SPSO passes 0
+    sg.acknowledge(0, Seq(0L -> Release), T0 + 50)
+    val after = sg.acquire(0, 1, T0 + 60)
+    assert(after.map(_.offset) === Seq(1L))
+    assert(sg.startOffset(0) === 1L)
+
+    // reject archives immediately
+    sg.acknowledge(0, Seq(1L -> Reject), T0 + 70)
+    assert(sg.startOffset(0) === 2L)
+
+    // acknowledging a non-acquired record fails that offset alone
+    val mixed = sg.acknowledge(0,
+      Seq(2L -> Accept, 99L -> Accept), T0 + 80)
+    assert(mixed === Seq(2L -> false, 99L -> false))
+  }
+
+  test("lock expiry returns records to the pool; counts are kept") {
+    val log = mkLog(2)
+    val sg = new ShareGroup(log, "g", acquisitionLockMs = 1000L)
+    val first = sg.acquire(0, 2, T0)
+    assert(first.map(_.offset) === Seq(0L, 1L))
+    // before expiry nothing is available
+    assert(sg.acquire(0, 2, T0 + 999) === Seq.empty)
+    // at expiry both return, delivery counts bumped on reacquisition
+    val again = sg.acquire(0, 2, T0 + 1000)
+    assert(again.map(r => r.offset -> r.deliveryCount) ===
+      Seq(0L -> 2, 1L -> 2))
+    // an ack under the OLD (lapsed) acquisition fails in-band
+    assert(sg.acknowledge(0, Seq(0L -> Accept), T0 + 2500)
+      === Seq(0L -> false))
+  }
+
+  test("the in-flight window bounds acquisition past the SPSO") {
+    val log = mkLog(50)
+    val sg = new ShareGroup(log, "g", maxInFlightRecords = 5)
+    val got = sg.acquire(0, 100, T0)
+    assert(got.map(_.offset) === (0L until 5L))
+    // acking the head slides the window
+    sg.acknowledge(0, Seq(0L -> Accept, 1L -> Accept), T0 + 10)
+    assert(sg.acquire(0, 100, T0 + 20).map(_.offset) === Seq(5L, 6L))
+  }
+
+  test("the whole state machine survives reopen: locks, counts, SPSO") {
+    val log = mkLog(6)
+    val sg = new ShareGroup(log, "durable", acquisitionLockMs = 1000L)
+    sg.acknowledge(0, sg.acquire(0, 2, T0).map(_.offset -> (Accept: AckType)),
+      T0 + 10) // 0,1 acked
+    sg.acquire(0, 1, T0 + 20) // 2 acquired, lock until T0+1020
+    sg.acknowledge(0, Seq.empty, T0 + 20)
+    val sg2 = new ShareGroup(log, "durable", acquisitionLockMs = 1000L)
+    assert(sg2.startOffset(0) === 2L)
+    // the lock is still honored after reopen: 2 is NOT redelivered...
+    assert(sg2.acquire(0, 1, T0 + 30).map(_.offset) === Seq(3L))
+    // ...until its original expiry lapses, count preserved
+    val re = sg2.acquire(0, 1, T0 + 1020)
+    assert(re === Seq(AcquiredRecord(2L, 2, T0 + 1020 + 1000)))
+    // an unrelated group over the same topic starts fresh
+    val other = new ShareGroup(log, "other")
+    assert(other.acquire(0, 1, T0).map(_.offset) === Seq(0L))
+  }
+}
