@@ -104,6 +104,28 @@ object OraclesEvents {
         |       ELSE 0 END AS is_spike
         |FROM w ORDER BY event_type, day""".stripMargin,
 
+    "events_user_segments" ->
+      """WITH ev AS (SELECT user_id, value,
+        |              epoch_us(ts) // 86400000000 AS day,
+        |              epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+        |h AS (SELECT MAX(day) AS horizon_day FROM ev),
+        |u AS (SELECT user_id, MIN(week) AS cohort_week, MAX(day) AS last_day,
+        |        COUNT(*) AS n_events,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |      FROM ev GROUP BY 1),
+        |q AS (SELECT u.*,
+        |        (SELECT horizon_day FROM h) - last_day AS recency_days FROM u),
+        |s AS (SELECT user_id, cohort_week, recency_days, n_events, monetary,
+        |  CAST(NTILE(4) OVER (PARTITION BY cohort_week
+        |    ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+        |  CAST(NTILE(4) OVER (PARTITION BY cohort_week
+        |    ORDER BY n_events DESC, user_id) AS BIGINT) AS f_q,
+        |  CAST(NTILE(4) OVER (PARTITION BY cohort_week
+        |    ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q
+        |  FROM q)
+        |SELECT *, r_q * 100 + f_q * 10 + m_q AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "events_rolling_daily" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -452,6 +452,28 @@ object OraclesPipeline {
         |FROM topw JOIN gr USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // ln quantizes to 1e-4 before a decimal-routed sum; the
+    // TF-IDF keywords: all-integer scoring (tf · ln-quantized idf),
+    // so no float ever crosses the engine boundary; ties break on
+    // the term, the vocab cap ties on (df DESC, tok)
+    "text_keywords_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |vocab AS (SELECT tok, df FROM dfreq
+        |          ORDER BY df DESC, tok ASC LIMIT 50000),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, v.df,
+        |        tf.tf * CAST(round(ln(
+        |          CAST((SELECT n_docs FROM n) AS DOUBLE) / v.df) * 10000)
+        |          AS BIGINT) AS score_q
+        |      FROM tf JOIN vocab v USING (tok)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_q DESC, tok ASC) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, tok AS term, tf, df, score_q
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     // token entropy: multiplicities re-derived by unnest + GROUP BY
     // (the Spark side walks the sorted token array — independent
     // formulations); ln quantized at 1e-4 into BIGINT per run, the

@@ -73,6 +73,7 @@ object SparkEntry {
     "events_rolling_daily" -> EventAnalytics.rollingDaily _,
     "events_attribution" -> EventAnalytics.attribution _,
     "events_spike_days" -> EventAnalytics.spikeDays _,
+    "events_user_segments" -> EventAnalytics.userSegments _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -83,6 +84,8 @@ object SparkEntry {
     "text_pii_scrub" -> TextAnalysis.textPiiScrub _,
     "text_repetition" -> TextAnalysis.textRepetition _,
     "text_entropy" -> TextAnalysis.textEntropy _,
+    "text_keywords_tfidf" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textKeywordsTfidf(s, d)),
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
     // §2c deduplication

@@ -178,6 +178,43 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
+  /** Cohort-relative RFM segmentation — recency / frequency /
+    * monetary quartiles computed WITHIN each signup cohort (users who
+    * arrived the same epoch-week), the form marketers actually use
+    * ("is this user engaged *for their tenure*"). One per-user
+    * aggregate, one broadcast corpus-horizon row, then three ntile
+    * windows all sharing the cohort_week partitioning — at scale the
+    * partition key is the calendar, so no global sort and no
+    * single-partition window; every order carries user_id as the
+    * total-order tie-break, so the quartile edges are deterministic
+    * in any engine.
+    */
+  def userSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("value"),
+        expr(s"unix_micros(ts) DIV $DayUs").as("day"),
+        expr(s"unix_micros(ts) DIV $DayUs DIV 7").as("week"))
+    val horizon = ev.agg(max("day").as("horizon_day"))
+    val users = ev.groupBy("user_id").agg(
+      min("week").as("cohort_week"),
+      max("day").as("last_day"),
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("monetary"))
+    def quart(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(4).over(Window.partitionBy("cohort_week").orderBy(order: _*))
+        .cast("long")
+    users.crossJoin(broadcast(horizon))
+      .withColumn("recency_days", col("horizon_day") - col("last_day"))
+      .withColumn("r_q", quart(Seq(col("recency_days").asc, col("user_id").asc)))
+      .withColumn("f_q", quart(Seq(col("n_events").desc, col("user_id").asc)))
+      .withColumn("m_q", quart(Seq(col("monetary").desc, col("user_id").asc)))
+      .select(col("user_id"), col("cohort_week"), col("recency_days"),
+        col("n_events"), col("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** Per-type daily activity with a trailing 7-day rolling window.
     * The RANGE window runs over the (event_type × day) AGGREGATE —
     * a frame bounded by the calendar, not the corpus — and the

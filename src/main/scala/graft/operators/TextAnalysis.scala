@@ -166,6 +166,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-k TF-IDF keywords — the classic
+    * keyword-extraction / doc-representation primitive. Scoring is
+    * ALL-INTEGER: `score_q = tf · round(ln(N/df)·10⁴)` (the
+    * [[textPerplexity]] ln-quantization recipe taken to its
+    * conclusion — with tf and the quantized idf both integers, no
+    * float ever crosses an engine boundary, and ranking ties break
+    * on the term itself).
+    *
+    * Scale shape: one (doc, term) count shuffle (map-side combining
+    * absorbs token skew), document frequencies aggregated FROM that
+    * table (already distinct per doc, and term-cardinality-sized),
+    * a top-K vocab broadcast back (the perplexity cap — per-term df
+    * lookup is a broadcast hash join at any corpus size), and the
+    * per-doc top-k via a doc-partitioned row_number window. Linear
+    * end to end; nothing pairwise.
+    */
+  def textKeywordsTfidf(spark: SparkSession, dir: String,
+      vocabK: Int = 50000, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("tok").asc).limit(vocabK)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("tok").asc)
+    tf.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_q", col("tf") *
+        expr("CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"),
+        col("tf"), col("df"), col("score_q"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Unigram language-model scoring (the CCNet-style perplexity
     * quality filter, with the corpus itself as the LM): per-doc
     * cross-entropy and perplexity under the corpus unigram
