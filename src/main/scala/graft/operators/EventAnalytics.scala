@@ -143,8 +143,10 @@ object EventAnalytics {
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = (c: org.apache.spark.sql.Column) =>
       last(when(col("event_type") =!= "purchase", c), ignoreNulls = true).over(w)
-    ev.withColumn("touch_type", touch(col("event_type")))
-      .withColumn("touch_us", touch(col("ts_us")))
+    // both window columns in ONE projection → a single Window node
+    // (one pass over each user's sorted buffer, not two)
+    ev.select(col("*"), touch(col("event_type")).as("touch_type"),
+        touch(col("ts_us")).as("touch_us"))
       .filter(col("event_type") === "purchase")
       .groupBy(coalesce(col("touch_type"), lit("(direct)")).as("touch_type"))
       .agg(
