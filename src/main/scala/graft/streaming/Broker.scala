@@ -1777,6 +1777,10 @@ class Broker(spark: SparkSession, root: String) {
       case ("cleanup.policy", v) if v != null &&
           v.split(",", -1).map(_.trim).exists(p => p != "delete" && p != "compact") =>
         s"invalid value '$v' for config 'cleanup.policy'"
+      case ("min.cleanable.dirty.ratio", v) if v != null &&
+          !scala.util.Try(v.trim.toDouble).toOption.exists(d =>
+            d >= 0.0 && d <= 1.0) =>
+        s"invalid value '$v' for config 'min.cleanable.dirty.ratio'"
       case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>
         s"unsupported characters in value of '$n'"
     }.orNull
@@ -1867,17 +1871,27 @@ class Broker(spark: SparkSession, root: String) {
     } finally wl.unlock()
   }
 
-  /** Enforce `cleanup.policy`: compact every topic whose policy names
-    * "compact" — the log-cleaner behavior, explicit-invocation by
-    * design like [[applyRetention]] (no background threads, and
-    * TopicLog.compact's no-concurrent-producer maintenance contract
-    * is the caller's to schedule). Returns the compacted topics. */
-  def applyCompaction(): Seq[String] = {
+  /** Enforce `cleanup.policy`: compact topics whose policy names
+    * "compact" — the log-cleaner behavior. `minDirtyRatio` gates the
+    * whole-topic rewrite the way Kafka's min.cleanable.dirty.ratio
+    * gates its cleaner: a topic compacts only when the fraction of
+    * its bytes accumulated since the last compaction reaches the
+    * threshold (per-topic `min.cleanable.dirty.ratio` override wins
+    * over the argument; the default 0 preserves the explicit
+    * compact-everything call). Runs under the maintenance write lock
+    * like [[applyRetention]]. Returns the compacted topics. */
+  def applyCompaction(minDirtyRatio: Double = 0.0): Seq[String] = {
     val wl = maintenanceLock.writeLock()
     wl.lock()
     try listTopics().filter { name =>
-      TopicLog.configOverrides(root, name).get("cleanup.policy")
-        .exists(_.split(",").map(_.trim).contains("compact"))
+      val conf = TopicLog.configOverrides(root, name)
+      conf.get("cleanup.policy")
+        .exists(_.split(",").map(_.trim).contains("compact")) && {
+        val threshold = conf.get("min.cleanable.dirty.ratio")
+          .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+          .getOrElse(minDirtyRatio)
+        threshold <= 0.0 || topic(name).dirtyRatio >= threshold
+      }
     }.map { name => topic(name).compact(); name }
     finally wl.unlock()
   }
@@ -2493,6 +2507,7 @@ object Broker {
     "retention.ms" -> "-1",
     "compression.type" -> "producer",
     "max.message.bytes" -> DefaultMaxMessageBytes.toString,
+    "min.cleanable.dirty.ratio" -> "0.5",
     "min.insync.replicas" -> "1")
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable

@@ -86,7 +86,18 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     val body = ShareStore.render(version, log.numPartitions, i =>
       ShareStore.PState(i, spso(i), acquired(i).toSeq.sortBy(_._1),
         available(i).toSeq.sortBy(_._1), terminal(i).toSeq.sortBy(_._1)))
-    ShareStore.commit(stateDir, version, body)
+    try ShareStore.commit(stateDir, version, body)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a second live writer claimed this version: the share-group
+        // state machine is single-writer per (topic, group) — record
+        // states can't be merged after the fact, so fail LOUDLY
+        // rather than silently fork the delivery history
+        throw new IllegalStateException(
+          s"concurrent ShareGroup writer for group '$groupId' " +
+            s"(version $version already committed) — one broker owns " +
+            "a share group's delivery state, as in KIP-932")
+    }
   }
 
   /** Lazy lock expiry: an expired acquisition returns to Available

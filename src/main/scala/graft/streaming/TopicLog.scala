@@ -571,10 +571,46 @@ class TopicLog private (
   // --- log maintenance (ref roadmap: Topic Management) ---
 
   /** Kafka log compaction: keep only the latest record per key.
-    * One shuffle (window by key within partition), atomic dir swap. */
-  def compact(): Unit = rewrite { df =>
-    val w = Window.partitionBy("partition", "key").orderBy(col("offset").desc)
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    * One shuffle (window by key within partition), atomic dir swap.
+    * Records the post-compaction size as the cleaner checkpoint
+    * [[dirtyRatio]] measures against. */
+  def compact(): Unit = {
+    rewrite { df =>
+      val w = Window.partitionBy("partition", "key").orderBy(col("offset").desc)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+    recordClean()
+  }
+
+  private def cleanerFile = Paths.get(s"$topicDir/_cleaner.json")
+
+  /** Total manifest-referenced bytes at the last [[compact]] — the
+    * cleaner checkpoint (Kafka: the cleaner's log-cleaner-checkpoint
+    * offset; size is the graft analog since offsets survive
+    * compaction here). 0 for a never-compacted topic. */
+  def sizeAtLastClean: Long =
+    if (!Files.exists(cleanerFile)) 0L
+    else """"size_at_clean":(\d+)""".r
+      .findFirstMatchIn(Files.readString(cleanerFile))
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  /** Kafka's min.cleanable.dirty.ratio metric, adapted: the fraction
+    * of the log's current bytes accumulated since the last
+    * compaction. 0 for an empty log; clamped when retention shrank
+    * the log below its checkpoint. */
+  def dirtyRatio: Double = {
+    val total = partitionSizes().values.sum
+    if (total <= 0L) 0.0
+    else (total - math.min(sizeAtLastClean, total)).toDouble / total
+  }
+
+  private def recordClean(): Unit = {
+    val total = partitionSizes().values.sum
+    val tmp = Files.createTempFile(Paths.get(topicDir), ".tmp", ".json")
+    Files.writeString(tmp, s"""{"size_at_clean":$total}""")
+    Files.move(tmp, cleanerFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Time-based retention: drop records older than the cutoff. */

@@ -117,10 +117,16 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
       nextTickAtMs = now + retentionTickMs
       pool.submit(new Runnable {
         override def run(): Unit =
-          try broker.applyRetention(System.currentTimeMillis())
-          catch {
+          try {
+            broker.applyRetention(System.currentTimeMillis())
+            // compact-policy topics clean on the same tick, gated by
+            // the dirty ratio (per-topic min.cleanable.dirty.ratio
+            // override, else the 0.5 Kafka default) so a quiet topic
+            // never pays the whole-topic rewrite
+            broker.applyCompaction(WireServer.DefaultMinDirtyRatio)
+          } catch {
             case e: Exception if running =>
-              System.err.println(s"graft WireServer retention tick error: $e")
+              System.err.println(s"graft WireServer maintenance tick error: $e")
           } finally tickRunning.set(false)
       })
     }
@@ -497,6 +503,10 @@ object WireServer {
     * 100 ms). Overridable down for tests would be over-engineering:
     * failure legs pay 100 ms each, a few per suite. */
   val AuthFailureDelayMs = 100L
+
+  /** Dirty-ratio gate for tick-scheduled compaction — Kafka's
+    * min.cleanable.dirty.ratio default. */
+  val DefaultMinDirtyRatio = 0.5
 
   /** SASL mechanisms a secured listener serves. PLAIN stays for
     * compat; the SCRAM pair keeps the password off the wire. */

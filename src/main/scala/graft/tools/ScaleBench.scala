@@ -96,6 +96,28 @@ object ScaleBench {
       println(f"span/perplexity volumes at $d: spans=$spanRows%d " +
         f"hot_spans=$hotSpans%d tokens=$tokRows%d distinct_vocab=$vocab%d")
     }
+    // Round-7 additions: text_keywords_tfidf's shuffles are the
+    // (doc, term) count table (≤ token volume, map-combined) and the
+    // term-cardinality df table; text_entropy shuffles NOTHING (the
+    // sorted-run HOF is map-side) — its only volume is the scan.
+    for (d <- Seq(baseDir, out)) {
+      val docs = t(spark, d, "documents")
+      val tfRows = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1))).count()
+      val dfRows = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .distinct().groupBy("tok").agg(count(lit(1))).count()
+      println(f"tfidf volumes at $d: tf_rows=$tfRows%d df_terms=$dfRows%d")
+    }
+    time("text_keywords_tfidf 1x")(noop(
+      graft.operators.TextAnalysis.textKeywordsTfidf(spark, baseDir)))
+    time("text_keywords_tfidf 10x")(noop(
+      graft.operators.TextAnalysis.textKeywordsTfidf(spark, out)))
+    time("text_entropy 1x")(noop(
+      graft.operators.TextAnalysis.textEntropy(spark, baseDir)))
+    time("text_entropy 10x")(noop(
+      graft.operators.TextAnalysis.textEntropy(spark, out)))
     time("dedup_span_exact 1x")(noop(Dedup.dedupSpanExact(spark, baseDir)))
     time("dedup_span_exact 10x")(noop(Dedup.dedupSpanExact(spark, out)))
     time("text_perplexity 1x")(noop(

@@ -63,6 +63,53 @@ class RetentionTickSpec extends AnyFunSuite {
     } finally { sock.close(); server.close() }
   }
 
+  test("dirty ratio gates compaction: clean topics skip the rewrite") {
+    val root = Files.createTempDirectory("graft-dirty").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("cl", 1)
+    TopicLog.writeConfigOverrides(root, "cl",
+      Map("cleanup.policy" -> "compact"))
+    val log = broker.topic("cl")
+    def produce(n: Int, tag: String): Unit = {
+      import spark.implicits._
+      log.produce((0 until n).toDF("i").select(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("k"),
+          (org.apache.spark.sql.functions.col("i") % 3)
+            .cast("string")).cast("binary").as("key"),
+        org.apache.spark.sql.functions.lit(tag).cast("binary").as("value")),
+        Partitioners.byLongKey(1, org.apache.spark.sql.functions.lit(0L)))
+    }
+    produce(30, "a")
+    // never compacted: the whole log is dirty
+    assert(log.dirtyRatio === 1.0)
+    assert(broker.applyCompaction(0.5) === Seq("cl"))
+    // freshly cleaned: nothing dirty, the gate skips the rewrite
+    assert(log.dirtyRatio === 0.0)
+    assert(broker.applyCompaction(0.5) === Seq.empty)
+    // a small append dirties a little — still under the gate
+    produce(2, "b")
+    val small = log.dirtyRatio
+    assert(small > 0.0 && small < 0.5, s"small append ratio $small")
+    assert(broker.applyCompaction(0.5) === Seq.empty)
+    // a large append crosses it
+    produce(60, "c")
+    assert(log.dirtyRatio > 0.5)
+    assert(broker.applyCompaction(0.5) === Seq("cl"))
+    // per-topic min.cleanable.dirty.ratio override wins over the arg
+    TopicLog.writeConfigOverrides(root, "cl",
+      Map("cleanup.policy" -> "compact",
+        "min.cleanable.dirty.ratio" -> "0.01"))
+    produce(2, "d")
+    assert(broker.applyCompaction(0.5) === Seq("cl"),
+      "the 0.01 override must compact what the 0.5 default would skip")
+    // compaction left exactly the latest record per key
+    val kept = log.read().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key"), "UTF-8") ->
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toMap
+    assert(kept === Map("k0" -> "d", "k1" -> "d", "k2" -> "c"))
+  }
+
   test("ticks race concurrent wire producers without losing acked data") {
     val root = Files.createTempDirectory("graft-tick-race").toString
     val broker = new Broker(spark, root)
