@@ -104,6 +104,21 @@ object OraclesEvents {
         |       ELSE 0 END AS is_spike
         |FROM w ORDER BY event_type, day""".stripMargin,
 
+    "events_path_conversion" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type,
+        |        lag(event_type, 1) OVER w AS p1,
+        |        lag(event_type, 2) OVER w AS p2
+        |      FROM ev
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |p AS (SELECT COALESCE(p2, '(start)') AS step1,
+        |             COALESCE(p1, '(start)') AS step2
+        |      FROM l WHERE event_type = 'purchase')
+        |SELECT step1, step2, COUNT(*) AS n_conversions
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_conversions DESC, step1, step2 LIMIT 10""".stripMargin,
+
     "events_user_segments" ->
       """WITH ev AS (SELECT user_id, value,
         |              epoch_us(ts) // 86400000000 AS day,

@@ -74,6 +74,7 @@ object SparkEntry {
     "events_attribution" -> EventAnalytics.attribution _,
     "events_spike_days" -> EventAnalytics.spikeDays _,
     "events_user_segments" -> EventAnalytics.userSegments _,
+    "events_path_conversion" -> EventAnalytics.pathConversion _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,

@@ -180,6 +180,30 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
+  /** Top conversion paths — the 2-step event sequences immediately
+    * preceding each purchase (sequence mining's bread-and-butter
+    * "what funnels actually convert" view). One user-partitioned
+    * window carries both lags (a single Window node), the aggregate
+    * is ≤ (|types|+1)²-bounded, and the top-10 is deterministic
+    * (count desc, then the path itself). `(start)` marks purchases
+    * with fewer than two preceding events.
+    */
+  def pathConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev.select(col("event_type"),
+        lag("event_type", 1).over(w).as("p1"),
+        lag("event_type", 2).over(w).as("p2"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("p2"), lit("(start)")).as("step1"),
+        coalesce(col("p1"), lit("(start)")).as("step2"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("n_conversions").desc, col("step1"), col("step2"))
+      .limit(10)
+  }
+
   /** Cohort-relative RFM segmentation — recency / frequency /
     * monetary quartiles computed WITHIN each signup cohort (users who
     * arrived the same epoch-week), the form marketers actually use

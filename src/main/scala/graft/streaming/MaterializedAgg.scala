@@ -43,10 +43,17 @@ class MaterializedAgg(spark: SparkSession, topic: TopicLog, name: String,
 
   private def viewDir = Paths.get(s"${topic.topicDir}/_views/$name")
 
+  // count / sum / min / max — each a commutative monoid, so the
+  // incremental merge (sum of sums, min of mins, max of maxes) is
+  // exact regardless of refresh batching. A view persisted before the
+  // min/max columns existed reads them as null until keys are touched
+  // again (min/max ignore nulls — the merge stays well-defined).
   private val stateSchema = StructType(Seq(
     StructField("k", StringType),
     StructField("n_records", LongType),
-    StructField("sum_value", DecimalType(28, 4))))
+    StructField("sum_value", DecimalType(28, 4)),
+    StructField("min_value", DecimalType(18, 4)),
+    StructField("max_value", DecimalType(18, 4))))
 
   private def emptyState: DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -138,12 +145,16 @@ class MaterializedAgg(spark: SparkSession, topic: TopicLog, name: String,
           valueExpr.cast(DecimalType(18, 4)).as("v"))
         .groupBy("k")
         .agg(count(lit(1)).as("n_records"),
-          sum(col("v")).cast(DecimalType(28, 4)).as("sum_value"))
+          sum(col("v")).cast(DecimalType(28, 4)).as("sum_value"),
+          min(col("v")).as("min_value"),
+          max(col("v")).as("max_value"))
       val folded = slice.count()
       val merged = state().unionByName(delta)
         .groupBy("k")
         .agg(sum(col("n_records")).as("n_records"),
-          sum(col("sum_value")).cast(DecimalType(28, 4)).as("sum_value"))
+          sum(col("sum_value")).cast(DecimalType(28, 4)).as("sum_value"),
+          min(col("min_value")).as("min_value"),
+          max(col("max_value")).as("max_value"))
       val nextVersion = curVersion + 1
       val stateRel = s"state-v$nextVersion"
       // state first (a crash here leaves an unnamed dir the next

@@ -28,21 +28,27 @@ class MaterializedAggSpec extends AnyFunSuite {
       col("key").cast("string"),
       get_json_object(col("value").cast("string"), "$.amt").cast("double"))
 
-  /** Ground truth: the same aggregate over the WHOLE log. */
-  private def recompute(log: TopicLog): Map[String, (Long, BigDecimal)] =
+  /** Ground truth: the same aggregate over the WHOLE log — count,
+    * sum, and the min/max monoids the incremental merge must match. */
+  private def recompute(log: TopicLog)
+      : Map[String, (Long, BigDecimal, BigDecimal, BigDecimal)] =
     log.read()
       .select(col("key").cast("string").as("k"),
         get_json_object(col("value").cast("string"), "$.amt")
           .cast("double").cast("decimal(18,4)").as("v"))
-      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
       .collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+        ((r.getLong(1), BigDecimal(r.getDecimal(2)),
+          BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)))))
       .toMap
 
-  private def stateMap(v: MaterializedAgg): Map[String, (Long, BigDecimal)] =
+  private def stateMap(v: MaterializedAgg)
+      : Map[String, (Long, BigDecimal, BigDecimal, BigDecimal)] =
     v.state().collect().map(r => r.getString(0) ->
-      ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      ((r.getLong(1), BigDecimal(r.getDecimal(2)),
+        BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4))))).toMap
 
   test("incremental refresh equals full recompute across batches") {
     val root = Files.createTempDirectory("graft-maggr").toString
@@ -84,7 +90,9 @@ class MaterializedAggSpec extends AnyFunSuite {
     // (records 0–49), computed here independently from the fixture
     val expected = (0 until 50).groupBy(i => s"u${i % 7}").map {
       case (k, is) => k -> ((is.size.toLong,
-        BigDecimal(is.map(_ % 100).sum).setScale(4)))
+        BigDecimal(is.map(_ % 100).sum).setScale(4),
+        BigDecimal(is.map(_ % 100).min).setScale(4),
+        BigDecimal(is.map(_ % 100).max).setScale(4)))
     }
     assert(stateMap(reopened) === expected)
     assert(reopened.consumedOffsets().values.sum === 50L)
