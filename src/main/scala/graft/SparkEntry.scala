@@ -87,6 +87,8 @@ object SparkEntry {
     "text_entropy" -> TextAnalysis.textEntropy _,
     "text_keywords_tfidf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textKeywordsTfidf(s, d)),
+    "text_bpe_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textBpeTrain(s, d)),
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
     // §2c deduplication

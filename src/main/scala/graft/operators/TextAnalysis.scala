@@ -166,6 +166,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-rule learning (Sennrich et al. 2016 — the tokenizer-
+    * training primitive of every modern LM pipeline): learn the top-N
+    * byte-pair merges from the corpus.
+    *
+    * Scale shape: the corpus crosses a shuffle exactly ONCE (the
+    * word-frequency aggregate); the merge loop then runs entirely on
+    * the frequency-weighted VOCABULARY table — bounded by the
+    * language, not the corpus, so 100 TB of text and 100 GB of text
+    * iterate over the same-sized relation. Each iteration is one
+    * bounded pair-count aggregate, a ONE-ROW collect (the argmax
+    * pair — the CC convergence-scalar class of driver access), and a
+    * map-side fold applying the merge inside each word's symbol
+    * array (an aggregate HOF — no explode, no shuffle). Every
+    * iteration ends in an eager localCheckpoint: the symbol arrays
+    * are the loop state, and 20 stacked HOF rewrites would otherwise
+    * recompute the whole chain per round (the [[graft.operators.Dedup]]
+    * hashMinComponents lineage lesson).
+    *
+    * Determinism: ties in pair counts break on the pair itself
+    * (lexicographic), so the merge table is a pure function of the
+    * corpus. No SQL oracle — an iterative fixpoint is outside
+    * DuckDB's single-query model (declared ◦); LlmOpsSpec instead
+    * re-derives the merges with an independent in-memory
+    * implementation and asserts table equality.
+    */
+  def textBpeTrain(spark: SparkSession, dir: String,
+      numMerges: Int = 20, minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val words = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var vocab = words
+      .select(col("freq"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = vocab
+        .select(col("freq"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (a, b) -> struct(a AS a, b AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount)
+        done = true
+      else {
+        val a = top.head.getAs[String]("a")
+        val b = top.head.getAs[String]("b")
+        merges += ((rank, a, b, a + b, top.head.getAs[Long]("cnt")))
+        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+        // greedy left-to-right single-pass merge of (a, b) inside each
+        // word's symbol array; a fresh merge never re-pairs with the
+        // following symbol in the same pass (standard BPE semantics)
+        val next = vocab.withColumn("syms", expr(
+          s"""aggregate(syms,
+             |  named_struct('acc', CAST(array() AS ARRAY<STRING>),
+             |               'prev', CAST(NULL AS STRING)),
+             |  (s, x) -> IF(s.prev IS NULL,
+             |    named_struct('acc', s.acc, 'prev', x),
+             |    IF(s.prev = '${q(a)}' AND x = '${q(b)}',
+             |      named_struct('acc', concat(s.acc, array('${q(a + b)}')),
+             |                   'prev', CAST(NULL AS STRING)),
+             |      named_struct('acc', concat(s.acc, array(s.prev)),
+             |                   'prev', x))),
+             |  s -> IF(s.prev IS NULL, s.acc,
+             |          concat(s.acc, array(s.prev))))""".stripMargin))
+          .localCheckpoint(true)
+        vocab = next
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
   /** Per-document top-k TF-IDF keywords — the classic
     * keyword-extraction / doc-representation primitive. Scoring is
     * ALL-INTEGER: `score_q = tf · round(ln(N/df)·10⁴)` (the

@@ -246,6 +246,56 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bpe_train equals an independent in-memory BPE, merge for merge") {
+    // independent re-derivation: hashmap pair counting over the same
+    // word-frequency table, same greedy left-to-right merge semantics
+    // and lexicographic tie-break — nothing shared with the Spark
+    // formulation beyond the algorithm's definition
+    def referenceBpe(texts: Seq[String], n: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      val freq = scala.collection.mutable.Map.empty[List[String], Long]
+      texts.flatMap(_.split(" ")).filter(_.nonEmpty).foreach { w =>
+        val syms = w.map(_.toString).toList :+ "</w>"
+        freq(syms) = freq.getOrElse(syms, 0L) + 1
+      }
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (rank <- 1 to n) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        freq.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p =>
+            pairs(p) = pairs.getOrElse(p, 0L) + f)
+        }
+        val live = pairs.filter(_._2 >= 2)
+        if (live.nonEmpty) {
+          val ((a, b), cnt) = live.minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((rank, a, b, a + b, cnt))
+          def mergeWord(syms: List[String]): List[String] = syms match {
+            case x :: y :: rest if x == a && y == b =>
+              (a + b) :: mergeWord(rest)
+            case x :: rest => x :: mergeWord(rest)
+            case Nil => Nil
+          }
+          val next = freq.toSeq.map { case (s, f) => mergeWord(s) -> f }
+          freq.clear()
+          next.foreach { case (s, f) => freq(s) = freq.getOrElse(s, 0L) + f }
+        }
+      }
+      out.result()
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(_.getAs[String]("text")).toSeq
+    val expected = referenceBpe(texts, 12)
+    val got = TextAnalysis.textBpeTrain(spark, dir, numMerges = 12)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "the fixture corpus must yield merges")
+    // merges chain: later merges may consume earlier merged symbols
+    assert(got.map(_._4).distinct.size === got.size)
+  }
+
   test("text_perplexity scores common-token docs lower; OOV floors below vocab") {
     // vocabK=3 keeps only the 3 most frequent corpus tokens in-vocab
     // ("the" et al. from the repeated base docs) — everything else
