@@ -52,9 +52,13 @@ final class ShareGroup(log: TopicLog, val groupId: String,
 
   import ShareGroup._
 
-  /** offset → (lockExpiryMs, deliveryCount) */
+  /** offset → (lockExpiryMs, deliveryCount, holder) — the holder is
+    * the acquiring consumer's id (KIP-932 binds acquisition to the
+    * share session): an acknowledgement from anyone else fails that
+    * offset in-band, so a consumer whose lock lapsed and whose record
+    * was re-acquired elsewhere can never ack over the new holder. */
   private val acquired =
-    Array.fill(log.numPartitions)(mutable.Map.empty[Long, (Long, Int)])
+    Array.fill(log.numPartitions)(mutable.Map.empty[Long, (Long, Int, String)])
   /** offsets returned to Available with a nonzero delivery count */
   private val available =
     Array.fill(log.numPartitions)(mutable.Map.empty[Long, Int])
@@ -104,7 +108,7 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     * (count kept); exhausted counts archive right away. */
   private def expireLocks(p: Int, now: Long): Boolean = {
     val dead = acquired(p).collect {
-      case (off, (exp, _)) if exp <= now => off
+      case (off, (exp, _, _)) if exp <= now => off
     }.toSeq
     dead.foreach { off =>
       val dc = acquired(p)(off)._2
@@ -128,7 +132,8 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     * counts bumped; records that have exhausted their attempts are
     * archived in passing (and never returned). The scan is bounded by
     * the in-flight window, so state stays O(maxInFlightRecords). */
-  def acquire(partition: Int, maxRecords: Int, now: Long): Seq[AcquiredRecord] = synchronized {
+  def acquire(partition: Int, maxRecords: Int, now: Long,
+      consumerId: String = ""): Seq[AcquiredRecord] = synchronized {
     val p = partition
     expireLocks(p, now)
     val end = log.logEndOffsets().getOrElse(p, 0L)
@@ -144,7 +149,7 @@ final class ShareGroup(log: TopicLog, val groupId: String,
           terminal(p)(off) = 'x'
         } else {
           available(p).remove(off)
-          acquired(p)(off) = (now + acquisitionLockMs, dc + 1)
+          acquired(p)(off) = (now + acquisitionLockMs, dc + 1, consumerId)
           out += AcquiredRecord(off, dc + 1, now + acquisitionLockMs)
           got += 1
         }
@@ -163,13 +168,16 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     * expired, already terminal) fails that offset alone — KIP-932's
     * INVALID_RECORD_STATE, in-band per record. */
   def acknowledge(partition: Int, acks: Seq[(Long, AckType)],
-      now: Long): Seq[(Long, Boolean)] = synchronized {
+      now: Long, consumerId: String = ""): Seq[(Long, Boolean)] = synchronized {
     val p = partition
     expireLocks(p, now)
     val results = acks.map { case (off, ack) =>
       acquired(p).get(off) match {
         case None => off -> false
-        case Some((_, dc)) =>
+        case Some((_, _, holder)) if holder != consumerId =>
+          off -> false // not this consumer's acquisition (re-acquired
+                       // after a lapse, or never theirs)
+        case Some((_, dc, _)) =>
           acquired(p).remove(off)
           ack match {
             case Accept => terminal(p)(off) = 'a'
@@ -225,15 +233,24 @@ object ShareGroup {
 private[streaming] object ShareStore {
 
   case class PState(partition: Int, spso: Long,
-      acquired: Seq[(Long, (Long, Int))],
+      acquired: Seq[(Long, (Long, Int, String))],
       available: Seq[(Long, Int)],
       terminal: Seq[(Long, Char)])
+
+  // consumer ids are caller-chosen strings: base64-armored in the
+  // snapshot (the TxnStore idiom) so the regex parser never meets a
+  // delimiter inside a value
+  private def b64(s: String): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(Base64.getUrlDecoder.decode(s), "UTF-8")
 
   private[streaming] def render(version: Long, nPartitions: Int,
       state: Int => PState): String = {
     val parts = (0 until nPartitions).map { i =>
       val p = state(i)
-      val acq = p.acquired.map { case (o, (e, d)) => s"$o:$e:$d" }.mkString(";")
+      val acq = p.acquired.map { case (o, (e, d, h)) =>
+        s"$o:$e:$d:${b64(h)}" }.mkString(";")
       val av = p.available.map { case (o, d) => s"$o:$d" }.mkString(";")
       val tm = p.terminal.map { case (o, c) => s"$o:$c" }.mkString(";")
       s"""{"p":${p.partition},"spso":${p.spso},"acq":"$acq","avail":"$av","term":"$tm"}"""
@@ -248,8 +265,10 @@ private[streaming] object ShareStore {
   private[streaming] def parse(s: String): Seq[PState] =
     PartRe.findAllMatchIn(s).map { m =>
       val acq = m.group(3).split(';').toSeq.filter(_.nonEmpty).map { t =>
-        val Array(o, e, d) = t.split(':')
-        o.toLong -> ((e.toLong, d.toInt))
+        t.split(':') match {
+          case Array(o, e, d, h) => o.toLong -> ((e.toLong, d.toInt, unb64(h)))
+          case Array(o, e, d) => o.toLong -> ((e.toLong, d.toInt, ""))
+        }
       }
       val av = m.group(4).split(';').toSeq.filter(_.nonEmpty).map { t =>
         val Array(o, d) = t.split(':')

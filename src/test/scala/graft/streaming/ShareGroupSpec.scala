@@ -35,8 +35,8 @@ class ShareGroupSpec extends AnyFunSuite {
     val log = mkLog(10)
     val sg = new ShareGroup(log, "workers")
     // consumer A and consumer B each acquire a disjoint batch
-    val a = sg.acquire(0, 4, T0)
-    val b = sg.acquire(0, 4, T0)
+    val a = sg.acquire(0, 4, T0, "A")
+    val b = sg.acquire(0, 4, T0, "B")
     assert(a.map(_.offset) === Seq(0L, 1L, 2L, 3L))
     assert(b.map(_.offset) === Seq(4L, 5L, 6L, 7L))
     assert(a.forall(_.deliveryCount === 1))
@@ -47,14 +47,18 @@ class ShareGroupSpec extends AnyFunSuite {
       .select(col("value").cast("string")).as[String].collect().sorted
     assert(vals === Array("v0", "v1", "v2", "v3"))
 
+    // acquisition binds to the consumer: B cannot ack A's records
+    assert(sg.acknowledge(0, Seq(0L -> Accept), T0 + 5, "B")
+      === Seq(0L -> false))
+
     // A accepts everything: SPSO advances past the contiguous run
-    assert(sg.acknowledge(0, a.map(_.offset -> (Accept: AckType)), T0 + 10)
-      .forall(_._2))
+    assert(sg.acknowledge(0, a.map(_.offset -> (Accept: AckType)), T0 + 10,
+      "A").forall(_._2))
     assert(sg.startOffset(0) === 4L)
     // B accepts 5,6 but not 4: SPSO pinned by the still-acquired 4
-    sg.acknowledge(0, Seq(5L -> Accept, 6L -> Accept), T0 + 20)
+    sg.acknowledge(0, Seq(5L -> Accept, 6L -> Accept), T0 + 20, "B")
     assert(sg.startOffset(0) === 4L)
-    sg.acknowledge(0, Seq(4L -> Accept), T0 + 30)
+    sg.acknowledge(0, Seq(4L -> Accept), T0 + 30, "B")
     assert(sg.startOffset(0) === 7L)
   }
 
@@ -88,17 +92,24 @@ class ShareGroupSpec extends AnyFunSuite {
   test("lock expiry returns records to the pool; counts are kept") {
     val log = mkLog(2)
     val sg = new ShareGroup(log, "g", acquisitionLockMs = 1000L)
-    val first = sg.acquire(0, 2, T0)
+    val first = sg.acquire(0, 2, T0, "A")
     assert(first.map(_.offset) === Seq(0L, 1L))
     // before expiry nothing is available
-    assert(sg.acquire(0, 2, T0 + 999) === Seq.empty)
-    // at expiry both return, delivery counts bumped on reacquisition
-    val again = sg.acquire(0, 2, T0 + 1000)
+    assert(sg.acquire(0, 2, T0 + 999, "B") === Seq.empty)
+    // at expiry both return; B reacquires with bumped delivery counts
+    val again = sg.acquire(0, 2, T0 + 1000, "B")
     assert(again.map(r => r.offset -> r.deliveryCount) ===
       Seq(0L -> 2, 1L -> 2))
-    // an ack under the OLD (lapsed) acquisition fails in-band
-    assert(sg.acknowledge(0, Seq(0L -> Accept), T0 + 2500)
+    // A's LATE ack (its lock lapsed, B now holds the record) must
+    // fail in-band rather than ack over the new holder
+    assert(sg.acknowledge(0, Seq(0L -> Accept), T0 + 1500, "A")
       === Seq(0L -> false))
+    // and B's own ack still lands
+    assert(sg.acknowledge(0, Seq(0L -> Accept), T0 + 1600, "B")
+      === Seq(0L -> true))
+    // an ack under a fully lapsed acquisition (no re-acquire) fails too
+    assert(sg.acknowledge(0, Seq(1L -> Accept), T0 + 2500, "B")
+      === Seq(1L -> false))
   }
 
   test("the in-flight window bounds acquisition past the SPSO") {
