@@ -168,6 +168,31 @@ object ThroughputBench {
     sock.close(); server.close()
     println(f"transactional wire produce (one txn per batch: add+produce+commit): " +
       f"$wireN records in $txnSec%.2f s = ${wireN / txnSec}%.0f rec/s")
+
+    // --- share-group drain (KIP-932 library object): acquire + ack
+    // every record of the plain wire topic through the queue state
+    // machine, write-through CAS snapshot per call — the per-record
+    // metadata cost of queue semantics on top of the log ---
+    val sg = new graft.streaming.ShareGroup(broker.topic("wire"), "bench",
+      maxInFlightRecords = 2000)
+    val t8 = System.nanoTime()
+    var drained = 0L
+    var calls = 0
+    (0 until 8).foreach { p =>
+      var batch = sg.acquire(p, 1000, 1700000000000L + calls, "drainer")
+      while (batch.nonEmpty) {
+        calls += 1
+        sg.acknowledge(p,
+          batch.map(_.offset -> (graft.streaming.ShareGroup.Accept:
+            graft.streaming.ShareGroup.AckType)),
+          1700000000000L + calls, "drainer")
+        drained += batch.length
+        batch = sg.acquire(p, 1000, 1700000000000L + calls, "drainer")
+      }
+    }
+    val sgSec = (System.nanoTime() - t8) / 1e9
+    println(f"share-group drain (acquire+ack, 1k batches, CAS snapshot " +
+      f"per call): $drained records in $sgSec%.2f s = ${drained / sgSec}%.0f rec/s")
     spark.stop()
   }
 }
