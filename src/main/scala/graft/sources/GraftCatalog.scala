@@ -80,9 +80,33 @@ class GraftCatalog extends TableCatalog {
     new GraftTopicTable(dir.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft topics are append-only logs; there is nothing to alter")
+  /** `ALTER TABLE graft.t SET TBLPROPERTIES('retention.ms'='60000')`
+    * — table properties ARE the topic's dynamic config overrides: the
+    * same `_config.json` the wire config APIs (19/33/44) write, under
+    * the same validator, read by the same enforcement hooks
+    * (retention/compaction ticks, the produce size gate). UNSET
+    * removes the override (back to the default). Anything that isn't
+    * a property change stays unsupported — the record schema and the
+    * log itself are immutable. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val updated = changes.foldLeft(
+      graft.streaming.TopicLog.configOverrides(root, ident.name)) {
+      case (conf, set: TableChange.SetProperty) =>
+        val err = graft.streaming.Broker.topicConfigError(
+          Seq(set.property -> set.value))
+        require(err == null, err)
+        conf + (set.property -> set.value)
+      case (conf, rm: TableChange.RemoveProperty) => conf - rm.property
+      case (_, other) => throw new UnsupportedOperationException(
+        "graft topics are append-only logs: only table properties " +
+          s"(topic configs) are alterable, not $other")
+    }
+    graft.streaming.TopicLog.writeConfigOverrides(root, ident.name, updated)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false

@@ -76,6 +76,22 @@ class GraftTopicTable(topicDir: String) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+  /** `SHOW TBLPROPERTIES` view: partition count + the topic's dynamic
+    * config overrides (what ALTER TABLE ... SET TBLPROPERTIES wrote,
+    * or the wire config APIs did). */
+  override def properties(): java.util.Map[String, String] = {
+    val dir = java.nio.file.Paths.get(topicDir)
+    val out = new java.util.HashMap[String, String]()
+    val meta = dir.resolve("_meta.json")
+    if (java.nio.file.Files.exists(meta))
+      """"numPartitions":(\d+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(meta))
+        .foreach(m => out.put("partitions", m.group(1)))
+    graft.streaming.TopicLog
+      .configOverrides(dir.getParent.toString, dir.getFileName.toString)
+      .foreach { case (k, v) => out.put(k, v) }
+    out
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTopicScanBuilder(topicDir, options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -1762,29 +1762,12 @@ class Broker(spark: SparkSession, root: String) {
     * INVALID_CONFIG (40) — the enforcement hooks (retention, size
     * gate) must never meet an unparseable stored value; values
     * carrying quotes/backslashes/control chars answer 42 (keeps the
-    * flat `_config.json` read regex exact). Returns null when valid. */
-  private def topicConfigError(configs: Seq[(String, String)]): String = {
-    val allowed = Broker.TopicConfigDefaults.map(_._1).toSet
-    val numeric = Set("retention.ms", "max.message.bytes", "min.insync.replicas")
-    configs.collectFirst {
-      case (n, _) if !allowed.contains(n) => s"unknown topic config '$n'"
-      case (n, v) if numeric.contains(n) && v != null &&
-          scala.util.Try(v.trim.toLong).isFailure =>
-        s"invalid value '$v' for numeric config '$n'"
-      case ("compression.type", v)
-          if v != null && !Broker.CompressionTypes.contains(v.trim) =>
-        s"invalid value '$v' for config 'compression.type'"
-      case ("cleanup.policy", v) if v != null &&
-          v.split(",", -1).map(_.trim).exists(p => p != "delete" && p != "compact") =>
-        s"invalid value '$v' for config 'cleanup.policy'"
-      case ("min.cleanable.dirty.ratio", v) if v != null &&
-          !scala.util.Try(v.trim.toDouble).toOption.exists(d =>
-            d >= 0.0 && d <= 1.0) =>
-        s"invalid value '$v' for config 'min.cleanable.dirty.ratio'"
-      case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>
-        s"unsupported characters in value of '$n'"
-    }.orNull
-  }
+    * flat `_config.json` read regex exact). Returns null when valid.
+    * Public on the instance's behalf via [[Broker.topicConfigError]]
+    * — the SQL catalog's ALTER TABLE path validates with the same
+    * rules the wire config APIs apply. */
+  private def topicConfigError(configs: Seq[(String, String)]): String =
+    Broker.topicConfigError(configs)
 
   /** AlterConfigs v0–v2: the pre-KIP-339 API — the request's config
     * set REPLACES the topic's whole override set (the legacy
@@ -2509,6 +2492,32 @@ object Broker {
     "max.message.bytes" -> DefaultMaxMessageBytes.toString,
     "min.cleanable.dirty.ratio" -> "0.5",
     "min.insync.replicas" -> "1")
+
+  /** One validator for every door into the config store — the wire
+    * APIs (keys 19/33/44) and the SQL catalog's ALTER TABLE ... SET
+    * TBLPROPERTIES path. Returns null when valid, else the message. */
+  def topicConfigError(configs: Seq[(String, String)]): String = {
+    val allowed = TopicConfigDefaults.map(_._1).toSet
+    val numeric = Set("retention.ms", "max.message.bytes", "min.insync.replicas")
+    configs.collectFirst {
+      case (n, _) if !allowed.contains(n) => s"unknown topic config '$n'"
+      case (n, v) if numeric.contains(n) && v != null &&
+          scala.util.Try(v.trim.toLong).isFailure =>
+        s"invalid value '$v' for numeric config '$n'"
+      case ("compression.type", v)
+          if v != null && !CompressionTypes.contains(v.trim) =>
+        s"invalid value '$v' for config 'compression.type'"
+      case ("cleanup.policy", v) if v != null &&
+          v.split(",", -1).map(_.trim).exists(p => p != "delete" && p != "compact") =>
+        s"invalid value '$v' for config 'cleanup.policy'"
+      case ("min.cleanable.dirty.ratio", v) if v != null &&
+          !scala.util.Try(v.trim.toDouble).toOption.exists(d =>
+            d >= 0.0 && d <= 1.0) =>
+        s"invalid value '$v' for config 'min.cleanable.dirty.ratio'"
+      case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>
+        s"unsupported characters in value of '$n'"
+    }.orNull
+  }
 
   /** What the TCP [[WireServer]] actually speaks: ONLY dispatchable
     * keys, at ONLY their implemented versions. A conformant client

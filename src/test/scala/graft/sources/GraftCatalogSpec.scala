@@ -51,6 +51,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!TopicLog.exists(root, "audit"))
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES writes topic configs; UNSET removes; bad values rejected") {
+    assert(root.nonEmpty)
+    spark.sql("ALTER TABLE graft.clicks SET TBLPROPERTIES(" +
+      "'retention.ms'='3600000', 'cleanup.policy'='compact')")
+    // the SQL write landed in the SAME store the wire/enforcement
+    // hooks read
+    assert(TopicLog.configOverrides(root, "clicks") ===
+      Map("retention.ms" -> "3600000", "cleanup.policy" -> "compact"))
+    // SHOW TBLPROPERTIES reads them back, plus the partition count
+    val props = spark.sql("SHOW TBLPROPERTIES graft.clicks").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("retention.ms") === Some("3600000"))
+    assert(props.get("partitions") === Some("4"))
+    // UNSET removes the override (back to the broker default)
+    spark.sql("ALTER TABLE graft.clicks UNSET TBLPROPERTIES('cleanup.policy')")
+    assert(TopicLog.configOverrides(root, "clicks") ===
+      Map("retention.ms" -> "3600000"))
+    // the wire validator guards this door too
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.clicks SET TBLPROPERTIES('nope'='1')")
+    }
+    assert(bad.getMessage.contains("unknown topic config"))
+    val badVal = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.clicks SET TBLPROPERTIES(" +
+        "'retention.ms'='soon')")
+    }
+    assert(badVal.getMessage.contains("invalid value"))
+    // schema/column changes stay impossible
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.clicks ADD COLUMN extra INT")
+    }
+    spark.sql("ALTER TABLE graft.clicks UNSET TBLPROPERTIES('retention.ms')")
+    assert(TopicLog.configOverrides(root, "clicks") === Map.empty)
+  }
+
   test("INSERT INTO runs a real produce: routing honored, offsets assigned") {
     assert(root.nonEmpty)
     spark.sql("CREATE TABLE graft.ins TBLPROPERTIES ('partitions'='4')")
