@@ -200,6 +200,37 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     log.consume(partition, offsets.minOption.getOrElse(0L))
       .filter(col("offset").isInCollection(offsets))
 
+  /** At-least-once processing loop over a partition: acquire a
+    * batch, hand its records to `process`, ACCEPT on success /
+    * RELEASE on failure (then rethrow — the caller's retry loop
+    * re-drains, redelivery counts climb, and a poison batch's
+    * records eventually hit the delivery budget and archive instead
+    * of looping forever). Returns the number of records accepted.
+    * Time advances one tick per batch from the caller's `now` — the
+    * loop stays deterministic and replayable like everything else. */
+  def drain(partition: Int, batchSize: Int, now: Long,
+      consumerId: String = "")(process: DataFrame => Unit): Long = {
+    var accepted = 0L
+    var tick = now
+    var batch = acquire(partition, batchSize, tick, consumerId)
+    while (batch.nonEmpty) {
+      val offs = batch.map(_.offset)
+      try process(records(partition, offs))
+      catch {
+        case e: Throwable =>
+          acknowledge(partition, offs.map(_ -> (Release: AckType)), tick,
+            consumerId)
+          throw e
+      }
+      acknowledge(partition, offs.map(_ -> (Accept: AckType)), tick,
+        consumerId)
+      accepted += offs.size
+      tick += 1
+      batch = acquire(partition, batchSize, tick, consumerId)
+    }
+    accepted
+  }
+
   /** Share-partition start offset: everything below is terminal. */
   def startOffset(partition: Int): Long = synchronized { spso(partition) }
 

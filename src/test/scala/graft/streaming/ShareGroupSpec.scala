@@ -122,6 +122,53 @@ class ShareGroupSpec extends AnyFunSuite {
     assert(sg.acquire(0, 100, T0 + 20).map(_.offset) === Seq(5L, 6L))
   }
 
+  test("drain: at-least-once processing with poison archival") {
+    val log = mkLog(9)
+    val sg = new ShareGroup(log, "proc", maxDeliveryAttempts = 3)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    // clean drain: everything processed once, in offset batches
+    val n = sg.drain(0, 4, T0, "w") { df =>
+      seen ++= df.select(col("value").cast("string"))
+        .collect().map(_.getString(0))
+    }
+    assert(n === 9L)
+    assert(seen.sorted === (0 until 9).map(i => s"v$i").sorted)
+    assert(sg.startOffset(0) === 9L)
+
+    // poison record: the processor dies on offset 2; retries
+    // release+redeliver it until the budget archives it, then the
+    // remaining records drain clean (record-at-a-time batches so the
+    // poison record carries only its own fate — larger batches share
+    // theirs with batch-mates, the documented at-least-once contract)
+    val log2 = mkLog(6)
+    val sg2 = new ShareGroup(log2, "proc", maxDeliveryAttempts = 3)
+    val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var t = T0
+    var attempts = 0
+    var finished = false
+    while (!finished && attempts < 10) {
+      attempts += 1
+      try {
+        sg2.drain(0, 1, t, "w") { df =>
+          val offs = df.select("offset").collect().map(_.getLong(0))
+          if (offs.contains(2L)) sys.error("poison record")
+          processed ++= offs
+        }
+        finished = true
+      } catch { case e: RuntimeException if e.getMessage == "poison record" =>
+        t += 100 // next retry epoch
+      }
+    }
+    assert(finished, "drain must converge once the poison archives")
+    // offset 2 was delivered maxDeliveryAttempts times then archived;
+    // every other record processed (2's batch-mates redelivered)
+    assert(attempts === 4, "3 poisoned batches + 1 clean pass")
+    assert(!processed.contains(2L))
+    assert(processed.distinct.sorted === Seq(0L, 1L, 3L, 4L, 5L))
+    assert(sg2.startOffset(0) === 6L)
+    assert(sg2.stats(0, t + 1000) === ((6L, 0, 0, 0)))
+  }
+
   test("the whole state machine survives reopen: locks, counts, SPSO") {
     val log = mkLog(6)
     val sg = new ShareGroup(log, "durable", acquisitionLockMs = 1000L)
