@@ -181,6 +181,19 @@ object OraclesPipeline {
          |  CAST($deH AS BIGINT) AS de_hits, CAST($frH AS BIGINT) AS fr_hits
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_lang_confusion" ->
+      s"""WITH p AS (SELECT lang AS labeled_lang,
+         |  CASE WHEN $enH >= $esH AND $enH >= $deH AND $enH >= $frH AND $enH > 0 THEN 'en'
+         |       WHEN $esH >= $deH AND $esH >= $frH AND $esH > 0 THEN 'es'
+         |       WHEN $deH >= $frH AND $deH > 0 THEN 'de'
+         |       WHEN $frH > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang
+         |  FROM documents)
+         |SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs,
+         |  CAST(labeled_lang = pred_lang AS INTEGER) AS is_correct
+         |FROM p GROUP BY 1, 2
+         |ORDER BY labeled_lang, pred_lang""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

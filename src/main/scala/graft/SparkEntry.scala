@@ -79,6 +79,7 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
     "text_langid" -> TextAnalysis.textLangid _,
+    "text_lang_confusion" -> TextAnalysis.textLangConfusion _,
     "text_fingerprint" -> TextAnalysis.textFingerprint _,
     "text_ngram_stats" -> TextAnalysis.textNgramStats _,
     "text_rare_tokens" -> TextAnalysis.textRareTokens _,

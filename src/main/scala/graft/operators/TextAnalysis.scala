@@ -44,6 +44,21 @@ object TextAnalysis {
         langHits(col("text"), "fr").as("fr_hits"))
       .orderBy("doc_id")
 
+  /** Language-ID confusion matrix: the [[textLangid]] heuristic's
+    * predictions against the labeled `lang` column, as (labeled,
+    * predicted) counts — the evaluation view a corpus curator reads
+    * before trusting a language filter. Bounded output
+    * (|langs|+1)²; one map-side prediction + one tiny aggregate. */
+  def textLangConfusion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang").as("labeled_lang"),
+        predictedLang(col("text")).as("pred_lang"))
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("is_correct",
+        (col("labeled_lang") === col("pred_lang")).cast("int"))
+      .orderBy("labeled_lang", "pred_lang")
+
   /** Document fingerprint: polynomial rolling hash mod 1e9+7, via the
     * O(n) codegen'd [[graft.functions.RollingHashExpr]] (byte-
     * identical to the builtin-composed ascii-fold on this ASCII
