@@ -2089,7 +2089,9 @@ class Broker(spark: SparkSession, root: String) {
     for (name <- names if next.isEmpty) {
       val startPart = cursor match {
         case Some(c) if name < c.topicName => -1 // already served in full
-        case Some(c) if name == c.topicName => c.partitionIndex
+        case Some(c) if name == c.topicName =>
+          math.max(0, c.partitionIndex) // a malformed negative index
+                                        // resumes at 0, never skips
         case _ => 0
       }
       if (startPart >= 0) topicOpt(name) match {
