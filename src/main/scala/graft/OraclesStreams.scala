@@ -162,6 +162,16 @@ object OraclesStreams {
         |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "materialized_view_agg" ->
+      """SELECT event_type, COUNT(*) AS n_records,
+        |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS DOUBLE) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS DOUBLE) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_session_windows" ->
       s"""WITH lagged AS (
          |  SELECT user_id, ts, event_id, value,

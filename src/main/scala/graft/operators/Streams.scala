@@ -126,6 +126,33 @@ object Streams {
     s"$root/$topic"
   }
 
+  /** The [[graft.streaming.MaterializedAgg]] driven through the
+    * correctness gate: a materialized per-event-type aggregate over
+    * the PHYSICAL events topic — `refresh()` folds the log
+    * incrementally (a rerun over the same snapshot folds ZERO new
+    * records and serves identical state, which is exactly what the
+    * gate's repeated executions verify), and the state equals the
+    * plain groupBy the oracle computes over the source table. The
+    * monoid columns (count / decimal sum / min / max) cross engines
+    * exactly. */
+  def materializedViewAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{MaterializedAgg, TopicLog}
+    val topicDir = ensureEventsTopic(spark, dir)
+    val p = java.nio.file.Paths.get(topicDir)
+    val log = TopicLog.open(spark, p.getParent.toString,
+      p.getFileName.toString)
+    val view = new MaterializedAgg(spark, log, "by_type",
+      expr("CAST(headers['event_type'] AS STRING)"),
+      get_json_object(col("value").cast("string"), "$.k").cast("double"))
+    view.refresh()
+    view.state()
+      .select(col("k").as("event_type"), col("n_records"),
+        col("sum_value").cast("double").as("sum_k"),
+        col("min_value").cast("double").as("min_k"),
+        col("max_value").cast("double").as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Consumer-group lag: a group that committed everything up to
     * (max ts − 3 days); lag = records past the committed point. */
   def consumerGroupLag(spark: SparkSession, dir: String): DataFrame = {
