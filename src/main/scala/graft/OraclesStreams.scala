@@ -162,6 +162,11 @@ object OraclesStreams {
         |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "share_group_drain" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+        |  COUNT(*) AS spso, CAST(0 AS BIGINT) AS in_flight
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+
     "materialized_view_agg" ->
       """SELECT event_type, COUNT(*) AS n_records,
         |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)

@@ -66,6 +66,7 @@ object SparkEntry {
     "asof_join_exec" -> Streams.asofJoinExec _,
     "json_props_agg" -> Streams.jsonPropsAgg _,
     "materialized_view_agg" -> Streams.materializedViewAgg _,
+    "share_group_drain" -> Streams.shareGroupDrain _,
     // §2h event-stream analytics
     "events_sessionize" -> EventAnalytics.sessionize _,
     "events_funnel" -> EventAnalytics.funnel _,

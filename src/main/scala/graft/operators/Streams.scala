@@ -153,6 +153,33 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** The [[graft.streaming.ShareGroup]] queue state machine driven
+    * through the correctness gate: drain every partition of the
+    * physical events topic record-by-record (acquire → accept), then
+    * report the post-drain state — the SPSO must equal each
+    * partition's record count (everything terminal, nothing in
+    * flight), which the oracle recomputes as a plain partition-count
+    * aggregate. Reruns drain ZERO new records over the persisted
+    * snapshot and serve the identical report — the gate's repeated
+    * executions verify queue-state durability for free. */
+  def shareGroupDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{ShareGroup, TopicLog}
+    val topicDir = ensureEventsTopic(spark, dir)
+    val p = java.nio.file.Paths.get(topicDir)
+    val log = TopicLog.open(spark, p.getParent.toString,
+      p.getFileName.toString)
+    val sg = new ShareGroup(log, "gate-drain")
+    (0 until NumPartitions).foreach { part =>
+      sg.drain(part, 200, 1700000000000L, "gate")(_ => ())
+    }
+    import spark.implicits._
+    (0 until NumPartitions).map { part =>
+      val (spso, acq, avail, term) = sg.stats(part, 1700099999999L)
+      (part.toLong, spso, (acq + avail + term).toLong)
+    }.toDF("partition", "spso", "in_flight")
+      .orderBy("partition")
+  }
+
   /** Consumer-group lag: a group that committed everything up to
     * (max ts − 3 days); lag = records past the committed point. */
   def consumerGroupLag(spark: SparkSession, dir: String): DataFrame = {
