@@ -256,6 +256,14 @@ object Oracles {
         |        (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
         |      > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
         |         FROM orders i WHERE i.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q32_lateral_topk" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin
   )
 }

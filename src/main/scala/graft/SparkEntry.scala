@@ -48,6 +48,7 @@ object SparkEntry {
     "q29_quantile_bucket" -> Relational.q29QuantileBucket _,
     "q30_range_join" -> Relational.q30RangeJoin _,
     "q31_correlated_agg" -> Relational.q31CorrelatedAgg _,
+    "q32_lateral_topk" -> Relational.q32LateralTopk _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,

@@ -543,6 +543,25 @@ object Relational {
     * division ever happens — the comparison is exact decimal×integer
     * arithmetic, bit-identical in any engine.
     */
+  /** q32: correlated LATERAL subquery — per-nation top-2 customers
+    * by balance through Spark's LateralJoin planning (the DSv2-era
+    * correlated-derived-table path, distinct from the window-rank
+    * formulation q7/q25 exercise). Deterministic: the inner ORDER BY
+    * carries the name tie-break. At scale the optimizer rewrites the
+    * correlated limit into a join + per-key limit — same physics as
+    * [[q26TopkExec]], arrived at from the SQL surface. */
+  def q32LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation_v")
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation_v n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer_v
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+  }
+
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))
