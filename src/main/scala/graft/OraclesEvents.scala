@@ -104,6 +104,17 @@ object OraclesEvents {
         |       ELSE 0 END AS is_spike
         |FROM w ORDER BY event_type, day""".stripMargin,
 
+    "events_dau_wau" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS n_dau FROM act GROUP BY 1),
+        |ex AS (SELECT DISTINCT a.user_id, d.day
+        |       FROM act a JOIN dau d ON d.day BETWEEN a.day AND a.day + 6),
+        |wau AS (SELECT day, COUNT(*) AS n_wau FROM ex GROUP BY 1)
+        |SELECT day, n_dau, n_wau,
+        |  CAST(n_dau AS DOUBLE) / CAST(n_wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
     "events_path_conversion" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |              epoch_us(ts) AS ts_us FROM events),

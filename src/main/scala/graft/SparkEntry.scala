@@ -78,6 +78,7 @@ object SparkEntry {
     "events_spike_days" -> EventAnalytics.spikeDays _,
     "events_user_segments" -> EventAnalytics.userSegments _,
     "events_path_conversion" -> EventAnalytics.pathConversion _,
+    "events_dau_wau" -> EventAnalytics.dauWau _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,

@@ -180,6 +180,34 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
+  /** DAU / WAU / stickiness — the product-analytics headline metrics:
+    * daily active users, trailing-7-day weekly active users, and
+    * their ratio. The (user, day) activity set is made DISTINCT
+    * first (≤ one row per user-day — the corpus's dedup), each
+    * activity row then contributes to the ≤7 window days it supports
+    * (a bounded 7× explode, filtered to observed days by the join
+    * with the daily table), and the WAU count is a distinct over
+    * that bounded expansion. Stickiness is one IEEE division of
+    * exact integers — engine-deterministic.
+    */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val act = events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+    val dau = act.groupBy("day").agg(count(lit(1)).as("n_dau"))
+    val wau = act
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .join(dau.select("day"), "day") // only observed days report
+      .groupBy("day").agg(count(lit(1)).as("n_wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("n_dau"), col("n_wau"),
+        (col("n_dau").cast("double") / col("n_wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Top conversion paths — the 2-step event sequences immediately
     * preceding each purchase (sequence mining's bread-and-butter
     * "what funnels actually convert" view). One user-partitioned
