@@ -43,6 +43,29 @@ class Group848Spec extends AnyFunSuite {
         subscribedTopicRegex = "t.*", version = 1), resolver)
     assert(v1.subscribedTopicRegex === "t.*")
     assert(v1.subscribedTopicNames === null)
+    // hand-laid golden v1 frame: the regex rides AFTER the (null)
+    // subscribed-names array and BEFORE the assignor
+    val golden = Array[Int](
+      0x00, 0x00, 0x00, 0x21, // frame size 33
+      0x00, 0x44, // api_key 68
+      0x00, 0x01, // version 1
+      0x00, 0x00, 0x00, 0x07, // correlation id 7
+      0x00, 0x01, 0x63, // client id "c"
+      0x00, // header tags
+      0x02, 0x67, // group id "g" (compact)
+      0x01, // member id "" (compact, empty)
+      0x00, 0x00, 0x00, 0x00, // member epoch 0
+      0x00, // instance id null
+      0x00, // rack id null
+      0xff, 0xff, 0xff, 0xff, // rebalance timeout -1
+      0x00, // subscribed names: null array
+      0x04, 0x74, 0x2e, 0x2a, // regex "t.*" (compact)
+      0x00, // assignor null
+      0x00, // owned partitions: null array
+      0x00 // body tags
+    ).map(_.toByte)
+    assert(encodeConsumerGroupHeartbeatRequest(7, "c", "g", "", 0,
+      subscribedTopicRegex = "t.*", version = 1) === golden)
 
     val some = decodeConsumerGroupHeartbeatResponse(
       encodeConsumerGroupHeartbeatResponse(9, 0, null, "m1", 5, 3000,
