@@ -63,6 +63,44 @@ class RetentionTickSpec extends AnyFunSuite {
     } finally { sock.close(); server.close() }
   }
 
+  test("the tick compacts a dirty compact-policy topic with no explicit call") {
+    val root = Files.createTempDirectory("graft-tickcmp").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("kc", 1)
+    TopicLog.writeConfigOverrides(root, "kc",
+      Map("cleanup.policy" -> "compact"))
+    val server = new WireServer(broker, retentionTickMs = 300L).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // three values under ONE key: a never-cleaned topic is 100%
+      // dirty, so the tick's 0.5 gate must fire
+      def keyed(ts: Long, v: String) =
+        WireRecordV2(ts, "k".getBytes("UTF-8"), v.getBytes("UTF-8"))
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 1, "cli", null, 1, 30000,
+          Seq(("kc", Seq((0, Seq(keyed(1700000000000L, "old"),
+            keyed(1700000000001L, "mid"), keyed(1700000000002L, "new")))))))))
+      def values(corr: Int): Seq[String] = {
+        val (_, topics) = decodeFetchResponse(12, exchange(sock,
+          encodeFetchRequest(12, corr, "cli", 100, 1, 1 << 20,
+            Seq(("kc", Seq((0, 0L, 1 << 20)))))))
+        topics.head._2.head._4.map(r => new String(r._2.value, "UTF-8"))
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      var corr = 3
+      var got = values(corr)
+      while (got != Seq("new") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        corr += 1
+        got = values(corr)
+      }
+      assert(got === Seq("new"),
+        "the tick compacted the duplicate keys; latest-per-key survives")
+      // and the cleaner checkpoint now gates re-compaction
+      assert(broker.topic("kc").dirtyRatio === 0.0)
+    } finally { sock.close(); server.close() }
+  }
+
   test("dirty ratio gates compaction: clean topics skip the rewrite") {
     val root = Files.createTempDirectory("graft-dirty").toString
     val broker = new Broker(spark, root)

@@ -169,6 +169,43 @@ class ShareGroupSpec extends AnyFunSuite {
     assert(sg2.stats(0, t + 1000) === ((6L, 0, 0, 0)))
   }
 
+  test("concurrency soak: racing consumers never double-deliver a live lock") {
+    val log = mkLog(200)
+    val sg = new ShareGroup(log, "race", maxInFlightRecords = 400,
+      acquisitionLockMs = 60000L)
+    val delivered =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    val errors =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val threads = (0 until 6).map { w =>
+      new Thread(() => {
+        try {
+          // each worker loops acquire→accept under a LIVE lock (no
+          // expiry in play): every offset must be delivered exactly
+          // once across all workers
+          var batch = sg.acquire(0, 7, 1700000000000L, s"w$w")
+          while (batch.nonEmpty) {
+            batch.foreach(r => delivered.add(r.offset))
+            val acks = sg.acknowledge(0,
+              batch.map(_.offset -> (Accept: AckType)), 1700000000000L, s"w$w")
+            acks.filterNot(_._2).foreach(a =>
+              errors.add(s"w$w could not ack its own ${a._1}"))
+            batch = sg.acquire(0, 7, 1700000000000L, s"w$w")
+          }
+        } catch { case e: Throwable => errors.add(s"w$w died: $e") }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, errors.toString)
+    val seen = delivered.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(seen.length === 200, s"${seen.length} deliveries for 200 records")
+    assert(seen.sorted.toSeq === (0L until 200L),
+      "every offset delivered exactly once under live locks")
+    assert(sg.startOffset(0) === 200L)
+    assert(sg.stats(0, 1700000001000L) === ((200L, 0, 0, 0)))
+  }
+
   test("the whole state machine survives reopen: locks, counts, SPSO") {
     val log = mkLog(6)
     val sg = new ShareGroup(log, "durable", acquisitionLockMs = 1000L)
