@@ -53,28 +53,42 @@ def main(sf_dir, out_dir):
     # --skip a,b,c: exclude named queries (e.g. the full-corpus cosine
     # CTEs, whose interpreted DuckDB lambdas are ~1000x slower than the
     # codegen'd Spark side and become impractical at 10x scale)
-    skip, only = set(), None
+    skip, only, json_out = set(), None, None
     for arg in sys.argv[3:]:
         if arg.startswith("--skip="):
             skip |= set(arg.split("=", 1)[1].split(","))
         elif arg.startswith("--only="):
             only = (only or set()) | set(arg.split("=", 1)[1].split(","))
+        elif arg.startswith("--json="):
+            json_out = arg.split("=", 1)[1]
         else:
-            sys.exit(f"unknown argument {arg!r} (use --skip=a,b / --only=a,b)")
+            sys.exit(f"unknown argument {arg!r} (use --skip=a,b / --only=a,b / --json=path)")
     n_pass = n_fail = 0
+    results = {}  # driver-shaped per-query records (--json)
     for name in sorted(oracles):
         if name in skip or (only is not None and name not in only):
             continue
         sql = oracles[name]
         spark_path = f"{out_dir}/{name}"
         if not glob.glob(f"{spark_path}/*.parquet"):
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            results[name] = dict(err="no_spark_output", hash_match=False,
+                rows_match=None, schema_match=None, spark_rows=None,
+                oracle_rows=None)
+            continue
         try:
             oracle = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1
+            results[name] = dict(err=f"oracle_error", hash_match=None,
+                rows_match=None, schema_match=None, spark_rows=None,
+                oracle_rows=None)
+            continue
         got = pd.read_parquet(spark_path)
         o, g = norm(oracle), norm(got)
+        results[name] = dict(err=None, rows_match=len(o) == len(g),
+            schema_match=list(o.columns) == list(g.columns),
+            hash_match=False, spark_rows=len(g), oracle_rows=len(o))
         if list(o.columns) != list(g.columns):
             print(f"FAIL {name}: cols oracle={list(o.columns)} got={list(g.columns)}")
             n_fail += 1; continue
@@ -106,12 +120,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: " + "; ".join(bad[:3])); n_fail += 1
         else:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            results[name]["hash_match"] = True
     # queries with no oracle -> rows-only
     for d in sorted(os.listdir(out_dir)):
         if os.path.isdir(f"{out_dir}/{d}") and d not in oracles:
             n = len(pd.read_parquet(f"{out_dir}/{d}"))
             print(f"ROWS {d}: {n} rows (no oracle)")
+            results[d] = dict(err="no_oracle", hash_match=None,
+                rows_match=None, schema_match=None, spark_rows=n,
+                oracle_rows=None)
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        json.dump({k: results[k] for k in sorted(results)},
+                  open(json_out, "w"), indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
