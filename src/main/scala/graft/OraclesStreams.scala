@@ -39,7 +39,8 @@ object OraclesStreams {
         |  (68,'ConsumerGroupHeartbeat',0,1),(69,'ConsumerGroupDescribe',0,0),
         |  (71,'GetTelemetrySubscriptions',0,0),(72,'PushTelemetry',0,0),
         |  (74,'ListClientMetricsResources',0,0),
-        |  (75,'DescribeTopicPartitions',0,0))
+        |  (75,'DescribeTopicPartitions',0,0),
+        |  (78,'ShareFetch',0,0),(79,'ShareAcknowledge',0,0))
         |  AS t(api_key, api_name, min_version, max_version)
         |ORDER BY api_key""".stripMargin,
 

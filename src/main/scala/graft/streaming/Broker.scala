@@ -1845,12 +1845,20 @@ class Broker(spark: SparkSession, root: String) {
     val wl = maintenanceLock.writeLock()
     wl.lock()
     try listTopics().flatMap { name =>
-      TopicLog.configOverrides(root, name).get("retention.ms")
+      val conf = TopicLog.configOverrides(root, name)
+      val timeApplied = conf.get("retention.ms")
         .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
         .map { ret =>
           topic(name).expire(new java.sql.Timestamp(nowMs - ret))
           (name, ret)
         }
+      // size-based retention runs AFTER time-based (Kafka applies
+      // both; time may already have shed enough bytes): oldest files
+      // dropped per partition until the remainder fits
+      conf.get("retention.bytes")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
+        .foreach(cap => topic(name).enforceSizeRetention(cap))
+      timeApplied
     } finally wl.unlock()
   }
 
@@ -2135,12 +2143,18 @@ class Broker(spark: SparkSession, root: String) {
     val modern = coordinator848.listGroups(System.currentTimeMillis())
       .map { case (g, state) => (g, "consumer", state, "consumer") }
     val active = classic ++ modern
-    val offsetsOnly = listGroups().map(_._1).distinct
+    // share groups list beside the consumer groups, as type "share"
+    // (ListGroups v5's group_type field — how kafka-share-groups.sh
+    // finds them); durable state on disk counts as membership
+    val share = listShareGroups().map(_._1).distinct
       .filterNot(g => active.exists(_._1 == g))
+      .map(g => (g, "share", "Stable", "share"))
+    val offsetsOnly = listGroups().map(_._1).distinct
+      .filterNot(g => active.exists(_._1 == g) || share.exists(_._1 == g))
       .map(g => (g, "", "Empty", "classic"))
     val states = req.statesFilter.map(_.toLowerCase).toSet
     val types = req.typesFilter.map(_.toLowerCase).toSet
-    val rows = (active ++ offsetsOnly).sortBy(_._1)
+    val rows = (active ++ share ++ offsetsOnly).sortBy(_._1)
       .filter(r => states.isEmpty || states(r._3.toLowerCase))
       .filter(r => types.isEmpty || types(r._4.toLowerCase))
     encodeListGroupsResponse(req.version, req.correlationId, 0, rows)
@@ -2184,6 +2198,266 @@ class Broker(spark: SparkSession, root: String) {
           Seq.empty))
     }
     encodeConsumerGroupDescribeResponse(correlationId, described)
+  }
+
+  // --- KIP-932 share groups over the wire (ShareFetch 78 /
+  // ShareAcknowledge 79): the [[ShareGroup]] state machine, reachable
+  // by a Kafka 4.x share consumer. One ShareGroup instance per
+  // (topic, group) — the instance IS the single writer its CAS
+  // snapshot store requires, so every wire request for that pair must
+  // route through this registry. ---
+
+  private val shareGroupsReg =
+    scala.collection.mutable.Map.empty[(String, String), ShareGroup]
+
+  /** The share-group state machine for (topic, group) — reopened from
+    * its durable snapshot on first touch. */
+  def shareGroup(topicName: String, groupId: String): ShareGroup =
+    shareGroupsReg.synchronized {
+      shareGroupsReg.getOrElseUpdate((topicName, groupId),
+        new ShareGroup(topic(topicName), groupId))
+    }
+
+  /** Install a pre-configured ShareGroup (custom delivery budget /
+    * lock timeout) for the wire path to serve — the kafka-configs
+    * group-config analog, and the specs' way to tighten budgets. */
+  private[streaming] def shareGroupsRegPut(topicName: String,
+      groupId: String, sg: ShareGroup): Unit =
+    shareGroupsReg.synchronized { shareGroupsReg((topicName, groupId)) = sg }
+
+  /** (groupId, topic) pairs with share state: live registry ∪ the
+    * durable `_share/` dirs under each hosted topic — a restarted
+    * broker lists groups it has not touched yet. */
+  def listShareGroups(): Seq[(String, String)] = {
+    val disk = listTopics().flatMap { t =>
+      val dir = Paths.get(root, t, "_share")
+      if (!Files.isDirectory(dir)) Seq.empty
+      else TopicLog.listDir(dir).flatMap { d =>
+        if (!Files.isDirectory(d)) None
+        else scala.util.Try(new String(java.util.Base64.getUrlDecoder
+          .decode(d.getFileName.toString), "UTF-8")).toOption.map(_ -> t)
+      }
+    }
+    val live = shareGroupsReg.synchronized {
+      shareGroupsReg.keys.map { case (t, g) => (g, t) }.toSeq
+    }
+    (disk ++ live).distinct.sorted
+  }
+
+  /** Per-(group, partition) share-group stats — the
+    * `kafka-share-groups.sh --describe` analog as a DataFrame beside
+    * [[consumer_group_lag]]: SPSO, in-flight acquisitions,
+    * redeliverable records, unpassed terminal records, and lag (log
+    * end − SPSO). Driver-side metadata render: the state maps are
+    * bounded by maxInFlightRecords per partition by construction. */
+  def shareGroupStats(now: Long = System.currentTimeMillis()): DataFrame = {
+    import spark.implicits._
+    listShareGroups().flatMap { case (g, t) =>
+      val sg = shareGroup(t, g)
+      val ends = topic(t).logEndOffsets()
+      (0 until topic(t).numPartitions).map { p =>
+        val (spso, acq, avail, term) = sg.stats(p, now)
+        (g, t, p, spso, acq.toLong, avail.toLong, term.toLong,
+          math.max(0L, ends.getOrElse(p, 0L) - spso))
+      }
+    }.toDF("group_id", "topic", "partition", "spso", "acquired",
+      "available", "terminal", "lag")
+  }
+
+  /** Share sessions: (group, member) → next expected epoch. KIP-932's
+    * session model is Fetch's KIP-227 shape — epoch 0 (re)opens, each
+    * request increments, −1 closes — but keyed by the member instead
+    * of a broker-assigned session id. Pure per-broker metadata. */
+  private val shareSessions =
+    scala.collection.mutable.Map.empty[(String, String), Int]
+
+  /** Validate + advance a share session. Returns 0, 122
+    * (SHARE_SESSION_NOT_FOUND) or 123 (INVALID_SHARE_SESSION_EPOCH).
+    * `allowOpen=false` (ShareAcknowledge) rejects epoch 0: an
+    * acknowledgement can only ride an existing session. */
+  private def shareSessionCheck(group: String, member: String,
+      epoch: Int, allowOpen: Boolean): Int = shareSessions.synchronized {
+    val key = (group, member)
+    epoch match {
+      case 0 =>
+        if (!allowOpen) 123
+        else { shareSessions(key) = 1; 0 }
+      case -1 =>
+        if (shareSessions.remove(key).isDefined) 0 else 122
+      case e if e > 0 =>
+        shareSessions.get(key) match {
+          case None => 122
+          case Some(exp) if exp != e => 123
+          case Some(_) => shareSessions(key) = e + 1; 0
+        }
+      case _ => 123
+    }
+  }
+
+  /** Expand + apply one partition's acknowledgement batches. Returns
+    * (errorCode, errorMessage): 42 for a malformed batch (inverted
+    * range, oversized range, type count neither 1 nor range-sized,
+    * unknown type), 121 (INVALID_RECORD_STATE) when any offset was
+    * not acquired by THIS member, else 0. */
+  private def applyShareAcks(sg: ShareGroup, partition: Int,
+      acks: Seq[KafkaWire.ShareAckBatch], now: Long,
+      memberId: String): (Int, String) = {
+    if (acks.isEmpty) return (0, null)
+    val expanded = Seq.newBuilder[(Long, ShareGroup.AckType)]
+    acks.foreach { b =>
+      val n = b.lastOffset - b.firstOffset + 1
+      if (b.firstOffset < 0 || n <= 0 || n > Broker.MaxShareAckRange)
+        return (42, s"bad acknowledgement range [${b.firstOffset}, ${b.lastOffset}]")
+      if (b.ackTypes.isEmpty ||
+          (b.ackTypes.length != 1 && b.ackTypes.length != n))
+        return (42, "acknowledge_types must carry one entry or one per offset")
+      if (b.ackTypes.exists(t => t < 0 || t > 3))
+        return (42, s"unknown acknowledge type ${b.ackTypes.find(t => t < 0 || t > 3).get}")
+      (0L until n).foreach { i =>
+        val t = if (b.ackTypes.length == 1) b.ackTypes.head
+          else b.ackTypes(i.toInt)
+        // 0 = gap (client confirming an undeliverable hole) and 3 =
+        // reject both land terminal-archived; 1 accepts, 2 releases
+        val ack: ShareGroup.AckType = t match {
+          case 1 => ShareGroup.Accept
+          case 2 => ShareGroup.Release
+          case _ => ShareGroup.Reject
+        }
+        expanded += ((b.firstOffset + i, ack))
+      }
+    }
+    val results = sg.acknowledge(partition, expanded.result(), now, memberId)
+    if (results.forall(_._2)) (0, null)
+    else (121, s"${results.count(!_._2)} offset(s) not in an " +
+      "acquirable-by-you state (never acquired, lock lapsed, or terminal)")
+  }
+
+  /** ShareFetch (key 78, v0): acknowledgements ride in, then up to
+    * partition_max_bytes of the earliest Available records are
+    * acquired under locks and served as one magic-2 batch, with the
+    * acquired (offset, delivery-count) runs beside the records.
+    * Offsets the log cannot serve (compaction/retention holes inside
+    * the in-flight window) are archived broker-side so the SPSO
+    * advances past them — the broker-written gap KIP-932 expects.
+    * Session epochs: 0 opens, +1 each request, −1 closes (acks still
+    * apply on the close, nothing new is acquired). */
+  def handleShareFetch(requestBytes: Array[Byte],
+      advertisedHost: String, advertisedPort: Int): Array[Byte] = {
+    val rl = maintenanceLock.readLock()
+    rl.lock()
+    try handleShareFetchLocked(requestBytes, advertisedHost, advertisedPort)
+    finally rl.unlock()
+  }
+
+  private def handleShareFetchLocked(requestBytes: Array[Byte],
+      advertisedHost: String, advertisedPort: Int): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeShareFetchRequest(requestBytes,
+      topicIdResolverFor(listTopics()))
+    val now = System.currentTimeMillis()
+    val member = if (req.memberId == null) "" else req.memberId
+    val group = if (req.groupId == null) "" else req.groupId
+    val closing = req.sessionEpoch == -1
+    val sessErr = shareSessionCheck(group, member, req.sessionEpoch,
+      allowOpen = true)
+    if (sessErr != 0)
+      return encodeShareFetchResponse(req.correlationId, sessErr,
+        if (sessErr == 122) "share session not found"
+        else s"invalid share session epoch ${req.sessionEpoch}",
+        Seq.empty, 0, advertisedHost, advertisedPort)
+    val results = req.topics.map { case (name, parts) =>
+      if (isUnknownIdName(name) || !topicExists(name))
+        (name, parts.map(p => ShareFetchPartResp(p.partition, 100,
+          "unknown topic id", 0, null, Seq.empty, Seq.empty)))
+      else {
+        val log = topic(name)
+        val sg = shareGroup(name, group)
+        (name, parts.map { p =>
+          if (p.partition < 0 || p.partition >= log.numPartitions)
+            ShareFetchPartResp(p.partition, 3,
+              s"partition ${p.partition} not found", 0, null,
+              Seq.empty, Seq.empty)
+          else {
+            val (ackErr, ackMsg) =
+              applyShareAcks(sg, p.partition, p.acks, now, member)
+            if (closing)
+              ShareFetchPartResp(p.partition, 0, null, ackErr, ackMsg,
+                Seq.empty, Seq.empty)
+            else {
+              // records cost ≥ ~12 wire bytes each; the cap over-covers
+              // the byte budget the same way handleFetch's collect does
+              val maxRecs = math.max(1, math.min(
+                sg.maxInFlightRecords, p.partitionMaxBytes / 12))
+              val acq = sg.acquire(p.partition, maxRecs, now, member)
+              val rows =
+                if (acq.isEmpty) Array.empty[org.apache.spark.sql.Row]
+                else sg.records(p.partition, acq.map(_.offset))
+                  .select("offset", "key", "value", "headers", "ts").collect()
+              val present = rows.map(_.getAs[Long]("offset")).toSet
+              // offsets acquired but gone from the data (compaction /
+              // retention holes): archive them NOW, as this member,
+              // so the SPSO advances instead of redelivering a hole
+              val gaps = acq.map(_.offset).filterNot(present)
+              if (gaps.nonEmpty)
+                sg.acknowledge(p.partition,
+                  gaps.map(_ -> (ShareGroup.Reject: ShareGroup.AckType)),
+                  now, member)
+              val records = rows.sortBy(_.getAs[Long]("offset")).map { r =>
+                val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
+                  .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+                val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
+                  .map(_.getTime).getOrElse(-1L)
+                (r.getAs[Long]("offset"), WireRecordV2(ts,
+                  r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+                  hdrs))
+              }.toSeq
+              ShareFetchPartResp(p.partition, 0, null, ackErr, ackMsg,
+                records, Broker.acquiredRuns(acq.filter(a => present(a.offset))))
+            }
+          }
+        })
+      }
+    }
+    encodeShareFetchResponse(req.correlationId, 0, null, results,
+      0, advertisedHost, advertisedPort)
+  }
+
+  /** ShareAcknowledge (key 79, v0): acknowledge without fetching.
+    * Epoch 0 is rejected (123) — an acknowledgement can only ride a
+    * session ShareFetch opened; −1 closes the session with the acks. */
+  def handleShareAcknowledge(requestBytes: Array[Byte],
+      advertisedHost: String, advertisedPort: Int): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeShareAcknowledgeRequest(requestBytes,
+      topicIdResolverFor(listTopics()))
+    val now = System.currentTimeMillis()
+    val member = if (req.memberId == null) "" else req.memberId
+    val group = if (req.groupId == null) "" else req.groupId
+    val sessErr = shareSessionCheck(group, member, req.sessionEpoch,
+      allowOpen = false)
+    if (sessErr != 0)
+      return encodeShareAcknowledgeResponse(req.correlationId, sessErr,
+        if (sessErr == 122) "share session not found"
+        else s"invalid share session epoch ${req.sessionEpoch}",
+        Seq.empty, 0, advertisedHost, advertisedPort)
+    val results = req.topics.map { case (name, parts) =>
+      if (isUnknownIdName(name) || !topicExists(name))
+        (name, parts.map { case (p, _) => (p, 100, "unknown topic id") })
+      else {
+        val log = topic(name)
+        val sg = shareGroup(name, group)
+        (name, parts.map { case (p, acks) =>
+          if (p < 0 || p >= log.numPartitions)
+            (p, 3, s"partition $p not found")
+          else {
+            val (err, msg) = applyShareAcks(sg, p, acks, now, member)
+            (p, err, msg)
+          }
+        })
+      }
+    }
+    encodeShareAcknowledgeResponse(req.correlationId, 0, null, results,
+      0, advertisedHost, advertisedPort)
   }
 
   /** DescribeGroups v0–v5: live membership from the coordinator; a
@@ -2394,6 +2668,32 @@ object Broker {
     * recovers via FETCH_SESSION_ID_NOT_FOUND → full fetch). */
   val MaxFetchSessions = 64
 
+  /** Widest acknowledgement batch one ShareFetch/ShareAcknowledge
+    * entry may span — far above any real in-flight window (which
+    * bounds what can legitimately be acknowledged) while keeping a
+    * hostile [0, Long.MaxValue] range from expanding in memory. */
+  val MaxShareAckRange = 10000L
+
+  /** Compress ascending acquisitions into the response's
+    * (first, last, delivery_count) runs: consecutive offsets at one
+    * delivery count collapse to a single entry. */
+  private[streaming] def acquiredRuns(
+      acq: Seq[ShareGroup.AcquiredRecord]): Seq[KafkaWire.ShareAcquired] = {
+    val out = Seq.newBuilder[KafkaWire.ShareAcquired]
+    var run: KafkaWire.ShareAcquired = null
+    acq.sortBy(_.offset).foreach { a =>
+      if (run != null && a.offset == run.lastOffset + 1 &&
+          a.deliveryCount == run.deliveryCount)
+        run = run.copy(lastOffset = a.offset)
+      else {
+        if (run != null) out += run
+        run = KafkaWire.ShareAcquired(a.offset, a.offset, a.deliveryCount)
+      }
+    }
+    if (run != null) out += run
+    out.result()
+  }
+
   /** Cap on remembered (producer_id, topic, partition) sequence
     * states — oldest-first eviction; an evicted producer's next send
     * looks like a non-zero fresh start → OUT_OF_ORDER (45) → the
@@ -2490,6 +2790,7 @@ object Broker {
   val TopicConfigDefaults: Seq[(String, String)] = Seq(
     "cleanup.policy" -> "delete",
     "retention.ms" -> "-1",
+    "retention.bytes" -> "-1",
     "compression.type" -> "producer",
     "max.message.bytes" -> DefaultMaxMessageBytes.toString,
     "min.cleanable.dirty.ratio" -> "0.5",
@@ -2500,7 +2801,8 @@ object Broker {
     * TBLPROPERTIES path. Returns null when valid, else the message. */
   def topicConfigError(configs: Seq[(String, String)]): String = {
     val allowed = TopicConfigDefaults.map(_._1).toSet
-    val numeric = Set("retention.ms", "max.message.bytes", "min.insync.replicas")
+    val numeric = Set("retention.ms", "retention.bytes", "max.message.bytes",
+      "min.insync.replicas")
     configs.collectFirst {
       case (n, _) if !allowed.contains(n) => s"unknown topic config '$n'"
       case (n, v) if numeric.contains(n) && v != null &&
@@ -2592,7 +2894,9 @@ object Broker {
     (74, "ListClientMetricsResources", 0,
       KafkaWire.ListClientMetricsResourcesMaxVersion),
     (75, "DescribeTopicPartitions", 0,
-      KafkaWire.DescribeTopicPartitionsMaxVersion))
+      KafkaWire.DescribeTopicPartitionsMaxVersion),
+    (78, "ShareFetch", 0, KafkaWire.ShareFetchMaxVersion),
+    (79, "ShareAcknowledge", 0, KafkaWire.ShareAcknowledgeMaxVersion))
 
   /** The ApiVersions-analog catalog the oracle-checked
     * `broker_api_versions` query serves. IDENTICAL to [[WireApis]] by

@@ -96,12 +96,16 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     * common subset, and an invalid pattern is rejected in-band either
     * way). */
   private def resolveRegex(pattern: String): Either[String, Set[String]] =
-    try {
-      val p = java.util.regex.Pattern.compile(pattern)
-      Right(allTopics().filter(t => p.matcher(t).matches()).toSet)
-    } catch {
-      case e: java.util.regex.PatternSyntaxException =>
-        Left(e.getMessage.linesIterator.next())
+    Group848Coordinator.unsupportedRegexConstruct(pattern) match {
+      case Some(what) => Left(s"$what is outside the RE2 subset")
+      case None =>
+        try {
+          val p = java.util.regex.Pattern.compile(pattern)
+          Right(allTopics().filter(t => p.matcher(t).matches()).toSet)
+        } catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            Left(e.getMessage.linesIterator.next())
+        }
     }
 
   /** Lazy regex re-resolution: any group access re-checks every
@@ -136,7 +140,10 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
       if (subscribedRegex == null || subscribedRegex.isEmpty) None
       else resolveRegex(subscribedRegex) match {
         case Left(msg) =>
-          return HeartbeatResult(42, s"invalid topic regex: $msg",
+          // INVALID_REGULAR_EXPRESSION (125) — the code Kafka 4.0's
+          // ConsumerGroupHeartbeat v1 answers for an unusable pattern
+          // (a strict client maps 42 to a different retry path)
+          return HeartbeatResult(125, s"invalid topic regex: $msg",
             memberIdIn, memberEpoch, None)
         case Right(s) => Some(s)
       }
@@ -298,5 +305,52 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
       expireMembers(g, now)
       (id, if (g.members.isEmpty) "Empty" else "Stable")
     }
+  }
+}
+
+object Group848Coordinator {
+  /** Detects constructs outside the java.util.regex ∩ RE2 common
+    * subset — backreferences, lookaround, atomic groups, Java named
+    * groups (RE2 spells them (?P<name>), possessive quantifiers. A
+    * subscription pattern using one would silently match DIFFERENT
+    * topics than a real 4.0 broker's RE2 evaluation, so it is
+    * rejected in-band (125) instead. Escape- and character-class-
+    * aware: `\(?=` is a literal paren, `[\1]` an octal class member. */
+  private[streaming] def unsupportedRegexConstruct(
+      pattern: String): Option[String] = {
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\\' && i + 1 < pattern.length) {
+        val n = pattern.charAt(i + 1)
+        if (!inClass && n >= '1' && n <= '9')
+          return Some(s"backreference \\$n")
+        if (!inClass && n == 'k')
+          return Some("named backreference \\k")
+        i += 2
+      } else {
+        if (c == '[' && !inClass) inClass = true
+        else if (c == ']' && inClass) inClass = false
+        else if (!inClass && c == '(' && i + 1 < pattern.length &&
+            pattern.charAt(i + 1) == '?' && i + 2 < pattern.length) {
+          pattern.charAt(i + 2) match {
+            case '=' | '!' => return Some(s"lookahead (?${pattern.charAt(i + 2)}")
+            case '<' if i + 3 < pattern.length &&
+                (pattern.charAt(i + 3) == '=' || pattern.charAt(i + 3) == '!') =>
+              return Some("lookbehind (?<")
+            case '<' =>
+              return Some("Java named group (?<name> (RE2 spells (?P<name>)")
+            case '>' => return Some("atomic group (?>")
+            case _ => () // (?: (?i) etc. — shared syntax
+          }
+        } else if (!inClass && (c == '*' || c == '+' || c == '?' || c == '}') &&
+            i + 1 < pattern.length && pattern.charAt(i + 1) == '+') {
+          return Some(s"possessive quantifier $c+")
+        }
+        i += 1
+      }
+    }
+    None
   }
 }

@@ -6051,6 +6051,10 @@ object KafkaWire {
       rackId: String = null, rebalanceTimeoutMs: Int = -1,
       subscribedTopicRegex: String = null, version: Int = 0): Array[Byte] = {
     require(version >= 0 && version <= ConsumerGroupHeartbeatMaxVersion)
+    // the regex field only exists at v1+: silently encoding a frame
+    // that drops what the caller asked for would be a lossy lie
+    require(subscribedTopicRegex == null || version >= 1,
+      "subscribedTopicRegex requires ConsumerGroupHeartbeat v1+")
     val out = new ByteArrayOutputStream()
     requestHeader(out, ConsumerGroupHeartbeatApiKey, version, correlationId,
       clientId, flexible = true)
@@ -6695,5 +6699,346 @@ object KafkaWire {
     val next = readDtpCursor(r)
     r.tags()
     (correlationId, topics, next)
+  }
+
+  // --- ShareFetch (key 78) / ShareAcknowledge (key 79) v0 — the
+  // KIP-932 data path a Kafka 4.x share consumer speaks (flexible
+  // from v0, topic-id keyed like Fetch v13). The state machine
+  // behind them is [[graft.streaming.ShareGroup]]; these codecs are
+  // the wire shape only. ---
+
+  val ShareFetchApiKey = 78
+  val ShareFetchMaxVersion = 0
+  val ShareAcknowledgeApiKey = 79
+  val ShareAcknowledgeMaxVersion = 0
+
+  /** One acknowledgement batch over offsets [first, last]: either ONE
+    * acknowledge type applying to the whole range, or one per offset.
+    * Types (KIP-932): 0 gap, 1 accept, 2 release, 3 reject. */
+  final case class ShareAckBatch(firstOffset: Long, lastOffset: Long,
+      ackTypes: Seq[Int])
+
+  final case class ShareFetchPartition(partition: Int,
+      partitionMaxBytes: Int, acks: Seq[ShareAckBatch])
+
+  final case class ShareFetchRequest(correlationId: Int, clientId: String,
+      groupId: String, memberId: String, sessionEpoch: Int,
+      maxWaitMs: Int, minBytes: Int, maxBytes: Int,
+      topics: Seq[(String, Seq[ShareFetchPartition])],
+      forgotten: Seq[(String, Seq[Int])])
+
+  private def writeShareAckBatches(w: WR, acks: Seq[ShareAckBatch]): Unit = {
+    w.count(acks.length)
+    acks.foreach { b =>
+      w.i64(b.firstOffset); w.i64(b.lastOffset)
+      w.count(b.ackTypes.length); b.ackTypes.foreach(w.i8)
+      w.tags()
+    }
+  }
+
+  private def readShareAckBatches(r: RD): Seq[ShareAckBatch] =
+    (0 until r.count()).map { _ =>
+      val first = r.i64(); val last = r.i64()
+      val types = (0 until r.count()).map(_ => r.i8()).toSeq
+      r.tags()
+      ShareAckBatch(first, last, types)
+    }.toSeq
+
+  def encodeShareFetchRequest(correlationId: Int, clientId: String,
+      groupId: String, memberId: String, sessionEpoch: Int,
+      topics: Seq[(String, Seq[ShareFetchPartition])],
+      forgotten: Seq[(String, Seq[Int])] = Seq.empty,
+      maxWaitMs: Int = 500, minBytes: Int = 1,
+      maxBytes: Int = 64 * 1024 * 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ShareFetchApiKey, 0, correlationId, clientId,
+      flexible = true)
+    val w = new WR(out, flexible = true)
+    w.str(groupId)
+    w.str(memberId)
+    w.i32(sessionEpoch)
+    w.i32(maxWaitMs)
+    w.i32(minBytes)
+    w.i32(maxBytes)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.uuid(topicUuid(name))
+      w.count(parts.length)
+      parts.foreach { p =>
+        w.i32(p.partition)
+        w.i32(p.partitionMaxBytes)
+        writeShareAckBatches(w, p.acks)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.count(forgotten.length)
+    forgotten.foreach { case (name, parts) =>
+      w.uuid(topicUuid(name))
+      w.count(parts.length); parts.foreach(w.i32)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeShareFetchRequest(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : ShareFetchRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ShareFetchApiKey, "not a ShareFetch request")
+    require(buf.getShort.toInt == 0, "unsupported ShareFetch version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val groupId = r.str()
+    val memberId = r.str()
+    val sessionEpoch = r.i32()
+    val maxWaitMs = r.i32()
+    val minBytes = r.i32()
+    val maxBytes = r.i32()
+    def resolve(id: Array[Byte]): String =
+      topicIdResolver(id).getOrElse(unknownIdName(id))
+    val topics = (0 until r.count()).map { _ =>
+      val name = resolve(r.uuid())
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32(); val pmb = r.i32()
+        val acks = readShareAckBatches(r)
+        r.tags()
+        ShareFetchPartition(p, pmb, acks)
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }.toSeq
+    val forgotten = (0 until r.count()).map { _ =>
+      val name = resolve(r.uuid())
+      val parts = (0 until r.count()).map(_ => r.i32()).toSeq
+      r.tags()
+      (name, parts)
+    }.toSeq
+    r.tags()
+    ShareFetchRequest(correlationId, clientId, groupId, memberId,
+      sessionEpoch, maxWaitMs, minBytes, maxBytes, topics, forgotten)
+  }
+
+  /** One acquired-records run in a ShareFetch response: offsets
+    * [first, last] handed out at this delivery count. */
+  final case class ShareAcquired(firstOffset: Long, lastOffset: Long,
+      deliveryCount: Int)
+
+  final case class ShareFetchPartResp(partition: Int, errorCode: Int,
+      errorMessage: String, ackErrorCode: Int, ackErrorMessage: String,
+      records: Seq[(Long, WireRecordV2)], acquired: Seq[ShareAcquired])
+
+  def encodeShareFetchResponse(correlationId: Int, errorCode: Int,
+      errorMessage: String,
+      topics: Seq[(String, Seq[ShareFetchPartResp])],
+      nodeId: Int = 0, host: String = null, port: Int = 0,
+      compression: Int = CompressionNone): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.uuid(idOfName(name))
+      w.count(parts.length)
+      parts.foreach { p =>
+        w.i32(p.partition)
+        w.i16(p.errorCode)
+        w.str(p.errorMessage)
+        w.i16(p.ackErrorCode)
+        w.str(p.ackErrorMessage)
+        w.i32(nodeId); w.i32(0); w.tags() // current_leader (epoch 0)
+        val payload =
+          if (p.records.isEmpty) null
+          else encodeRecordBatchV2WithOffsets(p.records.head._2.timestampMs,
+            p.records, compression)
+        w.bytes(payload)
+        w.count(p.acquired.length)
+        p.acquired.foreach { a =>
+          w.i64(a.firstOffset); w.i64(a.lastOffset); w.i16(a.deliveryCount)
+          w.tags()
+        }
+        w.tags()
+      }
+      w.tags()
+    }
+    // node_endpoints: this broker, when the caller names it
+    if (host == null) w.count(0)
+    else {
+      w.count(1)
+      w.i32(nodeId); w.str(host); w.i32(port); w.str(null); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, errorMessage, topics). */
+  def decodeShareFetchResponse(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : (Int, Int, String, Seq[(String, Seq[ShareFetchPartResp])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    val errMsg = r.str()
+    val topics = (0 until r.count()).map { _ =>
+      val id = r.uuid()
+      val name = topicIdResolver(id).getOrElse(unknownIdName(id))
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32(); val pe = r.i16(); val pm = r.str()
+        val ae = r.i16(); val am = r.str()
+        r.i32(); r.i32(); r.tags() // current_leader
+        val payload = r.bytes()
+        val records =
+          if (payload == null || payload.isEmpty) Seq.empty[(Long, WireRecordV2)]
+          else decodeRecordsBlock(payload)
+        val acquired = (0 until r.count()).map { _ =>
+          val a = ShareAcquired(r.i64(), r.i64(), r.i16())
+          r.tags()
+          a
+        }.toSeq
+        r.tags()
+        ShareFetchPartResp(p, pe, pm, ae, am, records, acquired)
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }.toSeq
+    // node_endpoints
+    (0 until r.count()).foreach { _ =>
+      r.i32(); r.str(); r.i32(); r.str(); r.tags()
+    }
+    r.tags()
+    (correlationId, err, errMsg, topics)
+  }
+
+  final case class ShareAcknowledgeRequest(correlationId: Int,
+      clientId: String, groupId: String, memberId: String,
+      sessionEpoch: Int,
+      topics: Seq[(String, Seq[(Int, Seq[ShareAckBatch])])])
+
+  def encodeShareAcknowledgeRequest(correlationId: Int, clientId: String,
+      groupId: String, memberId: String, sessionEpoch: Int,
+      topics: Seq[(String, Seq[(Int, Seq[ShareAckBatch])])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ShareAcknowledgeApiKey, 0, correlationId, clientId,
+      flexible = true)
+    val w = new WR(out, flexible = true)
+    w.str(groupId)
+    w.str(memberId)
+    w.i32(sessionEpoch)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.uuid(topicUuid(name))
+      w.count(parts.length)
+      parts.foreach { case (p, acks) =>
+        w.i32(p)
+        writeShareAckBatches(w, acks)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeShareAcknowledgeRequest(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : ShareAcknowledgeRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ShareAcknowledgeApiKey,
+      "not a ShareAcknowledge request")
+    require(buf.getShort.toInt == 0, "unsupported ShareAcknowledge version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val groupId = r.str()
+    val memberId = r.str()
+    val sessionEpoch = r.i32()
+    val topics = (0 until r.count()).map { _ =>
+      val id = r.uuid()
+      val name = topicIdResolver(id).getOrElse(unknownIdName(id))
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32()
+        val acks = readShareAckBatches(r)
+        r.tags()
+        (p, acks)
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }.toSeq
+    r.tags()
+    ShareAcknowledgeRequest(correlationId, clientId, groupId, memberId,
+      sessionEpoch, topics)
+  }
+
+  def encodeShareAcknowledgeResponse(correlationId: Int, errorCode: Int,
+      errorMessage: String,
+      topics: Seq[(String, Seq[(Int, Int, String)])],
+      nodeId: Int = 0, host: String = null, port: Int = 0): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.uuid(idOfName(name))
+      w.count(parts.length)
+      parts.foreach { case (p, err, msg) =>
+        w.i32(p)
+        w.i16(err)
+        w.str(msg)
+        w.i32(nodeId); w.i32(0); w.tags() // current_leader (epoch 0)
+        w.tags()
+      }
+      w.tags()
+    }
+    if (host == null) w.count(0)
+    else {
+      w.count(1)
+      w.i32(nodeId); w.str(host); w.i32(port); w.str(null); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, errorMessage,
+    * (topic, (partition, errorCode, errorMessage)*)*). */
+  def decodeShareAcknowledgeResponse(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : (Int, Int, String, Seq[(String, Seq[(Int, Int, String)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle
+    val err = r.i16()
+    val errMsg = r.str()
+    val topics = (0 until r.count()).map { _ =>
+      val id = r.uuid()
+      val name = topicIdResolver(id).getOrElse(unknownIdName(id))
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32(); val pe = r.i16(); val pm = r.str()
+        r.i32(); r.i32(); r.tags() // current_leader
+        r.tags()
+        (p, pe, pm)
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }.toSeq
+    (0 until r.count()).foreach { _ =>
+      r.i32(); r.str(); r.i32(); r.str(); r.tags()
+    }
+    r.tags()
+    (correlationId, err, errMsg, topics)
   }
 }

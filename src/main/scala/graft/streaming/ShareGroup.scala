@@ -90,8 +90,14 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     val body = ShareStore.render(version, log.numPartitions, i =>
       ShareStore.PState(i, spso(i), acquired(i).toSeq.sortBy(_._1),
         available(i).toSeq.sortBy(_._1), terminal(i).toSeq.sortBy(_._1)))
-    try ShareStore.commit(stateDir, version, body)
-    catch {
+    try {
+      ShareStore.commit(stateDir, version, body)
+      // each snapshot is FULL state, so only the newest matters; keep
+      // a one-version window behind it (a reader resolving the old max
+      // mid-commit) and drop the rest — without this a long-running
+      // group leaks one file per acquire/acknowledge forever
+      ShareStore.prune(stateDir, version - 1)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // a second live writer claimed this version: the share-group
         // state machine is single-writer per (topic, group) — record
@@ -222,9 +228,11 @@ final class ShareGroup(log: TopicLog, val groupId: String,
             consumerId)
           throw e
       }
-      acknowledge(partition, offs.map(_ -> (Accept: AckType)), tick,
-        consumerId)
-      accepted += offs.size
+      // count only acks that LANDED: a lock that lapsed mid-process
+      // and was re-acquired elsewhere fails its offset in-band, and
+      // that record is the other consumer's to accept, not ours
+      accepted += acknowledge(partition, offs.map(_ -> (Accept: AckType)),
+        tick, consumerId).count(_._2)
       tick += 1
       batch = acquire(partition, batchSize, tick, consumerId)
     }
@@ -319,6 +327,18 @@ private[streaming] object ShareStore {
     try Files.createLink(dir.resolve(s"v$version.json"), tmp)
     finally Files.deleteIfExists(tmp)
   }
+
+  /** Drop snapshot versions below `keepFrom` (full-state snapshots:
+    * only the newest is ever read back). */
+  private[streaming] def prune(dir: Path, keepFrom: Long): Unit =
+    if (Files.exists(dir))
+      TopicLog.listDir(dir).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json")) {
+          val v = n.stripPrefix("v").stripSuffix(".json").toLongOption
+          if (v.exists(_ < keepFrom)) Files.deleteIfExists(p)
+        }
+      }
 
   private[streaming] def load(dir: Path): Option[(Long, Seq[PState])] = {
     if (!Files.exists(dir)) return None

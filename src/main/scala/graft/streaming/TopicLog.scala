@@ -617,6 +617,51 @@ class TopicLog private (
   def expire(olderThan: java.sql.Timestamp): Unit =
     rewrite(_.filter(col("ts") >= lit(olderThan)))
 
+  /** Size-based retention (`retention.bytes`), Kafka's shape: per
+    * partition, shed the OLDEST produce files — whole files, the way
+    * Kafka deletes whole segments — until what remains fits
+    * `capBytes`; the newest file always survives (the active-segment
+    * rule, so a single oversized file can't empty the log). File
+    * age order is the manifest's per-file offset ranges; a partition
+    * with any range-less file (pre-range manifests) is skipped
+    * rather than guessed at. Returns the per-partition first
+    * surviving offsets applied; survivors keep their offsets. One
+    * rewrite covers every capped partition. */
+  def enforceSizeRetention(capBytes: Long): Map[Int, Long] = {
+    if (capBytes <= 0) return Map.empty
+    val m = currentManifest().getOrElse(return Map.empty)
+    val cuts: Map[Int, Long] = m.files
+      .groupBy(f => TopicLog.partitionOf(f))
+      .collect { case (Some(p), files) => p -> files }
+      .flatMap { case (p, files) =>
+        val sized = files.map { f =>
+          val sz = try Files.size(Paths.get(s"$dataDir/$f"))
+            catch { case _: java.io.IOException => 0L }
+          (f, sz, m.fileRanges.get(f))
+        }
+        if (sized.exists(_._3.isEmpty)) None
+        else {
+          val sorted = sized.map { case (f, sz, r) => (f, sz, r.get) }
+            .sortBy(_._3._1)
+          var total = sorted.map(_._2).sum
+          var cut = -1L
+          var i = 0
+          while (total > capBytes && i < sorted.length - 1) {
+            total -= sorted(i)._2
+            cut = sorted(i)._3._2 + 1
+            i += 1
+          }
+          if (cut >= 0) Some(p -> cut) else None
+        }
+      }
+    if (cuts.nonEmpty)
+      rewrite(df => df.filter(
+        cuts.foldLeft(lit(true)) { case (keep, (p, cut)) =>
+          keep && !(col("partition") === p && col("offset") < cut)
+        }))
+    cuts
+  }
+
   /** Small-file compaction: rewrite the log's CONTENT-IDENTICAL data
     * into one coalesced, offset-sorted file set per partition and
     * re-point the manifest. Frequent small produces accumulate one

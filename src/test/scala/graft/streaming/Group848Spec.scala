@@ -214,11 +214,35 @@ class Group848Spec extends AnyFunSuite {
         encodeConsumerGroupDescribeRequest(4, "cli", Seq("rx"))))
       assert(described.head.members.head.subscribedTopicRegex === "logs-.*")
 
-      // an invalid pattern answers 42 in-band, group untouched
+      // an invalid pattern answers INVALID_REGULAR_EXPRESSION (125)
+      // in-band — AK 4.0's code for an unusable v1 pattern — group
+      // untouched
       val bad = hb(5, "", 0, regex = "[unclosed")
-      assert(bad._2 === 42)
+      assert(bad._2 === 125)
       val still = hb(6, id, 2)
       assert(still._2 === 0 && still._5 === 2)
+
+      // the RE2-subset guard: constructs java.util.regex accepts but
+      // RE2 (the engine a real 4.0 broker evaluates) does not —
+      // backreferences, lookaround, atomic groups, Java named groups,
+      // possessive quantifiers — answer 125 instead of silently
+      // matching DIFFERENT topics than a real broker would; rejection
+      // happens before any group mutation, so these legs are inert
+      assert(hb(50, "", 0, regex = "(logs-)\\1")._2 === 125)
+      assert(hb(51, "", 0, regex = "logs-(?=a).*")._2 === 125)
+      assert(hb(52, "", 0, regex = "(?<=x)logs-.*")._2 === 125)
+      assert(hb(53, "", 0, regex = "(?<name>logs)-.*")._2 === 125)
+      assert(hb(54, "", 0, regex = "logs-a*+b")._2 === 125)
+      assert(hb(55, "", 0, regex = "(?>logs)-.*")._2 === 125)
+      // ... while escaped/class forms of the same characters pass the
+      // guard, and shared syntax ((?:, (?i)) stays legal
+      import Group848Coordinator.{unsupportedRegexConstruct => guard}
+      assert(guard("logs-\\(\\?=a.*") === None)
+      assert(guard("[(?=]logs") === None)
+      assert(guard("(?:logs|metrics)-.*") === None)
+      assert(guard("(?i)LOGS-.*") === None)
+      assert(guard("a\\\\1") === None) // \\ is a literal backslash, then '1'
+      assert(guard("(a)\\1") === Some("backreference \\1"))
 
       // clearing the regex ("" per the field contract) empties the
       // subscription: the member is told to revoke everything with

@@ -445,4 +445,73 @@ class ModernClientTraceSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("a 4.x share consumer's data path: ShareFetch/ShareAcknowledge driven") {
+    // kafka-console-share-consumer.sh (KIP-932, AK 4.0+): after
+    // ApiVersions it requires keys 78/79, then loops ShareFetch
+    // (epoch 0 opens the share session) with acknowledgements riding
+    // the next fetch, and closes at epoch −1. This leg replays that
+    // loop at the negotiated v0. (The membership RPC, ShareGroup-
+    // Heartbeat 76, is not yet served — graft binds the session to
+    // the client-supplied member id instead; documented in SURVEY.)
+    val root = Files.createTempDirectory("graft-trace-share").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("tq", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val apis = decodeApiVersionsResponseV3(exchange(sock,
+        encodeApiVersionsRequestV3(1, "trace-share", "apache-kafka-java",
+          "4.0.0")))
+      val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
+      // the share consumer's decision point: both queue RPCs served
+      assert(advertised(KafkaWire.ShareFetchApiKey) === ((0, 0)))
+      assert(advertised(KafkaWire.ShareAcknowledgeApiKey) === ((0, 0)))
+
+      // records arrive over the idempotent produce path first
+      def rec(k: String, v: String) =
+        WireRecordV2(1700000000000L, k.getBytes("UTF-8"), v.getBytes("UTF-8"))
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 2, "trace-share", null, 1, 30000,
+          Seq(("tq", Seq((0, Seq(rec("a", "va"), rec("b", "vb"),
+            rec("c", "vc")))))))))
+
+      val resolver = topicIdResolverFor(Seq("tq"))
+      // epoch 0 opens the share session and acquires the batch
+      val r1 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(3, "trace-share", "sg4x", "sm-1", 0,
+          Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
+        resolver)
+      assert(r1._2 === 0)
+      val p1 = r1._4.head._2.head
+      assert(p1.records.map(r => new String(r._2.value, "UTF-8"))
+        === Seq("va", "vb", "vc"))
+      assert(p1.acquired === Seq(ShareAcquired(0L, 2L, 1)))
+
+      // the processing loop's shape: the NEXT fetch carries the acks
+      val r2 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(4, "trace-share", "sg4x", "sm-1", 1,
+          Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20,
+            Seq(ShareAckBatch(0L, 2L, Seq(1)))))))), resolver)
+      assert(r2._2 === 0)
+      assert(r2._4.head._2.head.ackErrorCode === 0)
+      assert(r2._4.head._2.head.records.isEmpty) // everything terminal
+
+      // clean shutdown: epoch −1 closes the share session
+      val r3 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(5, "trace-share", "sg4x", "sm-1", -1,
+          Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
+        resolver)
+      assert(r3._2 === 0)
+      // the drained group is visible to admin tooling as type "share"
+      val (_, _, groups) = decodeListGroupsResponse(5, exchange(sock,
+        encodeListGroupsRequest(5, 6, "trace-share",
+          typesFilter = Seq("share"))))
+      assert(groups === Seq(("sg4x", "share", "Stable", "share")))
+      assert(broker.shareGroup("tq", "sg4x").startOffset(0) === 3L)
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }

@@ -197,4 +197,72 @@ class RetentionTickSpec extends AnyFunSuite {
     // ...and the ancient seed did not (some tick ran meanwhile)
     assert(!rows.contains("ancient"))
   }
+
+  test("retention.bytes sheds exactly the oldest files; the tick applies it") {
+    val root = Files.createTempDirectory("graft-tickbytes").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("capped", 1)
+    val server = new WireServer(broker, retentionTickMs = 300L).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // three separate produces → three files per the manifest, in
+      // offset order: [0,1] [2,3] [4,5]
+      val now = System.currentTimeMillis()
+      Seq("a", "b", "c").zipWithIndex.foreach { case (tag, i) =>
+        decodeProduceResponse(9, exchange(sock,
+          encodeProduceRequest(9, i + 1, "cli", null, 1, 30000,
+            Seq(("capped", Seq((0, Seq(recAt(now, s"$tag-0"),
+              recAt(now, s"$tag-1")))))))))
+      }
+      val total = broker.topic("capped").partitionSizes()(0)
+      // the config lands through the WIRE path (key 44) — the same
+      // validator every config door shares must accept it
+      val (_, alterRes) = decodeIncrementalAlterConfigsResponse(1,
+        exchange(sock, encodeIncrementalAlterConfigsRequest(1, 10, "cli",
+          Seq((2, "capped", Seq(("retention.bytes", 0, (total - 1).toString)))))))
+      assert(alterRes === Seq((0, null, 2, "capped")))
+      // ... and a bogus value is rejected by the shared validator
+      val (_, badRes) = decodeIncrementalAlterConfigsResponse(1,
+        exchange(sock, encodeIncrementalAlterConfigsRequest(1, 11, "cli",
+          Seq((2, "capped", Seq(("retention.bytes", 0, "many")))))))
+      assert(badRes.head._1 === 40)
+
+      // DescribeConfigs echoes the override as a topic-level value
+      val (_, desc) = decodeDescribeConfigsResponse(4, exchange(sock,
+        encodeDescribeConfigsRequest(4, 12, "cli",
+          Seq((2, "capped", Some(Seq("retention.bytes")))))))
+      assert(desc.head._5 === Seq(("retention.bytes",
+        (total - 1).toString, true)), "served as a DYNAMIC override")
+
+      // the tick enforces the cap with no explicit call: dropping the
+      // oldest file brings the partition under it, so exactly the
+      // first produce's records [0,1] vanish; survivors keep offsets
+      def survivors(corr: Int): Seq[(Long, String)] = {
+        val (_, topics) = decodeFetchResponse(12, exchange(sock,
+          encodeFetchRequest(12, corr, "cli", 100, 1, 1 << 20,
+            Seq(("capped", Seq((0, 0L, 1 << 20)))))))
+        topics.head._2.head._4.map(r =>
+          (r._1, new String(r._2.value, "UTF-8")))
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      var corr = 20
+      var got = survivors(corr)
+      while (got.length != 4 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        corr += 1
+        got = survivors(corr)
+      }
+      assert(got === Seq((2L, "b-0"), (3L, "b-1"), (4L, "c-0"),
+        (5L, "c-1")),
+        "size retention sheds whole oldest files; survivors keep offsets")
+      // the newest file always survives, even if still over the cap:
+      // cap far below one file's size must keep the last produce
+      broker.topic("capped").enforceSizeRetention(1L)
+      val after = broker.topic("capped").read()
+        .selectExpr("offset", "cast(value as string) as v")
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(after.toSeq === Seq((4L, "c-0"), (5L, "c-1")),
+        "the active-file rule: a cap below one file keeps the newest file")
+    } finally { sock.close(); server.close() }
+  }
 }

@@ -80,7 +80,7 @@ def main(sf_dir, out_dir):
             oracle = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1
-            results[name] = dict(err=f"oracle_error", hash_match=None,
+            results[name] = dict(err=f"oracle_error: {e}", hash_match=None,
                 rows_match=None, schema_match=None, spark_rows=None,
                 oracle_rows=None)
             continue
