@@ -88,6 +88,65 @@ object OraclesPipeline {
       |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
 
+  /** Hybrid BM25 ⊕ vector RRF: both branch top-20s restated (the
+    * text_bm25_topk BM25 recipe per query over the doc_id ≥ 5 corpus;
+    * the ann_bruteforce cosine over the vec_id ≥ 5 corpus), fused by
+    * 1/(60+rank) — integer ranks through one exact double division
+    * per branch, so the fusion agrees bit-for-bit. The term lists are
+    * the engine's constants; every scoring step is re-derived here. */
+  private val annHybridSql: String = {
+    val qs = graft.operators.Similarity.hybridQueries
+    val dfCols = qs.flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_${q}_$i"
+    } }.mkString(",\n    ")
+    val tfCols = qs.flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_${q}_$i"
+    } }.mkString(",\n    ")
+    def score(q: Long, nTerms: Int) = (0 until nTerms).map { i =>
+      s"round(ln((n_docs - df_${q}_$i + 0.5) / (df_${q}_$i + 0.5) + 1.0), 4)" +
+        s" * (tf_${q}_$i * 2.2) / (tf_${q}_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    }.mkString("\n      + ")
+    val lexLegs = qs.map { case (q, ts) =>
+      s"SELECT CAST($q AS BIGINT) AS qid, doc_id,\n      ${score(q, ts.length)} AS lex_score FROM tf, st"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents WHERE doc_id >= 5),
+       |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       |    $dfCols
+       |  FROM dl),
+       |tf AS (SELECT doc_id, dl,
+       |    $tfCols
+       |  FROM dl),
+       |lex AS (
+       |  $lexLegs),
+       |lexr AS (SELECT qid, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY lex_score DESC, doc_id ASC) AS BIGINT) AS lex_rank FROM lex),
+       |lext AS (SELECT * FROM lexr WHERE lex_rank <= 20),
+       |e AS ($embDouble),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |vs AS (SELECT qid, vec_id AS doc_id, ${cosR("qv", "v")} AS cos_sim
+       |       FROM c CROSS JOIN q),
+       |vr AS (SELECT qid, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank FROM vs),
+       |vt AS (SELECT * FROM vr WHERE vec_rank <= 20),
+       |f AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank),
+       |        CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank),
+       |        CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+       |  FROM lext l FULL OUTER JOIN vt v
+       |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank FROM f)
+       |SELECT qid, rank, doc_id, COALESCE(lex_rank, -1) AS lex_rank,
+       |  COALESCE(vec_rank, -1) AS vec_rank, rrf_score
+       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   private val annBruteforceSql: String =
     s"""WITH e AS ($embDouble),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -266,6 +325,8 @@ object OraclesPipeline {
          |GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ann_bruteforce_topk" -> annBruteforceSql,
+
+    "ann_hybrid_search" -> annHybridSql,
 
     "mm_features" ->
       """SELECT doc_id,

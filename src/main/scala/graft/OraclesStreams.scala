@@ -168,6 +168,18 @@ object OraclesStreams {
         |  COUNT(*) AS spso, CAST(0 AS BIGINT) AS in_flight
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
 
+    // the describe surface after a full drain: SPSO = the partition's
+    // record count, nothing in flight, nothing redeliverable, nothing
+    // terminal-unpassed, zero lag — restated as a plain partition
+    // count (the engine side must DISCOVER the group from its durable
+    // _share dir through a cold Broker registry to serve this)
+    "share_group_describe" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+        |  COUNT(*) AS spso, CAST(0 AS BIGINT) AS acquired,
+        |  CAST(0 AS BIGINT) AS available, CAST(0 AS BIGINT) AS terminal,
+        |  CAST(0 AS BIGINT) AS lag
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+
     "materialized_view_agg" ->
       """SELECT event_type, COUNT(*) AS n_records,
         |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)

@@ -68,6 +68,7 @@ object SparkEntry {
     "json_props_agg" -> Streams.jsonPropsAgg _,
     "materialized_view_agg" -> Streams.materializedViewAgg _,
     "share_group_drain" -> Streams.shareGroupDrain _,
+    "share_group_describe" -> Streams.shareGroupDescribe _,
     // §2h event-stream analytics
     "events_sessionize" -> EventAnalytics.sessionize _,
     "events_funnel" -> EventAnalytics.funnel _,
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_span_exact" -> Dedup.dedupSpanExact _,
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
+    "ann_hybrid_search" -> Similarity.annHybridSearch _,
     "ann_lsh_topk" -> Similarity.annLshTopk _,
     "ann_ivf_topk" -> Similarity.annIvfTopk _,
     "ann_pq_topk" -> Similarity.annPqTopk _,

@@ -43,6 +43,109 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** The hybrid-search query set: each query is a (vector, term-list)
+    * pair — the query embedding is the same-id corpus vector (ids
+    * 0–2, excluded from the corpus side with the ann convention's
+    * id ≥ 5 cut), the terms come from the corpus vocabulary. Shared
+    * by the engine and (as literals) the DuckDB oracle. */
+  private[graft] val hybridQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join", "window", "fast"),
+    1L -> Seq("data", "column", "batch", "scan"),
+    2L -> Seq("key", "value", "hash", "table"))
+
+  /** Hybrid retrieval — BM25 ⊕ vector cosine fused with reciprocal
+    * rank fusion (RRF, Cormack et al. 2009), the shape RAG pipelines
+    * actually run: each branch produces its own top-20 (lexical: the
+    * text_bm25_topk recipe per query — ln-quantized idf, one corpus
+    * stats agg broadcast back; vector: ann_bruteforce's broadcast-
+    * query cosine), then RRF scores 1/(60+rank) from the RANKS alone
+    * (integer arithmetic into one exact double division per branch —
+    * fully oracle-expressible) and the fused top-10 serves.
+    *
+    * Scale shape: the corpus crosses a shuffle only at the two
+    * per-branch rank windows, both WindowGroupLimit-bounded (≤ k+1
+    * rows buffered per query); the stats agg reduces to ONE row and
+    * broadcasts back; the fusion join touches 2·k·|queries| rows —
+    * nothing downstream of the branch top-ks is corpus-sized. At
+    * 100 TB the brute-force vector branch swaps for ann_ivf_topk's
+    * cell-pruned scan; the fusion arithmetic is unchanged. */
+  def annHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val branchK = 20
+    val rrfK = 60
+    val topN = 10
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") >= 5)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val allTerms = hybridQueries.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (term, i) => (q, term, i) } }
+    // ONE corpus pass computes every query's document frequencies
+    val aggs = Seq(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl")) ++
+      allTerms.map { case (q, term, i) =>
+        count(when(array_contains(col("toks"), term), 1))
+          .cast("double").as(s"df_${q}_$i")
+      }
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+    val withTf = allTerms.foldLeft(docs.crossJoin(broadcast(stats))) {
+      case (df, (q, term, i)) =>
+        df.withColumn(s"tf_${q}_$i",
+          size(filter(col("toks"), x => x === lit(term))).cast("double"))
+    }
+    // the exact text_bm25_topk association, per query
+    val norm = lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")
+    def scoreFor(q: Long, ts: Seq[String]) =
+      ts.indices.map { i =>
+        val idf = round(
+          log((col("n_docs") - col(s"df_${q}_$i") + lit(0.5)) /
+            (col(s"df_${q}_$i") + lit(0.5)) + lit(1.0)), 4)
+        idf * (col(s"tf_${q}_$i") * lit(k1 + 1.0)) /
+          (col(s"tf_${q}_$i") + lit(k1) * norm)
+      }.reduceLeft(_ + _)
+    val lexScored = withTf.select(col("doc_id"),
+      explode(array(hybridQueries.map { case (q, ts) =>
+        struct(lit(q).as("qid"), scoreFor(q, ts).as("lex_score"))
+      }: _*)).as("q"))
+      .select(col("q.qid").as("qid"), col("doc_id"), col("q.lex_score"))
+    val wl = Window.partitionBy("qid")
+      .orderBy(col("lex_score").desc, col("doc_id").asc)
+    val lexTop = lexScored
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= branchK)
+      .select("qid", "doc_id", "lex_rank")
+
+    val e = emb(spark, dir)
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val wv = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val vecTop = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= branchK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("vec_rank"))
+
+    // RRF from the ranks alone: absent-branch docs contribute 0.0
+    val fused = lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6))
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        col("rrf_score"))
+      .orderBy("qid", "rank")
+  }
+
   /** Number of IVF cells. FIXED, independent of corpus size — the
     * IVF contract is that a codebook is small by construction, and
     * this constant is what enforces it: the init collect is ≤ this

@@ -180,6 +180,33 @@ object Streams {
       .orderBy("partition")
   }
 
+  /** The share-group introspection surface driven through the
+    * correctness gate (the `kafka-share-groups.sh --describe` analog,
+    * round 8): a [[graft.streaming.Broker]] over the physical topic
+    * root DISCOVERS the drained group from its durable `_share` dir
+    * (no in-memory warm-up — the registry is cold) and serves
+    * [[graft.streaming.Broker.shareGroupStats]]; after a full drain
+    * the SPSO must equal each partition's record count with zero
+    * in-flight/available/terminal and zero lag, which the oracle
+    * recomputes as a plain partition-count aggregate. Reruns reopen
+    * the persisted snapshot, drain zero records, and describe
+    * identically. */
+  def shareGroupDescribe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Broker
+    val topicDir = ensureEventsTopic(spark, dir)
+    val p = java.nio.file.Paths.get(topicDir)
+    val broker = new Broker(spark, p.getParent.toString)
+    val sg = broker.shareGroup(p.getFileName.toString, "gate-describe")
+    (0 until NumPartitions).foreach { part =>
+      sg.drain(part, 200, 1700000000000L, "gate")(_ => ())
+    }
+    broker.shareGroupStats(1700099999999L)
+      .filter(col("group_id") === "gate-describe")
+      .select(col("partition").cast("long").as("partition"), col("spso"),
+        col("acquired"), col("available"), col("terminal"), col("lag"))
+      .orderBy("partition")
+  }
+
   /** Consumer-group lag: a group that committed everything up to
     * (max ts − 3 days); lag = records past the committed point. */
   def consumerGroupLag(spark: SparkSession, dir: String): DataFrame = {
