@@ -24,7 +24,7 @@ import graft.Tables.{dsum, events}
   */
 object EventAnalytics {
 
-  private val DayUs = 86400000000L // µs per day
+  private[graft] val DayUs = 86400000000L // µs per day
   // inactivity gap that closes a session — 24 h at the synthetic
   // corpus's density (~5 events/user/day, so a 30-min web-style gap
   // would make nearly every event its own session); gap choice is a

@@ -110,6 +110,45 @@ object ScaleBench {
         .distinct().groupBy("tok").agg(count(lit(1))).count()
       println(f"tfidf volumes at $d: tf_rows=$tfRows%d df_terms=$dfRows%d")
     }
+    // Round-8 additions (§2h probe): the events suite is window-heavy,
+    // so measure what actually crosses its shuffles at 10× events (a
+    // ScaleTables corpus, which scales the events table too — the
+    // replica corpus above only scales docs/embeddings):
+    //  - events_sessionize: every event row crosses ONCE keyed by
+    //    user_id (volume = the event count), and the window partition
+    //    count is the user space — both must track n;
+    //  - events_user_segments: the per-user agg's reduce side is the
+    //    USER count (map-combined partials), and the ntile windows
+    //    partition by cohort_week — a CALENDAR-bounded key set that
+    //    must NOT grow with the corpus (rows per partition grow, the
+    //    partition count doesn't).
+    val eventsScaled = sys.env.getOrElse("SPARK_GRAFT_EVENTS_10X", "/tmp/graft_sf1")
+    val evDirs =
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$eventsScaled/events.parquet")))
+        Seq(baseDir, eventsScaled)
+      else { println(s"events 10x probe SKIPPED: no $eventsScaled/events.parquet"); Seq.empty }
+    for (d <- evDirs) {
+      val ev = graft.Tables.events(spark, d)
+      val nEvents = ev.count()
+      val nUsers = ev.select("user_id").distinct().count()
+      val nSessions = graft.operators.EventAnalytics.sessionize(spark, d).count()
+      val nWeeks = ev.select(expr(
+        s"unix_micros(ts) DIV ${graft.operators.EventAnalytics.DayUs} DIV 7"))
+        .distinct().count()
+      println(f"events volumes at $d: events=$nEvents%d users=$nUsers%d " +
+        f"sessions=$nSessions%d cohort_weeks=$nWeeks%d")
+    }
+    if (evDirs.nonEmpty) {
+      time("events_sessionize 1x")(noop(
+        graft.operators.EventAnalytics.sessionize(spark, baseDir)))
+      time("events_sessionize 10x")(noop(
+        graft.operators.EventAnalytics.sessionize(spark, eventsScaled)))
+      time("events_user_segments 1x")(noop(
+        graft.operators.EventAnalytics.userSegments(spark, baseDir)))
+      time("events_user_segments 10x")(noop(
+        graft.operators.EventAnalytics.userSegments(spark, eventsScaled)))
+    }
     time("text_keywords_tfidf 1x")(noop(
       graft.operators.TextAnalysis.textKeywordsTfidf(spark, baseDir)))
     time("text_keywords_tfidf 10x")(noop(
