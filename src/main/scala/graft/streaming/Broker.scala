@@ -29,6 +29,11 @@ class Broker(spark: SparkSession, root: String) {
   val coordinator848 = new Group848Coordinator(
     name => topicOpt(name).map(_.numPartitions),
     () => listTopics())
+  /** KIP-932 share-group membership (keys 76/77) — broker-generated
+    * member ids + the SimpleAssignor shape over hosted topics; the
+    * data path (78/79) runs on [[ShareGroup]] locks either way. */
+  val shareCoordinator = new ShareCoordinator(
+    name => topicOpt(name).map(_.numPartitions))
 
   /** CreateTopics analog. */
   def createTopic(name: String, numPartitions: Int): TopicLog =
@@ -2145,9 +2150,12 @@ class Broker(spark: SparkSession, root: String) {
     val active = classic ++ modern
     // share groups list beside the consumer groups, as type "share"
     // (ListGroups v5's group_type field — how kafka-share-groups.sh
-    // finds them); durable state on disk counts as membership
-    val share = listShareGroups().map(_._1).distinct
-      .filterNot(g => active.exists(_._1 == g))
+    // finds them): live coordinator membership first, then groups
+    // known only by durable _share state on disk
+    val shareLive = shareCoordinator.listGroups(System.currentTimeMillis())
+      .map { case (g, state) => (g, "share", state, "share") }
+    val share = shareLive ++ listShareGroups().map(_._1).distinct
+      .filterNot(g => active.exists(_._1 == g) || shareLive.exists(_._1 == g))
       .map(g => (g, "share", "Stable", "share"))
     val offsetsOnly = listGroups().map(_._1).distinct
       .filterNot(g => active.exists(_._1 == g) || share.exists(_._1 == g))
@@ -2262,6 +2270,53 @@ class Broker(spark: SparkSession, root: String) {
       }
     }.toDF("group_id", "topic", "partition", "spso", "acquired",
       "available", "terminal", "lag")
+  }
+
+  /** ShareGroupHeartbeat (key 76, v0): broker-assigned share
+    * membership — join at epoch 0 (empty member id → the coordinator
+    * GENERATES one, the share-consumer contract), leave at −1,
+    * otherwise advance to the group epoch; the assignment (every
+    * partition of the subscribed topics — record locks arbitrate, so
+    * overlap is the design) rides the response when it changed, null
+    * when not. Subscribing to a topic this broker doesn't host is not
+    * an error — the name resolves lazily and joins the assignment
+    * when the topic appears, like the 848 regex path. */
+  def handleShareGroupHeartbeat(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (corr, groupId, memberId, memberEpoch, rackId, subscribed,
+      clientId) = decodeShareGroupHeartbeatRequest(requestBytes)
+    val res = shareCoordinator.heartbeat(groupId, memberId, memberEpoch,
+      rackId, subscribed, clientId, System.currentTimeMillis())
+    encodeShareGroupHeartbeatResponse(corr, res.error, res.errorMessage,
+      res.memberId, res.memberEpoch, shareCoordinator.heartbeatIntervalMs,
+      res.assignment)
+  }
+
+  /** ShareGroupDescribe (key 77, v0): membership from the share
+    * coordinator; a share group known only by durable `_share` state
+    * (drained by an embedded ShareGroup, never heartbeated) describes
+    * as Empty with its topics visible through [[shareGroupStats]];
+    * anything else answers GROUP_ID_NOT_FOUND 69, as the consumer
+    * describe APIs do for foreign group types. */
+  def handleShareGroupDescribe(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (corr, groupIds, _) = decodeShareGroupDescribeRequest(requestBytes)
+    val now = System.currentTimeMillis()
+    val described = groupIds.map { g =>
+      shareCoordinator.describe(g, now) match {
+        case Some((state, gEpoch, aEpoch, members)) =>
+          SGDescribedGroup(0, null, g, state, gEpoch, aEpoch, "simple",
+            members.map { case (mid, rack, mEpoch, cid, subs, asg) =>
+              SGDescribedMember(mid, rack, mEpoch, cid, "", subs, asg)
+            })
+        case None if listShareGroups().exists(_._1 == g) =>
+          SGDescribedGroup(0, null, g, "Empty", 0, 0, "simple", Seq.empty)
+        case None =>
+          SGDescribedGroup(69, s"share group '$g' not found", g, "Dead",
+            0, 0, "", Seq.empty)
+      }
+    }
+    encodeShareGroupDescribeResponse(corr, described)
   }
 
   /** Share sessions: (group, member) → next expected epoch. KIP-932's
@@ -2895,6 +2950,8 @@ object Broker {
       KafkaWire.ListClientMetricsResourcesMaxVersion),
     (75, "DescribeTopicPartitions", 0,
       KafkaWire.DescribeTopicPartitionsMaxVersion),
+    (76, "ShareGroupHeartbeat", 0, KafkaWire.ShareGroupHeartbeatMaxVersion),
+    (77, "ShareGroupDescribe", 0, KafkaWire.ShareGroupDescribeMaxVersion),
     (78, "ShareFetch", 0, KafkaWire.ShareFetchMaxVersion),
     (79, "ShareAcknowledge", 0, KafkaWire.ShareAcknowledgeMaxVersion))
 

@@ -6701,6 +6701,254 @@ object KafkaWire {
     (correlationId, topics, next)
   }
 
+  // --- ShareGroupHeartbeat (key 76) / ShareGroupDescribe (key 77)
+  // v0 — KIP-932's membership + admin RPCs (flexible from v0). Share
+  // membership carries no instance id, no regex, no client assignor,
+  // and no owned-partitions report: record locks do the real
+  // coordination, so the heartbeat is subscription + epoch only. ---
+
+  val ShareGroupHeartbeatApiKey = 76
+  val ShareGroupHeartbeatMaxVersion = 0
+  val ShareGroupDescribeApiKey = 77
+  val ShareGroupDescribeMaxVersion = 0
+
+  def encodeShareGroupHeartbeatRequest(correlationId: Int,
+      clientId: String, groupId: String, memberId: String,
+      memberEpoch: Int, subscribedTopicNames: Seq[String] = null,
+      rackId: String = null): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ShareGroupHeartbeatApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.str(groupId)
+    w.str(memberId)
+    w.i32(memberEpoch)
+    w.str(rackId)
+    if (subscribedTopicNames == null) w.count(-1)
+    else {
+      w.count(subscribedTopicNames.length)
+      subscribedTopicNames.foreach(w.str)
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, groupId, memberId, memberEpoch, rackId,
+    * subscribedTopicNames (null = unchanged), clientId). */
+  def decodeShareGroupHeartbeatRequest(bytes: Array[Byte])
+      : (Int, String, String, Int, String, Seq[String], String) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ShareGroupHeartbeatApiKey,
+      "not a ShareGroupHeartbeat request")
+    require(buf.getShort.toInt == 0,
+      "unsupported ShareGroupHeartbeat version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val groupId = r.str()
+    val memberId = r.str()
+    val memberEpoch = r.i32()
+    val rackId = r.str()
+    val n = r.count()
+    val subscribed =
+      if (n < 0) null else (0 until n).map(_ => r.str()).toSeq
+    r.tags()
+    (correlationId, groupId, memberId, memberEpoch, rackId, subscribed,
+      clientId)
+  }
+
+  def encodeShareGroupHeartbeatResponse(correlationId: Int,
+      errorCode: Int, errorMessage: String, memberId: String,
+      memberEpoch: Int, heartbeatIntervalMs: Int,
+      assignment: Option[Seq[(String, Seq[Int])]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.str(memberId)
+    w.i32(memberEpoch)
+    w.i32(heartbeatIntervalMs)
+    assignment match {
+      case None => w.i8(-1) // nullable struct: absent (= unchanged)
+      case Some(tps) =>
+        w.i8(1)
+        w.count(tps.length)
+        tps.foreach { case (name, parts) =>
+          w.uuid(idOfName(name))
+          w.count(parts.length); parts.foreach(w.i32)
+          w.tags()
+        }
+        w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, errorMessage, memberId, memberEpoch,
+    * heartbeatIntervalMs, assignment). */
+  def decodeShareGroupHeartbeatResponse(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : (Int, Int, String, String, Int, Int,
+         Option[Seq[(String, Seq[Int])]]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle_time_ms
+    val err = r.i16()
+    val errMsg = r.str()
+    val memberId = r.str()
+    val memberEpoch = r.i32()
+    val interval = r.i32()
+    val assignment = r.i8() match {
+      case -1 => None
+      case _ =>
+        val tps = (0 until r.count()).map { _ =>
+          val id = r.uuid()
+          val parts = (0 until r.count()).map(_ => r.i32()).toSeq
+          r.tags()
+          (topicIdResolver(id).getOrElse(unknownIdName(id)), parts)
+        }.toSeq
+        r.tags()
+        Some(tps)
+    }
+    r.tags()
+    (correlationId, err, errMsg, memberId, memberEpoch, interval, assignment)
+  }
+
+  /** One member's view in a ShareGroupDescribe response. */
+  case class SGDescribedMember(memberId: String, rackId: String,
+      memberEpoch: Int, clientId: String, clientHost: String,
+      subscribed: Seq[String], assignment: Seq[(String, Seq[Int])])
+
+  case class SGDescribedGroup(errorCode: Int, errorMessage: String,
+      groupId: String, groupState: String, groupEpoch: Int,
+      assignmentEpoch: Int, assignorName: String,
+      members: Seq[SGDescribedMember])
+
+  def encodeShareGroupDescribeRequest(correlationId: Int,
+      clientId: String, groupIds: Seq[String],
+      includeAuthorizedOperations: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, ShareGroupDescribeApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.count(groupIds.length); groupIds.foreach(w.str)
+    w.bool(includeAuthorizedOperations)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, groupIds, includeAuthorizedOperations). */
+  def decodeShareGroupDescribeRequest(bytes: Array[Byte])
+      : (Int, Seq[String], Boolean) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == ShareGroupDescribeApiKey,
+      "not a ShareGroupDescribe request")
+    require(buf.getShort.toInt == 0,
+      "unsupported ShareGroupDescribe version")
+    val correlationId = buf.getInt
+    readNullableString(buf) // client id
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    val groups = (0 until r.count()).map(_ => r.str()).toSeq
+    val includeOps = r.bool()
+    r.tags()
+    (correlationId, groups, includeOps)
+  }
+
+  def encodeShareGroupDescribeResponse(correlationId: Int,
+      groups: Seq[SGDescribedGroup],
+      authorizedOperations: Int = Int.MinValue): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, flexible = true)
+    w.i32(0) // throttle_time_ms
+    w.count(groups.length)
+    groups.foreach { g =>
+      w.i16(g.errorCode)
+      w.str(g.errorMessage)
+      w.str(g.groupId)
+      w.str(g.groupState)
+      w.i32(g.groupEpoch)
+      w.i32(g.assignmentEpoch)
+      w.str(g.assignorName)
+      w.count(g.members.length)
+      g.members.foreach { m =>
+        w.str(m.memberId)
+        w.str(m.rackId)
+        w.i32(m.memberEpoch)
+        w.str(m.clientId)
+        w.str(m.clientHost)
+        w.count(m.subscribed.length); m.subscribed.foreach(w.str)
+        // assignment struct — NOT nullable here, and its entries
+        // carry BOTH topic_id and topic_name (the key-69 describe
+        // shape, unlike the heartbeat's id-only entries)
+        w.count(m.assignment.length)
+        m.assignment.foreach { case (name, parts) =>
+          w.uuid(idOfName(name))
+          w.str(name)
+          w.count(parts.length); parts.foreach(w.i32)
+          w.tags()
+        }
+        w.tags()
+        w.tags()
+      }
+      w.i32(authorizedOperations)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, groups). */
+  def decodeShareGroupDescribeResponse(bytes: Array[Byte],
+      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      : (Int, Seq[SGDescribedGroup]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32() // throttle_time_ms
+    val groups = (0 until r.count()).map { _ =>
+      val err = r.i16()
+      val errMsg = r.str()
+      val gid = r.str()
+      val state = r.str()
+      val gEpoch = r.i32()
+      val aEpoch = r.i32()
+      val assignor = r.str()
+      val members = (0 until r.count()).map { _ =>
+        val mid = r.str()
+        val rack = r.str()
+        val mEpoch = r.i32()
+        val cid = r.str()
+        val chost = r.str()
+        val subs = (0 until r.count()).map(_ => r.str()).toSeq
+        val asg = (0 until r.count()).map { _ =>
+          val id = r.uuid()
+          val name = r.str()
+          val parts = (0 until r.count()).map(_ => r.i32()).toSeq
+          r.tags()
+          (if (name != null && name.nonEmpty) name
+           else topicIdResolver(id).getOrElse(unknownIdName(id)), parts)
+        }.toSeq
+        r.tags()
+        r.tags()
+        SGDescribedMember(mid, rack, mEpoch, cid, chost, subs, asg)
+      }.toSeq
+      r.i32() // authorized_operations
+      r.tags()
+      SGDescribedGroup(err, errMsg, gid, state, gEpoch, aEpoch, assignor,
+        members)
+    }.toSeq
+    r.tags()
+    (correlationId, groups)
+  }
+
   // --- ShareFetch (key 78) / ShareAcknowledge (key 79) v0 — the
   // KIP-932 data path a Kafka 4.x share consumer speaks (flexible
   // from v0, topic-id keyed like Fetch v13). The state machine

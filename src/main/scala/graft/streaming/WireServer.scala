@@ -388,6 +388,10 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleListClientMetricsResources(framed)
       case KafkaWire.DescribeTopicPartitionsApiKey =>
         broker.handleDescribeTopicPartitions(framed)
+      case KafkaWire.ShareGroupHeartbeatApiKey =>
+        broker.handleShareGroupHeartbeat(framed)
+      case KafkaWire.ShareGroupDescribeApiKey =>
+        broker.handleShareGroupDescribe(framed)
       case KafkaWire.ShareFetchApiKey =>
         broker.handleShareFetch(framed, advertisedHost, boundPort)
       case KafkaWire.ShareAcknowledgeApiKey =>

@@ -448,12 +448,12 @@ class ModernClientTraceSpec extends AnyFunSuite {
 
   test("a 4.x share consumer's data path: ShareFetch/ShareAcknowledge driven") {
     // kafka-console-share-consumer.sh (KIP-932, AK 4.0+): after
-    // ApiVersions it requires keys 78/79, then loops ShareFetch
-    // (epoch 0 opens the share session) with acknowledgements riding
-    // the next fetch, and closes at epoch −1. This leg replays that
-    // loop at the negotiated v0. (The membership RPC, ShareGroup-
-    // Heartbeat 76, is not yet served — graft binds the session to
-    // the client-supplied member id instead; documented in SURVEY.)
+    // ApiVersions it requires keys 76/78/79, joins through
+    // ShareGroupHeartbeat (the broker ISSUES the member id), then
+    // loops ShareFetch (epoch 0 opens the share session under that
+    // identity) with acknowledgements riding the next fetch, and
+    // closes at epoch −1 + a leave heartbeat. This leg replays that
+    // flow at the negotiated v0.
     val root = Files.createTempDirectory("graft-trace-share").toString
     val broker = new Broker(spark, root)
     broker.createTopic("tq", 1)
@@ -464,7 +464,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
         encodeApiVersionsRequestV3(1, "trace-share", "apache-kafka-java",
           "4.0.0")))
       val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
-      // the share consumer's decision point: both queue RPCs served
+      // the share consumer's decision point: membership + queue RPCs
+      assert(advertised(KafkaWire.ShareGroupHeartbeatApiKey) === ((0, 0)))
       assert(advertised(KafkaWire.ShareFetchApiKey) === ((0, 0)))
       assert(advertised(KafkaWire.ShareAcknowledgeApiKey) === ((0, 0)))
 
@@ -477,9 +478,17 @@ class ModernClientTraceSpec extends AnyFunSuite {
             rec("c", "vc")))))))))
 
       val resolver = topicIdResolverFor(Seq("tq"))
-      // epoch 0 opens the share session and acquires the batch
+      // join: the broker issues the member identity + the assignment
+      val (_, jErr, _, memberId, _, _, jAsg) =
+        decodeShareGroupHeartbeatResponse(exchange(sock,
+          encodeShareGroupHeartbeatRequest(10, "trace-share", "sg4x", "",
+            0, Seq("tq"))), resolver)
+      assert(jErr === 0 && memberId.nonEmpty)
+      assert(jAsg === Some(Seq("tq" -> Seq(0))))
+
+      // epoch 0 opens the share session UNDER THE ISSUED IDENTITY
       val r1 = decodeShareFetchResponse(exchange(sock,
-        encodeShareFetchRequest(3, "trace-share", "sg4x", "sm-1", 0,
+        encodeShareFetchRequest(3, "trace-share", "sg4x", memberId, 0,
           Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
         resolver)
       assert(r1._2 === 0)
@@ -490,7 +499,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
 
       // the processing loop's shape: the NEXT fetch carries the acks
       val r2 = decodeShareFetchResponse(exchange(sock,
-        encodeShareFetchRequest(4, "trace-share", "sg4x", "sm-1", 1,
+        encodeShareFetchRequest(4, "trace-share", "sg4x", memberId, 1,
           Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20,
             Seq(ShareAckBatch(0L, 2L, Seq(1)))))))), resolver)
       assert(r2._2 === 0)
@@ -499,7 +508,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
 
       // clean shutdown: epoch −1 closes the share session
       val r3 = decodeShareFetchResponse(exchange(sock,
-        encodeShareFetchRequest(5, "trace-share", "sg4x", "sm-1", -1,
+        encodeShareFetchRequest(5, "trace-share", "sg4x", memberId, -1,
           Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
         resolver)
       assert(r3._2 === 0)
