@@ -601,6 +601,37 @@ object OraclesPipeline {
         |  CAST(round(exp(-slp / n_tokens), 2) <= 31.0 AS INTEGER) AS keep
         |FROM per ORDER BY doc_id""".stripMargin,
 
+    // bigram LM: the same determinism recipe as text_perplexity —
+    // integer counts through one exact double division, ln quantized
+    // 1e-4, the per-doc sum through DECIMAL (order-free)
+    "text_perplexity_bigram" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM d)),
+        |uni AS (SELECT w1, COUNT(*) AS cnt1 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+        |  GROUP BY w1),
+        |freq2 AS (SELECT bg, COUNT(*) AS cnt2 FROM b GROUP BY bg),
+        |vocab2 AS (SELECT bg, cnt2 FROM freq2
+        |           ORDER BY cnt2 DESC, bg ASC LIMIT 50000),
+        |scored AS (SELECT b.doc_id,
+        |    round(ln(CASE WHEN v.cnt2 IS NOT NULL
+        |                  THEN CAST(v.cnt2 AS DOUBLE) ELSE 0.5 END
+        |      / CAST(u.cnt1 AS DOUBLE)), 4) AS lp,
+        |    CASE WHEN v.cnt2 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM b LEFT JOIN vocab2 v USING (bg) JOIN uni u USING (w1)),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |    CAST(SUM(CAST(lp AS DECIMAL(28,4))) AS DOUBLE) AS slp
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_oov,
+        |  -slp / n_bigrams AS cross_entropy,
+        |  round(exp(-slp / n_bigrams), 2) AS perplexity,
+        |  CAST(round(exp(-slp / n_bigrams), 2) <= 31.0 AS INTEGER) AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
+
     // BM25: the idf is ln-quantized at 1e-4 (the text_perplexity
     // recipe); every other step is IEEE double arithmetic from
     // integers in the same written association as the engine, so the

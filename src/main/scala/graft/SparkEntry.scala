@@ -96,6 +96,7 @@ object SparkEntry {
     "text_bpe_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textBpeTrain(s, d)),
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
+    "text_perplexity_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexityBigram(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
     // §2c deduplication
     "dedup_exact" -> Dedup.dedupExact _,

@@ -355,6 +355,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model scoring — the n-gram step up from
+    * [[textPerplexity]]'s unigram model, the quality signal CCNet /
+    * Gopher-style curation pipelines actually use (a KenLM stand-in
+    * with the same data flow): p(w2|w1) = cnt(w1 w2) / cnt(w1)
+    * (unigram-denominator bigram model), bigram vocabulary capped at
+    * `vocabK` with an OOV floor of 0.5/cnt(w1), per-doc cross-entropy
+    * and perplexity over each doc's adjacent-pair stream.
+    *
+    * 100-TB shape: the bigram stream crosses ONE shuffle into the
+    * frequency aggregate (map-side combined — the reduce side is the
+    * DISTINCT bigram vocabulary, not the stream; the [[textPerplexity]]
+    * zipf-absorption argument, §14.1), the capped vocabulary lands via
+    * TakeOrdered (never a global sort), and both model tables
+    * broadcast back (Heaps'-law sublinear in the corpus). The pair
+    * stream itself is map-side: `zip_with` over the already-split
+    * token array, no self-join.
+    *
+    * Cross-engine determinism: integer counts through ONE exact
+    * double division, ln quantized at 1e-4, the per-doc sum routed
+    * through DECIMAL(28,4) (order-free), exp at the display edge. */
+  def textPerplexityBigram(spark: SparkSession, dir: String,
+      vocabK: Int = 50000): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uni = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    val freq2 = bg.groupBy("bg").agg(count(lit(1)).as("cnt2"))
+    val vocab2 = freq2.orderBy(col("cnt2").desc, col("bg").asc).limit(vocabK)
+    val lp = round(log(
+      when(col("cnt2").isNotNull, col("cnt2").cast("double"))
+        .otherwise(lit(0.5)) / col("cnt1").cast("double")), 4)
+    val ce = -(col("sum_lp").cast("double")) / col("n_bigrams")
+    bg.join(broadcast(vocab2), Seq("bg"), "left")
+      .join(broadcast(uni), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("cnt2").isNull, 1)).as("n_oov"),
+        sum(lp.cast("decimal(28,4)")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        ce.as("cross_entropy"),
+        round(exp(ce), 2).as("perplexity"),
+        (round(exp(ce), 2) <= 31.0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 top-k relevance search (Robertson/Spärck Jones; the lexical
     * ranking function behind Lucene/Elasticsearch defaults): score
     * every document against a fixed term query, keep the k best.

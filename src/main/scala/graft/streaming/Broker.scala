@@ -2413,6 +2413,14 @@ class Broker(spark: SparkSession, root: String) {
     val member = if (req.memberId == null) "" else req.memberId
     val group = if (req.groupId == null) "" else req.groupId
     val closing = req.sessionEpoch == -1
+    // a group under coordinator-managed membership fences unknown or
+    // expired member ids (the real-broker contract); groups that
+    // never heartbeated stay un-fenced for embedded ShareGroup use
+    if (shareCoordinator.managesGroup(group) &&
+        !shareCoordinator.isLiveMember(group, member, now))
+      return encodeShareFetchResponse(req.correlationId, 25,
+        s"member '$member' is not a live member of share group '$group'",
+        Seq.empty, 0, advertisedHost, advertisedPort)
     val sessErr = shareSessionCheck(group, member, req.sessionEpoch,
       allowOpen = true)
     if (sessErr != 0)
@@ -2488,6 +2496,11 @@ class Broker(spark: SparkSession, root: String) {
     val now = System.currentTimeMillis()
     val member = if (req.memberId == null) "" else req.memberId
     val group = if (req.groupId == null) "" else req.groupId
+    if (shareCoordinator.managesGroup(group) &&
+        !shareCoordinator.isLiveMember(group, member, now))
+      return encodeShareAcknowledgeResponse(req.correlationId, 25,
+        s"member '$member' is not a live member of share group '$group'",
+        Seq.empty, 0, advertisedHost, advertisedPort)
     val sessErr = shareSessionCheck(group, member, req.sessionEpoch,
       allowOpen = false)
     if (sessErr != 0)

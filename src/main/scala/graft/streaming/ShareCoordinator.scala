@@ -167,6 +167,22 @@ final class ShareCoordinator(partitionsOf: String => Option[Int],
       }
     }
 
+  /** Whether this coordinator manages membership for the group —
+    * the data path fences member ids only then (embedded ShareGroup
+    * users never heartbeat, and stay un-fenced by design). */
+  def managesGroup(groupId: String): Boolean = synchronized {
+    groups.contains(groupId)
+  }
+
+  /** Whether the member is live in the group (session not expired). */
+  def isLiveMember(groupId: String, memberId: String,
+      now: Long): Boolean = synchronized {
+    groups.get(groupId).exists { g =>
+      expireMembers(g, now)
+      g.members.contains(memberId)
+    }
+  }
+
   /** (groupId, state) pairs for ListGroups-style enumeration. */
   def listGroups(now: Long): Seq[(String, String)] = synchronized {
     groups.toSeq.sortBy(_._1).map { case (id, g) =>

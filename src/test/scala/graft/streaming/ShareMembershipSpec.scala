@@ -152,6 +152,20 @@ class ShareMembershipSpec extends AnyFunSuite {
         encodeListGroupsRequest(5, 5, "cli", typesFilter = Seq("share"))))
       assert(groups.exists(g => g._1 == "wsg" && g._4 == "share"))
 
+      // a coordinator-managed group FENCES unknown member ids on the
+      // data path (the real-broker contract; groups that never
+      // heartbeat stay un-fenced for embedded use — ShareWireSpec)
+      val rogue = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(8, "cli", "wsg", "rogue", 0,
+          Seq("q" -> Seq(ShareFetchPartition(0, 1024, Seq.empty))))),
+        resolver)
+      assert(rogue._2 === 25 && rogue._4.isEmpty)
+      val rogueAck = decodeShareAcknowledgeResponse(exchange(sock,
+        encodeShareAcknowledgeRequest(9, "cli", "wsg", "rogue", 1,
+          Seq("q" -> Seq(0 -> Seq(ShareAckBatch(0L, 0L, Seq(1))))))),
+        resolver)
+      assert(rogueAck._2 === 25)
+
       // leave at −1; the group describes Empty (durable _share state
       // keeps it discoverable), and the drained SPSO survives
       val (_, lErr, _, _, lEpoch, _, _) =
