@@ -31,9 +31,32 @@ class Broker(spark: SparkSession, root: String) {
     () => listTopics())
   /** KIP-932 share-group membership (keys 76/77) — broker-generated
     * member ids + the SimpleAssignor shape over hosted topics; the
-    * data path (78/79) runs on [[ShareGroup]] locks either way. */
+    * data path (78/79) runs on [[ShareGroup]] locks either way.
+    * Session/heartbeat timing reads the group's dynamic config on
+    * every access, so `kafka-configs --entity-type groups --alter`
+    * applies at the next heartbeat. */
   val shareCoordinator = new ShareCoordinator(
-    name => topicOpt(name).map(_.numPartitions))
+    name => topicOpt(name).map(_.numPartitions),
+    groupConfig = groupConfigOverrides)
+
+  /** Per-group dynamic config (ConfigResource type GROUP = 32, the
+    * AK 4.0 surface kafka-configs --entity-type groups drives):
+    * overrides live under `_groupcfg/<b64(group)>/_config.json`, the
+    * topic `_config.json` machinery reused — atomic replacement,
+    * same quoting rules, same read regex. Configs exist by NAME
+    * independent of any group's liveness, as in Kafka. */
+  private def groupCfgKey(group: String): String = "_groupcfg/" +
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(group.getBytes("UTF-8"))
+
+  def groupConfigOverrides(group: String): Map[String, String] =
+    TopicLog.configOverrides(root, groupCfgKey(group))
+
+  private def writeGroupConfigOverrides(group: String,
+      overrides: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(root, groupCfgKey(group)))
+    TopicLog.writeConfigOverrides(root, groupCfgKey(group), overrides)
+  }
 
   /** CreateTopics analog. */
   def createTopic(name: String, numPartitions: Int): TopicLog =
@@ -1751,6 +1774,16 @@ class Broker(spark: SparkSession, root: String) {
                 case None => (n, dflt, false)
               }
             }))
+        case ConfigResourceGroup =>
+          // group configs exist by name (no liveness precondition)
+          val overrides = groupConfigOverrides(rName)
+          (0, null: String, rType, rName, project(
+            Broker.GroupConfigDefaults.map { case (n, dflt) =>
+              overrides.get(n) match {
+                case Some(v) => (n, v, true)
+                case None => (n, dflt, false)
+              }
+            }))
         case ConfigResourceTopic =>
           (3, s"topic '$rName' not found", rType, rName,
             Seq.empty[(String, String, Boolean)])
@@ -1811,8 +1844,34 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeIncrementalAlterConfigsRequest(requestBytes)
     val responses = req.resources.map { case (rType, rName, configs) =>
-      if (rType != ConfigResourceTopic)
-        (42, "only topic configs are alterable on a single broker", rType, rName)
+      if (rType == ConfigResourceGroup) {
+        // group configs (KIP-848/932): exist by NAME, no liveness
+        // precondition — exactly kafka-configs --entity-type groups
+        if (configs.exists(c => c._2 != 0 && c._2 != 1))
+          (42, "APPEND/SUBTRACT need a list-typed config; none exists here",
+            rType, rName)
+        else if (configs.map(_._1).distinct.size != configs.size)
+          (42, "duplicate config key in one request", rType, rName)
+        else if (rName == null || rName.isEmpty)
+          (42, "empty group name", rType, rName)
+        else Broker.groupConfigError(
+          configs.collect { case (n, 0, v) => (n, v) }) match {
+          case null =>
+            if (!req.validateOnly) {
+              val cur = groupConfigOverrides(rName)
+              val sets = configs.collect { case (n, 0, v) if v != null => n -> v }
+              val dels = configs.collect { case (n, 1, _) => n }
+              writeGroupConfigOverrides(rName, cur ++ sets -- dels)
+            }
+            (0, null: String, rType, rName)
+          case msg if msg.startsWith("unknown") ||
+              msg.startsWith("invalid value") => (40, msg, rType, rName)
+          case msg => (42, msg, rType, rName)
+        }
+      }
+      else if (rType != ConfigResourceTopic)
+        (42, "only topic and group configs are alterable on a single broker",
+          rType, rName)
       else if (!topicExists(rName))
         (3, s"topic '$rName' not found", rType, rName)
       else if (configs.exists(c => c._2 != 0 && c._2 != 1))
@@ -2219,11 +2278,21 @@ class Broker(spark: SparkSession, root: String) {
     scala.collection.mutable.Map.empty[(String, String), ShareGroup]
 
   /** The share-group state machine for (topic, group) — reopened from
-    * its durable snapshot on first touch. */
+    * its durable snapshot on first touch, with the group's dynamic
+    * config (delivery budget, lock duration) applied at instantiation
+    * (Kafka's share configs similarly bind to the share-partition
+    * lifecycle — an alteration applies when the state machine is next
+    * opened, not retroactively to live locks). */
   def shareGroup(topicName: String, groupId: String): ShareGroup =
     shareGroupsReg.synchronized {
-      shareGroupsReg.getOrElseUpdate((topicName, groupId),
-        new ShareGroup(topic(topicName), groupId))
+      shareGroupsReg.getOrElseUpdate((topicName, groupId), {
+        val cfg = groupConfigOverrides(groupId)
+        new ShareGroup(topic(topicName), groupId,
+          maxDeliveryAttempts = cfg.get("share.delivery.attempt.limit")
+            .flatMap(_.toIntOption).filter(_ > 0).getOrElse(5),
+          acquisitionLockMs = cfg.get("share.record.lock.duration.ms")
+            .flatMap(_.toLongOption).filter(_ > 0).getOrElse(30000L))
+      })
     }
 
   /** Install a pre-configured ShareGroup (custom delivery budget /
@@ -2288,8 +2357,8 @@ class Broker(spark: SparkSession, root: String) {
     val res = shareCoordinator.heartbeat(groupId, memberId, memberEpoch,
       rackId, subscribed, clientId, System.currentTimeMillis())
     encodeShareGroupHeartbeatResponse(corr, res.error, res.errorMessage,
-      res.memberId, res.memberEpoch, shareCoordinator.heartbeatIntervalMs,
-      res.assignment)
+      res.memberId, res.memberEpoch,
+      shareCoordinator.heartbeatIntervalFor(groupId), res.assignment)
   }
 
   /** ShareGroupDescribe (key 77, v0): membership from the share
@@ -2863,6 +2932,31 @@ object Broker {
     "max.message.bytes" -> DefaultMaxMessageBytes.toString,
     "min.cleanable.dirty.ratio" -> "0.5",
     "min.insync.replicas" -> "1")
+
+  /** The GROUP-resource config surface (KIP-848/932 group configs,
+    * kafka-configs --entity-type groups): every key has an
+    * enforcement hook — the share pair binds at ShareGroup
+    * instantiation, the timing pair is re-read by the coordinator on
+    * every access. */
+  val GroupConfigDefaults: Seq[(String, String)] = Seq(
+    "share.delivery.attempt.limit" -> "5",
+    "share.record.lock.duration.ms" -> "30000",
+    "share.session.timeout.ms" -> "45000",
+    "share.heartbeat.interval.ms" -> "3000")
+
+  /** Group-config validator (the topicConfigError discipline): all
+    * four keys are positive integers; unknown keys answer 40. */
+  def groupConfigError(configs: Seq[(String, String)]): String = {
+    val allowed = GroupConfigDefaults.map(_._1).toSet
+    configs.collectFirst {
+      case (n, _) if !allowed.contains(n) => s"unknown group config '$n'"
+      case (n, v) if v != null &&
+          !scala.util.Try(v.trim.toLong).toOption.exists(_ > 0) =>
+        s"invalid value '$v' for numeric config '$n'"
+      case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>
+        s"unsupported characters in value of '$n'"
+    }.orNull
+  }
 
   /** One validator for every door into the config store — the wire
     * APIs (keys 19/33/44) and the SQL catalog's ALTER TABLE ... SET

@@ -3484,6 +3484,9 @@ object KafkaWire {
   /** Resource types from the public spec. */
   val ConfigResourceTopic = 2
   val ConfigResourceBroker = 4
+  /** ConfigResource.Type.GROUP (AK 4.0, KIP-848/932 group configs —
+    * what kafka-configs --entity-type groups sends). */
+  val ConfigResourceGroup = 32
 
   case class DescribeConfigsRequest(version: Int, correlationId: Int,
       clientId: String,

@@ -33,7 +33,21 @@ import scala.collection.mutable
   * 848 coordinators' documented model. */
 final class ShareCoordinator(partitionsOf: String => Option[Int],
     val sessionTimeoutMs: Long = 45000L,
-    val heartbeatIntervalMs: Int = 3000) {
+    val heartbeatIntervalMs: Int = 3000,
+    /** per-group dynamic config lookup (ConfigResource GROUP, the
+      * kafka-configs --entity-type groups surface): overrides for
+      * `share.session.timeout.ms` / `share.heartbeat.interval.ms`
+      * win over the constructor defaults, re-read on every access so
+      * an alteration applies at the next heartbeat */
+    groupConfig: String => Map[String, String] = _ => Map.empty) {
+
+  private def sessionTimeoutFor(groupId: String): Long =
+    groupConfig(groupId).get("share.session.timeout.ms")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(sessionTimeoutMs)
+
+  def heartbeatIntervalFor(groupId: String): Int =
+    groupConfig(groupId).get("share.heartbeat.interval.ms")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(heartbeatIntervalMs)
 
   final class Member(val memberId: String) {
     var rackId: String = null
@@ -65,8 +79,9 @@ final class ShareCoordinator(partitionsOf: String => Option[Int],
   private def bump(g: Group): Unit = g.epoch += 1
 
   private def expireMembers(g: Group, now: Long): Unit = {
+    val timeout = sessionTimeoutFor(g.groupId)
     val dead = g.members.values.filter(m =>
-      now - m.lastSeen > sessionTimeoutMs).map(_.memberId).toSeq
+      now - m.lastSeen > timeout).map(_.memberId).toSeq
     if (dead.nonEmpty) {
       dead.foreach(g.members.remove)
       bump(g)
