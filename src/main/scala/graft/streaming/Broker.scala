@@ -2298,7 +2298,7 @@ class Broker(spark: SparkSession, root: String) {
   /** Install a pre-configured ShareGroup (custom delivery budget /
     * lock timeout) for the wire path to serve — the kafka-configs
     * group-config analog, and the specs' way to tighten budgets. */
-  private[streaming] def shareGroupsRegPut(topicName: String,
+  private[graft] def shareGroupsRegPut(topicName: String,
       groupId: String, sg: ShareGroup): Unit =
     shareGroupsReg.synchronized { shareGroupsReg((topicName, groupId)) = sg }
 
@@ -2504,49 +2504,63 @@ class Broker(spark: SparkSession, root: String) {
       else {
         val log = topic(name)
         val sg = shareGroup(name, group)
-        (name, parts.map { p =>
-          if (p.partition < 0 || p.partition >= log.numPartitions)
-            ShareFetchPartResp(p.partition, 3,
-              s"partition ${p.partition} not found", 0, null,
-              Seq.empty, Seq.empty)
-          else {
-            val (ackErr, ackMsg) =
-              applyShareAcks(sg, p.partition, p.acks, now, member)
-            if (closing)
-              ShareFetchPartResp(p.partition, 0, null, ackErr, ackMsg,
-                Seq.empty, Seq.empty)
-            else {
-              // records cost ≥ ~12 wire bytes each; the cap over-covers
-              // the byte budget the same way handleFetch's collect does
-              val maxRecs = math.max(1, math.min(
-                sg.maxInFlightRecords, p.partitionMaxBytes / 12))
-              val acq = sg.acquire(p.partition, maxRecs, now, member)
-              val rows =
-                if (acq.isEmpty) Array.empty[org.apache.spark.sql.Row]
-                else sg.records(p.partition, acq.map(_.offset))
-                  .select("offset", "key", "value", "headers", "ts").collect()
-              val present = rows.map(_.getAs[Long]("offset")).toSet
-              // offsets acquired but gone from the data (compaction /
-              // retention holes): archive them NOW, as this member,
-              // so the SPSO advances instead of redelivering a hole
-              val gaps = acq.map(_.offset).filterNot(present)
-              if (gaps.nonEmpty)
-                sg.acknowledge(p.partition,
-                  gaps.map(_ -> (ShareGroup.Reject: ShareGroup.AckType)),
-                  now, member)
-              val records = rows.sortBy(_.getAs[Long]("offset")).map { r =>
-                val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
-                  .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
-                val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
-                  .map(_.getTime).getOrElse(-1L)
-                (r.getAs[Long]("offset"), WireRecordV2(ts,
-                  r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
-                  hdrs))
-              }.toSeq
-              ShareFetchPartResp(p.partition, 0, null, ackErr, ackMsg,
-                records, Broker.acquiredRuns(acq.filter(a => present(a.offset))))
+        // phase 1 — METADATA: every partition's acknowledgements and
+        // acquisitions land as ONE durability unit (a single CAS
+        // snapshot per request, the per-request share-state write a
+        // broker does), with the group's monitor held only here
+        val phase1: Seq[Either[ShareFetchPartResp,
+            (Int, Int, String, Seq[ShareGroup.AcquiredRecord])]] =
+          sg.batched {
+            parts.map { p =>
+              if (p.partition < 0 || p.partition >= log.numPartitions)
+                Left(ShareFetchPartResp(p.partition, 3,
+                  s"partition ${p.partition} not found", 0, null,
+                  Seq.empty, Seq.empty))
+              else {
+                val (ackErr, ackMsg) =
+                  applyShareAcks(sg, p.partition, p.acks, now, member)
+                if (closing)
+                  Left(ShareFetchPartResp(p.partition, 0, null, ackErr,
+                    ackMsg, Seq.empty, Seq.empty))
+                else {
+                  // records cost ≥ ~12 wire bytes each; the cap
+                  // over-covers the byte budget like handleFetch's
+                  val maxRecs = math.max(1, math.min(
+                    sg.maxInFlightRecords, p.partitionMaxBytes / 12))
+                  Right((p.partition, ackErr, ackMsg,
+                    sg.acquire(p.partition, maxRecs, now, member)))
+                }
+              }
             }
           }
+        // phase 2 — DATA: read the acquired records outside the
+        // monitor; holes the log can no longer serve (compaction /
+        // retention inside the in-flight window) archive so the SPSO
+        // advances instead of redelivering a gap
+        (name, phase1.map {
+          case Left(resp) => resp
+          case Right((partition, ackErr, ackMsg, acq)) =>
+            val rows =
+              if (acq.isEmpty) Array.empty[org.apache.spark.sql.Row]
+              else sg.records(partition, acq.map(_.offset))
+                .select("offset", "key", "value", "headers", "ts").collect()
+            val present = rows.map(_.getAs[Long]("offset")).toSet
+            val gaps = acq.map(_.offset).filterNot(present)
+            if (gaps.nonEmpty)
+              sg.acknowledge(partition,
+                gaps.map(_ -> (ShareGroup.Reject: ShareGroup.AckType)),
+                now, member)
+            val records = rows.sortBy(_.getAs[Long]("offset")).map { r =>
+              val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
+                .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+              val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
+                .map(_.getTime).getOrElse(-1L)
+              (r.getAs[Long]("offset"), WireRecordV2(ts,
+                r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+                hdrs))
+            }.toSeq
+            ShareFetchPartResp(partition, 0, null, ackErr, ackMsg,
+              records, Broker.acquiredRuns(acq.filter(a => present(a.offset))))
         })
       }
     }
@@ -2583,12 +2597,16 @@ class Broker(spark: SparkSession, root: String) {
       else {
         val log = topic(name)
         val sg = shareGroup(name, group)
-        (name, parts.map { case (p, acks) =>
-          if (p < 0 || p >= log.numPartitions)
-            (p, 3, s"partition $p not found")
-          else {
-            val (err, msg) = applyShareAcks(sg, p, acks, now, member)
-            (p, err, msg)
+        // all partitions' acks land as one durability unit, as in
+        // handleShareFetch's phase 1
+        (name, sg.batched {
+          parts.map { case (p, acks) =>
+            if (p < 0 || p >= log.numPartitions)
+              (p, 3, s"partition $p not found")
+            else {
+              val (err, msg) = applyShareAcks(sg, p, acks, now, member)
+              (p, err, msg)
+            }
           }
         })
       }

@@ -85,7 +85,31 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     }
   }
 
+  /** Inside [[batched]], mutations mark dirty instead of snapshotting;
+    * one snapshot covers the whole unit on exit. */
+  private var deferPersist = false
+  private var dirtyDeferred = false
+
+  /** Run several mutations as ONE durability unit — a single CAS
+    * snapshot covers them all (the per-request persistence a broker
+    * applies to share state: a ShareFetch's acknowledgements and
+    * acquisitions across every partition land as one write, not one
+    * per operation). Reentrant on the group's own monitor; keep the
+    * body to METADATA mutations — holding the monitor across a data
+    * read would convoy other consumers. */
+  def batched[T](f: => T): T = synchronized {
+    if (deferPersist) f // nested: the outer unit owns the snapshot
+    else {
+      deferPersist = true
+      try f finally {
+        deferPersist = false
+        if (dirtyDeferred) { dirtyDeferred = false; persist() }
+      }
+    }
+  }
+
   private def persist(): Unit = {
+    if (deferPersist) { dirtyDeferred = true; return }
     version += 1
     val body = ShareStore.render(version, log.numPartitions, i =>
       ShareStore.PState(i, spso(i), acquired(i).toSeq.sortBy(_._1),
@@ -201,10 +225,22 @@ final class ShareGroup(log: TopicLog, val groupId: String,
   }
 
   /** The data for a set of acquired offsets — partition-pruned,
-    * offset-filtered read of the backing log. */
-  def records(partition: Int, offsets: Seq[Long]): DataFrame =
-    log.consume(partition, offsets.minOption.getOrElse(0L))
-      .filter(col("offset").isInCollection(offsets))
+    * range-bounded read of the backing log. Acquisitions are almost
+    * always a CONTIGUOUS run (the earliest-Available scan hands them
+    * out in order), and a contiguous run needs only the [lo, hi]
+    * range bound — no per-offset membership predicate, so the plan
+    * stays O(1) in the batch size instead of compiling a
+    * batch-length IN list. Sparse sets (redelivery mixes) keep the
+    * exact membership filter on top of the range. */
+  def records(partition: Int, offsets: Seq[Long]): DataFrame = {
+    val lo = offsets.minOption.getOrElse(0L)
+    val hi = offsets.maxOption.getOrElse(-1L)
+    val base = log.consume(partition, lo,
+      maxRecords = math.max(0L, hi - lo + 1).toInt)
+      .filter(col("offset") <= hi)
+    if (offsets.nonEmpty && hi - lo + 1 == offsets.distinct.size) base
+    else base.filter(col("offset").isInCollection(offsets))
+  }
 
   /** At-least-once processing loop over a partition: acquire a
     * batch, hand its records to `process`, ACCEPT on success /

@@ -165,6 +165,68 @@ object ThroughputBench {
       require(ended == 0, s"EndTxn error in $b: $ended")
     }
     val txnSec = (System.nanoTime() - t7) / 1e9
+
+    // --- share-group consume over the WIRE (keys 76/78): heartbeat
+    // join, then the 4.x share-consumer loop — each ShareFetch
+    // acquires the next window and carries the PREVIOUS window's
+    // accepts, records decoded from the magic-2 batches, full-state
+    // CAS snapshot per call — the wire-path cost of queue semantics ---
+    // same 2000-record in-flight window as the drain leg below, for a
+    // like-for-like wire-vs-library comparison
+    broker.shareGroupsRegPut("wire", "wire-share",
+      new graft.streaming.ShareGroup(broker.topic("wire"), "wire-share",
+        acquisitionLockMs = 120000L, maxInFlightRecords = 2000))
+    val (_, shErr, _, shMember, shEpoch0, _, _) =
+      decodeShareGroupHeartbeatResponse(
+        exchange(encodeShareGroupHeartbeatRequest(900, "bench",
+          "wire-share", "", 0, Seq("wire"))))
+    require(shErr == 0, s"share heartbeat failed: $shErr")
+    var shEpoch = shEpoch0
+    val shResolver = topicIdResolverFor(Seq("wire"))
+    val t9 = System.nanoTime()
+    var shareWireN = 0L
+    var shareCalls = 0
+    var sessEpoch = 0
+    var acksByP: Map[Int, Seq[ShareAckBatch]] = Map.empty
+    var done = false
+    while (!done) {
+      // a real share consumer heartbeats on its interval concurrently
+      // with the fetch loop; here one rides each round (the liveness
+      // fence expires silent members, by design) at the CURRENT epoch
+      val hb = decodeShareGroupHeartbeatResponse(
+        exchange(encodeShareGroupHeartbeatRequest(880 + shareCalls,
+          "bench", "wire-share", shMember, shEpoch)))
+      require(hb._2 == 0, s"share heartbeat error ${hb._2}: ${hb._3}")
+      shEpoch = hb._5
+      val parts = (0 until 8).map(p =>
+        ShareFetchPartition(p, 1 << 26, acksByP.getOrElse(p, Seq.empty)))
+      val resp = decodeShareFetchResponse(
+        exchange(encodeShareFetchRequest(901 + shareCalls, "bench",
+          "wire-share", shMember, sessEpoch, Seq("wire" -> parts))),
+        shResolver)
+      require(resp._2 == 0, s"share fetch error ${resp._2}: ${resp._3}")
+      val out = resp._4.head._2
+      require(out.forall(p => p.errorCode == 0 && p.ackErrorCode == 0),
+        s"share partition error: $out")
+      val got = out.map(_.records.length).sum
+      val hadAcks = acksByP.values.exists(_.nonEmpty)
+      acksByP = out.map(p => p.partition ->
+        p.acquired.map(a => ShareAckBatch(a.firstOffset, a.lastOffset,
+          Seq(1)))).toMap
+      shareWireN += got
+      shareCalls += 1
+      sessEpoch += 1
+      done = got == 0 && !hadAcks
+    }
+    // close the share session with the final (empty) ack set
+    exchange(encodeShareFetchRequest(990, "bench", "wire-share", shMember,
+      -1, Seq("wire" -> (0 until 8).map(p =>
+        ShareFetchPartition(p, 1024, Seq.empty)))))
+    val shareWireSec = (System.nanoTime() - t9) / 1e9
+    require(shareWireN == wireN, s"share-wire drained $shareWireN of $wireN")
+    println(f"share-group wire consume (heartbeat join + ShareFetch loop, " +
+      f"acks riding fetches, $shareCalls calls): $shareWireN records in " +
+      f"$shareWireSec%.2f s = ${shareWireN / shareWireSec}%.0f rec/s")
     sock.close(); server.close()
     println(f"transactional wire produce (one txn per batch: add+produce+commit): " +
       f"$wireN records in $txnSec%.2f s = ${wireN / txnSec}%.0f rec/s")

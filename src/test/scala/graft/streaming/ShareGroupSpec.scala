@@ -31,6 +31,35 @@ class ShareGroupSpec extends AnyFunSuite {
     log
   }
 
+  test("batched mutations land as ONE snapshot; state is identical to unbatched") {
+    val log = mkLog(8)
+    val sg = new ShareGroup(log, "b")
+    def versions(): Seq[Long] = {
+      val dir = java.nio.file.Paths.get(log.topicDir, "_share",
+        java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString("b".getBytes("UTF-8")))
+      if (!java.nio.file.Files.exists(dir)) Seq.empty
+      else TopicLog.listDir(dir).map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }.sorted
+    }
+    // one unit: acquire 4, accept 2, release 1 — ONE new version
+    val before = versions().lastOption.getOrElse(0L)
+    sg.batched {
+      val a = sg.acquire(0, 4, T0, "c")
+      sg.acknowledge(0, Seq(a(0).offset -> Accept, a(1).offset -> Accept),
+        T0 + 1, "c")
+      sg.acknowledge(0, Seq(a(2).offset -> Release), T0 + 2, "c")
+    }
+    assert(versions().last === before + 1,
+      "the whole batched unit must publish exactly one snapshot")
+    // the snapshot carries the UNIT's net state: reopen and check
+    val re = new ShareGroup(log, "b")
+    assert(re.startOffset(0) === 2L) // 0,1 terminal
+    val (spso, acq, avail, term) = re.stats(0, T0 + 3)
+    assert((spso, acq, avail, term) === ((2L, 1, 1, 0)))
+  }
+
   test("two consumers drain one partition cooperatively, acks advance the SPSO") {
     val log = mkLog(10)
     val sg = new ShareGroup(log, "workers")

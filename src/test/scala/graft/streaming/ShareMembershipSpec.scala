@@ -23,6 +23,28 @@ class ShareMembershipSpec extends AnyFunSuite {
   private def exchange(sock: Socket, request: Array[Byte]): Array[Byte] =
     WireTestClient.exchange(sock, request)
 
+  test("ShareGroupHeartbeat request matches the hand-laid golden frame") {
+    // header v2: api_key 76, v0, corr 9, client "c", tags; body:
+    // group "g", member "m", epoch 0, null rack, subscribed ["t"]
+    val golden = Array[Int](
+      0x00, 0x00, 0x00, 0x19, // frame size 25
+      0x00, 0x4c, // api_key 76
+      0x00, 0x00, // version 0
+      0x00, 0x00, 0x00, 0x09, // correlation id 9
+      0x00, 0x01, 0x63, // client id "c"
+      0x00, // header tags
+      0x02, 0x67, // group_id compact "g"
+      0x02, 0x6d, // member_id compact "m"
+      0x00, 0x00, 0x00, 0x00, // member_epoch 0
+      0x00, // rack_id: null compact string
+      0x02, // subscribed_topic_names: compact array length 1
+      0x02, 0x74, // compact string "t"
+      0x00 // body tags
+    ).map(_.toByte)
+    assert(encodeShareGroupHeartbeatRequest(9, "c", "g", "m", 0,
+      Seq("t")) === golden)
+  }
+
   test("heartbeat and describe codecs round-trip, null variants included") {
     val (c1, g1, m1, e1, r1, s1, cid) = decodeShareGroupHeartbeatRequest(
       encodeShareGroupHeartbeatRequest(7, "cli", "sg", "mem", 3,
