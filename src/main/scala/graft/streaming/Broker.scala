@@ -2393,7 +2393,15 @@ class Broker(spark: SparkSession, root: String) {
     * request increments, −1 closes — but keyed by the member instead
     * of a broker-assigned session id. Pure per-broker metadata. */
   private val shareSessions =
-    scala.collection.mutable.Map.empty[(String, String), Int]
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
+
+  /** A member that vanishes without closing (crash, coordinator
+    * expiry) would otherwise leak its session entry forever; bound
+    * the map like fetch sessions — oldest-first eviction, and an
+    * evicted client recovers with an epoch-0 reopen on 122. */
+  private def boundShareSessions(): Unit =
+    while (shareSessions.size > Broker.MaxShareSessions)
+      shareSessions.remove(shareSessions.head._1)
 
   /** Validate + advance a share session. Returns 0, 122
     * (SHARE_SESSION_NOT_FOUND) or 123 (INVALID_SHARE_SESSION_EPOCH).
@@ -2405,7 +2413,7 @@ class Broker(spark: SparkSession, root: String) {
     epoch match {
       case 0 =>
         if (!allowOpen) 123
-        else { shareSessions(key) = 1; 0 }
+        else { shareSessions(key) = 1; boundShareSessions(); 0 }
       case -1 =>
         if (shareSessions.remove(key).isDefined) 0 else 122
       case e if e > 0 =>
@@ -2427,6 +2435,12 @@ class Broker(spark: SparkSession, root: String) {
       acks: Seq[KafkaWire.ShareAckBatch], now: Long,
       memberId: String): (Int, String) = {
     if (acks.isEmpty) return (0, null)
+    // the per-batch range cap alone still lets MANY batches expand
+    // without bound (a 64 MiB frame holds millions of batch entries)
+    if (acks.map(b => math.max(0L, b.lastOffset - b.firstOffset + 1)).sum >
+        Broker.MaxShareAckRange)
+      return (42, s"acknowledgement batches expand past " +
+        s"${Broker.MaxShareAckRange} offsets in one partition entry")
     val expanded = Seq.newBuilder[(Long, ShareGroup.AckType)]
     acks.foreach { b =>
       val n = b.lastOffset - b.firstOffset + 1
@@ -2823,11 +2837,17 @@ object Broker {
     * recovers via FETCH_SESSION_ID_NOT_FOUND → full fetch). */
   val MaxFetchSessions = 64
 
-  /** Widest acknowledgement batch one ShareFetch/ShareAcknowledge
-    * entry may span — far above any real in-flight window (which
-    * bounds what can legitimately be acknowledged) while keeping a
-    * hostile [0, Long.MaxValue] range from expanding in memory. */
+  /** Widest acknowledgement span one ShareFetch/ShareAcknowledge
+    * PARTITION ENTRY may cover, per batch AND summed across batches —
+    * far above any real in-flight window (which bounds what can
+    * legitimately be acknowledged) while keeping hostile ranges from
+    * expanding in memory. */
   val MaxShareAckRange = 10000L
+
+  /** Cap on concurrently remembered share sessions (the
+    * MaxFetchSessions discipline): oldest-first eviction; an evicted
+    * client sees SHARE_SESSION_NOT_FOUND and reopens at epoch 0. */
+  val MaxShareSessions = 256
 
   /** Compress ascending acquisitions into the response's
     * (first, last, delivery_count) runs: consecutive offsets at one

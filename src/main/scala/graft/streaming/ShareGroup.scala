@@ -236,7 +236,7 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     val lo = offsets.minOption.getOrElse(0L)
     val hi = offsets.maxOption.getOrElse(-1L)
     val base = log.consume(partition, lo,
-      maxRecords = math.max(0L, hi - lo + 1).toInt)
+      maxRecords = math.min(math.max(0L, hi - lo + 1), Int.MaxValue).toInt)
       .filter(col("offset") <= hi)
     if (offsets.nonEmpty && hi - lo + 1 == offsets.distinct.size) base
     else base.filter(col("offset").isInCollection(offsets))

@@ -245,6 +245,46 @@ class ShareWireSpec extends AnyFunSuite {
     }
   }
 
+  test("session cap evicts oldest; ack expansion is bounded per partition entry") {
+    val (broker, _) = mkBroker(3)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // open MaxShareSessions+1 sessions (cheap: unknown-topic fetch
+      // opens the session before any acquisition); the oldest evicts
+      def open(member: String, corr: Int) =
+        decodeShareFetchResponse(exchange(sock,
+          encodeShareFetchRequest(corr, "cli", "evict", member, 0,
+            Seq("ghost" -> Seq(ShareFetchPartition(0, 64, Seq.empty))))),
+          topicIdResolverFor(Seq("q")))
+      assert(open("m-first", 1)._2 === 0)
+      (0 until Broker.MaxShareSessions).foreach { i =>
+        assert(open(s"m-$i", 100 + i)._2 === 0)
+      }
+      // the first session was evicted: its epoch-1 continuation sees
+      // SHARE_SESSION_NOT_FOUND and must reopen at epoch 0
+      val gone = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(500, "cli", "evict", "m-first", 1,
+          Seq("ghost" -> Seq(ShareFetchPartition(0, 64, Seq.empty))))),
+        topicIdResolverFor(Seq("q")))
+      assert(gone._2 === 122)
+      assert(open("m-first", 501)._2 === 0)
+
+      // acknowledgement expansion: many in-cap batches summing past
+      // the per-entry cap answer 42 before anything expands
+      val batches = (0 until 3).map(i =>
+        ShareAckBatch(i * 5000L, i * 5000L + 4999L, Seq(1)))
+      val r = decodeShareAcknowledgeResponse(exchange(sock,
+        encodeShareAcknowledgeRequest(502, "cli", "evict", "m-first", 1,
+          Seq("q" -> Seq(0 -> batches)))),
+        topicIdResolverFor(Seq("q")))
+      assert(r._4.head._2.head._2 === 42)
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
   test("poison records archive over the wire at the delivery budget") {
     val root = Files.createTempDirectory("graft-sharewire").toString
     val broker = new Broker(spark, root)
