@@ -7,6 +7,24 @@ package graft
 object OraclesEvents {
 
   val events: Map[String, String] = Map(
+    // gaps are integer µs and the percentiles DISCRETE (an element OF
+    // the data — quantile_disc shares Spark's percentile_disc
+    // definition), so every column is exact cross-engine
+    "events_inter_event_gaps" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |              epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT event_type,
+        |        ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id) AS gap_us
+        |      FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  MIN(gap_us) AS min_gap_us,
+        |  quantile_disc(gap_us, 0.5) AS median_gap_us,
+        |  quantile_disc(gap_us, 0.9) AS p90_gap_us,
+        |  MAX(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
         |            FROM events),

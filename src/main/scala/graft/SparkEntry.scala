@@ -71,6 +71,7 @@ object SparkEntry {
     "share_group_describe" -> Streams.shareGroupDescribe _,
     // §2h event-stream analytics
     "events_sessionize" -> EventAnalytics.sessionize _,
+    "events_inter_event_gaps" -> EventAnalytics.interEventGaps _,
     "events_funnel" -> EventAnalytics.funnel _,
     "events_cohort_retention" -> EventAnalytics.cohortRetention _,
     "events_transition_matrix" -> EventAnalytics.transitionMatrix _,

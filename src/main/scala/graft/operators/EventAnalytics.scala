@@ -57,6 +57,41 @@ object EventAnalytics {
       .orderBy("user_id", "session_no")
   }
 
+  /** Inter-event gap distribution per event type — the engagement-
+    * cadence view (how long between a user's consecutive actions,
+    * attributed to the LATER event's type): one user-partitioned lag
+    * window derives every gap, then exact DISCRETE percentiles per
+    * type (the [[graft.operators.Relational.q29QuantileBucket]]
+    * recipe — a boundary is an element OF the data, so the all-
+    * integer µs gaps cross engines exactly, no interpolation to
+    * drift by an ulp).
+    *
+    * 100-TB shape: the window shuffle is the event stream keyed by
+    * user_id (the sessionize shape, §15.2-probed); the percentile
+    * agg reduces to |types| rows. No global sort anywhere. */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = ev
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("ts_us") - col("prev_us"))
+    def pd(p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY gap_us)")
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"),
+        // percentile_disc returns DOUBLE even over BIGINT input; the
+        // boundary is an element OF the integer data, so the cast back
+        // is exact
+        pd(0.5).cast("long").as("median_gap_us"),
+        pd(0.9).cast("long").as("p90_gap_us"),
+        max("gap_us").as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** Staged funnel view → click → purchase: each stage's entry time
     * is the user's first qualifying event STRICTLY AFTER the prior
     * stage (min-aggregate per user, then a keyed join — the corpus

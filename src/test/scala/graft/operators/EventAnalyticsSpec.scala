@@ -43,6 +43,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("inter-event gaps partition the stream: n_gaps = events - users; percentiles ordered") {
+    val ev = graft.Tables.events(spark, dir)
+    val rows = EventAnalytics.interEventGaps(spark, dir).collect()
+    // every event except each user's FIRST contributes exactly one gap
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum === ev.count() - users)
+    rows.foreach { r =>
+      val (mn, med, p90, mx) = (r.getAs[Long]("min_gap_us"),
+        r.getAs[Long]("median_gap_us"), r.getAs[Long]("p90_gap_us"),
+        r.getAs[Long]("max_gap_us"))
+      assert(mn >= 0L, "time moves forward within a user's stream")
+      assert(mn <= med && med <= p90 && p90 <= mx,
+        s"percentiles must be ordered: $mn $med $p90 $mx")
+    }
+  }
+
   test("funnel stages are monotone and ordered in time") {
     val rows = EventAnalytics.funnel(spark, dir).collect()
     assert(rows.map(_.getAs[String]("stage")).toSeq ===

@@ -159,4 +159,156 @@ class CodecPropertySpec extends AnyFunSuite {
           inst, rack, timeout, names, regex, assignor, owned)
     })
   }
+
+  // --- round-8 share codecs (76/78/79): the same discipline — the
+  // golden frames pin the layout once, these drive hundreds of
+  // structurally random shapes through the identity ---
+
+  private val genTopicName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(20))
+
+  test("ShareGroupHeartbeat request survives arbitrary shapes") {
+    val gen = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      group <- genStr
+      member <- genNStr
+      epoch <- Gen.chooseNum(-1, Int.MaxValue)
+      rack <- genNStr
+      subs <- Gen.option(Gen.listOf(genStr)).map(_.map(_.toSeq).orNull)
+    } yield (corr, group, member, epoch, rack, subs)
+    check("share-heartbeat-req", Prop.forAll(gen) {
+      case (corr, group, member, epoch, rack, subs) =>
+        val got = decodeShareGroupHeartbeatRequest(
+          encodeShareGroupHeartbeatRequest(corr, "cli", group, member,
+            epoch, subs, rack))
+        got == ((corr, group, member, epoch, rack, subs, "cli"))
+    })
+  }
+
+  test("ShareFetch request survives arbitrary batch shapes") {
+    val genAck = for {
+      first <- Gen.chooseNum(0L, 1L << 40)
+      span <- Gen.chooseNum(0L, 64L)
+      types <- Gen.oneOf(Gen.const(Seq(1)),
+        Gen.listOfN((span + 1).toInt, Gen.chooseNum(0, 3)).map(_.toSeq))
+    } yield ShareAckBatch(first, first + span, types)
+    val genPart = for {
+      p <- Gen.chooseNum(0, 64)
+      pmb <- Gen.chooseNum(1, Int.MaxValue)
+      acks <- Gen.listOf(genAck).map(_.take(4))
+    } yield ShareFetchPartition(p, pmb, acks)
+    val gen = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      group <- genNStr
+      member <- genNStr
+      epoch <- Gen.chooseNum(-1, Int.MaxValue)
+      names <- Gen.nonEmptyListOf(genTopicName).map(_.distinct.take(3))
+      parts <- Gen.listOfN(names.length, Gen.nonEmptyListOf(genPart).map(_.take(3)))
+      fnames <- Gen.listOf(genTopicName).map(_.distinct.take(2))
+      fparts <- Gen.listOfN(fnames.length, Gen.listOf(Gen.chooseNum(0, 64)))
+    } yield (corr, group, member, epoch,
+      names.zip(parts.map(_.toSeq)), fnames.zip(fparts.map(_.toSeq)))
+    check("share-fetch-req", Prop.forAll(gen) {
+      case (corr, group, member, epoch, topics, forgotten) =>
+        val got = decodeShareFetchRequest(
+          encodeShareFetchRequest(corr, "cli", group, member, epoch,
+            topics, forgotten),
+          topicIdResolverFor(topics.map(_._1) ++ forgotten.map(_._1)))
+        got.correlationId == corr && got.groupId == group &&
+          got.memberId == member && got.sessionEpoch == epoch &&
+          got.topics == topics && got.forgotten == forgotten
+    })
+  }
+
+  test("ShareFetch response survives arbitrary record/run shapes") {
+    val genRec = for {
+      off <- Gen.chooseNum(0L, 1L << 30)
+      ts <- Gen.chooseNum(-1L, 1L << 45)
+      key <- Gen.option(Gen.containerOf[Array, Byte](
+        Gen.chooseNum(Byte.MinValue, Byte.MaxValue))).map(_.orNull)
+      value <- Gen.containerOf[Array, Byte](
+        Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (off, ts, key, value)
+    val genPart = for {
+      p <- Gen.chooseNum(0, 64)
+      err <- Gen.chooseNum(0, 200)
+      ackErr <- Gen.chooseNum(0, 200)
+      msg <- genNStr
+      recs <- Gen.listOf(genRec).map(_.take(5))
+      runs <- Gen.listOf(for {
+        f <- Gen.chooseNum(0L, 1L << 30); s <- Gen.chooseNum(0L, 64L)
+        dc <- Gen.chooseNum(1, 50)
+      } yield ShareAcquired(f, f + s, dc)).map(_.take(4))
+    } yield {
+      // a records block needs ascending unique offsets + one base ts
+      val sorted = recs.map(_._1).distinct.sorted
+      val cleaned = sorted.zip(recs).map { case (o, (_, _, k, v)) =>
+        (o, WireRecordV2(if (recs.isEmpty) -1L else recs.head._2, k, v)) }
+      ShareFetchPartResp(p, err, msg, ackErr, msg, cleaned, runs)
+    }
+    val gen = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      err <- Gen.chooseNum(0, 200)
+      msg <- genNStr
+      names <- Gen.nonEmptyListOf(genTopicName).map(_.distinct.take(3))
+      parts <- Gen.listOfN(names.length, Gen.listOf(genPart).map(_.take(3)))
+    } yield (corr, err, msg, names.zip(parts.map(_.toSeq)))
+    check("share-fetch-resp", Prop.forAll(gen) {
+      case (corr, err, msg, topics) =>
+        val (gc, ge, gm, gt) = decodeShareFetchResponse(
+          encodeShareFetchResponse(corr, err, msg, topics),
+          topicIdResolverFor(topics.map(_._1)))
+        def recEq(a: Seq[(Long, WireRecordV2)], b: Seq[(Long, WireRecordV2)]) =
+          a.length == b.length && a.zip(b).forall { case ((o1, r1), (o2, r2)) =>
+            o1 == o2 && r1.timestampMs == r2.timestampMs &&
+              java.util.Arrays.equals(
+                Option(r1.key).getOrElse(Array.emptyByteArray),
+                Option(r2.key).getOrElse(Array.emptyByteArray)) &&
+              java.util.Arrays.equals(r1.value, r2.value)
+          }
+        gc == corr && ge == err && gm == msg &&
+          gt.map(_._1) == topics.map(_._1) &&
+          gt.zip(topics).forall { case ((_, got), (_, want)) =>
+            got.length == want.length &&
+              got.zip(want).forall { case (g, w) =>
+                g.partition == w.partition && g.errorCode == w.errorCode &&
+                  g.ackErrorCode == w.ackErrorCode &&
+                  g.acquired == w.acquired && recEq(g.records, w.records)
+              }
+          }
+    })
+  }
+
+  test("ShareAcknowledge request/response survive arbitrary shapes") {
+    val genAck = for {
+      first <- Gen.chooseNum(0L, 1L << 40)
+      span <- Gen.chooseNum(0L, 64L)
+    } yield ShareAckBatch(first, first + span, Seq(1))
+    val gen = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      group <- genNStr
+      member <- genNStr
+      epoch <- Gen.chooseNum(-1, Int.MaxValue)
+      names <- Gen.nonEmptyListOf(genTopicName).map(_.distinct.take(3))
+      parts <- Gen.listOfN(names.length,
+        Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 64), Gen.listOf(genAck)
+          .map(_.take(3))).map { case (p, a) => (p, a.toSeq) }).map(_.take(3)))
+    } yield (corr, group, member, epoch, names.zip(parts.map(_.toSeq)))
+    check("share-ack", Prop.forAll(gen) {
+      case (corr, group, member, epoch, topics) =>
+        val req = decodeShareAcknowledgeRequest(
+          encodeShareAcknowledgeRequest(corr, "cli", group, member, epoch,
+            topics),
+          topicIdResolverFor(topics.map(_._1)))
+        val results = topics.map { case (n, ps) =>
+          (n, ps.map { case (p, _) => (p, 0, null: String) }) }
+        val (rc, re, rm, rt) = decodeShareAcknowledgeResponse(
+          encodeShareAcknowledgeResponse(corr, 0, null, results),
+          topicIdResolverFor(topics.map(_._1)))
+        req.correlationId == corr && req.groupId == group &&
+          req.memberId == member && req.sessionEpoch == epoch &&
+          req.topics == topics &&
+          rc == corr && re == 0 && rm == null && rt == results
+    })
+  }
 }
