@@ -2291,7 +2291,9 @@ class Broker(spark: SparkSession, root: String) {
           maxDeliveryAttempts = cfg.get("share.delivery.attempt.limit")
             .flatMap(_.toIntOption).filter(_ > 0).getOrElse(5),
           acquisitionLockMs = cfg.get("share.record.lock.duration.ms")
-            .flatMap(_.toLongOption).filter(_ > 0).getOrElse(30000L))
+            .flatMap(_.toLongOption).filter(_ > 0).getOrElse(30000L),
+          startAtLatest =
+            cfg.get("share.auto.offset.reset").map(_.trim).contains("latest"))
       })
     }
 
@@ -2977,18 +2979,23 @@ object Broker {
     * instantiation, the timing pair is re-read by the coordinator on
     * every access. */
   val GroupConfigDefaults: Seq[(String, String)] = Seq(
+    "share.auto.offset.reset" -> "earliest",
     "share.delivery.attempt.limit" -> "5",
     "share.record.lock.duration.ms" -> "30000",
     "share.session.timeout.ms" -> "45000",
     "share.heartbeat.interval.ms" -> "3000")
 
-  /** Group-config validator (the topicConfigError discipline): all
-    * four keys are positive integers; unknown keys answer 40. */
+  /** Group-config validator (the topicConfigError discipline): the
+    * numeric keys are positive integers, the reset policy an enum;
+    * unknown keys answer 40. */
   def groupConfigError(configs: Seq[(String, String)]): String = {
     val allowed = GroupConfigDefaults.map(_._1).toSet
     configs.collectFirst {
       case (n, _) if !allowed.contains(n) => s"unknown group config '$n'"
-      case (n, v) if v != null &&
+      case ("share.auto.offset.reset", v) if v != null &&
+          v.trim != "earliest" && v.trim != "latest" =>
+        s"invalid value '$v' for config 'share.auto.offset.reset'"
+      case (n, v) if n != "share.auto.offset.reset" && v != null &&
           !scala.util.Try(v.trim.toLong).toOption.exists(_ > 0) =>
         s"invalid value '$v' for numeric config '$n'"
       case (n, v) if v != null && v.exists(c => c == '"' || c == '\\' || c < ' ') =>

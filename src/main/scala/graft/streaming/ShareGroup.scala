@@ -48,7 +48,14 @@ import org.apache.spark.sql.functions.col
 final class ShareGroup(log: TopicLog, val groupId: String,
     val maxDeliveryAttempts: Int = 5,
     val acquisitionLockMs: Long = 30000L,
-    val maxInFlightRecords: Int = 200) {
+    val maxInFlightRecords: Int = 200,
+    /** `share.auto.offset.reset`: where a group with NO durable state
+      * begins. false = earliest (offset 0 — graft's default: an
+      * embedded drain wants the whole log), true = latest (each
+      * SPSO starts at the log end, only records produced after the
+      * group's creation deliver — Kafka's share-group default). A
+      * reopened group ignores this; its snapshot is the truth. */
+    val startAtLatest: Boolean = false) {
 
   import ShareGroup._
 
@@ -72,17 +79,28 @@ final class ShareGroup(log: TopicLog, val groupId: String,
     Base64.getUrlEncoder.withoutPadding.encodeToString(
       groupId.getBytes("UTF-8")))
 
-  // reload the newest snapshot — a reopened group continues exactly
-  ShareStore.load(stateDir).foreach { case (v, st) =>
-    version = v
-    st.foreach { p =>
-      if (p.partition >= 0 && p.partition < log.numPartitions) {
-        spso(p.partition) = p.spso
-        acquired(p.partition) ++= p.acquired
-        available(p.partition) ++= p.available
-        terminal(p.partition) ++= p.terminal
+  // reload the newest snapshot — a reopened group continues exactly;
+  // a FRESH group honors share.auto.offset.reset (latest = SPSOs at
+  // the log end as of creation, persisted immediately so the choice
+  // is durable and a restart can't re-run the reset over new data)
+  ShareStore.load(stateDir) match {
+    case Some((v, st)) =>
+      version = v
+      st.foreach { p =>
+        if (p.partition >= 0 && p.partition < log.numPartitions) {
+          spso(p.partition) = p.spso
+          acquired(p.partition) ++= p.acquired
+          available(p.partition) ++= p.available
+          terminal(p.partition) ++= p.terminal
+        }
       }
-    }
+    case None if startAtLatest =>
+      val ends = log.logEndOffsets()
+      (0 until log.numPartitions).foreach { p =>
+        spso(p) = ends.getOrElse(p, 0L)
+      }
+      persist()
+    case None => ()
   }
 
   /** Inside [[batched]], mutations mark dirty instead of snapshotting;

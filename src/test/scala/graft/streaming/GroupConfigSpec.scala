@@ -92,6 +92,52 @@ class GroupConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("share.auto.offset.reset=latest starts a fresh group at the log end, durably") {
+    val root = Files.createTempDirectory("graft-reset").toString
+    val broker = new Broker(spark, root)
+    val log = broker.createTopic("r", 1)
+    import spark.implicits._
+    def produce(tag: String, n: Int): Unit =
+      log.produce((0 until n).toDF("i").select(col("i"),
+        lit(null).cast("binary").as("key"),
+        concat(lit(tag), col("i").cast("string")).cast("binary").as("value")),
+        Partitioners.byLongKey(1, lit(0L)))
+    produce("old", 4)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // the policy lands over the wire, validated as an enum
+      val (_, ok) = decodeIncrementalAlterConfigsResponse(1,
+        exchange(sock, encodeIncrementalAlterConfigsRequest(1, 1, "cli",
+          Seq((ConfigResourceGroup, "tail", Seq(
+            ("share.auto.offset.reset", 0, "latest")))))))
+      assert(ok === Seq((0, null, ConfigResourceGroup, "tail")))
+      val (_, bad) = decodeIncrementalAlterConfigsResponse(1,
+        exchange(sock, encodeIncrementalAlterConfigsRequest(1, 2, "cli",
+          Seq((ConfigResourceGroup, "tail", Seq(
+            ("share.auto.offset.reset", 0, "newest")))))))
+      assert(bad.head._1 === 40)
+
+      // a FRESH group under the policy starts past the old records...
+      val sg = broker.shareGroup("r", "tail")
+      assert(sg.startOffset(0) === 4L)
+      assert(sg.acquire(0, 10, 1000L, "c").isEmpty, "nothing old delivers")
+      // ... sees only records produced after its creation ...
+      produce("new", 2)
+      val got = sg.acquire(0, 10, 2000L, "c")
+      assert(got.map(_.offset) === Seq(4L, 5L))
+      // ... and the reset is DURABLE: a reopen does not re-run it
+      // over data that arrived since (the SPSO snapshot is the truth)
+      val cold = new Broker(spark, root)
+      assert(cold.shareGroup("r", "tail").startOffset(0) === 4L)
+      // the default policy is unchanged: a fresh group drains from 0
+      assert(broker.shareGroup("r", "scratch").startOffset(0) === 0L)
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
+
   test("the configured session timeout drives coordinator expiry") {
     val c = new ShareCoordinator(_ => Some(1),
       groupConfig = g =>
