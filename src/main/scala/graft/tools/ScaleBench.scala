@@ -149,6 +149,28 @@ object ScaleBench {
       time("events_user_segments 10x")(noop(
         graft.operators.EventAnalytics.userSegments(spark, eventsScaled)))
     }
+    // Round-8 text/ANN shapes: text_perplexity_bigram's ONE corpus
+    // shuffle is the bigram freq agg — its map side is the pair
+    // stream (born map-side from zip_with, no self-join), its reduce
+    // side the DISTINCT bigram vocabulary; ann_hybrid_search's only
+    // corpus-sized shuffles are the two rank exchanges, both under
+    // partial WindowGroupLimit. Volumes must track n, never n².
+    for (d <- Seq(baseDir, out)) {
+      val pairs = t(spark, d, "documents").select(explode(expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), " +
+          "(a, b) -> concat_ws(' ', a, b))")).as("bg"))
+      println(f"bigram volumes at $d: pairs=${pairs.count()}%d " +
+        f"distinct_bigrams=${pairs.distinct().count()}%d")
+    }
+    time("text_perplexity_bigram 1x")(noop(
+      graft.operators.TextAnalysis.textPerplexityBigram(spark, baseDir)))
+    time("text_perplexity_bigram 10x")(noop(
+      graft.operators.TextAnalysis.textPerplexityBigram(spark, out)))
+    time("ann_hybrid_search 1x")(noop(
+      graft.operators.Similarity.annHybridSearch(spark, baseDir)))
+    time("ann_hybrid_search 10x")(noop(
+      graft.operators.Similarity.annHybridSearch(spark, out)))
     time("text_keywords_tfidf 1x")(noop(
       graft.operators.TextAnalysis.textKeywordsTfidf(spark, baseDir)))
     time("text_keywords_tfidf 10x")(noop(
