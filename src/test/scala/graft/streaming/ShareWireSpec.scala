@@ -71,6 +71,39 @@ class ShareWireSpec extends AnyFunSuite {
       Seq("t" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty)))) === golden)
   }
 
+  test("ShareAcknowledge request matches the hand-laid golden frame") {
+    // header v2: api_key 79, v0, corr 9, client "c", tags; body:
+    // group "g", member "m", epoch 1, topics [id("t") → [partition 0,
+    // one batch accepting offsets 0–2]]
+    val golden = (Array[Int](
+      0x00, 0x00, 0x00, 0x41, // frame size 65
+      0x00, 0x4f, // api_key 79
+      0x00, 0x00, // version 0
+      0x00, 0x00, 0x00, 0x09, // correlation id 9
+      0x00, 0x01, 0x63, // client id "c"
+      0x00, // header tags
+      0x02, 0x67, // group_id compact "g"
+      0x02, 0x6d, // member_id compact "m"
+      0x00, 0x00, 0x00, 0x01, // share_session_epoch 1
+      0x02 // topics: compact array length 1
+    ).map(_.toByte)
+      ++ topicUuid("t")
+      ++ Array[Int](
+        0x02, // partitions: compact array length 1
+        0x00, 0x00, 0x00, 0x00, // partition_index 0
+        0x02, // acknowledgement_batches: compact array length 1
+        0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // first_offset 0
+        0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x02, // last_offset 2
+        0x02, 0x01, // acknowledge_types: [1] (accept)
+        0x00, // batch tags
+        0x00, // partition tags
+        0x00, // topic tags
+        0x00 // body tags
+      ).map(_.toByte))
+    assert(encodeShareAcknowledgeRequest(9, "c", "g", "m", 1,
+      Seq("t" -> Seq(0 -> Seq(ShareAckBatch(0L, 2L, Seq(1)))))) === golden)
+  }
+
   test("ShareFetch and ShareAcknowledge codecs round-trip") {
     val acks = Seq(ShareAckBatch(3L, 7L, Seq(1)),
       ShareAckBatch(9L, 11L, Seq(2, 3, 1)))
