@@ -23,8 +23,8 @@ object OraclesStreams {
         |  (21,'DeleteRecords',0,2),(22,'InitProducerId',0,4),
         |  (23,'OffsetForLeaderEpoch',0,4),
         |  (24,'AddPartitionsToTxn',0,3),(25,'AddOffsetsToTxn',0,3),(26,'EndTxn',0,3),
-        |  (28,'TxnOffsetCommit',0,3),(29,'DescribeAcls',0,0),
-        |  (30,'CreateAcls',0,0),(31,'DeleteAcls',0,0),
+        |  (28,'TxnOffsetCommit',0,3),(29,'DescribeAcls',0,3),
+        |  (30,'CreateAcls',0,3),(31,'DeleteAcls',0,3),
         |  (32,'DescribeConfigs',0,4),
         |  (33,'AlterConfigs',0,2),(35,'DescribeLogDirs',0,0),
         |  (36,'SaslAuthenticate',0,2),(37,'CreatePartitions',0,3),

@@ -16,9 +16,50 @@ import scala.jdk.CollectionConverters._
   */
 class Broker(spark: SparkSession, root: String) {
 
-  /** The log root — durable per-broker state (topics, _txn, _scram)
-    * lives under it. */
+  /** The log root — durable per-broker state (topics, _txn, _scram,
+    * _acls) lives under it. */
   private[streaming] def logRoot: String = root
+
+  /** The authorizer — None (the default) keeps the historical
+    * no-authorizer behavior: every request allowed, the ACL admin
+    * keys answering SECURITY_DISABLED. [[enableAuthorizer]] loads the
+    * durable ACL set and turns on request authorization at every
+    * enforcement point (per-handler checks, in-band per-resource
+    * errors — the standard broker authorization matrix). */
+  @volatile private[streaming] var authorizerOpt: Option[Acls.Authorizer] = None
+
+  /** Turn on authorization: load `_acls` (durable CAS snapshots, the
+    * ScramStore protocol) and enforce on every subsequent request.
+    * `superUsers` entries (e.g. "User:admin") bypass every check —
+    * Kafka's super.users, and the practical bootstrap: SOMEONE must
+    * be able to create the first ACL on a deny-by-default broker.
+    * Returns the live authorizer (keys 29/30/31 administer the same
+    * instance). */
+  def enableAuthorizer(superUsers: Set[String] = Set.empty): Acls.Authorizer = {
+    val a = new Acls.Authorizer(Paths.get(root, "_acls"), superUsers)
+    authorizerOpt = Some(a)
+    a
+  }
+
+  /** Per-request (principal, host), bound by the wire server before
+    * each dispatch — thread-per-connection means the handler runs
+    * synchronously on the connection's thread, so a ThreadLocal IS
+    * the request context. Library callers never set it and run as
+    * User:ANONYMOUS from the empty host; with no authorizer enabled
+    * every check passes regardless. */
+  private[streaming] val authCtx = new ThreadLocal[(String, String)] {
+    override def initialValue(): (String, String) =
+      (Broker.AnonymousPrincipal, "")
+  }
+
+  /** One authorization decision for the current request's principal.
+    * True when no authorizer is enabled (the open broker). */
+  private[streaming] def authz(operation: Int, resourceType: Int,
+      resourceName: String): Boolean =
+    authorizerOpt.forall { a =>
+      val (principal, host) = authCtx.get()
+      a.authorize(principal, host, operation, resourceType, resourceName)
+    }
 
   /** Membership coordination for wire consumers (JoinGroup/SyncGroup/
     * Heartbeat/LeaveGroup) — pure metadata, one per broker. */
@@ -272,7 +313,12 @@ class Broker(spark: SparkSession, root: String) {
     val req = decodeProduceRequest(requestBytes)
     val appendTime = new java.sql.Timestamp(System.currentTimeMillis())
     val results = req.topics.map { case (name, parts) =>
-      if (!topicExists(name)) (name, parts.map { case (p, _) => (p, 3, -1L) })
+      // authorization precedes existence: an unauthorized producer
+      // learns 29, not whether the topic exists
+      if (!authz(Acls.OpWrite, Acls.ResTopic, name))
+        (name, parts.map { case (p, _) => (p, 29, -1L) })
+      else if (!topicExists(name))
+        (name, parts.map { case (p, _) => (p, 3, -1L) })
       else {
         val log = topic(name)
         // Phase −1 — the size gate: `max.message.bytes` (dynamic
@@ -869,11 +915,25 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeInitProducerIdRequest(requestBytes)
     if (req.transactionalId == null) {
+      // the idempotent path: IDEMPOTENT_WRITE on the cluster, or (the
+      // KIP-447-era relaxation) WRITE on any topic the caller could
+      // produce to anyway
+      val idempotentOk =
+        authz(Acls.OpIdempotentWrite, Acls.ResCluster,
+          Acls.ClusterResourceName) ||
+        (authorizerOpt.isDefined &&
+          listTopics().exists(t => authz(Acls.OpWrite, Acls.ResTopic, t)))
+      if (!idempotentOk)
+        return encodeInitProducerIdResponse(req.version, req.correlationId,
+          31, -1L, -1)
       val pid = nextProducerId.getAndIncrement()
       persistTxnState() // the pid high-water mark must survive restart
       return encodeInitProducerIdResponse(req.version, req.correlationId, 0,
         pid, 0)
     }
+    if (!authz(Acls.OpWrite, Acls.ResTransactionalId, req.transactionalId))
+      return encodeInitProducerIdResponse(req.version, req.correlationId,
+        53, -1L, -1)
     val (pid, epoch, actions) = txnLock.synchronized {
       val st = txns.remove(req.transactionalId)
         .getOrElse(new Broker.TxnState(nextProducerId.getAndIncrement()))
@@ -899,6 +959,11 @@ class Broker(spark: SparkSession, root: String) {
   def handleAddPartitionsToTxn(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeAddPartitionsToTxnRequest(requestBytes)
+    if (!authz(Acls.OpWrite, Acls.ResTransactionalId, req.transactionalId))
+      return encodeAddPartitionsToTxnResponse(req.version, req.correlationId,
+        req.topics.map { case (name, parts) =>
+          (name, parts.map(p => (p, 53)))
+        })
     // topic existence / partition counts resolve OUTSIDE txnLock —
     // manifest reads must not stall the produce gate, LSO lookups,
     // and read_committed fetches that share the lock
@@ -907,8 +972,12 @@ class Broker(spark: SparkSession, root: String) {
         val n = partitionCountOr(name, 0)
         (name, parts.map(p => (p, p >= 0 && p < n)))
       }
+    val topicDenied: Set[String] = req.topics.map(_._1)
+      .filterNot(t => authz(Acls.OpWrite, Acls.ResTopic, t)).toSet
     val results = txnLock.synchronized {
       validated.map { case (name, parts) =>
+        if (topicDenied(name)) (name, parts.map { case (p, _) => (p, 29) })
+        else
         (name, parts.map { case (p, partitionOk) =>
           txns.get(req.transactionalId) match {
             case None => (p, 49)
@@ -942,6 +1011,10 @@ class Broker(spark: SparkSession, root: String) {
   def handleAddOffsetsToTxn(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeAddOffsetsToTxnRequest(requestBytes)
+    if (!authz(Acls.OpWrite, Acls.ResTransactionalId, req.transactionalId))
+      return encodeAddOffsetsToTxnResponse(req.version, req.correlationId, 53)
+    if (!authz(Acls.OpRead, Acls.ResGroup, req.groupId))
+      return encodeAddOffsetsToTxnResponse(req.version, req.correlationId, 30)
     val err = txnLock.synchronized {
       txns.get(req.transactionalId) match {
         case None => 49
@@ -965,6 +1038,8 @@ class Broker(spark: SparkSession, root: String) {
   def handleEndTxn(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeEndTxnRequest(requestBytes)
+    if (!authz(Acls.OpWrite, Acls.ResTransactionalId, req.transactionalId))
+      return encodeEndTxnResponse(req.version, req.correlationId, 53)
     val (err, actions) = txnLock.synchronized {
       txns.get(req.transactionalId) match {
         case None => (49, Seq.empty[() => Unit])
@@ -991,6 +1066,16 @@ class Broker(spark: SparkSession, root: String) {
   def handleTxnOffsetCommit(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeTxnOffsetCommitRequest(requestBytes)
+    val txnCommitErr =
+      if (!authz(Acls.OpWrite, Acls.ResTransactionalId, req.transactionalId))
+        53
+      else if (!authz(Acls.OpRead, Acls.ResGroup, req.groupId)) 30
+      else 0
+    if (txnCommitErr != 0)
+      return encodeTxnOffsetCommitResponse(req.version, req.correlationId,
+        req.topics.map { case (name, parts) =>
+          (name, parts.map { case (ptn, _, _) => (ptn, txnCommitErr) })
+        })
     // topic checks outside txnLock, as in handleAddPartitionsToTxn
     val validated: Seq[(String, Seq[(Int, Long, String, Boolean)])] =
       req.topics.map { case (name, parts) =>
@@ -999,8 +1084,13 @@ class Broker(spark: SparkSession, root: String) {
           (p, off, meta, p >= 0 && p < n)
         })
       }
+    val txnTopicDenied: Set[String] = req.topics.map(_._1)
+      .filterNot(t => authz(Acls.OpRead, Acls.ResTopic, t)).toSet
     val results = txnLock.synchronized {
       validated.map { case (name, parts) =>
+        if (txnTopicDenied(name))
+          (name, parts.map { case (p, _, _, _) => (p, 29) })
+        else
         (name, parts.map { case (p, off, meta, partitionOk) =>
           txns.get(req.transactionalId) match {
             case None => (p, 49)
@@ -1035,8 +1125,10 @@ class Broker(spark: SparkSession, root: String) {
     val (correlationId, topics) = decodeDescribeProducersRequest(requestBytes)
     val results = topics.map { case (name, parts) =>
       val n = partitionCountOr(name, -1)
+      val denied = !authz(Acls.OpRead, Acls.ResTopic, name)
       (name, parts.map { p =>
-        if (n < 0 || p < 0 || p >= n) (p, 3, Seq.empty[ActiveProducer])
+        if (denied) (p, 29, Seq.empty[ActiveProducer])
+        else if (n < 0 || p < 0 || p >= n) (p, 3, Seq.empty[ActiveProducer])
         else {
           // sequence states first, then txn starts — the two locks
           // never nest anywhere, keep it that way
@@ -1088,9 +1180,14 @@ class Broker(spark: SparkSession, root: String) {
   def handleDescribeTransactions(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val (correlationId, ids) = decodeDescribeTransactionsRequest(requestBytes)
+    val idDenied: Set[String] = ids
+      .filterNot(id => authz(Acls.OpDescribe, Acls.ResTransactionalId, id))
+      .toSet
     val states = txnLock.synchronized {
       ids.map { id =>
-        txns.get(id) match {
+        if (idDenied(id))
+          DescribedTxn(53, id, "", 0, -1L, -1L, -1, Seq.empty)
+        else txns.get(id) match {
           case Some(st) =>
             val topics = st.partitions.toSeq.groupBy(_._1).toSeq
               .map { case (t, ps) => (t, ps.map(_._2).sorted) }
@@ -1116,6 +1213,9 @@ class Broker(spark: SparkSession, root: String) {
   def handleDescribeLogDirs(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val (correlationId, asked) = decodeDescribeLogDirsRequest(requestBytes)
+    if (!authz(Acls.OpDescribe, Acls.ResCluster, Acls.ClusterResourceName))
+      return encodeDescribeLogDirsResponse(correlationId,
+        Seq((31, root, Seq.empty)))
     val wanted: Seq[(String, Seq[Int])] =
       if (asked == null) listTopics().sorted.map(t => (t, null))
       else asked
@@ -1148,6 +1248,10 @@ class Broker(spark: SparkSession, root: String) {
     val wanted = stateFilters.filter(known).toSet
     val all = txnLock.synchronized {
       txns.toSeq.map { case (id, st) => (id, st.pid, txnStateName(st)) }
+    }.filter { case (id, _, _) =>
+      // the listing hides ids the caller cannot DESCRIBE, the
+      // Metadata rule for transactional ids
+      authz(Acls.OpDescribe, Acls.ResTransactionalId, id)
     }
     // a PROVIDED filter restricts even when every name is unknown —
     // all-unknown filters match NOTHING (the unknown names are echoed
@@ -1160,29 +1264,76 @@ class Broker(spark: SparkSession, root: String) {
     encodeListTransactionsResponse(correlationId, unknown, filtered)
   }
 
-  /** ACL surface (keys 29/30/31, v0): graft authenticates (SASL) but
-    * has no authorizer — §4 delegates authorization — so every ACL
+  /** ACL surface (keys 29/30/31, v0–v3). Without an authorizer every
     * request answers SECURITY_DISABLED (54) with the message a
-    * vanilla no-authorizer Kafka broker gives. `kafka-acls.sh` gets a
-    * clean protocol answer where a dropped connection used to be. */
+    * vanilla no-authorizer Kafka broker gives — `kafka-acls.sh` gets
+    * a clean protocol answer where a dropped connection used to be.
+    * With [[enableAuthorizer]] on, this IS kafka-acls.sh's admin
+    * plane: describing requires DESCRIBE CLUSTER, mutating requires
+    * ALTER CLUSTER (31 otherwise), creations validate per Kafka's
+    * rules (42 in-band per creation), and every acknowledged mutation
+    * is CAS-persisted before the response leaves. */
   def handleDescribeAcls(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    encodeDescribeAclsResponse(decodeDescribeAclsRequest(requestBytes),
-      54, NoAuthorizerMessage)
+    val (version, correlationId, filter) =
+      decodeDescribeAclsRequest(requestBytes)
+    authorizerOpt match {
+      case None => encodeDescribeAclsResponse(version, correlationId, 54,
+        NoAuthorizerMessage, Seq.empty)
+      case Some(auth) =>
+        if (!authz(Acls.OpDescribe, Acls.ResCluster, Acls.ClusterResourceName))
+          encodeDescribeAclsResponse(version, correlationId, 31,
+            "principal is not authorized to describe ACLs", Seq.empty)
+        else encodeDescribeAclsResponse(version, correlationId, 0, null,
+          auth.describe(filter))
+    }
   }
 
   def handleCreateAcls(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, n) = decodeCreateAclsRequest(requestBytes)
-    encodeCreateAclsResponse(correlationId,
-      Seq.fill(n)((54, NoAuthorizerMessage)))
+    val (version, correlationId, creations) =
+      decodeCreateAclsRequest(requestBytes)
+    authorizerOpt match {
+      case None => encodeCreateAclsResponse(version, correlationId,
+        Seq.fill(creations.length)((54, NoAuthorizerMessage)))
+      case Some(auth) =>
+        if (!authz(Acls.OpAlter, Acls.ResCluster, Acls.ClusterResourceName))
+          encodeCreateAclsResponse(version, correlationId,
+            Seq.fill(creations.length)(
+              (31, "principal is not authorized to alter ACLs")))
+        else {
+          val results = creations.map { b =>
+            Acls.creationError(b) match {
+              case null => (0, null: String)
+              case msg => (42, msg)
+            }
+          }
+          auth.add(creations.zip(results).collect {
+            case (b, (0, _)) => b
+          })
+          encodeCreateAclsResponse(version, correlationId, results)
+        }
+    }
   }
 
   def handleDeleteAcls(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
-    val (correlationId, n) = decodeDeleteAclsRequest(requestBytes)
-    encodeDeleteAclsResponse(correlationId,
-      Seq.fill(n)((54, NoAuthorizerMessage)))
+    val (version, correlationId, filters) =
+      decodeDeleteAclsRequest(requestBytes)
+    authorizerOpt match {
+      case None => encodeDeleteAclsResponse(version, correlationId,
+        filters.map(_ => (54, NoAuthorizerMessage,
+          Seq.empty[Acls.AclBinding])))
+      case Some(auth) =>
+        if (!authz(Acls.OpAlter, Acls.ResCluster, Acls.ClusterResourceName))
+          encodeDeleteAclsResponse(version, correlationId,
+            filters.map(_ => (31,
+              "principal is not authorized to alter ACLs",
+              Seq.empty[Acls.AclBinding])))
+        else
+          encodeDeleteAclsResponse(version, correlationId,
+            auth.delete(filters).map(matched => (0, null: String, matched)))
+    }
   }
 
   /** ElectLeaders (key 43, v0): on a single-broker cluster every
@@ -1193,12 +1344,16 @@ class Broker(spark: SparkSession, root: String) {
   def handleElectLeaders(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val (correlationId, topics) = decodeElectLeadersRequest(requestBytes)
+    val clusterAlter =
+      authz(Acls.OpAlter, Acls.ResCluster, Acls.ClusterResourceName)
     val results =
       if (topics == null) Seq.empty
       else topics.map { case (name, parts) =>
         val n = partitionCountOr(name, -1)
         (name, parts.map { p =>
-          if (n < 0 || p < 0 || p >= n)
+          if (!clusterAlter)
+            (p, 31, "principal is not authorized to elect leaders")
+          else if (n < 0 || p < 0 || p >= n)
             (p, 3, "unknown topic or partition")
           else (p, 84, "Leader election not needed")
         })
@@ -1216,10 +1371,14 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val (correlationId, topics) =
       decodeAlterPartitionReassignmentsRequest(requestBytes)
+    val reassignAllowed =
+      authz(Acls.OpAlter, Acls.ResCluster, Acls.ClusterResourceName)
     val results = topics.map { case (name, parts) =>
       val n = partitionCountOr(name, -1)
       (name, parts.map { case (p, replicas) =>
-        if (n < 0 || p < 0 || p >= n)
+        if (!reassignAllowed)
+          (p, 31, "principal is not authorized to reassign partitions")
+        else if (n < 0 || p < 0 || p >= n)
           (p, 3, "unknown topic or partition")
         else if (replicas == null)
           (p, 85, "No reassignment is in progress")
@@ -1244,8 +1403,11 @@ class Broker(spark: SparkSession, root: String) {
   def handleListPartitionReassignments(requestBytes: Array[Byte])
       : Array[Byte] = {
     import KafkaWire._
-    encodeListPartitionReassignmentsResponse(
-      decodeListPartitionReassignmentsRequest(requestBytes))
+    val corr = decodeListPartitionReassignmentsRequest(requestBytes)
+    if (!authz(Acls.OpDescribe, Acls.ResCluster, Acls.ClusterResourceName))
+      encodeListPartitionReassignmentsResponse(corr, 31,
+        "principal is not authorized to describe reassignments")
+    else encodeListPartitionReassignmentsResponse(corr)
   }
 
   // --- KIP-227 incremental fetch sessions (Fetch v7+): a
@@ -1376,6 +1538,10 @@ class Broker(spark: SparkSession, root: String) {
         // v13 sent a topic_id no hosted topic hashes to
         (name, parts.map { case (p, _, _) =>
           (p, 100, -1L, Seq.empty[(Long, WireRecordV2)]) })
+      else if (!authz(Acls.OpRead, Acls.ResTopic, name))
+        // before the existence check: unauthorized consumers learn 29
+        (name, parts.map { case (p, _, _) =>
+          (p, 29, -1L, Seq.empty[(Long, WireRecordV2)]) })
       else if (!topicExists(name))
         (name, parts.map { case (p, _, _) =>
           (p, 3, -1L, Seq.empty[(Long, WireRecordV2)]) })
@@ -1538,6 +1704,9 @@ class Broker(spark: SparkSession, root: String) {
   def handleJoinGroup(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeJoinGroupRequest(requestBytes)
+    if (!authz(Acls.OpRead, Acls.ResGroup, req.group))
+      return encodeJoinGroupResponse(req.version, req.correlationId, 30,
+        -1, null, "", "", Option(req.memberId).getOrElse(""), Seq.empty)
     val clientId = Option(req.clientId).getOrElse("client")
     val memberId = Option(req.memberId).getOrElse("")
     val static = req.groupInstanceId != null && req.groupInstanceId.nonEmpty
@@ -1564,6 +1733,9 @@ class Broker(spark: SparkSession, root: String) {
   def handleSyncGroup(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeSyncGroupRequest(requestBytes)
+    if (!authz(Acls.OpRead, Acls.ResGroup, req.group))
+      return encodeSyncGroupResponse(req.version, req.correlationId, 30,
+        req.protocolType, req.protocolName, null)
     val (err, assignment) =
       coordinator.sync(req.group, req.generationId, req.memberId,
         req.assignments, req.groupInstanceId)
@@ -1576,7 +1748,8 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeHeartbeatRequest(requestBytes)
     encodeHeartbeatResponse(req.version, req.correlationId,
-      coordinator.heartbeat(req.group, req.generationId, req.memberId,
+      if (!authz(Acls.OpRead, Acls.ResGroup, req.group)) 30
+      else coordinator.heartbeat(req.group, req.generationId, req.memberId,
         req.groupInstanceId))
   }
 
@@ -1586,6 +1759,9 @@ class Broker(spark: SparkSession, root: String) {
   def handleLeaveGroup(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeLeaveGroupRequest(requestBytes)
+    if (!authz(Acls.OpRead, Acls.ResGroup, req.group))
+      return encodeLeaveGroupResponse(req.version, req.correlationId, 30,
+        req.members.map { case (id, gii, _) => (id, gii, 30) })
     val results = req.members.map { case (id, gii, _) =>
       (id, gii, coordinator.leave(req.group, id, gii))
     }
@@ -1603,7 +1779,15 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeFindCoordinatorRequest(requestBytes)
     encodeFindCoordinatorResponse(req.version, req.correlationId,
-      req.keys.map(k => (k, 0, 0, host, port)))
+      req.keys.map { k =>
+        // DESCRIBE on the keyed resource: group keys need the GROUP,
+        // transaction keys the TRANSACTIONAL_ID (30/53 otherwise)
+        val err =
+          if (req.keyType == 1) {
+            if (authz(Acls.OpDescribe, Acls.ResTransactionalId, k)) 0 else 53
+          } else if (authz(Acls.OpDescribe, Acls.ResGroup, k)) 0 else 30
+        (k, err, 0, host, port)
+      })
   }
 
   // --- wire-level admin (CreateTopics/DeleteTopics/DeleteRecords/
@@ -1625,7 +1809,15 @@ class Broker(spark: SparkSession, root: String) {
   def handleCreateTopics(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeCreateTopicsRequest(requestBytes)
+    // CREATE on the cluster authorizes every creation; else per-topic
+    // CREATE (the standard two-level rule)
+    val clusterCreate =
+      authz(Acls.OpCreate, Acls.ResCluster, Acls.ClusterResourceName)
     val results = req.topics.map { t =>
+      if (!clusterCreate && !authz(Acls.OpCreate, Acls.ResTopic, t.name))
+        CreatedTopic(t.name, 29, "principal is not authorized to create",
+          -1, -1, null)
+      else {
       val assignedParts =
         if (t.assignments.isEmpty) -1 else t.assignments.length
       val numPartitions =
@@ -1669,6 +1861,7 @@ class Broker(spark: SparkSession, root: String) {
       CreatedTopic(t.name, err._1, err._2,
         if (err._1 == 0) numPartitions else -1,
         if (err._1 == 0) 1 else -1, configs)
+      }
     }
     encodeCreateTopicsResponse(req.version, req.correlationId, results)
   }
@@ -1688,6 +1881,8 @@ class Broker(spark: SparkSession, root: String) {
         else resolve(id).orNull
       if (name == null && nameIn == null)
         (null: String, id, 100, "unknown topic id")
+      else if (name != null && !authz(Acls.OpDelete, Acls.ResTopic, name))
+        (name, id, 29, "principal is not authorized to delete")
       else if (name == null || !topicExists(name))
         (name, id, 3, s"topic '$name' not found")
       else {
@@ -1714,7 +1909,10 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeDeleteRecordsRequest(requestBytes)
     val results = req.topics.map { case (name, parts) =>
-      if (!topicExists(name)) (name, parts.map { case (p, _) => (p, -1L, 3) })
+      if (!authz(Acls.OpDelete, Acls.ResTopic, name))
+        (name, parts.map { case (p, _) => (p, -1L, 29) })
+      else if (!topicExists(name))
+        (name, parts.map { case (p, _) => (p, -1L, 3) })
       else {
         val log = topic(name)
         val ends = log.logEndOffsets() // one manifest read per topic
@@ -1755,7 +1953,24 @@ class Broker(spark: SparkSession, root: String) {
         case None => configs
         case Some(ks) => configs.filter { case (n, _, _) => ks.contains(n) }
       }
-      rType match {
+      // DESCRIBE_CONFIGS on the named resource (broker configs sit
+      // under the cluster resource); denied resources answer 29/31
+      // in-band like any other per-resource failure
+      val authOk = rType match {
+        case ConfigResourceTopic =>
+          authz(Acls.OpDescribeConfigs, Acls.ResTopic, rName)
+        case ConfigResourceGroup =>
+          authz(Acls.OpDescribeConfigs, Acls.ResGroup, rName)
+        case ConfigResourceBroker =>
+          authz(Acls.OpDescribeConfigs, Acls.ResCluster,
+            Acls.ClusterResourceName)
+        case _ => true // unsupported types answer 42 below regardless
+      }
+      if (!authOk)
+        (if (rType == ConfigResourceBroker) 31 else 29,
+          "principal is not authorized to describe configs", rType, rName,
+          Seq.empty[(String, String, Boolean)])
+      else rType match {
         case ConfigResourceBroker =>
           (0, null: String, rType, rName, project(Seq(
             "broker.id" -> "0",
@@ -1819,6 +2034,8 @@ class Broker(spark: SparkSession, root: String) {
     val responses = req.resources.map { case (rType, rName, configs) =>
       if (rType != ConfigResourceTopic)
         (42, "only topic configs are alterable on a single broker", rType, rName)
+      else if (!authz(Acls.OpAlterConfigs, Acls.ResTopic, rName))
+        (29, "principal is not authorized to alter configs", rType, rName)
       else if (!topicExists(rName))
         (3, s"topic '$rName' not found", rType, rName)
       else topicConfigError(configs) match {
@@ -1847,7 +2064,10 @@ class Broker(spark: SparkSession, root: String) {
       if (rType == ConfigResourceGroup) {
         // group configs (KIP-848/932): exist by NAME, no liveness
         // precondition — exactly kafka-configs --entity-type groups
-        if (configs.exists(c => c._2 != 0 && c._2 != 1))
+        if (!authz(Acls.OpAlterConfigs, Acls.ResGroup, rName))
+          (30, "principal is not authorized to alter group configs",
+            rType, rName)
+        else if (configs.exists(c => c._2 != 0 && c._2 != 1))
           (42, "APPEND/SUBTRACT need a list-typed config; none exists here",
             rType, rName)
         else if (configs.map(_._1).distinct.size != configs.size)
@@ -1872,6 +2092,8 @@ class Broker(spark: SparkSession, root: String) {
       else if (rType != ConfigResourceTopic)
         (42, "only topic and group configs are alterable on a single broker",
           rType, rName)
+      else if (!authz(Acls.OpAlterConfigs, Acls.ResTopic, rName))
+        (29, "principal is not authorized to alter configs", rType, rName)
       else if (!topicExists(rName))
         (3, s"topic '$rName' not found", rType, rName)
       else if (configs.exists(c => c._2 != 0 && c._2 != 1))
@@ -1963,7 +2185,9 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeCreatePartitionsRequest(requestBytes)
     val results = req.topics.map { case (name, count, manualAssign) =>
-      if (!topicExists(name))
+      if (!authz(Acls.OpAlter, Acls.ResTopic, name))
+        (name, 29, "principal is not authorized to alter")
+      else if (!topicExists(name))
         (name, 3, s"topic '$name' not found")
       else if (manualAssign)
         (name, 42, "manual assignments are not supported on a single broker")
@@ -1992,13 +2216,18 @@ class Broker(spark: SparkSession, root: String) {
   def handleOffsetDelete(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeOffsetDeleteRequest(requestBytes)
+    if (!authz(Acls.OpDelete, Acls.ResGroup, req.group))
+      return encodeOffsetDeleteResponse(req.correlationId, 30,
+        req.topics.map { case (t, ps) => (t, ps.map(p => (p, 30))) })
     val live = coordinator.describe(req.group).exists(_._4.nonEmpty)
     val known = live || listGroups().exists(_._1 == req.group)
     if (!known)
       return encodeOffsetDeleteResponse(req.correlationId, 69,
         req.topics.map { case (t, ps) => (t, ps.map(p => (p, 69))) })
     val topicsOut = req.topics.map { case (tName, parts) =>
-      if (!topicExists(tName)) (tName, parts.map(p => (p, 3)))
+      if (!authz(Acls.OpRead, Acls.ResTopic, tName))
+        (tName, parts.map(p => (p, 29)))
+      else if (!topicExists(tName)) (tName, parts.map(p => (p, 3)))
       else if (live) (tName, parts.map(p => (p, 86)))
       else {
         topic(tName).deleteOffsets(req.group, parts)
@@ -2021,12 +2250,15 @@ class Broker(spark: SparkSession, root: String) {
     val (version, correlationId, groupIds) =
       decodeDeleteGroupsRequest(requestBytes)
     val results = groupIds.map { g =>
+      if (!authz(Acls.OpDelete, Acls.ResGroup, g)) (g, 30)
+      else {
       val offsetTopics = listTopics().filter(t => topic(t).listGroups().contains(g))
       if (offsetTopics.isEmpty && coordinator.describe(g).isEmpty) (g, 69)
       else if (!coordinator.removeGroup(g)) (g, 68)
       else {
         offsetTopics.foreach(t => topic(t).deleteGroup(g))
         (g, 0)
+      }
       }
     }
     encodeDeleteGroupsResponse(version, correlationId, results)
@@ -2045,7 +2277,9 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeOffsetForLeaderEpochRequest(requestBytes)
     val topicsOut = req.topics.map { case (name, parts) =>
-      if (!topicExists(name))
+      if (!authz(Acls.OpDescribe, Acls.ResTopic, name))
+        (name, parts.map { case (p, _, _) => (29, p, -1, -1L) })
+      else if (!topicExists(name))
         (name, parts.map { case (p, _, _) => (3, p, -1, -1L) })
       else {
         val log = topic(name)
@@ -2130,6 +2364,10 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val correlationId =
       decodeListClientMetricsResourcesRequest(requestBytes)
+    if (!authz(Acls.OpDescribeConfigs, Acls.ResCluster,
+        Acls.ClusterResourceName))
+      return encodeListClientMetricsResourcesResponse(correlationId, 31,
+        Seq.empty)
     // no client-metrics config resources exist (nothing to subscribe)
     encodeListClientMetricsResourcesResponse(correlationId, 0, Seq.empty)
   }
@@ -2149,7 +2387,12 @@ class Broker(spark: SparkSession, root: String) {
     val (correlationId, reqTopics, limit, cursor) =
       decodeDescribeTopicPartitionsRequest(requestBytes)
     val names =
-      (if (reqTopics.isEmpty) listTopics() else reqTopics.distinct).sorted
+      (if (reqTopics.isEmpty)
+        listTopics().filter(t => authz(Acls.OpDescribe, Acls.ResTopic, t))
+      else reqTopics.distinct).sorted
+    val authDenied: Set[String] =
+      if (reqTopics.isEmpty) Set.empty
+      else names.filterNot(t => authz(Acls.OpDescribe, Acls.ResTopic, t)).toSet
     val budget0 = if (limit <= 0) 2000 else limit
     var budget = budget0
     var next: Option[DtpCursor] = None
@@ -2166,7 +2409,10 @@ class Broker(spark: SparkSession, root: String) {
                                         // resumes at 0, never skips
         case _ => 0
       }
-      if (startPart >= 0) topicOpt(name) match {
+      if (startPart >= 0 && authDenied(name))
+        served += DtpTopic(29, name, new Array[Byte](16),
+          isInternal = false, Seq.empty, Int.MinValue)
+      else if (startPart >= 0) topicOpt(name) match {
         case None =>
           if (reqTopics.nonEmpty)
             served += DtpTopic(3, name, new Array[Byte](16),
@@ -2222,6 +2468,9 @@ class Broker(spark: SparkSession, root: String) {
     val states = req.statesFilter.map(_.toLowerCase).toSet
     val types = req.typesFilter.map(_.toLowerCase).toSet
     val rows = (active ++ share ++ offsetsOnly).sortBy(_._1)
+      // the listing hides groups the caller cannot DESCRIBE (the
+      // Metadata rule applied to groups)
+      .filter(r => authz(Acls.OpDescribe, Acls.ResGroup, r._1))
       .filter(r => states.isEmpty || states(r._3.toLowerCase))
       .filter(r => types.isEmpty || types(r._4.toLowerCase))
     encodeListGroupsResponse(req.version, req.correlationId, 0, rows)
@@ -2235,6 +2484,10 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeConsumerGroupHeartbeatRequest(requestBytes,
       topicIdResolverFor(listTopics()))
+    if (!authz(Acls.OpRead, Acls.ResGroup, req.groupId))
+      return encodeConsumerGroupHeartbeatResponse(req.correlationId, 30,
+        "principal is not authorized to read this group", req.memberId,
+        req.memberEpoch, coordinator848.heartbeatIntervalMs, null)
     // an owned partition whose id resolves to no hosted topic cannot
     // be granted or tracked — it would poison set comparisons with a
     // marker name; drop it (the member's next target won't carry it)
@@ -2260,7 +2513,10 @@ class Broker(spark: SparkSession, root: String) {
       decodeConsumerGroupDescribeRequest(requestBytes)
     val now = System.currentTimeMillis()
     val described = groupIds.map { g =>
-      coordinator848.describe(g, now).getOrElse(
+      if (!authz(Acls.OpDescribe, Acls.ResGroup, g))
+        CGDescribedGroup(30, "principal is not authorized to describe " +
+          "this group", g, "", 0, 0, "", Seq.empty)
+      else coordinator848.describe(g, now).getOrElse(
         CGDescribedGroup(69, s"group $g not found", g, "Dead", 0, 0, "",
           Seq.empty))
     }
@@ -2356,6 +2612,10 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val (corr, groupId, memberId, memberEpoch, rackId, subscribed,
       clientId) = decodeShareGroupHeartbeatRequest(requestBytes)
+    if (!authz(Acls.OpRead, Acls.ResGroup, groupId))
+      return encodeShareGroupHeartbeatResponse(corr, 30,
+        "principal is not authorized to read this share group", memberId,
+        memberEpoch, shareCoordinator.heartbeatIntervalFor(groupId), null)
     val res = shareCoordinator.heartbeat(groupId, memberId, memberEpoch,
       rackId, subscribed, clientId, System.currentTimeMillis())
     encodeShareGroupHeartbeatResponse(corr, res.error, res.errorMessage,
@@ -2374,7 +2634,11 @@ class Broker(spark: SparkSession, root: String) {
     val (corr, groupIds, _) = decodeShareGroupDescribeRequest(requestBytes)
     val now = System.currentTimeMillis()
     val described = groupIds.map { g =>
-      shareCoordinator.describe(g, now) match {
+      if (!authz(Acls.OpDescribe, Acls.ResGroup, g))
+        SGDescribedGroup(30,
+          "principal is not authorized to describe this share group", g,
+          "", 0, 0, "", Seq.empty)
+      else shareCoordinator.describe(g, now) match {
         case Some((state, gEpoch, aEpoch, members)) =>
           SGDescribedGroup(0, null, g, state, gEpoch, aEpoch, "simple",
             members.map { case (mid, rack, mEpoch, cid, subs, asg) =>
@@ -2501,6 +2765,10 @@ class Broker(spark: SparkSession, root: String) {
     // a group under coordinator-managed membership fences unknown or
     // expired member ids (the real-broker contract); groups that
     // never heartbeated stay un-fenced for embedded ShareGroup use
+    if (!authz(Acls.OpRead, Acls.ResGroup, group))
+      return encodeShareFetchResponse(req.correlationId, 30,
+        s"principal is not authorized to read share group '$group'",
+        Seq.empty, 0, advertisedHost, advertisedPort)
     if (shareCoordinator.managesGroup(group) &&
         !shareCoordinator.isLiveMember(group, member, now))
       return encodeShareFetchResponse(req.correlationId, 25,
@@ -2517,6 +2785,10 @@ class Broker(spark: SparkSession, root: String) {
       if (isUnknownIdName(name) || !topicExists(name))
         (name, parts.map(p => ShareFetchPartResp(p.partition, 100,
           "unknown topic id", 0, null, Seq.empty, Seq.empty)))
+      else if (!authz(Acls.OpRead, Acls.ResTopic, name))
+        (name, parts.map(p => ShareFetchPartResp(p.partition, 29,
+          "principal is not authorized to read this topic", 0, null,
+          Seq.empty, Seq.empty)))
       else {
         val log = topic(name)
         val sg = shareGroup(name, group)
@@ -2595,6 +2867,10 @@ class Broker(spark: SparkSession, root: String) {
     val now = System.currentTimeMillis()
     val member = if (req.memberId == null) "" else req.memberId
     val group = if (req.groupId == null) "" else req.groupId
+    if (!authz(Acls.OpRead, Acls.ResGroup, group))
+      return encodeShareAcknowledgeResponse(req.correlationId, 30,
+        s"principal is not authorized to read share group '$group'",
+        Seq.empty, 0, advertisedHost, advertisedPort)
     if (shareCoordinator.managesGroup(group) &&
         !shareCoordinator.isLiveMember(group, member, now))
       return encodeShareAcknowledgeResponse(req.correlationId, 25,
@@ -2610,6 +2886,9 @@ class Broker(spark: SparkSession, root: String) {
     val results = req.topics.map { case (name, parts) =>
       if (isUnknownIdName(name) || !topicExists(name))
         (name, parts.map { case (p, _) => (p, 100, "unknown topic id") })
+      else if (!authz(Acls.OpRead, Acls.ResTopic, name))
+        (name, parts.map { case (p, _) =>
+          (p, 29, "principal is not authorized to read this topic") })
       else {
         val log = topic(name)
         val sg = shareGroup(name, group)
@@ -2645,7 +2924,10 @@ class Broker(spark: SparkSession, root: String) {
     val ops = if (req.includeAuthorizedOperations)
       Broker.GroupAuthorizedOperations else Int.MinValue
     val described = req.groups.map { g =>
-      val base = coordinator.describe(g) match {
+      val base =
+        if (!authz(Acls.OpDescribe, Acls.ResGroup, g))
+          DescribedGroup(30, g, "", "", "", Seq.empty)
+        else coordinator.describe(g) match {
         case Some((state, pt, proto, members)) =>
           DescribedGroup(0, g, state, pt, proto, members)
         case None if listGroups().exists(_._1 == g) =>
@@ -2679,7 +2961,10 @@ class Broker(spark: SparkSession, root: String) {
     val req = decodeListOffsetsRequest(requestBytes)
     val none = (-1L, -1L) // v1+ "no such offset": timestamp −1, offset −1
     val results = req.topics.map { case (name, parts) =>
-      if (!topicExists(name))
+      if (!authz(Acls.OpDescribe, Acls.ResTopic, name))
+        (name, parts.map { case (p, _, _) =>
+          (p, 29, -1L, -1L, Seq.empty[Long]) })
+      else if (!topicExists(name))
         (name, parts.map { case (p, _, _) =>
           (p, 3, -1L, -1L, Seq.empty[Long]) })
       else {
@@ -2768,15 +3053,23 @@ class Broker(spark: SparkSession, root: String) {
   def handleOffsetCommit(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeOffsetCommitRequest(requestBytes)
+    val groupDenied = !authz(Acls.OpRead, Acls.ResGroup, req.group)
     val fence = coordinator.validateCommit(req.group, req.generationId,
       req.memberId, req.groupInstanceId)
     val results =
-      if (fence != 0)
+      if (groupDenied)
+        req.topics.map { case (name, parts) =>
+          (name, parts.map { case (p, _, _) => (p, 30) })
+        }
+      else if (fence != 0)
         req.topics.map { case (name, parts) =>
           (name, parts.map { case (p, _, _) => (p, fence) })
         }
       else req.topics.map { case (name, parts) =>
-        if (!topicExists(name)) (name, parts.map { case (p, _, _) => (p, 3) })
+        if (!authz(Acls.OpRead, Acls.ResTopic, name))
+          (name, parts.map { case (p, _, _) => (p, 29) })
+        else if (!topicExists(name))
+          (name, parts.map { case (p, _, _) => (p, 3) })
         else {
           val log = topic(name)
           val valid = parts.collect {
@@ -2801,20 +3094,30 @@ class Broker(spark: SparkSession, root: String) {
     import KafkaWire._
     val req = decodeOffsetFetchRequest(requestBytes)
     val groupsOut = req.groups.map { case (group, topicsOpt) =>
+      if (!authz(Acls.OpDescribe, Acls.ResGroup, group))
+        (group, 30,
+          Seq.empty[(String, Seq[(Int, Long, String, Int)])])
+      else {
       // the all-committed (null topics) path carries each topic's
       // offsets map through from the enumeration pass — one committed
       // store read per topic, not two
       val wanted: Seq[(String, Seq[Int], Option[Map[Int, Long]])] = topicsOpt match {
         case Some(ts) => ts.map { case (name, parts) => (name, parts, None) }
         case None =>
-          listTopics().flatMap { t =>
+          // the listing path hides unauthorized topics, the Metadata
+          // rule; named topics answer 29 below
+          listTopics()
+            .filter(t => authz(Acls.OpDescribe, Acls.ResTopic, t))
+            .flatMap { t =>
             val committed = topic(t).committed(group)
             if (committed.isEmpty) None
             else Some((t, committed.keys.toSeq.sorted, Some(committed)))
           }
       }
       val results = wanted.map { case (name, parts, preRead) =>
-        if (!topicExists(name)) (name, parts.map(p => (p, -1L, null: String, 3)))
+        if (!authz(Acls.OpDescribe, Acls.ResTopic, name))
+          (name, parts.map(p => (p, -1L, null: String, 29)))
+        else if (!topicExists(name)) (name, parts.map(p => (p, -1L, null: String, 3)))
         else {
           val log = topic(name)
           val committed = preRead.getOrElse(log.committed(group))
@@ -2828,12 +3131,17 @@ class Broker(spark: SparkSession, root: String) {
         }
       }
       (group, 0, results)
+      }
     }
     encodeOffsetFetchResponse(req.version, req.correlationId, groupsOut)
   }
 }
 
 object Broker {
+  /** The principal an unauthenticated (plaintext-listener) or library
+    * caller acts as — Kafka's ANONYMOUS. */
+  val AnonymousPrincipal = "User:ANONYMOUS"
+
   /** Cap on concurrently remembered fetch sessions; beyond it the
     * least-recently-used session is evicted (the evicted client
     * recovers via FETCH_SESSION_ID_NOT_FOUND → full fetch). */
@@ -3065,9 +3373,9 @@ object Broker {
     (25, "AddOffsetsToTxn", 0, KafkaWire.AddOffsetsToTxnMaxVersion),
     (26, "EndTxn", 0, KafkaWire.EndTxnMaxVersion),
     (28, "TxnOffsetCommit", 0, KafkaWire.TxnOffsetCommitMaxVersion),
-    (29, "DescribeAcls", 0, 0),
-    (30, "CreateAcls", 0, 0),
-    (31, "DeleteAcls", 0, 0),
+    (29, "DescribeAcls", 0, KafkaWire.DescribeAclsMaxVersion),
+    (30, "CreateAcls", 0, KafkaWire.CreateAclsMaxVersion),
+    (31, "DeleteAcls", 0, KafkaWire.DeleteAclsMaxVersion),
     (32, "DescribeConfigs", 0, KafkaWire.DescribeConfigsMaxVersion),
     (33, "AlterConfigs", 0, KafkaWire.AlterConfigsMaxVersion),
     (35, "DescribeLogDirs", 0, KafkaWire.DescribeLogDirsMaxVersion),

@@ -574,14 +574,20 @@ object KafkaWire {
     * v10+ topic entry answers 100 UNKNOWN_TOPIC_ID (graft topics are
     * name-addressed). */
   def handleMetadata(requestBytes: Array[Byte], host: String, port: Int,
-      topicPartitions: Map[String, Int]): Array[Byte] = {
+      topicPartitions: Map[String, Int],
+      /** DESCRIBE-topic authorization: a full listing HIDES
+        * unauthorized topics, a named request answers 29
+        * (TOPIC_AUTHORIZATION_FAILED) for them — the standard broker
+        * rule. Default allows everything (no authorizer). */
+      describeAuth: String => Boolean = _ => true): Array[Byte] = {
     val (version, req) = decodeMetadataRequest(requestBytes)
     val names = req.topics match {
-      case None => topicPartitions.keys.toSeq.sorted
+      case None => topicPartitions.keys.toSeq.sorted.filter(describeAuth)
       case Some(ts) => ts
     }
     val topics = names.map {
       case null => TopicMetadata(100, null, Seq.empty) // UNKNOWN_TOPIC_ID
+      case name if !describeAuth(name) => TopicMetadata(29, name, Seq.empty)
       case name => topicPartitions.get(name) match {
         case Some(n) =>
           TopicMetadata(0, name, (0 until n).map(i =>
@@ -5261,185 +5267,350 @@ object KafkaWire {
   }
 
   // --- ACL surface (DescribeAcls 29, CreateAcls 30, DeleteAcls 31;
-  // v0, non-flexible) — what kafka-acls.sh sends. graft has no
-  // authorizer (SASL authenticates, §4 delegates authorization), so
-  // every ACL request answers SECURITY_DISABLED (54) with the same
-  // message a vanilla no-authorizer Kafka broker gives — a clean
-  // protocol answer where a dropped connection used to be. ---
+  // v0-v3: v1 adds resource pattern types (KIP-290 prefixed ACLs),
+  // v2+ flexible) --- what kafka-acls.sh sends. With no authorizer
+  // configured every request answers SECURITY_DISABLED (54), the
+  // vanilla no-authorizer broker's message; `Broker.enableAuthorizer`
+  // turns the surface into the real, durably-stored ACL admin plane
+  // (Acls.scala) and switches on request authorization broker-wide. ---
 
   val DescribeAclsApiKey = 29
+  val DescribeAclsMaxVersion = 3
   val CreateAclsApiKey = 30
+  val CreateAclsMaxVersion = 3
   val DeleteAclsApiKey = 31
+  val DeleteAclsMaxVersion = 3
   val NoAuthorizerMessage = "No Authorizer is configured on the broker"
 
-  /** DescribeAcls v0 request: the filter fields (resource_type INT8,
-    * resource_name NSTRING, principal NSTRING, host NSTRING,
-    * operation INT8, permission INT8) — decoded for framing
-    * correctness, unused (the answer is 54 regardless). */
-  def encodeDescribeAclsRequest(correlationId: Int, clientId: String)
-      : Array[Byte] = {
+  private def writeAclString(out: ByteArrayOutputStream, s: String,
+      flexible: Boolean): Unit =
+    if (flexible) writeCompactNullableString(out, s)
+    else writeNullableString(out, s)
+  private def readAclString(buf: ByteBuffer, flexible: Boolean): String =
+    if (flexible) readCompactNullableString(buf) else readNullableString(buf)
+  private def writeAclArrayLen(out: ByteArrayOutputStream, n: Int,
+      flexible: Boolean): Unit =
+    if (flexible) writeUVarInt(out, n + 1) else writeInt32(out, n)
+  private def readAclArrayLen(buf: ByteBuffer, flexible: Boolean): Int =
+    if (flexible) readUVarInt(buf) - 1 else buf.getInt
+  private def aclTags(out: ByteArrayOutputStream, flexible: Boolean): Unit =
+    if (flexible) writeUVarInt(out, 0)
+
+  /** DescribeAcls request v0-v3: resource_type INT8, resource_name
+    * filter, (v1+) pattern_type INT8, principal filter, host filter,
+    * operation INT8, permission INT8. Null strings mean "any". */
+  def encodeDescribeAclsRequest(version: Int, correlationId: Int,
+      clientId: String, filter: Acls.AclFilter): Array[Byte] = {
+    val flexible = version >= 2
     val out = new ByteArrayOutputStream()
-    requestHeader(out, DescribeAclsApiKey, 0, correlationId, clientId,
-      flexible = false)
-    out.write(1) // resource_type ANY
-    writeNullableString(out, null)
-    writeNullableString(out, null)
-    writeNullableString(out, null)
-    out.write(1) // operation ANY
-    out.write(1) // permission ANY
+    requestHeader(out, DescribeAclsApiKey, version, correlationId, clientId,
+      flexible)
+    out.write(filter.resourceType)
+    writeAclString(out, filter.resourceName, flexible)
+    if (version >= 1) out.write(filter.patternType)
+    writeAclString(out, filter.principal, flexible)
+    writeAclString(out, filter.host, flexible)
+    out.write(filter.operation)
+    out.write(filter.permissionType)
+    aclTags(out, flexible)
     frame(out.toByteArray)
   }
 
-  /** correlationId. */
-  def decodeDescribeAclsRequest(bytes: Array[Byte]): Int = {
+  /** (version, correlationId, filter). A v0 filter carries no pattern
+    * type and decodes as LITERAL - KIP-290's compatibility mapping,
+    * so a pre-pattern client never touches prefixed ACLs. */
+  def decodeDescribeAclsRequest(bytes: Array[Byte])
+      : (Int, Int, Acls.AclFilter) = {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == DescribeAclsApiKey,
       "not a DescribeAcls request")
-    require(buf.getShort.toInt == 0, "unsupported DescribeAcls version")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DescribeAclsMaxVersion,
+      s"unsupported DescribeAcls version $version")
+    val flexible = version >= 2
     val correlationId = buf.getInt
     readNullableString(buf) // client id
-    buf.get() // resource_type
-    readNullableString(buf); readNullableString(buf); readNullableString(buf)
-    buf.get(); buf.get() // operation, permission
-    correlationId
+    if (flexible) readTags(buf)
+    val resourceType = buf.get().toInt
+    val resourceName = readAclString(buf, flexible)
+    val patternType = if (version >= 1) buf.get().toInt else Acls.PatLiteral
+    val principal = readAclString(buf, flexible)
+    val host = readAclString(buf, flexible)
+    val operation = buf.get().toInt
+    val permission = buf.get().toInt
+    if (flexible) readTags(buf)
+    (version, correlationId, Acls.AclFilter(resourceType, resourceName,
+      patternType, principal, host, operation, permission))
   }
 
-  /** v0: throttle, error, error_message, resources (empty). */
-  def encodeDescribeAclsResponse(correlationId: Int, errorCode: Int,
-      errorMessage: String): Array[Byte] = {
+  /** DescribeAcls response: throttle, error, error_message, then the
+    * matched bindings GROUPED by resource pattern (type, name, (v1+)
+    * pattern_type), each carrying its (principal, host, operation,
+    * permission) ACL entries - the protocol's nesting. */
+  def encodeDescribeAclsResponse(version: Int, correlationId: Int,
+      errorCode: Int, errorMessage: String,
+      acls: Seq[Acls.AclBinding]): Array[Byte] = {
+    val flexible = version >= 2
     val out = new ByteArrayOutputStream()
-    responseHeader(out, correlationId, flexible = false)
+    responseHeader(out, correlationId, flexible)
     writeInt32(out, 0) // throttle_time_ms
     writeInt16(out, errorCode)
-    writeNullableString(out, errorMessage)
-    writeInt32(out, 0) // resources
+    writeAclString(out, errorMessage, flexible)
+    // v0 cannot express a non-literal pattern: prefixed bindings are
+    // withheld from v0 describes (KIP-290's downgrade rule)
+    val served =
+      if (version >= 1) acls else acls.filter(_.patternType == Acls.PatLiteral)
+    val grouped = served
+      .groupBy(b => (b.resourceType, b.resourceName, b.patternType))
+      .toSeq.sortBy { case ((t, n, p), _) => (t, n, p) }
+    writeAclArrayLen(out, grouped.length, flexible)
+    grouped.foreach { case ((resType, resName, patType), entries) =>
+      out.write(resType)
+      writeAclString(out, resName, flexible)
+      if (version >= 1) out.write(patType)
+      writeAclArrayLen(out, entries.length, flexible)
+      entries.foreach { b =>
+        writeAclString(out, b.principal, flexible)
+        writeAclString(out, b.host, flexible)
+        out.write(b.operation)
+        out.write(b.permissionType)
+        aclTags(out, flexible)
+      }
+      aclTags(out, flexible)
+    }
+    aclTags(out, flexible)
     frame(out.toByteArray)
   }
 
-  /** (correlationId, errorCode, errorMessage). */
-  def decodeDescribeAclsResponse(bytes: Array[Byte]): (Int, Int, String) = {
+  /** (correlationId, errorCode, errorMessage, flattened bindings). */
+  def decodeDescribeAclsResponse(bytes: Array[Byte], version: Int)
+      : (Int, Int, String, Seq[Acls.AclBinding]) = {
+    val flexible = version >= 2
     val buf = unframe(bytes)
     val correlationId = buf.getInt
+    if (flexible) readTags(buf)
     buf.getInt // throttle
     val err = buf.getShort.toInt
-    val msg = readNullableString(buf)
-    (correlationId, err, msg)
+    val msg = readAclString(buf, flexible)
+    val resources = (0 until readAclArrayLen(buf, flexible)).flatMap { _ =>
+      val resType = buf.get().toInt
+      val resName = readAclString(buf, flexible)
+      val patType = if (version >= 1) buf.get().toInt else Acls.PatLiteral
+      val entries = (0 until readAclArrayLen(buf, flexible)).map { _ =>
+        val principal = readAclString(buf, flexible)
+        val host = readAclString(buf, flexible)
+        val op = buf.get().toInt
+        val perm = buf.get().toInt
+        if (flexible) readTags(buf)
+        Acls.AclBinding(resType, resName, patType, principal, host, op, perm)
+      }
+      if (flexible) readTags(buf)
+      entries
+    }
+    if (flexible) readTags(buf)
+    (correlationId, err, msg, resources.toSeq)
   }
 
-  def encodeCreateAclsRequest(correlationId: Int, clientId: String,
-      nCreations: Int): Array[Byte] = {
+  /** CreateAcls request v0-v3: creations as full bindings
+    * (resource_type INT8, resource_name STRING, (v1+) pattern_type
+    * INT8, principal STRING, host STRING, operation INT8, permission
+    * INT8). */
+  def encodeCreateAclsRequest(version: Int, correlationId: Int,
+      clientId: String, creations: Seq[Acls.AclBinding]): Array[Byte] = {
+    val flexible = version >= 2
     val out = new ByteArrayOutputStream()
-    requestHeader(out, CreateAclsApiKey, 0, correlationId, clientId,
-      flexible = false)
-    writeInt32(out, nCreations)
-    (0 until nCreations).foreach { _ =>
-      out.write(2) // resource_type TOPIC
-      writeNullableString(out, "t")
-      writeNullableString(out, "User:alice")
-      writeNullableString(out, "*")
-      out.write(3); out.write(3) // operation READ, permission ALLOW
+    requestHeader(out, CreateAclsApiKey, version, correlationId, clientId,
+      flexible)
+    writeAclArrayLen(out, creations.length, flexible)
+    creations.foreach { b =>
+      out.write(b.resourceType)
+      writeAclString(out, b.resourceName, flexible)
+      if (version >= 1) out.write(b.patternType)
+      writeAclString(out, b.principal, flexible)
+      writeAclString(out, b.host, flexible)
+      out.write(b.operation)
+      out.write(b.permissionType)
+      aclTags(out, flexible)
     }
+    aclTags(out, flexible)
     frame(out.toByteArray)
   }
 
-  /** (correlationId, creation count). */
-  def decodeCreateAclsRequest(bytes: Array[Byte]): (Int, Int) = {
+  /** (version, correlationId, creations). v0 creations decode as
+    * LITERAL (the only pattern the pre-KIP-290 schema could say). */
+  def decodeCreateAclsRequest(bytes: Array[Byte])
+      : (Int, Int, Seq[Acls.AclBinding]) = {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == CreateAclsApiKey, "not a CreateAcls request")
-    require(buf.getShort.toInt == 0, "unsupported CreateAcls version")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= CreateAclsMaxVersion,
+      s"unsupported CreateAcls version $version")
+    val flexible = version >= 2
     val correlationId = buf.getInt
     readNullableString(buf) // client id
-    val n = buf.getInt
-    (0 until n).foreach { _ =>
-      buf.get()
-      readNullableString(buf); readNullableString(buf); readNullableString(buf)
-      buf.get(); buf.get()
+    if (flexible) readTags(buf)
+    val creations = (0 until readAclArrayLen(buf, flexible)).map { _ =>
+      val resType = buf.get().toInt
+      val resName = readAclString(buf, flexible)
+      val patType = if (version >= 1) buf.get().toInt else Acls.PatLiteral
+      val principal = readAclString(buf, flexible)
+      val host = readAclString(buf, flexible)
+      val op = buf.get().toInt
+      val perm = buf.get().toInt
+      if (flexible) readTags(buf)
+      Acls.AclBinding(resType, resName, patType, principal, host, op, perm)
     }
-    (correlationId, n)
+    if (flexible) readTags(buf)
+    (version, correlationId, creations.toSeq)
   }
 
-  /** v0: throttle, results (error, error_message) per creation. */
-  def encodeCreateAclsResponse(correlationId: Int,
+  /** CreateAcls response: throttle, results (error, error_message)
+    * per creation, in request order. */
+  def encodeCreateAclsResponse(version: Int, correlationId: Int,
       results: Seq[(Int, String)]): Array[Byte] = {
+    val flexible = version >= 2
     val out = new ByteArrayOutputStream()
-    responseHeader(out, correlationId, flexible = false)
+    responseHeader(out, correlationId, flexible)
     writeInt32(out, 0)
-    writeInt32(out, results.length)
+    writeAclArrayLen(out, results.length, flexible)
     results.foreach { case (err, msg) =>
-      writeInt16(out, err); writeNullableString(out, msg)
+      writeInt16(out, err)
+      writeAclString(out, msg, flexible)
+      aclTags(out, flexible)
     }
+    aclTags(out, flexible)
     frame(out.toByteArray)
   }
 
   /** (correlationId, (error, message)*). */
-  def decodeCreateAclsResponse(bytes: Array[Byte])
+  def decodeCreateAclsResponse(bytes: Array[Byte], version: Int)
       : (Int, Seq[(Int, String)]) = {
+    val flexible = version >= 2
     val buf = unframe(bytes)
     val correlationId = buf.getInt
+    if (flexible) readTags(buf)
     buf.getInt // throttle
-    val results = (0 until buf.getInt).map { _ =>
-      (buf.getShort.toInt, readNullableString(buf))
+    val results = (0 until readAclArrayLen(buf, flexible)).map { _ =>
+      val r = (buf.getShort.toInt, readAclString(buf, flexible))
+      if (flexible) readTags(buf)
+      r
     }
+    if (flexible) readTags(buf)
     (correlationId, results.toSeq)
   }
 
-  def encodeDeleteAclsRequest(correlationId: Int, clientId: String,
-      nFilters: Int): Array[Byte] = {
+  /** DeleteAcls request v0-v3: filters with the DescribeAcls filter
+    * shape. */
+  def encodeDeleteAclsRequest(version: Int, correlationId: Int,
+      clientId: String, filters: Seq[Acls.AclFilter]): Array[Byte] = {
+    val flexible = version >= 2
     val out = new ByteArrayOutputStream()
-    requestHeader(out, DeleteAclsApiKey, 0, correlationId, clientId,
-      flexible = false)
-    writeInt32(out, nFilters)
-    (0 until nFilters).foreach { _ =>
-      out.write(1)
-      writeNullableString(out, null); writeNullableString(out, null)
-      writeNullableString(out, null)
-      out.write(1); out.write(1)
+    requestHeader(out, DeleteAclsApiKey, version, correlationId, clientId,
+      flexible)
+    writeAclArrayLen(out, filters.length, flexible)
+    filters.foreach { f =>
+      out.write(f.resourceType)
+      writeAclString(out, f.resourceName, flexible)
+      if (version >= 1) out.write(f.patternType)
+      writeAclString(out, f.principal, flexible)
+      writeAclString(out, f.host, flexible)
+      out.write(f.operation)
+      out.write(f.permissionType)
+      aclTags(out, flexible)
     }
+    aclTags(out, flexible)
     frame(out.toByteArray)
   }
 
-  /** (correlationId, filter count). */
-  def decodeDeleteAclsRequest(bytes: Array[Byte]): (Int, Int) = {
+  /** (version, correlationId, filters). v0 filters decode as LITERAL
+    * (KIP-290's mapping - see decodeDescribeAclsRequest). */
+  def decodeDeleteAclsRequest(bytes: Array[Byte])
+      : (Int, Int, Seq[Acls.AclFilter]) = {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == DeleteAclsApiKey, "not a DeleteAcls request")
-    require(buf.getShort.toInt == 0, "unsupported DeleteAcls version")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DeleteAclsMaxVersion,
+      s"unsupported DeleteAcls version $version")
+    val flexible = version >= 2
     val correlationId = buf.getInt
     readNullableString(buf) // client id
-    val n = buf.getInt
-    (0 until n).foreach { _ =>
-      buf.get()
-      readNullableString(buf); readNullableString(buf); readNullableString(buf)
-      buf.get(); buf.get()
+    if (flexible) readTags(buf)
+    val filters = (0 until readAclArrayLen(buf, flexible)).map { _ =>
+      val resType = buf.get().toInt
+      val resName = readAclString(buf, flexible)
+      val patType = if (version >= 1) buf.get().toInt else Acls.PatLiteral
+      val principal = readAclString(buf, flexible)
+      val host = readAclString(buf, flexible)
+      val op = buf.get().toInt
+      val perm = buf.get().toInt
+      if (flexible) readTags(buf)
+      Acls.AclFilter(resType, resName, patType, principal, host, op, perm)
     }
-    (correlationId, n)
+    if (flexible) readTags(buf)
+    (version, correlationId, filters.toSeq)
   }
 
-  /** v0: throttle, filter_results (error, error_message,
-    * matching_acls empty) per filter. */
-  def encodeDeleteAclsResponse(correlationId: Int,
-      results: Seq[(Int, String)]): Array[Byte] = {
+  /** DeleteAcls response: throttle, filter_results per filter (error,
+    * error_message, matching_acls: the DELETED bindings, each with its
+    * own (error, error_message) slot - 0 here, deletion is atomic
+    * under the authorizer's monitor). */
+  def encodeDeleteAclsResponse(version: Int, correlationId: Int,
+      results: Seq[(Int, String, Seq[Acls.AclBinding])]): Array[Byte] = {
+    val flexible = version >= 2
     val out = new ByteArrayOutputStream()
-    responseHeader(out, correlationId, flexible = false)
+    responseHeader(out, correlationId, flexible)
     writeInt32(out, 0)
-    writeInt32(out, results.length)
-    results.foreach { case (err, msg) =>
-      writeInt16(out, err); writeNullableString(out, msg)
-      writeInt32(out, 0) // matching_acls
+    writeAclArrayLen(out, results.length, flexible)
+    results.foreach { case (err, msg, matched) =>
+      writeInt16(out, err)
+      writeAclString(out, msg, flexible)
+      writeAclArrayLen(out, matched.length, flexible)
+      matched.foreach { b =>
+        writeInt16(out, 0) // per-binding error
+        writeAclString(out, null, flexible)
+        out.write(b.resourceType)
+        writeAclString(out, b.resourceName, flexible)
+        if (version >= 1) out.write(b.patternType)
+        writeAclString(out, b.principal, flexible)
+        writeAclString(out, b.host, flexible)
+        out.write(b.operation)
+        out.write(b.permissionType)
+        aclTags(out, flexible)
+      }
+      aclTags(out, flexible)
     }
+    aclTags(out, flexible)
     frame(out.toByteArray)
   }
 
-  /** (correlationId, (error, message)*). */
-  def decodeDeleteAclsResponse(bytes: Array[Byte])
-      : (Int, Seq[(Int, String)]) = {
+  /** (correlationId, (error, message, deleted bindings)*). */
+  def decodeDeleteAclsResponse(bytes: Array[Byte], version: Int)
+      : (Int, Seq[(Int, String, Seq[Acls.AclBinding])]) = {
+    val flexible = version >= 2
     val buf = unframe(bytes)
     val correlationId = buf.getInt
+    if (flexible) readTags(buf)
     buf.getInt // throttle
-    val results = (0 until buf.getInt).map { _ =>
-      val r = (buf.getShort.toInt, readNullableString(buf))
-      buf.getInt // matching_acls (empty)
-      r
+    val results = (0 until readAclArrayLen(buf, flexible)).map { _ =>
+      val err = buf.getShort.toInt
+      val msg = readAclString(buf, flexible)
+      val matched = (0 until readAclArrayLen(buf, flexible)).map { _ =>
+        buf.getShort // per-binding error
+        readAclString(buf, flexible) // per-binding message
+        val resType = buf.get().toInt
+        val resName = readAclString(buf, flexible)
+        val patType = if (version >= 1) buf.get().toInt else Acls.PatLiteral
+        val principal = readAclString(buf, flexible)
+        val host = readAclString(buf, flexible)
+        val op = buf.get().toInt
+        val perm = buf.get().toInt
+        if (flexible) readTags(buf)
+        Acls.AclBinding(resType, resName, patType, principal, host, op, perm)
+      }
+      if (flexible) readTags(buf)
+      (err, msg, matched.toSeq)
     }
+    if (flexible) readTags(buf)
     (correlationId, results.toSeq)
   }
 
@@ -5677,14 +5848,14 @@ object KafkaWire {
   }
 
   /** v0: throttle, error, error_message, topics (always empty here). */
-  def encodeListPartitionReassignmentsResponse(correlationId: Int)
-      : Array[Byte] = {
+  def encodeListPartitionReassignmentsResponse(correlationId: Int,
+      errorCode: Int = 0, errorMessage: String = null): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     responseHeader(out, correlationId, flexible = true)
     val w = new WR(out, flexible = true)
     w.i32(0)
-    w.i16(0)
-    w.str(null)
+    w.i16(errorCode)
+    w.str(errorMessage)
     w.count(0)
     w.tags()
     frame(out.toByteArray)

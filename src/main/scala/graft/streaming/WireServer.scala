@@ -161,10 +161,14 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = sock.getOutputStream
+    val clientHost = sock.getInetAddress.getHostAddress
     // per-connection SASL state: an unsecured listener starts
     // authenticated; a secured one walks handshake → token(s) → open.
     // PLAIN is one token; SCRAM-SHA-256 is a two-round challenge.
     var authenticated = credentials.isEmpty
+    // the principal every authorization check sees for this
+    // connection: ANONYMOUS until SASL binds a user
+    var principal = Broker.AnonymousPrincipal
     var handshaken = false
     var mechanism: String = null
     var scram: Scram.ServerSession = null
@@ -193,17 +197,22 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
           if (scram != null)
             scram.step(payload) match {
               case Scram.Continue(reply) => frameRaw(reply)
-              case Scram.Success(reply, _) =>
-                authenticated = true; rawSasl = false; frameRaw(reply)
+              case Scram.Success(reply, user) =>
+                authenticated = true; rawSasl = false
+                principal = "User:" + user
+                frameRaw(reply)
               case Scram.Fail(reply, _) =>
                 frameRaw(reply); authFailureDelay(); open = false
             }
-          else if (evaluatePlain(payload)) {
-            authenticated = true
-            rawSasl = false
-            out.write(Array[Byte](0, 0, 0, 0))
-            out.flush()
-          } else { authFailureDelay(); open = false }
+          else evaluatePlain(payload) match {
+            case Some(user) =>
+              authenticated = true
+              rawSasl = false
+              principal = "User:" + user
+              out.write(Array[Byte](0, 0, 0, 0))
+              out.flush()
+            case None => authFailureDelay(); open = false
+          }
         } else {
           require(size >= 2, s"bad frame size $size")
           val framed = new Array[Byte](size + 4)
@@ -254,8 +263,9 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                 } else if (scram != null) {
                   scram.step(token) match {
                     case Scram.Continue(reply) => answer(0, null, reply)
-                    case Scram.Success(reply, _) =>
+                    case Scram.Success(reply, user) =>
                       authenticated = true
+                      principal = "User:" + user
                       answer(0, null, reply)
                     case Scram.Fail(reply, why) =>
                       // failed auth answers in-band (the RFC e= token
@@ -264,8 +274,10 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                       authFailureDelay()
                       open = false
                   }
-                } else if (evaluatePlain(token)) {
+                } else if (evaluatePlain(token).isDefined) {
                   authenticated = true
+                  principal = "User:" +
+                    KafkaWire.parsePlainToken(token).get._1
                   answer(0, null, Array.emptyByteArray)
                 } else {
                   // failed auth answers in-band, THEN closes — the
@@ -277,12 +289,17 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                 }
               case KafkaWire.ApiVersionsApiKey =>
                 // allowed pre-auth: clients negotiate versions first
+                broker.authCtx.set((principal, clientHost))
                 out.write(dispatch(apiKey, framed)); out.flush()
               case _ if !authenticated =>
                 // Kafka kills pre-auth connections sending normal keys
                 throw new IllegalStateException(
                   s"api_key $apiKey before SASL authentication")
               case _ =>
+                // bound per REQUEST, not per connection: pool threads
+                // are reused across connections, so a stale binding
+                // from a previous connection must never leak in
+                broker.authCtx.set((principal, clientHost))
                 out.write(dispatch(apiKey, framed)); out.flush()
             }
           } catch {
@@ -300,10 +317,11 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     } finally sock.close()
   }
 
-  /** Check one RFC 4616 PLAIN token against the credential map. */
-  private def evaluatePlain(token: Array[Byte]): Boolean =
-    KafkaWire.parsePlainToken(token).exists { case (user, pass) =>
-      credentials.get(user).contains(pass)
+  /** Check one RFC 4616 PLAIN token against the credential map;
+    * returns the authenticated user. */
+  private def evaluatePlain(token: Array[Byte]): Option[String] =
+    KafkaWire.parsePlainToken(token).collect {
+      case (user, pass) if credentials.get(user).contains(pass) => user
     }
 
   /** Kafka's connection.failed.authentication.delay.ms analog: hold a
@@ -322,7 +340,9 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
       case KafkaWire.MetadataApiKey =>
         val topics = broker.listTopics()
           .map(t => t -> broker.topic(t).numPartitions).toMap
-        KafkaWire.handleMetadata(framed, advertisedHost, boundPort, topics)
+        KafkaWire.handleMetadata(framed, advertisedHost, boundPort, topics,
+          describeAuth =
+            name => broker.authz(Acls.OpDescribe, Acls.ResTopic, name))
       case KafkaWire.ProduceApiKey => broker.handleProduce(framed)
       case KafkaWire.ListOffsetsApiKey => broker.handleListOffsets(framed)
       case KafkaWire.FetchApiKey => broker.handleFetch(framed)
@@ -415,6 +435,11 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     scramSeeded
     val (corr, users) =
       KafkaWire.decodeDescribeUserScramCredentialsRequest(framed)
+    if (!broker.authz(Acls.OpDescribe, Acls.ResCluster,
+        Acls.ClusterResourceName))
+      return KafkaWire.encodeDescribeUserScramCredentialsResponse(corr, 31,
+        "principal is not authorized to describe SCRAM credentials",
+        Seq.empty)
     val known = scramStore.keys.toSeq
     val results =
       if (users == null || users.isEmpty)
@@ -453,6 +478,11 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     scramSeeded
     val (corr, deletions, upsertions) =
       KafkaWire.decodeAlterUserScramCredentialsRequest(framed)
+    if (!broker.authz(Acls.OpAlter, Acls.ResCluster,
+        Acls.ClusterResourceName))
+      return KafkaWire.encodeAlterUserScramCredentialsResponse(corr,
+        (deletions.map(_._1) ++ upsertions.map(_._1)).distinct.map(u =>
+          (u, 31, "principal is not authorized to alter SCRAM credentials")))
     val byUser = (deletions.map(_._1) ++ upsertions.map(_._1)).distinct
     val results = byUser.map { u =>
       val dels = deletions.filter(_._1 == u)

@@ -27,16 +27,23 @@ class AdminEdgeSpec extends AnyFunSuite {
     val server = new WireServer(broker).start()
     val sock = new Socket("127.0.0.1", server.boundPort)
     try {
-      val (_, derr, dmsg) = decodeDescribeAclsResponse(
-        exchange(sock, encodeDescribeAclsRequest(1, "cli")))
+      val anyFilter = Acls.AclFilter(Acls.ResAny, null, Acls.PatAny, null,
+        null, Acls.OpAny, Acls.PermAny)
+      val (_, derr, dmsg, dacls) = decodeDescribeAclsResponse(
+        exchange(sock, encodeDescribeAclsRequest(1, 1, "cli", anyFilter)), 1)
       assert(derr === 54)
       assert(dmsg === NoAuthorizerMessage)
+      assert(dacls.isEmpty)
+      val creation = Acls.AclBinding(Acls.ResTopic, "t", Acls.PatLiteral,
+        "User:alice", "*", Acls.OpRead, Acls.PermAllow)
       val (_, created) = decodeCreateAclsResponse(
-        exchange(sock, encodeCreateAclsRequest(2, "cli", nCreations = 2)))
+        exchange(sock, encodeCreateAclsRequest(2, 2, "cli",
+          Seq(creation, creation))), 2)
       assert(created === Seq.fill(2)((54, NoAuthorizerMessage)))
       val (_, deleted) = decodeDeleteAclsResponse(
-        exchange(sock, encodeDeleteAclsRequest(3, "cli", nFilters = 1)))
-      assert(deleted === Seq((54, NoAuthorizerMessage)))
+        exchange(sock, encodeDeleteAclsRequest(0, 3, "cli",
+          Seq(anyFilter.copy(patternType = Acls.PatLiteral)))), 0)
+      assert(deleted === Seq((54, NoAuthorizerMessage, Seq.empty)))
       // the probe cost nothing: the same connection still serves data
       val av = decodeApiVersionsResponsePreV3(0,
         exchange(sock, encodeApiVersionsRequest(0, 4, "cli")))
