@@ -61,6 +61,38 @@ class Broker(spark: SparkSession, root: String) {
       a.authorize(principal, host, operation, resourceType, resourceName)
     }
 
+  /** Client quotas (keys 48/49, KIP-546) — byte-rate metering +
+    * cooperative throttling on the produce/fetch paths. Lazy: a
+    * broker that never serves quota admin and has no `_quotas` store
+    * pays one empty-map lookup per data request. */
+  lazy val quotas = new Quotas.Manager(Paths.get(root, "_quotas"))
+
+  /** The authenticated user name (the principal less its type), the
+    * quota entity's user axis — ANONYMOUS on open listeners. */
+  private def currentUser: String = {
+    val p = authCtx.get()._1
+    if (p.startsWith("User:")) p.substring(5) else p
+  }
+
+  /** Record `bytes` against the governing quota and return the
+    * throttle to serve in throttle_time_ms (0 when no quota binds). */
+  private def quotaThrottle(key: String, clientId: String,
+      bytes: Long): Int = {
+    val t = quotas.recordAndThrottle(currentUser,
+      Option(clientId).getOrElse(""), key, bytes,
+      System.currentTimeMillis())
+    math.min(t, Int.MaxValue.toLong).toInt
+  }
+
+  /** Hold the response like a throttling broker mutes its channel —
+    * bounded by [[Quotas.MaxHoldMs]]; the response carries the FULL
+    * computed throttle for the client's own cooperative backoff. */
+  private def quotaHold(throttleMs: Int): Unit =
+    if (throttleMs > 0)
+      try Thread.sleep(math.min(throttleMs.toLong, Quotas.MaxHoldMs))
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+
   /** Membership coordination for wire consumers (JoinGroup/SyncGroup/
     * Heartbeat/LeaveGroup) — pure metadata, one per broker. */
   val coordinator = new GroupCoordinator()
@@ -480,8 +512,19 @@ class Broker(spark: SparkSession, root: String) {
         answers
       }
     }
-    if (req.acks == 0) Array.empty
-    else encodeProduceResponse(req.version, req.correlationId, results)
+    // wake long-polling fetches: something may now satisfy min_bytes
+    if (results.exists(_._2.exists(_._2 == 0)))
+      dataArrived.synchronized { dataArrived.notifyAll() }
+    // quota metering covers the request's on-wire payload whether or
+    // not a response is owed (acks=0 producers consume budget too)
+    val throttleMs = quotaThrottle(Quotas.ProducerByteRate, req.clientId,
+      req.payloadSizes.valuesIterator.map(_.toLong).sum)
+    if (req.acks == 0) { quotaHold(throttleMs); Array.empty }
+    else {
+      quotaHold(throttleMs)
+      encodeProduceResponse(req.version, req.correlationId, results,
+        throttleMs)
+    }
   }
 
   // --- idempotent producer (InitProducerId, key 22): the broker
@@ -1504,16 +1547,6 @@ class Broker(spark: SparkSession, root: String) {
     * INCREMENTAL response omits partitions with no records, no error,
     * and an unchanged high watermark since last reported. */
   def handleFetch(requestBytes: Array[Byte]): Array[Byte] = {
-    // fetches SCAN data files — a concurrent rewrite (retention tick,
-    // compaction, DeleteRecords) swapping the data dir mid-scan would
-    // kill the connection with FILE_NOT_EXIST; readers share the read
-    // side with produces
-    val rl = maintenanceLock.readLock()
-    rl.lock()
-    try handleFetchLocked(requestBytes) finally rl.unlock()
-  }
-
-  private def handleFetchLocked(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     // v13 (topic-id keying): ids resolve against the hosted topic set;
     // the resolver is lazy, so pre-v13 requests never list the root
@@ -1525,6 +1558,59 @@ class Broker(spark: SparkSession, root: String) {
       return encodeFetchResponse(req0.version, req0.correlationId, Seq.empty,
         sessionError, sessionId)
     val req = req0.copy(topics = effectiveTopics)
+    // KIP-74 long-poll: hold the fetch until min_bytes of records
+    // accumulate or max_wait_ms expires — what keeps a caught-up
+    // consumer from busy-polling empty responses. The wait happens
+    // with NO lock held (retention ticks and produces proceed);
+    // each wakeup (a wire produce landed, or the 200 ms tick) re-
+    // serves, and the caught-up case short-circuits to a manifest
+    // read with no Spark job. Session bookkeeping is wakeup-safe:
+    // the epoch advanced ONCE above, and re-serving only refreshes
+    // lastHw with unchanged values until data actually arrives.
+    val deadline = System.currentTimeMillis() +
+      math.min(math.max(req.maxWaitMs, 0), Broker.MaxFetchWaitMs).toLong
+    var serve = serveFetchPass(req, req0.sessionEpoch, session)
+    while (serve._1 < req.minBytes && System.currentTimeMillis() < deadline) {
+      val remaining = deadline - System.currentTimeMillis()
+      if (remaining > 0)
+        dataArrived.synchronized { dataArrived.wait(math.min(remaining, 200L)) }
+      serve = serveFetchPass(req, req0.sessionEpoch, session)
+    }
+    val (servedBytes, out, lsoMap, codecByTopic) = serve
+    // consumer byte-rate quota: meter what this response serves
+    // (record payload + per-record framing) and throttle in-band
+    val throttleMs = quotaThrottle(Quotas.ConsumerByteRate, req.clientId,
+      servedBytes)
+    quotaHold(throttleMs)
+    encodeFetchResponse(req.version, req.correlationId, out, 0, sessionId,
+      if (req.version >= 4) fetchCompression else KafkaWire.CompressionNone,
+      lsoMap, codecByTopic, throttleMs)
+  }
+
+  /** Signaled after every wire produce that appended records — the
+    * long-poll wakeup. Library-side produces (DataFrame writes) don't
+    * signal; a waiting fetch still re-serves on its 200 ms tick. */
+  private val dataArrived = new Object
+
+  /** One serving pass of a (session-resolved) fetch: everything
+    * except decode, session resolution, and the encode — so the
+    * long-poll loop can re-run it per wakeup. Returns (served record
+    * bytes, response topics, lsoMap, per-topic codec). Runs under the
+    * maintenance read lock: it scans data files. */
+  private def serveFetchPass(req: KafkaWire.FetchRequest, sessionEpoch: Int,
+      session: Option[Broker.FetchSession])
+      : (Long, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, KafkaWire.WireRecordV2)])])],
+         Map[(String, Int), Long], Map[String, Int]) = {
+    val rl = maintenanceLock.readLock()
+    rl.lock()
+    try serveFetchPassLocked(req, sessionEpoch, session) finally rl.unlock()
+  }
+
+  private def serveFetchPassLocked(req: KafkaWire.FetchRequest,
+      sessionEpoch: Int, session: Option[Broker.FetchSession])
+      : (Long, Seq[(String, Seq[(Int, Int, Long, Seq[(Long, KafkaWire.WireRecordV2)])])],
+         Map[(String, Int), Long], Map[String, Int]) = {
+    import KafkaWire._
     // request-level byte budget (Fetch v3+): without it a
     // many-partition fetch returns up to nPartitions × partition
     // max_bytes, far past the client's stated response ceiling
@@ -1561,6 +1647,11 @@ class Broker(spark: SparkSession, root: String) {
           if (p < 0 || p >= log.numPartitions)
             (p, 3, -1L, Seq.empty[(Long, WireRecordV2)])
           else if (off > end) (p, 1, end, Seq.empty[(Long, WireRecordV2)])
+          else if (off == end || off >= lsoCap)
+            // caught up (or at the undecided region): provably no
+            // rows to serve — no Spark job, which keeps the long-poll
+            // wakeup loop at manifest-read cost
+            (p, 0, end, Seq.empty[(Long, WireRecordV2)])
           else {
             // bound the collect: per-record wire overhead is ≥ 12
             // bytes + key + value, so limit/12 over-covers the count;
@@ -1639,7 +1730,7 @@ class Broker(spark: SparkSession, root: String) {
     }
     // session bookkeeping + the KIP-227 response-side omission: an
     // incremental response carries only partitions with something new
-    val incremental = session.isDefined && req0.sessionEpoch > 0
+    val incremental = session.isDefined && sessionEpoch > 0
     val out = session match {
       case None => topicsOut
       case Some(s) => fetchSessions.synchronized {
@@ -1677,9 +1768,14 @@ class Broker(spark: SparkSession, root: String) {
           .flatMap(Broker.CompressionTypes.get).filter(_ >= 0)
           .map(name -> _)
       }.toMap
-    encodeFetchResponse(req.version, req.correlationId, out, 0, sessionId,
-      if (req.version >= 4) fetchCompression else KafkaWire.CompressionNone,
-      lsoMap, codecByTopic)
+    val servedBytes = out.iterator.flatMap(_._2.iterator)
+      .map { case (_, _, _, recs) =>
+        recs.iterator.map { case (_, r) =>
+          12L + (if (r.key == null) 0 else r.key.length) +
+            (if (r.value == null) 0 else r.value.length)
+        }.sum
+      }.sum
+    (servedBytes, out, lsoMap, codecByTopic)
   }
 
   /** Codec for v4+ fetch-response batches (none by default; gzip is
@@ -2305,6 +2401,70 @@ class Broker(spark: SparkSession, root: String) {
       controllerId = 0, brokers = Seq((0, advertisedHost, port, null)))
   }
 
+  /** DescribeClientQuotas (key 48, v0–v1): the stored quota entities
+    * matching the request's components — `kafka-configs --describe
+    * --entity-type clients|users`. Requires DESCRIBE_CONFIGS on the
+    * cluster when the authorizer is on (31); malformed components
+    * answer 42. */
+  def handleDescribeClientQuotas(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, corr, components, strict) =
+      decodeDescribeClientQuotasRequest(requestBytes)
+    if (!authz(Acls.OpDescribeConfigs, Acls.ResCluster,
+        Acls.ClusterResourceName))
+      return encodeDescribeClientQuotasResponse(version, corr, 31,
+        "principal is not authorized to describe client quotas", Seq.empty)
+    val bad: Option[String] = components.collectFirst {
+      case (t, _, _) if t != Quotas.EntityUser && t != Quotas.EntityClientId =>
+        s"unknown quota entity type '$t'"
+      case (_, mt, _) if mt < 0 || mt > 2 => s"unknown match type $mt"
+      case (_, 0, null) => "an exact-match component needs a name"
+    }
+    bad match {
+      case Some(msg) =>
+        encodeDescribeClientQuotasResponse(version, corr, 42, msg, Seq.empty)
+      case None =>
+        encodeDescribeClientQuotasResponse(version, corr, 0, null,
+          quotas.describe(components, strict)
+            .map { case (e, kvs) => (e, kvs.toSeq.sorted) })
+    }
+  }
+
+  /** AlterClientQuotas (key 49, v0–v1): per-entity upserts/removes —
+    * `kafka-configs --alter --add-config producer_byte_rate=...`.
+    * Served keys are producer_byte_rate / consumer_byte_rate (both
+    * enforced on the data path) and request_percentage (stored and
+    * described, not enforced — no request-thread pool to meter;
+    * disclosed in SURVEY). Values must be positive and finite (42);
+    * an entity must name a user and/or client-id (42); every
+    * acknowledged alteration is CAS-persisted before the response. */
+  def handleAlterClientQuotas(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, corr, entries, validateOnly) =
+      decodeAlterClientQuotasRequest(requestBytes)
+    val authed = authz(Acls.OpAlterConfigs, Acls.ResCluster,
+      Acls.ClusterResourceName)
+    val results = entries.map { case (entity, ops) =>
+      val err: (Int, String) =
+        if (!authed)
+          (31, "principal is not authorized to alter client quotas")
+        else if (entity.isEmpty)
+          (42, "a quota entity must name a user and/or client-id")
+        else ops.collectFirst {
+          case (k, _, _) if !Quotas.ServedKeys(k) =>
+            (42, s"unknown quota key '$k'")
+          case (k, v, false) if v.isNaN || v.isInfinite || v <= 0 =>
+            (42, s"quota '$k' must be a positive finite number")
+        }.getOrElse((0, null: String))
+      if (err._1 == 0 && !validateOnly)
+        quotas.alter(entity,
+          ops.collect { case (k, v, false) => (k, v) },
+          ops.collect { case (k, _, true) => k })
+      (err._1, err._2, entity)
+    }
+    encodeAlterClientQuotasResponse(version, corr, results)
+  }
+
   // --- KIP-714 client telemetry (keys 71/72/74). The broker serves
   // the full subscription handshake with an EMPTY metric subscription
   // (no metrics backend — the honest single-broker answer, and what a
@@ -2747,17 +2907,50 @@ class Broker(spark: SparkSession, root: String) {
     * apply on the close, nothing new is acquired). */
   def handleShareFetch(requestBytes: Array[Byte],
       advertisedHost: String, advertisedPort: Int): Array[Byte] = {
-    val rl = maintenanceLock.readLock()
-    rl.lock()
-    try handleShareFetchLocked(requestBytes, advertisedHost, advertisedPort)
-    finally rl.unlock()
-  }
-
-  private def handleShareFetchLocked(requestBytes: Array[Byte],
-      advertisedHost: String, advertisedPort: Int): Array[Byte] = {
     import KafkaWire._
     val req = decodeShareFetchRequest(requestBytes,
       topicIdResolverFor(listTopics()))
+    // KIP-932 long-poll, the handleFetch discipline: when the first
+    // pass acquires NOTHING, park (no lock held) until a produce
+    // lands or max_wait_ms expires, then re-acquire. Retries strip
+    // the request's acknowledgements (they applied on pass one) and
+    // skip the session-epoch advance (it advanced on pass one); any
+    // pass that acquires records ships immediately — their delivery
+    // counts already advanced, holding them would burn lock time.
+    val deadline = System.currentTimeMillis() +
+      math.min(math.max(req.maxWaitMs, 0), Broker.MaxFetchWaitMs).toLong
+    var pass = shareFetchPass(req, advertisedHost, advertisedPort,
+      firstPass = true)
+    val retryReq = req.copy(topics = req.topics.map { case (n, ps) =>
+      (n, ps.map(p => p.copy(acks = Seq.empty)))
+    })
+    while (pass._2 == 0 && req.minBytes > 0 && req.sessionEpoch != -1 &&
+        System.currentTimeMillis() < deadline) {
+      val remaining = deadline - System.currentTimeMillis()
+      if (remaining > 0)
+        dataArrived.synchronized { dataArrived.wait(math.min(remaining, 200L)) }
+      pass = shareFetchPass(retryReq, advertisedHost, advertisedPort,
+        firstPass = false)
+    }
+    pass._1
+  }
+
+  /** One serving pass of a decoded ShareFetch: returns (response,
+    * records acquired this pass; −1 on a top-level error so the
+    * long-poll loop stops retrying). */
+  private def shareFetchPass(req: KafkaWire.ShareFetchRequest,
+      advertisedHost: String, advertisedPort: Int,
+      firstPass: Boolean): (Array[Byte], Int) = {
+    val rl = maintenanceLock.readLock()
+    rl.lock()
+    try shareFetchPassLocked(req, advertisedHost, advertisedPort, firstPass)
+    finally rl.unlock()
+  }
+
+  private def shareFetchPassLocked(req: KafkaWire.ShareFetchRequest,
+      advertisedHost: String, advertisedPort: Int,
+      firstPass: Boolean): (Array[Byte], Int) = {
+    import KafkaWire._
     val now = System.currentTimeMillis()
     val member = if (req.memberId == null) "" else req.memberId
     val group = if (req.groupId == null) "" else req.groupId
@@ -2766,21 +2959,25 @@ class Broker(spark: SparkSession, root: String) {
     // expired member ids (the real-broker contract); groups that
     // never heartbeated stay un-fenced for embedded ShareGroup use
     if (!authz(Acls.OpRead, Acls.ResGroup, group))
-      return encodeShareFetchResponse(req.correlationId, 30,
+      return (encodeShareFetchResponse(req.correlationId, 30,
         s"principal is not authorized to read share group '$group'",
-        Seq.empty, 0, advertisedHost, advertisedPort)
+        Seq.empty, 0, advertisedHost, advertisedPort), -1)
     if (shareCoordinator.managesGroup(group) &&
         !shareCoordinator.isLiveMember(group, member, now))
-      return encodeShareFetchResponse(req.correlationId, 25,
+      return (encodeShareFetchResponse(req.correlationId, 25,
         s"member '$member' is not a live member of share group '$group'",
-        Seq.empty, 0, advertisedHost, advertisedPort)
-    val sessErr = shareSessionCheck(group, member, req.sessionEpoch,
-      allowOpen = true)
+        Seq.empty, 0, advertisedHost, advertisedPort), -1)
+    // the session epoch advances exactly once per wire request — a
+    // long-poll retry is the SAME request, so it skips the check
+    val sessErr =
+      if (!firstPass) 0
+      else shareSessionCheck(group, member, req.sessionEpoch,
+        allowOpen = true)
     if (sessErr != 0)
-      return encodeShareFetchResponse(req.correlationId, sessErr,
+      return (encodeShareFetchResponse(req.correlationId, sessErr,
         if (sessErr == 122) "share session not found"
         else s"invalid share session epoch ${req.sessionEpoch}",
-        Seq.empty, 0, advertisedHost, advertisedPort)
+        Seq.empty, 0, advertisedHost, advertisedPort), -1)
     val results = req.topics.map { case (name, parts) =>
       if (isUnknownIdName(name) || !topicExists(name))
         (name, parts.map(p => ShareFetchPartResp(p.partition, 100,
@@ -2852,8 +3049,10 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
-    encodeShareFetchResponse(req.correlationId, 0, null, results,
-      0, advertisedHost, advertisedPort)
+    val acquiredCount = results.iterator.flatMap(_._2.iterator)
+      .map(_.records.length).sum
+    (encodeShareFetchResponse(req.correlationId, 0, null, results,
+      0, advertisedHost, advertisedPort), acquiredCount)
   }
 
   /** ShareAcknowledge (key 79, v0): acknowledge without fetching.
@@ -2914,15 +3113,19 @@ class Broker(spark: SparkSession, root: String) {
     * group known only by committed offsets describes as Empty; an
     * unknown group as Dead (Kafka's convention — not an error code).
     * v4+ members carry their group.instance.id (null for dynamic
-    * members); v3+ authorized_operations answers the full group
-    * operation set when requested — the no-authorizer broker's truth
-    * (ACL APIs answer SECURITY_DISABLED) — and Kafka's Int.MinValue
-    * "omitted" sentinel when not. */
+    * members); v3+ authorized_operations answers, when requested,
+    * the full group operation set on an open broker and the
+    * per-group set the caller actually holds under an authorizer —
+    * Kafka's Int.MinValue "omitted" sentinel when not requested. */
   def handleDescribeGroups(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeDescribeGroupsRequest(requestBytes)
-    val ops = if (req.includeAuthorizedOperations)
-      Broker.GroupAuthorizedOperations else Int.MinValue
+    def opsFor(g: String): Int =
+      if (!req.includeAuthorizedOperations) Int.MinValue
+      else if (authorizerOpt.isEmpty) Broker.GroupAuthorizedOperations
+      else Seq(Acls.OpRead, Acls.OpDelete, Acls.OpDescribe)
+        .filter(op => authz(op, Acls.ResGroup, g))
+        .foldLeft(0)((acc, op) => acc | (1 << op))
     val described = req.groups.map { g =>
       val base =
         if (!authz(Acls.OpDescribe, Acls.ResGroup, g))
@@ -2937,7 +3140,7 @@ class Broker(spark: SparkSession, root: String) {
       }
       val instances = coordinator.memberInstanceIds(g)
       DescribedGroupModern(base,
-        base.members.map(m => instances.get(m._1).orNull), ops)
+        base.members.map(m => instances.get(m._1).orNull), opsFor(g))
     }
     encodeDescribeGroupsResponse(req.version, req.correlationId, described)
   }
@@ -3141,6 +3344,11 @@ object Broker {
   /** The principal an unauthenticated (plaintext-listener) or library
     * caller acts as — Kafka's ANONYMOUS. */
   val AnonymousPrincipal = "User:ANONYMOUS"
+
+  /** Longest a fetch long-polls before answering empty — bounds
+    * hostile max_wait_ms values (Kafka's own default wait is 500 ms;
+    * admin tools send up to 30 s). */
+  val MaxFetchWaitMs = 30000
 
   /** Cap on concurrently remembered fetch sessions; beyond it the
     * least-recently-used session is evicted (the evicted client
@@ -3390,6 +3598,9 @@ object Broker {
     (46, "ListPartitionReassignments", 0,
       KafkaWire.ListPartitionReassignmentsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
+    (48, "DescribeClientQuotas", 0,
+      KafkaWire.DescribeClientQuotasMaxVersion),
+    (49, "AlterClientQuotas", 0, KafkaWire.AlterClientQuotasMaxVersion),
     (50, "DescribeUserScramCredentials", 0,
       KafkaWire.DescribeUserScramCredentialsMaxVersion),
     (51, "AlterUserScramCredentials", 0,

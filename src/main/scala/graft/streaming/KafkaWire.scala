@@ -1080,6 +1080,7 @@ object KafkaWire {
       if (flexible) writeUVarInt(out, n + 1) else writeInt32(out, n)
     def bytes(b: Array[Byte]): Unit =
       if (flexible) writeCompactBytes(out, b) else writeBytesField(out, b)
+    def f64(v: Double): Unit = writeInt64(out, java.lang.Double.doubleToLongBits(v))
     def tags(): Unit = if (flexible) writeUVarInt(out, 0)
   }
 
@@ -1095,6 +1096,7 @@ object KafkaWire {
     def count(): Int = if (flexible) readUVarInt(buf) - 1 else buf.getInt
     def bytes(): Array[Byte] =
       if (flexible) readCompactBytes(buf) else readBytesField(buf)
+    def f64(): Double = java.lang.Double.longBitsToDouble(buf.getLong)
     def tags(): Unit = if (flexible) readTags(buf)
   }
 
@@ -1259,7 +1261,8 @@ object KafkaWire {
   /** Encode a produce response at any version 0–9;
     * results = (topic, (partition, error, baseOffset)*)*. */
   def encodeProduceResponse(version: Int, correlationId: Int,
-      results: Seq[(String, Seq[(Int, Int, Long)])]): Array[Byte] = {
+      results: Seq[(String, Seq[(Int, Int, Long)])],
+      throttleTimeMs: Int = 0): Array[Byte] = {
     val flexible = version >= 9
     val out = new ByteArrayOutputStream()
     writeInt32(out, correlationId)
@@ -1278,13 +1281,21 @@ object KafkaWire {
       }
       w.tags()
     }
-    if (version >= 1) w.i32(0) // throttle_time_ms
+    if (version >= 1) w.i32(throttleTimeMs)
     w.tags()
     frame(out.toByteArray)
   }
 
   def decodeProduceResponse(version: Int,
       bytes: Array[Byte]): (Int, Seq[(String, Seq[(Int, Int, Long)])]) = {
+    val full = decodeProduceResponseFull(version, bytes)
+    (full._1, full._2)
+  }
+
+  /** Like [[decodeProduceResponse]] but surfacing the v1+
+    * throttle_time_ms (0 at v0). */
+  def decodeProduceResponseFull(version: Int, bytes: Array[Byte])
+      : (Int, Seq[(String, Seq[(Int, Int, Long)])], Int) = {
     val flexible = version >= 9
     val buf = unframe(bytes)
     val correlationId = buf.getInt
@@ -1306,9 +1317,9 @@ object KafkaWire {
       r.tags()
       (name, parts.toSeq)
     }
-    if (version >= 1) r.i32() // throttle_time_ms
+    val throttle = if (version >= 1) r.i32() else 0
     r.tags()
-    (correlationId, topics.toSeq)
+    (correlationId, topics.toSeq, throttle)
   }
 
   def encodeFetchRequest(version: Int, correlationId: Int, clientId: String,
@@ -1440,7 +1451,8 @@ object KafkaWire {
       lso: Map[(String, Int), Long] = Map.empty,
       /** Per-topic codec override (a topic's `compression.type`
         * config); topics absent here serve at `compression`. */
-      compressionByTopic: Map[String, Int] = Map.empty): Array[Byte] = {
+      compressionByTopic: Map[String, Int] = Map.empty,
+      throttleTimeMs: Int = 0): Array[Byte] = {
     require(version >= 0 && version <= FetchMaxVersion,
       s"unsupported Fetch version $version")
     val flexible = version >= 12
@@ -1449,7 +1461,7 @@ object KafkaWire {
     writeInt32(out, correlationId)
     if (flexible) writeUVarInt(out, 0) // response header v1 tag buffer
     val w = new WR(out, flexible)
-    if (version >= 1) w.i32(0) // throttle_time_ms
+    if (version >= 1) w.i32(throttleTimeMs)
     if (version >= 7) { w.i16(errorCode); w.i32(sessionId) }
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
@@ -7462,5 +7474,212 @@ object KafkaWire {
     }
     r.tags()
     (correlationId, err, errMsg, topics)
+  }
+
+  // --- Client quotas (DescribeClientQuotas 48, AlterClientQuotas 49;
+  // v0 non-flexible, v1 flexible — KIP-546) — what `kafka-configs
+  // --entity-type clients|users` drives for producer_byte_rate /
+  // consumer_byte_rate. Entities are arrays of (entity_type,
+  // entity_name) pairs with null names meaning the DEFAULT sentinel;
+  // the broker's quota model lives in Quotas.scala. ---
+
+  val DescribeClientQuotasApiKey = 48
+  val DescribeClientQuotasMaxVersion = 1
+  val AlterClientQuotasApiKey = 49
+  val AlterClientQuotasMaxVersion = 1
+
+  private def writeQuotaEntity(w: WR, e: Quotas.Entity): Unit = {
+    val parts = Seq(
+      e.user.map(n => (Quotas.EntityUser, n.orNull)),
+      e.clientId.map(n => (Quotas.EntityClientId, n.orNull))).flatten
+    w.count(parts.length)
+    parts.foreach { case (t, n) => w.str(t); w.str(n); w.tags() }
+  }
+
+  private def readQuotaEntity(r: RD): Quotas.Entity = {
+    var user: Option[Option[String]] = None
+    var client: Option[Option[String]] = None
+    (0 until r.count()).foreach { _ =>
+      val t = r.str(); val n = r.str(); r.tags()
+      t match {
+        case Quotas.EntityUser => user = Some(Option(n))
+        case Quotas.EntityClientId => client = Some(Option(n))
+        case _ => () // unknown entity types are carried by neither —
+                     // the handler answers them per entry
+      }
+    }
+    Quotas.Entity(user, client)
+  }
+
+  /** DescribeClientQuotas request: components (entity_type,
+    * match_type 0 exact/1 default/2 any, match name), strict. */
+  def encodeDescribeClientQuotasRequest(version: Int, correlationId: Int,
+      clientId: String, components: Seq[(String, Int, String)],
+      strict: Boolean): Array[Byte] = {
+    val flexible = version >= 1
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeClientQuotasApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    w.count(components.length)
+    components.foreach { case (t, mt, n) =>
+      w.str(t); w.i8(mt); w.str(n); w.tags()
+    }
+    w.bool(strict)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (version, correlationId, components, strict). */
+  def decodeDescribeClientQuotasRequest(bytes: Array[Byte])
+      : (Int, Int, Seq[(String, Int, String)], Boolean) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeClientQuotasApiKey,
+      "not a DescribeClientQuotas request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DescribeClientQuotasMaxVersion,
+      s"unsupported DescribeClientQuotas version $version")
+    val flexible = version >= 1
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val components = (0 until r.count()).map { _ =>
+      val c = (r.str(), r.i8(), r.str()); r.tags(); c
+    }
+    val strict = r.bool()
+    r.tags()
+    (version, correlationId, components.toSeq, strict)
+  }
+
+  /** DescribeClientQuotas response: error, message, entries of
+    * (entity, (key, value) doubles). */
+  def encodeDescribeClientQuotasResponse(version: Int, correlationId: Int,
+      errorCode: Int, errorMessage: String,
+      entries: Seq[(Quotas.Entity, Seq[(String, Double)])]): Array[Byte] = {
+    val flexible = version >= 1
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.count(entries.length)
+    entries.foreach { case (e, values) =>
+      writeQuotaEntity(w, e)
+      w.count(values.length)
+      values.foreach { case (k, v) => w.str(k); w.f64(v); w.tags() }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, errorMessage, entries). */
+  def decodeDescribeClientQuotasResponse(bytes: Array[Byte], version: Int)
+      : (Int, Int, String, Seq[(Quotas.Entity, Seq[(String, Double)])]) = {
+    val flexible = version >= 1
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32()
+    val err = r.i16()
+    val msg = r.str()
+    val entries = (0 until r.count()).map { _ =>
+      val e = readQuotaEntity(r)
+      val values = (0 until r.count()).map { _ =>
+        val kv = (r.str(), r.f64()); r.tags(); kv
+      }
+      r.tags()
+      (e, values.toSeq)
+    }
+    r.tags()
+    (correlationId, err, msg, entries.toSeq)
+  }
+
+  /** AlterClientQuotas request: entries of (entity, ops (key, value,
+    * remove)), validate_only. */
+  def encodeAlterClientQuotasRequest(version: Int, correlationId: Int,
+      clientId: String,
+      entries: Seq[(Quotas.Entity, Seq[(String, Double, Boolean)])],
+      validateOnly: Boolean): Array[Byte] = {
+    val flexible = version >= 1
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, AlterClientQuotasApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    w.count(entries.length)
+    entries.foreach { case (e, ops) =>
+      writeQuotaEntity(w, e)
+      w.count(ops.length)
+      ops.foreach { case (k, v, rm) => w.str(k); w.f64(v); w.bool(rm); w.tags() }
+      w.tags()
+    }
+    w.bool(validateOnly)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (version, correlationId, entries, validateOnly). */
+  def decodeAlterClientQuotasRequest(bytes: Array[Byte])
+      : (Int, Int, Seq[(Quotas.Entity, Seq[(String, Double, Boolean)])], Boolean) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == AlterClientQuotasApiKey,
+      "not an AlterClientQuotas request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= AlterClientQuotasMaxVersion,
+      s"unsupported AlterClientQuotas version $version")
+    val flexible = version >= 1
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val entries = (0 until r.count()).map { _ =>
+      val e = readQuotaEntity(r)
+      val ops = (0 until r.count()).map { _ =>
+        val op = (r.str(), r.f64(), r.bool()); r.tags(); op
+      }
+      r.tags()
+      (e, ops.toSeq)
+    }
+    val validateOnly = r.bool()
+    r.tags()
+    (version, correlationId, entries.toSeq, validateOnly)
+  }
+
+  /** AlterClientQuotas response: per-entry (error, message, entity),
+    * request order. */
+  def encodeAlterClientQuotasResponse(version: Int, correlationId: Int,
+      results: Seq[(Int, String, Quotas.Entity)]): Array[Byte] = {
+    val flexible = version >= 1
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i32(0)
+    w.count(results.length)
+    results.foreach { case (err, msg, e) =>
+      w.i16(err); w.str(msg); writeQuotaEntity(w, e); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, (error, message, entity)*). */
+  def decodeAlterClientQuotasResponse(bytes: Array[Byte], version: Int)
+      : (Int, Seq[(Int, String, Quotas.Entity)]) = {
+    val flexible = version >= 1
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    r.i32()
+    val results = (0 until r.count()).map { _ =>
+      val err = r.i16(); val msg = r.str(); val e = readQuotaEntity(r)
+      r.tags()
+      (err, msg, e)
+    }
+    r.tags()
+    (correlationId, results.toSeq)
   }
 }

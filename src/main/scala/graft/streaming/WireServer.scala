@@ -416,6 +416,10 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleShareFetch(framed, advertisedHost, boundPort)
       case KafkaWire.ShareAcknowledgeApiKey =>
         broker.handleShareAcknowledge(framed, advertisedHost, boundPort)
+      case KafkaWire.DescribeClientQuotasApiKey =>
+        broker.handleDescribeClientQuotas(framed)
+      case KafkaWire.AlterClientQuotasApiKey =>
+        broker.handleAlterClientQuotas(framed)
       case KafkaWire.DescribeUserScramCredentialsApiKey =>
         handleDescribeUserScram(framed)
       case KafkaWire.AlterUserScramCredentialsApiKey =>
