@@ -28,6 +28,8 @@ object OraclesStreams {
         |  (32,'DescribeConfigs',0,4),
         |  (33,'AlterConfigs',0,2),(35,'DescribeLogDirs',0,0),
         |  (36,'SaslAuthenticate',0,2),(37,'CreatePartitions',0,3),
+        |  (38,'CreateDelegationToken',0,3),(39,'RenewDelegationToken',0,2),
+        |  (40,'ExpireDelegationToken',0,2),(41,'DescribeDelegationToken',0,3),
         |  (42,'DeleteGroups',0,2),(43,'ElectLeaders',0,0),
         |  (44,'IncrementalAlterConfigs',0,1),
         |  (45,'AlterPartitionReassignments',0,0),

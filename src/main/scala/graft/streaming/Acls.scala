@@ -23,7 +23,8 @@ object Acls {
   val OpRead = 3; val OpWrite = 4; val OpCreate = 5; val OpDelete = 6
   val OpAlter = 7; val OpDescribe = 8; val OpClusterAction = 9
   val OpDescribeConfigs = 10; val OpAlterConfigs = 11
-  val OpIdempotentWrite = 12
+  val OpIdempotentWrite = 12; val OpCreateTokens = 13
+  val OpDescribeTokens = 14
 
   // ResourceType
   val ResUnknown = 0; val ResAny = 1; val ResTopic = 2; val ResGroup = 3
@@ -42,6 +43,12 @@ object Acls {
 
   /** The wildcard principal every authenticated user matches. */
   val WildcardPrincipal = "User:*"
+
+  /** The name part of a "Type:name" principal. */
+  def principalName(p: String): String = {
+    val i = if (p == null) -1 else p.indexOf(':')
+    if (i < 0) (if (p == null) "" else p) else p.substring(i + 1)
+  }
 
   /** One stored ACL — Kafka's AclBinding flattened. */
   case class AclBinding(resourceType: Int, resourceName: String,
@@ -107,7 +114,7 @@ object Acls {
     else if (b.host == null || b.host.isEmpty)
       "ACL host must be non-empty ('*' for any)"
     else if (b.operation == OpUnknown || b.operation == OpAny ||
-      b.operation > OpIdempotentWrite)
+      b.operation > OpDescribeTokens)
       s"ACL creations need a concrete operation, got ${b.operation}"
     else if (b.permissionType != PermAllow && b.permissionType != PermDeny)
       s"ACL creations need ALLOW or DENY, got ${b.permissionType}"

@@ -93,6 +93,32 @@ class Broker(spark: SparkSession, root: String) {
       catch { case _: InterruptedException =>
         Thread.currentThread().interrupt() }
 
+  /** Delegation tokens (keys 38–41, KIP-48) — lazy like the quota
+    * manager; only touched by token admin or a token SASL login. */
+  lazy val delegationTokens =
+    new DelegationTokens.Manager(Paths.get(root, "_tokens"))
+
+  /** How the current request's connection authenticated: 0 = not
+    * (open listener), 1 = SASL credentials, 2 = delegation token.
+    * Token operations are fenced on kinds 0 and 2 (Kafka's
+    * DELEGATION_TOKEN_REQUEST_NOT_ALLOWED rule — no minting fresh
+    * tokens from a token, none at all from an unauthenticated
+    * channel). */
+  private[streaming] val authKindCtx = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+
+  /** SCRAM credentials for a live token id — the wire server's SASL
+    * fallback when a username matches no configured user. */
+  private[streaming] def tokenScramLookup(tokenId: String,
+      mechanismCode: Int): Option[Scram.StoredCreds] =
+    delegationTokens.scramLookup(tokenId, mechanismCode,
+      System.currentTimeMillis())
+
+  /** The principal a token-authenticated connection acts as. */
+  private[streaming] def tokenPrincipal(tokenId: String): Option[String] =
+    delegationTokens.byId(tokenId).map(_.owner)
+
   /** Membership coordination for wire consumers (JoinGroup/SyncGroup/
     * Heartbeat/LeaveGroup) — pure metadata, one per broker. */
   val coordinator = new GroupCoordinator()
@@ -2401,6 +2427,87 @@ class Broker(spark: SparkSession, root: String) {
       controllerId = 0, brokers = Seq((0, advertisedHost, port, null)))
   }
 
+  /** CreateDelegationToken (key 38, v0–v3): mint a token for the
+    * authenticated principal (or, at v3, another owner — which needs
+    * CREATE_TOKENS on that User resource when the authorizer is on).
+    * Fenced on unauthenticated and token-authenticated channels (64,
+    * Kafka's escalation-loop rule); non-User principals answer 67. */
+  def handleCreateDelegationToken(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, corr, ownerOverride, renewers, maxLifetimeMs) =
+      decodeCreateDelegationTokenRequest(requestBytes)
+    def fail(err: Int) = encodeCreateDelegationTokenResponse(version, corr,
+      err, "", "", -1L, -1L, -1L, "", Array.emptyByteArray)
+    val kind = authKindCtx.get()
+    if (kind != 1) return fail(64) // DELEGATION_TOKEN_REQUEST_NOT_ALLOWED
+    val principal = authCtx.get()._1
+    val owner = if (ownerOverride == null) principal else ownerOverride
+    if ((renewers :+ owner).exists(p => p == null || !p.startsWith("User:")))
+      return fail(67) // INVALID_PRINCIPAL_TYPE
+    if (owner != principal &&
+        !authz(Acls.OpCreateTokens, Acls.ResUser, Acls.principalName(owner)))
+      return fail(65) // DELEGATION_TOKEN_AUTHORIZATION_FAILED
+    val t = delegationTokens.create(owner, principal, renewers,
+      maxLifetimeMs, System.currentTimeMillis())
+    encodeCreateDelegationTokenResponse(version, corr, 0, t.owner,
+      t.requester, t.issueTs, t.expiryTs, t.maxTs, t.tokenId, t.hmac)
+  }
+
+  /** RenewDelegationToken (key 39, v0–v2): owner or a named renewer,
+    * holding the HMAC; 62/63/66 per the lifecycle. */
+  def handleRenewDelegationToken(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, corr, hmac, periodMs) =
+      decodeRenewDelegationTokenRequest(requestBytes)
+    if (authKindCtx.get() != 1)
+      return encodeTokenExpiryResponse(version, corr, 64, -1L)
+    delegationTokens.renew(hmac, authCtx.get()._1, periodMs,
+      System.currentTimeMillis()) match {
+      case Left(err) => encodeTokenExpiryResponse(version, corr, err, -1L)
+      case Right(expiry) => encodeTokenExpiryResponse(version, corr, 0, expiry)
+    }
+  }
+
+  /** ExpireDelegationToken (key 40, v0–v2): −1 deletes outright. */
+  def handleExpireDelegationToken(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, corr, hmac, periodMs) =
+      decodeExpireDelegationTokenRequest(requestBytes)
+    if (authKindCtx.get() != 1)
+      return encodeTokenExpiryResponse(version, corr, 64, -1L)
+    delegationTokens.expire(hmac, authCtx.get()._1, periodMs,
+      System.currentTimeMillis()) match {
+      case Left(err) => encodeTokenExpiryResponse(version, corr, err, -1L)
+      case Right(expiry) => encodeTokenExpiryResponse(version, corr, 0, expiry)
+    }
+  }
+
+  /** DescribeDelegationToken (key 41, v0–v3): null owners = every
+    * token the caller may see — their own (owner, requester, or
+    * renewer) plus, under the authorizer, owners they hold
+    * DESCRIBE_TOKENS on; an open broker shows all. Allowed on
+    * token-authenticated channels (only the mutations are fenced),
+    * not on unauthenticated ones. */
+  def handleDescribeDelegationToken(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, corr, owners) =
+      decodeDescribeDelegationTokenRequest(requestBytes)
+    if (authKindCtx.get() == 0)
+      return encodeDescribeDelegationTokenResponse(version, corr, 64,
+        Seq.empty)
+    val principal = authCtx.get()._1
+    val visible: DelegationTokens.Token => Boolean = t =>
+      authorizerOpt.isEmpty || t.owner == principal ||
+        t.requester == principal || t.renewers.contains(principal) ||
+        authz(Acls.OpDescribeTokens, Acls.ResUser,
+          Acls.principalName(t.owner))
+    val described = delegationTokens.describe(owners, visible).map { t =>
+      DescribedToken(t.owner, t.requester, t.issueTs, t.expiryTs, t.maxTs,
+        t.tokenId, t.hmac, t.renewers)
+    }
+    encodeDescribeDelegationTokenResponse(version, corr, 0, described)
+  }
+
   /** DescribeClientQuotas (key 48, v0–v1): the stored quota entities
     * matching the request's components — `kafka-configs --describe
     * --entity-type clients|users`. Requires DESCRIBE_CONFIGS on the
@@ -3598,6 +3705,14 @@ object Broker {
     (46, "ListPartitionReassignments", 0,
       KafkaWire.ListPartitionReassignmentsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
+    (38, "CreateDelegationToken", 0,
+      KafkaWire.CreateDelegationTokenMaxVersion),
+    (39, "RenewDelegationToken", 0,
+      KafkaWire.RenewDelegationTokenMaxVersion),
+    (40, "ExpireDelegationToken", 0,
+      KafkaWire.ExpireDelegationTokenMaxVersion),
+    (41, "DescribeDelegationToken", 0,
+      KafkaWire.DescribeDelegationTokenMaxVersion),
     (48, "DescribeClientQuotas", 0,
       KafkaWire.DescribeClientQuotasMaxVersion),
     (49, "AlterClientQuotas", 0, KafkaWire.AlterClientQuotasMaxVersion),

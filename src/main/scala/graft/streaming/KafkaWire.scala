@@ -7682,4 +7682,318 @@ object KafkaWire {
     r.tags()
     (correlationId, results.toSeq)
   }
+
+  // --- Delegation tokens (CreateDelegationToken 38, RenewDelegationToken
+  // 39, ExpireDelegationToken 40, DescribeDelegationToken 41; KIP-48;
+  // flexible v2+) — what kafka-delegation-tokens.sh sends. Principals
+  // cross the wire as (type, name) pairs; graft composes/splits the
+  // "Type:name" principal string at the codec edge. The token model
+  // lives in DelegationTokens.scala. ---
+
+  val CreateDelegationTokenApiKey = 38
+  val CreateDelegationTokenMaxVersion = 3
+  val RenewDelegationTokenApiKey = 39
+  val RenewDelegationTokenMaxVersion = 2
+  val ExpireDelegationTokenApiKey = 40
+  val ExpireDelegationTokenMaxVersion = 2
+  val DescribeDelegationTokenApiKey = 41
+  val DescribeDelegationTokenMaxVersion = 3
+
+  private def splitPrincipal(p: String): (String, String) = {
+    val i = if (p == null) -1 else p.indexOf(':')
+    if (i < 0) ("User", if (p == null) "" else p)
+    else (p.substring(0, i), p.substring(i + 1))
+  }
+  private def joinPrincipal(tpe: String, name: String): String =
+    s"$tpe:$name"
+
+  /** CreateDelegationToken request: (v3+) owner principal override,
+    * renewers, max_lifetime_ms. A null `owner` encodes the v3 null
+    * pair (mint for self). */
+  def encodeCreateDelegationTokenRequest(version: Int, correlationId: Int,
+      clientId: String, owner: String, renewers: Seq[String],
+      maxLifetimeMs: Long): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, CreateDelegationTokenApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    if (version >= 3) {
+      if (owner == null) { w.str(null); w.str(null) }
+      else { val (t, n) = splitPrincipal(owner); w.str(t); w.str(n) }
+    }
+    w.count(renewers.length)
+    renewers.foreach { r =>
+      val (t, n) = splitPrincipal(r)
+      w.str(t); w.str(n); w.tags()
+    }
+    w.i64(maxLifetimeMs)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (version, correlationId, ownerOrNull, renewers, maxLifetimeMs). */
+  def decodeCreateDelegationTokenRequest(bytes: Array[Byte])
+      : (Int, Int, String, Seq[String], Long) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == CreateDelegationTokenApiKey,
+      "not a CreateDelegationToken request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= CreateDelegationTokenMaxVersion,
+      s"unsupported CreateDelegationToken version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val owner =
+      if (version < 3) null
+      else {
+        val t = r.str(); val n = r.str()
+        if (t == null || n == null) null else joinPrincipal(t, n)
+      }
+    val renewers = (0 until r.count()).map { _ =>
+      val p = joinPrincipal(r.str(), r.str()); r.tags(); p
+    }
+    val maxLifetimeMs = r.i64()
+    r.tags()
+    (version, correlationId, owner, renewers.toSeq, maxLifetimeMs)
+  }
+
+  /** CreateDelegationToken response. */
+  def encodeCreateDelegationTokenResponse(version: Int, correlationId: Int,
+      errorCode: Int, owner: String, requester: String, issueTs: Long,
+      expiryTs: Long, maxTs: Long, tokenId: String,
+      hmac: Array[Byte]): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i16(errorCode)
+    val (ot, on) = splitPrincipal(if (owner == null) "" else owner)
+    w.str(ot); w.str(on)
+    if (version >= 3) {
+      val (rt, rn) = splitPrincipal(if (requester == null) "" else requester)
+      w.str(rt); w.str(rn)
+    }
+    w.i64(issueTs); w.i64(expiryTs); w.i64(maxTs)
+    w.str(if (tokenId == null) "" else tokenId)
+    w.bytes(if (hmac == null) Array.emptyByteArray else hmac)
+    w.i32(0) // throttle_time_ms (trailing in the token APIs)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, owner, issueTs, expiryTs, maxTs,
+    * tokenId, hmac). */
+  def decodeCreateDelegationTokenResponse(bytes: Array[Byte], version: Int)
+      : (Int, Int, String, Long, Long, Long, String, Array[Byte]) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val err = r.i16()
+    val owner = joinPrincipal(r.str(), r.str())
+    if (version >= 3) { r.str(); r.str() } // requester
+    val issue = r.i64(); val expiry = r.i64(); val max = r.i64()
+    val tokenId = r.str()
+    val hmac = r.bytes()
+    r.i32() // throttle
+    r.tags()
+    (correlationId, err, owner, issue, expiry, max, tokenId, hmac)
+  }
+
+  /** Renew/Expire requests share one shape: hmac + a period. */
+  private def encodeTokenPeriodRequest(apiKey: Int, maxVersion: Int,
+      version: Int, correlationId: Int, clientId: String,
+      hmac: Array[Byte], periodMs: Long): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, apiKey, version, correlationId, clientId, flexible)
+    val w = new WR(out, flexible)
+    w.bytes(hmac)
+    w.i64(periodMs)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  private def decodeTokenPeriodRequest(bytes: Array[Byte], apiKey: Int,
+      maxVersion: Int, label: String): (Int, Int, Array[Byte], Long) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == apiKey, s"not a $label request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= maxVersion,
+      s"unsupported $label version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val hmac = r.bytes()
+    val period = r.i64()
+    r.tags()
+    (version, correlationId, hmac, period)
+  }
+
+  def encodeRenewDelegationTokenRequest(version: Int, correlationId: Int,
+      clientId: String, hmac: Array[Byte], renewPeriodMs: Long): Array[Byte] =
+    encodeTokenPeriodRequest(RenewDelegationTokenApiKey,
+      RenewDelegationTokenMaxVersion, version, correlationId, clientId,
+      hmac, renewPeriodMs)
+
+  def decodeRenewDelegationTokenRequest(bytes: Array[Byte])
+      : (Int, Int, Array[Byte], Long) =
+    decodeTokenPeriodRequest(bytes, RenewDelegationTokenApiKey,
+      RenewDelegationTokenMaxVersion, "RenewDelegationToken")
+
+  def encodeExpireDelegationTokenRequest(version: Int, correlationId: Int,
+      clientId: String, hmac: Array[Byte],
+      expiryTimePeriodMs: Long): Array[Byte] =
+    encodeTokenPeriodRequest(ExpireDelegationTokenApiKey,
+      ExpireDelegationTokenMaxVersion, version, correlationId, clientId,
+      hmac, expiryTimePeriodMs)
+
+  def decodeExpireDelegationTokenRequest(bytes: Array[Byte])
+      : (Int, Int, Array[Byte], Long) =
+    decodeTokenPeriodRequest(bytes, ExpireDelegationTokenApiKey,
+      ExpireDelegationTokenMaxVersion, "ExpireDelegationToken")
+
+  /** Renew/Expire responses: error, expiry_timestamp, throttle. */
+  def encodeTokenExpiryResponse(version: Int, correlationId: Int,
+      errorCode: Int, expiryTs: Long): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i16(errorCode)
+    w.i64(expiryTs)
+    w.i32(0)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, expiryTs). */
+  def decodeTokenExpiryResponse(bytes: Array[Byte], version: Int)
+      : (Int, Int, Long) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val err = r.i16()
+    val expiry = r.i64()
+    r.i32()
+    r.tags()
+    (correlationId, err, expiry)
+  }
+
+  /** DescribeDelegationToken request: owners (null = all). */
+  def encodeDescribeDelegationTokenRequest(version: Int, correlationId: Int,
+      clientId: String, owners: Option[Seq[String]]): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeDelegationTokenApiKey, version, correlationId,
+      clientId, flexible)
+    val w = new WR(out, flexible)
+    owners match {
+      case None => w.count(-1)
+      case Some(os) =>
+        w.count(os.length)
+        os.foreach { o =>
+          val (t, n) = splitPrincipal(o)
+          w.str(t); w.str(n); w.tags()
+        }
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (version, correlationId, owners). */
+  def decodeDescribeDelegationTokenRequest(bytes: Array[Byte])
+      : (Int, Int, Option[Seq[String]]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeDelegationTokenApiKey,
+      "not a DescribeDelegationToken request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DescribeDelegationTokenMaxVersion,
+      s"unsupported DescribeDelegationToken version $version")
+    val flexible = version >= 2
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val n = r.count()
+    val owners =
+      if (n < 0) None
+      else Some((0 until n).map { _ =>
+        val p = joinPrincipal(r.str(), r.str()); r.tags(); p
+      }.toSeq)
+    r.tags()
+    (version, correlationId, owners)
+  }
+
+  /** One described token: (owner, requester, issue, expiry, max,
+    * tokenId, hmac, renewers). */
+  case class DescribedToken(owner: String, requester: String, issueTs: Long,
+      expiryTs: Long, maxTs: Long, tokenId: String, hmac: Array[Byte],
+      renewers: Seq[String])
+
+  def encodeDescribeDelegationTokenResponse(version: Int, correlationId: Int,
+      errorCode: Int, tokens: Seq[DescribedToken]): Array[Byte] = {
+    val flexible = version >= 2
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible)
+    val w = new WR(out, flexible)
+    w.i16(errorCode)
+    w.count(tokens.length)
+    tokens.foreach { t =>
+      val (ot, on) = splitPrincipal(t.owner)
+      w.str(ot); w.str(on)
+      if (version >= 3) {
+        val (rt, rn) = splitPrincipal(t.requester)
+        w.str(rt); w.str(rn)
+      }
+      w.i64(t.issueTs); w.i64(t.expiryTs); w.i64(t.maxTs)
+      w.str(t.tokenId)
+      w.bytes(t.hmac)
+      w.count(t.renewers.length)
+      t.renewers.foreach { rr =>
+        val (rt, rn) = splitPrincipal(rr)
+        w.str(rt); w.str(rn); w.tags()
+      }
+      w.tags()
+    }
+    w.i32(0)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  /** (correlationId, errorCode, tokens). */
+  def decodeDescribeDelegationTokenResponse(bytes: Array[Byte], version: Int)
+      : (Int, Int, Seq[DescribedToken]) = {
+    val flexible = version >= 2
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    if (flexible) readTags(buf)
+    val r = new RD(buf, flexible)
+    val err = r.i16()
+    val tokens = (0 until r.count()).map { _ =>
+      val owner = joinPrincipal(r.str(), r.str())
+      val requester =
+        if (version >= 3) joinPrincipal(r.str(), r.str()) else null
+      val issue = r.i64(); val expiry = r.i64(); val max = r.i64()
+      val tokenId = r.str()
+      val hmac = r.bytes()
+      val renewers = (0 until r.count()).map { _ =>
+        val p = joinPrincipal(r.str(), r.str()); r.tags(); p
+      }
+      r.tags()
+      DescribedToken(owner, requester, issue, expiry, max, tokenId, hmac,
+        renewers.toSeq)
+    }
+    r.i32()
+    r.tags()
+    (correlationId, err, tokens.toSeq)
+  }
 }

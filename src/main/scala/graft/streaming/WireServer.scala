@@ -169,6 +169,10 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
     // the principal every authorization check sees for this
     // connection: ANONYMOUS until SASL binds a user
     var principal = Broker.AnonymousPrincipal
+    // 0 = unauthenticated, 1 = SASL credentials, 2 = delegation token
+    // (KIP-48: a SCRAM login whose username is a live token id)
+    var authKind = if (credentials.isEmpty) 0 else 1
+    var tokenAuthed = false
     var handshaken = false
     var mechanism: String = null
     var scram: Scram.ServerSession = null
@@ -199,7 +203,11 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
               case Scram.Continue(reply) => frameRaw(reply)
               case Scram.Success(reply, user) =>
                 authenticated = true; rawSasl = false
-                principal = "User:" + user
+                if (tokenAuthed) {
+                  principal = broker.tokenPrincipal(user)
+                    .getOrElse("User:" + user)
+                  authKind = 2
+                } else principal = "User:" + user
                 frameRaw(reply)
               case Scram.Fail(reply, _) =>
                 frameRaw(reply); authFailureDelay(); open = false
@@ -240,8 +248,22 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                   else {
                     handshaken = true
                     mechanism = wanted
+                    tokenAuthed = false
                     Scram.Algos.find(_.mechanism == wanted).foreach { algo =>
-                      scram = new Scram.ServerSession(scramLookup(algo), algo)
+                      val code = Scram.codeForAlgo(algo)
+                      // configured users first; then live delegation
+                      // tokens (username = tokenId, password =
+                      // base64(HMAC)) — KIP-48's SCRAM piggyback
+                      val lookup: String => Option[Scram.StoredCreds] =
+                        user => {
+                          scramSeeded
+                          scramStore.get((user, code)).orElse {
+                            val t = broker.tokenScramLookup(user, code)
+                            if (t.isDefined) tokenAuthed = true
+                            t
+                          }
+                        }
+                      scram = new Scram.ServerSession(lookup, algo)
                     }
                     rawSasl = version == 0
                     KafkaWire.encodeSaslHandshakeResponse(corr, 0,
@@ -265,7 +287,11 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                     case Scram.Continue(reply) => answer(0, null, reply)
                     case Scram.Success(reply, user) =>
                       authenticated = true
-                      principal = "User:" + user
+                      if (tokenAuthed) {
+                        principal = broker.tokenPrincipal(user)
+                          .getOrElse("User:" + user)
+                        authKind = 2
+                      } else principal = "User:" + user
                       answer(0, null, reply)
                     case Scram.Fail(reply, why) =>
                       // failed auth answers in-band (the RFC e= token
@@ -290,6 +316,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
               case KafkaWire.ApiVersionsApiKey =>
                 // allowed pre-auth: clients negotiate versions first
                 broker.authCtx.set((principal, clientHost))
+                broker.authKindCtx.set(authKind)
                 out.write(dispatch(apiKey, framed)); out.flush()
               case _ if !authenticated =>
                 // Kafka kills pre-auth connections sending normal keys
@@ -300,6 +327,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                 // are reused across connections, so a stale binding
                 // from a previous connection must never leak in
                 broker.authCtx.set((principal, clientHost))
+                broker.authKindCtx.set(authKind)
                 out.write(dispatch(apiKey, framed)); out.flush()
             }
           } catch {
@@ -416,6 +444,14 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleShareFetch(framed, advertisedHost, boundPort)
       case KafkaWire.ShareAcknowledgeApiKey =>
         broker.handleShareAcknowledge(framed, advertisedHost, boundPort)
+      case KafkaWire.CreateDelegationTokenApiKey =>
+        broker.handleCreateDelegationToken(framed)
+      case KafkaWire.RenewDelegationTokenApiKey =>
+        broker.handleRenewDelegationToken(framed)
+      case KafkaWire.ExpireDelegationTokenApiKey =>
+        broker.handleExpireDelegationToken(framed)
+      case KafkaWire.DescribeDelegationTokenApiKey =>
+        broker.handleDescribeDelegationToken(framed)
       case KafkaWire.DescribeClientQuotasApiKey =>
         broker.handleDescribeClientQuotas(framed)
       case KafkaWire.AlterClientQuotasApiKey =>
