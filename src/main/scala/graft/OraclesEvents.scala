@@ -103,6 +103,28 @@ object OraclesEvents {
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY touch_type""".stripMargin,
 
+    "events_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)
+        |       AS BIGINT) AS median_daily
+        |  FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.n_events, m.median_daily,
+        |  ABS(d.n_events - m.median_daily) AS abs_dev
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)
+        |       AS BIGINT) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, dev.day, dev.n_events, dev.median_daily,
+        |  dev.abs_dev, mad.mad,
+        |  CASE WHEN dev.abs_dev > mad.mad * 3 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)
+        |ORDER BY dev.event_type, dev.day""".stripMargin,
+
     "events_spike_days" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

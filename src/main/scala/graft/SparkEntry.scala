@@ -78,6 +78,7 @@ object SparkEntry {
     "events_rolling_daily" -> EventAnalytics.rollingDaily _,
     "events_attribution" -> EventAnalytics.attribution _,
     "events_spike_days" -> EventAnalytics.spikeDays _,
+    "events_anomaly_mad" -> EventAnalytics.anomalyMad _,
     "events_user_segments" -> EventAnalytics.userSegments _,
     "events_path_conversion" -> EventAnalytics.pathConversion _,
     "events_dau_wau" -> EventAnalytics.dauWau _,

@@ -215,6 +215,41 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
+  /** Day-level volume anomalies per event type via MEDIAN ABSOLUTE
+    * DEVIATION — the robust monitoring detector (mean/stddev get
+    * dragged by the very outliers being hunted; the median does
+    * not). Two exact DISCRETE medians (percentile_disc — elements OF
+    * the integer daily counts, so every value crosses engines
+    * exactly): the per-type median of daily counts, then the median
+    * of |count − median|. A day flags when |count − median| > 3·MAD,
+    * compared in pure integers (no division, no float threshold);
+    * a MAD of 0 (over half the days identical) flags any deviating
+    * day, the standard degenerate-MAD rule. The corpus reduces to
+    * (type, day) counts in its ONE shuffle; the median/MAD
+    * aggregates and join-backs run over |types|·|days| rows — a
+    * calendar-bounded table at any corpus size, broadcast both ways.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .cast("long").as("median_daily"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("abs_dev", abs(col("n_events") - col("median_daily")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)")
+        .cast("long").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("is_anomaly",
+        when(col("abs_dev") > col("mad") * 3, 1).otherwise(0).cast("int"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("median_daily"), col("abs_dev"), col("mad"), col("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** DAU / WAU / stickiness — the product-analytics headline metrics:
     * daily active users, trailing-7-day weekly active users, and
     * their ratio. The (user, day) activity set is made DISTINCT
