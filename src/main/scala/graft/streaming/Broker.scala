@@ -363,10 +363,16 @@ class Broker(spark: SparkSession, root: String) {
   def handleProduce(requestBytes: Array[Byte]): Array[Byte] = {
     val rl = maintenanceLock.readLock()
     rl.lock()
-    try handleProduceLocked(requestBytes) finally rl.unlock()
+    val (resp, throttleMs) =
+      try handleProduceLocked(requestBytes) finally rl.unlock()
+    // the quota hold happens OUTSIDE the maintenance read lock — a
+    // throttled producer must not delay retention's write lock
+    quotaHold(throttleMs)
+    resp
   }
 
-  private def handleProduceLocked(requestBytes: Array[Byte]): Array[Byte] = {
+  private def handleProduceLocked(requestBytes: Array[Byte])
+      : (Array[Byte], Int) = {
     import KafkaWire._
     val req = decodeProduceRequest(requestBytes)
     val appendTime = new java.sql.Timestamp(System.currentTimeMillis())
@@ -542,15 +548,13 @@ class Broker(spark: SparkSession, root: String) {
     if (results.exists(_._2.exists(_._2 == 0)))
       dataArrived.synchronized { dataArrived.notifyAll() }
     // quota metering covers the request's on-wire payload whether or
-    // not a response is owed (acks=0 producers consume budget too)
+    // not a response is owed (acks=0 producers consume budget too);
+    // the HOLD happens in handleProduce, after the lock releases
     val throttleMs = quotaThrottle(Quotas.ProducerByteRate, req.clientId,
       req.payloadSizes.valuesIterator.map(_.toLong).sum)
-    if (req.acks == 0) { quotaHold(throttleMs); Array.empty }
-    else {
-      quotaHold(throttleMs)
-      encodeProduceResponse(req.version, req.correlationId, results,
-        throttleMs)
-    }
+    if (req.acks == 0) (Array.empty[Byte], throttleMs)
+    else (encodeProduceResponse(req.version, req.correlationId, results,
+      throttleMs), throttleMs)
   }
 
   // --- idempotent producer (InitProducerId, key 22): the broker
@@ -1596,7 +1600,12 @@ class Broker(spark: SparkSession, root: String) {
     val deadline = System.currentTimeMillis() +
       math.min(math.max(req.maxWaitMs, 0), Broker.MaxFetchWaitMs).toLong
     var serve = serveFetchPass(req, req0.sessionEpoch, session)
-    while (serve._1 < req.minBytes && System.currentTimeMillis() < deadline) {
+    // an error answer completes the delayed fetch IMMEDIATELY (the
+    // DelayedFetch rule) — parking an unknown-topic or unauthorized
+    // fetch for max_wait_ms would just delay the client's recovery
+    def anyError = serve._2.exists(_._2.exists(_._2 != 0))
+    while (serve._1 < req.minBytes && !anyError &&
+        System.currentTimeMillis() < deadline) {
       val remaining = deadline - System.currentTimeMillis()
       if (remaining > 0)
         dataArrived.synchronized { dataArrived.wait(math.min(remaining, 200L)) }
@@ -2447,10 +2456,13 @@ class Broker(spark: SparkSession, root: String) {
     if (owner != principal &&
         !authz(Acls.OpCreateTokens, Acls.ResUser, Acls.principalName(owner)))
       return fail(65) // DELEGATION_TOKEN_AUTHORIZATION_FAILED
-    val t = delegationTokens.create(owner, principal, renewers,
-      maxLifetimeMs, System.currentTimeMillis())
-    encodeCreateDelegationTokenResponse(version, corr, 0, t.owner,
-      t.requester, t.issueTs, t.expiryTs, t.maxTs, t.tokenId, t.hmac)
+    delegationTokens.create(owner, principal, renewers, maxLifetimeMs,
+      System.currentTimeMillis()) match {
+      case None => fail(42) // token population at the MaxTokens cap
+      case Some(t) =>
+        encodeCreateDelegationTokenResponse(version, corr, 0, t.owner,
+          t.requester, t.issueTs, t.expiryTs, t.maxTs, t.tokenId, t.hmac)
+    }
   }
 
   /** RenewDelegationToken (key 39, v0–v2): owner or a named renewer,
@@ -3156,8 +3168,14 @@ class Broker(spark: SparkSession, root: String) {
         })
       }
     }
-    val acquiredCount = results.iterator.flatMap(_._2.iterator)
-      .map(_.records.length).sum
+    // any partition-level error (unknown topic/partition, authz,
+    // a failed acknowledgement) completes the delayed fetch
+    // immediately — the retry loop must not sit on an error answer
+    val anyErr = results.iterator.flatMap(_._2.iterator)
+      .exists(p => p.errorCode != 0 || p.ackErrorCode != 0)
+    val acquiredCount =
+      if (anyErr) -1
+      else results.iterator.flatMap(_._2.iterator).map(_.records.length).sum
     (encodeShareFetchResponse(req.correlationId, 0, null, results,
       0, advertisedHost, advertisedPort), acquiredCount)
   }

@@ -46,6 +46,17 @@ object DelegationTokens {
   val MaxLifetimeMs: Long = 7L * 24 * 60 * 60 * 1000
   val DefaultRenewMs: Long = 24L * 60 * 60 * 1000
 
+  /** Tokens expired longer than this ago are garbage-collected at
+    * the next create (Kafka's expired-token cleanup scan runs on
+    * delegation.token.expiry.check.interval.ms, default 1 h — here
+    * the scan rides the only call that grows the store). */
+  val ExpiredRetentionMs: Long = 60L * 60 * 1000
+
+  /** Hard cap on stored tokens — a bounded-memory backstop far above
+    * any legitimate population (each create rewrites the full CAS
+    * snapshot, so unbounded growth would also be O(n²) disk). */
+  val MaxTokens = 4096
+
   /** The live token manager — one per broker, CAS-persisted before
     * every mutation acks. */
   final class Manager(storeDir: Path) {
@@ -62,9 +73,19 @@ object DelegationTokens {
 
     def current: Seq[Token] = synchronized(tokens.values.toSeq.sortBy(_.tokenId))
 
-    /** Mint a token for `owner` (requested by `requester`). */
+    /** Mint a token for `owner` (requested by `requester`). Returns
+      * None at the MaxTokens cap (after sweeping long-expired
+      * tokens — the cleanup scan rides the create path). */
     def create(owner: String, requester: String, renewers: Seq[String],
-        maxLifetimeMs: Long, nowMs: Long): Token = synchronized {
+        maxLifetimeMs: Long, nowMs: Long): Option[Token] = synchronized {
+      val swept = tokens.filter { case (_, t) =>
+        t.expiryTs > nowMs - ExpiredRetentionMs
+      }
+      if (swept.size != tokens.size) tokens = swept
+      if (tokens.size >= MaxTokens) {
+        if (swept.size != tokens.size) persist()
+        return None
+      }
       val id = new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString
       val hmac = new Array[Byte](32)
       rnd.nextBytes(hmac)
@@ -83,7 +104,7 @@ object DelegationTokens {
         hmac, scram)
       tokens += id -> t
       persist()
-      t
+      Some(t)
     }
 
     def byHmac(hmac: Array[Byte]): Option[Token] = synchronized {

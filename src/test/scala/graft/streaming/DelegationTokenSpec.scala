@@ -69,13 +69,13 @@ class DelegationTokenSpec extends AnyFunSuite {
     val mgr = new DelegationTokens.Manager(dir)
     val now = 1700000000000L
     val t = mgr.create("User:alice", "User:alice", Seq("User:bob"),
-      maxLifetimeMs = -1, nowMs = now)
+      maxLifetimeMs = -1, nowMs = now).get
     assert(t.maxTs === now + DelegationTokens.MaxLifetimeMs)
     assert(t.expiryTs === now + DelegationTokens.DefaultRenewMs)
     assert(t.scram.keySet === Set(1, 2)) // both hash families
     // a requested lifetime below the cap is honored; expiry <= max
     val t2 = mgr.create("User:alice", "User:alice", Seq.empty,
-      maxLifetimeMs = 60000, nowMs = now)
+      maxLifetimeMs = 60000, nowMs = now).get
     assert(t2.maxTs === now + 60000 && t2.expiryTs === now + 60000)
     // renew: owner ok, renewer ok, stranger 63; capped at maxTs
     assert(mgr.renew(t.hmac, "User:carol", 1000, now) === Left(63))
@@ -97,11 +97,26 @@ class DelegationTokenSpec extends AnyFunSuite {
     assert(mgr.expire(t.hmac, "User:bob", 5000, now) === Right(now + 5000))
   }
 
+  test("long-expired tokens sweep at create; the cap answers None") {
+    val dir = Files.createTempDirectory("graft-token-sweep")
+    val mgr = new DelegationTokens.Manager(dir)
+    val now = 1700000000000L
+    // a token expired > ExpiredRetentionMs ago vanishes on the next
+    // create; a freshly-expired one survives (describe visibility)
+    val old = mgr.create("User:a", "User:a", Seq.empty, 1000, now).get
+    val fresh = mgr.create("User:a", "User:a", Seq.empty, 1000,
+      now + DelegationTokens.ExpiredRetentionMs).get
+    val later = now + DelegationTokens.ExpiredRetentionMs + 5000
+    mgr.create("User:a", "User:a", Seq.empty, 1000, later).get
+    assert(mgr.byId(old.tokenId).isEmpty, "long-expired token swept")
+    assert(mgr.byId(fresh.tokenId).isDefined, "freshly-expired kept")
+  }
+
   test("token store survives reload with exotic principals") {
     val dir = Files.createTempDirectory("graft-token-store")
     val m1 = new DelegationTokens.Manager(dir)
     val t = m1.create("User:a \"l\" ice", "User:re q",
-      Seq("User:bob 1", "User:c,d"), 1000000, 1700000000000L)
+      Seq("User:bob 1", "User:c,d"), 1000000, 1700000000000L).get
     val m2 = new DelegationTokens.Manager(dir)
     val r = m2.byId(t.tokenId).get
     assert(r.owner === "User:a \"l\" ice")

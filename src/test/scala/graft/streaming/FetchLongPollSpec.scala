@@ -61,6 +61,38 @@ class FetchLongPollSpec extends AnyFunSuite {
     } finally { sock.close(); server.close() }
   }
 
+  test("error answers complete immediately — no max_wait park") {
+    val root = Files.createTempDirectory("graft-longpoll-err").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("lpe", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // unknown topic: the 3 answers now, not after 8 s
+      val t0 = System.nanoTime()
+      val (_, unknown) = decodeFetchResponse(4, exchange(sock,
+        encodeFetchRequest(4, 1, "cli", 8000, 1, 1 << 20,
+          Seq(("ghost", Seq((0, 0L, 1 << 20)))))))
+      assert(unknown.head._2.head._2 === 3)
+      assert((System.nanoTime() - t0) / 1000000 < 2000)
+      // offset past the end: OFFSET_OUT_OF_RANGE 1, immediately
+      val t1 = System.nanoTime()
+      val (_, oor) = decodeFetchResponse(4, exchange(sock,
+        encodeFetchRequest(4, 2, "cli", 8000, 1, 1 << 20,
+          Seq(("lpe", Seq((0, 99L, 1 << 20)))))))
+      assert(oor.head._2.head._2 === 1)
+      assert((System.nanoTime() - t1) / 1000000 < 2000)
+      // ShareFetch against an unknown topic: same immediacy
+      val t2 = System.nanoTime()
+      val (_, serr, _, stopics) = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(3, "cli", "sg-e", "m1", 0,
+          Seq(("ghost", Seq(ShareFetchPartition(0, 1 << 20, Seq.empty)))),
+          maxWaitMs = 8000)))
+      assert(serr === 0 && stopics.head._2.head.errorCode === 100)
+      assert((System.nanoTime() - t2) / 1000000 < 2000)
+    } finally { sock.close(); server.close() }
+  }
+
   test("a produce mid-wait wakes the held fetch with the new records") {
     val root = Files.createTempDirectory("graft-longpoll2").toString
     val broker = new Broker(spark, root)
