@@ -14,7 +14,7 @@ object OraclesStreams {
     "broker_api_versions" ->
       """SELECT * FROM (VALUES
         |  (0,'Produce',0,9),(1,'Fetch',0,13),(2,'ListOffsets',0,7),
-        |  (3,'Metadata',0,12),(8,'OffsetCommit',0,8),(9,'OffsetFetch',0,8),
+        |  (3,'Metadata',0,12),(8,'OffsetCommit',0,8),(9,'OffsetFetch',0,9),
         |  (10,'FindCoordinator',0,4),
         |  (11,'JoinGroup',0,9),(12,'Heartbeat',0,4),(13,'LeaveGroup',0,5),
         |  (14,'SyncGroup',0,5),(15,'DescribeGroups',0,5),(16,'ListGroups',0,5),

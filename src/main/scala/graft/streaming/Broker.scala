@@ -3421,9 +3421,17 @@ class Broker(spark: SparkSession, root: String) {
   def handleOffsetFetch(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeOffsetFetchRequest(requestBytes)
-    val groupsOut = req.groups.map { case (group, topicsOpt) =>
+    val groupsOut = req.groups.zipWithIndex.map { case ((group, topicsOpt), gi) =>
+      // v9 (KIP-848) member fencing: a fenced/stale member gets the
+      // group-level error BEFORE any offsets leak to it
+      val (memberId, memberEpoch) =
+        req.members.lift(gi).getOrElse((null: String, -1))
+      val fence = coordinator848.validateMember(group, memberId, memberEpoch)
       if (!authz(Acls.OpDescribe, Acls.ResGroup, group))
         (group, 30,
+          Seq.empty[(String, Seq[(Int, Long, String, Int)])])
+      else if (fence != 0)
+        (group, fence,
           Seq.empty[(String, Seq[(Int, Long, String, Int)])])
       else {
       // the all-committed (null topics) path carries each topic's

@@ -89,6 +89,25 @@ final class Group848Coordinator(partitionsOf: String => Option[Int],
     s.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (t, ps) => (t, ps.map(_._2).toSeq.sorted) }
 
+  /** OffsetFetch v9 member fencing (KIP-848): 0 when the supplied
+    * (member_id, member_epoch) pair is current in `groupId`,
+    * UNKNOWN_MEMBER_ID (25) for a member this coordinator never
+    * granted (or a group it doesn't host), STALE_MEMBER_EPOCH (113)
+    * when the id is live but the epoch isn't the member's current
+    * one. A null/empty member id skips validation — the classic
+    * (admin-tool / old-protocol) path. */
+  def validateMember(groupId: String, memberId: String,
+      memberEpoch: Int): Int = synchronized {
+    if (memberId == null || memberId.isEmpty) 0
+    else groups.get(groupId) match {
+      case None => 25
+      case Some(g) => g.members.get(memberId) match {
+        case None => 25
+        case Some(m) => if (m.memberEpoch == memberEpoch) 0 else 113
+      }
+    }
+  }
+
   /** Compile + resolve a regex subscription against hosted topics.
     * java.util.regex, full-name match — the same contract the classic
     * consumer's subscribe(Pattern) applies client-side (Kafka 4.x

@@ -1683,7 +1683,7 @@ object KafkaWire {
 
   val ListOffsetsMaxVersion = 7
   val OffsetCommitMaxVersion = 8
-  val OffsetFetchMaxVersion = 8
+  val OffsetFetchMaxVersion = 9
   val FindCoordinatorMaxVersion = 4
   val JoinGroupMaxVersion = 9
   val HeartbeatMaxVersion = 4
@@ -1951,22 +1951,30 @@ object KafkaWire {
     (correlationId, topics.toSeq)
   }
 
-  // -- OffsetFetch (key 9) v0–v8: v2 admits the NULL topics array
+  // -- OffsetFetch (key 9) v0–v9: v2 admits the NULL topics array
   // ("every partition the group committed") + a group-level error;
   // v3 throttle; v5 leader epochs; v6 flexible; v7 require_stable;
-  // v8 batches multiple GROUPS per request. --
+  // v8 batches multiple GROUPS per request; v9 (KIP-848) adds
+  // member_id + member_epoch per group so the new-protocol consumer's
+  // fetches are fenced against stale members. --
 
-  /** Groups: (group_id, topics) with topics None = all committed. */
+  /** Groups: (group_id, topics) with topics None = all committed.
+    * `members` aligns by index with `groups`: (member_id, member_epoch),
+    * (null, -1) when the v9 fields were absent or pre-v9. */
   case class OffsetFetchRequest(version: Int, correlationId: Int, clientId: String,
-      groups: Seq[(String, Option[Seq[(String, Seq[Int])]])], requireStable: Boolean)
+      groups: Seq[(String, Option[Seq[(String, Seq[Int])]])], requireStable: Boolean,
+      members: Seq[(String, Int)] = Seq.empty)
 
   def encodeOffsetFetchRequest(version: Int, correlationId: Int, clientId: String,
       groups: Seq[(String, Option[Seq[(String, Seq[Int])]])],
-      requireStable: Boolean = false): Array[Byte] = {
+      requireStable: Boolean = false,
+      members: Seq[(String, Int)] = Seq.empty): Array[Byte] = {
     require(version >= 0 && version <= OffsetFetchMaxVersion,
       s"unsupported OffsetFetch version $version")
     require(version >= 8 || groups.length == 1,
       s"OffsetFetch v$version carries exactly one group")
+    require(version >= 9 || members.isEmpty,
+      s"OffsetFetch v$version has no member_id/member_epoch fields")
     val flexible = version >= 6
     val out = new ByteArrayOutputStream()
     requestHeader(out, OffsetFetchApiKey, version, correlationId, clientId, flexible)
@@ -1990,8 +1998,13 @@ object KafkaWire {
       if (version == 7) w.bool(requireStable)
     } else {
       w.count(groups.length)
-      groups.foreach { case (group, topics) =>
+      groups.zipWithIndex.foreach { case ((group, topics), i) =>
         w.str(group)
+        if (version >= 9) {
+          val (mid, epoch) = members.lift(i).getOrElse((null: String, -1))
+          w.str(mid)
+          w.i32(epoch)
+        }
         writeTopics(topics)
         w.tags()
       }
@@ -2022,23 +2035,27 @@ object KafkaWire {
         (name, parts.toSeq)
       }.toSeq)
     }
-    val (groups, requireStable) =
+    val (groups, requireStable, members) =
       if (version <= 7) {
         val group = r.str()
         val topics = readTopics()
         val rs = if (version == 7) r.bool() else false
-        (Seq((group, topics)), rs)
+        (Seq((group, topics)), rs, Seq.empty[(String, Int)])
       } else {
         val gs = (0 until r.count()).map { _ =>
           val group = r.str()
+          val member =
+            if (version >= 9) (r.str(), r.i32()) else (null: String, -1)
           val topics = readTopics()
           r.tags()
-          (group, topics)
+          ((group, topics), member)
         }
-        (gs.toSeq, r.bool())
+        (gs.map(_._1).toSeq, r.bool(),
+          if (version >= 9) gs.map(_._2).toSeq else Seq.empty[(String, Int)])
       }
     r.tags()
-    OffsetFetchRequest(version, correlationId, clientId, groups, requireStable)
+    OffsetFetchRequest(version, correlationId, clientId, groups, requireStable,
+      members)
   }
 
   /** Per group: (group_id, group_error, topics(name, partitions

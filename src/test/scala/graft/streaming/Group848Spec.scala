@@ -288,4 +288,41 @@ class Group848Spec extends AnyFunSuite {
       assert(listed.contains(("fence", "consumer")))
     } finally { sock.close(); server.close() }
   }
+
+  test("OffsetFetch v9 fences on member id + epoch before any offsets flow") {
+    val root = Files.createTempDirectory("graft-848-ofetch").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("of9", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    val resolver = topicIdResolverFor(Seq("of9"))
+    def fetch(corr: Int, memberId: String, epoch: Int): (Int, Long) = {
+      val (_, gs) = decodeOffsetFetchResponse(9, exchange(sock,
+        encodeOffsetFetchRequest(9, corr, "cli",
+          Seq(("of9-grp", Some(Seq(("of9", Seq(0)))))),
+          members = Seq((memberId, epoch)))))
+      val (_, gerr, topics) = gs.head
+      (gerr, topics.headOption.flatMap(_._2.headOption).map(_._2).getOrElse(-2L))
+    }
+    try {
+      // join → current epoch 1
+      val joined = decodeConsumerGroupHeartbeatResponse(exchange(sock,
+        encodeConsumerGroupHeartbeatRequest(1, "cli", "of9-grp", "m1", 0,
+          Seq("of9"), null, null)), resolver)
+      assert(joined._2 === 0 && joined._5 === 1)
+      // commit through the classic path (member-less admin commit)
+      val (_, committed) = decodeOffsetCommitResponse(8, exchange(sock,
+        encodeOffsetCommitRequest(8, 2, "cli", "of9-grp", -1, "", null,
+          Seq(("of9", Seq((0, 42L, "")))))))
+      assert(committed === Seq(("of9", Seq((0, 0)))))
+      // current member+epoch reads the committed offset, no error
+      assert(fetch(3, "m1", 1) === ((0, 42L)))
+      // stale epoch → STALE_MEMBER_EPOCH 113, offsets withheld
+      assert(fetch(4, "m1", 7) === ((113, -2L)))
+      // never-granted member → UNKNOWN_MEMBER_ID 25
+      assert(fetch(5, "ghost", 1) === ((25, -2L)))
+      // the member-less (admin) shape skips validation entirely
+      assert(fetch(6, null, -1) === ((0, 42L)))
+    } finally { sock.close(); server.close() }
+  }
 }

@@ -285,6 +285,14 @@ class ModernWireCodecSpec extends AnyFunSuite {
       Seq(("g1", Some(Seq(("t", Seq(0))))), ("g2", None)), requireStable = true))
     assert(multi.groups === Seq(("g1", Some(Seq(("t", Seq(0))))), ("g2", None)))
     assert(multi.requireStable)
+    // v9 (KIP-848) carries member_id + member_epoch per group; a
+    // pre-v9 decode leaves the members column empty
+    val v9 = decodeOffsetFetchRequest(encodeOffsetFetchRequest(9, 6, "cli",
+      Seq(("g1", Some(Seq(("t", Seq(0))))), ("g2", None)),
+      members = Seq(("m-1", 4), (null, -1))))
+    assert(v9.groups === Seq(("g1", Some(Seq(("t", Seq(0))))), ("g2", None)))
+    assert(v9.members === Seq(("m-1", 4), (null, -1)))
+    assert(multi.members.isEmpty)
   }
 
   test("FindCoordinator round-trips at every version") {
