@@ -13,7 +13,7 @@ object OraclesStreams {
     // WireApis; this literal is the independent restatement).
     "broker_api_versions" ->
       """SELECT * FROM (VALUES
-        |  (0,'Produce',0,9),(1,'Fetch',0,13),(2,'ListOffsets',0,7),
+        |  (0,'Produce',0,9),(1,'Fetch',0,16),(2,'ListOffsets',0,9),
         |  (3,'Metadata',0,12),(8,'OffsetCommit',0,8),(9,'OffsetFetch',0,9),
         |  (10,'FindCoordinator',0,4),
         |  (11,'JoinGroup',0,9),(12,'Heartbeat',0,4),(13,'LeaveGroup',0,5),

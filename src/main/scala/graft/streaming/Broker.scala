@@ -3270,12 +3270,15 @@ class Broker(spark: SparkSession, root: String) {
     encodeDescribeGroupsResponse(req.version, req.correlationId, described)
   }
 
-  /** ListOffsets v0–v7 exchange: timestamp -1 → log end, -2 →
-    * earliest-existing; a concrete timestamp answers the FIRST offset
-    * whose record timestamp is ≥ it (the lookup modern ListOffsets
-    * versions standardized on — graft's log has no segment files to
-    * report bases of), or none if no record is that recent. v0 ships
-    * the offsets array, v1+ the (timestamp, offset) pair. */
+  /** ListOffsets v0–v9 exchange: timestamp -1 → log end, -2 →
+    * earliest-existing, -3 (v7+) → max-timestamp offset, -4 (v8+) →
+    * earliest-LOCAL (= earliest here: nothing is tiered), -5 (v9+) →
+    * latest-tiered (always the no-data pair here); a concrete
+    * timestamp answers the FIRST offset whose record timestamp is ≥ it
+    * (the lookup modern ListOffsets versions standardized on — graft's
+    * log has no segment files to report bases of), or none if no
+    * record is that recent. v0 ships the offsets array, v1+ the
+    * (timestamp, offset) pair. */
   def handleListOffsets(requestBytes: Array[Byte]): Array[Byte] = {
     // timestamp lookups scan data files — same reader exclusion
     // against rewrites as handleFetch
@@ -3355,6 +3358,13 @@ class Broker(spark: SparkSession, root: String) {
               case Some((off, recTs)) => (p, 0, recTs, off, Seq(off))
               case None => v1(none, Seq.empty[Long]) // empty partition
             }
+            // LATEST_TIERED (-5, v9 / KIP-1005): the last offset in
+            // REMOTE storage — graft tiers nothing, so the answer is
+            // the protocol's "no tiered data" pair (-1, -1)
+            case -5L if req.version >= 9 => v1(none, Seq.empty[Long])
+            // EARLIEST_LOCAL (-4, v8 / KIP-405): first offset still in
+            // LOCAL storage — with no tiering that IS the log start,
+            // so it intentionally falls through to the earliest arm
             // EARLIEST = first offset that still EXISTS (retention may
             // have truncated the front — 0 would name a removed record)
             case t if t == -2L || t < 0L =>

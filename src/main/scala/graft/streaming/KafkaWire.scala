@@ -1019,8 +1019,16 @@ object KafkaWire {
   val ProduceMaxVersion = 9
   /** v13 = KIP-516 topic-id keying: request/response address topics by
     * the 16-byte topic_id (graft's deterministic [[topicUuid]]) instead
-    * of name; unknown ids answer UNKNOWN_TOPIC_ID (100) per partition. */
-  val FetchMaxVersion = 13
+    * of name; unknown ids answer UNKNOWN_TOPIC_ID (100) per partition.
+    * v14 = KIP-405 (adds only the tiered-storage error code; no tiered
+    * reads here, so the code is never answered); v15 = KIP-903: the
+    * top-level replica_id field is REMOVED — followers identify via
+    * the tagged ReplicaState (consumers, graft's only callers, carry
+    * neither); v16 = KIP-951: the response MAY carry tagged
+    * NodeEndpoints / CurrentLeader redirects — optional, and a
+    * single-broker engine never redirects, so they are simply not
+    * emitted. */
+  val FetchMaxVersion = 16
 
   /** An id the v13 decoder could not resolve becomes this reserved
     * name (illegal in Kafka's topic charset, so it can never collide):
@@ -1342,7 +1350,7 @@ object KafkaWire {
     writeNullableString(out, clientId)
     if (flexible) writeUVarInt(out, 0) // header v2 tag buffer
     val w = new WR(out, flexible)
-    w.i32(-1) // replica_id: -1 = consumer
+    if (version <= 14) w.i32(-1) // replica_id: -1 = consumer (gone v15+)
     w.i32(maxWaitMs)
     w.i32(minBytes)
     if (version >= 3) w.i32(maxBytes)
@@ -1395,7 +1403,7 @@ object KafkaWire {
     val clientId = readNullableString(buf)
     if (flexible) readTags(buf)
     val r = new RD(buf, flexible)
-    r.i32() // replica_id
+    if (version <= 14) r.i32() // replica_id (tagged ReplicaState v15+)
     val maxWait = r.i32()
     val minBytes = r.i32()
     val maxBytes = if (version >= 3) r.i32() else Int.MaxValue
@@ -1681,7 +1689,10 @@ object KafkaWire {
   // OffsetFetch v6, FindCoordinator v3, JoinGroup v6, Heartbeat v4,
   // LeaveGroup v4, SyncGroup v4.
 
-  val ListOffsetsMaxVersion = 7
+  /** v7 = KIP-734 MAX_TIMESTAMP (-3); v8/v9 = KIP-405/KIP-1005
+    * EARLIEST_LOCAL (-4) / LATEST_TIERED (-5) sentinel timestamps —
+    * no schema change at either. */
+  val ListOffsetsMaxVersion = 9
   val OffsetCommitMaxVersion = 8
   val OffsetFetchMaxVersion = 9
   val FindCoordinatorMaxVersion = 4
@@ -1705,7 +1716,7 @@ object KafkaWire {
     if (flexible) writeUVarInt(out, 0) // response header v1 tag buffer
   }
 
-  // -- ListOffsets (key 2) v0–v7: v1 drops max_num_offsets and moves
+  // -- ListOffsets (key 2) v0–v9: v1 drops max_num_offsets and moves
   // the response to ONE (timestamp, offset) pair; v2 isolation_level
   // + response throttle; v4 leader epochs; v6 flexible; v7 admits
   // timestamp -3 (MAX_TIMESTAMP) with unchanged wire shape. --

@@ -91,6 +91,44 @@ class FetchV13Spec extends AnyFunSuite {
       === Seq("x"))
   }
 
+  test("v15/v16 drop the replica_id field and still round-trip + serve") {
+    // codec: the replica-id-less body survives encode→decode at both
+    for (v <- 14 to 16) {
+      val req = decodeFetchRequest(
+        encodeFetchRequest(v, 9, "c", 50, 1, 1 << 20,
+          Seq(("alpha", Seq((0, 7L, 1024)))), 5, 2, Seq(("beta", Seq(0)))),
+        topicIdResolverFor(Seq("alpha", "beta")))
+      assert(req.topics === Seq(("alpha", Seq((0, 7L, 1024)))), s"v$v")
+      assert(req.forgotten === Seq(("beta", Seq(0))), s"v$v")
+      assert(req.sessionId === 5 && req.sessionEpoch === 2, s"v$v")
+    }
+    // a v15 frame is exactly the v13/14 frame minus 4 leading body
+    // bytes — structural proof the field is gone, not defaulted
+    val v14 = encodeFetchRequest(14, 9, "c", 50, 1, 1 << 20,
+      Seq(("alpha", Seq((0, 7L, 1024)))))
+    val v15 = encodeFetchRequest(15, 9, "c", 50, 1, 1 << 20,
+      Seq(("alpha", Seq((0, 7L, 1024)))))
+    assert(v14.length - v15.length === 4)
+    // broker: a v16 fetch serves records end-to-end
+    val root = Files.createTempDirectory("graft-fetch16").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("f16", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequest(9, 1, "cli", null, 1, 30000,
+          Seq(("f16", Seq((0, Seq(rec("a"), rec("b")))))))))
+      val (_, topics) = decodeFetchResponse(16, exchange(sock,
+        encodeFetchRequest(16, 2, "cli", 100, 1, 1 << 20,
+          Seq(("f16", Seq((0, 0L, 1 << 20)))))),
+        topicIdResolverFor(Seq("f16")))
+      assert(topics.head._1 === "f16")
+      assert(topics.head._2.head._4.map(r => new String(r._2.value, "UTF-8"))
+        === Seq("a", "b"))
+    } finally { sock.close(); server.close() }
+  }
+
   test("v13 over the socket: produce by name, fetch by topic_id; unknown ids answer 100") {
     val root = Files.createTempDirectory("graft-fetch13").toString
     val broker = new Broker(spark, root)

@@ -30,9 +30,9 @@ import graft.TestSpark
   *   JoinGroup            9             0–9                9
   *   SyncGroup            5             0–5                5
   *   OffsetFetch          8             0–8                8
-  *   ListOffsets          8             0–7                7
+  *   ListOffsets          8             0–9                8
   *   OffsetForLeaderEpoch 4             0–4                4
-  *   Fetch               16             0–13              13
+  *   Fetch               16             0–16              16
   *   OffsetCommit         8             0–8                8
   *   Heartbeat            4             0–4                4
   *   LeaveGroup           5             0–5                5
@@ -87,9 +87,9 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(negotiated("JoinGroup") === 9)
       assert(negotiated("SyncGroup") === 5)
       assert(negotiated("OffsetFetch") === 8)
-      assert(negotiated("ListOffsets") === 7)
+      assert(negotiated("ListOffsets") === 8)
       assert(negotiated("OffsetForLeaderEpoch") === 4)
-      assert(negotiated("Fetch") === 13)
+      assert(negotiated("Fetch") === 16)
       assert(negotiated("OffsetCommit") === 8)
       assert(negotiated("Heartbeat") === 4)
       assert(negotiated("LeaveGroup") === 5)
@@ -188,9 +188,9 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(before._2.head._3 ===
         Seq(("trace", Seq((0, -1L, null, 0), (1, -1L, null, 0)))))
 
-      // 8. ListOffsets v7: earliest on both partitions
-      val lo = decodeListOffsetsResponse(7, exchange(sock,
-        encodeListOffsetsRequest(7, 9, "trace-cli",
+      // 8. ListOffsets v8: earliest on both partitions
+      val lo = decodeListOffsetsResponse(8, exchange(sock,
+        encodeListOffsetsRequest(8, 9, "trace-cli",
           Seq(("trace", Seq((0, -2L, 1), (1, -2L, 1)))))))
       assert(lo._2.head._2.map(p => (p._1, p._2, p._4)) ===
         Seq((0, 0, 0L), (1, 0, 0L)))
@@ -206,12 +206,13 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(ofle._2 === Seq(("trace",
         Seq((0, 0, 0, 3L), (0, 1, 0, 2L)))))
 
-      // 9. Fetch v13 (KIP-516): the request addresses the topic by
-      // its topic_id — the one Metadata v12 reported — and records
-      // return as magic-2 batches: keys, values, AND headers survive
+      // 9. Fetch v16 (KIP-516 topic ids; KIP-903 replica-id-less
+      // request): the request addresses the topic by its topic_id —
+      // the one Metadata v12 reported — and records return as magic-2
+      // batches: keys, values, AND headers survive
       val traceResolver = topicIdResolverFor(Seq("trace"))
-      val fetched = decodeFetchResponse(13, exchange(sock,
-        encodeFetchRequest(13, 10, "trace-cli", 500, 1, 1 << 20,
+      val fetched = decodeFetchResponse(16, exchange(sock,
+        encodeFetchRequest(16, 10, "trace-cli", 500, 1, 1 << 20,
           Seq(("trace", Seq((0, 0L, 1 << 20), (1, 0L, 1 << 20)))))),
         traceResolver)
       val p0 = fetched._2.head._2.find(_._1 == 0).get

@@ -270,6 +270,24 @@ class ProduceFetchWireSpec extends AnyFunSuite {
     assert(none._2.head._2.head._4 === -1L) // no offset
   }
 
+  test("ListOffsets -4/-5 (v8/v9 tiered-storage sentinels) answer local reality") {
+    val (broker, _) = newBroker()
+    broker.createTopic("tiers", 1)
+    def r(v: String) = WireRecordV2(1000L, null, v.getBytes("UTF-8"))
+    broker.handleProduce(encodeProduceRequest(3, 1, "cli", null, 1, 1000,
+      Seq(("tiers", Seq((0, Seq(r("a"), r("b"), r("c"))))))))
+    // EARLIEST_LOCAL (-4): nothing is tiered, so the local start IS
+    // the log start — same answer as -2
+    val local = decodeListOffsetsResponse(9, broker.handleListOffsets(
+      encodeListOffsetsRequest(9, 2, "cli", Seq(("tiers", Seq((0, -4L, 1)))))))
+    assert(local._2 === Seq(("tiers", Seq((0, 0, -1L, 0L, Seq())))))
+    // LATEST_TIERED (-5): no remote storage → the protocol's
+    // "no tiered data" pair (-1, -1), error NONE
+    val tiered = decodeListOffsetsResponse(9, broker.handleListOffsets(
+      encodeListOffsetsRequest(9, 3, "cli", Seq(("tiers", Seq((0, -5L, 1)))))))
+    assert(tiered._2 === Seq(("tiers", Seq((0, 0, -1L, -1L, Seq())))))
+  }
+
   test("wire offset commit/fetch drives the CAS group store") {
     val (broker, _) = newBroker()
     broker.createTopic("grp", 4)
