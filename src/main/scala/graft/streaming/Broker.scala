@@ -98,6 +98,10 @@ class Broker(spark: SparkSession, root: String) {
   lazy val delegationTokens =
     new DelegationTokens.Manager(Paths.get(root, "_tokens"))
 
+  /** KIP-584 feature levels (ApiVersions tags + UpdateFeatures 57) —
+    * lazy; bootstrap-finalized until an admin alters a level. */
+  lazy val features = new Features.Manager(Paths.get(root, "_features"))
+
   /** How the current request's connection authenticated: 0 = not
     * (open listener), 1 = SASL credentials, 2 = delegation token.
     * Token operations are fenced on kinds 0 and 2 (Kafka's
@@ -3428,6 +3432,24 @@ class Broker(spark: SparkSession, root: String) {
     * topics/partitions. A null topics array (v2+) answers every
     * partition the group ever committed; v8 serves a BATCH of groups
     * in one request. */
+  /** UpdateFeatures (key 57, v0–v1, KIP-584): finalized-level
+    * transitions behind cluster ALTER, transactional per batch (one
+    * invalid member fails every update; valid members answer
+    * OPERATION_NOT_ATTEMPTED 55), validate_only dry-runs. The landed
+    * levels surface immediately in ApiVersions' finalized tags. */
+  def handleUpdateFeatures(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val req = decodeUpdateFeaturesRequest(requestBytes)
+    if (!authz(Acls.OpAlter, Acls.ResCluster, Acls.ClusterResourceName))
+      encodeUpdateFeaturesResponse(req.version, req.correlationId, 31,
+        "principal is not authorized to alter features", Seq.empty)
+    else {
+      val results = features.update(req.updates, req.validateOnly)
+      encodeUpdateFeaturesResponse(req.version, req.correlationId, 0, null,
+        results)
+    }
+  }
+
   def handleOffsetFetch(requestBytes: Array[Byte]): Array[Byte] = {
     import KafkaWire._
     val req = decodeOffsetFetchRequest(requestBytes)
@@ -3756,6 +3778,7 @@ object Broker {
       KafkaWire.DescribeUserScramCredentialsMaxVersion),
     (51, "AlterUserScramCredentials", 0,
       KafkaWire.AlterUserScramCredentialsMaxVersion),
+    (57, "UpdateFeatures", 0, KafkaWire.UpdateFeaturesMaxVersion),
     (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion),
     (61, "DescribeProducers", 0, KafkaWire.DescribeProducersMaxVersion),
     (65, "DescribeTransactions", 0,

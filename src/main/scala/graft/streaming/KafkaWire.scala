@@ -31,8 +31,14 @@ object KafkaWire {
   case class ApiVersionsRequest(apiVersion: Int, correlationId: Int,
       clientId: String, softwareName: String, softwareVersion: String)
 
+  /** Feature triples are (name, a, b): (min, max) supported version
+    * for `supportedFeatures`; (maxLevel, minLevel) — the KIP-584
+    * field order — for `finalizedFeatures`. */
   case class ApiVersionsResponse(correlationId: Int, errorCode: Int,
-      apiKeys: Seq[(Int, Int, Int)], throttleTimeMs: Int)
+      apiKeys: Seq[(Int, Int, Int)], throttleTimeMs: Int,
+      supportedFeatures: Seq[(String, Int, Int)] = Seq.empty,
+      finalizedEpoch: Long = -1L,
+      finalizedFeatures: Seq[(String, Int, Int)] = Seq.empty)
 
   // --- primitives ---
 
@@ -226,10 +232,18 @@ object KafkaWire {
     ApiVersionsResponse(correlationId, errorCode, keys, throttle)
   }
 
-  /** Server-side encode of the framed ApiVersions v3 response. */
+  /** Server-side encode of the framed ApiVersions v3 response. The
+    * KIP-584 feature catalog rides the body's TAGGED fields (tag 0
+    * supported_features, tag 1 finalized_features_epoch, tag 2
+    * finalized_features) — absent features emit zero tags, the exact
+    * pre-feature frame, so a tag-blind client reads the same bytes it
+    * always did. */
   def encodeApiVersionsResponseV3(correlationId: Int,
       apiKeys: Seq[(Int, Int, Int)], errorCode: Int = 0,
-      throttleTimeMs: Int = 0): Array[Byte] = {
+      throttleTimeMs: Int = 0,
+      supportedFeatures: Seq[(String, Int, Int)] = Seq.empty,
+      finalizedEpoch: Long = -1L,
+      finalizedFeatures: Seq[(String, Int, Int)] = Seq.empty): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     writeInt32(out, correlationId) // response header v0 (special case)
     writeInt16(out, errorCode)
@@ -239,7 +253,31 @@ object KafkaWire {
       writeUVarInt(out, 0) // entry tags
     }
     writeInt32(out, throttleTimeMs)
-    writeUVarInt(out, 0) // body tags
+    def featureArray(fs: Seq[(String, Int, Int)]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      writeUVarInt(b, fs.length + 1)
+      fs.foreach { case (name, a, c) =>
+        writeCompactString(b, name)
+        writeInt16(b, a); writeInt16(b, c)
+        writeUVarInt(b, 0) // entry tags
+      }
+      b.toByteArray
+    }
+    val tags = Seq.newBuilder[(Int, Array[Byte])]
+    if (supportedFeatures.nonEmpty) tags += 0 -> featureArray(supportedFeatures)
+    if (finalizedEpoch >= 0) {
+      val e = new ByteArrayOutputStream()
+      writeInt64(e, finalizedEpoch)
+      tags += 1 -> e.toByteArray
+      tags += 2 -> featureArray(finalizedFeatures)
+    }
+    val built = tags.result()
+    writeUVarInt(out, built.length) // body tags
+    built.foreach { case (tag, payload) =>
+      writeUVarInt(out, tag)
+      writeUVarInt(out, payload.length)
+      out.write(payload, 0, payload.length)
+    }
     frame(out.toByteArray)
   }
 
@@ -255,8 +293,29 @@ object KafkaWire {
       k
     }
     val throttle = buf.getInt
-    readTags(buf)
-    ApiVersionsResponse(correlationId, errorCode, keys, throttle)
+    // the KIP-584 feature tags; unknown tags skip per the tag protocol
+    var supported = Seq.empty[(String, Int, Int)]
+    var finalizedEpoch = -1L
+    var finalized = Seq.empty[(String, Int, Int)]
+    def readFeatureArray(): Seq[(String, Int, Int)] =
+      (0 until readUVarInt(buf) - 1).map { _ =>
+        val f = (readCompactString(buf), buf.getShort.toInt, buf.getShort.toInt)
+        readTags(buf)
+        f
+      }
+    val tagCount = readUVarInt(buf)
+    (0 until tagCount).foreach { _ =>
+      val tag = readUVarInt(buf)
+      val size = readUVarInt(buf)
+      tag match {
+        case 0 => supported = readFeatureArray()
+        case 1 => finalizedEpoch = buf.getLong
+        case 2 => finalized = readFeatureArray()
+        case _ => buf.position(buf.position() + size)
+      }
+    }
+    ApiVersionsResponse(correlationId, errorCode, keys, throttle,
+      supported, finalizedEpoch, finalized)
   }
 
   /** The full server exchange: framed request bytes in, framed
@@ -268,9 +327,18 @@ object KafkaWire {
     * re-probes at a version both sides speak instead of reading a
     * dead socket. */
   def handleApiVersions(requestBytes: Array[Byte],
-      catalog: Seq[(Int, String, Int, Int)]): Array[Byte] = {
+      catalog: Seq[(Int, String, Int, Int)],
+      supportedFeatures: Seq[(String, Int, Int)] = Seq.empty,
+      finalizedEpoch: Long = -1L,
+      finalizedFeatures: Seq[(String, Int, Int)] = Seq.empty): Array[Byte] = {
     val req = decodeApiVersionsRequest(requestBytes)
-    if (req.apiVersion >= 0 && req.apiVersion <= ApiVersionsMaxVersion)
+    if (req.apiVersion == 3)
+      encodeApiVersionsResponseV3(req.correlationId,
+        catalog.map(t => (t._1, t._3, t._4)),
+        supportedFeatures = supportedFeatures,
+        finalizedEpoch = finalizedEpoch,
+        finalizedFeatures = finalizedFeatures)
+    else if (req.apiVersion >= 0 && req.apiVersion <= ApiVersionsMaxVersion)
       encodeApiVersionsResponse(req.apiVersion, req.correlationId,
         catalog.map(t => (t._1, t._3, t._4)))
     else
@@ -8023,5 +8091,109 @@ object KafkaWire {
     r.i32()
     r.tags()
     (correlationId, err, tokens.toSeq)
+  }
+
+  // -- UpdateFeatures (key 57) v0–v1, KIP-584: `kafka-features.sh
+  // upgrade|downgrade|disable`. Flexible at every version; v0 carries
+  // allow_downgrade per update, v1 replaces it with upgrade_type and
+  // adds validate_only. --
+
+  val UpdateFeaturesApiKey = 57
+  val UpdateFeaturesMaxVersion = 1
+
+  /** Updates: (feature, maxVersionLevel, upgradeType) — v0's
+    * allow_downgrade=true arrives as [[Features.SafeDowngrade]]. */
+  case class UpdateFeaturesRequest(version: Int, correlationId: Int,
+      clientId: String, timeoutMs: Int,
+      updates: Seq[(String, Int, Int)], validateOnly: Boolean)
+
+  def encodeUpdateFeaturesRequest(version: Int, correlationId: Int,
+      clientId: String, timeoutMs: Int,
+      updates: Seq[(String, Int, Int)],
+      validateOnly: Boolean = false): Array[Byte] = {
+    require(version >= 0 && version <= UpdateFeaturesMaxVersion,
+      s"unsupported UpdateFeatures version $version")
+    require(version >= 1 || !validateOnly,
+      "UpdateFeatures v0 has no validate_only field")
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, UpdateFeaturesApiKey, version, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, true)
+    w.i32(timeoutMs)
+    w.count(updates.length)
+    updates.foreach { case (feature, level, upgradeType) =>
+      w.str(feature)
+      w.i16(level)
+      if (version == 0) w.bool(upgradeType != Features.Upgrade)
+      else w.i8(upgradeType)
+      w.tags()
+    }
+    if (version >= 1) w.bool(validateOnly)
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeUpdateFeaturesRequest(bytes: Array[Byte]): UpdateFeaturesRequest = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == UpdateFeaturesApiKey,
+      "not an UpdateFeatures request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= UpdateFeaturesMaxVersion,
+      s"unsupported UpdateFeatures version $version")
+    val correlationId = buf.getInt
+    val clientId = readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, true)
+    val timeoutMs = r.i32()
+    val updates = (0 until r.count()).map { _ =>
+      val feature = r.str()
+      val level = r.i16()
+      val upgradeType =
+        if (version == 0) { if (r.bool()) Features.SafeDowngrade
+          else Features.Upgrade }
+        else r.i8()
+      r.tags()
+      (feature, level, upgradeType)
+    }
+    val validateOnly = if (version >= 1) r.bool() else false
+    r.tags()
+    UpdateFeaturesRequest(version, correlationId, clientId, timeoutMs,
+      updates.toSeq, validateOnly)
+  }
+
+  /** results: (feature, errorCode, errorMessage|null). */
+  def encodeUpdateFeaturesResponse(version: Int, correlationId: Int,
+      errorCode: Int, errorMessage: String,
+      results: Seq[(String, Int, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.count(results.length)
+    results.foreach { case (feature, err, msg) =>
+      w.str(feature); w.i16(err); w.str(msg); w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeUpdateFeaturesResponse(bytes: Array[Byte])
+      : (Int, Int, String, Seq[(String, Int, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, true)
+    r.i32() // throttle
+    val err = r.i16()
+    val msg = r.str()
+    val results = (0 until r.count()).map { _ =>
+      val row = (r.str(), r.i16(), r.str())
+      r.tags()
+      row
+    }
+    r.tags()
+    (correlationId, err, msg, results.toSeq)
   }
 }

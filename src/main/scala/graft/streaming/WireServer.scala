@@ -364,7 +364,15 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
   private def dispatch(apiKey: Int, framed: Array[Byte]): Array[Byte] =
     apiKey match {
       case KafkaWire.ApiVersionsApiKey =>
-        KafkaWire.handleApiVersions(framed, Broker.WireApis)
+        val (epoch, finalized) = broker.features.current
+        KafkaWire.handleApiVersions(framed, Broker.WireApis,
+          supportedFeatures = Features.Supported,
+          finalizedEpoch = epoch,
+          // finalized tag order is (maxVersionLevel, minVersionLevel);
+          // a finalized level pins both ends to itself
+          finalizedFeatures = finalized.map { case (n, l) => (n, l, l) })
+      case KafkaWire.UpdateFeaturesApiKey =>
+        broker.handleUpdateFeatures(framed)
       case KafkaWire.MetadataApiKey =>
         val topics = broker.listTopics()
           .map(t => t -> broker.topic(t).numPartitions).toMap
