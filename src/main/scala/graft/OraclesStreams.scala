@@ -37,7 +37,7 @@ object OraclesStreams {
         |  (48,'DescribeClientQuotas',0,1),(49,'AlterClientQuotas',0,1),
         |  (50,'DescribeUserScramCredentials',0,0),
         |  (51,'AlterUserScramCredentials',0,0),
-        |  (57,'UpdateFeatures',0,1),
+        |  (55,'DescribeQuorum',0,1),(57,'UpdateFeatures',0,1),
         |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
         |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0),
         |  (68,'ConsumerGroupHeartbeat',0,1),(69,'ConsumerGroupDescribe',0,0),

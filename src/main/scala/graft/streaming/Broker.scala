@@ -3432,6 +3432,34 @@ class Broker(spark: SparkSession, root: String) {
     * topics/partitions. A null topics array (v2+) answers every
     * partition the group ever committed; v8 serves a BATCH of groups
     * in one request. */
+  /** DescribeQuorum (key 55, v0–v1): the single-node quorum picture
+    * `kafka-metadata-quorum.sh describe --status` renders. This engine
+    * IS its own metadata authority (voter 0, no followers), so the
+    * leader is node 0 at epoch 1 and the metadata "log" position is
+    * the broker-wide CAS metadata sequence — the finalized-features
+    * epoch, the one monotonic metadata counter graft maintains
+    * (per-topic manifests version independently). Asking about any
+    * log but __cluster_metadata/0 answers UNKNOWN_TOPIC_OR_PARTITION
+    * per partition, the raft manager's rule. */
+  def handleDescribeQuorum(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (version, corr, topics) = decodeDescribeQuorumRequest(requestBytes)
+    if (!authz(Acls.OpDescribe, Acls.ResCluster, Acls.ClusterResourceName))
+      return encodeDescribeQuorumResponse(version, corr, 31, Seq.empty)
+    val now = System.currentTimeMillis()
+    val hw = features.current._1
+    val self = QuorumReplica(0, hw, now, now)
+    val out = topics.map { case (name, parts) =>
+      (name, parts.map { p =>
+        if (name == ClusterMetadataTopic && p == 0)
+          (p, 0, 0, 1, hw, Seq(self), Seq.empty[QuorumReplica])
+        else (p, 3, -1, -1, -1L,
+          Seq.empty[QuorumReplica], Seq.empty[QuorumReplica])
+      })
+    }
+    encodeDescribeQuorumResponse(version, corr, 0, out)
+  }
+
   /** UpdateFeatures (key 57, v0–v1, KIP-584): finalized-level
     * transitions behind cluster ALTER, transactional per batch (one
     * invalid member fails every update; valid members answer
@@ -3778,6 +3806,7 @@ object Broker {
       KafkaWire.DescribeUserScramCredentialsMaxVersion),
     (51, "AlterUserScramCredentials", 0,
       KafkaWire.AlterUserScramCredentialsMaxVersion),
+    (55, "DescribeQuorum", 0, KafkaWire.DescribeQuorumMaxVersion),
     (57, "UpdateFeatures", 0, KafkaWire.UpdateFeaturesMaxVersion),
     (60, "DescribeCluster", 0, KafkaWire.DescribeClusterMaxVersion),
     (61, "DescribeProducers", 0, KafkaWire.DescribeProducersMaxVersion),

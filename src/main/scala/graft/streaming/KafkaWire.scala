@@ -8093,6 +8093,141 @@ object KafkaWire {
     (correlationId, err, tokens.toSeq)
   }
 
+  // -- DescribeQuorum (key 55) v0–v1, KIP-595/KIP-642: what
+  // `kafka-metadata-quorum.sh describe` asks the controller. Flexible
+  // at every version; v1 adds the per-replica fetch/caught-up
+  // timestamps. --
+
+  val DescribeQuorumApiKey = 55
+  val DescribeQuorumMaxVersion = 1
+
+  /** The KRaft metadata log's singleton coordinate. */
+  val ClusterMetadataTopic = "__cluster_metadata"
+
+  def encodeDescribeQuorumRequest(version: Int, correlationId: Int,
+      clientId: String,
+      topics: Seq[(String, Seq[Int])] = Seq((ClusterMetadataTopic, Seq(0))))
+      : Array[Byte] = {
+    require(version >= 0 && version <= DescribeQuorumMaxVersion,
+      s"unsupported DescribeQuorum version $version")
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeQuorumApiKey, version, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, true)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { p => w.i32(p); w.tags() }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeQuorumRequest(bytes: Array[Byte])
+      : (Int, Int, Seq[(String, Seq[Int])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeQuorumApiKey,
+      "not a DescribeQuorum request")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= DescribeQuorumMaxVersion,
+      s"unsupported DescribeQuorum version $version")
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, true)
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val p = r.i32(); r.tags(); p
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (version, correlationId, topics.toSeq)
+  }
+
+  /** One voter/observer row: (replicaId, logEndOffset,
+    * lastFetchTimestamp, lastCaughtUpTimestamp) — the timestamps ride
+    * only at v1+. */
+  case class QuorumReplica(replicaId: Int, logEndOffset: Long,
+      lastFetchTimestamp: Long = -1L, lastCaughtUpTimestamp: Long = -1L)
+
+  /** Partitions: (partitionIndex, errorCode, leaderId, leaderEpoch,
+    * highWatermark, voters, observers). */
+  def encodeDescribeQuorumResponse(version: Int, correlationId: Int,
+      errorCode: Int,
+      topics: Seq[(String, Seq[(Int, Int, Int, Int, Long,
+        Seq[QuorumReplica], Seq[QuorumReplica])])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, true)
+    w.i16(errorCode)
+    def writeReplicas(rs: Seq[QuorumReplica]): Unit = {
+      w.count(rs.length)
+      rs.foreach { rep =>
+        w.i32(rep.replicaId)
+        w.i64(rep.logEndOffset)
+        if (version >= 1) {
+          w.i64(rep.lastFetchTimestamp)
+          w.i64(rep.lastCaughtUpTimestamp)
+        }
+        w.tags()
+      }
+    }
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, err, leaderId, leaderEpoch, hw, voters, obs) =>
+        w.i32(p)
+        w.i16(err)
+        w.i32(leaderId)
+        w.i32(leaderEpoch)
+        w.i64(hw)
+        writeReplicas(voters)
+        writeReplicas(obs)
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeQuorumResponse(version: Int, bytes: Array[Byte])
+      : (Int, Int, Seq[(String, Seq[(Int, Int, Int, Int, Long,
+        Seq[QuorumReplica], Seq[QuorumReplica])])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, true)
+    val err = r.i16()
+    def readReplicas(): Seq[QuorumReplica] =
+      (0 until r.count()).map { _ =>
+        val id = r.i32()
+        val leo = r.i64()
+        val (lf, lc) = if (version >= 1) (r.i64(), r.i64()) else (-1L, -1L)
+        r.tags()
+        QuorumReplica(id, leo, lf, lc)
+      }.toSeq
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val row = (r.i32(), r.i16(), r.i32(), r.i32(), r.i64(),
+          readReplicas(), readReplicas())
+        r.tags()
+        row
+      }
+      r.tags()
+      (name, parts.toSeq)
+    }
+    r.tags()
+    (correlationId, err, topics.toSeq)
+  }
+
   // -- UpdateFeatures (key 57) v0–v1, KIP-584: `kafka-features.sh
   // upgrade|downgrade|disable`. Flexible at every version; v0 carries
   // allow_downgrade per update, v1 replaces it with upgrade_type and

@@ -371,6 +371,8 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
           // finalized tag order is (maxVersionLevel, minVersionLevel);
           // a finalized level pins both ends to itself
           finalizedFeatures = finalized.map { case (n, l) => (n, l, l) })
+      case KafkaWire.DescribeQuorumApiKey =>
+        broker.handleDescribeQuorum(framed)
       case KafkaWire.UpdateFeaturesApiKey =>
         broker.handleUpdateFeatures(framed)
       case KafkaWire.MetadataApiKey =>

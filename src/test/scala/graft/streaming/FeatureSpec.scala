@@ -122,6 +122,60 @@ class FeatureSpec extends AnyFunSuite {
     assert(!finalized.exists(_._1 == "share.version"))
   }
 
+  test("DescribeQuorum codec round-trips at v0 and v1") {
+    for (v <- 0 to DescribeQuorumMaxVersion) {
+      val (reqV, _, topics) = decodeDescribeQuorumRequest(
+        encodeDescribeQuorumRequest(v, 1, "cli"))
+      assert(reqV === v)
+      assert(topics === Seq((ClusterMetadataTopic, Seq(0))))
+      val voters = Seq(QuorumReplica(0, 9L, 111L, 222L))
+      val resp = decodeDescribeQuorumResponse(v,
+        encodeDescribeQuorumResponse(v, 1, 0,
+          Seq((ClusterMetadataTopic, Seq((0, 0, 0, 1, 9L, voters,
+            Seq.empty[QuorumReplica]))))))
+      val (_, err, ts) = resp
+      assert(err === 0)
+      val row = ts.head._2.head
+      assert((row._1, row._2, row._3, row._4, row._5) === ((0, 0, 0, 1, 9L)))
+      val got = row._6.head
+      assert(got.replicaId === 0 && got.logEndOffset === 9L)
+      // the timestamps only ride at v1
+      if (v >= 1) assert(got.lastFetchTimestamp === 111L &&
+        got.lastCaughtUpTimestamp === 222L)
+      else assert(got.lastFetchTimestamp === -1L)
+    }
+  }
+
+  test("DescribeQuorum over the wire: voter 0 leads; other logs answer 3") {
+    val root = Files.createTempDirectory("graft-quorum").toString
+    val broker = new Broker(spark, root)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // land one feature mutation so the metadata sequence is nonzero
+      decodeUpdateFeaturesResponse(exchange(sock,
+        encodeUpdateFeaturesRequest(1, 1, "cli", 30000,
+          Seq(("metadata.version", 24, Features.SafeDowngrade)))))
+      val (_, err, topics) = decodeDescribeQuorumResponse(1, exchange(sock,
+        encodeDescribeQuorumRequest(1, 2, "cli")))
+      assert(err === 0)
+      val (name, parts) = topics.head
+      assert(name === ClusterMetadataTopic)
+      val (p, perr, leaderId, leaderEpoch, hw, voters, observers) = parts.head
+      assert((p, perr, leaderId, leaderEpoch) === ((0, 0, 0, 1)))
+      assert(hw === 1L) // the landed feature mutation
+      assert(voters.map(v => (v.replicaId, v.logEndOffset)) === Seq((0, 1L)))
+      assert(voters.head.lastFetchTimestamp > 0)
+      assert(observers.isEmpty)
+      // a non-metadata log answers UNKNOWN_TOPIC_OR_PARTITION per
+      // partition, connection intact
+      val (_, err2, other) = decodeDescribeQuorumResponse(1, exchange(sock,
+        encodeDescribeQuorumRequest(1, 3, "cli", Seq(("events", Seq(0))))))
+      assert(err2 === 0)
+      assert(other.head._2.head._2 === 3)
+    } finally { sock.close(); server.close() }
+  }
+
   test("UpdateFeatures sits behind cluster ALTER") {
     val root = Files.createTempDirectory("graft-features-acl").toString
     val broker = new Broker(spark, root)
