@@ -258,6 +258,19 @@ object Oracles {
         |         FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q33_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_us(o_orderdate) // 86400000000 AS day_num,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS trail30_value,
+        |  COUNT(*) OVER w AS trail30_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch_us(o_orderdate) // 86400000000
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q32_lateral_topk" ->
       """SELECT n.n_name, c.c_name, c.c_acctbal
         |FROM nation n,

@@ -205,6 +205,18 @@ object OraclesEvents {
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    "events_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, COUNT(*) AS users FROM ut GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS users_both, ta.users AS users_a, tb.users AS users_b
+        |FROM ut a
+        |JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |JOIN tot ta ON ta.event_type = a.event_type
+        |JOIN tot tb ON tb.event_type = b.event_type
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

@@ -49,6 +49,7 @@ object SparkEntry {
     "q30_range_join" -> Relational.q30RangeJoin _,
     "q31_correlated_agg" -> Relational.q31CorrelatedAgg _,
     "q32_lateral_topk" -> Relational.q32LateralTopk _,
+    "q33_range_frame" -> Relational.q33RangeFrame _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "events_attribution" -> EventAnalytics.attribution _,
     "events_spike_days" -> EventAnalytics.spikeDays _,
     "events_anomaly_mad" -> EventAnalytics.anomalyMad _,
+    "events_cooccurrence" -> EventAnalytics.cooccurrence _,
     "events_user_segments" -> EventAnalytics.userSegments _,
     "events_path_conversion" -> EventAnalytics.pathConversion _,
     "events_dau_wau" -> EventAnalytics.dauWau _,

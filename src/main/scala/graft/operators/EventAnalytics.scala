@@ -339,6 +339,34 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Event-type co-occurrence: for every unordered type pair, how
+    * many users did BOTH (plus each side's own user count). The pair
+    * expansion happens INSIDE a per-user set — collect_set bounds it
+    * at |types|² per user (|types| is a domain constant), so the plan
+    * is one (user) shuffle + a bounded explode + a |types|²-row
+    * aggregate; per-type totals broadcast back onto the matrix. No
+    * pairwise user join anywhere, at any corpus size.
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir).select("user_id", "event_type").distinct()
+    val totals = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("users"))
+    val pairs = ut.groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("ts"))
+      .select(explode(col("ts")).as("type_a"), col("ts"))
+      .select(col("type_a"), explode(col("ts")).as("type_b"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("users_both"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("users", "users_a")),
+        col("type_a") === col("event_type")).drop("event_type")
+      .join(broadcast(totals.withColumnRenamed("users", "users_b")),
+        col("type_b") === col("event_type")).drop("event_type")
+      .select("type_a", "type_b", "users_both", "users_a", "users_b")
+      .orderBy("type_a", "type_b")
+  }
+
   /** Per-type daily activity with a trailing 7-day rolling window.
     * The RANGE window runs over the (event_type × day) AGGREGATE —
     * a frame bounded by the calendar, not the corpus — and the

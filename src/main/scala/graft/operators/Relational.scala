@@ -562,6 +562,29 @@ object Relational {
         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
   }
 
+  /** q33: RANGE-framed window — the trailing 30-day order-value sum
+    * per customer. The frame is VALUE-based (calendar days, peers
+    * included), not row-based like q8: order dates map to integer
+    * day numbers first so the range bound is exact integer arithmetic
+    * in any engine, and the windowed sum accumulates decimal partials
+    * (order-free), casting to double only at the edge. Partitioned by
+    * o_custkey — parallel in #customers at any scale, no global sort.
+    */
+  def q33RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(unix_micros(o_orderdate) DIV 86400000000 AS BIGINT)")
+          .as("day_num"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("dprice"))
+    val w = Window.partitionBy("o_custkey").orderBy("day_num")
+      .rangeBetween(-30, 0)
+    o.select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+        col("dprice").cast("double").as("o_totalprice"),
+        sum(col("dprice")).over(w).cast("double").as("trail30_value"),
+        count(lit(1)).over(w).as("trail30_orders"))
+      .orderBy("o_orderkey")
+  }
+
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))
