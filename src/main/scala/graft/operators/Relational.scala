@@ -573,7 +573,7 @@ object Relational {
   def q33RangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
-        expr("CAST(unix_micros(o_orderdate) DIV 86400000000 AS BIGINT)")
+        expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
           .as("day_num"),
         col("o_totalprice").cast(DecimalType(18, 4)).as("dprice"))
     val w = Window.partitionBy("o_custkey").orderBy("day_num")

@@ -3782,6 +3782,14 @@ object Broker {
     (35, "DescribeLogDirs", 0, KafkaWire.DescribeLogDirsMaxVersion),
     (36, "SaslAuthenticate", 0, KafkaWire.SaslAuthenticateMaxVersion),
     (37, "CreatePartitions", 0, KafkaWire.CreatePartitionsMaxVersion),
+    (38, "CreateDelegationToken", 0,
+      KafkaWire.CreateDelegationTokenMaxVersion),
+    (39, "RenewDelegationToken", 0,
+      KafkaWire.RenewDelegationTokenMaxVersion),
+    (40, "ExpireDelegationToken", 0,
+      KafkaWire.ExpireDelegationTokenMaxVersion),
+    (41, "DescribeDelegationToken", 0,
+      KafkaWire.DescribeDelegationTokenMaxVersion),
     (42, "DeleteGroups", 0, KafkaWire.DeleteGroupsMaxVersion),
     (43, "ElectLeaders", 0, KafkaWire.ElectLeadersMaxVersion),
     (44, "IncrementalAlterConfigs", 0,
@@ -3791,14 +3799,6 @@ object Broker {
     (46, "ListPartitionReassignments", 0,
       KafkaWire.ListPartitionReassignmentsMaxVersion),
     (47, "OffsetDelete", 0, KafkaWire.OffsetDeleteMaxVersion),
-    (38, "CreateDelegationToken", 0,
-      KafkaWire.CreateDelegationTokenMaxVersion),
-    (39, "RenewDelegationToken", 0,
-      KafkaWire.RenewDelegationTokenMaxVersion),
-    (40, "ExpireDelegationToken", 0,
-      KafkaWire.ExpireDelegationTokenMaxVersion),
-    (41, "DescribeDelegationToken", 0,
-      KafkaWire.DescribeDelegationTokenMaxVersion),
     (48, "DescribeClientQuotas", 0,
       KafkaWire.DescribeClientQuotasMaxVersion),
     (49, "AlterClientQuotas", 0, KafkaWire.AlterClientQuotasMaxVersion),

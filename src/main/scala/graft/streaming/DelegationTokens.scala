@@ -81,9 +81,10 @@ object DelegationTokens {
       val swept = tokens.filter { case (_, t) =>
         t.expiryTs > nowMs - ExpiredRetentionMs
       }
-      if (swept.size != tokens.size) tokens = swept
+      val sweptAny = swept.size != tokens.size
+      if (sweptAny) tokens = swept
       if (tokens.size >= MaxTokens) {
-        if (swept.size != tokens.size) persist()
+        if (sweptAny) persist()
         return None
       }
       val id = new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString
@@ -215,7 +216,7 @@ object DelegationTokens {
         }.mkString(",")
         s"""{"id":"${b64s(t.tokenId)}","owner":"${b64s(t.owner)}",""" +
           s""""req":"${b64s(t.requester)}",""" +
-          s""""renewers":"${b64s(t.renewers.mkString(" "))}",""" +
+          s""""renewers":"${b64s(t.renewers.mkString("\u0000"))}",""" +
           s""""issue":${t.issueTs},"expiry":${t.expiryTs},"max":${t.maxTs},""" +
           s""""hmac":"${b64(t.hmac)}","creds":[$creds]}"""
       }.mkString(",")
@@ -235,7 +236,7 @@ object DelegationTokens {
         val renewersRaw = unb64s(m.group(4))
         Token(unb64s(m.group(1)), unb64s(m.group(2)), unb64s(m.group(3)),
           if (renewersRaw.isEmpty) Seq.empty
-          else renewersRaw.split(" ").toSeq,
+          else renewersRaw.split("\u0000").toSeq,
           m.group(5).toLong, m.group(6).toLong, m.group(7).toLong,
           unb64(m.group(8)),
           CredRe.findAllMatchIn(m.group(9)).map { c =>

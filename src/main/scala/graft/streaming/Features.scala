@@ -61,6 +61,18 @@ object Features {
       * when `validateOnly`. */
     def update(updates: Seq[(String, Int, Int)], validateOnly: Boolean)
         : Seq[(String, Int, String)] = synchronized {
+      // duplicate feature keys in one request: Kafka answers
+      // INVALID_REQUEST for the batch (each update would otherwise
+      // validate against the pre-batch level and land last-wins)
+      val dupes = updates.groupBy(_._1).collect {
+        case (n, us) if us.size > 1 => n
+      }.toSet
+      if (dupes.nonEmpty)
+        return updates.map { case (name, _, _) =>
+          if (dupes(name))
+            (name, 42, s"duplicate feature '$name' in one request")
+          else (name, 55, "another update in the batch failed")
+        }
       val results = updates.map { case (name, level, upgradeType) =>
         supportedByName.get(name) match {
           case None =>

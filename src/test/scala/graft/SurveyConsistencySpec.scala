@@ -50,6 +50,22 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("every served wire API is claimed in SURVEY §2a") {
+    // the query legs above caught round-8's query drift; this leg
+    // guards the WIRE inventory the same way — every dispatchable
+    // api in Broker.WireApis must be named in the §2a section text
+    val text = lines.mkString("\n")
+    val a = text.indexOf("### §2a")
+    val b = text.indexOf("### §2b")
+    assert(a >= 0 && b > a, "SURVEY §2a/§2b section markers missing")
+    val sec = text.substring(a, b)
+    val missing = graft.streaming.Broker.WireApis.collect {
+      case (key, name, _, _) if !sec.contains(name) => s"$name ($key)"
+    }
+    assert(missing.isEmpty,
+      s"wire APIs served but absent from SURVEY §2a: ${missing.mkString(", ")}")
+  }
+
   test("latest driver correctness artifact confirms every ✚ claim it covers") {
     // a ✚ claim that the driver last measured as hash_match=false is
     // an over-claim, and becomes a test failure here (queries newer
