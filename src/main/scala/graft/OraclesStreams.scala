@@ -45,7 +45,10 @@ object OraclesStreams {
         |  (74,'ListClientMetricsResources',0,0),
         |  (75,'DescribeTopicPartitions',0,0),
         |  (76,'ShareGroupHeartbeat',0,0),(77,'ShareGroupDescribe',0,0),
-        |  (78,'ShareFetch',0,0),(79,'ShareAcknowledge',0,0))
+        |  (78,'ShareFetch',0,0),(79,'ShareAcknowledge',0,0),
+        |  (90,'DescribeShareGroupOffsets',0,0),
+        |  (91,'AlterShareGroupOffsets',0,0),
+        |  (92,'DeleteShareGroupOffsets',0,0))
         |  AS t(api_key, api_name, min_version, max_version)
         |ORDER BY api_key""".stripMargin,
 

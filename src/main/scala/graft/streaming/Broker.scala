@@ -3238,6 +3238,165 @@ class Broker(spark: SparkSession, root: String) {
       0, advertisedHost, advertisedPort)
   }
 
+  // --- Share-group offset admin (keys 90/91/92, KIP-932): the
+  // `kafka-share-groups.sh` offset surface over the SAME durable
+  // ShareGroup snapshots the data path mutates. Round 7's ShareFetch
+  // finding one layer up: the state existed, admin tooling couldn't
+  // reach it. ---
+
+  /** Any open share session (data-path consumer mid-drain) for the
+    * group? Alter/delete protect against these exactly as they
+    * protect against coordinator-live members — yanking the SPSO
+    * under an active drain would corrupt its delivery view. */
+  private def hasOpenShareSession(group: String): Boolean =
+    shareSessions.synchronized { shareSessions.keys.exists(_._1 == group) }
+
+  /** A share group the broker knows: heartbeating members, an open
+    * registry instance, or durable `_share` state on disk. */
+  private def shareGroupKnown(g: String): Boolean =
+    shareCoordinator.managesGroup(g) || listShareGroups().exists(_._1 == g)
+
+  /** The group may be offset-administered only while EMPTY — no
+    * coordinator-live members and no open share sessions (Kafka's
+    * NON_EMPTY_GROUP rule for share-group offset mutation). */
+  private def shareGroupBusy(g: String): Boolean =
+    shareCoordinator.describe(g, System.currentTimeMillis())
+      .exists(_._4.nonEmpty) || hasOpenShareSession(g)
+
+  /** DescribeShareGroupOffsets (key 90, v0): per-partition SPSOs from
+    * the durable share state — `kafka-share-groups.sh --describe
+    * --offsets`. `topics = null` lists every topic the group has
+    * share state on (unauthorized topics HIDDEN, the Metadata rule);
+    * named topics answer 29/3 per partition when unauthorized or
+    * unknown. An unknown group answers GROUP_ID_NOT_FOUND 69 at the
+    * group level. */
+  def handleDescribeShareGroupOffsets(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (corr, groups) = decodeDescribeShareGroupOffsetsRequest(requestBytes)
+    val out = groups.map { case (g, topicsOpt) =>
+      if (!authz(Acls.OpDescribe, Acls.ResGroup, g))
+        (g, 30, s"principal is not authorized to describe group '$g'",
+          Seq.empty[(String, Seq[ShareOffsetRow])])
+      else if (!shareGroupKnown(g))
+        (g, 69, s"share group '$g' not found",
+          Seq.empty[(String, Seq[ShareOffsetRow])])
+      else {
+        val topics: Seq[(String, Option[Seq[Int]])] = topicsOpt match {
+          case Some(ts) => ts
+          case None =>
+            // every topic this group has share state on, visible ones only
+            listShareGroups().collect {
+              case (grp, t) if grp == g &&
+                authz(Acls.OpDescribe, Acls.ResTopic, t) => (t, None)
+            }
+        }
+        val rows = topics.map { case (tName, partsOpt) =>
+          if (!authz(Acls.OpDescribe, Acls.ResTopic, tName))
+            (tName, partsOpt.getOrElse(Seq(-1)).map(p =>
+              ShareOffsetRow(p, -1L, -1, 29,
+                "principal is not authorized to describe this topic")))
+          else if (!topicExists(tName))
+            (tName, partsOpt.getOrElse(Seq(-1)).map(p =>
+              ShareOffsetRow(p, -1L, -1, 3, s"unknown topic '$tName'")))
+          else {
+            val log = topic(tName)
+            val sg = shareGroup(tName, g)
+            val parts = partsOpt.getOrElse(0 until log.numPartitions)
+            (tName, parts.map { p =>
+              if (p < 0 || p >= log.numPartitions)
+                ShareOffsetRow(p, -1L, -1, 3, s"partition $p not found")
+              else ShareOffsetRow(p, sg.startOffset(p), 0, 0, null)
+            })
+          }
+        }
+        (g, 0, null: String, rows)
+      }
+    }
+    encodeDescribeShareGroupOffsetsResponse(corr, out)
+  }
+
+  /** AlterShareGroupOffsets (key 91, v0): reset SPSOs —
+    * `kafka-share-groups.sh --reset-offsets`. READ-group gated (an
+    * offset reset is a commit, OffsetCommit's operation); the group
+    * must be EMPTY (no live members, no open share sessions) else
+    * NON_EMPTY_GROUP 68; the reset lands through
+    * [[ShareGroup.resetStartOffset]] — delivery state behind the new
+    * position is discarded and the CAS snapshot makes it durable.
+    * Offsets clamp to [0, log end]; negative offsets answer 42. */
+  def handleAlterShareGroupOffsets(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (corr, g, topics) = decodeAlterShareGroupOffsetsRequest(requestBytes)
+    if (!authz(Acls.OpRead, Acls.ResGroup, g))
+      return encodeAlterShareGroupOffsetsResponse(corr, 30,
+        s"principal is not authorized to read group '$g'",
+        topics.map { case (t, ps) => (t, ps.map(p => (p._1, 30, null: String))) })
+    if (shareGroupBusy(g))
+      return encodeAlterShareGroupOffsetsResponse(corr, 68,
+        s"share group '$g' has live members or open share sessions",
+        topics.map { case (t, ps) => (t, ps.map(p => (p._1, 68, null: String))) })
+    val out = topics.map { case (tName, parts) =>
+      if (!authz(Acls.OpRead, Acls.ResTopic, tName))
+        (tName, parts.map { case (p, _) =>
+          (p, 29, "principal is not authorized to read this topic") })
+      else if (!topicExists(tName))
+        (tName, parts.map { case (p, _) => (p, 3, s"unknown topic '$tName'") })
+      else {
+        val log = topic(tName)
+        val sg = shareGroup(tName, g)
+        (tName, sg.batched {
+          parts.map { case (p, off) =>
+            if (p < 0 || p >= log.numPartitions)
+              (p, 3, s"partition $p not found")
+            else if (off < 0)
+              (p, 42, s"start offset $off is negative")
+            else { sg.resetStartOffset(p, off); (p, 0, null: String) }
+          }
+        })
+      }
+    }
+    encodeAlterShareGroupOffsetsResponse(corr, 0, null, out)
+  }
+
+  /** DeleteShareGroupOffsets (key 92, v0): drop the group's share
+    * state for named topics entirely — `kafka-share-groups.sh
+    * --delete-offsets`. DELETE-group gated (OffsetDelete's
+    * operation); EMPTY-group protected like alter; deletion removes
+    * the registry instance AND the durable `_share/<group>` dir under
+    * the topic, so a later consumer starts from a blank slate. */
+  def handleDeleteShareGroupOffsets(requestBytes: Array[Byte]): Array[Byte] = {
+    import KafkaWire._
+    val (corr, g, topics) = decodeDeleteShareGroupOffsetsRequest(requestBytes)
+    if (!authz(Acls.OpDelete, Acls.ResGroup, g))
+      return encodeDeleteShareGroupOffsetsResponse(corr, 30,
+        s"principal is not authorized to delete group '$g'",
+        topics.map(t => (t, 30, null: String)))
+    if (!shareGroupKnown(g))
+      return encodeDeleteShareGroupOffsetsResponse(corr, 69,
+        s"share group '$g' not found", topics.map(t => (t, 69, null: String)))
+    if (shareGroupBusy(g))
+      return encodeDeleteShareGroupOffsetsResponse(corr, 68,
+        s"share group '$g' has live members or open share sessions",
+        topics.map(t => (t, 68, null: String)))
+    val out = topics.map { tName =>
+      if (!authz(Acls.OpRead, Acls.ResTopic, tName))
+        (tName, 29, "principal is not authorized to read this topic")
+      else if (!topicExists(tName))
+        (tName, 3, s"unknown topic '$tName'")
+      else {
+        shareGroupsReg.synchronized { shareGroupsReg.remove((tName, g)) }
+        val dir = Paths.get(root, tName, "_share",
+          java.util.Base64.getUrlEncoder.withoutPadding
+            .encodeToString(g.getBytes("UTF-8")))
+        if (Files.isDirectory(dir)) {
+          TopicLog.listDir(dir).foreach(Files.deleteIfExists)
+          Files.deleteIfExists(dir)
+        }
+        (tName, 0, null: String)
+      }
+    }
+    encodeDeleteShareGroupOffsetsResponse(corr, 0, null, out)
+  }
+
   /** DescribeGroups v0–v5: live membership from the coordinator; a
     * group known only by committed offsets describes as Empty; an
     * unknown group as Dead (Kafka's convention — not an error code).
@@ -3827,7 +3986,13 @@ object Broker {
     (76, "ShareGroupHeartbeat", 0, KafkaWire.ShareGroupHeartbeatMaxVersion),
     (77, "ShareGroupDescribe", 0, KafkaWire.ShareGroupDescribeMaxVersion),
     (78, "ShareFetch", 0, KafkaWire.ShareFetchMaxVersion),
-    (79, "ShareAcknowledge", 0, KafkaWire.ShareAcknowledgeMaxVersion))
+    (79, "ShareAcknowledge", 0, KafkaWire.ShareAcknowledgeMaxVersion),
+    (90, "DescribeShareGroupOffsets", 0,
+      KafkaWire.DescribeShareGroupOffsetsMaxVersion),
+    (91, "AlterShareGroupOffsets", 0,
+      KafkaWire.AlterShareGroupOffsetsMaxVersion),
+    (92, "DeleteShareGroupOffsets", 0,
+      KafkaWire.DeleteShareGroupOffsetsMaxVersion))
 
   /** The ApiVersions-analog catalog the oracle-checked
     * `broker_api_versions` query serves. IDENTICAL to [[WireApis]] by

@@ -8331,4 +8331,319 @@ object KafkaWire {
     r.tags()
     (correlationId, err, msg, results.toSeq)
   }
+
+  // -- Share-group offset admin (KIP-932, AK 4.0/4.1): the
+  // `kafka-share-groups.sh --describe --offsets / --reset-offsets /
+  // --delete-offsets` surface. DescribeShareGroupOffsets key 90 /
+  // AlterShareGroupOffsets key 91 / DeleteShareGroupOffsets key 92,
+  // all v0, flexible from v0, schemas hand-derived from the public
+  // protocol spec (no client library or schema JSON exists in this
+  // container — same derivation discipline as ShareFetch's). Topics
+  // travel by NAME in requests (the admin names what it wants) and
+  // by name + topic_id in responses, mirroring the share data path's
+  // id discipline. --
+
+  val DescribeShareGroupOffsetsApiKey = 90
+  val DescribeShareGroupOffsetsMaxVersion = 0
+  val AlterShareGroupOffsetsApiKey = 91
+  val AlterShareGroupOffsetsMaxVersion = 0
+  val DeleteShareGroupOffsetsApiKey = 92
+  val DeleteShareGroupOffsetsMaxVersion = 0
+
+  /** Request: per group, the topics to describe — `topics = null`
+    * asks for EVERY topic the group has share state on; within a
+    * topic, `partitions = null` asks for every partition. */
+  def encodeDescribeShareGroupOffsetsRequest(correlationId: Int,
+      clientId: String,
+      groups: Seq[(String, Option[Seq[(String, Option[Seq[Int]])]])])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DescribeShareGroupOffsetsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, true)
+    w.count(groups.length)
+    groups.foreach { case (group, topicsOpt) =>
+      w.str(group)
+      topicsOpt match {
+        case None => w.count(-1)
+        case Some(topics) =>
+          w.count(topics.length)
+          topics.foreach { case (name, partsOpt) =>
+            w.str(name)
+            partsOpt match {
+              case None => w.count(-1)
+              case Some(ps) => w.count(ps.length); ps.foreach(w.i32)
+            }
+            w.tags()
+          }
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeShareGroupOffsetsRequest(bytes: Array[Byte])
+      : (Int, Seq[(String, Option[Seq[(String, Option[Seq[Int]])]])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DescribeShareGroupOffsetsApiKey,
+      "not a DescribeShareGroupOffsets request")
+    require(buf.getShort.toInt == 0,
+      "unsupported DescribeShareGroupOffsets version")
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, true)
+    val groups = (0 until r.count()).map { _ =>
+      val group = r.str()
+      val nt = r.count()
+      val topics =
+        if (nt < 0) None
+        else Some((0 until nt).map { _ =>
+          val name = r.str()
+          val np = r.count()
+          val parts =
+            if (np < 0) None else Some((0 until np).map(_ => r.i32()).toSeq)
+          r.tags()
+          (name, parts)
+        }.toSeq)
+      r.tags()
+      (group, topics)
+    }
+    r.tags()
+    (correlationId, groups.toSeq)
+  }
+
+  /** One described share partition: (partition, startOffset,
+    * leaderEpoch, errorCode, errorMessage). */
+  case class ShareOffsetRow(partition: Int, startOffset: Long,
+      leaderEpoch: Int, errorCode: Int, errorMessage: String)
+
+  /** Groups: (groupId, groupErrorCode, groupErrorMessage, topics);
+    * topics carry (name, partitions). */
+  def encodeDescribeShareGroupOffsetsResponse(correlationId: Int,
+      groups: Seq[(String, Int, String, Seq[(String, Seq[ShareOffsetRow])])])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, true)
+    w.i32(0) // throttle_time_ms
+    w.count(groups.length)
+    groups.foreach { case (group, gErr, gMsg, topics) =>
+      w.str(group)
+      w.i16(gErr)
+      w.str(gMsg)
+      w.count(topics.length)
+      topics.foreach { case (name, parts) =>
+        w.str(name)
+        w.uuid(idOfName(name))
+        w.count(parts.length)
+        parts.foreach { p =>
+          w.i32(p.partition)
+          w.i64(p.startOffset)
+          w.i32(p.leaderEpoch)
+          w.i16(p.errorCode)
+          w.str(p.errorMessage)
+          w.tags()
+        }
+        w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDescribeShareGroupOffsetsResponse(bytes: Array[Byte])
+      : (Int, Seq[(String, Int, String, Seq[(String, Seq[ShareOffsetRow])])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, true)
+    r.i32() // throttle
+    val groups = (0 until r.count()).map { _ =>
+      val group = r.str()
+      val gErr = r.i16()
+      val gMsg = r.str()
+      val topics = (0 until r.count()).map { _ =>
+        val name = r.str()
+        r.uuid()
+        val parts = (0 until r.count()).map { _ =>
+          val row = ShareOffsetRow(r.i32(), r.i64(), r.i32(), r.i16(), r.str())
+          r.tags()
+          row
+        }.toSeq
+        r.tags()
+        (name, parts)
+      }.toSeq
+      r.tags()
+      (group, gErr, gMsg, topics)
+    }
+    r.tags()
+    (correlationId, groups.toSeq)
+  }
+
+  /** Topics: (name, Seq((partition, startOffset))). */
+  def encodeAlterShareGroupOffsetsRequest(correlationId: Int,
+      clientId: String, groupId: String,
+      topics: Seq[(String, Seq[(Int, Long)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, AlterShareGroupOffsetsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, true)
+    w.str(groupId)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.count(parts.length)
+      parts.foreach { case (p, off) => w.i32(p); w.i64(off); w.tags() }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAlterShareGroupOffsetsRequest(bytes: Array[Byte])
+      : (Int, String, Seq[(String, Seq[(Int, Long)])]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == AlterShareGroupOffsetsApiKey,
+      "not an AlterShareGroupOffsets request")
+    require(buf.getShort.toInt == 0,
+      "unsupported AlterShareGroupOffsets version")
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, true)
+    val groupId = r.str()
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      val parts = (0 until r.count()).map { _ =>
+        val row = (r.i32(), r.i64()); r.tags(); row
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }
+    r.tags()
+    (correlationId, groupId, topics.toSeq)
+  }
+
+  /** Topics: (name, Seq((partition, errorCode, errorMessage))). */
+  def encodeAlterShareGroupOffsetsResponse(correlationId: Int,
+      errorCode: Int, errorMessage: String,
+      topics: Seq[(String, Seq[(Int, Int, String)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.count(topics.length)
+    topics.foreach { case (name, parts) =>
+      w.str(name)
+      w.uuid(idOfName(name))
+      w.count(parts.length)
+      parts.foreach { case (p, err, msg) =>
+        w.i32(p); w.i16(err); w.str(msg); w.tags()
+      }
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeAlterShareGroupOffsetsResponse(bytes: Array[Byte])
+      : (Int, Int, String, Seq[(String, Seq[(Int, Int, String)])]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, true)
+    r.i32() // throttle
+    val err = r.i16()
+    val msg = r.str()
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str()
+      r.uuid()
+      val parts = (0 until r.count()).map { _ =>
+        val row = (r.i32(), r.i16(), r.str()); r.tags(); row
+      }.toSeq
+      r.tags()
+      (name, parts)
+    }
+    r.tags()
+    (correlationId, err, msg, topics.toSeq)
+  }
+
+  /** Deletion is TOPIC-granular (the whole group×topic share state),
+    * matching the admin tool — there is no per-partition delete. */
+  def encodeDeleteShareGroupOffsetsRequest(correlationId: Int,
+      clientId: String, groupId: String, topics: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    requestHeader(out, DeleteShareGroupOffsetsApiKey, 0, correlationId,
+      clientId, flexible = true)
+    val w = new WR(out, true)
+    w.str(groupId)
+    w.count(topics.length)
+    topics.foreach { name => w.str(name); w.tags() }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteShareGroupOffsetsRequest(bytes: Array[Byte])
+      : (Int, String, Seq[String]) = {
+    val buf = unframe(bytes)
+    require(buf.getShort.toInt == DeleteShareGroupOffsetsApiKey,
+      "not a DeleteShareGroupOffsets request")
+    require(buf.getShort.toInt == 0,
+      "unsupported DeleteShareGroupOffsets version")
+    val correlationId = buf.getInt
+    readNullableString(buf)
+    readTags(buf)
+    val r = new RD(buf, true)
+    val groupId = r.str()
+    val topics = (0 until r.count()).map { _ =>
+      val name = r.str(); r.tags(); name
+    }
+    r.tags()
+    (correlationId, groupId, topics.toSeq)
+  }
+
+  /** Topics: (name, errorCode, errorMessage). */
+  def encodeDeleteShareGroupOffsetsResponse(correlationId: Int,
+      errorCode: Int, errorMessage: String,
+      topics: Seq[(String, Int, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    responseHeader(out, correlationId, flexible = true)
+    val w = new WR(out, true)
+    w.i32(0) // throttle_time_ms
+    w.i16(errorCode)
+    w.str(errorMessage)
+    w.count(topics.length)
+    topics.foreach { case (name, err, msg) =>
+      w.str(name)
+      w.uuid(idOfName(name))
+      w.i16(err)
+      w.str(msg)
+      w.tags()
+    }
+    w.tags()
+    frame(out.toByteArray)
+  }
+
+  def decodeDeleteShareGroupOffsetsResponse(bytes: Array[Byte])
+      : (Int, Int, String, Seq[(String, Int, String)]) = {
+    val buf = unframe(bytes)
+    val correlationId = buf.getInt
+    readTags(buf)
+    val r = new RD(buf, true)
+    r.i32() // throttle
+    val err = r.i16()
+    val msg = r.str()
+    val topics = (0 until r.count()).map { _ =>
+      val row = (r.str(), { r.uuid(); r.i16() }, r.str())
+      r.tags()
+      row
+    }
+    r.tags()
+    (correlationId, err, msg, topics.toSeq)
+  }
 }

@@ -296,6 +296,25 @@ final class ShareGroup(log: TopicLog, val groupId: String,
   /** Share-partition start offset: everything below is terminal. */
   def startOffset(partition: Int): Long = synchronized { spso(partition) }
 
+  /** Reset the partition's SPSO to `offset` and DISCARD all delivery
+    * state behind the new position — acquisition locks, redelivery
+    * counts, unpassed terminal marks (the
+    * `kafka-share-groups.sh --reset-offsets` semantics: the caller
+    * has already established the group is empty, so no live lock is
+    * being yanked). Clamped to [0, log end]; persists like any other
+    * mutation, so the reset survives a restart. Returns the offset
+    * that landed. */
+  def resetStartOffset(partition: Int, offset: Long): Long = synchronized {
+    val end = log.logEndOffsets().getOrElse(partition, 0L)
+    val target = math.max(0L, math.min(offset, end))
+    spso(partition) = target
+    acquired(partition).clear()
+    available(partition).clear()
+    terminal(partition).clear()
+    persist()
+    target
+  }
+
   /** (spso, in-flight acquired, redeliverable, terminal-not-yet-passed). */
   def stats(partition: Int, now: Long): (Long, Int, Int, Int) = synchronized {
     expireLocks(partition, now)

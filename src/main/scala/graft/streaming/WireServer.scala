@@ -454,6 +454,12 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
         broker.handleShareFetch(framed, advertisedHost, boundPort)
       case KafkaWire.ShareAcknowledgeApiKey =>
         broker.handleShareAcknowledge(framed, advertisedHost, boundPort)
+      case KafkaWire.DescribeShareGroupOffsetsApiKey =>
+        broker.handleDescribeShareGroupOffsets(framed)
+      case KafkaWire.AlterShareGroupOffsetsApiKey =>
+        broker.handleAlterShareGroupOffsets(framed)
+      case KafkaWire.DeleteShareGroupOffsetsApiKey =>
+        broker.handleDeleteShareGroupOffsets(framed)
       case KafkaWire.CreateDelegationTokenApiKey =>
         broker.handleCreateDelegationToken(framed)
       case KafkaWire.RenewDelegationTokenApiKey =>
