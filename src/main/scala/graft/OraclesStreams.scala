@@ -40,12 +40,12 @@ object OraclesStreams {
         |  (55,'DescribeQuorum',0,1),(57,'UpdateFeatures',0,1),
         |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
         |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0),
-        |  (68,'ConsumerGroupHeartbeat',0,1),(69,'ConsumerGroupDescribe',0,0),
+        |  (68,'ConsumerGroupHeartbeat',0,2),(69,'ConsumerGroupDescribe',0,0),
         |  (71,'GetTelemetrySubscriptions',0,0),(72,'PushTelemetry',0,0),
         |  (74,'ListClientMetricsResources',0,0),
         |  (75,'DescribeTopicPartitions',0,0),
         |  (76,'ShareGroupHeartbeat',0,0),(77,'ShareGroupDescribe',0,0),
-        |  (78,'ShareFetch',0,0),(79,'ShareAcknowledge',0,0),
+        |  (78,'ShareFetch',0,1),(79,'ShareAcknowledge',0,1),
         |  (90,'DescribeShareGroupOffsets',0,0),
         |  (91,'AlterShareGroupOffsets',0,0),
         |  (92,'DeleteShareGroupOffsets',0,0))

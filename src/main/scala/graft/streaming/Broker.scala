@@ -84,6 +84,20 @@ class Broker(spark: SparkSession, root: String) {
     math.min(t, Int.MaxValue.toLong).toInt
   }
 
+  /** `request_percentage` enforcement (KIP-546): the wire server
+    * reports each request's handler wall time here AFTER dispatch;
+    * when a percentage quota binds the governing entity, the response
+    * is held like the byte-rate throttles (channel muting — Kafka's
+    * enforcement). Thread-per-connection makes per-request wall-time
+    * metering one clock read on each side of the handler. */
+  private[streaming] def requestTimeHold(clientId: String,
+      elapsedMs: Long): Unit = {
+    val t = quotas.recordRequestTime(currentUser,
+      Option(clientId).getOrElse(""), elapsedMs,
+      System.currentTimeMillis())
+    quotaHold(math.min(t, Int.MaxValue.toLong).toInt)
+  }
+
   /** Hold the response like a throttling broker mutes its channel —
     * bounded by [[Quotas.MaxHoldMs]]; the response carries the FULL
     * computed throttle for the client's own cooperative backoff. */
@@ -1719,29 +1733,28 @@ class Broker(spark: SparkSession, root: String) {
             var fromOff = off
             var morePasses = true
             while (!full && taken == 0 && morePasses) {
-            val rows = log.consume(p, fromOff,
-              maxRecords = (collectCap / 12 + 1).toInt)
-              .select("offset", "key", "value", "headers", "ts").collect()
+            // direct parquet range read — no Spark job per fetch
+            // (manifest file ranges prune; legacy topics fall back)
+            val rows = log.consumeForWire(p, fromOff,
+              (collectCap / 12 + 1).toInt)
             morePasses = rows.nonEmpty
             if (rows.nonEmpty)
-              fromOff = rows.last.getAs[Long]("offset") + 1
+              fromOff = rows.last.offset + 1
             // STOP at the first record that doesn't fit — including a
             // later smaller one would leave an offset GAP the consumer
             // silently skips past (permanent message loss). The first
             // record always ships so one large record can't stall.
             rows.iterator.takeWhile(_ => !full).foreach { r =>
-              val recOffset = r.getAs[Long]("offset")
+              val recOffset = r.offset
               if (recOffset >= lsoCap) full = true // undecided region
               else if (aborted.exists { case (lo, hi) =>
                 recOffset >= lo && recOffset <= hi }) {
                 () // aborted record: omitted, an offset gap
               } else {
-                val k = r.getAs[Array[Byte]]("key")
-                val v = r.getAs[Array[Byte]]("value")
-                val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
-                  .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
-                val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
-                  .map(_.getTime).getOrElse(-1L)
+                val k = r.key
+                val v = r.value
+                val hdrs = r.headers
+                val ts = r.timestampMs
                 val sz = perRecordOverhead + (if (k == null) 0 else k.length) +
                   (if (v == null) 0 else v.length) +
                   hdrs.map { case (hk, hv) =>
@@ -3101,6 +3114,10 @@ class Broker(spark: SparkSession, root: String) {
         if (sessErr == 122) "share session not found"
         else s"invalid share session epoch ${req.sessionEpoch}",
         Seq.empty, 0, advertisedHost, advertisedPort), -1)
+    // v1 flow control (KIP-932 GA): max_records caps the WHOLE
+    // response, batch_size each partition's acquisition; v0 keeps the
+    // per-partition byte cap
+    var recordBudget = if (req.version >= 1) req.maxRecords else Int.MaxValue
     val results = req.topics.map { case (name, parts) =>
       if (isUnknownIdName(name) || !topicExists(name))
         (name, parts.map(p => ShareFetchPartResp(p.partition, 100,
@@ -3130,13 +3147,23 @@ class Broker(spark: SparkSession, root: String) {
                 if (closing)
                   Left(ShareFetchPartResp(p.partition, 0, null, ackErr,
                     ackMsg, Seq.empty, Seq.empty))
+                else if (recordBudget <= 0)
+                  // v1 request budget spent: acks still applied above,
+                  // nothing more acquires this pass
+                  Left(ShareFetchPartResp(p.partition, 0, null, ackErr,
+                    ackMsg, Seq.empty, Seq.empty))
                 else {
                   // records cost ≥ ~12 wire bytes each; the cap
                   // over-covers the byte budget like handleFetch's
-                  val maxRecs = math.max(1, math.min(
-                    sg.maxInFlightRecords, p.partitionMaxBytes / 12))
-                  Right((p.partition, ackErr, ackMsg,
-                    sg.acquire(p.partition, maxRecs, now, member)))
+                  val maxRecs =
+                    if (req.version >= 1)
+                      math.max(1, math.min(sg.maxInFlightRecords,
+                        math.min(req.batchSize, recordBudget)))
+                    else math.max(1, math.min(
+                      sg.maxInFlightRecords, p.partitionMaxBytes / 12))
+                  val acq = sg.acquire(p.partition, maxRecs, now, member)
+                  if (req.version >= 1) recordBudget -= acq.size
+                  Right((p.partition, ackErr, ackMsg, acq))
                 }
               }
             }
@@ -3148,25 +3175,31 @@ class Broker(spark: SparkSession, root: String) {
         (name, phase1.map {
           case Left(resp) => resp
           case Right((partition, ackErr, ackMsg, acq)) =>
+            // direct parquet range read over the acquired span — no
+            // Spark job per (partition × window); the span is bounded
+            // by maxInFlightRecords so the scan is window-sized
             val rows =
-              if (acq.isEmpty) Array.empty[org.apache.spark.sql.Row]
-              else sg.records(partition, acq.map(_.offset))
-                .select("offset", "key", "value", "headers", "ts").collect()
-            val present = rows.map(_.getAs[Long]("offset")).toSet
+              if (acq.isEmpty) Seq.empty[TopicLog.DirectRecord]
+              else {
+                val offs = acq.map(_.offset)
+                val lo = offs.min; val hi = offs.max
+                val contiguous =
+                  hi - lo + 1 == offs.distinct.size
+                val span = log.consumeForWire(partition, lo,
+                  math.min(hi - lo + 1, Int.MaxValue.toLong).toInt, hi)
+                if (contiguous) span
+                else { val want = offs.toSet; span.filter(r => want(r.offset)) }
+              }
+            val present = rows.map(_.offset).toSet
             val gaps = acq.map(_.offset).filterNot(present)
             if (gaps.nonEmpty)
               sg.acknowledge(partition,
                 gaps.map(_ -> (ShareGroup.Reject: ShareGroup.AckType)),
                 now, member)
-            val records = rows.sortBy(_.getAs[Long]("offset")).map { r =>
-              val hdrs = Option(r.getAs[Map[String, Array[Byte]]]("headers"))
-                .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
-              val ts = Option(r.getAs[java.sql.Timestamp]("ts"))
-                .map(_.getTime).getOrElse(-1L)
-              (r.getAs[Long]("offset"), WireRecordV2(ts,
-                r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
-                hdrs))
-            }.toSeq
+            val records = rows.sortBy(_.offset).map { r =>
+              (r.offset, WireRecordV2(r.timestampMs, r.key, r.value,
+                r.headers))
+            }
             ShareFetchPartResp(partition, 0, null, ackErr, ackMsg,
               records, Broker.acquiredRuns(acq.filter(a => present(a.offset))))
         })

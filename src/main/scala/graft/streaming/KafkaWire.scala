@@ -6308,8 +6308,13 @@ object KafkaWire {
 
   val ConsumerGroupHeartbeatApiKey = 68
   /** v1 (AK 4.0): SubscribedTopicRegex — the broker-side regex
-    * subscription KIP-848 completes the consumer API with. */
-  val ConsumerGroupHeartbeatMaxVersion = 1
+    * subscription KIP-848 completes the consumer API with. v2
+    * (AK 4.1): wire-compatible with v1 — no new mandatory fields in
+    * either direction (hand-derived like the rest; any 4.1 additions
+    * ride optional tagged fields, which this codec's empty tag
+    * buffers answer validly) — served so a 4.1 client negotiating
+    * its preferred version doesn't down-negotiate. */
+  val ConsumerGroupHeartbeatMaxVersion = 2
   val ConsumerGroupDescribeApiKey = 69
   val ConsumerGroupDescribeMaxVersion = 0
 
@@ -7237,10 +7242,17 @@ object KafkaWire {
   // behind them is [[graft.streaming.ShareGroup]]; these codecs are
   // the wire shape only. ---
 
+  // v1 (AK 4.1, KIP-932 GA — hand-derived from the public spec like
+  // the v0 codecs): ShareFetch gains top-level max_records +
+  // batch_size and DROPS the per-partition partition_max_bytes (flow
+  // control moved from bytes-per-partition to records-per-request);
+  // ShareAcknowledge v1 is schema-identical to v0 (the stable-version
+  // alignment bump, so a 4.1 client sees matching maxima on both
+  // share RPCs).
   val ShareFetchApiKey = 78
-  val ShareFetchMaxVersion = 0
+  val ShareFetchMaxVersion = 1
   val ShareAcknowledgeApiKey = 79
-  val ShareAcknowledgeMaxVersion = 0
+  val ShareAcknowledgeMaxVersion = 1
 
   /** One acknowledgement batch over offsets [first, last]: either ONE
     * acknowledge type applying to the whole range, or one per offset.
@@ -7255,7 +7267,14 @@ object KafkaWire {
       groupId: String, memberId: String, sessionEpoch: Int,
       maxWaitMs: Int, minBytes: Int, maxBytes: Int,
       topics: Seq[(String, Seq[ShareFetchPartition])],
-      forgotten: Seq[(String, Seq[Int])])
+      forgotten: Seq[(String, Seq[Int])],
+      /** wire version the request arrived at (v1+ flow-controls by
+        * records; v0 by partition_max_bytes) */
+      version: Int = 0,
+      /** v1+: cap on records acquired across the whole response */
+      maxRecords: Int = Int.MaxValue,
+      /** v1+: preferred per-partition acquisition batch size */
+      batchSize: Int = Int.MaxValue)
 
   private def writeShareAckBatches(w: WR, acks: Seq[ShareAckBatch]): Unit = {
     w.count(acks.length)
@@ -7279,9 +7298,13 @@ object KafkaWire {
       topics: Seq[(String, Seq[ShareFetchPartition])],
       forgotten: Seq[(String, Seq[Int])] = Seq.empty,
       maxWaitMs: Int = 500, minBytes: Int = 1,
-      maxBytes: Int = 64 * 1024 * 1024): Array[Byte] = {
+      maxBytes: Int = 64 * 1024 * 1024, version: Int = 0,
+      maxRecords: Int = Int.MaxValue,
+      batchSize: Int = Int.MaxValue): Array[Byte] = {
+    require(version >= 0 && version <= ShareFetchMaxVersion,
+      s"unsupported ShareFetch version $version")
     val out = new ByteArrayOutputStream()
-    requestHeader(out, ShareFetchApiKey, 0, correlationId, clientId,
+    requestHeader(out, ShareFetchApiKey, version, correlationId, clientId,
       flexible = true)
     val w = new WR(out, flexible = true)
     w.str(groupId)
@@ -7290,13 +7313,14 @@ object KafkaWire {
     w.i32(maxWaitMs)
     w.i32(minBytes)
     w.i32(maxBytes)
+    if (version >= 1) { w.i32(maxRecords); w.i32(batchSize) }
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
       w.uuid(topicUuid(name))
       w.count(parts.length)
       parts.foreach { p =>
         w.i32(p.partition)
-        w.i32(p.partitionMaxBytes)
+        if (version == 0) w.i32(p.partitionMaxBytes)
         writeShareAckBatches(w, p.acks)
         w.tags()
       }
@@ -7317,7 +7341,9 @@ object KafkaWire {
       : ShareFetchRequest = {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == ShareFetchApiKey, "not a ShareFetch request")
-    require(buf.getShort.toInt == 0, "unsupported ShareFetch version")
+    val version = buf.getShort.toInt
+    require(version >= 0 && version <= ShareFetchMaxVersion,
+      s"unsupported ShareFetch version $version")
     val correlationId = buf.getInt
     val clientId = readNullableString(buf)
     readTags(buf)
@@ -7328,12 +7354,15 @@ object KafkaWire {
     val maxWaitMs = r.i32()
     val minBytes = r.i32()
     val maxBytes = r.i32()
+    val maxRecords = if (version >= 1) r.i32() else Int.MaxValue
+    val batchSize = if (version >= 1) r.i32() else Int.MaxValue
     def resolve(id: Array[Byte]): String =
       topicIdResolver(id).getOrElse(unknownIdName(id))
     val topics = (0 until r.count()).map { _ =>
       val name = resolve(r.uuid())
       val parts = (0 until r.count()).map { _ =>
-        val p = r.i32(); val pmb = r.i32()
+        val p = r.i32()
+        val pmb = if (version == 0) r.i32() else Int.MaxValue
         val acks = readShareAckBatches(r)
         r.tags()
         ShareFetchPartition(p, pmb, acks)
@@ -7349,7 +7378,9 @@ object KafkaWire {
     }.toSeq
     r.tags()
     ShareFetchRequest(correlationId, clientId, groupId, memberId,
-      sessionEpoch, maxWaitMs, minBytes, maxBytes, topics, forgotten)
+      sessionEpoch, maxWaitMs, minBytes, maxBytes, topics, forgotten,
+      version, if (maxRecords <= 0) Int.MaxValue else maxRecords,
+      if (batchSize <= 0) Int.MaxValue else batchSize)
   }
 
   /** One acquired-records run in a ShareFetch response: offsets
@@ -7455,10 +7486,13 @@ object KafkaWire {
 
   def encodeShareAcknowledgeRequest(correlationId: Int, clientId: String,
       groupId: String, memberId: String, sessionEpoch: Int,
-      topics: Seq[(String, Seq[(Int, Seq[ShareAckBatch])])]): Array[Byte] = {
+      topics: Seq[(String, Seq[(Int, Seq[ShareAckBatch])])],
+      version: Int = 0): Array[Byte] = {
+    require(version >= 0 && version <= ShareAcknowledgeMaxVersion,
+      s"unsupported ShareAcknowledge version $version")
     val out = new ByteArrayOutputStream()
-    requestHeader(out, ShareAcknowledgeApiKey, 0, correlationId, clientId,
-      flexible = true)
+    requestHeader(out, ShareAcknowledgeApiKey, version, correlationId,
+      clientId, flexible = true)
     val w = new WR(out, flexible = true)
     w.str(groupId)
     w.str(memberId)
@@ -7484,7 +7518,9 @@ object KafkaWire {
     val buf = unframe(bytes)
     require(buf.getShort.toInt == ShareAcknowledgeApiKey,
       "not a ShareAcknowledge request")
-    require(buf.getShort.toInt == 0, "unsupported ShareAcknowledge version")
+    val ackVersion = buf.getShort.toInt
+    require(ackVersion >= 0 && ackVersion <= ShareAcknowledgeMaxVersion,
+      s"unsupported ShareAcknowledge version $ackVersion")
     val correlationId = buf.getInt
     val clientId = readNullableString(buf)
     readTags(buf)

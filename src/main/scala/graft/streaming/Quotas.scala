@@ -24,10 +24,12 @@ import java.util.Base64
   *   4. /users/def/clients/<client>      8. /clients/<default>
   *
   * Served quota keys: `producer_byte_rate`, `consumer_byte_rate`
-  * (both enforced) and `request_percentage` (stored and described —
-  * the admin surface accepts it — but not enforced: this broker has
-  * no request-handler thread pool to meter; disclosed here and in
-  * SURVEY). Values persist as `_quotas/v{N}.json` CAS snapshots (the
+  * (byte meters on the produce/fetch paths) and `request_percentage`
+  * (a wall-time meter over EVERY dispatched request: thread-per-
+  * connection makes the handler's elapsed time one clock read per
+  * side, so a quota of N — N% of one handler thread — allows N×10 ms
+  * of handler time per second, enforced by the same window + hold).
+  * Values persist as `_quotas/v{N}.json` CAS snapshots (the
   * ScramStore protocol), so an acknowledged alteration survives
   * restart.
   */
@@ -149,6 +151,23 @@ object Quotas {
           val meter = meters.getOrElseUpdate((entity, key), new RateMeter())
           meter.record(bytes, nowMs)
           meter.throttleMs(quota, nowMs)
+      }
+
+    /** `request_percentage`: meter request-HANDLER milliseconds
+      * against a percentage-of-one-thread budget. On a
+      * thread-per-connection broker the natural denominator is one
+      * handler thread, so a quota of N allows N% of one second =
+      * N×10 ms of handler time per second, enforced through the same
+      * sliding window + computed-hold as the byte-rate keys. */
+    def recordRequestTime(user: String, clientId: String,
+        elapsedMs: Long, nowMs: Long): Long =
+      resolve(user, clientId, RequestPercentage) match {
+        case None => 0L
+        case Some((entity, pct)) =>
+          val meter = meters.getOrElseUpdate((entity, RequestPercentage),
+            new RateMeter())
+          meter.record(elapsedMs, nowMs)
+          meter.throttleMs(pct * 10.0, nowMs)
       }
 
     /** DescribeClientQuotas matching: components constrain entity

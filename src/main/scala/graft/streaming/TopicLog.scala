@@ -315,6 +315,76 @@ class TopicLog private (
       .orderBy("offset")
       .limit(maxRecords)
 
+  /** Driver-direct range read: up to `maxRecords` records of
+    * `partition` with offset in [fromOffset, toOffset], hydrated by
+    * DIRECT parquet reads of the manifest files whose recorded offset
+    * ranges cover the span — ZERO Spark jobs. One footer + scan per
+    * covering file, with the offset bounds compiled to a parquet
+    * FilterPredicate (row-group stats skip + record-level filter, the
+    * same mechanism the DSv2 reader pushes down,
+    * sources/GraftTopicSource.scala:408). This is the wire fetch
+    * path's read: a ShareFetch/Fetch of a committed range costs file
+    * I/O proportional to the range, not a ~0.4 s Spark job per
+    * (partition × window). None when the manifest is absent or any
+    * candidate file lacks a recorded range (pre-range manifests) —
+    * the caller falls back to the Spark path. Callers must hold the
+    * same reader exclusion as the Spark path (the broker's
+    * maintenance read-lock) so compaction cannot rewrite files
+    * mid-read. */
+  def consumeDirect(partition: Int, fromOffset: Long, maxRecords: Int,
+      toOffset: Long = Long.MaxValue): Option[Seq[TopicLog.DirectRecord]] = {
+    if (maxRecords <= 0 || toOffset < fromOffset)
+      return if (currentManifest().isDefined) Some(Seq.empty) else None
+    currentManifest().flatMap { m =>
+      val prefix = s"partition=$partition/"
+      val mine = m.files.filter(_.startsWith(prefix))
+      val ranged = mine.map(f => m.fileRanges.get(f).map(r => (f, r._1, r._2)))
+      if (ranged.exists(_.isEmpty)) None
+      else {
+        val candidates = ranged.flatten
+          .filter { case (_, lo, hi) => hi >= fromOffset && lo <= toOffset }
+          .sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[TopicLog.DirectRecord]
+        // once maxRecords are in hand, files starting past the k-th
+        // smallest collected offset cannot improve the answer — with
+        // the usual non-overlapping produce files this stops after
+        // the first file(s) covering the window
+        var kth = Long.MaxValue
+        candidates.foreach { case (f, lo, _) =>
+          if (lo <= kth) {
+            out ++= TopicLog.readDirect(
+              Paths.get(dataDir).resolve(f), fromOffset,
+              math.min(toOffset, kth))
+            if (out.size >= maxRecords) {
+              val sorted = out.sortInPlaceBy(_.offset)
+              kth = sorted(maxRecords - 1).offset
+            }
+          }
+        }
+        Some(out.sortBy(_.offset).take(maxRecords).toSeq)
+      }
+    }
+  }
+
+  /** The wire-serving read: [[consumeDirect]] when the manifest
+    * carries ranges, else the Spark path materialized to the same
+    * shape (legacy pre-range topics only). */
+  def consumeForWire(partition: Int, fromOffset: Long, maxRecords: Int,
+      toOffset: Long = Long.MaxValue): Seq[TopicLog.DirectRecord] =
+    consumeDirect(partition, fromOffset, maxRecords, toOffset).getOrElse {
+      consume(partition, fromOffset, maxRecords)
+        .filter(col("offset") <= toOffset)
+        .select("offset", "key", "value", "headers", "ts").collect().toSeq
+        .map { r =>
+          TopicLog.DirectRecord(r.getAs[Long]("offset"),
+            Option(r.getAs[java.sql.Timestamp]("ts")).map(_.getTime)
+              .getOrElse(-1L),
+            r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+            Option(r.getAs[Map[String, Array[Byte]]]("headers"))
+              .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty))
+        }
+    }
+
   /** Read the whole log (all partitions) as a DataFrame — only files
     * the current manifest references (uncommitted/orphaned files are
     * invisible); falls back to a plain dir scan for pre-manifest
@@ -1044,6 +1114,107 @@ object TopicLog {
 
   private[graft] def manifestEnds(topicDir: String): Option[Map[Int, Long]] =
     latestManifest(topicDir).map(_.ends)
+
+  /** One wire-servable record hydrated WITHOUT a Spark job: the Kafka
+    * record model with the timestamp already in epoch millis (−1 =
+    * absent) and headers name-sorted. */
+  case class DirectRecord(offset: Long, timestampMs: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])])
+
+  /** Scan ONE committed parquet file for records with offset in
+    * [fromOffset, toOffset] — parquet-hadoop directly on the driver,
+    * no Spark job. The bounds ride as a FilterPredicate so row groups
+    * outside the span are skipped from their stats (the same
+    * pushdown the DSv2 reader compiles,
+    * sources/GraftTopicSource.scala:416). Timestamp decode handles
+    * INT96 and INT64 millis/micros/nanos like the DSv2 reader's
+    * (GraftTopicSource.scala:463). */
+  private[streaming] def readDirect(file: Path, fromOffset: Long,
+      toOffset: Long): Seq[DirectRecord] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+    val c = FilterApi.longColumn("offset")
+    var pred = FilterApi.gtEq(c, java.lang.Long.valueOf(fromOffset))
+      .asInstanceOf[org.apache.parquet.filter2.predicate.FilterPredicate]
+    if (toOffset != Long.MaxValue)
+      pred = FilterApi.and(pred,
+        FilterApi.ltEq(c, java.lang.Long.valueOf(toOffset)))
+    val reader = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(file.toString))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withFilter(FilterCompat.get(pred))
+      .build()
+
+    def tsMillis(g: Group, idx: Int): Long = {
+      val prim = g.getType.getType(idx).asPrimitiveType()
+      prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT96 =>
+          val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay - 2440588L) * 86400000L + nanosOfDay / 1000000L
+        case PrimitiveTypeName.INT64 =>
+          val v = g.getLong(idx, 0)
+          prim.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v
+            case t: TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+              v / 1000000L
+            case _ => v / 1000L // micros
+          }
+        case other => throw new UnsupportedOperationException(
+          s"TopicLog.readDirect: timestamp stored as $other")
+      }
+    }
+    def headersOf(g: Group, idx: Int): Seq[(String, Array[Byte])] = {
+      val mapGroup = g.getGroup(idx, 0)
+      val n = mapGroup.getFieldRepetitionCount(0)
+      (0 until n).map { i =>
+        val kv = mapGroup.getGroup(0, i)
+        val hk = new String(kv.getBinary("key", 0).getBytes, "UTF-8")
+        val hv =
+          if (kv.getType.asGroupType().getFieldCount > 1 &&
+              kv.getFieldRepetitionCount(1) > 0) kv.getBinary(1, 0).getBytes
+          else null
+        (hk, hv)
+      }.sortBy(_._1)
+    }
+
+    try {
+      val out = Seq.newBuilder[DirectRecord]
+      var g = reader.read()
+      while (g != null) {
+        val schema = g.getType
+        val offIdx = schema.getFieldIndex("offset")
+        val keyIdx = schema.getFieldIndex("key")
+        val valIdx = schema.getFieldIndex("value")
+        val hdrIdx = schema.getFieldIndex("headers")
+        val tsIdx = schema.getFieldIndex("ts")
+        out += DirectRecord(
+          g.getLong(offIdx, 0),
+          if (g.getFieldRepetitionCount(tsIdx) == 0) -1L
+          else tsMillis(g, tsIdx),
+          if (g.getFieldRepetitionCount(keyIdx) == 0) null
+          else g.getBinary(keyIdx, 0).getBytes,
+          if (g.getFieldRepetitionCount(valIdx) == 0) null
+          else g.getBinary(valIdx, 0).getBytes,
+          if (g.getFieldRepetitionCount(hdrIdx) == 0) Seq.empty
+          else headersOf(g, hdrIdx))
+        g = reader.read()
+      }
+      out.result()
+    } finally reader.close()
+  }
 
   /** Kafka record model (key, value, headers, timestamp) + log
     * coordinates (partition, offset). */

@@ -328,7 +328,14 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                 // from a previous connection must never leak in
                 broker.authCtx.set((principal, clientHost))
                 broker.authKindCtx.set(authKind)
-                out.write(dispatch(apiKey, framed)); out.flush()
+                val t0 = System.nanoTime()
+                val resp = dispatch(apiKey, framed)
+                // request_percentage: handler wall time metered per
+                // request; a bound quota holds the response (channel
+                // muting) before it leaves
+                broker.requestTimeHold(clientIdOf(payload),
+                  (System.nanoTime() - t0) / 1000000L)
+                out.write(resp); out.flush()
             }
           } catch {
             case e: Exception =>
@@ -343,6 +350,18 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
       case e: Exception =>
         System.err.println(s"graft WireServer connection error: $e")
     } finally sock.close()
+  }
+
+  /** The request header's client_id, parsed without a full decode
+    * (header v1/v2: api_key i16, version i16, correlation i32, then
+    * the INT16-length nullable string) — the quota entity's client
+    * axis. Malformed headers answer "" rather than failing the quota
+    * path; the handler's own decode reports the real error. */
+  private def clientIdOf(payload: Array[Byte]): String = {
+    if (payload.length < 10) return ""
+    val len = ((payload(8) & 0xff) << 8) | (payload(9) & 0xff)
+    if (len == 0xffff || len == 0 || payload.length < 10 + len) ""
+    else new String(payload, 10, len, "UTF-8")
   }
 
   /** Check one RFC 4616 PLAIN token against the credential map;

@@ -139,7 +139,31 @@ object ScaleBench {
       println(f"events volumes at $d: events=$nEvents%d users=$nUsers%d " +
         f"sessions=$nSessions%d cohort_weeks=$nWeeks%d")
     }
+    // Round-9 addition (§2h probe, cooccurrence): the pair explode
+    // happens INSIDE per-user collect_set arrays, so its volume is
+    // Σ_user C(|types_u|, 2) ≤ users × C(|types|, 2) — it must track
+    // the USER count (with the per-user bound a domain constant),
+    // never events².
+    for (d <- evDirs) {
+      val ev = graft.Tables.events(spark, d)
+      val ut = ev.select("user_id", "event_type").distinct()
+      val nTypes = ev.select("event_type").distinct().count()
+      val perUser = ut.groupBy("user_id").agg(count(lit(1)).as("k"))
+      val stats = perUser.agg(count(lit(1)).as("users"),
+        max(col("k")).as("max_k"), avg(col("k")).as("avg_k"),
+        sum(col("k") * (col("k") - 1) / 2).as("pair_rows")).collect()(0)
+      println(f"cooccurrence volumes at $d: types=$nTypes%d " +
+        f"users=${stats.getAs[Long]("users")}%d " +
+        f"max_types_per_user=${stats.getAs[Long]("max_k")}%d " +
+        f"avg=${stats.getAs[Double]("avg_k")}%.2f " +
+        f"pair_explode_rows=${stats.getAs[java.math.BigDecimal]("pair_rows")}%s " +
+        f"(bound users*C(types,2)=${stats.getAs[Long]("users") * nTypes * (nTypes - 1) / 2}%d)")
+    }
     if (evDirs.nonEmpty) {
+      time("events_cooccurrence 1x")(noop(
+        graft.operators.EventAnalytics.cooccurrence(spark, baseDir)))
+      time("events_cooccurrence 10x")(noop(
+        graft.operators.EventAnalytics.cooccurrence(spark, eventsScaled)))
       time("events_sessionize 1x")(noop(
         graft.operators.EventAnalytics.sessionize(spark, baseDir)))
       time("events_sessionize 10x")(noop(

@@ -382,7 +382,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
         encodeApiVersionsRequestV3(1, "trace-4x", "apache-kafka-java", "4.0.0")))
       val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
       // the 4.x decision point: key 68 present → new protocol usable
-      assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 1)))
+      // (v2 = the AK 4.1 maximum, so a 4.1 client doesn't down-negotiate)
+      assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 2)))
       assert(advertised(KafkaWire.ConsumerGroupDescribeApiKey) === ((0, 0)))
 
       // enable.metrics.push defaults to true since 3.7: the client's
@@ -407,10 +408,11 @@ class ModernClientTraceSpec extends AnyFunSuite {
       def rec(k: String, v: String) =
         WireRecordV2(1700000000000L, k.getBytes("UTF-8"), v.getBytes("UTF-8"))
       val resolver = topicIdResolverFor(Seq("t848"))
-      // join: epoch 0, coordinator-generated member id, full grant
+      // join: epoch 0, coordinator-generated member id, full grant —
+      // at the negotiated v2 (min of client 2, broker 2)
       val join = decodeConsumerGroupHeartbeatResponse(exchange(sock,
         encodeConsumerGroupHeartbeatRequest(2, "trace-4x", "g4x", "", 0,
-          Seq("t848"))), resolver)
+          Seq("t848"), version = 2)), resolver)
       assert(join._2 === 0)
       val memberId = join._4
       assert(join._5 === 1)
@@ -463,12 +465,14 @@ class ModernClientTraceSpec extends AnyFunSuite {
     try {
       val apis = decodeApiVersionsResponseV3(exchange(sock,
         encodeApiVersionsRequestV3(1, "trace-share", "apache-kafka-java",
-          "4.0.0")))
+          "4.1.0")))
       val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
       // the share consumer's decision point: membership + queue RPCs
+      // (ShareFetch/ShareAcknowledge at the AK 4.1 maximum v1, so a
+      // 4.1 share consumer negotiates v1 = min(1, 1) below)
       assert(advertised(KafkaWire.ShareGroupHeartbeatApiKey) === ((0, 0)))
-      assert(advertised(KafkaWire.ShareFetchApiKey) === ((0, 0)))
-      assert(advertised(KafkaWire.ShareAcknowledgeApiKey) === ((0, 0)))
+      assert(advertised(KafkaWire.ShareFetchApiKey) === ((0, 1)))
+      assert(advertised(KafkaWire.ShareAcknowledgeApiKey) === ((0, 1)))
 
       // records arrive over the idempotent produce path first
       def rec(k: String, v: String) =
@@ -487,10 +491,13 @@ class ModernClientTraceSpec extends AnyFunSuite {
       assert(jErr === 0 && memberId.nonEmpty)
       assert(jAsg === Some(Seq("tq" -> Seq(0))))
 
-      // epoch 0 opens the share session UNDER THE ISSUED IDENTITY
+      // epoch 0 opens the share session UNDER THE ISSUED IDENTITY —
+      // at the negotiated v1, record-count flow control (max_records
+      // + batch_size replace v0's per-partition byte cap)
       val r1 = decodeShareFetchResponse(exchange(sock,
         encodeShareFetchRequest(3, "trace-share", "sg4x", memberId, 0,
-          Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
+          Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
+          version = 1, maxRecords = 500, batchSize = 500)),
         resolver)
       assert(r1._2 === 0)
       val p1 = r1._4.head._2.head
@@ -502,7 +509,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
       val r2 = decodeShareFetchResponse(exchange(sock,
         encodeShareFetchRequest(4, "trace-share", "sg4x", memberId, 1,
           Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20,
-            Seq(ShareAckBatch(0L, 2L, Seq(1)))))))), resolver)
+            Seq(ShareAckBatch(0L, 2L, Seq(1)))))),
+          version = 1, maxRecords = 500, batchSize = 500)), resolver)
       assert(r2._2 === 0)
       assert(r2._4.head._2.head.ackErrorCode === 0)
       assert(r2._4.head._2.head.records.isEmpty) // everything terminal
@@ -510,8 +518,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
       // clean shutdown: epoch −1 closes the share session
       val r3 = decodeShareFetchResponse(exchange(sock,
         encodeShareFetchRequest(5, "trace-share", "sg4x", memberId, -1,
-          Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
-        resolver)
+          Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
+          version = 1)), resolver)
       assert(r3._2 === 0)
       // the drained group is visible to admin tooling as type "share"
       val (_, _, groups) = decodeListGroupsResponse(5, exchange(sock,

@@ -189,6 +189,45 @@ class QuotaSpec extends AnyFunSuite {
     } finally { sock2.close(); server2.close() }
   }
 
+  test("request_percentage meters handler time and holds the response") {
+    val root = Files.createTempDirectory("graft-quota-req").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("rp", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // percentage 0.1 → 1 ms of handler time per second: a couple of
+      // real requests overrun the budget and the next response is held
+      val e = Entity(None, Some(Some("busy-cli")))
+      val (_, made) = decodeAlterClientQuotasResponse(exchange(sock,
+        encodeAlterClientQuotasRequest(1, 1, "cli",
+          Seq((e, Seq((RequestPercentage, 0.1, false)))),
+          validateOnly = false)), 1)
+      assert(made === Seq((0, null, e)))
+
+      def produce(corr: Int): Long = {
+        val t0 = System.nanoTime()
+        exchange(sock, encodeProduceRequest(3, corr, "busy-cli", null, 1,
+          30000, Seq(("rp", Seq((0, Seq(WireRecordV2(-1L, "k".getBytes,
+            ("v" * 2048).getBytes))))))))
+        (System.nanoTime() - t0) / 1000000L
+      }
+      // burn handler time until the meter overruns, then observe the
+      // bounded hold on a subsequent request
+      (0 until 5).foreach(i => produce(10 + i))
+      val held = produce(20)
+      assert(held >= 500,
+        s"expected the request_percentage hold, got ${held}ms")
+      // a different client id is not governed: no hold
+      val t0 = System.nanoTime()
+      exchange(sock, encodeProduceRequest(3, 21, "free-cli", null, 1,
+        30000, Seq(("rp", Seq((0, Seq(WireRecordV2(-1L, "k".getBytes,
+          "v".getBytes))))))))
+      val free = (System.nanoTime() - t0) / 1000000L
+      assert(free < 500, s"ungoverned client held ${free}ms")
+    } finally { sock.close(); server.close() }
+  }
+
   test("quota admin sits behind the cluster config ACLs") {
     val root = Files.createTempDirectory("graft-quota-acl").toString
     val broker = new Broker(spark, root)

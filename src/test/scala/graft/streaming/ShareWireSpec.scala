@@ -104,6 +104,79 @@ class ShareWireSpec extends AnyFunSuite {
       Seq("t" -> Seq(0 -> Seq(ShareAckBatch(0L, 2L, Seq(1)))))) === golden)
   }
 
+  test("ShareFetch v1 request matches the hand-laid golden frame") {
+    // v1 (AK 4.1 GA): top-level max_records + batch_size, NO
+    // per-partition partition_max_bytes — record-count flow control
+    val golden = (Array[Int](
+      0x00, 0x00, 0x00, 0x43, // frame size 67
+      0x00, 0x4e, // api_key 78
+      0x00, 0x01, // version 1
+      0x00, 0x00, 0x00, 0x09, // correlation id 9
+      0x00, 0x01, 0x63, // client id "c"
+      0x00, // header tags
+      0x02, 0x67, // group_id compact "g"
+      0x02, 0x6d, // member_id compact "m"
+      0x00, 0x00, 0x00, 0x00, // share_session_epoch 0
+      0x00, 0x00, 0x01, 0xf4, // max_wait_ms 500
+      0x00, 0x00, 0x00, 0x01, // min_bytes 1
+      0x04, 0x00, 0x00, 0x00, // max_bytes 64 MiB
+      0x00, 0x00, 0x00, 0x64, // max_records 100 (v1)
+      0x00, 0x00, 0x00, 0x32, // batch_size 50 (v1)
+      0x02 // topics: compact array length 1
+    ).map(_.toByte)
+      ++ topicUuid("t")
+      ++ Array[Int](
+        0x02, // partitions: compact array length 1
+        0x00, 0x00, 0x00, 0x00, // partition_index 0 (no max_bytes at v1)
+        0x01, // acknowledgement_batches: empty
+        0x00, // partition tags
+        0x00, // topic tags
+        0x01, // forgotten_topics_data: empty
+        0x00 // body tags
+      ).map(_.toByte))
+    assert(encodeShareFetchRequest(9, "c", "g", "m", 0,
+      Seq("t" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
+      version = 1, maxRecords = 100, batchSize = 50) === golden)
+    val rt = decodeShareFetchRequest(golden, topicIdResolverFor(Seq("t")))
+    assert(rt.version === 1 && rt.maxRecords === 100 && rt.batchSize === 50)
+    assert(rt.topics.head._2 === Seq(ShareFetchPartition(0, Int.MaxValue,
+      Seq.empty)))
+  }
+
+  test("ShareFetch v1 flow control: max_records caps the whole response") {
+    val (broker, _) = mkBroker(10)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // max_records 4 < the 10 available: exactly 4 acquire
+      val r1 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(1, "cli", "fc", "m1", 0,
+          Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
+          version = 1, maxRecords = 4, batchSize = 100)),
+        topicIdResolverFor(Seq("q")))
+      assert(r1._2 === 0)
+      val p1 = r1._4.head._2.head
+      assert(p1.records.map(_._1) === (0L until 4L))
+      assert(p1.acquired === Seq(ShareAcquired(0L, 3L, 1)))
+      // batch_size 2 with budget 10: the per-partition acquisition
+      // still stops at 2
+      val r2 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(2, "cli", "fc", "m1", 1,
+          Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
+          version = 1, maxRecords = 10, batchSize = 2)),
+        topicIdResolverFor(Seq("q")))
+      assert(r2._4.head._2.head.records.map(_._1) === Seq(4L, 5L))
+      // v1 acks ride like v0's; close applies them
+      val r3 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(3, "cli", "fc", "m1", -1,
+          Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20,
+            Seq(ShareAckBatch(0L, 5L, Seq(1)))))), version = 1)),
+        topicIdResolverFor(Seq("q")))
+      assert(r3._2 === 0 && r3._4.head._2.head.ackErrorCode === 0)
+      assert(broker.shareGroup("q", "fc").startOffset(0) === 6L)
+    } finally { sock.close(); server.close() }
+  }
+
   test("ShareFetch and ShareAcknowledge codecs round-trip") {
     val acks = Seq(ShareAckBatch(3L, 7L, Seq(1)),
       ShareAckBatch(9L, 11L, Seq(2, 3, 1)))
@@ -176,7 +249,7 @@ class ShareWireSpec extends AnyFunSuite {
       val apis = decodeApiVersionsResponseV3(exchange(sock,
         encodeApiVersionsRequestV3(0, "cli", "graft-test", "0")))
       assert(apis.apiKeys.filter(k => k._1 == 78 || k._1 == 79)
-        .map(k => (k._1, k._2, k._3)) === Seq((78, 0, 0), (79, 0, 0)))
+        .map(k => (k._1, k._2, k._3)) === Seq((78, 0, 1), (79, 0, 1)))
 
       // epoch 0 opens the session and acquires everything available
       val r1 = fetch(0)
