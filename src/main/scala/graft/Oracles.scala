@@ -271,6 +271,27 @@ object Oracles {
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q34_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
+        |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+        |    AS open_customers,
+        |  BOOL_OR(o_totalprice > 300000) AS has_large,
+        |  BOOL_AND(o_totalprice > 1000) AS all_above_1k
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_percent_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q32_lateral_topk" ->
       """SELECT n.n_name, c.c_name, c.c_acctbal
         |FROM nation n,

@@ -217,6 +217,21 @@ object OraclesEvents {
         |JOIN tot ta ON ta.event_type = a.event_type
         |JOIN tot tb ON tb.event_type = b.event_type
         |GROUP BY 1, 2, 4, 5
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "events_hourly_seasonality" ->
+      """SELECT event_type, isodow, hour_utc, n_events,
+        |  CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  sum_value
+        |FROM (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS isodow,
+        |    epoch_us(ts) // 3600000000 % 24 AS hour_utc,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2, 3) h
+        |JOIN (SELECT event_type, COUNT(*) AS total
+        |      FROM events GROUP BY 1) t USING (event_type)
+        |ORDER BY event_type, isodow, hour_utc""".stripMargin
   )
 }

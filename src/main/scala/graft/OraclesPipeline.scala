@@ -945,6 +945,15 @@ object OraclesPipeline {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
          |FROM documents GROUP BY 1, 2
-         |ORDER BY lang, source""".stripMargin
+         |ORDER BY lang, source""".stripMargin,
+
+    "pipeline_dedup_survivors" ->
+      """SELECT doc_id, content_hash, cluster_size FROM (
+        |  SELECT doc_id, md5(lower(text)) AS content_hash,
+        |    COUNT(*) OVER (PARTITION BY md5(lower(text))) AS cluster_size,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -50,6 +50,8 @@ object SparkEntry {
     "q31_correlated_agg" -> Relational.q31CorrelatedAgg _,
     "q32_lateral_topk" -> Relational.q32LateralTopk _,
     "q33_range_frame" -> Relational.q33RangeFrame _,
+    "q34_filtered_agg" -> Relational.q34FilteredAgg _,
+    "q35_percent_rank" -> Relational.q35PercentRank _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -81,6 +83,7 @@ object SparkEntry {
     "events_spike_days" -> EventAnalytics.spikeDays _,
     "events_anomaly_mad" -> EventAnalytics.anomalyMad _,
     "events_cooccurrence" -> EventAnalytics.cooccurrence _,
+    "events_hourly_seasonality" -> EventAnalytics.hourlySeasonality _,
     "events_user_segments" -> EventAnalytics.userSegments _,
     "events_path_conversion" -> EventAnalytics.pathConversion _,
     "events_dau_wau" -> EventAnalytics.dauWau _,
@@ -141,7 +144,8 @@ object SparkEntry {
     "pipeline_global_shuffle" -> ((s: SparkSession, d: String) => Pipeline.globalShuffle(s, d)),
     "docs_chunking" -> Pipeline.docsChunking _,
     "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _,
-    "pipeline_quality_report" -> Pipeline.qualityReport _
+    "pipeline_quality_report" -> Pipeline.qualityReport _,
+    "pipeline_dedup_survivors" -> Pipeline.dedupSurvivors _
   )
 
   def oracleSql: Map[String, String] =

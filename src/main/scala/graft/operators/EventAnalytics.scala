@@ -367,6 +367,32 @@ object EventAnalytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** Hour-of-day × ISO-weekday activity profile per event type — the
+    * seasonality heatmap behind capacity planning and anomaly
+    * baselines. Buckets are PURE INTEGER arithmetic on epoch µs
+    * (hour = µs DIV 3.6e9 mod 24; isodow from the epoch-day number,
+    * 1970-01-01 being a Thursday — no engine calendar/timezone in
+    * the loop), so edges cross engines exactly. ONE corpus scan and
+    * ONE shuffle reduce the stream to ≤ |types|×7×24 rows; the
+    * per-type total the share divides by is an unbounded-frame window
+    * over that tiny aggregate (re-aggregating the corpus for totals
+    * would scan it twice — plan-audited). */
+  def hourlySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = events(spark, dir).select(col("event_type"), col("value"),
+      expr(s"unix_micros(ts) DIV $HourUs % 24").as("hour_utc"),
+      expr(s"(unix_micros(ts) DIV $DayUs + 3) % 7 + 1").as("isodow"))
+    val hourly = ev.groupBy("event_type", "isodow", "hour_utc")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val total = sum(col("n_events")).over(Window.partitionBy("event_type"))
+    hourly
+      .select(col("event_type"), col("isodow"), col("hour_utc"),
+        col("n_events"),
+        (col("n_events").cast("double") / total.cast("double")).as("share"),
+        col("sum_value"))
+      .orderBy("event_type", "isodow", "hour_utc")
+  }
+
   /** Per-type daily activity with a trailing 7-day rolling window.
     * The RANGE window runs over the (event_type × day) AGGREGATE —
     * a frame bounded by the calendar, not the corpus — and the

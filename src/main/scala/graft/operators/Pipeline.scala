@@ -311,6 +311,26 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Survivorship dedup: exact-dup clusters (case-insensitive content
+    * digest) keep their BEST member — longest text, doc_id tie-break —
+    * and report the cluster size, the curation step between "find
+    * dups" (dedup_exact's shape) and "build the training corpus"
+    * (which needs ONE canonical doc per cluster, chosen by quality,
+    * not arbitrarily). One shuffle keyed by the 16-byte digest (text
+    * never shuffles twice: the window and the size count share the
+    * partitioning), reduce side = the distinct-content count. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"),
+      md5(lower(col("text")).cast("binary")).as("content_hash"))
+    val part = Window.partitionBy("content_hash")
+    val w = part.orderBy(col("n_chars").desc, col("doc_id").asc)
+    d.withColumn("rk", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(part))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("content_hash"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus quality report: the per-(lang, source) summary a dataset
     * curator reads before mixing — doc/duplicate/short counts and
     * token/char volume. One partial/final aggregate pair over the

@@ -585,6 +585,47 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q34: conditional aggregation — the FILTER-clause family. One
+    * hash aggregate over orders by priority: plain counts, filtered
+    * counts/sums (`count(when)` compiles to the same partial-agg
+    * shape as SQL's FILTER), a filtered DISTINCT (two-phase under the
+    * same grouping key), and boolean aggregates (max/min over
+    * booleans ≡ bool_or/bool_and). Map-side combined; the reduce side
+    * is |priorities| rows. Decimal path for the money sum (§5). */
+  def q34FilteredAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast(DecimalType(18, 4)))).cast("double")
+          .as("finished_value"),
+        countDistinct(when(col("o_orderstatus") === "O", col("o_custkey")))
+          .as("open_customers"),
+        max(col("o_totalprice") > 300000.0).as("has_large"),
+        min(col("o_totalprice") > 1000.0).as("all_above_1k"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q35: fraction-based ranking windows — percent_rank ((rank−1)/
+    * (N−1)) and cume_dist (peers≤current / N) per nation over
+    * customer balances. Both are exact integer ratios evaluated in
+    * one IEEE division, so the doubles cross engines bit-identically;
+    * the custkey tie-break makes every rank deterministic. Parallel
+    * in #partitions; a window partition pays one sort — the
+    * semantics' price, mitigated at scale by the partition key's
+    * cardinality (here nations — the q25 family's shape). */
+  def q35PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    c.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_custkey")
+  }
+
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))
