@@ -84,16 +84,28 @@ class Broker(spark: SparkSession, root: String) {
     math.min(t, Int.MaxValue.toLong).toInt
   }
 
+  /** Milliseconds this request spent PARKED in a long-poll wait
+    * (KIP-74) — subtracted from the request_percentage meter, because
+    * a parked thread holds no handler resource (Kafka's request
+    * quota meters io-thread time, which excludes purgatory waits —
+    * without this an idle max_wait_ms consumer would throttle itself
+    * by waiting). Reset per request by the wire server. */
+  private[streaming] val parkedMsCtx = new ThreadLocal[Long] {
+    override def initialValue(): Long = 0L
+  }
+
   /** `request_percentage` enforcement (KIP-546): the wire server
     * reports each request's handler wall time here AFTER dispatch;
     * when a percentage quota binds the governing entity, the response
     * is held like the byte-rate throttles (channel muting — Kafka's
     * enforcement). Thread-per-connection makes per-request wall-time
-    * metering one clock read on each side of the handler. */
+    * metering one clock read on each side of the handler; long-poll
+    * park time is excluded via [[parkedMsCtx]]. */
   private[streaming] def requestTimeHold(clientId: String,
       elapsedMs: Long): Unit = {
+    val active = math.max(0L, elapsedMs - parkedMsCtx.get())
     val t = quotas.recordRequestTime(currentUser,
-      Option(clientId).getOrElse(""), elapsedMs,
+      Option(clientId).getOrElse(""), active,
       System.currentTimeMillis())
     quotaHold(math.min(t, Int.MaxValue.toLong).toInt)
   }
@@ -1625,8 +1637,11 @@ class Broker(spark: SparkSession, root: String) {
     while (serve._1 < req.minBytes && !anyError &&
         System.currentTimeMillis() < deadline) {
       val remaining = deadline - System.currentTimeMillis()
-      if (remaining > 0)
+      if (remaining > 0) {
+        val w0 = System.currentTimeMillis()
         dataArrived.synchronized { dataArrived.wait(math.min(remaining, 200L)) }
+        parkedMsCtx.set(parkedMsCtx.get() + (System.currentTimeMillis() - w0))
+      }
       serve = serveFetchPass(req, req0.sessionEpoch, session)
     }
     val (servedBytes, out, lsoMap, codecByTopic) = serve
@@ -3063,8 +3078,11 @@ class Broker(spark: SparkSession, root: String) {
     while (pass._2 == 0 && req.minBytes > 0 && req.sessionEpoch != -1 &&
         System.currentTimeMillis() < deadline) {
       val remaining = deadline - System.currentTimeMillis()
-      if (remaining > 0)
+      if (remaining > 0) {
+        val w0 = System.currentTimeMillis()
         dataArrived.synchronized { dataArrived.wait(math.min(remaining, 200L)) }
+        parkedMsCtx.set(parkedMsCtx.get() + (System.currentTimeMillis() - w0))
+      }
       pass = shareFetchPass(retryReq, advertisedHost, advertisedPort,
         firstPass = false)
     }

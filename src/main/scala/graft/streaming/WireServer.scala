@@ -328,6 +328,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                 // from a previous connection must never leak in
                 broker.authCtx.set((principal, clientHost))
                 broker.authKindCtx.set(authKind)
+                broker.parkedMsCtx.set(0L)
                 val t0 = System.nanoTime()
                 val resp = dispatch(apiKey, framed)
                 // request_percentage: handler wall time metered per

@@ -225,6 +225,31 @@ class QuotaSpec extends AnyFunSuite {
           "v".getBytes))))))))
       val free = (System.nanoTime() - t0) / 1000000L
       assert(free < 500, s"ungoverned client held ${free}ms")
+
+      // long-poll park time is NOT handler time: a caught-up consumer
+      // waiting max_wait_ms under the same tight quota must not
+      // throttle itself by waiting (KIP-74 purgatory exclusion)
+      // 5% = 50 ms/s: empty-fetch handler time stays far below, but
+      // the ~1.8 s of PARK below would blow it ~4× if it were metered
+      val lpE = Entity(None, Some(Some("lp-cli")))
+      decodeAlterClientQuotasResponse(exchange(sock,
+        encodeAlterClientQuotasRequest(1, 30, "cli",
+          Seq((lpE, Seq((RequestPercentage, 5.0, false)))),
+          validateOnly = false)), 1)
+      def parkedFetch(corr: Int): Long = {
+        val t = System.nanoTime()
+        // fetch past the log end with min_bytes 1, max_wait 600 ms:
+        // parks the full window, serves nothing
+        exchange(sock, encodeFetchRequest(4, corr, "lp-cli", 600, 1,
+          1 << 20, Seq(("rp", Seq((0, 1000000L, 1 << 20))))))
+        (System.nanoTime() - t) / 1000000L
+      }
+      (0 until 3).foreach(i => parkedFetch(40 + i)) // ~1.8 s parked
+      // were park time metered, the 50 ms/s budget would be ~4× over
+      // and this response would hit the bounded 1 s hold
+      val after = parkedFetch(50)
+      assert(after < 1400,
+        s"parked fetch throttled (${after}ms) — park time was metered")
     } finally { sock.close(); server.close() }
   }
 
