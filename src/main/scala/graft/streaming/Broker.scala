@@ -502,10 +502,12 @@ class Broker(spark: SparkSession, root: String) {
           var retrying = true
           while (retrying)
             try {
-              import spark.implicits._
-              result = Some(log.produce(
-                rows.toDF("key", "value", "headers", "ts", "partition"),
-                partitioner = col("partition")))
+              // driver-direct append (no Spark job): request-sized
+              // batches through the same staging + CAS commit as the
+              // DataFrame path — see TopicLog.produceDirect
+              result = Some(log.produceDirect(rows.map {
+                case (k, v, h, ts, p) => (p, k, v, h, ts.getTime)
+              }))
               retrying = false
             } catch {
               case _: TopicLog.ConcurrentProduceException =>

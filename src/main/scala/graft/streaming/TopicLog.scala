@@ -147,6 +147,58 @@ class TopicLog private (
     } finally assigned.unpersist()
   }
 
+  /** Driver-direct produce for PRE-ROUTED record batches — the wire
+    * path's write, where a request carries a few thousand rows and a
+    * Spark job is pure scheduling overhead. One offset-sorted parquet
+    * file per partition is written with parquet-hadoop ON THE DRIVER
+    * (no Spark job), then the append rides the SAME staging-move +
+    * CAS manifest commit as [[produce]] — identical durability and
+    * concurrency semantics, including losing a conflicting race with
+    * [[TopicLog.ConcurrentProduceException]] for the caller to retry.
+    * Rows arrive in REQUEST order as (partition, key, value, headers,
+    * timestampMs); offsets assign per partition in that order.
+    * Returns the committed log-end offsets. */
+  def produceDirect(rows: Seq[(Int, Array[Byte], Array[Byte],
+      Map[String, Array[Byte]], Long)]): Map[Int, Long] = {
+    val m0 = ensureManifest()
+    if (rows.isEmpty) return m0.ends
+    val bad = rows.iterator.map(_._1).filter(p => p < 0 || p >= numPartitions)
+      .toSeq.distinct
+    require(bad.isEmpty,
+      s"produceDirect routed to nonexistent partition(s) " +
+        s"${bad.sorted.mkString(",")} (topic $topic has $numPartitions)")
+    val base = m0.ends
+    val staging = Paths.get(s"$topicDir/_staging/${java.util.UUID.randomUUID()}")
+    // groupBy preserves encounter order within each group, so a
+    // request listing a partition twice appends in request order;
+    // per-partition files are independent — write them concurrently
+    // (the moveStagedFiles footer-read idiom)
+    val byPart = rows.groupBy(_._1)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(byPart.toSeq) { case (p, rs) =>
+        Future {
+          val dir = staging.resolve(s"partition=$p")
+          Files.createDirectories(dir)
+          val b = base.getOrElse(p, 0L)
+          TopicLog.writeDirect(
+            dir.resolve(s"part-direct-${java.util.UUID.randomUUID()}.parquet"),
+            rs.iterator.zipWithIndex.map { case ((_, k, v, h, ts), i) =>
+              (b + i, k, v, h, ts)
+            })
+        }
+      }, Duration.Inf)
+    }
+    val moved = moveStagedFiles(staging)
+    val counts = byPart.map { case (p, rs) => p -> rs.size.toLong }
+    val newEnds = counts.map { case (p, n) => p -> (base.getOrElse(p, 0L) + n) }
+    commitWithRetry(m0, moved.map(_._1),
+      moved.map { case (rel, lo, hi) => rel -> (lo, hi) }.toMap,
+      counts, newEnds, None).ends
+  }
+
   /** Move every staged parquet file (per partition=N subdir) into the
     * live tree under a unique name; returns manifest-relative paths
     * with each file's [min,max] offset range (read once from its
@@ -1121,6 +1173,65 @@ object TopicLog {
   case class DirectRecord(offset: Long, timestampMs: Long,
       key: Array[Byte], value: Array[Byte],
       headers: Seq[(String, Array[Byte])])
+
+  /** The record layout [[writeDirect]] emits — the same COLUMNS in
+    * the same order as [[TopicLog.produce]]'s Spark-written files
+    * (key, value, headers MAP, ts, offset; `partition` stays a dir
+    * key). ts is INT64 TIMESTAMP(MICROS, adjusted-to-UTC), which
+    * Spark's reader, the DSv2 reader, and [[readDirect]] all decode
+    * to the same TimestampType micros as the Spark path's INT96. */
+  private lazy val directWriteSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  optional binary key;
+        |  optional binary value;
+        |  optional group headers (MAP) {
+        |    repeated group key_value {
+        |      required binary key (STRING);
+        |      optional binary value;
+        |    }
+        |  }
+        |  optional int64 ts (TIMESTAMP(MICROS,true));
+        |  required int64 offset;
+        |}""".stripMargin)
+
+  /** Write ONE offset-sorted record file with parquet-hadoop on the
+    * driver — [[produceDirect]]'s writer. Snappy like Spark's
+    * default, so direct and Spark-written files are uniform. */
+  private[streaming] def writeDirect(file: Path,
+      rows: Iterator[(Long, Array[Byte], Array[Byte],
+        Map[String, Array[Byte]], Long)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.io.api.Binary
+
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(directWriteSchema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file.toString))
+      .withConf(conf)
+      .withType(directWriteSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(directWriteSchema)
+    try rows.foreach { case (offset, key, value, headers, tsMillis) =>
+      val g = factory.newGroup()
+      if (key != null) g.add("key", Binary.fromConstantByteArray(key))
+      if (value != null) g.add("value", Binary.fromConstantByteArray(value))
+      if (headers != null && headers.nonEmpty) {
+        val hg = g.addGroup("headers")
+        headers.toSeq.sortBy(_._1).foreach { case (hk, hv) =>
+          val kv = hg.addGroup("key_value")
+          kv.add("key", Binary.fromString(hk))
+          if (hv != null) kv.add("value", Binary.fromConstantByteArray(hv))
+        }
+      }
+      g.add("ts", tsMillis * 1000L) // micros
+      g.add("offset", offset)
+      writer.write(g)
+    } finally writer.close()
+  }
 
   /** Scan ONE committed parquet file for records with offset in
     * [fromOffset, toOffset] — parquet-hadoop directly on the driver,
