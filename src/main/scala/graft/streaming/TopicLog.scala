@@ -1195,6 +1195,19 @@ object TopicLog {
         |  required int64 offset;
         |}""".stripMargin)
 
+  /** One shared read conf (Configuration construction parses the
+    * Hadoop default XMLs — per-call instances cost milliseconds the
+    * per-request wire path would pay on every file open) and one
+    * shared write conf carrying the constant [[directWriteSchema]].
+    * Both are effectively read-only after init. */
+  private lazy val directReadConf = new org.apache.hadoop.conf.Configuration()
+  private lazy val directWriteConf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(directWriteSchema, c)
+    c
+  }
+
   /** Write ONE offset-sorted record file with parquet-hadoop on the
     * driver — [[produceDirect]]'s writer. Snappy like Spark's
     * default, so direct and Spark-written files are uniform. */
@@ -1205,11 +1218,9 @@ object TopicLog {
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
     import org.apache.parquet.io.api.Binary
 
-    val conf = new org.apache.hadoop.conf.Configuration()
-    GroupWriteSupport.setSchema(directWriteSchema, conf)
     val writer = ExampleParquetWriter
       .builder(new org.apache.hadoop.fs.Path(file.toString))
-      .withConf(conf)
+      .withConf(directWriteConf)
       .withType(directWriteSchema)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -1260,7 +1271,7 @@ object TopicLog {
         FilterApi.ltEq(c, java.lang.Long.valueOf(toOffset)))
     val reader = ParquetReader.builder(new GroupReadSupport(),
         new org.apache.hadoop.fs.Path(file.toString))
-      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withConf(directReadConf)
       .withFilter(FilterCompat.get(pred))
       .build()
 
