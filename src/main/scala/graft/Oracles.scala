@@ -292,6 +292,15 @@ object Oracles {
         |  ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q36_listagg" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY rank) AS top_names
+        |FROM (SELECT c_nationkey, c_name,
+        |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rank
+        |      FROM customer) t
+        |WHERE rank <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q32_lateral_topk" ->
       """SELECT n.n_name, c.c_name, c.c_acctbal
         |FROM nation n,

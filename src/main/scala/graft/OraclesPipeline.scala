@@ -157,6 +157,19 @@ object OraclesPipeline {
        |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  private val annFilteredSql: String =
+    s"""WITH e AS ($embDouble),
+       |allowed AS (SELECT doc_id AS vec_id FROM documents
+       |            WHERE lang = 'en'),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |c AS (SELECT e.vec_id, e.v FROM e JOIN allowed USING (vec_id)
+       |      WHERE e.vec_id >= 5),
+       |s AS (SELECT qid, vec_id, ${cosR("qv", "v")} AS cos_sim FROM c CROSS JOIN q),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT qid, rank, vec_id, cos_sim FROM r WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   /** Same fixed-cell sampling stride as Similarity.ivfStride:
     * ceil((max_id+1)/16.0) — integer inputs through one exact double
     * division, so both engines compute the identical stride. */
@@ -325,6 +338,7 @@ object OraclesPipeline {
          |GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ann_bruteforce_topk" -> annBruteforceSql,
+    "ann_filtered_topk" -> annFilteredSql,
 
     "ann_hybrid_search" -> annHybridSql,
 

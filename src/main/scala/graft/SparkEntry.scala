@@ -52,6 +52,7 @@ object SparkEntry {
     "q33_range_frame" -> Relational.q33RangeFrame _,
     "q34_filtered_agg" -> Relational.q34FilteredAgg _,
     "q35_percent_rank" -> Relational.q35PercentRank _,
+    "q36_listagg" -> Relational.q36Listagg _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -120,6 +121,7 @@ object SparkEntry {
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
     "ann_hybrid_search" -> Similarity.annHybridSearch _,
+    "ann_filtered_topk" -> Similarity.annFilteredTopk _,
     "ann_lsh_topk" -> Similarity.annLshTopk _,
     "ann_ivf_topk" -> Similarity.annIvfTopk _,
     "ann_pq_topk" -> Similarity.annPqTopk _,

@@ -626,6 +626,27 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** q36: ordered string aggregation (LISTAGG / string_agg) — the
+    * per-group concatenation reports and exports lean on. The
+    * aggregation order is pinned END-TO-END: a rank window (top-5 by
+    * balance, custkey tie-break — WindowGroupLimit-planned like q26)
+    * bounds each group's payload, and the concat joins
+    * `collect_list(struct(rank, name))` AFTER an array_sort on the
+    * rank — collect_list's arrival order never leaks into the
+    * output, so the string crosses engines exactly. */
+  def q36Listagg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    c.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_top"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(rank, c_name))), s -> s.c_name), ',')").as("top_names"))
+      .orderBy("c_nationkey")
+  }
+
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))

@@ -43,6 +43,35 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Metadata-FILTERED vector search: top-k cosine restricted to
+    * vectors whose document (doc_id ≡ vec_id in the synthetic corpus)
+    * satisfies a metadata predicate (lang = 'en') — the production
+    * RAG pattern where the filter must INTERSECT the search, not
+    * post-filter its results (a post-filter under-fills k whenever
+    * the predicate is selective). The predicate resolves first as an
+    * id-keyed join (both sides shuffle on the SAME key — no corpus
+    * broadcast), then the brute cosine runs over the survivors only;
+    * at 100 TB the survivor scan swaps for ann_ivf_topk's
+    * cell-pruned scan exactly as ann_bruteforce does. */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val allowed = t(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val corpus = e.filter(col("vec_id") >= 5).join(allowed, "vec_id")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
   /** The hybrid-search query set: each query is a (vector, term-list)
     * pair — the query embedding is the same-id corpus vector (ids
     * 0–2, excluded from the corpus side with the ann convention's
