@@ -144,6 +144,33 @@ class DirectPathSpec extends AnyFunSuite {
       Seq("first", "second"))
   }
 
+  test("readStream tails direct-written files beside Spark-written ones") {
+    val root = tmpRoot()
+    val log = TopicLog.create(spark, root, "d6", 1)
+    log.produceDirect(directRows(0 until 8))
+    val q = log.readStream()
+      .groupBy("partition").agg(count(lit(1)).as("n"), max("ts").as("m"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("d6_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("d6_counts").collect()(0).getLong(1) === 8L)
+      // a Spark-vintage produce lands in the NEXT micro-batch
+      log.produce(
+        (0 until 5).toDF("i").select(
+          concat(lit("k"), col("i")).cast("binary").as("key"),
+          concat(lit("v"), col("i")).cast("binary").as("value")),
+        Partitioners.byLongKey(1, lit(0L)))
+      q.processAllAvailable()
+      val r = spark.table("d6_counts").collect()(0)
+      assert(r.getLong(1) === 13L)
+      // the direct files' INT64 timestamps decoded through the
+      // streaming (DSv2) reader too
+      assert(r.getAs[java.sql.Timestamp]("m").getTime >= 1700000000007L)
+    } finally q.stop()
+  }
+
   test("produceDirect rejects out-of-range partitions without committing") {
     val root = tmpRoot()
     val log = TopicLog.create(spark, root, "d5", 1)
