@@ -915,6 +915,18 @@ object OraclesPipeline {
          |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
          |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "mm_audio_energy" ->
+      """SELECT doc_id, window_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(b * b) AS BIGINT) AS energy
+        |FROM (
+        |  SELECT d.doc_id, (u.i - 1) // 256 AS window_idx,
+        |    CAST(ascii(substr(d.text, CAST(u.i AS INT), 1)) AS BIGINT) AS b
+        |  FROM documents d,
+        |       LATERAL UNNEST(generate_series(1, strlen(d.text))) AS u(i))
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, window_idx""".stripMargin,
+
     "mm_phash_dedup" ->
       """WITH r AS (SELECT doc_id,
         |  list_transform(generate_series(0, 31), i ->

@@ -134,6 +134,7 @@ object SparkEntry {
     // §2f multimodal plumbing (decode stubbed)
     "mm_features" -> Multimodal.mmFeatures _,
     "mm_phash_dedup" -> Multimodal.mmPhashDedup _,
+    "mm_audio_energy" -> Multimodal.mmAudioEnergy _,
     "mm_frame_pipeline" -> Multimodal.mmFramePipeline _,
     // §2g end-to-end training-data pipeline compositions
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,

@@ -166,6 +166,38 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** One audio analysis window: doc, window index, sample count,
+    * energy = Σ sample² (8-bit PCM stand-in — exact integers). */
+  case class AudioWindow(doc_id: Long, window_idx: Long,
+      n_samples: Long, energy: Long)
+
+  /** §2f query: windowed audio-energy extraction — the payload as an
+    * 8-bit PCM stream cut into fixed 256-sample analysis windows,
+    * per-window energy Σ sample² (the RMS numerator; the decode step
+    * is the byte-as-sample STUB, swapped for a real codec in
+    * deployment — the batch shape, window math, and partitioning are
+    * the real pipeline). All-integer arithmetic → full DuckDB oracle.
+    * Pure map-side flatMap per partition, window rows bounded by
+    * payload bytes / 256 — no shuffle before the output order. */
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val records = asMediaRecords(spark, dir)
+    import records.sparkSession.implicits._
+    records.mapPartitions { batch =>
+      batch.flatMap { r =>
+        r.payload.grouped(256).zipWithIndex.map { case (w, idx) =>
+          var energy = 0L
+          var i = 0
+          while (i < w.length) {
+            val s = (w(i) & 0xFF).toLong
+            energy += s * s
+            i += 1
+          }
+          AudioWindow(r.doc_id, idx.toLong, w.length.toLong, energy)
+        }
+      }
+    }.toDF().orderBy("doc_id", "window_idx")
+  }
+
   /** Perceptual-hash dedup over media payloads: downsample each
     * payload to 32 "pixels" (the same truncating index map the
     * resize stub uses), threshold each pixel against the payload
