@@ -192,6 +192,8 @@ class TopicLog private (
       }, Duration.Inf)
     }
     val moved = moveStagedFiles(staging)
+    if (failpointBeforeCommit)
+      throw new IllegalStateException("failpoint: crash before manifest commit")
     val counts = byPart.map { case (p, rs) => p -> rs.size.toLong }
     val newEnds = counts.map { case (p, n) => p -> (base.getOrElse(p, 0L) + n) }
     commitWithRetry(m0, moved.map(_._1),

@@ -171,6 +171,31 @@ class DirectPathSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crash before produceDirect's manifest commit: orphans invisible, retry exact") {
+    val root = tmpRoot()
+    val log = TopicLog.create(spark, root, "d7", 1)
+    log.produceDirect(directRows(0 until 6))
+    val endsBefore = log.logEndOffsets()
+
+    log.failpointBeforeCommit = true
+    intercept[IllegalStateException] { log.produceDirect(directRows(6 until 10)) }
+    log.failpointBeforeCommit = false
+
+    // cold reopen: the crashed append is invisible everywhere — same
+    // CAS guarantee as the Spark path (ManifestSpec's leg)
+    val reopened = TopicLog.open(spark, root, "d7")
+    assert(reopened.logEndOffsets() === endsBefore)
+    assert(reopened.read().count() === 6)
+    assert(reopened.consumeDirect(0, 0, 100).get.map(_.offset) === (0L until 6L))
+    // the moved-but-uncommitted files vacuum as orphans
+    assert(reopened.vacuum(minAgeMs = 0) > 0)
+    // the retry lands exactly once, offsets contiguous
+    reopened.produceDirect(directRows(6 until 10))
+    assert(reopened.consumeDirect(0, 0, 100).get.map(_.offset) === (0L until 10L))
+    assert(reopened.consumeForWire(0, 6, 10).map(r =>
+      new String(r.value, "UTF-8")) === Seq("v6", "v7", "v8", "v9"))
+  }
+
   test("produceDirect rejects out-of-range partitions without committing") {
     val root = tmpRoot()
     val log = TopicLog.create(spark, root, "d5", 1)
