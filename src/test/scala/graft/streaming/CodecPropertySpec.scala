@@ -311,4 +311,123 @@ class CodecPropertySpec extends AnyFunSuite {
           rc == corr && re == 0 && rm == null && rt == results
     })
   }
+
+  test("ShareFetch v1 request survives arbitrary flow-control shapes") {
+    // v1: no per-partition max bytes (decodes as MaxValue), top-level
+    // max_records + batch_size round-trip (non-positive → unlimited)
+    val genPart = for {
+      p <- Gen.chooseNum(0, 64)
+      acks <- Gen.listOf(Gen.chooseNum(0L, 1L << 30)
+        .map(o => ShareAckBatch(o, o + 2, Seq(1)))).map(_.take(3))
+    } yield ShareFetchPartition(p, 1 << 20, acks)
+    val gen = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      group <- genNStr
+      member <- genNStr
+      epoch <- Gen.chooseNum(-1, Int.MaxValue)
+      maxR <- Gen.chooseNum(1, Int.MaxValue)
+      bs <- Gen.chooseNum(1, Int.MaxValue)
+      names <- Gen.nonEmptyListOf(genTopicName).map(_.distinct.take(3))
+      parts <- Gen.listOfN(names.length, Gen.nonEmptyListOf(genPart).map(_.take(3)))
+    } yield (corr, group, member, epoch, maxR, bs,
+      names.zip(parts.map(_.toSeq)))
+    check("share-fetch-v1-req", Prop.forAll(gen) {
+      case (corr, group, member, epoch, maxR, bs, topics) =>
+        val got = decodeShareFetchRequest(
+          encodeShareFetchRequest(corr, "cli", group, member, epoch,
+            topics, version = 1, maxRecords = maxR, batchSize = bs),
+          topicIdResolverFor(topics.map(_._1)))
+        got.version == 1 && got.maxRecords == maxR && got.batchSize == bs &&
+          got.correlationId == corr && got.sessionEpoch == epoch &&
+          got.topics == topics.map { case (n, ps) =>
+            (n, ps.map(_.copy(partitionMaxBytes = Int.MaxValue)))
+          }
+    })
+  }
+
+  test("share-admin codecs (90/91/92) survive arbitrary shapes") {
+    val genRow = for {
+      p <- Gen.chooseNum(0, 64)
+      off <- Gen.chooseNum(-1L, 1L << 40)
+      err <- Gen.chooseNum(0, 99)
+      msg <- genNStr
+    } yield ShareOffsetRow(p, off, 0, err, msg)
+    val genDescReq = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      groups <- Gen.nonEmptyListOf(for {
+        g <- genStr
+        topics <- Gen.option(Gen.listOf(for {
+          t <- genTopicName
+          ps <- Gen.option(Gen.listOf(Gen.chooseNum(0, 64)).map(_.toSeq))
+        } yield (t, ps)).map(_.take(3).toSeq))
+      } yield (g, topics)).map(_.take(3).toSeq)
+    } yield (corr, groups)
+    check("describe-share-offsets-req", Prop.forAll(genDescReq) {
+      case (corr, groups) =>
+        decodeDescribeShareGroupOffsetsRequest(
+          encodeDescribeShareGroupOffsetsRequest(corr, "cli", groups)) ==
+          ((corr, groups))
+    })
+    val genDescResp = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      groups <- Gen.nonEmptyListOf(for {
+        g <- genStr
+        err <- Gen.chooseNum(0, 99)
+        msg <- genNStr
+        topics <- Gen.listOf(for {
+          t <- genTopicName
+          rows <- Gen.nonEmptyListOf(genRow).map(_.take(4).toSeq)
+        } yield (t, rows)).map(_.take(3).toSeq)
+      } yield (g, err, msg, topics)).map(_.take(3).toSeq)
+    } yield (corr, groups)
+    check("describe-share-offsets-resp", Prop.forAll(genDescResp) {
+      case (corr, groups) =>
+        decodeDescribeShareGroupOffsetsResponse(
+          encodeDescribeShareGroupOffsetsResponse(corr, groups)) ==
+          ((corr, groups))
+    })
+    val genAlter = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      g <- genStr
+      topics <- Gen.nonEmptyListOf(for {
+        t <- genTopicName
+        ps <- Gen.nonEmptyListOf(for {
+          p <- Gen.chooseNum(0, 64)
+          off <- Gen.chooseNum(0L, 1L << 40)
+        } yield (p, off)).map(_.take(4).toSeq)
+      } yield (t, ps)).map(_.take(3).toSeq)
+      errs <- Gen.chooseNum(0, 99)
+      msg <- genNStr
+    } yield (corr, g, topics, errs, msg)
+    check("alter-share-offsets", Prop.forAll(genAlter) {
+      case (corr, g, topics, err, msg) =>
+        val reqOk = decodeAlterShareGroupOffsetsRequest(
+          encodeAlterShareGroupOffsetsRequest(corr, "cli", g, topics)) ==
+          ((corr, g, topics))
+        val results = topics.map { case (t, ps) =>
+          (t, ps.map { case (p, _) => (p, err, msg) }) }
+        val respOk = decodeAlterShareGroupOffsetsResponse(
+          encodeAlterShareGroupOffsetsResponse(corr, err, msg, results)) ==
+          ((corr, err, msg, results))
+        reqOk && respOk
+    })
+    val genDelete = for {
+      corr <- Gen.chooseNum(0, Int.MaxValue)
+      g <- genStr
+      topics <- Gen.nonEmptyListOf(genTopicName).map(_.distinct.take(4).toSeq)
+      err <- Gen.chooseNum(0, 99)
+      msg <- genNStr
+    } yield (corr, g, topics, err, msg)
+    check("delete-share-offsets", Prop.forAll(genDelete) {
+      case (corr, g, topics, err, msg) =>
+        val reqOk = decodeDeleteShareGroupOffsetsRequest(
+          encodeDeleteShareGroupOffsetsRequest(corr, "cli", g, topics)) ==
+          ((corr, g, topics))
+        val results = topics.map(t => (t, err, msg))
+        val respOk = decodeDeleteShareGroupOffsetsResponse(
+          encodeDeleteShareGroupOffsetsResponse(corr, err, msg, results)) ==
+          ((corr, err, msg, results))
+        reqOk && respOk
+    })
+  }
 }
