@@ -159,6 +159,38 @@ object ScaleBench {
         f"pair_explode_rows=${stats.getAs[java.math.BigDecimal]("pair_rows")}%s " +
         f"(bound users*C(types,2)=${stats.getAs[Long]("users") * nTypes * (nTypes - 1) / 2}%d)")
     }
+    // Round-9 additions: pipeline_dedup_survivors' ONE shuffle is the
+    // digest-keyed window input (volume = the doc count; reduce side
+    // = distinct contents), and events_hourly_seasonality reduces the
+    // event stream to a CALENDAR-bounded bucket table (≤ |types|×168
+    // rows — it must NOT grow with the corpus).
+    for (d <- Seq(baseDir, out)) {
+      val docs = t(spark, d, "documents")
+      val nDocs2 = docs.count()
+      val distinctContents = docs
+        .select(md5(lower(col("text")).cast("binary"))).distinct().count()
+      println(f"survivors volumes at $d: docs=$nDocs2%d " +
+        f"digest_shuffle_rows=$nDocs2%d distinct_contents=$distinctContents%d")
+    }
+    for (d <- evDirs) {
+      val ev = graft.Tables.events(spark, d)
+      val buckets = ev.select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000 % 24"),
+        expr(s"(unix_micros(ts) DIV ${graft.operators.EventAnalytics.DayUs} + 3) % 7 + 1"))
+        .distinct().count()
+      println(f"seasonality volumes at $d: events=${ev.count()}%d " +
+        f"bucket_rows=$buckets%d (bound types*168)")
+    }
+    if (evDirs.nonEmpty) {
+      time("events_hourly_seasonality 1x")(noop(
+        graft.operators.EventAnalytics.hourlySeasonality(spark, baseDir)))
+      time("events_hourly_seasonality 10x")(noop(
+        graft.operators.EventAnalytics.hourlySeasonality(spark, eventsScaled)))
+    }
+    time("pipeline_dedup_survivors 1x")(noop(
+      graft.operators.Pipeline.dedupSurvivors(spark, baseDir)))
+    time("pipeline_dedup_survivors 10x")(noop(
+      graft.operators.Pipeline.dedupSurvivors(spark, out)))
     if (evDirs.nonEmpty) {
       time("events_cooccurrence 1x")(noop(
         graft.operators.EventAnalytics.cooccurrence(spark, baseDir)))
