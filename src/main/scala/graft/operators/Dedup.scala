@@ -442,8 +442,12 @@ object Dedup {
     * 1 + zeros(bucket) ≈ nPlanes/2 rows per vector instead of
     * nPlanes + 1, with no duplicate candidates to re-filter. Norms
     * are precomputed once per vector (same sqrt(dot(v,v)) fold as
-    * the oracle → bit-identical cosine). */
-  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    * the oracle → bit-identical cosine). UNORDERED — the CC consumer
+    * checkpoints these edges and the oracle query adds the output
+    * sort; sorting here would cost the CC path a full exchange+sort
+    * of the edge set it immediately discards. */
+  private[operators] def embeddingCosineEdges(spark: SparkSession,
+      dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val nPlanes = cosinePlanesFor(base.count())
@@ -467,8 +471,10 @@ object Dedup {
       .filter(col("cos_sim") >= 0.3)
       .select(least(col("ida"), col("idb")).as("v1"),
         greatest(col("ida"), col("idb")).as("v2"), col("cos_sim"))
-      .orderBy("v1", "v2")
   }
+
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    embeddingCosineEdges(spark, dir).orderBy("v1", "v2")
 
   /** Benchmark decontamination: flag training documents sharing any
     * word-5-gram with the eval set (docs with doc_id % 97 == 0 stand
@@ -718,6 +724,6 @@ object Dedup {
     * LSH-blocked pair generation is the one pass over the corpus. */
   def dedupEmbeddingCC(spark: SparkSession, dir: String): DataFrame =
     hashMinComponents(spark,
-      dedupEmbeddingCosine(spark, dir).select(col("v1").as("d1"), col("v2").as("d2")))
+      embeddingCosineEdges(spark, dir).select(col("v1").as("d1"), col("v2").as("d2")))
       .select(col("id").as("vec_id"), col("comp")).orderBy("vec_id")
 }

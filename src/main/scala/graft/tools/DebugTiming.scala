@@ -26,6 +26,7 @@ object DebugTiming {
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, dir)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, dir)))
     time("dedup_embedding_cosine")(noop(Dedup.dedupEmbeddingCosine(spark, dir)))
+    time("dedup_embedding_cc")(noop(Dedup.dedupEmbeddingCC(spark, dir)))
     time("ann_ivf_topk")(noop(Similarity.annIvfTopk(spark, dir)))
     time("ann_ivf_kmeans_topk")(noop(Similarity.annIvfKmeansTopk(spark, dir)))
     spark.stop()
