@@ -40,7 +40,7 @@ object OraclesStreams {
         |  (55,'DescribeQuorum',0,1),(57,'UpdateFeatures',0,1),
         |  (60,'DescribeCluster',0,0),(61,'DescribeProducers',0,0),
         |  (65,'DescribeTransactions',0,0),(66,'ListTransactions',0,0),
-        |  (68,'ConsumerGroupHeartbeat',0,2),(69,'ConsumerGroupDescribe',0,0),
+        |  (68,'ConsumerGroupHeartbeat',0,1),(69,'ConsumerGroupDescribe',0,0),
         |  (71,'GetTelemetrySubscriptions',0,0),(72,'PushTelemetry',0,0),
         |  (74,'ListClientMetricsResources',0,0),
         |  (75,'DescribeTopicPartitions',0,0),

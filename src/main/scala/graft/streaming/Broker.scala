@@ -94,6 +94,18 @@ class Broker(spark: SparkSession, root: String) {
     override def initialValue(): Long = 0L
   }
 
+  /** Milliseconds this request already spent SLEEPING in a byte-rate
+    * quota hold inside its handler — excluded from the
+    * request_percentage meter (a throttle sleep holds no handler
+    * resource; counting it would let a byte-quota hold record ~100%
+    * of a thread-second and drive the request quota into a
+    * self-amplifying over-throttle), and credited against the
+    * request-time hold so the two quotas mute for the MAX of their
+    * throttles (Kafka's rule), never the sum. Reset per request. */
+  private[streaming] val heldMsCtx = new ThreadLocal[Long] {
+    override def initialValue(): Long = 0L
+  }
+
   /** `request_percentage` enforcement (KIP-546): the wire server
     * reports each request's handler wall time here AFTER dispatch;
     * when a percentage quota binds the governing entity, the response
@@ -103,21 +115,31 @@ class Broker(spark: SparkSession, root: String) {
     * park time is excluded via [[parkedMsCtx]]. */
   private[streaming] def requestTimeHold(clientId: String,
       elapsedMs: Long): Unit = {
-    val active = math.max(0L, elapsedMs - parkedMsCtx.get())
+    val held = heldMsCtx.get()
+    val active = math.max(0L, elapsedMs - parkedMsCtx.get() - held)
     val t = quotas.recordRequestTime(currentUser,
       Option(clientId).getOrElse(""), active,
       System.currentTimeMillis())
-    quotaHold(math.min(t, Int.MaxValue.toLong).toInt)
+    // mute for max(byteThrottle, requestThrottle), not the sum: the
+    // byte-rate hold already slept `held` ms inside the handler, so
+    // only the request-time throttle's EXCESS over that sleeps here
+    val extra = math.min(math.min(t, Int.MaxValue.toLong),
+      Quotas.MaxHoldMs) - held
+    if (extra > 0) quotaHold(extra.toInt)
   }
 
   /** Hold the response like a throttling broker mutes its channel —
     * bounded by [[Quotas.MaxHoldMs]]; the response carries the FULL
-    * computed throttle for the client's own cooperative backoff. */
+    * computed throttle for the client's own cooperative backoff. The
+    * actual sleep is accumulated in [[heldMsCtx]] so downstream
+    * metering can exclude and credit it. */
   private def quotaHold(throttleMs: Int): Unit =
-    if (throttleMs > 0)
-      try Thread.sleep(math.min(throttleMs.toLong, Quotas.MaxHoldMs))
+    if (throttleMs > 0) {
+      val ms = math.min(throttleMs.toLong, Quotas.MaxHoldMs)
+      try { Thread.sleep(ms); heldMsCtx.set(heldMsCtx.get() + ms) }
       catch { case _: InterruptedException =>
         Thread.currentThread().interrupt() }
+    }
 
   /** Delegation tokens (keys 38–41, KIP-48) — lazy like the quota
     * manager; only touched by token admin or a token SASL login. */
@@ -3077,7 +3099,10 @@ class Broker(spark: SparkSession, root: String) {
     val retryReq = req.copy(topics = req.topics.map { case (n, ps) =>
       (n, ps.map(p => p.copy(acks = Seq.empty)))
     })
-    while (pass._2 == 0 && req.minBytes > 0 && req.sessionEpoch != -1 &&
+    // maxRecords == 0 is an ack-only piggyback (acquire nothing) —
+    // answering empty IS its success, so it must not park in long-poll
+    while (pass._2 == 0 && req.minBytes > 0 && req.maxRecords != 0 &&
+        req.sessionEpoch != -1 &&
         System.currentTimeMillis() < deadline) {
       val remaining = deadline - System.currentTimeMillis()
       if (remaining > 0) {
@@ -3111,18 +3136,27 @@ class Broker(spark: SparkSession, root: String) {
     val member = if (req.memberId == null) "" else req.memberId
     val group = if (req.groupId == null) "" else req.groupId
     val closing = req.sessionEpoch == -1
+    // v1 responses advertise the group's share.record.lock.duration.ms
+    // (acquisition_lock_timeout_ms) — read from group config here, not
+    // a ShareGroup instance, so top-level error answers carry it too
+    val lockMs: Int = math.min(
+      groupConfigOverrides(group).get("share.record.lock.duration.ms")
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(30000L),
+      Int.MaxValue.toLong).toInt
     // a group under coordinator-managed membership fences unknown or
     // expired member ids (the real-broker contract); groups that
     // never heartbeated stay un-fenced for embedded ShareGroup use
     if (!authz(Acls.OpRead, Acls.ResGroup, group))
       return (encodeShareFetchResponse(req.correlationId, 30,
         s"principal is not authorized to read share group '$group'",
-        Seq.empty, 0, advertisedHost, advertisedPort), -1)
+        Seq.empty, 0, advertisedHost, advertisedPort,
+        version = req.version, acquisitionLockTimeoutMs = lockMs), -1)
     if (shareCoordinator.managesGroup(group) &&
         !shareCoordinator.isLiveMember(group, member, now))
       return (encodeShareFetchResponse(req.correlationId, 25,
         s"member '$member' is not a live member of share group '$group'",
-        Seq.empty, 0, advertisedHost, advertisedPort), -1)
+        Seq.empty, 0, advertisedHost, advertisedPort,
+        version = req.version, acquisitionLockTimeoutMs = lockMs), -1)
     // the session epoch advances exactly once per wire request — a
     // long-poll retry is the SAME request, so it skips the check
     val sessErr =
@@ -3133,7 +3167,8 @@ class Broker(spark: SparkSession, root: String) {
       return (encodeShareFetchResponse(req.correlationId, sessErr,
         if (sessErr == 122) "share session not found"
         else s"invalid share session epoch ${req.sessionEpoch}",
-        Seq.empty, 0, advertisedHost, advertisedPort), -1)
+        Seq.empty, 0, advertisedHost, advertisedPort,
+        version = req.version, acquisitionLockTimeoutMs = lockMs), -1)
     // v1 flow control (KIP-932 GA): max_records caps the WHOLE
     // response, batch_size each partition's acquisition; v0 keeps the
     // per-partition byte cap
@@ -3234,7 +3269,9 @@ class Broker(spark: SparkSession, root: String) {
       if (anyErr) -1
       else results.iterator.flatMap(_._2.iterator).map(_.records.length).sum
     (encodeShareFetchResponse(req.correlationId, 0, null, results,
-      0, advertisedHost, advertisedPort), acquiredCount)
+      0, advertisedHost, advertisedPort,
+      version = req.version, acquisitionLockTimeoutMs = lockMs),
+      acquiredCount)
   }
 
   /** ShareAcknowledge (key 79, v0): acknowledge without fetching.

@@ -234,9 +234,24 @@ object DelegationTokens {
     private[streaming] def parse(s: String): Seq[Token] =
       TokenRe.findAllMatchIn(s).map { m =>
         val renewersRaw = unb64s(m.group(4))
+        // migration: snapshots written before the NUL separator joined
+        // renewers with " " — a NUL split of such a blob yields ONE
+        // element containing spaces, which would silently break
+        // renew/expire authorization for every old multi-renewer
+        // token. Fall back to the space split in exactly that shape —
+        // the one ambiguity (a NEW-format snapshot with a single
+        // renewer whose principal name itself contains spaces) trades
+        // a pathological name for restoring every pre-NUL token,
+        // matching the advice's prescribed migration.
+        val nulSplit =
+          if (renewersRaw.isEmpty) Seq.empty[String]
+          else renewersRaw.split("\u0000").toSeq
+        val renewers =
+          if (nulSplit.length == 1 && nulSplit.head.contains(" "))
+            nulSplit.head.split(" ").filter(_.nonEmpty).toSeq
+          else nulSplit
         Token(unb64s(m.group(1)), unb64s(m.group(2)), unb64s(m.group(3)),
-          if (renewersRaw.isEmpty) Seq.empty
-          else renewersRaw.split("\u0000").toSeq,
+          renewers,
           m.group(5).toLong, m.group(6).toLong, m.group(7).toLong,
           unb64(m.group(8)),
           CredRe.findAllMatchIn(m.group(9)).map { c =>

@@ -6308,13 +6308,14 @@ object KafkaWire {
 
   val ConsumerGroupHeartbeatApiKey = 68
   /** v1 (AK 4.0): SubscribedTopicRegex — the broker-side regex
-    * subscription KIP-848 completes the consumer API with. v2
-    * (AK 4.1): wire-compatible with v1 — no new mandatory fields in
-    * either direction (hand-derived like the rest; any 4.1 additions
-    * ride optional tagged fields, which this codec's empty tag
-    * buffers answer validly) — served so a 4.1 client negotiating
-    * its preferred version doesn't down-negotiate. */
-  val ConsumerGroupHeartbeatMaxVersion = 2
+    * subscription KIP-848 completes the consumer API with. Max held
+    * at 1: a v2 existed only as an unverified wire-identical-to-v1
+    * assumption (no schema JSON in this container to confirm), and a
+    * broker advertising max=2 GUARANTEES clients pick v2 — if v2
+    * added any non-tagged field, every modern client would misparse.
+    * Advertising the verified maximum is the safe contract; raise
+    * only after checking Apache Kafka's ConsumerGroupHeartbeat.json. */
+  val ConsumerGroupHeartbeatMaxVersion = 1
   val ConsumerGroupDescribeApiKey = 69
   val ConsumerGroupDescribeMaxVersion = 0
 
@@ -7377,9 +7378,14 @@ object KafkaWire {
       (name, parts)
     }.toSeq
     r.tags()
+    // max_records == 0 means "acquire NOTHING" (a client piggybacking
+    // acknowledgements without fetching) — only negative/absent remaps
+    // to unlimited; remapping 0 would hand out an unbounded
+    // acquisition, burning locks and delivery counts on records the
+    // client never asked for
     ShareFetchRequest(correlationId, clientId, groupId, memberId,
       sessionEpoch, maxWaitMs, minBytes, maxBytes, topics, forgotten,
-      version, if (maxRecords <= 0) Int.MaxValue else maxRecords,
+      version, if (maxRecords < 0) Int.MaxValue else maxRecords,
       if (batchSize <= 0) Int.MaxValue else batchSize)
   }
 
@@ -7396,13 +7402,19 @@ object KafkaWire {
       errorMessage: String,
       topics: Seq[(String, Seq[ShareFetchPartResp])],
       nodeId: Int = 0, host: String = null, port: Int = 0,
-      compression: Int = CompressionNone): Array[Byte] = {
+      compression: Int = CompressionNone, version: Int = 0,
+      acquisitionLockTimeoutMs: Int = 0): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     responseHeader(out, correlationId, flexible = true)
     val w = new WR(out, flexible = true)
     w.i32(0) // throttle_time_ms
     w.i16(errorCode)
     w.str(errorMessage)
+    // v1 (KIP-932 GA): the group's share.record.lock.duration.ms, so
+    // the client knows how long its acquisitions stay locked — sits
+    // between error_message and the responses array in the public
+    // ShareFetchResponse schema
+    if (version >= 1) w.i32(acquisitionLockTimeoutMs)
     w.count(topics.length)
     topics.foreach { case (name, parts) =>
       w.uuid(idOfName(name))
@@ -7438,9 +7450,25 @@ object KafkaWire {
     frame(out.toByteArray)
   }
 
-  /** (correlationId, errorCode, errorMessage, topics). */
+  /** The v1 response's top-level acquisition_lock_timeout_ms, for
+    * spec assertions — parses only the prefix (header, throttle,
+    * error_code, error_message) then reads the int32. Valid ONLY on a
+    * v1+ frame; a v0 frame has the responses array there. */
+  def shareFetchAcquisitionLockMs(bytes: Array[Byte]): Int = {
+    val buf = unframe(bytes)
+    buf.getInt // correlation
+    readTags(buf)
+    val r = new RD(buf, flexible = true)
+    r.i32(); r.i16(); r.str() // throttle, error_code, error_message
+    r.i32()
+  }
+
+  /** (correlationId, errorCode, errorMessage, topics). Pass the
+    * request's negotiated version: v1+ responses carry an extra
+    * top-level acquisition_lock_timeout_ms this decode must skip. */
   def decodeShareFetchResponse(bytes: Array[Byte],
-      topicIdResolver: Array[Byte] => Option[String] = _ => None)
+      topicIdResolver: Array[Byte] => Option[String] = _ => None,
+      version: Int = 0)
       : (Int, Int, String, Seq[(String, Seq[ShareFetchPartResp])]) = {
     val buf = unframe(bytes)
     val correlationId = buf.getInt
@@ -7449,6 +7477,7 @@ object KafkaWire {
     r.i32() // throttle
     val err = r.i16()
     val errMsg = r.str()
+    if (version >= 1) r.i32() // acquisition_lock_timeout_ms
     val topics = (0 until r.count()).map { _ =>
       val id = r.uuid()
       val name = topicIdResolver(id).getOrElse(unknownIdName(id))

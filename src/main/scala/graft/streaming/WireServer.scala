@@ -329,6 +329,7 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
                 broker.authCtx.set((principal, clientHost))
                 broker.authKindCtx.set(authKind)
                 broker.parkedMsCtx.set(0L)
+                broker.heldMsCtx.set(0L)
                 val t0 = System.nanoTime()
                 val resp = dispatch(apiKey, framed)
                 // request_percentage: handler wall time metered per

@@ -258,6 +258,15 @@ class CodecPropertySpec extends AnyFunSuite {
         val (gc, ge, gm, gt) = decodeShareFetchResponse(
           encodeShareFetchResponse(corr, err, msg, topics),
           topicIdResolverFor(topics.map(_._1)))
+        // v1 adds top-level acquisition_lock_timeout_ms: the field
+        // must survive and the decode must stay aligned through it
+        val lockMs = corr % 90001
+        val rawV1 = encodeShareFetchResponse(corr, err, msg, topics,
+          version = 1, acquisitionLockTimeoutMs = lockMs)
+        val (_, geV1, _, gtV1) = decodeShareFetchResponse(rawV1,
+          topicIdResolverFor(topics.map(_._1)), version = 1)
+        val v1Ok = shareFetchAcquisitionLockMs(rawV1) == lockMs &&
+          geV1 == err && gtV1.map(_._1) == topics.map(_._1)
         def recEq(a: Seq[(Long, WireRecordV2)], b: Seq[(Long, WireRecordV2)]) =
           a.length == b.length && a.zip(b).forall { case ((o1, r1), (o2, r2)) =>
             o1 == o2 && r1.timestampMs == r2.timestampMs &&
@@ -266,7 +275,7 @@ class CodecPropertySpec extends AnyFunSuite {
                 Option(r2.key).getOrElse(Array.emptyByteArray)) &&
               java.util.Arrays.equals(r1.value, r2.value)
           }
-        gc == corr && ge == err && gm == msg &&
+        v1Ok && gc == corr && ge == err && gm == msg &&
           gt.map(_._1) == topics.map(_._1) &&
           gt.zip(topics).forall { case ((_, got), (_, want)) =>
             got.length == want.length &&

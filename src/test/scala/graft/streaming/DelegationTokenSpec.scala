@@ -131,6 +131,36 @@ class DelegationTokenSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-NUL snapshots with space-joined renewers still parse every renewer") {
+    import DelegationTokens._
+    val dir = Files.createTempDirectory("graft-tok-mig")
+    def b64s(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    // a snapshot written by a build that joined renewers with " ":
+    // the NUL split must fall back, or renew/expire authorization for
+    // User:bob and User:carol silently breaks after upgrade
+    val far = 4102444800000L // 2100-01-01, never expires in-test
+    val row = s"""{"id":"${b64s("tok1")}","owner":"${b64s("User:alice")}",""" +
+      s""""req":"${b64s("User:alice")}",""" +
+      s""""renewers":"${b64s("User:bob User:carol")}",""" +
+      s""""issue":1,"expiry":$far,"max":$far,""" +
+      s""""hmac":"${b64(Array.fill[Byte](32)(7))}","creds":[]}"""
+    Files.writeString(dir.resolve("v1.json"),
+      s"""{"version":1,"tokens":[$row]}""")
+    val mgr = new Manager(dir)
+    val loaded = mgr.current
+    assert(loaded.map(_.renewers) === Seq(Seq("User:bob", "User:carol")))
+    // ... and renewal by the second renewer WORKS on the migrated
+    // token (the user-visible behavior the migration protects)
+    val renewed = mgr.renew(Array.fill[Byte](32)(7), "User:carol",
+      3600000L, 1000L)
+    assert(renewed.isRight, s"renewer from an old snapshot rejected: $renewed")
+    // the new NUL-separated format round-trips multi-renewer sets
+    val rt = TokenStore.parse(TokenStore.render(2, loaded))
+    assert(rt.map(_.renewers) === Seq(Seq("User:bob", "User:carol")))
+  }
+
   test("codec round-trips at every served version") {
     val hmac = (0 until 32).map(_.toByte).toArray
     (0 to 3).foreach { v =>

@@ -382,8 +382,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
         encodeApiVersionsRequestV3(1, "trace-4x", "apache-kafka-java", "4.0.0")))
       val advertised = apis.apiKeys.map(k => k._1 -> (k._2, k._3)).toMap
       // the 4.x decision point: key 68 present → new protocol usable
-      // (v2 = the AK 4.1 maximum, so a 4.1 client doesn't down-negotiate)
-      assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 2)))
+      // (max = 1, the verified KIP-848 schema ceiling; see KafkaWire)
+      assert(advertised(KafkaWire.ConsumerGroupHeartbeatApiKey) === ((0, 1)))
       assert(advertised(KafkaWire.ConsumerGroupDescribeApiKey) === ((0, 0)))
 
       // enable.metrics.push defaults to true since 3.7: the client's
@@ -409,10 +409,10 @@ class ModernClientTraceSpec extends AnyFunSuite {
         WireRecordV2(1700000000000L, k.getBytes("UTF-8"), v.getBytes("UTF-8"))
       val resolver = topicIdResolverFor(Seq("t848"))
       // join: epoch 0, coordinator-generated member id, full grant —
-      // at the negotiated v2 (min of client 2, broker 2)
+      // at the negotiated v1 (min of client preference, broker max 1)
       val join = decodeConsumerGroupHeartbeatResponse(exchange(sock,
         encodeConsumerGroupHeartbeatRequest(2, "trace-4x", "g4x", "", 0,
-          Seq("t848"), version = 2)), resolver)
+          Seq("t848"), version = 1)), resolver)
       assert(join._2 === 0)
       val memberId = join._4
       assert(join._5 === 1)
@@ -498,7 +498,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
         encodeShareFetchRequest(3, "trace-share", "sg4x", memberId, 0,
           Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
           version = 1, maxRecords = 500, batchSize = 500)),
-        resolver)
+        resolver, version = 1)
       assert(r1._2 === 0)
       val p1 = r1._4.head._2.head
       assert(p1.records.map(r => new String(r._2.value, "UTF-8"))
@@ -510,7 +510,8 @@ class ModernClientTraceSpec extends AnyFunSuite {
         encodeShareFetchRequest(4, "trace-share", "sg4x", memberId, 1,
           Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20,
             Seq(ShareAckBatch(0L, 2L, Seq(1)))))),
-          version = 1, maxRecords = 500, batchSize = 500)), resolver)
+          version = 1, maxRecords = 500, batchSize = 500)), resolver,
+        version = 1)
       assert(r2._2 === 0)
       assert(r2._4.head._2.head.ackErrorCode === 0)
       assert(r2._4.head._2.head.records.isEmpty) // everything terminal
@@ -519,7 +520,7 @@ class ModernClientTraceSpec extends AnyFunSuite {
       val r3 = decodeShareFetchResponse(exchange(sock,
         encodeShareFetchRequest(5, "trace-share", "sg4x", memberId, -1,
           Seq("tq" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
-          version = 1)), resolver)
+          version = 1)), resolver, version = 1)
       assert(r3._2 === 0)
       // the drained group is visible to admin tooling as type "share"
       val (_, _, groups) = decodeListGroupsResponse(5, exchange(sock,

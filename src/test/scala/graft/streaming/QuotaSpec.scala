@@ -253,6 +253,45 @@ class QuotaSpec extends AnyFunSuite {
     } finally { sock.close(); server.close() }
   }
 
+  test("byte-rate holds are not handler time; concurrent quotas mute for max, not sum") {
+    val root = Files.createTempDirectory("graft-quota-maxhold").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("mh", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // BOTH a tight byte quota and a request quota on one entity:
+      // each over-budget produce sleeps ~1 s in the byte-rate hold.
+      // Were that sleep metered as handler time, one held response
+      // would record ~100% of a thread-second against the 500 ms/s
+      // request budget and the two holds would stack — every
+      // subsequent response would take ~2 s (byte hold + request
+      // hold), a self-amplifying over-throttle. The contract is
+      // Kafka's: mute for max(byteThrottle, requestThrottle).
+      val e = Entity(None, Some(Some("both-cli")))
+      val (_, made) = decodeAlterClientQuotasResponse(exchange(sock,
+        encodeAlterClientQuotasRequest(1, 1, "cli",
+          Seq((e, Seq((ProducerByteRate, 100.0, false),
+            (RequestPercentage, 50.0, false)))),
+          validateOnly = false)), 1)
+      assert(made === Seq((0, null, e)))
+      val recs = (0 until 40).map(i => WireRecordV2(1700000000000L + i,
+        null, ("v" * 50 + i).getBytes))
+      def produce(corr: Int): Long = {
+        val t0 = System.nanoTime()
+        exchange(sock, encodeProduceRequest(3, corr, "both-cli", null, 1,
+          30000, Seq(("mh", Seq((0, recs))))))
+        (System.nanoTime() - t0) / 1000000L
+      }
+      produce(10) // meters the first burst of bytes
+      val times = (0 until 3).map(i => produce(11 + i))
+      assert(times.forall(_ >= 900),
+        s"byte quota should hold each over-budget produce, got $times")
+      assert(times.forall(_ < 1700),
+        s"holds stacked (byte + request ≈ 2 s) — expected max(), got $times")
+    } finally { sock.close(); server.close() }
+  }
+
   test("quota admin sits behind the cluster config ACLs") {
     val root = Files.createTempDirectory("graft-quota-acl").toString
     val broker = new Broker(spark, root)

@@ -153,7 +153,7 @@ class ShareWireSpec extends AnyFunSuite {
         encodeShareFetchRequest(1, "cli", "fc", "m1", 0,
           Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
           version = 1, maxRecords = 4, batchSize = 100)),
-        topicIdResolverFor(Seq("q")))
+        topicIdResolverFor(Seq("q")), version = 1)
       assert(r1._2 === 0)
       val p1 = r1._4.head._2.head
       assert(p1.records.map(_._1) === (0L until 4L))
@@ -164,16 +164,64 @@ class ShareWireSpec extends AnyFunSuite {
         encodeShareFetchRequest(2, "cli", "fc", "m1", 1,
           Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
           version = 1, maxRecords = 10, batchSize = 2)),
-        topicIdResolverFor(Seq("q")))
+        topicIdResolverFor(Seq("q")), version = 1)
       assert(r2._4.head._2.head.records.map(_._1) === Seq(4L, 5L))
       // v1 acks ride like v0's; close applies them
       val r3 = decodeShareFetchResponse(exchange(sock,
         encodeShareFetchRequest(3, "cli", "fc", "m1", -1,
           Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20,
             Seq(ShareAckBatch(0L, 5L, Seq(1)))))), version = 1)),
-        topicIdResolverFor(Seq("q")))
+        topicIdResolverFor(Seq("q")), version = 1)
       assert(r3._2 === 0 && r3._4.head._2.head.ackErrorCode === 0)
       assert(broker.shareGroup("q", "fc").startOffset(0) === 6L)
+    } finally { sock.close(); server.close() }
+  }
+
+  test("ShareFetch v1 response carries acquisition_lock_timeout_ms; max_records 0 is ack-only") {
+    val (broker, _) = mkBroker(6)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val raw1 = exchange(sock,
+        encodeShareFetchRequest(1, "cli", "lk", "m1", 0,
+          Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
+          version = 1, maxRecords = 3, batchSize = 100))
+      // v1 (KIP-932 GA): top-level acquisition_lock_timeout_ms after
+      // error_message = the group's share.record.lock.duration.ms —
+      // default 30 s here; a 4.1 client parses its lock budget from it
+      assert(shareFetchAcquisitionLockMs(raw1) === 30000)
+      val r1 = decodeShareFetchResponse(raw1,
+        topicIdResolverFor(Seq("q")), version = 1)
+      assert(r1._2 === 0)
+      assert(r1._4.head._2.head.records.map(_._1) === (0L until 3L))
+      // max_records 0 = piggyback acks WITHOUT acquiring (remapping it
+      // to "unlimited" would burn locks + delivery counts on records
+      // the client never asked for) — and the empty answer is its
+      // success, so it must not park in the long-poll either
+      val t0 = System.currentTimeMillis()
+      val r2 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(2, "cli", "lk", "m1", 1,
+          Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20,
+            Seq(ShareAckBatch(0L, 2L, Seq(1)))))),
+          version = 1, maxRecords = 0, maxWaitMs = 5000)),
+        topicIdResolverFor(Seq("q")), version = 1)
+      assert(System.currentTimeMillis() - t0 < 2500,
+        "ack-only request parked in long-poll")
+      val p2 = r2._4.head._2.head
+      assert(p2.ackErrorCode === 0 && p2.records.isEmpty &&
+        p2.acquired.isEmpty)
+      assert(broker.shareGroup("q", "lk").startOffset(0) === 3L)
+      // the lock advertisement follows group config, not a constant
+      val (_, cfgRes) = decodeIncrementalAlterConfigsResponse(1,
+        exchange(sock, encodeIncrementalAlterConfigsRequest(1, 9, "cli",
+          Seq((ConfigResourceGroup, "lk2", Seq(
+            ("share.record.lock.duration.ms", 0, "7500")))))))
+      assert(cfgRes.head._1 === 0)
+      val raw3 = exchange(sock,
+        encodeShareFetchRequest(3, "cli", "lk2", "m2", 0,
+          Seq("q" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))),
+          version = 1, maxRecords = 1))
+      assert(shareFetchAcquisitionLockMs(raw3) === 7500)
     } finally { sock.close(); server.close() }
   }
 

@@ -68,7 +68,13 @@ class WireFuzzSpec extends AnyFunSuite {
     for (i <- 0 until 200) {
       val sock = new Socket("127.0.0.1", server.boundPort)
       try {
-        i % 6 match {
+        // The server is SPEC'D to kill a garbage connection as soon as
+        // it decides the stream is undecodable — which can land before
+        // this client finishes writing its garbage. A Broken-pipe /
+        // connection-reset on OUR write is therefore a pass-shaped
+        // outcome (same tolerance drain already has), not a failure:
+        // the assertion that matters is the healthCheck.
+        try i % 6 match {
           case 0 => // random bytes under a valid length prefix
             writeFrame(sock, Array.fill(2 + rnd.nextInt(256))(
               rnd.nextInt().toByte))
@@ -93,7 +99,7 @@ class WireFuzzSpec extends AnyFunSuite {
           case 5 => // unknown api key entirely
             writeFrame(sock, Array[Byte](0x6e, 0x42, 0, 0, 0, 0, 0, 7,
               -1, -1, 0))
-        }
+        } catch { case _: SocketException => () }
         drain(sock)
       } finally sock.close()
       if (i % 50 == 49) healthCheck(i)
