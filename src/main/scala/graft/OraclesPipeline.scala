@@ -980,6 +980,65 @@ object OraclesPipeline {
         |    ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents) t
-        |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // weights[b] reproduced inline by formula (the engine broadcasts
+    // the same values as a materialized table); bucket = the ascii
+    // poly-fold mod 1e9+7 mod 4096, byte-identical to the engine's
+    // codegen'd rolling hash on this ASCII corpus.
+    "text_quality_classifier" -> {
+      val poly = (e: String) =>
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(generate_series(1, length($e)),
+           |      ci -> CAST(ascii(substr($e, ci, 1)) AS BIGINT))),
+           |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+         |           FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(len(w) + GREATEST(len(w) - 1, 0) AS BIGINT) AS n_features,
+         |    unnest(list_concat(
+         |      list_transform(w, tk -> ${poly("tk")} % 4096),
+         |      CASE WHEN len(w) >= 2 THEN
+         |        list_transform(generate_series(1, len(w) - 1),
+         |          bi -> ${poly("(w[bi] || ' ' || w[bi+1])")} % 4096)
+         |      ELSE CAST([] AS BIGINT[]) END)) AS bucket
+         |  FROM d)
+         |SELECT doc_id, n_features,
+         |  CAST(SUM(((bucket + 1) * 2654435761 % 1000000007) % 201 - 100)
+         |    AS BIGINT) AS raw_score,
+         |  round(CAST(SUM(((bucket + 1) * 2654435761 % 1000000007) % 201
+         |      - 100) AS DOUBLE) / (n_features * 100), 6) AS quality,
+         |  CAST(SUM(((bucket + 1) * 2654435761 % 1000000007) % 201 - 100)
+         |    > 0 AS INTEGER) AS keep
+         |FROM f GROUP BY doc_id, n_features ORDER BY doc_id""".stripMargin
+    },
+
+    // hot spans by span STRING (the engine's 8-byte xxhash64 keys —
+    // identical absent hash collisions, as in dedup_span_exact); the
+    // excision predicate mirrors the engine's exists() over hot start
+    // positions (1-based here, 0-based there — covered sets align).
+    "pipeline_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS i, w
+        |        FROM d WHERE len(w) >= 8),
+        |sp AS (SELECT doc_id, i,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS s
+        |  FROM sp0),
+        |hot AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df
+        |                       FROM sp GROUP BY s) WHERE df >= 2),
+        |st AS (SELECT doc_id, list(i) AS hs FROM sp JOIN hot USING (s)
+        |       GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.w, COALESCE(st.hs, CAST([] AS BIGINT[])) AS hs
+        |      FROM d LEFT JOIN st USING (doc_id)),
+        |k AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    list_filter(list_transform(generate_series(1, len(w)), jx ->
+        |      CASE WHEN len(list_filter(hs, hx -> jx >= hx AND jx <= hx + 7)) > 0
+        |           THEN NULL ELSE w[jx] END), kx -> kx IS NOT NULL) AS kept
+        |  FROM j)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_scrubbed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 }

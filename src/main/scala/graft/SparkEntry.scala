@@ -103,6 +103,7 @@ object SparkEntry {
       TextAnalysis.textKeywordsTfidf(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textBpeTrain(s, d)),
+    "text_quality_classifier" -> TextAnalysis.textQualityClassifier _,
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexityBigram(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
@@ -148,7 +149,8 @@ object SparkEntry {
     "docs_chunking" -> Pipeline.docsChunking _,
     "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _,
     "pipeline_quality_report" -> Pipeline.qualityReport _,
-    "pipeline_dedup_survivors" -> Pipeline.dedupSurvivors _
+    "pipeline_dedup_survivors" -> Pipeline.dedupSurvivors _,
+    "pipeline_span_scrub" -> Pipeline.spanScrub _
   )
 
   def oracleSql: Map[String, String] =

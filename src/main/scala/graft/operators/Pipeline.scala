@@ -348,4 +348,46 @@ object Pipeline {
         sum(col("n_chars")).as("sum_chars"),
         sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
       .orderBy("lang", "source")
+
+  /** Span SCRUB — the curation ACTION [[graft.operators.Dedup
+    * .dedupSpanExact]] only flags: rewrite each document with its hot
+    * spans excised (Lee et al.'s substring-dedup applied, not just
+    * measured). A token position is covered when any hot word-8-gram
+    * span (≥ 2 distinct docs share it) starts at most 7 positions
+    * before it; the rewritten text is the uncovered tokens rejoined.
+    *
+    * Scale shape (the span-exact lessons carried over): spans cross
+    * shuffles as 8-byte xxhash64 keys, never strings; the hot set
+    * joins back by SHUFFLE (at 100 TB it is corpus-sized — no
+    * broadcast); hot START POSITIONS are the only per-doc state
+    * (collect_list bounded by the doc's own span count, order
+    * irrelevant — they feed an exists() predicate), and the excision
+    * itself is a map-side array HOF after one doc-keyed join. Shuffle
+    * volume tracks span volume, text shuffles once (the doc-keyed
+    * rebuild join). */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val spans = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8))
+          .as(Seq("i", "span")))
+      .select(col("doc_id"), col("i"), xxhash64(col("span")).as("sk"))
+    val hot = spans.select("doc_id", "sk").distinct()
+      .groupBy("sk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val starts = spans.join(hot, "sk")
+      .groupBy("doc_id").agg(collect_list(col("i")).as("hs"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("hs"), array().cast("array<int>")).as("hs"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        filter(col("w"), (_, j) =>
+          !exists(col("hs"), s => j >= s && j <= s + 7)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_scrubbed"),
+        array_join(col("kept"), " ").as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
 }

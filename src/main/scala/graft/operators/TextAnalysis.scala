@@ -491,4 +491,51 @@ object TextAnalysis {
             phoneRe, "<PHONE>"),
           denyRe, "<TERM>").cast("binary")).as("scrubbed_md5"))
       .orderBy("doc_id")
+
+  /** Learned quality-classifier INFERENCE — the fastText-style linear
+    * filter (DCLM / CCNet's quality-classification step) that sits
+    * beside the heuristic [[textQuality]]: hashed unigram + bigram
+    * features → an integer-quantized weight table → linear score →
+    * keep verdict. The "model" here is a deterministic seed-derived
+    * weight vector (weights[b] = ((b+1)·2654435761 mod 1e9+7) mod 201
+    * − 100, the Knuth multiplicative-hash constant) so the oracle can
+    * reproduce it; a trained artifact swaps in as the same
+    * D-row DataFrame without touching the plan. The sigmoid is
+    * dropped deliberately: it is monotone, so `keep` (logit > 0) is
+    * identical, and the integer logit stays exactly
+    * oracle-comparable where exp() would differ by ULPs across
+    * engines.
+    *
+    * Scale shape: features are bucketed map-side (codegen'd rolling
+    * hash mod D — tokens never shuffle as strings); the weight table
+    * is O(D) rows and BROADCAST — a learned model rides to every
+    * executor once, never through a shuffle; per-doc partial sums
+    * map-side-combine before the one doc-keyed exchange. At 100 TB
+    * this is a scan-rate transform + one docs-sized shuffle. */
+  def textQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val D = 4096
+    val weights = spark.range(D).select(
+      col("id").as("bucket"),
+      (((col("id") + 1) * lit(2654435761L)) % 1000000007L % 201L - 100L)
+        .as("w"))
+    val toks = split(lower(trim(col("text"))), " ")
+    val uni = transform(toks,
+      t => graft.functions.GraftExpressions.rollingHash(t) % D)
+    val bi = transform(
+      graft.functions.GraftExpressions.wordNgrams(lower(trim(col("text"))), 2),
+      g => graft.functions.GraftExpressions.rollingHash(g) % D)
+    val feats = t(spark, dir, "documents")
+      .select(col("doc_id"), concat(uni, bi).as("buckets"))
+      .select(col("doc_id"),
+        size(col("buckets")).cast("long").as("n_features"),
+        explode(col("buckets")).as("bucket"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy("doc_id", "n_features")
+      .agg(sum("w").as("raw_score"))
+      .select(col("doc_id"), col("n_features"), col("raw_score"),
+        round(col("raw_score").cast("double") / (col("n_features") * 100), 6)
+          .as("quality"),
+        (col("raw_score") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -240,4 +240,58 @@ class PipelineSpec extends AnyFunSuite {
     val again = Pipeline.globalShuffle(spark, dir, nShards = 2).collect()
     assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  /** span-scrub fixture with controlled span boundaries: 100/101
+    * share exactly one word-8-gram (at different offsets), 102 is
+    * unique. */
+  lazy val scrubDir: String = {
+    val d = Files.createTempDirectory("graft-scrub").toString
+    Seq(
+      (100L, "a b c d e f g h x1 x2 x3", "en", "s", 24L),
+      (101L, "z1 z2 a b c d e f g h", "en", "s", 21L),
+      (102L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("span scrub excises exactly the hot 8-gram cover, leaves unique docs whole") {
+    val r = Pipeline.spanScrub(spark, scrubDir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 100: hot span starts at token 0 → positions 0–7 covered
+    assert(r(100L).getAs[String]("scrubbed_text") === "x1 x2 x3")
+    assert(r(100L).getAs[Long]("n_scrubbed") === 8L)
+    assert(r(100L).getAs[Long]("n_tokens") === 11L)
+    // doc 101: the SAME span starts at token 2 → positions 2–9 covered
+    assert(r(101L).getAs[String]("scrubbed_text") === "z1 z2")
+    assert(r(101L).getAs[Long]("n_scrubbed") === 8L)
+    // doc 102: no hot spans → byte-identical survival
+    assert(r(102L).getAs[String]("scrubbed_text") === "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    assert(r(102L).getAs[Long]("n_scrubbed") === 0L)
+  }
+
+  test("quality classifier is exactly the broadcast-weight dot product") {
+    // independent reimplementation of the published formula (ASCII
+    // corpus: char fold == the engine's UTF-8 byte fold)
+    def poly(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def wgt(b: Long): Long = ((b + 1) * 2654435761L) % 1000000007L % 201L - 100L
+    def expected(text: String): (Long, Long) = {
+      val toks = text.toLowerCase.trim.split(" ").toSeq
+      val feats = toks.map(t => poly(t) % 4096) ++
+        toks.sliding(2).filter(_.size == 2).map(p => poly(p.mkString(" ")) % 4096)
+      (feats.size.toLong, feats.map(wgt).sum)
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val r = TextAnalysis.textQualityClassifier(spark, dir).collect()
+    assert(r.length === texts.size)
+    r.foreach { x =>
+      val (n, raw) = expected(texts(x.getAs[Long]("doc_id")))
+      assert(x.getAs[Long]("n_features") === n)
+      assert(x.getAs[Long]("raw_score") === raw)
+      assert(x.getAs[Int]("keep") === (if (raw > 0) 1 else 0))
+    }
+  }
 }
