@@ -3447,6 +3447,44 @@ class Broker(spark: SparkSession, root: String) {
     encodeAlterShareGroupOffsetsResponse(corr, 0, null, out)
   }
 
+  /** `kafka-share-groups.sh --reset-offsets --to-datetime` — the
+    * timestamp flow of key 91, broker-side: resolve the timestamp to
+    * each partition's first-offset-at-or-after through the SAME
+    * grouped scan the ListOffsets for-times path uses (ONE job
+    * answers every partition; reader-exclusion lock held like
+    * ListOffsets), partitions with nothing at/after the timestamp
+    * reset to the log END (nothing left to redeliver — the tool's
+    * semantics), and the reset lands through the SAME gates as the
+    * offset flow: READ-group ACL, EMPTY-group protection, the
+    * [0, log end] clamp inside [[ShareGroup.resetStartOffset]], one
+    * CAS snapshot for the whole topic. Returns per-partition
+    * (partition, errorCode, resolvedOffset). */
+  def resetShareGroupOffsetsToTimestamp(g: String, tName: String,
+      tsMs: Long): Seq[(Int, Int, Long)] = {
+    if (!authz(Acls.OpRead, Acls.ResGroup, g)) return Seq((-1, 30, -1L))
+    if (shareGroupBusy(g)) return Seq((-1, 68, -1L))
+    if (!topicExists(tName)) return Seq((-1, 3, -1L))
+    if (tsMs < 0 || tsMs > Long.MaxValue / 1000) return Seq((-1, 42, -1L))
+    val rl = maintenanceLock.readLock()
+    rl.lock()
+    try {
+      val log = topic(tName)
+      val ends = log.logEndOffsets()
+      val byPart = log.read()
+        .filter(col("ts") >= new java.sql.Timestamp(tsMs))
+        .groupBy("partition").agg(min("offset").as("o"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val sg = shareGroup(tName, g)
+      sg.batched {
+        (0 until log.numPartitions).map { p =>
+          val off = byPart.getOrElse(p, ends.getOrElse(p, 0L))
+          sg.resetStartOffset(p, off)
+          (p, 0, off)
+        }
+      }
+    } finally rl.unlock()
+  }
+
   /** DeleteShareGroupOffsets (key 92, v0): drop the group's share
     * state for named topics entirely — `kafka-share-groups.sh
     * --delete-offsets`. DELETE-group gated (OffsetDelete's

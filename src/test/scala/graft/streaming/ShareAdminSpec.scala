@@ -169,6 +169,68 @@ class ShareAdminSpec extends AnyFunSuite {
     } finally { sock.close(); server.close() }
   }
 
+  test("timestamp reset (--to-datetime): for-times resolution, suffix redelivery, gates") {
+    val root = Files.createTempDirectory("graft-shareadmin-ts").toString
+    val broker = new Broker(spark, root)
+    broker.createTopic("tt", 1)
+    val server = new WireServer(broker).start()
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      // 10 records at known second-spaced timestamps
+      val t0 = 1700000000000L
+      val recs = (0 until 10).map(i => WireRecordV2(t0 + i * 1000L,
+        s"k$i".getBytes, s"v$i".getBytes))
+      decodeProduceResponse(9, exchange(sock,
+        encodeProduceRequestBatches(9, 1, "cli", null, 1, 30000,
+          Seq(("tt", Seq((0, ProducedBatch(-1L, -1, -1, recs))))))))
+      // drain + accept everything: SPSO lands at 10
+      val r1 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(2, "cli", "sg", "m1", 0,
+          Seq("tt" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
+        topicIdResolverFor(Seq("tt")))
+      assert(r1._4.head._2.head.records.map(_._1) === (0L until 10L))
+      exchange(sock, encodeShareFetchRequest(3, "cli", "sg", "m1", -1,
+        Seq("tt" -> Seq(ShareFetchPartition(0, 1 << 20,
+          Seq(ShareAckBatch(0L, 9L, Seq(1))))))))
+      // the tool's first half: ListOffsets for-times answers offset 5
+      // for the mid timestamp — the same scan the broker flow reuses
+      val lo = decodeListOffsetsResponse(8, exchange(sock,
+        encodeListOffsetsRequest(8, 4, "cli",
+          Seq(("tt", Seq((0, t0 + 5000L, 1)))))))
+      assert(lo._2.head._2.head._4 === 5L)
+      // the broker-side --to-datetime flow resolves identically and
+      // resets through the same clamp/CAS path as the offset flow
+      assert(broker.resetShareGroupOffsetsToTimestamp("sg", "tt",
+        t0 + 5000L) === Seq((0, 0, 5L)))
+      // a fresh session redelivers EXACTLY the suffix at count 1
+      val r2 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(5, "cli", "sg", "m2", 0,
+          Seq("tt" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
+        topicIdResolverFor(Seq("tt")))
+      val p2 = r2._4.head._2.head
+      assert(p2.records.map(_._1) === (5L until 10L))
+      assert(p2.records.map(r => new String(r._2.value, "UTF-8"))
+        === (5 until 10).map(i => s"v$i"))
+      assert(p2.acquired === Seq(ShareAcquired(5L, 9L, 1)))
+      exchange(sock, encodeShareFetchRequest(6, "cli", "sg", "m2", -1,
+        Seq("tt" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty)))))
+      // past-the-end timestamp → log END: nothing left to redeliver
+      assert(broker.resetShareGroupOffsetsToTimestamp("sg", "tt",
+        t0 + 60000L) === Seq((0, 0, 10L)))
+      // negative / overflow timestamps answer 42, nothing moves
+      assert(broker.resetShareGroupOffsetsToTimestamp("sg", "tt", -5L)
+        .head._2 === 42)
+      // the EMPTY-group gate binds the timestamp flow too
+      val r3 = decodeShareFetchResponse(exchange(sock,
+        encodeShareFetchRequest(7, "cli", "sg", "m3", 0,
+          Seq("tt" -> Seq(ShareFetchPartition(0, 1 << 20, Seq.empty))))),
+        topicIdResolverFor(Seq("tt")))
+      assert(r3._2 === 0)
+      assert(broker.resetShareGroupOffsetsToTimestamp("sg", "tt", t0)
+        .head._2 === 68)
+    } finally { sock.close(); server.close() }
+  }
+
   test("empty-group protection and validation errors") {
     val (broker, _) = mkBroker(5)
     val server = new WireServer(broker).start()
