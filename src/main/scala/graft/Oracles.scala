@@ -307,6 +307,22 @@ object Oracles {
         |LATERAL (SELECT c_name, c_acctbal FROM customer
         |         WHERE c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
-        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    // same first-occurrence-marker composition as the engine (not
+    // COUNT(DISTINCT) OVER, which Spark can't plan — the point of the
+    // query is that the composition IS the portable form)
+    "q37_running_distinct" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  epoch_us(o_orderdate) // 86400000000 AS day_num FROM orders),
+        |m AS (SELECT *, CASE WHEN ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey, o_orderpriority
+        |    ORDER BY day_num, o_orderkey) = 1 THEN 1 ELSE 0 END AS is_first
+        |  FROM o)
+        |SELECT o_orderkey, o_custkey, day_num,
+        |  CAST(SUM(is_first) OVER (PARTITION BY o_custkey
+        |    ORDER BY day_num, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_priorities_so_far
+        |FROM m ORDER BY o_orderkey""".stripMargin
   )
 }

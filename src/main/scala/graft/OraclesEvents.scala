@@ -232,6 +232,33 @@ object OraclesEvents {
         |  FROM events GROUP BY 1, 2, 3) h
         |JOIN (SELECT event_type, COUNT(*) AS total
         |      FROM events GROUP BY 1) t USING (event_type)
-        |ORDER BY event_type, isodow, hour_utc""".stripMargin
+        |ORDER BY event_type, isodow, hour_utc""".stripMargin,
+
+    // the events_funnel stage CTEs verbatim; the latency measure
+    // aggregates integer µs gaps over fully-converted users, mean via
+    // one exact decimal-sum division (§5)
+    "events_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+        |       FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY 1),
+        |conv AS (SELECT s1.user_id, t1, t2, t3
+        |         FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)),
+        |g AS (
+        |  SELECT '1_view_to_click' AS transition, t2 - t1 AS gap_us FROM conv
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase', t3 - t2 FROM conv
+        |  UNION ALL
+        |  SELECT '3_view_to_purchase', t3 - t1 FROM conv)
+        |SELECT transition, COUNT(*) AS n_converted,
+        |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |  round(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE)
+        |    / COUNT(*) / CAST(1000000 AS DOUBLE), 6) AS mean_gap_s
+        |FROM g GROUP BY 1 ORDER BY transition""".stripMargin
   )
 }

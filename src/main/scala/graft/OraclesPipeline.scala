@@ -283,6 +283,38 @@ object OraclesPipeline {
         |  WHERE len(w) >= 3) g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
 
+    // the engine's regression spelled closed-form: ln's of integers
+    // quantized at 1e-4, DECIMAL sums (order-free), slope/intercept
+    // as fixed-order double arithmetic — regr_slope() is avoided on
+    // BOTH sides because its double accumulation is order-dependent
+    "text_zipf_slope" ->
+      """WITH f AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |cnts AS (SELECT lang, tok, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+        |r AS (SELECT lang, cnt, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, tok ASC) AS rank FROM cnts),
+        |xy AS (SELECT lang,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)), 4) AS DECIMAL(18,4)) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 4) AS DECIMAL(18,4)) AS y
+        |  FROM r WHERE rank <= 1000),
+        |sums AS (SELECT lang, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT lang, n AS n_ranks,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS zipf_intercept
+        |FROM sums ORDER BY lang""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
@@ -311,6 +343,25 @@ object OraclesPipeline {
       s"""WITH $embCosinePairsCtes
          |SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.3
          |ORDER BY v1, v2""".stripMargin,
+
+    // threshold sweep over the same blocked cosine pairs: each edge
+    // explodes into the surviving thresholds, pairs counted once per
+    // edge (// 2 of the two unnested endpoints), flagged vectors via
+    // DISTINCT, corpus total as a scalar subquery
+    "dedup_threshold_sweep" ->
+      s"""WITH $embCosinePairsCtes,
+         |edges AS (SELECT v1, v2, cos_sim FROM s WHERE cos_sim >= 0.3),
+         |tt AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+         |  CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE),
+         |  CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |  CAST(0.95 AS DOUBLE)]) AS threshold),
+         |x AS (SELECT threshold, unnest([v1, v2]) AS vid
+         |      FROM edges, tt WHERE cos_sim >= threshold)
+         |SELECT threshold, COUNT(*) // 2 AS n_pairs,
+         |  COUNT(DISTINCT vid) AS n_flagged,
+         |  round(CAST(COUNT(DISTINCT vid) AS DOUBLE) /
+         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings), 6) AS dup_rate
+         |FROM x GROUP BY 1 ORDER BY threshold""".stripMargin,
 
     // connected components over the same cosine pairs — the DuckDB
     // side walks the closure with a recursive CTE (min-label ≡ the

@@ -53,6 +53,7 @@ object SparkEntry {
     "q34_filtered_agg" -> Relational.q34FilteredAgg _,
     "q35_percent_rank" -> Relational.q35PercentRank _,
     "q36_listagg" -> Relational.q36Listagg _,
+    "q37_running_distinct" -> Relational.q37RunningDistinct _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -88,6 +89,7 @@ object SparkEntry {
     "events_user_segments" -> EventAnalytics.userSegments _,
     "events_path_conversion" -> EventAnalytics.pathConversion _,
     "events_dau_wau" -> EventAnalytics.dauWau _,
+    "events_funnel_latency" -> EventAnalytics.funnelLatency _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -104,6 +106,8 @@ object SparkEntry {
     "text_bpe_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textBpeTrain(s, d)),
     "text_quality_classifier" -> TextAnalysis.textQualityClassifier _,
+    "text_zipf_slope" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textZipfSlope(s, d)),
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexityBigram(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
@@ -119,6 +123,7 @@ object SparkEntry {
     "decontaminate_ngram" -> Dedup.decontaminateNgram _,
     "decontaminate_embedding" -> Dedup.decontaminateEmbedding _,
     "dedup_span_exact" -> Dedup.dedupSpanExact _,
+    "dedup_threshold_sweep" -> Dedup.dedupThresholdSweep _,
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
     "ann_hybrid_search" -> Similarity.annHybridSearch _,

@@ -726,4 +726,42 @@ object Dedup {
     hashMinComponents(spark,
       embeddingCosineEdges(spark, dir).select(col("v1").as("d1"), col("v2").as("d2")))
       .select(col("id").as("vec_id"), col("comp")).orderBy("vec_id")
+
+  /** Threshold CALIBRATION SWEEP — the duplicate-rate-vs-threshold
+    * curve a curator reads BEFORE committing to a cosine cutoff (pick
+    * τ where the curve elbows; Lee et al. / SemDeDup both calibrate
+    * this way): for each candidate threshold, how many near-dup pairs
+    * survive, how many distinct vectors they touch, and what fraction
+    * of the corpus that is.
+    *
+    * Scale shape: the LSH-blocked [[embeddingCosineEdges]] generation
+    * runs ONCE (the corpus's one pass — τ floor 0.3 bounds the edge
+    * set); the sweep then explodes each edge into |thresholds| = 8
+    * constant-bounded rows, and the distinct-vector count is a
+    * two-phase aggregate keyed (threshold, vec) — reduce side bounded
+    * by 8 × flagged vectors, never corpus-squared. The corpus total
+    * rides in as a broadcast 1-row aggregate. No global sort; the
+    * 8-row output sorts for free.
+    *
+    * Determinism: thresholds compare against the 1e-6-rounded cosine
+    * as double literals spelled identically in the oracle; pair and
+    * vector counts are integers; dup_rate is one exact division. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ths = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+    val total = t(spark, dir, "embeddings")
+      .agg(count(lit(1)).as("n_total"))
+    embeddingCosineEdges(spark, dir)
+      .select(col("cos_sim"), col("v1"), col("v2"),
+        explode(array(ths.map(lit): _*)).as("threshold"))
+      .filter(col("cos_sim") >= col("threshold"))
+      .select(col("threshold"), explode(array(col("v1"), col("v2"))).as("vid"))
+      .groupBy("threshold")
+      .agg(expr("count(1) DIV 2").as("n_pairs"),
+        countDistinct(col("vid")).as("n_flagged"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("n_pairs"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_total").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy("threshold")
+  }
 }

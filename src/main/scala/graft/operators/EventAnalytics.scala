@@ -412,4 +412,52 @@ object EventAnalytics {
         sum("dval").over(w).cast("double").as("roll7_value"))
       .orderBy("event_type", "day")
   }
+
+  /** Funnel CONVERSION LATENCY — how long each [[funnel]] stage
+    * transition takes, the metric a growth team reads next to the
+    * conversion counts: per fully-converted user the view→click,
+    * click→purchase and end-to-end view→purchase gaps, aggregated to
+    * one row per transition (converts, min / mean / max gap).
+    *
+    * Scale shape: the three per-user stage times are the [[funnel]]
+    * machinery verbatim (event_type filter pushed to the scan, only
+    * per-user µs timestamps shuffle — all three aggregates and both
+    * gating joins share the user_id key, so AQE coalesces them onto
+    * one partitioning); the transition explode is 3 rows per
+    * converted user; the final aggregate reduces to exactly 3 rows.
+    *
+    * Determinism: gaps are integer µs differences; the mean is ONE
+    * division of an exact decimal sum by an exact count (the §5
+    * recipe) — no double accumulates across rows anywhere. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    def stage(etype: String, prev: Option[(DataFrame, String)]): DataFrame = {
+      val base = ev.filter(col("event_type") === etype)
+      val gated = prev match {
+        case Some((p, c)) => base.join(p, "user_id").where(col("ts_us") > col(c))
+        case None         => base
+      }
+      gated.groupBy("user_id").agg(min("ts_us").as(s"t_$etype"))
+    }
+    val s1 = stage("view", None)
+    val s2 = stage("click", Some((s1, "t_view")))
+    val s3 = stage("purchase", Some((s2, "t_click")))
+    s1.join(s2, "user_id").join(s3, "user_id")
+      .select(explode(array(
+        struct(lit("1_view_to_click").as("transition"),
+          (col("t_click") - col("t_view")).as("gap_us")),
+        struct(lit("2_click_to_purchase").as("transition"),
+          (col("t_purchase") - col("t_click")).as("gap_us")),
+        struct(lit("3_view_to_purchase").as("transition"),
+          (col("t_purchase") - col("t_view")).as("gap_us")))).as("x"))
+      .select(col("x.transition"), col("x.gap_us"))
+      .groupBy("transition")
+      .agg(count(lit(1)).as("n_converted"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        round((sum(col("gap_us").cast(DecimalType(28, 0))).cast("double") /
+          count(lit(1)) / 1000000.0), 6).as("mean_gap_s"))
+      .orderBy("transition")
+  }
 }

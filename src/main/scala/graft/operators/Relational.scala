@@ -647,6 +647,43 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** q37: RUNNING DISTINCT COUNT — `COUNT(DISTINCT x) OVER (… ROWS
+    * UNBOUNDED PRECEDING)`, the one windowed aggregate Spark's window
+    * functions refuse outright (DISTINCT is unsupported inside a
+    * window frame). Composed from two plain windows
+    * sharing ONE hash exchange on the partition key: a row_number
+    * over (custkey, priority → order date) marks each priority's
+    * FIRST occurrence within the customer, and a running sum of that
+    * 0/1 marker over (custkey → order date) IS the running distinct
+    * count — first occurrences are exactly what a distinct counter
+    * admits. The input is pre-partitioned on o_custkey ALONE:
+    * hash(custkey) satisfies BOTH windows' clustering requirements
+    * (the marker window's (custkey, priority) groups are subsets of
+    * custkey partitions), so Catalyst plans one Exchange and two
+    * sorts — left to itself it would key the first window's exchange
+    * by (custkey, priority) and then pay a SECOND corpus shuffle to
+    * re-key by custkey (the audit caught exactly that). All
+    * arithmetic is integer; the orderkey tie-break pins same-day
+    * orders to a total order, so every intermediate row is
+    * deterministic cross-engine. */
+  def q37RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
+          .as("day_num"))
+      .repartition(col("o_custkey"))
+    val wFirst = Window.partitionBy("o_custkey", "o_orderpriority")
+      .orderBy("day_num", "o_orderkey")
+    val wRun = Window.partitionBy("o_custkey")
+      .orderBy("day_num", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+        sum(col("is_first")).over(wRun).as("distinct_priorities_so_far"))
+      .orderBy("o_orderkey")
+  }
+
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.t
 import graft.functions.TextFunctions._
@@ -537,5 +539,60 @@ object TextAnalysis {
           .as("quality"),
         (col("raw_score") > 0).cast("int").as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** Zipf's-law fit per language — the corpus-health diagnostic
+    * curators read before trusting token statistics (natural text
+    * follows freq ∝ rank^s with s ≈ −1; templated or synthetic text
+    * bends the line). Least-squares slope + intercept of
+    * ln(freq) over ln(rank) across each language's top `maxRank`
+    * token frequencies.
+    *
+    * Scale shape: ONE corpus token shuffle into the (lang, tok)
+    * frequency aggregate (map-side combined; the reduce side is the
+    * per-language vocabulary, Heaps'-law sublinear), ranks via a
+    * window partitioned by lang over the vocabulary-sized aggregate
+    * (never the token stream), the rank cutoff bounds the regression
+    * input at |langs|·maxRank rows, and the regression itself is one
+    * tiny aggregate. No global sort anywhere.
+    *
+    * Cross-engine determinism: both regression inputs are ln's of
+    * INTEGERS (rank, count) quantized at 1e-4 (the [[textPerplexity]]
+    * recipe); Σx, Σy, Σxy, Σx² accumulate in DECIMAL (order-free
+    * exactness — a double sum would be partition-order dependent);
+    * the closed-form slope/intercept are then fixed-order IEEE
+    * arithmetic over bit-identical doubles, rounded only at the
+    * display edge. The regression is spelled closed-form instead of
+    * regr_slope() because both engines' regr_* stream doubles in
+    * nondeterministic order. */
+  def textZipfSlope(spark: SparkSession, dir: String,
+      maxRank: Int = 1000): DataFrame = {
+    val freq = t(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val ranked = freq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= maxRank)
+      .select(col("lang"),
+        round(log(col("rank").cast("double")), 4)
+          .cast(DecimalType(18, 4)).as("x"),
+        round(log(col("cnt").cast("double")), 4)
+          .cast(DecimalType(18, 4)).as("y"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n").as("n_ranks"),
+        round(slope, 6).as("zipf_slope"),
+        round((sy - slope * sx) / n, 6).as("zipf_intercept"))
+      .orderBy("lang")
   }
 }
