@@ -241,6 +241,26 @@ object ScaleBench {
       graft.operators.TextAnalysis.textPerplexity(spark, baseDir)))
     time("text_perplexity 10x")(noop(
       graft.operators.TextAnalysis.textPerplexity(spark, out)))
+    // Round-10 addition (§2d probe, ann_filtered_topk): the metadata
+    // predicate resolves as an id-keyed JOIN before the cosine — the
+    // only corpus-sized shuffle is that join (vec_id-keyed: corpus
+    // vectors + filter-passing doc ids; no corpus broadcast), and the
+    // cosine scans SURVIVORS only. Survivor volume must track filter
+    // selectivity × n — the join must never inflate, and the 10×
+    // survivors must be ~10× the 1× survivors.
+    for (d <- Seq(baseDir, out)) {
+      val corpusVecs = t(spark, d, "embeddings")
+        .filter(col("vec_id") >= 5).count()
+      val allowedIds = t(spark, d, "documents")
+        .filter(col("lang") === "en").count()
+      val survivors = t(spark, d, "embeddings").filter(col("vec_id") >= 5)
+        .join(t(spark, d, "documents").filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")), "vec_id").count()
+      println(f"filtered-topk volumes at $d: corpus_vectors=$corpusVecs%d " +
+        f"allowed_ids=$allowedIds%d join_survivors=$survivors%d")
+    }
+    time("ann_filtered_topk 1x")(noop(Similarity.annFilteredTopk(spark, baseDir)))
+    time("ann_filtered_topk 10x")(noop(Similarity.annFilteredTopk(spark, out)))
     time("dedup_simhash")(noop(Dedup.dedupSimhash(spark, out)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))
