@@ -309,6 +309,27 @@ object Oracles {
         |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
 
+    // the standard MERGE composition; the change set re-derives from
+    // the base, price bump in exact DECIMAL on both sides (§5)
+    "q38_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders),
+        |changes AS (SELECT
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey
+        |         ELSE o_orderkey + 10000000 END AS c_orderkey,
+        |    'X' AS c_status,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,4))
+        |      * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS c_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 3)
+        |SELECT COALESCE(o_orderkey, c_orderkey) AS orderkey,
+        |  COALESCE(c_status, o_orderstatus) AS status,
+        |  COALESCE(c_totalprice, o_totalprice) AS totalprice,
+        |  CASE WHEN o_orderkey IS NULL THEN 'insert'
+        |       WHEN c_orderkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM base FULL OUTER JOIN changes ON o_orderkey = c_orderkey
+        |ORDER BY orderkey""".stripMargin,
+
     // same first-occurrence-marker composition as the engine (not
     // COUNT(DISTINCT) OVER, which Spark can't plan — the point of the
     // query is that the composition IS the portable form)

@@ -259,6 +259,23 @@ object OraclesEvents {
         |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
         |  round(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE)
         |    / COUNT(*) / CAST(1000000 AS DOUBLE), 6) AS mean_gap_s
-        |FROM g GROUP BY 1 ORDER BY transition""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY transition""".stripMargin,
+
+    // the q29 recipe over the user aggregate: exact discrete quartile
+    // boundaries broadcast back, VALUE-based buckets (count ties land
+    // together in any engine), shares one exact division
+    "events_concentration" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |b AS (SELECT
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY n) AS q1,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS q2,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY n) AS q3,
+        |    CAST(SUM(n) AS BIGINT) AS total FROM pu)
+        |SELECT CAST(CASE WHEN n <= q1 THEN 1 WHEN n <= q2 THEN 2
+        |    WHEN n <= q3 THEN 3 ELSE 4 END AS BIGINT) AS quartile,
+        |  COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(n) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+        |    AS event_share
+        |FROM pu, b GROUP BY 1 ORDER BY quartile""".stripMargin
   )
 }

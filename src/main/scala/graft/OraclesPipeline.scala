@@ -283,6 +283,24 @@ object OraclesPipeline {
         |  WHERE len(w) >= 3) g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
 
+    // the zipf-slope frequency/rank machinery, reduced to coverage
+    // sums — integer occurrence sums through one exact division
+    "text_vocab_coverage" ->
+      """WITH f AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |cnts AS (SELECT lang, tok, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+        |r AS (SELECT lang, cnt, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, tok ASC) AS rank FROM cnts)
+        |SELECT lang, COUNT(*) AS vocab_size,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |  round(CAST(SUM(CASE WHEN rank <= 100 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS DOUBLE), 6) AS cov_100,
+        |  round(CAST(SUM(CASE WHEN rank <= 1000 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS DOUBLE), 6) AS cov_1000,
+        |  round(CAST(SUM(CASE WHEN rank <= 10000 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS DOUBLE), 6) AS cov_10000
+        |FROM r GROUP BY 1 ORDER BY lang""".stripMargin,
+
     // the engine's regression spelled closed-form: ln's of integers
     // quantized at 1e-4, DECIMAL sums (order-free), slope/intercept
     // as fixed-order double arithmetic — regr_slope() is avoided on
@@ -390,6 +408,18 @@ object OraclesPipeline {
 
     "ann_bruteforce_topk" -> annBruteforceSql,
     "ann_filtered_topk" -> annFilteredSql,
+
+    // MIPS = the bruteforce machinery without the norm division
+    "ann_mips_topk" ->
+      s"""WITH e AS ($embDouble),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |s AS (SELECT qid, vec_id, round(${dot("qv", "v")}, 6) AS score
+         |      FROM c CROSS JOIN q),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT qid, rank, vec_id, score FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
 
     "ann_hybrid_search" -> annHybridSql,
 
@@ -867,6 +897,25 @@ object OraclesPipeline {
          |SELECT t.lang, t.n AS n_docs, t.target_n,
          |  COALESCE(s.sampled_n, 0) AS sampled_n
          |FROM t LEFT JOIN s ON t.lang = s.lang ORDER BY t.lang""".stripMargin,
+
+    // the data_mixture sqrt-weight convention over TOKEN volumes;
+    // len(string_split(text, ' ')) ≡ the engine's wsTokens
+    // (spaces + 1) exactly
+    "pipeline_mixture_epochs" ->
+      """WITH a AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT CAST(SUM(CAST(sqrt(avail_tokens) AS DECIMAL(28,12)))
+        |        AS DOUBLE) AS ws FROM a)
+        |SELECT source, n_docs, avail_tokens,
+        |  CAST(FLOOR(1000000.0 * sqrt(avail_tokens) / (SELECT ws FROM w))
+        |    AS BIGINT) AS target_tokens,
+        |  round(CAST(CAST(FLOOR(1000000.0 * sqrt(avail_tokens)
+        |      / (SELECT ws FROM w)) AS BIGINT) AS DOUBLE)
+        |    / CAST(avail_tokens AS DOUBLE), 6) AS epochs,
+        |  CAST(FLOOR(1000000.0 * sqrt(avail_tokens) / (SELECT ws FROM w))
+        |    AS BIGINT) > avail_tokens AS oversampled
+        |FROM a ORDER BY source""".stripMargin,
 
     "pipeline_stratified_sample" ->
       s"""SELECT doc_id, lang, $fp % 100 AS samp_bucket,

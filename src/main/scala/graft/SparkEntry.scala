@@ -54,6 +54,7 @@ object SparkEntry {
     "q35_percent_rank" -> Relational.q35PercentRank _,
     "q36_listagg" -> Relational.q36Listagg _,
     "q37_running_distinct" -> Relational.q37RunningDistinct _,
+    "q38_merge_upsert" -> Relational.q38MergeUpsert _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -90,6 +91,7 @@ object SparkEntry {
     "events_path_conversion" -> EventAnalytics.pathConversion _,
     "events_dau_wau" -> EventAnalytics.dauWau _,
     "events_funnel_latency" -> EventAnalytics.funnelLatency _,
+    "events_concentration" -> EventAnalytics.concentration _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -108,6 +110,7 @@ object SparkEntry {
     "text_quality_classifier" -> TextAnalysis.textQualityClassifier _,
     "text_zipf_slope" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textZipfSlope(s, d)),
+    "text_vocab_coverage" -> TextAnalysis.textVocabCoverage _,
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexityBigram(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
@@ -134,6 +137,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> Similarity.annIvfPqTopk _,
     "ann_ivf_kmeans_topk" -> Similarity.annIvfKmeansTopk _,
     "ann_range_search" -> Similarity.annRangeSearch _,
+    "ann_mips_topk" -> Similarity.annMipsTopk _,
     "emb_quantize_int8" -> Similarity.embQuantizeInt8 _,
     "knn_pairs" -> Similarity.knnPairs _,
     "ann_recall_audit" -> Similarity.annRecallAudit _,
@@ -150,6 +154,8 @@ object SparkEntry {
     "pipeline_token_budget" -> Pipeline.tokenBudget _,
     "pipeline_dataset_card" -> Pipeline.datasetCard _,
     "pipeline_data_mixture" -> Pipeline.dataMixture _,
+    "pipeline_mixture_epochs" -> ((s: SparkSession, d: String) =>
+      Pipeline.mixtureEpochs(s, d)),
     "pipeline_global_shuffle" -> ((s: SparkSession, d: String) => Pipeline.globalShuffle(s, d)),
     "docs_chunking" -> Pipeline.docsChunking _,
     "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _,

@@ -429,6 +429,45 @@ object EventAnalytics {
     * Determinism: gaps are integer µs differences; the mean is ONE
     * division of an exact decimal sum by an exact count (the §5
     * recipe) — no double accumulates across rows anywhere. */
+  /** Activity CONCENTRATION — how top-heavy is the user base (the
+    * "1% of users generate X% of traffic" report; Gini's tabular
+    * cousin): per-user event counts bucketed into activity QUARTILES
+    * by exact discrete percentiles, each bucket's user count, event
+    * volume, and share of all events.
+    *
+    * Scale shape: the q29 recipe applied to a USER aggregate — the
+    * corpus reduces to per-user counts in ONE map-combined shuffle;
+    * the quartile boundaries are exact `percentile_disc` over that
+    * users-sized table reduced to ONE broadcast row (never a global
+    * sort or a single-partition ntile window — the trap this
+    * formulation exists to avoid); bucket assignment is a broadcast
+    * comparison; the final aggregate is 4 rows. VALUE-based buckets:
+    * count ties land in the same bucket in any engine (ntile's
+    * arrival-order splits don't survive engines).
+    *
+    * Determinism: counts are integers, boundaries are elements OF
+    * the data (percentile_disc), shares are one exact division. */
+  def concentration(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    def pd(p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY n)")
+    val bounds = perUser.agg(pd(0.25).as("q1"), pd(0.5).as("q2"),
+      pd(0.75).as("q3"), sum(col("n")).as("total"))
+    perUser.crossJoin(broadcast(bounds))
+      .withColumn("quartile",
+        when(col("n") <= col("q1"), 1L)
+          .when(col("n") <= col("q2"), 2L)
+          .when(col("n") <= col("q3"), 3L)
+          .otherwise(4L))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("n")).cast("double") /
+          max(col("total")).cast("double"), 6).as("event_share"))
+      .orderBy("quartile")
+  }
+
   def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))

@@ -137,6 +137,44 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Epoch PLANNING against a token budget — the mixture step AFTER
+    * [[dataMixture]] picks proportions: given a training budget B and
+    * per-source mixture weights (∝ √available, the dataMixture
+    * convention), how many tokens each source must contribute and how
+    * many PASSES (epochs) over it that means — epochs > 1 flags the
+    * sources the run will repeat (the data-constrained regime the
+    * Chinchilla-style planners budget for).
+    *
+    * Scale shape: ONE map-combined corpus aggregate to |sources| rows
+    * (token counting is scan-side arithmetic); the weight
+    * normalization is a 1-row broadcast back over that bounded table.
+    * Nothing downstream of the first aggregate is corpus-sized.
+    *
+    * Determinism: token counts are integers; √ is IEEE
+    * correctly-rounded; the weight sum accumulates in DECIMAL
+    * (order-free); target/epoch arithmetic is fixed-order double from
+    * bit-identical inputs, floored/rounded at the display edge. */
+  def mixtureEpochs(spark: SparkSession, dir: String,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val avail = t(spark, dir, "documents")
+      .select(col("source"), wsTokens(col("text")).as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("avail_tokens"))
+    val wsum = avail.agg(
+      sum(sqrt(col("avail_tokens")).cast("decimal(28,12)"))
+        .cast("double").as("ws"))
+    avail.crossJoin(broadcast(wsum))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * sqrt(col("avail_tokens")) / col("ws"))
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"),
+        round(col("target_tokens").cast("double") /
+          col("avail_tokens").cast("double"), 6).as("epochs"),
+        (col("target_tokens") > col("avail_tokens")).as("oversampled"))
+      .orderBy("source")
+  }
+
   /** The WHOLE pre-training corpus pipeline as ONE declarative plan:
     * exact dedup → quality/length gate → benchmark decontamination
     * (broadcast eval set) → per-language stratified sampling →

@@ -684,6 +684,47 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q38: MERGE / UPSERT semantics (SQL:2003 MERGE, Delta/Iceberg's
+    * workhorse) — Spark core has no MERGE INTO over plain parquet, so
+    * this states the standard composition: base FULL OUTER JOIN
+    * changes on the key, matched rows take the change's values
+    * (update), unmatched change rows enter (insert), unmatched base
+    * rows carry forward (keep). The change set is derived
+    * deterministically from the base so the oracle re-derives it:
+    * every 7th order's status flips to 'X' with a 10% price bump
+    * (update), and every 11th≡3 order re-enters under key+10⁷
+    * (insert).
+    *
+    * Scale shape: ONE co-keyed shuffle — both sides hash-partition on
+    * the merge key and sort-merge join (the full-outer join's only
+    * honest physical form at scale; no broadcast requirement on
+    * either side). Output volume = base + inserts. The price bump
+    * routes through DECIMAL end-to-end (§5): a double ×1.1 rounded
+    * at 2 lands exactly on half-cent ties where Spark's shortest-
+    * decimal HALF_UP and a double-arithmetic round disagree — exact
+    * decimal ×, decimal round, double only at the edge. */
+  def q38MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 3)
+      .select(
+        when(col("o_orderkey") % 7 === 0, col("o_orderkey"))
+          .otherwise(col("o_orderkey") + 10000000L).as("c_orderkey"),
+        lit("X").as("c_status"),
+        expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * " +
+          "CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)").as("c_totalprice"))
+    base.join(changes, col("o_orderkey") === col("c_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_orderkey")).as("orderkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("c_totalprice"), col("o_totalprice")).as("totalprice"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("c_orderkey").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("orderkey")
+  }
+
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))

@@ -72,6 +72,34 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Max-inner-product top-k (MIPS) — the recommender-retrieval
+    * objective (user·item affinity, unnormalized): cosine's machinery
+    * WITHOUT the norm division, which changes the ranking whenever
+    * corpus norms vary (a long vector can out-score a better-aligned
+    * short one — the semantics recommenders want and cosine
+    * deliberately destroys). Same scale shape as
+    * [[annBruteforceTopk]]: queries broadcast, one corpus scan, the
+    * per-query top-k under a map-side WindowGroupLimit. At 100 TB
+    * the standard reduction applies — augment each vector with
+    * sqrt(M² − ‖v‖²) (M = max norm) and MIPS becomes a cosine
+    * search, so the IVF/PQ variants serve it unchanged. Scores are
+    * one left-fold dot of broadcast-identical doubles → bit-exact
+    * cross-engine before the 1e-6 display rounding. */
+  def annMipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("score", round(dot(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "score")
+      .orderBy("qid", "rank")
+  }
+
   /** The hybrid-search query set: each query is a (vector, term-list)
     * pair — the query embedding is the same-id corpus vector (ids
     * 0–2, excluded from the corpus side with the ann convention's

@@ -565,6 +565,41 @@ object TextAnalysis {
     * display edge. The regression is spelled closed-form instead of
     * regr_slope() because both engines' regr_* stream doubles in
     * nondeterministic order. */
+  /** Vocabulary COVERAGE curve per language — the tokenizer-sizing
+    * diagnostic (how much of the running text does a top-k vocabulary
+    * cover?): for k ∈ {100, 1000, 10000}, the fraction of token
+    * OCCURRENCES whose token ranks in the language's top k by
+    * frequency. The elbow of this curve is where a vocab/BPE budget
+    * stops paying.
+    *
+    * Scale shape: the [[textZipfSlope]] physics — ONE corpus token
+    * shuffle into the (lang, tok) frequency aggregate (map-combined;
+    * reduce side = per-language vocabulary), ranks via a
+    * lang-partitioned window over that vocabulary-sized table, then
+    * one |langs|-row conditional aggregate. The token stream itself
+    * never shuffles twice, and nothing is corpus-sized past the
+    * first aggregate.
+    *
+    * Determinism: coverages are exact integer÷integer divisions
+    * (occurrence sums over integer counts), rounded only for
+    * display; the (cnt desc, tok asc) rank order is total. */
+  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = t(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("tok").asc)
+    def cov(k: Int) = round(
+      sum(when(col("rank") <= k, col("cnt")).otherwise(lit(0L))).cast("double") /
+        sum(col("cnt")).cast("double"), 6).as(s"cov_$k")
+    freq.withColumn("rank", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("total_tokens"),
+        cov(100), cov(1000), cov(10000))
+      .orderBy("lang")
+  }
+
   def textZipfSlope(spark: SparkSession, dir: String,
       maxRank: Int = 1000): DataFrame = {
     val freq = t(spark, dir, "documents")

@@ -61,6 +61,89 @@ class Round10OpsSpec extends AnyFunSuite {
     d
   }
 
+  /** MIPS fixture (separate dir — extra vectors would add edges to
+    * the threshold-sweep fixture): corpus 5 = e0·0.5, 6 = e0·2,
+    * 7 ⊥ e0. Cosine ties 5 and 6 at 1.0 (id tie-break → 5 first);
+    * MIPS must rank 6 first — the norm sensitivity IS the metric. */
+  lazy val mipsDir: String = {
+    val d = Files.createTempDirectory("graft-r10-mips").toString
+    val e0 = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val e2 = Seq.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    Seq(
+      (0L, e0, 1),
+      (5L, e0.map(x => x * 0.5f), 1),
+      (6L, e0.map(x => x * 2.0f), 1),
+      (7L, e2, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("ann_mips_topk ranks by inner product, not cosine: the 2x-norm vector wins") {
+    val r = Similarity.annMipsTopk(spark, mipsDir).collect()
+      .filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+      .map(x => x.getAs[Long]("vec_id"))
+    assert(r.take(2).toSeq === Seq(6L, 5L),
+      "MIPS must prefer the longer colinear vector; cosine's id tie-break would pick 5")
+    // and cosine indeed ties them the other way on the same data
+    val c = Similarity.annBruteforceTopk(spark, mipsDir).collect()
+      .filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+      .map(x => x.getAs[Long]("vec_id"))
+    assert(c.take(2).toSeq === Seq(5L, 6L))
+  }
+
+  test("events_concentration: exact discrete quartiles over the planted user counts") {
+    // users: 100 → 3 events, 200 → 1 event; q1=q2=1, q3=3
+    val r = EventAnalytics.concentration(spark, dir).collect()
+      .map(x => x.getAs[Long]("quartile") ->
+        ((x.getAs[Long]("n_users"), x.getAs[Long]("n_events"),
+          x.getAs[Double]("event_share")))).toMap
+    assert(r.keySet === Set(1L, 3L))
+    assert(r(1L) === ((1L, 1L, 0.25)))
+    assert(r(3L) === ((1L, 3L, 0.75)))
+  }
+
+  test("text_vocab_coverage: the 10-token corpus is fully covered at every cutoff") {
+    val r = TextAnalysis.textVocabCoverage(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("vocab_size") === 10L)
+    assert(row.getAs[Long]("total_tokens") ===
+      (1 to 10).map(k => 100 / k).sum.toLong)
+    assert(row.getAs[Double]("cov_100") === 1.0)
+    assert(row.getAs[Double]("cov_10000") === 1.0)
+  }
+
+  test("pipeline_mixture_epochs: single source takes the whole budget; epochs exact") {
+    val total = (1 to 10).map(k => 100 / k).sum.toLong
+    val r = Pipeline.mixtureEpochs(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("avail_tokens") === total)
+    // ws routes through DECIMAL(28,12) (order-free sums), so
+    // sqrt(a)/ws is a hair under 1 and the floor lands one token
+    // short of the full budget — the specified arithmetic, which the
+    // oracle reproduces exactly
+    assert(row.getAs[Long]("target_tokens") === 999999L)
+    assert(row.getAs[Double]("epochs") ===
+      BigDecimal(999999.0 / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getAs[Boolean]("oversampled"))
+  }
+
+  test("q38_merge_upsert: update, insert, and keep rows land exactly") {
+    val r = Relational.q38MergeUpsert(spark, dir).collect()
+      .map(x => x.getAs[Long]("orderkey") ->
+        ((x.getAs[String]("status"), x.getAs[Double]("totalprice"),
+          x.getAs[String]("action")))).toMap
+    assert(r.size === 8, "7 base rows + 1 insert")
+    assert(r(7L) === (("X", 11.0, "update")), "7 % 7 == 0 updates in place")
+    assert(r(10000003L) === (("X", 11.0, "insert")), "3 % 11 == 3 re-enters under key+1e7")
+    assert(r(1L) === (("O", 10.0, "keep")))
+  }
+
   test("dedup_threshold_sweep: identical pair survives every threshold; rate = 2/3") {
     val r = Dedup.dedupThresholdSweep(spark, dir).collect()
     assert(r.length === 8, "cos=1.0 edge must survive all 8 thresholds")
