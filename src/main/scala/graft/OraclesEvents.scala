@@ -276,6 +276,28 @@ object OraclesEvents {
         |  COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events,
         |  round(CAST(SUM(n) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
         |    AS event_share
-        |FROM pu, b GROUP BY 1 ORDER BY quartile""".stripMargin
+        |FROM pu, b GROUP BY 1 ORDER BY quartile""".stripMargin,
+
+    // growth accounting on integer epoch-weeks (the cohort-retention
+    // convention); churn lands on week+1 and joins back onto
+    // OBSERVED activity weeks in both engines
+    "events_lifecycle_states" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+        |m AS (SELECT user_id, week,
+        |    LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+        |    LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+        |  FROM uw),
+        |s AS (SELECT week,
+        |    COUNT(*) FILTER (WHERE prev_week IS NULL) AS n_new,
+        |    COUNT(*) FILTER (WHERE prev_week = week - 1) AS n_retained,
+        |    COUNT(*) FILTER (WHERE prev_week IS NOT NULL
+        |      AND prev_week < week - 1) AS n_resurrected
+        |  FROM m GROUP BY 1),
+        |c AS (SELECT week + 1 AS week, COUNT(*) AS n_churned FROM m
+        |      WHERE next_week IS NULL OR next_week > week + 1 GROUP BY 1)
+        |SELECT s.week, n_new, n_retained, n_resurrected,
+        |  COALESCE(c.n_churned, 0) AS n_churned
+        |FROM s LEFT JOIN c ON s.week = c.week ORDER BY s.week""".stripMargin
   )
 }

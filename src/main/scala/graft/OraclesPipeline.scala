@@ -283,6 +283,53 @@ object OraclesPipeline {
         |  WHERE len(w) >= 3) g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
 
+    // per-source KL vs the corpus blend: one ln of an exact integer
+    // ratio quantized at 1e-4, weighted by the integer cnt_s through
+    // DECIMAL sums, one division at the edge
+    "text_kl_divergence" ->
+      """WITH sf AS (SELECT source, tok, COUNT(*) AS cnt_s FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY 1, 2),
+        |cf AS (SELECT tok, CAST(SUM(cnt_s) AS BIGINT) AS cnt FROM sf GROUP BY 1),
+        |ps AS (SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS n_s,
+        |       COUNT(*) AS vocab_s FROM sf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cf)
+        |SELECT source, MAX(n_s) AS n_tokens, MAX(vocab_s) AS vocab_size,
+        |  round(CAST(SUM(CAST(round(ln(
+        |      (CAST(cnt_s AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |      / (CAST(cnt AS DOUBLE) * CAST(n_s AS DOUBLE))), 4)
+        |      AS DECIMAL(18,4)) * CAST(cnt_s AS DECIMAL(18,0))) AS DOUBLE)
+        |    / CAST(MAX(n_s) AS DOUBLE), 6) AS kl_divergence
+        |FROM sf JOIN cf USING (tok) JOIN ps USING (source), tot
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-eval max containment in any single train doc: the
+    // decontaminate_ngram gram convention, asymmetric division by
+    // the EVAL gram count, rank over the rounded containment
+    "decontaminate_containment" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 5),
+         |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+         |es AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_eval_grams
+         |       FROM ev GROUP BY 1),
+         |p AS (SELECT t.doc_id AS train_id, e.eval_id,
+         |        CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared
+         |      FROM g t JOIN ev e ON t.g = e.g
+         |      WHERE t.doc_id % 97 <> 0 GROUP BY 1, 2),
+         |r AS (SELECT p.*, es.n_eval_grams,
+         |    round(CAST(n_shared AS DOUBLE) / CAST(n_eval_grams AS DOUBLE), 6)
+         |      AS containment,
+         |    ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY
+         |      round(CAST(n_shared AS DOUBLE) / CAST(n_eval_grams AS DOUBLE), 6)
+         |        DESC, train_id ASC) AS rk
+         |  FROM p JOIN es USING (eval_id))
+         |SELECT eval_id, train_id AS best_train_id, n_shared, n_eval_grams,
+         |  containment
+         |FROM r WHERE rk = 1 ORDER BY eval_id""".stripMargin,
+
     // the zipf-slope frequency/rank machinery, reduced to coverage
     // sums — integer occurrence sums through one exact division
     "text_vocab_coverage" ->

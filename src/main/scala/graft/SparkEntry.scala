@@ -92,6 +92,7 @@ object SparkEntry {
     "events_dau_wau" -> EventAnalytics.dauWau _,
     "events_funnel_latency" -> EventAnalytics.funnelLatency _,
     "events_concentration" -> EventAnalytics.concentration _,
+    "events_lifecycle_states" -> EventAnalytics.lifecycleStates _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -111,6 +112,7 @@ object SparkEntry {
     "text_zipf_slope" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textZipfSlope(s, d)),
     "text_vocab_coverage" -> TextAnalysis.textVocabCoverage _,
+    "text_kl_divergence" -> TextAnalysis.textKlDivergence _,
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexityBigram(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),
@@ -125,6 +127,7 @@ object SparkEntry {
     "dedup_embedding_cc" -> Dedup.dedupEmbeddingCC _,
     "decontaminate_ngram" -> Dedup.decontaminateNgram _,
     "decontaminate_embedding" -> Dedup.decontaminateEmbedding _,
+    "decontaminate_containment" -> Dedup.decontaminateContainment _,
     "dedup_span_exact" -> Dedup.dedupSpanExact _,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweep _,
     // §2d similarity search

@@ -502,6 +502,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark CONTAINMENT — the "quoted wholesale" signal
+    * [[decontaminateNgram]]'s per-train aggregate can't state: for
+    * each EVAL document, the largest fraction of its word-5-grams
+    * found inside any SINGLE training document (asymmetric by
+    * design — a short benchmark question embedded verbatim in a long
+    * page scores 1.0 where symmetric Jaccard reads noise). The
+    * decision metric eval-set audits act on: containment ≥ τ means
+    * the eval item leaks even if the page around it is unrelated.
+    *
+    * Scale shape: the [[decontaminateNgram]] physics — the eval gram
+    * set BROADCASTS (eval suites are fixed-size), the training corpus
+    * streams map-side through the hash probe and never shuffles raw;
+    * the (train, eval) pair aggregate is bounded by TRUE overlap
+    * volume; the per-eval argmax rides a WindowGroupLimit-planned
+    * rank over that bounded pair table.
+    *
+    * Determinism: integer gram counts through one exact division;
+    * the (containment desc, train_id asc) order is total. */
+  def decontaminateContainment(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 5)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).distinct()
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val evalSize = evalGrams.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_eval_grams"))
+    val w = Window.partitionBy("eval_id")
+      .orderBy(col("containment").desc, col("train_id").asc)
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), col("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("train_id", "eval_id")
+      .agg(countDistinct("g").as("n_shared"))
+      .join(broadcast(evalSize), "eval_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") /
+          col("n_eval_grams").cast("double"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id").as("best_train_id"),
+        col("n_shared"), col("n_eval_grams"), col("containment"))
+      .orderBy("eval_id")
+  }
+
   /** Benchmark decontamination in EMBEDDING space — the semantic
     * companion to [[decontaminateNgram]]: a training vector is
     * contaminated when it sits too close (cosine ≥ 0.3) to any

@@ -429,6 +429,60 @@ object EventAnalytics {
     * Determinism: gaps are integer µs differences; the mean is ONE
     * division of an exact decimal sum by an exact count (the §5
     * recipe) — no double accumulates across rows anywhere. */
+  /** Growth accounting — the weekly user LIFECYCLE states every
+    * product-analytics stack reports (the "new / retained /
+    * resurrected / churned" quad): per week, users active for the
+    * first time (new), active in the immediately prior week
+    * (retained), returning after a gap (resurrected), and users
+    * active the PRIOR week who did not return this week (churned —
+    * attributed to the week they went missing).
+    *
+    * Scale shape: the corpus reduces to DISTINCT (user, week) rows in
+    * ONE map-combined shuffle; ONE user-partitioned window computes
+    * both lag and lead over each user's weeks; each row then explodes
+    * into its own week's state flags PLUS (when the user goes
+    * missing) a churn flag on week+1 — so states and churn ride a
+    * SINGLE calendar-bounded aggregate instead of two corpus passes
+    * joined back together (the two-branch draft recomputed the
+    * distinct + window per branch; caught in the plan audit). Weeks
+    * are integer epoch-week indices (µs DIV day DIV 7 — the
+    * cohort-retention convention, no engine calendar in the loop).
+    * The activity filter (some user active that week) drops churn
+    * attributed past the corpus's last active week — exactly the
+    * observed-weeks join semantics, stated as a HAVING. All
+    * integers. */
+  def lifecycleStates(spark: SparkSession, dir: String): DataFrame = {
+    val uw = events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV $DayUs DIV 7").as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val zero = lit(0L)
+    uw.withColumn("prev_week", lag("week", 1).over(w))
+      .withColumn("next_week", lead("week", 1).over(w))
+      .select(explode(array(
+        struct(col("week"),
+          when(col("prev_week").isNull, 1L).otherwise(0L).as("is_new"),
+          when(col("prev_week") === col("week") - 1, 1L).otherwise(0L)
+            .as("is_retained"),
+          when(col("prev_week").isNotNull &&
+            col("prev_week") < col("week") - 1, 1L).otherwise(0L)
+            .as("is_resurrected"),
+          zero.as("is_churned")),
+        struct((col("week") + 1).as("week"), zero.as("is_new"),
+          zero.as("is_retained"), zero.as("is_resurrected"),
+          when(col("next_week").isNull || col("next_week") > col("week") + 1,
+            1L).otherwise(0L).as("is_churned")))).as("x"))
+      .select(col("x.*"))
+      .groupBy("week")
+      .agg(sum("is_new").as("n_new"),
+        sum("is_retained").as("n_retained"),
+        sum("is_resurrected").as("n_resurrected"),
+        sum("is_churned").as("n_churned"))
+      .filter(col("n_new") + col("n_retained") + col("n_resurrected") > 0)
+      .orderBy("week")
+  }
+
   /** Activity CONCENTRATION — how top-heavy is the user base (the
     * "1% of users generate X% of traffic" report; Gini's tabular
     * cousin): per-user event counts bucketed into activity QUARTILES

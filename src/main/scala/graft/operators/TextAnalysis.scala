@@ -565,6 +565,52 @@ object TextAnalysis {
     * display edge. The regression is spelled closed-form instead of
     * regr_slope() because both engines' regr_* stream doubles in
     * nondeterministic order. */
+  /** Per-source KL divergence from the corpus token distribution —
+    * the DOMAIN-DRIFT diagnostic (which sources speak a different
+    * language than the blend?): KL(p_source ‖ p_corpus) =
+    * Σ_t p_s(t)·ln(p_s(t)/q(t)), the quantity mixture tuning and
+    * contamination triage read per source. Every source token exists
+    * in the corpus by construction, so q > 0 always and the sum is
+    * finite.
+    *
+    * Scale shape: ONE corpus token shuffle into the (source, tok)
+    * frequency aggregate (map-combined; reduce side = per-source
+    * vocabulary); the corpus-wide frequency re-aggregates THAT table
+    * (vocab-sized input, never the token stream again); the
+    * probability-ratio join is vocab×vocab on tok (AQE broadcasts
+    * the smaller side when it fits); per-source totals derive from
+    * the same aggregate. Nothing downstream of the first aggregate
+    * is corpus-sized.
+    *
+    * Determinism: the ratio p_s/q = (cnt_s·N)/(cnt·N_s) is ONE ln of
+    * fixed-order IEEE arithmetic over exact integers, quantized at
+    * 1e-4 (the [[textPerplexity]] recipe); the Σ weights each ln by
+    * the INTEGER cnt_s and accumulates in DECIMAL (order-free);
+    * KL = Σ/N_s is one division at the edge. */
+  def textKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val srcFreq = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt_s"))
+    val corpusFreq = srcFreq.groupBy("tok").agg(sum(col("cnt_s")).as("cnt"))
+    val perSource = srcFreq.groupBy("source")
+      .agg(sum(col("cnt_s")).as("n_s"), count(lit(1)).as("vocab_s"))
+    val total = corpusFreq.agg(sum(col("cnt")).as("n_total"))
+    val lnr = round(log(
+      (col("cnt_s").cast("double") * col("n_total").cast("double")) /
+        (col("cnt").cast("double") * col("n_s").cast("double"))), 4)
+    srcFreq.join(corpusFreq, "tok")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"), max(col("vocab_s")).as("vocab_size"),
+        sum(lnr.cast(DecimalType(18, 4)) * col("cnt_s").cast(DecimalType(18, 0)))
+          .as("wsum"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        round(col("wsum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("kl_divergence"))
+      .orderBy("source")
+  }
+
   /** Vocabulary COVERAGE curve per language — the tokenizer-sizing
     * diagnostic (how much of the running text does a top-k vocabulary
     * cover?): for k ∈ {100, 1000, 10000}, the fraction of token

@@ -144,6 +144,73 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(1L) === (("O", 10.0, "keep")))
   }
 
+  /** lifecycle fixture: user 1 active weeks 0,1; user 2 weeks 0,2;
+    * user 3 week 0 only — every state and the churn attribution
+    * rules appear exactly once. */
+  lazy val lifecycleDir: String = {
+    val d = Files.createTempDirectory("graft-r10-lc").toString
+    val weekUs = 7L * 86400000000L
+    def wts(week: Int, u: Long) =
+      new Timestamp((1700000000000000L + week * weekUs) / 1000 + u)
+    Seq(
+      (1L, wts(0, 1), 1L, "view", 1.0, "{}"),
+      (2L, wts(1, 1), 1L, "view", 1.0, "{}"),
+      (3L, wts(0, 2), 2L, "view", 1.0, "{}"),
+      (4L, wts(2, 2), 2L, "view", 1.0, "{}"),
+      (5L, wts(0, 3), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("events_lifecycle_states: new/retained/resurrected/churned land exactly") {
+    val r = EventAnalytics.lifecycleStates(spark, lifecycleDir).collect()
+      .map(x => (x.getAs[Long]("n_new"), x.getAs[Long]("n_retained"),
+        x.getAs[Long]("n_resurrected"), x.getAs[Long]("n_churned")))
+    assert(r.length === 3)
+    assert(r(0) === ((3L, 0L, 0L, 0L)), "week 0: all three users are new")
+    assert(r(1) === ((0L, 1L, 0L, 2L)),
+      "week 1: user 1 retained; users 2 and 3 went missing")
+    assert(r(2) === ((0L, 0L, 1L, 1L)),
+      "week 2: user 2 resurrected; user 1 went missing")
+  }
+
+  test("text_kl_divergence: a single-source corpus has KL exactly 0") {
+    val r = TextAnalysis.textKlDivergence(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Double]("kl_divergence") === 0.0,
+      "p_source = p_corpus when there is one source, so every ln ratio is 0")
+    assert(r.head.getAs[Long]("n_tokens") ===
+      (1 to 10).map(k => 100 / k).sum.toLong)
+  }
+
+  /** containment fixture: eval doc 0's text appears verbatim inside
+    * train doc 1 (containment 1.0); train doc 2 shares only the
+    * first 5-gram (0.5). */
+  lazy val containDir: String = {
+    val d = Files.createTempDirectory("graft-r10-ct").toString
+    val evalText = "w1 w2 w3 w4 w5 w6"
+    Seq(
+      (0L, evalText, "en", "srcE", evalText.length.toLong),
+      (1L, s"prefix tokens here $evalText and a suffix", "en", "srcT", 40L),
+      (2L, "w1 w2 w3 w4 w5 different tail entirely", "en", "srcT", 39L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("decontaminate_containment: verbatim embedding scores 1.0 against the right train doc") {
+    val r = Dedup.decontaminateContainment(spark, containDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("eval_id") === 0L)
+    assert(row.getAs[Long]("best_train_id") === 1L,
+      "the full-containment doc must out-rank the half-containment one")
+    assert(row.getAs[Long]("n_eval_grams") === 2L)
+    assert(row.getAs[Long]("n_shared") === 2L)
+    assert(row.getAs[Double]("containment") === 1.0)
+  }
+
   test("dedup_threshold_sweep: identical pair survives every threshold; rate = 2/3") {
     val r = Dedup.dedupThresholdSweep(spark, dir).collect()
     assert(r.length === 8, "cos=1.0 edge must survive all 8 thresholds")
