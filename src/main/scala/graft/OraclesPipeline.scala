@@ -1074,6 +1074,37 @@ object OraclesPipeline {
         |GROUP BY 1, 2
         |ORDER BY doc_id, window_idx""".stripMargin,
 
+    // the mm_frame_pipeline sampling verbatim; consecutive sampled
+    // pairs by (fi, fi+2); all-integer delta and threshold
+    "mm_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id, fi AS frame_idx,
+        |    substr(text, CAST(fi * 256 + 1 AS INT), 256) AS chunk
+        |  FROM documents,
+        |    UNNEST(generate_series(0, CAST(ceil(strlen(text) / 256.0) AS BIGINT) - 1)) AS t(fi)
+        |  WHERE fi % 2 = 0),
+        |fc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+        |       FROM f GROUP BY 1),
+        |p AS (SELECT a.doc_id, b.frame_idx AS cut_idx,
+        |    CAST(list_sum(list_transform(
+        |      generate_series(1, LEAST(strlen(a.chunk), strlen(b.chunk))),
+        |      i -> abs(CAST(ascii(substr(a.chunk, CAST(i AS INT), 1)) AS BIGINT)
+        |             - CAST(ascii(substr(b.chunk, CAST(i AS INT), 1)) AS BIGINT))))
+        |      AS BIGINT) AS delta,
+        |    CAST(LEAST(strlen(a.chunk), strlen(b.chunk)) AS BIGINT) AS cmp_len
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id
+        |    AND b.frame_idx = a.frame_idx + 2),
+        |c AS (SELECT doc_id,
+        |    CAST(COUNT(*) FILTER (WHERE delta >= 13 * cmp_len) AS BIGINT)
+        |      AS n_cuts,
+        |    COALESCE(MIN(cut_idx) FILTER (WHERE delta >= 13 * cmp_len), -1)
+        |      AS first_cut_idx
+        |  FROM p GROUP BY 1)
+        |SELECT fc.doc_id, fc.n_frames,
+        |  COALESCE(c.n_cuts, 0) AS n_cuts,
+        |  COALESCE(c.first_cut_idx, -1) AS first_cut_idx
+        |FROM fc LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "mm_phash_dedup" ->
       """WITH r AS (SELECT doc_id,
         |  list_transform(generate_series(0, 31), i ->

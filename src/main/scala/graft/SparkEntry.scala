@@ -149,6 +149,7 @@ object SparkEntry {
     "mm_phash_dedup" -> Multimodal.mmPhashDedup _,
     "mm_audio_energy" -> Multimodal.mmAudioEnergy _,
     "mm_frame_pipeline" -> Multimodal.mmFramePipeline _,
+    "mm_scene_cuts" -> Multimodal.mmSceneCuts _,
     // §2g end-to-end training-data pipeline compositions
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "pipeline_train_test_split" -> Pipeline.trainTestSplit _,

@@ -198,6 +198,58 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "window_idx")
   }
 
+  /** One per-doc scene-cut summary row. first_cut_idx = −1 when no
+    * cut fires. */
+  case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+      first_cut_idx: Long)
+
+  /** §2f query: SCENE-CUT detection over the sampled frame stream —
+    * the shot-boundary pass a video curation pipeline runs before
+    * frame dedup/captioning: consecutive sampled frames whose mean
+    * absolute byte delta reaches 13 (an exact integer comparison,
+    * `Σ|aᵢ−bᵢ| ≥ 13·len` — no float threshold at an engine boundary)
+    * mark a cut. Frames are the [[mmFramePipeline]] sampling verbatim
+    * (every 2nd fixed-256 chunk; the byte-as-pixel decode is the
+    * declared stub — a real codec swaps in with the pairing, delta
+    * math, and partitioning unchanged).
+    *
+    * 100-TB shape: consecutive-frame pairs form INSIDE the per-record
+    * flatMap — the frame stream never shuffles and needs no lag
+    * window, because frames of one payload are born adjacent in one
+    * map call (the window formulation would pay a doc-keyed exchange
+    * of every frame for an ordering the generator already has). Pure
+    * map-side; output is one row per document. */
+  def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val records = asMediaRecords(spark, dir)
+    import records.sparkSession.implicits._
+    records.mapPartitions { batch =>
+      batch.map { r =>
+        val frames = r.payload.grouped(256).zipWithIndex
+          .filter(_._2 % 2 == 0).toArray
+        var nCuts = 0L
+        var firstCut = -1L
+        var k = 1
+        while (k < frames.length) {
+          val a = frames(k - 1)._1
+          val b = frames(k)._1
+          val len = math.min(a.length, b.length)
+          var delta = 0L
+          var i = 0
+          while (i < len) {
+            delta += math.abs((a(i) & 0xFF) - (b(i) & 0xFF))
+            i += 1
+          }
+          if (delta >= 13L * len) {
+            nCuts += 1
+            if (firstCut < 0) firstCut = frames(k)._2.toLong
+          }
+          k += 1
+        }
+        SceneCuts(r.doc_id, frames.length.toLong, nCuts, firstCut)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** Perceptual-hash dedup over media payloads: downsample each
     * payload to 32 "pixels" (the same truncating index map the
     * resize stub uses), threshold each pixel against the payload

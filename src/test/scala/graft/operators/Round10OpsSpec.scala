@@ -211,6 +211,25 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("containment") === 1.0)
   }
 
+  test("mm_scene_cuts: a byte flip between sampled frames cuts; identical frames don't") {
+    val d = Files.createTempDirectory("graft-r10-sc").toString
+    // sampled frames are chunks 0 and 2 (chunk 1 is skipped):
+    // doc 0 flips a→z across them (per-byte delta 25 ≥ 13 → cut at
+    // chunk index 2); doc 1 repeats the same frame (no cut)
+    val cut = "a" * 256 + "b" * 256 + "z" * 256
+    val flat = "a" * 256 + "b" * 256 + "a" * 256
+    Seq((0L, cut, "en", "s", cut.length.toLong),
+      (1L, flat, "en", "s", flat.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = Multimodal.mmSceneCuts(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_frames"), x.getAs[Long]("n_cuts"),
+          x.getAs[Long]("first_cut_idx")))).toMap
+    assert(r(0L) === ((2L, 1L, 2L)))
+    assert(r(1L) === ((2L, 0L, -1L)))
+  }
+
   test("dedup_threshold_sweep: identical pair survives every threshold; rate = 2/3") {
     val r = Dedup.dedupThresholdSweep(spark, dir).collect()
     assert(r.length === 8, "cos=1.0 edge must survive all 8 thresholds")
