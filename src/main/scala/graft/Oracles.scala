@@ -309,6 +309,26 @@ object Oracles {
         |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
 
+    "q39_percentile_cont" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+        |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mode composed (not mode(): both engines tie-break arbitrarily)
+    "q40_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority ASC) AS rk,
+        |      CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total
+        |      FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  n AS n_mode, total AS n_group,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS mode_share
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+
     // the standard MERGE composition; the change set re-derives from
     // the base, price bump in exact DECIMAL on both sides (§5)
     "q38_merge_upsert" ->

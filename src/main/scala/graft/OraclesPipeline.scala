@@ -283,6 +283,26 @@ object OraclesPipeline {
         |  WHERE len(w) >= 3) g
         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
 
+    // length-difference counts (corpus verified all-ASCII so
+    // strlen ≡ char length); integer verdict, 'g' flag on every
+    // regexp_replace (DuckDB replaces first-only by default)
+    "text_code_detect" ->
+      """SELECT doc_id, n_chars, n_symbols, n_digits, n_code_marks,
+        |  round(CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |    AS symbol_ratio,
+        |  CAST(n_symbols * 10 >= n_chars OR n_code_marks * 50 >= n_chars
+        |    AS INTEGER) AS is_code
+        |FROM (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
+        |    CAST(strlen(text) - strlen(regexp_replace(text,
+        |      '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+        |    CAST(strlen(text) - strlen(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |    CAST(strlen(text) - strlen(regexp_replace(text,
+        |      '[{}()\[\];=<>]', '', 'g')) AS BIGINT) AS n_code_marks
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // per-source KL vs the corpus blend: one ln of an exact integer
     // ratio quantized at 1e-4, weighted by the integer cnt_s through
     // DECIMAL sums, one division at the edge

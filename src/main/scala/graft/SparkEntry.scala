@@ -55,6 +55,8 @@ object SparkEntry {
     "q36_listagg" -> Relational.q36Listagg _,
     "q37_running_distinct" -> Relational.q37RunningDistinct _,
     "q38_merge_upsert" -> Relational.q38MergeUpsert _,
+    "q39_percentile_cont" -> Relational.q39PercentileCont _,
+    "q40_mode" -> Relational.q40Mode _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -113,6 +115,7 @@ object SparkEntry {
       TextAnalysis.textZipfSlope(s, d)),
     "text_vocab_coverage" -> TextAnalysis.textVocabCoverage _,
     "text_kl_divergence" -> TextAnalysis.textKlDivergence _,
+    "text_code_detect" -> TextAnalysis.textCodeDetect _,
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexityBigram(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.textBm25TopK(s, d)),

@@ -725,6 +725,55 @@ object Relational {
       .orderBy("orderkey")
   }
 
+  /** q39: CONTINUOUS (interpolated) percentiles — the companion to
+    * q15/q29's discrete ones: percentile_cont picks
+    * lo + (hi − lo)·frac between the two straddling elements, the
+    * quantile definition BI tools default to. Probed before landing:
+    * Spark's and DuckDB's interpolation produce bit-identical
+    * doubles on this data (both compute pos = p·(n−1) and the same
+    * two-term interpolation over identical parquet doubles); the
+    * 1e-4 display rounding absorbs any future last-ulp divergence in
+    * the engines' association order. One sort per group partition
+    * (the exact-quantile price, q29's adjudication); reduce side =
+    * |returnflags|. */
+  def q39PercentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def pc(p: Double) = expr(
+      s"round(percentile_cont($p) WITHIN GROUP (ORDER BY l_extendedprice), 4)")
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        pc(0.25).as("p25"), pc(0.5).as("p50"), pc(0.75).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q40: deterministic MODE — the most frequent value per group.
+    * Spark's and DuckDB's mode() both break frequency ties
+    * ARBITRARILY (arrival order), so the mode is composed instead:
+    * a (group, value) count aggregate, then a rank window ordered
+    * (count desc, value asc) — every tie deterministic in any
+    * engine. The window and the per-group total SHARE the group
+    * partitioning over the |groups|×|values|-bounded aggregate (the
+    * corpus crosses one map-combined shuffle; nothing downstream is
+    * corpus-sized). share = one exact integer division. */
+  def q40Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    val wt = Window.partitionBy("o_orderstatus")
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("total", sum(col("n")).over(wt))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"), col("n").as("n_mode"),
+        col("total").as("n_group"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("mode_share"))
+      .orderBy("o_orderstatus")
+  }
+
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))

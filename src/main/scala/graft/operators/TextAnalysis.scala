@@ -565,6 +565,38 @@ object TextAnalysis {
     * display edge. The regression is spelled closed-form instead of
     * regr_slope() because both engines' regr_* stream doubles in
     * nondeterministic order. */
+  /** Code-vs-prose detection — the corpus-routing heuristic (code
+    * wants different tokenization, dedup, and mixture treatment than
+    * prose; every web-scale pipeline splits them): per-doc symbol /
+    * digit / code-punctuation densities over the raw text, with an
+    * integer-arithmetic verdict (`n_symbols·10 ≥ n_chars` OR
+    * `n_code_marks·50 ≥ n_chars` — no float threshold at an engine
+    * boundary). The synthetic corpus is prose, so verdicts run false
+    * — the densities verify the patterns fire (the textPiiScrub
+    * convention); real code trips both tests by an order of
+    * magnitude. Pure map-side regexp projection — codegen'd
+    * builtins, no UDF, no shuffle: a scan-rate transform at 100 TB.
+    * Counts are length differences (exact integers), ratios one
+    * exact division each. */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nChars = length(txt).cast("long")
+    def removed(re: String) =
+      (length(txt) - length(regexp_replace(txt, re, ""))).cast("long")
+    val nSymbols = removed("[^A-Za-z0-9 ]")
+    val nDigits = removed("[0-9]")
+    val nCode = removed("[{}()\\[\\];=<>]")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), nChars.as("n_chars"),
+        nSymbols.as("n_symbols"), nDigits.as("n_digits"),
+        nCode.as("n_code_marks"),
+        round(nSymbols.cast("double") / nChars.cast("double"), 6)
+          .as("symbol_ratio"),
+        (nSymbols * 10 >= nChars || nCode * 50 >= nChars).cast("int")
+          .as("is_code"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source KL divergence from the corpus token distribution —
     * the DOMAIN-DRIFT diagnostic (which sources speak a different
     * language than the blend?): KL(p_source ‖ p_corpus) =

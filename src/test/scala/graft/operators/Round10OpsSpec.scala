@@ -211,6 +211,50 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("containment") === 1.0)
   }
 
+  test("q39_percentile_cont: interpolation lands the textbook quartiles") {
+    val d = Files.createTempDirectory("graft-r10-pc").toString
+    Seq(("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val r = Relational.q39PercentileCont(spark, d).collect().head
+    // pos = p·(n−1) over [10,20,30,40]: 0.75 → 17.5; 1.5 → 25; 2.25 → 32.5
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Double]("p25") === 17.5)
+    assert(r.getAs[Double]("p50") === 25.0)
+    assert(r.getAs[Double]("p75") === 32.5)
+  }
+
+  test("q40_mode: frequency ties break by value, share exact") {
+    // r10 orders fixture: priorities A×3, B×3, C×1, all status 'O'
+    val r = Relational.q40Mode(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("mode_priority") === "A",
+      "A and B tie at 3; the value tie-break must pick A")
+    assert(row.getAs[Long]("n_mode") === 3L)
+    assert(row.getAs[Long]("n_group") === 7L)
+    assert(row.getAs[Double]("mode_share") ===
+      BigDecimal(3.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("text_code_detect: code trips the verdict, prose doesn't") {
+    val d = Files.createTempDirectory("graft-r10-cd").toString
+    val code = "if (x == 1) { y[2] = z; } else { return f(a, b); }"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((0L, code, "en", "s", code.length.toLong),
+      (1L, prose, "en", "s", prose.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.textCodeDetect(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_symbols"), x.getAs[Long]("n_code_marks"),
+          x.getAs[Int]("is_code")))).toMap
+    assert(r(0L)._3 === 1, "brace/equals density must trip the code verdict")
+    assert(r(1L) === ((0L, 0L, 0)), "pure prose has zero symbols and stays prose")
+    // ( ) ×2 pairs, { } ×2 pairs, [ ], = ×3, ; ×2
+    assert(r(0L)._2 === 15L, "{}()[];= marks counted exactly")
+  }
+
   test("mm_scene_cuts: a byte flip between sampled frames cuts; identical frames don't") {
     val d = Files.createTempDirectory("graft-r10-sc").toString
     // sampled frames are chunks 0 and 2 (chunk 1 is skipped):
