@@ -147,6 +147,37 @@ object OraclesPipeline {
        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** All-integer PageRank, 5 unrolled rounds over the shared cosine
+    * pairs: pr scaled by 10¹², contribution `pr // deg` (floor
+    * division, exact), damped update `(15·base + 85·inflow) // 100` —
+    * the engine's integers reproduce bit-for-bit because no float
+    * ever accumulates across rows. */
+  private val graphPagerankSql: String = {
+    val base = "(1000000000000 // (SELECT n FROM nn))"
+    def rnd(i: Int): String =
+      s"""p$i AS (SELECT d.src AS id,
+         |  CAST((15 * $base + 85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS pr
+         |  FROM degs d LEFT JOIN (
+         |    SELECT g.dst, SUM(p.pr // dg.deg) AS inflow
+         |    FROM symg g JOIN p${i - 1} p ON g.src = p.id
+         |    JOIN degs dg ON dg.src = g.src
+         |    GROUP BY g.dst) f ON f.dst = d.src)""".stripMargin
+    val rounds = (1 to 5).map(rnd).mkString(",\n")
+    s"""WITH $embCosinePairsCtes,
+       |ed AS (SELECT v1, v2 FROM s WHERE cos_sim >= 0.3),
+       |symg AS (SELECT v1 AS src, v2 AS dst FROM ed
+       |         UNION ALL SELECT v2 AS src, v1 AS dst FROM ed),
+       |degs AS (SELECT src, COUNT(*) AS deg FROM symg GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM degs),
+       |p0 AS (SELECT src AS id,
+       |       CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS pr
+       |       FROM degs),
+       |$rounds
+       |SELECT id AS vec_id, pr AS pr_scaled,
+       |  round(CAST(pr AS DOUBLE) / 1000000000000, 8) AS pagerank
+       |FROM p5 ORDER BY vec_id""".stripMargin
+  }
+
   private val annBruteforceSql: String =
     s"""WITH e AS ($embDouble),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -472,6 +503,8 @@ object OraclesPipeline {
          |  ON s2.d1 = w.id AND w.comp < s2.d2)
          |SELECT id AS vec_id, MIN(comp) AS comp FROM walk
          |GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "graph_pagerank" -> graphPagerankSql,
 
     "ann_bruteforce_topk" -> annBruteforceSql,
     "ann_filtered_topk" -> annFilteredSql,

@@ -144,6 +144,8 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> Similarity.annIvfKmeansTopk _,
     "ann_range_search" -> Similarity.annRangeSearch _,
     "ann_mips_topk" -> Similarity.annMipsTopk _,
+    "graph_pagerank" -> ((s: SparkSession, d: String) =>
+      Similarity.graphPagerank(s, d)),
     "emb_quantize_int8" -> Similarity.embQuantizeInt8 _,
     "knn_pairs" -> Similarity.knnPairs _,
     "ann_recall_audit" -> Similarity.annRecallAudit _,

@@ -100,6 +100,60 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** PageRank over the embedding near-dup graph — the centrality
+    * measure semantic curation uses to pick REPRESENTATIVE documents
+    * from a similarity neighborhood (keep the hub, drop the
+    * periphery), and the iterative-numeric companion to
+    * [[Dedup.dedupEmbeddingCC]]'s iterative-labeling loop.
+    *
+    * ALL-INTEGER fixed-point iteration — the reason this carries a
+    * full oracle where textbook float PageRank couldn't: ranks live
+    * scaled by 10¹², each contribution is `pr DIV degree` (floor
+    * division, exact), and the damped update is
+    * `(15·base + 85·Σinflow) DIV 100` — no float accumulates across
+    * rows anywhere, so every iteration's integers are bit-identical
+    * in any engine and the 5-round result is exactly reproducible.
+    *
+    * Scale shape: the blocked cosine-edge generation runs ONCE
+    * (checkpointed — the [[Dedup.hashMinComponents]] discipline, so
+    * round plans stay O(1)); each round shuffles only (node, rank)
+    * rows keyed by the edge endpoints — never text, never vectors;
+    * 5 fixed rounds. Dangling mass is structurally absent (every
+    * node has ≥ 1 edge by construction). */
+  def graphPagerank(spark: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val Scale = 1000000000000L
+    val e = graft.operators.Dedup.embeddingCosineEdges(spark, dir)
+      .select(col("v1"), col("v2")).localCheckpoint(true)
+    val sym = e.select(explode(array(
+        struct(col("v1").as("src"), col("v2").as("dst")),
+        struct(col("v2").as("src"), col("v1").as("dst")))).as("x"))
+      .select(col("x.src"), col("x.dst")).persist()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count()
+    if (n == 0)
+      return spark.range(0).select(col("id").as("vec_id"),
+        col("id").as("pr_scaled"), col("id").cast("double").as("pagerank"))
+    val base = Scale / n
+    var pr = deg.select(col("src").as("id"), lit(base).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = sym
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("pr DIV deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      pr = deg.select(col("src").as("id"))
+        .join(inflow.select(col("dst").as("id"), col("inflow")), Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(15 * ${base}L + 85 * coalesce(inflow, 0L)) DIV 100")
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id").as("vec_id"), col("pr").as("pr_scaled"),
+        round(col("pr").cast("double") / Scale, 8).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   /** The hybrid-search query set: each query is a (vector, term-list)
     * pair — the query embedding is the same-id corpus vector (ids
     * 0–2, excluded from the corpus side with the ann convention's

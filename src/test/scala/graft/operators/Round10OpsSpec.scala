@@ -211,6 +211,25 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("containment") === 1.0)
   }
 
+  test("graph_pagerank: regular components sit exactly at the fixed point") {
+    val d = Files.createTempDirectory("graft-r10-pr").toString
+    val e0 = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val e2 = Seq.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    // a pair (deg 1 each) and a triangle (deg 2 each) of identical
+    // vectors: in a regular component each node's inflow equals its
+    // own rank, so (15·base + 85·base) DIV 100 = base — the rank
+    // must sit at EXACTLY Scale/n after any number of rounds
+    Seq((0L, e0, 1), (1L, e0, 1), (5L, e2, 1), (6L, e2, 1), (7L, e2, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val r = Similarity.graphPagerank(spark, d).collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      assert(row.getAs[Long]("pr_scaled") === 200000000000L,
+        s"node ${row.getAs[Long]("vec_id")} must hold the exact fixed point")
+    }
+  }
+
   test("q39_percentile_cont: interpolation lands the textbook quartiles") {
     val d = Files.createTempDirectory("graft-r10-pc").toString
     Seq(("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0))
