@@ -298,6 +298,26 @@ object OraclesEvents {
         |      WHERE next_week IS NULL OR next_week > week + 1 GROUP BY 1)
         |SELECT s.week, n_new, n_retained, n_resurrected,
         |  COALESCE(c.n_churned, 0) AS n_churned
-        |FROM s LEFT JOIN c ON s.week = c.week ORDER BY s.week""".stripMargin
+        |FROM s LEFT JOIN c ON s.week = c.week ORDER BY s.week""".stripMargin,
+
+    // seasonal-naive: predict (type, day) by (type, day-7); errors
+    // are integer diffs, MAE/bias via decimal sums, MAPE terms
+    // quantized at 1e-6 before their decimal sum
+    "events_forecast_baseline" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.n - p.n AS e, abs(a.n - p.n) AS ae,
+        |    CAST(round(CAST(abs(a.n - p.n) AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS ape
+        |  FROM daily a JOIN daily p
+        |    ON p.event_type = a.event_type AND p.day = a.day - 7)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  round(CAST(SUM(CAST(ae AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
+        |    AS mae,
+        |  round(CAST(SUM(CAST(e AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
+        |    AS bias,
+        |  round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -1172,6 +1172,29 @@ object OraclesPipeline {
         |SELECT phash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
         |FROM p GROUP BY phash ORDER BY keeper""".stripMargin,
 
+    // the mm_phash_dedup hash CTEs + 4×8-bit Manku banding; exact
+    // bit_count verify, DISTINCT before the threshold
+    "mm_phash_hamming" ->
+      """WITH r AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 31), i ->
+        |    CAST(ascii(substr(text,
+        |      CAST(floor(i * length(text) / 32.0) AS INT) + 1, 1)) AS BIGINT)) AS px
+        |  FROM documents),
+        |h AS (SELECT doc_id, px, CAST(list_sum(px) AS DOUBLE) / 32.0 AS mean FROM r),
+        |p AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), i ->
+        |    CASE WHEN CAST(px[i+1] AS DOUBLE) >= mean THEN power(2, i)
+        |         ELSE 0.0 END)) AS BIGINT) AS phash
+        |  FROM h),
+        |bands AS (SELECT doc_id, phash, b,
+        |    (phash >> (b * 8)) & 255 AS bv
+        |  FROM p, UNNEST(generate_series(0, 3)) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, bb.doc_id AS d2,
+        |    CAST(bit_count(xor(a.phash, bb.phash)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands bb
+        |    ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id)
+        |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY d1, d2""".stripMargin,
+
     "ann_recall_audit" ->
       s"""WITH exact AS (SELECT * FROM ($annBruteforceSql)),
          |approx AS (SELECT * FROM ($annIvfSql)),

@@ -95,6 +95,7 @@ object SparkEntry {
     "events_funnel_latency" -> EventAnalytics.funnelLatency _,
     "events_concentration" -> EventAnalytics.concentration _,
     "events_lifecycle_states" -> EventAnalytics.lifecycleStates _,
+    "events_forecast_baseline" -> EventAnalytics.forecastBaseline _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -155,6 +156,7 @@ object SparkEntry {
     "mm_audio_energy" -> Multimodal.mmAudioEnergy _,
     "mm_frame_pipeline" -> Multimodal.mmFramePipeline _,
     "mm_scene_cuts" -> Multimodal.mmSceneCuts _,
+    "mm_phash_hamming" -> Multimodal.mmPhashHamming _,
     // §2g end-to-end training-data pipeline compositions
     "pipeline_clean_corpus" -> Pipeline.cleanCorpus _,
     "pipeline_train_test_split" -> Pipeline.trainTestSplit _,

@@ -429,6 +429,42 @@ object EventAnalytics {
     * Determinism: gaps are integer µs differences; the mean is ONE
     * division of an exact decimal sum by an exact count (the §5
     * recipe) — no double accumulates across rows anywhere. */
+  /** Seasonal-naïve FORECAST baseline + error report — the capacity
+    * planner's sanity model (predict each (type, day) by the count 7
+    * days earlier) and the floor every fancier forecaster must beat;
+    * per type the day count, MAE, signed bias, and MAPE over days
+    * where both actual and prediction exist.
+    *
+    * Scale shape: ONE corpus shuffle into the (type, day) daily
+    * aggregate; the lag-7 join and the error aggregate run over the
+    * calendar-bounded daily table (self-join on (type, day−7) —
+    * never the corpus). Determinism: errors are integer
+    * differences; MAE/bias are decimal sums of integers through one
+    * division; each MAPE term is ONE exact double division of
+    * integers quantized at 1e-6 before its decimal sum (a raw double
+    * sum would be partition-order dependent). */
+  def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pred = daily.select(col("event_type"),
+      (col("day") + 7).as("day"), col("n").as("n_pred"))
+    val err = (col("n") - col("n_pred")).cast("long")
+    daily.join(pred, Seq("event_type", "day"))
+      .select(col("event_type"), err.as("e"),
+        abs(err).as("ae"),
+        round(abs(err).cast("double") / col("n").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("ape"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("ae").cast(DecimalType(18, 0))).cast("double") /
+          count(lit(1)), 4).as("mae"),
+        round(sum(col("e").cast(DecimalType(18, 0))).cast("double") /
+          count(lit(1)), 4).as("bias"),
+        round(sum(col("ape")).cast("double") / count(lit(1)), 6).as("mape"))
+      .orderBy("event_type")
+  }
+
   /** Growth accounting — the weekly user LIFECYCLE states every
     * product-analytics stack reports (the "new / retained /
     * resurrected / churned" quad): per week, users active for the

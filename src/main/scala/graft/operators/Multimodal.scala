@@ -250,6 +250,56 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Perceptual-hash NEAR-dup pairs — [[mmPhashDedup]] only groups
+    * EXACT hash matches; real image near-dups differ in a few bits.
+    * Candidates by the Manku pigeonhole over the 32-bit pHash: 4
+    * bands of 8 bits — any pair within hamming ≤ 3 shares at least
+    * one exact band (3 flipped bits can dirty at most 3 of 4 bands),
+    * so banding is recall-COMPLETE at the threshold, never a heuristic.
+    * Verification is exact `bit_count(xor)`; a pair matching in
+    * several bands dedups through DISTINCT before the (cheap) verify.
+    *
+    * 100-TB shape: the [[Dedup]] banding physics on image hashes —
+    * candidates are per-(band, value) bucket joins (8-bit bands keep
+    * buckets dense; at 10⁹ images widen bands exactly as
+    * SimhashBlocking.forCorpus does), the corpus never self-joins,
+    * and only (doc, 32-bit hash) rows shuffle. */
+  def mmPhashHamming(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = mmPhashAll(spark, dir)
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("(phash >> (band * 8)) & 255"))
+    val a = bands.select(col("band"), col("bv"),
+      col("doc_id").as("d1"), col("phash").as("h1"))
+    val b = bands.select(col("band"), col("bv"),
+      col("doc_id").as("d2"), col("phash").as("h2"))
+    a.join(b, Seq("band", "bv")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("bit_count(h1 ^ h2)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  /** The per-doc 32-bit pHash shared by [[mmPhashDedup]] and
+    * [[mmPhashHamming]] (the stub-downsample + mean-threshold
+    * projection, exact IEEE arithmetic). */
+  private def mmPhashAll(spark: SparkSession, dir: String): DataFrame = {
+    val px = transform(sequence(lit(0), lit(31)),
+      i => ascii(substring(col("text"),
+        floor(i.cast("double") * length(col("text")) / 32.0).cast("int") + 1, lit(1)))
+        .cast("long"))
+    graft.Tables.t(spark, dir, "documents")
+      .withColumn("px", px)
+      .withColumn("mean",
+        aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double") / 32.0)
+      .select(col("doc_id"),
+        aggregate(transform(sequence(lit(0), lit(31)),
+            i => when(element_at(col("px"), i + 1).cast("double") >= col("mean"),
+              pow(lit(2.0), i)).otherwise(lit(0.0))),
+          lit(0.0), (a, x) => a + x).cast("long").as("phash"))
+  }
+
   /** Perceptual-hash dedup over media payloads: downsample each
     * payload to 32 "pixels" (the same truncating index map the
     * resize stub uses), threshold each pixel against the payload

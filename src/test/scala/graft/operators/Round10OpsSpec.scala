@@ -211,6 +211,65 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("containment") === 1.0)
   }
 
+  test("mm_phash_hamming: banding is recall-complete — equals brute force at the threshold") {
+    val real = "/root/testdata/sf0.001"
+    val got = Multimodal.mmPhashHamming(spark, real).collect()
+      .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2"),
+        x.getAs[Long]("hamming"))).toSet
+    // brute-force all-pairs over the same hashes (500 docs → 124,750
+    // pairs; any pair the pigeonhole missed would be absent here)
+    val hashes = Multimodal.mmPhashDedup(spark, real) // keeper per exact hash
+    val px = graft.Tables.t(spark, real, "documents").count()
+    assert(px === 500L)
+    val hs = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.t(spark, real, "documents")
+        .withColumn("px", transform(sequence(lit(0), lit(31)),
+          i => ascii(substring(col("text"),
+            floor(i.cast("double") * length(col("text")) / 32.0).cast("int") + 1,
+            lit(1))).cast("long")))
+        .withColumn("mean",
+          aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double") / 32.0)
+        .select(col("doc_id"),
+          aggregate(transform(sequence(lit(0), lit(31)),
+              i => when(element_at(col("px"), i + 1).cast("double") >= col("mean"),
+                pow(lit(2.0), i)).otherwise(lit(0.0))),
+            lit(0.0), (a, x) => a + x).cast("long").as("phash"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash"))
+    }
+    val brute = (for {
+      (d1, h1) <- hs; (d2, h2) <- hs if d1 < d2
+      hm = java.lang.Long.bitCount(h1 ^ h2).toLong if hm <= 3
+    } yield (d1, d2, hm)).toSet
+    assert(got === brute,
+      "4×8-bit banding must find EXACTLY the hamming ≤ 3 pairs (pigeonhole)")
+    assert(hashes.count() > 0)
+  }
+
+  test("events_forecast_baseline: seasonal-naive errors land exactly") {
+    val d = Files.createTempDirectory("graft-r10-fc").toString
+    val dayUs = 86400000000L
+    def dts(day: Int, k: Int) =
+      new Timestamp((1700000000000000L + day * dayUs) / 1000 + k)
+    // type 'view': 10 events day 0, 12 day 7, 8 day 14
+    val rows = (0 until 10).map(k => (k.toLong, dts(0, k), 1L, "view", 1.0, "{}")) ++
+      (0 until 12).map(k => (100L + k, dts(7, k), 1L, "view", 1.0, "{}")) ++
+      (0 until 8).map(k => (200L + k, dts(14, k), 1L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val r = EventAnalytics.forecastBaseline(spark, d).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // preds: day7 ← 10 (err +2, ape 2/12), day14 ← 12 (err −4, ape 0.5)
+    assert(row.getAs[Long]("n_days") === 2L)
+    assert(row.getAs[Double]("mae") === 3.0)
+    assert(row.getAs[Double]("bias") === -1.0)
+    val ape1 = BigDecimal(2.0 / 12.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val mape = ((ape1 + BigDecimal("0.5")) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("mape") === mape)
+  }
+
   test("graph_pagerank: regular components sit exactly at the fixed point") {
     val d = Files.createTempDirectory("graft-r10-pr").toString
     val e0 = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
