@@ -215,6 +215,17 @@ object OraclesStreams {
          |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
          |  COUNT(*) AS n_events, $dsumVal AS sum_value
          |FROM sess GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    // time travel: the pinned batch-A snapshot is exactly the even
+    // event_ids; head is everything - both recomputed from the source
+    "topic_time_travel" ->
+      s"""WITH ev AS (SELECT event_id, $part AS "partition" FROM events)
+         |SELECT '1_asof_batch1' AS snapshot, "partition",
+         |       COUNT(*) AS n_records
+         |FROM ev WHERE event_id % 2 = 0 GROUP BY 2
+         |UNION ALL
+         |SELECT '2_head', "partition", COUNT(*) FROM ev GROUP BY 2
+         |ORDER BY snapshot, "partition"""".stripMargin
   )
 }

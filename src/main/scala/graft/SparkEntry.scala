@@ -75,6 +75,7 @@ object SparkEntry {
     "asof_join_exec" -> Streams.asofJoinExec _,
     "json_props_agg" -> Streams.jsonPropsAgg _,
     "materialized_view_agg" -> Streams.materializedViewAgg _,
+    "topic_time_travel" -> Streams.topicTimeTravel _,
     "share_group_drain" -> Streams.shareGroupDrain _,
     "share_group_describe" -> Streams.shareGroupDescribe _,
     // §2h event-stream analytics

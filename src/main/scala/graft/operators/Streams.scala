@@ -126,6 +126,74 @@ object Streams {
     s"$root/$topic"
   }
 
+  /** TIME TRAVEL driven through the correctness gate — the
+    * Iceberg-style `AS OF` read the CAS manifest history gives for
+    * free (every committed version is a self-contained snapshot): a
+    * dedicated topic commits in TWO batches (batch A = even
+    * event_ids, then batch B = the rest), the batch-A manifest
+    * version is pinned in a marker at build time, and the query reads
+    * BOTH that pinned version and the head — per-partition counts the
+    * oracle recomputes from the source table (evens / all). Reruns
+    * reopen the same topic and pinned version and serve identical
+    * snapshots: time travel is exactly what makes the repeated
+    * executions reproducible. Zero Spark jobs resolve either
+    * manifest; each read is the same pruned parquet scan as a head
+    * read. */
+  def topicTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TopicLog
+    val (topicDir, vA) = ensureTimeTravelTopic(spark, dir)
+    val p = java.nio.file.Paths.get(topicDir)
+    val log = TopicLog.open(spark, p.getParent.toString, p.getFileName.toString)
+    def counts(df: DataFrame, label: String) =
+      df.groupBy("partition")
+        .agg(count(lit(1)).as("n_records"))
+        .select(lit(label).as("snapshot"),
+          col("partition").cast("long").as("partition"), col("n_records"))
+    counts(log.readAt(vA), "1_asof_batch1")
+      .unionAll(counts(log.read(), "2_head"))
+      .orderBy("snapshot", "partition")
+  }
+
+  /** Build the two-commit time-travel topic once per sf dir; the
+    * batch-A manifest version persists in a marker file so reruns pin
+    * the SAME snapshot. */
+  private def ensureTimeTravelTopic(spark: SparkSession, dir: String): (String, Long) = {
+    import graft.streaming.TopicLog
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-topics-" +
+      Integer.toHexString(dir.hashCode)
+    val topic = "events_tt_v1"
+    val marker = java.nio.file.Paths.get(s"$root/$topic/_tt_pin.json")
+    if (!TopicLog.exists(root, topic) || !java.nio.file.Files.exists(marker)) {
+      val log = TopicLog.create(spark, root, topic, NumPartitions)
+      val ev = events(spark, dir)
+        .withColumn("partition", pmod(col("user_id"), lit(NumPartitions.toLong)).cast("int"))
+        .select(col("event_id"), col("partition"), col("ts"),
+          col("props").cast("binary").as("value"))
+      val wPar = Window.partitionBy("partition", "parity").orderBy("event_id")
+      val ranked = ev
+        .withColumn("parity", (col("event_id") % 2).cast("int"))
+        .withColumn("rn", (row_number().over(wPar) - 1).cast("long"))
+      val evenCounts = ranked.filter(col("parity") === 0)
+        .groupBy(col("partition").as("p2"))
+        .agg(count(lit(1)).as("n_even"))
+      def recs(df: DataFrame) = df.select(
+        col("event_id").cast("string").cast("binary").as("key"),
+        col("value"), col("ts"), col("partition"), col("offset"))
+      log.produceAssigned(recs(
+        ranked.filter(col("parity") === 0).withColumn("offset", col("rn"))))
+      val vA = log.manifestVersions().max
+      log.produceAssigned(recs(
+        ranked.filter(col("parity") === 1)
+          .join(evenCounts, col("partition") === col("p2"), "left")
+          .withColumn("offset", col("rn") + coalesce(col("n_even"), lit(0L)))))
+      java.nio.file.Files.writeString(marker, s"""{"asof_version": $vA}""")
+    }
+    val pinned = """"asof_version"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(marker))
+      .map(_.group(1).toLong).get
+    (s"$root/$topic", pinned)
+  }
+
   /** The [[graft.streaming.MaterializedAgg]] driven through the
     * correctness gate: a materialized per-event-type aggregate over
     * the PHYSICAL events topic — `refresh()` folds the log

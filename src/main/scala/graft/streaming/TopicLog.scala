@@ -439,6 +439,37 @@ class TopicLog private (
         }
     }
 
+  /** TIME-TRAVEL read: the topic AS OF manifest version `version` —
+    * exactly the files that committed snapshot listed (every manifest
+    * is resolvable on its own: snapshot anchor + forward deltas), so
+    * a reader can pin an audit, a reproducible training run, or a
+    * diff against any still-retained version. History is bounded by
+    * [[TopicLog.vacuum]]'s `keepManifests` (the Iceberg
+    * expire-snapshots contract): a retired version answers None →
+    * empty frame here. Zero Spark jobs resolve the manifest; the read
+    * itself is the same pruned parquet scan as [[read]]. */
+  def readAt(version: Long): DataFrame =
+    TopicLog.resolveManifestAt(manifestsDir, version) match {
+      case Some(m) if m.files.nonEmpty =>
+        spark.read.schema(readSchema)
+          .option("basePath", dataDir)
+          .parquet(m.files.map(f => s"$dataDir/$f"): _*)
+      case _ =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), readSchema)
+    }
+
+  /** Committed manifest versions still on disk, ascending — the
+    * time-travel catalog ([[readAt]] accepts any of these). */
+  def manifestVersions(): Seq[Long] = {
+    if (!Files.exists(manifestsDir)) return Seq.empty
+    TopicLog.listDir(manifestsDir).iterator
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
   /** Read the whole log (all partitions) as a DataFrame — only files
     * the current manifest references (uncommitted/orphaned files are
     * invisible); falls back to a plain dir scan for pre-manifest
@@ -1087,14 +1118,24 @@ object TopicLog {
     resolveManifestOnce(dir)
   }
 
-  private def resolveManifestOnce(dir: Path): Option[Manifest] = {
+  /** [[resolveManifestOnce]] capped at `atVersion` — the time-travel
+    * resolve: answers None when that version has been vacuumed away
+    * (never silently substitutes a different version). */
+  private[graft] def resolveManifestAt(dir: Path, atVersion: Long): Option[Manifest] = {
+    if (!Files.exists(dir) ||
+        !Files.exists(dir.resolve(s"v$atVersion.json"))) None
+    else resolveManifestOnce(dir, atVersion)
+  }
+
+  private def resolveManifestOnce(dir: Path,
+      cap: Long = Long.MaxValue): Option[Manifest] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(dir)) return None
     val versions = listDir(dir).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq
+      .toSeq.filter(_ <= cap)
     versions.maxOption.map { newest =>
       var v = newest
       var head: VersionRec = null

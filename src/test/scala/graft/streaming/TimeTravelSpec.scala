@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Time-travel reads over the CAS manifest history: every committed
+  * version is a self-contained snapshot, so `readAt(v)` must
+  * reproduce exactly the records version v listed — and vacuum's
+  * history retirement must make retired versions answer EMPTY, never
+  * silently substitute a neighbor.
+  */
+class TimeTravelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(ids: Range) =
+    ids.map(i => (0, s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"),
+      null: Map[String, Array[Byte]], 1700000000000L + i))
+
+  test("readAt pins each commit's exact record set; head keeps moving") {
+    val root = Files.createTempDirectory("graft-tt").toString
+    val log = TopicLog.create(spark, root, "t1", 1)
+    log.produceDirect(rows(0 until 4))
+    val v1 = log.manifestVersions().max
+    log.produceDirect(rows(4 until 10))
+    val v2 = log.manifestVersions().max
+    assert(v2 > v1)
+
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => new String(r.getAs[Array[Byte]]("key"), "UTF-8"))
+        .sorted.toSeq
+    assert(keys(log.readAt(v1)) === (0 until 4).map(i => s"k$i"))
+    assert(keys(log.readAt(v2)) === (0 until 10).map(i => s"k$i").sorted)
+    assert(keys(log.read()) === keys(log.readAt(v2)),
+      "head read ≡ the newest version's time travel")
+    // a version that never existed answers empty, not an error
+    assert(log.readAt(v2 + 100).count() === 0L)
+  }
+
+  test("vacuum retires history: a retired version answers empty") {
+    val root = Files.createTempDirectory("graft-tt2").toString
+    val log = TopicLog.create(spark, root, "t2", 1)
+    log.produceDirect(rows(0 until 3))
+    val v1 = log.manifestVersions().max
+    log.produceDirect(rows(3 until 6))
+    log.produceDirect(rows(6 until 9))
+    log.vacuum(keepManifests = 1, minAgeMs = 0L)
+    assert(!log.manifestVersions().contains(v1),
+      "vacuum(keep=1) must retire the batch-1 version")
+    assert(log.readAt(v1).count() === 0L,
+      "a vacuumed version answers empty — never a substituted snapshot")
+    assert(log.read().count() === 9L, "the head is untouched by retirement")
+  }
+}
