@@ -116,6 +116,12 @@ class GraftTopicScanBuilder(topicDir: String,
   private val optionPartitions: Option[Set[Int]] =
     Option(options.get("partitions"))
       .map(_.split(",").map(_.trim.toInt).toSet)
+  // time travel: pin the scan to a committed manifest version —
+  // `.option("asOfVersion", "12")`; a retired/unknown version plans
+  // an EMPTY scan (TopicLog.readAt's contract: never a silently
+  // substituted neighbor)
+  private val asOfVersion: Option[Long] =
+    Option(options.get("asOfVersion")).map(_.toLong)
 
   // what the scan can enforce EXACTLY: partition dir pruning handles
   // comparisons + In; offset handles range comparisons (In on offset
@@ -138,7 +144,8 @@ class GraftTopicScanBuilder(topicDir: String,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan =
-    GraftTopicScan(topicDir, required, pushed, maxPerTrigger, optionPartitions)
+    GraftTopicScan(topicDir, required, pushed, maxPerTrigger,
+      optionPartitions, asOfVersion)
 }
 
 /** Inclusive offset bounds compiled from the pushed filters — the
@@ -149,7 +156,8 @@ case class OffsetBounds(lower: Long, upper: Long) {
 
 case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[Filter],
     maxPerTrigger: Option[Long] = None,
-    optionPartitions: Option[Set[Int]] = None)
+    optionPartitions: Option[Set[Int]] = None,
+    asOfVersion: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -223,15 +231,25 @@ case class GraftTopicScan(topicDir: String, required: StructType, pushed: Array[
 
   private def doPlanInputPartitions(): Array[InputPartition] = {
     val dataDir = Paths.get(topicDir, "data")
-    graft.streaming.TopicLog.manifestFiles(topicDir) match {
+    val manifest = asOfVersion match {
+      // pinned version: files/ranges from THAT snapshot; unknown or
+      // vacuumed versions plan empty (Some(Nil)), never the dir scan
+      case Some(v) =>
+        Some(graft.streaming.TopicLog.manifestAt(topicDir, v)
+          .map(m => (m.files, m.fileRanges))
+          .getOrElse((Seq.empty[String], Map.empty[String, (Long, Long)])))
+      case None =>
+        graft.streaming.TopicLog.manifestFiles(topicDir)
+          .map(fs => (fs, graft.streaming.TopicLog.manifestRanges(topicDir)))
+    }
+    manifest match {
       // manifest-aware: plan exactly the committed snapshot (orphans
       // from crashed produces are invisible)
-      case Some(files) =>
+      case Some((files, ranges)) =>
         // per-file offset ranges recorded at produce time: a file
         // wholly outside the pushed offset bounds is pruned HERE, at
         // planning — no task, no footer open (files without a range
         // fall back to reader-side row-group skipping)
-        val ranges = graft.streaming.TopicLog.manifestRanges(topicDir)
         val ob = offsetBounds
         files.sorted.flatMap { rel =>
           val p = rel.takeWhile(_ != '/').stripPrefix("partition=").toInt

@@ -1169,6 +1169,12 @@ object TopicLog {
   private[graft] def manifestFiles(topicDir: String): Option[Seq[String]] =
     latestManifest(topicDir).map(_.files)
 
+  /** Time-travel manifest by path for the DSv2 source's
+    * `asOfVersion` option; None for retired/unknown versions (the
+    * scan plans EMPTY — [[TopicLog.readAt]]'s contract). */
+  private[graft] def manifestAt(topicDir: String, version: Long): Option[Manifest] =
+    resolveManifestAt(Paths.get(s"$topicDir/_manifests"), version)
+
   /** Per-file [min,max] offset ranges from the manifest — recorded
     * once at produce time so planners prune files by offset with NO
     * file I/O. Files without an entry (pre-range manifests) are

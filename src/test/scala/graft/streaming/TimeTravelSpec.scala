@@ -40,6 +40,27 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(log.readAt(v2 + 100).count() === 0L)
   }
 
+  test("DSv2 asOfVersion option pins the scan; pushdown still applies") {
+    val root = Files.createTempDirectory("graft-tt3").toString
+    val log = TopicLog.create(spark, root, "t3", 2)
+    log.produceDirect(rows(0 until 4) ++
+      rows(0 until 2).map(r => r.copy(_1 = 1)))
+    val v1 = log.manifestVersions().max
+    log.produceDirect(rows(4 until 8))
+    val df = spark.read.format("graft-topic")
+      .option("asOfVersion", v1.toString).load(s"$root/t3")
+    assert(df.count() === 6L, "the pinned scan sees only batch 1")
+    // partition pushdown composes with the pin
+    assert(df.filter(org.apache.spark.sql.functions.col("partition") === 1)
+      .count() === 2L)
+    // head read (no option) sees everything
+    assert(spark.read.format("graft-topic").load(s"$root/t3").count() === 10L)
+    // unknown version plans an EMPTY scan
+    assert(spark.read.format("graft-topic")
+      .option("asOfVersion", (v1 + 999).toString).load(s"$root/t3")
+      .count() === 0L)
+  }
+
   test("vacuum retires history: a retired version answers empty") {
     val root = Files.createTempDirectory("graft-tt2").toString
     val log = TopicLog.create(spark, root, "t2", 1)
