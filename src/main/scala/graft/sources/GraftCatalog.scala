@@ -64,6 +64,40 @@ class GraftCatalog extends TableCatalog {
     new GraftTopicTable(s"$root/${ident.name}")
   }
 
+  /** `SELECT … FROM graft.t VERSION AS OF 12` — Spark routes the SQL
+    * time-travel clause here; the returned table pins every scan to
+    * that committed manifest version (retired/unknown → empty scan,
+    * the TopicLog.readAt contract). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new GraftTopicTable(s"$root/${ident.name}", Some(version.toLong))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands epoch MICROseconds; resolve to
+    * the newest manifest version committed at-or-before it (manifest
+    * file mtime — commit time by construction, since a CAS link is
+    * never rewritten). No version that old → the pre-history empty
+    * table (pin version -1, which resolves to nothing). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val mdir = Paths.get(s"$root/${ident.name}/_manifests")
+    val tsMs = timestampMicros / 1000L
+    val v =
+      if (!Files.exists(mdir)) -1L
+      else graft.streaming.TopicLog.listDir(mdir).iterator
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+        .filter(ver => Files.getLastModifiedTime(
+          mdir.resolve(s"v$ver.json")).toMillis <= tsMs)
+        .foldLeft(-1L)(math.max)
+    new GraftTopicTable(s"$root/${ident.name}", Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     require(schema.isEmpty || schema == graft.streaming.TopicLog.readSchema ||

@@ -69,7 +69,8 @@ class GraftTopicSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class GraftTopicTable(topicDir: String) extends Table
+class GraftTopicTable(topicDir: String,
+    asOfVersion: Option[Long] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_topic($topicDir)"
   override def schema(): StructType = graft.streaming.TopicLog.tableSchema
@@ -92,11 +93,24 @@ class GraftTopicTable(topicDir: String) extends Table
       .foreach { case (k, v) => out.put(k, v) }
     out
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTopicScanBuilder(topicDir, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a catalog-level VERSION AS OF pin rides in as the default for
+    // the scan's asOfVersion option (an explicit read option wins)
+    val opts = asOfVersion match {
+      case Some(v) if options.get("asOfVersion") == null =>
+        val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("asOfVersion", v.toString)
+        new CaseInsensitiveStringMap(m)
+      case _ => options
+    }
+    new GraftTopicScanBuilder(topicDir, opts)
+  }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOfVersion.isEmpty,
+      "cannot write to a time-travel (VERSION AS OF) table")
     new GraftTopicWriteBuilder(topicDir, info)
+  }
 }
 
 class GraftTopicScanBuilder(topicDir: String,

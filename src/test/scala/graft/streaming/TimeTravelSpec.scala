@@ -61,6 +61,34 @@ class TimeTravelSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF through the catalog") {
+    val root = Files.createTempDirectory("graft-tt4").toString
+    val log = TopicLog.create(spark, root, "t4", 1)
+    log.produceDirect(rows(0 until 3))
+    val v1 = log.manifestVersions().max
+    Thread.sleep(1100) // separate manifest mtimes for the ts leg
+    val betw = java.time.Instant.now()
+    Thread.sleep(1100)
+    log.produceDirect(rows(3 until 8))
+    spark.conf.set("spark.sql.catalog.ttcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ttcat.root", root)
+    assert(spark.sql(s"SELECT count(*) FROM ttcat.t4 VERSION AS OF $v1")
+      .head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM ttcat.t4").head.getLong(0) === 8L)
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(betw)
+    assert(spark.sql(
+      s"SELECT count(*) FROM ttcat.t4 TIMESTAMP AS OF '$iso'")
+      .head.getLong(0) === 3L,
+      "a timestamp between the two commits must resolve to batch 1")
+    // writes to a pinned table refuse
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO ttcat.t4 VERSION AS OF $v1 SELECT * FROM ttcat.t4")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("vacuum retires history: a retired version answers empty") {
     val root = Files.createTempDirectory("graft-tt2").toString
     val log = TopicLog.create(spark, root, "t2", 1)
