@@ -265,7 +265,14 @@ object Multimodal {
     * SimhashBlocking.forCorpus does), the corpus never self-joins,
     * and only (doc, 32-bit hash) rows shuffle. */
   def mmPhashHamming(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = mmPhashAll(spark, dir)
+    // EAGER checkpoint of the (doc, 32-bit hash) table before
+    // banding: the pHash projection is a 32-wide expression tree
+    // over the text (px inlined per element_at reference), and
+    // without truncation Catalyst re-derives it through the band
+    // explode AND on both join sides — measured 48.7 s at sf0.1
+    // against 0.9 s checkpointed (the hashMinComponents lineage
+    // lesson applied to an expression tree instead of a loop)
+    val hashes = mmPhashAll(spark, dir).localCheckpoint(true)
     val bands = hashes.select(col("doc_id"), col("phash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("(phash >> (band * 8)) & 255"))
