@@ -735,14 +735,24 @@ object Relational {
     * 1e-4 display rounding absorbs any future last-ulp divergence in
     * the engines' association order. One sort per group partition
     * (the exact-quantile price, q29's adjudication); reduce side =
-    * |returnflags|. */
+    * |returnflags|.
+    *
+    * All three percentiles come from ONE `percentile(col, array(…))`
+    * aggregate — `percentile_cont(p) WITHIN GROUP` resolves to the
+    * same Percentile expression, but three separate calls build
+    * three independent value→count buffers over the group (3× the
+    * map-side memory and 3× the merge bytes for identical answers);
+    * the array form shares a single buffer. Measured 6.6 s → see
+    * SURVEY §17 at 10×. */
   def q39PercentileCont(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    def pc(p: Double) = expr(
-      s"round(percentile_cont($p) WITHIN GROUP (ORDER BY l_extendedprice), 4)")
     li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
-        pc(0.25).as("p25"), pc(0.5).as("p50"), pc(0.75).as("p75"))
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("pcs"))
+      .select(col("l_returnflag"), col("n_rows"),
+        round(element_at(col("pcs"), 1), 4).as("p25"),
+        round(element_at(col("pcs"), 2), 4).as("p50"),
+        round(element_at(col("pcs"), 3), 4).as("p75"))
       .orderBy("l_returnflag")
   }
 
