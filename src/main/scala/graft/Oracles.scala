@@ -329,6 +329,40 @@ object Oracles {
         |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS mode_share
         |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
+    // UNPIVOT spelled as the portable UNION ALL (DuckDB's UNPIVOT
+    // keyword reshapes identically; the union is the semantics)
+    "q41_unpivot" ->
+      s"""WITH a AS (SELECT l_returnflag, l_linestatus,
+         |    $dsumQty AS sum_qty,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_rows
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus, measure, value FROM (
+         |  SELECT l_returnflag, l_linestatus, 'n_rows' AS measure, n_rows AS value FROM a
+         |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM a
+         |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_qty', sum_qty FROM a) u
+         |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin,
+
+    // regression aggregates closed-form over exact decimal power sums
+    // (regr_slope()/regr_r2() stream doubles in partition order on
+    // both engines — nondeterministic); arithmetic order mirrors the
+    // Spark expressions token for token
+    "q42_regr" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
     // the standard MERGE composition; the change set re-derives from
     // the base, price bump in exact DECIMAL on both sides (§5)
     "q38_merge_upsert" ->

@@ -318,6 +318,29 @@ object OraclesEvents {
         |  round(CAST(SUM(CAST(e AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
         |    AS bias,
         |  round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape
-        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // n-scaled CUSUM: D_t = n·S_t − t·T stays in exact integers (no
+    // float mean accumulates); peak day ties break earliest
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type, day, c,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        |    SUM(c) OVER w AS s_t,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |d AS (SELECT *, n_days * s_t - t * total AS d_t FROM sc),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY abs(d_t) DESC, day ASC) AS rk FROM d)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(total AS BIGINT) AS n_events, day AS cp_day,
+        |  CAST(abs(d_t) AS BIGINT) AS cusum_peak,
+        |  round(CAST(abs(d_t) AS DOUBLE) / CAST(n_days * total AS DOUBLE), 6)
+        |    AS cusum_stat
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -1293,6 +1293,47 @@ object OraclesPipeline {
         |SELECT doc_id, n_tokens,
         |  CAST(n_tokens - len(kept) AS BIGINT) AS n_scrubbed,
         |  COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
-        |FROM k ORDER BY doc_id""".stripMargin
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // per-dimension stats over integer micro-unit quantized values;
+    // Σv exact BIGINT, Σv² exact DECIMAL(28,0) (scale 0: single
+    // rounding into double, no rescale division)
+    "emb_dim_stats" ->
+      """WITH x AS (SELECT gs.d AS dim,
+        |    CAST(round(CAST(embedding[gs.d] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS vi,
+        |    CAST(embedding[gs.d] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) AS gs(d)),
+        |a AS (SELECT dim, COUNT(*) AS n_vecs, SUM(vi) AS s,
+        |    CAST(SUM(CAST(vi * vi AS DECIMAL(28,0))) AS DOUBLE) AS sq,
+        |    round(MIN(v), 6) AS min_v, round(MAX(v), 6) AS max_v
+        |  FROM x GROUP BY 1)
+        |SELECT dim, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  round(CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0, 6) AS mean_v,
+        |  round((CAST(n_vecs AS DOUBLE) * sq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE))
+        |        / 1000000000000.0, 6) AS var_v,
+        |  min_v, max_v
+        |FROM a ORDER BY dim""".stripMargin,
+
+    // quality-staged curriculum: value thresholds over the rounded
+    // rational score (identical doubles both engines — comparisons
+    // can never straddle)
+    "pipeline_curriculum" ->
+      s"""WITH sc AS (SELECT source, CAST($ws AS BIGINT) AS toks,
+         |    round((CAST($ws AS DOUBLE) / (CAST($ws AS DOUBLE) + 50.0))
+         |          * (1.0 - CAST($stopHits AS DOUBLE) / $ws), 6) AS q
+         |  FROM documents),
+         |st AS (SELECT source, toks,
+         |    CASE WHEN q >= 0.55 THEN 1 WHEN q >= 0.45 THEN 2
+         |         WHEN q >= 0.35 THEN 3 ELSE 4 END AS stage FROM sc),
+         |a AS (SELECT stage, source, COUNT(*) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS n_tokens FROM st GROUP BY 1, 2)
+         |SELECT stage, source, n_docs, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY stage) AS BIGINT) AS stage_tokens,
+         |  round(CAST(n_tokens AS DOUBLE)
+         |    / CAST(SUM(n_tokens) OVER (PARTITION BY stage) AS DOUBLE), 6) AS stage_share,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY stage, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM a ORDER BY stage, source""".stripMargin
   )
 }

@@ -57,6 +57,8 @@ object SparkEntry {
     "q38_merge_upsert" -> Relational.q38MergeUpsert _,
     "q39_percentile_cont" -> Relational.q39PercentileCont _,
     "q40_mode" -> Relational.q40Mode _,
+    "q41_unpivot" -> Relational.q41Unpivot _,
+    "q42_regr" -> Relational.q42Regr _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -97,6 +99,7 @@ object SparkEntry {
     "events_concentration" -> EventAnalytics.concentration _,
     "events_lifecycle_states" -> EventAnalytics.lifecycleStates _,
     "events_forecast_baseline" -> EventAnalytics.forecastBaseline _,
+    "events_changepoint" -> EventAnalytics.changepoint _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -149,6 +152,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       Similarity.graphPagerank(s, d)),
     "emb_quantize_int8" -> Similarity.embQuantizeInt8 _,
+    "emb_dim_stats" -> Similarity.embDimStats _,
     "knn_pairs" -> Similarity.knnPairs _,
     "ann_recall_audit" -> Similarity.annRecallAudit _,
     // §2f multimodal plumbing (decode stubbed)
@@ -173,7 +177,8 @@ object SparkEntry {
     "pipeline_e2e_corpus" -> Pipeline.pipelineE2ECorpus _,
     "pipeline_quality_report" -> Pipeline.qualityReport _,
     "pipeline_dedup_survivors" -> Pipeline.dedupSurvivors _,
-    "pipeline_span_scrub" -> Pipeline.spanScrub _
+    "pipeline_span_scrub" -> Pipeline.spanScrub _,
+    "pipeline_curriculum" -> Pipeline.curriculum _
   )
 
   def oracleSql: Map[String, String] =

@@ -589,4 +589,40 @@ object EventAnalytics {
           count(lit(1)) / 1000000.0), 6).as("mean_gap_s"))
       .orderBy("transition")
   }
+
+  /** CUSUM changepoint detection over each type's daily volume — the
+    * "when did behavior shift" question behind alerting and release
+    * regression triage. The classic statistic is
+    * C_t = Σ_{i≤t}(c_i − mean); to keep it ENGINE-EXACT it is scaled
+    * by n (the day count): D_t = n·S_t − t·T where S_t is the integer
+    * running sum and T the integer total — pure 64-bit integers, no
+    * float mean to accumulate drift (T·n ≤ |days|·|events| ≪ 2^63).
+    * The changepoint is the day maximizing |D_t| (tie → earliest
+    * day); the reported stat normalizes to |D|/(n·T) ∈ [0,1).
+    *
+    * Scale shape: ONE corpus shuffle into the (type, day) daily
+    * aggregate (map-combined); both windows (running sum, peak rank)
+    * run over that |types|×|days|-bounded table on the SAME type
+    * partitioning — nothing downstream is corpus-sized. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily
+      .withColumn("t", row_number().over(wRun).cast("long"))
+      .withColumn("s_t", sum(col("c")).over(wRun))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy("event_type")))
+      .withColumn("d_t", col("n_days") * col("s_t") - col("t") * col("total"))
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(abs(col("d_t")).desc, col("day").asc)
+    scored.withColumn("rk", row_number().over(wPeak))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days"), col("total").as("n_events"),
+        col("day").as("cp_day"), abs(col("d_t")).as("cusum_peak"),
+        round(abs(col("d_t")).cast("double") /
+          (col("n_days") * col("total")).cast("double"), 6).as("cusum_stat"))
+      .orderBy("event_type")
+  }
 }

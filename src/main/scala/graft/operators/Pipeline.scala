@@ -428,4 +428,45 @@ object Pipeline {
         array_join(col("kept"), " ").as("scrubbed_text"))
       .orderBy("doc_id")
   }
+
+  /** Curriculum SCHEDULE — the quality-ordered training plan
+    * (easy/clean data first, noisier tails later) that curriculum-
+    * learning pipelines feed the trainer: docs bucket into quality
+    * stages by the [[graft.functions.TextFunctions.qualityScore]]
+    * heuristic (fixed VALUE thresholds, not positional ntile — a new
+    * shard joins the right stage without re-ranking the corpus), and
+    * the schedule reports per (stage, source) volumes, each source's
+    * share of its stage, and the cumulative token position where each
+    * cell starts feeding.
+    *
+    * Scale shape: scoring is a map-side projection; ONE map-combined
+    * shuffle reduces the corpus to the |stages|×|sources| grid; both
+    * windows (stage totals, cumulative schedule) run over that
+    * bounded grid — the cumulative window's single partition holds
+    * ≤ |stages|·|sources| rows by construction, never the corpus.
+    * Determinism: the score is rational arithmetic rounded at 1e-6
+    * (identical doubles both engines), so threshold comparisons can
+    * never straddle; token sums are exact integers. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("source"), wsTokens(col("text")).as("toks"),
+        qualityScore(col("text")).as("q"))
+      .withColumn("stage",
+        when(col("q") >= 0.55, 1).when(col("q") >= 0.45, 2)
+          .when(col("q") >= 0.35, 3).otherwise(4))
+    val agg = scored.groupBy("stage", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val wStage = Window.partitionBy("stage")
+    val wCum = Window.orderBy("stage", "source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("stage_tokens", sum(col("n_tokens")).over(wStage))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .select(col("stage"), col("source"), col("n_docs"), col("n_tokens"),
+        col("stage_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("stage_tokens").cast("double"), 6).as("stage_share"),
+        col("cum_tokens"))
+      .orderBy("stage", "source")
+  }
 }

@@ -794,4 +794,55 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
+
+  /** q41: UNPIVOT — the inverse reshape of [[q23Pivot]]: a wide
+    * per-(flag, status) aggregate melted into (group, measure, value)
+    * long form, the shape metric stores and plotting layers ingest.
+    * Spark's unpivot is the codegen'd `stack()` generator; it runs
+    * over the |flags|×|status| AGGREGATE, so the corpus crosses
+    * exactly ONE map-combined shuffle and the reshape itself never
+    * touches corpus-sized data. Measures route through DECIMAL (§5);
+    * the count widens to double exactly (n ≪ 2^53). */
+  def q41Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .selectExpr("l_returnflag", "l_linestatus",
+        "stack(3, 'n_rows', n_rows, 'sum_price', sum_price, " +
+          "'sum_qty', sum_qty) AS (measure, value)")
+      .orderBy("l_returnflag", "l_linestatus", "measure")
+  }
+
+  /** q42: linear-regression aggregates — regr_slope / regr_intercept /
+    * regr_r2 of price on quantity per return flag, the trend-line
+    * family BI SQL ships natively. Spelled CLOSED-FORM over exact
+    * DECIMAL power sums (Σx, Σy, Σxy, Σx², Σy² — all map-side
+    * combined, reduce side = |flags|) instead of the engines'
+    * regr_*(), which stream doubles in partition order and differ by
+    * accumulation associativity run to run. The slope / intercept /
+    * r² are then FIXED-ORDER IEEE arithmetic over bit-identical
+    * doubles on both engines (the [[graft.operators.TextAnalysis]]
+    * Zipf-fit recipe), rounded only at the display edge. */
+  def q42Regr(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val sums = li.groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("l_quantity")).as("sx"),
+      dsum(col("l_extendedprice")).as("sy"),
+      dsumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+      dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+      dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    sums.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+        round(covN * covN / (varXN * varYN), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
 }

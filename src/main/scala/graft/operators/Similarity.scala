@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.t
 import graft.functions.VectorFunctions._
@@ -412,6 +413,44 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("mn"), 6).as("mn"),
         round(col("mx"), 6).as("mx"), col("max_abs_err"), col("n_sat"))
       .orderBy("vec_id")
+
+  /** Per-dimension embedding health stats — the check an embedding
+    * pipeline runs BEFORE trusting ANN over a new encoder drop:
+    * collapsed dimensions (variance ≈ 0 ⇒ wasted index capacity, or
+    * a truncation bug), scale drift across dims (unnormalized input
+    * breaks inner-product search), and range outliers. One
+    * posexplode → (dim, value), ONE map-combined shuffle reducing
+    * n·d rows to exactly d; nothing downstream is corpus-sized.
+    *
+    * Determinism: values quantize to integer micro-units
+    * (round(v·1e6)), so Σv is an exact long and Σv² an exact
+    * DECIMAL(28,0) — both single-rounded into doubles (scale 0: no
+    * rescale division to double-round, the §5 gotcha) — and
+    * mean/variance are fixed-order IEEE arithmetic over identical
+    * doubles, rounded at the display edge. */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val dims = t(spark, dir, "embeddings")
+      .select(posexplode(toDoubleVec(col("embedding"))))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("col") * 1000000.0, 0).cast("long").as("vi"),
+        col("col").as("v"))
+    dims.groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vi")).as("s"),
+        sum((col("vi") * col("vi")).cast(DecimalType(28, 0)))
+          .cast("double").as("sq"),
+        round(min(col("v")), 6).as("min_v"),
+        round(max(col("v")), 6).as("max_v"))
+      .select(col("dim"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs").cast("double") / 1000000.0, 6)
+          .as("mean_v"),
+        round((col("n_vecs").cast("double") * col("sq") -
+            col("s").cast("double") * col("s").cast("double")) /
+          (col("n_vecs").cast("double") * col("n_vecs").cast("double")) /
+          1000000000000.0, 6).as("var_v"),
+        col("min_v"), col("max_v"))
+      .orderBy("dim")
+  }
 
   /** k-NN pairs: nearest same-label neighbor for each probe vector. */
   def knnPairs(spark: SparkSession, dir: String): DataFrame = {

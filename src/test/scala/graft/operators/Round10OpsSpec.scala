@@ -410,4 +410,104 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("zipf_slope") + 1.0) < 0.1,
       "planted 100/k frequencies must fit slope near −1")
   }
+
+  /** lineitem fixture for q41/q42: flag A is EXACTLY linear
+    * (price = 2·qty + 1 → slope 2, intercept 1, r² 1); flag B is two
+    * points (any two points regress perfectly, slope 3). */
+  lazy val regrDir: String = {
+    val d = Files.createTempDirectory("graft-r10-regr").toString
+    Seq(
+      (1L, 1, "A", "O", 1.0, 3.0, 0.0, new Timestamp(1700000000000L)),
+      (1L, 2, "A", "O", 2.0, 5.0, 0.0, new Timestamp(1700000000000L)),
+      (2L, 1, "A", "O", 3.0, 7.0, 0.0, new Timestamp(1700000000000L)),
+      (3L, 1, "B", "F", 1.0, 1.0, 0.0, new Timestamp(1700000000000L)),
+      (3L, 2, "B", "F", 2.0, 4.0, 0.0, new Timestamp(1700000000000L)))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("q41_unpivot: the wide aggregate melts to exact (measure, value) rows") {
+    val r = Relational.q41Unpivot(spark, regrDir).collect()
+      .map(x => (x.getAs[String]("l_returnflag"), x.getAs[String]("l_linestatus"),
+        x.getAs[String]("measure")) -> x.getAs[Double]("value")).toMap
+    assert(r.size === 6, "2 groups x 3 measures")
+    assert(r(("A", "O", "n_rows")) === 3.0)
+    assert(r(("A", "O", "sum_qty")) === 6.0)
+    assert(r(("A", "O", "sum_price")) === 15.0)
+    assert(r(("B", "F", "sum_price")) === 5.0)
+  }
+
+  test("q42_regr: planted linear data regresses to exact slope/intercept/r2") {
+    val r = Relational.q42Regr(spark, regrDir).collect()
+      .map(x => x.getAs[String]("l_returnflag") ->
+        ((x.getAs[Long]("n_rows"), x.getAs[Double]("slope"),
+          x.getAs[Double]("intercept"), x.getAs[Double]("r2")))).toMap
+    assert(r("A") === ((3L, 2.0, 1.0, 1.0)), "y = 2x + 1 exactly")
+    assert(r("B") === ((2L, 3.0, -2.0, 1.0)), "two points regress perfectly")
+  }
+
+  /** changepoint fixture: one type stepping 10/day → 30/day after
+    * day 3. D_t = n·S_t − t·T peaks (|−320|) at t = 4 (day 3). */
+  lazy val cpDir: String = {
+    val d = Files.createTempDirectory("graft-r10-cp").toString
+    val rows = for {
+      day <- 0 until 8
+      i <- 0 until (if (day < 4) 10 else 30)
+    } yield ((day * 100 + i).toLong,
+      new Timestamp((1700000000000000L + day * 86400000000L) / 1000 + i),
+      i.toLong, "view", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("events_changepoint: the CUSUM peak lands on the planted step boundary") {
+    val r = EventAnalytics.changepoint(spark, cpDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_days") === 8L)
+    assert(row.getAs[Long]("n_events") === 160L)
+    val day0 = 1700000000000000L / 86400000000L
+    assert(row.getAs[Long]("cp_day") === day0 + 3,
+      "max |n·S_t − t·T| sits on the last low day")
+    assert(row.getAs[Long]("cusum_peak") === 320L)
+    assert(row.getAs[Double]("cusum_stat") === 0.25, "320 / (8·160)")
+  }
+
+  /** emb-stats fixture: two 2-dim vectors [1,3] and [3,5] → each dim
+    * has mean ±2/4 and variance exactly 1. */
+  lazy val dimDir: String = {
+    val d = Files.createTempDirectory("graft-r10-dim").toString
+    Seq((0L, Seq(1.0f, 3.0f), 1), (1L, Seq(3.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("emb_dim_stats: exact mean/variance/extremes per dimension") {
+    val r = Similarity.embDimStats(spark, dimDir).collect()
+      .map(x => x.getAs[Long]("dim") ->
+        ((x.getAs[Long]("n_vecs"), x.getAs[Double]("mean_v"),
+          x.getAs[Double]("var_v"), x.getAs[Double]("min_v"),
+          x.getAs[Double]("max_v")))).toMap
+    assert(r(1L) === ((2L, 2.0, 1.0, 1.0, 3.0)))
+    assert(r(2L) === ((2L, 4.0, 1.0, 3.0, 5.0)))
+  }
+
+  test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
+    val total = (1 to 10).map(k => 100 / k).sum.toLong
+    val r = Pipeline.curriculum(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // q = 293/343 ≈ 0.854 (no stopwords) → top stage
+    assert(row.getAs[Int]("stage") === 1)
+    assert(row.getAs[String]("source") === "srcZ")
+    assert(row.getAs[Long]("n_docs") === 1L)
+    assert(row.getAs[Long]("n_tokens") === total)
+    assert(row.getAs[Long]("stage_tokens") === total)
+    assert(row.getAs[Double]("stage_share") === 1.0)
+    assert(row.getAs[Long]("cum_tokens") === total)
+  }
 }
