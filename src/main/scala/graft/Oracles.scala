@@ -363,6 +363,21 @@ object Oracles {
         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
+    // IGNORE NULLS forward fill; the sparsity rule is deterministic
+    // (orderkey % 3) so both engines see identical nulls
+    "q43_gap_fill" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS observed
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, observed,
+        |  last_value(observed IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  last_value(observed IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_obs
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     // the standard MERGE composition; the change set re-derives from
     // the base, price bump in exact DECIMAL on both sides (§5)
     "q38_merge_upsert" ->

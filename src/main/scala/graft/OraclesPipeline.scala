@@ -1334,6 +1334,29 @@ object OraclesPipeline {
          |    / CAST(SUM(n_tokens) OVER (PARTITION BY stage) AS DOUBLE), 6) AS stage_share,
          |  CAST(SUM(n_tokens) OVER (ORDER BY stage, source
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |FROM a ORDER BY stage, source""".stripMargin
+         |FROM a ORDER BY stage, source""".stripMargin,
+
+    // the oracle joins gram STRINGS; the engine joins 64-bit hashes —
+    // agreement is the collision-free check every span op carries
+    "pipeline_contamination_matrix" ->
+      """WITH g AS (SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(w) - 7),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 8),
+        |tot AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS n_shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT ta.source AS source_a, tb.source AS source_b,
+        |  COALESCE(sh.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |  ta.n_grams AS n_grams_a,
+        |  round(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
+        |    / CAST(ta.n_grams AS DOUBLE), 6) AS containment
+        |FROM tot ta JOIN tot tb ON ta.source <> tb.source
+        |LEFT JOIN sh ON sh.source_a = ta.source AND sh.source_b = tb.source
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

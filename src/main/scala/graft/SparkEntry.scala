@@ -59,6 +59,7 @@ object SparkEntry {
     "q40_mode" -> Relational.q40Mode _,
     "q41_unpivot" -> Relational.q41Unpivot _,
     "q42_regr" -> Relational.q42Regr _,
+    "q43_gap_fill" -> Relational.q43GapFill _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,
@@ -178,7 +179,8 @@ object SparkEntry {
     "pipeline_quality_report" -> Pipeline.qualityReport _,
     "pipeline_dedup_survivors" -> Pipeline.dedupSurvivors _,
     "pipeline_span_scrub" -> Pipeline.spanScrub _,
-    "pipeline_curriculum" -> Pipeline.curriculum _
+    "pipeline_curriculum" -> Pipeline.curriculum _,
+    "pipeline_contamination_matrix" -> Pipeline.contaminationMatrix _
   )
 
   def oracleSql: Map[String, String] =

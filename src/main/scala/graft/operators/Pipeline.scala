@@ -469,4 +469,49 @@ object Pipeline {
         col("cum_tokens"))
       .orderBy("stage", "source")
   }
+
+  /** Cross-source CONTAMINATION MATRIX — for every ordered source
+    * pair (a, b), what fraction of a's distinct word-8-grams also
+    * appear in b: the mixture diagnostic behind "these two crawls
+    * overlap 40%, deduplicate before weighting them independently"
+    * (and the source-level view of what `decontaminate_ngram` does
+    * doc-level).
+    *
+    * Scale shape: grams cross shuffles as 8-byte xxhash64 keys (the
+    * span-op convention — strings never shuffle); ONE corpus shuffle
+    * builds the distinct (source, hash) table; the pair join is
+    * hash-keyed over THAT table (per-gram fan-out bounded by
+    * |sources|², never corpus × corpus); totals and the final matrix
+    * are |sources|-sized broadcasts. The collision-free claim is the
+    * same 64-bit-hash adjudication every span op carries; the oracle
+    * joins the gram STRINGS and must agree.
+    */
+  def contaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    // EAGER checkpoint: the distinct (source, hash) table is read
+    // three ways (both self-join sides + totals) and the self-join
+    // aliases defeat Catalyst's exchange reuse — unchecked, the
+    // corpus explode+distinct runs 4× (the mm_phash_hamming lesson)
+    val grams = t(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8))
+          .as("g"))
+      .select(col("source"), xxhash64(col("g")).as("gk"))
+      .distinct()
+      .localCheckpoint(true)
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), col("a.gk") === col("b.gk") &&
+        col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(totals.select(col("source").as("source_a"), col("n_grams").as("n_grams_a")))
+      .join(broadcast(totals.select(col("source").as("source_b"))),
+        col("source_a") =!= col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("n_grams_a"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams_a").cast("double"), 6).as("containment"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -845,4 +845,32 @@ object Relational {
         round(covN * covN / (varXN * varYN), 6).as("r2"))
       .orderBy("l_returnflag")
   }
+
+  /** q43: GAP FILL / forward fill (last observation carried forward)
+    * — the IGNORE NULLS window family, the standard sparse-timeseries
+    * densification (sensor readings, sparse prices). A deterministic
+    * sparsity rule (orderkey % 3) plants the nulls; `filled` carries
+    * the latest non-null observation forward within each customer's
+    * order history, `prev_obs` is the previous observation exclusive
+    * of the current row.
+    *
+    * Scale shape: ONE window exchange partitioned by the
+    * high-cardinality customer key (both frames share the single
+    * Sort+Window pair); per-partition frames are running — no
+    * per-row rescans. Nothing aggregates; output = input rows. */
+  def q43GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice")).as("observed"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(col("o_custkey"), col("o_orderkey"), col("observed"),
+        last(col("observed"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled"),
+        last(col("observed"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+          .as("prev_obs"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
 }

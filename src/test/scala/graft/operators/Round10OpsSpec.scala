@@ -496,6 +496,44 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(2L) === ((2L, 4.0, 1.0, 3.0, 5.0)))
   }
 
+  test("q43_gap_fill: nulls forward-fill from the last planted observation") {
+    // orders fixture: only keys 3 and 6 are %3==0 ⇒ observed
+    val r = Relational.q43GapFill(spark, dir).collect()
+      .map(x => x.getAs[Long]("o_orderkey") ->
+        ((Option(x.getAs[java.lang.Double]("observed")),
+          Option(x.getAs[java.lang.Double]("filled")),
+          Option(x.getAs[java.lang.Double]("prev_obs"))))).toMap
+    assert(r(1L) === ((None, None, None)), "nothing observed yet")
+    assert(r(3L) === ((Some(10.0), Some(10.0), None)), "first observation")
+    assert(r(4L) === ((None, Some(10.0), Some(10.0))), "carried forward")
+    assert(r(5L) === ((None, Some(10.0), Some(10.0))))
+    assert(r(6L) === ((Some(10.0), Some(10.0), None)),
+      "customer 8 starts its own history")
+    assert(r(7L) === ((None, Some(10.0), Some(10.0))))
+  }
+
+  /** contamination fixture: two sources sharing exactly one 8-gram
+    * out of two each → containment 0.5 both directions. */
+  lazy val contamDir: String = {
+    val d = Files.createTempDirectory("graft-r10-cm").toString
+    Seq(
+      (0L, "a b c d e f g h x", "en", "srcA", 17L),
+      (1L, "a b c d e f g h y", "en", "srcB", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("pipeline_contamination_matrix: one shared 8-gram of two lands 0.5 both ways") {
+    val r = Pipeline.contaminationMatrix(spark, contamDir).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        ((x.getAs[Long]("n_shared"), x.getAs[Long]("n_grams_a"),
+          x.getAs[Double]("containment")))).toMap
+    assert(r.size === 2)
+    assert(r(("srcA", "srcB")) === ((1L, 2L, 0.5)))
+    assert(r(("srcB", "srcA")) === ((1L, 2L, 0.5)))
+  }
+
   test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
     val total = (1 to 10).map(k => 100 / k).sum.toLong
     val r = Pipeline.curriculum(spark, dir).collect()
