@@ -378,6 +378,33 @@ object Oracles {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_obs
         |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // gid = grouping(flag)·2 + grouping(status): Spark's grouping_id
+    // bit order (first grouping column = MSB), spelled explicitly
+    "q44_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_rows, $dsumQty AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q45_intersect" ->
+      """SELECT nk, membership FROM (
+        |  SELECT nk, 'both' AS membership FROM (
+        |    (SELECT DISTINCT c_nationkey AS nk FROM customer)
+        |    INTERSECT
+        |    (SELECT DISTINCT s_nationkey AS nk FROM supplier))
+        |  UNION ALL
+        |  SELECT nk, 'customer_only' FROM (
+        |    (SELECT DISTINCT c_nationkey AS nk FROM customer)
+        |    EXCEPT
+        |    (SELECT DISTINCT s_nationkey AS nk FROM supplier))
+        |  UNION ALL
+        |  SELECT nk, 'supplier_only' FROM (
+        |    (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |    EXCEPT
+        |    (SELECT DISTINCT c_nationkey AS nk FROM customer))) u
+        |ORDER BY nk""".stripMargin,
+
     // the standard MERGE composition; the change set re-derives from
     // the base, price bump in exact DECIMAL on both sides (§5)
     "q38_merge_upsert" ->

@@ -60,6 +60,8 @@ object SparkEntry {
     "q41_unpivot" -> Relational.q41Unpivot _,
     "q42_regr" -> Relational.q42Regr _,
     "q43_gap_fill" -> Relational.q43GapFill _,
+    "q44_cube" -> Relational.q44Cube _,
+    "q45_intersect" -> Relational.q45Intersect _,
     // §2a event-streaming core (Kafka log model, batch-queryable form)
     "broker_api_versions" -> Streams.brokerApiVersions _,
     "topic_metadata" -> Streams.topicMetadata _,

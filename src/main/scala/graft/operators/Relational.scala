@@ -873,4 +873,39 @@ object Relational {
           .as("prev_obs"))
       .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** q44: CUBE — completes the grouping-hierarchy trio beside
+    * [[q11Rollup]] (prefix hierarchy) and [[q22GroupingSets]]
+    * (explicit sets): all 2² margins of (flag, status) in one pass.
+    * Spark plans cube as ONE Expand + ONE map-combined aggregate
+    * (the corpus crosses a single shuffle carrying the 4× expanded
+    * rows, reduce side = Σ margin cardinalities — grouping-bounded).
+    * grouping_id disambiguates NULL-as-margin from NULL-as-value,
+    * the same convention as q22. */
+  def q44Cube(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** q45: INTERSECT / EXCEPT ALL — the set-op family beside
+    * [[q10DistinctSetops]]' EXCEPT: nation keys present among BOTH
+    * customers and suppliers (INTERSECT = distinct-both-sides
+    * semi-shape; Spark plans a left-semi over two distincts), tagged
+    * against the full distinct union so the output reports each
+    * key's membership. One row per distinct key — every aggregate is
+    * key-bounded. */
+  def q45Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    val both = c.intersect(s).withColumn("membership", lit("both"))
+    val cOnly = c.except(s).withColumn("membership", lit("customer_only"))
+    val sOnly = s.except(c).withColumn("membership", lit("supplier_only"))
+    both.unionAll(cOnly).unionAll(sOnly).orderBy("nk")
+  }
 }

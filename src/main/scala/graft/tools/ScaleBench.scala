@@ -261,6 +261,33 @@ object ScaleBench {
     }
     time("ann_filtered_topk 1x")(noop(Similarity.annFilteredTopk(spark, baseDir)))
     time("ann_filtered_topk 10x")(noop(Similarity.annFilteredTopk(spark, out)))
+    // Round-10b additions: pipeline_contamination_matrix's corpus
+    // shuffle is the distinct (source, gram-hash) table; the pair
+    // join's output is bounded by shared-gram mass × |sources|² per
+    // gram (the replica construction shares nothing ACROSS replicas,
+    // so shared mass tracks the base corpus × replicas, i.e. ~n);
+    // emb_dim_stats reduces n·d exploded rows to exactly d output
+    // rows at ANY scale — the reduce side must not grow.
+    for (d <- Seq(baseDir, out)) {
+      val g = t(spark, d, "documents")
+        .select(col("source"),
+          explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8))
+            .as("gr"))
+        .select(col("source"), xxhash64(col("gr")).as("gk")).distinct()
+      val gramRows = g.count()
+      val pairRows = g.as("a").join(g.as("b"), col("a.gk") === col("b.gk") &&
+        col("a.source") =!= col("b.source")).count()
+      val dimRows = t(spark, d, "embeddings")
+        .select(posexplode(col("embedding"))).groupBy("pos").count().count()
+      println(f"round-10b volumes at $d: distinct_source_grams=$gramRows%d " +
+        f"xsource_pair_rows=$pairRows%d dim_reduce_rows=$dimRows%d")
+    }
+    time("pipeline_contamination_matrix 1x")(noop(
+      Pipeline.contaminationMatrix(spark, baseDir)))
+    time("pipeline_contamination_matrix 10x")(noop(
+      Pipeline.contaminationMatrix(spark, out)))
+    time("emb_dim_stats 1x")(noop(Similarity.embDimStats(spark, baseDir)))
+    time("emb_dim_stats 10x")(noop(Similarity.embDimStats(spark, out)))
     time("dedup_simhash")(noop(Dedup.dedupSimhash(spark, out)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))

@@ -534,6 +534,36 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(("srcB", "srcA")) === ((1L, 2L, 0.5)))
   }
 
+  test("q44_cube: all four margins of the planted lineitem land exactly") {
+    val r = Relational.q44Cube(spark, regrDir).collect()
+      .map(x => (Option(x.getAs[String]("l_returnflag")),
+        Option(x.getAs[String]("l_linestatus")), x.getAs[Long]("gid")) ->
+        ((x.getAs[Long]("n_rows"), x.getAs[Double]("sum_qty")))).toMap
+    assert(r.size === 7, "2 cells + 2 flag margins + 2 status margins + grand total")
+    assert(r((Some("A"), Some("O"), 0L)) === ((3L, 6.0)))
+    assert(r((Some("A"), None, 1L)) === ((3L, 6.0)))
+    assert(r((None, Some("F"), 2L)) === ((2L, 3.0)))
+    assert(r((None, None, 3L)) === ((5L, 9.0)))
+  }
+
+  /** set-op fixture: customer nations {1,2}, supplier nations {2,3}. */
+  lazy val setopDir: String = {
+    val d = Files.createTempDirectory("graft-r10-so").toString
+    Seq((1L, "c1", 1L, "SEG", 0.0), (2L, "c2", 2L, "SEG", 0.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    Seq((1L, "s1", 2L), (2L, "s2", 3L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .coalesce(1).write.parquet(s"$d/supplier.parquet")
+    d
+  }
+
+  test("q45_intersect: both/customer_only/supplier_only memberships land exactly") {
+    val r = Relational.q45Intersect(spark, setopDir).collect()
+      .map(x => x.getAs[Long]("nk") -> x.getAs[String]("membership")).toMap
+    assert(r === Map(1L -> "customer_only", 2L -> "both", 3L -> "supplier_only"))
+  }
+
   test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
     val total = (1 to 10).map(k => 100 / k).sum.toLong
     val r = Pipeline.curriculum(spark, dir).collect()
