@@ -341,6 +341,30 @@ object OraclesEvents {
         |  CAST(abs(d_t) AS BIGINT) AS cusum_peak,
         |  round(CAST(abs(d_t) AS DOUBLE) / CAST(n_days * total AS DOUBLE), 6)
         |    AS cusum_stat
-        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // the z chain mirrors the engine token for token over named
+    // double intermediates; square sums at DECIMAL(19,6) (DuckDB's
+    // 18-digit multiply overflows, the q42 lesson)
+    "events_ab_test" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(COUNT(value) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS na,
+        |    CAST(COUNT(value) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS nb,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS sb,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+        |      FILTER (WHERE user_id % 2 = 0) AS DECIMAL(28,6)) AS DOUBLE) AS sqa,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+        |      FILTER (WHERE user_id % 2 <> 0) AS DECIMAL(28,6)) AS DOUBLE) AS sqb
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, na, nb, sa / na AS ma, sb / nb AS mb,
+        |    (na * sqa - sa * sa) / (na * na) AS va,
+        |    (nb * sqb - sb * sb) / (nb * nb) AS vb
+        |  FROM s)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(ma - mb, 6) AS diff,
+        |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z_stat
+        |FROM m ORDER BY event_type""".stripMargin
   )
 }

@@ -440,6 +440,17 @@ object OraclesPipeline {
         |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
+    // the bloom tier is plan-internal (no false negatives ⇒ exact
+    // output); the oracle computes the same verdicts by direct join
+    "dedup_incremental_bloom" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |inc AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+        |ex AS (SELECT DISTINCT digest FROM d WHERE doc_id % 10 <> 0)
+        |SELECT inc.doc_id, inc.digest,
+        |  CAST(CASE WHEN ex.digest IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM inc LEFT JOIN ex ON inc.digest = ex.digest
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH d AS ($grams3)
          |SELECT a.doc_id AS d1, b.doc_id AS d2,

@@ -103,6 +103,7 @@ object SparkEntry {
     "events_lifecycle_states" -> EventAnalytics.lifecycleStates _,
     "events_forecast_baseline" -> EventAnalytics.forecastBaseline _,
     "events_changepoint" -> EventAnalytics.changepoint _,
+    "events_ab_test" -> EventAnalytics.abTest _,
     // §2e text analysis
     "text_tokens" -> TextAnalysis.textTokens _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -141,6 +142,7 @@ object SparkEntry {
     "decontaminate_containment" -> Dedup.decontaminateContainment _,
     "dedup_span_exact" -> Dedup.dedupSpanExact _,
     "dedup_threshold_sweep" -> Dedup.dedupThresholdSweep _,
+    "dedup_incremental_bloom" -> Dedup.dedupIncrementalBloom _,
     // §2d similarity search
     "ann_bruteforce_topk" -> Similarity.annBruteforceTopk _,
     "ann_hybrid_search" -> Similarity.annHybridSearch _,

@@ -625,4 +625,42 @@ object EventAnalytics {
           (col("n_days") * col("total")).cast("double"), 6).as("cusum_stat"))
       .orderBy("event_type")
   }
+
+  /** A/B experiment readout — per event type, the two-sample
+    * comparison (arm = user_id parity, the deterministic stand-in
+    * for an assignment table): arm means, difference, and the
+    * two-sample z statistic z = (m_A − m_B)/√(v_A/n_A + v_B/n_B) —
+    * the decision number an experimentation platform serves.
+    *
+    * ONE map-combined aggregate computes all six power sums
+    * (FILTER-style conditional aggs; reduce side = |types|); counts
+    * are exact, value sums and square sums route through DECIMAL
+    * (order-free), and the mean/variance/z chain is fixed-order IEEE
+    * over bit-identical doubles (the q42 regression recipe), rounded
+    * only at the display edge. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("is_a"),
+        col("value"))
+    def arm(a: Boolean) = when(col("is_a") === a, col("value"))
+    def cnt(a: Boolean) = count(arm(a)).cast("double")
+    def s1(a: Boolean) = dsum(arm(a))
+    def s2(a: Boolean) = graft.Tables.dsumProd(arm(a), arm(a))
+    val agg = ev.groupBy("event_type").agg(
+      cnt(true).as("na"), cnt(false).as("nb"),
+      s1(true).as("sa"), s1(false).as("sb"),
+      s2(true).as("sqa"), s2(false).as("sqb"))
+    val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+    val va = (col("na") * col("sqa") - col("sa") * col("sa")) /
+      (col("na") * col("na"))
+    val vb = (col("nb") * col("sqb") - col("sb") * col("sb")) /
+      (col("nb") * col("nb"))
+    agg.select(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(ma - mb, 6).as("diff"),
+        round((ma - mb) / sqrt(va / col("na") + vb / col("nb")), 6)
+          .as("z_stat"))
+      .orderBy("event_type")
+  }
 }

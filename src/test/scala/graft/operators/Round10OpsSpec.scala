@@ -564,6 +564,53 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r === Map(1L -> "customer_only", 2L -> "both", 3L -> "supplier_only"))
   }
 
+  /** incremental-dedup fixture: existing docs x/y/z; incoming 10
+    * repeats x (dup), 20 is new. */
+  lazy val incDir: String = {
+    val d = Files.createTempDirectory("graft-r10-inc").toString
+    Seq((1L, "x", "en", "s", 1L), (2L, "y", "en", "s", 1L),
+      (3L, "z", "en", "s", 1L), (10L, "x", "en", "s", 1L),
+      (20L, "new text", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dedup_incremental_bloom: the repeated incoming doc flags, the new one doesn't") {
+    val r = Dedup.dedupIncrementalBloom(spark, incDir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("is_dup")).toMap
+    assert(r === Map(10L -> 1, 20L -> 0))
+  }
+
+  /** A/B fixture: arm A (even users) values {1, 3}; arm B (odd)
+    * values {5, 9} → means 2/7, variances 1/4, z = −5/√2.5. */
+  lazy val abDir: String = {
+    val d = Files.createTempDirectory("graft-r10-ab").toString
+    def ets(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    Seq(
+      (1L, ets(0), 2L, "view", 1.0, "{}"),
+      (2L, ets(1), 4L, "view", 3.0, "{}"),
+      (3L, ets(2), 1L, "view", 5.0, "{}"),
+      (4L, ets(3), 3L, "view", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("events_ab_test: planted arms land exact means and the closed-form z") {
+    val r = EventAnalytics.abTest(spark, abDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_a") === 2L)
+    assert(row.getAs[Long]("n_b") === 2L)
+    assert(row.getAs[Double]("mean_a") === 2.0)
+    assert(row.getAs[Double]("mean_b") === 7.0)
+    assert(row.getAs[Double]("diff") === -5.0)
+    val z = BigDecimal((2.0 - 7.0) / math.sqrt(1.0 / 2.0 + 4.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("z_stat") === z)
+  }
+
   test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
     val total = (1 to 10).map(k => 100 / k).sum.toLong
     val r = Pipeline.curriculum(spark, dir).collect()
