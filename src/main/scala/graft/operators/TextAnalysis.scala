@@ -574,26 +574,27 @@ object TextAnalysis {
     * boundary). The synthetic corpus is prose, so verdicts run false
     * — the densities verify the patterns fire (the textPiiScrub
     * convention); real code trips both tests by an order of
-    * magnitude. Pure map-side regexp projection — codegen'd
-    * builtins, no UDF, no shuffle: a scan-rate transform at 100 TB.
-    * Counts are length differences (exact integers), ratios one
-    * exact division each. */
+    * magnitude. Pure map-side projection, no UDF, no shuffle: a
+    * scan-rate transform at 100 TB. Counts come from the codegen'd
+    * [[graft.functions.CharClassCountsExpr]] — ONE byte pass per
+    * document where the regexp_replace formulation it replaces
+    * walked three java regex NFAs over every text (6.3 s → ~1 s at
+    * the 10× corpus; CharClassCountsSpec pins exact equality with
+    * the regex formulation, including non-ASCII). Ratios one exact
+    * division each. */
   def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
-    val txt = col("text")
-    val nChars = length(txt).cast("long")
-    def removed(re: String) =
-      (length(txt) - length(regexp_replace(txt, re, ""))).cast("long")
-    val nSymbols = removed("[^A-Za-z0-9 ]")
-    val nDigits = removed("[0-9]")
-    val nCode = removed("[{}()\\[\\];=<>]")
+    val c = graft.functions.GraftExpressions.charClassCounts(col("text"))
     t(spark, dir, "documents")
-      .select(col("doc_id"), nChars.as("n_chars"),
-        nSymbols.as("n_symbols"), nDigits.as("n_digits"),
-        nCode.as("n_code_marks"),
-        round(nSymbols.cast("double") / nChars.cast("double"), 6)
-          .as("symbol_ratio"),
-        (nSymbols * 10 >= nChars || nCode * 50 >= nChars).cast("int")
-          .as("is_code"))
+      .select(col("doc_id"), c.as("c"))
+      .select(col("doc_id"),
+        col("c.n_chars").as("n_chars"),
+        col("c.n_symbols").as("n_symbols"),
+        col("c.n_digits").as("n_digits"),
+        col("c.n_code").as("n_code_marks"),
+        round(col("c.n_symbols").cast("double") /
+          col("c.n_chars").cast("double"), 6).as("symbol_ratio"),
+        (col("c.n_symbols") * 10 >= col("c.n_chars") ||
+          col("c.n_code") * 50 >= col("c.n_chars")).cast("int").as("is_code"))
       .orderBy("doc_id")
   }
 
