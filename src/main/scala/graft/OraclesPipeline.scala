@@ -1347,6 +1347,25 @@ object OraclesPipeline {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |FROM a ORDER BY stage, source""".stripMargin,
 
+    // first-seen = MIN(doc_id) per gram string (engine: per hash)
+    "text_novelty_curve" ->
+      """WITH g AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 7),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 8),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |p AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+        |n AS (SELECT g.doc_id, COUNT(*) AS n_novel FROM g
+        |  JOIN f ON g.g = f.g AND g.doc_id = f.first_doc GROUP BY 1)
+        |SELECT p.doc_id AS doc_id, p.n_grams,
+        |  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |  round(CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+        |    / CAST(p.n_grams AS DOUBLE), 6) AS novelty
+        |FROM p LEFT JOIN n ON p.doc_id = n.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
     // the oracle joins gram STRINGS; the engine joins 64-bit hashes —
     // agreement is the collision-free check every span op carries
     "pipeline_contamination_matrix" ->

@@ -124,6 +124,7 @@ object SparkEntry {
       TextAnalysis.textZipfSlope(s, d)),
     "text_vocab_coverage" -> TextAnalysis.textVocabCoverage _,
     "text_kl_divergence" -> TextAnalysis.textKlDivergence _,
+    "text_novelty_curve" -> TextAnalysis.textNoveltyCurve _,
     "text_code_detect" -> TextAnalysis.textCodeDetect _,
     "text_perplexity" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexity(s, d)),
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) => TextAnalysis.textPerplexityBigram(s, d)),

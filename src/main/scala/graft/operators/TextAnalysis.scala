@@ -598,6 +598,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Marginal-NOVELTY curve — per document (in doc_id = acquisition
+    * order), the fraction of its distinct word-8-grams never seen in
+    * any EARLIER document: the dataset-saturation curve an
+    * acquisition team reads to decide whether the next crawl shard
+    * still adds content (novelty → 0 means you're buying duplicates).
+    *
+    * Scale shape: grams shuffle as 8-byte xxhash64 keys; the distinct
+    * (doc, hash) table is checkpointed ONCE (three readers — the
+    * contamination-matrix lesson) and both aggregates are
+    * map-combined (first-seen by hash, counts by doc). "First seen"
+    * is min(doc_id) per gram — order-free, no window over corpus
+    * order needed. Docs with < 8 words have no grams and no row
+    * (same in the oracle). */
+  def textNoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8))
+          .as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gk"))
+      .distinct()
+      .localCheckpoint(true)
+    val firstSeen = grams.groupBy("gk").agg(min("doc_id").as("first_doc"))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.join(firstSeen, "gk")
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source KL divergence from the corpus token distribution —
     * the DOMAIN-DRIFT diagnostic (which sources speak a different
     * language than the blend?): KL(p_source ‖ p_corpus) =

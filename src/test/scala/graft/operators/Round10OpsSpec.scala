@@ -611,6 +611,32 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("z_stat") === z)
   }
 
+  /** novelty fixture: doc 1 plants the gram, doc 2 repeats it
+    * (novelty 0), doc 3 shares it plus one new gram (novelty 0.5),
+    * doc 4 is too short for any 8-gram (no row). */
+  lazy val novDir: String = {
+    val d = Files.createTempDirectory("graft-r10-nov").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "s", 15L),
+      (2L, "a b c d e f g h", "en", "s", 15L),
+      (3L, "a b c d e f g h x", "en", "s", 17L),
+      (4L, "too short", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("text_novelty_curve: first doc novel, repeat 0, extension 0.5, short doc absent") {
+    val r = TextAnalysis.textNoveltyCurve(spark, novDir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_novel"),
+          x.getAs[Double]("novelty")))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(1L) === ((1L, 1L, 1.0)))
+    assert(r(2L) === ((1L, 0L, 0.0)))
+    assert(r(3L) === ((2L, 1L, 0.5)))
+  }
+
   test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
     val total = (1 to 10).map(k => 100 / k).sum.toLong
     val r = Pipeline.curriculum(spark, dir).collect()
