@@ -119,6 +119,15 @@ object OraclesStreams {
          |  COUNT(*) AS n, $dsumVal AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
+    // executed as a REAL stream on the Spark side (AvailableNow drain
+    // of the topic); event-time windows + counts are micro-batch-
+    // boundary independent, so the drained result must equal this
+    // batch GROUP BY — streaming/batch parity as a tested claim
+    "stream_exec_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
     "stream_sliding_agg" ->
       s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
          |FROM (

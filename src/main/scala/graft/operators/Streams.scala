@@ -409,4 +409,50 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
+
+  private val streamExecRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Tumbling aggregation EXECUTED AS A STREAM through the oracle
+    * gate — not the batch formulation [[tumblingAgg]] uses, but a
+    * real Structured Streaming run: `readStream` from a graft TOPIC
+    * (the manifest-aware DSv2 source, so batches contain only
+    * committed records), event-time hourly windows over the record
+    * timestamps, `Trigger.AvailableNow` to drain the backlog in
+    * bounded micro-batches and stop, complete-mode memory sink (the
+    * result is the windows×types grid — bounded by construction).
+    *
+    * The oracle doesn't know it's a stream: event-time windows +
+    * counts are independent of micro-batch boundaries, so the
+    * drained result must equal the batch GROUP BY — which is exactly
+    * the property that makes streaming/batch parity a testable
+    * claim rather than a slogan. At scale the same query runs
+    * unbounded with a watermark (StreamingSpec covers late-data
+    * semantics); AvailableNow is the backfill/catch-up mode. */
+  def streamExecTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = ensureEventsTopic(spark, dir)
+    val name = s"stream_exec_tumbling_${streamExecRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-exec").toString
+    // 25k records/trigger: single-batch at the sf0.01 gate, 4 / ~40
+    // micro-batches at sf0.1 / the 10× corpus — the result is batch-
+    // boundary independent either way (StreamExecParitySpec forces
+    // multi-batch on small data and asserts equality with the batch
+    // GROUP BY)
+    val q = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 25000L)
+      .load(topicDir)
+      .select(col("ts"),
+        element_at(col("headers"), "event_type").cast("string").as("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+  }
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -320,17 +320,36 @@ case class GraftTopicReaderFactory(required: StructType, bounds: OffsetBounds)
 class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
     maxPerTrigger: Option[Long] = None,
     partitionOk: Int => Boolean = _ => true)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   import graft.streaming.TopicLog
 
   private def ends(): Map[Int, Long] =
     TopicLog.manifestEnds(topicDir).getOrElse(Map.empty)
 
+  /** Trigger.AvailableNow contract: pin the log-end offsets ONCE at
+    * query start; every micro-batch advances toward that frozen
+    * target (still rate-limited by maxOffsetsPerTrigger), and the
+    * query stops when it reaches it — records produced after the
+    * pin are left for the next run. Without this Spark silently
+    * downgrades AvailableNow to Trigger.Once and IGNORES the read
+    * limit (one unbounded batch — the opposite of a drain). */
+  private var availableNowTarget: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(ends())
+
+  override def reportLatestOffset(): StreamOffset =
+    GraftTopicStreamOffset(ends())
+
+  private def targetEnds(): Map[Int, Long] =
+    availableNowTarget.getOrElse(ends())
+
   override def initialOffset(): StreamOffset =
     GraftTopicStreamOffset(ends().map { case (p, _) => p -> 0L })
 
-  override def latestOffset(): StreamOffset = GraftTopicStreamOffset(ends())
+  override def latestOffset(): StreamOffset = GraftTopicStreamOffset(targetEnds())
 
   /** Admission control: `maxOffsetsPerTrigger` caps how far a single
     * micro-batch may advance, summed across partitions (allocated in
@@ -340,7 +359,7 @@ class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
     maxPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
-    val cur = ends()
+    val cur = targetEnds()
     limit match {
       case mr: ReadMaxRows =>
         val s = start.asInstanceOf[GraftTopicStreamOffset].ends
