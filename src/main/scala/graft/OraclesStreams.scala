@@ -128,6 +128,12 @@ object OraclesStreams {
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
+    // streaming dropDuplicates (stateful, append mode) must emit each
+    // key exactly once across micro-batch boundaries = batch DISTINCT
+    "stream_exec_dedup" ->
+      """SELECT DISTINCT date_trunc('hour', ts) AS hour, event_type
+        |FROM events ORDER BY hour, event_type""".stripMargin,
+
     "stream_sliding_agg" ->
       s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
          |FROM (

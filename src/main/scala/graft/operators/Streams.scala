@@ -455,4 +455,37 @@ object Streams {
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .orderBy("ws", "event_type")
   }
+
+  /** Streaming DEDUPLICATION through the oracle gate — the stateful
+    * `dropDuplicates` operator (not an aggregation) executed as a
+    * real AvailableNow drain of the topic: emit each distinct
+    * (event_type, hour) exactly once, in append mode, across
+    * micro-batch boundaries — the state store carries seen keys
+    * BETWEEN batches, which is precisely what the oracle's batch
+    * DISTINCT checks (a first-occurrence emitted twice in two
+    * batches would double a row and break the hash). At scale the
+    * same operator runs unbounded with
+    * `dropDuplicatesWithinWatermark` bounding state by event time
+    * (StreamingSpec covers the watermark eviction leg). */
+  def streamExecDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = ensureEventsTopic(spark, dir)
+    val name = s"stream_exec_dedup_${streamExecRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup").toString
+    val q = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 25000L)
+      .load(topicDir)
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        element_at(col("headers"), "event_type").cast("string").as("event_type"))
+      .dropDuplicates("hour", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("hour"), col("event_type"))
+      .orderBy("hour", "event_type")
+  }
 }
