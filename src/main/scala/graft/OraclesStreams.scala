@@ -134,6 +134,19 @@ object OraclesStreams {
       """SELECT DISTINCT date_trunc('hour', ts) AS hour, event_type
         |FROM events ORDER BY hour, event_type""".stripMargin,
 
+    // the stream-stream inner join's drained output = the batch
+    // self-join (inner-join state holds both sides until matched)
+    "stream_exec_join" ->
+      """WITH e AS (SELECT event_id, date_trunc('hour', ts) AS hour,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    event_type
+        |  FROM events)
+        |SELECT v.hour AS hour, v.k AS k,
+        |  v.event_id AS v_id, p.event_id AS p_id
+        |FROM e v JOIN e p ON v.hour = p.hour AND v.k = p.k
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY hour, k, v_id, p_id""".stripMargin,
+
     "stream_sliding_agg" ->
       s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
          |FROM (

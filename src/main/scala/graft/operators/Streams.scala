@@ -488,4 +488,42 @@ object Streams {
       .select(col("hour"), col("event_type"))
       .orderBy("hour", "event_type")
   }
+
+  /** STREAM–STREAM inner join through the oracle gate: two live
+    * streams over the same topic (views and purchases — event type
+    * read from the record headers, the join key from the JSON
+    * payload) joined on (hour, k), each side draining in its own
+    * rate-limited micro-batches. Inner-join state holds both sides
+    * until matched, so the drained result is micro-batch-boundary
+    * independent and must hash-equal the oracle's batch self-join —
+    * the correctness property watermarked production joins trade
+    * away (bounded state for possibly-dropped late matches;
+    * StreamingSpec covers the watermarked interval-join leg). */
+  def streamExecJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = ensureEventsTopic(spark, dir)
+    val name = s"stream_exec_join_${streamExecRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-join").toString
+    def side(t: String, a: String) = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 25000L)
+      .load(topicDir)
+      .filter(element_at(col("headers"), "event_type").cast("string") === t)
+      .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+        date_trunc("hour", col("ts")).as(s"${a}_hour"),
+        get_json_object(col("value").cast("string"), "$.k").cast("long")
+          .as(s"${a}_k"))
+    val q = side("view", "v")
+      .join(side("purchase", "p"),
+        col("v_hour") === col("p_hour") && col("v_k") === col("p_k"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("v_hour").as("hour"), col("v_k").as("k"),
+        col("v_id"), col("p_id"))
+      .orderBy("hour", "k", "v_id", "p_id")
+  }
 }
