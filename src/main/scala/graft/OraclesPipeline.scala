@@ -1138,6 +1138,40 @@ object OraclesPipeline {
         |GROUP BY 1, 2
         |ORDER BY doc_id, window_idx""".stripMargin,
 
+    // silent = e·256 < 2500000·len (length-scaled integer floor);
+    // runs via gaps-and-islands — the portable spelling of the
+    // engine's in-map fold
+    "mm_silence_detect" ->
+      """WITH w AS (SELECT doc_id, window_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS len, SUM(b * b) AS e
+        |  FROM (
+        |    SELECT d.doc_id, (u.i - 1) // 256 AS window_idx,
+        |      CAST(ascii(substr(d.text, CAST(u.i AS INT), 1)) AS BIGINT) AS b
+        |    FROM documents d,
+        |         LATERAL UNNEST(generate_series(1, strlen(d.text))) AS u(i))
+        |  GROUP BY 1, 2),
+        |s AS (SELECT doc_id, window_idx,
+        |    (e * 256 < 2500000 * len) AS silent FROM w),
+        |runs AS (SELECT doc_id,
+        |    window_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY window_idx) AS grp
+        |  FROM s WHERE silent),
+        |runlen AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS rl
+        |  FROM runs GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    MAX(rl) AS longest_run FROM runlen GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(COUNT(CASE WHEN silent THEN 1 END) AS BIGINT) AS n_silent,
+        |    MIN(CASE WHEN silent THEN window_idx END) AS first_silent
+        |  FROM s GROUP BY 1)
+        |SELECT t.doc_id AS doc_id, t.n_windows, t.n_silent,
+        |  CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs,
+        |  CAST(COALESCE(a.longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(COALESCE(t.first_silent, -1) AS BIGINT) AS first_silent_idx
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // the mm_frame_pipeline sampling verbatim; consecutive sampled
     // pairs by (fi, fi+2); all-integer delta and threshold
     "mm_scene_cuts" ->

@@ -338,4 +338,60 @@ object Multimodal {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
       .orderBy("keeper")
   }
+
+  /** One silence report per document. first_silent_idx = −1 when no
+    * window is silent. */
+  case class SilenceReport(doc_id: Long, n_windows: Long, n_silent: Long,
+      n_runs: Long, longest_run: Long, first_silent_idx: Long)
+
+  /** §2f query: SILENCE detection over the audio payload — the
+    * trim-before-ASR pass (drop leading/trailing silence, split on
+    * long pauses): per document the silent-window count, the number
+    * of contiguous silent RUNS, the longest run, and the first
+    * silent index. A window is silent when its [[mmAudioEnergy]]
+    * energy is below the floor, LENGTH-SCALED so the short tail
+    * window classifies on the same mean-square: `e·256 < T·len`,
+    * all-integer (no float threshold at an engine boundary). T is
+    * the synthetic-stub calibration (the byte-as-PCM energies
+    * cluster ~2.43–2.60M, so the floor splits real windows); a real
+    * PCM decoder swaps in its own floor with the windowing,
+    * run-length logic, and partitioning unchanged.
+    *
+    * 100-TB shape: like [[mmSceneCuts]], the run-length fold happens
+    * INSIDE the per-record map — windows of one payload are born
+    * adjacent in one call, so the window stream never shuffles and
+    * no gaps-and-islands exchange exists. Pure map-side; one row per
+    * document. (The oracle pays the islands windows — that's the
+    * portable spelling, not the engine's.) */
+  def mmSilenceDetect(spark: SparkSession, dir: String): DataFrame = {
+    val records = asMediaRecords(spark, dir)
+    import records.sparkSession.implicits._
+    records.mapPartitions { batch =>
+      batch.map { r =>
+        var idx = 0L; var nw = 0L; var ns = 0L
+        var runs = 0L; var longest = 0L; var cur = 0L; var first = -1L
+        val it = r.payload.grouped(256)
+        while (it.hasNext) {
+          val w = it.next()
+          var e = 0L
+          var i = 0
+          while (i < w.length) {
+            val s = (w(i) & 0xFF).toLong
+            e += s * s
+            i += 1
+          }
+          nw += 1
+          if (e * 256L < 2500000L * w.length) {
+            ns += 1
+            if (first < 0) first = idx
+            cur += 1
+            if (cur == 1L) runs += 1
+            if (cur > longest) longest = cur
+          } else cur = 0L
+          idx += 1
+        }
+        SilenceReport(r.doc_id, nw, ns, runs, longest, first)
+      }
+    }.toDF().orderBy("doc_id")
+  }
 }

@@ -637,6 +637,31 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(3L) === ((2L, 1L, 0.5)))
   }
 
+  /** silence fixture: spaces (energy 256·32² — silent) vs 'z' runs
+    * (256·122² — loud): silent, loud, silent, silent → 2 runs,
+    * longest 2, first 0; plus a short silent tail window. */
+  lazy val silDir: String = {
+    val d = Files.createTempDirectory("graft-r10-sil").toString
+    val text = (" " * 256) + ("z" * 256) + (" " * 512) + (" " * 10)
+    Seq((1L, text, "en", "s", text.length.toLong),
+      (2L, "z" * 256, "en", "s", 256L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("mm_silence_detect: planted silent/loud runs land exactly, incl. the scaled tail") {
+    val r = Multimodal.mmSilenceDetect(spark, silDir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_windows"), x.getAs[Long]("n_silent"),
+          x.getAs[Long]("n_runs"), x.getAs[Long]("longest_run"),
+          x.getAs[Long]("first_silent_idx")))).toMap
+    // doc 1: windows [sil, loud, sil, sil, sil(10-byte tail)] —
+    // the tail classifies on the same mean-square via e·256 < T·len
+    assert(r(1L) === ((5L, 4L, 2L, 3L, 0L)))
+    assert(r(2L) === ((1L, 0L, 0L, 0L, -1L)), "all loud: no run, first = -1")
+  }
+
   test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
     val total = (1 to 10).map(k => 100 / k).sum.toLong
     val r = Pipeline.curriculum(spark, dir).collect()
