@@ -20,10 +20,18 @@ import graft.functions.{DotProductExpr, MinHashAggExpr, Murmur2Expr, RollingHash
   * `graft_murmur2(k)` work from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the physical operators plan through the extension path too —
+    // a session built with spark.sql.extensions=graft.plans.
+    // GraftExtensions plans AsOfJoin/TopKPerKey nodes without the
+    // per-node experimental.extraStrategies registration the DSL
+    // helpers perform
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
 
 object GraftFunctions {
