@@ -1262,6 +1262,21 @@ object OraclesPipeline {
         |    '\b(customer|supplier|order)\b', '<TERM>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "pipeline_pii_report" ->
+      """WITH d AS (SELECT source,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS ne,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS np,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) AS BIGINT) AS nd
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+        |  CAST(SUM(np) AS BIGINT) AS n_phones,
+        |  CAST(SUM(nd) AS BIGINT) AS n_deny_terms,
+        |  COUNT(CASE WHEN ne + np + nd > 0 THEN 1 END) AS n_docs_flagged,
+        |  round(CAST(COUNT(CASE WHEN ne + np + nd > 0 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
     "pipeline_quality_report" ->
       s"""SELECT lang, source,
          |  COUNT(*) AS n_docs,

@@ -470,6 +470,32 @@ object Pipeline {
       .orderBy("stage", "source")
   }
 
+  /** Corpus-level PII incidence report — the compliance view over
+    * [[TextAnalysis.textPiiScrub]]'s per-doc counts: per source, the
+    * total hits by kind (emails / phones / denylisted terms), how
+    * many documents carry ANY hit, and the flag rate — the numbers a
+    * release review reads before the per-doc scrub runs. Pure
+    * map-side regexp counting into ONE map-combined aggregate
+    * (reduce side = |sources|); the rate is one exact division. */
+  def piiReport(spark: SparkSession, dir: String): DataFrame = {
+    val ne = regexp_count(col("text"), lit(TextAnalysis.emailRe)).cast("long")
+    val np = regexp_count(col("text"), lit(TextAnalysis.phoneRe)).cast("long")
+    val nd = regexp_count(col("text"), lit(TextAnalysis.denyRe)).cast("long")
+    t(spark, dir, "documents")
+      .select(col("source"), ne.as("ne"), np.as("np"), nd.as("nd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum(col("nd")).as("n_deny_terms"),
+        count(when(col("ne") + col("np") + col("nd") > 0, 1))
+          .as("n_docs_flagged"))
+      .withColumn("flag_rate",
+        round(col("n_docs_flagged").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
   /** Cross-source CONTAMINATION MATRIX — for every ordered source
     * pair (a, b), what fraction of a's distinct word-8-grams also
     * appear in b: the mixture diagnostic behind "these two crawls

@@ -469,9 +469,9 @@ object TextAnalysis {
       .limit(k)
   }
 
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
-  private val denyRe = "\\b(customer|supplier|order)\\b"
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private[operators] val denyRe = "\\b(customer|supplier|order)\\b"
 
   /** PII / denylist scrubbing: redact emails, phone numbers, and
     * configurable denylist terms, reporting per-doc hit counts and
