@@ -434,13 +434,16 @@ object Streams {
     val name = s"stream_exec_tumbling_${streamExecRuns.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-stream-exec").toString
-    // 25k records/trigger: single-batch at the sf0.01 gate, 4 / ~40
-    // micro-batches at sf0.1 / the 10× corpus — the result is batch-
-    // boundary independent either way (StreamExecParitySpec forces
-    // multi-batch on small data and asserts equality with the batch
-    // GROUP BY)
+    // 100k records/trigger: single-batch up to sf0.1, ~10 micro-
+    // batches at the 10× corpus. The result is batch-boundary
+    // independent either way (StreamExecParitySpec forces multi-batch
+    // on tiny data and asserts equality with the batch GROUP BY);
+    // the trigger size only tunes the drain's state-store commit
+    // count — 25k/trigger cost 150 s on the 10× join (40 batches x
+    // 2 sides re-committing join state), 100k is the honest batch
+    // size for a catch-up drain
     val q = spark.readStream.format("graft-topic")
-      .option("maxOffsetsPerTrigger", 25000L)
+      .option("maxOffsetsPerTrigger", 100000L)
       .load(topicDir)
       .select(col("ts"),
         element_at(col("headers"), "event_type").cast("string").as("event_type"))
@@ -474,7 +477,7 @@ object Streams {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-stream-dedup").toString
     val q = spark.readStream.format("graft-topic")
-      .option("maxOffsetsPerTrigger", 25000L)
+      .option("maxOffsetsPerTrigger", 100000L)
       .load(topicDir)
       .select(date_trunc("hour", col("ts")).as("hour"),
         element_at(col("headers"), "event_type").cast("string").as("event_type"))
@@ -506,7 +509,7 @@ object Streams {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-stream-join").toString
     def side(t: String, a: String) = spark.readStream.format("graft-topic")
-      .option("maxOffsetsPerTrigger", 25000L)
+      .option("maxOffsetsPerTrigger", 100000L)
       .load(topicDir)
       .filter(element_at(col("headers"), "event_type").cast("string") === t)
       .select(col("key").cast("string").cast("long").as(s"${a}_id"),
