@@ -378,6 +378,36 @@ object Oracles {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_obs
         |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // the interpolation blend mirrors the engine token for token;
+    // neighbor values AND row indices via IGNORE NULLS frames
+    "q46_interpolate" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS observed
+        |  FROM orders),
+        |b AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS rn FROM o),
+        |s AS (SELECT *,
+        |    last_value(observed IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN observed IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wp AS pi,
+        |    first_value(observed IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN observed IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wn AS ni
+        |  FROM b
+        |  WINDOW wp AS (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, o_orderkey, observed,
+        |  round(CASE WHEN observed IS NOT NULL THEN observed
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * CAST(rn - pi AS DOUBLE)
+        |      / CAST(ni - pi AS DOUBLE) END, 6) AS interpolated
+        |FROM s ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     // gid = grouping(flag)·2 + grouping(status): Spark's grouping_id
     // bit order (first grouping column = MSB), spelled explicitly
     "q44_cube" ->

@@ -1396,6 +1396,36 @@ object OraclesPipeline {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |FROM a ORDER BY stage, source""".stripMargin,
 
+    // tp/fp/fn from the same confusion aggregate; zero denominators
+    // pinned to 0.0 on both engines
+    "text_lang_f1" ->
+      s"""WITH pr AS (SELECT lang AS labeled,
+         |  CASE WHEN $enH >= $esH AND $enH >= $deH AND $enH >= $frH AND $enH > 0 THEN 'en'
+         |       WHEN $esH >= $deH AND $esH >= $frH AND $esH > 0 THEN 'es'
+         |       WHEN $deH >= $frH AND $deH > 0 THEN 'de'
+         |       WHEN $frH > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred
+         |  FROM documents),
+         |c AS (SELECT labeled, pred, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+         |tp AS (SELECT labeled AS lang, n AS tp FROM c WHERE labeled = pred),
+         |bl AS (SELECT labeled AS lang, CAST(SUM(n) AS BIGINT) AS n_labeled
+         |       FROM c GROUP BY 1),
+         |bp AS (SELECT pred AS plang, CAST(SUM(n) AS BIGINT) AS n_pred
+         |       FROM c GROUP BY 1),
+         |j AS (SELECT bl.lang, CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+         |    bl.n_labeled, CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred
+         |  FROM bl LEFT JOIN tp ON bl.lang = tp.lang
+         |  LEFT JOIN bp ON bl.lang = bp.plang),
+         |m AS (SELECT *,
+         |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |         ELSE 0.0 END AS p,
+         |    CAST(tp AS DOUBLE) / CAST(n_labeled AS DOUBLE) AS r FROM j)
+         |SELECT lang, tp, n_labeled, n_pred,
+         |  round(p, 6) AS "precision", round(r, 6) AS recall,
+         |  round(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r)
+         |        ELSE 0.0 END, 6) AS f1
+         |FROM m ORDER BY lang""".stripMargin,
+
     // first-seen = MIN(doc_id) per gram string (engine: per hash)
     "text_novelty_curve" ->
       """WITH g AS (SELECT DISTINCT doc_id,

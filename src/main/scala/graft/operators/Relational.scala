@@ -874,6 +874,45 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q46: LINEAR INTERPOLATION between observations — [[q43GapFill]]'s
+    * forward fill upgraded to the timeseries-resample semantics:
+    * a missing point takes prev + (next − prev)·(i − i_prev)/(i_next
+    * − i_prev) over the per-customer row index, back-filling before
+    * the first observation and forward-filling after the last. Both
+    * neighbor values AND their row indices ride the SAME
+    * Sort+Window pair (ignore-nulls last over the preceding frame,
+    * ignore-nulls first over the following — one exchange, one sort,
+    * one Window node); the blend is fixed-order IEEE arithmetic over
+    * exact integers and the observed doubles, identical in the
+    * oracle. */
+  def q46Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice")).as("observed"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val rn = row_number().over(w).cast("long")
+    val obsRn = when(col("observed").isNotNull, col("rn"))
+    val base = o.withColumn("rn", rn)
+    val prevF = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val scored = base
+      .withColumn("pv", last(col("observed"), ignoreNulls = true).over(prevF))
+      .withColumn("pi", last(obsRn, ignoreNulls = true).over(prevF))
+      .withColumn("nv", first(col("observed"), ignoreNulls = true).over(nextF))
+      .withColumn("ni", first(obsRn, ignoreNulls = true).over(nextF))
+    scored.select(col("o_custkey"), col("o_orderkey"), col("observed"),
+        round(
+          when(col("observed").isNotNull, col("observed"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("rn") - col("pi")).cast("double") /
+              (col("ni") - col("pi")).cast("double")), 6)
+          .as("interpolated"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q44: CUBE — completes the grouping-hierarchy trio beside
     * [[q11Rollup]] (prefix hierarchy) and [[q22GroupingSets]]
     * (explicit sets): all 2² margins of (flag, status) in one pass.

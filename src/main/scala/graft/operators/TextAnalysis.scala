@@ -598,6 +598,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language precision / recall / F1 of the [[textLangid]]
+    * heuristic against the labeled column — the evaluation metrics a
+    * curator computes over [[textLangConfusion]]'s matrix before
+    * trusting a language filter at corpus scale. ONE corpus shuffle
+    * builds the (labeled, pred) confusion aggregate (map-combined,
+    * ≤ (|langs|+1)² rows, checkpointed once — three readers would
+    * otherwise re-scan the corpus); tp/fp/fn and the metric chain are
+    * exact-integer counts through fixed-order IEEE divisions, with
+    * zero-denominator cases pinned to 0.0 on both engines. */
+  def textLangF1(spark: SparkSession, dir: String): DataFrame = {
+    val conf = t(spark, dir, "documents")
+      .select(col("lang").as("labeled"), predictedLang(col("text")).as("pred"))
+      .groupBy("labeled", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tp = conf.filter(col("labeled") === col("pred"))
+      .select(col("labeled").as("lang"), col("n").as("tp"))
+    val byLabel = conf.groupBy(col("labeled").as("lang"))
+      .agg(sum(col("n")).as("n_labeled"))
+    val byPred = conf.groupBy(col("pred").as("plang"))
+      .agg(sum(col("n")).as("n_pred"))
+    val j = byLabel
+      .join(tp, Seq("lang"), "left")
+      .join(byPred, col("lang") === col("plang"), "left")
+      .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+        col("n_labeled"), coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    val p = when(col("n_pred") > 0,
+      col("tp").cast("double") / col("n_pred").cast("double")).otherwise(0.0)
+    val r = col("tp").cast("double") / col("n_labeled").cast("double")
+    j.select(col("lang"), col("tp"), col("n_labeled"), col("n_pred"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6)
+          .as("f1"))
+      .orderBy("lang")
+  }
+
   /** Marginal-NOVELTY curve — per document (in doc_id = acquisition
     * order), the fraction of its distinct word-8-grams never seen in
     * any EARLIER document: the dataset-saturation curve an

@@ -662,6 +662,60 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(2L) === ((1L, 0L, 0L, 0L, -1L)), "all loud: no run, first = -1")
   }
 
+  /** interpolation fixture: one customer, observations 10 → 40 with
+    * two gaps between, plus leading/trailing nulls. */
+  lazy val interpDir: String = {
+    val d = Files.createTempDirectory("graft-r10-ip").toString
+    def ts(day: Int) =
+      new Timestamp((1700000000000000L + day * 86400000000L) / 1000)
+    Seq(
+      (2L, 9L, "O", 99.0, ts(0), "A"), // 2 % 3 != 0 → leading null
+      (3L, 9L, "O", 10.0, ts(1), "A"), // observed 10
+      (4L, 9L, "O", 99.0, ts(2), "A"), // gap
+      (5L, 9L, "O", 99.0, ts(3), "A"), // gap
+      (6L, 9L, "O", 40.0, ts(4), "A"), // observed 40
+      (7L, 9L, "O", 99.0, ts(5), "A")) // trailing null
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("q46_interpolate: backfill, exact thirds blend, forward fill") {
+    val r = Relational.q46Interpolate(spark, interpDir).collect()
+      .map(x => x.getAs[Long]("o_orderkey") -> x.getAs[Double]("interpolated"))
+      .toMap
+    assert(r(2L) === 10.0, "before the first observation: backfill")
+    assert(r(3L) === 10.0)
+    assert(r(4L) === 20.0, "10 + 30·(1/3)")
+    assert(r(5L) === 30.0, "10 + 30·(2/3)")
+    assert(r(6L) === 40.0)
+    assert(r(7L) === 40.0, "after the last observation: forward fill")
+  }
+
+  /** F1 fixture: one true-en doc, one es-labeled doc whose text the
+    * heuristic calls en → en: p=1/2, r=1; es: all zero. */
+  lazy val f1Dir: String = {
+    val d = Files.createTempDirectory("graft-r10-f1").toString
+    Seq(
+      (1L, "the and of to in", "en", "s", 16L),
+      (2L, "the the the", "es", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("text_lang_f1: planted confusion lands exact precision/recall/F1") {
+    val r = TextAnalysis.textLangF1(spark, f1Dir).collect()
+      .map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Long]("tp"), x.getAs[Long]("n_labeled"),
+          x.getAs[Long]("n_pred"), x.getAs[Double]("precision"),
+          x.getAs[Double]("recall"), x.getAs[Double]("f1")))).toMap
+    assert(r("en") === ((1L, 1L, 2L, 0.5, 1.0, 0.666667)))
+    assert(r("es") === ((0L, 1L, 0L, 0.0, 0.0, 0.0)),
+      "nothing predicted es: precision pins to 0, not NaN")
+  }
+
   test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
     val total = (1 to 10).map(k => 100 / k).sum.toLong
     val r = Pipeline.curriculum(spark, dir).collect()
