@@ -192,6 +192,25 @@ object OraclesStreams {
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
 
+    // forward direction: first purchase AT-OR-AFTER each view
+    // (ties: min ts, then min event_id — the exec's sorted-head pick)
+    "asof_join_forward" ->
+      """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+        |  (SELECT p.event_id FROM events p
+        |   WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |     AND p.ts >= v.ts
+        |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_id,
+        |  (SELECT p.ts FROM events p
+        |   WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |     AND p.ts >= v.ts
+        |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_ts,
+        |  (SELECT epoch_us(p.ts) - epoch_us(v.ts) FROM events p
+        |   WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |     AND p.ts >= v.ts
+        |   ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS gap_us
+        |FROM events v WHERE v.event_type = 'view'
+        |ORDER BY view_id""".stripMargin,
+
     "json_props_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -384,6 +384,33 @@ object Streams {
       .orderBy("purchase_id")
   }
 
+  /** FORWARD as-of join via the same [[graft.plans.AsOfJoinExec]]
+    * (direction = forward): each view joins the user's FIRST purchase
+    * at-or-after it — the "time-to-next-event" join behind
+    * time-to-convert and next-touch attribution. Same physical shape
+    * as the backward form (one hash-cluster + sort per side, one
+    * O(|L|+|R|) merge, O(1) state: the match is the right buffer's
+    * HEAD, un-consumed so consecutive views can share one purchase);
+    * the gap lands as exact integer µs. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("next_purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("next_purchase_ts"))
+    graft.plans.AsOfJoin(views, purchases,
+        leftKey = "user_id", rightKey = "p_user_id",
+        leftTime = "view_ts", rightTime = "next_purchase_ts",
+        rightTieBreak = "next_purchase_id", forward = true)
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("next_purchase_id"), col("next_purchase_ts"),
+        (unix_micros(col("next_purchase_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+      .orderBy("view_id")
+  }
+
   /** JSON payload processing: events carry a JSON `props` column —
     * extract typed fields and aggregate (the record-value decode step
     * of a Kafka consumer pipeline). */

@@ -11,7 +11,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Event-time as-of join as a first-class binary operator: each left
   * row joins the most recent right row of the same key with
-  * rightTime < leftTime (strictly prior), or nulls.
+  * rightTime < leftTime (strictly prior), or nulls — or, with
+  * `forward = true`, the FIRST right row with rightTime ≥ leftTime
+  * (at-or-after; pandas/kdb direction="forward" — the
+  * "time-to-next-event" join).
   *
   * Physical shape (the same one SortMergeJoinExec uses): both sides
   * hash-clustered on the key and sorted (key, time) — the planner
@@ -29,7 +32,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     rightTieBreak: Expression,
     left: LogicalPlan,
-    right: LogicalPlan) extends BinaryNode {
+    right: LogicalPlan,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
@@ -38,8 +42,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lt, rt, tb, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lt, rt, tb, l, r, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -51,7 +55,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTieBreak: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -84,27 +89,45 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
       var lastKey: InternalRow = null // key of lastRight
       var lastRight: InternalRow = null
+      val fwd = forward
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
         val lTime = lTimeProj(l).copy()
-        // drop state from a previous key group
-        if (lastKey != null && keyOrd.compare(lastKey, lKey) != 0) {
-          lastKey = null; lastRight = null
+        if (fwd) {
+          // forward: discard right rows strictly before (lKey, lTime);
+          // the buffer head — NOT consumed, later left rows may share
+          // it — is the first at-or-after match when keys agree
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            val c = keyOrd.compare(rKeyProj(r), lKey)
+            if (c < 0 ||
+              (c == 0 && timeOrd.compare(rTimeProj(r), lTime) < 0)) rBuf.next()
+            else advancing = false
+          }
+          val matched = rBuf.hasNext &&
+            keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
+          out(joined(l, if (matched) rBuf.head else nullRight))
+        } else {
+          // drop state from a previous key group
+          if (lastKey != null && keyOrd.compare(lastKey, lKey) != 0) {
+            lastKey = null; lastRight = null
+          }
+          // advance the right side to just before (lKey, lTime)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            val c = keyOrd.compare(rKeyProj(r), lKey)
+            if (c < 0) { rBuf.next() } // behind on key: discard
+            else if (c == 0 && timeOrd.compare(rTimeProj(r), lTime) < 0) {
+              lastRight = rBuf.next().copy()
+              lastKey = lKey.copy()
+            } else advancing = false
+          }
+          val matched = lastKey != null && keyOrd.compare(lastKey, lKey) == 0
+          out(joined(l, if (matched) lastRight else nullRight))
         }
-        // advance the right side to just before (lKey, lTime)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val r = rBuf.head
-          val c = keyOrd.compare(rKeyProj(r), lKey)
-          if (c < 0) { rBuf.next() } // behind on key: discard
-          else if (c == 0 && timeOrd.compare(rTimeProj(r), lTime) < 0) {
-            lastRight = rBuf.next().copy()
-            lastKey = lKey.copy()
-          } else advancing = false
-        }
-        val matched = lastKey != null && keyOrd.compare(lastKey, lKey) == 0
-        out(joined(l, if (matched) lastRight else nullRight))
       }
     }
   }
@@ -122,7 +145,8 @@ object AsOfJoin {
     apply(left, right, key, key, leftTime, rightTime, rightTieBreak)
 
   def apply(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String, rightTieBreak: String): DataFrame = {
+      leftTime: String, rightTime: String, rightTieBreak: String,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -135,6 +159,6 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"column $name missing"))
     ColumnBridge.ofRows(spark, AsOfJoinPlan(
       attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime), attr(rp, rightTime),
-      attr(rp, rightTieBreak), lp, rp))
+      attr(rp, rightTieBreak), lp, rp, forward))
   }
 }

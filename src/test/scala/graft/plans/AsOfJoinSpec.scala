@@ -56,4 +56,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("p2") === 101L) // 15 < 20 beats 9
     assert(got("p3") === -1L)  // key 2 has no right rows
   }
+
+  test("forward direction: first right AT-OR-AFTER; shared matches; equal ts counts") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 12L, "b"), (1L, 15L, "c"),
+      (1L, 16L, "d"), (2L, 5L, "e"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 15L, 200L), (1L, 15L, 201L), (1L, 30L, 202L))
+      .toDF("k", "t", "rid")
+    val got = AsOfJoin(l, r, "k", "k", "t", "t", "rid", forward = true)
+      .select(col("tag"), col("rid")).collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(got("a") === 200L, "first at-or-after, min tiebreak on the ts tie")
+    assert(got("b") === 200L, "consecutive left rows share the un-consumed head")
+    assert(got("c") === 200L, "equal ts counts as at-or-after")
+    assert(got("d") === 202L, "past 15: the next one")
+    assert(got("e") === -1L, "key 2 has no right rows")
+  }
 }
