@@ -320,6 +320,22 @@ object OraclesEvents {
         |  round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape
         |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    "events_error_rate_sli" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n_total,
+        |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_total, n_errors,
+        |  round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS error_rate,
+        |  CAST(SUM(n_total) OVER w AS BIGINT) AS roll7_total,
+        |  CAST(SUM(n_errors) OVER w AS BIGINT) AS roll7_errors,
+        |  round(CAST(SUM(n_errors) OVER w AS DOUBLE)
+        |    / CAST(SUM(n_total) OVER w AS DOUBLE), 6) AS roll7_rate
+        |FROM daily
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
     // n-scaled CUSUM: D_t = n·S_t − t·T stays in exact integers (no
     // float mean accumulates); peak day ties break earliest
     "events_changepoint" ->

@@ -1262,6 +1262,36 @@ object OraclesPipeline {
         |    '\b(customer|supplier|order)\b', '<TERM>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // nested sqrt on purpose (τ = 1 / 0.5 / 0.25): sqrt is correctly
+    // rounded everywhere, libm pow is not; weight sums in DECIMAL
+    "pipeline_mixture_temperature" ->
+      s"""WITH c AS (SELECT source, CAST(SUM($ws) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) AS w100,
+         |    sqrt(CAST(n_tokens AS DOUBLE)) AS w50,
+         |    sqrt(sqrt(CAST(n_tokens AS DOUBLE))) AS w25 FROM c),
+         |s AS (SELECT
+         |    CAST(SUM(CAST(w100 AS DECIMAL(28,12))) AS DOUBLE) AS s100,
+         |    CAST(SUM(CAST(w50 AS DECIMAL(28,12))) AS DOUBLE) AS s50,
+         |    CAST(SUM(CAST(w25 AS DECIMAL(28,12))) AS DOUBLE) AS s25 FROM w)
+         |SELECT source, n_tokens,
+         |  round(w100 / (SELECT s100 FROM s), 6) AS share_t100,
+         |  round(w50 / (SELECT s50 FROM s), 6) AS share_t50,
+         |  round(w25 / (SELECT s25 FROM s), 6) AS share_t25
+         |FROM w ORDER BY source""".stripMargin,
+
+    "text_tokenizer_fertility" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM($ws) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+         |  CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS DOUBLE)
+         |    / CAST(SUM($ws) AS DOUBLE), 6) AS re_fertility,
+         |  round(CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS DOUBLE)
+         |    / CAST(SUM($ws) AS DOUBLE), 6) AS bpe_fertility
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "pipeline_pii_report" ->
       """WITH d AS (SELECT source,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS ne,

@@ -626,6 +626,30 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Error-rate SLI with a trailing burn window — the SRE view over
+    * the event stream: per day the error share of all events, plus
+    * the 7-day rolling totals and rate (the slow-burn alert input).
+    * ONE corpus shuffle to the daily aggregate (map-combined; errors
+    * counted as a conditional agg, no second scan); the RANGE window
+    * runs over the calendar-bounded daily table; rates are single
+    * exact-integer divisions. */
+  def errorRateSli(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+    val w = Window.orderBy("day").rangeBetween(-6, 0)
+    daily.select(col("day"), col("n_total"), col("n_errors"),
+        round(col("n_errors").cast("double") /
+          col("n_total").cast("double"), 6).as("error_rate"),
+        sum(col("n_total")).over(w).as("roll7_total"),
+        sum(col("n_errors")).over(w).as("roll7_errors"))
+      .withColumn("roll7_rate",
+        round(col("roll7_errors").cast("double") /
+          col("roll7_total").cast("double"), 6))
+      .orderBy("day")
+  }
+
   /** A/B experiment readout — per event type, the two-sample
     * comparison (arm = user_id parity, the deterministic stand-in
     * for an assignment table): arm means, difference, and the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.t
 import graft.functions.GraftExpressions.rollingHash
@@ -468,6 +469,34 @@ object Pipeline {
           col("stage_tokens").cast("double"), 6).as("stage_share"),
         col("cum_tokens"))
       .orderBy("stage", "source")
+  }
+
+  /** Temperature-scaled mixture WEIGHTS — the multilingual-sampling
+    * standard (weights ∝ n^τ: τ=1 is proportional, τ→0 flattens
+    * toward uniform; low-resource sources upsample as τ drops). The
+    * exponents are spelled as NESTED SQRT (τ ∈ {1, 0.5, 0.25}) on
+    * purpose: sqrt is IEEE-correctly-rounded in every engine where a
+    * libm pow(x, 0.7) may differ by an ULP — the same reason
+    * [[dataMixture]] fixed τ=0.5. Per-source token totals cross ONE
+    * map-combined shuffle; the weight sums accumulate in DECIMAL
+    * (order-free) over the |sources|-row aggregate; shares are one
+    * fixed-order division each. */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .groupBy("source").agg(sum(wsTokens(col("text"))).as("n_tokens"))
+    val n = col("n_tokens").cast("double")
+    val w = toks.select(col("source"), col("n_tokens"),
+      n.as("w100"), sqrt(n).as("w50"), sqrt(sqrt(n)).as("w25"))
+    val tot = w.agg(
+      sum(col("w100").cast(DecimalType(28, 12))).cast("double").as("s100"),
+      sum(col("w50").cast(DecimalType(28, 12))).cast("double").as("s50"),
+      sum(col("w25").cast(DecimalType(28, 12))).cast("double").as("s25"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("w100") / col("s100"), 6).as("share_t100"),
+        round(col("w50") / col("s50"), 6).as("share_t50"),
+        round(col("w25") / col("s25"), 6).as("share_t25"))
+      .orderBy("source")
   }
 
   /** Corpus-level PII incidence report — the compliance view over

@@ -598,6 +598,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY by language — tokens-per-word for each
+    * tokenization scheme (the multilingual-tokenizer health metric:
+    * high fertility on a language means its text costs more context
+    * budget). Per lang the exact token sums for whitespace / regex /
+    * BPE-estimate schemes and the fertility ratios against the
+    * whitespace word count. ONE map-combined shuffle to the |langs|
+    * aggregate; ratios are single fixed-order divisions of exact
+    * integers. */
+  def textTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text"))).as("ws_tokens"),
+        sum(reTokens(col("text"))).as("re_tokens"),
+        sum(bpeTokensEst(col("text"))).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("re_tokens"), col("bpe_tokens"),
+        round(col("re_tokens").cast("double") /
+          col("ws_tokens").cast("double"), 6).as("re_fertility"),
+        round(col("bpe_tokens").cast("double") /
+          col("ws_tokens").cast("double"), 6).as("bpe_fertility"))
+      .orderBy("lang")
+
   /** Per-language precision / recall / F1 of the [[textLangid]]
     * heuristic against the labeled column — the evaluation metrics a
     * curator computes over [[textLangConfusion]]'s matrix before

@@ -716,6 +716,38 @@ class Round10OpsSpec extends AnyFunSuite {
       "nothing predicted es: precision pins to 0, not NaN")
   }
 
+  test("pipeline_mixture_temperature: equal sources split 0.5 at every temperature") {
+    val r = Pipeline.mixtureTemperature(spark, contamDir).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Double]("share_t100"), x.getAs[Double]("share_t50"),
+          x.getAs[Double]("share_t25")))).toMap
+    assert(r("srcA") === ((0.5, 0.5, 0.5)))
+    assert(r("srcB") === ((0.5, 0.5, 0.5)))
+  }
+
+  test("text_tokenizer_fertility: the zipf corpus counts land exactly") {
+    val total = (1 to 10).map(k => 100 / k).sum.toLong
+    val zipfLen = (1 to 10).flatMap(k => Seq.fill(100 / k)(f"t$k%02d"))
+      .mkString(" ").length
+    val r = TextAnalysis.textTokenizerFertility(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("ws_tokens") === total)
+    assert(row.getAs[Long]("re_tokens") === total, "every token is one [a-z0-9]+ run")
+    assert(row.getAs[Double]("re_fertility") === 1.0)
+    assert(row.getAs[Long]("bpe_tokens") === math.ceil(zipfLen / 4.0).toLong)
+  }
+
+  test("events_error_rate_sli: error-free stream rates 0; rolling window sums the step") {
+    val r = EventAnalytics.errorRateSli(spark, cpDir).collect()
+    assert(r.length === 8)
+    assert(r.forall(_.getAs[Double]("error_rate") === 0.0))
+    val day0 = 1700000000000000L / 86400000000L
+    val byDay = r.map(x => x.getAs[Long]("day") -> x.getAs[Long]("roll7_total")).toMap
+    assert(byDay(day0) === 10L)
+    assert(byDay(day0 + 7) === 150L, "days 1..7 = 3x10 + 4x30")
+  }
+
   test("pipeline_curriculum: the clean zipf doc lands alone in stage 1") {
     val total = (1 to 10).map(k => 100 / k).sum.toLong
     val r = Pipeline.curriculum(spark, dir).collect()
