@@ -43,6 +43,22 @@ object Dedup {
     * form before that evaluated its lambdas interpreted, ~10× slower
     * at sf0.1. The native expression gets both: codegen AND no
     * shuffle.) */
+  /** The distinct (id, word-n-gram xxhash64) table, eagerly
+    * checkpointed — the shared first stage of every cross-corpus
+    * gram-overlap operator (contamination matrix, novelty curve).
+    * Hashes (8 bytes) shuffle, strings never do; the checkpoint
+    * matters because these operators read the table through self-join
+    * aliases and multiple aggregates, which defeat exchange reuse and
+    * would re-run the corpus explode once per reader. */
+  private[operators] def distinctGramHashes(df: DataFrame, idCol: String,
+      n: Int = 8): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), n))
+          .as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gk"))
+      .distinct()
+      .localCheckpoint(true)
+
   private[operators] def gramRows(spark: SparkSession, dir: String,
       lowercase: Boolean): DataFrame = {
     val txt = if (lowercase) lower(col("text")) else col("text")
@@ -827,8 +843,12 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
+    // the (doc, digest) table is read FOUR ways (bloom build, exact
+    // side, filter side, final join) — checkpoint once so the parquet
+    // scan + md5 run once, not four times (the multi-reader lesson)
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .localCheckpoint(true)
     val existing = docs.filter(col("doc_id") % 10 =!= 0)
     val incoming = docs.filter(col("doc_id") % 10 === 0)
     val bloomBytes = existing.agg(ColumnBridge.column(

@@ -392,6 +392,9 @@ object Multimodal {
         }
         SilenceReport(r.doc_id, nw, ns, runs, longest, first)
       }
-    }.toDF().orderBy("doc_id")
+      // zero-window (empty-payload) docs emit no row — the oracle's
+      // generate_series over an empty text produces none either, and
+      // the row sets must agree on any corpus
+    }.filter(col("n_windows") > 0).toDF().orderBy("doc_id")
   }
 }

@@ -542,17 +542,9 @@ object Pipeline {
     * joins the gram STRINGS and must agree.
     */
   def contaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
-    // EAGER checkpoint: the distinct (source, hash) table is read
-    // three ways (both self-join sides + totals) and the self-join
-    // aliases defeat Catalyst's exchange reuse — unchecked, the
-    // corpus explode+distinct runs 4× (the mm_phash_hamming lesson)
-    val grams = t(spark, dir, "documents")
-      .select(col("source"),
-        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8))
-          .as("g"))
-      .select(col("source"), xxhash64(col("g")).as("gk"))
-      .distinct()
-      .localCheckpoint(true)
+    // shared gram stage (see Dedup.distinctGramHashes for why it
+    // checkpoints: three readers through self-join aliases)
+    val grams = Dedup.distinctGramHashes(t(spark, dir, "documents"), "source")
     val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val shared = grams.as("a")
       .join(grams.as("b"), col("a.gk") === col("b.gk") &&

@@ -439,6 +439,50 @@ object Streams {
 
   private val streamExecRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Shared drain scaffold for the stream_exec_* trio: build the
+    * streaming query over the topic stream (100k records/trigger —
+    * single-batch up to sf0.1, ~10 micro-batches at the 10× corpus;
+    * the result is batch-boundary independent either way, which
+    * StreamExecParitySpec proves by forcing tiny batches, and the
+    * trigger size only tunes state-store commit count — 25k cost the
+    * 10× join 150 s across 40 batches × 2 sides), drain it through a
+    * uniquely-named memory sink with AvailableNow, then LOCALIZE the
+    * bounded result and clean up: the memory table is dropped and the
+    * checkpoint dir deleted before returning, so repeated harness
+    * runs never accumulate sink tables or tmp state. */
+  private def drainTopic(spark: SparkSession, dir: String, op: String,
+      mode: String)(
+      build: DataFrame => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = ensureEventsTopic(spark, dir)
+    val name = s"${op}_${streamExecRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$op")
+    val stream = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 100000L)
+      .load(topicDir)
+    val q = build(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the drained grid is bounded by construction: pin it locally so
+    // the sink table and checkpoint can be released immediately
+    val out = finish(spark.table(name))
+    val local = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+      out.schema)
+    spark.catalog.dropTempView(name)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(ckpt.toFile)
+    local
+  }
+
   /** Tumbling aggregation EXECUTED AS A STREAM through the oracle
     * gate — not the batch formulation [[tumblingAgg]] uses, but a
     * real Structured Streaming run: `readStream` from a graft TOPIC
@@ -455,36 +499,18 @@ object Streams {
     * claim rather than a slogan. At scale the same query runs
     * unbounded with a watermark (StreamingSpec covers late-data
     * semantics); AvailableNow is the backfill/catch-up mode. */
-  def streamExecTumbling(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val topicDir = ensureEventsTopic(spark, dir)
-    val name = s"stream_exec_tumbling_${streamExecRuns.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-exec").toString
-    // 100k records/trigger: single-batch up to sf0.1, ~10 micro-
-    // batches at the 10× corpus. The result is batch-boundary
-    // independent either way (StreamExecParitySpec forces multi-batch
-    // on tiny data and asserts equality with the batch GROUP BY);
-    // the trigger size only tunes the drain's state-store commit
-    // count — 25k/trigger cost 150 s on the 10× join (40 batches x
-    // 2 sides re-committing join state), 100k is the honest batch
-    // size for a catch-up drain
-    val q = spark.readStream.format("graft-topic")
-      .option("maxOffsetsPerTrigger", 100000L)
-      .load(topicDir)
-      .select(col("ts"),
-        element_at(col("headers"), "event_type").cast("string").as("event_type"))
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-      .select(col("w.start").as("ws"), col("event_type"), col("n"))
-      .orderBy("ws", "event_type")
-  }
+  def streamExecTumbling(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_tumbling", "complete") { stream =>
+      stream
+        .select(col("ts"),
+          element_at(col("headers"), "event_type").cast("string")
+            .as("event_type"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    } { t =>
+      t.select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    }
 
   /** Streaming DEDUPLICATION through the oracle gate — the stateful
     * `dropDuplicates` operator (not an aggregation) executed as a
@@ -497,27 +523,17 @@ object Streams {
     * same operator runs unbounded with
     * `dropDuplicatesWithinWatermark` bounding state by event time
     * (StreamingSpec covers the watermark eviction leg). */
-  def streamExecDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val topicDir = ensureEventsTopic(spark, dir)
-    val name = s"stream_exec_dedup_${streamExecRuns.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-dedup").toString
-    val q = spark.readStream.format("graft-topic")
-      .option("maxOffsetsPerTrigger", 100000L)
-      .load(topicDir)
-      .select(date_trunc("hour", col("ts")).as("hour"),
-        element_at(col("headers"), "event_type").cast("string").as("event_type"))
-      .dropDuplicates("hour", "event_type")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-      .select(col("hour"), col("event_type"))
-      .orderBy("hour", "event_type")
-  }
+  def streamExecDedup(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_dedup", "append") { stream =>
+      stream
+        .select(date_trunc("hour", col("ts")).as("hour"),
+          element_at(col("headers"), "event_type").cast("string")
+            .as("event_type"))
+        .dropDuplicates("hour", "event_type")
+    } { t =>
+      t.select(col("hour"), col("event_type"))
+        .orderBy("hour", "event_type")
+    }
 
   /** STREAM–STREAM inner join through the oracle gate: two live
     * streams over the same topic (views and purchases — event type
@@ -529,31 +545,19 @@ object Streams {
     * the correctness property watermarked production joins trade
     * away (bounded state for possibly-dropped late matches;
     * StreamingSpec covers the watermarked interval-join leg). */
-  def streamExecJoin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val topicDir = ensureEventsTopic(spark, dir)
-    val name = s"stream_exec_join_${streamExecRuns.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-join").toString
-    def side(t: String, a: String) = spark.readStream.format("graft-topic")
-      .option("maxOffsetsPerTrigger", 100000L)
-      .load(topicDir)
-      .filter(element_at(col("headers"), "event_type").cast("string") === t)
-      .select(col("key").cast("string").cast("long").as(s"${a}_id"),
-        date_trunc("hour", col("ts")).as(s"${a}_hour"),
-        get_json_object(col("value").cast("string"), "$.k").cast("long")
-          .as(s"${a}_k"))
-    val q = side("view", "v")
-      .join(side("purchase", "p"),
+  def streamExecJoin(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_join", "append") { stream =>
+      def side(t: String, a: String) = stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          date_trunc("hour", col("ts")).as(s"${a}_hour"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+      side("view", "v").join(side("purchase", "p"),
         col("v_hour") === col("p_hour") && col("v_k") === col("p_k"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-      .select(col("v_hour").as("hour"), col("v_k").as("k"),
+    } { t =>
+      t.select(col("v_hour").as("hour"), col("v_k").as("k"),
         col("v_id"), col("p_id"))
-      .orderBy("hour", "k", "v_id", "p_id")
-  }
+        .orderBy("hour", "k", "v_id", "p_id")
+    }
 }

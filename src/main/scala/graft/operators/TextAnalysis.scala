@@ -670,13 +670,7 @@ object TextAnalysis {
     * order needed. Docs with < 8 words have no grams and no row
     * (same in the oracle). */
   def textNoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
-    val grams = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(graft.functions.GraftExpressions.wordNgrams(col("text"), 8))
-          .as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gk"))
-      .distinct()
-      .localCheckpoint(true)
+    val grams = Dedup.distinctGramHashes(t(spark, dir, "documents"), "doc_id")
     val firstSeen = grams.groupBy("gk").agg(min("doc_id").as("first_doc"))
     val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val novel = grams.join(firstSeen, "gk")
