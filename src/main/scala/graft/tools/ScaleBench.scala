@@ -288,6 +288,34 @@ object ScaleBench {
       Pipeline.contaminationMatrix(spark, out)))
     time("emb_dim_stats 1x")(noop(Similarity.embDimStats(spark, baseDir)))
     time("emb_dim_stats 10x")(noop(Similarity.embDimStats(spark, out)))
+    // dedup_incremental_bloom's claim: the bloom tier admits only
+    // ~(dup rate + false-positive rate) of the incoming shard into
+    // the exact join — candidates must track the true dup count, not
+    // the shard size.
+    for (d <- Seq(baseDir, out)) {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.types.BinaryType
+      val docs = t(spark, d, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        .localCheckpoint(true)
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+      val bloomBytes = existing.agg(ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            XxHash64(Seq(ColumnBridge.expression(col("digest"))), 42L),
+            Literal(100000L), Literal(8L * 100000L * 8L), 0, 0)
+            .toAggregateExpression()).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val nIncoming = incoming.count()
+      val nCandidates = incoming.filter(ColumnBridge.column(
+        BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+          XxHash64(Seq(ColumnBridge.expression(col("digest"))), 42L)))).count()
+      val nDups = incoming.join(existing.select("digest").distinct(),
+        Seq("digest"), "left_semi").count()
+      println(f"incremental-bloom volumes at $d: incoming=$nIncoming%d " +
+        f"bloom_candidates=$nCandidates%d exact_dups=$nDups%d")
+    }
     time("dedup_simhash")(noop(Dedup.dedupSimhash(spark, out)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))
