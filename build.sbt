@@ -57,6 +57,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // `parsed: null` for the bench line every round). Suppress it so the
 // JSON line is the final stdout line.
 Global / showSuccess := false
+// …and sbt's default LoggedOutput prefixes every forked-JVM stdout
+// line with "[info] ", which STILL defeated JSON parsing through
+// round 10 (the artifact's numbers lived only in the raw tail).
+// StdoutOutput pipes the forked process's stdout through bare.
+outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command engine, not by another
 // setting — the unused-key lint can't see that.
 Global / excludeLintKeys += showSuccess

@@ -442,7 +442,7 @@ object Oracles {
         |              FROM orders),
         |changes AS (SELECT
         |    CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey
-        |         ELSE o_orderkey + 10000000 END AS c_orderkey,
+        |         ELSE o_orderkey + 10000000000000 END AS c_orderkey,
         |    'X' AS c_status,
         |    CAST(round(CAST(o_totalprice AS DECIMAL(18,4))
         |      * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS c_totalprice

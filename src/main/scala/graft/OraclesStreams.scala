@@ -147,6 +147,23 @@ object OraclesStreams {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY hour, k, v_id, p_id""".stripMargin,
 
+    // the WATERMARKED interval join (bounded state, the production
+    // form): arrival is event-time-ordered per partition and the
+    // 1-day delay dwarfs the cross-partition frontier skew, so the
+    // watermark admits every row and evicts only un-matchable state —
+    // the drained result is exactly the batch interval join
+    "stream_exec_join_watermarked" ->
+      """WITH e AS (SELECT event_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    event_type
+        |  FROM events)
+        |SELECT v.k AS k, v.event_id AS v_id, p.event_id AS p_id,
+        |  v.ts AS v_ts, p.ts AS p_ts
+        |FROM e v JOIN e p ON v.k = p.k
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY k, v_id, p_id""".stripMargin,
+
     "stream_sliding_agg" ->
       s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
          |FROM (

@@ -692,8 +692,11 @@ object Relational {
     * rows carry forward (keep). The change set is derived
     * deterministically from the base so the oracle re-derives it:
     * every 7th order's status flips to 'X' with a 10% price bump
-    * (update), and every 11th≡3 order re-enters under key+10⁷
-    * (insert).
+    * (update), and every 11th≡3 order re-enters under key+10¹³
+    * (insert — the offset sits above any real orderkey up to
+    * TPC-H SF ~1.6M ≈ 1.6 EB, so synthetic insert keys can never
+    * collide with base keys and be mis-marked 'update'; the round-10
+    * advice caught +10⁷ colliding from SF 2 up).
     *
     * Scale shape: ONE co-keyed shuffle — both sides hash-partition on
     * the merge key and sort-merge join (the full-outer join's only
@@ -710,7 +713,7 @@ object Relational {
       .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 3)
       .select(
         when(col("o_orderkey") % 7 === 0, col("o_orderkey"))
-          .otherwise(col("o_orderkey") + 10000000L).as("c_orderkey"),
+          .otherwise(col("o_orderkey") + 10000000000000L).as("c_orderkey"),
         lit("X").as("c_status"),
         expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * " +
           "CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)").as("c_totalprice"))

@@ -131,28 +131,37 @@ object Similarity {
         struct(col("v2").as("src"), col("v1").as("dst")))).as("x"))
       .select(col("x.src"), col("x.dst")).persist()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    val n = deg.count()
-    if (n == 0)
-      return spark.range(0).select(col("id").as("vec_id"),
-        col("id").as("pr_scaled"), col("id").cast("double").as("pagerank"))
-    val base = Scale / n
-    var pr = deg.select(col("src").as("id"), lit(base).as("pr"))
-    for (_ <- 1 to iters) {
-      val inflow = sym
-        .join(pr.select(col("id").as("src"), col("pr")), "src")
-        .join(deg, "src")
-        .select(col("dst"), expr("pr DIV deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("inflow"))
-      pr = deg.select(col("src").as("id"))
-        .join(inflow.select(col("dst").as("id"), col("inflow")), Seq("id"), "left")
-        .select(col("id"),
-          expr(s"(15 * ${base}L + 85 * coalesce(inflow, 0L)) DIV 100")
-            .as("pr"))
-        .localCheckpoint(true)
+    // sym/deg are pinned only for the iteration; the rounds end with a
+    // localCheckpoint of pr, so nothing downstream re-reads them —
+    // unpersist unconditionally (a long-lived session must not keep
+    // two relations pinned per call, the GraftCaches contract)
+    try {
+      val n = deg.count()
+      if (n == 0)
+        return spark.range(0).select(col("id").as("vec_id"),
+          col("id").as("pr_scaled"), col("id").cast("double").as("pagerank"))
+      val base = Scale / n
+      var pr = deg.select(col("src").as("id"), lit(base).as("pr"))
+      for (_ <- 1 to iters) {
+        val inflow = sym
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .join(deg, "src")
+          .select(col("dst"), expr("pr DIV deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+        pr = deg.select(col("src").as("id"))
+          .join(inflow.select(col("dst").as("id"), col("inflow")), Seq("id"), "left")
+          .select(col("id"),
+            expr(s"(15 * ${base}L + 85 * coalesce(inflow, 0L)) DIV 100")
+              .as("pr"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("id").as("vec_id"), col("pr").as("pr_scaled"),
+          round(col("pr").cast("double") / Scale, 8).as("pagerank"))
+        .orderBy("vec_id")
+    } finally {
+      sym.unpersist()
+      deg.unpersist()
     }
-    pr.select(col("id").as("vec_id"), col("pr").as("pr_scaled"),
-        round(col("pr").cast("double") / Scale, 8).as("pagerank"))
-      .orderBy("vec_id")
   }
 
   /** The hybrid-search query set: each query is a (vector, term-list)

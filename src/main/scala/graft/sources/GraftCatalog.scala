@@ -72,14 +72,21 @@ class GraftCatalog extends TableCatalog {
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    new GraftTopicTable(s"$root/${ident.name}", Some(version.toLong))
+    // a clear analysis-time error instead of a raw NumberFormatException
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF on a graft topic takes a numeric manifest " +
+        s"version, got '$version'"))
+    new GraftTopicTable(s"$root/${ident.name}", Some(v))
   }
 
   /** `TIMESTAMP AS OF` — Spark hands epoch MICROseconds; resolve to
-    * the newest manifest version committed at-or-before it (manifest
-    * file mtime — commit time by construction, since a CAS link is
-    * never rewritten). No version that old → the pre-history empty
-    * table (pin version -1, which resolves to nothing). */
+    * the newest manifest version committed at-or-before it, against
+    * the commit timestamp RECORDED INSIDE each manifest (a durable
+    * commit record — file mtimes shift under any copy/restore that
+    * doesn't preserve them, silently re-pointing old queries; mtime
+    * remains only as the fallback for pre-field legacy manifests).
+    * No version that old → the pre-history empty table (pin version
+    * -1, which resolves to nothing). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -92,8 +99,11 @@ class GraftCatalog extends TableCatalog {
         .map(_.getFileName.toString)
         .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
           n.stripPrefix("v").stripSuffix(".json").toLong }
-        .filter(ver => Files.getLastModifiedTime(
-          mdir.resolve(s"v$ver.json")).toMillis <= tsMs)
+        .filter { ver =>
+          graft.streaming.TopicLog.manifestCommitTsMs(mdir, ver)
+            .getOrElse(Files.getLastModifiedTime(
+              mdir.resolve(s"v$ver.json")).toMillis) <= tsMs
+        }
         .foldLeft(-1L)(math.max)
     new GraftTopicTable(s"$root/${ident.name}", Some(v))
   }

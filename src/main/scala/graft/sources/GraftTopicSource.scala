@@ -352,9 +352,17 @@ class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
   override def latestOffset(): StreamOffset = GraftTopicStreamOffset(targetEnds())
 
   /** Admission control: `maxOffsetsPerTrigger` caps how far a single
-    * micro-batch may advance, summed across partitions (allocated in
-    * partition order) — bounded batches under backlog, like the Kafka
-    * source's option of the same name. */
+    * micro-batch may advance, summed across partitions and allocated
+    * PROPORTIONALLY to each partition's backlog — the Kafka source's
+    * shape. Proportional matters beyond fairness: it keeps arrival
+    * order event-time-interleaved across partitions, so a watermarked
+    * query's global watermark never runs ahead of an unread
+    * partition's frontier. The earlier partition-order allocation
+    * drained partition 0 completely before partition 1 saw budget —
+    * every watermarked operator then dropped partition 1's rows as
+    * late (caught by StreamExecParitySpec's eviction leg), and the
+    * drain was serialized one partition at a time instead of reading
+    * all partitions in parallel. */
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
 
@@ -363,14 +371,29 @@ class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
     limit match {
       case mr: ReadMaxRows =>
         val s = start.asInstanceOf[GraftTopicStreamOffset].ends
-        var budget = mr.maxRows()
-        val capped = cur.toSeq.sortBy(_._1).map { case (p, end) =>
+        val budget = mr.maxRows()
+        val lags = cur.toSeq.sortBy(_._1).map { case (p, end) =>
           val lo = s.getOrElse(p, 0L)
-          val adv = math.max(0L, math.min(end - lo, budget))
-          budget -= adv
-          p -> (lo + adv)
-        }.toMap
-        GraftTopicStreamOffset(capped)
+          (p, lo, math.max(0L, end - lo))
+        }
+        val totalLag = lags.map(_._3).sum
+        if (totalLag <= budget) GraftTopicStreamOffset(cur)
+        else {
+          // floor of the proportional share first, then the remainder
+          // one row at a time to still-lagging partitions — total
+          // admitted = budget exactly, and every partition with
+          // backlog advances together
+          val shares = lags.map { case (p, lo, lag) =>
+            // BigInt: lag × budget can overflow Long on a deep backlog
+            (p, lo, lag, (BigInt(lag) * budget / totalLag).toLong)
+          }
+          var rem = budget - shares.map(_._4).sum
+          val capped = shares.map { case (p, lo, lag, share) =>
+            val extra = if (rem > 0 && lag > share) { rem -= 1; 1L } else 0L
+            p -> (lo + math.min(lag, share + extra))
+          }.toMap
+          GraftTopicStreamOffset(capped)
+        }
       case _ => GraftTopicStreamOffset(cur)
     }
   }

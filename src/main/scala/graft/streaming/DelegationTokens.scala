@@ -220,7 +220,9 @@ object DelegationTokens {
           s""""issue":${t.issueTs},"expiry":${t.expiryTs},"max":${t.maxTs},""" +
           s""""hmac":"${b64(t.hmac)}","creds":[$creds]}"""
       }.mkString(",")
-      s"""{"version":$version,"tokens":[$rows]}"""
+      // fmt 2 = NUL-joined renewers; its presence (not content
+      // sniffing) is what parse() gates the legacy space-split on
+      s"""{"version":$version,"fmt":2,"tokens":[$rows]}"""
     }
 
     private val TokenRe =
@@ -231,25 +233,22 @@ object DelegationTokens {
       ("""\{"m":(\d+),"salt":"([^"]*)","iters":(\d+),""" +
         """"stored":"([^"]*)","server":"([^"]*)"\}""").r
 
-    private[streaming] def parse(s: String): Seq[Token] =
+    private[streaming] def parse(s: String): Seq[Token] = {
+      // migration, gated DETERMINISTICALLY on the snapshot's declared
+      // format (round-10 advice: content sniffing mis-split a
+      // new-format single renewer whose principal contains spaces):
+      //  - fmt 2 snapshots join renewers with NUL — always NUL-split;
+      //  - pre-fmt snapshots joined with " " and can never contain a
+      //    NUL — space-split, unless a NUL is present (a round-10
+      //    interim snapshot: NUL-joined before the fmt field existed).
+      val declaredNul = s.contains("\"fmt\":2")
       TokenRe.findAllMatchIn(s).map { m =>
         val renewersRaw = unb64s(m.group(4))
-        // migration: snapshots written before the NUL separator joined
-        // renewers with " " — a NUL split of such a blob yields ONE
-        // element containing spaces, which would silently break
-        // renew/expire authorization for every old multi-renewer
-        // token. Fall back to the space split in exactly that shape —
-        // the one ambiguity (a NEW-format snapshot with a single
-        // renewer whose principal name itself contains spaces) trades
-        // a pathological name for restoring every pre-NUL token,
-        // matching the advice's prescribed migration.
-        val nulSplit =
-          if (renewersRaw.isEmpty) Seq.empty[String]
-          else renewersRaw.split("\u0000").toSeq
         val renewers =
-          if (nulSplit.length == 1 && nulSplit.head.contains(" "))
-            nulSplit.head.split(" ").filter(_.nonEmpty).toSeq
-          else nulSplit
+          if (renewersRaw.isEmpty) Seq.empty[String]
+          else if (declaredNul || renewersRaw.contains("\u0000"))
+            renewersRaw.split("\u0000").toSeq
+          else renewersRaw.split(" ").filter(_.nonEmpty).toSeq
         Token(unb64s(m.group(1)), unb64s(m.group(2)), unb64s(m.group(3)),
           renewers,
           m.group(5).toLong, m.group(6).toLong, m.group(7).toLong,
@@ -259,6 +258,7 @@ object DelegationTokens {
               c.group(3).toInt, unb64(c.group(4)), unb64(c.group(5)))
           }.toMap)
       }.toSeq
+    }
 
     private[streaming] def commit(dir: Path, version: Long, body: String): Unit = {
       Files.createDirectories(dir)

@@ -1047,7 +1047,8 @@ object TopicLog {
     val files = m.files.map(f => "\"" + f + "\"").mkString(",")
     val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
     val live = m.files.toSet
-    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)}""" +
+    s"""{"version":${m.version},"commitTsMs":${System.currentTimeMillis},""" +
+      s""""ends":{$ends}${renderWriters(m)}""" +
       renderRanges(m.fileRanges.filter(kv => live(kv._1))) +
       s""","files":[$files]$batch}"""
   }
@@ -1059,8 +1060,23 @@ object TopicLog {
     val ends = m.ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val a = adds.map(f => "\"" + f + "\"").mkString(",")
     val batch = m.lastBatchId.map(b => s""","lastBatchId":$b""").getOrElse("")
-    s"""{"version":${m.version},"ends":{$ends}${renderWriters(m)}""" +
+    s"""{"version":${m.version},"commitTsMs":${System.currentTimeMillis},""" +
+      s""""ends":{$ends}${renderWriters(m)}""" +
       renderRanges(addRanges) + s""","adds":[$a]$batch}"""
+  }
+
+  /** The commit timestamp RECORDED INSIDE manifest version `v` — the
+    * durable commit record TIMESTAMP AS OF resolves against. A file
+    * mtime is not durable: a copy/rsync/restore of the topic dir that
+    * doesn't preserve mtimes (or a scanner's touch) would silently
+    * shift which version a timestamp resolves to. None for manifests
+    * written before the field existed (callers fall back to mtime —
+    * best effort for legacy history only). */
+  private[graft] def manifestCommitTsMs(dir: Path, v: Long): Option[Long] = {
+    val f = dir.resolve(s"v$v.json")
+    if (!Files.exists(f)) None
+    else "\"commitTsMs\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(Files.readString(f)).map(_.group(1).toLong)
   }
 
   /** One version file on disk: a full snapshot (`files`) or a delta

@@ -140,7 +140,8 @@ class Round10OpsSpec extends AnyFunSuite {
           x.getAs[String]("action")))).toMap
     assert(r.size === 8, "7 base rows + 1 insert")
     assert(r(7L) === (("X", 11.0, "update")), "7 % 7 == 0 updates in place")
-    assert(r(10000003L) === (("X", 11.0, "insert")), "3 % 11 == 3 re-enters under key+1e7")
+    assert(r(10000000000003L) === (("X", 11.0, "insert")),
+      "3 % 11 == 3 re-enters under key+1e13 (collision-proof up to SF ~1.6M)")
     assert(r(1L) === (("O", 10.0, "keep")))
   }
 

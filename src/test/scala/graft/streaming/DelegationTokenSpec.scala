@@ -161,6 +161,24 @@ class DelegationTokenSpec extends AnyFunSuite {
     assert(rt.map(_.renewers) === Seq(Seq("User:bob", "User:carol")))
   }
 
+  test("fmt-2 snapshot: single renewer WITH spaces is not mis-split") {
+    // the round-10 advice's ambiguity: under content sniffing, a
+    // new-format snapshot whose one renewer principal contains spaces
+    // was split into bogus renewers; the declared fmt field now
+    // disambiguates deterministically
+    import DelegationTokens._
+    val dir = Files.createTempDirectory("graft-tok-fmt2")
+    val m1 = new Manager(dir)
+    val t = m1.create("User:alice", "User:alice",
+      Seq("User:svc my batch"), 1000000, 1700000000000L).get
+    val m2 = new Manager(dir)
+    assert(m2.byId(t.tokenId).get.renewers === Seq("User:svc my batch"))
+    assert(m2.renew(t.hmac, "User:svc my batch", 3600000L,
+      1700000000001L).isRight)
+    assert(m2.renew(t.hmac, "User:svc", 3600000L, 1700000000001L) ===
+      Left(63), "a bogus split fragment must NOT be authorized")
+  }
+
   test("codec round-trips at every served version") {
     val hmac = (0 until 32).map(_.toByte).toArray
     (0 to 3).foreach { v =>

@@ -64,4 +64,86 @@ class StreamExecParitySpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(batch.size === 6, "3 hours x 2 types")
   }
+
+  /** stream_exec_join_watermarked's two claims, on planted data with
+    * forced tiny micro-batches: (1) the drained watermarked interval
+    * join equals the batch interval join (the watermark admits every
+    * row — arrival is event-time-ordered, so nothing is ever late);
+    * (2) state EVICTION actually happens — the final batch's join
+    * state holds a small tail of the stream, not everything fed
+    * (the bounded-state property that makes the form production-safe
+    * on an unbounded stream). */
+  test("watermarked interval join: batch parity AND state eviction") {
+    val root = Files.createTempDirectory("graft-sxw").toString
+    val log = TopicLog.create(spark, root, "t", 2)
+    // 240 records over 10 days of event time, ts-ordered per
+    // partition; view i and purchase i share k = i % 5 and sit 5
+    // minutes apart — every match is within the 10-minute interval,
+    // and a 1-hour watermark delay evicts state days behind the
+    // frontier during the drain.
+    def ts(i: Int, off: Long) =
+      new java.sql.Timestamp(1700000000000L + i * 3600000L + off)
+    val rows = (0 until 120).flatMap { i =>
+      Seq((s"${2 * i}", "view", i % 5, ts(i, 0), i % 2),
+        (s"${2 * i + 1}", "purchase", i % 5, ts(i, 300000L), i % 2))
+    }
+    val df = rows.toDF("id", "etype", "k", "ts", "partition")
+      .select(col("id").cast("binary").as("key"),
+        to_json(struct(col("k"))).cast("binary").as("value"),
+        map(lit("event_type"), col("etype").cast("binary")).as("headers"),
+        col("ts"), col("partition").cast("int").as("partition"))
+    log.produce(df, partitioner = col("partition"))
+
+    def side(stream: org.apache.spark.sql.DataFrame, t: String, a: String) =
+      stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          col("ts").as(s"${a}_ts"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+    val stream = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 24L) // forces ≥10 micro-batches
+      .load(s"$root/t")
+    val name = "sxw_parity"
+    val q = side(stream, "view", "v").withWatermark("v_ts", "1 hour")
+      .join(side(stream, "purchase", "p").withWatermark("p_ts", "1 hour"),
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sxw-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      "the drain must actually have crossed micro-batch boundaries")
+
+    val streamed = spark.table(name)
+      .select("v_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchSide = log.read()
+    val bv = side(batchSide, "view", "v")
+    val bp = side(batchSide, "purchase", "p")
+    val batch = bv.join(bp,
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("v_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch, "watermark must not have dropped a match")
+    assert(batch.size === 120, "each view matches exactly its paired purchase")
+
+    // eviction: the final micro-batch's join state must hold only the
+    // watermark tail (~1 h + interval of a 10-day stream), not the
+    // 240 rows fed — without eviction numRowsTotal would be ~240
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators
+      .map(_.numRowsTotal).sum
+    assert(lastState < 60,
+      s"join state must be a small tail of the stream, was $lastState")
+    assert(q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.numRowsRemoved > 0),
+      "the watermark must actually have evicted state rows")
+  }
 }
