@@ -417,6 +417,61 @@ object Oracles {
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // the UNSALTED join — salting must be invisible in the result
+    "q47_salted_skew_join" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity * 100 AS BIGINT) AS qc FROM lineitem),
+        |stats AS (SELECT l_returnflag AS f, COUNT(*) AS n_flag,
+        |    CAST(SUM(qc) AS BIGINT) AS tot_cents FROM li GROUP BY 1)
+        |SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN qc * n_flag > tot_cents THEN 1 END) AS n_above_avg
+        |FROM li JOIN stats ON l_returnflag = f
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ANSI NOT IN three-valued logic: NULL lhs rows never survive
+    "q48_not_in_null_aware" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM (SELECT *, CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |                     ELSE o_custkey END AS maybe_key FROM orders) o
+        |WHERE maybe_key NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q49_lead_lag_windows" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    epoch_us(o_orderdate) // 86400000000 AS day_num FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  day_num - lag(day_num) OVER w AS prev_gap_days,
+        |  lead(day_num) OVER w - day_num AS next_gap_days,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order,
+        |  round(cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS price_cume_dist
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // the ANSI bag difference; multiplicities compared, not row order
+    "q50_except_all" ->
+      """SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // identical IEEE ops in identical order — bit-identical buckets
+    "q51_histogram" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |           FROM orders),
+        |x AS (SELECT LEAST(19, FLOOR((o_totalprice - lo) * 20 / (hi - lo)))::BIGINT
+        |    AS bucket, lo, hi FROM orders, b)
+        |SELECT bucket, COUNT(*) AS n,
+        |  round(MIN(lo) + bucket * (MIN(hi) - MIN(lo)) / 20, 4) AS bucket_lo
+        |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q45_intersect" ->
       """SELECT nk, membership FROM (
         |  SELECT nk, 'both' AS membership FROM (

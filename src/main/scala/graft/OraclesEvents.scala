@@ -303,6 +303,45 @@ object OraclesEvents {
     // seasonal-naive: predict (type, day) by (type, day-7); errors
     // are integer diffs, MAE/bias via decimal sums, MAPE terms
     // quantized at 1e-6 before their decimal sum
+    // deterministic quintiles: every ntile ordering carries a
+    // user_id tie-break; monetary is the exact DECIMAL sum scaled
+    "events_rfm_segments" ->
+      """WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS m_scaled
+        |  FROM events GROUP BY 1),
+        |fr AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+        |r AS (SELECT user_id, freq, m_scaled,
+        |    (max_us - last_us) // 86400000000 AS recency_days FROM per, fr),
+        |seg AS (SELECT user_id,
+        |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+        |    ntile(5) OVER (ORDER BY m_scaled DESC, user_id) AS m
+        |  FROM r)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m, COUNT(*) AS n_users
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 86400000000) // 7 AS week FROM events)
+        |SELECT week, COUNT(DISTINCT (user_id, day)) AS user_days,
+        |  COUNT(DISTINCT user_id) AS weekly_users,
+        |  COUNT(DISTINCT day) AS days_in_week,
+        |  COUNT(DISTINCT (user_id, day)) * 1000000
+        |    // (COUNT(DISTINCT user_id) * COUNT(DISTINCT day)) AS stickiness_ppm
+        |FROM e GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // exact-integer cent buckets; (cents−lo) ≥ 0 so // ≡ Spark's DIV
+    "events_value_histogram" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM e)
+        |SELECT event_type,
+        |  LEAST(9, ((cents - lo) * 10) // GREATEST(hi - lo + 1, 1)) AS bucket,
+        |  COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM e, b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
     "events_forecast_baseline" ->
       """WITH daily AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n

@@ -164,6 +164,49 @@ object OraclesStreams {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY k, v_id, p_id""".stripMargin,
 
+    // sliding windows as a real drain: each record in TWO windows,
+    // reconciled by the state store across batches = the batch
+    // double-bucketing; integer k-sums cross engines exactly
+    "stream_exec_sliding" ->
+      """SELECT ws, event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - g * INTERVAL 30 MINUTE AS ws,
+        |         event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events CROSS JOIN (VALUES (0),(1)) AS gg(g)) t
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    // watermark-gated session emission, modeled exactly: batch
+    // gaps-and-islands sessions (gap of exactly 30 min starts a new
+    // session; end = last event + gap), restricted to sessions the
+    // FINAL watermark closed — (ms-truncated max event time − 1 day),
+    // the value Spark's event-time watermark lands on
+    "stream_exec_session_watermarked" ->
+      s"""WITH e AS (SELECT user_id % 8 AS "partition",
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, ts,
+         |    event_id
+         |  FROM events),
+         |-- (ts, event_id): a TOTAL order — the 10× replicas collide at
+         |-- identical µs, and a running SUM whose tie order differs from
+         |-- the lag window's would split sessions nondeterministically
+         |o AS (SELECT "partition", k, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY "partition", k ORDER BY ts, event_id)),
+         |s AS (SELECT "partition", k, ts,
+         |    SUM(brk) OVER (PARTITION BY "partition", k ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o),
+         |g AS (SELECT "partition", k, MIN(ts) AS session_start,
+         |    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |    COUNT(*) AS n_events
+         |  FROM s GROUP BY "partition", k, sid),
+         |wm AS (SELECT (epoch_us(MAX(ts)) // 1000 - 86400000) * 1000 AS wm_us
+         |  FROM events)
+         |SELECT "partition", k, session_start, session_end, n_events
+         |FROM g, wm WHERE epoch_us(session_end) <= wm_us
+         |ORDER BY "partition", k, session_start""".stripMargin,
+
     "stream_sliding_agg" ->
       s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
          |FROM (

@@ -310,7 +310,7 @@ object Dedup {
     * collisions, paid for with C(nBlocks,3) explode rows per doc.
     * nBlocks=4 reproduces the original fixed 4×16-bit chunk layout
     * bit-for-bit (each table is a single block). */
-  private[operators] final case class SimhashBlocking(nBlocks: Int) {
+  private[graft] final case class SimhashBlocking(nBlocks: Int) {
     require(nBlocks >= 4 && nBlocks <= 8, s"nBlocks=$nBlocks out of [4,8]")
     /** Near-equal contiguous block widths summing to 64 (the first
       * 64 % nBlocks blocks take the extra bit). */
@@ -341,7 +341,7 @@ object Dedup {
       }
   }
 
-  private[operators] object SimhashBlocking {
+  private[graft] object SimhashBlocking {
     /** Smallest block count whose narrowest key width w keeps
       * expected random-collision candidate pairs ≈ T·n²/2^w at or
       * under n — LINEAR in the corpus, the [[cosinePlanesFor]]
@@ -462,7 +462,7 @@ object Dedup {
     * checkpoints these edges and the oracle query adds the output
     * sort; sorting here would cost the CC path a full exchange+sort
     * of the edge set it immediately discards. */
-  private[operators] def embeddingCosineEdges(spark: SparkSession,
+  private[graft] def embeddingCosineEdges(spark: SparkSession,
       dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
@@ -868,4 +868,25 @@ object Dedup {
         coalesce(col("flag"), lit(0)).as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** Survivor selection by QUALITY (round 11) — the curation-realistic
+    * dedup policy: within each exact-normalized content group the
+    * keeper is the LONGEST original text (it kept the most
+    * formatting/context), ties to the smallest doc_id — not min-id,
+    * which picks whatever crawl happened to land first. One
+    * map-combined aggregate: the argmax rides a (len, −doc_id) struct
+    * max, so the shuffle carries one struct per (partition, group) —
+    * never the texts. Exact integers end to end. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+          .cast("binary")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("content_hash"), col("m.len").as("keeper_len"),
+        (-col("m.nid")).as("keeper"), col("n_copies"))
+      .orderBy("keeper")
+
 }

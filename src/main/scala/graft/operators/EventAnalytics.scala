@@ -687,4 +687,79 @@ object EventAnalytics {
           .as("z_stat"))
       .orderBy("event_type")
   }
+
+  /** RFM segmentation (round 11) — the classic
+    * recency/frequency/monetary user quintiles, the segmentation
+    * marketing analytics actually runs: per user, recency = whole
+    * days from their last event to the corpus frontier (exact integer
+    * \u00b5s division), frequency = event count, monetary = the exact
+    * DECIMAL value sum scaled to an integer. ntile(5) per axis with a
+    * user_id tie-break makes every quintile deterministic; the output
+    * is the \u2264125-row segment grid. One shuffle keyed user_id; the
+    * three ntile windows all re-sort the SAME user-bounded aggregate
+    * (tiny), never the event stream. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val frontier = ev.groupBy().agg(max(unix_micros(col("ts"))).as("max_us"))
+    val per = ev.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        (sum(col("value").cast(DecimalType(18, 4))) * 10000).cast("long")
+          .as("m_scaled"))
+      .crossJoin(broadcast(frontier))
+      .select(col("user_id"), col("freq"), col("m_scaled"),
+        expr("(max_us - last_us) DIV 86400000000").as("recency_days"))
+    val seg = per.select(col("user_id"),
+      ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+        .cast("long").as("r"),
+      ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+        .cast("long").as("f"),
+      ntile(5).over(Window.orderBy(col("m_scaled").desc, col("user_id")))
+        .cast("long").as("m"))
+    seg.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r", "f", "m")
+  }
+
+  /** Stickiness (round 11) — the DAU/MAU-style engagement ratio, per
+    * ISO week: distinct (user, day) actives over distinct weekly
+    * users, exact ppm integers (the corpus\u2019s calendar bounds the
+    * reduce side). */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV $DayUs").as("day"),
+        expr(s"(unix_micros(ts) DIV $DayUs) DIV 7").as("week"))
+    ev.groupBy("week")
+      .agg(count_distinct(col("user_id"), col("day")).as("user_days"),
+        count_distinct(col("user_id")).as("weekly_users"),
+        count_distinct(col("day")).as("days_in_week"))
+      .select(col("week"), col("user_days"), col("weekly_users"),
+        col("days_in_week"),
+        expr("user_days * 1000000 DIV (weekly_users * days_in_week)")
+          .as("stickiness_ppm"))
+      .orderBy("week")
+  }
+
+  /** Event-value histogram (round 11) — exact-integer cent buckets of
+    * the value distribution per event type (the payload profile
+    * behind alert thresholds): value\u00d7100 rounds to the same long in
+    * any engine, decile-of-range buckets stay integer. Reduce side =
+    * types \u00d7 10. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val bounds = ev.groupBy().agg(min("cents").as("lo"), max("cents").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        expr("LEAST(9L, ((cents - lo) * 10) DIV GREATEST(hi - lo + 1, 1))")
+          .as("bucket"),
+        col("cents"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), min("cents").as("min_cents"),
+        max("cents").as("max_cents"))
+      .orderBy("event_type", "bucket")
+  }
+
 }

@@ -397,4 +397,43 @@ object Multimodal {
       // the row sets must agree on any corpus
     }.filter(col("n_windows") > 0).toDF().orderBy("doc_id")
   }
+
+  /** Modality mixture report (round 11) — the corpus-composition
+    * question every multimodal training run starts with: per modality
+    * (deterministically assigned — the synthetic stand-in for a real
+    * media_type column), record count, byte volume, and exact mean
+    * payload size. Pure metadata aggregation over the opaque payload
+    * column: ONE map-combined shuffle, reduce side = |modalities|;
+    * the bytes never leave the scan. */
+  def mmModalityMixture(spark: SparkSession, dir: String): DataFrame =
+    asMediaRecords(spark, dir).toDF()
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("modality"),
+        length(col("payload")).cast("long").as("nbytes"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_records"), sum("nbytes").as("total_bytes"),
+        expr("SUM(nbytes) DIV COUNT(1)").as("mean_bytes"),
+        min("nbytes").as("min_bytes"), max("nbytes").as("max_bytes"))
+      .orderBy("modality")
+
+  /** Aspect-ratio profile (round 11) — the resize/crop planning
+    * histogram: integer aspect buckets (width\u00b7100 DIV height) over
+    * the typed media metadata, zero-height records reported in a
+    * sentinel bucket instead of crashing the pipeline. Reduce side =
+    * distinct aspect buckets. */
+  def mmAspectStats(spark: SparkSession, dir: String): DataFrame =
+    asMediaRecords(spark, dir).toDF()
+      .select(
+        when(col("height") === 0, lit(-1L))
+          .otherwise(expr("(CAST(width AS BIGINT) * 100) DIV height"))
+          .as("aspect_bucket"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .groupBy("aspect_bucket")
+      .agg(count(lit(1)).as("n"),
+        min("width").as("min_w"), max("width").as("max_w"),
+        min("height").as("min_h"), max("height").as("max_h"))
+      .orderBy("aspect_bucket")
+
 }

@@ -561,4 +561,48 @@ object Pipeline {
           col("n_grams_a").cast("double"), 6).as("containment"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Quality-threshold sweep (round 11) — the calibration curve for
+    * the quality gate (dedup_threshold_sweep\u2019s discipline applied to
+    * the quality score): docs/tokens retained at each candidate
+    * threshold, off ONE per-doc scoring pass exploded into the
+    * thresholds it survives. The score is [[textQuality]]\u2019s exact
+    * cross-engine double; shares are exact ppm integers. */
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, wsTokens}
+    val scored = t(spark, dir, "documents")
+      .select(qualityScore(col("text")).as("score"),
+        wsTokens(col("text")).as("toks"))
+    val totals = scored.groupBy().agg(count(lit(1)).as("total_docs"),
+      sum("toks").as("total_toks"))
+    val ts = (0 to 9).map(i => s"${i / 10.0}D")
+    scored
+      .select(explode(expr(
+        s"filter(array(${ts.mkString(", ")}), t -> score >= t)")).as("threshold"),
+        col("toks"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000 DIV total_docs").as("doc_share_ppm"),
+        expr("n_tokens * 1000000 DIV total_toks").as("token_share_ppm"))
+      .orderBy("threshold")
+  }
+
+  /** Per-doc token-count histogram in BIT-LENGTH buckets (round 11) —
+    * the sequence-length profile that sizes packing and truncation
+    * budgets. Bucket = integer bit length (the length(bin(n)) trick,
+    * no float log2); reduce side \u2264 64 rows. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    t(spark, dir, "documents")
+      .select(wsTokens(col("text")).as("toks"))
+      .select(length(bin(greatest(col("toks"), lit(1L)))).cast("long")
+        .as("bucket"), col("toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        min("toks").as("min_tokens"), max("toks").as("max_tokens"))
+      .orderBy("bucket")
+  }
+
 }

@@ -950,4 +950,124 @@ object Relational {
     val sOnly = s.except(c).withColumn("membership", lit("supplier_only"))
     both.unionAll(cOnly).unionAll(sOnly).orderBy("nk")
   }
+
+  /** q47: SALTED SKEW JOIN (round 11) — the canonical hot-key fix at
+    * 100 TB, driven through the gate as result-equivalence: joining
+    * the lineitem fact to a per-returnflag stats table keys the
+    * shuffle on THREE values (maximal skew — every task but three
+    * idles); salting APPENDS `l_orderkey % 16` to the fact's key and
+    * EXPLODES the stats side ×16, so the same join runs over 48
+    * near-uniform keys with 16-way parallelism per hot key. The
+    * oracle computes the UNSALTED join — salting must be invisible in
+    * the result, which is exactly the property that licenses it. The
+    * `shuffle_hash` hint pins the shuffled plan (a broadcast would
+    * dissolve the demo — and at real scale the stats side is only
+    * broadcastable until it isn't). All flag-stat comparisons are
+    * exact integers: quantity in cents, above-average as
+    * qty·100·n_flag > total_cents. */
+  def q47SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nSalt = 16
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_quantity") * 100).cast("long").as("qc"),
+        pmod(col("l_orderkey"), lit(nSalt.toLong)).cast("int").as("salt"))
+    val stats = li.groupBy(col("l_returnflag").as("f"))
+      .agg(count(lit(1)).as("n_flag"), sum("qc").as("tot_cents"))
+    val salted = stats.withColumn("salt",
+      explode(lit((0 until nSalt).toArray)))
+    li.join(salted.hint("shuffle_hash"),
+        col("l_returnflag") === col("f") && li("salt") === salted("salt"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("qc") * col("n_flag") > col("tot_cents"), 1))
+          .as("n_above_avg"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q48: NULL-AWARE NOT IN (round 11) — the three-valued-logic trap
+    * plain anti joins (q6) don't model: `x NOT IN (set)` is NULL (not
+    * TRUE) when x is NULL, and when the set contains a NULL every
+    * non-member comparison is NULL too — rows silently vanish
+    * relative to NOT EXISTS. Here every 97th order's key is NULLed:
+    * those rows must NOT survive. Spark plans this as a null-aware
+    * anti join — a BROADCAST-only operator (no shuffled form exists,
+    * because the one-NULL-poisons-everything rule needs the whole
+    * build side everywhere): fine at any scale when the exclusion
+    * set is dimension-sized, and the reason production pipelines
+    * rewrite huge NOT INs to NOT EXISTS (q6's shape). */
+  def q48NotInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("maybe_key",
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+    o.createOrReplaceTempView("q48_orders")
+    t(spark, dir, "customer").createOrReplaceTempView("q48_customer")
+    o.sparkSession.sql(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM q48_orders
+        |WHERE maybe_key NOT IN
+        |  (SELECT c_custkey FROM q48_customer WHERE c_custkey % 5 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** q49: the navigation-window family in one pass — lag/lead
+    * (previous/next order-day gap per customer), first_value /
+    * nth_value(2) over the customer's full frame, and cume_dist of
+    * price within the customer. ONE hash exchange on o_custkey
+    * satisfies every window (all partition by custkey; sorts differ
+    * but re-sort is exchange-free); (day, orderkey) tie-break makes
+    * every navigation deterministic. cume_dist is an exact small-int
+    * rational — identical doubles in any engine. */
+  def q49LeadLagWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day_num", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrice = Window.partitionBy("o_custkey")
+      .orderBy("o_totalprice", "o_orderkey")
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").as("day_num"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("day_num") - lag("day_num", 1).over(w)).as("prev_gap_days"),
+        (lead("day_num", 1).over(w) - col("day_num")).as("next_gap_days"),
+        first("o_orderkey").over(wFull).as("first_order"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"),
+        round(cume_dist().over(wPrice), 6).as("price_cume_dist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q50: EXCEPT ALL — bag semantics the q45 set ops deliberately
+    * collapse: each customer's open-order multiset minus their
+    * urgent-order multiset, multiplicity-exact (max(0, c₁−c₂) copies
+    * survive — Spark plans a sort-based bag difference, the oracle
+    * runs the ANSI operator). Output re-aggregated per key so the
+    * gate compares multiplicities, not row order. */
+  def q50ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    open.exceptAll(urgent)
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+  }
+
+  /** q51: fixed-width HISTOGRAM with data-driven bounds — the
+    * two-pass profile shape (one row of bounds broadcast back, then
+    * a map-side bucket assignment into a 20-row reduce). The bucket
+    * index `least(19, floor((x−min)·20/(max−min)))` runs the SAME
+    * IEEE ops in the same order on both engines — bit-identical
+    * buckets without decimal detours. */
+  def q51Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val bounds = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(least(lit(19L), floor((col("o_totalprice") - col("lo")) * 20
+        / (col("hi") - col("lo")))).as("bucket"),
+        col("lo"), col("hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("lo")) + col("bucket") * (first(col("hi")) - first(col("lo"))) / 20, 4)
+          .as("bucket_lo"))
+      .orderBy("bucket")
+  }
 }

@@ -787,4 +787,79 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)) / 3.0, 6).as("recall_at_3"))
       .orderBy("qid")
   }
+
+  /** Integer POWER ITERATION for the dominant covariance eigenvector
+    * (round 11) — the one-component PCA a curation pipeline uses to
+    * find the corpus\u2019s main axis of embedding variation (and the
+    * anisotropy diagnostics behind whitening decisions). All-integer
+    * like graph_pagerank, which is what buys a full oracle: vectors
+    * quantize to thousandths, the Gram/covariance accumulation
+    * C[a][b] = \u03a3 q[a]\u00b7q[b] is exact-integer and MAP-GENERATED (the
+    * d\u00b2 outer-product rows explode inside the row — no self-join; the
+    * one shuffle is the map-combined 4096-row aggregate), and each of
+    * the 5 matvec+normalize rounds runs on the driver over the
+    * d\u00d7d-BOUNDED matrix (4096 rows \u2014 dimension-bounded like the
+    * k-means cell sums at Similarity.scala:311, never corpus-sized).
+    * Normalization is sign-explicit trunc-division so Spark DIV and
+    * DuckDB // agree on negatives. vec_id % 5 = 0 sampling bounds the
+    * demo; the full-corpus shape is identical (d\u00b2 is
+    * dimension-bounded, the corpus only feeds the one aggregate). */
+  def embPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = t(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+    val cov = q.select(explode(expr(
+        "flatten(transform(q, (va, a) -> transform(q, (vb, b) -> " +
+          "struct(a AS a, b AS b, va * vb AS p))))")).as("x"))
+      .select(col("x.a"), col("x.b"), col("x.p"))
+      .groupBy("a", "b").agg(sum("p").as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val d = 64
+    var x = Array.fill(d)(1000L)
+    for (_ <- 1 to 5) {
+      val y = Array.tabulate(d)(a =>
+        (0 until d).map(b => cov.getOrElse((a, b), 0L) * x(b)).sum)
+      val m = y.map(math.abs).max max 1L
+      x = y.map(v => if (v < 0) -((-v * 1000) / m) else v * 1000 / m)
+    }
+    x.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("dim", "component_scaled")
+      .orderBy("dim")
+  }
+
+  /** Embedding L2-norm outlier report per label (round 11) — the
+    * degenerate-vector screen (collapsed or exploded norms signal
+    * encoder failures) run curation-side. Norms quantize to millionths
+    * (sqrt of the same left-fold dot both engines run bit-identically)
+    * and mean/variance/outlier tests are INTEGER formulas on the
+    * quantized values \u2014 dev\u00b2 > 4\u00b7varInt is the \u00b12\u03c3 rule with
+    * identical trunc arithmetic in any engine. One map-combined
+    * aggregate per label; reduce side = |labels|. */
+  def embNormOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "embeddings")
+      .select(col("label"),
+        expr("CAST(round(sqrt(aggregate(zip_with(embedding, embedding, " +
+          "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * 1000000) AS BIGINT)")
+          .as("nq"))
+    val stats = n.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("nq").as("s"),
+        sum(col("nq") * col("nq")).as("ssq"),
+        min("nq").as("min_norm_q"), max("nq").as("max_norm_q"))
+      .withColumn("mu", expr("s DIV n"))
+      .withColumn("var_int", expr("(ssq DIV n) - mu * mu"))
+    n.join(stats, "label")
+      .groupBy("label")
+      .agg(first("n").as("n_vectors"),
+        count(when((col("nq") - col("mu")) * (col("nq") - col("mu"))
+          > lit(4) * col("var_int"), 1)).as("n_outliers"),
+        first("mu").as("mean_norm_q"),
+        first("min_norm_q").as("min_norm_q"),
+        first("max_norm_q").as("max_norm_q"))
+      .orderBy("label")
+  }
+
 }

@@ -126,6 +126,44 @@ object Streams {
     s"$root/$topic"
   }
 
+  /** The events topic in EVENT-TIME ORDER (offset = rank by (ts,
+    * event_id) per partition) — the arrival premise of every
+    * watermarked operator. A watermark licenses bounded state only
+    * when its delay covers the stream's actual disorder; a live
+    * Kafka topic's log-append order tracks event time (that is why
+    * 1-day delays work in production), but the 10× test corpus
+    * CONCATENATES 10 replica epochs in producer order — a stream
+    * with 30-day disorder, which a 1-day watermark is simply not
+    * licensed for (caught in round 11: the watermarked join drained
+    * from the producer-ordered topic silently dropped 92% of matches
+    * as late AT 10× ONLY). The watermarked gate queries therefore
+    * read this topic, whose order makes the 1-day delay honest (the
+    * only residual disorder is cross-partition frontier skew —
+    * minutes at any SF of this generator). The unwatermarked drains
+    * stay on the producer-ordered topic: they are order-insensitive,
+    * which is exactly the property the watermarked forms trade away. */
+  private[graft] def ensureEventsTopicByTime(spark: SparkSession, dir: String): String = {
+    import graft.streaming.TopicLog
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-topics-" +
+      Integer.toHexString(dir.hashCode)
+    val topic = "events_bytime_v1"
+    if (!TopicLog.exists(root, topic)) {
+      val log = TopicLog.create(spark, root, topic, NumPartitions)
+      val w = Window.partitionBy("partition").orderBy("ts", "event_id")
+      val records = events(spark, dir)
+        .withColumn("partition",
+          pmod(col("user_id"), lit(NumPartitions.toLong)).cast("int"))
+        .withColumn("offset", (row_number().over(w) - 1).cast("long"))
+        .select(
+          col("event_id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          map(lit("event_type"), col("event_type").cast("binary")).as("headers"),
+          col("ts"), col("partition"), col("offset"))
+      log.produceAssigned(records)
+    }
+    s"$root/$topic"
+  }
+
   /** TIME TRAVEL driven through the correctness gate — the
     * Iceberg-style `AS OF` read the CAS manifest history gives for
     * free (every committed version is a self-contained snapshot): a
@@ -475,11 +513,13 @@ object Streams {
     *    removed by a JVM shutdown hook (it must outlive this call:
     *    the returned plan reads it lazily). */
   private def drainTopic(spark: SparkSession, dir: String, op: String,
-      mode: String, durable: Boolean = false)(
+      mode: String, durable: Boolean = false, byTime: Boolean = false)(
       build: DataFrame => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val topicDir = ensureEventsTopic(spark, dir)
+    val topicDir =
+      if (byTime) ensureEventsTopicByTime(spark, dir)
+      else ensureEventsTopic(spark, dir)
     val name = s"${op}_${streamExecRuns.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$op")
     def rm(f: java.io.File): Unit = {
@@ -589,6 +629,63 @@ object Streams {
     * n-proportional, so this leg drains to a DURABLE parquet sink
     * and the result stays distributed — nothing joins-sized ever
     * lands on the driver (the round-10 verdict's one weak row). */
+  /** SLIDING-window aggregation EXECUTED AS A STREAM through the
+    * oracle gate (round 11): hourly windows sliding every 30 minutes
+    * over the topic's record timestamps — each record lands in TWO
+    * windows, the overlap the state store must reconcile across
+    * micro-batch boundaries. Complete-mode memory sink: the result is
+    * the 2×(windows×types) grid, bounded by construction like the
+    * tumbling leg. Counts and integer k-sums only (the topic record
+    * carries the JSON payload, not the double `value` column — and
+    * integer sums cross engines exactly). */
+  def streamExecSliding(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_sliding", "complete") { stream =>
+      stream
+        .select(col("ts"),
+          element_at(col("headers"), "event_type").cast("string")
+            .as("event_type"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as("k"))
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+    } { t =>
+      t.select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("sum_k"))
+        .orderBy("ws", "event_type")
+    }
+
+  /** SESSION WINDOWS executed as a stream through the oracle gate
+    * (round 11) — the stateful operator whose append-mode emission is
+    * gated BY the watermark: a session (30-min gap, keyed by
+    * (partition, payload k) — the routing key plus a payload
+    * dimension, so sessions actually BREAK and CLOSE at every corpus
+    * density) is emitted exactly once, when the
+    * watermark passes its end; sessions the final watermark has not
+    * closed are still open and correctly withheld. The oracle models
+    * that boundary EXACTLY: batch session_window over the source
+    * table, restricted to sessions with
+    * end ≤ (⌊max_ts_µs/1000⌋ − delay_ms)·1000 — Spark's final
+    * watermark (event-time max, ms-truncated, minus the 1-day delay).
+    * Session output is n-proportional → durable parquet drain. */
+  def streamExecSessionWatermarked(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_session_wm", "append", durable = true,
+        byTime = true) { stream =>
+      stream
+        .select(col("ts"), col("partition"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as("k"))
+        .withWatermark("ts", "1 day")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("partition"), col("k"))
+        .agg(count(lit(1)).as("n_events"))
+    } { t =>
+      t.select(col("partition").cast("long").as("partition"), col("k"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"))
+        .orderBy("partition", "k", "session_start")
+    }
+
   /** WATERMARKED stream–stream INTERVAL join through the oracle gate
     * — the PRODUCTION form of [[streamExecJoin]]: both sides carry
     * `withWatermark(ts, 1 day)` and the join condition is an
@@ -615,7 +712,8 @@ object Streams {
     * Output is n-proportional → durable parquet drain, distributed
     * result. */
   def streamExecJoinWatermarked(spark: SparkSession, dir: String): DataFrame =
-    drainTopic(spark, dir, "stream_exec_join_wm", "append", durable = true) { stream =>
+    drainTopic(spark, dir, "stream_exec_join_wm", "append", durable = true,
+        byTime = true) { stream =>
       def side(t: String, a: String) = stream
         .filter(element_at(col("headers"), "event_type").cast("string") === t)
         .select(col("key").cast("string").cast("long").as(s"${a}_id"),

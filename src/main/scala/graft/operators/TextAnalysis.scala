@@ -795,4 +795,71 @@ object TextAnalysis {
         round((sy - slope * sx) / n, 6).as("zipf_intercept"))
       .orderBy("lang")
   }
+
+  /** Hapax-legomenon profile per source (round 11) — the
+    * vocabulary-health diagnostic (a high hapax share flags noisy or
+    * OCR-damaged sources; a collapsing one flags boilerplate). One
+    * corpus token pass into a map-combined (source, token) count;
+    * everything downstream is vocabulary-bounded. The ratio is an
+    * exact scaled-integer division. */
+  def textHapaxRatio(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        count(when(col("c") === 1, 1)).as("hapax"),
+        sum("c").as("n_tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("n_tokens"),
+        expr("hapax * 1000000 DIV vocab").as("hapax_ppm"))
+      .orderBy("source")
+
+  /** Corpus word-length histogram (round 11) — the tokenizer-design
+    * profile (length mass decides subword budget). Reduce side =
+    * max word length; share is exact ppm integer division. */
+  def textWordLenHist(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .select(length(col("tok")).cast("long").as("len"), col("tok"))
+    val total = toks.groupBy().agg(count(lit(1)).as("total"))
+    toks.groupBy("len")
+      .agg(count(lit(1)).as("n"), count_distinct(col("tok")).as("n_distinct"))
+      .crossJoin(broadcast(total))
+      .select(col("len"), col("n"), col("n_distinct"),
+        expr("n * 1000000 DIV total").as("share_ppm"))
+      .orderBy("len")
+  }
+
+  /** Adjacent-bigram PMI top-20 (round 11) — collocation mining, the
+    * phrase-vocabulary step of tokenizer/corpus analysis. PMI's
+    * log is MONOTONE, so ranking needs only the exact RATIONAL
+    * c_ab\u00b7N / (c_a\u00b7c_b), carried as one scaled integer division —
+    * no float log crosses engines. Bigrams are born map-side
+    * (zip_with over the token array, no self-join); the marginals are
+    * two vocabulary-bounded aggregates off the one bigram table.
+    * Count floor 5 keeps the demo stable; the 10\u2076 scaling bounds
+    * c_ab\u00b7N\u00b710\u2076 \u2264 ~10\u00b9\u2078 at this corpus (re-scale per SF at
+    * true 100-TB counts). */
+  def textBigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val bg = t(spark, dir, "documents")
+      .select(explode(expr(
+        "zip_with(slice(split(lower(text), ' '), 1, size(split(lower(text), ' ')) - 1), " +
+          "slice(split(lower(text), ' '), 2, size(split(lower(text), ' ')) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .localCheckpoint(true)
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy("w1").agg(count(lit(1)).as("c_a"))
+    val cb = bg.groupBy("w2").agg(count(lit(1)).as("c_b"))
+    val n = bg.groupBy().agg(count(lit(1)).as("n_bigrams"))
+    cab.filter(col("c_ab") >= 5)
+      .join(ca, "w1").join(cb, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("c_ab * n_bigrams * 1000000 DIV (c_a * c_b)").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
 }

@@ -316,6 +316,27 @@ object ScaleBench {
       println(f"incremental-bloom volumes at $d: incoming=$nIncoming%d " +
         f"bloom_candidates=$nCandidates%d exact_dups=$nDups%d")
     }
+    // Round-11 addition (§14.1 discipline for graph_pagerank, the one
+    // round-10 iterative op without a measured probe): the edge table
+    // is checkpointed ONCE (volume = blocked-cosine edge pairs, must
+    // track the near-dup mass ~n), and each of the 5 rounds shuffles
+    // ONLY (node, rank) integer rows — per-round shuffle volume =
+    // directed-edge rows (sym = 2×edges, the join fan-out) plus the
+    // node-count inflow agg, independent of text/vector width and
+    // constant across rounds. 10×/1× on both must be ~the replica
+    // factor.
+    for (d <- Seq(baseDir, out)) {
+      val edges = Dedup.embeddingCosineEdges(spark, d).count()
+      val sym = 2 * edges
+      val nodes = Dedup.embeddingCosineEdges(spark, d)
+        .select(explode(array(col("v1"), col("v2"))).as("v"))
+        .distinct().count()
+      println(f"pagerank volumes at $d: edges=$edges%d " +
+        f"per_round_shuffle_rows=$sym%d (directed edges; (node,rank) " +
+        f"ints only) nodes=$nodes%d")
+    }
+    time("graph_pagerank 1x")(noop(Similarity.graphPagerank(spark, baseDir)))
+    time("graph_pagerank 10x")(noop(Similarity.graphPagerank(spark, out)))
     time("dedup_simhash")(noop(Dedup.dedupSimhash(spark, out)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))
