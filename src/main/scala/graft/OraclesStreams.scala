@@ -147,6 +147,14 @@ object OraclesStreams {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY hour, k, v_id, p_id""".stripMargin,
 
+    // dropDuplicatesWithinWatermark: a (hour, type) key's duplicates
+    // all sit inside one hour of event time ≪ the 1-day delay, so
+    // each key emits exactly once even though its state is EVICTED
+    // once the watermark passes — batch DISTINCT with bounded state
+    "stream_exec_dedup_watermarked" ->
+      """SELECT DISTINCT date_trunc('hour', ts) AS hour, event_type
+        |FROM events ORDER BY hour, event_type""".stripMargin,
+
     // the WATERMARKED interval join (bounded state, the production
     // form): arrival is event-time-ordered per partition and the
     // 1-day delay dwarfs the cross-partition frontier skew, so the

@@ -629,6 +629,33 @@ object Streams {
     * n-proportional, so this leg drains to a DURABLE parquet sink
     * and the result stays distributed — nothing joins-sized ever
     * lands on the driver (the round-10 verdict's one weak row). */
+  /** WATERMARK-BOUNDED streaming dedup through the oracle gate
+    * (round 11) — `dropDuplicatesWithinWatermark`, the production
+    * form of [[streamExecDedup]]: seen-key state is EVICTED once the
+    * watermark passes it, so state is bounded by the watermark
+    * horizon instead of growing with the key space forever. The
+    * contract tolerates re-emission of a key whose duplicates arrive
+    * later than the delay — but a (hour, type) key's duplicates all
+    * carry event times inside that one hour, so on the time-ordered
+    * topic every duplicate arrives within the 1-day delay of the
+    * first occurrence and each key emits EXACTLY once: the drained
+    * result must equal the batch DISTINCT, now with bounded state
+    * (the unwatermarked leg proves cross-batch dedup; this one
+    * proves dedup SURVIVES eviction). */
+  def streamExecDedupWatermarked(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_dedup_wm", "append", byTime = true) { stream =>
+      stream
+        .select(col("ts"),
+          date_trunc("hour", col("ts")).as("hour"),
+          element_at(col("headers"), "event_type").cast("string")
+            .as("event_type"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("hour", "event_type")
+    } { t =>
+      t.select(col("hour"), col("event_type"))
+        .orderBy("hour", "event_type")
+    }
+
   /** SLIDING-window aggregation EXECUTED AS A STREAM through the
     * oracle gate (round 11): hourly windows sliding every 30 minutes
     * over the topic's record timestamps — each record lands in TWO

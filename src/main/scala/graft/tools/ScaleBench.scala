@@ -337,6 +337,33 @@ object ScaleBench {
     }
     time("graph_pagerank 1x")(noop(Similarity.graphPagerank(spark, baseDir)))
     time("graph_pagerank 10x")(noop(Similarity.graphPagerank(spark, out)))
+    // Round-11 additions: text_bigram_pmi's corpus shuffle is the
+    // map-generated bigram stream into THREE vocabulary-bounded
+    // aggregates (c_ab / c_a / c_b — distinct bigrams and unigrams
+    // must grow sublinearly vs the pair stream); emb_power_iteration's
+    // one shuffle is the map-combined d² Gram aggregate (reduce side
+    // EXACTLY 4096 at any corpus); events_rfm's windows re-sort the
+    // USER-bounded aggregate, never the event stream.
+    for (d <- Seq(baseDir, out)) {
+      val w = t(spark, d, "documents")
+        .select(split(lower(col("text")), " ").as("w"))
+      val bg = w.select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> concat_ws(' ', a, b))")).as("bg"))
+      println(f"pmi volumes at $d: bigram_rows=${bg.count()}%d " +
+        f"distinct_bigrams=${bg.distinct().count()}%d")
+      val gram = t(spark, d, "embeddings").filter(col("vec_id") % 5 === 0)
+      println(f"power-iteration volumes at $d: sampled_vectors=${gram.count()}%d " +
+        f"gram_reduce_rows=4096 (d², corpus-independent)")
+    }
+    time("text_bigram_pmi 1x")(noop(
+      graft.operators.TextAnalysis.textBigramPmi(spark, baseDir)))
+    time("text_bigram_pmi 10x")(noop(
+      graft.operators.TextAnalysis.textBigramPmi(spark, out)))
+    time("emb_power_iteration 1x")(noop(
+      Similarity.embPowerIteration(spark, baseDir)))
+    time("emb_power_iteration 10x")(noop(
+      Similarity.embPowerIteration(spark, out)))
     time("dedup_simhash")(noop(Dedup.dedupSimhash(spark, out)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, out)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, out)))

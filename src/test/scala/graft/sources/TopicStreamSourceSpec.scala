@@ -94,6 +94,34 @@ class TopicStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admission splits the row budget proportionally to backlog") {
+    // round-11 regression pin: partition-order allocation drained
+    // partition 0 fully before partition 1 saw budget, which made
+    // watermarked operators drop later partitions' rows as late and
+    // serialized drains partition-by-partition
+    val root = Files.createTempDirectory("graft-stream-prop").toString
+    val log = TopicLog.create(spark, root, "prop", 3)
+    // backlogs 60 / 30 / 10
+    log.produce(records(0 until 60), lit(0))
+    log.produce(records(0 until 30), lit(1))
+    log.produce(records(0 until 10), lit(2))
+    val sb = new GraftTopicScanBuilder(log.topicDir,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("maxOffsetsPerTrigger", "20")))
+    val stream = sb.build().toMicroBatchStream(s"$root/_cp")
+      .asInstanceOf[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+    val start = stream
+      .asInstanceOf[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+      .initialOffset()
+    val end = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(20L))
+      .asInstanceOf[GraftTopicStreamOffset].ends
+    assert(end.values.sum === 20L, s"budget must be spent exactly: $end")
+    // proportional floor: 60/100·20=12, 30/100·20=6, 10/100·20=2
+    assert(end === Map(0 -> 12L, 1 -> 6L, 2 -> 2L),
+      s"allocation must track backlog, got $end")
+  }
+
   test("the partitions read option prunes streaming batch planning") {
     val root = Files.createTempDirectory("graft-stream-prune").toString
     val log = TopicLog.create(spark, root, "pr", 4)
