@@ -266,7 +266,13 @@ object OraclesPipeline {
       mul64(rotl64(xor64(h, mul64(byte, xxP5)), 11), xxP1)
     def le(terms: Seq[(String, BigInt)]): String =
       terms.map { case (b, m) => s"$b*$m" }.mkString("+")
-    s"""xt1 AS (SELECT doc_id, tok, length(tok)::HUGEINT AS len,
+    s"""xt1 AS (SELECT doc_id, tok,
+       |  -- fail LOUD outside the oracle's domain (≤ 15 ASCII bytes:
+       |  -- one 8-byte lane max) instead of hashing silently wrong
+       |  CASE WHEN length(tok) > 15
+       |         OR length(tok) <> octet_length(encode(tok))
+       |       THEN CAST(error('xxh64 oracle: token outside the <=15-byte ASCII domain: ' || tok) AS BIGINT)
+       |       ELSE length(tok) END::HUGEINT AS len,
        |  list_transform(range(1, length(tok)+1), i -> unicode(tok[i])::HUGEINT) AS b
        |  FROM toks),
        |xt2 AS (SELECT *, (42::HUGEINT + $xxP5 + len) % $W64 AS h0,
@@ -1056,7 +1062,7 @@ object OraclesPipeline {
     // bit-identical list_dot_product fold
     "emb_norm_outliers" ->
       """WITH n AS (SELECT label,
-        |    CAST(round(sqrt(list_dot_product(vv, vv)) * 1000000) AS BIGINT) AS nq
+        |    CAST(round(sqrt(list_dot_product(vv, vv)) * 10000) AS BIGINT) AS nq
         |  FROM (SELECT label, list_transform(embedding,
         |      x -> CAST(x AS DOUBLE)) AS vv FROM embeddings) t),
         |s AS (SELECT label, COUNT(*) AS n, CAST(SUM(nq) AS BIGINT) AS s,
@@ -1127,8 +1133,11 @@ object OraclesPipeline {
          |  MIN(toks) AS min_tokens, MAX(toks) AS max_tokens
          |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // octet_length(encode(...)): the engine measures the BINARY
+    // payload's bytes — char length would silently diverge on the
+    // first non-ASCII document
     "mm_modality_mixture" ->
-      """WITH d AS (SELECT CAST(length(text) AS BIGINT) AS nbytes,
+      """WITH d AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
         |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS BIGINT)] AS modality
         |  FROM documents)
         |SELECT modality, COUNT(*) AS n_records,

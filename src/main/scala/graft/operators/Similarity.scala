@@ -832,9 +832,13 @@ object Similarity {
 
   /** Embedding L2-norm outlier report per label (round 11) — the
     * degenerate-vector screen (collapsed or exploded norms signal
-    * encoder failures) run curation-side. Norms quantize to millionths
-    * (sqrt of the same left-fold dot both engines run bit-identically)
-    * and mean/variance/outlier tests are INTEGER formulas on the
+    * encoder failures) run curation-side. Norms quantize to 1e-4
+    * units (sqrt of the same left-fold dot both engines run
+    * bit-identically; the 1e4 scale bounds the ssq accumulator to
+    * ~6.4e9 per unit-ish 64-dim vector, safe in a long to ~1e9
+    * vectors per label, where the 1e6 scale overflowed silently at
+    * ~1.4e5 per label -- round-11 self-review) and
+    * mean/variance/outlier tests are INTEGER formulas on the
     * quantized values \u2014 dev\u00b2 > 4\u00b7varInt is the \u00b12\u03c3 rule with
     * identical trunc arithmetic in any engine. One map-combined
     * aggregate per label; reduce side = |labels|. */
@@ -843,7 +847,7 @@ object Similarity {
       .select(col("label"),
         expr("CAST(round(sqrt(aggregate(zip_with(embedding, embedding, " +
           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * 1000000) AS BIGINT)")
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * 10000) AS BIGINT)")
           .as("nq"))
     val stats = n.groupBy("label")
       .agg(count(lit(1)).as("n"), sum("nq").as("s"),

@@ -205,7 +205,10 @@ object Streams {
       // re-entry after a crash between produce and marker write: the
       // topic exists but the pin is missing, and TopicLog.create
       // require-fails on an existing topic — drop the partial build
-      // and rebuild from scratch (the build is deterministic)
+      // and rebuild from scratch (the build is deterministic).
+      // Single-process assumption, like every ensure* fixture here:
+      // two gates sharing one tmp root is not a supported harness
+      // shape (a concurrent builder mid-produce would be deleted)
       if (TopicLog.exists(root, topic)) {
         def rmAll(f: java.io.File): Unit = {
           val kids = f.listFiles
@@ -489,6 +492,25 @@ object Streams {
 
   private val streamExecRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Drain output dirs pending JVM-exit cleanup — ONE shutdown hook
+    * over a registry instead of one hook thread per drain call. */
+  private val drainDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val drainHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      drainDirs.forEach(p => rm(p.toFile))
+    }))
+  }
+  private def registerDrainDir(p: java.nio.file.Path): Unit = {
+    drainHook
+    drainDirs.add(p); ()
+  }
+
   /** Shared drain scaffold for the stream_exec_* trio: build the
     * streaming query over the topic stream (100k records/trigger —
     * single-batch up to sf0.1, ~10 micro-batches at the 10× corpus;
@@ -532,8 +554,18 @@ object Streams {
       .load(topicDir)
     if (durable) {
       require(mode == "append", "file sinks are append-only")
-      val outDir = java.nio.file.Files.createTempDirectory(s"graft-$op-out")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(outDir.toFile)))
+      // ONE fixed dir per (op, sf dir), cleared at call start — a
+      // long-lived session reusing the drain must not accumulate an
+      // n-proportional parquet dir (plus a shutdown-hook thread) per
+      // call. The previous call's result plan goes stale at that
+      // point, which every caller tolerates: the gate/bench consume
+      // each result fully before re-invoking the query.
+      val outDir = java.nio.file.Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/graft-drains-" +
+          Integer.toHexString(dir.hashCode), op)
+      rm(outDir.toFile)
+      java.nio.file.Files.createDirectories(outDir)
+      Streams.registerDrainDir(outDir)
       val built = build(stream)
       val q = built
         .writeStream.format("parquet")

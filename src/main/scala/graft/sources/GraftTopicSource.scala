@@ -377,7 +377,13 @@ class GraftTopicMicroBatchStream(topicDir: String, required: StructType,
           (p, lo, math.max(0L, end - lo))
         }
         val totalLag = lags.map(_._3).sum
-        if (totalLag <= budget) GraftTopicStreamOffset(cur)
+        if (totalLag <= budget)
+          // per-partition floor at the start offset: a checkpoint that
+          // outlives a rebuilt-shorter topic must not regress the
+          // offset log and re-deliver already-processed records
+          GraftTopicStreamOffset(cur.map { case (p, end) =>
+            p -> math.max(end, s.getOrElse(p, 0L))
+          })
         else {
           // floor of the proportional share first, then the remainder
           // one row at a time to still-lagging partitions — total

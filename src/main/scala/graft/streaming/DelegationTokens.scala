@@ -241,7 +241,10 @@ object DelegationTokens {
       //  - pre-fmt snapshots joined with " " and can never contain a
       //    NUL — space-split, unless a NUL is present (a round-10
       //    interim snapshot: NUL-joined before the fmt field existed).
-      val declaredNul = s.contains("\"fmt\":2")
+      // fmt ≥ 2 (not literal "fmt":2): a future format bump must not
+      // silently revert renewers to the legacy space-split heuristic
+      val declaredNul = "\"fmt\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .exists(_.group(1).toInt >= 2)
       TokenRe.findAllMatchIn(s).map { m =>
         val renewersRaw = unb64s(m.group(4))
         val renewers =

@@ -1074,9 +1074,17 @@ object TopicLog {
     * best effort for legacy history only). */
   private[graft] def manifestCommitTsMs(dir: Path, v: Long): Option[Long] = {
     val f = dir.resolve(s"v$v.json")
-    if (!Files.exists(f)) None
+    if (!Files.exists(f)) return None
+    // the field is rendered immediately after "version" — read only
+    // the head so TIMESTAMP AS OF over a deep history doesn't pay
+    // O(history × full-snapshot size) I/O just to extract timestamps
+    val head = new Array[Byte](256)
+    val in = Files.newInputStream(f)
+    val n = try in.read(head) finally in.close()
+    if (n <= 0) None
     else "\"commitTsMs\"\\s*:\\s*(\\d+)".r
-      .findFirstMatchIn(Files.readString(f)).map(_.group(1).toLong)
+      .findFirstMatchIn(new String(head, 0, n, "UTF-8"))
+      .map(_.group(1).toLong)
   }
 
   /** One version file on disk: a full snapshot (`files`) or a delta

@@ -326,11 +326,13 @@ object ScaleBench {
     // constant across rounds. 10×/1× on both must be ~the replica
     // factor.
     for (d <- Seq(baseDir, out)) {
-      val edges = Dedup.embeddingCosineEdges(spark, d).count()
+      val e = Dedup.embeddingCosineEdges(spark, d).persist()
+      val edges = e.count()
       val sym = 2 * edges
-      val nodes = Dedup.embeddingCosineEdges(spark, d)
+      val nodes = e
         .select(explode(array(col("v1"), col("v2"))).as("v"))
         .distinct().count()
+      e.unpersist()
       println(f"pagerank volumes at $d: edges=$edges%d " +
         f"per_round_shuffle_rows=$sym%d (directed edges; (node,rank) " +
         f"ints only) nodes=$nodes%d")

@@ -18,6 +18,9 @@ object StateStoreBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val provider = if (args.length > 1) args(1) else "hdfs"
+    require(provider == "hdfs" || provider == "rocksdb",
+      s"provider must be hdfs|rocksdb, got '$provider' (a typo would " +
+        "silently benchmark the default store under the wrong label)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")

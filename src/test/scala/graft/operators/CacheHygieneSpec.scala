@@ -42,4 +42,14 @@ class CacheHygieneSpec extends AnyFunSuite {
       "CacheManager must be empty after releaseAll()")
     assert(GraftCaches.releaseAll() === 0)
   }
+
+  test("graph_pagerank pins nothing after it returns (round-11 advice)") {
+    GraftCaches.releaseAll()
+    // sym/deg persist only for the iteration and unpersist in the
+    // try/finally; the registered edge cache releases via the registry
+    Similarity.graphPagerank(spark, dir).count()
+    GraftCaches.releaseAll()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a pagerank call must not leave relations pinned")
+  }
 }
