@@ -234,6 +234,29 @@ object OraclesStreams {
          |CROSS JOIN (SELECT MAX(ts) - INTERVAL 5 DAY AS target_ts FROM events) c
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // merge_asof tolerance: a match older than 1 h is NULLed, the
+    // row flagged — exact integer µs post-condition on the same
+    // window pass as asof_join
+    "asof_join_tolerance" ->
+      """SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  CASE WHEN fresh THEN pv_id END AS prev_view_id,
+        |  CASE WHEN fresh THEN pv_ts END AS prev_view_ts,
+        |  fresh AS matched
+        |FROM (
+        |  SELECT *, pv_ts IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(pv_ts) <= 3600000000 AS fresh
+        |  FROM (
+        |    SELECT event_id, user_id, ts, event_type,
+        |      last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |        OVER w AS pv_id,
+        |      last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |        OVER w AS pv_ts
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t) u
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
     "asof_join" ->
       """SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
         |  prev_view_id, prev_view_ts

@@ -464,6 +464,38 @@ object Streams {
       .orderBy("view_id")
   }
 
+  /** BACKWARD as-of join with a TOLERANCE (round 11; pandas
+    * merge_asof's `tolerance` — the staleness bound production as-of
+    * joins almost always carry: a quote/feature older than the bound
+    * must NOT be used): each purchase takes the most recent prior
+    * view of the same user ONLY when it is at most 1 hour stale,
+    * else the join columns are NULL and the row is flagged
+    * unmatched. Same one-sorted-window-pass shape as [[asofJoin]]
+    * (one shuffle by user_id); the tolerance is a row-local
+    * post-condition, exact integer µs. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ToleranceUs = 3600000000L
+    events(spark, dir)
+      .withColumn("pv_id",
+        last(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("pv_ts",
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("fresh",
+        col("pv_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("pv_ts")) <= ToleranceUs)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        when(col("fresh"), col("pv_id")).as("prev_view_id"),
+        when(col("fresh"), col("pv_ts")).as("prev_view_ts"),
+        col("fresh").as("matched"))
+      .orderBy("purchase_id")
+  }
+
   /** JSON payload processing: events carry a JSON `props` column —
     * extract typed fields and aggregate (the record-value decode step
     * of a Kafka consumer pipeline). */
