@@ -12,8 +12,10 @@ import org.apache.spark.sql.SparkSession
   * min-of-two wall per query (same discipline as graft.Bench).
   */
 object StateStoreBench {
-  private val Drains = Seq("stream_exec_tumbling", "stream_exec_dedup",
-    "stream_exec_join", "stream_exec_join_watermarked")
+  private val Drains = Seq("stream_exec_tumbling", "stream_exec_sliding",
+    "stream_exec_dedup", "stream_exec_dedup_watermarked",
+    "stream_exec_join", "stream_exec_join_watermarked",
+    "stream_exec_session_watermarked")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
