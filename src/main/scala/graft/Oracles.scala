@@ -466,7 +466,8 @@ object Oracles {
     "q51_histogram" ->
       """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |           FROM orders),
-        |x AS (SELECT LEAST(19, FLOOR((o_totalprice - lo) * 20 / (hi - lo)))::BIGINT
+        |x AS (SELECT LEAST(19, FLOOR((o_totalprice - lo) * 20
+        |        / GREATEST(hi - lo, 1.0)))::BIGINT
         |    AS bucket, lo, hi FROM orders, b)
         |SELECT bucket, COUNT(*) AS n,
         |  round(MIN(lo) + bucket * (MIN(hi) - MIN(lo)) / 20, 4) AS bucket_lo

@@ -1060,9 +1060,12 @@ object Relational {
   def q51Histogram(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val bounds = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    // denominator guarded like events_value_histogram: a degenerate
+    // corpus with one distinct price must yield bucket 0 in BOTH
+    // engines, not Spark-NaN→19 vs a DuckDB cast error
     o.crossJoin(broadcast(bounds))
       .select(least(lit(19L), floor((col("o_totalprice") - col("lo")) * 20
-        / (col("hi") - col("lo")))).as("bucket"),
+        / greatest(col("hi") - col("lo"), lit(1.0)))).as("bucket"),
         col("lo"), col("hi"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),

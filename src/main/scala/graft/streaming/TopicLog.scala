@@ -1080,7 +1080,9 @@ object TopicLog {
     // O(history × full-snapshot size) I/O just to extract timestamps
     val head = new Array[Byte](256)
     val in = Files.newInputStream(f)
-    val n = try in.read(head) finally in.close()
+    // readNBytes, not read: a single read() may return short (pipe,
+    // network FS) and silently drop the commitTsMs field off the head
+    val n = try in.readNBytes(head, 0, head.length) finally in.close()
     if (n <= 0) None
     else "\"commitTsMs\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(new String(head, 0, n, "UTF-8"))
