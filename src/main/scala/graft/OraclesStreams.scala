@@ -215,6 +215,25 @@ object OraclesStreams {
          |FROM g, wm WHERE epoch_us(session_end) <= wm_us
          |ORDER BY "partition", k, session_start""".stripMargin,
 
+    // flatMapGroupsWithState custom keyed state (count-capped chunks):
+    // the fold replays each user's events in (ts, event_id) order
+    // whatever the micro-batch boundaries (one partition per user,
+    // prefix admission, in-batch sort), so the drained chunks equal
+    // the batch formulation — rank per user, group by rank DIV cap,
+    // keep only COMPLETED chunks (the trailing partial stays in state,
+    // correctly withheld)
+    "stream_exec_custom_state" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events)
+        |SELECT user_id, rn // 5 AS chunk_idx, COUNT(*) AS n_events,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM o GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
+        |ORDER BY user_id, chunk_idx""".stripMargin,
+
     "stream_sliding_agg" ->
       s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
          |FROM (

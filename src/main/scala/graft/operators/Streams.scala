@@ -7,6 +7,20 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.{t, dsum, events}
 
+/** Typed record of the custom-state drain (see
+  * [[Streams.streamExecCustomState]]): event time as exact integer µs
+  * so the fold's ordering and the emitted spans are
+  * timezone/precision-independent. */
+case class ChunkEvent(user_id: Long, ts_us: Long, event_id: Long, k: Long)
+
+/** Keyed state carried between micro-batches: the user's current
+  * PARTIAL chunk (index, fill count, start time, payload sum). */
+case class ChunkState(chunk_idx: Long, n: Long, start_us: Long, sum_k: Long)
+
+/** One completed chunk, emitted exactly once. */
+case class ChunkRow(user_id: Long, chunk_idx: Long, n_events: Long,
+    start_us: Long, end_us: Long, sum_k: Long)
+
 /** §2a event-streaming semantics, batch-queryable form.
   *
   * The `events` table is viewed as one topic ("events") with 8
@@ -165,7 +179,10 @@ object Streams {
     * stay on the producer-ordered topic: they are order-insensitive,
     * which is exactly the property the watermarked forms trade away. */
   private[graft] def ensureEventsTopicByTime(spark: SparkSession, dir: String): String =
-    ensureBuiltTopic(spark, dir, "events_bytime_v1") { log =>
+    // _v2: the record schema is part of the fixture name — v2 added
+    // the user_id header; a name bump (not an in-place rewrite) is
+    // what invalidates topics persisted by earlier builds
+    ensureBuiltTopic(spark, dir, "events_bytime_v2") { log =>
       val w = Window.partitionBy("partition").orderBy("ts", "event_id")
       val records = events(spark, dir)
         .withColumn("partition",
@@ -174,7 +191,12 @@ object Streams {
         .select(
           col("event_id").cast("string").cast("binary").as("key"),
           col("props").cast("binary").as("value"),
-          map(lit("event_type"), col("event_type").cast("binary")).as("headers"),
+          // user_id rides the headers (alongside the routing type):
+          // the custom-state drain groups by it, and a Kafka consumer
+          // would read it off the record the same way
+          map(lit("event_type"), col("event_type").cast("binary"),
+            lit("user_id"), col("user_id").cast("string").cast("binary"))
+            .as("headers"),
           col("ts"), col("partition"), col("offset"))
       log.produceAssigned(records)
     }
@@ -857,6 +879,91 @@ object Streams {
         col("v_ts"), col("p_ts"))
         .orderBy("k", "v_id", "p_id")
     }
+
+  /** CUSTOM KEYED STATE through the oracle gate (round 12, verdict
+    * directive 1 — the one stateful API that was still ▣-only):
+    * `flatMapGroupsWithState`, the escape hatch real pipelines reach
+    * for when the declarative stateful operators (agg / dedup / join /
+    * session_window) can't express the state machine — here
+    * COUNT-CAPPED SESSIONS ("chunks"): per user, every
+    * [[ChunkCap]] consecutive events (event-time order) form a chunk,
+    * emitted exactly once WHEN IT COMPLETES — the n-th event closes
+    * it — with its span and payload sum; a trailing chunk the stream
+    * ends before filling stays in state, correctly withheld. The
+    * reference capability analog is the per-connection state machine
+    * of kcore's handler loop (pkg/kafka/kafka_connectian_handler
+    * .go:63) — a keyed fold with explicit state, which is exactly
+    * what this API is.
+    *
+    * Determinism contract (what makes a custom-state stream
+    * batch-expressible): (1) a user lives in ONE topic partition
+    * (user_id % 8), (2) the time-ordered topic's offsets are ranked
+    * by (ts, event_id) per partition, (3) admission under
+    * maxOffsetsPerTrigger is a per-partition PREFIX — so a user's
+    * events arrive in (ts, event_id) order ACROSS batches, and
+    * (4) within a batch the fold SORTS its group iterator (Spark
+    * guarantees no order) — so the fold replays the same sequence
+    * whatever the batch boundaries, which StreamExecParitySpec proves
+    * by forcing tiny batches. The oracle is the batch formulation:
+    * rank events per user, group by rank DIV cap, keep full groups.
+    * Output is n-proportional → durable parquet drain. */
+  def streamExecCustomState(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_custom_state", "append",
+        durable = true, byTime = true) { stream =>
+      val ss = stream.sparkSession
+      import ss.implicits._
+      stream.select(
+          element_at(col("headers"), "user_id").cast("string").cast("long")
+            .as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("key").cast("string").cast("long").as("event_id"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as("k"))
+        .as[ChunkEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          Streams.chunkFold)
+        .toDF()
+    } { t =>
+      t.select(col("user_id"), col("chunk_idx"), col("n_events"),
+        timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"), col("sum_k"))
+        .orderBy("user_id", "chunk_idx")
+    }
+
+  /** Chunk size of [[streamExecCustomState]] — small enough that
+    * chunks complete (and state carries partial chunks) across
+    * micro-batch boundaries at every corpus density. */
+  private[graft] val ChunkCap = 5L
+
+  /** The keyed state machine of [[streamExecCustomState]]: fold the
+    * group's batch rows IN (ts, event_id) ORDER into the carried
+    * partial chunk, emitting each chunk the moment its cap-th event
+    * arrives. O(chunk) state per key; the sort buffers only this
+    * user's slice of one micro-batch. */
+  private[graft] def chunkFold(userId: Long, rows: Iterator[ChunkEvent],
+      state: org.apache.spark.sql.streaming.GroupState[ChunkState])
+      : Iterator[ChunkRow] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(ChunkState(0L, 0L, 0L, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRow]
+    var i = 0
+    while (i < sorted.length) {
+      val e = sorted(i)
+      val start = if (st.n == 0L) e.ts_us else st.start_us
+      val n = st.n + 1L
+      val sum = st.sum_k + e.k
+      if (n == ChunkCap) {
+        out += ChunkRow(userId, st.chunk_idx, n, start, e.ts_us, sum)
+        st = ChunkState(st.chunk_idx + 1L, 0L, 0L, 0L)
+      } else st = ChunkState(st.chunk_idx, n, start, sum)
+      i += 1
+    }
+    state.update(st)
+    out.iterator
+  }
 
   def streamExecJoin(spark: SparkSession, dir: String): DataFrame =
     drainTopic(spark, dir, "stream_exec_join", "append", durable = true) { stream =>

@@ -146,4 +146,73 @@ class StreamExecParitySpec extends AnyFunSuite {
         .exists(_.numRowsRemoved > 0),
       "the watermark must actually have evicted state rows")
   }
+
+  /** stream_exec_custom_state's claim — the flatMapGroupsWithState
+    * fold emits the same chunks whatever the micro-batch boundaries —
+    * proven by forcing tiny batches that SPLIT chunks mid-fill: 3
+    * users × 17 events (3 full chunks + a 2-event tail each) drained
+    * 7 records/trigger, so nearly every chunk spans a boundary and
+    * the carried ChunkState is what completes it. The trailing
+    * partial chunk must be withheld. */
+  test("custom keyed state: chunks survive micro-batch boundaries") {
+    import graft.operators.{ChunkEvent, Streams}
+    val root = Files.createTempDirectory("graft-sxc").toString
+    val log = TopicLog.create(spark, root, "t", 2)
+    // per (partition, user) the offsets are ts-ordered — the arrival
+    // premise of the production topic, reproduced on planted data
+    val rows = for (u <- 0 until 3; i <- 0 until 17) yield
+      (u * 100L + i, u.toLong, // event_id, user_id
+        new java.sql.Timestamp(1700000000000L + i * 60000L + u * 7L),
+        i + 1L, u % 2) // k, partition
+    val df = rows.toDF("event_id", "user_id", "ts", "k", "partition")
+      .select(col("event_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("k"))).cast("binary").as("value"),
+        map(lit("user_id"), col("user_id").cast("string").cast("binary"))
+          .as("headers"),
+        col("ts"), col("partition").cast("int").as("partition"))
+    log.produce(df, partitioner = col("partition"))
+
+    def typed(d: org.apache.spark.sql.DataFrame) = d.select(
+        element_at(col("headers"), "user_id").cast("string").cast("long")
+          .as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("key").cast("string").cast("long").as("event_id"),
+        get_json_object(col("value").cast("string"), "$.k").cast("long")
+          .as("k"))
+      .as[ChunkEvent]
+    val name = "sxc_parity"
+    val q = typed(spark.readStream.format("graft-topic")
+        .option("maxOffsetsPerTrigger", 7L) // splits chunks mid-fill
+        .load(s"$root/t"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        Streams.chunkFold)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sxc-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      "the drain must actually have crossed micro-batch boundaries")
+
+    val streamed = spark.table(name)
+      .select("user_id", "chunk_idx", "n_events", "start_us", "end_us",
+        "sum_k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // batch formulation: rank per user, chunk = rank DIV cap, full
+    // chunks only — 3 per user; k = i+1 so chunk sums are exact
+    val batch = (for (u <- 0 until 3; c <- 0 until 3) yield {
+      val ks = (c * 5 until c * 5 + 5).map(_ + 1L)
+      (u.toLong, c.toLong, 5L,
+        1700000000000000L + (c * 5) * 60000000L + u * 7000L,
+        1700000000000000L + (c * 5 + 4) * 60000000L + u * 7000L,
+        ks.sum)
+    }).toSet
+    assert(streamed === batch,
+      "drained chunks must equal the batch formulation; the 2-event tail is withheld")
+  }
 }
