@@ -6,8 +6,10 @@ package graft
   *  - integer arithmetic and IEEE double ops in identical order;
   *  - dot products are sequential left folds on BOTH sides
   *    (Spark `aggregate`, DuckDB `list_reduce` with a prepended 0.0);
-  *  - hash-based ops (minhash/simhash/LSH/IVF) are rows-only and do
-  *    not appear here.
+  *  - hash-based ops cross engines via exact HUGEINT re-derivations
+  *    of Spark's xxhash64 (simhash since round 11, minhash-LSH since
+  *    round 12); only the genuinely engine-internal/learned/iterative
+  *    ops (HLL, k-means IVF, BPE) stay rows-only.
   */
 object OraclesPipeline {
 
@@ -347,7 +349,225 @@ object OraclesPipeline {
        |  FROM (SELECT length(bin(GREATEST(COUNT(*), 1))) AS bl FROM documents))""".stripMargin
   }
 
+  // --- dedup_minhash_lsh oracle machinery (round 12, verdict #2) ----
+  // The round-11 HUGEINT xxh64 generalized: full XXH64 over <=63-byte
+  // ASCII strings (adding the >=32-byte 4-lane stripe and up to 3
+  // trailing 8-byte words — the 10x replicas' prefix-mutated 3-word
+  // grams reach 35 bytes), plus hashLong / hashInt (MinHashAggExpr's
+  // seed recurrence hash(s, hash(gram, 42))) and the chained-hashLong
+  // band key, all in BITWISE HUGEINT arithmetic: AND-mask for mod
+  // 2^64 and shifts for the 32-bit limb split — measured ~16x faster
+  // than the division forms in DuckDB (HUGEINT division is the cost;
+  // the simhash CTEs above predate this and are cheap enough to
+  // leave). Validated value-for-value against Spark's xxhash64 on
+  // every string length 0-63 (incl. the stripe path) and on random
+  // long/int/chained-seed inputs, then end-to-end: the assembled
+  // oracle reproduces the engine's sf0.01 output EXACTLY.
+  private val bM = "18446744073709551615" // 2^64 - 1
+  private def bMul(a: String, b: String): String = {
+    def lo(v: String) = s"(($v)&4294967295)"
+    def hi(v: String) = s"(($v)>>32)"
+    val cross = s"(((${hi(a)}*${lo(b)})+(${lo(a)}*${hi(b)}))&4294967295)"
+    s"(((${lo(a)}*${lo(b)})+($cross<<32))&$bM)"
+  }
+  private def bRotl(x: String, r: Int): String =
+    s"(((($x)<<$r)&$bM)|(($x)>>${64 - r}))"
+
+  /** XXH64's final avalanche, stepwise (each step references the
+    * previous ONCE — nesting would duplicate expression text). */
+  private def bFmix(p: String, c: String): Seq[(String, String)] = Seq(
+    s"${p}f1" -> xor64(c, s"$c>>33"),
+    s"${p}f2" -> bMul(s"${p}f1", xxP2),
+    s"${p}f3" -> xor64(s"${p}f2", s"${p}f2>>29"),
+    s"${p}f4" -> bMul(s"${p}f3", xxP3),
+    s"${p}out" -> xor64(s"${p}f4", s"${p}f4>>32"))
+
+  /** XXH64.hashLong(inp, seed) as CTE steps ending in `{p}out`;
+    * `inp`/`seed` must be column refs or literals (re-referenced). */
+  private def bHashLong(p: String, inp: String, seed: String): Seq[(String, String)] =
+    Seq(
+      s"${p}k" -> bMul(bRotl(bMul(inp, xxP2), 31), xxP1),
+      s"${p}h1" -> s"((($seed) + $xxP5 + 8) & $bM)",
+      s"${p}h2" -> xor64(s"${p}h1", s"${p}k"),
+      s"${p}h3" -> s"((${bMul(bRotl(s"${p}h2", 27), xxP1)} + $xxP4) & $bM)") ++
+      bFmix(p, s"${p}h3")
+
+  /** Fold (name, expr) steps into a linear CTE chain over `src`;
+    * returns (cteText, lastCteName). One column per layer keeps every
+    * sub-expression referenced exactly once (DuckDB inlines
+    * single-reference CTEs, so the chain collapses to one projection
+    * tree without text blowup). */
+  private def chainCtes(steps: Seq[(String, String)], src: String,
+      p: String): (String, String) = {
+    var prev = src
+    val ctes = steps.zipWithIndex.map { case ((name, expr), i) =>
+      val cte = s"$p$i"
+      val out = s"$cte AS (SELECT *, $expr AS $name FROM $prev)"
+      prev = cte
+      out
+    }
+    (ctes.mkString(",\n"), prev)
+  }
+
+  /** CTE chain computing `hu` = unsigned XXH64(tok, seed 42) for every
+    * row of `src` (column `tok`), valid for ASCII up to 63 bytes —
+    * loud error outside the domain, like the simhash oracle. */
+  private def bXxh64StrCtes(src: String): (String, String) = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    steps += "len" -> ("CASE WHEN length(tok) > 63 OR length(tok) <> octet_length(encode(tok)) " +
+      "THEN CAST(error('xxh64 oracle: token outside the <=63-byte ASCII domain: ' || tok) AS BIGINT) " +
+      "ELSE length(tok) END::HUGEINT")
+    steps += "b" -> "list_transform(range(1, length(tok)+1), i -> unicode(tok[i])::HUGEINT)"
+    def leWord(base: String, n: Int) =
+      (1 to n).map(i => s"b[$base+$i]*${BigInt(1) << (8 * (i - 1))}").mkString("+")
+    steps += "lenb" -> "len::BIGINT"
+    // >=32-byte stripe: one 4-lane pass (grams stay < 64 bytes, so at
+    // most one stripe), words at fixed offsets 0/8/16/24
+    for (j <- 0 until 4)
+      steps += s"w${j + 1}" -> s"CASE WHEN lenb>=32 THEN ${leWord((8 * j).toString, 8)} ELSE 0 END"
+    val accs = Seq(s"((42 + $xxP1 + $xxP2) & $bM)", s"((42 + $xxP2) & $bM)", "42",
+      s"((42 - $xxP1 + $W64) & $bM)")
+    for (j <- 1 to 4) {
+      steps += s"r${j}a" -> s"(((${accs(j - 1)}) + ${bMul(s"w$j", xxP2)}) & $bM)"
+      steps += s"r${j}v" -> bMul(bRotl(s"r${j}a", 31), xxP1)
+    }
+    steps += "hs0" -> s"((${bRotl("r1v", 1)} + ${bRotl("r2v", 7)} + ${bRotl("r3v", 12)} + ${bRotl("r4v", 18)}) & $bM)"
+    var h = "hs0"
+    for (j <- 1 to 4) {
+      steps += s"mg${j}k" -> bMul(bRotl(bMul(s"r${j}v", xxP2), 31), xxP1)
+      steps += s"mg${j}m" -> s"((${bMul(xor64(h, s"mg${j}k"), xxP1)} + $xxP4) & $bM)"
+      h = s"mg${j}m"
+    }
+    steps += "base" -> "CASE WHEN lenb>=32 THEN 32 ELSE 0 END"
+    steps += "h0" -> s"(((CASE WHEN lenb>=32 THEN $h ELSE ((42 + $xxP5) & $bM) END) + len) & $bM)"
+    steps += "nw" -> "(lenb - base) // 8"
+    // up to 3 trailing 8-byte words at computed offsets
+    h = "h0"
+    for (j <- 1 to 3) {
+      steps += s"tw$j" -> s"CASE WHEN nw>=$j THEN ${leWord(s"base+${8 * (j - 1)}", 8)} ELSE 0 END"
+      steps += s"tk$j" -> bMul(bRotl(bMul(s"tw$j", xxP2), 31), xxP1)
+      steps += s"th$j" -> s"CASE WHEN nw>=$j THEN ((${bMul(bRotl(xor64(h, s"tk$j"), 27), xxP1)} + $xxP4) & $bM) ELSE $h END"
+      h = s"th$j"
+    }
+    steps += "off4" -> "base + nw*8"
+    steps += "rem4" -> "lenb - off4"
+    steps += "k4" -> s"CASE WHEN rem4>=4 THEN ${leWord("off4", 4)} ELSE 0 END"
+    steps += "hB" -> s"CASE WHEN rem4>=4 THEN ((${bMul(bRotl(xor64(h, bMul("k4", xxP1)), 23), xxP2)} + $xxP3) & $bM) ELSE $h END"
+    steps += "offT" -> "off4 + CASE WHEN rem4>=4 THEN 4 ELSE 0 END"
+    steps += "ntail" -> "lenb - offT"
+    h = "hB"
+    for (j <- 1 to 3) {
+      steps += s"tb$j" -> s"CASE WHEN ntail>=$j THEN ${bMul(bRotl(xor64(h, bMul(s"b[offT+$j]", xxP5)), 11), xxP1)} ELSE $h END"
+      h = s"tb$j"
+    }
+    steps ++= bFmix("mss", h)
+    chainCtes(steps.toSeq, src, "mxs")
+  }
+
+  /** The full dedup_minhash_lsh pipeline as one DuckDB query —
+    * EXACTLY the engine's algorithm (Dedup.dedupMinhashLsh), hash for
+    * hash: distinct 3-word shingles per doc (split on single space,
+    * empties kept, like WordNgramsExpr), xxhash64(gram) to the 8-byte
+    * shuffle key, MinHashAggExpr's 64-seed recurrence
+    * hashInt(s, hashLong(key, 42)) min-folded per doc (SIGNED-long
+    * mins, Spark's Long ordering), 16 band keys of 4 chained
+    * hashLongs (seed 42, Spark's multi-column xxhash64), bucket join
+    * (d1 < d2, distinct), exact hashed-gram intersection, jaccard =
+    * inter / (n1 + n2 - inter) in IEEE double, per-doc candidate
+    * count + best. Wide-column seed stage: 64 MIN aggregates over the
+    * gram rows instead of a 64x unnest (same arithmetic, ~10x less
+    * row machinery); multiply-referenced CTEs are MATERIALIZED so
+    * DuckDB's inlining can't re-run the hash pipeline per reference. */
+  private val minhashLshSql: String = {
+    val (strCtes, strLast) = bXxh64StrCtes("mtk")
+    val (baseCtes, baseLast) = chainCtes(bHashLong("L", "hu", "42"), "mh", "mbc")
+    def sgn(c: String) =
+      s"CASE WHEN $c >= 9223372036854775808::HUGEINT THEN ($c - $W64)::BIGINT ELSE ($c)::BIGINT END"
+    def usg(c: String) = s"(($c::HUGEINT) & $bM)"
+    // wide per-seed hashInt over the gram rows: h1 = hb + P5 + 4 is
+    // shared; per seed the xor constant (s * P1) mod 2^64 folds to a
+    // literal, then the 23-rotl round + avalanche, min-aggregated
+    val layers = Array.fill(6)(scala.collection.mutable.ArrayBuffer.empty[String])
+    val minCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- 0 until 64) {
+      val ks = (BigInt(s) * BigInt(xxP1)) & ((BigInt(1) << 64) - 1)
+      layers(0) += s"${xor64("mih1", ks.toString)} AS q${s}a"
+      layers(1) += s"((${bMul(bRotl(s"q${s}a", 23), xxP2)} + $xxP3) & $bM) AS q${s}b"
+      layers(2) += s"${xor64(s"q${s}b", s"q${s}b>>33")} AS q${s}c"
+      layers(3) += s"${bMul(s"q${s}c", xxP2)} AS q${s}d"
+      layers(4) += s"${xor64(s"q${s}d", s"q${s}d>>29")} AS q${s}e"
+      layers(5) += s"${bMul(s"q${s}e", xxP3)} AS q${s}f"
+      minCols += s"MIN(${sgn(xor64(s"q${s}f", s"q${s}f>>32"))}) AS m$s"
+    }
+    val seedCtes = {
+      val buf = scala.collection.mutable.ArrayBuffer(
+        s"mi0 AS (SELECT doc_id, ((hb + ${BigInt(xxP5) + 4}) & $bM) AS mih1 FROM mb)")
+      var prev = "mi0"
+      for (i <- layers.indices) {
+        val carry = if (i == layers.length - 1) "doc_id" else "*"
+        buf += s"mi${i + 1} AS (SELECT $carry, ${layers(i).mkString(", ")} FROM $prev)"
+        prev = s"mi${i + 1}"
+      }
+      buf.mkString(",\n")
+    }
+    val sigList = (0 until 64).map(s => s"m$s").mkString("[", ", ", "]")
+    val (quadCtes, quadLast, quadOut) = {
+      var prev = "42"
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (j <- 0 until 4) {
+        steps ++= bHashLong(s"Q$j", s"u${j + 1}", prev)
+        prev = s"Q${j}out"
+      }
+      val (c, l) = chainCtes(steps.toSeq, "mbandu", "mqc")
+      (c, l, prev)
+    }
+    s"""WITH mg0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |mg1 AS (SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS tok
+       |        FROM mg0, unnest(range(1, len(w)-1)) AS t(i)),
+       |mtk AS (SELECT DISTINCT doc_id, tok FROM mg1),
+       |$strCtes,
+       |mh0 AS (SELECT doc_id, mssout AS hu FROM $strLast),
+       |mh AS MATERIALIZED (SELECT DISTINCT doc_id, hu FROM mh0),
+       |msz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS nsh FROM mh GROUP BY doc_id),
+       |$baseCtes,
+       |mb AS (SELECT doc_id, Lout AS hb FROM $baseLast),
+       |$seedCtes,
+       |msig AS (SELECT doc_id, ${minCols.mkString(", ")} FROM mi${layers.length} GROUP BY doc_id),
+       |msga AS (SELECT doc_id, $sigList AS sig FROM msig),
+       |mband AS (SELECT doc_id, bb.b AS band,
+       |    sig[bb.b*4+1] AS s1, sig[bb.b*4+2] AS s2,
+       |    sig[bb.b*4+3] AS s3, sig[bb.b*4+4] AS s4
+       |  FROM msga, unnest(range(0, 16)) AS bb(b)),
+       |mbandu AS (SELECT doc_id, band, ${usg("s1")} AS u1, ${usg("s2")} AS u2,
+       |    ${usg("s3")} AS u3, ${usg("s4")} AS u4 FROM mband),
+       |$quadCtes,
+       |mbk AS MATERIALIZED (SELECT doc_id, band, $quadOut AS bkey FROM $quadLast),
+       |mpair AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+       |  FROM mbk a JOIN mbk c ON a.band = c.band AND a.bkey = c.bkey
+       |    AND a.doc_id < c.doc_id),
+       |mint AS (SELECT d1, d2, COUNT(*) AS inter
+       |  FROM mpair JOIN mh g1 ON g1.doc_id = d1
+       |  JOIN mh g2 ON g2.doc_id = d2 AND g2.hu = g1.hu
+       |  GROUP BY d1, d2),
+       |mj AS MATERIALIZED (SELECT p.d1, p.d2,
+       |    CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |      / (z1.nsh + z2.nsh - COALESCE(i.inter, 0)) AS jaccard
+       |  FROM mpair p LEFT JOIN mint i ON p.d1 = i.d1 AND p.d2 = i.d2
+       |  JOIN msz z1 ON z1.doc_id = p.d1 JOIN msz z2 ON z2.doc_id = p.d2),
+       |mexp AS (SELECT d1 AS doc_id, jaccard FROM mj
+       |  UNION ALL SELECT d2, jaccard FROM mj),
+       |mpd AS (SELECT doc_id, COUNT(*) AS n_candidates, MAX(jaccard) AS best
+       |  FROM mexp GROUP BY doc_id)
+       |SELECT z.doc_id, COALESCE(p.n_candidates, 0) AS n_candidates,
+       |  COALESCE(round(p.best, 6), 0.0) AS best_jaccard,
+       |  (COALESCE(p.best, 0.0) >= 0.2) AS is_near_dup
+       |FROM msz z LEFT JOIN mpd p ON z.doc_id = p.doc_id
+       |ORDER BY z.doc_id""".stripMargin
+  }
+
   val pipeline: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshSql,
+
     "pipeline_clean_corpus" ->
       s"""WITH keepers AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -88,7 +88,10 @@ class SurveyConsistencySpec extends AnyFunSuite {
         "CORRECTNESS_r01.json" -> Set("json_props_agg", "pipeline_seq_packing"),
         // dedup_simhash gained its XXH64-in-HUGEINT oracle in round 11
         // (r10 measured it as the declared rows-only design)
-        "CORRECTNESS_r10.json" -> Set("dedup_simhash"))
+        "CORRECTNESS_r10.json" -> Set("dedup_simhash"),
+        // dedup_minhash_lsh gained its full XXH64 oracle in round 12
+        // (r11 measured it as the then-declared rows-only design)
+        "CORRECTNESS_r11.json" -> Set("dedup_minhash_lsh"))
       val waived = fixedSince.getOrElse(latest.getName, Set.empty)
       val bad = entries.collect {
         case ("✚", name) if measured.get(name).contains("false") && !waived(name) =>
