@@ -98,6 +98,17 @@ object Oracles {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    // tolerance gate for the HLL sketch: the oracle recomputes the
+    // exact distincts and pins the engine's ±2% bounded-error verdict
+    // to literal TRUE — a drifting sketch breaks the hash
+    "q14_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_2pct,
+        |  TRUE AS orders_within_2pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q13_exists_subquery" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -156,14 +156,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
-  /** q14: HyperLogLog approximate distinct (sketch not portable →
-    * rows-only check; no DuckDB oracle). */
+  /** q14: HyperLogLog approximate distinct, TOLERANCE-GATED (round
+    * 12, verdict directive 7): DuckDB's approx_count_distinct is a
+    * different sketch, so the estimates themselves can never
+    * hash-match — but the sketch's CONTRACT can. The query computes
+    * both the HLL estimate (rsd 0.005) and the exact distinct, and
+    * emits the exact counts plus a BOUNDED-ERROR verdict (estimate
+    * within ±2% of exact) per group; the oracle recomputes the exact
+    * counts and asserts the verdict columns are literally TRUE. A
+    * drifting or broken sketch flips a boolean and breaks the hash —
+    * the row is semantically checked, not rows-only. The exact
+    * distinct here is the measuring stick the gate needs, not the
+    * operator's production shape (that is the HLL itself — at 100 TB
+    * you run ONLY the sketch; q27 covers exact distinct). */
   def q14ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     li.groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts").cast("double") * 0.02).as("parts_within_2pct"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders").cast("double") * 0.02).as("orders_within_2pct"))
       .orderBy("l_returnflag")
   }
 

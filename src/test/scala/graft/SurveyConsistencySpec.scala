@@ -89,9 +89,10 @@ class SurveyConsistencySpec extends AnyFunSuite {
         // dedup_simhash gained its XXH64-in-HUGEINT oracle in round 11
         // (r10 measured it as the declared rows-only design)
         "CORRECTNESS_r10.json" -> Set("dedup_simhash"),
-        // dedup_minhash_lsh gained its full XXH64 oracle in round 12
-        // (r11 measured it as the then-declared rows-only design)
-        "CORRECTNESS_r11.json" -> Set("dedup_minhash_lsh"))
+        // round 12: dedup_minhash_lsh gained its full XXH64 oracle;
+        // q14 gained its ±2% tolerance gate (r11 measured both as the
+        // then-declared rows-only designs)
+        "CORRECTNESS_r11.json" -> Set("dedup_minhash_lsh", "q14_approx_distinct"))
       val waived = fixedSince.getOrElse(latest.getName, Set.empty)
       val bad = entries.collect {
         case ("✚", name) if measured.get(name).contains("false") && !waived(name) =>
