@@ -50,7 +50,7 @@ object Dedup {
     * matters because these operators read the table through self-join
     * aliases and multiple aggregates, which defeat exchange reuse and
     * would re-run the corpus explode once per reader. */
-  private[operators] def distinctGramHashes(df: DataFrame, idCol: String,
+  private[graft] def distinctGramHashes(df: DataFrame, idCol: String,
       n: Int = 8): DataFrame =
     df.select(col(idCol),
         explode(graft.functions.GraftExpressions.wordNgrams(col("text"), n))
@@ -440,7 +440,7 @@ object Dedup {
     * bounds the probe fan-out (and keeps bucket ids comfortably in
     * an int). The same formula is expressed in the oracle SQL as
     * GREATEST(8, LEAST(24, length(bin(count(*))) - 4)). */
-  private[operators] def cosinePlanesFor(nVectors: Long): Int =
+  private[graft] def cosinePlanesFor(nVectors: Long): Int =
     math.max(8, math.min(24, java.lang.Long.toBinaryString(math.max(1L, nVectors)).length - 4))
 
   /** Embedding-cosine near-dup pairs, blocked on arithmetic-

@@ -494,7 +494,7 @@ object Similarity {
     * set iff v·h_j ≥ 0. Pure map-side projection (codegen dot
     * products), shared by the LSH ANN query and the LSH-blocked
     * embedding dedup. */
-  private[operators] def signBucket(v: org.apache.spark.sql.Column,
+  private[graft] def signBucket(v: org.apache.spark.sql.Column,
       nPlanes: Int = 8, dim: Int = 64): org.apache.spark.sql.Column = {
     val hpCols = arithmeticHyperplanes(nPlanes, dim).map(p => typedLit(p))
     (0 until nPlanes).map { j =>
