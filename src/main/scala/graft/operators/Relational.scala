@@ -160,9 +160,10 @@ object Relational {
     * 12, verdict directive 7): DuckDB's approx_count_distinct is a
     * different sketch, so the estimates themselves can never
     * hash-match — but the sketch's CONTRACT can. The query computes
-    * both the HLL estimate (rsd 0.005) and the exact distinct, and
+    * both the HLL estimate (rsd 0.01) and the exact distinct, and
     * emits the exact counts plus a BOUNDED-ERROR verdict (estimate
-    * within ±2% of exact) per group; the oracle recomputes the exact
+    * within ±2% of exact; measured ≤0.97% at sf0.01/sf0.1/10×, and the
+    * estimate is data-deterministic — no run-to-run variance) per group; the oracle recomputes the exact
     * counts and asserts the verdict columns are literally TRUE. A
     * drifting or broken sketch flips a boolean and breaks the hash —
     * the row is semantically checked, not rows-only. The exact
@@ -171,12 +172,22 @@ object Relational {
     * you run ONLY the sketch; q27 covers exact distinct). */
   def q14ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    li.groupBy("l_returnflag")
+    // HLL and exact-distinct run as SEPARATE aggregations joined on
+    // the 3-row group key: mixing approx_count_distinct with
+    // multi-column countDistinct in ONE agg routes the 2^16-register
+    // HLL buffers through the distinct-Expand path — measured 338 s
+    // vs 4.6 s split at sf0.1, identical results (HLL register merge
+    // is max-based and order-free, so the estimate is
+    // plan-independent)
+    val hll = li.groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+    hll.join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("approx_parts") - col("exact_parts"))
           <= col("exact_parts").cast("double") * 0.02).as("parts_within_2pct"),
