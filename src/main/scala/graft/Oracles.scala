@@ -526,6 +526,33 @@ object Oracles {
     // same first-occurrence-marker composition as the engine (not
     // COUNT(DISTINCT) OVER, which Spark can't plan — the point of the
     // query is that the composition IS the portable form)
+    // arg_max/arg_min on the SAME composite bigint the engine
+    // orders by (cents·10¹² + custkey) — tie-broken, so both
+    // engines must name the same customer
+    "q52_arg_minmax" ->
+      """WITH c AS (SELECT c_mktsegment, c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      * 1000000000000 + c_custkey AS ord
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  arg_max(c_name, ord) AS top_name,
+        |  arg_max(cents, ord) AS top_acctbal_cents,
+        |  arg_min(c_name, ord) AS bottom_name,
+        |  arg_min(cents, ord) AS bottom_acctbal_cents
+        |FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // bitwise + boolean aggregate monoids — commutative/associative,
+    // partitioning-independent by construction
+    "q53_bit_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  bit_and(CAST(l_linenumber AS BIGINT)) AS and_linenumber,
+        |  bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenumber,
+        |  bit_xor(l_orderkey) AS xor_orderkey,
+        |  bool_and(l_quantity >= 1.0) AS all_qty_ge1,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q37_running_distinct" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderpriority,
         |  epoch_us(o_orderdate) // 86400000000 AS day_num FROM orders),

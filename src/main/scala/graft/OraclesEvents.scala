@@ -420,6 +420,62 @@ object OraclesEvents {
         |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
         |  round(ma - mb, 6) AS diff,
         |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z_stat
-        |FROM m ORDER BY event_type""".stripMargin
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Kaplan-Meier-style hazard table: whole-day ages by integer
+    // floor-division (both engines), activity-censoring at 7 days,
+    // at-risk = reverse cumsum over the calendar-bounded age table
+    "events_survival_curve" ->
+      """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MAX(epoch_us(ts)) AS last_us FROM events GROUP BY user_id),
+        |b AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |a AS (SELECT (last_us - first_us) // 86400000000 AS age_days,
+        |    (end_us - last_us < 7 * 86400000000) AS censored
+        |  FROM u CROSS JOIN b),
+        |p AS (SELECT age_days, COUNT(*) AS n_ending,
+        |    SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS n_churned,
+        |    SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        |  FROM a GROUP BY age_days),
+        |r AS (SELECT age_days,
+        |    CAST(SUM(n_ending) OVER (ORDER BY age_days DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+        |    CAST(n_churned AS BIGINT) AS n_churned,
+        |    CAST(n_censored AS BIGINT) AS n_censored
+        |  FROM p)
+        |SELECT age_days, at_risk, n_churned, n_censored,
+        |  n_churned * 1000000 // at_risk AS hazard_ppm
+        |FROM r ORDER BY age_days""".stripMargin,
+
+    // sweep-line concurrency: sessionize CTE + (+1 at start day, −1
+    // the day after end day) deltas, running sum over the bounded
+    // per-day table — no interval explode on either engine
+    "events_active_sessions" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 86400000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM ev
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM f),
+        |g AS (SELECT user_id, session_no,
+        |        MIN(ts_us) // 86400000000 AS start_day,
+        |        MAX(ts_us) // 86400000000 AS end_day
+        |      FROM s GROUP BY 1, 2),
+        |d AS (SELECT start_day AS day, 1 AS delta, 1 AS starts FROM g
+        |      UNION ALL
+        |      SELECT end_day + 1 AS day, -1 AS delta, 0 AS starts FROM g),
+        |pd AS (SELECT day, SUM(delta) AS delta, SUM(starts) AS n_starts
+        |       FROM d GROUP BY day)
+        |SELECT day,
+        |  CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS open_sessions,
+        |  CAST(n_starts AS BIGINT) AS n_starts
+        |FROM pd
+        |QUALIFY open_sessions > 0 OR n_starts > 0
+        |ORDER BY day""".stripMargin
   )
 }

@@ -604,6 +604,26 @@ object OraclesPipeline {
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // word-level complexity trio: exact integer totals, ONE final
+    // IEEE divide per ratio (round(Σa::double / Σb, 6))
+    "text_readability" ->
+      s"""WITH d AS (SELECT source,
+         |    CAST($ws AS BIGINT) AS words,
+         |    CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS syllables,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> strlen(w) >= 7)) AS BIGINT) AS long_words
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(words) AS BIGINT) AS total_words,
+         |  round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 6)
+         |    AS avg_word_len,
+         |  round(CAST(SUM(syllables) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 6)
+         |    AS syllables_per_word,
+         |  round(CAST(SUM(long_words) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 6)
+         |    AS long_word_share
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars_actual,
@@ -780,6 +800,22 @@ object OraclesPipeline {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    // truncation-duplicate candidates: first-6-token fingerprint,
+    // keeper = longest text (ties → smallest id). DuckDB's list
+    // slice reproduces Spark's substring_index on single-space text
+    "dedup_prefix" ->
+      """WITH p AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
+        |    array_to_string((string_split(text, ' '))[1:6], ' ') AS prefix
+        |  FROM documents),
+        |g AS (SELECT prefix, COUNT(*) AS n_docs,
+        |    arg_max(doc_id, len * 1000000000000 - doc_id) AS keeper,
+        |    arg_max(len, len * 1000000000000 - doc_id) AS keeper_len,
+        |    MIN(doc_id) AS first_id
+        |  FROM p GROUP BY prefix HAVING COUNT(*) >= 2)
+        |SELECT md5(prefix) AS prefix_hash, n_docs, keeper_len, keeper,
+        |  first_id
+        |FROM g ORDER BY keeper""".stripMargin,
 
     // the bloom tier is plan-internal (no false negatives ⇒ exact
     // output); the oracle computes the same verdicts by direct join

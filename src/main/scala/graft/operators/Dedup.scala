@@ -889,4 +889,29 @@ object Dedup {
         (-col("m.nid")).as("keeper"), col("n_copies"))
       .orderBy("keeper")
 
+  /** PREFIX-fingerprint dedup (round 12) — the truncation-duplicate
+    * detector: web-scale crawls re-collect the same page cut at
+    * different lengths, so EXACT hashing misses them while the first
+    * k tokens still agree. Fingerprint = the first 6 whitespace
+    * tokens verbatim; groups of ≥ 2 docs are truncation-duplicate
+    * candidates, keeper = the LONGEST text (it kept the most tail),
+    * ties to smallest doc_id — the dedup_keep_best survivorship
+    * policy on a prefix key. One map-side projection + one hash
+    * aggregate; only (fingerprint, len, id) triples shuffle, never
+    * texts. At 100 TB the fingerprint is content-derived and
+    * high-cardinality → skew-safe like every other dedup key here. */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        substring_index(col("text"), " ", 6).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"),
+        min("doc_id").as("first_id"))
+      .filter(col("n_docs") >= 2)
+      .select(md5(col("prefix").cast("binary")).as("prefix_hash"),
+        col("n_docs"), col("m.len").as("keeper_len"),
+        (-col("m.nid")).as("keeper"), col("first_id"))
+      .orderBy("keeper")
+
 }

@@ -762,4 +762,98 @@ object EventAnalytics {
       .orderBy("event_type", "bucket")
   }
 
+  /** Survival / hazard table (round 12) — the Kaplan-Meier-style
+    * churn view product teams read retention risk from: per whole
+    * DAY of account age t, how many users were still under
+    * observation at age t (at-risk set), how many CHURNED at exactly
+    * age t (their last event fell at age t and they had been silent
+    * ≥ 7 days before the corpus end — the standard activity-censoring
+    * rule), and the hazard as an exact ppm ratio. Users whose last
+    * event is within 7 days of corpus end are CENSORED at their
+    * observed age: they leave the at-risk set without counting as
+    * deaths — dropping them instead would bias hazard upward, the
+    * textbook K-M error.
+    *
+    * All-integer pipeline: per-user (first, last) µs aggregate →
+    * whole-day ages by integer DIV → a ≤ |corpus days| per-age table
+    * → at-risk via a REVERSE cumulative sum over that bounded table
+    * (window over ≤ 366 rows, not over users) → hazard_ppm =
+    * churned·10⁶ DIV at_risk. 100-TB shape: one user-keyed aggregate
+    * (the sessionize shuffle), everything after is
+    * calendar-bounded. */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+    val obsEnd = ev.agg(max("ts_us").as("end_us"))
+    val aged = perUser.crossJoin(broadcast(obsEnd))
+      .select(
+        // integer DIV, never float division + floor: µs spans are
+        // ~10¹³ and a double quotient a hair under an integer
+        // boundary flips the bucket
+        expr(s"(last_us - first_us) DIV $DayUs").as("age_days"),
+        (col("end_us") - col("last_us") < lit(7L) * DayUs).as("censored"))
+    val perAge = aged.groupBy("age_days")
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("n_churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    // at-risk at age t = users whose observed age ≥ t: reverse cumsum
+    // over the CALENDAR-BOUNDED per-age table (≤ 366 rows — the
+    // single-partition window is over the aggregate, never the users)
+    val w = Window.orderBy(col("age_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perAge
+      .withColumn("at_risk", sum("n_ending").over(w))
+      .select(col("age_days"), col("at_risk"), col("n_churned"),
+        col("n_censored"),
+        expr("n_churned * 1000000 DIV at_risk").as("hazard_ppm"))
+      .orderBy("age_days")
+  }
+
+  /** Active-session concurrency by day (round 12) — the occupancy /
+    * load view (how many sessions were OPEN on each calendar day):
+    * sessions from the [[sessionize]] gap rule, swept with the
+    * classic +1/−1 DELTA trick — a session contributes one +1 at its
+    * start day and one −1 at the day AFTER its end day, the per-day
+    * deltas aggregate map-side to a ≤ |corpus days| table, and a
+    * running sum over that bounded table is the concurrent-session
+    * count. NO interval explode (a session spanning months costs 2
+    * rows, not |days| rows), no interval join — the sweep is why
+    * this survives 100 TB: shuffle = the sessionize user shuffle +
+    * a 2-rows-per-session delta aggregate; the final window runs
+    * over ≤ 366 rows. */
+  def activeSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum("new_s").over(run))
+      .groupBy("user_id", "session_no")
+      .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
+      .select(col("user_id"), col("session_no"),
+        expr(s"s_us DIV $DayUs").as("start_day"),
+        expr(s"e_us DIV $DayUs").as("end_day"))
+    val deltas = sessions.select(col("start_day").as("day"), lit(1L).as("d"),
+        lit(1L).as("starts"))
+      .unionAll(sessions.select((col("end_day") + 1).as("day"),
+        lit(-1L).as("d"), lit(0L).as("starts")))
+    val perDay = deltas.groupBy("day")
+      .agg(sum("d").as("delta"), sum("starts").as("n_starts"))
+    val sweep = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("open_sessions", sum("delta").over(sweep))
+      // the day AFTER the last session ends carries the closing −1
+      // and zero occupancy — real calendar days only
+      .filter(col("open_sessions") > 0 || col("n_starts") > 0)
+      .select(col("day"), col("open_sessions"), col("n_starts"))
+      .orderBy("day")
+  }
+
 }

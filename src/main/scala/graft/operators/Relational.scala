@@ -1102,4 +1102,51 @@ object Relational {
           .as("bucket_lo"))
       .orderBy("bucket")
   }
+
+  /** q52: ARG-MAX / ARG-MIN (`max_by`/`min_by` — DuckDB `arg_max`/
+    * `arg_min`) — "which row holds the extreme", the lookup OLAP
+    * users otherwise pay a self-join or a rank window for; here ONE
+    * hash aggregate, no join, no sort. Determinism is the whole
+    * design: the ordering value is the composite
+    * `acctbal_cents · 10¹² + custkey` — a single BIGINT that breaks
+    * acctbal ties by key, so both engines must pick the same row
+    * (bare max_by on a tied column is free to pick either). Cents
+    * (≤ 10⁶ in magnitude) · 10¹² stays < 2⁶³; custkey < 10¹² is the
+    * documented headroom (TPC-H SF10⁶ has 1.5·10¹¹ customers).
+    * 100-TB shape: map-side partial max per segment, reduce side =
+    * |segments| rows. */
+  def q52ArgMinmax(spark: SparkSession, dir: String): DataFrame = {
+    // cents through the decimal parity path (dsum's recipe): the
+    // 2-dp double → decimal(18,4) conversion is exact, ×100 exact,
+    // → integral long — no round() half-case to diverge on
+    val cents = (col("c_acctbal").cast(DecimalType(18, 4)) * 100).cast("long")
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_name"), cents.as("cents"),
+        (cents * lit(1000000000000L) + col("c_custkey")).as("ord"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("max_by(c_name, ord)").as("top_name"),
+        expr("max_by(cents, ord)").as("top_acctbal_cents"),
+        expr("min_by(c_name, ord)").as("bottom_name"),
+        expr("min_by(cents, ord)").as("bottom_acctbal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q53: BITWISE AGGREGATES (`bit_and`/`bit_or`/`bit_xor`) + the
+    * boolean pair (`bool_and`/`bool_or`) — flag-mask rollups (ACL
+    * unions, feature-bit intersections, parity checksums) that OLAP
+    * engines ship as first-class aggregates. All pure integer/boolean
+    * monoids: map-side combine, reduce side = |flags| rows,
+    * bit-identical in any engine at any partitioning (each op is
+    * commutative + associative). */
+  def q53BitAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(CAST(l_linenumber AS BIGINT))").as("and_linenumber"),
+        expr("bit_or(CAST(l_linenumber AS BIGINT))").as("or_linenumber"),
+        expr("bit_xor(l_orderkey)").as("xor_orderkey"),
+        expr("bool_and(l_quantity >= 1.0)").as("all_qty_ge1"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_discount"))
+      .orderBy("l_returnflag")
 }

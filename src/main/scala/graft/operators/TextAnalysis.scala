@@ -862,4 +862,36 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Readability / lexical-complexity profile per source (round 12)
+    * — the corpus-curation view quality filters threshold on: mean
+    * word length, syllables-per-word (vowel-group proxy — the
+    * standard syllable stand-in when no dictionary is shipped), and
+    * long-word share (≥ 7 chars, the LIX ingredient). The corpus is
+    * punctuation-free word soup, so sentence-based indices (Flesch/
+    * ARI) are out of domain — the word-level complexity trio is what
+    * remains meaningful, and all three are exact-integer totals with
+    * ONE final division each (round(Σa/Σb, 6): two exact bigints,
+    * one IEEE divide — bit-identical in any engine).
+    * 100-TB shape: pure map-side projection (regex + length
+    * arithmetic at scan rate), reduce side = |sources| rows. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        wsTokens(col("text")).as("words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("syllables"),
+        size(filter(split(col("text"), " "), w => length(w) >= 7))
+          .cast("long").as("long_words"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("words").as("total_words"),
+        round(sum("chars").cast("double") / sum("words"), 6)
+          .as("avg_word_len"),
+        round(sum("syllables").cast("double") / sum("words"), 6)
+          .as("syllables_per_word"),
+        round(sum("long_words").cast("double") / sum("words"), 6)
+          .as("long_word_share"))
+      .orderBy("source")
+
 }

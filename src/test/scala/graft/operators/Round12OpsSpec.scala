@@ -1,0 +1,170 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Planted-fixture semantics for the round-12 batch operators: the
+  * oracle parity run proves cross-engine agreement; these prove the
+  * operators compute the RIGHT thing on inputs whose answers are
+  * known in closed form.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** customer: segment X has an acctbal TIE (5.00) broken by custkey;
+    * segment Y a single negative-balance customer. lineitem: flag A
+    * linenumbers {1,2,4} (and=0, or=7, xor=7), orderkeys {3,5}
+    * (xor=6), one zero-quantity row; flag B all-deep-discount. */
+  lazy val relDir: String = {
+    val d = Files.createTempDirectory("graft-r12-rel").toString
+    Seq(
+      (1L, "c1", 0, 5.00, "X"),
+      (2L, "c2", 0, 5.00, "X"),
+      (3L, "c3", 0, -1.25, "Y"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    Seq(
+      (3L, 1, 0.0, 0.00, "A"),
+      (3L, 2, 2.0, 0.05, "A"),
+      (5L, 4, 3.0, 0.00, "A"),
+      (7L, 1, 1.0, 0.10, "B"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  /** documents: docs 1/2 share the first 6 tokens (2 keeps the longer
+    * tail), doc 3 unique; sources with hand-countable words, vowel
+    * groups, and ≥7-char words. */
+  lazy val docDir: String = {
+    val d = Files.createTempDirectory("graft-r12-doc").toString
+    Seq(
+      (1L, "w1 w2 w3 w4 w5 w6", "en", "s1"),
+      (2L, "w1 w2 w3 w4 w5 w6 tail tail", "en", "s1"),
+      (3L, "aa bb ccccccc", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** events on a day grid (day0 = a fixed µs epoch):
+    * u1 active days 0..10 (censored at corpus end 14), u2 day 0 only
+    * (churned), u3 days 8..12 (censored), u4 day 14 (the corpus-end
+    * anchor, censored). Sessions under the 24 h gap: u1 splits at the
+    * 2.8-day and 7-day gaps (3 sessions), u3's 21.6 h gap does NOT
+    * split while its 3.1-day gap does (2 sessions). */
+  lazy val evDir: String = {
+    val d = Files.createTempDirectory("graft-r12-ev").toString
+    // day-ALIGNED epoch (19676 · 86400000000) so fixture day
+    // offsets land on calendar-day boundaries
+    val day0 = 1700006400000000L
+    def ts(day: Double) = new Timestamp((day0 + (day * 86400000000L).toLong) / 1000)
+    Seq(
+      (1L, 1L, ts(0.0)), (2L, 1L, ts(0.2)), (3L, 1L, ts(3.0)),
+      (4L, 1L, ts(10.0)),
+      (5L, 2L, ts(0.5)),
+      (6L, 3L, ts(8.0)), (7L, 3L, ts(8.9)), (8L, 3L, ts(12.0)),
+      (9L, 4L, ts(14.0)))
+      .toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q52_arg_minmax: acctbal tie broken by custkey, cents exact") {
+    val r = Relational.q52ArgMinmax(spark, relDir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val xSeg = r("X")
+    assert(xSeg.getAs[Long]("n_customers") === 2L)
+    assert(xSeg.getAs[String]("top_name") === "c2") // tie → larger key
+    assert(xSeg.getAs[Long]("top_acctbal_cents") === 500L)
+    assert(xSeg.getAs[String]("bottom_name") === "c1")
+    assert(xSeg.getAs[Long]("bottom_acctbal_cents") === 500L)
+    val ySeg = r("Y")
+    assert(ySeg.getAs[Long]("top_acctbal_cents") === -125L)
+    assert(ySeg.getAs[String]("top_name") === "c3")
+  }
+
+  test("q53_bit_agg: known masks, xor, and boolean monoids") {
+    val r = Relational.q53BitAgg(spark, relDir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("A")
+    assert(a.getAs[Long]("and_linenumber") === 0L) // 1&2&4
+    assert(a.getAs[Long]("or_linenumber") === 7L)  // 1|2|4
+    assert(a.getAs[Long]("xor_orderkey") === (3L ^ 3L ^ 5L))
+    assert(a.getAs[Boolean]("all_qty_ge1") === false) // the 0.0 row
+    assert(a.getAs[Boolean]("any_deep_discount") === false) // max 0.05
+    val b = r("B")
+    assert(b.getAs[Boolean]("all_qty_ge1") === true)
+    assert(b.getAs[Boolean]("any_deep_discount") === true) // 0.10
+  }
+
+  test("dedup_prefix: shared 6-token prefix groups, keeper = longest") {
+    val rows = Dedup.dedupPrefix(spark, docDir).collect()
+    assert(rows.length === 1) // only the {1,2} group; doc 3 unique
+    val g = rows.head
+    assert(g.getAs[Long]("n_docs") === 2L)
+    assert(g.getAs[Long]("keeper") === 2L) // longer text wins
+    assert(g.getAs[Long]("keeper_len") === "w1 w2 w3 w4 w5 w6 tail tail".length.toLong)
+    assert(g.getAs[Long]("first_id") === 1L)
+  }
+
+  test("text_readability: hand-counted words, vowel groups, long words") {
+    val r = TextAnalysis.textReadability(spark, docDir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s2 = r("s2") // "aa bb ccccccc": 3 words, 11 chars, 1 vowel grp
+    assert(s2.getAs[Long]("total_words") === 3L)
+    // the operator rounds to 6 dp, so the expectations are exact
+    assert(s2.getAs[Double]("avg_word_len") === 3.666667)
+    assert(s2.getAs[Double]("syllables_per_word") === 0.333333)
+    assert(s2.getAs[Double]("long_word_share") === 0.333333)
+    val s1 = r("s1") // 6 + 8 words; "tail" has ONE vowel group (ai)
+    assert(s1.getAs[Long]("total_words") === 14L)
+    assert(s1.getAs[Double]("syllables_per_word") === 0.142857) // 2/14
+    assert(s1.getAs[Double]("long_word_share") === 0.0)
+  }
+
+  test("events_survival_curve: K-M ages, censoring, at-risk cumsum") {
+    val rows = EventAnalytics.survivalCurve(spark, evDir).collect()
+    val byAge = rows.map(x => x.getAs[Long]("age_days") -> x).toMap
+    assert(byAge.keySet === Set(0L, 4L, 10L))
+    // age 0: u2 (churned — silent 13.5 days) + u4 (censored anchor)
+    assert(byAge(0L).getAs[Long]("n_churned") === 1L)
+    assert(byAge(0L).getAs[Long]("n_censored") === 1L)
+    assert(byAge(0L).getAs[Long]("at_risk") === 4L)
+    assert(byAge(0L).getAs[Long]("hazard_ppm") === 250000L)
+    // age 4: u3, last event 2 days before end → censored
+    assert(byAge(4L).getAs[Long]("n_censored") === 1L)
+    assert(byAge(4L).getAs[Long]("at_risk") === 2L)
+    assert(byAge(4L).getAs[Long]("hazard_ppm") === 0L)
+    // age 10: u1 censored (4 days silent < 7)
+    assert(byAge(10L).getAs[Long]("at_risk") === 1L)
+    assert(byAge(10L).getAs[Long]("n_churned") === 0L)
+  }
+
+  test("events_active_sessions: sweep-line concurrency, zero days dropped") {
+    val rows = EventAnalytics.activeSessions(spark, evDir).collect()
+      .map(x => (x.getAs[Long]("day"), x.getAs[Long]("open_sessions"),
+        x.getAs[Long]("n_starts")))
+    // day-ALIGNED epoch (19676 · 86400000000) so fixture day
+    // offsets land on calendar-day boundaries
+    val day0 = 1700006400000000L / 86400000000L
+    // u1 s1 days 0–0, u1 s2 day 3 (27 h gap splits), u1 s3 day 10,
+    // u2 day 0, u3 s1 days 8–8 (0.9-day gap does NOT split), u3 s2
+    // day 12, u4 day 14
+    assert(rows.toSet === Set(
+      (day0 + 0, 2L, 2L),  // u1 s1 + u2
+      (day0 + 3, 1L, 1L),
+      (day0 + 8, 1L, 1L),
+      (day0 + 10, 1L, 1L),
+      (day0 + 12, 1L, 1L),
+      (day0 + 14, 1L, 1L)))
+  }
+}
