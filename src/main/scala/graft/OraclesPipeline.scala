@@ -911,6 +911,28 @@ object OraclesPipeline {
 
     "ann_hybrid_search" -> annHybridSql,
 
+    // majority-vote kNN label transfer: top-5 cosine neighbors
+    // (rank ties → smallest vec_id), vote ties → smallest label
+    "knn_classify" ->
+      s"""WITH e AS ($embDouble),
+         |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv
+         |      FROM e WHERE vec_id % 20 = 7),
+         |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 20 <> 7),
+         |s AS (SELECT qid, true_label, c.vec_id, c.label,
+         |    round(${dot("qv", "v")} / (sqrt(${dot("qv", "qv")})
+         |      * sqrt(${dot("v", "v")})), 6) AS cos_sim
+         |  FROM c CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s),
+         |v AS (SELECT qid, true_label, label, COUNT(*) AS votes
+         |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+         |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY votes DESC, label ASC) AS pr FROM v)
+         |SELECT qid, true_label, label AS pred_label,
+         |  CAST(votes AS BIGINT) AS votes,
+         |  label = true_label AS correct
+         |FROM p WHERE pr = 1 ORDER BY qid""".stripMargin,
+
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,
@@ -1041,6 +1063,41 @@ object OraclesPipeline {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), rb),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
         |FROM r ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the frame-pipeline chunking + a 16-bit per-frame pHash
+    // (threshold vs frame mean, exact IEEE); consecutive-pair
+    // hamming ≤ 4 → near-dup; one row per ≥2-frame payload
+    "mm_frame_dup_rate" ->
+      """WITH f AS (
+        |  SELECT doc_id, fi,
+        |    substr(text, CAST(fi * 256 + 1 AS INT), 256) AS chunk
+        |  FROM documents,
+        |    UNNEST(generate_series(0, CAST(ceil(strlen(text) / 256.0) AS BIGINT) - 1)) AS t(fi)),
+        |px AS (
+        |  SELECT doc_id, fi,
+        |    list_transform(generate_series(0, 15), j ->
+        |      CAST(ascii(substr(chunk,
+        |        CAST(floor(j * strlen(chunk) / 16.0) AS INT) + 1, 1)) AS BIGINT)) AS p
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, fi,
+        |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
+        |      CASE WHEN CAST(p[j+1] AS DOUBLE)
+        |             >= CAST(list_sum(p) AS DOUBLE) / 16.0
+        |           THEN power(2, j) ELSE 0.0 END)) AS BIGINT) AS fhash
+        |  FROM px),
+        |pr AS (
+        |  SELECT doc_id, fhash,
+        |    lag(fhash) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        |  FROM h),
+        |d AS (SELECT doc_id,
+        |    CAST(CASE WHEN bit_count(xor(fhash, prev)) <= 4
+        |         THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |  FROM pr WHERE prev IS NOT NULL)
+        |SELECT doc_id, COUNT(*) + 1 AS n_frames, COUNT(*) AS n_pairs,
+        |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+        |  round(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH e AS ($embDouble),

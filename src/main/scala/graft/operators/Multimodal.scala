@@ -436,4 +436,52 @@ object Multimodal {
         min("height").as("min_h"), max("height").as("max_h"))
       .orderBy("aspect_bucket")
 
+  /** TEMPORAL frame-dup rate per video (round 12) — the static-shot /
+    * slideshow detector frame-sampling pipelines budget decode work
+    * with: consecutive sampled frames (the 256-byte stub chunks)
+    * hashed to a 16-bit per-frame pHash (the [[mmPhashDedup]]
+    * threshold-vs-mean projection at frame granularity, exact IEEE);
+    * a consecutive pair is a NEAR-DUP when hamming ≤ 4 of 16. Emits,
+    * per payload with ≥ 2 frames, the dup rate — a video that's
+    * mostly identical frames can be decoded at 1 fps instead of 24.
+    *
+    * 100-TB shape: frames are born adjacent in the payload's scan
+    * partition and the lag window is keyed by doc_id (one
+    * content-derived shuffle, skew-free); the hash is 16 ints per
+    * frame, never the frame bytes; reduce side = one row per doc. */
+  def mmFrameDupRate(spark: SparkSession, dir: String): DataFrame = {
+    // frames as expressions (not mapPartitions) so the WHOLE pipeline
+    // is oracle-reproducible: chunk fi = substr(text, fi·256+1, 256),
+    // 16 pixels at the resize-stub index map, threshold vs frame mean
+    val d = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          ceil(length(col("text")) / lit(256.0)).cast("long") - 1)).as("fi"))
+      .withColumn("chunk",
+        expr("substring(text, CAST(fi * 256 + 1 AS INT), 256)"))
+      .withColumn("px", transform(sequence(lit(0), lit(15)),
+        j => ascii(substring(col("chunk"),
+          floor(j.cast("double") * length(col("chunk")) / 16.0).cast("int") + 1,
+          lit(1))).cast("long")))
+      .withColumn("mean",
+        aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double") / 16.0)
+      .select(col("doc_id"), col("fi"),
+        aggregate(transform(sequence(lit(0), lit(15)),
+            j => when(element_at(col("px"), j + 1).cast("double") >= col("mean"),
+              pow(lit(2.0), j)).otherwise(lit(0.0))),
+          lit(0.0), (a, x) => a + x).cast("long").as("fhash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("fi")
+    d.withColumn("prev", lag("fhash", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"),
+        (expr("bit_count(fhash ^ prev)") <= 4).cast("long").as("is_dup"))
+      .groupBy("doc_id")
+      .agg((count(lit(1)) + 1).as("n_frames"),
+        count(lit(1)).as("n_pairs"),
+        sum("is_dup").as("n_dups"),
+        round(sum("is_dup").cast("double") / count(lit(1)), 6).as("dup_rate"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -866,4 +866,42 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** kNN majority-vote CLASSIFICATION (round 12) — the label-transfer
+    * pattern behind quality classifiers and topic taggers bootstrapped
+    * from a labeled seed set: each held-out vector (vec_id ≡ 7 mod 20,
+    * treated as unlabeled) takes the majority label of its 5 nearest
+    * cosine neighbors in the labeled corpus; vote ties break to the
+    * SMALLEST label and neighbor-rank ties to the smallest vec_id, so
+    * the prediction is deterministic in any engine. Emits the true
+    * label alongside — the query doubles as a hold-out accuracy audit.
+    *
+    * 100-TB shape: the eval set broadcasts (queries are the small
+    * side by construction), ONE corpus scan scores all queries, a
+    * map-side WindowGroupLimit keeps per-query top-5, and the vote
+    * reduces |queries|·|labels| rows; at real scale the corpus scan
+    * swaps for [[annIvfTopk]]'s cell-pruned candidates exactly as
+    * every brute query here does. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("qv"), col("n").as("qn"))
+    val corpus = e.filter(col("vec_id") % 20 =!= 7)
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val top = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+    val votes = top.groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("r", row_number().over(wv))
+      .filter(col("r") === 1)
+      .select(col("qid"), col("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("qid")
+  }
+
 }

@@ -149,6 +149,66 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(byAge(10L).getAs[Long]("n_churned") === 0L)
   }
 
+  /** embeddings: query 7 ([1,0]) has top-5 neighbors with labels
+    * 1,1,2,2,3 — a 2-2 vote tie that must break to label 1. */
+  lazy val embDir: String = {
+    val d = Files.createTempDirectory("graft-r12-emb").toString
+    Seq(
+      (7L, Seq(1.0f, 0.0f), 2),   // the query (≡7 mod 20); true label 2
+      (1L, Seq(1.0f, 0.0f), 1),   // cos 1.0
+      (2L, Seq(0.9f, 0.1f), 2),   // cos .994
+      (3L, Seq(0.8f, 0.2f), 2),   // cos .970
+      (4L, Seq(0.0f, 1.0f), 3),   // cos 0 — still 5th of 6
+      (5L, Seq(0.95f, 0.05f), 1), // cos .999
+      (6L, Seq(-1.0f, 0.0f), 3))  // cos −1 — excluded from top-5
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("knn_classify: majority vote, 2-2 tie breaks to smaller label") {
+    val rows = Similarity.knnClassify(spark, embDir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("qid") === 7L)
+    assert(r.getAs[Int]("true_label") === 2)
+    assert(r.getAs[Int]("pred_label") === 1) // labels 1,1,2,2,3 → tie → 1
+    assert(r.getAs[Long]("votes") === 2L)
+    assert(r.getAs[Boolean]("correct") === false)
+  }
+
+  /** documents for frame hashing: doc 1 = two IDENTICAL 256-char
+    * frames (hamming 0 → dup), doc 2 = a flat frame then a
+    * half-low/half-high frame (hamming 8 → not dup), doc 3 single
+    * frame (excluded). */
+  lazy val frameDir: String = {
+    val d = Files.createTempDirectory("graft-r12-frame").toString
+    val flat = "a" * 256
+    val split = "a" * 128 + "z" * 128
+    Seq(
+      (1L, flat + flat, "en", "s1"),
+      (2L, flat + split, "en", "s1"),
+      (3L, "short", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("mm_frame_dup_rate: identical frames dup, split frame not, singles excluded") {
+    val rows = Multimodal.mmFrameDupRate(spark, frameDir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L).getAs[Long]("n_frames") === 2L)
+    assert(rows(1L).getAs[Long]("n_dups") === 1L)
+    assert(rows(1L).getAs[Double]("dup_rate") === 1.0)
+    // flat frame hashes 0xFFFF (all px = mean), split frame 0xFF00
+    // (low half below mean) → hamming 8 > 4
+    assert(rows(2L).getAs[Long]("n_dups") === 0L)
+    assert(rows(2L).getAs[Double]("dup_rate") === 0.0)
+  }
+
   test("events_active_sessions: sweep-line concurrency, zero days dropped") {
     val rows = EventAnalytics.activeSessions(spark, evDir).collect()
       .map(x => (x.getAs[Long]("day"), x.getAs[Long]("open_sessions"),
