@@ -172,6 +172,38 @@ object OraclesStreams {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY k, v_id, p_id""".stripMargin,
 
+    // the LEFT OUTER watermarked join: matched pairs = the batch
+    // interval join; null-padded views = unmatched views whose join
+    // horizon (v_ts + 1 h) sits STRICTLY more than 1 ms inside the
+    // final watermark W = min(ms-floored per-side max ts) − 1 day —
+    // Spark's emission boundary, empirically bracketed at ±1 ms /
+    // ±500 µs / ±1 µs / equality and re-pinned by the parity spec
+    "stream_exec_outer_join_watermarked" ->
+      """WITH e AS (SELECT event_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    event_type
+        |  FROM events),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(
+        |    (SELECT epoch_us(MAX(ts)) // 1000 FROM v),
+        |    (SELECT epoch_us(MAX(ts)) // 1000 FROM p)) * 1000
+        |    - 86400000000 AS w_us),
+        |m AS (SELECT v.k, v.event_id AS v_id, p.event_id AS p_id,
+        |    v.ts AS v_ts, p.ts AS p_ts
+        |  FROM v JOIN p ON v.k = p.k
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR),
+        |um AS (SELECT v.k, v.event_id AS v_id,
+        |    CAST(NULL AS BIGINT) AS p_id, v.ts AS v_ts,
+        |    CAST(NULL AS TIMESTAMP) AS p_ts
+        |  FROM v CROSS JOIN wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.k = v.k
+        |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |    AND epoch_us(v.ts) + 3600000000 <= w_us - 1000)
+        |SELECT k, v_id, p_id, v_ts, p_ts, p_id IS NOT NULL AS converted
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
+        |ORDER BY k, v_id, p_id""".stripMargin,
+
     // sliding windows as a real drain: each record in TWO windows,
     // reconciled by the state store across batches = the batch
     // double-bucketing; integer k-sums cross engines exactly

@@ -880,6 +880,53 @@ object Streams {
         .orderBy("k", "v_id", "p_id")
     }
 
+  /** LEFT OUTER watermarked stream–stream join through the gate
+    * (round 12) — the conversion-audit form of
+    * [[streamExecJoinWatermarked]]: every view emits, matched or
+    * null-padded, so the downstream pipeline sees non-conversions as
+    * ROWS (funnel drop-off, abandoned sessions) instead of absences.
+    * Outer emission is a genuinely different state discipline from
+    * the inner join's: a null-padded result can only be emitted when
+    * the WATERMARK PROVES no future match exists, so unmatched left
+    * state is held until the global watermark passes its join
+    * horizon and rows inside the final watermark tail are withheld.
+    *
+    * The oracle models Spark's emission boundary EXACTLY, empirically
+    * pinned this round (probe bracketed at ±1 ms, ±500 µs, ±1 µs and
+    * at exact equality; the spec re-pins it on planted data):
+    *   - the final watermark W = min over BOTH sides of
+    *     (ms-floored per-column max event time) − 1 day — two
+    *     watermark columns under the default min policy, computed by
+    *     the final no-data batch AvailableNow runs after the drain;
+    *   - an unmatched view null-emits iff
+    *     v_ts_µs + 1h_µs ≤ W_µs − 1000 — i.e. STRICTLY more than
+    *     1 ms inside W; horizons at W, W−1 µs, and W−500 µs are all
+    *     withheld (the state predicate rounds to whole ms).
+    * Matched pairs emit on match (batch-equal by the inner form's
+    * time-ordered-arrival argument). Output n-proportional → durable
+    * parquet drain, distributed result. */
+  def streamExecOuterJoinWatermarked(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_outer_join_wm", "append",
+        durable = true, byTime = true) { stream =>
+      def side(t: String, a: String) = stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          col("ts").as(s"${a}_ts"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+        .withWatermark(s"${a}_ts", "1 day")
+      side("view", "v").join(side("purchase", "p"),
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+    } { t =>
+      t.select(col("v_k").as("k"), col("v_id"), col("p_id"),
+        col("v_ts"), col("p_ts"),
+        col("p_id").isNotNull.as("converted"))
+        .orderBy("k", "v_id", "p_id")
+    }
+
   /** CUSTOM KEYED STATE through the oracle gate (round 12, verdict
     * directive 1 — the one stateful API that was still ▣-only):
     * `flatMapGroupsWithState`, the escape hatch real pipelines reach

@@ -215,4 +215,96 @@ class StreamExecParitySpec extends AnyFunSuite {
     assert(streamed === batch,
       "drained chunks must equal the batch formulation; the 2-event tail is withheld")
   }
+
+  /** stream_exec_outer_join_watermarked's claims, on planted data
+    * with forced tiny micro-batches: (1) matched pairs equal the
+    * batch interval join; (2) NULL-padded lefts are emitted for
+    * exactly the unmatched views whose join horizon sits strictly
+    * more than 1 ms inside the final watermark W = min over both
+    * sides of (ms-floored max event time) − delay — the boundary the
+    * round-12 probe bracketed at ±1 ms / ±500 µs / ±1 µs / equality;
+    * (3) outer state is actually evicted during the drain. The
+    * fixture plants FOUR boundary rows at exactly those offsets, so
+    * a future Spark changing the emission predicate fails here, not
+    * in the gate. */
+  test("watermarked LEFT OUTER join: matches, exact null boundary, eviction") {
+    val root = Files.createTempDirectory("graft-sxo").toString
+    val log = TopicLog.create(spark, root, "t", 2)
+    val baseUs = 1700000000000000L
+    // views hourly over 120 h, purchases only for even i (5 min
+    // later, inside the 10-min interval); odd views are unmatched
+    val mainRows = (0 until 120).flatMap { i =>
+      val v = Seq((2 * i.toLong, "view", i % 5, baseUs + i * 3600000000L, i % 2))
+      val p = if (i % 2 == 0)
+        Seq((2 * i + 1L, "purchase", i % 5, baseUs + i * 3600000000L + 300000000L, i % 2))
+      else Nil
+      v ++ p
+    }
+    // final maxima: v_max = view 119, p_max = purchase 118 + 5 min →
+    // W = p_max − 1 h (min policy). Boundary rows (unmatched k = 9):
+    // horizons at W (withheld), W − 1 µs (withheld), W − 500 µs
+    // (withheld), W − 1 ms (emitted)
+    val wUs = (baseUs + 118 * 3600000000L + 300000000L) - 3600000000L
+    val horizon = (h: Long) => h - 600000000L // v_ts for horizon h
+    val boundaryRows = Seq(
+      (900L, "view", 9, horizon(wUs), 0),
+      (901L, "view", 9, horizon(wUs - 1L), 1),
+      (902L, "view", 9, horizon(wUs - 500L), 0),
+      (903L, "view", 9, horizon(wUs - 1000L), 1))
+    val rows = mainRows ++ boundaryRows
+    val df = rows.toDF("id", "etype", "k", "ts_us", "partition")
+      .select(col("id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("k"))).cast("binary").as("value"),
+        map(lit("event_type"), col("etype").cast("binary")).as("headers"),
+        expr("timestamp_micros(ts_us)").as("ts"),
+        col("partition").cast("int").as("partition"))
+    // ts-ordered per partition — the production topic's premise
+    log.produce(df.orderBy("ts_us"), partitioner = col("partition"))
+
+    def side(stream: org.apache.spark.sql.DataFrame, t: String, a: String) =
+      stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          col("ts").as(s"${a}_ts"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+    val stream = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 24L) // forces ≥10 micro-batches
+      .load(s"$root/t")
+    val name = "sxo_parity"
+    val q = side(stream, "view", "v").withWatermark("v_ts", "1 hour")
+      .join(side(stream, "purchase", "p").withWatermark("p_ts", "1 hour"),
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+        "leftOuter")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sxo-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      "the drain must actually have crossed micro-batch boundaries")
+
+    val out = spark.table(name)
+    val matched = out.filter(col("p_id").isNotNull)
+      .select("v_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === (0 until 120 by 2).map(i => (2L * i, 2L * i + 1)).toSet,
+      "matched pairs must equal the batch interval join")
+    val nulls = out.filter(col("p_id").isNull)
+      .select("v_id").collect().map(_.getLong(0)).toSet
+    // emitted: odd-i views with v_ts + 10 min ≤ W − 1 ms, plus
+    // boundary row 903 (horizon exactly W − 1 ms); 900/901/902
+    // withheld (horizon > W − 1 ms), as are odd i ∈ {117, 119}
+    val expectedNulls = (1 until 120 by 2)
+      .filter(i => baseUs + i * 3600000000L + 600000000L <= wUs - 1000L)
+      .map(2L * _).toSet + 903L
+    assert(nulls === expectedNulls,
+      "null padding must follow the pinned strict-1ms watermark boundary")
+    assert(q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.numRowsRemoved > 0),
+      "the watermark must actually have evicted outer state")
+  }
 }
