@@ -553,6 +553,19 @@ object Oracles {
         |  bool_or(l_discount > 0.09) AS any_deep_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // sketch-contract gate (the q14 recipe for quantiles): exact
+    // discrete bracket bounds at rank q ± 2/accuracy cross engines
+    // (elements OF the data); the oracle pins the verdicts TRUE
+    "q54_approx_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  quantile_disc(l_extendedprice, 0.498) AS lo50,
+        |  quantile_disc(l_extendedprice, 0.502) AS hi50,
+        |  quantile_disc(l_extendedprice, 0.898) AS lo90,
+        |  quantile_disc(l_extendedprice, 0.902) AS hi90,
+        |  TRUE AS p50_in_bracket, TRUE AS p90_in_bracket
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q37_running_distinct" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderpriority,
         |  epoch_us(o_orderdate) // 86400000000 AS day_num FROM orders),

@@ -422,6 +422,22 @@ object OraclesEvents {
         |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z_stat
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // two lags over one user-keyed order; conditional ppm is exact
+    // integer arithmetic on trigram/bigram counts
+    "events_markov_2nd" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT event_type AS next,
+        |    lag(event_type, 1) OVER w AS prev1,
+        |    lag(event_type, 2) OVER w AS prev2
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c AS (SELECT prev2, prev1, next, COUNT(*) AS n_tri
+        |  FROM t WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT prev2, prev1, next, CAST(n_tri AS BIGINT) AS n_tri,
+        |  CAST(n_tri * 1000000 // SUM(n_tri) OVER (PARTITION BY prev2, prev1)
+        |    AS BIGINT) AS p_ppm
+        |FROM c ORDER BY prev2, prev1, next""".stripMargin,
+
     // Kaplan-Meier-style hazard table: whole-day ages by integer
     // floor-division (both engines), activity-censoring at 7 days,
     // at-risk = reverse cumsum over the calendar-bounded age table

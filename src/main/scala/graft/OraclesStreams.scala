@@ -172,6 +172,21 @@ object OraclesStreams {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY k, v_id, p_id""".stripMargin,
 
+    // state API v2 gap detection: the batch lag window — each event
+    // arriving > 6 h after the user's previous event is one gap row
+    "stream_exec_tws_gaps" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |l AS (SELECT user_id, event_id, ts, ts_us,
+        |    lag(event_id) OVER w AS prev_id,
+        |    lag(ts) OVER w AS prev_ts,
+        |    lag(ts_us) OVER w AS prev_us
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, prev_id, event_id, prev_ts, ts,
+        |  ts_us - prev_us AS gap_us
+        |FROM l WHERE prev_us IS NOT NULL AND ts_us - prev_us > 21600000000
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // the LEFT OUTER watermarked join: matched pairs = the batch
     // interval join; null-padded views = unmatched views whose join
     // horizon (v_ts + 1 h) sits STRICTLY more than 1 ms inside the

@@ -762,6 +762,32 @@ object EventAnalytics {
       .orderBy("event_type", "bucket")
   }
 
+  /** Second-order Markov transitions (round 12) — the path model
+    * upgrade over [[transitionMatrix]]'s first order: given the last
+    * TWO event types, where does the user go next? The standard test
+    * for whether a journey needs memory (compare these conditionals
+    * against the first-order row — if they differ, order matters).
+    * Two lag windows over ONE user-keyed sort (same partitioning →
+    * one exchange), trigram counts to a |types|³-bounded reduce,
+    * conditional probability as exact ppm (trigram·10⁶ DIV bigram).
+    */
+  def markov2nd(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tri = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev1", lag("event_type", 1).over(w))
+      .withColumn("prev2", lag("event_type", 2).over(w))
+      .filter(col("prev2").isNotNull)
+    tri.groupBy(col("prev2"), col("prev1"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n_tri"))
+      .withColumn("n_bi",
+        sum("n_tri").over(Window.partitionBy("prev2", "prev1")))
+      .select(col("prev2"), col("prev1"), col("next"), col("n_tri"),
+        expr("n_tri * 1000000 DIV n_bi").as("p_ppm"))
+      .orderBy("prev2", "prev1", "next")
+  }
+
   /** Survival / hazard table (round 12) — the Kaplan-Meier-style
     * churn view product teams read retention risk from: per whole
     * DAY of account age t, how many users were still under

@@ -1132,6 +1132,37 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** q54: APPROXIMATE QUANTILES, tolerance-gated (the q14 recipe
+    * applied to the quantile sketch): `approx_percentile` (Greenwald-
+    * Khanna) promises RANK error ≤ n/accuracy, so the checkable
+    * contract is "the estimate lies between the exact order
+    * statistics at rank q ± 2/accuracy" (double the promised bound —
+    * the gate checks the sketch works, not its worst-case constant).
+    * The query emits the exact discrete bracket bounds (elements OF
+    * the data — cross-engine exact) plus the in-bracket verdicts; the
+    * oracle recomputes the bounds and pins the verdicts TRUE. At
+    * 100 TB you run ONLY the sketch (fixed-size state, one pass,
+    * mergeable) — the exact brackets here are the measuring stick,
+    * like q14's exact distincts (q15/q29 own exact quantiles). */
+  def q54ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def pd(p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)")
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"),
+        pd(0.498).as("lo50"), pd(0.502).as("hi50"),
+        pd(0.898).as("lo90"), pd(0.902).as("hi90"))
+      .select(col("l_returnflag"), col("n"),
+        col("lo50"), col("hi50"), col("lo90"), col("hi90"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+          .as("p50_in_bracket"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+          .as("p90_in_bracket"))
+      .orderBy("l_returnflag")
+  }
+
   /** q53: BITWISE AGGREGATES (`bit_and`/`bit_or`/`bit_xor`) + the
     * boolean pair (`bool_and`/`bool_or`) — flag-mask rollups (ACL
     * unions, feature-bit intersections, parity checksums) that OLAP

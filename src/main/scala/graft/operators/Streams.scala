@@ -21,6 +21,57 @@ case class ChunkState(chunk_idx: Long, n: Long, start_us: Long, sum_k: Long)
 case class ChunkRow(user_id: Long, chunk_idx: Long, n_events: Long,
     start_us: Long, end_us: Long, sum_k: Long)
 
+/** transformWithState (state API v2) keyed state: the user's last
+  * seen event — O(1) per key (see [[Streams.streamExecTwsGaps]]). */
+case class GapState(last_ts_us: Long, last_event_id: Long)
+
+/** One detected idle gap, emitted exactly once when the event that
+  * ends it arrives. */
+case class GapRow(user_id: Long, prev_id: Long, event_id: Long,
+    prev_us: Long, ts_us: Long, gap_us: Long)
+
+/** The [[Streams.streamExecTwsGaps]] state machine, on the Spark-4
+  * arbitrary-state API (`StatefulProcessor` + `ValueState`): per
+  * user, compare each event (in (ts, event_id) order — the fold
+  * sorts its batch slice, Spark guarantees no iterator order) to the
+  * carried last event; a jump > `gapUs` emits one GapRow. The
+  * determinism contract is [[Streams.chunkFold]]'s, restated on the
+  * v2 API: ordered per-user arrival across batches makes the fold
+  * replay one sequence whatever the batch boundaries. */
+private[graft] class GapProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ChunkEvent, GapRow] {
+  @transient private var last: org.apache.spark.sql.streaming.ValueState[GapState] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    last = getHandle.getValueState[GapState]("last",
+      org.apache.spark.sql.Encoders.product[GapState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ChunkEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[GapRow] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = if (last.exists()) Option(last.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+    var i = 0
+    while (i < sorted.length) {
+      val e = sorted(i)
+      st match {
+        case Some(p) if e.ts_us - p.last_ts_us > gapUs =>
+          out += GapRow(key, p.last_event_id, e.event_id,
+            p.last_ts_us, e.ts_us, e.ts_us - p.last_ts_us)
+        case _ => ()
+      }
+      st = Some(GapState(e.ts_us, e.event_id))
+      i += 1
+    }
+    st.foreach(last.update)
+    out.iterator
+  }
+}
+
 /** §2a event-streaming semantics, batch-queryable form.
   *
   * The `events` table is viewed as one topic ("events") with 8
@@ -604,7 +655,8 @@ object Streams {
     *    removed by a JVM shutdown hook (it must outlive this call:
     *    the returned plan reads it lazily). */
   private def drainTopic(spark: SparkSession, dir: String, op: String,
-      mode: String, durable: Boolean = false, byTime: Boolean = false)(
+      mode: String, durable: Boolean = false, byTime: Boolean = false,
+      rocksdb: Boolean = false)(
       build: DataFrame => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -636,6 +688,12 @@ object Streams {
     // raised via SPARK_GRAFT_DRAIN_STATE_PARTITIONS.
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_DRAIN_STATE_PARTITIONS", "8"))
+    // transformWithState (state API v2) supports only the RocksDB
+    // provider in Spark 4.x; scoped to this drain's session — the
+    // HDFS default stays measured-and-kept for everything else
+    // (round-11 StateStoreBench: ±5% at this scale)
+    if (rocksdb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val stream = ss.readStream.format("graft-topic")
       .option("maxOffsetsPerTrigger", 100000L)
       .load(topicDir)
@@ -978,6 +1036,51 @@ object Streams {
         timestamp_micros(col("start_us")).as("start_ts"),
         timestamp_micros(col("end_us")).as("end_ts"), col("sum_k"))
         .orderBy("user_id", "chunk_idx")
+    }
+
+  /** Idle-gap threshold of [[streamExecTwsGaps]] — 6 h against the
+    * corpus's ~5 events/user/day cadence, so gaps are common enough
+    * to gate on yet most consecutive pairs are NOT gaps. */
+  private[graft] val TwsGapUs = 6L * 3600 * 1000 * 1000
+
+  /** The Spark-4 ARBITRARY STATE API (state API v2,
+    * `transformWithState`) through the oracle gate (round 12) — the
+    * successor API to [[streamExecCustomState]]'s
+    * flatMapGroupsWithState: explicit named state variables
+    * (`ValueState` via the processor handle), init/close lifecycle,
+    * timer support, and a RocksDB-only provider requirement (scoped
+    * to the drain's isolated session). The state machine is
+    * IDLE-GAP DETECTION: per user, each event that arrives > 6 h
+    * after the user's previous event emits one gap row — the
+    * re-engagement / session-boundary feed. O(1) state per key (the
+    * last event), emitted rows are n-proportional → durable parquet
+    * drain. Same determinism contract as the v1 fold (one partition
+    * per user, (ts, event_id)-ranked offsets, prefix admission,
+    * in-batch sort), so the oracle is the batch lag window: gaps
+    * where ts − lag(ts) > 6 h. */
+  def streamExecTwsGaps(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_tws_gaps", "append",
+        durable = true, byTime = true, rocksdb = true) { stream =>
+      val ss = stream.sparkSession
+      import ss.implicits._
+      stream.select(
+          element_at(col("headers"), "user_id").cast("string").cast("long")
+            .as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("key").cast("string").cast("long").as("event_id"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as("k"))
+        .as[ChunkEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new GapProcessor(TwsGapUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    } { t =>
+      t.select(col("user_id"), col("prev_id"), col("event_id"),
+        timestamp_micros(col("prev_us")).as("prev_ts"),
+        timestamp_micros(col("ts_us")).as("ts"), col("gap_us"))
+        .orderBy("user_id", "event_id")
     }
 
   /** Chunk size of [[streamExecCustomState]] — small enough that

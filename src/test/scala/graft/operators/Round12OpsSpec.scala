@@ -131,6 +131,48 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(s1.getAs[Double]("long_word_share") === 0.0)
   }
 
+  test("q54_approx_quantile: brackets bound the sketch, exact on small groups") {
+    // 100 distinct prices per flag → the GK sketch at accuracy 1000
+    // is EXACT here, so in-bracket must hold and the bracket bounds
+    // are the order statistics themselves
+    val d = Files.createTempDirectory("graft-r12-q54").toString
+    (for (f <- Seq("A", "B"); i <- 1 to 100)
+      yield (i.toLong, i, 1.0, 0.0, f, i * 10.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val r = Relational.q54ApproxQuantile(spark, d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    for (f <- Seq("A", "B")) {
+      assert(r(f).getAs[Long]("n") === 100L)
+      assert(r(f).getAs[Boolean]("p50_in_bracket") === true)
+      assert(r(f).getAs[Boolean]("p90_in_bracket") === true)
+      // percentile_disc(0.498) over 1..100 ×10 → the 50th value
+      assert(r(f).getAs[Double]("lo50") === 500.0)
+      assert(r(f).getAs[Double]("hi90") === 910.0)
+    }
+  }
+
+  test("events_markov_2nd: planted trigram path with known conditionals") {
+    // one user, path A B A B A: trigrams (A,B,A)×2? — spell it out:
+    // positions 1..5 → (A,B,A), (B,A,B), (A,B,A) → (A,B,A):2, (B,A,B):1
+    val d = Files.createTempDirectory("graft-r12-mkv").toString
+    val day0 = 1700006400000000L
+    Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 1L), (3L, 1L, "A", 2L),
+      (4L, 1L, "B", 3L), (5L, 1L, "A", 4L))
+      .map { case (e, u, t, h) =>
+        (e, u, t, new Timestamp((day0 + h * 3600000000L) / 1000)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val rows = EventAnalytics.markov2nd(spark, d).collect()
+      .map(x => ((x.getString(0), x.getString(1), x.getString(2)),
+        (x.getAs[Long]("n_tri"), x.getAs[Long]("p_ppm")))).toMap
+    assert(rows === Map(
+      ("A", "B", "A") -> ((2L, 1000000L)),
+      ("B", "A", "B") -> ((1L, 1000000L))))
+  }
+
   test("events_survival_curve: K-M ages, censoring, at-risk cumsum") {
     val rows = EventAnalytics.survivalCurve(spark, evDir).collect()
     val byAge = rows.map(x => x.getAs[Long]("age_days") -> x).toMap

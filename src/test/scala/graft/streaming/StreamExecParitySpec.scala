@@ -216,6 +216,73 @@ class StreamExecParitySpec extends AnyFunSuite {
       "drained chunks must equal the batch formulation; the 2-event tail is withheld")
   }
 
+  /** stream_exec_tws_gaps' claim — the transformWithState (state API
+    * v2) gap fold emits the same rows whatever the micro-batch
+    * boundaries: 2 users × 12 events with gaps alternating 1 h / 7 h,
+    * drained 5 records/trigger so most gap pairs SPAN a boundary and
+    * the carried ValueState is what detects them. RocksDB provider
+    * scoped to an isolated session (the v2 API requires it). */
+  test("transformWithState: gap detection survives micro-batch boundaries") {
+    import graft.operators.{ChunkEvent, GapProcessor, GapRow}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft-tws").toString
+    val log = TopicLog.create(ss, root, "t", 2)
+    // per user: events at +0, +1h, +8h, +9h, +16h, ... (odd steps 1 h,
+    // even steps 7 h) → gaps > 6 h at every even step: 5 per user
+    val rows = for (u <- 0 until 2; i <- 0 until 12) yield {
+      val ts = (0 until i).map(s => if (s % 2 == 0) 3600000L else 25200000L).sum
+      (u * 100L + i, u.toLong,
+        new java.sql.Timestamp(1700000000000L + ts + u * 7L), i + 1L, u)
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "k", "partition")
+      .select(col("event_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("k"))).cast("binary").as("value"),
+        map(lit("user_id"), col("user_id").cast("string").cast("binary"))
+          .as("headers"),
+        col("ts"), col("partition").cast("int").as("partition"))
+    log.produce(df, partitioner = col("partition"))
+
+    val name = "tws_parity"
+    val q = ss.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 5L) // splits gap pairs mid-fold
+      .load(s"$root/t")
+      .select(
+        element_at(col("headers"), "user_id").cast("string").cast("long")
+          .as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("key").cast("string").cast("long").as("event_id"),
+        get_json_object(col("value").cast("string"), "$.k").cast("long")
+          .as("k"))
+      .as[ChunkEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new GapProcessor(6L * 3600 * 1000 * 1000),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-tws-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "the drain must actually have crossed micro-batch boundaries")
+
+    val streamed = ss.table(name)
+      .select("user_id", "prev_id", "event_id", "gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // closed form: odd steps s are 7 h, so the gap ends at event
+    // i = s+1, i.e. every EVEN i ≥ 2: i ∈ {2, 4, 6, 8, 10}
+    val batch = (for (u <- 0 until 2; i <- 2 until 12 by 2) yield
+      (u.toLong, u * 100L + i - 1, u * 100L + i, 25200000000L)).toSet
+    assert(streamed === batch,
+      "gaps must equal the batch lag-window formulation")
+  }
+
   /** stream_exec_outer_join_watermarked's claims, on planted data
     * with forced tiny micro-batches: (1) matched pairs equal the
     * batch interval join; (2) NULL-padded lefts are emitted for
