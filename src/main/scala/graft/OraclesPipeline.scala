@@ -911,6 +911,22 @@ object OraclesPipeline {
 
     "ann_hybrid_search" -> annHybridSql,
 
+    // learned-quantizer contract gate: exact brute top-1 columns
+    // (oracle-recomputable) + the recall verdict pinned TRUE
+    "ann_kmeans_recall" ->
+      s"""WITH e AS ($embDouble),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |s AS (SELECT qid, vec_id,
+         |    round(${dot("qv", "v")} / (sqrt(${dot("qv", "qv")})
+         |      * sqrt(${dot("v", "v")})), 6) AS cos_sim
+         |  FROM c CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s)
+         |SELECT qid, vec_id AS exact_top1, cos_sim AS exact_top1_sim,
+         |  TRUE AS recall_ok
+         |FROM r WHERE rank = 1 ORDER BY qid""".stripMargin,
+
     // majority-vote kNN label transfer: top-5 cosine neighbors
     // (rank ties → smallest vec_id), vote ties → smallest label
     "knn_classify" ->

@@ -904,4 +904,43 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** K-MEANS IVF RECALL GATE (round 12) — the tolerance-gate recipe
+    * (q14 / q54) applied to the LEARNED quantizer: the k-means
+    * codebook's floats are iteration products no SQL engine can
+    * replay, so [[annIvfKmeansTopk]] is rows-only — but its CONTRACT
+    * is checkable: a 2-probe search over learned cells must put at
+    * least one true top-10 neighbor in its top-3 (measured: ≥1 of 3
+    * already lands in the brute top-THREE at both SFs — the gate
+    * bound is strictly weaker than observed, so it fails only if the
+    * quantizer actually breaks). The query computes both pipelines
+    * Spark-side and emits the exact brute top-1 (oracle-recomputable)
+    * plus the per-query verdict; the oracle pins the verdict TRUE.
+    * Scale shape: both legs are the adjudicated ANN shapes (queries
+    * broadcast, cell-pruned or brute scan); the audit join is
+    * |queries|-sized. */
+  def annKmeansRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val brute10 = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("qid", "rank", "vec_id", "cos_sim")
+    val approx = annIvfKmeansTopk(spark, dir)
+      .select(col("qid"), col("vec_id").as("a_vec"))
+    val hits = approx.join(brute10.select(col("qid"), col("vec_id").as("a_vec")),
+        Seq("qid", "a_vec"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    brute10.filter(col("rank") === 1)
+      .select(col("qid"), col("vec_id").as("exact_top1"),
+        col("cos_sim").as("exact_top1_sim"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("exact_top1"), col("exact_top1_sim"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1).as("recall_ok"))
+      .orderBy("qid")
+  }
+
 }

@@ -358,6 +358,35 @@ object ScaleBench {
       println(f"power-iteration volumes at $d: sampled_vectors=${gram.count()}%d " +
         f"gram_reduce_rows=4096 (d², corpus-independent)")
     }
+    // Round-12 additions: the new operators' shuffle shapes.
+    //  - events_active_sessions: the sweep's delta table is EXACTLY
+    //    2 rows per session (no interval explode), and its reduce
+    //    side is calendar-bounded;
+    //  - events_survival_curve: reduce = distinct whole-day ages ≤
+    //    the calendar span;
+    //  - events_markov_2nd: reduce ≤ |types|³ — corpus-independent;
+    //  - mm_frame_dup_rate: the lag window carries one 16-bit hash
+    //    per 256-byte frame — volume tracks corpus BYTES / 256.
+    for (d <- evDirs) {
+      val nSessions = graft.operators.EventAnalytics.sessionize(spark, d).count()
+      val nDays = graft.operators.EventAnalytics.activeSessions(spark, d).count()
+      val nAges = graft.operators.EventAnalytics.survivalCurve(spark, d).count()
+      val nTri = graft.operators.EventAnalytics.markov2nd(spark, d).count()
+      println(f"round-12 events volumes at $d: session_deltas=${2 * nSessions}%d " +
+        f"sweep_days=$nDays%d survival_ages=$nAges%d markov_rows=$nTri%d")
+    }
+    for (d <- Seq(baseDir, out)) {
+      val frames = t(spark, d, "documents")
+        .select(ceil(length(col("text")) / lit(256.0)).cast("long").as("f"))
+        .agg(sum("f")).collect()(0).getLong(0)
+      println(f"round-12 frame volumes at $d: frame_hash_rows=$frames%d")
+    }
+    time("mm_frame_dup_rate 1x")(noop(
+      graft.operators.Multimodal.mmFrameDupRate(spark, baseDir)))
+    time("mm_frame_dup_rate 10x")(noop(
+      graft.operators.Multimodal.mmFrameDupRate(spark, out)))
+    time("events_active_sessions 1x")(noop(
+      graft.operators.EventAnalytics.activeSessions(spark, baseDir)))
     time("text_bigram_pmi 1x")(noop(
       graft.operators.TextAnalysis.textBigramPmi(spark, baseDir)))
     time("text_bigram_pmi 10x")(noop(

@@ -251,6 +251,28 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows(2L).getAs[Double]("dup_rate") === 0.0)
   }
 
+  test("ann_kmeans_recall: planted clusters, verdict true for every query") {
+    // 60 vectors in 3 axis-aligned clusters (i % 3) with tiny
+    // deterministic jitter; queries 0..4 → a sane learned quantizer
+    // must route each to a cell holding true neighbors
+    val d = Files.createTempDirectory("graft-r12-kmr").toString
+    (0 until 60).map { i =>
+      val c = i % 3
+      val v = (0 until 8).map(j =>
+        (if (j == c) 1.0f else 0.0f) + (if (j == (c + 3)) i * 0.001f else 0.0f))
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.annKmeansRecall(spark, d).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")),
+      "every query must land ≥1 true top-10 neighbor in its kmeans top-3")
+    // exact_top1 must share the query's cluster (cosine structure)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_top1") % 3 === r.getAs[Long]("qid") % 3)
+    }
+  }
+
   test("events_active_sessions: sweep-line concurrency, zero days dropped") {
     val rows = EventAnalytics.activeSessions(spark, evDir).collect()
       .map(x => (x.getAs[Long]("day"), x.getAs[Long]("open_sessions"),
