@@ -485,12 +485,19 @@ object OraclesEvents {
         |      UNION ALL
         |      SELECT end_day + 1 AS day, -1 AS delta, 0 AS starts FROM g),
         |pd AS (SELECT day, SUM(delta) AS delta, SUM(starts) AS n_starts
-        |       FROM d GROUP BY day)
+        |       FROM d GROUP BY day),
+        |-- densify to the full calendar: open days BETWEEN deltas
+        |-- must be reported too
+        |cal AS (SELECT UNNEST(generate_series((SELECT MIN(day) FROM pd),
+        |                                      (SELECT MAX(day) FROM pd))) AS day),
+        |dense AS (SELECT cal.day, COALESCE(pd.delta, 0) AS delta,
+        |    COALESCE(pd.n_starts, 0) AS n_starts
+        |  FROM cal LEFT JOIN pd ON cal.day = pd.day)
         |SELECT day,
         |  CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS open_sessions,
         |  CAST(n_starts AS BIGINT) AS n_starts
-        |FROM pd
+        |FROM dense
         |QUALIFY open_sessions > 0 OR n_starts > 0
         |ORDER BY day""".stripMargin
   )

@@ -871,12 +871,24 @@ object EventAnalytics {
         lit(-1L).as("d"), lit(0L).as("starts")))
     val perDay = deltas.groupBy("day")
       .agg(sum("d").as("delta"), sum("starts").as("n_starts"))
+    // DENSIFY to the full calendar before sweeping: a session
+    // spanning days 0–5 puts deltas only at 0 and 6, but days 1–5
+    // are open too and must be reported (self-review catch — the
+    // synthetic corpus has deltas every day, so the gate alone never
+    // saw a hole). The day range is calendar-bounded → the explode
+    // is ≤ |corpus days| rows whatever the row count.
+    val bounds = perDay.agg(min("day").as("lo"), max("day").as("hi"))
+    val calendar = bounds.select(
+      explode(sequence(col("lo"), col("hi"))).as("day"))
     val sweep = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDay
+    calendar.join(perDay, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("delta"), lit(0L)).as("delta"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"))
       .withColumn("open_sessions", sum("delta").over(sweep))
       // the day AFTER the last session ends carries the closing −1
-      // and zero occupancy — real calendar days only
+      // and zero occupancy — drop pure-zero tail/gap days
       .filter(col("open_sessions") > 0 || col("n_starts") > 0)
       .select(col("day"), col("open_sessions"), col("n_starts"))
       .orderBy("day")

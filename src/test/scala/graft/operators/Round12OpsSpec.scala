@@ -58,7 +58,8 @@ class Round12OpsSpec extends AnyFunSuite {
   /** events on a day grid (day0 = a fixed µs epoch):
     * u1 active days 0..10 (censored at corpus end 14), u2 day 0 only
     * (churned), u3 days 8..12 (censored), u4 day 14 (the corpus-end
-    * anchor, censored). Sessions under the 24 h gap: u1 splits at the
+    * anchor, censored), u5 one 0.8-day session SPANNING days 5–6
+    * (churned). Sessions under the 24 h gap: u1 splits at the
     * 2.8-day and 7-day gaps (3 sessions), u3's 21.6 h gap does NOT
     * split while its 3.1-day gap does (2 sessions). */
   lazy val evDir: String = {
@@ -72,7 +73,8 @@ class Round12OpsSpec extends AnyFunSuite {
       (4L, 1L, ts(10.0)),
       (5L, 2L, ts(0.5)),
       (6L, 3L, ts(8.0)), (7L, 3L, ts(8.9)), (8L, 3L, ts(12.0)),
-      (9L, 4L, ts(14.0)))
+      (9L, 4L, ts(14.0)),
+      (10L, 5L, ts(5.5)), (11L, 5L, ts(6.3))) // one session SPANNING days 5–6
       .toDF("event_id", "user_id", "ts")
       .coalesce(1).write.parquet(s"$d/events.parquet")
     d
@@ -177,11 +179,11 @@ class Round12OpsSpec extends AnyFunSuite {
     val rows = EventAnalytics.survivalCurve(spark, evDir).collect()
     val byAge = rows.map(x => x.getAs[Long]("age_days") -> x).toMap
     assert(byAge.keySet === Set(0L, 4L, 10L))
-    // age 0: u2 (churned — silent 13.5 days) + u4 (censored anchor)
-    assert(byAge(0L).getAs[Long]("n_churned") === 1L)
+    // age 0: u2 + u5 churned (silent ≥ 7.7 days), u4 censored anchor
+    assert(byAge(0L).getAs[Long]("n_churned") === 2L)
     assert(byAge(0L).getAs[Long]("n_censored") === 1L)
-    assert(byAge(0L).getAs[Long]("at_risk") === 4L)
-    assert(byAge(0L).getAs[Long]("hazard_ppm") === 250000L)
+    assert(byAge(0L).getAs[Long]("at_risk") === 5L)
+    assert(byAge(0L).getAs[Long]("hazard_ppm") === 400000L)
     // age 4: u3, last event 2 days before end → censored
     assert(byAge(4L).getAs[Long]("n_censored") === 1L)
     assert(byAge(4L).getAs[Long]("at_risk") === 2L)
@@ -286,6 +288,9 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows.toSet === Set(
       (day0 + 0, 2L, 2L),  // u1 s1 + u2
       (day0 + 3, 1L, 1L),
+      (day0 + 5, 1L, 1L),  // u5's spanning session starts
+      (day0 + 6, 1L, 0L),  // ...and is still OPEN on day 6 with no
+                           // start — the densification catch
       (day0 + 8, 1L, 1L),
       (day0 + 10, 1L, 1L),
       (day0 + 12, 1L, 1L),
