@@ -694,8 +694,18 @@ object Streams {
     // (round-11 StateStoreBench: ±5% at this scale)
     if (rocksdb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Trigger budget: measured NOT to be a lever at this scale —
+    // quiet-box A/B at 10× (the two watermarked joins, 1M-row topic)
+    // put 50k/100k/200k/250k budgets all at 48-51 s; the real state
+    // cost was the per-partition commit count, already minimized by
+    // the partition sizing above (round 11, 4.3×). Kept fixed at
+    // 100k (single-batch below sf0.1, ~10 batches at 10×, so the
+    // multi-batch path stays exercised at scale); the env override
+    // is the experiment knob.
+    val triggerRows = sys.env.get("SPARK_GRAFT_DRAIN_TRIGGER")
+      .map(_.toLong).getOrElse(100000L)
     val stream = ss.readStream.format("graft-topic")
-      .option("maxOffsetsPerTrigger", 100000L)
+      .option("maxOffsetsPerTrigger", triggerRows)
       .load(topicDir)
     val built = build(stream)
     if (durable) {
