@@ -422,6 +422,17 @@ object OraclesEvents {
         |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z_stat
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // the MG candidate tier is plan-internal (recall-complete above
+    // n/(k+1) ⇒ exact output); the oracle is the direct GROUP BY
+    "events_heavy_hitters" ->
+      """WITH t AS (SELECT COUNT(*) AS total FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(*) * 1000000 // MAX(total) AS share_ppm
+        |FROM events CROSS JOIN t
+        |GROUP BY event_type, t.total
+        |HAVING COUNT(*) * 20 > t.total
+        |ORDER BY event_type""".stripMargin,
+
     // two lags over one user-keyed order; conditional ppm is exact
     // integer arithmetic on trigram/bigram counts
     "events_markov_2nd" ->

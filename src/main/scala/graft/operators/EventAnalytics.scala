@@ -762,6 +762,61 @@ object EventAnalytics {
       .orderBy("event_type", "bucket")
   }
 
+  /** Misra-Gries heavy hitters (round 12) — frequent-item detection
+    * with BOUNDED state, the streaming-algorithms classic: a full
+    * groupBy over a 100-TB key column shuffles every row; MG keeps k
+    * counters per partition (decrement-all on overflow) and
+    * GUARANTEES every key with global frequency > n/(k+1) survives
+    * in at least one partition's summary (counts are additive, so a
+    * globally-heavy key is locally heavy somewhere). The survivors —
+    * ≤ k × partitions candidates — are exactly recounted with the
+    * filter pushed to the scan, so the OUTPUT is exact (the oracle
+    * is a plain GROUP BY ... HAVING) while the shuffle carries only
+    * candidate rows. θ = 5% of events over event_type here; the
+    * k-forced-small eviction path is spec-tested on planted data.
+    *
+    * mapPartitions is the legitimate seam: MG's decrement-all is
+    * genuinely imperative per-partition state (the guideline's
+    * "last resort" case), and the summary never leaves the task —
+    * only candidate KEYS do. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      k: Int = 64, thresholdDen: Long = 20L): DataFrame = {
+    import spark.implicits._
+    val keys = events(spark, dir).select(col("event_type")).as[String]
+    val candidates = keys.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { key =>
+        if (counters.contains(key)) counters(key) += 1L
+        else if (counters.size < k) counters(key) = 1L
+        else {
+          // decrement-all; drop zeros — the MG overflow step
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { c =>
+            val v = counters(c) - 1L
+            if (v == 0L) dead += c else counters(c) = v
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator.toArray.iterator
+    }.distinct()
+    val total = events(spark, dir).count()
+    // exact recount of the candidate set only (broadcast semi join —
+    // the candidate set is ≤ k·partitions by construction)
+    events(spark, dir)
+      .join(broadcast(candidates.toDF("event_type")), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") * thresholdDen > total)
+      .select(col("event_type"), col("n_events"),
+        expr(s"n_events * 1000000 DIV $total").as("share_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** The gate entry for [[heavyHitters]] (fixed corpus parameters). */
+  def heavyHittersQuery(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(spark, dir)
+
   /** Second-order Markov transitions (round 12) — the path model
     * upgrade over [[transitionMatrix]]'s first order: given the last
     * TWO event types, where does the user go next? The standard test

@@ -155,6 +155,27 @@ object Scale100Probe {
     report("novelty_gram_rows", nvB.toDouble, nvS.toDouble)
     report("novelty_first_seen_reduce_rows", fvB.toDouble, fvS.toDouble)
 
+    // Round-12 shapes over the replica docs corpus: the frame-hash
+    // window volume must track corpus bytes/256 (the replica text
+    // injection grows bytes slightly super-replica — compare against
+    // the BYTE ratio, not the replica count), and the per-doc reduce
+    // tracks doc count exactly.
+    def frameVolumes(d: String): (Long, Long, Long) = {
+      val bytes = t(spark, d, "documents")
+        .agg(sum(length(col("text")))).collect()(0).getLong(0)
+      val frames = t(spark, d, "documents")
+        .select(ceil(length(col("text")) / lit(256.0)).cast("long").as("f"))
+        .agg(sum("f")).collect()(0).getLong(0)
+      val docs = t(spark, d, "documents").count()
+      (bytes, frames, docs)
+    }
+    val (byB, frB, dcB) = frameVolumes(baseDir)
+    val (byS, frS, dcS) = frameVolumes(out)
+    report("frame_hash_rows", frB.toDouble, frS.toDouble)
+    println(f"probe=frame_rows_per_byte base=${frB.toDouble / byB}%.6f " +
+      f"scaled=${frS.toDouble / byS}%.6f (must be ~equal: frames track bytes)")
+    report("frame_dup_reduce_rows(docs)", dcB.toDouble, dcS.toDouble)
+
     spark.stop()
   }
 }

@@ -275,6 +275,30 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_heavy_hitters: MG eviction under k=3 keeps the recall guarantee") {
+    // one heavy key (400 of 1000 events = 40%) buried in 40 noise
+    // keys; k = 3 counters FORCES constant decrement-all eviction,
+    // and the guarantee (recall above n/(k+1) = 25%) must still
+    // surface the heavy key; θ = n/20 = 5% → exactly one row out,
+    // with the EXACT count
+    val d = Files.createTempDirectory("graft-r12-hh").toString
+    val day0 = 1700006400000000L
+    val rows = (0 until 1000).map { i =>
+      val key = if (i % 5 < 2) "heavy" else s"noise_${i % 40}"
+      (i.toLong, i.toLong % 7, key,
+        new Timestamp((day0 + i * 60000000L) / 1000))
+    }
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .repartition(8) // multiple partitions: the union-of-summaries path
+      .write.parquet(s"$d/events.parquet")
+    val out = EventAnalytics.heavyHitters(spark, d, k = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "heavy")
+    assert(out.head.getAs[Long]("n_events") === 400L)
+    assert(out.head.getAs[Long]("share_ppm") === 400000L)
+    // noise keys: 600/40 = 15 events = 1.5% each, all below θ
+  }
+
   test("events_active_sessions: sweep-line concurrency, zero days dropped") {
     val rows = EventAnalytics.activeSessions(spark, evDir).collect()
       .map(x => (x.getAs[Long]("day"), x.getAs[Long]("open_sessions"),
