@@ -478,7 +478,7 @@ object Oracles {
       """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |           FROM orders),
         |x AS (SELECT LEAST(19, FLOOR((o_totalprice - lo) * 20
-        |        / GREATEST(hi - lo, 1.0)))::BIGINT
+        |        / (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END)))::BIGINT
         |    AS bucket, lo, hi FROM orders, b)
         |SELECT bucket, COUNT(*) AS n,
         |  round(MIN(lo) + bucket * (MIN(hi) - MIN(lo)) / 20, 4) AS bucket_lo

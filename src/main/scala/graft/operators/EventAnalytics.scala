@@ -781,6 +781,14 @@ object EventAnalytics {
     * only candidate KEYS do. */
   def heavyHitters(spark: SparkSession, dir: String,
       k: Int = 64, thresholdDen: Long = 20L): DataFrame = {
+    // soundness of the exactness claim: MG guarantees recall only
+    // above n/(k+1), so the output threshold n/thresholdDen must not
+    // sit below it — thresholdDen > k+1 would silently drop keys in
+    // (n/(k+1), n/thresholdDen] that MG evicted everywhere
+    // (review catch: the spec's first draft ran k=3 with the default
+    // 20 and passed only because its planted key was 40%)
+    require(thresholdDen <= k + 1L,
+      s"threshold n/$thresholdDen below the MG recall bound n/${k + 1}")
     import spark.implicits._
     val keys = events(spark, dir).select(col("event_type")).as[String]
     val candidates = keys.mapPartitions { it =>

@@ -454,6 +454,12 @@ object Multimodal {
     // is oracle-reproducible: chunk fi = substr(text, fi·256+1, 256),
     // 16 pixels at the resize-stub index map, threshold vs frame mean
     val d = graft.Tables.t(spark, dir, "documents")
+      // empty payloads have NO frames: Spark's sequence(0, -1)
+      // DESCENDS ([0, -1]) where DuckDB's generate_series(0, -1) is
+      // empty — unguarded, an empty text would fabricate two
+      // empty-chunk frames and a fake dup pair (review catch; the
+      // corpus min length never trips it, the guard is the contract)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
           ceil(length(col("text")) / lit(256.0)).cast("long") - 1)).as("fi"))

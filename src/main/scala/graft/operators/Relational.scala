@@ -1094,7 +1094,13 @@ object Relational {
     // engines, not Spark-NaN→19 vs a DuckDB cast error
     o.crossJoin(broadcast(bounds))
       .select(least(lit(19L), floor((col("o_totalprice") - col("lo")) * 20
-        / greatest(col("hi") - col("lo"), lit(1.0)))).as("bucket"),
+        // guard ONLY the degenerate equal-bounds case: the previous
+        // greatest(range, 1.0) silently widened every sub-1.0 range
+        // to 1.0, mis-bucketing rows while bucket_lo still labeled
+        // with the true width (review catch; gate data never has
+        // sub-1.0 price ranges, the fix is the contract)
+        / when(col("hi") === col("lo"), lit(1.0))
+          .otherwise(col("hi") - col("lo")))).as("bucket"),
         col("lo"), col("hi"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),

@@ -187,12 +187,7 @@ object Streams {
     val marker = java.nio.file.Paths.get(s"$root/$topic/_complete.json")
     if (!TopicLog.exists(root, topic) || !java.nio.file.Files.exists(marker)) {
       if (TopicLog.exists(root, topic)) {
-        def rmAll(f: java.io.File): Unit = {
-          val kids = f.listFiles
-          if (kids != null) kids.foreach(rmAll)
-          f.delete(); ()
-        }
-        rmAll(new java.io.File(s"$root/$topic"))
+        rmTree(new java.io.File(s"$root/$topic"))
       }
       produce(TopicLog.create(spark, root, topic, NumPartitions))
       java.nio.file.Files.writeString(marker, """{"complete": true}""")
@@ -298,12 +293,7 @@ object Streams {
       // two gates sharing one tmp root is not a supported harness
       // shape (a concurrent builder mid-produce would be deleted)
       if (TopicLog.exists(root, topic)) {
-        def rmAll(f: java.io.File): Unit = {
-          val kids = f.listFiles
-          if (kids != null) kids.foreach(rmAll)
-          f.delete(); ()
-        }
-        rmAll(new java.io.File(s"$root/$topic"))
+        rmTree(new java.io.File(s"$root/$topic"))
       }
       val log = TopicLog.create(spark, root, topic, NumPartitions)
       val ev = events(spark, dir)
@@ -612,18 +602,22 @@ object Streams {
 
   private val streamExecRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Recursive delete shared by the fixture rebuilds, drain
+    * checkpoints, and the shutdown hook (was four verbatim copies —
+    * review catch: deletion-semantics fixes must land once). */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Drain output dirs pending JVM-exit cleanup — ONE shutdown hook
     * over a registry instead of one hook thread per drain call. */
   private val drainDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   private lazy val drainHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles
-        if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      drainDirs.forEach(p => rm(p.toFile))
+      drainDirs.forEach(p => rmTree(p.toFile))
     }))
   }
   private def registerDrainDir(p: java.nio.file.Path): Unit = {
@@ -665,11 +659,6 @@ object Streams {
       else ensureEventsTopic(spark, dir)
     val name = s"${op}_${streamExecRuns.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$op")
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles
-      if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
     // Each drain runs on its OWN SparkSession (shared SparkContext,
     // isolated SQLConf + temp-view catalog): the state-partition pin
     // below can no longer race a concurrent batch query on the
@@ -719,7 +708,7 @@ object Streams {
       val outDir = java.nio.file.Paths.get(
         s"${System.getProperty("java.io.tmpdir")}/graft-drains-" +
           Integer.toHexString(dir.hashCode), op)
-      rm(outDir.toFile)
+      rmTree(outDir.toFile)
       java.nio.file.Files.createDirectories(outDir)
       Streams.registerDrainDir(outDir)
       val q = built
@@ -728,7 +717,7 @@ object Streams {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      rm(ckpt.toFile)
+      rmTree(ckpt.toFile)
       // explicit schema: an empty drain leaves no files to infer
       // from; read back on the CALLER's session — the returned plan
       // must not depend on the drain session
@@ -748,7 +737,7 @@ object Streams {
         new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
         out.schema)
       ss.catalog.dropTempView(name)
-      rm(ckpt.toFile)
+      rmTree(ckpt.toFile)
       local
     }
   }
@@ -1078,8 +1067,10 @@ object Streams {
             .as("user_id"),
           unix_micros(col("ts")).as("ts_us"),
           col("key").cast("string").cast("long").as("event_id"),
-          get_json_object(col("value").cast("string"), "$.k").cast("long")
-            .as("k"))
+          // the gap detector never reads the payload — a constant k
+          // reuses ChunkEvent without paying ~n JSON parses in the
+          // streaming hot path (review catch)
+          lit(0L).as("k"))
         .as[ChunkEvent]
         .groupByKey(_.user_id)
         .transformWithState(new GapProcessor(TwsGapUs),

@@ -279,8 +279,10 @@ class Round12OpsSpec extends AnyFunSuite {
     // one heavy key (400 of 1000 events = 40%) buried in 40 noise
     // keys; k = 3 counters FORCES constant decrement-all eviction,
     // and the guarantee (recall above n/(k+1) = 25%) must still
-    // surface the heavy key; θ = n/20 = 5% → exactly one row out,
-    // with the EXACT count
+    // surface the heavy key; θ = n/4 = 25% — the LARGEST threshold
+    // the k=3 soundness guard admits (review catch: the first draft
+    // ran θ = 5% < the recall bound and was sound only by luck) —
+    // → exactly one row out, with the EXACT count
     val d = Files.createTempDirectory("graft-r12-hh").toString
     val day0 = 1700006400000000L
     val rows = (0 until 1000).map { i =>
@@ -291,12 +293,17 @@ class Round12OpsSpec extends AnyFunSuite {
     rows.toDF("event_id", "user_id", "event_type", "ts")
       .repartition(8) // multiple partitions: the union-of-summaries path
       .write.parquet(s"$d/events.parquet")
-    val out = EventAnalytics.heavyHitters(spark, d, k = 3).collect()
+    val out = EventAnalytics.heavyHitters(spark, d, k = 3,
+      thresholdDen = 4L).collect()
     assert(out.length === 1)
     assert(out.head.getString(0) === "heavy")
     assert(out.head.getAs[Long]("n_events") === 400L)
     assert(out.head.getAs[Long]("share_ppm") === 400000L)
     // noise keys: 600/40 = 15 events = 1.5% each, all below θ
+    // and the unsound parameter pair must be rejected loudly
+    intercept[IllegalArgumentException] {
+      EventAnalytics.heavyHitters(spark, d, k = 3, thresholdDen = 20L)
+    }
   }
 
   test("events_active_sessions: sweep-line concurrency, zero days dropped") {
