@@ -801,6 +801,35 @@ object OraclesPipeline {
         |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
+    // the cascade funnel: each tier's arg_max survivorship over the
+    // previous tier's survivors; counts per tier are exact
+    "pipeline_dedup_cascade" ->
+      """WITH d AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+        |  FROM documents),
+        |k1 AS (SELECT arg_max(doc_id, len * 1000000000000 - doc_id) AS doc_id
+        |  FROM d GROUP BY md5(text)),
+        |t1 AS (SELECT d.* FROM d JOIN k1 USING (doc_id)),
+        |k2 AS (SELECT arg_max(doc_id, len * 1000000000000 - doc_id) AS doc_id
+        |  FROM t1 GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+        |t2 AS (SELECT t1.* FROM t1 JOIN k2 USING (doc_id)),
+        |k3 AS (SELECT arg_max(doc_id, len * 1000000000000 - doc_id) AS doc_id
+        |  FROM t2 GROUP BY array_to_string((string_split(text, ' '))[1:6], ' ')),
+        |t3 AS (SELECT t2.* FROM t2 JOIN k3 USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS tier_no, '1_exact' AS tier,
+        |    (SELECT COUNT(*) FROM d) AS docs_in,
+        |    (SELECT COUNT(*) FROM d) - (SELECT COUNT(*) FROM t1) AS docs_removed,
+        |    (SELECT COUNT(*) FROM t1) AS docs_out
+        |  UNION ALL
+        |  SELECT 2, '2_normalized', (SELECT COUNT(*) FROM t1),
+        |    (SELECT COUNT(*) FROM t1) - (SELECT COUNT(*) FROM t2),
+        |    (SELECT COUNT(*) FROM t2)
+        |  UNION ALL
+        |  SELECT 3, '3_prefix', (SELECT COUNT(*) FROM t2),
+        |    (SELECT COUNT(*) FROM t2) - (SELECT COUNT(*) FROM t3),
+        |    (SELECT COUNT(*) FROM t3))
+        |ORDER BY tier_no""".stripMargin,
+
     // truncation-duplicate candidates: first-6-token fingerprint,
     // keeper = longest text (ties → smallest id). DuckDB's list
     // slice reproduces Spark's substring_index on single-space text

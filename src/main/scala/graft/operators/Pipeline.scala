@@ -605,4 +605,51 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** Dedup CASCADE with per-tier accounting (round 12) — how
+    * production dedup actually runs: cheapest tier first, each tier
+    * only over the previous tier's SURVIVORS, so the expensive keys
+    * never see rows a cheaper tier already killed. Tiers here are the
+    * three hash families the suite gates individually — exact
+    * (verbatim md5), exact-normalized (whitespace/case collapse),
+    * prefix (first-6-token truncation fingerprint) — each with the
+    * keep-best survivorship (longest text, ties → min id). The
+    * output is the curator's funnel: docs in / removed / out per
+    * tier, exact integers.
+    *
+    * 100-TB shape: three hash aggregations over shrinking inputs;
+    * every tier shuffles (key, len, id) triples only — texts stay in
+    * place; a near-dup tier slots after prefix using the banded
+    * minhash machinery unchanged (its candidates are also
+    * survivor-only). */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+    def tier(in: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+      val keepers = in
+        .groupBy(key.as("k"))
+        .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"))
+        .select((-col("m.nid")).as("doc_id"))
+      // survivors keep their text for the next tier; checkpoint so
+      // the funnel counts below don't re-derive the whole chain per
+      // tier (the hashMinComponents lineage lesson)
+      in.join(keepers, "doc_id").localCheckpoint(true)
+    }
+    val t1 = tier(docs, md5(col("text").cast("binary")))
+    val t2 = tier(t1, md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      .cast("binary")))
+    val t3 = tier(t2, substring_index(col("text"), " ", 6))
+    def row(name: String, ord: Int, in: DataFrame, out: DataFrame) = {
+      val nIn = in.count(); val nOut = out.count()
+      (ord.toLong, name, nIn, nIn - nOut, nOut)
+    }
+    import spark.implicits._
+    Seq(
+      row("1_exact", 1, docs, t1),
+      row("2_normalized", 2, t1, t2),
+      row("3_prefix", 3, t2, t3))
+      .toDF("tier_no", "tier", "docs_in", "docs_removed", "docs_out")
+      .orderBy("tier_no")
+  }
+
 }

@@ -275,6 +275,30 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_dedup_cascade: each tier removes exactly its own dup class") {
+    // A-pair verbatim dups (tier 1), B-pair equal only after
+    // whitespace collapse (tier 2), C-pair equal only on the 6-token
+    // prefix (tier 3), D unique — the funnel must be 7→6→5→4 with
+    // one removal per tier
+    val d = Files.createTempDirectory("graft-r12-cascade").toString
+    Seq(
+      (1L, "x y"), (2L, "x y"),
+      (3L, "a  b"), (4L, "a b"),
+      (5L, "w1 w2 w3 w4 w5 w6 t7"), (6L, "w1 w2 w3 w4 w5 w6"),
+      (7L, "unique doc"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = Pipeline.dedupCascade(spark, d).collect()
+      .map(x => (x.getAs[Long]("tier_no"), x.getAs[Long]("docs_in"),
+        x.getAs[Long]("docs_removed"), x.getAs[Long]("docs_out")))
+    assert(rows.toSeq === Seq((1L, 7L, 1L, 6L), (2L, 6L, 1L, 5L),
+      (3L, 5L, 1L, 4L)))
+  }
+
   test("events_heavy_hitters: MG eviction under k=3 keeps the recall guarantee") {
     // one heavy key (400 of 1000 events = 40%) buried in 40 noise
     // keys; k = 3 counters FORCES constant decrement-all eviction,
