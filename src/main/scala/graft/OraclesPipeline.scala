@@ -802,7 +802,12 @@ object OraclesPipeline {
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
     // the cascade funnel: each tier's arg_max survivorship over the
-    // previous tier's survivors; counts per tier are exact
+    // previous tier's survivors; counts per tier are exact.
+    // ORACLE-ONLY bound: the keep-best composite len·10¹² − doc_id
+    // overflows BIGINT at len ≥ ~9.2·10⁶ chars (the q52ArgMinmax
+    // headroom note) — fine for this corpus (max doc ~10³ chars,
+    // asserted by the Spark side's tests); the Spark operators use
+    // struct-max and carry no such bound
     "pipeline_dedup_cascade" ->
       """WITH d AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
         |  FROM documents),
@@ -832,7 +837,9 @@ object OraclesPipeline {
 
     // truncation-duplicate candidates: first-6-token fingerprint,
     // keeper = longest text (ties → smallest id). DuckDB's list
-    // slice reproduces Spark's substring_index on single-space text
+    // slice reproduces Spark's substring_index on single-space text.
+    // Same oracle-only len·10¹² composite bound as the cascade above
+    // (len < ~9.2·10⁶ chars); Spark side is struct-max, unbounded
     "dedup_prefix" ->
       """WITH p AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
         |    array_to_string((string_split(text, ' '))[1:6], ' ') AS prefix
@@ -945,38 +952,40 @@ object OraclesPipeline {
     "ann_kmeans_recall" ->
       s"""WITH e AS ($embDouble),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |c AS (SELECT vec_id, v FROM e),
          |s AS (SELECT qid, vec_id,
          |    round(${dot("qv", "v")} / (sqrt(${dot("qv", "qv")})
          |      * sqrt(${dot("v", "v")})), 6) AS cos_sim
-         |  FROM c CROSS JOIN q),
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s)
          |SELECT qid, vec_id AS exact_top1, cos_sim AS exact_top1_sim,
          |  TRUE AS recall_ok
          |FROM r WHERE rank = 1 ORDER BY qid""".stripMargin,
 
-    // majority-vote kNN label transfer: top-5 cosine neighbors
-    // (rank ties → smallest vec_id), vote ties → smallest label
+    // majority-vote kNN label transfer (round-13 production shape):
+    // a ≤100-vector labeled seed classifies every corpus vector;
+    // top-5 cosine seed neighbors (rank ties → smallest seed id),
+    // vote ties → smallest label
     "knn_classify" ->
       s"""WITH e AS ($embDouble),
-         |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv
-         |      FROM e WHERE vec_id % 20 = 7),
-         |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 20 <> 7),
-         |s AS (SELECT qid, true_label, c.vec_id, c.label,
-         |    round(${dot("qv", "v")} / (sqrt(${dot("qv", "qv")})
-         |      * sqrt(${dot("v", "v")})), 6) AS cos_sim
-         |  FROM c CROSS JOIN q),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s),
-         |v AS (SELECT qid, true_label, label, COUNT(*) AS votes
+         |seed AS (SELECT vec_id AS sid, label AS slabel, v AS sv
+         |      FROM e WHERE vec_id < 100),
+         |c AS (SELECT vec_id, label AS true_label, v FROM e WHERE vec_id >= 100),
+         |s AS (SELECT c.vec_id, true_label, sid, slabel,
+         |    round(${dot("v", "sv")} / (sqrt(${dot("v", "v")})
+         |      * sqrt(${dot("sv", "sv")})), 6) AS cos_sim
+         |  FROM c CROSS JOIN seed),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, sid ASC) AS rank FROM s),
+         |v AS (SELECT vec_id, true_label, slabel, COUNT(*) AS votes
          |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
-         |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY votes DESC, label ASC) AS pr FROM v)
-         |SELECT qid, true_label, label AS pred_label,
+         |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY votes DESC, slabel ASC) AS pr FROM v)
+         |SELECT vec_id, true_label, slabel AS pred_label,
          |  CAST(votes AS BIGINT) AS votes,
-         |  label = true_label AS correct
-         |FROM p WHERE pr = 1 ORDER BY qid""".stripMargin,
+         |  slabel = true_label AS correct
+         |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id,

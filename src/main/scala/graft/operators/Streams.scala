@@ -691,8 +691,15 @@ object Streams {
     // 100k (single-batch below sf0.1, ~10 batches at 10×, so the
     // multi-batch path stays exercised at scale); the env override
     // is the experiment knob.
-    val triggerRows = sys.env.get("SPARK_GRAFT_DRAIN_TRIGGER")
-      .map(_.toLong).getOrElse(100000L)
+    val triggerRows = sys.env.get("SPARK_GRAFT_DRAIN_TRIGGER").map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        // fail with the variable NAMED — a bare NumberFormatException
+        // from deep inside a drain is undebuggable (ADVICE round 12)
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_DRAIN_TRIGGER must be a record count, got '$s'")
+      }
+    }.getOrElse(100000L)
     val stream = ss.readStream.format("graft-topic")
       .option("maxOffsetsPerTrigger", triggerRows)
       .load(topicDir)

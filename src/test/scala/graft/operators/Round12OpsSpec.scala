@@ -193,12 +193,13 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(byAge(10L).getAs[Long]("n_churned") === 0L)
   }
 
-  /** embeddings: query 7 ([1,0]) has top-5 neighbors with labels
-    * 1,1,2,2,3 — a 2-2 vote tie that must break to label 1. */
+  /** embeddings: corpus row 107 ([1,0]) has top-5 SEED neighbors with
+    * labels 1,1,2,2,3 — a 2-2 vote tie that must break to label 1.
+    * Seed = vec_id < 100 (the round-13 O(1) labeled-seed shape). */
   lazy val embDir: String = {
     val d = Files.createTempDirectory("graft-r12-emb").toString
     Seq(
-      (7L, Seq(1.0f, 0.0f), 2),   // the query (≡7 mod 20); true label 2
+      (107L, Seq(1.0f, 0.0f), 2), // the classified row; true label 2
       (1L, Seq(1.0f, 0.0f), 1),   // cos 1.0
       (2L, Seq(0.9f, 0.1f), 2),   // cos .994
       (3L, Seq(0.8f, 0.2f), 2),   // cos .970
@@ -214,7 +215,7 @@ class Round12OpsSpec extends AnyFunSuite {
     val rows = Similarity.knnClassify(spark, embDir).collect()
     assert(rows.length === 1)
     val r = rows.head
-    assert(r.getAs[Long]("qid") === 7L)
+    assert(r.getAs[Long]("vec_id") === 107L)
     assert(r.getAs[Int]("true_label") === 2)
     assert(r.getAs[Int]("pred_label") === 1) // labels 1,1,2,2,3 → tie → 1
     assert(r.getAs[Long]("votes") === 2L)
