@@ -424,14 +424,17 @@ object OraclesEvents {
 
     // the MG candidate tier is plan-internal (recall-complete above
     // n/(k+1) ⇒ exact output); the oracle is the direct GROUP BY
+    // exactness contract of the MG pass: candidates ⊇ every key above
+    // n/65 (recall bound n/(k+1) = n/65), recount is exact, so the
+    // output equals this plain GROUP BY ... HAVING
     "events_heavy_hitters" ->
       """WITH t AS (SELECT COUNT(*) AS total FROM events)
-        |SELECT event_type, COUNT(*) AS n_events,
+        |SELECT CAST(round(value) AS BIGINT) AS dollars, COUNT(*) AS n_events,
         |  COUNT(*) * 1000000 // MAX(total) AS share_ppm
         |FROM events CROSS JOIN t
-        |GROUP BY event_type, t.total
-        |HAVING COUNT(*) * 20 > t.total
-        |ORDER BY event_type""".stripMargin,
+        |GROUP BY 1, t.total
+        |HAVING COUNT(*) * 65 > t.total
+        |ORDER BY dollars""".stripMargin,
 
     // two lags over one user-keyed order; conditional ppm is exact
     // integer arithmetic on trigram/bigram counts

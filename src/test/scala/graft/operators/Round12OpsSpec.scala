@@ -301,30 +301,46 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   test("events_heavy_hitters: MG eviction under k=3 keeps the recall guarantee") {
-    // one heavy key (400 of 1000 events = 40%) buried in 40 noise
-    // keys; k = 3 counters FORCES constant decrement-all eviction,
-    // and the guarantee (recall above n/(k+1) = 25%) must still
-    // surface the heavy key; θ = n/4 = 25% — the LARGEST threshold
-    // the k=3 soundness guard admits (review catch: the first draft
-    // ran θ = 5% < the recall bound and was sound only by luck) —
-    // → exactly one row out, with the EXACT count
+    // one heavy dollar bucket (400 of 1000 events = 40% at value 7.0)
+    // buried in 40 noise buckets (100..139); k = 3 counters FORCES
+    // constant decrement-all eviction, and the guarantee (recall
+    // above n/(k+1) = 25%) must still surface the heavy key; θ = n/4
+    // = 25% — the LARGEST threshold the k=3 soundness guard admits
+    // (review catch: the first draft ran θ = 5% < the recall bound
+    // and was sound only by luck) — → exactly one row out, with the
+    // EXACT count
     val d = Files.createTempDirectory("graft-r12-hh").toString
     val day0 = 1700006400000000L
     val rows = (0 until 1000).map { i =>
-      val key = if (i % 5 < 2) "heavy" else s"noise_${i % 40}"
-      (i.toLong, i.toLong % 7, key,
+      val value = if (i % 5 < 2) 7.0 else (100 + i % 40).toDouble
+      (i.toLong, i.toLong % 7, "click", value,
         new Timestamp((day0 + i * 60000000L) / 1000))
     }
-    rows.toDF("event_id", "user_id", "event_type", "ts")
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
       .repartition(8) // multiple partitions: the union-of-summaries path
       .write.parquet(s"$d/events.parquet")
     val out = EventAnalytics.heavyHitters(spark, d, k = 3,
       thresholdDen = 4L).collect()
     assert(out.length === 1)
-    assert(out.head.getString(0) === "heavy")
+    assert(out.head.getAs[Long]("dollars") === 7L)
     assert(out.head.getAs[Long]("n_events") === 400L)
     assert(out.head.getAs[Long]("share_ppm") === 400000L)
-    // noise keys: 600/40 = 15 events = 1.5% each, all below θ
+    // eviction PROVABLY ran: per-partition summaries hold ≤ k keys,
+    // so the candidate union (≤ 3·8 = 24) must be smaller than the
+    // 41 distinct keys a full groupBy would shuffle
+    import spark.implicits._
+    val mg = EventAnalytics.mgSummary(
+      graft.Tables.events(spark, d)
+        .select(org.apache.spark.sql.functions.expr(
+          "CAST(round(value) AS BIGINT)")).as[Long], 3)
+    val nCand = mg.filter($"key" =!= EventAnalytics.MgCountKey)
+      .select("key").distinct().count()
+    assert(nCand < 41L, s"eviction never ran: $nCand candidates")
+    assert(nCand >= 1L)
+    // the folded per-partition counts must reconstruct the total
+    val tot = mg.filter($"key" === EventAnalytics.MgCountKey)
+      .agg(org.apache.spark.sql.functions.sum("rows")).collect()(0).getLong(0)
+    assert(tot === 1000L)
     // and the unsound parameter pair must be rejected loudly
     intercept[IllegalArgumentException] {
       EventAnalytics.heavyHitters(spark, d, k = 3, thresholdDen = 20L)
