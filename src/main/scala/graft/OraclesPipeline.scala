@@ -624,6 +624,42 @@ object OraclesPipeline {
          |    AS long_word_share
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
+    // BPE-application contract gate (round 13): the learned merge
+    // table is a parquet FIXTURE both engines read (written by the
+    // Spark side at TextAnalysis.BpeFixturePath immediately before
+    // applying it); a recursive CTE replays the replace chain rank by
+    // rank over the same SO/SI-wrapped symbol string encoding, so a
+    // wrong merge table breaks this hash. replace() is left-to-right
+    // non-overlapping with no rescan of the replacement in BOTH
+    // engines — exactly the greedy single-pass BPE merge.
+    "text_bpe_apply" ->
+      """WITH RECURSIVE m AS (SELECT "rank" AS rk, "left" AS a, "right" AS b,
+        |    merged FROM '/tmp/graft-bpe-merges.parquet/*.parquet'),
+        |base AS (SELECT doc_id,
+        |    replace(regexp_replace(text, '(.)', chr(14) || '\1' || chr(15), 'g'),
+        |      chr(14) || ' ' || chr(15), chr(14) || '</w>' || chr(15))
+        |    || chr(14) || '</w>' || chr(15) AS s
+        |  FROM documents),
+        |apl AS (
+        |  SELECT doc_id, s, 0 AS r FROM base
+        |  UNION ALL
+        |  SELECT a.doc_id,
+        |    replace(a.s, chr(14) || m.a || chr(15) || chr(14) || m.b || chr(15),
+        |      chr(14) || m.merged || chr(15)), a.r + 1
+        |  FROM apl a JOIN m ON m.rk = a.r + 1),
+        |fin AS (SELECT doc_id, s FROM apl
+        |  WHERE r = (SELECT COALESCE(max(rk), 0) FROM m)),
+        |cnt AS (SELECT b.doc_id,
+        |    (strlen(b.s) - strlen(replace(b.s, chr(14), ''))) AS n_base_syms,
+        |    (strlen(f.s) - strlen(replace(f.s, chr(14), ''))) AS n_bpe_tokens
+        |  FROM base b JOIN fin f USING (doc_id))
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+        |  c.n_base_syms, c.n_bpe_tokens,
+        |  round(CAST(c.n_base_syms AS DOUBLE) / c.n_bpe_tokens, 6) AS compression
+        |FROM cnt c JOIN documents d ON d.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars_actual,

@@ -264,6 +264,83 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Fixture seam of [[textBpeApply]]: the learned merge table is
+    * persisted HERE (parquet, overwritten per corpus) so the DuckDB
+    * oracle can read the exact same rules — the CellCodebook.save
+    * precedent applied to the tokenizer. The path is fixed (not
+    * corpus-keyed) because oracle SQL is static text; the gate flow
+    * (Verify fully, then compare) makes last-writer-wins safe, and
+    * concurrent Verify runs against different corpora are already
+    * outside the gate's discipline. */
+  private[graft] val BpeFixturePath = "/tmp/graft-bpe-merges.parquet"
+
+  /** Symbol wrappers of [[textBpeApply]]'s string encoding (SO/SI
+    * control chars — provably absent from the documents corpus, whose
+    * alphabet is lowercase ASCII + space; asserted in LlmOpsSpec). */
+  private[graft] val BpeS1 = "\u000E"
+  private[graft] val BpeS2 = "\u000F"
+
+  /** BPE merge-table APPLICATION (round 13) — the other half of the
+    * tokenizer lifecycle: [[textBpeTrain]]'s learned merges, persisted
+    * as a fixture BOTH engines read, re-tokenize every document; the
+    * query emits per-doc word/symbol/BPE-token counts and the
+    * compression ratio. This is the verdict-directed contract gate for
+    * the one remaining unchecked semantic: the train LOOP stays ◦
+    * (iterative fixpoint, outside a single SQL query), but its
+    * OUTPUT now feeds a fully oracle-checked application, so a wrong
+    * merge table breaks this row's hash at both SFs.
+    *
+    * Encoding: each symbol rides as ⟨sym⟩ (SO/SI-wrapped), a word's
+    * chars wrap individually, word boundaries become the ⟨</w>⟩
+    * symbol, and applying merge (a,b)→ab is ONE literal
+    * `replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)`: left-to-right non-overlapping
+    * replacement with no rescan of the replacement text — exactly
+    * the greedy single-pass fold BPE specifies (and textBpeTrain's
+    * aggregate implements), while false matches are impossible (a
+    * pattern can't start or end mid-symbol, and no learned rule
+    * crosses a word boundary because ⟨</w>⟩ is always word-final in
+    * training). The oracle replays the same replace chain via a
+    * recursive CTE joined to the fixture by rank.
+    *
+    * Scale shape: the merge table is O(vocab-rules) — collected once
+    * (bounded, the codebook class of driver access) and inlined as
+    * ~20 literal codegen'd string replaces; the whole query is then
+    * ONE map-side scan of documents (no join, no shuffle but the
+    * terminal sort). Train cost is vocabulary-bounded, not
+    * corpus-bounded (see [[textBpeTrain]]). */
+  def textBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    def w(s: String) = BpeS1 + s + BpeS2
+    textBpeTrain(spark, dir)
+      .select("rank", "left", "right", "merged")
+      .coalesce(1).write.mode("overwrite").parquet(BpeFixturePath)
+    // re-read what was WRITTEN: the applied rules are provably the
+    // fixture's rules, not the in-memory table that produced it
+    val merges = spark.read.parquet(BpeFixturePath)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[String]("merged")))
+    val s0 = concat(
+      regexp_replace(
+        regexp_replace(col("text"), "(.)", w("$1")),
+        w(" "), w("</w>")),
+      lit(w("</w>")))
+    val applied = merges.foldLeft(col("s0")) { case (c, (a, b, m)) =>
+      replace(c, lit(w(a) + w(b)), lit(w(m)))
+    }
+    def nSyms(c: org.apache.spark.sql.Column) =
+      (length(c) - length(replace(c, lit(BpeS1)))).cast("long")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_words"), s0.as("s0"))
+      .withColumn("n_base_syms", nSyms(col("s0")))
+      .withColumn("sf", applied)
+      .select(col("doc_id"), col("n_words"), col("n_base_syms"),
+        nSyms(col("sf")).as("n_bpe_tokens"),
+        round(col("n_base_syms").cast("double") /
+          nSyms(col("sf")).cast("double"), 6).as("compression"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document top-k TF-IDF keywords — the classic
     * keyword-extraction / doc-representation primitive. Scoring is
     * ALL-INTEGER: `score_q = tf · round(ln(N/df)·10⁴)` (the
