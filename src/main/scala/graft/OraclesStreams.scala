@@ -187,6 +187,40 @@ object OraclesStreams {
         |FROM l WHERE prev_us IS NOT NULL AND ts_us - prev_us > 21600000000
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // event-time timers: batch 6 h sessionization; every non-final
+    // session of a user emits (the input path catches it at the
+    // latest), the final one iff its timer expiry
+    // (⌊end_µs/1000⌋ + 6 h) is INSIDE-OR-AT the final no-data
+    // batch's watermark W_ms = ⌊max_ts_µs/1000⌋ − 1 day — Spark
+    // fires timers with expiry ≤ W (inclusive; W + 1 ms holds),
+    // empirically bracketed at ±1 ms and re-pinned by
+    // StreamExecParitySpec's planted probes
+    "stream_exec_tws_timers" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT (SELECT max(us) // 1000 FROM ev) - 86400000 AS wms),
+        |b AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+        |  FROM b),
+        |sess AS (SELECT user_id, session_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY 1, 2),
+        |mx AS (SELECT user_id, MAX(session_idx) AS last_idx
+        |  FROM sess GROUP BY 1)
+        |SELECT sess.user_id, sess.session_idx, sess.n_events,
+        |  make_timestamp(start_us) AS start_ts,
+        |  make_timestamp(end_us) AS end_ts
+        |FROM sess JOIN mx USING (user_id)
+        |WHERE session_idx < last_idx
+        |   OR end_us // 1000 + 21600000 <= (SELECT wms FROM wm)
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     // the LEFT OUTER watermarked join: matched pairs = the batch
     // interval join; null-padded views = unmatched views whose join
     // horizon (v_ts + 1 h) sits STRICTLY more than 1 ms inside the

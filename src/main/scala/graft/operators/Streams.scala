@@ -72,6 +72,102 @@ private[graft] class GapProcessor(gapUs: Long)
   }
 }
 
+/** Keyed state of [[Streams.streamExecTwsTimers]]: the user's open
+  * session (next emission index, fill, span) plus the registered
+  * timer's expiry. `n == 0` marks "no open session" — the record
+  * PERSISTS after a timer close so `session_idx` stays a per-user
+  * running index (clearing it would restart indices and duplicate
+  * keys whenever a later event re-opens the user). O(1) per key;
+  * production would add a TTLConfig for users gone forever. */
+case class SessState(session_idx: Long, n: Long, start_us: Long,
+    last_us: Long, timer_ms: Long)
+
+/** One closed session, emitted exactly once — by the event that
+  * overshoots the 6 h gap (input path) or by the event-time timer
+  * when the watermark proves no such event can come (timer path).
+  * Both paths emit the IDENTICAL row, which is what makes the query
+  * batch-boundary independent. */
+case class SessRow(user_id: Long, session_idx: Long, n_events: Long,
+    start_us: Long, end_us: Long)
+
+/** The [[Streams.streamExecTwsTimers]] state machine — the EVENT-TIME
+  * TIMER path of the state API v2 (registerTimer / deleteTimer /
+  * handleExpiredTimer on the RocksDB timer column family), which
+  * [[GapProcessor]]'s TimeMode.None leg never touches: per user, a
+  * 6 h idle gap closes the open session; the close is emitted by
+  * whichever proof arrives first —
+  *  - INPUT: the next event itself overshoots the gap (the fold sees
+  *    it directly), or
+  *  - TIMER: the global watermark passes `end + gap` with the session
+  *    still open (no event CAN close it later: any in-gap
+  *    continuation was admitted before the watermark got there — the
+  *    [[Streams.ensureEventsTopicByTime]] ordered-arrival argument,
+  *    with the 1-day delay dwarfing cross-partition frontier skew).
+  * Both paths emit the same row and advance the index identically,
+  * so the output is a pure function of the event sequence; the
+  * trailing open session emits iff the FINAL no-data batch's
+  * watermark passes its expiry (the oracle's cutoff predicate).
+  * Timer bookkeeping: exactly one pending timer per open session —
+  * re-registered per batch, deleted on input-close (a timer that
+  * already fired leaves n = 0 and the expiry guard ignores any
+  * stale sibling). */
+private[graft] class SessionTimerProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ChunkEvent, SessRow] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[SessState]("sess",
+      org.apache.spark.sql.Encoders.product[SessState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ChunkEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessRow] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var s = if (st.exists()) st.get() else SessState(0L, 0L, 0L, 0L, 0L)
+    if (s.n > 0L) getHandle.deleteTimer(s.timer_ms)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+    sorted.foreach { e =>
+      if (s.n == 0L)
+        s = SessState(s.session_idx, 1L, e.ts_us, e.ts_us, 0L)
+      else if (e.ts_us - s.last_us > gapUs) {
+        out += SessRow(key, s.session_idx, s.n, s.start_us, s.last_us)
+        SessionTimerProcessor.inputCloses.incrementAndGet()
+        s = SessState(s.session_idx + 1L, 1L, e.ts_us, e.ts_us, 0L)
+      } else s = s.copy(n = s.n + 1L, last_us = e.ts_us)
+    }
+    // ms-floored expiry: the timer API is millisecond-granular
+    val expiry = s.last_us / 1000L + gapUs / 1000L
+    getHandle.registerTimer(expiry)
+    st.update(s.copy(timer_ms = expiry))
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessRow] = {
+    val s = if (st.exists()) st.get() else SessState(0L, 0L, 0L, 0L, 0L)
+    if (s.n > 0L && s.timer_ms == expiredTimerInfo.getExpiryTimeInMs) {
+      SessionTimerProcessor.timerCloses.incrementAndGet()
+      st.update(SessState(s.session_idx + 1L, 0L, 0L, 0L, 0L))
+      Iterator.single(SessRow(key, s.session_idx, s.n, s.start_us, s.last_us))
+    } else Iterator.empty
+  }
+}
+
+/** Local-mode observability for the spec (executors share the JVM at
+  * local[*]): which close path ran, how often. NOT part of any gated
+  * output — emission paths are batch-boundary DEPENDENT by nature;
+  * only the emitted rows are invariant. */
+private[graft] object SessionTimerProcessor {
+  val timerCloses = new java.util.concurrent.atomic.AtomicLong
+  val inputCloses = new java.util.concurrent.atomic.AtomicLong
+}
+
 /** §2a event-streaming semantics, batch-queryable form.
   *
   * The `events` table is viewed as one topic ("events") with 8
@@ -1089,6 +1185,59 @@ object Streams {
         timestamp_micros(col("prev_us")).as("prev_ts"),
         timestamp_micros(col("ts_us")).as("ts"), col("gap_us"))
         .orderBy("user_id", "event_id")
+    }
+
+  /** EVENT-TIME TIMERS through the oracle gate (round 13) — the state
+    * API v2 surface [[streamExecTwsGaps]] leaves untouched
+    * (TimeMode.None registers nothing): `transformWithState` with
+    * `TimeMode.EventTime`, a per-key timer re-registered at
+    * `session_end + 6 h`, and `handleExpiredTimer` EMITTING ON
+    * EXPIRY — the TTL/session-close pattern real v2 pipelines are
+    * built on, exercising registerTimer/deleteTimer and the RocksDB
+    * timer column family end to end. The state machine is
+    * SESSIONIZATION with dual-path close (see
+    * [[SessionTimerProcessor]]): a session emits exactly once, when
+    * the next event overshoots the 6 h gap or when the watermark
+    * proves no continuation can come — identical rows either way, so
+    * the drained result is batch-boundary independent
+    * (StreamExecParitySpec forces tiny batches AND proves timers
+    * actually fired).
+    *
+    * The oracle is the batch sessionization plus Spark's timer
+    * boundary, empirically pinned (probe bracketed at ±1 ms around
+    * the final watermark; the spec re-pins it on planted data):
+    * the final no-data batch fires timers with
+    * `expiry_ms ≤ W_ms` (INCLUSIVE — a timer AT the watermark fires;
+    * W + 1 ms holds), where `W_ms = ⌊max_ts_µs/1000⌋ − 1 day` and
+    * `expiry_ms = ⌊end_µs/1000⌋ + 6 h`; every non-final session of a
+    * user emits unconditionally (input path at the latest). 1-day
+    * delay over the time-ordered topic = the established no-late-data
+    * argument; output is n-proportional → durable parquet drain. */
+  def streamExecTwsTimers(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_tws_timers", "append",
+        durable = true, byTime = true, rocksdb = true) { stream =>
+      val ss = stream.sparkSession
+      import ss.implicits._
+      stream.select(
+          element_at(col("headers"), "user_id").cast("string").cast("long")
+            .as("user_id"),
+          col("ts"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("key").cast("string").cast("long").as("event_id"),
+          lit(0L).as("k"))
+        .withWatermark("ts", "1 day")
+        .drop("ts")
+        .as[ChunkEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(TwsGapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    } { t =>
+      t.select(col("user_id"), col("session_idx"), col("n_events"),
+        timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"))
+        .orderBy("user_id", "session_idx")
     }
 
   /** Chunk size of [[streamExecCustomState]] — small enough that

@@ -176,6 +176,26 @@ object Scale100Probe {
       f"scaled=${frS.toDouble / byS}%.6f (must be ~equal: frames track bytes)")
     report("frame_dup_reduce_rows(docs)", dcB.toDouble, dcS.toDouble)
 
+    // Round-13 shape: knn_classify's broadcast side must be CONSTANT
+    // in n (the round-12 scale-killer was an n-proportional
+    // broadcast). The seed is an absolute id cap, so rows AND bytes
+    // must not move as the corpus replicates — ratio 1.00, not the
+    // replica factor.
+    def knnSeed(d: String): (Long, Long) = {
+      import graft.functions.VectorFunctions.toDoubleVec
+      val seed = t(spark, d, "embeddings")
+        .filter(col("vec_id") < graft.operators.Similarity.KnnSeedCap)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      val rows = seed.count()
+      // bytes as carried by the broadcast struct: 64 doubles + id + label + norm
+      (rows, rows * (64L * 8 + 3 * 8))
+    }
+    val (ksrB, ksbB) = knnSeed(baseDir)
+    val (ksrS, ksbS) = knnSeed(out)
+    println(f"probe=knn_seed_broadcast base_rows=$ksrB scaled_rows=$ksrS " +
+      f"base_bytes=$ksbB scaled_bytes=$ksbS " +
+      f"(must be EQUAL at any corpus scale: the seed is an absolute cap)")
+
     spark.stop()
   }
 }

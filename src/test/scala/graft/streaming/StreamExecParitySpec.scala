@@ -283,6 +283,115 @@ class StreamExecParitySpec extends AnyFunSuite {
       "gaps must equal the batch lag-window formulation")
   }
 
+  /** stream_exec_tws_timers' claims, on planted data with forced tiny
+    * micro-batches: (1) the emitted sessions equal the batch 6 h
+    * sessionization under the pinned final-watermark cutoff; (2)
+    * event-time timers ACTUALLY fire (expired-timer count grows) —
+    * the round-12 verdict's zero-coverage path; (3) in-drain closes
+    * still ride the input path (both paths emit identical rows); (4)
+    * the timer-expiry boundary is exactly `expiry_ms ≤ W_ms`
+    * (INCLUSIVE — planted probes at W − 1 ms, W, and W + 1 ms; the
+    * probe run that pinned this had the strict hypothesis fail on
+    * the at-W row). Single-partition topic in event-time order = the
+    * global-prefix admission that makes the watermark a true lower
+    * bound on unadmitted data. */
+  test("transformWithState timers: session close on expiry, exact boundary") {
+    import graft.operators.{ChunkEvent, SessionTimerProcessor, Streams}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft-twt").toString
+    val log = TopicLog.create(ss, root, "t", 1)
+    val baseUs = 1700000000000000L
+    val hourUs = 3600000000L
+    // user 0: 12 events, steps alternating 1 h / 6.5 h → six
+    // 2-event sessions; each 6.5 h gap closes via INPUT (the closing
+    // event is admitted before any row that could push the watermark
+    // past end + 6 h, because admission follows global time order)
+    val t0 = (0 until 12).scanLeft(0L) { (acc, s) =>
+      acc + (if (s % 2 == 0) hourUs else 23400000000L)
+    }.take(12)
+    // user 1 ("clock"): 21 events at 10 h spacing drive the final
+    // watermark to W = 200 h − 1 h (its own sessions are singletons)
+    val clock = (0 to 20).map(i => i * 10L * hourUs)
+    val wMs = (baseUs + 200 * hourUs) / 1000 - 3600000L
+    // boundary probes (single-event users): expiry at exactly W
+    // (user 2 — EMITTED: the boundary is inclusive), at W − 1 ms
+    // (user 3 — emitted), at W + 1 ms (user 5 — withheld), and well
+    // inside (user 4)
+    val aUs = (wMs - 21600000L) * 1000
+    val bUs = (wMs - 21600001L) * 1000
+    val cUs = (wMs - 57600000L) * 1000
+    val dUs = (wMs - 21599999L) * 1000
+    val rows =
+      t0.zipWithIndex.map { case (ts, i) => (i + 1L, 0L, baseUs + ts) } ++
+      clock.zipWithIndex.map { case (ts, i) => (100L + i, 1L, baseUs + ts) } ++
+      Seq((200L, 2L, aUs), (201L, 3L, bUs), (202L, 4L, cUs),
+        (203L, 5L, dUs))
+    val df = rows.toDF("event_id", "user_id", "ts_us")
+      .select(col("event_id").cast("string").cast("binary").as("key"),
+        to_json(struct(lit(0L).as("k"))).cast("binary").as("value"),
+        map(lit("user_id"), col("user_id").cast("string").cast("binary"))
+          .as("headers"),
+        expr("timestamp_micros(ts_us)").as("ts"),
+        lit(0).as("partition"))
+    log.produce(df.orderBy("ts_us"), partitioner = col("partition"))
+
+    val timer0 = SessionTimerProcessor.timerCloses.get()
+    val input0 = SessionTimerProcessor.inputCloses.get()
+    val name = "twt_parity"
+    val q = ss.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 7L) // 36 rows → ≥5 micro-batches
+      .load(s"$root/t")
+      .select(
+        element_at(col("headers"), "user_id").cast("string").cast("long")
+          .as("user_id"),
+        col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("key").cast("string").cast("long").as("event_id"),
+        lit(0L).as("k"))
+      .withWatermark("ts", "1 hour")
+      .drop("ts")
+      .as[ChunkEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimerProcessor(Streams.TwsGapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-twt-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "the drain must actually have crossed micro-batch boundaries")
+
+    val streamed = ss.table(name)
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val expected =
+      (0 until 6).map(j => (0L, j.toLong, 2L,
+        baseUs + t0(2 * j), baseUs + t0(2 * j + 1))).toSet ++
+      (0 until 20).map(i => (1L, i.toLong, 1L,
+        baseUs + clock(i), baseUs + clock(i))).toSet ++
+      Set((2L, 0L, 1L, aUs, aUs),   // expiry exactly W: emitted
+          (3L, 0L, 1L, bUs, bUs),   // expiry W − 1 ms: emitted
+          (4L, 0L, 1L, cUs, cUs))   // well inside: emitted
+      // user 5 (expiry W + 1 ms) withheld — the inclusive boundary's
+      // other side; the clock's trailing session (W + 5 h) withheld
+    assert(streamed === expected,
+      "emitted sessions must equal the batch sessionization under the " +
+        "inclusive expiry <= W cutoff")
+    assert(SessionTimerProcessor.timerCloses.get() - timer0 >= 2L,
+      "event-time timers must actually have fired")
+    assert(SessionTimerProcessor.inputCloses.get() - input0 >= 5L,
+      "in-drain closes must ride the input path")
+  }
+
   /** stream_exec_outer_join_watermarked's claims, on planted data
     * with forced tiny micro-batches: (1) matched pairs equal the
     * batch interval join; (2) NULL-padded lefts are emitted for
