@@ -634,7 +634,9 @@ object OraclesPipeline {
     // engines — exactly the greedy single-pass BPE merge.
     "text_bpe_apply" ->
       """WITH RECURSIVE m AS (SELECT "rank" AS rk, "left" AS a, "right" AS b,
-        |    merged FROM '/tmp/graft-bpe-merges.parquet/*.parquet'),
+        |    merged FROM '/tmp/graft-bpe-merges.parquet/*/*.parquet'
+        |    WHERE corpus_docs = (SELECT COUNT(*) FROM documents)
+        |      AND corpus_chars = (SELECT SUM(strlen(text)) FROM documents)),
         |base AS (SELECT doc_id,
         |    replace(regexp_replace(text, '(.)', chr(14) || '\1' || chr(15), 'g'),
         |      chr(14) || ' ' || chr(15), chr(14) || '</w>' || chr(15))

@@ -315,6 +315,32 @@ object OraclesStreams {
         |FROM o GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
         |ORDER BY user_id, chunk_idx""".stripMargin,
 
+    // the SAME formulation gates the ListState re-implementation —
+    // the v1 (flatMapGroupsWithState) and v2 (transformWithState +
+    // ListState buffer) engines must hash to the same chunks, which
+    // pins cross-API equivalence on the real corpus
+    "stream_exec_tws_chunks" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events)
+        |SELECT user_id, rn // 5 AS chunk_idx, COUNT(*) AS n_events,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM o GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
+        |ORDER BY user_id, chunk_idx""".stripMargin,
+
+    // MapState running counts: per-(user, type) ordinal in
+    // (ts, event_id) order — the batch window formulation of the
+    // keyed sub-map fold
+    "stream_exec_tws_running" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS BIGINT) AS running_n
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "stream_sliding_agg" ->
       s"""SELECT ws, event_type, COUNT(*) AS n, $dsumVal AS sum_value
          |FROM (

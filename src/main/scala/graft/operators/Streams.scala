@@ -168,6 +168,112 @@ private[graft] object SessionTimerProcessor {
   val inputCloses = new java.util.concurrent.atomic.AtomicLong
 }
 
+/** Typed record of the MapState running-count drain ([[Streams
+  * .streamExecTwsRunning]]): the event's type rides alongside the
+  * ordering key. */
+case class TypedEvent(user_id: Long, ts_us: Long, event_id: Long,
+    etype: String)
+
+/** One per-event running-count emission: the n-th occurrence of this
+  * event's type for this user, in event-time order. */
+case class RunRow(user_id: Long, event_id: Long, event_type: String,
+    running_n: Long)
+
+/** The [[Streams.streamExecTwsRunning]] state machine — the MAPSTATE
+  * surface of the state API v2 (per-key keyed sub-map on RocksDB:
+  * containsKey/getValue/updateValue), which neither [[GapProcessor]]
+  * (ValueState) nor [[SessionTimerProcessor]] (ValueState + timers)
+  * touches: per user, a map event_type → occurrence count; each
+  * event emits its type's running ordinal. The map is
+  * |event_types|-bounded per key — the "per-entity sub-aggregates"
+  * pattern (per-user per-feature counters) MapState exists for,
+  * where a ValueState holding the whole map would rewrite every
+  * entry on every update. Same determinism contract as every v2
+  * fold here (ordered per-user arrival, in-batch sort). */
+private[graft] class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TypedEvent, RunRow] {
+  @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[RunRow] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    val out = new Array[RunRow](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      val e = sorted(i)
+      val n = (if (counts.containsKey(e.etype)) counts.getValue(e.etype)
+               else 0L) + 1L
+      counts.updateValue(e.etype, n)
+      out(i) = RunRow(key, e.event_id, e.etype, n)
+      i += 1
+    }
+    out.iterator
+  }
+}
+
+/** The [[Streams.streamExecTwsChunks]] state machine — the LISTSTATE
+  * surface of the state API v2 (append-ordered element log on
+  * RocksDB: get/appendList/clear), completing the v2 state-type
+  * coverage: [[Streams.chunkFold]]'s count-capped chunk semantics,
+  * but the partial chunk is buffered as the EVENTS THEMSELVES in a
+  * ListState (the "buffer raw elements until a condition closes
+  * them" pattern — ListState appends without rewriting the existing
+  * elements, which a ValueState holding the buffer would). A
+  * ValueState carries only the next chunk index. Emits exactly
+  * [[Streams.chunkFold]]'s rows, so the v1 oracle formulation gates
+  * this processor unchanged. */
+private[graft] class ChunkListProcessor(cap: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ChunkEvent, ChunkRow] {
+  @transient private var buf: org.apache.spark.sql.streaming.ListState[ChunkEvent] = _
+  @transient private var idx: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    buf = getHandle.getListState[ChunkEvent]("buf",
+      org.apache.spark.sql.Encoders.product[ChunkEvent],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    idx = getHandle.getValueState[Long]("idx",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[ChunkEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[ChunkRow] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    val cur = scala.collection.mutable.ArrayBuffer.empty[ChunkEvent]
+    if (buf.exists()) cur ++= buf.get()
+    var i = if (idx.exists()) idx.get() else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChunkRow]
+    sorted.foreach { e =>
+      cur += e
+      if (cur.length == cap) {
+        out += ChunkRow(key, i, cap.toLong, cur.head.ts_us, cur.last.ts_us,
+          cur.iterator.map(_.k).sum)
+        i += 1
+        cur.clear()
+      }
+    }
+    idx.update(i)
+    // rewrite the buffered partial: clear + appendList keeps the
+    // element ORDER the fold depends on (ListState preserves append
+    // order across batches)
+    buf.clear()
+    if (cur.nonEmpty) buf.appendList(cur.toArray)
+    out.iterator
+  }
+}
+
 /** §2a event-streaming semantics, batch-queryable form.
   *
   * The `events` table is viewed as one topic ("events") with 8
@@ -1238,6 +1344,77 @@ object Streams {
         timestamp_micros(col("start_us")).as("start_ts"),
         timestamp_micros(col("end_us")).as("end_ts"))
         .orderBy("user_id", "session_idx")
+    }
+
+  /** LISTSTATE through the oracle gate (round 13) — with
+    * [[streamExecTwsGaps]] (ValueState), [[streamExecTwsTimers]]
+    * (timers), and [[streamExecTwsRunning]] (MapState) this
+    * completes oracle coverage of every state TYPE the v2 API
+    * offers. Semantics = [[streamExecCustomState]]'s count-capped
+    * chunks, re-implemented with the partial chunk buffered as raw
+    * events in a [[ChunkListProcessor]] ListState — the
+    * buffer-until-close pattern (sessionized payload assembly,
+    * micro-batch packing) that appends without rewriting existing
+    * elements. Identical emitted rows ⇒ the v1 oracle gates it
+    * unchanged, which ALSO pins cross-API equivalence: the same
+    * corpus through flatMapGroupsWithState and through
+    * transformWithState+ListState must hash to the same result. */
+  def streamExecTwsChunks(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_tws_chunks", "append",
+        durable = true, byTime = true, rocksdb = true) { stream =>
+      val ss = stream.sparkSession
+      import ss.implicits._
+      stream.select(
+          element_at(col("headers"), "user_id").cast("string").cast("long")
+            .as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("key").cast("string").cast("long").as("event_id"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as("k"))
+        .as[ChunkEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new ChunkListProcessor(ChunkCap.toInt),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    } { t =>
+      t.select(col("user_id"), col("chunk_idx"), col("n_events"),
+        timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"), col("sum_k"))
+        .orderBy("user_id", "chunk_idx")
+    }
+
+  /** MAPSTATE through the oracle gate (round 13): per user, a
+    * RocksDB sub-map event_type → occurrence count
+    * ([[RunningCountProcessor]]); every event emits its type's
+    * per-user running ordinal — the per-entity-feature-counter shape
+    * (user×action counts, per-device error tallies) MapState exists
+    * for. The oracle is the batch window formulation
+    * (ROW_NUMBER per (user, type) in (ts, event_id) order), exact
+    * under the established ordered-arrival contract; output is one
+    * row per event → durable parquet drain. */
+  def streamExecTwsRunning(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_tws_running", "append",
+        durable = true, byTime = true, rocksdb = true) { stream =>
+      val ss = stream.sparkSession
+      import ss.implicits._
+      stream.select(
+          element_at(col("headers"), "user_id").cast("string").cast("long")
+            .as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("key").cast("string").cast("long").as("event_id"),
+          element_at(col("headers"), "event_type").cast("string")
+            .as("etype"))
+        .as[TypedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    } { t =>
+      t.select(col("user_id"), col("event_id"), col("event_type"),
+        col("running_n"))
+        .orderBy("user_id", "event_id")
     }
 
   /** Chunk size of [[streamExecCustomState]] — small enough that

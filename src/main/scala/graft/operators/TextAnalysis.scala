@@ -265,13 +265,19 @@ object TextAnalysis {
   }
 
   /** Fixture seam of [[textBpeApply]]: the learned merge table is
-    * persisted HERE (parquet, overwritten per corpus) so the DuckDB
-    * oracle can read the exact same rules — the CellCodebook.save
-    * precedent applied to the tokenizer. The path is fixed (not
-    * corpus-keyed) because oracle SQL is static text; the gate flow
-    * (Verify fully, then compare) makes last-writer-wins safe, and
-    * concurrent Verify runs against different corpora are already
-    * outside the gate's discipline. */
+    * persisted HERE (parquet) so the DuckDB oracle can read the
+    * exact same rules — the CellCodebook.save precedent applied to
+    * the tokenizer. The ROOT is fixed (oracle SQL is static text),
+    * but each corpus writes its OWN `docs_<n>_<chars>` subdir and
+    * stamps every row with (`corpus_docs`, `corpus_chars`); the
+    * oracle globs the root and filters both against the documents
+    * table it sees, so fixtures for different corpora COEXIST — a
+    * 10× Verify no longer clobbers the sf0.01 fixture between a
+    * dump and its compare, and the sf0.001/sf0.01 pair (SAME doc
+    * count, different text — caught in-round when the suite's
+    * sf0.001 pass raced a sf0.01 parity) disambiguate on the char
+    * total. Distinct corpora agreeing on BOTH counts could still
+    * collide; none of the gate corpora do. */
   private[graft] val BpeFixturePath = "/tmp/graft-bpe-merges.parquet"
 
   /** Symbol wrappers of [[textBpeApply]]'s string encoding (SO/SI
@@ -310,12 +316,18 @@ object TextAnalysis {
     * corpus-bounded (see [[textBpeTrain]]). */
   def textBpeApply(spark: SparkSession, dir: String): DataFrame = {
     def w(s: String) = BpeS1 + s + BpeS2
+    val fp = t(spark, dir, "documents")
+      .agg(count(lit(1)), sum(length(col("text")).cast("long"))).head()
+    val (nDocs, nChars) = (fp.getLong(0), fp.getLong(1))
+    val fixtureDir = s"$BpeFixturePath/docs_${nDocs}_$nChars"
     textBpeTrain(spark, dir)
       .select("rank", "left", "right", "merged")
-      .coalesce(1).write.mode("overwrite").parquet(BpeFixturePath)
+      .withColumn("corpus_docs", lit(nDocs))
+      .withColumn("corpus_chars", lit(nChars))
+      .coalesce(1).write.mode("overwrite").parquet(fixtureDir)
     // re-read what was WRITTEN: the applied rules are provably the
     // fixture's rules, not the in-memory table that produced it
-    val merges = spark.read.parquet(BpeFixturePath)
+    val merges = spark.read.parquet(fixtureDir)
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
         r.getAs[String]("merged")))

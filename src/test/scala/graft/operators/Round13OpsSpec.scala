@@ -45,8 +45,9 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows(2L).getAs[Long]("n_bpe_tokens") === 1L)
     assert(rows(2L).getAs[Double]("compression") === 5.0)
     // the fixture both engines read carries exactly the 4 learned
-    // merges, in training order
-    val fixture = spark.read.parquet(TextAnalysis.BpeFixturePath)
+    // merges, in training order (corpus-keyed subdir: 2 planted
+    // docs, 13 chars)
+    val fixture = spark.read.parquet(s"${TextAnalysis.BpeFixturePath}/docs_2_13")
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
     assert(fixture.toSeq === Seq(

@@ -283,6 +283,135 @@ class StreamExecParitySpec extends AnyFunSuite {
       "gaps must equal the batch lag-window formulation")
   }
 
+  /** stream_exec_tws_chunks' claim — the ListState re-implementation
+    * of the count-capped chunk fold emits EXACTLY the v1
+    * (flatMapGroupsWithState) rows whatever the batch boundaries:
+    * same 3-user/17-event fixture shape as the v1 leg, 7-record
+    * triggers splitting chunks mid-fill so the buffered PARTIAL
+    * survives in the ListState (clear + ordered appendList) across
+    * batches. */
+  test("transformWithState ListState: buffered chunks survive boundaries") {
+    import graft.operators.{ChunkEvent, ChunkListProcessor}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft-sxl").toString
+    val log = TopicLog.create(ss, root, "t", 2)
+    val rows = for (u <- 0 until 3; i <- 0 until 17) yield
+      (u * 100L + i, u.toLong,
+        new java.sql.Timestamp(1700000000000L + i * 60000L + u * 7L),
+        i + 1L, u % 2)
+    val df = rows.toDF("event_id", "user_id", "ts", "k", "partition")
+      .select(col("event_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("k"))).cast("binary").as("value"),
+        map(lit("user_id"), col("user_id").cast("string").cast("binary"))
+          .as("headers"),
+        col("ts"), col("partition").cast("int").as("partition"))
+    log.produce(df, partitioner = col("partition"))
+
+    val name = "sxl_parity"
+    val q = ss.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 7L) // splits chunks mid-fill
+      .load(s"$root/t")
+      .select(
+        element_at(col("headers"), "user_id").cast("string").cast("long")
+          .as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("key").cast("string").cast("long").as("event_id"),
+        get_json_object(col("value").cast("string"), "$.k").cast("long")
+          .as("k"))
+      .as[ChunkEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ChunkListProcessor(5),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sxl-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      "the drain must actually have crossed micro-batch boundaries")
+    val streamed = ss.table(name)
+      .select("user_id", "chunk_idx", "n_events", "start_us", "end_us",
+        "sum_k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = (for (u <- 0 until 3; c <- 0 until 3) yield {
+      val ks = (c * 5 until c * 5 + 5).map(_ + 1L)
+      (u.toLong, c.toLong, 5L,
+        1700000000000000L + (c * 5) * 60000000L + u * 7000L,
+        1700000000000000L + (c * 5 + 4) * 60000000L + u * 7000L,
+        ks.sum)
+    }).toSet
+    assert(streamed === batch,
+      "ListState chunks must equal the v1 fold; the 2-event tail is withheld")
+  }
+
+  /** stream_exec_tws_running's claim — the MapState per-(user, type)
+    * counters survive micro-batch boundaries: 2 users × 12 events
+    * with types cycling A B A, tiny triggers so most (user, type)
+    * ordinals increment across batches from the carried sub-map. */
+  test("transformWithState MapState: running counts survive boundaries") {
+    import graft.operators.{RunningCountProcessor, TypedEvent}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft-sxm").toString
+    val log = TopicLog.create(ss, root, "t", 2)
+    val types = Seq("A", "B", "A") // i % 3 cycle
+    val rows = for (u <- 0 until 2; i <- 0 until 12) yield
+      (u * 100L + i, u.toLong, types(i % 3),
+        new java.sql.Timestamp(1700000000000L + i * 60000L + u * 7L), u)
+    val df = rows.toDF("event_id", "user_id", "etype", "ts", "partition")
+      .select(col("event_id").cast("string").cast("binary").as("key"),
+        lit("x").cast("binary").as("value"),
+        map(lit("user_id"), col("user_id").cast("string").cast("binary"),
+          lit("event_type"), col("etype").cast("binary")).as("headers"),
+        col("ts"), col("partition").cast("int").as("partition"))
+    log.produce(df, partitioner = col("partition"))
+
+    val name = "sxm_parity"
+    val q = ss.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 5L) // ordinals span boundaries
+      .load(s"$root/t")
+      .select(
+        element_at(col("headers"), "user_id").cast("string").cast("long")
+          .as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("key").cast("string").cast("long").as("event_id"),
+        element_at(col("headers"), "event_type").cast("string").as("etype"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sxm-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "the drain must actually have crossed micro-batch boundaries")
+    val streamed = ss.table(name)
+      .select("user_id", "event_id", "event_type", "running_n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    // closed form: event i has type types(i % 3); its ordinal is the
+    // count of j ≤ i with the same type
+    val batch = (for (u <- 0 until 2; i <- 0 until 12) yield {
+      val tpe = types(i % 3)
+      val n = (0 to i).count(j => types(j % 3) == tpe).toLong
+      (u.toLong, u * 100L + i, tpe, n)
+    }).toSet
+    assert(streamed === batch,
+      "running counts must equal the batch window formulation")
+  }
+
   /** stream_exec_tws_timers' claims, on planted data with forced tiny
     * micro-batches: (1) the emitted sessions equal the batch 6 h
     * sessionization under the pinned final-watermark cutoff; (2)
