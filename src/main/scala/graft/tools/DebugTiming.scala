@@ -23,6 +23,41 @@ object DebugTiming {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // minhash sub-stage breakdown (10× regression hunt)
+    {
+      import org.apache.spark.sql.functions._
+      val gd = time("mh_grams")(graft.operators.GraftCaches.getOrBuild(
+        spark, s"dedup:minhash-grams:$dir") {
+        val d = graft.Tables.t(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.GraftExpressions.wordNgrams(
+              lower(col("text")), 3)).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct().persist()
+        d.count(); d
+      })
+      val sig = gd.groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg(col("sh"), 64).as("sig"))
+      time("mh_sig")(sig.write.format("noop").mode("overwrite").save())
+      val banded = sig.select(col("doc_id"),
+        explode(array((0 until 16).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((0 until 4).map(i =>
+              element_at(col("sig"), b * 4 + i + 1)): _*).as("bkey"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      val candIds = banded.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+        .join(banded.select(col("doc_id").as("d2"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      time("mh_cand")(println("  candidates=" + candIds.count()))
+      val inter = candIds.join(gd.select(col("doc_id").as("d1"), col("sh")), "d1")
+        .join(gd.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      time("mh_inter")(println("  inter_rows=" + inter.count()))
+    }
+    time("dedup_minhash_lsh")(noop(Dedup.dedupMinhashLsh(spark, dir)))
+    time("dedup_minhash_lsh_run2")(noop(Dedup.dedupMinhashLsh(spark, dir)))
     time("dedup_ngram_jaccard")(noop(Dedup.dedupNgramJaccard(spark, dir)))
     time("dedup_cluster_cc")(noop(Dedup.dedupClusterCC(spark, dir)))
     time("dedup_embedding_cosine")(noop(Dedup.dedupEmbeddingCosine(spark, dir)))
