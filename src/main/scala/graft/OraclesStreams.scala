@@ -7,6 +7,22 @@ object OraclesStreams {
   private val part = """user_id % 8"""
   private val dsumVal = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Count-capped chunk formulation, shared VERBATIM by the v1
+    * (flatMapGroupsWithState) and v2 (transformWithState + ListState)
+    * gate rows — one constant so the cross-API-equivalence claim
+    * can't silently drift. */
+  private val chunkSql =
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) - 1 AS rn
+      |  FROM events)
+      |SELECT user_id, rn // 5 AS chunk_idx, COUNT(*) AS n_events,
+      |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM o GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
+      |ORDER BY user_id, chunk_idx""".stripMargin
+
   val streams: Map[String, String] = Map(
     // This table is Broker.WireApis — the catalog claims exactly what
     // the wire decodes, no more (the engine derives SupportedApis from
@@ -303,33 +319,15 @@ object OraclesStreams {
     // the batch formulation — rank per user, group by rank DIV cap,
     // keep only COMPLETED chunks (the trailing partial stays in state,
     // correctly withheld)
-    "stream_exec_custom_state" ->
-      """WITH o AS (SELECT user_id, ts, event_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) - 1 AS rn
-        |  FROM events)
-        |SELECT user_id, rn // 5 AS chunk_idx, COUNT(*) AS n_events,
-        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-        |  CAST(SUM(k) AS BIGINT) AS sum_k
-        |FROM o GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
-        |ORDER BY user_id, chunk_idx""".stripMargin,
+    "stream_exec_custom_state" -> chunkSql,
 
-    // the SAME formulation gates the ListState re-implementation —
-    // the v1 (flatMapGroupsWithState) and v2 (transformWithState +
-    // ListState buffer) engines must hash to the same chunks, which
-    // pins cross-API equivalence on the real corpus
-    "stream_exec_tws_chunks" ->
-      """WITH o AS (SELECT user_id, ts, event_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) - 1 AS rn
-        |  FROM events)
-        |SELECT user_id, rn // 5 AS chunk_idx, COUNT(*) AS n_events,
-        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-        |  CAST(SUM(k) AS BIGINT) AS sum_k
-        |FROM o GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
-        |ORDER BY user_id, chunk_idx""".stripMargin,
+    // the SAME formulation (one shared constant — divergence is
+    // structurally impossible, review catch) gates the ListState
+    // re-implementation: the v1 (flatMapGroupsWithState) and v2
+    // (transformWithState + ListState buffer) engines must hash to
+    // the same chunks, which pins cross-API equivalence on the real
+    // corpus
+    "stream_exec_tws_chunks" -> chunkSql,
 
     // MapState running counts: per-(user, type) ordinal in
     // (ts, event_id) order — the batch window formulation of the

@@ -844,9 +844,12 @@ object EventAnalytics {
       .select(expr("CAST(round(value) AS BIGINT)")).as[Long]
     val mg = mgSummary(keys, k)
     // bounded 1-row collect: the total is a scalar off the ≤
-    // (k+1)·partitions checkpointed summary, not a corpus read
+    // (k+1)·partitions checkpointed summary, not a corpus read.
+    // coalesce: a zero-partition (empty) corpus emits NO sentinel
+    // rows and sum() is null — the empty result must stay an empty
+    // result, not an NPE (review catch)
     val total = mg.filter(col("key") === MgCountKey)
-      .agg(sum("rows")).collect()(0).getLong(0)
+      .agg(coalesce(sum("rows"), lit(0L))).collect()(0).getLong(0)
     val candidates = mg.filter(col("key") =!= MgCountKey)
       .select(col("key").as("dollars")).distinct()
     // exact recount of the candidate set only (broadcast semi join —

@@ -896,10 +896,15 @@ object Similarity {
     * emit. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // the trailing filter drops the agg row when NO seed exists, so
+    // a seedless corpus yields zero predictions — matching the
+    // oracle's CROSS JOIN semantics instead of emitting one
+    // null-prediction row per corpus vector (review catch)
     val seedArr = e.filter(col("vec_id") < KnnSeedCap)
       .agg(sort_array(collect_list(struct(
         col("vec_id").as("sid"), col("label").as("slabel"),
         col("v").as("sv"), col("n").as("sn")))).as("seeds"))
+      .filter(size(col("seeds")) > 0)
     // negated rounded sim: ascending struct sort = (sim desc, sid asc)
     val scored = transform(col("seeds"), s =>
       struct((-round(dot(col("v"), s("sv")) / (col("n") * s("sn")), 6)).as("ns"),

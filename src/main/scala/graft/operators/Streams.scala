@@ -290,6 +290,21 @@ object Streams {
 
   val NumPartitions = 8
 
+  /** Drain admission budget (records per micro-batch) — ONE parse
+    * shared by [[drainTopic]] and the probe tools so the knob and
+    * its default can't drift between the drains and the harnesses
+    * characterizing them (review catch); fails NAMING the variable —
+    * a bare NumberFormatException from deep inside a drain is
+    * undebuggable (ADVICE round 12). */
+  private[graft] def drainTriggerRows: Long =
+    sys.env.get("SPARK_GRAFT_DRAIN_TRIGGER").map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_DRAIN_TRIGGER must be a record count, got '$s'")
+      }
+    }.getOrElse(100000L)
+
   /** events + (partition, offset) — the produce-path assignment. */
   private def eventsAsTopic(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("partition").orderBy("event_id")
@@ -893,15 +908,7 @@ object Streams {
     // 100k (single-batch below sf0.1, ~10 batches at 10×, so the
     // multi-batch path stays exercised at scale); the env override
     // is the experiment knob.
-    val triggerRows = sys.env.get("SPARK_GRAFT_DRAIN_TRIGGER").map { s =>
-      try s.trim.toLong
-      catch { case _: NumberFormatException =>
-        // fail with the variable NAMED — a bare NumberFormatException
-        // from deep inside a drain is undebuggable (ADVICE round 12)
-        throw new IllegalArgumentException(
-          s"SPARK_GRAFT_DRAIN_TRIGGER must be a record count, got '$s'")
-      }
-    }.getOrElse(100000L)
+    val triggerRows = drainTriggerRows
     val stream = ss.readStream.format("graft-topic")
       .option("maxOffsetsPerTrigger", triggerRows)
       .load(topicDir)

@@ -54,8 +54,9 @@ object DrainScaleProbe {
       case "run" :: dir :: Nil =>
         val statePartitions =
           sys.env.getOrElse("SPARK_GRAFT_DRAIN_STATE_PARTITIONS", "8").toInt
-        val trigger = sys.env.get("SPARK_GRAFT_DRAIN_TRIGGER")
-          .map(_.toLong).getOrElse(100000L)
+        // the drains' OWN parse + default: the probe's batch math
+        // must track what drainTopic actually admits (review catch)
+        val trigger = graft.operators.Streams.drainTriggerRows
         val nEvents = events(spark, dir).count()
         val nUsers = events(spark, dir).select("user_id").distinct().count()
         val batches = (nEvents + trigger - 1) / trigger

@@ -92,6 +92,25 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(n === 0L)
   }
 
+  test("heavy hitters and knn degrade to EMPTY on degenerate inputs") {
+    // review catches: an empty events table must yield an empty
+    // result (the folded-count sum is null over zero sentinel rows —
+    // coalesced, not NPE'd); a seedless embeddings corpus must yield
+    // zero predictions (matching the oracle's CROSS JOIN), not one
+    // null-prediction row per vector
+    val d = Files.createTempDirectory("graft-r13-empty").toString
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.Tables.events(spark, "/root/testdata/sf0.001").schema)
+      .write.parquet(s"$d/events.parquet")
+    assert(EventAnalytics.heavyHitters(spark, d).collect().isEmpty)
+    val e = Files.createTempDirectory("graft-r13-noseed").toString
+    Seq((107L, Seq(1.0f, 0.0f), 2), (108L, Seq(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$e/embeddings.parquet")
+    assert(Similarity.knnClassify(spark, e).collect().isEmpty)
+  }
+
   test("events_heavy_hitters: eviction runs at GATE scale (sf0.001)") {
     // the round-12 verdict's point: the gate key must overflow the
     // k = 64 counters on the real corpus, not only in the planted
