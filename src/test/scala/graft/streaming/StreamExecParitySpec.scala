@@ -283,6 +283,76 @@ class StreamExecParitySpec extends AnyFunSuite {
       "gaps must equal the batch lag-window formulation")
   }
 
+  /** The last unexercised v2 state-config surface: TTLConfig. Every
+    * gate processor passes TTLConfig.NONE (their state must live for
+    * the whole drain), so this leg proves the TTL machinery itself —
+    * a 1 ms processing-time TTL expires a ValueState BETWEEN
+    * micro-batches (batch scheduling overhead ≫ 1 ms), while the
+    * NONE control carries it: the same two-batch topic yields
+    * per-user counts {1, 1} under TTL and {1, 2} under NONE. */
+  test("transformWithState TTLConfig: state expires between batches") {
+    import graft.operators.ChunkEvent
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft-ttl").toString
+    val log = TopicLog.create(ss, root, "t", 1)
+    // 2 events per user, forced into SEPARATE micro-batches by a
+    // 2-record trigger over 2 users
+    val rows = for (i <- 0 until 2; u <- 0 until 2) yield
+      (u * 100L + i, u.toLong,
+        new java.sql.Timestamp(1700000000000L + i * 60000L), 0)
+    val df = rows.toDF("event_id", "user_id", "ts", "partition")
+      .select(col("event_id").cast("string").cast("binary").as("key"),
+        lit("x").cast("binary").as("value"),
+        map(lit("user_id"), col("user_id").cast("string").cast("binary"))
+          .as("headers"),
+        col("ts"), col("partition").cast("int").as("partition"))
+    log.produce(df.orderBy("ts"), partitioner = col("partition"))
+
+    def drain(ttl: org.apache.spark.sql.streaming.TTLConfig,
+        name: String): Map[Long, Seq[Long]] = {
+      val q = ss.readStream.format("graft-topic")
+        .option("maxOffsetsPerTrigger", 2L) // one event/user/batch
+        .load(s"$root/t")
+        .select(
+          element_at(col("headers"), "user_id").cast("string").cast("long")
+            .as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("key").cast("string").cast("long").as("event_id"),
+          lit(0L).as("k"))
+        .as[ChunkEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new TtlCountProcessor(ttl),
+          // state TTL requires ProcessingTime mode; the NONE control
+          // runs under the same mode so only the TTL differs
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-ttl-$name").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the TTL probe needs its events in separate micro-batches")
+      ss.table(name).as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.sortBy(_._2).map(_._3).toSeq }.toMap
+    }
+    // control first: NONE carries state → counts climb 1, 2
+    val none = drain(org.apache.spark.sql.streaming.TTLConfig.NONE, "ttl_none")
+    assert(none === Map(0L -> Seq(1L, 2L), 1L -> Seq(1L, 2L)),
+      "NONE control must carry the count across batches")
+    // 1 ms TTL: the inter-batch gap (scheduler overhead, >> 1 ms)
+    // expires the state → every event restarts at 1
+    val ttl = drain(org.apache.spark.sql.streaming.TTLConfig(
+      java.time.Duration.ofMillis(1)), "ttl_1ms")
+    assert(ttl === Map(0L -> Seq(1L, 1L), 1L -> Seq(1L, 1L)),
+      "a 1 ms TTL must expire the carried state between micro-batches")
+  }
+
   /** stream_exec_tws_chunks' claim — the ListState re-implementation
     * of the count-capped chunk fold emits EXACTLY the v1
     * (flatMapGroupsWithState) rows whatever the batch boundaries:
@@ -611,5 +681,32 @@ class StreamExecParitySpec extends AnyFunSuite {
     assert(q.recentProgress.flatMap(_.stateOperators)
         .exists(_.numRowsRemoved > 0),
       "the watermark must actually have evicted outer state")
+  }
+}
+
+/** Test instrument for the TTL leg: per-user running event count in
+  * a (possibly TTL'd) ValueState — a count that RESTARTS at 1 proves
+  * the carried state expired between micro-batches. */
+private[streaming] class TtlCountProcessor(
+    ttl: org.apache.spark.sql.streaming.TTLConfig)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, graft.operators.ChunkEvent, (Long, Long, Long)] {
+  @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[graft.operators.ChunkEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    sorted.map { e =>
+      val c = (if (n.exists()) n.get() else 0L) + 1L
+      n.update(c)
+      (key, e.event_id, c)
+    }.iterator
   }
 }
