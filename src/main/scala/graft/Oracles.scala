@@ -577,6 +577,21 @@ object Oracles {
         |  CAST(SUM(is_first) OVER (PARTITION BY o_custkey
         |    ORDER BY day_num, o_orderkey
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_priorities_so_far
-        |FROM m ORDER BY o_orderkey""".stripMargin
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+
+    // gaps-and-islands: day - row_number() is constant along a
+    // consecutive-day run (the canonical trick, both engines)
+    "q55_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |i AS (SELECT o_custkey, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY day) AS INT) AS grp
+        |  FROM d),
+        |r AS (SELECT o_custkey, grp, COUNT(*) AS run FROM i GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(SUM(run) AS BIGINT) AS n_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(MAX(run) AS BIGINT) AS max_streak
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

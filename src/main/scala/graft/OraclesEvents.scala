@@ -513,6 +513,29 @@ object OraclesEvents {
         |  CAST(n_starts AS BIGINT) AS n_starts
         |FROM dense
         |QUALIFY open_sessions > 0 OR n_starts > 0
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // bot regularity: exact integer/HUGEINT gap moments; the verdict
+    // never touches a float (CV < 0.5 ⟺ 4·varN < (Σg)²); the
+    // reported cv is a pure scalar double chain over exact inputs
+    "events_bot_regularity" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS gap_us
+        |  FROM ev QUALIFY gap_us IS NOT NULL),
+        |s AS (SELECT user_id, COUNT(*) AS n_gaps,
+        |    SUM(gap_us) AS sum_g,
+        |    SUM(CAST(gap_us AS HUGEINT) * gap_us) AS sum_g2
+        |  FROM g GROUP BY user_id),
+        |v AS (SELECT user_id, n_gaps, sum_g,
+        |    n_gaps * sum_g2 - CAST(sum_g AS HUGEINT) * sum_g AS var_n
+        |  FROM s)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(sum_g // n_gaps AS BIGINT) AS mean_gap_us,
+        |  round(sqrt(CAST(var_n AS DOUBLE)) / CAST(sum_g AS DOUBLE), 6) AS cv,
+        |  n_gaps >= 20 AND var_n * 4 < CAST(sum_g AS HUGEINT) * sum_g AS is_bot
+        |FROM v ORDER BY user_id""".stripMargin
   )
 }

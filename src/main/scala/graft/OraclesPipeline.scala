@@ -633,12 +633,14 @@ object OraclesPipeline {
     // non-overlapping with no rescan of the replacement in BOTH
     // engines — exactly the greedy single-pass BPE merge.
     "text_bpe_apply" ->
-      """WITH RECURSIVE m AS (SELECT "rank" AS rk, "left" AS a, "right" AS b,
+      s"""WITH RECURSIVE m AS (SELECT "rank" AS rk, "left" AS a, "right" AS b,
         |    merged FROM '/tmp/graft-bpe-merges.parquet/*/*.parquet'
         |    WHERE corpus_docs = (SELECT COUNT(*) FROM documents)
-        |      AND corpus_chars = (SELECT SUM(strlen(text)) FROM documents)),
+        |      AND corpus_chars = (SELECT SUM(strlen(text)) FROM documents)
+        |      AND corpus_fp = (SELECT ${graft.operators.TextAnalysis.BpeCorpusFpDuck}
+        |                       FROM documents)),
         |base AS (SELECT doc_id,
-        |    replace(regexp_replace(text, '(.)', chr(14) || '\1' || chr(15), 'g'),
+        |    replace(regexp_replace(text, '(.)', chr(14) || '\\1' || chr(15), 'g'),
         |      chr(14) || ' ' || chr(15), chr(14) || '</w>' || chr(15))
         |    || chr(14) || '</w>' || chr(15) AS s
         |  FROM documents),
@@ -1002,14 +1004,17 @@ object OraclesPipeline {
          |FROM r WHERE rank = 1 ORDER BY qid""".stripMargin,
 
     // majority-vote kNN label transfer (round-13 production shape):
-    // a ≤100-vector labeled seed classifies every corpus vector;
-    // top-5 cosine seed neighbors (rank ties → smallest seed id),
-    // vote ties → smallest label
+    // a ≤KnnSeedCap-vector labeled seed classifies every corpus
+    // vector; top-5 cosine seed neighbors (rank ties → smallest seed
+    // id), vote ties → smallest label. The cap is INTERPOLATED from
+    // the Spark-side constant (round-13 advice: a hardcoded literal
+    // here desynchronizes the two sides when the cap changes).
     "knn_classify" ->
       s"""WITH e AS ($embDouble),
          |seed AS (SELECT vec_id AS sid, label AS slabel, v AS sv
-         |      FROM e WHERE vec_id < 100),
-         |c AS (SELECT vec_id, label AS true_label, v FROM e WHERE vec_id >= 100),
+         |      FROM e WHERE vec_id < ${graft.operators.Similarity.KnnSeedCap}),
+         |c AS (SELECT vec_id, label AS true_label, v FROM e
+         |      WHERE vec_id >= ${graft.operators.Similarity.KnnSeedCap}),
          |s AS (SELECT c.vec_id, true_label, sid, slabel,
          |    round(${dot("v", "sv")} / (sqrt(${dot("v", "v")})
          |      * sqrt(${dot("sv", "sv")})), 6) AS cos_sim
@@ -1024,6 +1029,90 @@ object OraclesPipeline {
          |  CAST(votes AS BIGINT) AS votes,
          |  slabel = true_label AS correct
          |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin,
+
+    // binary (sign-bit) quantization ANN: signatures, xor popcount,
+    // Hamming shortlist, exact-cosine rerank — the whole pipeline
+    // replayed (two 32-bit halves so no shift touches the sign bit)
+    "ann_binary_topk" ->
+      s"""WITH e AS ($embDouble),
+         |s AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+         |           ELSE 0 END)) AS BIGINT) AS sig_lo,
+         |    CAST(list_sum(list_transform(generate_series(33, 64),
+         |      i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 33)
+         |           ELSE 0 END)) AS BIGINT) AS sig_hi
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, sig_lo AS q_lo, sig_hi AS q_hi
+         |  FROM s WHERE vec_id < 5),
+         |h AS (SELECT s.vec_id, q.qid,
+         |    CAST(bit_count(xor(s.sig_lo, q.q_lo))
+         |      + bit_count(xor(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+         |  FROM s CROSS JOIN q WHERE s.vec_id <> q.qid),
+         |hr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY hamming, vec_id) AS hrank FROM h),
+         |sl AS (SELECT qid, vec_id, hamming FROM hr WHERE hrank <= 64),
+         |qv AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 5),
+         |r AS (SELECT sl.qid, sl.vec_id, sl.hamming,
+         |    ${cosR("qv.qvec", "ce.v")} AS cos_sim
+         |  FROM sl JOIN e ce ON ce.vec_id = sl.vec_id
+         |  JOIN qv ON qv.qid = sl.qid),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM r)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, hamming, cos_sim
+         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // char-trigram language profiles (Cavnar–Trenkle): exact integer
+    // counts/dots/norms (profile norms in HUGEINT), scalar-double
+    // cosine, argmax ties on the language code
+    "text_char_trigram_langid" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE strlen(text) >= 3),
+        |tr AS (SELECT doc_id, lang, substr(text, CAST(u.i AS INT), 3) AS tri
+        |  FROM d, LATERAL UNNEST(generate_series(1, strlen(text) - 2))
+        |    AS u(i)),
+        |dt AS (SELECT doc_id, lang, tri, COUNT(*) AS cnt
+        |  FROM tr GROUP BY 1, 2, 3),
+        |p AS (SELECT lang AS plang, tri, COUNT(*) AS pcnt
+        |  FROM tr GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, SUM(cnt * cnt) AS dn2 FROM dt GROUP BY 1),
+        |pn AS (SELECT plang, SUM(CAST(pcnt AS HUGEINT) * pcnt) AS pn2
+        |  FROM p GROUP BY 1),
+        |dd AS (SELECT dt.doc_id, dt.lang, p.plang,
+        |    SUM(dt.cnt * p.pcnt) AS dotp
+        |  FROM dt JOIN p USING (tri) GROUP BY 1, 2, 3),
+        |c AS (SELECT dd.doc_id, dd.lang, dd.plang,
+        |    round(CAST(dotp AS DOUBLE) / (sqrt(CAST(dn2 AS DOUBLE))
+        |      * sqrt(CAST(pn2 AS DOUBLE))), 6) AS cos_sim
+        |  FROM dd JOIN dn USING (doc_id) JOIN pn USING (plang)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY cos_sim DESC, plang ASC) AS rk FROM c)
+        |SELECT doc_id, lang, plang AS pred_lang, cos_sim,
+        |  lang = plang AS correct
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // per-sample clipping screen: threshold count + ppm + the longest
+    // clipped run via gaps-and-islands (the portable spelling of the
+    // engine's in-map fold)
+    "mm_audio_clipping" ->
+      """WITH b AS (SELECT d.doc_id, u.i AS pos,
+        |    CASE WHEN ascii(substr(d.text, CAST(u.i AS INT), 1)) >= 120
+        |      THEN 1 ELSE 0 END AS clipped
+        |  FROM documents d,
+        |       LATERAL UNNEST(generate_series(1, strlen(d.text))) AS u(i)),
+        |runs AS (SELECT doc_id, pos - ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM b WHERE clipped = 1),
+        |mx AS (SELECT doc_id, MAX(run) AS max_run FROM (
+        |    SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(clipped) * 1000000 // COUNT(*) AS BIGINT) AS clip_ppm,
+        |  CAST(COALESCE(MAX(mx.max_run), 0) AS BIGINT) AS max_clip_run
+        |FROM b LEFT JOIN mx ON mx.doc_id = b.doc_id
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id,

@@ -210,7 +210,10 @@ object OraclesStreams {
     // batch's watermark W_ms = ⌊max_ts_µs/1000⌋ − 1 day — Spark
     // fires timers with expiry ≤ W (inclusive; W + 1 ms holds),
     // empirically bracketed at ±1 ms and re-pinned by
-    // StreamExecParitySpec's planted probes
+    // StreamExecParitySpec's planted probes. This is a pinned Spark
+    // INTERNAL, not a documented contract: re-bracket via those
+    // probes on ANY Spark version bump (SURVEY §5.1 checklist)
+    // before trusting a gate run
     "stream_exec_tws_timers" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |wm AS (SELECT (SELECT max(us) // 1000 FROM ev) - 86400000 AS wms),
@@ -478,6 +481,45 @@ object OraclesStreams {
          |  COUNT(*) AS n_events, $dsumVal AS sum_value
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    // chained stateful operators (hourly agg → daily rollup): the
+    // batch two-level GROUP BY under the append-mode emission cutoff
+    // — a day window emits iff its end ≤ the final watermark
+    // (ms-floored max event time − 1 day; the session-window rule,
+    // re-pinned for chained aggs by StreamExecParitySpec's planted
+    // boundary probes). Every emitted day contains ALL its hours
+    // (hour ends ≤ day end ≤ W), so the inner emission gate is
+    // invisible in the output
+    "stream_exec_chained_agg" ->
+      """WITH wm AS (SELECT epoch_us(MAX(ts)) // 1000 - 86400000 AS wms
+        |  FROM events),
+        |h AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+        |    COUNT(*) AS n_hour
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT date_trunc('day', hs) AS ds, event_type,
+        |    SUM(n_hour) AS n_day, MAX(n_hour) AS peak_hour_n,
+        |    COUNT(*) AS n_active_hours
+        |  FROM h GROUP BY 1, 2)
+        |SELECT ds, event_type, CAST(n_day AS BIGINT) AS n_day,
+        |  CAST(peak_hour_n AS BIGINT) AS peak_hour_n,
+        |  CAST(n_active_hours AS BIGINT) AS n_active_hours
+        |FROM d, wm WHERE epoch_us(ds + INTERVAL 1 DAY) // 1000 <= wms
+        |ORDER BY ds, event_type""".stripMargin,
+
+    // stream-static enrichment: the static cohort dimension (per-user
+    // first-seen day) joined batch-side, daily windows under the same
+    // emission cutoff as the chained-agg gate
+    "stream_exec_static_enrich" ->
+      """WITH wm AS (SELECT epoch_us(MAX(ts)) // 1000 - 86400000 AS wms
+        |  FROM events),
+        |c AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT date_trunc('day', e.ts) AS ws, c.cohort_day,
+        |    COUNT(*) AS n_events
+        |  FROM events e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT ws, cohort_day, CAST(n_events AS BIGINT) AS n_events
+        |FROM d, wm WHERE epoch_us(ws + INTERVAL 1 DAY) // 1000 <= wms
+        |ORDER BY ws, cohort_day""".stripMargin,
 
     // time travel: the pinned batch-A snapshot is exactly the even
     // event_ids; head is everything - both recomputed from the source

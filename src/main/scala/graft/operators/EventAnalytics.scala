@@ -763,9 +763,10 @@ object EventAnalytics {
   }
 
   /** Sentinel key of [[mgSummary]]'s per-partition row-count rows —
-    * outside any real key domain here (values are non-negative; a
-    * corpus with Long.MinValue keys would need a struct tag
-    * instead). */
+    * outside any real key domain here (values are non-negative, and
+    * [[mgSummary]] REFUSES a colliding input key rather than folding
+    * it into the total; a corpus that legitimately needs the full
+    * Long domain would use a struct tag instead). */
   private[graft] val MgCountKey = Long.MinValue
 
   /** One pass of Misra-Gries per partition over a LONG key column:
@@ -788,6 +789,14 @@ object EventAnalytics {
       val counters = scala.collection.mutable.HashMap.empty[Long, Long]
       var rows = 0L
       it.foreach { key =>
+        // loud-fail guard (round-13 advice): a real key equal to the
+        // sentinel (e.g. a non-ANSI cast of an extreme negative
+        // double saturating to Long.MinValue) would be folded into
+        // the corpus total downstream — corrupting the denominator
+        // silently. Refuse it here instead.
+        if (key == MgCountKey) throw new IllegalArgumentException(
+          s"mgSummary key collides with the count sentinel $MgCountKey; " +
+            "pre-filter or re-key the input")
         rows += 1L
         if (counters.contains(key)) counters(key) += 1L
         else if (counters.size < k) counters(key) = 1L
@@ -840,7 +849,13 @@ object EventAnalytics {
     require(thresholdDen <= k + 1L,
       s"threshold n/$thresholdDen below the MG recall bound n/${k + 1}")
     import spark.implicits._
+    // NULL values would NPE the Dataset[Long] deserializer (and the
+    // oracle's GROUP BY would null-group them instead) — exclude them
+    // explicitly; a NULL price is not a price point, and the gate
+    // corpus has none. Sentinel-colliding keys fail loudly inside
+    // mgSummary (round-13 advice).
     val keys = events(spark, dir)
+      .filter(col("value").isNotNull)
       .select(expr("CAST(round(value) AS BIGINT)")).as[Long]
     val mg = mgSummary(keys, k)
     // bounded 1-row collect: the total is a scalar off the ≤
@@ -999,6 +1014,55 @@ object EventAnalytics {
       .filter(col("open_sessions") > 0 || col("n_starts") > 0)
       .select(col("day"), col("open_sessions"), col("n_starts"))
       .orderBy("day")
+  }
+
+  /** Bot-regularity screen (round 14) — the inter-event-gap
+    * REGULARITY test abuse teams run before trusting traffic: humans
+    * are bursty (coefficient of variation of their gaps ≳ 1), pollers
+    * and scripts are metronomic (CV ≪ 1). Per user: gap count, mean
+    * gap, CV, and the verdict.
+    *
+    * Determinism: everything reduces to EXACT integer/decimal sums —
+    * Σg fits a long (≤ corpus span per user), Σg² routes through
+    * DECIMAL(38,0) (a 30-day µs gap squares to ~7e24), and
+    * varN = n·Σg² − (Σg)² stays in the exact decimal domain. The
+    * verdict never touches a float: CV < 0.5 ⟺ 4·varN < (Σg)²,
+    * compared exactly (oracle: HUGEINT). The reported `cv` is a pure
+    * SCALAR double chain over those exact inputs (cast → sqrt →
+    * divide, each IEEE-correctly-rounded, no sum reordering) —
+    * bit-identical cross-engine before the display rounding.
+    *
+    * Scale shape: one user-keyed exchange (lag window), then a
+    * map-side-combining aggregate on the SAME key — no second
+    * shuffle; output is |users|, the terminal sort its only wide op.
+    * min-gap floor: users need ≥ 20 gaps before the verdict can say
+    * bot (small-n CV is noise), reported as NULL-free `false`. */
+  def botRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("ts_us") - col("prev_us"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_us").as("sum_g"),
+        sum(col("gap_us").cast(DecimalType(19, 0)) *
+          col("gap_us").cast(DecimalType(19, 0))).as("sum_g2"))
+      .select(col("user_id"), col("n_gaps"),
+        expr("sum_g DIV n_gaps").as("mean_gap_us"),
+        expr("CAST(n_gaps AS DECIMAL(19,0)) * sum_g2" +
+          " - CAST(sum_g AS DECIMAL(19,0)) * CAST(sum_g AS DECIMAL(19,0))")
+          .as("var_n"),
+        col("sum_g"))
+      .select(col("user_id"), col("n_gaps"), col("mean_gap_us"),
+        round(sqrt(col("var_n").cast("double")) / col("sum_g").cast("double"), 6)
+          .as("cv"),
+        (col("n_gaps") >= 20 &&
+          col("var_n") * 4 < expr("CAST(sum_g AS DECIMAL(19,0))" +
+            " * CAST(sum_g AS DECIMAL(19,0))")).as("is_bot"))
+      .orderBy("user_id")
   }
 
 }

@@ -490,4 +490,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One per-doc clipping summary row. */
+  case class AudioClipping(doc_id: Long, n_samples: Long, n_clipped: Long,
+      clip_ppm: Long, max_clip_run: Long)
+
+  /** §2f query: CLIPPING detection (round 14) — the per-SAMPLE
+    * amplitude screen an audio-curation pipeline runs next to
+    * [[mmSilenceDetect]]'s per-window energy floor: samples at or
+    * above the saturation threshold (byte ≥ 120 in the 8-bit-PCM
+    * stand-in — the decode stub shared by the whole §2f family) are
+    * clipped; a doc is summarized by its clipped-sample share (exact
+    * ppm) and the LONGEST consecutive clipped run — the metric that
+    * separates one hot transient from sustained saturation.
+    *
+    * 100-TB shape: the run-length fold happens INSIDE the per-record
+    * map (samples of one payload are born adjacent — the window
+    * formulation would shuffle every sample for an ordering the
+    * record already has, the [[mmSceneCuts]] argument); output is one
+    * row per document, all-integer, so the oracle replays the fold as
+    * gaps-and-islands over the unnested chars. */
+  def mmAudioClipping(spark: SparkSession, dir: String): DataFrame = {
+    val records = asMediaRecords(spark, dir)
+    import records.sparkSession.implicits._
+    records.mapPartitions { batch =>
+      batch.map { r =>
+        var clipped = 0L
+        var run = 0L
+        var maxRun = 0L
+        var i = 0
+        while (i < r.payload.length) {
+          if ((r.payload(i) & 0xFF) >= 120) {
+            clipped += 1L
+            run += 1L
+            if (run > maxRun) maxRun = run
+          } else run = 0L
+          i += 1
+        }
+        val n = r.payload.length.toLong
+        AudioClipping(r.doc_id, n, clipped,
+          if (n == 0L) 0L else clipped * 1000000L / n, maxRun)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
 }

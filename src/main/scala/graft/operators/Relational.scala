@@ -1186,4 +1186,33 @@ object Relational {
         expr("bool_and(l_quantity >= 1.0)").as("all_qty_ge1"),
         expr("bool_or(l_discount > 0.09)").as("any_deep_discount"))
       .orderBy("l_returnflag")
+
+  /** q55: GAPS-AND-ISLANDS (round 14) — the classic consecutive-run
+    * detection SQL interviewers and retention analysts both reach
+    * for: per customer, the runs of CONSECUTIVE order days (an
+    * "island" = a maximal streak of day-adjacent orders). The
+    * canonical trick is fully declarative: within each customer,
+    * `day − row_number()` is CONSTANT exactly along a consecutive
+    * run, so islands fall out of one partitioned window plus one
+    * aggregate — no iteration, no self-join.
+    *
+    * Scale shape: the window partitions by o_custkey (never a global
+    * row_number — a single-task sort at 100 TB); the two stacked
+    * aggregates both group on a superset of the window's hash key,
+    * so rows exchange ONCE and the aggregates run partition-local.
+    * All-integer output (counts and day runs). */
+  def q55GapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+    val days = t(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .distinct()
+    days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("o_custkey", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("o_custkey")
+      .agg(sum("run").as("n_days"), count(lit(1)).as("n_islands"),
+        max("run").as("max_streak"))
+      .orderBy("o_custkey")
+  }
 }

@@ -969,4 +969,62 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** BINARY (sign-bit) quantization top-k (round 14) — the 1-bit
+    * compression tier below PQ that production vector stores run as
+    * their first-pass filter: each 64-dim vector compresses to its
+    * 64 SIGN BITS (two packed BIGINT halves, 32 bits each, so no
+    * shift ever touches the sign bit on either engine), candidate
+    * generation is Hamming distance over the packed words
+    * (`bit_count(xor)` — codegen'd integer ops, no floats), and only
+    * the per-query top-`shortlist` Hamming survivors are reranked
+    * with the exact cosine. Deterministic end to end: sign bits are
+    * exact comparisons on the double-cast floats, Hamming is
+    * integer, and both rank windows tie-break on vec_id — so the
+    * DuckDB oracle replays the WHOLE pipeline (signatures, xor
+    * popcount, shortlist, rerank) bit-for-bit.
+    *
+    * 100-TB shape: the corpus scans once to 2 longs/vector (a 32×
+    * payload compression); the Hamming window shuffles only
+    * (qid, vec_id, hamming) — the full-precision vectors do NOT ride
+    * the shuffle; the reranker re-fetches exactly shortlist×|Q| rows
+    * by broadcasting the shortlist ids into a second corpus scan
+    * (the scan is pruned to two columns) and the O(1) query set
+    * broadcasts like every ANN sibling. Shortlist size is the
+    * recall/cost knob, absolute — never a corpus fraction. */
+  def annBinaryTopk(spark: SparkSession, dir: String,
+      shortlist: Int = 64, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    def sig(lo: Int) = expr(
+      s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+        s"(acc, i) -> acc + IF(element_at(v, i + 1) > 0D, " +
+        s"shiftleft(1L, i - $lo), 0L))")
+    val sigs = e.select(col("vec_id"), sig(0).as("sig_lo"), sig(32).as("sig_hi"))
+    val qsigs = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val wH = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val short = sigs.crossJoin(broadcast(qsigs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        (expr("bit_count(sig_lo ^ q_lo)") + expr("bit_count(sig_hi ^ q_hi)"))
+          .cast("long"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= shortlist)
+      .select("qid", "vec_id", "hamming")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val wC = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("v"), col("n"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "hamming", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
 }

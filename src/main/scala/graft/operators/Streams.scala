@@ -1108,6 +1108,84 @@ object Streams {
         .orderBy("partition", "k", "session_start")
     }
 
+  /** CHAINED STATEFUL OPERATORS through the oracle gate (round 14) —
+    * TWO windowed aggregations in ONE streaming query, the
+    * multi-stateful-operator support Spark added in 3.5 (hourly
+    * per-type counts re-windowed by `window_time` into daily
+    * peak/total/active-hour rollups — the metrics-downsampling
+    * cascade every observability pipeline runs). The hourly operator
+    * emits a window downstream only when the watermark closes it;
+    * the daily operator aggregates those FINAL hourly rows and emits
+    * its own window on the same watermark — so a day emits iff
+    * day_end_ms ≤ W_ms (the session-window eviction rule, re-pinned
+    * for chained aggs by StreamExecParitySpec's planted ±1 ms
+    * probes), and every emitted day provably contains ALL its hours
+    * (hour ends ≤ day end ≤ W). The oracle is the batch two-level
+    * rollup under that cutoff — micro-batch boundaries invisible by
+    * construction.
+    *
+    * Scale shape: state = open windows × types for BOTH operators
+    * (grid-bounded, never row-proportional); the hourly→daily edge
+    * re-shuffles only closed hourly rows. Complete-history grids
+    * stay bounded, so the memory sink is safe at any corpus size. */
+  def streamExecChainedAgg(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_chained_agg", "append",
+        byTime = true) { stream =>
+      stream
+        .select(col("ts"),
+          element_at(col("headers"), "event_type").cast("string")
+            .as("event_type"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour").as("hw"), col("event_type"))
+        .agg(count(lit(1)).as("n_hour"))
+        .groupBy(window(window_time(col("hw")), "1 day").as("dw"),
+          col("event_type"))
+        .agg(sum("n_hour").as("n_day"), max("n_hour").as("peak_hour_n"),
+          count(lit(1)).as("n_active_hours"))
+    } { t =>
+      t.select(col("dw.start").as("ds"), col("event_type"), col("n_day"),
+        col("peak_hour_n"), col("n_active_hours"))
+        .orderBy("ds", "event_type")
+    }
+
+  /** STREAM–STATIC ENRICHMENT through the oracle gate (round 14) —
+    * the most common production streaming shape of all: a live
+    * stream joined to a BATCH dimension table (here the per-user
+    * cohort profile — first-seen day — computed from the warehouse),
+    * then windowed-aggregated. The static side is planned as a
+    * broadcast hash join REBUILT per micro-batch (Spark's
+    * stream-static contract: the dimension re-resolves each batch,
+    * which is exactly why slowly-changing dims work); the join adds
+    * NO state — the only stateful operator is the daily window, so
+    * emission follows the same watermark rule as the chained-agg
+    * gate. The result is the daily-active-by-cohort matrix (the
+    * growth-accounting view [[EventAnalytics.cohortRetention]]
+    * computes in batch), cohorts×days grid-bounded.
+    *
+    * Scale shape: the dimension is |users| — broadcast here because
+    * the gate profile is small; at dimension sizes past broadcast
+    * reach the SAME query runs with the join hint dropped and Spark
+    * shuffles the batch side once per micro-batch (still stateless).
+    * Stream rows carry (ts, user_id) only — 16 bytes into the join. */
+  def streamExecStaticEnrich(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_static_enrich", "append",
+        byTime = true) { stream =>
+      val cohort = events(stream.sparkSession, dir)
+        .groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      stream
+        .select(col("ts"),
+          element_at(col("headers"), "user_id").cast("string").cast("long")
+            .as("user_id"))
+        .withWatermark("ts", "1 day")
+        .join(broadcast(cohort), "user_id")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("cohort_day"))
+        .agg(count(lit(1)).as("n_events"))
+    } { t =>
+      t.select(col("w.start").as("ws"), col("cohort_day"), col("n_events"))
+        .orderBy("ws", "cohort_day")
+    }
+
   /** WATERMARKED stream–stream INTERVAL join through the oracle gate
     * — the PRODUCTION form of [[streamExecJoin]]: both sides carry
     * `withWatermark(ts, 1 day)` and the join condition is an

@@ -268,17 +268,46 @@ object TextAnalysis {
     * persisted HERE (parquet) so the DuckDB oracle can read the
     * exact same rules — the CellCodebook.save precedent applied to
     * the tokenizer. The ROOT is fixed (oracle SQL is static text),
-    * but each corpus writes its OWN `docs_<n>_<chars>` subdir and
-    * stamps every row with (`corpus_docs`, `corpus_chars`); the
-    * oracle globs the root and filters both against the documents
-    * table it sees, so fixtures for different corpora COEXIST — a
-    * 10× Verify no longer clobbers the sf0.01 fixture between a
-    * dump and its compare, and the sf0.001/sf0.01 pair (SAME doc
-    * count, different text — caught in-round when the suite's
-    * sf0.001 pass raced a sf0.01 parity) disambiguate on the char
-    * total. Distinct corpora agreeing on BOTH counts could still
-    * collide; none of the gate corpora do. */
+    * but each corpus writes its OWN `docs_<n>_<chars>_f<fp>` subdir
+    * and stamps every row with (`corpus_docs`, `corpus_chars`,
+    * `corpus_fp`); the oracle globs the root and filters all three
+    * against the documents table it sees, so fixtures for different
+    * corpora COEXIST — a 10× Verify no longer clobbers the sf0.01
+    * fixture between a dump and its compare. Round-13 advice
+    * hardening: (docs, chars) alone left same-count corpora
+    * UNDETECTED if they collided (the sf0.001/sf0.01 pair already
+    * agree on docs) — `corpus_fp`, a content fingerprint both
+    * engines compute identically (see [[BpeCorpusFpSpark]]),
+    * disambiguates on the text itself; and the overwrite window is
+    * CLOSED by write-once + atomic-rename publication (see
+    * [[textBpeApply]]) instead of delete-then-write. */
   private[graft] val BpeFixturePath = "/tmp/graft-bpe-merges.parquet"
+
+  /** Staging root for [[textBpeApply]]'s fixture writes — OUTSIDE
+    * the oracle's glob, so a half-written table can never be read. */
+  private[graft] val BpeFixtureTmp = "/tmp/graft-bpe-merges.tmp"
+
+  /** Corpus content fingerprint (Spark SQL form): a cheap exact-
+    * integer digest over (doc_id, length, first/middle/last char)
+    * that distinguishes corpora agreeing on both row count and char
+    * total. NOT a cryptographic hash — a collision detector for the
+    * fixture seam, where the failure mode is two gate corpora
+    * sharing a subdir. Magnitude: ≤ max_id·max_len·131 per doc
+    * (≈4e9 at the 10× corpus) summed over ≤5e4 docs ≈ 2e14 ≪ 2⁶³.
+    * [[BpeCorpusFpDuck]] is the same formula in DuckDB dialect;
+    * keep them in lockstep. */
+  private[graft] val BpeCorpusFpSpark: String =
+    "sum(doc_id * length(text) * 131 + ascii(substr(text, 1, 1)) * 31" +
+      " + ascii(substr(text, length(text) DIV 2 + 1, 1)) * 7" +
+      " + ascii(substr(text, length(text), 1)))"
+
+  /** DuckDB dialect of [[BpeCorpusFpSpark]] (strlen ≡ length on the
+    * ASCII corpus; `//` is DuckDB integer division). Interpolated
+    * into the oracle SQL so the two sides cannot drift. */
+  private[graft] val BpeCorpusFpDuck: String =
+    "SUM(doc_id * strlen(text) * 131 + ascii(substr(text, 1, 1)) * 31" +
+      " + ascii(substr(text, strlen(text) // 2 + 1, 1)) * 7" +
+      " + ascii(substr(text, strlen(text), 1)))"
 
   /** Symbol wrappers of [[textBpeApply]]'s string encoding (SO/SI
     * control chars — provably absent from the documents corpus, whose
@@ -315,16 +344,39 @@ object TextAnalysis {
     * terminal sort). Train cost is vocabulary-bounded, not
     * corpus-bounded (see [[textBpeTrain]]). */
   def textBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
     def w(s: String) = BpeS1 + s + BpeS2
-    val fp = t(spark, dir, "documents")
-      .agg(count(lit(1)), sum(length(col("text")).cast("long"))).head()
-    val (nDocs, nChars) = (fp.getLong(0), fp.getLong(1))
-    val fixtureDir = s"$BpeFixturePath/docs_${nDocs}_$nChars"
-    textBpeTrain(spark, dir)
-      .select("rank", "left", "right", "merged")
-      .withColumn("corpus_docs", lit(nDocs))
-      .withColumn("corpus_chars", lit(nChars))
-      .coalesce(1).write.mode("overwrite").parquet(fixtureDir)
+    val stat = t(spark, dir, "documents")
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        expr(BpeCorpusFpSpark)).head()
+    val (nDocs, nChars, corpusFp) =
+      (stat.getLong(0), stat.getLong(1), stat.getLong(2))
+    val fixtureDir = s"$BpeFixturePath/docs_${nDocs}_${nChars}_f$corpusFp"
+    // Write-once + atomic publication (round-13 advice): the fixture
+    // is a deterministic function of the corpus key, so an existing
+    // complete table (_SUCCESS present) is byte-equivalent to what a
+    // retrain would produce — skip the rewrite rather than opening a
+    // delete-then-write window against a concurrent oracle read.
+    // First writers stage OUTSIDE the oracle glob and rename(2) into
+    // place; a loser of a same-corpus race discards its staging dir.
+    if (!JFiles.exists(JPaths.get(fixtureDir, "_SUCCESS"))) {
+      val tmp = s"$BpeFixtureTmp/${java.util.UUID.randomUUID}"
+      textBpeTrain(spark, dir)
+        .select("rank", "left", "right", "merged")
+        .withColumn("corpus_docs", lit(nDocs))
+        .withColumn("corpus_chars", lit(nChars))
+        .withColumn("corpus_fp", lit(corpusFp))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      JFiles.createDirectories(JPaths.get(BpeFixturePath))
+      try JFiles.move(JPaths.get(tmp), JPaths.get(fixtureDir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          org.apache.hadoop.fs.FileSystem
+            .getLocal(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+    }
     // re-read what was WRITTEN: the applied rules are provably the
     // fixture's rules, not the in-memory table that produced it
     val merges = spark.read.parquet(fixtureDir)
@@ -982,5 +1034,58 @@ object TextAnalysis {
         round(sum("long_words").cast("double") / sum("words"), 6)
           .as("long_word_share"))
       .orderBy("source")
+
+  /** Char-trigram language classifier (round 14) — the n-gram
+    * PROFILE method (Cavnar–Trenkle) that [[textLangid]]'s stopword
+    * heuristic approximates: per-language character-trigram count
+    * profiles built from the labeled corpus, each document classified
+    * to the profile with the highest cosine over its own trigram
+    * counts. The in-sample evaluation shape ([[textLangF1]]
+    * precedent: profiles include the doc being scored — this is the
+    * "does the signal separate" audit, not a held-out benchmark).
+    *
+    * Determinism: counts are exact integers; dot products and norms
+    * are integer sums (profile norms routed through DECIMAL — a
+    * popular trigram's squared count overflows a long at ~100×); the
+    * cosine is a pure scalar double chain (cast → sqrt → divide) over
+    * exact inputs, bit-identical cross-engine; argmax ties break on
+    * the language code.
+    *
+    * Scale shape: one trigram-explode scan feeds BOTH the per-doc
+    * counts (shuffled once on (doc, tri)) and the profile table; the
+    * profile is bounded by |langs|·|trigram alphabet|³ — O(1) in the
+    * corpus — so the scoring join BROADCASTS it and the per-doc
+    * aggregate combines map-side. Nothing pairwise, nothing global
+    * but the terminal sort. */
+  def textCharTrigramLangid(spark: SparkSession, dir: String): DataFrame = {
+    val tris = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 2)," +
+          " i -> substring(text, i, 3))")).as("tri"))
+    val docTri = tris.groupBy("doc_id", "lang", "tri")
+      .agg(count(lit(1)).as("cnt"))
+    val prof = tris.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("pcnt"))
+    val docNorm = docTri.groupBy("doc_id")
+      .agg(sum(col("cnt") * col("cnt")).as("dn2"))
+    val profNorm = prof.groupBy("plang")
+      .agg(sum(col("pcnt").cast(DecimalType(19, 0)) *
+        col("pcnt").cast(DecimalType(19, 0))).as("pn2"))
+    val wA = Window.partitionBy("doc_id")
+      .orderBy(col("cos_sim").desc, col("plang").asc)
+    docTri.join(broadcast(prof), "tri")
+      .groupBy("doc_id", "lang", "plang")
+      .agg(sum(col("cnt") * col("pcnt")).as("dotp"))
+      .join(docNorm, "doc_id")
+      .join(broadcast(profNorm), "plang")
+      .withColumn("cos_sim", round(col("dotp").cast("double") /
+        (sqrt(col("dn2").cast("double")) * sqrt(col("pn2").cast("double"))), 6))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"),
+        col("cos_sim"), (col("lang") === col("plang")).as("correct"))
+      .orderBy("doc_id")
+  }
 
 }

@@ -22,6 +22,17 @@ class Round13OpsSpec extends AnyFunSuite {
     * (aa,ab)→aaab, (aaab,</w>)→aaab</w> — so every word collapses to
     * ONE symbol and the per-doc counts are exact. */
   lazy val bpeDir: String = {
+    // the fixture seam is write-once per corpus key (round 14): drop
+    // any persisted planted-corpus fixture so THIS build's trainer is
+    // what the assertions below exercise
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    Option(new java.io.File(TextAnalysis.BpeFixturePath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("docs_2_13_f"))
+      .foreach(rm)
     val d = Files.createTempDirectory("graft-r13-bpe").toString
     Seq((1L, "aaab aaab"), (2L, "aaab"))
       .toDF("doc_id", "text")
@@ -46,8 +57,13 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows(2L).getAs[Double]("compression") === 5.0)
     // the fixture both engines read carries exactly the 4 learned
     // merges, in training order (corpus-keyed subdir: 2 planted
-    // docs, 13 chars)
-    val fixture = spark.read.parquet(s"${TextAnalysis.BpeFixturePath}/docs_2_13")
+    // docs, 13 chars, plus the round-14 content fingerprint — resolve
+    // the full name rather than re-deriving the fp by hand)
+    val sub = new java.io.File(TextAnalysis.BpeFixturePath).listFiles()
+      .map(_.getName).filter(_.startsWith("docs_2_13_f"))
+    assert(sub.length === 1, s"expected one planted fixture dir: ${sub.toSeq}")
+    val fixture = spark.read
+      .parquet(s"${TextAnalysis.BpeFixturePath}/${sub.head}")
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
     assert(fixture.toSeq === Seq(

@@ -1,0 +1,182 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Planted-fixture semantics for the round-14 operators: the oracle
+  * parity run proves cross-engine agreement; these prove the
+  * operators compute the RIGHT thing on inputs whose answers are
+  * known in closed form — island boundaries, sign-bit packing edges,
+  * the exact-integer CV verdict, disjoint-alphabet classification,
+  * and clipped-run folds.
+  */
+class Round14OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // q55_gaps_islands
+
+  /** cust 1 orders on days 1,2,3 (island of 3), 7 (island of 1),
+    * 9,10 (island of 2) — day 2 ordered TWICE (the distinct guard);
+    * cust 2 a single day. */
+  lazy val ordersDir: String = {
+    val d = Files.createTempDirectory("graft-r14-orders").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(n: Int) =
+      new java.sql.Timestamp(base.getTime + n.toLong * 86400000L)
+    Seq((1L, day(1)), (1L, day(2)), (1L, day(2)), (1L, day(3)),
+      (1L, day(7)), (1L, day(9)), (1L, day(10)), (2L, day(5)))
+      .toDF("o_custkey", "o_orderdate")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("q55_gaps_islands: island boundaries and the duplicate-day guard") {
+    val rows = Relational.q55GapsIslands(spark, ordersDir).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("max_streak"))).toMap
+    assert(rows === Map(1L -> ((6L, 3L, 3L)), 2L -> ((1L, 1L, 1L))))
+  }
+
+  // ---------------------------------------------------------------
+  // ann_binary_topk
+
+  /** Sign patterns chosen so Hamming distances are closed-form:
+    * ids 0-4 are the query set (id 0 all-positive); id 5 equals id 0
+    * (hamming 0), id 6 flips dims 0-3 (hamming 4), id 7 flips dims
+    * 32-63 — the ENTIRE hi word, exercising bit 31 of each packed
+    * half (hamming 32). Magnitudes differ from signs so the rerank
+    * provably orders by cosine, not by Hamming. */
+  lazy val embDir: String = {
+    val d = Files.createTempDirectory("graft-r14-emb").toString
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(64)(f)
+    val rows = Seq(
+      (0L, vec(_ => 1.0f)),
+      (1L, vec(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (2L, vec(i => if (i % 3 == 0) 1.0f else -1.0f)),
+      (3L, vec(i => if (i < 16) -1.0f else 1.0f)),
+      (4L, vec(i => if (i >= 48) -1.0f else 1.0f)),
+      (5L, vec(_ => 2.0f)),
+      (6L, vec(i => if (i < 4) -3.0f else 1.0f)),
+      (7L, vec(i => if (i >= 32) -1.0f else 1.0f)))
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("ann_binary_topk: packing edges, Hamming exactness, cosine rerank") {
+    val out = Similarity.annBinaryTopk(spark, embDir).collect()
+    val q0 = out.filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+    val ham0 = q0.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("hamming")).toMap
+    // closed-form sign disagreements with the all-positive query
+    assert(ham0(5L) === 0L)
+    assert(ham0(6L) === 4L)
+    assert(ham0(7L) === 32L) // the full hi word, incl. bit 63
+    // rerank is by COSINE: id 5 (identical direction, scaled) must
+    // outrank id 6 despite both surviving the shortlist
+    assert(q0.head.getAs[Long]("vec_id") === 5L)
+    assert(q0.head.getAs[Double]("cos_sim") === 1.0)
+    // every query ranks each neighbor once, ranks contiguous from 1
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks === (1L to ranks.length.toLong).toArray)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // events_bot_regularity
+
+  /** user 1: 22 events exactly 60 s apart (CV = 0 — bot); user 2:
+    * 22 events with wildly alternating gaps (CV > 0.5 — human);
+    * user 3: metronomic but only 4 events (below the n floor). */
+  lazy val botDir: String = {
+    val d = Files.createTempDirectory("graft-r14-bot").toString
+    val t0 = 1700000000000000L // µs
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val u1 = (0 until 22).map(i =>
+      (100L + i, 1L, ts(t0 + i * 60000000L)))
+    val gaps2 = Seq.tabulate(21)(i => if (i % 2 == 0) 1000000L else 3600000000L)
+    val times2 = gaps2.scanLeft(t0)(_ + _)
+    val u2 = times2.zipWithIndex.map { case (us, i) => (200L + i, 2L, ts(us)) }
+    val u3 = (0 until 4).map(i => (300L + i, 3L, ts(t0 + i * 60000000L)))
+    (u1 ++ u2 ++ u3).toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("events_bot_regularity: exact CV verdict and the n-gaps floor") {
+    val rows = EventAnalytics.botRegularity(spark, botDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_gaps") === 21L)
+    assert(rows(1L).getAs[Long]("mean_gap_us") === 60000000L)
+    assert(rows(1L).getAs[Double]("cv") === 0.0)
+    assert(rows(1L).getAs[Boolean]("is_bot"))
+    // user 2: gaps alternate 1 s / 3600 s → CV ≈ 1 ≫ 0.5
+    assert(rows(2L).getAs[Double]("cv") > 0.5)
+    assert(!rows(2L).getAs[Boolean]("is_bot"))
+    // user 3: perfectly regular but below the 20-gap floor
+    assert(rows(3L).getAs[Long]("n_gaps") === 3L)
+    assert(rows(3L).getAs[Double]("cv") === 0.0)
+    assert(!rows(3L).getAs[Boolean]("is_bot"))
+  }
+
+  // ---------------------------------------------------------------
+  // text_char_trigram_langid
+
+  /** Disjoint trigram alphabets: xx docs live in 'aero', yy docs in
+    * 'bilk' — doc 3 is LABELED xx but written in yy's alphabet, so
+    * the classifier must call it yy (correct = false). */
+  lazy val triDir: String = {
+    val d = Files.createTempDirectory("graft-r14-tri").toString
+    Seq((1L, "xx", "aero aero aero"), (2L, "yy", "bilk bilk bilk"),
+      (3L, "xx", "bilk bilk"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("text_char_trigram_langid: disjoint alphabets classify by content") {
+    val rows = TextAnalysis.textCharTrigramLangid(spark, triDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Boolean]("correct"))).toMap
+    assert(rows(1L) === (("xx", true)))
+    assert(rows(2L) === (("yy", true)))
+    // the mislabeled doc follows its CONTENT, not its label
+    assert(rows(3L) === (("yy", false)))
+  }
+
+  // ---------------------------------------------------------------
+  // mm_audio_clipping
+
+  /** 'z' (122) clips, 'a' (97) doesn't: "zzzaz" → 4 clipped, longest
+    * run 3; "aaa" → silent of clips entirely. */
+  lazy val clipDir: String = {
+    val d = Files.createTempDirectory("graft-r14-clip").toString
+    Seq((1L, "zzzaz"), (2L, "aaa"), (3L, "azzzzb"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("mm_audio_clipping: threshold, ppm, and the run-length fold") {
+    val rows = Multimodal.mmAudioClipping(spark, clipDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("n_clipped"),
+          r.getAs[Long]("clip_ppm"), r.getAs[Long]("max_clip_run"))).toMap
+    assert(rows(1L) === ((5L, 4L, 800000L, 3L)))
+    assert(rows(2L) === ((3L, 0L, 0L, 0L)))
+    assert(rows(3L) === ((6L, 4L, 666666L, 4L)))
+  }
+}

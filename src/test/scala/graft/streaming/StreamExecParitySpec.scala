@@ -295,6 +295,17 @@ class StreamExecParitySpec extends AnyFunSuite {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // transformWithState in ProcessingTime mode reports
+    // shouldRunAnotherBatch = true UNCONDITIONALLY (so wall-clock
+    // timers can fire), which under Trigger.AvailableNow schedules
+    // empty micro-batches FOREVER — the drain never terminates
+    // (observed: 1,600+ empty batches; TransformWithStateExecBase
+    // .shouldRunAnotherBatch). No-data batches are irrelevant here —
+    // TTL expiry is evaluated when the SECOND data batch reads the
+    // state — so turn them off and let AvailableNow stop at data
+    // exhaustion. Event-time drains (the gates) are unaffected: their
+    // shouldRunAnotherBatch is watermark-gated and terminates.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import ss.implicits._
     val root = Files.createTempDirectory("graft-ttl").toString
     val log = TopicLog.create(ss, root, "t", 1)
@@ -311,8 +322,13 @@ class StreamExecParitySpec extends AnyFunSuite {
         col("ts"), col("partition").cast("int").as("partition"))
     log.produce(df.orderBy("ts"), partitioner = col("partition"))
 
+    // returns the per-user count sequences AND the committed data
+    // batches' trigger timestamps (ms) — the TTL leg must VERIFY the
+    // inter-batch gap instead of assuming scheduler overhead > TTL
+    // (round-13 advice: two batches inside the same millisecond would
+    // carry state under a 1 ms TTL and flake the assertion)
     def drain(ttl: org.apache.spark.sql.streaming.TTLConfig,
-        name: String): Map[Long, Seq[Long]] = {
+        name: String): (Map[Long, Seq[Long]], Seq[Long]) = {
       val q = ss.readStream.format("graft-topic")
         .option("maxOffsetsPerTrigger", 2L) // one event/user/batch
         .load(s"$root/t")
@@ -335,21 +351,37 @@ class StreamExecParitySpec extends AnyFunSuite {
           Files.createTempDirectory(s"graft-ttl-$name").toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.length >= 2,
         "the TTL probe needs its events in separate micro-batches")
-      ss.table(name).as[(Long, Long, Long)].collect()
+      val tsMs = dataBatches.map(p =>
+        java.time.Instant.parse(p.timestamp).toEpochMilli).sorted.toSeq
+      (ss.table(name).as[(Long, Long, Long)].collect()
         .groupBy(_._1).map { case (u, rs) =>
-          u -> rs.sortBy(_._2).map(_._3).toSeq }.toMap
+          u -> rs.sortBy(_._2).map(_._3).toSeq }.toMap, tsMs)
     }
     // control first: NONE carries state → counts climb 1, 2
-    val none = drain(org.apache.spark.sql.streaming.TTLConfig.NONE, "ttl_none")
+    val (none, _) =
+      drain(org.apache.spark.sql.streaming.TTLConfig.NONE, "ttl_none")
     assert(none === Map(0L -> Seq(1L, 2L), 1L -> Seq(1L, 2L)),
       "NONE control must carry the count across batches")
-    // 1 ms TTL: the inter-batch gap (scheduler overhead, >> 1 ms)
-    // expires the state → every event restarts at 1
-    val ttl = drain(org.apache.spark.sql.streaming.TTLConfig(
-      java.time.Duration.ofMillis(1)), "ttl_1ms")
-    assert(ttl === Map(0L -> Seq(1L, 1L), 1L -> Seq(1L, 1L)),
+    // 1 ms TTL: the inter-batch gap (scheduler overhead, normally
+    // ≫ 1 ms) expires the state → every event restarts at 1. The gap
+    // is MEASURED from the committed batch timestamps; the rare
+    // same-millisecond commit re-drains instead of flaking.
+    var ttlCounts = Map.empty[Long, Seq[Long]]
+    var gapOk = false
+    var attempt = 0
+    while (!gapOk && attempt < 5) {
+      val (m, ts) = drain(org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(1)), s"ttl_1ms_$attempt")
+      gapOk = ts.sliding(2).forall { case Seq(a, b) => b - a > 1L }
+      ttlCounts = m
+      attempt += 1
+    }
+    assert(gapOk,
+      "five consecutive drains committed both micro-batches within 1 ms")
+    assert(ttlCounts === Map(0L -> Seq(1L, 1L), 1L -> Seq(1L, 1L)),
       "a 1 ms TTL must expire the carried state between micro-batches")
   }
 
@@ -681,6 +713,77 @@ class StreamExecParitySpec extends AnyFunSuite {
     assert(q.recentProgress.flatMap(_.stateOperators)
         .exists(_.numRowsRemoved > 0),
       "the watermark must actually have evicted outer state")
+  }
+
+  /** stream_exec_chained_agg's emission boundary, pinned on planted
+    * data: TWO chained windowed aggregations (hourly → daily via
+    * window_time) drain under tiny triggers; a clock row places the
+    * final watermark EXACTLY on a daily window end in drain A (the
+    * day must EMIT — the aggregation eviction boundary is INCLUSIVE,
+    * end ≤ W, matching the session-window rule) and 1 ms before it in
+    * drain B (the day must be WITHHELD). A Spark version flipping the
+    * predicate fails here, not in the gate (SURVEY §5.1). */
+  test("chained windowed aggs: daily rollup emits at the inclusive boundary") {
+    val ss = spark.newSession()
+    import ss.implicits._
+    // D0 = an exact UTC midnight; day windows are UTC-aligned
+    val d0Us = 1700006400000000L
+    val hourUs = 3600000000L
+    def drain(clockUs: Long, name: String): Set[(Long, String, Long, Long, Long)] = {
+      val root = Files.createTempDirectory(s"graft-sxc-$name").toString
+      val log = TopicLog.create(ss, root, "t", 1)
+      val rows = Seq(
+        (1L, "a", d0Us + hourUs + 1800000000L),        // D0 01:30
+        (2L, "a", d0Us + 2 * hourUs + 900000000L),     // D0 02:15
+        (3L, "a", d0Us + 2 * hourUs + 2700000000L),    // D0 02:45
+        (4L, "a", d0Us + 86400000000L + 5 * hourUs),   // D1 05:00
+        (5L, "c", clockUs))                            // the clock
+      val df = rows.toDF("event_id", "event_type", "ts_us")
+        .select(col("event_id").cast("string").cast("binary").as("key"),
+          lit("{}").cast("binary").as("value"),
+          map(lit("event_type"), col("event_type").cast("binary")).as("headers"),
+          expr("timestamp_micros(ts_us)").as("ts"),
+          lit(0).as("partition"))
+      log.produce(df.orderBy("ts_us"), partitioner = col("partition"))
+      val q = ss.readStream.format("graft-topic")
+        .option("maxOffsetsPerTrigger", 2L)
+        .load(s"$root/t")
+        .select(col("ts"),
+          element_at(col("headers"), "event_type").cast("string")
+            .as("event_type"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour").as("hw"), col("event_type"))
+        .agg(count(lit(1)).as("n_hour"))
+        .groupBy(window(window_time(col("hw")), "1 day").as("dw"),
+          col("event_type"))
+        .agg(sum("n_hour").as("n_day"), max("n_hour").as("peak_hour_n"),
+          count(lit(1)).as("n_active_hours"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-sxc-ckpt-$name").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the drain must cross micro-batch boundaries")
+      ss.table(name)
+        .select(unix_micros(col("dw.start")).as("ds_us"), col("event_type"),
+          col("n_day"), col("peak_hour_n"), col("n_active_hours"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    }
+    val d0Row = (d0Us, "a", 3L, 2L, 2L)
+    val d1Row = (d0Us + 86400000000L, "a", 1L, 1L, 1L)
+    // drain A: clock at D3 00:00.000 → W = D2 00:00.000 = D1's window
+    // end exactly — inclusive emission must release D1
+    val atW = drain(d0Us + 3 * 86400000000L, "sxc_at")
+    assert(atW === Set(d0Row, d1Row),
+      "a day window ending exactly AT the watermark must emit (end ≤ W)")
+    // drain B: clock 1 ms earlier → W = D1's end − 1 ms — withheld
+    val beforeW = drain(d0Us + 3 * 86400000000L - 1000L, "sxc_before")
+    assert(beforeW === Set(d0Row),
+      "a day window ending 1 ms past the watermark must be withheld")
   }
 }
 
