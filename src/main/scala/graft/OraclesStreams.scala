@@ -429,6 +429,40 @@ object OraclesStreams {
         |FROM events v WHERE v.event_type = 'view'
         |ORDER BY view_id""".stripMargin,
 
+    // nearest as-of: both direction candidates off ONE (ts, event_id)
+    // ordered window per user (the exact Spark formulation — NOT the
+    // ts-only correlated form, so same-microsecond rows resolve by
+    // the identical total order); equal distances prefer backward
+    "asof_join_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, ts,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER pw AS pv_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts_us END
+        |      IGNORE NULLS) OVER pw AS pv_us,
+        |    first_value(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER nw AS nv_id,
+        |    first_value(CASE WHEN event_type = 'view' THEN ts_us END
+        |      IGNORE NULLS) OVER nw AS nv_us
+        |  FROM ev
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  nw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |c AS (SELECT *, (pv_us IS NOT NULL AND (nv_us IS NULL
+        |      OR ts_us - pv_us <= nv_us - ts_us)) AS tp
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  CASE WHEN tp THEN pv_id
+        |       WHEN nv_us IS NOT NULL THEN nv_id END AS view_id,
+        |  CASE WHEN tp THEN pv_us - ts_us
+        |       WHEN nv_us IS NOT NULL THEN nv_us - ts_us END AS gap_us,
+        |  CASE WHEN tp THEN 'backward'
+        |       WHEN nv_us IS NOT NULL THEN 'forward'
+        |       ELSE 'none' END AS direction
+        |FROM c ORDER BY purchase_id""".stripMargin,
+
     "json_props_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -505,6 +539,14 @@ object OraclesStreams {
         |  CAST(n_active_hours AS BIGINT) AS n_active_hours
         |FROM d, wm WHERE epoch_us(ds + INTERVAL 1 DAY) // 1000 <= wms
         |ORDER BY ds, event_type""".stripMargin,
+
+    // foreachBatch upsert: update-mode emissions replace on key, so
+    // the FINAL serving table is the plain batch GROUP BY — a key
+    // that double-applied or failed to replace across the ~8 forced
+    // micro-batches breaks this hash
+    "stream_exec_foreach_upsert" ->
+      """SELECT date_trunc('day', ts) AS ws, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     // stream-static enrichment: the static cohort dimension (per-user
     // first-seen day) joined batch-side, daily windows under the same

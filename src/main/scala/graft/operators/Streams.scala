@@ -759,6 +759,55 @@ object Streams {
       .orderBy("view_id")
   }
 
+  /** NEAREST as-of join (round 14; pandas merge_asof's third
+    * `direction` — after backward ([[asofJoin]]/[[asofJoinExec]]),
+    * forward ([[asofJoinForward]]) and tolerance
+    * ([[asofJoinTolerance]]), this completes the family): each
+    * purchase takes the view of the same user with the SMALLEST
+    * absolute time distance, in either direction. Exact-tie policy
+    * pinned: equal distances prefer the BACKWARD match (pandas'
+    * documented nearest-tie rule); within a side, candidates follow
+    * the (ts_us, event_id) total order — backward takes the LAST
+    * strictly-prior row, forward the FIRST at-or-after row — so
+    * same-microsecond views resolve identically in both engines.
+    *
+    * One shuffle by user_id: both the strictly-prior last-view and
+    * the at-or-after first-view ride the SAME partitioned sort (two
+    * frames, one exchange); the chooser is row-local exact-integer
+    * µs arithmetic. Purchases with no view at all emit with NULLs
+    * and direction 'none' — the row count is the purchase count,
+    * deterministically. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+    val enriched = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("pv_id", last(when(col("event_type") === "view",
+        col("event_id")), ignoreNulls = true).over(wPrev))
+      .withColumn("pv_us", last(when(col("event_type") === "view",
+        col("ts_us")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv_id", first(when(col("event_type") === "view",
+        col("event_id")), ignoreNulls = true).over(wNext))
+      .withColumn("nv_us", first(when(col("event_type") === "view",
+        col("ts_us")), ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "purchase")
+    val takePrev = col("pv_us").isNotNull && (col("nv_us").isNull ||
+      (col("ts_us") - col("pv_us")) <= (col("nv_us") - col("ts_us")))
+    val takeNext = !takePrev && col("nv_us").isNotNull
+    enriched.select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"),
+      when(takePrev, col("pv_id")).when(takeNext, col("nv_id"))
+        .as("view_id"),
+      when(takePrev, col("pv_us") - col("ts_us"))
+        .when(takeNext, col("nv_us") - col("ts_us")).as("gap_us"),
+      when(takePrev, lit("backward")).when(takeNext, lit("forward"))
+        .otherwise(lit("none")).as("direction"))
+      .orderBy("purchase_id")
+  }
+
   /** BACKWARD as-of join with a TOLERANCE (round 11; pandas
     * merge_asof's `tolerance` — the staleness bound production as-of
     * joins almost always carry: a quote/feature older than the bound
@@ -1185,6 +1234,91 @@ object Streams {
       t.select(col("w.start").as("ws"), col("cohort_day"), col("n_events"))
         .orderBy("ws", "cohort_day")
     }
+
+  /** foreachBatch UPSERT sink through the oracle gate (round 14) —
+    * the two streaming surfaces no other gate exercises: UPDATE
+    * output mode (each micro-batch emits the keys whose aggregate
+    * CHANGED, with cumulative values) and the `foreachBatch` custom
+    * sink (the API behind every "stream → MERGE INTO serving table"
+    * pipeline). Per batch, the changed (day, type) count rows upsert
+    * into a parquet serving table — replace-on-key via a max_by
+    * priority merge, written to a staging dir and swapped in — so
+    * the FINAL table must equal the batch GROUP BY: a key updated in
+    * three different micro-batches that failed to replace (or
+    * double-applied) breaks the hash. No watermark, no emission
+    * boundary — update mode re-emits keys until the drain ends.
+    *
+    * The trigger is sized from the topic manifest to ~8 micro-batches
+    * at ANY corpus size (a metadata read, no scan): cross-batch
+    * upserts are the semantics under test, and the production 100k
+    * budget would fold small corpora into one batch and never
+    * exercise the replace path — while a fixed small budget would
+    * cost 250 serving-table rewrites at 10×. The serving table is
+    * GRID-bounded (days × types), so each rewrite is dimension-sized
+    * regardless of corpus rows — exactly the class of table
+    * foreachBatch-merge pipelines maintain. */
+  def streamExecForeachUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = ensureEventsTopicByTime(spark, dir)
+    val op = "stream_exec_foreach_upsert"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$op")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_STATE_PARTITIONS", "8"))
+    val p = java.nio.file.Paths.get(topicDir)
+    val total = graft.streaming.TopicLog
+      .open(ss, p.getParent.toString, p.getFileName.toString)
+      .partitionSizes().values.sum
+    // ~8 batches at any gate SF (floor keeps even the sf0.001 spec
+    // corpus multi-batch, so the replace path always runs)
+    val trigger = math.max(125L, total / 8L)
+    val serveRoot = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-drains-" +
+        Integer.toHexString(dir.hashCode), op)
+    rmTree(serveRoot.toFile)
+    java.nio.file.Files.createDirectories(serveRoot)
+    registerDrainDir(serveRoot)
+    val serve = s"$serveRoot/serve"
+    val q = ss.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", trigger)
+      .load(topicDir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        element_at(col("headers"), "event_type").cast("string")
+          .as("event_type"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val bss = batch.sparkSession
+          val snap = batch.select("day", "event_type", "n")
+          val merged =
+            if (new java.io.File(serve).exists())
+              // replace-on-key: the batch row (p=1) wins over the
+              // served row (p=0); a key present in only one side
+              // keeps its single row
+              bss.read.parquet(serve).withColumn("p", lit(0))
+                .union(snap.withColumn("p", lit(1)))
+                .groupBy("day", "event_type")
+                .agg(expr("max_by(n, p)").as("n"))
+            else snap
+          val tmp = s"$serve.tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          rmTree(new java.io.File(serve))
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(serve))
+          ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    rmTree(ckpt.toFile)
+    spark.read.parquet(serve)
+      .select(col("day").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+  }
 
   /** WATERMARKED stream–stream INTERVAL join through the oracle gate
     * — the PRODUCTION form of [[streamExecJoin]]: both sides carry

@@ -1051,12 +1051,15 @@ object TextAnalysis {
     * exact inputs, bit-identical cross-engine; argmax ties break on
     * the language code.
     *
-    * Scale shape: one trigram-explode scan feeds BOTH the per-doc
-    * counts (shuffled once on (doc, tri)) and the profile table; the
-    * profile is bounded by |langs|·|trigram alphabet|³ — O(1) in the
-    * corpus — so the scoring join BROADCASTS it and the per-doc
-    * aggregate combines map-side. Nothing pairwise, nothing global
-    * but the terminal sort. */
+    * Scale shape: ONE trigram-explode scan builds the (doc, tri)
+    * count table, eagerly checkpointed — the profile, both norms,
+    * and the scoring all DERIVE from it (without the checkpoint the
+    * plan re-ran the explode four times, once per consumer; the
+    * ExplainCheck audit caught it). The profile is bounded by
+    * |langs|·|trigram alphabet|³ — O(1) in the corpus — so the
+    * scoring join BROADCASTS it and the per-doc aggregate combines
+    * map-side. Nothing pairwise, nothing global but the terminal
+    * sort. */
   def textCharTrigramLangid(spark: SparkSession, dir: String): DataFrame = {
     val tris = t(spark, dir, "documents")
       .filter(length(col("text")) >= 3)
@@ -1065,8 +1068,9 @@ object TextAnalysis {
           " i -> substring(text, i, 3))")).as("tri"))
     val docTri = tris.groupBy("doc_id", "lang", "tri")
       .agg(count(lit(1)).as("cnt"))
-    val prof = tris.groupBy(col("lang").as("plang"), col("tri"))
-      .agg(count(lit(1)).as("pcnt"))
+      .localCheckpoint(true)
+    val prof = docTri.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(sum("cnt").as("pcnt"))
     val docNorm = docTri.groupBy("doc_id")
       .agg(sum(col("cnt") * col("cnt")).as("dn2"))
     val profNorm = prof.groupBy("plang")

@@ -404,6 +404,66 @@ object ScaleBench {
     time("ann_bruteforce_topk")(noop(Similarity.annBruteforceTopk(spark, out)))
     time("ann_ivf_topk")(noop(Similarity.annIvfTopk(spark, out)))
     time("pipeline_e2e_corpus")(noop(Pipeline.pipelineE2ECorpus(spark, out)))
+
+    // Round-14 additions: the new operators' shuffle shapes.
+    //  - text_char_trigram_langid: the checkpointed (doc, tri) count
+    //    table is the only n-proportional shuffle (must scale
+    //    linearly); the PROFILE broadcast is alphabet³×langs-bounded
+    //    (must grow far below the replica factor);
+    //  - ann_binary_topk: the full-precision rerank re-fetch is
+    //    shortlist×|Q| rows — ABSOLUTE, must be EQUAL at any corpus
+    //    size (only the 24-byte (qid, id, hamming) rows are linear);
+    //  - stream_exec_foreach_upsert: the serving table is the
+    //    days×types grid — calendar-bounded, never row-proportional;
+    //  - events_bot_regularity: reduce side = |users|.
+    for (d <- Seq(baseDir, out)) {
+      val tris = t(spark, d, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 2)," +
+            " i -> substring(text, i, 3))")).as("tri"))
+      val docTri = tris.groupBy("doc_id", "lang", "tri").count()
+      println(f"round-14 trigram volumes at $d: " +
+        f"doc_tri_rows=${docTri.count()}%d " +
+        f"profile_rows=${docTri.groupBy("lang", "tri").count().count()}%d")
+      val sigs = t(spark, d, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+            "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i), 0L))").as("sig_lo"),
+          expr("aggregate(sequence(32, 63), 0L, (acc, i) -> acc + " +
+            "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i - 32), 0L))").as("sig_hi"))
+      val qs = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+      val wH = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("hamming"), col("vec_id"))
+      val rerank = sigs.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("hamming",
+          (expr("bit_count(sig_lo ^ q_lo)") +
+            expr("bit_count(sig_hi ^ q_hi)")).cast("long"))
+        .withColumn("r", row_number().over(wH)).filter(col("r") <= 64)
+        .count()
+      println(f"round-14 binary-ANN at $d: rerank_fetch_rows=$rerank%d " +
+        f"(ABSOLUTE shortlist x queries - equal at any corpus size)")
+    }
+    for (d <- evDirs) {
+      val grid = graft.Tables.events(spark, d)
+        .select(date_trunc("day", col("ts")), col("event_type"))
+        .distinct().count()
+      val users = graft.Tables.events(spark, d)
+        .select("user_id").distinct().count()
+      println(f"round-14 events volumes at $d: upsert_grid_rows=$grid%d " +
+        f"bot_reduce_rows=$users%d")
+    }
+    time("text_char_trigram_langid 1x")(noop(
+      graft.operators.TextAnalysis.textCharTrigramLangid(spark, baseDir)))
+    time("text_char_trigram_langid 10x")(noop(
+      graft.operators.TextAnalysis.textCharTrigramLangid(spark, out)))
+    time("ann_binary_topk 1x")(noop(Similarity.annBinaryTopk(spark, baseDir)))
+    time("ann_binary_topk 10x")(noop(Similarity.annBinaryTopk(spark, out)))
     spark.stop()
   }
 }

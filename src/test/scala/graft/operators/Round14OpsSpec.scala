@@ -170,6 +170,55 @@ class Round14OpsSpec extends AnyFunSuite {
     d
   }
 
+  // ---------------------------------------------------------------
+  // asof_join_nearest
+
+  /** user 1: views at t=0 s and t=100 s; purchases at 40 s (backward
+    * wins 40 < 60), 50 s (exact tie → backward), 70 s (forward wins
+    * 30 < 70). user 2: a viewless purchase → direction 'none'. */
+  lazy val nearestDir: String = {
+    val d = Files.createTempDirectory("graft-r14-asof").toString
+    val t0 = 1700000000000000L
+    def ts(sec: Long) = new java.sql.Timestamp((t0 + sec * 1000000L) / 1000L)
+    Seq(
+      (10L, 1L, "view", ts(0)), (11L, 1L, "view", ts(100)),
+      (20L, 1L, "purchase", ts(40)), (21L, 1L, "purchase", ts(50)),
+      (22L, 1L, "purchase", ts(70)),
+      (30L, 2L, "purchase", ts(10)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("asof_join_nearest: direction choice, the backward tie, and 'none'") {
+    val rows = Streams.asofJoinNearest(spark, nearestDir).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong),
+          r.getAs[String]("direction"))).toMap
+    assert(rows(20L) === ((Some(10L), Some(-40000000L), "backward")))
+    assert(rows(21L) === ((Some(10L), Some(-50000000L), "backward")))
+    assert(rows(22L) === ((Some(11L), Some(30000000L), "forward")))
+    assert(rows(30L) === ((None, None, "none")))
+  }
+
+  // ---------------------------------------------------------------
+  // stream_exec_foreach_upsert
+
+  test("stream_exec_foreach_upsert: multi-batch replace equals the batch agg") {
+    val dir = "/root/testdata/sf0.001"
+    // the manifest-sized trigger puts the sf0.001 corpus through ~8
+    // micro-batches, so every key is REPLACED multiple times before
+    // this equality can hold
+    val got = Streams.streamExecForeachUpsert(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val exp = graft.Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("ws"), col("event_type"))
+      .groupBy("ws", "event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === exp)
+  }
+
   test("mm_audio_clipping: threshold, ppm, and the run-length fold") {
     val rows = Multimodal.mmAudioClipping(spark, clipDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
