@@ -1051,7 +1051,8 @@ object OraclesPipeline {
          |  FROM s CROSS JOIN q WHERE s.vec_id <> q.qid),
          |hr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY hamming, vec_id) AS hrank FROM h),
-         |sl AS (SELECT qid, vec_id, hamming FROM hr WHERE hrank <= 64),
+         |sl AS (SELECT qid, vec_id, hamming FROM hr
+         |       WHERE hrank <= ${graft.operators.Similarity.AnnBinaryShortlist}),
          |qv AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 5),
          |r AS (SELECT sl.qid, sl.vec_id, sl.hamming,
          |    ${cosR("qv.qvec", "ce.v")} AS cos_sim
@@ -1060,7 +1061,8 @@ object OraclesPipeline {
          |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM r)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, hamming, cos_sim
-         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+         |FROM rk WHERE rank <= ${graft.operators.Similarity.AnnBinaryK}
+         |ORDER BY qid, rank""".stripMargin,
 
     // char-trigram language profiles (Cavnar–Trenkle): exact integer
     // counts/dots/norms (profile norms in HUGEINT), scalar-double

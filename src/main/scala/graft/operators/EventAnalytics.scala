@@ -1057,8 +1057,13 @@ object EventAnalytics {
           .as("var_n"),
         col("sum_g"))
       .select(col("user_id"), col("n_gaps"), col("mean_gap_us"),
-        round(sqrt(col("var_n").cast("double")) / col("sum_g").cast("double"), 6)
-          .as("cv"),
+        // sum_g = 0 (all events in the same microsecond) has no
+        // defined CV: emit NULL like the oracle's 0/0 — Spark's
+        // double division would yield NaN and break parity (review
+        // catch; no gate user degenerates, but the contract holds)
+        when(col("sum_g") === 0L, lit(null))
+          .otherwise(round(sqrt(col("var_n").cast("double")) /
+            col("sum_g").cast("double"), 6)).as("cv"),
         (col("n_gaps") >= 20 &&
           col("var_n") * 4 < expr("CAST(sum_g AS DECIMAL(19,0))" +
             " * CAST(sum_g AS DECIMAL(19,0))")).as("is_bot"))

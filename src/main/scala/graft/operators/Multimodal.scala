@@ -512,7 +512,12 @@ object Multimodal {
   def mmAudioClipping(spark: SparkSession, dir: String): DataFrame = {
     val records = asMediaRecords(spark, dir)
     import records.sparkSession.implicits._
-    records.mapPartitions { batch =>
+    // zero-length payloads emit NO row, matching the oracle's unnest
+    // (which produces no per-sample rows to aggregate) — the aligned
+    // empty-input semantic, not a silently divergent (0,0,0,0) row
+    // (review catch; no gate doc is empty, but the contract holds
+    // for any corpus)
+    records.filter(r => r.payload.nonEmpty).mapPartitions { batch =>
       batch.map { r =>
         var clipped = 0L
         var run = 0L
@@ -527,8 +532,7 @@ object Multimodal {
           i += 1
         }
         val n = r.payload.length.toLong
-        AudioClipping(r.doc_id, n, clipped,
-          if (n == 0L) 0L else clipped * 1000000L / n, maxRun)
+        AudioClipping(r.doc_id, n, clipped, clipped * 1000000L / n, maxRun)
       }
     }.toDF().orderBy("doc_id")
   }

@@ -991,14 +991,26 @@ object Similarity {
     * (the scan is pruned to two columns) and the O(1) query set
     * broadcasts like every ANN sibling. Shortlist size is the
     * recall/cost knob, absolute — never a corpus fraction. */
+  /** Shortlist size and final k of [[annBinaryTopk]] — interpolated
+    * into the oracle SQL so the two sides cannot drift (the
+    * KnnSeedCap discipline; review catch round 14). */
+  private[graft] val AnnBinaryShortlist = 64
+  private[graft] val AnnBinaryK = 10
+
+  /** One packed 32-bit half of the sign-bit signature over the
+    * double-vec column `v` (dims lo..lo+31 → bits 0..31). Shared by
+    * the operator and ScaleBench's volume probe so the benched shape
+    * cannot drift from the shipped one. */
+  private[graft] def signBitsExpr(lo: Int) = expr(
+    s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+      s"(acc, i) -> acc + IF(element_at(v, i + 1) > 0D, " +
+      s"shiftleft(1L, i - $lo), 0L))")
+
   def annBinaryTopk(spark: SparkSession, dir: String,
-      shortlist: Int = 64, k: Int = 10): DataFrame = {
+      shortlist: Int = AnnBinaryShortlist, k: Int = AnnBinaryK): DataFrame = {
     val e = emb(spark, dir)
-    def sig(lo: Int) = expr(
-      s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
-        s"(acc, i) -> acc + IF(element_at(v, i + 1) > 0D, " +
-        s"shiftleft(1L, i - $lo), 0L))")
-    val sigs = e.select(col("vec_id"), sig(0).as("sig_lo"), sig(32).as("sig_hi"))
+    val sigs = e.select(col("vec_id"),
+      signBitsExpr(0).as("sig_lo"), signBitsExpr(32).as("sig_hi"))
     val qsigs = sigs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"),
         col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))

@@ -1315,7 +1315,22 @@ object Streams {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     rmTree(ckpt.toFile)
-    spark.read.parquet(serve)
+    // an empty topic never runs foreachBatch, so the serving dir may
+    // not exist — empty in, empty out, with the explicit schema (the
+    // drainTopic durable-path guard; review catch)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    val served =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(serve)))
+        spark.read.schema(schema).parquet(serve)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    served
       .select(col("day").as("ws"), col("event_type"), col("n"))
       .orderBy("ws", "event_type")
   }

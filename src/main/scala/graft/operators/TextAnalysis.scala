@@ -268,8 +268,8 @@ object TextAnalysis {
     * persisted HERE (parquet) so the DuckDB oracle can read the
     * exact same rules — the CellCodebook.save precedent applied to
     * the tokenizer. The ROOT is fixed (oracle SQL is static text),
-    * but each corpus writes its OWN `docs_<n>_<chars>_f<fp>` subdir
-    * and stamps every row with (`corpus_docs`, `corpus_chars`,
+    * but each corpus writes its OWN `docs_<n>_<chars>_f<fp>_v<ver>`
+    * subdir and stamps every row with (`corpus_docs`, `corpus_chars`,
     * `corpus_fp`); the oracle globs the root and filters all three
     * against the documents table it sees, so fixtures for different
     * corpora COEXIST — a 10× Verify no longer clobbers the sf0.01
@@ -286,6 +286,14 @@ object TextAnalysis {
   /** Staging root for [[textBpeApply]]'s fixture writes — OUTSIDE
     * the oracle's glob, so a half-written table can never be read. */
   private[graft] val BpeFixtureTmp = "/tmp/graft-bpe-merges.tmp"
+
+  /** Fixture FORMAT/TRAINER version, part of the subdir name. Bump
+    * on ANY change to [[textBpeTrain]]'s algorithm, the symbol
+    * encoding, or the fixture schema: the write-once cache keys on
+    * (corpus, version), so without the bump a code change would keep
+    * gating against stale merges (review catch, round 14). v2 =
+    * round-14 content-fingerprint format. */
+  private[graft] val BpeFixtureVer = 2
 
   /** Corpus content fingerprint (Spark SQL form): a cheap exact-
     * integer digest over (doc_id, length, first/middle/last char)
@@ -351,14 +359,25 @@ object TextAnalysis {
         expr(BpeCorpusFpSpark)).head()
     val (nDocs, nChars, corpusFp) =
       (stat.getLong(0), stat.getLong(1), stat.getLong(2))
-    val fixtureDir = s"$BpeFixturePath/docs_${nDocs}_${nChars}_f$corpusFp"
+    val fixtureDir =
+      s"$BpeFixturePath/docs_${nDocs}_${nChars}_f${corpusFp}_v$BpeFixtureVer"
+    // Evict fixture dirs of any OTHER format/trainer version: the
+    // oracle's glob unions every subdir's schema, so a stale
+    // pre-versioning dir (no corpus_fp column) binder-errors the
+    // whole read (review catch — DuckDB requires consistent schemas
+    // across a glob). Current-version dirs for other corpora stay.
+    Option(new java.io.File(BpeFixturePath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && !f.getName.endsWith(s"_v$BpeFixtureVer"))
+      .foreach(Streams.rmTree)
     // Write-once + atomic publication (round-13 advice): the fixture
-    // is a deterministic function of the corpus key, so an existing
-    // complete table (_SUCCESS present) is byte-equivalent to what a
-    // retrain would produce — skip the rewrite rather than opening a
-    // delete-then-write window against a concurrent oracle read.
-    // First writers stage OUTSIDE the oracle glob and rename(2) into
-    // place; a loser of a same-corpus race discards its staging dir.
+    // is a deterministic function of the (corpus, version) key, so an
+    // existing complete table (_SUCCESS present) is byte-equivalent
+    // to what a retrain would produce — skip the rewrite rather than
+    // opening a delete-then-write window against a concurrent oracle
+    // read. First writers stage OUTSIDE the oracle glob and rename(2)
+    // into place; a loser of a same-corpus race discards its staging
+    // dir.
     if (!JFiles.exists(JPaths.get(fixtureDir, "_SUCCESS"))) {
       val tmp = s"$BpeFixtureTmp/${java.util.UUID.randomUUID}"
       textBpeTrain(spark, dir)
@@ -1060,12 +1079,19 @@ object TextAnalysis {
     * scoring join BROADCASTS it and the per-doc aggregate combines
     * map-side. Nothing pairwise, nothing global but the terminal
     * sort. */
-  def textCharTrigramLangid(spark: SparkSession, dir: String): DataFrame = {
-    val tris = t(spark, dir, "documents")
+  /** The exploded (doc_id, lang, trigram) stream — shared by
+    * [[textCharTrigramLangid]] and ScaleBench's volume probe so the
+    * benched shape cannot drift from the shipped one (review catch
+    * round 14). */
+  private[graft] def charTrigrams(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(text) - 2)," +
           " i -> substring(text, i, 3))")).as("tri"))
+
+  def textCharTrigramLangid(spark: SparkSession, dir: String): DataFrame = {
+    val tris = charTrigrams(spark, dir)
     val docTri = tris.groupBy("doc_id", "lang", "tri")
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)

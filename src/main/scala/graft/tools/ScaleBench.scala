@@ -417,11 +417,10 @@ object ScaleBench {
     //    days×types grid — calendar-bounded, never row-proportional;
     //  - events_bot_regularity: reduce side = |users|.
     for (d <- Seq(baseDir, out)) {
-      val tris = t(spark, d, "documents")
-        .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, length(text) - 2)," +
-            " i -> substring(text, i, 3))")).as("tri"))
+      // the exploded trigram stream and the sign-bit packing are the
+      // operators' OWN shared helpers — the benched shape cannot
+      // drift from the shipped one (review catch round 14)
+      val tris = graft.operators.TextAnalysis.charTrigrams(spark, d)
       val docTri = tris.groupBy("doc_id", "lang", "tri").count()
       println(f"round-14 trigram volumes at $d: " +
         f"doc_tri_rows=${docTri.count()}%d " +
@@ -430,10 +429,8 @@ object ScaleBench {
         .select(col("vec_id"),
           graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
         .select(col("vec_id"),
-          expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
-            "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i), 0L))").as("sig_lo"),
-          expr("aggregate(sequence(32, 63), 0L, (acc, i) -> acc + " +
-            "IF(element_at(v, i + 1) > 0D, shiftleft(1L, i - 32), 0L))").as("sig_hi"))
+          Similarity.signBitsExpr(0).as("sig_lo"),
+          Similarity.signBitsExpr(32).as("sig_hi"))
       val qs = sigs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"),
           col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
@@ -444,7 +441,8 @@ object ScaleBench {
         .withColumn("hamming",
           (expr("bit_count(sig_lo ^ q_lo)") +
             expr("bit_count(sig_hi ^ q_hi)")).cast("long"))
-        .withColumn("r", row_number().over(wH)).filter(col("r") <= 64)
+        .withColumn("r", row_number().over(wH))
+        .filter(col("r") <= Similarity.AnnBinaryShortlist)
         .count()
       println(f"round-14 binary-ANN at $d: rerank_fetch_rows=$rerank%d " +
         f"(ABSOLUTE shortlist x queries - equal at any corpus size)")

@@ -25,14 +25,10 @@ class Round13OpsSpec extends AnyFunSuite {
     // the fixture seam is write-once per corpus key (round 14): drop
     // any persisted planted-corpus fixture so THIS build's trainer is
     // what the assertions below exercise
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
     Option(new java.io.File(TextAnalysis.BpeFixturePath).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("docs_2_13_f"))
-      .foreach(rm)
+      .foreach(Streams.rmTree)
     val d = Files.createTempDirectory("graft-r13-bpe").toString
     Seq((1L, "aaab aaab"), (2L, "aaab"))
       .toDF("doc_id", "text")
