@@ -515,6 +515,31 @@ object OraclesEvents {
         |QUALIFY open_sessions > 0 OR n_starts > 0
         |ORDER BY day""".stripMargin,
 
+    // sample-ratio mismatch: 2-arm chi-square collapses to
+    // d²/(n·ua·ub), all exact integers — verdict in HUGEINT, the
+    // reported χ² a pure scalar double chain
+    "events_ab_srm" ->
+      """WITH ev AS (SELECT event_type, user_id, user_id % 2 = 0 AS is_a
+        |  FROM events),
+        |u AS (SELECT COUNT(DISTINCT CASE WHEN is_a THEN user_id END) AS ua,
+        |    COUNT(DISTINCT CASE WHEN NOT is_a THEN user_id END) AS ub
+        |  FROM ev),
+        |t AS (SELECT event_type, COUNT(*) AS n_events,
+        |    COUNT(CASE WHEN is_a THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN NOT is_a THEN 1 END) AS n_b
+        |  FROM ev GROUP BY 1),
+        |c AS (SELECT t.*, u.ua, u.ub,
+        |    CAST(n_a AS HUGEINT) * (ua + ub)
+        |      - CAST(n_events AS HUGEINT) * ua AS d
+        |  FROM t, u)
+        |SELECT event_type, n_events, n_a, n_b,
+        |  round(CAST(n_events AS DOUBLE) * ua / (ua + ub), 6) AS expected_a,
+        |  round(CAST(d * d AS DOUBLE)
+        |    / (CAST(n_events AS DOUBLE) * ua * ub), 6) AS chi2,
+        |  d * d * 1000000 > CAST(3841459 AS HUGEINT) * n_events * ua * ub
+        |    AS srm
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // bot regularity: exact integer/HUGEINT gap moments; the verdict
     // never touches a float (CV < 0.5 ⟺ 4·varN < (Σg)²); the
     // reported cv is a pure scalar double chain over exact inputs

@@ -1016,6 +1016,49 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Sample-ratio-mismatch screen (round 14) — the health check run
+    * BEFORE believing any A/B readout ([[abTest]] computes the
+    * z-stats; THIS query asks whether the traffic split itself is
+    * broken): per event type, observed arm event counts vs the
+    * expectation from the GLOBAL user assignment (user_id % 2 — the
+    * same arm rule abTest uses), the 1-df chi-square, and the SRM
+    * verdict at the conventional α = 0.05 cut.
+    *
+    * Determinism: for two arms the chi-square collapses to
+    * d²/(n·u_a·u_b) with d = n_a·U − n·u_a — ALL exact integers — so
+    * the VERDICT is an exact DECIMAL/HUGEINT comparison
+    * (d²·10⁶ > 3841459·n·u_a·u_b ⟺ χ² > 3.841459) and the reported
+    * χ² is a pure scalar double chain over exact inputs. No float
+    * ever decides anything.
+    *
+    * Scale shape: one distinct-user aggregate (broadcast — 2 longs)
+    * plus one per-(type, arm) count shuffle; reduce = |types|. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 0).as("is_a"))
+    val users = ev.select(col("user_id"), col("is_a")).distinct()
+      .agg(count(when(col("is_a"), 1)).as("ua"),
+        count(when(!col("is_a"), 1)).as("ub"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"))
+      .crossJoin(broadcast(users))
+      .withColumn("d", expr(
+        "CAST(n_a AS DECIMAL(19,0)) * (ua + ub) - CAST(n_events AS DECIMAL(19,0)) * ua"))
+      .select(col("event_type"), col("n_events"), col("n_a"), col("n_b"),
+        round(col("n_events").cast("double") * col("ua") / (col("ua") + col("ub")), 6)
+          .as("expected_a"),
+        round((col("d") * col("d")).cast("double") /
+          (col("n_events").cast("double") * col("ua") * col("ub")), 6)
+          .as("chi2"),
+        (col("d") * col("d") * 1000000L >
+          expr("CAST(3841459 AS DECIMAL(19,0)) * n_events") * col("ua") * col("ub"))
+          .as("srm"))
+      .orderBy("event_type")
+  }
+
   /** Bot-regularity screen (round 14) — the inter-event-gap
     * REGULARITY test abuse teams run before trusting traffic: humans
     * are bursty (coefficient of variation of their gaps ≳ 1), pollers

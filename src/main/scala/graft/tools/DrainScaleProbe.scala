@@ -75,6 +75,19 @@ object DrainScaleProbe {
         timed("tws_timers") {
           graft.operators.Streams.streamExecTwsTimers(spark, dir).count()
         }
+        // round-14 drains: all three are GRID-bounded-state forms
+        // (windows×types / windows×cohorts / days×types) — the claim
+        // is wall tracks batches × partitions (commit count), with
+        // state and output flat as the corpus replicates
+        timed("chained_agg") {
+          graft.operators.Streams.streamExecChainedAgg(spark, dir).count()
+        }
+        timed("static_enrich") {
+          graft.operators.Streams.streamExecStaticEnrich(spark, dir).count()
+        }
+        timed("foreach_upsert") {
+          graft.operators.Streams.streamExecForeachUpsert(spark, dir).count()
+        }
       case other =>
         sys.error(s"usage: build <out> | run <dir> (got: $other)")
     }

@@ -171,6 +171,34 @@ class Round14OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // events_ab_srm
+
+  /** 4 users (2 per arm). Type x routes 30 A-events vs 10 B-events
+    * (closed form: d = 30·4 − 40·2 = 40, χ² = 1600/(40·2·2) = 10 —
+    * SRM); type y routes 10/10 (d = 0, χ² = 0 — healthy). */
+  lazy val srmDir: String = {
+    val d = Files.createTempDirectory("graft-r14-srm").toString
+    val t0 = 1700000000000L
+    def ts(i: Int) = new java.sql.Timestamp(t0 + i * 1000L)
+    val x = (0 until 40).map(i =>
+      (1000L + i, if (i < 30) (i % 2) * 2L else (i % 2) * 2L + 1L, "x", ts(i)))
+    val y = (0 until 20).map(i =>
+      (2000L + i, (i % 4).toLong, "y", ts(i)))
+    (x ++ y).toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("events_ab_srm: exact chi-square verdict on a planted biased split") {
+    val rows = EventAnalytics.abSrm(spark, srmDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("chi2"), r.getAs[Boolean]("srm"))).toMap
+    assert(rows("x") === ((30L, 10L, 10.0, true)))
+    assert(rows("y") === ((10L, 10L, 0.0, false)))
+  }
+
+  // ---------------------------------------------------------------
   // asof_join_nearest
 
   /** user 1: views at t=0 s and t=100 s; purchases at 40 s (backward
