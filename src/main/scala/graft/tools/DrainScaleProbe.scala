@@ -60,12 +60,13 @@ object DrainScaleProbe {
         val nEvents = events(spark, dir).count()
         val nUsers = events(spark, dir).select("user_id").distinct().count()
         val batches = (nEvents + trigger - 1) / trigger
-        def timed(name: String)(f: => Long): Unit = {
+        def timed(name: String, batchesOverride: Long = -1L)(f: => Long): Unit = {
           val t0 = System.nanoTime()
           val rows = f
           val wall = (System.nanoTime() - t0) / 1e9
+          val b = if (batchesOverride > 0) batchesOverride else batches
           println(f"drain=$name dir=$dir wall=$wall%.1f s rows=$rows " +
-            f"events=$nEvents users=$nUsers batches=$batches " +
+            f"events=$nEvents users=$nUsers batches=$b " +
             f"state_partitions=$statePartitions " +
             f"keys_per_state_partition=${nUsers / statePartitions}")
         }
@@ -85,7 +86,11 @@ object DrainScaleProbe {
         timed("static_enrich") {
           graft.operators.Streams.streamExecStaticEnrich(spark, dir).count()
         }
-        timed("foreach_upsert") {
+        // foreach_upsert sizes its OWN trigger from the topic
+        // manifest (~8 batches at ANY corpus — the whole point), so
+        // the drainTriggerRows-derived batch count doesn't apply
+        timed("foreach_upsert",
+            batchesOverride = math.min(8L, math.max(1L, nEvents / 125L))) {
           graft.operators.Streams.streamExecForeachUpsert(spark, dir).count()
         }
       case other =>
