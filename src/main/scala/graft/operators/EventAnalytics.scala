@@ -1032,7 +1032,17 @@ object EventAnalytics {
     * ever decides anything.
     *
     * Scale shape: one distinct-user aggregate (broadcast — 2 longs)
-    * plus one per-(type, arm) count shuffle; reduce = |types|. */
+    * plus one per-(type, arm) count shuffle; reduce = |types|.
+    *
+    * Exactness headroom (ADVICE round 14, the botRegularity moment
+    * discipline): the verdict's LHS d²·10⁶ saturates DECIMAL(38,0)
+    * at |d| ≈ 10¹⁶ and the RHS chain 3841459·n·u_a·u_b at
+    * n·u_a·u_b ≈ 2.6×10³¹ — under non-ANSI Spark either overflow
+    * silently NULLs the verdict while the oracle's HUGEINT errors
+    * loudly. Both are guarded below: an out-of-headroom corpus
+    * raise_errors instead of emitting NULL verdicts (|d| < 10¹⁵ and
+    * n·u_a·u_b < 10³¹ keep a 10× safety margin; |d| ≤ n·U means any
+    * corpus under ~10⁷ events × 10⁸ users sits far inside). */
   def abSrm(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("event_type"), col("user_id"),
@@ -1053,8 +1063,13 @@ object EventAnalytics {
         round((col("d") * col("d")).cast("double") /
           (col("n_events").cast("double") * col("ua") * col("ub")), 6)
           .as("chi2"),
-        (col("d") * col("d") * 1000000L >
-          expr("CAST(3841459 AS DECIMAL(19,0)) * n_events") * col("ua") * col("ub"))
+        when(abs(col("d")) < 1e15 &&
+            col("n_events").cast("double") * col("ua") * col("ub") < 1e31,
+          col("d") * col("d") * 1000000L >
+            expr("CAST(3841459 AS DECIMAL(19,0)) * n_events") * col("ua") * col("ub"))
+          .otherwise(raise_error(lit(
+            "abSrm: corpus exceeds exact-decimal headroom " +
+              "(|d| >= 1e15 or n*ua*ub >= 1e31) — verdict would NULL")))
           .as("srm"))
       .orderBy("event_type")
   }
@@ -1079,7 +1094,19 @@ object EventAnalytics {
     * map-side-combining aggregate on the SAME key — no second
     * shuffle; output is |users|, the terminal sort its only wide op.
     * min-gap floor: users need ≥ 20 gaps before the verdict can say
-    * bot (small-n CV is noise), reported as NULL-free `false`. */
+    * bot (small-n CV is noise), reported as NULL-free `false`.
+    *
+    * Per-user ceiling (ADVICE round 14 — the sum_g2 bound above
+    * covers one term; the PRODUCT does not follow from it):
+    * var_n = n·Σg² − (Σg)² is exact only while n·Σg² < 10³⁸, i.e.
+    * n²·ḡ² < 10³⁸ — at the worst-case ~30-day mean gap
+    * (ḡ ≈ 2.6×10¹² µs) a single user may hold ~4×10⁶ gaps before
+    * the decimal domain saturates (tighter-cadence users
+    * proportionally more: ~4×10⁹ at 30-s gaps). Past it Spark
+    * silently NULLs cv/is_bot while the oracle's HUGEINT
+    * (max ~1.7×10³⁸) errors loudly — no realistic event corpus
+    * approaches the bound (10⁶ gaps/user at 30-day spacing is an
+    * 80,000-year history), so this is documented, not guarded. */
   def botRegularity(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val gaps = events(spark, dir)

@@ -969,6 +969,21 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Shortlist size and final k of [[annBinaryTopk]] — interpolated
+    * into the oracle SQL so the two sides cannot drift (the
+    * KnnSeedCap discipline; review catch round 14). */
+  private[graft] val AnnBinaryShortlist = 64
+  private[graft] val AnnBinaryK = 10
+
+  /** One packed 32-bit half of the sign-bit signature over the
+    * double-vec column `v` (dims lo..lo+31 → bits 0..31). Shared by
+    * the operator and ScaleBench's volume probe so the benched shape
+    * cannot drift from the shipped one. */
+  private[graft] def signBitsExpr(lo: Int) = expr(
+    s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+      s"(acc, i) -> acc + IF(element_at(v, i + 1) > 0D, " +
+      s"shiftleft(1L, i - $lo), 0L))")
+
   /** BINARY (sign-bit) quantization top-k (round 14) — the 1-bit
     * compression tier below PQ that production vector stores run as
     * their first-pass filter: each 64-dim vector compresses to its
@@ -991,21 +1006,6 @@ object Similarity {
     * (the scan is pruned to two columns) and the O(1) query set
     * broadcasts like every ANN sibling. Shortlist size is the
     * recall/cost knob, absolute — never a corpus fraction. */
-  /** Shortlist size and final k of [[annBinaryTopk]] — interpolated
-    * into the oracle SQL so the two sides cannot drift (the
-    * KnnSeedCap discipline; review catch round 14). */
-  private[graft] val AnnBinaryShortlist = 64
-  private[graft] val AnnBinaryK = 10
-
-  /** One packed 32-bit half of the sign-bit signature over the
-    * double-vec column `v` (dims lo..lo+31 → bits 0..31). Shared by
-    * the operator and ScaleBench's volume probe so the benched shape
-    * cannot drift from the shipped one. */
-  private[graft] def signBitsExpr(lo: Int) = expr(
-    s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
-      s"(acc, i) -> acc + IF(element_at(v, i + 1) > 0D, " +
-      s"shiftleft(1L, i - $lo), 0L))")
-
   def annBinaryTopk(spark: SparkSession, dir: String,
       shortlist: Int = AnnBinaryShortlist, k: Int = AnnBinaryK): DataFrame = {
     val e = emb(spark, dir)

@@ -390,10 +390,16 @@ object TextAnalysis {
       try JFiles.move(JPaths.get(tmp), JPaths.get(fixtureDir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileSystemException =>
+        case e: java.nio.file.FileSystemException =>
           org.apache.hadoop.fs.FileSystem
             .getLocal(spark.sparkContext.hadoopConfiguration)
             .delete(new org.apache.hadoop.fs.Path(tmp), true)
+          // a lost same-corpus race leaves the WINNER's complete
+          // fixture in place; any other move failure (permissions,
+          // EXDEV across tmp roots, partial write) leaves nothing —
+          // rethrow it here instead of surfacing later as an
+          // unrelated missing-path read (ADVICE round 14)
+          if (!JFiles.exists(JPaths.get(fixtureDir, "_SUCCESS"))) throw e
       }
     }
     // re-read what was WRITTEN: the applied rules are provably the

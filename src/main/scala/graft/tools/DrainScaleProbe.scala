@@ -86,11 +86,31 @@ object DrainScaleProbe {
         timed("static_enrich") {
           graft.operators.Streams.streamExecStaticEnrich(spark, dir).count()
         }
+        // round-15 pin (the knn_seed_broadcast discipline, inverted):
+        // static_enrich's dimension is |users|-PROPORTIONAL — rows
+        // and bytes must grow with the replica factor, which is
+        // exactly why the operator carries NO broadcast hint (the
+        // planner broadcasts only below the size threshold; past it,
+        // a per-batch shuffle — never a forced OOM). Bytes are the
+        // join-relation width: user_id long + cohort_day date.
+        val dimRows = spark.read
+          .parquet(graft.operators.Streams.staticEnrichDim(spark, dir))
+          .count()
+        println(s"probe=static_enrich_dim rows=$dimRows " +
+          s"bytes=${dimRows * 12L} users=$nUsers " +
+          "(|users|-proportional BY DESIGN: no broadcast hint — " +
+          "planner broadcasts under the threshold only)")
         // foreach_upsert sizes its OWN trigger from the topic
         // manifest (~8 batches at ANY corpus — the whole point), so
-        // the drainTriggerRows-derived batch count doesn't apply
-        timed("foreach_upsert",
-            batchesOverride = math.min(8L, math.max(1L, nEvents / 125L))) {
+        // the drainTriggerRows-derived batch count doesn't apply.
+        // The override replays the operator's exact trigger math —
+        // ceil(total / max(125, total/8)) — not an approximation of
+        // it (ADVICE round 14: min(8, total/125) logs 8 where the
+        // operator runs 9, e.g. at 1,001 events)
+        timed("foreach_upsert", batchesOverride = {
+          val t = math.max(125L, nEvents / 8L)
+          (nEvents + t - 1) / t
+        }) {
           graft.operators.Streams.streamExecForeachUpsert(spark, dir).count()
         }
       case other =>
