@@ -272,6 +272,65 @@ object OraclesStreams {
         |FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
         |ORDER BY k, v_id, p_id""".stripMargin,
 
+    // the LEFT SEMI watermarked join: each view emits at most once,
+    // on match, with no purchase columns; unmatched views are
+    // evicted SILENTLY — so unlike the outer forms there is NO
+    // watermark term at all: the drained result is exactly the
+    // batch semi interval join
+    "stream_exec_semi_join_watermarked" ->
+      """WITH e AS (SELECT event_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    event_type
+        |  FROM events)
+        |SELECT v.k AS k, v.event_id AS v_id, v.ts AS v_ts
+        |FROM e v
+        |WHERE v.event_type = 'view'
+        |  AND EXISTS (SELECT 1 FROM e p WHERE p.event_type = 'purchase'
+        |    AND p.k = v.k AND p.ts >= v.ts
+        |    AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |ORDER BY k, v_id""".stripMargin,
+
+    // the FULL OUTER watermarked join: matched pairs = the batch
+    // interval join; null-padded VIEWS gate on the left-outer
+    // boundary (v_ts + 1 h strictly more than 1 ms inside W);
+    // null-padded PURCHASES gate on their own state horizon — the
+    // last matchable view satisfies v_ts ≤ p_ts, so the horizon is
+    // p_ts itself, same strict-ms rounding (planted-probe-pinned in
+    // StreamExecParitySpec, round 15)
+    "stream_exec_full_outer_join_watermarked" ->
+      """WITH e AS (SELECT event_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    event_type
+        |  FROM events),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(
+        |    (SELECT epoch_us(MAX(ts)) // 1000 FROM v),
+        |    (SELECT epoch_us(MAX(ts)) // 1000 FROM p)) * 1000
+        |    - 86400000000 AS w_us),
+        |m AS (SELECT v.k, v.event_id AS v_id, p.event_id AS p_id,
+        |    v.ts AS v_ts, p.ts AS p_ts
+        |  FROM v JOIN p ON v.k = p.k
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR),
+        |uv AS (SELECT v.k, v.event_id AS v_id,
+        |    CAST(NULL AS BIGINT) AS p_id, v.ts AS v_ts,
+        |    CAST(NULL AS TIMESTAMP) AS p_ts
+        |  FROM v CROSS JOIN wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.k = v.k
+        |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |    AND epoch_us(v.ts) + 3600000000 <= w_us - 1000),
+        |up AS (SELECT p.k, CAST(NULL AS BIGINT) AS v_id,
+        |    p.event_id AS p_id, CAST(NULL AS TIMESTAMP) AS v_ts,
+        |    p.ts AS p_ts
+        |  FROM p CROSS JOIN wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.k = p.k
+        |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |    AND epoch_us(p.ts) <= w_us - 1000)
+        |SELECT k, v_id, p_id, v_ts, p_ts, p_id IS NOT NULL AS converted
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM uv
+        |      UNION ALL SELECT * FROM up)
+        |ORDER BY k, v_id, p_id""".stripMargin,
+
     // sliding windows as a real drain: each record in TWO windows,
     // reconciled by the state store across batches = the batch
     // double-bucketing; integer k-sums cross engines exactly

@@ -1461,6 +1461,85 @@ object Streams {
         .orderBy("k", "v_id", "p_id")
     }
 
+  /** LEFT SEMI watermarked stream–stream join through the gate
+    * (round 15, verdict directive 2) — "views that led to a
+    * purchase", streaming: each view emits AT MOST ONCE, carrying no
+    * purchase columns, iff some purchase of the same k lands within
+    * [v_ts, v_ts + 1 h]. The state discipline differs from both
+    * siblings: a matched view emits ON MATCH and its state is marked
+    * so later matches cannot re-emit (once-only is Spark's job, not
+    * a downstream DISTINCT), and an unmatched view is evicted
+    * SILENTLY when the watermark proves no future match — it never
+    * emits at all, so the semi join has NO emission-boundary term:
+    * the drained result is exactly the batch LEFT SEMI interval
+    * join (every matching purchase arrives within 1 h of its view,
+    * far inside the 1-day delay, by the inner form's
+    * time-ordered-arrival argument). That eviction ACTUALLY runs is
+    * a parity-spec obligation (numRowsRemoved > 0), same as the
+    * outer form. Output ≤ |views| → durable parquet drain. */
+  def streamExecSemiJoinWatermarked(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_semi_join_wm", "append",
+        durable = true, byTime = true) { stream =>
+      def side(t: String, a: String) = stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          col("ts").as(s"${a}_ts"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+        .withWatermark(s"${a}_ts", "1 day")
+      side("view", "v").join(side("purchase", "p"),
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "leftSemi")
+    } { t =>
+      t.select(col("v_k").as("k"), col("v_id"), col("v_ts"))
+        .orderBy("k", "v_id")
+    }
+
+  /** FULL OUTER watermarked stream–stream join through the gate
+    * (round 15, verdict directive 2) — the reconciliation form: every
+    * view AND every purchase appears exactly once, matched where the
+    * interval holds, null-padded where the watermark PROVES the other
+    * side never arrived (abandoned views on one side, attribution
+    * orphans — purchases with no qualifying view — on the other).
+    * Both null directions are watermark-gated, each by its own state
+    * horizon derived from the interval condition:
+    *   - an unmatched VIEW null-emits iff v_ts + 1h ≤ W − 1 ms — the
+    *     left-outer boundary, already bracketed at ±1 ms/±500 µs/
+    *     ±1 µs (round 12) and re-pinned by the parity spec;
+    *   - an unmatched PURCHASE null-emits iff p_ts ≤ W − 1 ms: its
+    *     last matchable view satisfies v_ts ≤ p_ts, so the horizon
+    *     is p_ts itself (no +1h term), with the same strict-ms
+    *     rounding — pinned by planted at-W/W−1ms probes in
+    *     StreamExecParitySpec, the round-12 bracket replayed on the
+    *     right side.
+    * Matched pairs emit on match (batch-equal by the inner form's
+    * argument). W = min over both sides of (ms-floored column max)
+    * − 1 day, as pinned round 12. Output n-proportional → durable
+    * parquet drain. */
+  def streamExecFullOuterJoinWatermarked(spark: SparkSession, dir: String): DataFrame =
+    drainTopic(spark, dir, "stream_exec_full_outer_wm", "append",
+        durable = true, byTime = true) { stream =>
+      def side(t: String, a: String) = stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          col("ts").as(s"${a}_ts"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+        .withWatermark(s"${a}_ts", "1 day")
+      side("view", "v").join(side("purchase", "p"),
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "fullOuter")
+    } { t =>
+      t.select(coalesce(col("v_k"), col("p_k")).as("k"),
+        col("v_id"), col("p_id"), col("v_ts"), col("p_ts"),
+        col("p_id").isNotNull.as("converted"))
+        .orderBy("k", "v_id", "p_id")
+    }
+
   /** CUSTOM KEYED STATE through the oracle gate (round 12, verdict
     * directive 1 — the one stateful API that was still ▣-only):
     * `flatMapGroupsWithState`, the escape hatch real pipelines reach

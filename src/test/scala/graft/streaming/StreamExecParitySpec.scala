@@ -715,6 +715,193 @@ class StreamExecParitySpec extends AnyFunSuite {
       "the watermark must actually have evicted outer state")
   }
 
+  /** stream_exec_semi_join_watermarked's claims (round 15):
+    * (1) each view with ≥1 qualifying purchase emits EXACTLY ONCE,
+    * with no purchase columns, even when several purchases match —
+    * once-only is the join's state discipline (matched-flag), not a
+    * downstream DISTINCT; (2) unmatched views NEVER emit — the semi
+    * join has no null-emission boundary at all, so drained = batch
+    * semi join with no watermark term; (3) semi state is actually
+    * evicted during the drain. */
+  test("watermarked LEFT SEMI join: once-only emission, silent drop, eviction") {
+    val root = Files.createTempDirectory("graft-sxs").toString
+    val log = TopicLog.create(spark, root, "t", 2)
+    val baseUs = 1700000000000000L
+    // views hourly over 120 h; even i carries TWO qualifying
+    // purchases (+5 min, +7 min — both inside the 10-min interval),
+    // so a once-only failure would DOUBLE those views; odd i is
+    // unmatched and must never appear
+    val rows = (0 until 120).flatMap { i =>
+      val v = Seq((2000 + 2 * i.toLong, "view", i % 5, baseUs + i * 3600000000L, i % 2))
+      val p = if (i % 2 == 0) Seq(
+        (2000 + 2 * i + 1L, "purchase", i % 5, baseUs + i * 3600000000L + 300000000L, i % 2),
+        (4000 + i.toLong, "purchase", i % 5, baseUs + i * 3600000000L + 420000000L, i % 2))
+      else Nil
+      v ++ p
+    }
+    val df = rows.toDF("id", "etype", "k", "ts_us", "partition")
+      .select(col("id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("k"))).cast("binary").as("value"),
+        map(lit("event_type"), col("etype").cast("binary")).as("headers"),
+        expr("timestamp_micros(ts_us)").as("ts"),
+        col("partition").cast("int").as("partition"))
+    log.produce(df.orderBy("ts_us"), partitioner = col("partition"))
+
+    def side(stream: org.apache.spark.sql.DataFrame, t: String, a: String) =
+      stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          col("ts").as(s"${a}_ts"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+    val stream = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 24L) // forces ≥10 micro-batches
+      .load(s"$root/t")
+    val name = "sxs_parity"
+    val q = side(stream, "view", "v").withWatermark("v_ts", "1 hour")
+      .join(side(stream, "purchase", "p").withWatermark("p_ts", "1 hour"),
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+        "leftSemi")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sxs-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      "the drain must actually have crossed micro-batch boundaries")
+
+    val emitted = spark.table(name).select("v_id").collect().map(_.getLong(0))
+    assert(emitted.length === emitted.distinct.length,
+      "a doubly-matched view must still emit exactly once")
+    assert(emitted.toSet === (0 until 120 by 2).map(2000L + 2 * _).toSet,
+      "semi output must equal the batch semi join — matched views " +
+        "only, odd views silently dropped with no watermark term")
+    assert(spark.table(name).columns.toSet === Set("v_id", "v_ts", "v_k"),
+      "the semi join must carry no purchase columns")
+    assert(q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.numRowsRemoved > 0),
+      "the watermark must actually have evicted semi state")
+  }
+
+  /** stream_exec_full_outer_join_watermarked's claims (round 15):
+    * (1) matched pairs equal the batch interval join; (2) the LEFT
+    * null direction follows the round-12 strict-1ms boundary
+    * (horizon v_ts + interval ≤ W − 1 ms — same planted bracket as
+    * the left-outer leg); (3) the RIGHT null direction follows ITS
+    * state horizon — the last matchable view satisfies v_ts ≤ p_ts,
+    * so an unmatched purchase null-emits iff p_ts ≤ W − 1 ms,
+    * bracketed here at W / W − 1 µs / W − 500 µs / W − 1 ms; (4)
+    * state is evicted. A Spark version moving either predicate
+    * fails here, not in the gate (SURVEY §5.1). */
+  test("watermarked FULL OUTER join: matches, BOTH null boundaries, eviction") {
+    val root = Files.createTempDirectory("graft-sxf").toString
+    val log = TopicLog.create(spark, root, "t", 2)
+    val baseUs = 1700000000000000L
+    // same main fixture as the left-outer leg: views hourly over
+    // 120 h, purchases (+5 min) for even i only — every purchase in
+    // the main rows is matched, so the right-null set is EXACTLY the
+    // planted purchase probes
+    val mainRows = (0 until 120).flatMap { i =>
+      val v = Seq((2 * i.toLong, "view", i % 5, baseUs + i * 3600000000L, i % 2))
+      val p = if (i % 2 == 0)
+        Seq((2 * i + 1L, "purchase", i % 5, baseUs + i * 3600000000L + 300000000L, i % 2))
+      else Nil
+      v ++ p
+    }
+    // W = (purchase-side max) − 1 h under the min policy, as pinned
+    val wUs = (baseUs + 118 * 3600000000L + 300000000L) - 3600000000L
+    val horizon = (h: Long) => h - 600000000L // v_ts for left horizon h
+    // left probes (unmatched k = 9): horizon at W / W−1µs / W−500µs
+    // withheld, W−1ms emitted — the round-12 bracket
+    val leftProbes = Seq(
+      (900L, "view", 9, horizon(wUs), 0),
+      (901L, "view", 9, horizon(wUs - 1L), 1),
+      (902L, "view", 9, horizon(wUs - 500L), 0),
+      (903L, "view", 9, horizon(wUs - 1000L), 1))
+    // right probes (unmatched k = 8): p_ts IS the horizon — at W /
+    // W−1µs / W−500µs withheld, W−1ms emitted
+    val rightProbes = Seq(
+      (910L, "purchase", 8, wUs, 0),
+      (911L, "purchase", 8, wUs - 1L, 1),
+      (912L, "purchase", 8, wUs - 500L, 0),
+      (913L, "purchase", 8, wUs - 1000L, 1))
+    val rows = mainRows ++ leftProbes ++ rightProbes
+    val df = rows.toDF("id", "etype", "k", "ts_us", "partition")
+      .select(col("id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("k"))).cast("binary").as("value"),
+        map(lit("event_type"), col("etype").cast("binary")).as("headers"),
+        expr("timestamp_micros(ts_us)").as("ts"),
+        col("partition").cast("int").as("partition"))
+    log.produce(df.orderBy("ts_us"), partitioner = col("partition"))
+
+    def side(stream: org.apache.spark.sql.DataFrame, t: String, a: String) =
+      stream
+        .filter(element_at(col("headers"), "event_type").cast("string") === t)
+        .select(col("key").cast("string").cast("long").as(s"${a}_id"),
+          col("ts").as(s"${a}_ts"),
+          get_json_object(col("value").cast("string"), "$.k").cast("long")
+            .as(s"${a}_k"))
+    val stream = spark.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", 24L) // forces ≥10 micro-batches
+      .load(s"$root/t")
+    val name = "sxf_parity"
+    val q = side(stream, "view", "v").withWatermark("v_ts", "1 hour")
+      .join(side(stream, "purchase", "p").withWatermark("p_ts", "1 hour"),
+        col("v_k") === col("p_k") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+        "fullOuter")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sxf-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      "the drain must actually have crossed micro-batch boundaries")
+
+    val out = spark.table(name)
+    val matched = out.filter(col("p_id").isNotNull && col("v_id").isNotNull)
+      .select("v_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === (0 until 120 by 2).map(i => (2L * i, 2L * i + 1)).toSet,
+      "matched pairs must equal the batch interval join")
+    val nullViews = out.filter(col("p_id").isNull)
+      .select("v_id").collect().map(_.getLong(0)).toSet
+    val expectedNullViews = (1 until 120 by 2)
+      .filter(i => baseUs + i * 3600000000L + 600000000L <= wUs - 1000L)
+      .map(2L * _).toSet + 903L
+    assert(nullViews === expectedNullViews,
+      "left null padding must follow the pinned strict-1ms boundary")
+    val nullPurchases = out.filter(col("v_id").isNull)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(nullPurchases === Set(913L),
+      "right null padding must follow ITS strict-1ms boundary " +
+        "(p_ts ≤ W − 1 ms): W / W−1µs / W−500µs withheld, W−1ms emitted")
+    // Spark 4.1 metrics gap, pinned here so an upgrade that fixes it
+    // gets noticed: the FULL OUTER symmetricHashJoin path reports
+    // numRowsRemoved = 0 in every batch even while state is plainly
+    // evicted (measured: each batch ADDS ~24 rows per numRowsUpdated,
+    // yet numRowsTotal plateaus at ~28 and falls to ~10 by the final
+    // no-data batch — the inner and left-outer paths DO count
+    // removals). Eviction is therefore asserted from the
+    // conservation law — rows added far exceed rows still held — the
+    // same bounded-state property, metric gap or not.
+    val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    val added = progress.map(_.stateOperators.map(_.numRowsUpdated).sum).sum
+    val finalTotal = progress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(q.recentProgress.flatMap(_.stateOperators)
+        .forall(_.numRowsRemoved == 0),
+      "numRowsRemoved is 0 on the 4.1 full-outer path — if this now " +
+        "counts removals, restore the numRowsRemoved > 0 assertion")
+    assert(added >= 150 && finalTotal < 60,
+      s"full-outer state must be a small evicted tail: added=$added " +
+        s"held=$finalTotal")
+  }
+
   /** stream_exec_chained_agg's emission boundary, pinned on planted
     * data: TWO chained windowed aggregations (hourly → daily via
     * window_time) drain under tiny triggers; a clock row places the
