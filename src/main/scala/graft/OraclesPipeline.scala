@@ -478,7 +478,8 @@ object OraclesPipeline {
     * gram rows instead of a 64x unnest (same arithmetic, ~10x less
     * row machinery); multiply-referenced CTEs are MATERIALIZED so
     * DuckDB's inlining can't re-run the hash pipeline per reference. */
-  private val minhashLshSql: String = {
+  private def minhashLshSqlFor(pairCond: String, mexpSql: String,
+      verdictSelect: String, outWhere: String): String = {
     val (strCtes, strLast) = bXxh64StrCtes("mtk")
     val (baseCtes, baseLast) = chainCtes(bHashLong("L", "hu", "42"), "mh", "mbc")
     def sgn(c: String) =
@@ -544,7 +545,7 @@ object OraclesPipeline {
        |mbk AS MATERIALIZED (SELECT doc_id, band, $quadOut AS bkey FROM $quadLast),
        |mpair AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
        |  FROM mbk a JOIN mbk c ON a.band = c.band AND a.bkey = c.bkey
-       |    AND a.doc_id < c.doc_id),
+       |    AND $pairCond),
        |mint AS (SELECT d1, d2, COUNT(*) AS inter
        |  FROM mpair JOIN mh g1 ON g1.doc_id = d1
        |  JOIN mh g2 ON g2.doc_id = d2 AND g2.hu = g1.hu
@@ -554,19 +555,45 @@ object OraclesPipeline {
        |      / (z1.nsh + z2.nsh - COALESCE(i.inter, 0)) AS jaccard
        |  FROM mpair p LEFT JOIN mint i ON p.d1 = i.d1 AND p.d2 = i.d2
        |  JOIN msz z1 ON z1.doc_id = p.d1 JOIN msz z2 ON z2.doc_id = p.d2),
-       |mexp AS (SELECT d1 AS doc_id, jaccard FROM mj
-       |  UNION ALL SELECT d2, jaccard FROM mj),
+       |mexp AS ($mexpSql),
        |mpd AS (SELECT doc_id, COUNT(*) AS n_candidates, MAX(jaccard) AS best
        |  FROM mexp GROUP BY doc_id)
        |SELECT z.doc_id, COALESCE(p.n_candidates, 0) AS n_candidates,
        |  COALESCE(round(p.best, 6), 0.0) AS best_jaccard,
-       |  (COALESCE(p.best, 0.0) >= 0.2) AS is_near_dup
+       |  $verdictSelect
        |FROM msz z LEFT JOIN mpd p ON z.doc_id = p.doc_id
+       |$outWhere
        |ORDER BY z.doc_id""".stripMargin
+  }
+
+  /** The batch form: all pairs (d1 < d2), both pair members get the
+    * per-doc explode row, near-dup verdict. */
+  private val minhashLshSql: String = minhashLshSqlFor(
+    pairCond = "a.doc_id < c.doc_id",
+    mexpSql = "SELECT d1 AS doc_id, jaccard FROM mj " +
+      "UNION ALL SELECT d2, jaccard FROM mj",
+    verdictSelect = "(COALESCE(p.best, 0.0) >= 0.2) AS is_near_dup",
+    outWhere = "")
+
+  /** The streaming-index form (stream_exec_dedup_index): pairs are
+    * (arrival, historical) only — the arrivals slice is doc_id ≡
+    * StreamDedupRes (mod StreamDedupMod), interpolated from the
+    * operator's shared constants — only the arrival side of a pair
+    * gets a per-doc row, output restricted to arrivals, verdict
+    * flipped to `keep` (best verified jaccard < 0.2). */
+  private val minhashIndexSql: String = {
+    val m = graft.operators.Streams.StreamDedupMod
+    val r = graft.operators.Streams.StreamDedupRes
+    minhashLshSqlFor(
+      pairCond = s"a.doc_id % $m = $r AND c.doc_id % $m <> $r",
+      mexpSql = "SELECT d1 AS doc_id, jaccard FROM mj",
+      verdictSelect = "(COALESCE(p.best, 0.0) < 0.2) AS keep",
+      outWhere = s"WHERE z.doc_id % $m = $r")
   }
 
   val pipeline: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLshSql,
+    "stream_exec_dedup_index" -> minhashIndexSql,
 
     "pipeline_clean_corpus" ->
       s"""WITH keepers AS (

@@ -213,31 +213,45 @@ object Dedup {
     * filter on dup_of). b=16 bands × r=4 rows; only (doc_id) ints
     * flow through the bucket join, shingle sets are joined back for
     * the verify stage alone. */
+  /** Distinct HASHED 3-word shingles of an arbitrary (doc_id, text)
+    * relation — grams hash to 8-byte keys BEFORE the distinct: the
+    * signature aggregate, the distinct, and the verify joins all
+    * shuffle longs instead of gram strings (~5× fewer shuffle bytes —
+    * the verify stage dominated the 10× corpus run). A 64-bit
+    * collision merges two grams; probability ~g²/2^65 per doc — the
+    * same accepted contract as [[jaccardPairs]]' hashed keys. Shared
+    * by the batch LSH operator and the streaming index form
+    * ([[Streams.streamExecDedupIndex]]), which must band its arrivals
+    * with the EXACT machinery the index was built with. */
+  private[graft] def gramHashRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.wordNgrams(
+          lower(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
+
+  /** The 16×4 banded MinHash keys over hashed gram rows: 64-seed
+    * signature (MinHashAgg), 16 band keys of 4 chained xxhash64
+    * values — (doc_id, band, bkey), the LSH bucket relation. */
+  private[graft] def bandedMinhash(gd: DataFrame,
+      bands: Int = 16, r: Int = 4): DataFrame =
+    gd.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg(col("sh"), bands * r).as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((0 until r).map(i =>
+              element_at(col("sig"), b * r + i + 1)): _*).as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = 16
-    val r = 4
     val gd = GraftCaches.getOrBuild(spark, s"dedup:minhash-grams:$dir") {
-      // grams hash to 8-byte keys BEFORE the distinct: the signature
-      // aggregate, the distinct, and the verify joins all shuffle
-      // longs instead of gram strings (~5× fewer shuffle bytes — the
-      // verify stage dominated the 10× corpus run). A 64-bit
-      // collision merges two grams; probability ~g²/2^65 per doc —
-      // the same accepted contract as [[jaccardPairs]]' hashed keys.
-      val d = gramRows(spark, dir, lowercase = true)
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct().persist()
+      val d = gramHashRows(t(spark, dir, "documents")).persist()
       d.count()
       d
     }
     val sizes = gd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val sig = gd.groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg(col("sh"), bands * r).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until r).map(i =>
-            element_at(col("sig"), b * r + i + 1)): _*).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val banded = bandedMinhash(gd)
     val candIds = banded.select(col("doc_id").as("d1"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bkey")),
         Seq("band", "bkey"))

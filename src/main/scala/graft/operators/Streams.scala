@@ -1369,6 +1369,180 @@ object Streams {
       .orderBy("ws", "event_type")
   }
 
+  /** Arrivals slice of the documents corpus: doc_id ≡
+    * [[StreamDedupRes]] (mod [[StreamDedupMod]]) — 20% of docs
+    * "arrive on the topic", the rest are the HISTORICAL corpus the
+    * persisted index is built from. Shared constants interpolated
+    * into the oracle SQL (the KnnSeedCap discipline). */
+  private[graft] val StreamDedupMod = 5L
+  private[graft] val StreamDedupRes = 4L
+
+  /** The arrivals-documents topic (one record per document: key =
+    * doc_id, value = text bytes, deterministic offsets) — the
+    * incremental-ingest stream [[streamExecDedupIndex]] drains. */
+  private def ensureDocsTopic(spark: SparkSession, dir: String): String =
+    ensureBuiltTopic(spark, dir, "docs_arrivals_v1") { log =>
+      val w = Window.partitionBy("partition").orderBy("doc_id")
+      val records = t(spark, dir, "documents")
+        .filter(col("doc_id") % StreamDedupMod === StreamDedupRes)
+        .withColumn("partition",
+          pmod(col("doc_id"), lit(NumPartitions.toLong)).cast("int"))
+        .withColumn("offset", (row_number().over(w) - 1).cast("long"))
+        .select(
+          col("doc_id").cast("string").cast("binary").as("key"),
+          col("text").cast("binary").as("value"),
+          map(lit("doc_id"), col("doc_id").cast("string").cast("binary"))
+            .as("headers"),
+          timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L)
+            .as("ts"),
+          col("partition"), col("offset"))
+      log.produceAssigned(records)
+    }
+
+  /** STREAMING DEDUP AGAINST A PERSISTED INDEX through the oracle
+    * gate (round 15, verdict directive 5) — the production
+    * incremental-ingest shape the batch cascade can't express: new
+    * documents arrive on a topic and are near-dup-checked against
+    * the HISTORICAL corpus via the banded-MinHash index
+    * ([[Dedup.bandedMinhash]] — the SAME shared machinery, so the
+    * arrivals are banded exactly as the index was built), emitting a
+    * keep/drop verdict per document per micro-batch. The index is
+    * materialized ONCE before the drain (bands + hashed gram
+    * posting + sizes, three parquet relations); each micro-batch
+    * then: shingles its arrivals → 64-seed MinHash → 16 band keys →
+    * bucket-join against the index bands → exact hashed-gram
+    * Jaccard verify against the index posting → per-doc verdict
+    * (keep iff best verified jaccard < 0.2), appended to the
+    * durable verdict sink.
+    *
+    * 100-TB shape: NO Spark state at all — every per-batch relation
+    * on the stream side (grams, bands, candidates) is bounded by
+    * the ADMISSION BUDGET. In production that budget is a fixed row
+    * count (maxOffsetsPerTrigger), making per-batch work constant
+    * while batch count tracks the backlog; the gate instead sizes
+    * ~8 batches at any SF (the foreach_upsert discipline) so
+    * cross-batch verdict accumulation is always exercised — either
+    * way total work is linear in arrivals and NO join carries a
+    * broadcast hint, so an oversized batch degrades to a shuffle
+    * join, never a forced OOM (the static_enrich lesson). The
+    * corpus-proportional index is scanned, never broadcast, and
+    * re-resolves per micro-batch as a parquet SCAN, not a recompute;
+    * text never rides a shuffle (grams are 8-byte hashes);
+    * candidates are band-bucketed, never all-pairs (Scale100Probe
+    * pins posting/band/candidate linearity at 50×). Verdicts are
+    * emitted only for docs with ≥1 shingle, matching the batch
+    * operator's msz-restriction.
+    *
+    * The oracle is the batch LSH dedup RESTRICTED to
+    * (arrival, historical) pairs — same hash-for-hash DuckDB
+    * replay as dedup_minhash_lsh with the pair CTE and the per-doc
+    * explode re-parameterized (OraclesPipeline.minhashLshSqlFor). */
+  def streamExecDedupIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = ensureDocsTopic(spark, dir)
+    val op = "stream_exec_dedup_index"
+    // Materialize the historical index once: bands for candidate
+    // generation, the hashed-gram posting for the verify stage,
+    // per-doc distinct-gram counts for the jaccard denominator.
+    val idxDir = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-drains-" +
+        Integer.toHexString(dir.hashCode), s"${op}_idx")
+    rmTree(idxDir.toFile)
+    registerDrainDir(idxDir)
+    val hist = t(spark, dir, "documents")
+      .filter(col("doc_id") % StreamDedupMod =!= StreamDedupRes)
+    val hg = Dedup.gramHashRows(hist).persist()
+    hg.write.mode("overwrite").parquet(s"$idxDir/grams")
+    hg.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      .write.mode("overwrite").parquet(s"$idxDir/sizes")
+    Dedup.bandedMinhash(hg).write.mode("overwrite").parquet(s"$idxDir/bands")
+    hg.unpersist()
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$op")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_STATE_PARTITIONS", "8"))
+    val p = java.nio.file.Paths.get(topicDir)
+    val total = graft.streaming.TopicLog
+      .open(ss, p.getParent.toString, p.getFileName.toString)
+      .partitionSizes().values.sum
+    // ~8 micro-batches at any corpus size (the foreach_upsert
+    // trigger discipline): cross-batch verdict accumulation is the
+    // semantics under test, and the budget bounds every stream-side
+    // join input per batch
+    val trigger = math.max(25L, total / 8L)
+    val outRoot = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-drains-" +
+        Integer.toHexString(dir.hashCode), op)
+    rmTree(outRoot.toFile)
+    java.nio.file.Files.createDirectories(outRoot)
+    registerDrainDir(outRoot)
+    val verdictDir = s"$outRoot/verdicts"
+    val q = ss.readStream.format("graft-topic")
+      .option("maxOffsetsPerTrigger", trigger)
+      .load(topicDir)
+      .select(col("key").cast("string").cast("long").as("doc_id"),
+        col("value").cast("string").as("text"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val bss = batch.sparkSession
+          // one record = one document, so in-batch distinct grams =
+          // per-doc distinct grams (no doc ever spans batches)
+          val sg = Dedup.gramHashRows(batch)
+          val ssz = sg.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+          val sband = Dedup.bandedMinhash(sg)
+          val hband = bss.read.parquet(s"$idxDir/bands")
+          val cand = sband
+            .select(col("doc_id").as("sd"), col("band"), col("bkey"))
+            .join(hband.select(col("doc_id").as("hd"), col("band"),
+              col("bkey")), Seq("band", "bkey"))
+            .select("sd", "hd").distinct()
+          val hgrams = bss.read.parquet(s"$idxDir/grams")
+          val inter = cand
+            .join(sg.select(col("doc_id").as("sd"), col("sh")), "sd")
+            .join(hgrams.select(col("doc_id").as("hd"), col("sh")),
+              Seq("hd", "sh"))
+            .groupBy("sd", "hd").agg(count(lit(1)).as("inter"))
+          val hsz = bss.read.parquet(s"$idxDir/sizes")
+          val scored = cand.join(inter, Seq("sd", "hd"), "left")
+            .join(ssz.select(col("doc_id").as("sd"), col("nsh").as("n1")), "sd")
+            .join(hsz.select(col("doc_id").as("hd"), col("nsh").as("n2")), "hd")
+            .withColumn("interc", coalesce(col("inter"), lit(0L)))
+            .withColumn("jaccard",
+              col("interc") / (col("n1") + col("n2") - col("interc")))
+            .groupBy("sd")
+            .agg(count(lit(1)).as("n_candidates"), max("jaccard").as("best"))
+          ssz.select("doc_id")
+            .join(scored, col("doc_id") === col("sd"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              coalesce(round(col("best"), 6), lit(0.0)).as("best_jaccard"),
+              (coalesce(col("best"), lit(0.0)) < 0.2).as("keep"))
+            .write.mode("append").parquet(verdictDir)
+          ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    rmTree(ckpt.toFile)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_candidates",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("best_jaccard",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("keep",
+        org.apache.spark.sql.types.BooleanType)))
+    val out =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(verdictDir)))
+        spark.read.schema(schema).parquet(verdictDir)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    out.orderBy("doc_id")
+  }
+
   /** WATERMARKED stream–stream INTERVAL join through the oracle gate
     * — the PRODUCTION form of [[streamExecJoin]]: both sides carry
     * `withWatermark(ts, 1 day)` and the join condition is an

@@ -143,6 +143,37 @@ object Scale100Probe {
     // by construction, so its slope equals the true-edge slope above
     report("pagerank_per_round_shuffle_rows", 2.0 * edgeB, 2.0 * edgeS)
 
+    // Round-15 shapes: stream_exec_dedup_index's persisted index and
+    // per-drain candidate mass, computed with the operator's OWN
+    // shared helpers (gramHashRows / bandedMinhash) so the benched
+    // shapes cannot drift. Posting and band rows must track the
+    // historical slice linearly; candidate pairs track the corpus's
+    // replicated dup structure (~linear — replicas share no grams),
+    // never (arrivals × historical).
+    def dedupIndexVolumes(d: String): (Long, Long, Long) = {
+      val m = graft.operators.Streams.StreamDedupMod
+      val res = graft.operators.Streams.StreamDedupRes
+      val docs = t(spark, d, "documents")
+      val hg = Dedup.gramHashRows(docs.filter(col("doc_id") % m =!= res))
+        .persist()
+      val posting = hg.count()
+      val hband = Dedup.bandedMinhash(hg)
+      val bandRows = hband.count()
+      val cand = Dedup.bandedMinhash(
+          Dedup.gramHashRows(docs.filter(col("doc_id") % m === res)))
+        .select(col("doc_id").as("sd"), col("band"), col("bkey"))
+        .join(hband.select(col("doc_id").as("hd"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("sd", "hd").distinct().count()
+      hg.unpersist()
+      (posting, bandRows, cand)
+    }
+    val (diPostB, diBandB, diCandB) = dedupIndexVolumes(baseDir)
+    val (diPostS, diBandS, diCandS) = dedupIndexVolumes(out)
+    report("dedup_index_posting_rows", diPostB.toDouble, diPostS.toDouble)
+    report("dedup_index_band_rows", diBandB.toDouble, diBandS.toDouble)
+    report("dedup_index_candidate_pairs", diCandB.toDouble, diCandS.toDouble)
+
     def noveltyGrams(d: String): (Long, Long) = {
       val g = Dedup.distinctGramHashes(t(spark, d, "documents"), "doc_id").persist()
       val rows = g.count()
