@@ -35,8 +35,23 @@ class WireServer(broker: Broker, advertisedHost: String = "127.0.0.1",
       * under full produce concurrency. Compaction stays
       * operator-scheduled: `compact()` rewrites the whole topic (no
       * dirty-ratio accounting), a cost profile the operator owns. */
-    retentionTickMs: Long = 0L) {
-  private val server = new ServerSocket(port)
+    retentionTickMs: Long = 0L,
+    /** Transport encryption (the reference README roadmap's
+      * "Encryption and Authentication" line, round 15): a configured
+      * `SSLContext` turns this into an SSL/SASL_SSL-style listener —
+      * the accept loop hands out `SSLSocket`s (JDK SSLEngine under
+      * the hood, no new dependencies) and EVERYTHING above the
+      * transport (framing, dispatch, SASL incl. SCRAM) runs
+      * unchanged over the encrypted channel, exactly Kafka's
+      * listener-security layering. Build contexts with
+      * [[WireServer.serverSslContext]]/[[WireServer.clientSslContext]]
+      * from a PKCS12 keystore. None = PLAINTEXT (the default, and
+      * the embedded/test contract). */
+    tls: Option[javax.net.ssl.SSLContext] = None) {
+  private val server = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(port)
+    case None => new ServerSocket(port)
+  }
   @volatile private var running = true
   private val pool = Executors.newCachedThreadPool()
 
@@ -627,4 +642,41 @@ object WireServer {
     * compat; the SCRAM pair keeps the password off the wire. */
   val Mechanisms: Seq[String] =
     Seq("PLAIN", Scram.Sha256.mechanism, Scram.Sha512.mechanism)
+
+  private def loadPkcs12(path: String,
+      password: Array[Char]): java.security.KeyStore = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try ks.load(in, password) finally in.close()
+    ks
+  }
+
+  /** Server-side TLS context from a PKCS12 keystore holding the
+    * listener's key + certificate (the artifact `keytool -genkeypair
+    * -storetype PKCS12` produces — operators bring their CA-signed
+    * equivalent). JDK-only: KeyManagerFactory over the store, TLS
+    * protocol defaults (1.3/1.2 on JDK 17). */
+  def serverSslContext(keystorePath: String,
+      password: String): javax.net.ssl.SSLContext = {
+    val pw = password.toCharArray
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(loadPkcs12(keystorePath, pw), pw)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Client-side TLS context trusting the given PKCS12 store's
+    * certificates (for self-signed listener certs the truststore IS
+    * the keystore; against a CA-signed cert, the CA bundle). */
+  def clientSslContext(truststorePath: String,
+      password: String): javax.net.ssl.SSLContext = {
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(loadPkcs12(truststorePath, password.toCharArray))
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
 }
