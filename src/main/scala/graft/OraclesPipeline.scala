@@ -1143,6 +1143,40 @@ object OraclesPipeline {
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
 
+    // REAL PNG decode: the Spark side encodes a deterministic
+    // grayscale image to actual PNG bytes and decodes them back with
+    // javax.imageio; this oracle computes the SAME pixel stats in
+    // closed form without ever touching a PNG — any decode fault
+    // (wrong sample, raster, dims) breaks the hash
+    "mm_png_decode" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (31 * doc_id + 7 * xx.x + 13 * yy.y) % 256 AS v
+        |  FROM dims,
+        |       unnest(range(0, 17)) AS xx(x), unnest(range(0, 15)) AS yy(y)
+        |  WHERE xx.x < w AND yy.y < h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(v) AS BIGINT) AS sum_luma,
+        |  round(CAST(SUM(v) AS DOUBLE) / (w * h), 6) AS mean_luma
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // REAL WAV decode: the Spark side containerizes deterministic
+    // PCM16 as actual RIFF/WAVE bytes and parses them back with
+    // javax.sound.sampled (frame count / rate / depth from the
+    // DECODED AudioFormat, the sum from the decoded data chunk);
+    // the closed form here never sees a WAV
+    "mm_wav_decode" ->
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 65 AS n FROM documents),
+        |sm AS (SELECT doc_id, n,
+        |    SUM((7 * doc_id + 13 * ii.i) % 65536 - 32768) AS s
+        |  FROM dims, unnest(range(0, 129)) AS ii(i)
+        |  WHERE ii.i < n GROUP BY doc_id, n)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  CAST(s AS BIGINT) AS sum_pcm
+        |FROM sm ORDER BY doc_id""".stripMargin,
+
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,

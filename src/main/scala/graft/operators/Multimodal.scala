@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct; decode/feature-extraction runs batched per partition (the
   * Scala analog of a pandas-UDF `mapInPandas` stage: one iterator per
-  * partition, arbitrary native calls inside). The actual image/audio
-  * decode is STUBBED (no media libs in this container) behind
-  * [[Multimodal.decodeStub]] — a deterministic fake — while the
-  * Spark-side plumbing (schema, batching, partitioning, output shape)
-  * is real and tested.
+  * partition, arbitrary native calls inside). Decode is REAL for the
+  * formats the JDK itself codes — PNG via `javax.imageio`
+  * ([[Multimodal.mmPngDecode]]) and WAV via `javax.sound.sampled`
+  * ([[Multimodal.mmWavDecode]]), both oracle-gated against closed
+  * forms — and STUBBED behind [[Multimodal.decodeStub]] (a
+  * deterministic fake) for external-codec formats the container
+  * lacks (JPEG's lossy DCT, video containers), with the Spark-side
+  * plumbing (schema, batching, partitioning, output shape) real and
+  * tested either way.
   */
 object Multimodal {
 
@@ -535,6 +539,124 @@ object Multimodal {
         AudioClipping(r.doc_id, n, clipped, clipped * 1000000L / n, maxRun)
       }
     }.toDF().orderBy("doc_id")
+  }
+
+  /** REAL PNG decode through the oracle gate (round 15) — the
+    * environmental stub upgraded for the formats the JDK itself
+    * codes: `javax.imageio` ships a real PNG encoder/decoder, so
+    * this query runs a genuine encode → decode round trip per
+    * document inside the mapPartitions seam. Each doc synthesizes a
+    * deterministic grayscale image (w = 8 + doc_id mod 9,
+    * h = 8 + doc_id mod 7, pixel(x,y) = (31·doc_id + 7x + 13y) mod
+    * 256), encodes it to REAL PNG bytes (filters, zlib, CRCs — the
+    * full codec), then decodes those bytes back with `ImageIO.read`
+    * and reports the DECODED dimensions and exact pixel sum. The
+    * DuckDB oracle computes the same values in closed form without
+    * ever seeing a PNG — a wrong sample, raster, or dimension from
+    * the decode path breaks the hash, which is exactly what makes
+    * this a decode test rather than plumbing. PNG byte LENGTH is
+    * deliberately not emitted (encoder output may vary across JDK
+    * builds; the decoded pixels cannot — PNG is lossless).
+    *
+    * Scale shape: pure map-side (mapPartitions, the declared decode
+    * seam) — no shuffle, no state; the terminal sort is the only
+    * wide op. External-codec formats (JPEG's lossy DCT, video
+    * containers) remain behind [[decodeStub]], still environmental. */
+  def mmPngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((31L * id + 7L * x + 13L * y) % 256L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          // decode the REAL png bytes — nothing below reads `img`
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val rb = back.getRaster
+          var sum = 0L
+          y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) { sum += rb.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, back.getWidth.toLong, back.getHeight.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_luma")
+      .select(col("doc_id"), col("width"), col("height"), col("sum_luma"),
+        round(col("sum_luma").cast("double") / (col("width") * col("height")), 6)
+          .as("mean_luma"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL WAV decode through the oracle gate (round 15) — the audio
+    * sibling of [[mmPngDecode]]: each doc synthesizes a deterministic
+    * 16-bit PCM mono 8 kHz signal (n = 64 + doc_id mod 65 samples,
+    * sample(i) = (7·doc_id + 13i) mod 65536 − 32768), containerizes
+    * it as REAL RIFF/WAVE bytes, and parses those bytes back with
+    * `javax.sound.sampled.AudioSystem` — the JDK's actual WAV
+    * demuxer, not a stub. The emitted frame count, sample rate, and
+    * bit depth come from the DECODED `AudioFormat` (asserting the
+    * header parse), the PCM sum from the decoded frame bytes
+    * (asserting the data chunk + endianness); the oracle computes
+    * the closed form. Map-side only, like every decode-seam query. */
+  def mmWavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 64 + (id % 65).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+            bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff) }
+          def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+          bos.write("RIFF".getBytes("US-ASCII")); le32(36 + n * 2)
+          bos.write("WAVE".getBytes("US-ASCII"))
+          bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+          le16(1) /* PCM */ ; le16(1) /* mono */ ; le32(8000); le32(16000)
+          le16(2) /* block align */ ; le16(16) /* bits */
+          bos.write("data".getBytes("US-ASCII")); le32(n * 2)
+          var i = 0
+          while (i < n) {
+            le16((((7L * id + 13L * i) % 65536L).toInt - 32768) & 0xffff)
+            i += 1
+          }
+          // parse the REAL wav bytes with the JDK demuxer
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val data = ais.readAllBytes()
+          var sum = 0L
+          i = 0
+          while (i < frames.toInt) {
+            sum += ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          (id, frames, fmt.getSampleRate.toLong, fmt.getSampleSizeInBits.toLong,
+            sum)
+        }
+      }
+      .toDF("doc_id", "n_frames", "sample_rate", "bits", "sum_pcm")
+      .orderBy("doc_id")
   }
 
 }
