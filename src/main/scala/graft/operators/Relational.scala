@@ -277,6 +277,65 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact order statistics by RANK via the q15 two-pass histogram —
+    * the shared machinery behind every exact-percentile query
+    * (q15/q29/q39/q54), extracted so none of them carries the
+    * unbounded per-group value buffer of `percentile`/
+    * `percentile_disc` (whose ObjectHashAggregate builds, serializes,
+    * shuffles and merges ONE value→count map PER CALL per group —
+    * q54's four percentile_disc calls paid that map 4× over identical
+    * data; an OOM at 100 TB on an unbounded numeric column besides).
+    *
+    * Contract: `values` = (g, v) rows, v non-null; `ranks` = (g, tag,
+    * k) with k a 1-based target rank, 1 ≤ k ≤ |group|, and (g, tag)
+    * unique. Returns (g, tag, v) where v is the k-th smallest value
+    * of the group — ties included in rank order, so the returned
+    * VALUE is deterministic under any tie permutation.
+    *
+    * Scale shape (inherited from q15, see its scaladoc): pass 1 is a
+    * (g × 1024-bucket) COUNT histogram — bounded whatever the corpus
+    * size — whose cumulative window locates, for each k, WHICH bucket
+    * holds the k-th value and its offset j within it; pass 2
+    * row_numbers ONLY the located buckets (a broadcast semi-filter,
+    * ≈ n/1024 of the table per target). The global min/max is one
+    * 1-row collect (the adjudicated bounded-scalar pattern). */
+  private[operators] def rankSelect(values: DataFrame, ranks: DataFrame): DataFrame = {
+    val stats = values.agg(min(col("v").cast("double")),
+      max(col("v").cast("double"))).head()
+    if (stats.isNullAt(0))
+      return ranks.select(col("g"), col("tag"),
+        lit(null).cast(values.schema("v").dataType).as("v"))
+    val lo = stats.getDouble(0)
+    val hi = stats.getDouble(1)
+    val width = math.max((hi - lo) / 1024.0, 1e-9)
+    val withB = values.withColumn("b",
+      floor((col("v").cast("double") - lit(lo)) / lit(width)).cast("long"))
+    val hist = withB.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(wB), lit(0L)))
+    val located = ranks.join(cum, Seq("g"))
+      .where(col("cum_before") < col("k") &&
+        col("k") <= col("cum_before") + col("cnt"))
+      .select(col("g"), col("tag"), col("b"),
+        (col("k") - col("cum_before")).as("j"))
+    val cand = withB.join(broadcast(located), Seq("g", "b"))
+    val wC = Window.partitionBy("g", "tag").orderBy("v")
+    cand.withColumn("rn", row_number().over(wC))
+      .where(col("rn") === col("j"))
+      .select(col("g"), col("tag"), col("v"))
+  }
+
+  /** The target ranks of Spark's `percentile_disc(p)`: k =
+    * ceil(N.toDouble · p) with N the group's NON-NULL value count —
+    * the exact double arithmetic PercentileDisc.getPercentile runs
+    * (verified against the Spark 4.1 bytecode: N l2d, dmul, ceil,
+    * d2l), so the selected order statistic is bit-identical to the
+    * aggregate form at any N. */
+  private def discRank(nNonNull: org.apache.spark.sql.Column, p: Double) =
+    ceil(nNonNull.cast("double") * lit(p)).cast("long")
+
   /** q16: string function suite. */
   def q16StringFuncs(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -508,10 +567,29 @@ object Relational {
     * the per-row pass is embarrassingly parallel at any scale. */
   def q29QuantileBucket(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    def pd(p: Double) =
-      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)")
-    val bounds = li.groupBy("l_returnflag")
-      .agg(pd(0.25).as("q1"), pd(0.5).as("q2"), pd(0.75).as("q3"))
+    // bounds via [[rankSelect]] (round 15): three percentile_disc
+    // buffers → one bounded histogram + located-bucket pick,
+    // bit-identical by [[discRank]]'s formula and RankSelectSpec
+    val vals = li.where(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val groups = li.groupBy(col("l_returnflag").as("g"))
+      .agg(count(col("l_extendedprice")).as("nv"))
+    val ranks = groups.where(col("nv") > 0)
+      .select(col("g"),
+        explode(array(Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75).map {
+          case (tg, p) =>
+            struct(lit(tg).as("tag"), discRank(col("nv"), p).as("k"))
+        }: _*)).as("t"))
+      .select(col("g"), col("t.tag"), col("t.k"))
+    val picked = rankSelect(vals, ranks)
+      .groupBy("g").agg(
+        max(when(col("tag") === "q1", col("v"))).as("q1"),
+        max(when(col("tag") === "q2", col("v"))).as("q2"),
+        max(when(col("tag") === "q3", col("v"))).as("q3"))
+    // a group whose values are ALL NULL still owns a bounds row (the
+    // aggregate form emitted one with NULL quantiles) — left join
+    val bounds = groups.join(picked, Seq("g"), "left")
+      .select(col("g").as("l_returnflag"), col("q1"), col("q2"), col("q3"))
     li.join(broadcast(bounds), "l_returnflag")
       .withColumn("bucket",
         when(col("l_extendedprice") <= col("q1"), 1L)
@@ -769,22 +847,55 @@ object Relational {
     * (the exact-quantile price, q29's adjudication); reduce side =
     * |returnflags|.
     *
-    * All three percentiles come from ONE `percentile(col, array(…))`
-    * aggregate — `percentile_cont(p) WITHIN GROUP` resolves to the
-    * same Percentile expression, but three separate calls build
-    * three independent value→count buffers over the group (3× the
-    * map-side memory and 3× the merge bytes for identical answers);
-    * the array form shares a single buffer. Measured 6.6 s → see
-    * SURVEY §17 at 10×. */
+    * Round 15: the shared-array `percentile(col, array(…))` buffer
+    * (itself a 3× win over three separate calls — SURVEY §17) is
+    * replaced by the bounded [[rankSelect]] two-pass, which drops
+    * the remaining value→count map entirely: the two straddling
+    * order statistics per target come from the located-bucket pick,
+    * and the interpolation below replays PercentileBase.getPercentile
+    * term-for-term (position = (N−1)·p as double, lower/higher =
+    * floor/ceil, the lower==higher and equal-values short-circuits,
+    * then (higher−pos)·v_lo + (pos−lower)·v_hi in that association
+    * order — verified against the Spark 4.1 bytecode), so the result
+    * is bit-identical to the aggregate form before the 1e-4 display
+    * rounding even touches it. */
   def q39PercentileCont(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    li.groupBy("l_returnflag")
+    val qs = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
+    val groups = li.groupBy(col("l_returnflag").as("g"))
       .agg(count(lit(1)).as("n_rows"),
-        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("pcs"))
-      .select(col("l_returnflag"), col("n_rows"),
-        round(element_at(col("pcs"), 1), 4).as("p25"),
-        round(element_at(col("pcs"), 2), 4).as("p50"),
-        round(element_at(col("pcs"), 3), 4).as("p75"))
+        count(col("l_extendedprice")).as("nv"))
+    def pos(p: Double) = (col("nv") - 1).cast("double") * lit(p)
+    val ranks = groups.where(col("nv") > 0)
+      .select(col("g"), col("nv"),
+        explode(array(qs.flatMap { case (tg, p) => Seq(
+          struct(lit(s"lo$tg").as("tag"),
+            (floor(pos(p)) + 1).as("k")),
+          struct(lit(s"hi$tg").as("tag"),
+            (ceil(pos(p)) + 1).as("k")))
+        }: _*)).as("t"))
+      .select(col("g"), col("t.tag"), col("t.k"))
+    val vals = li.where(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val picked = rankSelect(vals, ranks).groupBy("g").agg(
+      max(when(col("tag") === "lo25", col("v"))).as("vlo25"),
+      max(when(col("tag") === "hi25", col("v"))).as("vhi25"),
+      max(when(col("tag") === "lo50", col("v"))).as("vlo50"),
+      max(when(col("tag") === "hi50", col("v"))).as("vhi50"),
+      max(when(col("tag") === "lo75", col("v"))).as("vlo75"),
+      max(when(col("tag") === "hi75", col("v"))).as("vhi75"))
+    def qv(p: Double, vlo: org.apache.spark.sql.Column,
+        vhi: org.apache.spark.sql.Column) = {
+      val interp = (ceil(pos(p)).cast("double") - pos(p)) * vlo +
+        (pos(p) - floor(pos(p)).cast("double")) * vhi
+      round(when(ceil(pos(p)) === floor(pos(p)), vlo)
+        .when(vhi === vlo, vlo).otherwise(interp), 4)
+    }
+    groups.join(picked, Seq("g"), "left")
+      .select(col("g").as("l_returnflag"), col("n_rows"),
+        qv(0.25, col("vlo25"), col("vhi25")).as("p25"),
+        qv(0.5, col("vlo50"), col("vhi50")).as("p50"),
+        qv(0.75, col("vlo75"), col("vhi75")).as("p75"))
       .orderBy("l_returnflag")
   }
 
@@ -1152,14 +1263,34 @@ object Relational {
     * like q14's exact distincts (q15/q29 own exact quantiles). */
   def q54ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    def pd(p: Double) =
-      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)")
-    li.groupBy("l_returnflag")
+    // ONE aggregate pass owns the sketches + counts; the four exact
+    // bracket bounds come from [[rankSelect]] (round 15 — the four
+    // percentile_disc buffers each rebuilt, reshuffled and re-sorted
+    // the same value→count map; the two-pass rank select replaces
+    // them with a bounded histogram + a ~0.4% row_number pass,
+    // bit-identical by [[discRank]]'s formula and RankSelectSpec).
+    val agg = li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
+        count(col("l_extendedprice")).as("nv"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"),
-        pd(0.498).as("lo50"), pd(0.502).as("hi50"),
-        pd(0.898).as("lo90"), pd(0.902).as("hi90"))
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"))
+    val ranks = agg.where(col("nv") > 0)
+      .select(col("l_returnflag").as("g"),
+        explode(array(Seq(
+          "lo50" -> 0.498, "hi50" -> 0.502,
+          "lo90" -> 0.898, "hi90" -> 0.902).map { case (tg, p) =>
+          struct(lit(tg).as("tag"), discRank(col("nv"), p).as("k"))
+        }: _*)).as("t"))
+      .select(col("g"), col("t.tag"), col("t.k"))
+    val vals = li.where(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val picked = rankSelect(vals, ranks)
+    val bounds = picked.groupBy(col("g").as("l_returnflag")).agg(
+      max(when(col("tag") === "lo50", col("v"))).as("lo50"),
+      max(when(col("tag") === "hi50", col("v"))).as("hi50"),
+      max(when(col("tag") === "lo90", col("v"))).as("lo90"),
+      max(when(col("tag") === "hi90", col("v"))).as("hi90"))
+    agg.join(bounds, Seq("l_returnflag"), "left")
       .select(col("l_returnflag"), col("n"),
         col("lo50"), col("hi50"), col("lo90"), col("hi90"),
         (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
