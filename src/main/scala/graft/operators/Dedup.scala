@@ -477,6 +477,22 @@ object Dedup {
     * sort; sorting here would cost the CC path a full exchange+sort
     * of the edge set it immediately discards. */
   private[graft] def embeddingCosineEdges(spark: SparkSession,
+      dir: String): DataFrame =
+    // Round 15: FOUR queries consume this relation (embedding cosine,
+    // embedding CC, threshold sweep, pagerank) and each re-ran the
+    // full blocked candidate join + exact-cosine verify. Share one
+    // session-lifetime build through GraftCaches — the same
+    // discipline as the gram/posting caches (built inside the first
+    // timed consumer, released by releaseAll). The cached relation is
+    // ~|near-dup pairs| (τ ≥ 0.3 floor bounds it), orders of
+    // magnitude below the corpus — the memory story is unchanged.
+    GraftCaches.getOrBuild(spark, s"dedup:cosine-edges:$dir") {
+      val e = embeddingCosineEdgesUncached(spark, dir).persist()
+      e.count()
+      e
+    }
+
+  private def embeddingCosineEdgesUncached(spark: SparkSession,
       dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))

@@ -1449,14 +1449,25 @@ object Streams {
         Integer.toHexString(dir.hashCode), s"${op}_idx")
     rmTree(idxDir.toFile)
     registerDrainDir(idxDir)
-    val hist = t(spark, dir, "documents")
-      .filter(col("doc_id") % StreamDedupMod =!= StreamDedupRes)
-    val hg = Dedup.gramHashRows(hist).persist()
+    // The historical grams are the corpus gram relation restricted to
+    // non-arrival docs — take them from the SAME session-lifetime
+    // cache [[Dedup.dedupMinhashLsh]] builds (round 15: the index
+    // build re-ran the explode+hash+distinct over 80% of the corpus
+    // text when the batch LSH query had already paid it; the filter
+    // is exact — gramHashRows(filter(docs)) ≡ filter(gramHashRows(docs))
+    // because grams are per-doc). Cold-start (index query first)
+    // builds the full-corpus cache once and both operators share it.
+    val hg = GraftCaches.getOrBuild(spark, s"dedup:minhash-grams:$dir") {
+      val d = Dedup.gramHashRows(t(spark, dir, "documents")).persist()
+      d.count()
+      d
+    }.filter(col("doc_id") % StreamDedupMod =!= StreamDedupRes)
+      .persist() // compact slice for the 3 index writes below; released there
     hg.write.mode("overwrite").parquet(s"$idxDir/grams")
     hg.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       .write.mode("overwrite").parquet(s"$idxDir/sizes")
     Dedup.bandedMinhash(hg).write.mode("overwrite").parquet(s"$idxDir/bands")
-    hg.unpersist()
+    hg.unpersist() // the shared full-corpus cache stays with GraftCaches
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$op")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",

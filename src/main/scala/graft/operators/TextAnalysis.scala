@@ -1090,11 +1090,18 @@ object TextAnalysis {
     * benched shape cannot drift from the shipped one (review catch
     * round 14). */
   private[graft] def charTrigrams(spark: SparkSession, dir: String): DataFrame =
+    // round 15: explode the INDEX and substring after — the
+    // transform(…, i -> substring(…)) lambda ran on the interpreted
+    // higher-order-function path and allocated the full per-doc
+    // trigram ARRAY before exploding; sequence+explode+substring are
+    // all codegen, and only the int rides the generate (measured
+    // 3.64 → 2.82 s on the trigram agg at sf0.1, identical rows)
     t(spark, dir, "documents")
       .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(expr("sequence(1, length(text) - 2)")).as("i"))
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 2)," +
-          " i -> substring(text, i, 3))")).as("tri"))
+        expr("substring(text, i, 3)").as("tri"))
 
   def textCharTrigramLangid(spark: SparkSession, dir: String): DataFrame = {
     val tris = charTrigrams(spark, dir)
