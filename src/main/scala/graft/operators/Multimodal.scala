@@ -567,6 +567,17 @@ object Multimodal {
     graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        // Round 15: construct the codec ONCE per task (guide §4.5).
+        // The static ImageIO.write/read helpers re-ran the plugin
+        // registry lookup per call and wrapped every stream in the
+        // default FILE-backed cache — one temp file created and
+        // deleted per document. Same codec classes, same bytes,
+        // memory-backed streams, reused writer/reader instances.
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
         it.map { id =>
           val w = 8 + (id % 9).toInt
           val h = 8 + (id % 7).toInt
@@ -584,10 +595,16 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           // decode the REAL png bytes — nothing below reads `img`
-          val back = javax.imageio.ImageIO.read(
+          val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bos.toByteArray))
+          reader.setInput(iis)
+          val back = reader.read(0)
+          iis.close()
           val rb = back.getRaster
           var sum = 0L
           y = 0
