@@ -35,16 +35,25 @@ object Tables {
   }
 
   /** Exact sum of a double column: cast to decimal(18,4), sum
-    * exactly, back to double. Deterministic across engines. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+    * exactly, back to double. Deterministic across engines.
+    * Round 16: the cast is [[graft.functions.GraftExpressions.doubleToDecimal18]]
+    * — bit-identical to `cast(c as decimal(18,4))` (DoubleToDecimalSpec)
+    * without the per-row BigDecimal parse, and compact-long-backed so
+    * the sum stays on Decimal's long add fast path. */
+  def dsum(c: Column): Column =
+    sum(graft.functions.GraftExpressions.doubleToDecimal18(c, 4)).cast("double")
 
   /** Exact revenue-style product sum: both factors to decimal(18,6),
     * exact decimal multiply + sum. The sum (scale 12) is rescaled to
     * decimal(28,6) BEFORE the double cast: at scale 6 the unscaled
     * value stays < 2^53, so the decimal→double conversion is a single
     * correctly-rounded step in every engine (DuckDB's scale-12 path
-    * double-rounds via hugeint→double → 1-ulp mismatches). */
+    * double-rounds via hugeint→double → 1-ulp mismatches).
+    * Round 16: cast+cast+multiply fused into
+    * [[graft.functions.GraftExpressions.decimalProd18]] — bit-identical
+    * (DoubleToDecimalSpec) with the two BigDecimal string parses and
+    * the MathContext multiply replayed in long arithmetic. */
   def dsumProd(a: Column, b: Column): Column =
-    sum(a.cast(DecimalType(18, 6)) * b.cast(DecimalType(18, 6)))
+    sum(graft.functions.GraftExpressions.decimalProd18(a, b))
       .cast(DecimalType(28, 6)).cast("double")
 }

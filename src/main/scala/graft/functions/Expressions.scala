@@ -36,6 +36,13 @@ object GraftExpressions {
 
   def charClassCounts(text: Column): Column =
     ExpressionUtils.column(CharClassCountsExpr(ExpressionUtils.expression(text)))
+
+  def doubleToDecimal18(c: Column, scale: Int): Column =
+    ExpressionUtils.column(DoubleToDecimal18Expr(ExpressionUtils.expression(c), scale))
+
+  def decimalProd18(a: Column, b: Column): Column =
+    ExpressionUtils.column(DecimalProd18Expr(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
 }
 
 /** Char-class census in ONE byte pass — the counts text_code_detect
@@ -434,5 +441,180 @@ object Murmur2Expr {
     h *= m
     h ^= h >>> 15
     h
+  }
+}
+
+/** Bit-exact fast `cast(double AS decimal(18, s))` — the dsum family's
+  * per-row tax (SURVEY §5 exact-decimal discipline). Spark's Cast runs
+  * `BigDecimal.valueOf(Double.toString(d))` + `setScale(s, HALF_UP)` +
+  * a precision check per row: a string parse, two java.math.BigDecimal
+  * allocations, a scala wrapper and a Decimal.set. The DIGITS of
+  * `Double.toString` are the semantics (the shortest-repr decimal this
+  * JVM prints — an own Ryū/Schubfach could differ from JDK 17's
+  * FloatingDecimal in last-digit cases, so toString stays); everything
+  * after the string is replayed in long arithmetic: parse the ≤17
+  * significant digits into one long, shift/divide by powers of ten
+  * with HALF_UP at the target scale, and hand Spark a compact
+  * `Decimal.createUnsafe(long)` — no BigDecimal anywhere, and the
+  * downstream sum stays on Decimal's compact-long add fast path.
+  * Error semantics replay Cast's ANSI contract (Spark 4 session
+  * default, what every dsum query ran under) — pinned empirically by
+  * DoubleToDecimalSpec: NaN/±Inf → NULL (that's what the ANSI Cast
+  * returns), precision overflow (>18 digits at scale s) FAILS LOUDLY
+  * with an ArithmeticException. The spec also pins bit-equality on
+  * planted last-ulp/tie values and randomized sweeps. */
+case class DoubleToDecimal18Expr(child: Expression, scaleOut: Int)
+    extends UnaryExpression {
+  require(scaleOut >= 0 && scaleOut <= 18, "scale must be in [0, 18]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_d2dec expects double, got $t")
+  }
+  override def dataType: DataType = DecimalType(18, scaleOut)
+  override def nullable: Boolean = true // NaN/±Inf → null, like the ANSI Cast
+  override def prettyName: String = "graft_d2dec"
+
+  override def nullSafeEval(input: Any): Any =
+    DoubleToDecimal18Expr.compute(input.asInstanceOf[Double], scaleOut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = DoubleToDecimal18Expr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $g.compute($c, $scaleOut);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object DoubleToDecimal18Expr {
+  private val POW10: Array[Long] = {
+    val a = new Array[Long](19)
+    a(0) = 1L
+    var i = 1
+    while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }
+    a
+  }
+  private val MAX18 = 999999999999999999L // 18 nines: decimal(18, s) bound
+
+  /** Unscaled value of round_half_up(toString-decimal(d) × 10^s), or
+    * Long.MinValue when the value overflows decimal(18, s). d finite. */
+  def unscaled(d: Double, s: Int): Long = {
+    val str = java.lang.Double.toString(d)
+    val len = str.length
+    var i = 0
+    var neg = false
+    if (str.charAt(0) == '-') { neg = true; i = 1 }
+    var digits = 0L
+    var ndig = 0
+    var pointPos = -1
+    var exp = 0
+    var loop = true
+    while (loop && i < len) {
+      val c = str.charAt(i)
+      if (c == '.') pointPos = ndig
+      else if (c == 'E') { exp = java.lang.Integer.parseInt(str.substring(i + 1)); loop = false }
+      else { digits = digits * 10L + (c - '0'); ndig += 1 }
+      i += 1
+    }
+    if (digits == 0L) return 0L
+    // toString value = digits × 10^(exp + pointPos − ndig)
+    val t = exp + pointPos - ndig + s
+    val u =
+      if (t >= 0) {
+        if (t > 18 || digits > MAX18 / POW10(t)) return Long.MinValue
+        digits * POW10(t)
+      } else {
+        val k = -t
+        if (k >= 19) 0L // digits < 1e18 ⇒ 2·digits < 10^19 ⇒ rounds to 0
+        else {
+          val q = digits / POW10(k)
+          val r = digits % POW10(k)
+          if (2L * r >= POW10(k)) q + 1L else q
+        }
+      }
+    if (u > MAX18) return Long.MinValue
+    if (neg) -u else u
+  }
+
+  def compute(d: Double, s: Int): org.apache.spark.sql.types.Decimal = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      return null // the ANSI Cast returns NULL for NaN/±Inf (spec-pinned)
+    val u = unscaled(d, s)
+    if (u == Long.MinValue)
+      throw new ArithmeticException(
+        s"graft_d2dec: $d cannot be represented as Decimal(18, $s)")
+    org.apache.spark.sql.types.Decimal.createUnsafe(u, 18, s)
+  }
+}
+
+/** Bit-exact fast `cast(a AS decimal(18,6)) * cast(b AS decimal(18,6))`
+  * — dsumProd's per-row tax. Spark's path parses TWO toString strings
+  * into BigDecimals and multiplies them under MathContext(38): the
+  * product of two ≤18-digit scale-6 values is ≤36 digits at scale 12,
+  * so no rounding ever happens and the result is exactly
+  * unscaled(a,6) × unscaled(b,6) at scale 12. Replay that in longs:
+  * when the 128-bit product fits a long (every realistic magnitude —
+  * prices × fractions), emit a compact Decimal and the downstream sum
+  * stays on the long add fast path; otherwise one BigInteger multiply
+  * of two longs (no string parse). Error semantics follow the ANSI
+  * casts it replaces (spec-pinned): a NaN/±Inf factor → NULL (the
+  * ANSI Cast's NaN result, which Multiply propagates), a factor
+  * overflowing decimal(18,6) throws. */
+case class DecimalProd18Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dprod expects (double, double), got ($l, $r)")
+  }
+  override def dataType: DataType = DecimalType(37, 12)
+  override def nullable: Boolean = true // NaN/±Inf factor → null
+  override def prettyName: String = "graft_dprod"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalProd18Expr.compute(a.asInstanceOf[Double], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = DecimalProd18Expr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |${ev.value} = $g.compute($a, $b);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DecimalProd18Expr {
+  private val NAN_FACTOR = Long.MinValue + 1 // sentinel: ANSI cast gives NULL
+
+  private def factor(d: Double): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      return NAN_FACTOR
+    val u = DoubleToDecimal18Expr.unscaled(d, 6)
+    if (u == Long.MinValue)
+      throw new ArithmeticException(
+        s"graft_dprod: $d cannot be represented as Decimal(18, 6)")
+    u
+  }
+
+  def compute(a: Double, b: Double): org.apache.spark.sql.types.Decimal = {
+    val ua = factor(a)
+    if (ua == NAN_FACTOR) return null
+    val ub = factor(b)
+    if (ub == NAN_FACTOR) return null
+    val lo = ua * ub
+    val hi = Math.multiplyHigh(ua, ub)
+    if (hi == (lo >> 63)) // signed 128-bit product fits in one long
+      org.apache.spark.sql.types.Decimal.createUnsafe(lo, 37, 12)
+    else
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(ua).multiply(java.math.BigInteger.valueOf(ub)),
+        12), 37, 12)
   }
 }

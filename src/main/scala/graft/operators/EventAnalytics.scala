@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.{dsum, events}
+import graft.functions.GraftExpressions.{doubleToDecimal18 => d2dec}
 
 /** §2h event-stream analytics — the queries a user of an
   * event-streaming engine (ref: kcore README roadmap's consumer-side
@@ -403,7 +404,7 @@ object EventAnalytics {
     val daily = events(spark, dir)
       .groupBy(col("event_type"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).as("dval"))
+        sum(d2dec(col("value"), 4)).as("dval"))
     val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
     daily.select(
         col("event_type"), col("day"), col("n_events"),
@@ -453,8 +454,8 @@ object EventAnalytics {
     daily.join(pred, Seq("event_type", "day"))
       .select(col("event_type"), err.as("e"),
         abs(err).as("ae"),
-        round(abs(err).cast("double") / col("n").cast("double"), 6)
-          .cast(DecimalType(18, 6)).as("ape"))
+        d2dec(round(abs(err).cast("double") / col("n").cast("double"), 6), 6)
+          .as("ape"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         round(sum(col("ae").cast(DecimalType(18, 0))).cast("double") /
@@ -704,7 +705,7 @@ object EventAnalytics {
     val per = ev.groupBy("user_id")
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
-        (sum(col("value").cast(DecimalType(18, 4))) * 10000).cast("long")
+        (sum(d2dec(col("value"), 4)) * 10000).cast("long")
           .as("m_scaled"))
       .crossJoin(broadcast(frontier))
       .select(col("user_id"), col("freq"), col("m_scaled"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.t
+import graft.functions.GraftExpressions.{doubleToDecimal18 => d2dec}
 import graft.functions.GraftExpressions.rollingHash
 import graft.functions.TextFunctions._
 
@@ -286,7 +287,7 @@ object Pipeline {
         sum("toks").as("total_tokens"),
         (count(lit(1)) - countDistinct(md5(col("text").cast("binary"))))
           .as("n_exact_dups"),
-        round(sum(col("q").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        round(sum(d2dec(col("q"), 6))
           .cast("double") / count(lit(1)), 6).as("mean_quality"),
         // Spark's percentile_disc yields DOUBLE even over longs; the
         // value is an element OF the data, so the cast back is exact

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.t
+import graft.functions.GraftExpressions.{doubleToDecimal18 => d2dec}
 import graft.functions.TextFunctions._
 
 /** §2e text-analysis queries over the documents table. */
@@ -888,7 +889,7 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"), max(col("vocab_s")).as("vocab_size"),
-        sum(lnr.cast(DecimalType(18, 4)) * col("cnt_s").cast(DecimalType(18, 0)))
+        sum(d2dec(lnr, 4) * col("cnt_s").cast(DecimalType(18, 0)))
           .as("wsum"))
       .select(col("source"), col("n_tokens"), col("vocab_size"),
         round(col("wsum").cast("double") / col("n_tokens").cast("double"), 6)
@@ -941,10 +942,8 @@ object TextAnalysis {
     val ranked = freq.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= maxRank)
       .select(col("lang"),
-        round(log(col("rank").cast("double")), 4)
-          .cast(DecimalType(18, 4)).as("x"),
-        round(log(col("cnt").cast("double")), 4)
-          .cast(DecimalType(18, 4)).as("y"))
+        d2dec(round(log(col("rank").cast("double")), 4), 4).as("x"),
+        d2dec(round(log(col("cnt").cast("double")), 4), 4).as("y"))
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")

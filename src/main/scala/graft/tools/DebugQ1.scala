@@ -37,6 +37,14 @@ object DebugQ1 {
       time("q1_full")(noop(graft.operators.Relational.q1Agg(spark, dir)))
       time("q1_again_same_plan")(noop(graft.operators.Relational.q1Agg(spark, dir)))
       import graft.Tables.{dsum, dsumProd}
+      import org.apache.spark.sql.types.DecimalType
+      // round 16 A/B: the round-15 cast forms vs the fast expressions
+      time("old_dsum_x1")(noop(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("a"))))
+      time("old_dsumprod")(noop(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 6)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(18, 6)))
+          .cast(DecimalType(28, 6)).cast("double").as("a"))))
       time("dsum_x1")(noop(li.groupBy("l_returnflag", "l_linestatus")
         .agg(dsum(col("l_quantity")).as("a"))))
       time("dsum_x3")(noop(li.groupBy("l_returnflag", "l_linestatus")
