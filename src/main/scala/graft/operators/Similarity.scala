@@ -129,12 +129,22 @@ object Similarity {
     val sym = e.select(explode(array(
         struct(col("v1").as("src"), col("v2").as("dst")),
         struct(col("v2").as("src"), col("v1").as("dst")))).as("x"))
-      .select(col("x.src"), col("x.dst")).persist()
+      .select(col("x.src"), col("x.dst"))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    // sym/deg are pinned only for the iteration; the rounds end with a
-    // localCheckpoint of pr, so nothing downstream re-reads them —
-    // unpersist unconditionally (a long-lived session must not keep
-    // two relations pinned per call, the GraftCaches contract)
+    // Round 16: the per-round `join(deg)` hoisted OUT of the loop —
+    // deg is a per-src constant, so (src, dst, deg) is joined once and
+    // each round is one join + one aggregate instead of three joins.
+    // The per-round deg-left-join is gone too: edges are SYMMETRIC
+    // (every (v1,v2) emits v1→v2 and v2→v1), so every node with an
+    // edge — i.e. every node in deg — receives inflow every round, and
+    // inflow's key set IS deg's key set; the left join and its
+    // coalesce(inflow, 0) were structurally dead. The per-round
+    // localCheckpoint stays: each round's pr is materialized so round
+    // plans stay O(1) (the hashMinComponents discipline).
+    // symDeg/deg are pinned only for the iteration; unpersist
+    // unconditionally (the GraftCaches contract).
+    val symDeg = sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).persist()
     try {
       val n = deg.count()
       if (n == 0)
@@ -143,23 +153,19 @@ object Similarity {
       val base = Scale / n
       var pr = deg.select(col("src").as("id"), lit(base).as("pr"))
       for (_ <- 1 to iters) {
-        val inflow = sym
+        pr = symDeg
           .join(pr.select(col("id").as("src"), col("pr")), "src")
-          .join(deg, "src")
           .select(col("dst"), expr("pr DIV deg").as("c"))
           .groupBy("dst").agg(sum("c").as("inflow"))
-        pr = deg.select(col("src").as("id"))
-          .join(inflow.select(col("dst").as("id"), col("inflow")), Seq("id"), "left")
-          .select(col("id"),
-            expr(s"(15 * ${base}L + 85 * coalesce(inflow, 0L)) DIV 100")
-              .as("pr"))
+          .select(col("dst").as("id"),
+            expr(s"(15 * ${base}L + 85 * inflow) DIV 100").as("pr"))
           .localCheckpoint(true)
       }
       pr.select(col("id").as("vec_id"), col("pr").as("pr_scaled"),
           round(col("pr").cast("double") / Scale, 8).as("pagerank"))
         .orderBy("vec_id")
     } finally {
-      sym.unpersist()
+      symDeg.unpersist()
       deg.unpersist()
     }
   }
