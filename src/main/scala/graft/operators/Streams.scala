@@ -920,6 +920,16 @@ object Streams {
       build: DataFrame => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    // Every drain gets a FRESH temp checkpoint (deleted below), so the
+    // state-store providers the drained query loaded can never serve a
+    // later query — but the executor-side provider registry keeps them
+    // (and their in-memory state maps) until the 60 s maintenance tick
+    // notices they're orphaned. A session running many drains
+    // back-to-back (the bench, a long-lived server) accumulates dead
+    // state between ticks; unload deterministically instead (round 16,
+    // guide §5 memory hygiene).
+    def unloadDeadStateStores(): Unit =
+      org.apache.spark.sql.graftbridge.ColumnBridge.unloadAllStateStores()
     val topicDir =
       if (byTime) ensureEventsTopicByTime(spark, dir)
       else ensureEventsTopic(spark, dir)
@@ -983,6 +993,7 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       rmTree(ckpt.toFile)
+      unloadDeadStateStores()
       // explicit schema: an empty drain leaves no files to infer
       // from; read back on the CALLER's session — the returned plan
       // must not depend on the drain session
@@ -1003,6 +1014,7 @@ object Streams {
         out.schema)
       ss.catalog.dropTempView(name)
       rmTree(ckpt.toFile)
+      unloadDeadStateStores()
       local
     }
   }
@@ -1463,10 +1475,18 @@ object Streams {
       d
     }.filter(col("doc_id") % StreamDedupMod =!= StreamDedupRes)
       .persist() // compact slice for the 3 index writes below; released there
+    // The grams write materializes the persisted slice; the sizes and
+    // bands writes then read only the cache — two INDEPENDENT jobs, so
+    // run them concurrently (guide §2.6: actions are sequential only
+    // because the driver calls them sequentially; the bands job's tail
+    // back-fills cores the sizes job frees). Round 16: was three
+    // sequential jobs over the same slice.
     hg.write.mode("overwrite").parquet(s"$idxDir/grams")
-    hg.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      .write.mode("overwrite").parquet(s"$idxDir/sizes")
+    val sizesJob = java.util.concurrent.CompletableFuture.runAsync(() =>
+      hg.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+        .write.mode("overwrite").parquet(s"$idxDir/sizes"))
     Dedup.bandedMinhash(hg).write.mode("overwrite").parquet(s"$idxDir/bands")
+    sizesJob.join()
     hg.unpersist() // the shared full-corpus cache stays with GraftCaches
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$op")
     val ss = spark.newSession()

@@ -17,4 +17,13 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Unload every registered state-store provider (`private[sql]` on
+    * the StateStore object). Safe whenever the loaded stores' queries
+    * are finished and their checkpoints discarded — exactly the drain
+    * pattern: a fresh temp checkpoint per drain means no later query
+    * can ever reuse the providers, yet the registry would hold their
+    * in-memory state maps until the next maintenance tick. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
