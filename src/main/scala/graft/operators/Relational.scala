@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.{t, dsum, dsumProd}
+import graft.functions.GraftExpressions.{doubleToDecimal18 => d2dec}
 
 /** §2b relational / OLAP query suite.
   *
@@ -99,7 +100,7 @@ object Relational {
     val o = t(spark, dir, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     o.withColumn("running_spend",
-        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        sum(d2dec(col("o_totalprice"), 4))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
       .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
@@ -135,8 +136,8 @@ object Relational {
   def q12CaseExpr(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     def flagQty(f: String) =
-      sum(when(col("l_returnflag") === f, col("l_quantity")).otherwise(lit(0.0))
-        .cast(DecimalType(18, 4))).cast("double")
+      sum(d2dec(when(col("l_returnflag") === f, col("l_quantity"))
+        .otherwise(lit(0.0)), 4)).cast("double")
     li.groupBy("l_linestatus")
       .agg(
         flagQty("R").as("qty_r"),
@@ -298,7 +299,29 @@ object Relational {
     * holds the k-th value and its offset j within it; pass 2
     * row_numbers ONLY the located buckets (a broadcast semi-filter,
     * ≈ n/1024 of the table per target). The global min/max is one
-    * 1-row collect (the adjudicated bounded-scalar pattern). */
+    * 1-row collect (the adjudicated bounded-scalar pattern).
+    *
+    * Skew guard (round 16): the ≈ n/1024 estimate assumes values
+    * spread across buckets; an outlier-stretched range or a
+    * near-constant column can drop almost the whole group into ONE
+    * bucket, degrading pass 2 to a single-task sort of the group. The
+    * `located` relation is tiny (one row per target rank), so it is
+    * eagerly localCheckpoint-ed and the driver inspects max(cnt) for
+    * free. Buckets above `spark.graft.rankselect.refineThreshold`
+    * (default 4M rows) take a refined path: exact ties (bucket
+    * min == max) are answered directly without any sort — the k-th of
+    * identical values IS that value — and the rest get one more
+    * equi-width histogram level over the bucket's own [min, max]
+    * (another 1024× narrower), after which pass 2 sorts only the
+    * located SUB-bucket. One refinement level only: adversarial mass
+    * tied at distinct values inside one sub-bucket still degrades to a
+    * (spilling, memory-safe) single-task sort of that sub-bucket.
+    *
+    * Assumes a floating-point DOUBLE (or double-castable) non-NaN `v`
+    * column: the result column keeps v's input type (the aggregate
+    * forms it replaces always return DOUBLE — they match here only
+    * because every caller's column IS double), and a NaN would bucket
+    * through floor/cast differently than percentile's sort-NaN-last. */
   private[operators] def rankSelect(values: DataFrame, ranks: DataFrame): DataFrame = {
     val stats = values.agg(min(col("v").cast("double")),
       max(col("v").cast("double"))).head()
@@ -319,12 +342,62 @@ object Relational {
       .where(col("cum_before") < col("k") &&
         col("k") <= col("cum_before") + col("cnt"))
       .select(col("g"), col("tag"), col("b"),
-        (col("k") - col("cum_before")).as("j"))
-    val cand = withB.join(broadcast(located), Seq("g", "b"))
+        (col("k") - col("cum_before")).as("j"), col("cnt"))
+      .localCheckpoint(true) // tiny: one row per (g, tag) target
+    val maxCntRow = located.agg(max("cnt")).head()
+    val maxCnt = if (maxCntRow.isNullAt(0)) 0L else maxCntRow.getLong(0)
+    val refineAt = values.sparkSession.conf
+      .get("spark.graft.rankselect.refineThreshold", (4 << 20).toString).toLong
+    def pickInBuckets(loc: DataFrame): DataFrame = {
+      val cand = withB.join(broadcast(loc.select("g", "tag", "b", "j")),
+        Seq("g", "b"))
+      val wC = Window.partitionBy("g", "tag").orderBy("v")
+      cand.withColumn("rn", row_number().over(wC))
+        .where(col("rn") === col("j"))
+        .select(col("g"), col("tag"), col("v"))
+    }
+    if (maxCnt <= refineAt) return pickInBuckets(located)
+    val small = located.where(col("cnt") <= refineAt)
+    val big = located.where(col("cnt") > refineAt)
+    val bigBuckets = big.select("g", "b").distinct()
+    val candB = withB.join(broadcast(bigBuckets), Seq("g", "b"))
+    // per-bucket extrema: original type for the tie answer (result
+    // keeps v's type), double for the sub-bucket arithmetic
+    val stats2 = candB.groupBy("g", "b").agg(
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        min(col("v").cast("double")).as("dmin"),
+        max(col("v").cast("double")).as("dmax"))
+      .localCheckpoint(true) // tiny: one row per oversized bucket
+    val tiedAns = big.join(stats2.where(col("vmin") === col("vmax")),
+        Seq("g", "b"))
+      .select(col("g"), col("tag"), col("vmin").as("v"))
+    val untied = stats2.where(col("vmin") =!= col("vmax"))
+      .select(col("g"), col("b"), col("dmin"),
+        greatest((col("dmax") - col("dmin")) / lit(1024.0), lit(1e-9))
+          .as("w2"))
+    // floor((v - dmin)/w2) is monotone nondecreasing in v, so
+    // sub-buckets are value-ordered and the rank arithmetic below is
+    // exactly the level-1 argument one level down
+    val withB2 = candB.join(broadcast(untied), Seq("g", "b"))
+      .withColumn("b2",
+        floor((col("v").cast("double") - col("dmin")) / col("w2"))
+          .cast("long"))
+    val hist2 = withB2.groupBy("g", "b", "b2").agg(count(lit(1)).as("cnt2"))
+    val wB2 = Window.partitionBy("g", "b").orderBy("b2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum2 = hist2.withColumn("cum2_before",
+      coalesce(sum("cnt2").over(wB2), lit(0L)))
+    val located2 = big.join(cum2, Seq("g", "b"))
+      .where(col("cum2_before") < col("j") &&
+        col("j") <= col("cum2_before") + col("cnt2"))
+      .select(col("g"), col("tag"), col("b"), col("b2"),
+        (col("j") - col("cum2_before")).as("j2"))
+    val cand2 = withB2.join(broadcast(located2), Seq("g", "b", "b2"))
     val wC = Window.partitionBy("g", "tag").orderBy("v")
-    cand.withColumn("rn", row_number().over(wC))
-      .where(col("rn") === col("j"))
+    val refined = cand2.withColumn("rn", row_number().over(wC))
+      .where(col("rn") === col("j2"))
       .select(col("g"), col("tag"), col("v"))
+    pickInBuckets(small).unionAll(tiedAns).unionAll(refined)
   }
 
   /** The target ranks of Spark's `percentile_disc(p)`: k =
@@ -396,7 +469,7 @@ object Relational {
     val partial = li
       .withColumn("salt", pmod(col("l_orderkey"), lit(16L)))
       .groupBy("l_returnflag", "salt")
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("pq"),
+      .agg(sum(d2dec(col("l_quantity"), 4)).as("pq"),
         count(lit(1)).as("pn"))
     partial.groupBy("l_returnflag")
       .agg(sum(col("pq")).cast("double").as("sum_qty"), sum(col("pn")).as("n_rows"))
@@ -422,7 +495,7 @@ object Relational {
     t(spark, dir, "lineitem")
       .groupBy("l_linestatus")
       .pivot("l_returnflag", Seq("A", "N", "R"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double"))
+      .agg(sum(d2dec(col("l_quantity"), 4)).cast("double"))
       .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
         col("R").as("qty_r"))
       .orderBy("l_linestatus")
@@ -682,7 +755,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"),
         expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
           .as("day_num"),
-        col("o_totalprice").cast(DecimalType(18, 4)).as("dprice"))
+        d2dec(col("o_totalprice"), 4).as("dprice"))
     val w = Window.partitionBy("o_custkey").orderBy("day_num")
       .rangeBetween(-30, 0)
     o.select(col("o_orderkey"), col("o_custkey"), col("day_num"),
@@ -706,7 +779,7 @@ object Relational {
         count(lit(1)).as("n_orders"),
         count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
         sum(when(col("o_orderstatus") === "F",
-            col("o_totalprice").cast(DecimalType(18, 4)))).cast("double")
+            d2dec(col("o_totalprice"), 4))).cast("double")
           .as("finished_value"),
         countDistinct(when(col("o_orderstatus") === "O", col("o_custkey")))
           .as("open_customers"),
@@ -930,10 +1003,10 @@ object Relational {
   def q31CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val per = o.groupBy(col("o_custkey").as("k"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("tot"),
+      .agg(sum(d2dec(col("o_totalprice"), 4)).as("tot"),
         count(lit(1)).as("cnt"))
     o.join(per, col("o_custkey") === col("k"))
-      .where(col("o_totalprice").cast(DecimalType(18, 4)) * col("cnt") > col("tot"))
+      .where(d2dec(col("o_totalprice"), 4) * col("cnt") > col("tot"))
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
@@ -1236,7 +1309,7 @@ object Relational {
     // cents through the decimal parity path (dsum's recipe): the
     // 2-dp double → decimal(18,4) conversion is exact, ×100 exact,
     // → integral long — no round() half-case to diverge on
-    val cents = (col("c_acctbal").cast(DecimalType(18, 4)) * 100).cast("long")
+    val cents = (d2dec(col("c_acctbal"), 4) * 100).cast("long")
     t(spark, dir, "customer")
       .select(col("c_mktsegment"), col("c_name"), cents.as("cents"),
         (cents * lit(1000000000000L) + col("c_custkey")).as("ord"))

@@ -101,4 +101,43 @@ class RankSelectSpec extends AnyFunSuite {
     assert(Relational.q39PercentileCont(spark, dir).collect().map(_.toSeq).toSeq ===
       q39Plain(dir).collect().map(_.toSeq).toSeq, "q39 degenerate")
   }
+
+  test("skew guard: oversized buckets refine (tie shortcut + 2nd histogram) bit-green") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rankskew").toString
+    // Planted so that with refineThreshold=50 every refined path runs:
+    // group G: near-CONSTANT column — 500 copies of 7.0 plus one 1e9
+    //   outlier stretches [lo,hi] so bucket 0 holds all 500 tied rows
+    //   (> 50 ⇒ oversized; vmin == vmax ⇒ tie shortcut answers);
+    // group H: outlier-stretched NON-tied — 500 distinct values in
+    //   [0,0.5) all land in bucket 0 (> 50, vmin ≠ vmax ⇒ second
+    //   histogram level + sub-bucket row_number);
+    // group I: 30 spread rows (≤ 50 ⇒ the small/united path);
+    // group J: 300 ties at 5.0 + 300 near-ties within one level-1
+    //   bucket (vmin ≠ vmax; refined sub-bucket still holds the tied
+    //   mass — the documented one-level bound, must stay correct).
+    val rows =
+      (Seq.fill(500)(("G", 7.0)) :+ (("G", 1e9))) ++
+        ((0 until 500).map(i => ("H", i * 0.001)) :+ (("H", 1e9))) ++
+        (1 to 30).map(i => ("I", i * 10.0)) ++
+        (Seq.fill(300)(("J", 5.0)) ++ (1 to 300).map(i => ("J", 5.0 + i * 1e-13)))
+    rows.toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val key = "spark.graft.rankselect.refineThreshold"
+    val prior = spark.conf.getOption(key)
+    try {
+      for (threshold <- Seq("50", (4 << 20).toString)) {
+        spark.conf.set(key, threshold)
+        assert(Relational.q54ApproxQuantile(spark, dir).collect().map(_.toSeq).toSeq ===
+          q54Plain(dir).collect().map(_.toSeq).toSeq, s"q54 skew t=$threshold")
+        assert(Relational.q29QuantileBucket(spark, dir).collect().map(_.toSeq).toSeq ===
+          q29Plain(dir).collect().map(_.toSeq).toSeq, s"q29 skew t=$threshold")
+        assert(Relational.q39PercentileCont(spark, dir).collect().map(_.toSeq).toSeq ===
+          q39Plain(dir).collect().map(_.toSeq).toSeq, s"q39 skew t=$threshold")
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
