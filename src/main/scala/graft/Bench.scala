@@ -61,7 +61,21 @@ object Bench {
       name -> ((timeOnce(name), timeOnce(name)))
     }
     val loadAfter = loadAvg()
-    val results = both.map { case (n, (a, b)) => n -> math.min(a, b) }
+    // Charge GraftCaches builds to the total (round 16): min-of-two
+    // keeps the warm leg, so the gram/posting/simhash/cosine-edge
+    // builds paid inside some query's leg 1 never reached the reported
+    // numbers. Emit each as an ADDED `cache_build:<key>` entry (dir
+    // suffix stripped — it is constant per run) so total = Σ min-of-two
+    // + every build actually paid. Additions-only: no existing query
+    // entry is removed, renamed or re-timed.
+    val cacheBuilds = operators.GraftCaches.buildTimes.map { case (k, s) =>
+      val base = {
+        val i = k.indexOf(":/")
+        if (i > 0) k.substring(0, i) else k.replace('/', '_')
+      }
+      s"cache_build:$base" -> s
+    }
+    val results = both.map { case (n, (a, b)) => n -> math.min(a, b) } ++ cacheBuilds
     // The driver keeps only the last ~2000 chars of output; a JSON
     // line longer than that loses its HEAD (metric/value and the
     // alphabetically-first queries) and fails to parse — BENCH_r02
@@ -106,8 +120,12 @@ object Bench {
       val rows = both.map { case (k, (a, b)) =>
         "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]"
       }.mkString("{", ",", "}")
+      // the detail file keeps EVERY build (stdout's map may truncate
+      // the fastest ones away under the 2000-char budget)
+      val builds = cacheBuilds.map { case (k, s) => "\"" + k + "\":" + fmt(s) }
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$telemetry"cpus":$cpus,"queries_runs":$rows,"sf":"${sfDir.split('/').last}"}""" + "\n")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$telemetry"cpus":$cpus,"cache_builds":$builds,"queries_runs":$rows,"sf":"${sfDir.split('/').last}"}""" + "\n")
     }
     operators.GraftCaches.releaseAll() // nothing stays pinned after a run
     spark.stop()

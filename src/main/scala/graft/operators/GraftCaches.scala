@@ -32,17 +32,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftCaches {
   private val entries =
     scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  // Wall seconds spent INSIDE each build closure (builders materialize
+  // with an action, so this is the real cache-construction cost).
+  // Bench's min-of-two otherwise structurally hides it: the first
+  // consumer pays the build on leg 1, leg 2 is warm, min() keeps warm
+  // — so without this ledger no build ever reaches the reported total
+  // (round-15 verdict, "What's wrong" #2).
+  private val buildLedger =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
   /** Memoize a persisted relation under `key`. `build` must return an
     * already-persisted (and ideally materialized) frame. */
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized {
       entries.get(key).filter(_.sparkSession eq spark).getOrElse {
+        val t0 = System.nanoTime()
         val df = build
+        buildLedger(key) =
+          buildLedger.getOrElse(key, 0.0) + (System.nanoTime() - t0) / 1e9
         entries(key) = df
         df
       }
     }
+
+  /** Accumulated build seconds per cache key since the last
+    * [[resetBuildTimes]] (rebuilds after a release accumulate). */
+  def buildTimes: Seq[(String, Double)] = synchronized { buildLedger.toSeq }
+
+  def resetBuildTimes(): Unit = synchronized { buildLedger.clear() }
 
   /** Unpersist and forget every registered cache; returns how many
     * were released. Safe to call with entries from stopped sessions. */
