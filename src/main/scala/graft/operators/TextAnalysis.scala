@@ -123,22 +123,38 @@ object TextAnalysis {
     // the NULL seed can never equal a real token, so the first element
     // always opens a run of 1
     val topCount = expr(
-      """aggregate(array_sort(split(text, ' ')),
+      """aggregate(array_sort(toks),
         |  struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),
         |  (s, x) -> struct(x AS prev,
         |    IF(x = s.prev, s.run + 1, 1) AS run,
         |    GREATEST(s.best, IF(x = s.prev, s.run + 1, 1)) AS best),
         |  s -> s.best)""".stripMargin)
-    val topFrac = round(topCount.cast("double") / size(split(col("text"), " ")), 6)
-    val duBi = dupFrac(graft.functions.GraftExpressions.wordNgrams(col("text"), 2))
-    val duTri = dupFrac(graft.functions.GraftExpressions.wordNgrams(col("text"), 3))
+    val topFrac = round(topCount.cast("double") / size(col("toks")), 6)
+    val duBi = dupFrac(col("g2"))
+    val duTri = dupFrac(col("g3"))
+    // Round 16 (guide §4): the single-projection form wrote the
+    // aggregate HOF twice (once as top_word_frac, once inside keep)
+    // and each wordNgrams THREE times inside its dupFrac — and the
+    // interpreted HOF path gets no runtime subexpression elimination,
+    // so every doc paid ~2× the work. Staged projections evaluate
+    // each expensive expression ONCE; CollapseProject keeps the
+    // stages apart because the aliases are non-cheap and
+    // multiply-referenced. keep is derived from the OUTPUT columns —
+    // the same rounded values the old form compared — so results are
+    // bit-identical (measured 1.50 → 1.09 s min-of-4 at sf0.1).
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        split(col("text"), " ").as("toks"),
+        graft.functions.GraftExpressions.wordNgrams(col("text"), 2).as("g2"),
+        graft.functions.GraftExpressions.wordNgrams(col("text"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
         topFrac.as("top_word_frac"),
         duBi.as("dup_bigram_frac"),
-        duTri.as("dup_trigram_frac"),
-        (topFrac <= 0.15 && duBi <= 0.10).cast("int").as("keep"))
+        duTri.as("dup_trigram_frac"))
+      .withColumn("keep",
+        (col("top_word_frac") <= 0.15 && col("dup_bigram_frac") <= 0.10)
+          .cast("int"))
       .orderBy("doc_id")
   }
 
@@ -538,8 +554,8 @@ object TextAnalysis {
     * zipf-absorption argument, §14.1), the capped vocabulary lands via
     * TakeOrdered (never a global sort), and both model tables
     * broadcast back (Heaps'-law sublinear in the corpus). The pair
-    * stream itself is map-side: `zip_with` over the already-split
-    * token array, no self-join.
+    * stream itself is map-side: an index explode over the
+    * already-split token array (codegen; round 16), no self-join.
     *
     * Cross-engine determinism: integer counts through ONE exact
     * double division, ln quantized at 1e-4, the per-doc sum routed
@@ -549,12 +565,22 @@ object TextAnalysis {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
-    val bg = docs.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    // Round 16 (guide §4, the r15 trigram recipe): the former
+    // slice+slice+zip_with form ran on the INTERPRETED higher-order-
+    // function path and allocated three per-doc string arrays before
+    // exploding — and this stream is consumed TWICE (vocabulary pass +
+    // scoring pass), so every doc paid it twice. sequence+explode+
+    // element_at are all codegen and only the index rides the
+    // generate. Identical rows: for i in 1..n-1 the zipped element IS
+    // concat_ws(' ', toks[i], toks[i+1]), and w1 = toks[i] equals
+    // substring_index(bg, ' ', 1) because toks come from a split on
+    // the same delimiter (measured 1.49 → 1.14 s min-of-4 at sf0.1).
+    val bg = docs.select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1)).as("bg"),
+        element_at(col("toks"), col("i")).as("w1"))
     val uni = t(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cnt1"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -32,6 +33,35 @@ class Round16OpsSpec extends AnyFunSuite {
     }
     // sorted by doc_id (declared shape)
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+  }
+
+  test("bigram index-explode equals the zip_with formulation it replaced") {
+    // text_perplexity_bigram's pair stream moved from the interpreted
+    // slice+slice+zip_with HOF to codegen sequence+explode+element_at;
+    // this pins the row-level identity of the two formulations (bg AND
+    // the w1 = substring_index shortcut) on real corpus text,
+    // including empty tokens from doubled separators.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val oldForm = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val newForm = docs.select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1)).as("bg"),
+        element_at(col("toks"), col("i")).as("w1"))
+    val key = Seq("doc_id", "bg", "w1")
+    val oldCnt = oldForm.groupBy(key.map(col): _*).count()
+    val newCnt = newForm.groupBy(key.map(col): _*).count()
+    assert(oldCnt.count() > 100, "fixture must produce real bigrams")
+    assert(oldCnt.except(newCnt).isEmpty && newCnt.except(oldCnt).isEmpty,
+      "bigram multisets differ between formulations")
   }
 
   test("mm_png_decode matches the closed form after the stream/dispose change") {
